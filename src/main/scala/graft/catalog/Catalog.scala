@@ -1,0 +1,471 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.txn._
+
+/**
+ * Graft catalog: dataset-level CRUD over a filesystem metastore with
+ * catalog-level ACID transactions, schema evolution, write modes, time
+ * travel, and merge-on-read vs read-optimized reads.
+ *
+ * API surface mirrors the reference catalog (catalog/interface.py:33-540,
+ * impl at catalog/main/impl.py) re-expressed Spark-first: all data movement
+ * is DataFrame reads/writes planned by Catalyst; only metadata commits are
+ * driver-side.
+ */
+final case class TableHandle(namespace: String, name: String) {
+  override def toString = s"$namespace.$name"
+}
+
+object TableHandle {
+  def parse(s: String): TableHandle = s.split('.') match {
+    case Array(ns, t) => TableHandle(ns, t)
+    case Array(t) => TableHandle("default", t)
+    case _ => throw new IllegalArgumentException(s"bad table name $s")
+  }
+}
+
+/** Options for readTable — projection/partition-filter/time-travel/merge-on-read. */
+final case class ReadOptions(
+    columns: Option[Seq[String]] = None,
+    partitionFilter: Option[Column] = None,
+    /** Driver-side manifest pruning: partition field -> transformed value. */
+    partitionValues: Option[Map[String, String]] = None,
+    asOf: Option[Long] = None,
+    mergeOnRead: Boolean = true,
+    withFilePath: Boolean = false)
+
+class TableAlreadyExists(t: String) extends RuntimeException(s"table $t already exists")
+class TableNotFound(t: String) extends RuntimeException(s"table $t not found")
+
+final class GraftCatalog(val spark: SparkSession, rootDir: String) {
+  val root: Path = Paths.get(rootDir)
+  val store = new Metastore(root)
+
+  import Hidden._
+
+  // ---------------------------------------------------------------- layout
+  private def nsDir(ns: String): Path = root.resolve("ns").resolve(ns)
+  private def nsMetaDir(ns: String): Path = nsDir(ns).resolve("__ns__")
+  private def tableDir(t: TableHandle): Path = nsDir(t.namespace).resolve(t.name)
+  private def metaDir(t: TableHandle): Path = tableDir(t).resolve("meta")
+  private def deltaDir(t: TableHandle): Path = tableDir(t).resolve("deltas")
+  private def dataDir(t: TableHandle): Path = tableDir(t).resolve("data")
+
+  // ------------------------------------------------------------- namespaces
+  def createNamespace(ns: String, txn: Option[Transaction] = None): Unit =
+    inTxn(txn, s"create namespace $ns") { t =>
+      val dir = nsMetaDir(ns)
+      t.stage(dir, store.nextRevision(dir, Some(t)), "ns", Json.write(Map("name" -> ns)), s"CREATE ns/$ns")
+    }
+
+  def namespaceExists(ns: String, asOf: Option[Long] = None): Boolean =
+    store.latestVisible(nsMetaDir(ns), asOf, None).isDefined
+
+  def listNamespaces(asOf: Option[Long] = None): Seq[String] = {
+    val base = root.resolve("ns")
+    if (!Files.exists(base)) Nil
+    else {
+      val s = Files.list(base)
+      try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
+        .filter(ns => namespaceExists(ns, asOf))
+      finally s.close()
+    }
+  }
+
+  // ------------------------------------------------------------ table CRUD
+  def createTable(
+      table: String,
+      schema: StructType,
+      partitionScheme: PartitionScheme = PartitionScheme.unpartitioned,
+      sortScheme: SortScheme = SortScheme.unsorted,
+      properties: Map[String, String] = Map.empty,
+      txn: Option[Transaction] = None): TableHandle = {
+    val t = TableHandle.parse(table)
+    schema.fields.filter(FieldMeta.isMergeKey).foreach(FieldMeta.validateMergeKey)
+    if (tableExists(table)) throw new TableAlreadyExists(table)
+    inTxn(txn, s"create table $t") { tx =>
+      if (!namespaceExists(t.namespace)) {
+        val dir = nsMetaDir(t.namespace)
+        tx.stage(dir, store.nextRevision(dir, Some(tx)), "ns",
+          Json.write(Map("name" -> t.namespace)), s"CREATE ns/${t.namespace}")
+      }
+      stageTableMeta(tx, t, toMeta(t, schema, partitionScheme, sortScheme, properties))
+    }
+    t
+  }
+
+  def tableExists(table: String, asOf: Option[Long] = None): Boolean = {
+    val t = TableHandle.parse(table)
+    currentMeta(t, asOf, None).exists(!_.dropped)
+  }
+
+  def getTableMeta(table: String, asOf: Option[Long] = None): TableMeta = {
+    val t = TableHandle.parse(table)
+    currentMeta(t, asOf, None).filter(!_.dropped).getOrElse(throw new TableNotFound(table))
+  }
+
+  def tableSchema(table: String, asOf: Option[Long] = None): StructType =
+    DataType.fromJson(getTableMeta(table, asOf).schemaJson).asInstanceOf[StructType]
+
+  def listTables(ns: String, asOf: Option[Long] = None): Seq[String] = {
+    val dir = nsDir(ns)
+    if (!Files.exists(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).filterNot(_ == "__ns__").toList.sorted
+        .filter(n => tableExists(s"$ns.$n", asOf))
+      finally s.close()
+    }
+  }
+
+  def dropTable(table: String, txn: Option[Transaction] = None): Unit = {
+    val t = TableHandle.parse(table)
+    val m = getTableMeta(table)
+    inTxn(txn, s"drop table $t")(tx => stageTableMeta(tx, t, m.copy(dropped = true)))
+  }
+
+  def renameTable(table: String, newName: String, txn: Option[Transaction] = None): Unit = {
+    val t = TableHandle.parse(table)
+    val nt = TableHandle(t.namespace, newName)
+    val m = getTableMeta(table)
+    if (tableExists(nt.toString)) throw new TableAlreadyExists(nt.toString)
+    inTxn(txn, s"rename $t -> $nt") { tx =>
+      stageTableMeta(tx, t, m.copy(dropped = true))
+      stageTableMeta(tx, nt, m.copy(table = newName, dropped = false))
+      // Data files are addressed by manifest paths, so the old table's deltas
+      // must be re-pointed: copy visible delta metafiles to the new table.
+      visibleDeltas(t, None, Some(tx)).foreach { case (rev, d) =>
+        tx.stage(deltaDir(nt), rev, "delta", Json.write(d), s"CREATE delta/$nt/$rev")
+      }
+    }
+  }
+
+  /** Truncate: drop all data, keep schema — reference interface.py:317-336. */
+  def truncateTable(table: String, txn: Option[Transaction] = None): Unit = {
+    val t = TableHandle.parse(table)
+    getTableMeta(table)
+    inTxn(txn, s"truncate $t") { tx =>
+      val dir = deltaDir(t)
+      val rev = store.nextRevision(dir, Some(tx))
+      val d = DeltaMeta(rev, DeltaType.Add.name, Nil, tx.txnId, -1L, Map("replace" -> "true"))
+      tx.stage(dir, rev, "delta", Json.write(d), s"REPLACE $t")
+    }
+  }
+
+  /** Schema evolution DDL — add/update columns per the promotion lattice
+    * (reference alter_table, interface.py:122-164). */
+  def alterTable(
+      table: String,
+      newSchema: Option[StructType] = None,
+      setProperties: Map[String, String] = Map.empty,
+      sortScheme: Option[SortScheme] = None,
+      txn: Option[Transaction] = None): Unit = {
+    val t = TableHandle.parse(table)
+    val m = getTableMeta(table)
+    val cur = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val evolved = newSchema.map(s => TypePromotion.unify(cur, s)).getOrElse(cur)
+    val updated = m.copy(
+      schemaJson = evolved.json,
+      properties = m.properties ++ setProperties,
+      sortKeys = sortScheme.map(ss => ss.keys.map(k =>
+        Seq(k.field, k.ascending.toString, k.nullsFirst.toString, k.transform.name)))
+        .getOrElse(m.sortKeys))
+    inTxn(txn, s"alter $t")(tx => stageTableMeta(tx, t, updated))
+  }
+
+  // ------------------------------------------------------------ write path
+  /**
+   * Write a DataFrame to a table — reference write_to_table
+   * (catalog/main/impl.py:226-650). Returns the committed stream position.
+   */
+  def writeToTable(
+      df: DataFrame,
+      table: String,
+      mode: WriteMode = WriteMode.Auto,
+      txn: Option[Transaction] = None): Long = {
+    val t = TableHandle.parse(table)
+    // Read-your-writes: a table created earlier in the same open transaction
+    // is visible to later writes in it (reference transaction.py:85-115).
+    def metaInTx: Option[TableMeta] = currentMeta(t, None, txn).filter(!_.dropped)
+    def schemaInTx: StructType =
+      DataType.fromJson(metaInTx.getOrElse(throw new TableNotFound(table)).schemaJson)
+        .asInstanceOf[StructType]
+    val exists = metaInTx.isDefined
+    val resolved: WriteMode = mode match {
+      case WriteMode.Auto =>
+        if (!exists) WriteMode.Create
+        else if (FieldMeta.mergeKeys(schemaInTx).nonEmpty) WriteMode.Merge
+        else WriteMode.Add
+      case m => m
+    }
+    resolved match {
+      case WriteMode.Create =>
+        if (exists) throw new TableAlreadyExists(table)
+        createTable(table, df.schema, txn = txn)
+        commitWrite(df, t, DeltaType.Add, replace = false, txn)
+      case WriteMode.Replace =>
+        if (!exists) createTable(table, df.schema, txn = txn)
+        commitWrite(df, t, DeltaType.Add, replace = true, txn)
+      case WriteMode.Add =>
+        requireTable(exists, table); commitWrite(df, t, DeltaType.Add, replace = false, txn)
+      case WriteMode.Append =>
+        requireTable(exists, table)
+        // APPEND forbids merge keys (reference impl.py:555-576)
+        require(FieldMeta.mergeKeys(schemaInTx).isEmpty,
+          s"APPEND write not allowed on table with merge keys: $table")
+        commitWrite(df, t, DeltaType.Append, replace = false, txn)
+      case WriteMode.Chrono =>
+        requireTable(exists, table); commitWrite(df, t, DeltaType.Chrono, replace = false, txn)
+      case WriteMode.Merge =>
+        requireTable(exists, table)
+        require(FieldMeta.mergeKeys(schemaInTx).nonEmpty,
+          s"MERGE write requires merge keys on $table")
+        commitWrite(df, t, DeltaType.Upsert, replace = false, txn)
+      case WriteMode.Delete =>
+        requireTable(exists, table)
+        require(FieldMeta.mergeKeys(schemaInTx).nonEmpty,
+          s"DELETE write requires merge keys on $table")
+        commitWrite(df, t, DeltaType.Delete, replace = false, txn)
+      case other => throw new IllegalArgumentException(s"unsupported mode $other")
+    }
+  }
+
+  private def requireTable(exists: Boolean, table: String): Unit =
+    if (!exists) throw new TableNotFound(table)
+
+  private def commitWrite(
+      dfIn: DataFrame, t: TableHandle, deltaType: DeltaType,
+      replace: Boolean, txn: Option[Transaction]): Long = {
+    val meta = currentMeta(t, None, txn).filter(!_.dropped)
+      .getOrElse(throw new TableNotFound(t.toString))
+    val cur = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val mergeKeys = FieldMeta.mergeKeys(cur)
+
+    // Schema evolution (AUTO): unify incoming schema into the table schema via
+    // the promotion lattice (reference schema.py:671-804). DELETE deltas carry
+    // key columns only and never evolve the schema.
+    val evoMode = SchemaEvolutionMode.fromName(
+      meta.properties.getOrElse("schema_evolution", "AUTO"))
+    val (targetSchema, evolved) =
+      if (deltaType == DeltaType.Delete) (cur, false)
+      else {
+        val unified = TypePromotion.unify(cur, dfIn.schema)
+        if (unified == cur) (cur, false)
+        else evoMode match {
+          case SchemaEvolutionMode.Auto => (unified, true)
+          case _ =>
+            // MANUAL/DISABLED: incoming must already fit the table schema
+            val incompatible = dfIn.schema.fields.exists { f =>
+              cur.fields.find(_.name == f.name).forall(_.dataType != f.dataType)
+            }
+            if (incompatible) throw new IllegalArgumentException(
+              s"schema evolution disabled for $t; incompatible write schema")
+            (cur, false)
+        }
+      }
+
+    if (deltaType == DeltaType.Delete) {
+      val missing = mergeKeys.filterNot(dfIn.columns.contains)
+      require(missing.isEmpty, s"DELETE delta missing merge key columns $missing")
+    }
+
+    // Coerce incoming columns to the target schema types (only columns the
+    // incoming frame actually has — absent columns stay absent; readers
+    // backfill nulls/defaults from the latest schema).
+    val present = dfIn.columns.toSet
+    val coerced = dfIn.select(targetSchema.fields.filter(f => present(f.name)).map { f =>
+      col(f.name).cast(f.dataType).as(f.name, f.metadata)
+    }.toIndexedSeq: _*)
+
+    inTxnRet(txn, s"write $deltaType to $t") { tx =>
+      if (evolved) stageTableMeta(tx, t, meta.copy(schemaJson = targetSchema.json))
+      val dir = deltaDir(t)
+      val rev = store.nextRevision(dir, Some(tx))
+      // Stream positions: rev is the total commit order. CHRONO semantics
+      // (event wall-clock) are preserved in a delta property; merge ordering
+      // uses the totally-ordered rev (deviation from the reference's
+      // UUID63/epoch-ms encodings, which only need *a* total order).
+      val pos = rev
+      val scheme = partitionSchemeOf(meta)
+      val out = dataDir(t).resolve(f"d$rev%06d").toString
+      val obs = Observation(s"write-${t.name}-$rev")
+      val withPart = addDerivedPartitionColumns(coerced, scheme)
+      val writer = withPart.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+      val partCols = scheme.keys.map(_.partitionColumnName).filter(withPart.columns.contains)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(out)
+      val n = obs.get("n").asInstanceOf[Long]
+      val entries = listParquet(Paths.get(out)).map(p =>
+        ManifestEntry(p.toString, Files.size(p), -1L))
+      val props = Map("written_columns" -> dfIn.columns.mkString(",")) ++
+        (if (replace) Map("replace" -> "true") else Map.empty) ++
+        (if (deltaType == DeltaType.Chrono) Map("chrono_millis" -> System.currentTimeMillis.toString) else Map.empty) ++
+        Map("record_count" -> n.toString)
+      val d = DeltaMeta(pos, deltaType.name, entries, tx.txnId, -1L, props)
+      tx.stage(dir, rev, "delta", Json.write(d), s"CREATE delta/$t/$rev")
+      pos
+    }
+  }
+
+  // ------------------------------------------------------------- read path
+  def readTable(table: String, opts: ReadOptions = ReadOptions()): DataFrame = {
+    val t = TableHandle.parse(table)
+    val meta = currentMeta(t, opts.asOf, None).filter(!_.dropped)
+      .getOrElse(throw new TableNotFound(table))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val mergeKeys = FieldMeta.mergeKeys(schema)
+    val scheme = partitionSchemeOf(meta)
+    val deltas = effectiveDeltas(t, opts.asOf)
+
+    val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts, dataDir(t).toString)
+    val projected = opts.columns match {
+      case Some(cols) => df.select(cols.map(col): _*)
+      case None => df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    opts.partitionFilter match {
+      case Some(p) => projected.where(p)
+      case None => projected
+    }
+  }
+
+  /** Schemaless read: the manifest as a table (path, size, records, delta
+    * type, stream position) — reference catalog/main/impl.py:1408-1439. */
+  def manifestTable(table: String, asOf: Option[Long] = None): DataFrame = {
+    val t = TableHandle.parse(table)
+    val rows = effectiveDeltas(t, asOf).flatMap { d =>
+      d.entries.map(e => (e.path, e.sizeBytes, d.properties.getOrElse("record_count", "-1").toLong,
+        d.deltaType, d.streamPosition))
+    }
+    import spark.implicits._
+    rows.toDF("path", "size_bytes", "delta_record_count", "delta_type", "stream_position")
+  }
+
+  /** Read the data files listed in a manifest table — from_manifest_table. */
+  def fromManifestTable(manifest: DataFrame): DataFrame = {
+    val paths = manifest.select("path").collect().map(_.getString(0))
+    spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Transaction history as a DataFrame — `DESCRIBE HISTORY` analog. */
+  def historyDF(): DataFrame = {
+    import spark.implicits._
+    store.history().map(r => (r.txnId, r.startTimeMillis, r.endTimeMillis, r.commitMessage,
+      r.operations.mkString(";"))).toDF(
+      "txn_id", "start_time", "end_time", "commit_message", "operations")
+  }
+
+  def transaction(commitMessage: String = ""): Transaction = store.newTransaction(commitMessage)
+
+  // ------------------------------------------------------------ compaction
+  /** Eagerly resolve upserts/deletes into a read-optimized snapshot. */
+  def compact(table: String, numBuckets: Int = 8): Unit =
+    Compactor.compact(this, table, numBuckets)
+
+  /** Reference write-triggered auto-compaction (impl.py:985-1091): compact
+    * when pending deltas/files/records exceed the table's thresholds. */
+  def maybeAutoCompact(table: String): Boolean = {
+    val t = TableHandle.parse(table)
+    val meta = getTableMeta(table)
+    val all = effectiveDeltas(t, None)
+    val compactedUpTo = all.filter(_.compactedUpTo >= 0).map(_.compactedUpTo).foldLeft(-1L)(math.max)
+    val pending = all.filter(d => d.compactedUpTo < 0 && d.streamPosition > compactedUpTo)
+    val p = meta.properties
+    val maxDeltas = p.getOrElse("compaction.trigger.deltas", "100").toInt
+    val maxFiles = p.getOrElse("compaction.trigger.files", "1000").toInt
+    val maxRecords = p.getOrElse("compaction.trigger.records", s"${64L * 1024 * 1024}").toLong
+    val hasMerges = pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
+    val levelMax = p.getOrElse("read_optimization", "MAX") == "MAX"
+    val trigger = (levelMax && hasMerges) ||
+      pending.size >= maxDeltas ||
+      pending.map(_.entries.size).sum >= maxFiles ||
+      pending.map(d => d.properties.getOrElse("record_count", "0").toLong).sum >= maxRecords
+    if (trigger && pending.nonEmpty) { compact(table); true } else false
+  }
+
+  // -------------------------------------------------------------- internals
+  private[catalog] def partitionSchemeOf(meta: TableMeta): PartitionScheme =
+    PartitionScheme(meta.partitionKeys.map(pk => PartitionKey(pk(0), Transform.fromName(pk(1)))))
+
+  private[catalog] def sortSchemeOf(meta: TableMeta): SortScheme =
+    SortScheme(meta.sortKeys.map(sk =>
+      SortKey(sk(0), sk(1).toBoolean, sk(2).toBoolean, Transform.fromName(sk(3)))))
+
+  private def toMeta(t: TableHandle, schema: StructType, ps: PartitionScheme,
+      ss: SortScheme, props: Map[String, String]): TableMeta =
+    TableMeta(t.namespace, t.name, schema.json,
+      ps.keys.map(k => Seq(k.field, k.transform.name)),
+      ss.keys.map(k => Seq(k.field, k.ascending.toString, k.nullsFirst.toString, k.transform.name)),
+      props, dropped = false)
+
+  private def stageTableMeta(tx: Transaction, t: TableHandle, m: TableMeta): Unit = {
+    val dir = metaDir(t)
+    tx.stage(dir, store.nextRevision(dir, Some(tx)), "meta", Json.write(m), s"UPDATE table/$t")
+  }
+
+  private def currentMeta(t: TableHandle, asOf: Option[Long], within: Option[Transaction]): Option[TableMeta] =
+    store.latestVisible(metaDir(t), asOf, within).map(c => Json.read(c._2, classOf[TableMeta]))
+
+  private[catalog] def visibleDeltas(t: TableHandle, asOf: Option[Long],
+      within: Option[Transaction]): Seq[(Long, DeltaMeta)] =
+    store.allVisible(deltaDir(t), asOf, within).map { case (rev, c) =>
+      (rev, Json.read(c, classOf[DeltaMeta]))
+    }
+
+  /** Visible deltas after the last REPLACE marker, ascending stream position. */
+  private[catalog] def effectiveDeltas(t: TableHandle, asOf: Option[Long]): Seq[DeltaMeta] = {
+    val all = visibleDeltas(t, asOf, None).map(_._2)
+    val lastReplace = all.zipWithIndex
+      .filter(_._1.properties.get("replace").contains("true")).map(_._2).lastOption
+    lastReplace match {
+      case Some(i) => all.drop(i)
+      case None => all
+    }
+  }
+
+  private[catalog] def addDerivedPartitionColumns(df: DataFrame, scheme: PartitionScheme): DataFrame =
+    scheme.keys.foldLeft(df) { (d, k) =>
+      if (!df.columns.contains(k.field)) d
+      else d.withColumn(k.partitionColumnName, k.column(col(k.field)))
+    }
+
+  private[catalog] def listParquet(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList.sortBy(_.toString)
+    finally s.close()
+  }
+
+  private[catalog] def dataDirOf(t: TableHandle): Path = dataDir(t)
+  private[catalog] def deltaDirOf(t: TableHandle): Path = deltaDir(t)
+
+  private def inTxn(txn: Option[Transaction], msg: String)(body: Transaction => Unit): Unit = {
+    inTxnRet(txn, msg) { t => body(t); () }
+  }
+
+  private def inTxnRet[A](txn: Option[Transaction], msg: String)(body: Transaction => A): A =
+    txn match {
+      case Some(t) => body(t)
+      case None =>
+        val t = store.newTransaction(msg)
+        try { val r = body(t); t.seal(); r }
+        catch { case e: Throwable => if (!t.isSealed) t.abort(); throw e }
+    }
+}
+
+/** Hidden column names used by the merge machinery. */
+object Hidden {
+  val Pos = "_g_pos"        // stream position (long)
+  val Dt = "_g_dt"          // delta type (string)
+  val File = "_g_file"      // source file path (for intra-delta ordering)
+  val Row = "_g_row"        // row index within file
+  val Present = "_g_present" // columns physically present in this delta
+  val Bucket = "_g_bucket"  // compaction hash bucket (also physical layout)
+  val all = Seq(Pos, Dt, File, Row, Present, Bucket)
+}

@@ -1,0 +1,267 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Core data model for the Graft lakehouse engine: delta types, write modes,
+ * partition transforms, sort/partition schemes, and field-level metadata.
+ *
+ * Semantics derived from the reference (ray-project/deltacat):
+ *  - DeltaType: storage/model/types.py:41-46
+ *  - Transform: storage/model/transform.py:11-343 (Iceberg-compatible set)
+ *  - SortScheme: storage/model/sort_key.py:19-114
+ *  - PartitionScheme: storage/model/partition.py:489-680
+ *  - Field metadata (merge keys, merge order, event time, defaults):
+ *    storage/model/schema.py:244-357
+ * Re-expressed Spark-first: transforms compile to Catalyst `Column`
+ * expressions so partition pruning / codegen apply natively.
+ */
+
+/** One commit's delta type — reference storage/model/types.py:41-46. */
+sealed trait DeltaType { def name: String }
+object DeltaType {
+  /** Unordered append; stream position is a synthetic UUID-derived long. */
+  case object Add extends DeltaType { val name = "ADD" }
+  /** Strictly ordered append: position = prev + 1. */
+  case object Append extends DeltaType { val name = "APPEND" }
+  /** Event-wall-clock ordered append: position = epoch millis. */
+  case object Chrono extends DeltaType { val name = "CHRONO" }
+  /** Merge-by-key update-or-insert. */
+  case object Upsert extends DeltaType { val name = "UPSERT" }
+  /** Merge-by-key delete. */
+  case object Delete extends DeltaType { val name = "DELETE" }
+
+  val all: Seq[DeltaType] = Seq(Add, Append, Chrono, Upsert, Delete)
+  def fromName(n: String): DeltaType =
+    all.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"unknown DeltaType $n"))
+}
+
+/** Table write modes — reference catalog/interface.py:47-83 (write_to_table). */
+sealed trait WriteMode { def name: String }
+object WriteMode {
+  case object Auto extends WriteMode { val name = "AUTO" }
+  case object Create extends WriteMode { val name = "CREATE" }
+  case object Add extends WriteMode { val name = "ADD" }
+  case object Append extends WriteMode { val name = "APPEND" }
+  case object Chrono extends WriteMode { val name = "CHRONO" }
+  case object Replace extends WriteMode { val name = "REPLACE" }
+  case object Merge extends WriteMode { val name = "MERGE" }
+  case object Delete extends WriteMode { val name = "DELETE" }
+  val all: Seq[WriteMode] = Seq(Auto, Create, Add, Append, Chrono, Replace, Merge, Delete)
+  def fromName(n: String): WriteMode =
+    all.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"unknown WriteMode $n"))
+}
+
+/** Per-table schema evolution policy — reference types/tables.py:574-587. */
+sealed trait SchemaEvolutionMode { def name: String }
+object SchemaEvolutionMode {
+  case object Auto extends SchemaEvolutionMode { val name = "AUTO" }
+  case object Manual extends SchemaEvolutionMode { val name = "MANUAL" }
+  case object Disabled extends SchemaEvolutionMode { val name = "DISABLED" }
+  val all: Seq[SchemaEvolutionMode] = Seq(Auto, Manual, Disabled)
+  def fromName(n: String): SchemaEvolutionMode =
+    all.find(_.name == n).getOrElse(Auto)
+}
+
+/** Read-time optimization: MAX = read-optimized (compact eagerly), else merge-on-read.
+  * Reference types/tables.py:627-651. */
+sealed trait ReadOptimizationLevel
+object ReadOptimizationLevel {
+  case object Max extends ReadOptimizationLevel
+  case object MergeOnRead extends ReadOptimizationLevel
+}
+
+/**
+ * Partition transforms — Iceberg-compatible set, reference
+ * storage/model/transform.py:11-343. Each compiles to a Catalyst Column so
+ * Spark's partition pruning and codegen apply with no custom Expression.
+ */
+sealed trait Transform {
+  def name: String
+  /** Compile to a Spark column over the source column. */
+  def apply(c: Column): Column
+}
+object Transform {
+  case object Identity extends Transform {
+    val name = "identity"
+    def apply(c: Column): Column = c
+  }
+  /** Hash-bucketing; Spark murmur3 `hash` + pmod. Nulls land in bucket 0
+    * (reference primary_key_index.py:375-381 sends nulls to bucket 0). */
+  final case class Bucket(n: Int) extends Transform {
+    val name = s"bucket[$n]"
+    def apply(c: Column): Column =
+      when(c.isNull, lit(0)).otherwise(pmod(hash(c), lit(n)))
+  }
+  /** Truncate: string-prefix truncation of the cast value (Iceberg-style). */
+  final case class Truncate(width: Int) extends Transform {
+    val name = s"truncate[$width]"
+    def apply(c: Column): Column = substring(c.cast(StringType), 1, width)
+  }
+  case object Year extends Transform {
+    val name = "year"; def apply(c: Column): Column = year(c)
+  }
+  case object Month extends Transform {
+    val name = "month"; def apply(c: Column): Column = month(c)
+  }
+  case object Day extends Transform {
+    val name = "day"; def apply(c: Column): Column = dayofmonth(c)
+  }
+  case object Hour extends Transform {
+    val name = "hour"; def apply(c: Column): Column = hour(c)
+  }
+  case object Void extends Transform {
+    val name = "void"; def apply(c: Column): Column = lit(null)
+  }
+
+  def fromName(n: String): Transform = n match {
+    case "identity" => Identity
+    case "year" => Year
+    case "month" => Month
+    case "day" => Day
+    case "hour" => Hour
+    case "void" => Void
+    case b if b.startsWith("bucket[") => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
+    case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
+    case other => throw new IllegalArgumentException(s"unknown transform $other")
+  }
+}
+
+/** A partition key: source field + transform — reference partition.py:489-680. */
+final case class PartitionKey(field: String, transform: Transform = Transform.Identity) {
+  /** Name of the derived partition column in the physical layout. The source
+    * column always stays in the data files; the derived copy is what
+    * `partitionBy` consumes (and drops), so explicit-file-list reads never
+    * lose a column to directory encoding. */
+  def partitionColumnName: String =
+    s"_g_p_${field}_${transform.name.replaceAll("[^A-Za-z0-9_]", "_")}"
+  def column(src: Column): Column = transform(src)
+}
+
+final case class PartitionScheme(keys: Seq[PartitionKey]) {
+  def isEmpty: Boolean = keys.isEmpty
+}
+object PartitionScheme { val unpartitioned: PartitionScheme = PartitionScheme(Nil) }
+
+/** Sort key with null ordering — reference sort_key.py:19-114. */
+final case class SortKey(
+    field: String,
+    ascending: Boolean = true,
+    nullsFirst: Boolean = false,
+    transform: Transform = Transform.Identity) {
+  def toColumn: Column = {
+    val c = transform(col(field))
+    (ascending, nullsFirst) match {
+      case (true, true)   => c.asc_nulls_first
+      case (true, false)  => c.asc_nulls_last
+      case (false, true)  => c.desc_nulls_first
+      case (false, false) => c.desc_nulls_last
+    }
+  }
+}
+
+final case class SortScheme(keys: Seq[SortKey]) { def isEmpty: Boolean = keys.isEmpty }
+object SortScheme { val unsorted: SortScheme = SortScheme(Nil) }
+
+/**
+ * Field-level metadata carried in Spark StructField.metadata — the analog of
+ * the reference's Arrow-field metadata (schema.py:244-357).
+ */
+object FieldMeta {
+  val FieldId = "graft.field_id"
+  val MergeKey = "graft.is_merge_key"
+  val MergeOrder = "graft.merge_order"  // "ASC"|"DESC"
+  val EventTime = "graft.is_event_time"
+  val PastDefault = "graft.past_default"    // backfill default for old rows
+  val FutureDefault = "graft.future_default"
+
+  def field(
+      name: String,
+      dt: DataType,
+      nullable: Boolean = true,
+      fieldId: Option[Int] = None,
+      mergeKey: Boolean = false,
+      eventTime: Boolean = false,
+      pastDefault: Option[String] = None): StructField = {
+    val b = new MetadataBuilder()
+    fieldId.foreach(id => b.putLong(FieldId, id.toLong))
+    if (mergeKey) b.putBoolean(MergeKey, true)
+    if (eventTime) b.putBoolean(EventTime, true)
+    pastDefault.foreach(d => b.putString(PastDefault, d))
+    StructField(name, dt, nullable, b.build())
+  }
+
+  def isMergeKey(f: StructField): Boolean =
+    f.metadata.contains(MergeKey) && f.metadata.getBoolean(MergeKey)
+  def isEventTime(f: StructField): Boolean =
+    f.metadata.contains(EventTime) && f.metadata.getBoolean(EventTime)
+  def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldId)) Some(f.metadata.getLong(FieldId)) else None
+  def pastDefault(f: StructField): Option[String] =
+    if (f.metadata.contains(PastDefault)) Some(f.metadata.getString(PastDefault)) else None
+
+  def mergeKeys(s: StructType): Seq[String] = s.fields.filter(isMergeKey).map(_.name).toSeq
+  def eventTimeFields(s: StructType): Seq[String] = s.fields.filter(isEventTime).map(_.name).toSeq
+
+  /** Merge keys must be non-float primitives — reference schema.py:468-494. */
+  def validateMergeKey(f: StructField): Unit = f.dataType match {
+    case FloatType | DoubleType =>
+      throw new IllegalArgumentException(s"merge key ${f.name} cannot be a floating-point type")
+    case _: ArrayType | _: MapType | _: StructType =>
+      throw new IllegalArgumentException(s"merge key ${f.name} cannot be a nested type")
+    case _ => ()
+  }
+}
+
+/**
+ * Type promotion lattice for AUTO schema evolution — explicit Spark analog of
+ * Arrow's `unify_schemas(promote_options="permissive")` (reference
+ * schema.py:671-804). `promote(a,b)` returns the widened type both can cast to
+ * losslessly, or None if incompatible.
+ */
+object TypePromotion {
+  private val intOrder: Map[DataType, Int] =
+    Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+
+  def promote(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case (x, y) if x == y => Some(x)
+    case (x, y) if intOrder.contains(x) && intOrder.contains(y) =>
+      Some(if (intOrder(x) >= intOrder(y)) x else y)
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case (x, FloatType) if intOrder.contains(x) => Some(DoubleType)
+    case (FloatType, y) if intOrder.contains(y) => Some(DoubleType)
+    case (x, DoubleType) if intOrder.contains(x) => Some(DoubleType)
+    case (DoubleType, y) if intOrder.contains(y) => Some(DoubleType)
+    case (x: DecimalType, y: DecimalType) =>
+      val scale = math.max(x.scale, y.scale)
+      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+      val p = math.min(DecimalType.MAX_PRECISION, intDigits + scale)
+      Some(DecimalType(p, scale))
+    case (DateType, TimestampType) | (TimestampType, DateType) => Some(TimestampType)
+    case (StringType, _) | (_, StringType) => Some(StringType)
+    case (ArrayType(x, n1), ArrayType(y, n2)) =>
+      promote(x, y).map(e => ArrayType(e, n1 || n2))
+    case _ => None
+  }
+
+  /** Unify a target (table) schema with an incoming write schema.
+    * New fields are appended; existing fields widen per the lattice. */
+  def unify(table: StructType, incoming: StructType): StructType = {
+    val tableNames = table.fieldNames.toSet
+    val widened = table.fields.map { tf =>
+      incoming.fields.find(_.name == tf.name) match {
+        case Some(inf) =>
+          val dt = promote(tf.dataType, inf.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"incompatible schema change for ${tf.name}: ${tf.dataType} vs ${inf.dataType}"))
+          tf.copy(dataType = dt, nullable = tf.nullable || inf.nullable)
+        case None => tf
+      }
+    }
+    val added = incoming.fields.filterNot(f => tableNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(widened ++ added)
+  }
+}

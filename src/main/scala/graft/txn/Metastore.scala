@@ -1,0 +1,266 @@
+package graft.txn
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import graft.model.DeltaType
+
+/**
+ * Filesystem metafile store + MVCC transactions + time travel.
+ *
+ * Design follows the reference's transaction layer re-expressed minimally:
+ *  - metafile revisions are immutable JSON files named
+ *    `<%020d rev>_<txnId>.json` (reference metafile.py:53-188
+ *    MetafileRevisionInfo); a metafile's current state = highest revision
+ *    whose transaction is visible.
+ *  - transactions stage revisions freely, then `seal()` atomically publishes
+ *    them by moving the txn record from `txn/running/` to `txn/success/`
+ *    (reference transaction.py:1335-1674). Readers only honor revisions whose
+ *    txn id appears in `txn/success/` — so a multi-table commit is atomic at
+ *    the *catalog* level, which Delta/Iceberg per-table logs cannot do.
+ *  - optimistic concurrency: at seal, if any staged revision number was also
+ *    committed by a different successful txn, this txn aborts
+ *    (reference metafile.py:271-368 check_for_concurrent_txn_conflict).
+ *  - time travel: every success record carries `endTimeMillis`; an `asOf`
+ *    read only honors txns with endTime <= asOf (transaction.py:727-766).
+ *
+ * All driver-side, O(metadata) — data files are written by Spark executors.
+ */
+object Json {
+  val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def write(v: Any): String = mapper.writeValueAsString(v)
+  def read[T](s: String, cls: Class[T]): T = mapper.readValue(s, cls)
+}
+
+/** A single committed transaction record. */
+final case class TxnRecord(
+    txnId: String,
+    startTimeMillis: Long,
+    endTimeMillis: Long,
+    commitMessage: String,
+    operations: Seq[String]) {
+  def this() = this("", 0L, 0L, "", Nil) // jackson
+}
+
+/** One file in a delta manifest — reference storage/model/manifest.py:406. */
+final case class ManifestEntry(path: String, sizeBytes: Long, recordCount: Long) {
+  def this() = this("", 0L, 0L)
+}
+
+/** A committed delta (one write) — reference storage/model/delta.py:43. */
+final case class DeltaMeta(
+    streamPosition: Long,
+    deltaType: String,
+    entries: Seq[ManifestEntry],
+    txnId: String,
+    // For COMPACTED deltas: highest stream position folded into this delta.
+    compactedUpTo: Long,
+    properties: Map[String, String]) {
+  def this() = this(0L, "", Nil, "", -1L, Map.empty)
+  def typed: DeltaType = DeltaType.fromName(deltaType)
+  def totalRecords: Long = entries.map(_.recordCount).sum
+  def totalBytes: Long = entries.map(_.sizeBytes).sum
+}
+
+/** Table-version metadata revision — schema + schemes + properties. */
+final case class TableMeta(
+    namespace: String,
+    table: String,
+    schemaJson: String,
+    partitionKeys: Seq[Seq[String]],   // (field, transformName) pairs
+    sortKeys: Seq[Seq[String]],        // (field, asc, nullsFirst, transformName)
+    properties: Map[String, String],
+    dropped: Boolean) {
+  def this() = this("", "", "", Nil, Nil, Map.empty, false)
+}
+
+class ConcurrentTxnConflict(msg: String) extends RuntimeException(msg)
+
+/** Handle to one staged revision write (published at seal time). */
+private[txn] final case class StagedWrite(dir: Path, rev: Long, fileName: String, content: String)
+
+/**
+ * A catalog-level transaction. Stage metafile revisions via the metastore,
+ * then `seal()` (atomic publish) or `abort()`.
+ */
+final class Transaction private[txn] (val store: Metastore, val txnId: String,
+    val startTimeMillis: Long, commitMessage: String) {
+  private[txn] val staged = scala.collection.mutable.ArrayBuffer[StagedWrite]()
+  private[txn] val ops = scala.collection.mutable.ArrayBuffer[String]()
+  @volatile private var sealed_ = false
+
+  def isSealed: Boolean = sealed_
+
+  def stage(dir: Path, rev: Long, suffix: String, content: String, op: String): Unit = {
+    require(!sealed_, s"txn $txnId already sealed")
+    Files.createDirectories(dir)
+    val name = f"$rev%020d__${txnId}__$suffix.json"
+    // Write immediately (uncommitted revisions are invisible to other txns
+    // because txnId is not yet in txn/success) → read-your-writes works.
+    Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    staged += StagedWrite(dir, rev, name, content)
+    ops += op
+  }
+
+  /** Atomic publish: conflict-check staged revisions, then move the txn
+    * record into txn/success. */
+  def seal(): Unit = {
+    require(!sealed_, s"txn $txnId already sealed")
+    // Optimistic conflict check: another *successful* txn committed the same
+    // revision of the same metafile → we lose and abort.
+    staged.foreach { sw =>
+      val clash = store.listRevisionFiles(sw.dir).exists { f =>
+        val (rev, tid) = Metastore.parseRevisionName(f.getFileName.toString)
+        rev == sw.rev && tid != txnId && store.isTxnSuccessful(tid)
+      }
+      if (clash) {
+        abort()
+        throw new ConcurrentTxnConflict(
+          s"txn $txnId lost conflict on ${sw.dir}/rev ${sw.rev}")
+      }
+    }
+    val end = store.nextTimestamp()
+    val rec = TxnRecord(txnId, startTimeMillis, end, commitMessage, ops.toSeq)
+    val tmp = store.runningDir.resolve(s"$txnId.json")
+    Files.write(tmp, Json.write(rec).getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(store.successDir)
+    Files.move(tmp, store.successDir.resolve(s"$txnId.json"), StandardCopyOption.ATOMIC_MOVE)
+    sealed_ = true
+    store.invalidateTxnCache()
+  }
+
+  def abort(): Unit = {
+    staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+    val tmp = store.runningDir.resolve(s"$txnId.json")
+    if (Files.exists(tmp)) {
+      Files.createDirectories(store.failedDir)
+      Files.move(tmp, store.failedDir.resolve(s"$txnId.json"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    sealed_ = true
+  }
+}
+
+object Metastore {
+  private[txn] def parseRevisionName(name: String): (Long, String) = {
+    val base = name.stripSuffix(".json")
+    val parts = base.split("__", 3)
+    (parts(0).toLong, parts(1))
+  }
+}
+
+final class Metastore(val root: Path) {
+  import Metastore._
+
+  val txnDir: Path = root.resolve("txn")
+  val runningDir: Path = txnDir.resolve("running")
+  val successDir: Path = txnDir.resolve("success")
+  val failedDir: Path = txnDir.resolve("failed")
+  Files.createDirectories(runningDir)
+  Files.createDirectories(successDir)
+  Files.createDirectories(failedDir)
+
+  // Monotonic timestamp source: guarantees distinct, ordered commit times even
+  // for commits within the same millisecond (matters for time travel tests).
+  private val lastTs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[txn] def nextTimestamp(): Long = {
+    var t = System.currentTimeMillis()
+    var prev = lastTs.get()
+    while (t <= prev) { t = prev + 1; prev = lastTs.get() }
+    lastTs.compareAndSet(prev, t)
+    t
+  }
+
+  // ---- txn visibility ------------------------------------------------------
+  @volatile private var txnCache: Map[String, TxnRecord] = Map.empty
+  @volatile private var txnCacheStamp: Long = -1L
+  private[txn] def invalidateTxnCache(): Unit = txnCacheStamp = -1L
+
+  def successfulTxns(): Map[String, TxnRecord] = {
+    val stamp = Files.getLastModifiedTime(successDir).toMillis
+    if (stamp != txnCacheStamp) {
+      val m = listFiles(successDir).map { p =>
+        val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
+        rec.txnId -> rec
+      }.toMap
+      txnCache = m
+      txnCacheStamp = stamp
+    }
+    txnCache
+  }
+
+  def isTxnSuccessful(txnId: String): Boolean = successfulTxns().contains(txnId)
+
+  /** Is `txnId` visible to a reader at time `asOf` (None = latest)? Reads
+    * inside `within` see their own uncommitted writes (snapshot isolation
+    * read-your-writes — reference transaction.py:85-115). */
+  def isVisible(txnId: String, asOf: Option[Long], within: Option[Transaction]): Boolean =
+    within.exists(t => t.txnId == txnId && !t.isSealed) ||
+      successfulTxns().get(txnId).exists(rec => asOf.forall(rec.endTimeMillis <= _))
+
+  def newTransaction(commitMessage: String = ""): Transaction = {
+    val id = f"${nextTimestamp()}%020d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val txn = new Transaction(this, id, System.currentTimeMillis(), commitMessage)
+    Files.write(runningDir.resolve(s"$id.json"),
+      Json.write(TxnRecord(id, txn.startTimeMillis, -1L, commitMessage, Nil))
+        .getBytes(StandardCharsets.UTF_8))
+    txn
+  }
+
+  /** Transaction history as records, newest first — `dc.transactions()`. */
+  def history(): Seq[TxnRecord] =
+    successfulTxns().values.toSeq.sortBy(-_.endTimeMillis)
+
+  // ---- generic revision store ---------------------------------------------
+  private[txn] def listRevisionFiles(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Nil else listFiles(dir)
+
+  private def listFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(p => p.toString.endsWith(".json")).toList
+    finally s.close()
+  }
+
+  /** Latest visible revision content in `dir`, with its revision number. */
+  def latestVisible(dir: Path, asOf: Option[Long], within: Option[Transaction]): Option[(Long, String)] = {
+    val candidates = listRevisionFiles(dir).flatMap { p =>
+      val (rev, tid) = parseRevisionName(p.getFileName.toString)
+      if (isVisible(tid, asOf, within)) Some((rev, p)) else None
+    }
+    if (candidates.isEmpty) None
+    else {
+      val (rev, p) = candidates.maxBy(_._1)
+      Some((rev, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    }
+  }
+
+  /** All visible revision contents in `dir` (e.g. all deltas), ascending by rev. */
+  def allVisible(dir: Path, asOf: Option[Long], within: Option[Transaction]): Seq[(Long, String)] =
+    listRevisionFiles(dir).flatMap { p =>
+      val (rev, tid) = parseRevisionName(p.getFileName.toString)
+      if (isVisible(tid, asOf, within))
+        Some((rev, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      else None
+    }.sortBy(_._1)
+
+  /** Next revision based on the *visible* snapshot (successful txns plus the
+    * caller's own staged writes). Counting uncommitted strangers' files would
+    * let two concurrent writers silently serialize into a lost update; basing
+    * on the snapshot makes them collide on the same revision so the seal-time
+    * conflict check can abort the loser. */
+  def nextRevision(dir: Path, within: Option[Transaction] = None): Long =
+    listRevisionFiles(dir).flatMap { p =>
+      val (rev, tid) = parseRevisionName(p.getFileName.toString)
+      if (isTxnSuccessful(tid) || within.exists(t => t.txnId == tid && !t.isSealed)) Some(rev)
+      else None
+    }.foldLeft(0L)(math.max) + 1L
+}
