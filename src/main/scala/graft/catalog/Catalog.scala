@@ -40,7 +40,9 @@ final case class ReadOptions(
     partitionValues: Option[Map[String, String]] = None,
     asOf: Option[Long] = None,
     mergeOnRead: Boolean = true,
-    withFilePath: Boolean = false)
+    withFilePath: Boolean = false,
+    /** Row-limit pushdown — reference Pushdown.limit (push_down.py:32). */
+    limit: Option[Int] = None)
 
 class TableAlreadyExists(t: String) extends RuntimeException(s"table $t already exists")
 class TableNotFound(t: String) extends RuntimeException(s"table $t not found")
@@ -206,7 +208,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         else WriteMode.Add
       case m => m
     }
-    resolved match {
+    val pos = resolved match {
       case WriteMode.Create =>
         if (exists) throw new TableAlreadyExists(table)
         createTable(table, df.schema, txn = txn)
@@ -236,6 +238,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         commitWrite(df, t, DeltaType.Delete, replace = false, txn)
       case other => throw new IllegalArgumentException(s"unsupported mode $other")
     }
+    // Write-triggered auto-compaction (reference impl.py:985-1091): only for
+    // standalone commits — inside a caller-managed txn the deltas aren't
+    // visible to the compactor yet.
+    if (txn.isEmpty) maybeAutoCompact(table)
+    pos
   }
 
   private def requireTable(exists: Boolean, table: String): Unit =
@@ -272,9 +279,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         }
       }
 
-    if (deltaType == DeltaType.Delete) {
+    if (deltaType == DeltaType.Delete || deltaType == DeltaType.Upsert) {
+      // An upsert omitting a key column would write null keys and silently
+      // corrupt merge grouping — reject like the DELETE path does.
       val missing = mergeKeys.filterNot(dfIn.columns.contains)
-      require(missing.isEmpty, s"DELETE delta missing merge key columns $missing")
+      require(missing.isEmpty, s"${deltaType.name} delta missing merge key columns $missing")
     }
 
     // Coerce incoming columns to the target schema types (only columns the
@@ -303,7 +312,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(out)
       val n = obs.get("n").asInstanceOf[Long]
       val entries = listParquet(Paths.get(out)).map(p =>
-        ManifestEntry(p.toString, Files.size(p), -1L))
+        ManifestEntry(p.toString, Files.size(p), parquetRowCount(p)))
       val props = Map("written_columns" -> dfIn.columns.mkString(",")) ++
         (if (replace) Map("replace" -> "true") else Map.empty) ++
         (if (deltaType == DeltaType.Chrono) Map("chrono_millis" -> System.currentTimeMillis.toString) else Map.empty) ++
@@ -325,13 +334,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val deltas = effectiveDeltas(t, opts.asOf)
 
     val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts, dataDir(t).toString)
+    val extra = if (opts.withFilePath) Seq("_file_path") else Nil
     val projected = opts.columns match {
-      case Some(cols) => df.select(cols.map(col): _*)
-      case None => df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      case Some(cols) => df.select((cols ++ extra).map(col): _*)
+      case None => df.select((schema.fieldNames.toSeq ++ extra).map(col): _*)
     }
-    opts.partitionFilter match {
+    val filtered = opts.partitionFilter match {
       case Some(p) => projected.where(p)
       case None => projected
+    }
+    opts.limit match {
+      case Some(n) => filtered.limit(n)
+      case None => filtered
     }
   }
 
@@ -432,8 +446,19 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   private[catalog] def addDerivedPartitionColumns(df: DataFrame, scheme: PartitionScheme): DataFrame =
     scheme.keys.foldLeft(df) { (d, k) =>
       if (!df.columns.contains(k.field)) d
-      else d.withColumn(k.partitionColumnName, k.column(col(k.field)))
+      else d.withColumn(k.partitionColumnName,
+        k.column(col(k.field), df.schema(k.field).dataType))
     }
+
+  /** Per-file row count from the parquet footer (driver-side, metadata-only)
+    * — feeds ManifestEntry.recordCount like the reference manifest
+    * (manifest.py:290). */
+  private[catalog] def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
 
   private[catalog] def listParquet(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil

@@ -73,25 +73,13 @@ object Compactor {
           val baseBucketed = base.exists(_.properties.get("num_buckets").contains(numBuckets.toString))
           val touched: Set[Int] =
             if (!baseBucketed) (0 until numBuckets).toSet
-            else {
-              val pendingPaths = pending.flatMap(_.entries).map(_.path)
-              spark.read.schema(StructType(schema.fields.filter(f => mergeKeys.contains(f.name))))
-                .parquet(pendingPaths: _*)
-                .select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSet
-            }
+            else MergeRead.touchedBuckets(spark, schema, mergeKeys, numBuckets,
+              pending.flatMap(_.entries).map(_.path))
 
-          def bucketOfPath(p: String): Option[Int] = {
-            val i = p.indexOf(s"$Bucket=")
-            if (i < 0) None
-            else {
-              val rest = p.substring(i + Bucket.length + 1)
-              val end = rest.indexOf('/')
-              scala.util.Try((if (end < 0) rest else rest.substring(0, end)).toInt).toOption
-            }
-          }
           val (untouchedEntries, baseToRead) = base.map { b =>
             if (!baseBucketed) (Seq.empty[ManifestEntry], b.entries)
-            else b.entries.partition(e => bucketOfPath(e.path).exists(bk => !touched.contains(bk)))
+            else b.entries.partition(e =>
+              MergeRead.bucketOfPath(e.path).exists(bk => !touched.contains(bk)))
           }.getOrElse((Nil, Nil))
 
           val toRead = base.map(b => Seq(b.copy(entries = baseToRead))).getOrElse(Nil) ++ pending
@@ -104,15 +92,29 @@ object Compactor {
 
           if (paths.nonEmpty) {
             val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths)
-            val resolved = MergeRead.resolve(scan, schema, scheme, mergeKeys, deltas, paths)
+            val active = MergeRead.referencedDeltas(deltas, paths)
+            // Backfill past_defaults into the materialized files: compacted
+            // files are stamped written_columns = full schema, so the read
+            // path no longer backfills for them — the values must be
+            // physically present or the table would read differently before
+            // vs after compaction.
+            val resolved = MergeRead.applyPastDefaults(
+              MergeRead.resolve(scan, schema, scheme, mergeKeys, active), schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             val bucketed = resolved.withColumn(Bucket, bucketExpr)
             val sortCols = col(Bucket) +: sortScheme.keys.map(_.toColumn)
             val partCols = cat.addDerivedPartitionColumns(bucketed, scheme)
             val partNames = scheme.keys.map(_.partitionColumnName)
               .filter(partCols.columns.contains)
+            // Decouple shuffle parallelism from the (small) bucket count: at
+            // 100 TB a numBuckets-way shuffle would put TBs in one task. The
+            // write's partitionBy(Bucket) keeps the physical bucket layout
+            // regardless of how many shuffle partitions feed it.
+            val parallelism = math.max(numBuckets, spark.sparkContext.defaultParallelism)
+            val slices = math.max(1, parallelism / numBuckets)
             partCols
-              .repartition(numBuckets, col(Bucket))
+              .repartition(parallelism, col(Bucket),
+                pmod(hash(mergeKeys.map(col): _*), lit(slices)))
               .sortWithinPartitions(sortCols: _*)
               .observe(obs, count(lit(1)).as("n"))
               .write.mode("overwrite")
@@ -124,9 +126,9 @@ object Compactor {
           }
 
           val newEntries = cat.listParquet(Paths.get(out)).map(p =>
-            ManifestEntry(p.toString, Files.size(p), -1L))
+            ManifestEntry(p.toString, Files.size(p), cat.parquetRowCount(p)))
           val written = if (paths.nonEmpty) obs.get("n").asInstanceOf[Long] else 0L
-          val untouchedRecords = 0L // per-entry counts folded into property below
+          val untouchedRecords = untouchedEntries.map(e => math.max(0L, e.recordCount)).sum
           DeltaMeta(rev, DeltaType.Add.name, untouchedEntries ++ newEntries, txn.txnId, maxPos,
             Map(
               "written_columns" -> schema.fieldNames.mkString(","),

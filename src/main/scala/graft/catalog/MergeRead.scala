@@ -25,15 +25,21 @@ import graft.txn.DeltaMeta
  *    for a key is a tombstone the key is gone; rows older than a tombstone
  *    never contribute (a running tombstone count masks them) — the v1 dedupe
  *    state machine without the driver-side loop.
+ *  - merge_order fields (schema.py:1018-1046 merge_order_sort_keys) override
+ *    pure commit order for winner selection among rows that survive
+ *    tombstones: ASC = smallest value wins, DESC = largest; with no explicit
+ *    merge_order an event-time field keeps the latest event.
  *  - partial upserts (deltas whose schema omits columns) fill omitted fields
- *    from the most recent unmasked row that physically carried the column
- *    (merge.py:256-308 `_merge_records_partially`), via
- *    first(when(present, struct(col)), ignoreNulls) over the full frame.
+ *    from the most recent surviving row that physically carried the column
+ *    (merge.py:256-308 `_merge_records_partially`) — resolved with a single
+ *    hash aggregate of per-column max_by over (pos, file, row), which reuses
+ *    the window's exchange (no second shuffle, no per-column window).
  *
- * Scale notes: all active files go into ONE parquet scan (stream position is
- * derived from the file path, delta type / column-presence via a broadcast
- * literal map) — so 1000 pending deltas still produce a single FileScan node
- * and a single shuffle for the window.
+ * Scale notes: all active files go into ONE parquet scan; per-row lineage
+ * (delta type, written columns) comes from a broadcast join against the
+ * O(#deltas) lineage DataFrame — never a Catalyst literal. When the base is
+ * bucketed, merge work is pruned to the buckets actually touched by pending
+ * deltas; untouched buckets stream through scan-only (no shuffle).
  */
 object MergeRead {
 
@@ -57,56 +63,125 @@ object MergeRead {
       opts: ReadOptions,
       dataDir: String): DataFrame = {
     val (base, pending) = activeDeltas(deltas)
-    val active = base.toSeq ++ pending
-    val entries = active.flatMap(_.entries).map(_.path)
-    val pruned = prunePaths(entries, scheme, opts)
-    if (pruned.isEmpty) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-
     val needMerge = opts.mergeOnRead && mergeKeys.nonEmpty &&
       pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
 
-    // Lineage must cover every delta whose directory appears among the read
-    // paths — copy-by-reference keeps files from *older* deltas alive inside
-    // newer manifests, so the full delta log is the safe lineage superset.
-    val scan = scanWithLineage(spark, schema, deltas, pruned)
-    val resolved =
-      if (!needMerge) scan.where(col(Dt) =!= DeltaType.Delete.name)
-      else resolve(scan, schema, scheme, mergeKeys, deltas, pruned)
+    val basePaths = prunePaths(base.toSeq.flatMap(_.entries).map(_.path), scheme, opts)
+    val pendingPaths = prunePaths(pending.flatMap(_.entries).map(_.path), scheme, opts)
+    if (basePaths.isEmpty && pendingPaths.isEmpty) return emptyFrame(spark, schema)
+
+    val numBuckets = base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
+    // Every branch normalizes to (schema columns, Present, File) so branches
+    // union cleanly and downstream default-backfill / file-path work.
+    val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
+
+    val resolved: DataFrame =
+      if (!needMerge) {
+        scanWithLineage(spark, schema, deltas, basePaths ++ pendingPaths)
+          .where(col(Dt) =!= DeltaType.Delete.name)
+          .select(normCols: _*)
+      } else numBuckets match {
+        case Some(n) if basePaths.nonEmpty =>
+          // Bucket-pruned merge: only base buckets touched by pending keys
+          // join the merge shuffle; untouched buckets are scan-only
+          // (reference copy-by-reference, merge.py:483-502, applied to the
+          // read path — a 1-row upsert shuffles 1/n of the base, not all).
+          val touched = touchedBuckets(spark, schema, mergeKeys, n, pendingPaths)
+          val (untouched, touchedBase) =
+            basePaths.partition(p => bucketOfPath(p).exists(b => !touched.contains(b)))
+          val merged = resolveScan(spark, schema, scheme, mergeKeys, deltas,
+            touchedBase ++ pendingPaths).select(normCols: _*)
+          if (untouched.isEmpty) merged
+          else scanWithLineage(spark, schema, deltas, untouched)
+            .select(normCols: _*)
+            .unionByName(merged)
+        case _ =>
+          resolveScan(spark, schema, scheme, mergeKeys, deltas,
+            basePaths ++ pendingPaths).select(normCols: _*)
+      }
     val out = applyPastDefaults(resolved, schema)
     if (opts.withFilePath) out.withColumn("_file_path", col(File)) else out
   }
 
-  /** Deltas whose physical directory (`d<rev>`) appears among `paths`. */
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame = {
+    val full = schema.add(Present, ArrayType(StringType)).add(File, StringType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+  }
+
+  private def resolveScan(
+      spark: SparkSession, schema: StructType, scheme: PartitionScheme,
+      mergeKeys: Seq[String], deltas: Seq[DeltaMeta], paths: Seq[String]): DataFrame =
+    resolve(scanWithLineage(spark, schema, deltas, paths),
+      schema, scheme, mergeKeys, referencedDeltas(deltas, paths))
+
+  /** Buckets hit by the pending deltas' merge keys — a metadata-sized
+    * key-column scan (mirrors Compactor's copy-by-reference discovery). */
+  def touchedBuckets(
+      spark: SparkSession, schema: StructType, mergeKeys: Seq[String],
+      numBuckets: Int, pendingPaths: Seq[String]): Set[Int] = {
+    if (pendingPaths.isEmpty) return Set.empty
+    val keySchema = StructType(schema.fields.filter(f => mergeKeys.contains(f.name)))
+    spark.read.schema(keySchema).parquet(pendingPaths: _*)
+      .select(pmod(hash(mergeKeys.map(col): _*), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Bucket id encoded in a compacted file's `_g_bucket=N` path segment. */
+  def bucketOfPath(p: String): Option[Int] = {
+    val i = p.indexOf(s"$Bucket=")
+    if (i < 0) None
+    else {
+      val rest = p.substring(i + Bucket.length + 1)
+      val end = rest.indexOf('/')
+      scala.util.Try((if (end < 0) rest else rest.substring(0, end)).toInt).toOption
+    }
+  }
+
+  /** Deltas whose physical directory (`d<rev>`) appears among `paths`.
+    * Revision parsing takes the LAST `/d<digits>/` path segment: the delta
+    * dir is the deepest such segment (partition subdirs always carry a
+    * `name=` prefix and the filename has no trailing slash), so a warehouse
+    * root like `/mnt/d1/...` can't corrupt it. Rename keeps old-table file
+    * paths alive, so extraction must not anchor on the current data dir. */
   def referencedDeltas(lineage: Seq[DeltaMeta], paths: Seq[String]): Seq[DeltaMeta] = {
-    val revs = paths.flatMap { p =>
-      val m = DirRev.findFirstMatchIn(p)
-      m.map(_.group(1).toLong)
-    }.toSet
+    val revs = paths.flatMap(revOfPath).toSet
     lineage.filter(d => revs.contains(d.streamPosition))
   }
-  private val DirRev = "/d(\\d+)/".r
 
-  /** One scan over all active files, with per-row lineage columns:
-    * stream position (from the path), delta type and column-presence
-    * (broadcast literal maps keyed by position). */
+  private val DirRev = "/d(\\d+)/".r
+  private def revOfPath(p: String): Option[Long] =
+    DirRev.findAllMatchIn(p).toSeq.lastOption.map(_.group(1).toLong)
+
+  /** One scan over all active files, with per-row lineage columns: stream
+    * position (last `/d<digits>/` segment of the file path — see
+    * referencedDeltas), then delta type + column-presence via a broadcast
+    * join against the O(#deltas) lineage frame (never a Catalyst literal).
+    * A row whose position misses the lineage is a corruption bug and fails
+    * loudly rather than silently dropping. */
   def scanWithLineage(
       spark: SparkSession,
       schema: StructType,
       lineage: Seq[DeltaMeta],
       paths: Seq[String]): DataFrame = {
-    val dtMap = lineage.map(d => d.streamPosition -> d.deltaType).toMap
-    val presentMap = lineage.map { d =>
-      d.streamPosition -> d.properties.get("written_columns")
+    import spark.implicits._
+    val lineageDf = broadcast(lineage.map { d =>
+      val present = d.properties.get("written_columns")
         .map(_.split(",").toSeq).getOrElse(schema.fieldNames.toSeq)
-    }.toMap
+      (d.streamPosition, d.deltaType, present)
+    }.toDF(Pos, Dt, Present))
+    val posExpr = element_at(
+      regexp_extract_all(col("_metadata.file_path"), lit("/d(\\d+)/"), lit(1)), -1)
+      .cast(LongType)
     spark.read.schema(schema).parquet(paths: _*)
-      .withColumn(Pos, regexp_extract(col("_metadata.file_path"), "/d(\\d+)/", 1).cast(LongType))
+      .withColumn(Pos, posExpr)
       .withColumn(File, col("_metadata.file_path"))
       .withColumn(Row, col("_metadata.row_index"))
-      .withColumn(Dt, element_at(typedLit(dtMap), col(Pos)))
-      .withColumn(Present, element_at(typedLit(presentMap), col(Pos)))
+      .join(lineageDf, Seq(Pos), "left")
+      .withColumn(Dt, assertNotNull(col(Dt), "delta lineage missing for file position"))
   }
+
+  private def assertNotNull(c: Column, msg: String): Column =
+    when(c.isNull, raise_error(lit(msg))).otherwise(c)
 
   /** The single-window LSM resolution described in the class doc. */
   def resolve(
@@ -114,55 +189,79 @@ object MergeRead {
       schema: StructType,
       scheme: PartitionScheme,
       mergeKeys: Seq[String],
-      lineage: Seq[DeltaMeta],
-      paths: Seq[String]): DataFrame = {
-    val active = referencedDeltas(lineage, paths)
+      lineage: Seq[DeltaMeta]): DataFrame = {
     // Merge scope = partition values + merge keys (the reference compacts
     // within a Partition object, so identical keys in different partitions
     // are distinct rows).
-    val partExprs = scheme.keys.map(k => k.column(col(k.field)))
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    val partExprs = scheme.keys.map(k =>
+      k.column(col(k.field), fieldType.getOrElse(k.field, StringType)))
     val winKeys: Seq[Column] = partExprs ++ mergeKeys.map(col)
-    val w = Window.partitionBy(winKeys: _*)
-      .orderBy(col(Pos).desc, col(File).desc, col(Row).desc)
+    val recency = Seq(col(Pos).desc, col(File).desc, col(Row).desc)
+    val w = Window.partitionBy(winKeys: _*).orderBy(recency: _*)
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     val isDelete = col(Dt) === DeltaType.Delete.name
     val ranked = scan
       .withColumn("_g_rn", row_number().over(w))
       .withColumn("_g_tomb",
         coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
+    val live = !isDelete && col("_g_tomb") === 0L
 
     val fullCols = schema.fieldNames.toSet
-    val allComplete = active.forall { d =>
+    val allComplete = lineage.forall { d =>
       d.typed == DeltaType.Delete ||
         d.properties.get("written_columns").forall(_.split(",").toSet == fullCols)
     }
+    val moKeys = FieldMeta.mergeOrderKeys(schema)
 
-    if (allComplete) {
-      // Fast path: every non-delete delta carried the full schema, so the
-      // rank-1 row IS the resolved row.
-      ranked.where(col("_g_rn") === 1 && !isDelete)
-    } else {
-      // Partial-upsert path: per column, first unmasked value from a row
-      // that physically carried the column.
-      val dataCols = schema.fields.filterNot(f => mergeKeys.contains(f.name))
-      val picks = dataCols.map { f =>
-        val contributes = array_contains(col(Present), f.name) &&
-          !isDelete && col("_g_tomb") === 0L
-        first(when(contributes, struct(col(f.name).as("v"))), ignoreNulls = true)
-          .over(wAll).getField("v").as(f.name)
+    if (allComplete && moKeys.isEmpty) {
+      // Fast path: every non-delete delta carried the full schema and winner
+      // selection is pure commit order — the rank-1 row IS the resolved row.
+      ranked.where(col("_g_rn") === 1 && live)
+    } else if (allComplete) {
+      // merge_order winner selection: among surviving (non-tombstoned,
+      // non-delete) rows, order by the merge-order fields then recency.
+      // Masked rows sort last so rank 1 is the best survivor. Same window
+      // partitioning → the first window's exchange is reused.
+      val moCols = moKeys.map { case (f, keepLargest) =>
+        if (keepLargest) col(f).desc_nulls_last else col(f).asc_nulls_last
       }
-      val keep = schema.fields.filter(f => mergeKeys.contains(f.name)).map(f => col(f.name)) ++
-        picks ++ Seq(col("_g_rn"), col(Dt), col(Pos), col(File), col(Row), col(Present))
-      ranked.select(keep.toIndexedSeq: _*)
-        .where(col("_g_rn") === 1 && !isDelete)
+      val w2 = Window.partitionBy(winKeys: _*)
+        .orderBy((when(live, 0).otherwise(1).asc +: moCols) ++ recency: _*)
+      ranked.withColumn("_g_rn2", row_number().over(w2))
+        .where(col("_g_rn2") === 1 && live)
+        .drop("_g_rn2")
+    } else {
+      // Partial-upsert path: one hash aggregate; per column, max_by over the
+      // recency tuple among surviving rows that physically carried it.
+      // (merge_order is only honored on the complete-rows path — partial
+      // upserts + merge_order is undefined in the reference too.)
+      val recencyKey = struct(col(Pos), col(File), col(Row))
+      val groupKeys = partExprs.zipWithIndex.map { case (e, i) => e.as(s"_g_pk$i") } ++
+        mergeKeys.map(col)
+      val dataCols = schema.fields.filterNot(f => mergeKeys.contains(f.name))
+      val aggs = dataCols.map { f =>
+        val contributes = live && array_contains(col(Present), f.name)
+        max_by(col(f.name), when(contributes, recencyKey)).as(f.name)
+      } ++ Seq(
+        max(when(live, 1).otherwise(0)).as("_g_live"),
+        max_by(col(File), when(live, recencyKey)).as(File),
+        max_by(col(Present), when(live, recencyKey)).as(Present),
+        // union of columns ever physically written for this key, so
+        // past-default backfill only fills truly never-written fields
+        flatten(collect_set(when(live, col(Present)))).as("_g_everp"))
+      val grouped = ranked.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
+        .where(col("_g_live") === 1)
+        .withColumn(Present, array_distinct(col("_g_everp")))
+      grouped.select((mergeKeys.map(col) ++ dataCols.map(f => col(f.name)) ++
+        Seq(col(File), col(Present))).toIndexedSeq: _*)
     }
   }
 
   /** Backfill `past_default` metadata values for rows written before a field
     * existed (reference schema.py:301-311). */
-  private def applyPastDefaults(df: DataFrame, schema: StructType): DataFrame = {
+  def applyPastDefaults(df: DataFrame, schema: StructType): DataFrame = {
     val withDefaults = schema.fields.filter(f => FieldMeta.pastDefault(f).isDefined)
     if (withDefaults.isEmpty) df
     else withDefaults.foldLeft(df) { (d, f) =>

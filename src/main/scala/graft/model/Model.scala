@@ -82,6 +82,9 @@ sealed trait Transform {
   def name: String
   /** Compile to a Spark column over the source column. */
   def apply(c: Column): Column
+  /** Type-aware variant: transforms whose semantics depend on the source
+    * type (truncate) override this; callers with schema access use it. */
+  def apply(c: Column, dt: DataType): Column = apply(c)
 }
 object Transform {
   case object Identity extends Transform {
@@ -95,10 +98,17 @@ object Transform {
     def apply(c: Column): Column =
       when(c.isNull, lit(0)).otherwise(pmod(hash(c), lit(n)))
   }
-  /** Truncate: string-prefix truncation of the cast value (Iceberg-style). */
+  /** Truncate per the Iceberg spec (reference transform.py:157-250):
+    * numerics truncate to `v - (((v % W) + W) % W)` (== pmod), strings to the
+    * first W characters. The untyped overload assumes string input. */
   final case class Truncate(width: Int) extends Transform {
     val name = s"truncate[$width]"
-    def apply(c: Column): Column = substring(c.cast(StringType), 1, width)
+    def apply(c: Column): Column = substring(c, 1, width)
+    override def apply(c: Column, dt: DataType): Column = dt match {
+      case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
+        c - pmod(c, lit(width))
+      case _ => substring(c.cast(StringType), 1, width)
+    }
   }
   case object Year extends Transform {
     val name = "year"; def apply(c: Column): Column = year(c)
@@ -138,6 +148,7 @@ final case class PartitionKey(field: String, transform: Transform = Transform.Id
   def partitionColumnName: String =
     s"_g_p_${field}_${transform.name.replaceAll("[^A-Za-z0-9_]", "_")}"
   def column(src: Column): Column = transform(src)
+  def column(src: Column, dt: DataType): Column = transform(src, dt)
 }
 
 final case class PartitionScheme(keys: Seq[PartitionKey]) {
@@ -184,12 +195,14 @@ object FieldMeta {
       fieldId: Option[Int] = None,
       mergeKey: Boolean = false,
       eventTime: Boolean = false,
-      pastDefault: Option[String] = None): StructField = {
+      pastDefault: Option[String] = None,
+      mergeOrder: Option[String] = None): StructField = {
     val b = new MetadataBuilder()
     fieldId.foreach(id => b.putLong(FieldId, id.toLong))
     if (mergeKey) b.putBoolean(MergeKey, true)
     if (eventTime) b.putBoolean(EventTime, true)
     pastDefault.foreach(d => b.putString(PastDefault, d))
+    mergeOrder.foreach(o => b.putString(MergeOrder, o))
     StructField(name, dt, nullable, b.build())
   }
 
@@ -204,6 +217,20 @@ object FieldMeta {
 
   def mergeKeys(s: StructType): Seq[String] = s.fields.filter(isMergeKey).map(_.name).toSeq
   def eventTimeFields(s: StructType): Seq[String] = s.fields.filter(isEventTime).map(_.name).toSeq
+
+  def mergeOrderOf(f: StructField): Option[String] =
+    if (f.metadata.contains(MergeOrder)) Some(f.metadata.getString(MergeOrder)) else None
+
+  /** Winner-selection keys among rows with equal merge keys — reference
+    * schema.py:1018-1046 `merge_order_sort_keys`: explicit merge_order fields
+    * take precedence (ASC = smallest value wins, DESC = largest wins); if
+    * none are declared but an event-time field exists, the latest event wins.
+    * Returns (fieldName, keepLargest) pairs; empty = pure commit order. */
+  def mergeOrderKeys(s: StructType): Seq[(String, Boolean)] = {
+    val explicit = s.fields.flatMap(f => mergeOrderOf(f).map(o => (f.name, o == "DESC"))).toSeq
+    if (explicit.nonEmpty) explicit
+    else eventTimeFields(s).map(n => (n, true))
+  }
 
   /** Merge keys must be non-float primitives — reference schema.py:468-494. */
   def validateMergeKey(f: StructField): Unit = f.dataType match {

@@ -112,16 +112,22 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     ops += op
   }
 
-  /** Atomic publish: conflict-check staged revisions, then move the txn
-    * record into txn/success. */
+  /** Atomic publish: conflict-check staged revisions, move the txn record
+    * into txn/success, then re-check (reference metafile.py:271-368
+    * check_for_concurrent_txn_conflict: same revision + different txn is a
+    * conflict; among uncommitted contenders the lexicographically-later txn
+    * id deterministically wins). */
   def seal(): Unit = {
     require(!sealed_, s"txn $txnId already sealed")
-    // Optimistic conflict check: another *successful* txn committed the same
-    // revision of the same metafile → we lose and abort.
+    // Pre-publish check: lose to (a) any *successful* txn that committed the
+    // same revision of the same metafile, and (b) any still-uncommitted
+    // contender with a lexicographically higher txn id (deterministic winner
+    // — both racers agree on who yields without coordination).
     staged.foreach { sw =>
       val clash = store.listRevisionFiles(sw.dir).exists { f =>
         val (rev, tid) = Metastore.parseRevisionName(f.getFileName.toString)
-        rev == sw.rev && tid != txnId && store.isTxnSuccessful(tid)
+        rev == sw.rev && tid != txnId && !store.isTxnFailed(tid) &&
+          (store.isTxnSuccessful(tid) || tid > txnId)
       }
       if (clash) {
         abort()
@@ -135,8 +141,27 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     Files.write(tmp, Json.write(rec).getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(store.successDir)
     Files.move(tmp, store.successDir.resolve(s"$txnId.json"), StandardCopyOption.ATOMIC_MOVE)
-    sealed_ = true
     store.invalidateTxnCache()
+    // Post-publish re-check: two racers may both have passed the pre-check
+    // before either published. The smaller txn id demotes itself.
+    val lostTo = staged.view.flatMap { sw =>
+      store.listRevisionFiles(sw.dir).flatMap { f =>
+        val (rev, tid) = Metastore.parseRevisionName(f.getFileName.toString)
+        if (rev == sw.rev && tid > txnId && store.isTxnSuccessful(tid)) Some(tid) else None
+      }
+    }.headOption
+    if (lostTo.isDefined) {
+      // Roll back our own publish: success record → failed, staged files gone.
+      Files.createDirectories(store.failedDir)
+      Files.move(store.successDir.resolve(s"$txnId.json"),
+        store.failedDir.resolve(s"$txnId.json"), StandardCopyOption.REPLACE_EXISTING)
+      staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+      sealed_ = true
+      store.invalidateTxnCache()
+      throw new ConcurrentTxnConflict(
+        s"txn $txnId lost post-publish conflict to ${lostTo.get}")
+    }
+    sealed_ = true
   }
 
   def abort(): Unit = {
@@ -173,10 +198,15 @@ final class Metastore(val root: Path) {
   // for commits within the same millisecond (matters for time travel tests).
   private val lastTs = new java.util.concurrent.atomic.AtomicLong(0L)
   private[txn] def nextTimestamp(): Long = {
-    var t = System.currentTimeMillis()
-    var prev = lastTs.get()
-    while (t <= prev) { t = prev + 1; prev = lastTs.get() }
-    lastTs.compareAndSet(prev, t)
+    // Loop on CAS: a losing racer must retry, or two callers could observe
+    // the same timestamp and break the distinct-ordered-commit-time guarantee.
+    var t = 0L
+    var done = false
+    while (!done) {
+      val prev = lastTs.get()
+      t = math.max(System.currentTimeMillis(), prev + 1)
+      done = lastTs.compareAndSet(prev, t)
+    }
     t
   }
 
@@ -199,6 +229,7 @@ final class Metastore(val root: Path) {
   }
 
   def isTxnSuccessful(txnId: String): Boolean = successfulTxns().contains(txnId)
+  def isTxnFailed(txnId: String): Boolean = Files.exists(failedDir.resolve(s"$txnId.json"))
 
   /** Is `txnId` visible to a reader at time `asOf` (None = latest)? Reads
     * inside `within` see their own uncommitted writes (snapshot isolation

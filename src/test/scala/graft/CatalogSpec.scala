@@ -165,18 +165,30 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readTable("ns1.a").count() == 1)
   }
 
-  test("concurrent txn conflict: second writer of the same revision aborts") {
+  test("concurrent txn conflict: same revision, lower txn id defers to higher") {
+    // Reference metafile.py:271-368: a conflict exists when two txns write
+    // the same revision; the lexicographically-later txn id wins, even if it
+    // has not committed yet (deterministic, coordination-free).
     val cat = newCatalog()
     cat.createTable("d.cc", usersSchema)
-    val t1 = cat.transaction("t1")
+    val t1 = cat.transaction("t1") // earlier start → smaller id
     val t2 = cat.transaction("t2")
-    // both stage revision for the same table meta
     cat.alterTable("d.cc", setProperties = Map("a" -> "1"), txn = Some(t1))
     cat.alterTable("d.cc", setProperties = Map("b" -> "2"), txn = Some(t2))
-    t1.seal()
-    intercept[graft.txn.ConcurrentTxnConflict] { t2.seal() }
-    assert(cat.getTableMeta("d.cc").properties.get("a").contains("1"))
-    assert(!cat.getTableMeta("d.cc").properties.contains("b"))
+    intercept[graft.txn.ConcurrentTxnConflict] { t1.seal() } // defers to t2
+    t2.seal() // uncontested now — wins
+    assert(cat.getTableMeta("d.cc").properties.get("b").contains("2"))
+    assert(!cat.getTableMeta("d.cc").properties.contains("a"))
+
+    // And a lower-id txn racing a *completed* higher-id txn also aborts.
+    val t3 = cat.transaction("t3")
+    val t4 = cat.transaction("t4")
+    cat.alterTable("d.cc", setProperties = Map("c" -> "3"), txn = Some(t3))
+    cat.alterTable("d.cc", setProperties = Map("d" -> "4"), txn = Some(t4))
+    t4.seal()
+    intercept[graft.txn.ConcurrentTxnConflict] { t3.seal() }
+    assert(cat.getTableMeta("d.cc").properties.get("d").contains("4"))
+    assert(!cat.getTableMeta("d.cc").properties.contains("c"))
   }
 
   test("drop, rename, truncate, manifest table") {
