@@ -1,0 +1,346 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/**
+ * Catalog-stateful correctness queries: each closure builds a Graft table in
+ * a fresh temp dir from the driver testdata, applies writes / upserts /
+ * deletes / DDL, and returns the terminal table state; the paired oracle SQL
+ * computes the same terminal state directly from the raw parquet (the
+ * reference's declarative test style — compact_partition_test_cases.py).
+ *
+ * Every scenario is deterministic: update/delete key sets are arithmetic
+ * predicates (k % n), winners are forced by explicit versions or sorted
+ * single-file writes, and timestamps come from the committed txn log.
+ */
+object CatalogQueries {
+  import Queries._
+
+  private def newCat(s: SparkSession, tag: String): GraftCatalog =
+    new GraftCatalog(s, Files.createTempDirectory(s"graft_$tag").toString)
+
+  /** Merge-on-read table properties (suppress write-triggered compaction). */
+  private val MoR = Map("read_optimization" -> "NONE")
+
+  val all: Seq[Q] = Seq(
+
+    // Write a table and read it back — datasink + read_table roundtrip.
+    Q("c01_roundtrip", Some("SELECT * FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c01")
+      cat.writeToTable(tbl(s, dir, "nation"), "q.nation")
+      cat.readTable("q.nation")
+    },
+
+    // Column projection + row filter pushed through the catalog read path.
+    Q("c02_projection_filter", Some(
+      "SELECT n_name, n_regionkey FROM nation WHERE n_regionkey IN (0, 2)")) { (s, dir) =>
+      val cat = newCat(s, "c02")
+      cat.writeToTable(tbl(s, dir, "nation"), "q.nation")
+      cat.readTable("q.nation", ReadOptions(
+        columns = Some(Seq("n_name", "n_regionkey")),
+        partitionFilter = Some(col("n_regionkey").isin(0, 2))))
+    },
+
+    // Limit pushdown: the limited read returns exactly n rows.
+    Q("c03_limit", Some("SELECT CAST(10 AS BIGINT) AS n")) { (s, dir) =>
+      val cat = newCat(s, "c03")
+      cat.writeToTable(tbl(s, dir, "nation"), "q.nation")
+      cat.readTable("q.nation", ReadOptions(limit = Some(10))).agg(cnt.as("n"))
+    },
+
+    // LSM merge-on-read: upsert overwrite + delete tombstones, no compaction.
+    Q("c04_upsert_delete_mor", Some("""
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0""")) { (s, dir) =>
+      val cat = newCat(s, "c04")
+      cat.createTable("q.o", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("o_custkey", LongType),
+        FieldMeta.field("o_orderstatus", StringType),
+        FieldMeta.field("o_totalprice", DoubleType))), properties = MoR)
+      val base = tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      cat.writeToTable(base, "q.o", WriteMode.Merge)
+      cat.writeToTable(
+        base.where(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "q.o", WriteMode.Merge)
+      cat.writeToTable(
+        base.select("o_orderkey").where(col("o_orderkey") % 7 === 0),
+        "q.o", WriteMode.Delete)
+      cat.readTable("q.o")
+    },
+
+    // Same terminal state through the compactor (write-triggered compaction,
+    // bucket pruning + copy-by-reference on the later writes).
+    Q("c05_upsert_delete_compacted", Some("""
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0""")) { (s, dir) =>
+      val cat = newCat(s, "c05")
+      cat.createTable("q.o", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("o_custkey", LongType),
+        FieldMeta.field("o_orderstatus", StringType),
+        FieldMeta.field("o_totalprice", DoubleType))))
+      val base = tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      cat.writeToTable(base, "q.o", WriteMode.Merge)
+      cat.writeToTable(
+        base.where(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "q.o", WriteMode.Merge)
+      cat.writeToTable(
+        base.select("o_orderkey").where(col("o_orderkey") % 7 === 0),
+        "q.o", WriteMode.Delete)
+      cat.readTable("q.o")
+    },
+
+    // Partial upsert: delta carries (key, acctbal) only — name survives.
+    Q("c06_partial_upsert", Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+      FROM customer""")) { (s, dir) =>
+      val cat = newCat(s, "c06")
+      cat.createTable("q.c", StructType(Seq(
+        FieldMeta.field("c_custkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("c_name", StringType),
+        FieldMeta.field("c_acctbal", DoubleType))), properties = MoR)
+      val base = tbl(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      cat.writeToTable(base, "q.c", WriteMode.Merge)
+      cat.writeToTable(
+        base.where(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal")),
+        "q.c", WriteMode.Merge)
+      cat.readTable("q.c")
+    },
+
+    // merge_order winner selection: a LOWER-versioned later commit must lose.
+    Q("c07_merge_order", Some(
+      "SELECT n_nationkey, CAST(5 AS INTEGER) AS version, 'first' AS src FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c07")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("n_nationkey", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("version", IntegerType, mergeOrder = Some("DESC")),
+        FieldMeta.field("src", StringType))), properties = MoR)
+      val n = tbl(s, dir, "nation").select("n_nationkey")
+      cat.writeToTable(n.withColumn("version", lit(5)).withColumn("src", lit("first")),
+        "q.n", WriteMode.Merge)
+      cat.writeToTable(n.withColumn("version", lit(3)).withColumn("src", lit("second")),
+        "q.n", WriteMode.Merge)
+      cat.readTable("q.n")
+    },
+
+    // Intra-delta dedupe: duplicate keys inside ONE delta — last row wins.
+    Q("c08_intra_delta_dedupe", Some(
+      "SELECT n_nationkey, CAST(2 AS INTEGER) AS v FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c08")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("n_nationkey", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", IntegerType))), properties = MoR)
+      val n = tbl(s, dir, "nation").select("n_nationkey")
+      val dup = n.withColumn("v", lit(1)).unionByName(n.withColumn("v", lit(2)))
+        .repartition(1).sortWithinPartitions("n_nationkey", "v")
+      cat.writeToTable(dup, "q.n", WriteMode.Merge)
+      cat.readTable("q.n")
+    },
+
+    // Composite merge keys with NULLs: null-keyed rows are deletable too.
+    Q("c09_delete_null_composite", Some("""
+      SELECT n_nationkey AS k1,
+             CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS k2,
+             n_regionkey AS v
+      FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey NOT IN (1, 2)""")) { (s, dir) =>
+      val cat = newCat(s, "c09")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("k1", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("k2", StringType, mergeKey = true),
+        FieldMeta.field("v", IntegerType))), properties = MoR)
+      val base = tbl(s, dir, "nation").select(
+        col("n_nationkey").as("k1"),
+        when(col("n_nationkey") % 5 === 0, lit(null)).otherwise(col("n_name")).as("k2"),
+        col("n_regionkey").as("v"))
+      cat.writeToTable(base, "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        base.select("k1", "k2").where(col("k1") % 5 === 0 || col("k1").isin(1, 2)),
+        "q.n", WriteMode.Delete)
+      cat.readTable("q.n")
+    },
+
+    // Time travel: read the pre-REPLACE snapshot via the committed txn time.
+    Q("c10_time_travel", Some("SELECT * FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c10")
+      cat.writeToTable(tbl(s, dir, "nation"), "q.n")
+      val t1 = cat.store.history().head.endTimeMillis
+      cat.writeToTable(tbl(s, dir, "nation").withColumn("n_name", lit("XX")),
+        "q.n", WriteMode.Replace)
+      cat.readTable("q.n", ReadOptions(asOf = Some(t1)))
+    },
+
+    // Schema evolution AUTO: int→bigint widening + appended column, old rows null.
+    Q("c11_schema_evolution", Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, CAST(NULL AS INTEGER) AS region FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS BIGINT) AS id, n_name AS name, n_regionkey AS region FROM nation""")) { (s, dir) =>
+      val cat = newCat(s, "c11")
+      val n = tbl(s, dir, "nation")
+      cat.writeToTable(
+        n.select(col("n_nationkey").cast(IntegerType).as("id"), col("n_name").as("name")), "q.t")
+      cat.writeToTable(
+        n.select((col("n_nationkey") + 100).cast(LongType).as("id"),
+          col("n_name").as("name"), col("n_regionkey").as("region")),
+        "q.t", WriteMode.Add)
+      cat.readTable("q.t")
+    },
+
+    // past_default backfill: rows written before the column existed read the
+    // declared default, not NULL.
+    Q("c12_past_default", Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, CAST(7 AS INTEGER) AS score FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS BIGINT) AS id, n_name AS name, n_regionkey AS score FROM nation""")) { (s, dir) =>
+      val cat = newCat(s, "c12")
+      val n = tbl(s, dir, "nation")
+      cat.writeToTable(
+        n.select(col("n_nationkey").cast(LongType).as("id"), col("n_name").as("name")), "q.t")
+      cat.alterTable("q.t", newSchema = Some(StructType(Seq(
+        FieldMeta.field("id", LongType),
+        FieldMeta.field("name", StringType),
+        FieldMeta.field("score", IntegerType, pastDefault = Some("7"))))))
+      cat.writeToTable(
+        n.select((col("n_nationkey") + 100).cast(LongType).as("id"),
+          col("n_name").as("name"), col("n_regionkey").as("score")),
+        "q.t", WriteMode.Add)
+      cat.readTable("q.t")
+    },
+
+    // Partition transform (month) + driver-side manifest pruning.
+    Q("c13_partition_prune", Some("""
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE month(o_orderdate) = 3""")) { (s, dir) =>
+      val cat = newCat(s, "c13")
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+      cat.createTable("q.o", o.schema,
+        PartitionScheme(Seq(PartitionKey("o_orderdate", Transform.Month))))
+      cat.writeToTable(o, "q.o", WriteMode.Add)
+      cat.readTable("q.o", ReadOptions(partitionValues = Some(Map("o_orderdate" -> "3"))))
+    },
+
+    // Truncate drops data, schema stays; rename keeps history alive.
+    Q("c14_truncate_rename", Some("""
+      SELECT r_regionkey AS n_nationkey, r_name AS n_name, CAST(0 AS INTEGER) AS n_regionkey
+      FROM region""")) { (s, dir) =>
+      val cat = newCat(s, "c14")
+      cat.writeToTable(tbl(s, dir, "nation"), "q.t1")
+      cat.truncateTable("q.t1")
+      cat.writeToTable(
+        tbl(s, dir, "region").select(col("r_regionkey").as("n_nationkey"),
+          col("r_name").as("n_name"), lit(0).cast(IntegerType).as("n_regionkey")),
+        "q.t1", WriteMode.Add)
+      cat.renameTable("q.t1", "t2")
+      cat.readTable("q.t2")
+    },
+
+    // Catalog-level atomic multi-table transaction.
+    Q("c15_txn_atomic", Some("""
+      SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey""")) { (s, dir) =>
+      val cat = newCat(s, "c15")
+      val tx = cat.transaction("atomic pair")
+      cat.createTable("q.n", tbl(s, dir, "nation").schema, txn = Some(tx))
+      cat.createTable("q.r", tbl(s, dir, "region").schema, txn = Some(tx))
+      cat.writeToTable(tbl(s, dir, "nation"), "q.n", WriteMode.Add, txn = Some(tx))
+      cat.writeToTable(tbl(s, dir, "region"), "q.r", WriteMode.Add, txn = Some(tx))
+      tx.seal()
+      cat.readTable("q.n").join(cat.readTable("q.r"),
+        col("n_regionkey") === col("r_regionkey")).select("n_name", "r_name")
+    },
+
+    // Schemaless read: the manifest as a table (file/record accounting).
+    Q("c16_manifest_stats", Some("""
+      SELECT CAST(2 AS BIGINT) AS n_deltas, CAST(2 AS BIGINT) AS n_files,
+             CAST(50 AS BIGINT) AS total_records""")) { (s, dir) =>
+      val cat = newCat(s, "c16")
+      val n = tbl(s, dir, "nation").repartition(1)
+      cat.writeToTable(n, "q.n")
+      cat.writeToTable(n, "q.n", WriteMode.Add)
+      cat.manifestTable("q.n").agg(
+        countDistinct(col("stream_position")).cast(LongType).as("n_deltas"),
+        cnt.as("n_files"),
+        sum(col("delta_record_count")).cast(LongType).as("total_records"))
+    },
+
+    // from_manifest_table: load the files listed in a manifest table.
+    Q("c17_from_manifest", Some(
+      "SELECT * FROM nation UNION ALL SELECT * FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c17")
+      val n = tbl(s, dir, "nation").repartition(1)
+      cat.writeToTable(n, "q.n")
+      cat.writeToTable(n, "q.n", WriteMode.Add)
+      cat.fromManifestTable(cat.manifestTable("q.n"))
+    },
+
+    // Ordered APPEND stream positions are contiguous and typed.
+    Q("c18_append_positions", Some("""
+      SELECT 'APPEND' AS delta_type, CAST(1 AS BIGINT) AS stream_position
+      UNION ALL SELECT 'APPEND', CAST(2 AS BIGINT)
+      UNION ALL SELECT 'APPEND', CAST(3 AS BIGINT)""")) { (s, dir) =>
+      val cat = newCat(s, "c18")
+      val r = tbl(s, dir, "region").select(col("r_regionkey").cast(LongType).as("k"),
+        col("r_name").as("v"))
+      cat.createTable("q.a", r.schema)
+      cat.writeToTable(r, "q.a", WriteMode.Append)
+      cat.writeToTable(r, "q.a", WriteMode.Append)
+      cat.writeToTable(r, "q.a", WriteMode.Append)
+      cat.manifestTable("q.a").select("delta_type", "stream_position").distinct()
+    },
+
+    // CHRONO (event-time) ingest of the events stream + hourly rollup.
+    Q("c19_chrono_rollup", Some("""
+      SELECT event_type, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)""")) { (s, dir) =>
+      val cat = newCat(s, "c19")
+      val e = events(s, dir).select("event_id", "ts", "event_type", "value")
+      cat.createTable("q.e", StructType(Seq(
+        FieldMeta.field("event_id", LongType),
+        FieldMeta.field("ts", TimestampNTZType, eventTime = true),
+        FieldMeta.field("event_type", StringType),
+        FieldMeta.field("value", DoubleType))))
+      cat.writeToTable(e, "q.e", WriteMode.Chrono)
+      cat.readTable("q.e")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(cnt.as("n"))
+    },
+
+    // Sort scheme applied through compaction; content is unchanged.
+    Q("c20_sort_scheme", Some(
+      "SELECT p_partkey, p_name, p_size FROM part")) { (s, dir) =>
+      val cat = newCat(s, "c20")
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_size")
+      cat.createTable("q.p", p.schema,
+        sortScheme = SortScheme(Seq(SortKey("p_size", ascending = false))))
+      cat.writeToTable(p, "q.p", WriteMode.Add)
+      cat.compact("q.p")
+      cat.readTable("q.p")
+    },
+
+    // Txn history surfaces exactly the committed transactions.
+    Q("c21_history", Some("SELECT CAST(1 AS BIGINT) AS n_txns")) { (s, dir) =>
+      val cat = newCat(s, "c21")
+      val tx = cat.transaction("everything in one txn")
+      cat.createTable("q.n", tbl(s, dir, "nation").schema, txn = Some(tx))
+      cat.writeToTable(tbl(s, dir, "nation"), "q.n", WriteMode.Add, txn = Some(tx))
+      tx.seal()
+      cat.historyDF().agg(cnt.as("n_txns"))
+    }
+  )
+}
