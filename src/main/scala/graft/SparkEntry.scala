@@ -5,7 +5,8 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every registered query (Spark plan + optional DuckDB oracle). */
-  def registered: Seq[Queries.Q] = ReadQueries.all ++ CatalogQueries.all
+  def registered: Seq[Queries.Q] =
+    ReadQueries.all ++ CatalogQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for training-data pipelines.
+ *
+ * Scale design: every variant resolves candidates through an equi-join on a
+ * derived key (content hash, LSH band bucket, SimHash chunk) — never an
+ * all-pairs cross join. At 100 TB the band/bucket join shuffles only
+ * same-bucket rows; the verify step re-joins the candidate PAIRS back to the
+ * (id → features) table, which is a key-partitioned shuffle as well.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content fingerprint: one row per distinct
+    * content with the canonical (minimum) id and the copy count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).cast(LongType).as("canonical_id"),
+        count(lit(1)).cast(LongType).as("copies"))
+
+  /** Keep exactly one row per distinct content (the minimum id wins). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = exactGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(canon, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- MinHash LSH
+
+  /** Modulus for the affine min-hash family: 2^31−1 (prime). Products stay
+    * under 2^62, so the arithmetic cannot overflow under ANSI mode. */
+  private val MinhashP = 2147483647L
+
+  /** Deterministic affine hash parameters (a ∈ [1,P), b ∈ [0,P)). */
+  private def affineParams(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (array of numHashes longs) over a shingle-set column.
+    * One xxhash64 per shingle reduced mod P, then numHashes affine re-hashes
+    * (a·h+b mod P) — no explode, pure array expressions inside codegen. */
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
+    array(affineParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
+    }: _*)
+  }
+
+  /**
+   * MinHash + banded LSH near-duplicate PAIRS: shingle → signature → band
+   * buckets → same-bucket join → exact Jaccard verify ≥ threshold.
+   *
+   * numHashes = bands × rowsPerBand. Collision probability for Jaccard j is
+   * 1-(1-j^rowsPerBand)^bands (the classic S-curve).
+   */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df.select(col(idCol).cast(LongType).as("id"),
+      TextOps.shingles(textCol, shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Explode into (band, bucketHash, id): band bucket = hash of its slice.
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+    val buckets = withSig.select(col("id"), explode(bandCols).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Same-bucket candidate pairs (id_a < id_b), deduped across bands.
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verify: join shingle sets back, compute true Jaccard.
+    val sh = withSig.select(col("id"), col("sh"))
+    cand
+      .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
+      .drop("id")
+      .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
+      .drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */
+  def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).cast(LongType).as("id"),
+      TextOps.shingles(textCol, shingleK).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("sh", "sh_a"), pairs("id_a") === sh("id")).drop("id")
+      .join(sh.withColumnRenamed("sh", "sh_b"), pairs("id_b") === sh("id")).drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens: per bit j, sign of the sum of
+    * ±1 contributions from each token hash. Computed with array expressions
+    * (transform + aggregate) — no explode, no UDF. */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(split(lower(textCol), "\\s+"), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
+      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (any pair within Hamming distance 3 must agree on ≥1 chunk), verified
+    * by exact Hamming distance ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withH = df.select(col(idCol).cast(LongType).as("id"), col(textCol))
+      .withColumn("sh64", simhash(col(textCol))).drop(textCol)
+    val chunks = withH.select(col("id"), col("sh64"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), col("sh64").bitwiseAND(lit(0xFFFFL << (c * 16))).as("val"))
+      }: _*)).as("cv"))
+      .select(col("id"), col("sh64"), col("cv.chunk").as("chunk"), col("cv.val").as("val"))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh64").as("h_a"), col("b.sh64").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

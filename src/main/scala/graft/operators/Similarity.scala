@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over embedding columns (Array[Float]).
+ *
+ * `bruteForceTopK` is the exact baseline: a broadcast nested-loop over a
+ * (small) query set — correct at any corpus size when |queries| is bounded,
+ * since the corpus streams through one scan. `lshTopK` is the scale path:
+ * sign-random-projection LSH with L hash tables, so candidate generation is
+ * an equi-join on (table, bucket) — no cross join anywhere in the plan.
+ *
+ * Dot products are `aggregate(zip_with(...))` column expressions — codegen,
+ * no UDF.
+ */
+object Similarity {
+
+  /** Left-to-right double dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /**
+   * Exact top-k cosine neighbors for each query vector. The query set is
+   * broadcast; rank ties break on the rounded similarity (9 decimals, to be
+   * engine-stable) then neighbor id.
+   */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"), asDouble(col(vecCol)).as("ce"))
+    val q = broadcast(queries.select(col(idCol).cast(LongType).as("query_id"), asDouble(col(vecCol)).as("qe")))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 9))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast(IntegerType).as("rank"))
+  }
+
+  /** Deterministic ±1 random-projection planes: tables × bitsPerTable planes
+    * of `dim` components each. */
+  private[operators] def planes(tables: Int, bitsPerTable: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bitsPerTable, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** LSH bucket ids per hash table for one embedding column: bucket =
+    * sign-bit string over the table's hyperplanes. */
+  private def bucketCols(vec: Column, pl: Array[Array[Array[Double]]]): Column =
+    array(pl.indices.map { t =>
+      val bits = pl(t).indices.map { j =>
+        val plane = array(pl(t)(j).map(lit(_)).toIndexedSeq: _*)
+        when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
+    }: _*)
+
+  /**
+   * Approximate top-k: candidates = corpus rows sharing an LSH bucket with
+   * the query in ANY of `tables` hash tables, reranked by exact cosine.
+   * Candidate generation is an equi-join on (table, bucket).
+   */
+  /** Defaults suit 10^2–10^4 row corpora; at scale grow `bitsPerTable` with
+    * log2(corpusSize / targetBucketSize) so per-bucket candidate lists stay
+    * bounded, and keep `tables` ≈ 8–16 for recall. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 12, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val pl = planes(tables, bitsPerTable, dim, seed)
+    def withBuckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).cast(LongType).as(id), asDouble(col(vecCol)).as(s"${id}_vec"))
+        .withColumn("tb", explode(bucketCols(col(s"${id}_vec"), pl)))
+        .select(col(id), col(s"${id}_vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val c = withBuckets(corpus, "neighbor_id")
+    val q = withBuckets(queries, "query_id")
+    val cand = c.join(q, Seq("table", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("cos", round(cosine(col("query_id_vec"), col("neighbor_id_vec")), 9))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast(IntegerType).as("rank"))
+  }
+}

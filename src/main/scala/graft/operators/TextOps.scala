@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, language ID, quality scoring, fingerprinting.
+ *
+ * All operators are pure Catalyst column expressions (regexp/string
+ * built-ins) — whole-stage-codegen friendly, no UDFs, no shuffles beyond
+ * what the caller aggregates. Deterministic integer/string outputs so they
+ * are oracle-comparable across engines.
+ */
+object TextOps {
+
+  /** Count of regex matches in a column (codegen'd, no explode). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast(LongType)
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(c: Column): Column = matchCount(c, "\\S+")
+
+  /** BPE-ish subword token count: letter runs, digit runs, single
+    * punctuation marks — the classic pre-tokenizer split. */
+  def bpeTokenCount(c: Column): Column =
+    matchCount(lower(c), "[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+  /** Language-marker stopword sets (tiny n-gram heuristic). Order matters:
+    * ties resolve to the earlier language. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|is|of|and)\\b",
+    "fr" -> "\\b(le|la|les|et|des)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "es" -> "\\b(el|los|las|y|es)\\b")
+
+  def langScore(c: Column, lang: String): Column = {
+    val p = LangMarkers.toMap.apply(lang)
+    matchCount(lower(c), p)
+  }
+
+  /** Predicted language: argmax of marker scores, 'und' when all zero. */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
+    val best = scores.zipWithIndex.foldRight(lit("und")) { case (((l, s), i), rest) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      val isMax = laterScores.foldLeft(s > 0) { (acc, other) => acc && s >= other }
+      when(isMax, lit(l)).otherwise(rest)
+    }
+    best
+  }
+
+  /** Quality bucket from integer-exact ratios (no floating point). */
+  def qualityBucket(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val nStop = langScore(c, "en")
+    when(nTok < 10, lit("too_short"))
+      .when(nStop * 20 >= nTok, lit("ok"))
+      .otherwise(lit("low_stopword"))
+  }
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text (reference-style content hash for exact dedup). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Character k-shingle set (distinct) of a text column. */
+  def shingles(colName: String, k: Int): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($colName) - ${k - 1}, 1)), i -> substring($colName, i, $k))"))
+
+  /** Per-document text-statistics projection. */
+  def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col(idCol),
+      length(c).cast(LongType).as("n_chars"),
+      tokenCount(c).as("n_tokens"),
+      bpeTokenCount(c).as("n_bpe_tokens"),
+      matchCount(c, "[A-Za-z]+").as("n_words"),
+      matchCount(c, "[^A-Za-z0-9\\s]").as("n_punct"),
+      langId(c).as("pred_lang"),
+      qualityBucket(c).as("quality"),
+      fingerprint(c).as("fingerprint"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Correctness of the LLM-pipeline operators: approximate ops (MinHash LSH,
+  * SimHash, LSH-ANN) verified against exact baselines; plan-shape assertions
+  * prove no all-pairs join sneaks into the candidate generation. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfd = "/root/testdata/sf0.001"
+
+  private def assertNoCartesian(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
+  }
+
+  test("exact dedup: planted duplicate collapses to canonical id") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha  BETA gamma "), (3L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("copies") == 2L).get
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds a high-jaccard planted pair; no cross join") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val near = base.replace("tonight", "tomorrow")
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+      .select($"doc_id" + 1000L as "doc_id", $"text")
+      .unionByName(Seq((1L, base), (2L, near)).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7)
+    assertNoCartesian(pairs)
+    val found = pairs.where($"id_a" === 1L && $"id_b" === 2L).collect()
+    assert(found.length == 1, "planted near-dup pair not found")
+    assert(found.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("minhash pairs agree with exact n-gram jaccard") {
+    val docs = spark.read.parquet(s"$sfd/documents.parquet").limit(100)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6).limit(20)
+    val checked = Dedup.ngramJaccard(pairs.select("id_a", "id_b"), docs, "doc_id", "text")
+    val joined = pairs.alias("p").join(checked.alias("c"), Seq("id_a", "id_b"))
+      .select(col("p.jaccard").as("j1"), col("c.jaccard").as("j2")).collect()
+    joined.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("simhash: identical docs give hamming 0; no cross join") {
+    val docs = Seq((1L, "spark shuffles data across the cluster"),
+      (2L, "spark shuffles data across the cluster"),
+      (3L, "completely different content with other words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+    assertNoCartesian(pairs)
+    val p = pairs.collect()
+    assert(p.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getAs[Int]("hamming") == 0))
+  }
+
+  test("LSH ANN recall vs brute force; candidate generation is an equi-join") {
+    val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+    assertNoCartesian(approx)
+    val got = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall below 0.5")
+  }
+
+  test("text stats: language id and quality buckets are deterministic") {
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is of the house"),
+      (2L, "le chat et la maison des amis les arbres"),
+      (3L, "xyz qqq zzz")).toDF("doc_id", "text")
+    val stats = TextOps.textStats(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(stats(1L).getAs[String]("pred_lang") == "en")
+    assert(stats(2L).getAs[String]("pred_lang") == "fr")
+    assert(stats(3L).getAs[String]("pred_lang") == "und")
+    assert(stats(3L).getAs[String]("quality") == "too_short")
+    assert(stats(1L).getAs[String]("quality") == "ok")
+    assert(stats(1L).getAs[Long]("n_tokens") == 13L)
+  }
+
+  test("multimodal decode stub: deterministic features, distributed shape") {
+    val docs = spark.read.parquet(s"$sfd/documents.parquet").limit(50)
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.decodeStub(spark, media).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.head_md5.length == 32)
+      assert(f.fake_width == 16 + (f.n_bytes % 64).toInt)
+      assert(f.fake_height == f.fake_width / 2)
+    }
+  }
+}
