@@ -60,17 +60,24 @@ object Dedup {
    */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df.select(col(idCol).cast(LongType).as("id"),
+    val shingled = df.select(col(idCol).cast(LongType).as("id"),
       TextOps.shingles(textCol, shingleK).as("sh"))
+    // (id, sig) is persisted and materialized ONCE: the signature feeds the
+    // band buckets AND the pair-wise estimate join, and Catalyst does not
+    // share subtrees across joins — without the persist it would be
+    // recomputed per consumer.
+    val sigs = shingled
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // Explode into (band, bucketHash, id): band bucket = hash of its slice.
+      .select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     val bandCols = array((0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }: _*)
-    val buckets = withSig.select(col("id"), explode(bandCols).as("bb"))
+    val buckets = sigs.select(col("id"), explode(bandCols).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // Same-bucket candidate pairs (id_a < id_b), deduped across bands.
     val a = buckets.as("a")
@@ -79,9 +86,24 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Exact verify: join shingle sets back, compute true Jaccard.
-    val sh = withSig.select(col("id"), col("sh"))
-    cand
+    // Cheap pre-verify on the signatures: the minhash component-agreement
+    // rate estimates Jaccard with σ ≈ sqrt(j(1-j)/numHashes); filtering at
+    // threshold − 3σ keeps recall ≈ 1 while dropping the mid-similarity
+    // bulk BEFORE the expensive exact shingle-set join.
+    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+    val estFilter = math.max(0.0, threshold - 3 * sigma)
+    val est = cand
+      .join(sigs.select(col("id"), col("sig").as("sig_a")), col("id_a") === col("id")).drop("id")
+      .join(sigs.select(col("id"), col("sig").as("sig_b")), col("id_b") === col("id")).drop("id")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast(DoubleType) / numHashes)
+      .where(col("est") >= estFilter)
+      .select(col("id_a"), col("id_b"))
+    // Exact verify on the survivors: join shingle sets back, true Jaccard.
+    val sh = shingled
+    est
       .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
       .drop("id")
       .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
