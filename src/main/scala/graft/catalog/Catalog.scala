@@ -269,12 +269,20 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         else evoMode match {
           case SchemaEvolutionMode.Auto => (unified, true)
           case _ =>
-            // MANUAL/DISABLED: incoming must already fit the table schema
-            val incompatible = dfIn.schema.fields.exists { f =>
-              cur.fields.find(_.name == f.name).forall(_.dataType != f.dataType)
-            }
-            if (incompatible) throw new IllegalArgumentException(
-              s"schema evolution disabled for $t; incompatible write schema")
+            // MANUAL/DISABLED: incoming must already fit the table schema.
+            // Distinguish unknown columns (fixable via alterTable) from
+            // genuine type conflicts (reference MANUAL-mode semantics).
+            val curByName = cur.fields.map(f => f.name -> f.dataType).toMap
+            val unknown = dfIn.schema.fields.filterNot(f => curByName.contains(f.name)).map(_.name)
+            if (unknown.nonEmpty) throw new IllegalArgumentException(
+              s"columns ${unknown.mkString(",")} not in table schema for $t " +
+                s"(schema evolution is ${evoMode.name}; add them via alterTable)")
+            val conflicts = dfIn.schema.fields
+              .filter(f => curByName.get(f.name).exists(_ != f.dataType))
+              .map(f => s"${f.name}: ${curByName(f.name)} vs ${f.dataType}")
+            if (conflicts.nonEmpty) throw new IllegalArgumentException(
+              s"incompatible type change under ${evoMode.name} evolution for $t: " +
+                conflicts.mkString("; "))
             (cur, false)
         }
       }
@@ -334,18 +342,20 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val deltas = effectiveDeltas(t, opts.asOf)
 
     val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts, dataDir(t).toString)
+    // Filter BEFORE projecting: a partition filter may reference columns the
+    // caller did not project (Catalyst prunes the scan all the same).
+    val filtered = opts.partitionFilter match {
+      case Some(p) => df.where(p)
+      case None => df
+    }
     val extra = if (opts.withFilePath) Seq("_file_path") else Nil
     val projected = opts.columns match {
-      case Some(cols) => df.select((cols ++ extra).map(col): _*)
-      case None => df.select((schema.fieldNames.toSeq ++ extra).map(col): _*)
-    }
-    val filtered = opts.partitionFilter match {
-      case Some(p) => projected.where(p)
-      case None => projected
+      case Some(cols) => filtered.select((cols ++ extra).map(col): _*)
+      case None => filtered.select((schema.fieldNames.toSeq ++ extra).map(col): _*)
     }
     opts.limit match {
-      case Some(n) => filtered.limit(n)
-      case None => filtered
+      case Some(n) => projected.limit(n)
+      case None => projected
     }
   }
 
@@ -378,9 +388,22 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   def transaction(commitMessage: String = ""): Transaction = store.newTransaction(commitMessage)
 
   // ------------------------------------------------------------ compaction
-  /** Eagerly resolve upserts/deletes into a read-optimized snapshot. */
-  def compact(table: String, numBuckets: Int = 8): Unit =
-    Compactor.compact(this, table, numBuckets)
+  /** Eagerly resolve upserts/deletes into a read-optimized snapshot.
+    * numBuckets ≤ 0 resolves to: the existing base's bucket count (so
+    * write-triggered recompaction never silently discards copy-by-reference
+    * by re-bucketing), else the `compaction.num_buckets` table property,
+    * else 8 (reference default, types/tables.py:659). */
+  def compact(table: String, numBuckets: Int = 0): Unit = {
+    val n = if (numBuckets > 0) numBuckets
+    else {
+      val t = TableHandle.parse(table)
+      val (base, _) = MergeRead.activeDeltas(effectiveDeltas(t, None))
+      base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
+        .orElse(getTableMeta(table).properties.get("compaction.num_buckets").map(_.toInt))
+        .getOrElse(8)
+    }
+    Compactor.compact(this, table, n)
+  }
 
   /** Reference write-triggered auto-compaction (impl.py:985-1091): compact
     * when pending deltas/files/records exceed the table's thresholds. */
@@ -433,7 +456,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
 
   /** Visible deltas after the last REPLACE marker, ascending stream position. */
-  private[catalog] def effectiveDeltas(t: TableHandle, asOf: Option[Long]): Seq[DeltaMeta] = {
+  private[graft] def effectiveDeltas(t: TableHandle, asOf: Option[Long]): Seq[DeltaMeta] = {
     val all = visibleDeltas(t, asOf, None).map(_._2)
     val lastReplace = all.zipWithIndex
       .filter(_._1.properties.get("replace").contains("true")).map(_._2).lastOption

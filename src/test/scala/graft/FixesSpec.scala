@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/** Targeted tests for round-3 fixes and previously-untested semantics:
+  * bucket-count reuse in auto-compaction, partition filter on unprojected
+  * columns, MANUAL-mode evolution errors, merge_order winners, limit
+  * pushdown, null-key deletes. */
+class FixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newCatalog(): GraftCatalog = new GraftCatalog(spark, tmpDir("graft-fix"))
+
+  private def kvSchema(props: Map[String, String] = Map.empty): StructType = StructType(Seq(
+    FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+    FieldMeta.field("v", StringType)))
+
+  test("auto-compaction reuses the existing bucket count; copy-by-reference survives") {
+    val cat = newCatalog()
+    cat.createTable("f.b", kvSchema(), properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable((1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), "f.b", WriteMode.Merge)
+    cat.compact("f.b", numBuckets = 4)
+    // Switch to MAX so the next merge write triggers auto-compaction.
+    cat.alterTable("f.b", setProperties = Map("read_optimization" -> "MAX"))
+    cat.writeToTable(Seq((1L, "updated")).toDF("id", "v"), "f.b", WriteMode.Merge)
+    val t = TableHandle.parse("f.b")
+    val last = cat.effectiveDeltas(t, None).filter(_.compactedUpTo >= 0).last
+    assert(last.properties.get("num_buckets").contains("4"),
+      s"auto-compact re-bucketed: ${last.properties}")
+    assert(last.properties.get("copied_by_reference").exists(_.toInt > 0),
+      s"no files copied by reference: ${last.properties}")
+    assert(cat.readTable("f.b").where($"id" === 1L).select("v").head().getString(0) == "updated")
+    assert(cat.readTable("f.b").count() == 200)
+  }
+
+  test("partition filter referencing an unprojected column") {
+    val cat = newCatalog()
+    cat.writeToTable(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "age"), "f.p")
+    val got = cat.readTable("f.p", ReadOptions(
+      columns = Some(Seq("name")),
+      partitionFilter = Some(col("age") > 15)))
+    assert(got.columns.toSeq == Seq("name"))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("MANUAL evolution: unknown column vs type conflict raise distinct errors") {
+    val cat = newCatalog()
+    cat.createTable("f.m", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", IntegerType))), properties = Map("schema_evolution" -> "MANUAL"))
+    cat.writeToTable(Seq((1L, 1)).toDF("id", "v"), "f.m", WriteMode.Merge)
+    val eNew = intercept[IllegalArgumentException] {
+      cat.writeToTable(Seq((2L, 2, 5)).toDF("id", "v", "extra"), "f.m", WriteMode.Merge)
+    }
+    assert(eNew.getMessage.contains("not in table schema"))
+    assert(eNew.getMessage.contains("extra"))
+    // Widening (long into int column) is a type change MANUAL must reject.
+    val eType = intercept[IllegalArgumentException] {
+      cat.writeToTable(Seq((3L, 99L)).toDF("id", "v"), "f.m", WriteMode.Merge)
+    }
+    assert(eType.getMessage.contains("incompatible type change"))
+    // Narrower-but-coercible types are still accepted under MANUAL.
+    cat.writeToTable(Seq((4, 4)).toDF("id", "v"), "f.m", WriteMode.Merge)
+    assert(cat.readTable("f.m").count() == 2)
+  }
+
+  test("merge_order: older commit with higher order value beats newer commit") {
+    val cat = newCatalog()
+    cat.createTable("f.mo", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("ver", IntegerType, mergeOrder = Some("DESC")),
+      FieldMeta.field("src", StringType))), properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable(Seq((1L, 5, "old-high")).toDF("id", "ver", "src"), "f.mo", WriteMode.Merge)
+    cat.writeToTable(Seq((1L, 3, "new-low")).toDF("id", "ver", "src"), "f.mo", WriteMode.Merge)
+    assert(cat.readTable("f.mo").select("src").head().getString(0) == "old-high")
+    // ASC merge_order: smallest wins.
+    cat.createTable("f.mo2", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("ver", IntegerType, mergeOrder = Some("ASC")),
+      FieldMeta.field("src", StringType))), properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable(Seq((1L, 5, "old-high")).toDF("id", "ver", "src"), "f.mo2", WriteMode.Merge)
+    cat.writeToTable(Seq((1L, 3, "new-low")).toDF("id", "ver", "src"), "f.mo2", WriteMode.Merge)
+    assert(cat.readTable("f.mo2").select("src").head().getString(0) == "new-low")
+    // And the winner survives compaction identically.
+    cat.compact("f.mo")
+    assert(cat.readTable("f.mo").select("src").head().getString(0) == "old-high")
+  }
+
+  test("limit pushdown caps the read") {
+    val cat = newCatalog()
+    cat.writeToTable((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "f.l")
+    assert(cat.readTable("f.l", ReadOptions(limit = Some(7))).count() == 7)
+    assert(cat.readTable("f.l", ReadOptions(limit = Some(1000))).count() == 100)
+  }
+
+  test("null merge-key delete removes the null-keyed row only") {
+    val cat = newCatalog()
+    cat.createTable("f.n", StructType(Seq(
+      FieldMeta.field("k1", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("k2", StringType, mergeKey = true),
+      FieldMeta.field("v", LongType))), properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable(Seq((1L, Some("a"), 10L), (2L, None, 20L), (3L, Some("c"), 30L))
+      .toDF("k1", "k2", "v"), "f.n", WriteMode.Merge)
+    cat.writeToTable(Seq((2L, None: Option[String])).toDF("k1", "k2"), "f.n", WriteMode.Delete)
+    val got = cat.readTable("f.n").select("k1").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+}
