@@ -315,12 +315,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val out = dataDir(t).resolve(f"d$rev%06d").toString
       val obs = Observation(s"write-${t.name}-$rev")
       val withPart = addDerivedPartitionColumns(coerced, scheme)
+      val ct = contentTypeOf(meta)
       val writer = withPart.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+        .format(ct.format).options(ct.writeOptions)
       val partCols = scheme.keys.map(_.partitionColumnName).filter(withPart.columns.contains)
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(out)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)
       val n = obs.get("n").asInstanceOf[Long]
-      val entries = listParquet(Paths.get(out)).map(p =>
-        ManifestEntry(p.toString, Files.size(p), parquetRowCount(p)))
+      val entries = listDataFiles(Paths.get(out), ct).map(p =>
+        ManifestEntry(p.toString, Files.size(p), fileRowCount(p, ct)))
       val props = Map("written_columns" -> dfIn.columns.mkString(",")) ++
         (if (replace) Map("replace" -> "true") else Map.empty) ++
         (if (deltaType == DeltaType.Chrono) Map("chrono_millis" -> System.currentTimeMillis.toString) else Map.empty) ++
@@ -341,7 +343,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val scheme = partitionSchemeOf(meta)
     val deltas = effectiveDeltas(t, opts.asOf)
 
-    val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts, dataDir(t).toString)
+    val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts,
+      dataDir(t).toString, contentTypeOf(meta))
     // Filter BEFORE projecting: a partition filter may reference columns the
     // caller did not project (Catalyst prunes the scan all the same).
     val filtered = opts.partitionFilter match {
@@ -372,9 +375,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   }
 
   /** Read the data files listed in a manifest table — from_manifest_table. */
-  def fromManifestTable(manifest: DataFrame): DataFrame = {
+  def fromManifestTable(manifest: DataFrame, contentType: ContentType = ContentType.Parquet): DataFrame = {
     val paths = manifest.select("path").collect().map(_.getString(0))
-    spark.read.parquet(paths.toIndexedSeq: _*)
+    spark.read.format(contentType.format).options(contentType.readOptions)
+      .load(paths.toIndexedSeq: _*)
   }
 
   /** Transaction history as a DataFrame — `DESCRIBE HISTORY` analog. */
@@ -473,9 +477,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         k.column(col(k.field), df.schema(k.field).dataType))
     }
 
-  /** Per-file row count from the parquet footer (driver-side, metadata-only)
-    * — feeds ManifestEntry.recordCount like the reference manifest
-    * (manifest.py:290). */
+  private[catalog] def contentTypeOf(meta: TableMeta): ContentType =
+    ContentType.fromName(meta.properties.getOrElse("content_type", "parquet"))
+
+  /** Per-file row count: parquet reads it from the footer (driver-side,
+    * metadata-only — feeds ManifestEntry.recordCount like the reference
+    * manifest, manifest.py:290); other content types have no cheap count
+    * and record -1 (unknown). */
+  private[catalog] def fileRowCount(p: Path, ct: ContentType): Long =
+    if (ct == ContentType.Parquet) parquetRowCount(p) else -1L
+
   private[catalog] def parquetRowCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toString), spark.sessionState.newHadoopConf())
@@ -483,10 +494,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     try r.getRecordCount finally r.close()
   }
 
-  private[catalog] def listParquet(dir: Path): Seq[Path] = {
+  private[catalog] def listDataFiles(dir: Path, ct: ContentType): Seq[Path] = {
     if (!Files.exists(dir)) return Nil
     val s = Files.walk(dir)
-    try s.iterator().asScala.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList.sortBy(_.toString)
+    try s.iterator().asScala.filter(p => p.toString.endsWith(ct.extension) && Files.isRegularFile(p)).toList.sortBy(_.toString)
     finally s.close()
   }
 

@@ -45,6 +45,7 @@ object Compactor {
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val scheme = cat.partitionSchemeOf(meta)
     val sortScheme = cat.sortSchemeOf(meta)
+    val ct = cat.contentTypeOf(meta)
     val deltas = cat.effectiveDeltas(t, None)
     val (base, pending) = MergeRead.activeDeltas(deltas)
     if (pending.isEmpty) return
@@ -74,7 +75,7 @@ object Compactor {
           val touched: Set[Int] =
             if (!baseBucketed) (0 until numBuckets).toSet
             else MergeRead.touchedBuckets(spark, schema, mergeKeys, numBuckets,
-              pending.flatMap(_.entries).map(_.path))
+              pending.flatMap(_.entries).map(_.path), ct)
 
           val (untouchedEntries, baseToRead) = base.map { b =>
             if (!baseBucketed) (Seq.empty[ManifestEntry], b.entries)
@@ -91,7 +92,7 @@ object Compactor {
             .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
 
           if (paths.nonEmpty) {
-            val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths)
+            val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths, ct)
             val active = MergeRead.referencedDeltas(deltas, paths)
             // Backfill past_defaults into the materialized files: compacted
             // files are stamped written_columns = full schema, so the read
@@ -118,15 +119,16 @@ object Compactor {
               .sortWithinPartitions(sortCols: _*)
               .observe(obs, count(lit(1)).as("n"))
               .write.mode("overwrite")
+              .format(ct.format).options(ct.writeOptions)
               .option("maxRecordsPerFile", maxRec)
               .partitionBy((Seq(Bucket) ++ partNames): _*)
-              .parquet(out)
+              .save(out)
           } else {
             Files.createDirectories(Paths.get(out))
           }
 
-          val newEntries = cat.listParquet(Paths.get(out)).map(p =>
-            ManifestEntry(p.toString, Files.size(p), cat.parquetRowCount(p)))
+          val newEntries = cat.listDataFiles(Paths.get(out), ct).map(p =>
+            ManifestEntry(p.toString, Files.size(p), cat.fileRowCount(p, ct)))
           val written = if (paths.nonEmpty) obs.get("n").asInstanceOf[Long] else 0L
           val untouchedRecords = untouchedEntries.map(e => math.max(0L, e.recordCount)).sum
           DeltaMeta(rev, DeltaType.Add.name, untouchedEntries ++ newEntries, txn.txnId, maxPos,

@@ -61,7 +61,8 @@ object MergeRead {
       mergeKeys: Seq[String],
       deltas: Seq[DeltaMeta],
       opts: ReadOptions,
-      dataDir: String): DataFrame = {
+      dataDir: String,
+      contentType: ContentType = ContentType.Parquet): DataFrame = {
     val (base, pending) = activeDeltas(deltas)
     val needMerge = opts.mergeOnRead && mergeKeys.nonEmpty &&
       pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
@@ -77,7 +78,7 @@ object MergeRead {
 
     val resolved: DataFrame =
       if (!needMerge) {
-        scanWithLineage(spark, schema, deltas, basePaths ++ pendingPaths)
+        scanWithLineage(spark, schema, deltas, basePaths ++ pendingPaths, contentType)
           .where(col(Dt) =!= DeltaType.Delete.name)
           .select(normCols: _*)
       } else numBuckets match {
@@ -86,18 +87,18 @@ object MergeRead {
           // join the merge shuffle; untouched buckets are scan-only
           // (reference copy-by-reference, merge.py:483-502, applied to the
           // read path — a 1-row upsert shuffles 1/n of the base, not all).
-          val touched = touchedBuckets(spark, schema, mergeKeys, n, pendingPaths)
+          val touched = touchedBuckets(spark, schema, mergeKeys, n, pendingPaths, contentType)
           val (untouched, touchedBase) =
             basePaths.partition(p => bucketOfPath(p).exists(b => !touched.contains(b)))
           val merged = resolveScan(spark, schema, scheme, mergeKeys, deltas,
-            touchedBase ++ pendingPaths).select(normCols: _*)
+            touchedBase ++ pendingPaths, contentType).select(normCols: _*)
           if (untouched.isEmpty) merged
-          else scanWithLineage(spark, schema, deltas, untouched)
+          else scanWithLineage(spark, schema, deltas, untouched, contentType)
             .select(normCols: _*)
             .unionByName(merged)
         case _ =>
           resolveScan(spark, schema, scheme, mergeKeys, deltas,
-            basePaths ++ pendingPaths).select(normCols: _*)
+            basePaths ++ pendingPaths, contentType).select(normCols: _*)
       }
     val out = applyPastDefaults(resolved, schema)
     if (opts.withFilePath) out.withColumn("_file_path", col(File)) else out
@@ -110,18 +111,26 @@ object MergeRead {
 
   private def resolveScan(
       spark: SparkSession, schema: StructType, scheme: PartitionScheme,
-      mergeKeys: Seq[String], deltas: Seq[DeltaMeta], paths: Seq[String]): DataFrame =
-    resolve(scanWithLineage(spark, schema, deltas, paths),
+      mergeKeys: Seq[String], deltas: Seq[DeltaMeta], paths: Seq[String],
+      ct: ContentType): DataFrame =
+    resolve(scanWithLineage(spark, schema, deltas, paths, ct),
       schema, scheme, mergeKeys, referencedDeltas(deltas, paths))
 
   /** Buckets hit by the pending deltas' merge keys — a metadata-sized
     * key-column scan (mirrors Compactor's copy-by-reference discovery). */
   def touchedBuckets(
       spark: SparkSession, schema: StructType, mergeKeys: Seq[String],
-      numBuckets: Int, pendingPaths: Seq[String]): Set[Int] = {
+      numBuckets: Int, pendingPaths: Seq[String],
+      ct: ContentType = ContentType.Parquet): Set[Int] = {
     if (pendingPaths.isEmpty) return Set.empty
-    val keySchema = StructType(schema.fields.filter(f => mergeKeys.contains(f.name)))
-    spark.read.schema(keySchema).parquet(pendingPaths: _*)
+    // Delimited formats cannot prune to the key columns positionally on a
+    // subset schema — read the full schema and project.
+    val keySchema =
+      if (ct == ContentType.Parquet || ct == ContentType.Orc || ct == ContentType.Json)
+        StructType(schema.fields.filter(f => mergeKeys.contains(f.name)))
+      else schema
+    spark.read.schema(keySchema).format(ct.format).options(ct.readOptions)
+      .load(pendingPaths: _*)
       .select(pmod(hash(mergeKeys.map(col): _*), lit(numBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
   }
@@ -162,7 +171,8 @@ object MergeRead {
       spark: SparkSession,
       schema: StructType,
       lineage: Seq[DeltaMeta],
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String],
+      ct: ContentType = ContentType.Parquet): DataFrame = {
     import spark.implicits._
     val lineageDf = broadcast(lineage.map { d =>
       val present = d.properties.get("written_columns")
@@ -172,10 +182,14 @@ object MergeRead {
     val posExpr = element_at(
       regexp_extract_all(col("_metadata.file_path"), lit("/d(\\d+)/"), lit(1)), -1)
       .cast(LongType)
-    spark.read.schema(schema).parquet(paths: _*)
+    // _metadata.row_index exists only for parquet; other content types get
+    // a constant (intra-file duplicate-key order is undefined for them).
+    val rowIdx =
+      if (ct == ContentType.Parquet) col("_metadata.row_index") else lit(0L)
+    spark.read.schema(schema).format(ct.format).options(ct.readOptions).load(paths: _*)
       .withColumn(Pos, posExpr)
       .withColumn(File, col("_metadata.file_path"))
-      .withColumn(Row, col("_metadata.row_index"))
+      .withColumn(Row, rowIdx)
       .join(lineageDf, Seq(Pos), "left")
       .withColumn(Dt, assertNotNull(col(Dt), "delta lineage missing for file position"))
   }

@@ -54,6 +54,54 @@ object WriteMode {
     all.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"unknown WriteMode $n"))
 }
 
+/**
+ * Table data-file content type — reference ContentType (types/media.py:7-32)
+ * re-expressed as Spark datasource format + options. TSV/PSV ride the csv
+ * datasource with a different delimiter (their files still carry Spark's
+ * .csv extension). Feather is de-scoped (no Arrow-IPC datasource in Spark);
+ * Avro maps to the external `avro` module and raises Spark's own
+ * missing-module error when the jar is absent.
+ */
+sealed trait ContentType {
+  def name: String
+  def format: String
+  def extension: String
+  def writeOptions: Map[String, String] = Map.empty
+  def readOptions: Map[String, String] = writeOptions
+}
+object ContentType {
+  /** Round-trip-safe null sentinel for delimited text formats. */
+  private val NullToken = "\\N"
+  case object Parquet extends ContentType {
+    val name = "parquet"; val format = "parquet"; val extension = ".parquet"
+  }
+  case object Csv extends ContentType {
+    val name = "csv"; val format = "csv"; val extension = ".csv"
+    override val writeOptions = Map("header" -> "false", "nullValue" -> NullToken)
+  }
+  case object Tsv extends ContentType {
+    val name = "tsv"; val format = "csv"; val extension = ".csv"
+    override val writeOptions = Map("header" -> "false", "sep" -> "\t", "nullValue" -> NullToken)
+  }
+  case object Psv extends ContentType {
+    val name = "psv"; val format = "csv"; val extension = ".csv"
+    override val writeOptions = Map("header" -> "false", "sep" -> "|", "nullValue" -> NullToken)
+  }
+  case object Json extends ContentType {
+    val name = "json"; val format = "json"; val extension = ".json"
+  }
+  case object Orc extends ContentType {
+    val name = "orc"; val format = "orc"; val extension = ".orc"
+  }
+  case object Avro extends ContentType {
+    val name = "avro"; val format = "avro"; val extension = ".avro"
+  }
+  val all: Seq[ContentType] = Seq(Parquet, Csv, Tsv, Psv, Json, Orc, Avro)
+  def fromName(n: String): ContentType =
+    all.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unknown content type $n"))
+}
+
 /** Per-table schema evolution policy — reference types/tables.py:574-587. */
 sealed trait SchemaEvolutionMode { def name: String }
 object SchemaEvolutionMode {

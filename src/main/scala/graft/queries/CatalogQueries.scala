@@ -341,6 +341,54 @@ object CatalogQueries {
       cat.writeToTable(tbl(s, dir, "nation"), "q.n", WriteMode.Add, txn = Some(tx))
       tx.seal()
       cat.historyDF().agg(cnt.as("n_txns"))
+    },
+
+    // Non-parquet content types: the table's data files are written and
+    // scanned in the declared format (reference utils/pyarrow.py:232-683).
+    Q("c22_csv_roundtrip", Some("SELECT * FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c22")
+      val n = tbl(s, dir, "nation")
+      cat.createTable("q.n", n.schema, properties = Map("content_type" -> "csv"))
+      cat.writeToTable(n, "q.n", WriteMode.Add)
+      cat.readTable("q.n")
+    },
+
+    Q("c23_json_roundtrip", Some("SELECT p_partkey, p_name, p_size FROM part")) { (s, dir) =>
+      val cat = newCat(s, "c23")
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_size")
+      cat.createTable("q.p", p.schema, properties = Map("content_type" -> "json"))
+      cat.writeToTable(p, "q.p", WriteMode.Add)
+      cat.readTable("q.p")
+    },
+
+    Q("c24_orc_roundtrip", Some("SELECT * FROM supplier")) { (s, dir) =>
+      val cat = newCat(s, "c24")
+      val sup = tbl(s, dir, "supplier")
+      cat.createTable("q.s", sup.schema, properties = Map("content_type" -> "orc"))
+      cat.writeToTable(sup, "q.s", WriteMode.Add)
+      cat.readTable("q.s")
+    },
+
+    // Merge-on-read + compaction over a TSV-typed table: format-independent
+    // LSM semantics.
+    Q("c25_tsv_merge", Some("""
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'Z' ELSE n_name END AS n_name
+      FROM nation WHERE n_nationkey % 4 <> 0""")) { (s, dir) =>
+      val cat = newCat(s, "c25")
+      val base = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("n_nationkey", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("n_name", StringType))),
+        properties = Map("content_type" -> "tsv"))
+      cat.writeToTable(base, "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        base.where(col("n_nationkey") % 3 === 0).withColumn("n_name", lit("Z")),
+        "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        base.select("n_nationkey").where(col("n_nationkey") % 4 === 0),
+        "q.n", WriteMode.Delete)
+      cat.readTable("q.n")
     }
   )
 }
