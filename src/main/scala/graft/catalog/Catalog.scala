@@ -477,7 +477,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         k.column(col(k.field), df.schema(k.field).dataType))
     }
 
-  private[catalog] def contentTypeOf(meta: TableMeta): ContentType =
+  private[graft] def contentTypeOf(meta: TableMeta): ContentType =
     ContentType.fromName(meta.properties.getOrElse("content_type", "parquet"))
 
   /** Per-file row count: parquet reads it from the footer (driver-side,

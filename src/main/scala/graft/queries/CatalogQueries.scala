@@ -389,6 +389,19 @@ object CatalogQueries {
         base.select("n_nationkey").where(col("n_nationkey") % 4 === 0),
         "q.n", WriteMode.Delete)
       cat.readTable("q.n")
+    },
+
+    // DSv2: plain Spark SQL over the catalog plugin, filter pushed to scan.
+    Q("c26_dsv2_sql", Some(
+      "SELECT n_name, n_regionkey FROM nation WHERE n_regionkey <= 2")) { (s, dir) =>
+      val cat = newCat(s, "c26")
+      cat.writeToTable(tbl(s, dir, "nation"), "q.n")
+      // Unique catalog name per invocation: Spark caches plugin instances
+      // by name, and each run uses a fresh temp root.
+      val cn = s"graft_c26_${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.spark.GraftSparkCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cn.root", cat.root.toString)
+      s.sql(s"SELECT n_name, n_regionkey FROM $cn.q.n WHERE n_regionkey <= 2")
     }
   )
 }

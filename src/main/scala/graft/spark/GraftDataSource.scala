@@ -1,0 +1,176 @@
+package graft.spark
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{GraftCatalog, TableHandle}
+import graft.model.{ContentType, DeltaType}
+
+/**
+ * DSv2 read path for Graft tables (SURVEY §7.3; reference analog
+ * utils/daft.py:96-307): makes tables visible to Spark SQL with full
+ * filter / column / limit pushdown.
+ *
+ * Scanning delegates to Spark's own vectorized parquet DSv2 table over the
+ * manifest's ACTIVE file list, so `ParquetScanBuilder`'s
+ * `SupportsPushDownFilters/RequiredColumns/Limit/Aggregates` all apply
+ * unchanged — the Graft layer contributes snapshot resolution (time
+ * travel via the `asOf` option) and manifest pruning, which is exactly the
+ * division of labor a lakehouse format wants.
+ *
+ * v1 restriction: the DSv2 scan serves read-optimized state. Tables with
+ * UNRESOLVED merge deltas (pending upserts/deletes beyond the compaction
+ * watermark) are rejected with guidance — with the default
+ * read_optimization=MAX every merge write compacts eagerly, so this only
+ * bites merge-on-read-configured tables, which `GraftCatalog.readTable`
+ * serves.
+ */
+object GraftDsv2 {
+
+  final case class Resolved(handle: TableHandle, schema: StructType, paths: Seq[String])
+
+  def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
+    require(root != null, "option 'root' (catalog root dir) is required")
+    require(table != null, "option 'table' (ns.table) is required")
+    val spark = SparkSession.active
+    val cat = new GraftCatalog(spark, root)
+    val meta = cat.getTableMeta(table, asOf)
+    require(cat.contentTypeOf(meta) == ContentType.Parquet,
+      s"DSv2 scan supports parquet tables; $table is ${cat.contentTypeOf(meta).name} " +
+        "(use GraftCatalog.readTable)")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[StructType]
+    val t = TableHandle.parse(table)
+    val deltas = cat.effectiveDeltas(t, asOf)
+    val (base, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
+    val unresolved = pending.filter(d =>
+      d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
+    require(unresolved.isEmpty,
+      s"$table has ${unresolved.size} unresolved merge delta(s); compact() first " +
+        "or read through GraftCatalog.readTable (merge-on-read)")
+    Resolved(t, schema, (base.toSeq ++ pending).flatMap(_.entries).map(_.path))
+  }
+
+  def table(r: Resolved): GraftTable = new GraftTable(r)
+}
+
+/** A Graft table exposed through DSv2; scans delegate to ParquetTable. */
+final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with SupportsRead {
+  override def name(): String = s"graft.${resolved.handle}"
+  override def schema(): StructType = resolved.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    // recursiveFileLookup disables partition inference, so physical-layout
+    // dirs (_g_bucket=N, _g_p_*) never leak into the schema.
+    val opts = new CaseInsensitiveStringMap(
+      (options.asScala ++ Map("recursiveFileLookup" -> "true")).asJava)
+    val delegate = ParquetTable(name(), spark, opts, resolved.paths,
+      Some(resolved.schema), classOf[ParquetFileFormat])
+    delegate.newScanBuilder(opts)
+  }
+}
+
+/** `spark.read.format("graft").option("root", …).option("table", "ns.t")`. */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def resolve(options: CaseInsensitiveStringMap): GraftDsv2.Resolved =
+    GraftDsv2.resolve(options.get("root"), options.get("table"),
+      Option(options.get("asOf")).map(_.toLong))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GraftDsv2.table(resolve(new CaseInsensitiveStringMap(properties)))
+}
+
+/**
+ * Catalog plugin: `spark.sql.catalog.graft=graft.spark.GraftSparkCatalog`
+ * (+ `.root=<dir>`) makes `SELECT … FROM graft.ns.t` resolve.
+ */
+class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null, s"spark.sql.catalog.$name.root must be set")
+  }
+  override def name(): String = catalogName
+
+  private def cat = new GraftCatalog(SparkSession.active, root)
+  private def fullName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    cat.listTables(namespace.mkString(".")).map(t => Identifier.of(namespace, t)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
+    GraftDsv2.table(GraftDsv2.resolve(root, fullName(ident), None))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = cat.tableExists(fullName(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    cat.createTable(fullName(ident), schema, properties = properties.asScala.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER through Spark SQL is not supported; use GraftCatalog.alterTable")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (cat.tableExists(fullName(ident))) { cat.dropTable(fullName(ident)); true } else false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().sameElements(newIdent.namespace()),
+      "rename across namespaces is not supported")
+    cat.renameTable(fullName(oldIdent), newIdent.name())
+  }
+
+  // ------------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(ns => Array(ns)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!cat.namespaceExists(namespace.mkString("."))) {
+      throw new NoSuchNamespaceException(namespace)
+    }
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    cat.createNamespace(namespace.mkString("."))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "dropNamespace through Spark SQL is not supported; use GraftCatalog")
+}
