@@ -25,9 +25,9 @@ final case class TableHandle(namespace: String, name: String) {
 }
 
 object TableHandle {
-  def parse(s: String): TableHandle = s.split('.') match {
+  def parse(s: String, defaultNs: String = "default"): TableHandle = s.split('.') match {
     case Array(ns, t) => TableHandle(ns, t)
-    case Array(t) => TableHandle("default", t)
+    case Array(t) => TableHandle(defaultNs, t)
     case _ => throw new IllegalArgumentException(s"bad table name $s")
   }
 }
@@ -62,14 +62,62 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   private def dataDir(t: TableHandle): Path = tableDir(t).resolve("data")
 
   // ------------------------------------------------------------- namespaces
-  def createNamespace(ns: String, txn: Option[Transaction] = None): Unit =
+  /** Default namespace for unqualified table names — reference
+    * get/set default namespace (catalog/interface.py:389-513). */
+  @volatile var defaultNamespace: String = "default"
+  private def th(table: String): TableHandle = TableHandle.parse(table, defaultNamespace)
+
+  def createNamespace(ns: String, properties: Map[String, String] = Map.empty,
+      txn: Option[Transaction] = None): Unit =
     inTxn(txn, s"create namespace $ns") { t =>
       val dir = nsMetaDir(ns)
-      t.stage(dir, store.nextRevision(dir, Some(t)), "ns", Json.write(Map("name" -> ns)), s"CREATE ns/$ns")
+      t.stage(dir, store.nextRevision(dir, Some(t)), "ns",
+        Json.write(NsMeta(ns, properties, dropped = false)), s"CREATE ns/$ns")
     }
 
+  private def nsMeta(ns: String, asOf: Option[Long]): Option[NsMeta] =
+    store.latestVisible(nsMetaDir(ns), asOf, None).map(c => Json.read(c._2, classOf[NsMeta]))
+
   def namespaceExists(ns: String, asOf: Option[Long] = None): Boolean =
-    store.latestVisible(nsMetaDir(ns), asOf, None).isDefined
+    nsMeta(ns, asOf).exists(!_.dropped)
+
+  def namespaceProperties(ns: String): Map[String, String] =
+    nsMeta(ns, None).filter(!_.dropped)
+      .getOrElse(throw new IllegalArgumentException(s"namespace $ns not found")).props
+
+  /** Merge properties into a namespace — reference alter_namespace. */
+  def alterNamespace(ns: String, setProperties: Map[String, String],
+      txn: Option[Transaction] = None): Unit = {
+    val m = nsMeta(ns, None).filter(!_.dropped)
+      .getOrElse(throw new IllegalArgumentException(s"namespace $ns not found"))
+    inTxn(txn, s"alter namespace $ns") { t =>
+      val dir = nsMetaDir(ns)
+      t.stage(dir, store.nextRevision(dir, Some(t)), "ns",
+        Json.write(NsMeta(ns, m.props ++ setProperties, dropped = false)), s"UPDATE ns/$ns")
+    }
+  }
+
+  /** Drop a namespace; refuses when non-empty unless cascade — reference
+    * drop_namespace (catalog/interface.py:441-466). */
+  def dropNamespace(ns: String, cascade: Boolean = false): Unit = {
+    nsMeta(ns, None).filter(!_.dropped)
+      .getOrElse(throw new IllegalArgumentException(s"namespace $ns not found"))
+    val tables = listTables(ns)
+    if (tables.nonEmpty && !cascade) throw new IllegalArgumentException(
+      s"namespace $ns is not empty (${tables.mkString(",")}); use cascade")
+    val t = store.newTransaction(s"drop namespace $ns")
+    try {
+      tables.foreach(tb => dropTable(s"$ns.$tb", txn = Some(t)))
+      val dir = nsMetaDir(ns)
+      t.stage(dir, store.nextRevision(dir, Some(t)), "ns",
+        Json.write(NsMeta(ns, Map.empty, dropped = true)), s"DELETE ns/$ns")
+      t.seal()
+    } catch { case e: Throwable => if (!t.isSealed) t.abort(); throw e }
+  }
+
+  /** Fail timed-out running txns + sweep failed txns' staged revisions. */
+  def janitor(timeoutMillis: Long = 24L * 3600 * 1000): (Int, Int) =
+    store.janitor(timeoutMillis)
 
   def listNamespaces(asOf: Option[Long] = None): Seq[String] = {
     val base = root.resolve("ns")
@@ -90,7 +138,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       sortScheme: SortScheme = SortScheme.unsorted,
       properties: Map[String, String] = Map.empty,
       txn: Option[Transaction] = None): TableHandle = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     schema.fields.filter(FieldMeta.isMergeKey).foreach(FieldMeta.validateMergeKey)
     if (tableExists(table)) throw new TableAlreadyExists(table)
     inTxn(txn, s"create table $t") { tx =>
@@ -105,12 +153,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   }
 
   def tableExists(table: String, asOf: Option[Long] = None): Boolean = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     currentMeta(t, asOf, None).exists(!_.dropped)
   }
 
   def getTableMeta(table: String, asOf: Option[Long] = None): TableMeta = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     currentMeta(t, asOf, None).filter(!_.dropped).getOrElse(throw new TableNotFound(table))
   }
 
@@ -129,13 +177,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   }
 
   def dropTable(table: String, txn: Option[Transaction] = None): Unit = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     val m = getTableMeta(table)
     inTxn(txn, s"drop table $t")(tx => stageTableMeta(tx, t, m.copy(dropped = true)))
   }
 
   def renameTable(table: String, newName: String, txn: Option[Transaction] = None): Unit = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     val nt = TableHandle(t.namespace, newName)
     val m = getTableMeta(table)
     if (tableExists(nt.toString)) throw new TableAlreadyExists(nt.toString)
@@ -152,7 +200,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
 
   /** Truncate: drop all data, keep schema — reference interface.py:317-336. */
   def truncateTable(table: String, txn: Option[Transaction] = None): Unit = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     getTableMeta(table)
     inTxn(txn, s"truncate $t") { tx =>
       val dir = deltaDir(t)
@@ -170,7 +218,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       setProperties: Map[String, String] = Map.empty,
       sortScheme: Option[SortScheme] = None,
       txn: Option[Transaction] = None): Unit = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     val m = getTableMeta(table)
     val cur = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val evolved = newSchema.map(s => TypePromotion.unify(cur, s)).getOrElse(cur)
@@ -193,7 +241,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       table: String,
       mode: WriteMode = WriteMode.Auto,
       txn: Option[Transaction] = None): Long = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     // Read-your-writes: a table created earlier in the same open transaction
     // is visible to later writes in it (reference transaction.py:85-115).
     def metaInTx: Option[TableMeta] = currentMeta(t, None, txn).filter(!_.dropped)
@@ -316,14 +364,33 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val obs = Observation(s"write-${t.name}-$rev")
       val withPart = addDerivedPartitionColumns(coerced, scheme)
       val ct = contentTypeOf(meta)
-      val writer = withPart.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+      // Per-column min/max/null stats ride the same write pass (reference
+      // delta column stats, compute/stats/models/delta_stats.py:15-40) —
+      // zero extra jobs, all codegen'd aggregates.
+      val statFields = targetSchema.fields.filter(f => present(f.name)).filter(f =>
+        f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+          f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType || f.dataType == BooleanType)
+      val statAggs = statFields.flatMap { f => Seq(
+        min(col(f.name)).cast(StringType).as(s"min__${f.name}"),
+        max(col(f.name)).cast(StringType).as(s"max__${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}")) }
+      val writer = withPart.observe(obs, count(lit(1)).as("n"), statAggs.toIndexedSeq: _*)
+        .write.mode("overwrite")
         .format(ct.format).options(ct.writeOptions)
       val partCols = scheme.keys.map(_.partitionColumnName).filter(withPart.columns.contains)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)
       val n = obs.get("n").asInstanceOf[Long]
+      val statsJson = Json.write(statFields.map { f =>
+        f.name -> Map(
+          "min" -> Option(obs.get(s"min__${f.name}")).map(_.toString).orNull,
+          "max" -> Option(obs.get(s"max__${f.name}")).map(_.toString).orNull,
+          "nulls" -> obs.get(s"nulls__${f.name}").toString)
+      }.toMap)
       val entries = listDataFiles(Paths.get(out), ct).map(p =>
         ManifestEntry(p.toString, Files.size(p), fileRowCount(p, ct)))
-      val props = Map("written_columns" -> dfIn.columns.mkString(",")) ++
+      val props = Map("written_columns" -> dfIn.columns.mkString(","),
+        "column_stats" -> statsJson) ++
         (if (replace) Map("replace" -> "true") else Map.empty) ++
         (if (deltaType == DeltaType.Chrono) Map("chrono_millis" -> System.currentTimeMillis.toString) else Map.empty) ++
         Map("record_count" -> n.toString)
@@ -335,7 +402,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
 
   // ------------------------------------------------------------- read path
   def readTable(table: String, opts: ReadOptions = ReadOptions()): DataFrame = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     val meta = currentMeta(t, opts.asOf, None).filter(!_.dropped)
       .getOrElse(throw new TableNotFound(table))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -365,7 +432,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   /** Schemaless read: the manifest as a table (path, size, records, delta
     * type, stream position) — reference catalog/main/impl.py:1408-1439. */
   def manifestTable(table: String, asOf: Option[Long] = None): DataFrame = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     val rows = effectiveDeltas(t, asOf).flatMap { d =>
       d.entries.map(e => (e.path, e.sizeBytes, d.properties.getOrElse("record_count", "-1").toLong,
         d.deltaType, d.streamPosition))
@@ -379,6 +446,45 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val paths = manifest.select("path").collect().map(_.getString(0))
     spark.read.format(contentType.format).options(contentType.readOptions)
       .load(paths.toIndexedSeq: _*)
+  }
+
+  /** The table's visible delta log (after the last REPLACE), ascending by
+    * stream position — the incremental-consumption surface. */
+  def deltaLog(table: String): Seq[DeltaMeta] = effectiveDeltas(th(table), None)
+
+  /** Raw change feed: rows of all deltas with stream position > afterPosition,
+    * tagged with _delta_type and _stream_position (CDC-style incremental
+    * read; reference discover_deltas, compactor_v2/utils/io.py:171). */
+  def readChanges(table: String, afterPosition: Long = -1L): DataFrame = {
+    val t = th(table)
+    val meta = getTableMeta(table)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val newer = effectiveDeltas(t, None)
+      .filter(d => d.compactedUpTo < 0 && d.streamPosition > afterPosition)
+    val paths = newer.flatMap(_.entries).map(_.path)
+    if (paths.isEmpty) {
+      val full = schema.add("_delta_type", StringType).add("_stream_position", LongType)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+    val scan = MergeRead.scanWithLineage(spark, schema, newer, paths, contentTypeOf(meta))
+    scan.select((schema.fieldNames.map(col) ++ Seq(
+      col(Hidden.Dt).as("_delta_type"), col(Hidden.Pos).as("_stream_position"))).toIndexedSeq: _*)
+  }
+
+  /** Per-delta per-column stats as a DataFrame — reference delta column
+    * stats (compute/stats/models/delta_stats.py). */
+  def columnStats(table: String): DataFrame = {
+    val t = th(table)
+    import spark.implicits._
+    effectiveDeltas(t, None).flatMap { d =>
+      d.properties.get("column_stats").toSeq.flatMap { json =>
+        val m = Json.read(json, classOf[Map[String, Map[String, String]]])
+        m.map { case (colName, st) =>
+          (d.streamPosition, colName, st.getOrElse("min", null),
+            st.getOrElse("max", null), st.getOrElse("nulls", "0").toLong)
+        }
+      }
+    }.toDF("stream_position", "column_name", "min", "max", "null_count")
   }
 
   /** Transaction history as a DataFrame — `DESCRIBE HISTORY` analog. */
@@ -400,7 +506,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   def compact(table: String, numBuckets: Int = 0): Unit = {
     val n = if (numBuckets > 0) numBuckets
     else {
-      val t = TableHandle.parse(table)
+      val t = th(table)
       val (base, _) = MergeRead.activeDeltas(effectiveDeltas(t, None))
       base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
         .orElse(getTableMeta(table).properties.get("compaction.num_buckets").map(_.toInt))
@@ -412,7 +518,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   /** Reference write-triggered auto-compaction (impl.py:985-1091): compact
     * when pending deltas/files/records exceed the table's thresholds. */
   def maybeAutoCompact(table: String): Boolean = {
-    val t = TableHandle.parse(table)
+    val t = th(table)
     val meta = getTableMeta(table)
     val all = effectiveDeltas(t, None)
     val compactedUpTo = all.filter(_.compactedUpTo >= 0).map(_.compactedUpTo).foldLeft(-1L)(math.max)

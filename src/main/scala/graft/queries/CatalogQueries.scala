@@ -402,6 +402,32 @@ object CatalogQueries {
       s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.spark.GraftSparkCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cn.root", cat.root.toString)
       s.sql(s"SELECT n_name, n_regionkey FROM $cn.q.n WHERE n_regionkey <= 2")
+    },
+
+    // Delta column stats computed during the write (min/max/null counts).
+    Q("c27_column_stats", Some("""
+      SELECT 'n_nationkey' AS column_name, CAST(MIN(n_nationkey) AS VARCHAR) AS min,
+             CAST(MAX(n_nationkey) AS VARCHAR) AS max, CAST(0 AS BIGINT) AS null_count
+      FROM nation
+      UNION ALL
+      SELECT 'n_name', MIN(n_name), MAX(n_name), CAST(0 AS BIGINT) FROM nation
+      UNION ALL
+      SELECT 'n_regionkey', CAST(MIN(n_regionkey) AS VARCHAR),
+             CAST(MAX(n_regionkey) AS VARCHAR), CAST(0 AS BIGINT) FROM nation""")) { (s, dir) =>
+      val cat = newCat(s, "c27")
+      cat.writeToTable(tbl(s, dir, "nation"), "q.n")
+      cat.columnStats("q.n").select("column_name", "min", "max", "null_count")
+    },
+
+    // URL-addressed copy pipeline: file → graft table with a transform.
+    Q("c28_url_copy", Some(
+      "SELECT n_nationkey, upper(n_name) AS n_name FROM nation")) { (s, dir) =>
+      val cname = s"c28_${System.nanoTime()}"
+      graft.Graft.initCatalog(cname, s,
+        java.nio.file.Files.createTempDirectory("graft_c28").toString)
+      graft.Graft.copy(s, s"$dir/nation.parquet", s"graft://$cname/q.n",
+        transforms = Seq(df => df.select(col("n_nationkey"), upper(col("n_name")).as("n_name"))))
+      graft.Graft.get(s, s"graft://$cname/q.n")
     }
   )
 }

@@ -39,7 +39,8 @@ import graft.model.{ContentType, DeltaType}
  */
 object GraftDsv2 {
 
-  final case class Resolved(handle: TableHandle, schema: StructType, paths: Seq[String])
+  final case class Resolved(handle: TableHandle, schema: StructType, paths: Seq[String],
+      unresolvedMerges: Int)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
@@ -55,12 +56,9 @@ object GraftDsv2 {
     val t = TableHandle.parse(table)
     val deltas = cat.effectiveDeltas(t, asOf)
     val (base, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
-    val unresolved = pending.filter(d =>
+    val unresolved = pending.count(d =>
       d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
-    require(unresolved.isEmpty,
-      s"$table has ${unresolved.size} unresolved merge delta(s); compact() first " +
-        "or read through GraftCatalog.readTable (merge-on-read)")
-    Resolved(t, schema, (base.toSeq ++ pending).flatMap(_.entries).map(_.path))
+    Resolved(t, schema, (base.toSeq ++ pending).flatMap(_.entries).map(_.path), unresolved)
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -74,6 +72,12 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with Supports
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Deferred to scan time (not schema resolution) so the streaming path —
+    // which resolves schema through this provider before falling back to
+    // the V1 stream source — still plans.
+    require(resolved.unresolvedMerges == 0,
+      s"${resolved.handle} has ${resolved.unresolvedMerges} unresolved merge delta(s); " +
+        "compact() first or read through GraftCatalog.readTable (merge-on-read)")
     val spark = SparkSession.active
     // recursiveFileLookup disables partition inference, so physical-layout
     // dirs (_g_bucket=N, _g_p_*) never leak into the schema.
@@ -85,9 +89,26 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with Supports
   }
 }
 
-/** `spark.read.format("graft").option("root", …).option("table", "ns.t")`. */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+/** `spark.read.format("graft").option("root", …).option("table", "ns.t")`;
+  * also a streaming source: `spark.readStream.format("graft")…` consumes the
+  * delta log incrementally by stream position. */
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val cat = new GraftCatalog(SparkSession.active, parameters("root"))
+    (shortName(), cat.tableSchema(parameters("table")))
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new org.apache.spark.sql.graft.GraftStreamSource(sqlContext,
+      parameters("root"), parameters("table"),
+      parameters.getOrElse("ignoreChanges", "false").toBoolean)
 
   private def resolve(options: CaseInsensitiveStringMap): GraftDsv2.Resolved =
     GraftDsv2.resolve(options.get("root"), options.get("table"),

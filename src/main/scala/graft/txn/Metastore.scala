@@ -72,6 +72,12 @@ final case class DeltaMeta(
   def totalBytes: Long = entries.map(_.sizeBytes).sum
 }
 
+/** Namespace metadata revision — name + properties + tombstone. */
+final case class NsMeta(name: String, properties: Map[String, String], dropped: Boolean) {
+  def this() = this("", Map.empty, false)
+  def props: Map[String, String] = Option(properties).getOrElse(Map.empty)
+}
+
 /** Table-version metadata revision — schema + schemes + properties. */
 final case class TableMeta(
     namespace: String,
@@ -282,6 +288,43 @@ final class Metastore(val root: Path) {
         Some((rev, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
       else None
     }.sortBy(_._1)
+
+  /**
+   * Janitor — reference compute/janitor.py:1-228: fail running transactions
+   * older than `timeoutMillis` and delete every revision file staged by a
+   * failed transaction anywhere under the catalog root. Returns
+   * (txnsFailed, filesRemoved). Driver-side, O(metadata tree).
+   */
+  def janitor(timeoutMillis: Long = 24L * 3600 * 1000): (Int, Int) = {
+    val now = System.currentTimeMillis()
+    var failed = 0
+    listFiles(runningDir).foreach { p =>
+      val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
+      if (now - rec.startTimeMillis > timeoutMillis) {
+        Files.createDirectories(failedDir)
+        Files.move(p, failedDir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        failed += 1
+      }
+    }
+    val failedIds: Set[String] =
+      listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
+    var removed = 0
+    if (failedIds.nonEmpty) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p) &&
+            !p.startsWith(txnDir)) {
+          val parts = n.stripSuffix(".json").split("__", 3)
+          if (parts.length == 3 && failedIds.contains(parts(1))) {
+            Files.deleteIfExists(p); removed += 1
+          }
+        }
+      } finally walk.close()
+    }
+    invalidateTxnCache()
+    (failed, removed)
+  }
 
   /** Next revision based on the *visible* snapshot (successful txns plus the
     * caller's own staged writes). Counting uncommitted strangers' files would

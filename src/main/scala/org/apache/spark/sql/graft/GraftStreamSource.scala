@@ -1,0 +1,76 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{GraftCatalog, TableHandle}
+import graft.model.DeltaType
+
+/**
+ * Incremental Structured Streaming source over a Graft table's delta log —
+ * the reference's stream-position watermark discovery
+ * (compactor_v2/utils/io.py:171 `discover_deltas`) as a streaming offset
+ * model. Offsets are committed stream positions; each micro-batch reads
+ * exactly the data files of the deltas in (start, end].
+ *
+ * Lives under org.apache.spark.sql because the streaming-DataFrame
+ * constructor (`internalCreateDataFrame(…, isStreaming = true)`) is
+ * private[sql] — the same placement Delta Lake's DSv1 source uses.
+ *
+ * Append-only by contract: UPSERT/DELETE deltas fail the stream unless
+ * `ignoreChanges=true` (mirrors Delta's option; upserted rows then surface
+ * as appends and deletes are skipped).
+ */
+class GraftStreamSource(
+    sqlContext: SQLContext,
+    root: String,
+    table: String,
+    ignoreChanges: Boolean) extends Source {
+
+  private val spark: SparkSession = sqlContext.sparkSession
+  private val cat = new GraftCatalog(spark, root)
+  private val handle: TableHandle = TableHandle.parse(table)
+
+  override val schema: StructType = cat.tableSchema(table)
+
+  private def visible(): Seq[graft.txn.DeltaMeta] = cat.deltaLog(table)
+
+  override def getOffset: Option[Offset] = {
+    val deltas = visible()
+    if (deltas.isEmpty) None else Some(LongOffset(deltas.map(_.streamPosition).max))
+  }
+
+  private def pos(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => throw new IllegalArgumentException(s"unexpected offset $other")
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(pos).getOrElse(-1L)
+    val hi = pos(end)
+    val batch = visible().filter(d => d.streamPosition > lo && d.streamPosition <= hi)
+      // A compacted snapshot re-references already-streamed data: skip it.
+      .filter(_.compactedUpTo < 0)
+    val bad = batch.filter(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
+    if (bad.nonEmpty && !ignoreChanges) throw new IllegalStateException(
+      s"streaming source on $table hit ${bad.size} UPSERT/DELETE delta(s); " +
+        "streams are append-only — set option ignoreChanges=true to stream " +
+        "upserted rows as appends and skip deletes")
+    val paths = batch
+      .filter(_.typed != DeltaType.Delete)
+      .flatMap(_.entries).map(_.path)
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.model._
+
+/** Namespaces (props/alter/drop/default), janitor, column stats, multi-
+  * catalog registry, URL IO. */
+class CatalogOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("namespace create/alter/drop with properties and cascade") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-ns"))
+    cat.createNamespace("a", Map("owner" -> "x"))
+    assert(cat.namespaceProperties("a") == Map("owner" -> "x"))
+    cat.alterNamespace("a", Map("ttl" -> "7d"))
+    assert(cat.namespaceProperties("a") == Map("owner" -> "x", "ttl" -> "7d"))
+    cat.writeToTable(Seq((1L, "v")).toDF("id", "v"), "a.t")
+    intercept[IllegalArgumentException] { cat.dropNamespace("a") }
+    cat.dropNamespace("a", cascade = true)
+    assert(!cat.namespaceExists("a"))
+    assert(!cat.tableExists("a.t"))
+  }
+
+  test("default namespace routes unqualified table names") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-dns"))
+    cat.defaultNamespace = "work"
+    cat.writeToTable(Seq((1L, "v")).toDF("id", "v"), "t")
+    assert(cat.tableExists("work.t"))
+    assert(cat.readTable("t").count() == 1)
+  }
+
+  test("janitor fails timed-out running txns and sweeps their staged files") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-jan"))
+    cat.writeToTable(Seq((1L, "v")).toDF("id", "v"), "ns.t")
+    // Abandon a txn mid-flight (crash simulation: never sealed or aborted).
+    val tx = cat.transaction("abandoned")
+    cat.alterTable("ns.t", setProperties = Map("x" -> "1"), txn = Some(tx))
+    val (failedTxns, swept) = cat.janitor(timeoutMillis = 0)
+    assert(failedTxns == 1)
+    assert(swept == 1)
+    // The abandoned property never became visible; table still readable.
+    assert(!cat.getTableMeta("ns.t").properties.contains("x"))
+    assert(cat.readTable("ns.t").count() == 1)
+  }
+
+  test("column stats ride the write and surface per delta") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-stats"))
+    cat.writeToTable(Seq((1L, "a", 10.5), (5L, null, 2.0), (3L, "c", 7.25))
+      .toDF("id", "name", "score"), "ns.t")
+    val st = cat.columnStats("ns.t").collect()
+      .map(r => r.getString(1) -> (r.getString(2), r.getString(3), r.getLong(4))).toMap
+    assert(st("id") == ("1", "5", 0L))
+    assert(st("name") == ("a", "c", 1L))
+    assert(st("score") == ("2.0", "10.5", 0L))
+  }
+
+  test("multi-catalog registry + URL get/put/list/copy with transforms") {
+    val root1 = tmpDir("graft-cat1"); val root2 = tmpDir("graft-cat2")
+    Graft.initCatalog("c1", spark, root1)
+    Graft.initCatalog("c2", spark, root2)
+    assert(Graft.listCatalogs.contains("c1") && Graft.listCatalogs.contains("c2"))
+
+    val src = tmpDir("graft-url-src") + "/in.parquet"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(src)
+
+    // file → graft with an uppercase transform
+    Graft.copy(spark, src, "graft://c1/ns.t",
+      transforms = Seq(df => df.withColumn("v", upper(col("v")))))
+    val got = Graft.get(spark, "graft://c1/ns.t").orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("A", "B", "C"))
+
+    // graft → graft across catalogs, then graft → file
+    Graft.copy(spark, "graft://c1/ns.t", "graft://c2/ns.t2")
+    assert(Graft.get(spark, "graft://c2/ns.t2").count() == 3)
+    val outDir = tmpDir("graft-url-out") + "/out.csv"
+    Graft.copy(spark, "graft://c2/ns.t2", outDir)
+    assert(spark.read.option("header", "true").csv(outDir).count() == 3)
+
+    assert(Graft.list(spark, "graft://c1/ns") == Seq("ns.t"))
+    assert(Graft.list(spark, "graft://c1/") == Seq("ns"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.model._
+
+/** Incremental streaming source over the delta log: offsets are stream
+  * positions, each micro-batch reads exactly the new deltas. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readStream consumes appends incrementally by stream position") {
+    val root = tmpDir("graft-stream")
+    val cat = new GraftCatalog(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType)))
+    cat.createTable("ns.s", schema)
+    cat.writeToTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "ns.s", WriteMode.Append)
+
+    val stream = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.s").load()
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("graft_sink")
+      .option("checkpointLocation", tmpDir("graft-stream-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM graft_sink").count() == 2)
+      // New appends arrive as a new micro-batch.
+      cat.writeToTable(Seq((3L, "c")).toDF("id", "v"), "ns.s", WriteMode.Append)
+      cat.writeToTable(Seq((4L, "d")).toDF("id", "v"), "ns.s", WriteMode.Append)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM graft_sink").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("merge deltas fail the stream unless ignoreChanges") {
+    val root = tmpDir("graft-stream2")
+    val cat = new GraftCatalog(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType)))
+    cat.createTable("ns.m", schema, properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.m", WriteMode.Merge)
+
+    val strict = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.m").load()
+      .writeStream.format("memory").queryName("graft_strict")
+      .option("checkpointLocation", tmpDir("graft-stream2-ck")).start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.processAllAvailable()
+    }
+    assert(failed.getCause.getMessage.contains("append-only"))
+
+    val tolerant = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.m").option("ignoreChanges", "true").load()
+      .writeStream.format("memory").queryName("graft_tolerant")
+      .option("checkpointLocation", tmpDir("graft-stream2-ck2")).start()
+    try {
+      tolerant.processAllAvailable()
+      assert(spark.sql("SELECT * FROM graft_tolerant").count() == 1)
+    } finally tolerant.stop()
+  }
+
+  test("readChanges surfaces the raw change feed after a position") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-cdc"))
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.c")
+    val p1 = cat.deltaLog("ns.c").map(_.streamPosition).max
+    cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), "ns.c", WriteMode.Add)
+    val changes = cat.readChanges("ns.c", afterPosition = p1)
+    val rows = changes.select("id", "_delta_type").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 2L)
+    assert(rows.head.getString(1) == "ADD")
+    assert(cat.readChanges("ns.c").count() == 2)
+  }
+}
