@@ -448,6 +448,64 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       .load(paths.toIndexedSeq: _*)
   }
 
+  /** Read ONE delta's files as a DataFrame, in manifest order — reference
+    * download_delta (storage/main/impl.py:947-1085). */
+  def downloadDelta(table: String, streamPosition: Long): DataFrame = {
+    val meta = getTableMeta(table)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val d = deltaLog(table).find(_.streamPosition == streamPosition).getOrElse(
+      throw new IllegalArgumentException(s"no delta at position $streamPosition in $table"))
+    val ct = contentTypeOf(meta)
+    if (d.entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).format(ct.format).options(ct.readOptions)
+      .load(d.entries.map(_.path): _*)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Read a single manifest entry (file) of a delta — reference
+    * download_delta_manifest_entry (storage/interface.py:229-248). */
+  def downloadDeltaManifestEntry(table: String, streamPosition: Long, entryIndex: Int): DataFrame = {
+    val meta = getTableMeta(table)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val d = deltaLog(table).find(_.streamPosition == streamPosition).getOrElse(
+      throw new IllegalArgumentException(s"no delta at position $streamPosition in $table"))
+    require(entryIndex >= 0 && entryIndex < d.entries.size,
+      s"entry $entryIndex out of range (0..${d.entries.size - 1})")
+    val ct = contentTypeOf(meta)
+    spark.read.schema(schema).format(ct.format).options(ct.readOptions)
+      .load(d.entries(entryIndex).path)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Rewrite the table's data re-clustered by hash or range — reference
+    * repartition (compute/compactor/steps/repartition.py:42-244). The
+    * rewrite is one REPLACE commit; readers before/after see identical rows. */
+  def repartitionTable(table: String, numPartitions: Int,
+      byColumns: Seq[String] = Nil, range: Boolean = false): Unit = {
+    val df = readTable(table)
+    val rep =
+      if (byColumns.isEmpty) df.repartition(numPartitions)
+      else if (range) df.repartitionByRange(numPartitions, byColumns.map(col): _*)
+      else df.repartition(numPartitions, byColumns.map(col): _*)
+    writeToTable(rep, table, WriteMode.Replace)
+  }
+
+  /** Paged listing — reference ListResult (storage/model/list_result.py).
+    * Returns (page, nextPageToken). */
+  def listTablesPaged(ns: String, pageSize: Int, pageToken: Option[String] = None):
+      (Seq[String], Option[String]) = paged(listTables(ns), pageSize, pageToken)
+
+  def listNamespacesPaged(pageSize: Int, pageToken: Option[String] = None):
+      (Seq[String], Option[String]) = paged(listNamespaces(), pageSize, pageToken)
+
+  private def paged(all: Seq[String], pageSize: Int, token: Option[String]):
+      (Seq[String], Option[String]) = {
+    val after = token.map(t => all.dropWhile(_ <= t)).getOrElse(all)
+    val page = after.take(pageSize)
+    (page, if (after.size > pageSize) page.lastOption else None)
+  }
+
   /** The table's visible delta log (after the last REPLACE), ascending by
     * stream position — the incremental-consumption surface. */
   def deltaLog(table: String): Seq[DeltaMeta] = effectiveDeltas(th(table), None)

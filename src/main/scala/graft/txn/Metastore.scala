@@ -92,6 +92,15 @@ final case class TableMeta(
 
 class ConcurrentTxnConflict(msg: String) extends RuntimeException(msg)
 
+/** Serialized state of a paused interactive transaction. */
+final case class PausedStage(dir: String, rev: Long, fileName: String, content: String) {
+  def this() = this("", 0L, "", "")
+}
+final case class PausedTxn(txnId: String, startTimeMillis: Long, commitMessage: String,
+    ops: Seq[String], staged: Seq[PausedStage]) {
+  def this() = this("", 0L, "", Nil, Nil)
+}
+
 /** Handle to one staged revision write (published at seal time). */
 private[txn] final case class StagedWrite(dir: Path, rev: Long, fileName: String, content: String)
 
@@ -100,7 +109,7 @@ private[txn] final case class StagedWrite(dir: Path, rev: Long, fileName: String
  * then `seal()` (atomic publish) or `abort()`.
  */
 final class Transaction private[txn] (val store: Metastore, val txnId: String,
-    val startTimeMillis: Long, commitMessage: String) {
+    val startTimeMillis: Long, val commitMessage: String) {
   private[txn] val staged = scala.collection.mutable.ArrayBuffer[StagedWrite]()
   private[txn] val ops = scala.collection.mutable.ArrayBuffer[String]()
   @volatile private var sealed_ = false
@@ -170,6 +179,21 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     sealed_ = true
   }
 
+  /** Persist the in-flight txn state and release this handle — reference
+    * interactive txn pause (transaction.py:1581). Staged revision files stay
+    * on disk (still invisible: the txn id is not in txn/success). Resume
+    * with `store.resumeTransaction(txnId)`. */
+  def pause(): Unit = {
+    require(!sealed_, s"txn $txnId already sealed")
+    val rec = PausedTxn(txnId, startTimeMillis, commitMessage, ops.toSeq,
+      staged.map(sw => PausedStage(sw.dir.toString, sw.rev, sw.fileName, sw.content)).toSeq)
+    Files.createDirectories(store.pausedDir)
+    Files.write(store.pausedDir.resolve(s"$txnId.json"),
+      Json.write(rec).getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(store.runningDir.resolve(s"$txnId.json"))
+    sealed_ = true // this handle is dead; resume() returns a fresh one
+  }
+
   def abort(): Unit = {
     staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
     val tmp = store.runningDir.resolve(s"$txnId.json")
@@ -196,6 +220,7 @@ final class Metastore(val root: Path) {
   val runningDir: Path = txnDir.resolve("running")
   val successDir: Path = txnDir.resolve("success")
   val failedDir: Path = txnDir.resolve("failed")
+  val pausedDir: Path = txnDir.resolve("paused")
   Files.createDirectories(runningDir)
   Files.createDirectories(successDir)
   Files.createDirectories(failedDir)
@@ -251,6 +276,23 @@ final class Metastore(val root: Path) {
       Json.write(TxnRecord(id, txn.startTimeMillis, -1L, commitMessage, Nil))
         .getBytes(StandardCharsets.UTF_8))
     txn
+  }
+
+  /** Rehydrate a paused transaction — reference txn resume
+    * (transaction.py:1601). */
+  def resumeTransaction(txnId: String): Transaction = {
+    val p = pausedDir.resolve(s"$txnId.json")
+    require(Files.exists(p), s"no paused txn $txnId")
+    val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), classOf[PausedTxn])
+    val t = new Transaction(this, rec.txnId, rec.startTimeMillis, rec.commitMessage)
+    rec.staged.foreach(ps =>
+      t.staged += StagedWrite(Paths.get(ps.dir), ps.rev, ps.fileName, ps.content))
+    t.ops ++= rec.ops
+    Files.write(runningDir.resolve(s"$txnId.json"),
+      Json.write(TxnRecord(txnId, rec.startTimeMillis, -1L, rec.commitMessage, Nil))
+        .getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(p)
+    t
   }
 
   /** Transaction history as records, newest first — `dc.transactions()`. */
