@@ -350,6 +350,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       col(f.name).cast(f.dataType).as(f.name, f.metadata)
     }.toIndexedSeq: _*)
 
+    // Bulk-load fast path: the FIRST merge write to an empty table under
+    // read_optimization=MAX resolves intra-batch duplicates and writes the
+    // bucketed layout directly, committing an already-compacted delta — one
+    // write instead of write + compaction re-read + full rewrite. (The
+    // reference stages unbucketed then compacts; folding the two halves the
+    // bulk-ingest cost.)
+    val bulkLoad = deltaType == DeltaType.Upsert && txn.isEmpty && mergeKeys.nonEmpty &&
+      meta.properties.getOrElse("read_optimization", "MAX") == "MAX" &&
+      effectiveDeltas(t, None).isEmpty
+
     inTxnRet(txn, s"write $deltaType to $t") { tx =>
       if (evolved) stageTableMeta(tx, t, meta.copy(schemaJson = targetSchema.json))
       val dir = deltaDir(t)
@@ -360,6 +370,40 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       // UUID63/epoch-ms encodings, which only need *a* total order).
       val pos = rev
       val scheme = partitionSchemeOf(meta)
+      if (bulkLoad) {
+        import Hidden._
+        val presentCols = targetSchema.fieldNames.filter(present).toSeq
+        val withMissing = targetSchema.fields.filterNot(f => present(f.name))
+          .foldLeft(coerced)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        // Synthetic lineage: one delta, recency within the batch = row order
+        // (monotonically_increasing_id follows the same partition/row order
+        // the two-phase path would have persisted to files).
+        val scan = withMissing
+          .withColumn(Pos, lit(rev))
+          .withColumn(File, lit(""))
+          .withColumn(Row, monotonically_increasing_id())
+          .withColumn(Dt, lit(DeltaType.Upsert.name))
+          .withColumn(Present, typedLit(presentCols))
+        val synth = DeltaMeta(rev, DeltaType.Upsert.name, Nil, "", -1L,
+          Map("written_columns" -> presentCols.mkString(",")))
+        val resolved = MergeRead.applyPastDefaults(
+          MergeRead.resolve(scan, targetSchema, scheme, mergeKeys, Seq(synth)), targetSchema)
+          .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val numBuckets = meta.properties.get("compaction.num_buckets").map(_.toInt).getOrElse(8)
+        val maxRec = meta.properties.get("compaction.max_records_per_file")
+          .map(_.toLong).getOrElse(Compactor.DefaultMaxRecordsPerFile)
+        val (entries, written) = Compactor.materialize(this, t, rev, resolved,
+          targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec)
+        val props = Map(
+          "written_columns" -> targetSchema.fieldNames.mkString(","),
+          "num_buckets" -> numBuckets.toString,
+          "record_count" -> written.toString,
+          "copied_by_reference" -> "0",
+          "bulk_load" -> "true")
+        val d = DeltaMeta(pos, DeltaType.Add.name, entries, tx.txnId, pos, props)
+        tx.stage(dir, rev, "delta", Json.write(d), s"CREATE delta/$t/$rev (bulk-load)")
+        pos
+      } else {
       val out = dataDir(t).resolve(f"d$rev%06d").toString
       val obs = Observation(s"write-${t.name}-$rev")
       val withPart = addDerivedPartitionColumns(coerced, scheme)
@@ -397,6 +441,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val d = DeltaMeta(pos, deltaType.name, entries, tx.txnId, -1L, props)
       tx.stage(dir, rev, "delta", Json.write(d), s"CREATE delta/$t/$rev")
       pos
+      }
     }
   }
 

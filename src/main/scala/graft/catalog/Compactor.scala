@@ -67,8 +67,6 @@ object Compactor {
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> records.toString))
         } else {
-          val bucketExpr = pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
-
           // Copy-by-reference: find buckets touched by incremental rows. Only
           // valid when the base was bucketed with the same bucket count.
           val baseBucketed = base.exists(_.properties.get("num_buckets").contains(numBuckets.toString))
@@ -85,13 +83,10 @@ object Compactor {
 
           val toRead = base.map(b => Seq(b.copy(entries = baseToRead))).getOrElse(Nil) ++ pending
           val paths = toRead.flatMap(_.entries).map(_.path)
-
-          val out = cat.dataDirOf(t).resolve(f"d$rev%06d").toString
-          val obs = Observation(s"compact-${t.name}-$rev")
           val maxRec = meta.properties.get("compaction.max_records_per_file")
             .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
 
-          if (paths.nonEmpty) {
+          val (newEntries, written) = if (paths.nonEmpty) {
             val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths, ct)
             val active = MergeRead.referencedDeltas(deltas, paths)
             // Backfill past_defaults into the materialized files: compacted
@@ -102,34 +97,12 @@ object Compactor {
             val resolved = MergeRead.applyPastDefaults(
               MergeRead.resolve(scan, schema, scheme, mergeKeys, active), schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-            val bucketed = resolved.withColumn(Bucket, bucketExpr)
-            val sortCols = col(Bucket) +: sortScheme.keys.map(_.toColumn)
-            val partCols = cat.addDerivedPartitionColumns(bucketed, scheme)
-            val partNames = scheme.keys.map(_.partitionColumnName)
-              .filter(partCols.columns.contains)
-            // Decouple shuffle parallelism from the (small) bucket count: at
-            // 100 TB a numBuckets-way shuffle would put TBs in one task. The
-            // write's partitionBy(Bucket) keeps the physical bucket layout
-            // regardless of how many shuffle partitions feed it.
-            val parallelism = math.max(numBuckets, spark.sparkContext.defaultParallelism)
-            val slices = math.max(1, parallelism / numBuckets)
-            partCols
-              .repartition(parallelism, col(Bucket),
-                pmod(hash(mergeKeys.map(col): _*), lit(slices)))
-              .sortWithinPartitions(sortCols: _*)
-              .observe(obs, count(lit(1)).as("n"))
-              .write.mode("overwrite")
-              .format(ct.format).options(ct.writeOptions)
-              .option("maxRecordsPerFile", maxRec)
-              .partitionBy((Seq(Bucket) ++ partNames): _*)
-              .save(out)
+            materialize(cat, t, rev, resolved, schema, scheme, sortScheme, ct,
+              numBuckets, maxRec)
           } else {
-            Files.createDirectories(Paths.get(out))
+            Files.createDirectories(Paths.get(cat.dataDirOf(t).resolve(f"d$rev%06d").toString))
+            (Nil, 0L)
           }
-
-          val newEntries = cat.listDataFiles(Paths.get(out), ct).map(p =>
-            ManifestEntry(p.toString, Files.size(p), cat.fileRowCount(p, ct)))
-          val written = if (paths.nonEmpty) obs.get("n").asInstanceOf[Long] else 0L
           val untouchedRecords = untouchedEntries.map(e => math.max(0L, e.recordCount)).sum
           DeltaMeta(rev, DeltaType.Add.name, untouchedEntries ++ newEntries, txn.txnId, maxPos,
             Map(
@@ -144,5 +117,45 @@ object Compactor {
     } catch {
       case e: Throwable => if (!txn.isSealed) txn.abort(); throw e
     }
+  }
+
+  /**
+   * Bucketed, sorted, sliced write of a resolved frame — the shared
+   * materialization of the compactor and the bulk-load fast path. Shuffle
+   * parallelism is decoupled from the (small) bucket count: at 100 TB a
+   * numBuckets-way shuffle would put TBs in one task; the write's
+   * partitionBy(Bucket) keeps the physical bucket layout regardless of how
+   * many shuffle partitions feed it.
+   */
+  private[catalog] def materialize(
+      cat: GraftCatalog, t: TableHandle, rev: Long,
+      resolved: org.apache.spark.sql.DataFrame,
+      schema: StructType, scheme: PartitionScheme, sortScheme: SortScheme,
+      ct: ContentType, numBuckets: Int, maxRec: Long): (Seq[ManifestEntry], Long) = {
+    val spark = cat.spark
+    val mergeKeys = FieldMeta.mergeKeys(schema)
+    val out = cat.dataDirOf(t).resolve(f"d$rev%06d").toString
+    val obs = Observation(s"materialize-${t.name}-$rev")
+    val bucketExpr = pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
+    val bucketed = resolved.withColumn(Bucket, bucketExpr)
+    val sortCols = col(Bucket) +: sortScheme.keys.map(_.toColumn)
+    val partCols = cat.addDerivedPartitionColumns(bucketed, scheme)
+    val partNames = scheme.keys.map(_.partitionColumnName)
+      .filter(partCols.columns.contains)
+    val parallelism = math.max(numBuckets, spark.sparkContext.defaultParallelism)
+    val slices = math.max(1, parallelism / numBuckets)
+    partCols
+      .repartition(parallelism, col(Bucket),
+        pmod(hash(mergeKeys.map(col): _*), lit(slices)))
+      .sortWithinPartitions(sortCols: _*)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .format(ct.format).options(ct.writeOptions)
+      .option("maxRecordsPerFile", maxRec)
+      .partitionBy((Seq(Bucket) ++ partNames): _*)
+      .save(out)
+    val entries = cat.listDataFiles(Paths.get(out), ct).map(p =>
+      ManifestEntry(p.toString, Files.size(p), cat.fileRowCount(p, ct)))
+    (entries, obs.get("n").asInstanceOf[Long])
   }
 }

@@ -146,6 +146,25 @@ object Transform {
     def apply(c: Column): Column =
       when(c.isNull, lit(0)).otherwise(pmod(hash(c), lit(n)))
   }
+  /** SHA-1-digest bucketing for exact parity with the reference's default
+    * PK-hash strategy (primary_key_index.py:26-59, 375-381: bucket =
+    * int(sha1_hex, 16) % n, nulls → 0). The 160-bit digest is reduced mod n
+    * by Horner's rule over three hex chunks (15+15+10 digits), keeping every
+    * intermediate product under 2^62 — long-safe under ANSI mode. */
+  final case class BucketSha1(n: Int) extends Transform {
+    val name = s"bucket_sha1[$n]"
+    def apply(c: Column): Column = {
+      val k15 = (BigInt(16).pow(15) mod BigInt(n)).toLong
+      val k10 = (BigInt(16).pow(10) mod BigInt(n)).toLong
+      val h = sha1(c.cast(StringType))
+      def chunk(start: Int, len: Int): Column =
+        conv(substring(h, start, len), 16, 10).cast(LongType)
+      val m1 = pmod(chunk(1, 15), lit(n.toLong))
+      val m2 = pmod(m1 * lit(k15) + chunk(16, 15), lit(n.toLong))
+      val m3 = pmod(m2 * lit(k10) + chunk(31, 10), lit(n.toLong))
+      when(c.isNull, lit(0)).otherwise(m3.cast(IntegerType))
+    }
+  }
   /** Truncate per the Iceberg spec (reference transform.py:157-250):
     * numerics truncate to `v - (((v % W) + W) % W)` (== pmod), strings to the
     * first W characters. The untyped overload assumes string input. */
@@ -181,6 +200,7 @@ object Transform {
     case "day" => Day
     case "hour" => Hour
     case "void" => Void
+    case b if b.startsWith("bucket_sha1[") => BucketSha1(b.stripPrefix("bucket_sha1[").stripSuffix("]").toInt)
     case b if b.startsWith("bucket[") => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
     case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
     case other => throw new IllegalArgumentException(s"unknown transform $other")

@@ -428,6 +428,27 @@ object CatalogQueries {
       graft.Graft.copy(s, s"$dir/nation.parquet", s"graft://$cname/q.n",
         transforms = Seq(df => df.select(col("n_nationkey"), upper(col("n_name")).as("n_name"))))
       graft.Graft.get(s, s"graft://$cname/q.n")
+    },
+
+    // Per-delta download: exactly the second delta's rows.
+    Q("c29_download_delta", Some(
+      "SELECT r_regionkey, r_name FROM region")) { (s, dir) =>
+      val cat = newCat(s, "c29")
+      cat.writeToTable(tbl(s, dir, "nation").select(
+        col("n_nationkey").as("r_regionkey"), col("n_name").as("r_name")), "q.t")
+      cat.writeToTable(tbl(s, dir, "region"), "q.t", WriteMode.Add)
+      val last = cat.deltaLog("q.t").map(_.streamPosition).max
+      cat.downloadDelta("q.t", last)
+    },
+
+    // Repartition rewrite preserves content exactly.
+    Q("c30_repartition", Some(
+      "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders")) { (s, dir) =>
+      val cat = newCat(s, "c30")
+      cat.writeToTable(
+        tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"), "q.o")
+      cat.repartitionTable("q.o", 6, byColumns = Seq("o_custkey"))
+      cat.readTable("q.o")
     }
   )
 }

@@ -97,6 +97,22 @@ class FixesSpec extends SparkSpec {
     assert(cat.readTable("f.l", ReadOptions(limit = Some(1000))).count() == 100)
   }
 
+  test("bucket_sha1 transform matches int(sha1_hex,16) % n exactly") {
+    val n = 7
+    val values = Seq("1", "42", "hello", "graft-key", "999999999")
+    val df = values.toDF("k")
+      .withColumn("b", Transform.BucketSha1(n)(col("k")))
+    val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    values.foreach { v =>
+      val hex = md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = (BigInt(hex, 16) mod BigInt(n)).toInt
+      assert(got(v) == expected, s"value $v: got ${got(v)} expected $expected")
+    }
+    // Round-trips through the transform registry.
+    assert(Transform.fromName(s"bucket_sha1[$n]") == Transform.BucketSha1(n))
+  }
+
   test("null merge-key delete removes the null-keyed row only") {
     val cat = newCatalog()
     cat.createTable("f.n", StructType(Seq(
