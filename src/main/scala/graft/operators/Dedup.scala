@@ -61,10 +61,15 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      /** Some(n): shingle on word n-grams instead of char k-grams — ~5-10×
+        * fewer shingle hashes per document, the right default at scale. */
+      wordGrams: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val shingled = df.select(col(idCol).cast(LongType).as("id"),
-      TextOps.shingles(textCol, shingleK).as("sh"))
+    val shingleCol = wordGrams
+      .map(n => TextOps.wordShingles(col(textCol), n))
+      .getOrElse(TextOps.shingles(textCol, shingleK))
+    val shingled = df.select(col(idCol).cast(LongType).as("id"), shingleCol.as("sh"))
     // (id, sig) is persisted and materialized ONCE: the signature feeds the
     // band buckets AND the pair-wise estimate join, and Catalyst does not
     // share subtrees across joins — without the persist it would be

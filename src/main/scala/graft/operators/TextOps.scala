@@ -70,6 +70,16 @@ object TextOps {
     array_distinct(expr(
       s"transform(sequence(1, greatest(length($colName) - ${k - 1}, 1)), i -> substring($colName, i, $k))"))
 
+  /** Word n-gram shingle set (distinct, lowercased). ~5–10× fewer shingles
+    * than character k-grams on natural text — the cheaper MinHash front end
+    * at corpus scale, at slightly coarser similarity granularity. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(lower(c), "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   /** Per-document text-statistics projection. */
   def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

@@ -75,7 +75,7 @@ object PipelineQueries {
     // PipelineSpec for the exact-Jaccard equivalence test).
     Q("t04_minhash_neardup", None) { (s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, bands = 8, rowsPerBand = 8, threshold = 0.8)
+        bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2))
     },
 
     // SimHash near-duplicate pairs (Hamming ≤ 3 via 16-bit chunk banding).
