@@ -422,6 +422,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val writer = withPart.observe(obs, count(lit(1)).as("n"), statAggs.toIndexedSeq: _*)
         .write.mode("overwrite")
         .format(ct.format).options(ct.writeOptions)
+        // ≤N-record file slicing (reference _write_table_slices,
+        // storage/main/impl.py:2578-2618) via Spark's native option.
+        .option("maxRecordsPerFile", meta.properties
+          .getOrElse("write.max_records_per_file",
+            Compactor.DefaultMaxRecordsPerFile.toString).toLong)
       val partCols = scheme.keys.map(_.partitionColumnName).filter(withPart.columns.contains)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)
       val n = obs.get("n").asInstanceOf[Long]
@@ -572,6 +577,43 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val scan = MergeRead.scanWithLineage(spark, schema, newer, paths, contentTypeOf(meta))
     scan.select((schema.fieldNames.map(col) ++ Seq(
       col(Hidden.Dt).as("_delta_type"), col(Hidden.Pos).as("_stream_position"))).toIndexedSeq: _*)
+  }
+
+  /** The catalog metadata TREE as a DataFrame (path, kind, revision, txn,
+    * committed) — reference metadata-tree datasource
+    * (io/datasource/deltacat_datasource.py: DeltacatReadType.METADATA). */
+  def metafilesDF(): DataFrame = {
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, Long, String, Boolean)]()
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p)) {
+        val parts = n.stripSuffix(".json").split("__", 3)
+        if (parts.length == 3) rows += ((p.toString, parts(2), parts(0).toLong,
+          parts(1), store.isTxnSuccessful(parts(1))))
+      }
+    } finally walk.close()
+    rows.toSeq.toDF("path", "kind", "revision", "txn_id", "committed")
+  }
+
+  /** Event-time high watermark: the max committed value of the table's
+    * event-time field(s), from the per-delta column stats — reference
+    * data-completeness watermark (schema.py:290-295). None when the table
+    * has no event-time field or no stats yet. */
+  def eventTimeWatermark(table: String): Option[String] = {
+    val schema = tableSchema(table)
+    val etFields = FieldMeta.eventTimeFields(schema).toSet
+    if (etFields.isEmpty) return None
+    val maxes = effectiveDeltas(th(table), None).flatMap { d =>
+      d.properties.get("column_stats").toSeq.flatMap { json =>
+        val m = Json.read(json, classOf[Map[String, Map[String, String]]])
+        m.collect { case (c, st) if etFields(c) && st.get("max") != null =>
+          st.getOrElse("max", null)
+        }.filter(_ != null)
+      }
+    }
+    if (maxes.isEmpty) None else Some(maxes.max)
   }
 
   /** Per-delta per-column stats as a DataFrame — reference delta column
