@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.catalog._
 import graft.model._
+import graft.operators.Converter
 
 /**
  * Catalog-stateful correctness queries: each closure builds a Graft table in
@@ -449,6 +450,39 @@ object CatalogQueries {
         tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"), "q.o")
       cat.repartitionTable("q.o", 6, byColumns = Seq("o_custkey"))
       cat.readTable("q.o")
+    },
+
+    // Event-time completeness watermark derived from per-delta column stats.
+    Q("c31_watermark", Some(
+      "SELECT CAST(epoch_us(MAX(ts)) AS BIGINT) AS watermark_us FROM events")) { (s, dir) =>
+      val cat = newCat(s, "c31")
+      val e = events(s, dir).select("event_id", "ts", "event_type")
+      cat.createTable("q.e", StructType(Seq(
+        FieldMeta.field("event_id", LongType),
+        FieldMeta.field("ts", TimestampNTZType, eventTime = true),
+        FieldMeta.field("event_type", StringType))))
+      cat.writeToTable(e, "q.e", WriteMode.Chrono)
+      val wm = cat.eventTimeWatermark("q.e").get
+      s.sql(s"SELECT unix_micros(CAST('$wm' AS TIMESTAMP)) AS watermark_us")
+    },
+
+    // Iceberg-converter core: equality deletes → (file_path, pos) position
+    // deletes. Positions are deterministic (single sorted file).
+    Q("c32_position_deletes", Some("""
+      SELECT CAST(rn - 1 AS BIGINT) AS pos FROM (
+        SELECT row_number() OVER (ORDER BY o_orderkey) AS rn, o_orderkey FROM orders)
+      WHERE o_orderkey % 50 = 0""")) { (s, dir) =>
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val out = java.nio.file.Files.createTempDirectory("graft_c32").toString + "/data"
+      o.repartition(1).sortWithinPartitions("o_orderkey").write.parquet(out)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      val paths = try {
+        import scala.collection.JavaConverters._
+        files.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+      } finally files.close()
+      Converter.equalityToPositionDeletes(s, paths, o.schema,
+        o.where(col("o_orderkey") % 50 === 0).select("o_orderkey"), Seq("o_orderkey"))
+        .select("pos")
     }
   )
 }

@@ -56,6 +56,30 @@ class CatalogOpsSpec extends SparkSpec {
     assert(st("score") == ("2.0", "10.5", 0L))
   }
 
+  test("converter: equality deletes -> position deletes; PK dedupe across files") {
+    import graft.operators.Converter
+    val dir = tmpDir("graft-conv")
+    val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val b = Seq((3L, "c2"), (4L, "d")).toDF("id", "v")
+    a.repartition(1).sortWithinPartitions("id").write.parquet(s"$dir/f1")
+    b.repartition(1).sortWithinPartitions("id").write.parquet(s"$dir/f2")
+    def files(p: String) = {
+      import scala.collection.JavaConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try st.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+      finally st.close()
+    }
+    val all = files(s"$dir/f1") ++ files(s"$dir/f2")
+    // equality delete id=2 -> exactly one (file, pos=1) in f1
+    val pd = Converter.equalityToPositionDeletes(spark, all, a.schema,
+      Seq(Tuple1(2L)).toDF("id"), Seq("id")).collect()
+    assert(pd.length == 1 && pd.head.getLong(1) == 1L && pd.head.getString(0).contains("f1"))
+    // PK dedupe: id=3 appears in both; lower-sequence file's row is deleted
+    val seqd = files(s"$dir/f1").map(_ -> 1L) ++ files(s"$dir/f2").map(_ -> 2L)
+    val dd = Converter.duplicateKeyPositionDeletes(spark, seqd, a.schema, Seq("id")).collect()
+    assert(dd.length == 1 && dd.head.getString(0).contains("f1") && dd.head.getLong(1) == 2L)
+  }
+
   test("multi-catalog registry + URL get/put/list/copy with transforms") {
     val root1 = tmpDir("graft-cat1"); val root2 = tmpDir("graft-cat2")
     Graft.initCatalog("c1", spark, root1)
