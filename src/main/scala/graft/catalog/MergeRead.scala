@@ -216,11 +216,6 @@ object MergeRead {
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
 
     val isDelete = col(Dt) === DeltaType.Delete.name
-    val ranked = scan
-      .withColumn("_g_rn", row_number().over(w))
-      .withColumn("_g_tomb",
-        coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
-    val live = !isDelete && col("_g_tomb") === 0L
 
     val fullCols = schema.fieldNames.toSet
     val allComplete = lineage.forall { d =>
@@ -230,10 +225,25 @@ object MergeRead {
     val moKeys = FieldMeta.mergeOrderKeys(schema)
 
     if (allComplete && moKeys.isEmpty) {
-      // Fast path: every non-delete delta carried the full schema and winner
-      // selection is pure commit order — the rank-1 row IS the resolved row.
-      ranked.where(col("_g_rn") === 1 && live)
+      // Fast path: winner = the most recent row per key, dropped when it is
+      // a tombstone (a rank-1 window row always has tombstone-count 0, so
+      // this is exactly the windowed semantics). A hash AGGREGATE instead of
+      // a window: partial (map-side) aggregation collapses hot keys before
+      // the shuffle — skew-resistant where a window would serialize a hot
+      // key into one task — and no sort is needed.
+      val payload = struct(
+        (schema.fieldNames.map(col) ++ Seq(col(Dt), col(File), col(Present))).toIndexedSeq: _*)
+      val recencyKey = struct(col(Pos), col(File), col(Row))
+      scan.groupBy(winKeys: _*)
+        .agg(max_by(payload, recencyKey).as("_g_w"))
+        .where(col(s"_g_w.$Dt") =!= DeltaType.Delete.name)
+        .select(col("_g_w.*"))
     } else if (allComplete) {
+      val ranked = scan
+        .withColumn("_g_rn", row_number().over(w))
+        .withColumn("_g_tomb",
+          coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
+      val live = !isDelete && col("_g_tomb") === 0L
       // merge_order winner selection: among surviving (non-tombstoned,
       // non-delete) rows, order by the merge-order fields then recency.
       // Masked rows sort last so rank 1 is the best survivor. Same window
@@ -251,6 +261,9 @@ object MergeRead {
       // recency tuple among surviving rows that physically carried it.
       // (merge_order is only honored on the complete-rows path — partial
       // upserts + merge_order is undefined in the reference too.)
+      val ranked = scan.withColumn("_g_tomb",
+        coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
+      val live = !isDelete && col("_g_tomb") === 0L
       val recencyKey = struct(col(Pos), col(File), col(Row))
       val groupKeys = partExprs.zipWithIndex.map { case (e, i) => e.as(s"_g_pk$i") } ++
         mergeKeys.map(col)
