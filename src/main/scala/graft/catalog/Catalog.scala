@@ -392,7 +392,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         val numBuckets = meta.properties.get("compaction.num_buckets").map(_.toInt).getOrElse(8)
         val maxRec = meta.properties.get("compaction.max_records_per_file")
           .map(_.toLong).getOrElse(Compactor.DefaultMaxRecordsPerFile)
-        val (entries, written) = Compactor.materialize(this, t, rev, resolved,
+        val (entries, written) = Compactor.materialize(this, t, rev, tx.txnId, resolved,
           targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec)
         val props = Map(
           "written_columns" -> targetSchema.fieldNames.mkString(","),
@@ -404,7 +404,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         tx.stage(dir, rev, "delta", Json.write(d), s"CREATE delta/$t/$rev (bulk-load)")
         pos
       } else {
-      val out = dataDir(t).resolve(f"d$rev%06d").toString
+      // Physical dir is unique per (revision, txn): two optimistic racers on
+      // the same revision never collide on disk; the loser's orphan dir is
+      // invisible (not in any committed manifest) and janitor-sweepable.
+      val out = dataDir(t).resolve(f"d$rev%06d__${tx.txnId}").toString
       val obs = Observation(s"write-${t.name}-$rev")
       val withPart = addDerivedPartitionColumns(coerced, scheme)
       val ct = contentTypeOf(meta)

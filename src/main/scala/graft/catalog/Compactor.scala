@@ -97,10 +97,11 @@ object Compactor {
             val resolved = MergeRead.applyPastDefaults(
               MergeRead.resolve(scan, schema, scheme, mergeKeys, active), schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-            materialize(cat, t, rev, resolved, schema, scheme, sortScheme, ct,
+            materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,
               numBuckets, maxRec)
           } else {
-            Files.createDirectories(Paths.get(cat.dataDirOf(t).resolve(f"d$rev%06d").toString))
+            Files.createDirectories(Paths.get(
+              cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
             (Nil, 0L)
           }
           val untouchedRecords = untouchedEntries.map(e => math.max(0L, e.recordCount)).sum
@@ -128,13 +129,13 @@ object Compactor {
    * many shuffle partitions feed it.
    */
   private[catalog] def materialize(
-      cat: GraftCatalog, t: TableHandle, rev: Long,
+      cat: GraftCatalog, t: TableHandle, rev: Long, txnId: String,
       resolved: org.apache.spark.sql.DataFrame,
       schema: StructType, scheme: PartitionScheme, sortScheme: SortScheme,
       ct: ContentType, numBuckets: Int, maxRec: Long): (Seq[ManifestEntry], Long) = {
     val spark = cat.spark
     val mergeKeys = FieldMeta.mergeKeys(schema)
-    val out = cat.dataDirOf(t).resolve(f"d$rev%06d").toString
+    val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
     val obs = Observation(s"materialize-${t.name}-$rev")
     val bucketExpr = pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
     val bucketed = resolved.withColumn(Bucket, bucketExpr)

@@ -157,7 +157,7 @@ object MergeRead {
     lineage.filter(d => revs.contains(d.streamPosition))
   }
 
-  private val DirRev = "/d(\\d+)/".r
+  private val DirRev = "/d(\\d+)(?:__[^/]*)?/".r
   private def revOfPath(p: String): Option[Long] =
     DirRev.findAllMatchIn(p).toSeq.lastOption.map(_.group(1).toLong)
 
@@ -180,7 +180,7 @@ object MergeRead {
       (d.streamPosition, d.deltaType, present)
     }.toDF(Pos, Dt, Present))
     val posExpr = element_at(
-      regexp_extract_all(col("_metadata.file_path"), lit("/d(\\d+)/"), lit(1)), -1)
+      regexp_extract_all(col("_metadata.file_path"), lit("/d(\\d+)(?:__[^/]*)?/"), lit(1)), -1)
       .cast(LongType)
     // _metadata.row_index exists only for parquet; other content types get
     // a constant (intra-file duplicate-key order is undefined for them).

@@ -352,6 +352,7 @@ final class Metastore(val root: Path) {
       listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
     var removed = 0
     if (failedIds.nonEmpty) {
+      val orphanDirs = scala.collection.mutable.ArrayBuffer[Path]()
       val walk = Files.walk(root)
       try walk.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
@@ -361,8 +362,18 @@ final class Metastore(val root: Path) {
           if (parts.length == 3 && failedIds.contains(parts(1))) {
             Files.deleteIfExists(p); removed += 1
           }
+        } else if (Files.isDirectory(p) && n.startsWith("d") && n.contains("__") &&
+            failedIds.contains(n.split("__", 2)(1))) {
+          // Orphaned data dir written by a failed txn (d<rev>__<txnId>).
+          orphanDirs += p
         }
       } finally walk.close()
+      orphanDirs.foreach { d =>
+        val files = Files.walk(d)
+        try files.iterator().asScala.toSeq.reverse.foreach { f =>
+          Files.deleteIfExists(f); removed += 1
+        } finally files.close()
+      }
     }
     invalidateTxnCache()
     (failed, removed)

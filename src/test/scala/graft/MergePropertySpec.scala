@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.catalog._
+import graft.model._
+
+/**
+ * Property test: for random sequences of upsert/delete deltas, the engine's
+ * terminal table state (both merge-on-read and compacted) must equal a
+ * trivial in-memory LSM model (SURVEY §5: property-test last-wins dedupe and
+ * null-safe deletes heavily).
+ */
+class MergePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One delta: upsert (key -> value) entries or delete keys. Keys may be
+    * null (None) to exercise the null-merge-key path. */
+  private case class Op(isDelete: Boolean, rows: List[(Option[Int], Int)])
+
+  private val genOp: Gen[Op] = for {
+    isDelete <- Gen.oneOf(false, false, true) // 2:1 upserts
+    n <- Gen.choose(1, 6)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.frequency(9 -> Gen.choose(0, 9).map(Some(_)), 1 -> Gen.const(None))
+      v <- Gen.choose(0, 999)
+    } yield (k, v))
+  } yield Op(isDelete, rows)
+
+  private def model(ops: List[Op]): Map[Option[Int], Int] =
+    ops.foldLeft(Map.empty[Option[Int], Int]) { (state, op) =>
+      if (op.isDelete) state -- op.rows.map(_._1)
+      // within one delta, the LAST row for a key wins
+      else state ++ op.rows
+    }
+
+  private def runEngine(ops: List[Op], compactEvery: Option[Int]): Map[Option[Int], Int] = {
+    val cat = new GraftCatalog(spark, tmpDir("graft-prop"))
+    cat.createTable("p.t", StructType(Seq(
+      FieldMeta.field("k", IntegerType, mergeKey = true),
+      FieldMeta.field("v", IntegerType))), properties = Map("read_optimization" -> "NONE"))
+    ops.zipWithIndex.foreach { case (op, i) =>
+      // Preserve intra-delta order deterministically: single sorted-by-arrival
+      // partition (ordinal column dropped before write).
+      val df = op.rows.zipWithIndex.map { case ((k, v), ord) => (k, v, ord) }
+        .toDF("k", "v", "_ord").repartition(1).sortWithinPartitions("_ord").drop("_ord")
+      if (op.isDelete) cat.writeToTable(df.select("k"), "p.t", WriteMode.Delete)
+      else cat.writeToTable(df, "p.t", WriteMode.Merge)
+      if (compactEvery.exists(e => (i + 1) % e == 0)) cat.compact("p.t", numBuckets = 4)
+    }
+    cat.readTable("p.t").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getInt(1)).toMap
+  }
+
+  test("terminal state equals the in-memory LSM model (merge-on-read and compacted)") {
+    // A handful of seeded random sequences (Spark jobs are too slow for
+    // hundreds of trials; seeds make failures reproducible).
+    val params = Gen.Parameters.default
+    (0 until 6).foreach { trial =>
+      val ops = Gen.listOfN(5, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(1000L + trial))
+      val expected = model(ops)
+      val mor = runEngine(ops, compactEvery = None)
+      assert(mor == expected, s"trial $trial merge-on-read: $mor != $expected\nops=$ops")
+      val compacted = runEngine(ops, compactEvery = Some(2))
+      assert(compacted == expected, s"trial $trial compacted: $compacted != $expected\nops=$ops")
+    }
+  }
+}
