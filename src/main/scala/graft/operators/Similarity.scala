@@ -65,6 +65,32 @@ object Similarity {
     }: _*)
 
   /**
+   * Embedding-cosine near-duplicate PAIRS: candidates share a
+   * sign-random-projection bucket in any hash table (equi-join, no cross
+   * join), verified by exact cosine ≥ threshold. The embedding-space
+   * counterpart of MinHash near-dup dedup.
+   */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      tables: Int = 12, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val pl = planes(tables, bitsPerTable, dim, seed)
+    val rows = df.select(col(idCol).cast(LongType).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("tb", explode(bucketCols(col("vec"), pl)))
+      .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val a = rows.as("a")
+    val b = rows.as("b")
+    a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 9))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /**
    * Approximate top-k: candidates = corpus rows sharing an LSH bucket with
    * the query in ANY of `tables` hash tables, reranked by exact cosine.
    * Candidate generation is an equi-join on (table, bucket).

@@ -107,6 +107,12 @@ object PipelineQueries {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 5)
     },
 
+    // Embedding-cosine near-duplicate pairs (bucketed, no cross join).
+    Q("t09_embedding_neardup", None) { (s, dir) =>
+      Similarity.embeddingNearDupPairs(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.95)
+    },
+
     // Multimodal: binary payload column + stubbed per-partition decode.
     Q("t08_multimodal_decode", Some("""
       SELECT doc_id,

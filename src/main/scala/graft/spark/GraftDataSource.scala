@@ -9,7 +9,13 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.csv.CSVTable
+import org.apache.spark.sql.execution.datasources.v2.json.JsonTable
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -40,7 +46,7 @@ import graft.model.{ContentType, DeltaType}
 object GraftDsv2 {
 
   final case class Resolved(handle: TableHandle, schema: StructType, paths: Seq[String],
-      unresolvedMerges: Int)
+      unresolvedMerges: Int, contentType: ContentType)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
@@ -48,9 +54,6 @@ object GraftDsv2 {
     val spark = SparkSession.active
     val cat = new GraftCatalog(spark, root)
     val meta = cat.getTableMeta(table, asOf)
-    require(cat.contentTypeOf(meta) == ContentType.Parquet,
-      s"DSv2 scan supports parquet tables; $table is ${cat.contentTypeOf(meta).name} " +
-        "(use GraftCatalog.readTable)")
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[StructType]
     val t = TableHandle.parse(table)
@@ -58,7 +61,8 @@ object GraftDsv2 {
     val (base, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
     val unresolved = pending.count(d =>
       d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
-    Resolved(t, schema, (base.toSeq ++ pending).flatMap(_.entries).map(_.path), unresolved)
+    Resolved(t, schema, (base.toSeq ++ pending).flatMap(_.entries).map(_.path), unresolved,
+      cat.contentTypeOf(meta))
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -80,11 +84,28 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with Supports
         "compact() first or read through GraftCatalog.readTable (merge-on-read)")
     val spark = SparkSession.active
     // recursiveFileLookup disables partition inference, so physical-layout
-    // dirs (_g_bucket=N, _g_p_*) never leak into the schema.
+    // dirs (_g_bucket=N, _g_p_*) never leak into the schema. Content-type
+    // read options (delimiter, null sentinel) ride along for delimited
+    // formats.
+    val ct = resolved.contentType
     val opts = new CaseInsensitiveStringMap(
-      (options.asScala ++ Map("recursiveFileLookup" -> "true")).asJava)
-    val delegate = ParquetTable(name(), spark, opts, resolved.paths,
-      Some(resolved.schema), classOf[ParquetFileFormat])
+      (options.asScala ++ ct.readOptions ++ Map("recursiveFileLookup" -> "true")).asJava)
+    val delegate: Table with SupportsRead = ct match {
+      case ContentType.Parquet =>
+        ParquetTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
+          classOf[ParquetFileFormat])
+      case ContentType.Csv | ContentType.Tsv | ContentType.Psv =>
+        CSVTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
+          classOf[CSVFileFormat])
+      case ContentType.Json =>
+        JsonTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
+          classOf[JsonFileFormat])
+      case ContentType.Orc =>
+        OrcTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
+          classOf[OrcFileFormat])
+      case other => throw new UnsupportedOperationException(
+        s"DSv2 scan does not support content type ${other.name}")
+    }
     delegate.newScanBuilder(opts)
   }
 }

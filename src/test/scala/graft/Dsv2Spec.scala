@@ -30,6 +30,18 @@ class Dsv2Spec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft.ns").collect().map(_.getString(1)).contains("t"))
   }
 
+  test("DSv2 reads non-parquet content types through the matching file table") {
+    val root = tmpDir("graft-dsv2c")
+    val cat = new GraftCatalog(spark, root)
+    val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "v")
+    cat.createTable("ns.c", df.schema, properties = Map("content_type" -> "tsv"))
+    cat.writeToTable(df, "ns.c", WriteMode.Add)
+    val got = spark.read.format("graft").option("root", root).option("table", "ns.c")
+      .load().orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, null), (3L, "c")))
+  }
+
   test("format reader with time travel option; merge-on-read tables rejected") {
     val root = tmpDir("graft-dsv2b")
     val cat = new GraftCatalog(spark, root)

@@ -74,6 +74,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall below 0.5")
   }
 
+  test("embedding near-dup pairs find a planted duplicate vector; no cross join") {
+    val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
+    // Plant an exact duplicate of vec_id 0 under a new id.
+    val dup = emb.where($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val pairs = Similarity.embeddingNearDupPairs(emb.unionByName(dup),
+      "vec_id", "embedding", threshold = 0.99)
+    assertNoCartesian(pairs)
+    val found = pairs.where($"id_a" === 0L && $"id_b" === 9999L).collect()
+    assert(found.length == 1, "planted duplicate embedding not found")
+    assert(found.head.getAs[Double]("cos") >= 0.999999)
+  }
+
   test("text stats: language id and quality buckets are deterministic") {
     val df = Seq(
       (1L, "the cat is on the mat and the dog is of the house"),
