@@ -677,10 +677,19 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val maxRecords = p.getOrElse("compaction.trigger.records", s"${64L * 1024 * 1024}").toLong
     val hasMerges = pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
     val levelMax = p.getOrElse("read_optimization", "MAX") == "MAX"
-    val trigger = (levelMax && hasMerges) ||
+    val pendingRecords =
+      pending.map(d => d.properties.getOrElse("record_count", "0").toLong).sum
+    // Write-amplification valve: under MAX a steady trickle of tiny upserts
+    // would rewrite touched buckets on EVERY write. When
+    // compaction.min_pending_records is set, merge-triggered compaction
+    // defers until that many pending rows accumulate (reads stay correct via
+    // merge-on-read); the size/count triggers still apply. Default 0 =
+    // reference parity (compact on every merge write).
+    val minPending = p.getOrElse("compaction.min_pending_records", "0").toLong
+    val trigger = (levelMax && hasMerges && pendingRecords >= minPending) ||
       pending.size >= maxDeltas ||
       pending.map(_.entries.size).sum >= maxFiles ||
-      pending.map(d => d.properties.getOrElse("record_count", "0").toLong).sum >= maxRecords
+      pendingRecords >= maxRecords
     if (trigger && pending.nonEmpty) { compact(table); true } else false
   }
 

@@ -90,6 +90,25 @@ class FixesSpec extends SparkSpec {
     assert(cat.readTable("f.mo").select("src").head().getString(0) == "old-high")
   }
 
+  test("compaction.min_pending_records defers merge-triggered compaction") {
+    val cat = newCatalog()
+    cat.createTable("f.d", kvSchema(),
+      properties = Map("compaction.min_pending_records" -> "10"))
+    cat.writeToTable((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "f.d", WriteMode.Merge)
+    // Tiny upserts stay pending (merge-on-read), reads remain correct.
+    cat.writeToTable(Seq((1L, "x1")).toDF("id", "v"), "f.d", WriteMode.Merge)
+    cat.writeToTable(Seq((2L, "x2")).toDF("id", "v"), "f.d", WriteMode.Merge)
+    val t = TableHandle.parse("f.d")
+    def pending() = MergeRead.activeDeltas(cat.effectiveDeltas(t, None))._2.size
+    assert(pending() == 2, "tiny upserts should not have triggered compaction")
+    assert(cat.readTable("f.d").where($"id" === 1L).select("v").head().getString(0) == "x1")
+    // Crossing the threshold compacts.
+    cat.writeToTable((1L to 20L).map(i => (i, s"y$i")).toDF("id", "v"), "f.d", WriteMode.Merge)
+    assert(pending() == 0, "threshold crossing should compact all pending deltas")
+    assert(cat.readTable("f.d").where($"id" === 1L).select("v").head().getString(0) == "y1")
+    assert(cat.readTable("f.d").count() == 100)
+  }
+
   test("limit pushdown caps the read") {
     val cat = newCatalog()
     cat.writeToTable((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "f.l")
