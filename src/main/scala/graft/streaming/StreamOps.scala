@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming transforms over event streams (e.g. a Graft CHRONO table
+ * consumed through the `graft` streaming source): watermarked windowed
+ * rollups and custom session state via flatMapGroupsWithState — the
+ * Structured-Streaming expression of the reference's event-time
+ * completeness-watermark semantics (schema.py:290-295).
+ */
+object StreamOps {
+
+  /** Watermarked tumbling-window rollup: (event_type, window) → count+sum.
+    * Late events beyond `delay` are dropped by the watermark — the
+    * streaming dual of the event-time completeness watermark. */
+  def hourlyRollup(events: DataFrame, tsCol: String, delay: String = "30 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withColumn("_ts", col(tsCol).cast("timestamp"))
+      .withWatermark("_ts", delay)
+      .groupBy(col("event_type"), window(col("_ts"), window_))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(start: Long, lastSeen: Long, events: Int)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Int)
+
+  /**
+   * Custom session state: per-user sessions closed after `gapMillis` of
+   * event-time inactivity — the KeyValueGroupedDataset
+   * .flatMapGroupsWithState pattern with EVENT-time timeouts (watermark
+   * driven: stale sessions flush when the watermark passes lastSeen+gap;
+   * processing-time timeouts would spin continuous empty micro-batches).
+   */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapMillis milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMillis =>
+                  cur = Some(s.copy(lastSeen = t, events = s.events + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -64,6 +64,47 @@ class StreamingSpec extends SparkSpec {
     } finally tolerant.stop()
   }
 
+  test("watermarked windowed rollup and stateful sessionization over a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Watermarked hourly rollup over a memory stream.
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.hourlyRollup(events, "ts", delay = "10 minutes")
+      .writeStream.format("memory").queryName("roll").outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-roll-ck")).start()
+    try {
+      in.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, total FROM roll").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 3.0)))
+    } finally q.stop()
+
+    // Stateful sessionization via flatMapGroupsWithState.
+    val sIn = MemoryStream[StreamOps.Event]
+    val sessions = StreamOps.sessionize(spark, sIn.toDS(), gapMillis = 60000L)
+    val sq = sessions.writeStream.format("memory").queryName("sess").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-sess-ck")).start()
+    try {
+      sIn.addData(
+        StreamOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+        StreamOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), "b"),
+        // > 60 s gap: closes the first session within the same batch
+        StreamOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "c"))
+      sq.processAllAvailable()
+      val got = spark.sql("SELECT user_id, n_events FROM sess").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(got.toSeq == Seq((1L, 2)), s"expected first closed session, got ${got.toSeq}")
+    } finally sq.stop()
+  }
+
   test("readChanges surfaces the raw change feed after a position") {
     val cat = new GraftCatalog(spark, tmpDir("graft-cdc"))
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.c")
