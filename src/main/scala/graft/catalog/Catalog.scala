@@ -437,7 +437,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         f.name -> Map(
           "min" -> Option(obs.get(s"min__${f.name}")).map(_.toString).orNull,
           "max" -> Option(obs.get(s"max__${f.name}")).map(_.toString).orNull,
-          "nulls" -> obs.get(s"nulls__${f.name}").toString)
+          "nulls" -> Option(obs.get(s"nulls__${f.name}")).map(_.toString).getOrElse("0"))
       }.toMap)
       val entries = listDataFiles(Paths.get(out), ct).map(p =>
         ManifestEntry(p.toString, Files.size(p), fileRowCount(p, ct)))
@@ -570,8 +570,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val t = th(table)
     val meta = getTableMeta(table)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    // Compacted snapshots re-reference already-delivered data and are
+    // skipped — EXCEPT bulk-load deltas, which carry original rows that
+    // appeared in no earlier delta.
     val newer = effectiveDeltas(t, None)
-      .filter(d => d.compactedUpTo < 0 && d.streamPosition > afterPosition)
+      .filter(d => d.compactedUpTo < 0 || d.properties.get("bulk_load").contains("true"))
+      .filter(_.streamPosition > afterPosition)
     val paths = newer.flatMap(_.entries).map(_.path)
     if (paths.isEmpty) {
       val full = schema.add("_delta_type", StringType).add("_stream_position", LongType)
@@ -606,17 +610,21 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     * has no event-time field or no stats yet. */
   def eventTimeWatermark(table: String): Option[String] = {
     val schema = tableSchema(table)
-    val etFields = FieldMeta.eventTimeFields(schema).toSet
+    val etFields = schema.fields.filter(FieldMeta.isEventTime)
     if (etFields.isEmpty) return None
+    val numeric = etFields.forall(_.dataType.isInstanceOf[NumericType])
+    val names = etFields.map(_.name).toSet
     val maxes = effectiveDeltas(th(table), None).flatMap { d =>
       d.properties.get("column_stats").toSeq.flatMap { json =>
         val m = Json.read(json, classOf[Map[String, Map[String, String]]])
-        m.collect { case (c, st) if etFields(c) && st.get("max") != null =>
-          st.getOrElse("max", null)
-        }.filter(_ != null)
+        m.collect { case (c, st) if names(c) => st.get("max") }.flatten.filter(_ != null)
       }
     }
-    if (maxes.isEmpty) None else Some(maxes.max)
+    if (maxes.isEmpty) None
+    // Numeric event-time fields (e.g. epoch millis) must compare numerically;
+    // timestamp/date cast-to-string forms sort lexicographically.
+    else if (numeric) Some(maxes.maxBy(BigDecimal(_)))
+    else Some(maxes.max)
   }
 
   /** Per-delta per-column stats as a DataFrame — reference delta column
@@ -763,6 +771,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     try s.iterator().asScala.filter(p => p.toString.endsWith(ct.extension) && Files.isRegularFile(p)).toList.sortBy(_.toString)
     finally s.close()
   }
+
+  private[graft] def handleOf(table: String): TableHandle = th(table)
 
   private[catalog] def dataDirOf(t: TableHandle): Path = dataDir(t)
   private[catalog] def deltaDirOf(t: TableHandle): Path = deltaDir(t)

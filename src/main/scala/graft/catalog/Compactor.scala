@@ -39,7 +39,7 @@ object Compactor {
 
   def compact(cat: GraftCatalog, table: String, numBuckets: Int = 8): Unit = {
     val spark = cat.spark
-    val t = TableHandle.parse(table)
+    val t = cat.handleOf(table)
     val meta = cat.getTableMeta(table)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val mergeKeys = FieldMeta.mergeKeys(schema)

@@ -186,10 +186,32 @@ object MergeRead {
     // a constant (intra-file duplicate-key order is undefined for them).
     val rowIdx =
       if (ct == ContentType.Parquet) col("_metadata.row_index") else lit(0L)
-    spark.read.schema(schema).format(ct.format).options(ct.readOptions).load(paths: _*)
-      .withColumn(Pos, posExpr)
-      .withColumn(File, col("_metadata.file_path"))
-      .withColumn(Row, rowIdx)
+    // Delimited formats (csv family) map columns POSITIONALLY: a file
+    // written with a column subset (deletes, partial upserts) would misalign
+    // under the full schema. Group paths by their delta's written-column
+    // set and read each group with the matching subset schema (written
+    // order = table-schema order restricted to the set — commitWrite's
+    // coercion projects in schema order), padding the rest with nulls.
+    // Name-matched formats (parquet/orc/json) read the full schema directly.
+    val positional = ct.format == "csv"
+    val writtenByPos: Map[Long, Set[String]] = lineage.map(d =>
+      d.streamPosition -> d.properties.get("written_columns")
+        .map(_.split(",").toSet).getOrElse(schema.fieldNames.toSet)).toMap
+    val fullSet = schema.fieldNames.toSet
+    val groups: Seq[(Set[String], Seq[String])] =
+      if (!positional) Seq(fullSet -> paths)
+      else paths.groupBy(p => revOfPath(p).flatMap(writtenByPos.get).getOrElse(fullSet)).toSeq
+    val scans = groups.map { case (written, groupPaths) =>
+      val subSchema = StructType(schema.fields.filter(f => written(f.name)))
+      val base = spark.read.schema(subSchema).format(ct.format).options(ct.readOptions)
+        .load(groupPaths: _*)
+      val padded = schema.fields.filterNot(f => written(f.name))
+        .foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      // _metadata must be dereferenced while the scan relation is in scope.
+      padded.select((schema.fieldNames.map(col) :+ posExpr.as(Pos) :+
+        col("_metadata.file_path").as(File) :+ rowIdx.as(Row)).toIndexedSeq: _*)
+    }
+    scans.reduce(_ unionByName _)
       .join(lineageDf, Seq(Pos), "left")
       .withColumn(Dt, assertNotNull(col(Dt), "delta lineage missing for file position"))
   }

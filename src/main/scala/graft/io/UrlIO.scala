@@ -33,8 +33,11 @@ object UrlIO {
   def parse(url: String): Target = {
     val (base, query) = url.span(_ != '?')
     val params = if (query.isEmpty) Map.empty[String, String]
-    else query.drop(1).split('&').map { kv =>
-      val Array(k, v) = kv.split("=", 2); k -> v
+    else query.drop(1).split('&').filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true" // valueless flag
+      }
     }.toMap
     base match {
       case u if u.startsWith("graft://") =>

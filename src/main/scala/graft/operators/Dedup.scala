@@ -106,6 +106,11 @@ object Dedup {
           .cast(DoubleType) / numHashes)
       .where(col("est") >= estFilter)
       .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (small) survivor-pair frame, then free the O(corpus)
+    // signature cache — the returned DataFrame no longer references it.
+    est.count()
+    sigs.unpersist(blocking = false)
     // Exact verify on the survivors: join shingle sets back, true Jaccard.
     val sh = shingled
     est

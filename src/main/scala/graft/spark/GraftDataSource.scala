@@ -7,7 +7,7 @@ import scala.collection.JavaConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
 import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
@@ -131,9 +131,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters("root"), parameters("table"),
       parameters.getOrElse("ignoreChanges", "false").toBoolean)
 
-  private def resolve(options: CaseInsensitiveStringMap): GraftDsv2.Resolved =
-    GraftDsv2.resolve(options.get("root"), options.get("table"),
-      Option(options.get("asOf")).map(_.toLong))
+  // One snapshot per provider instance: inferSchema and getTable are called
+  // back-to-back per read; re-resolving would walk the txn log twice and
+  // could observe two different snapshots.
+  @volatile private var cached: (String, GraftDsv2.Resolved) = _
+  private def resolve(options: CaseInsensitiveStringMap): GraftDsv2.Resolved = {
+    val key = s"${options.get("root")}|${options.get("table")}|${options.get("asOf")}"
+    val c = cached
+    if (c != null && c._1 == key) c._2
+    else {
+      val r = GraftDsv2.resolve(options.get("root"), options.get("table"),
+        Option(options.get("asOf")).map(_.toLong))
+      cached = (key, r)
+      r
+    }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolve(options).schema
@@ -174,7 +186,25 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    cat.createTable(fullName(ident), schema, properties = properties.asScala.toMap)
+    val keys = partitions.map { t =>
+      val field = t.references()(0).fieldNames().mkString(".")
+      t.name() match {
+        case "identity" => graft.model.PartitionKey(field)
+        case "bucket" =>
+          val n = t.arguments().collectFirst { case l: Literal[_] => l.value.toString.toInt }
+            .getOrElse(throw new IllegalArgumentException(s"bucket transform without count: $t"))
+          graft.model.PartitionKey(field, graft.model.Transform.Bucket(n))
+        case "years" | "year" => graft.model.PartitionKey(field, graft.model.Transform.Year)
+        case "months" | "month" => graft.model.PartitionKey(field, graft.model.Transform.Month)
+        case "days" | "day" => graft.model.PartitionKey(field, graft.model.Transform.Day)
+        case "hours" | "hour" => graft.model.PartitionKey(field, graft.model.Transform.Hour)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform $other")
+      }
+    }
+    cat.createTable(fullName(ident), schema,
+      partitionScheme = graft.model.PartitionScheme(keys.toIndexedSeq),
+      properties = properties.asScala.toMap)
     loadTable(ident)
   }
 
@@ -207,7 +237,7 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit =
-    cat.createNamespace(namespace.mkString("."))
+    cat.createNamespace(namespace.mkString("."), metadata.asScala.toMap)
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace is not supported")

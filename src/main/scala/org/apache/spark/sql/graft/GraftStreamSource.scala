@@ -52,8 +52,9 @@ class GraftStreamSource(
     val lo = start.map(pos).getOrElse(-1L)
     val hi = pos(end)
     val batch = visible().filter(d => d.streamPosition > lo && d.streamPosition <= hi)
-      // A compacted snapshot re-references already-streamed data: skip it.
-      .filter(_.compactedUpTo < 0)
+      // A compacted snapshot re-references already-streamed data: skip it —
+      // except bulk-load deltas, whose rows appeared in no earlier delta.
+      .filter(d => d.compactedUpTo < 0 || d.properties.get("bulk_load").contains("true"))
     val bad = batch.filter(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
     if (bad.nonEmpty && !ignoreChanges) throw new IllegalStateException(
       s"streaming source on $table hit ${bad.size} UPSERT/DELETE delta(s); " +
@@ -62,10 +63,12 @@ class GraftStreamSource(
     val paths = batch
       .filter(_.typed != DeltaType.Delete)
       .flatMap(_.entries).map(_.path)
+    val ct = graft.model.ContentType.fromName(
+      cat.getTableMeta(table).properties.getOrElse("content_type", "parquet"))
     val df =
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
+      else spark.read.schema(schema).format(ct.format).options(ct.readOptions).load(paths: _*)
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
