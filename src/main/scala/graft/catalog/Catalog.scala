@@ -141,16 +141,31 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val t = th(table)
     schema.fields.filter(FieldMeta.isMergeKey).foreach(FieldMeta.validateMergeKey)
     if (tableExists(table)) throw new TableAlreadyExists(table)
+    // A previously-dropped incarnation leaves committed deltas behind;
+    // recreating must not resurrect them.
+    val hadPriorIncarnation = currentMeta(t, None, txn).exists(_.dropped)
     inTxn(txn, s"create table $t") { tx =>
-      if (!namespaceExists(t.namespace)) {
+      if (!namespaceExistsInTxn(t.namespace, tx)) {
         val dir = nsMetaDir(t.namespace)
         tx.stage(dir, store.nextRevision(dir, Some(tx)), "ns",
-          Json.write(Map("name" -> t.namespace)), s"CREATE ns/${t.namespace}")
+          Json.write(NsMeta(t.namespace, Map.empty, dropped = false)), s"CREATE ns/${t.namespace}")
       }
       stageTableMeta(tx, t, toMeta(t, schema, partitionScheme, sortScheme, properties))
+      if (hadPriorIncarnation) {
+        val dir = deltaDir(t)
+        val rev = store.nextRevision(dir, Some(tx))
+        tx.stage(dir, rev, "delta",
+          Json.write(DeltaMeta(rev, DeltaType.Add.name, Nil, tx.txnId, -1L,
+            Map("replace" -> "true"))), s"REPLACE $t (recreate)")
+      }
     }
     t
   }
+
+  /** namespaceExists with read-your-writes inside an open transaction. */
+  private def namespaceExistsInTxn(ns: String, tx: Transaction): Boolean =
+    store.latestVisible(nsMetaDir(ns), None, Some(tx))
+      .map(c => Json.read(c._2, classOf[NsMeta])).exists(!_.dropped)
 
   def tableExists(table: String, asOf: Option[Long] = None): Boolean = {
     val t = th(table)
@@ -187,6 +202,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val nt = TableHandle(t.namespace, newName)
     val m = getTableMeta(table)
     if (tableExists(nt.toString)) throw new TableAlreadyExists(nt.toString)
+    // Delta metafiles are copied at their ORIGINAL revisions (stream
+    // positions must keep matching the data-file paths), so a destination
+    // with prior-incarnation history would collide on revision numbers.
+    if (store.allVisible(deltaDir(nt), None, None).nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot rename onto $nt: the name has prior table history")
     inTxn(txn, s"rename $t -> $nt") { tx =>
       stageTableMeta(tx, t, m.copy(dropped = true))
       stageTableMeta(tx, nt, m.copy(table = newName, dropped = false))
@@ -289,7 +310,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     // Write-triggered auto-compaction (reference impl.py:985-1091): only for
     // standalone commits — inside a caller-managed txn the deltas aren't
     // visible to the compactor yet.
-    if (txn.isEmpty) maybeAutoCompact(table)
+    if (txn.isEmpty) {
+      // The write is already durably committed; losing the compaction race
+      // to a concurrent writer's compactor is benign (their snapshot covers
+      // our delta or the next write re-triggers).
+      try maybeAutoCompact(table)
+      catch { case _: graft.txn.ConcurrentTxnConflict => () }
+    }
     pos
   }
 
@@ -392,14 +419,19 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         val numBuckets = meta.properties.get("compaction.num_buckets").map(_.toInt).getOrElse(8)
         val maxRec = meta.properties.get("compaction.max_records_per_file")
           .map(_.toLong).getOrElse(Compactor.DefaultMaxRecordsPerFile)
-        val (entries, written) = Compactor.materialize(this, t, rev, tx.txnId, resolved,
-          targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec)
+        // Column stats ride the materialize pass (same as the normal write
+        // path), so bulk-loaded rows feed columnStats/eventTimeWatermark.
+        val bulkStatFields = statFieldsOf(targetSchema, targetSchema.fieldNames.toSet)
+        val (entries, written, mObs) = Compactor.materialize(this, t, rev, tx.txnId, resolved,
+          targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec,
+          statAggsFor(bulkStatFields))
         val props = Map(
           "written_columns" -> targetSchema.fieldNames.mkString(","),
           "num_buckets" -> numBuckets.toString,
           "record_count" -> written.toString,
           "copied_by_reference" -> "0",
-          "bulk_load" -> "true")
+          "bulk_load" -> "true",
+          "column_stats" -> statsJsonFrom(bulkStatFields, mObs))
         val d = DeltaMeta(pos, DeltaType.Add.name, entries, tx.txnId, pos, props)
         tx.stage(dir, rev, "delta", Json.write(d), s"CREATE delta/$t/$rev (bulk-load)")
         pos
@@ -414,14 +446,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       // Per-column min/max/null stats ride the same write pass (reference
       // delta column stats, compute/stats/models/delta_stats.py:15-40) —
       // zero extra jobs, all codegen'd aggregates.
-      val statFields = targetSchema.fields.filter(f => present(f.name)).filter(f =>
-        f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
-          f.dataType == DateType || f.dataType == TimestampType ||
-          f.dataType == TimestampNTZType || f.dataType == BooleanType)
-      val statAggs = statFields.flatMap { f => Seq(
-        min(col(f.name)).cast(StringType).as(s"min__${f.name}"),
-        max(col(f.name)).cast(StringType).as(s"max__${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}")) }
+      val statFields = statFieldsOf(targetSchema, present)
+      val statAggs = statAggsFor(statFields)
       val writer = withPart.observe(obs, count(lit(1)).as("n"), statAggs.toIndexedSeq: _*)
         .write.mode("overwrite")
         .format(ct.format).options(ct.writeOptions)
@@ -433,12 +459,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val partCols = scheme.keys.map(_.partitionColumnName).filter(withPart.columns.contains)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)
       val n = obs.get("n").asInstanceOf[Long]
-      val statsJson = Json.write(statFields.map { f =>
-        f.name -> Map(
-          "min" -> Option(obs.get(s"min__${f.name}")).map(_.toString).orNull,
-          "max" -> Option(obs.get(s"max__${f.name}")).map(_.toString).orNull,
-          "nulls" -> Option(obs.get(s"nulls__${f.name}")).map(_.toString).getOrElse("0"))
-      }.toMap)
+      val statsJson = statsJsonFrom(statFields, obs)
       val entries = listDataFiles(Paths.get(out), ct).map(p =>
         ManifestEntry(p.toString, Files.size(p), fileRowCount(p, ct)))
       val props = Map("written_columns" -> dfIn.columns.mkString(","),
@@ -773,6 +794,26 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   }
 
   private[graft] def handleOf(table: String): TableHandle = th(table)
+
+  private def statFieldsOf(schema: StructType, present: Set[String]): Array[StructField] =
+    schema.fields.filter(f => present(f.name)).filter(f =>
+      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+        f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType || f.dataType == BooleanType)
+
+  private def statAggsFor(fields: Array[StructField]): Seq[Column] =
+    fields.toSeq.flatMap { f => Seq(
+      min(col(f.name)).cast(StringType).as(s"min__${f.name}"),
+      max(col(f.name)).cast(StringType).as(s"max__${f.name}"),
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}")) }
+
+  private def statsJsonFrom(fields: Array[StructField], obs: Observation): String =
+    Json.write(fields.map { f =>
+      f.name -> Map(
+        "min" -> Option(obs.get(s"min__${f.name}")).map(_.toString).orNull,
+        "max" -> Option(obs.get(s"max__${f.name}")).map(_.toString).orNull,
+        "nulls" -> Option(obs.get(s"nulls__${f.name}")).map(_.toString).getOrElse("0"))
+    }.toMap)
 
   private[catalog] def dataDirOf(t: TableHandle): Path = dataDir(t)
   private[catalog] def deltaDirOf(t: TableHandle): Path = deltaDir(t)

@@ -73,7 +73,7 @@ object Compactor {
           val touched: Set[Int] =
             if (!baseBucketed) (0 until numBuckets).toSet
             else MergeRead.touchedBuckets(spark, schema, mergeKeys, numBuckets,
-              pending.flatMap(_.entries).map(_.path), ct)
+              pending.flatMap(_.entries).map(_.path), ct, pending)
 
           val (untouchedEntries, baseToRead) = base.map { b =>
             if (!baseBucketed) (Seq.empty[ManifestEntry], b.entries)
@@ -86,7 +86,7 @@ object Compactor {
           val maxRec = meta.properties.get("compaction.max_records_per_file")
             .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
 
-          val (newEntries, written) = if (paths.nonEmpty) {
+          val (newEntries, written, _) = if (paths.nonEmpty) {
             val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths, ct)
             val active = MergeRead.referencedDeltas(deltas, paths)
             // Backfill past_defaults into the materialized files: compacted
@@ -102,7 +102,7 @@ object Compactor {
           } else {
             Files.createDirectories(Paths.get(
               cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
-            (Nil, 0L)
+            (Nil, 0L, null)
           }
           val untouchedRecords = untouchedEntries.map(e => math.max(0L, e.recordCount)).sum
           DeltaMeta(rev, DeltaType.Add.name, untouchedEntries ++ newEntries, txn.txnId, maxPos,
@@ -132,7 +132,8 @@ object Compactor {
       cat: GraftCatalog, t: TableHandle, rev: Long, txnId: String,
       resolved: org.apache.spark.sql.DataFrame,
       schema: StructType, scheme: PartitionScheme, sortScheme: SortScheme,
-      ct: ContentType, numBuckets: Int, maxRec: Long): (Seq[ManifestEntry], Long) = {
+      ct: ContentType, numBuckets: Int, maxRec: Long,
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil): (Seq[ManifestEntry], Long, Observation) = {
     val spark = cat.spark
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
@@ -146,10 +147,14 @@ object Compactor {
     val parallelism = math.max(numBuckets, spark.sparkContext.defaultParallelism)
     val slices = math.max(1, parallelism / numBuckets)
     partCols
+      // Salt the slice hash: pmod(hash(keys), slices) would be arithmetically
+      // correlated with the bucket expression (both mod the same hash), so
+      // gcd(numBuckets, slices) > 1 — the power-of-two norm — would collapse
+      // the extra parallelism back to numBuckets partitions.
       .repartition(parallelism, col(Bucket),
-        pmod(hash(mergeKeys.map(col): _*), lit(slices)))
+        pmod(hash((mergeKeys.map(col) :+ lit("_slice")): _*), lit(slices)))
       .sortWithinPartitions(sortCols: _*)
-      .observe(obs, count(lit(1)).as("n"))
+      .observe(obs, count(lit(1)).as("n"), extraAggs: _*)
       .write.mode("overwrite")
       .format(ct.format).options(ct.writeOptions)
       .option("maxRecordsPerFile", maxRec)
@@ -157,6 +162,6 @@ object Compactor {
       .save(out)
     val entries = cat.listDataFiles(Paths.get(out), ct).map(p =>
       ManifestEntry(p.toString, Files.size(p), cat.fileRowCount(p, ct)))
-    (entries, obs.get("n").asInstanceOf[Long])
+    (entries, obs.get("n").asInstanceOf[Long], obs)
   }
 }

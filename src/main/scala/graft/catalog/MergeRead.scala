@@ -69,7 +69,10 @@ object MergeRead {
 
     val basePaths = prunePaths(base.toSeq.flatMap(_.entries).map(_.path), scheme, opts)
     val pendingPaths = prunePaths(pending.flatMap(_.entries).map(_.path), scheme, opts)
-    if (basePaths.isEmpty && pendingPaths.isEmpty) return emptyFrame(spark, schema)
+    if (basePaths.isEmpty && pendingPaths.isEmpty) {
+      val e = emptyFrame(spark, schema)
+      return if (opts.withFilePath) e.withColumn("_file_path", col(File)) else e
+    }
 
     val numBuckets = base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
     // Every branch normalizes to (schema columns, Present, File) so branches
@@ -87,7 +90,7 @@ object MergeRead {
           // join the merge shuffle; untouched buckets are scan-only
           // (reference copy-by-reference, merge.py:483-502, applied to the
           // read path — a 1-row upsert shuffles 1/n of the base, not all).
-          val touched = touchedBuckets(spark, schema, mergeKeys, n, pendingPaths, contentType)
+          val touched = touchedBuckets(spark, schema, mergeKeys, n, pendingPaths, contentType, pending)
           val (untouched, touchedBase) =
             basePaths.partition(p => bucketOfPath(p).exists(b => !touched.contains(b)))
           val merged = resolveScan(spark, schema, scheme, mergeKeys, deltas,
@@ -121,16 +124,32 @@ object MergeRead {
   def touchedBuckets(
       spark: SparkSession, schema: StructType, mergeKeys: Seq[String],
       numBuckets: Int, pendingPaths: Seq[String],
-      ct: ContentType = ContentType.Parquet): Set[Int] = {
+      ct: ContentType = ContentType.Parquet,
+      lineage: Seq[DeltaMeta] = Nil): Set[Int] = {
     if (pendingPaths.isEmpty) return Set.empty
-    // Delimited formats cannot prune to the key columns positionally on a
-    // subset schema — read the full schema and project.
-    val keySchema =
-      if (ct == ContentType.Parquet || ct == ContentType.Orc || ct == ContentType.Json)
-        StructType(schema.fields.filter(f => mergeKeys.contains(f.name)))
-      else schema
-    spark.read.schema(keySchema).format(ct.format).options(ct.readOptions)
-      .load(pendingPaths: _*)
+    val scans: Seq[DataFrame] =
+      if (ct == ContentType.Parquet || ct == ContentType.Orc || ct == ContentType.Json) {
+        // Name-matched formats prune straight to the key columns.
+        val keySchema = StructType(schema.fields.filter(f => mergeKeys.contains(f.name)))
+        Seq(spark.read.schema(keySchema).format(ct.format).options(ct.readOptions)
+          .load(pendingPaths: _*).select(mergeKeys.map(col): _*))
+      } else {
+        // Delimited formats map columns POSITIONALLY: each file must be read
+        // with its delta's written-column subset schema (in table-schema
+        // order) or key hashes come from misaligned columns and
+        // copy-by-reference skips buckets that need rewriting.
+        val writtenByPos: Map[Long, Set[String]] = lineage.map(d =>
+          d.streamPosition -> d.properties.get("written_columns")
+            .map(_.split(",").toSet).getOrElse(schema.fieldNames.toSet)).toMap
+        val fullSet = schema.fieldNames.toSet
+        pendingPaths.groupBy(p => revOfPath(p).flatMap(writtenByPos.get).getOrElse(fullSet))
+          .toSeq.map { case (written, groupPaths) =>
+            val subSchema = StructType(schema.fields.filter(f => written(f.name)))
+            spark.read.schema(subSchema).format(ct.format).options(ct.readOptions)
+              .load(groupPaths: _*).select(mergeKeys.map(col): _*)
+          }
+      }
+    scans.reduce(_ unionByName _)
       .select(pmod(hash(mergeKeys.map(col): _*), lit(numBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
   }

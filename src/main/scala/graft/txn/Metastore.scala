@@ -134,6 +134,13 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     * id deterministically wins). */
   def seal(): Unit = {
     require(!sealed_, s"txn $txnId already sealed")
+    // A janitor may have timed this txn out while it was idle: committing
+    // now would land it in BOTH failed/ and success/, and the next janitor
+    // sweep would delete its committed metafiles.
+    if (store.isTxnFailed(txnId)) {
+      sealed_ = true
+      throw new ConcurrentTxnConflict(s"txn $txnId was failed (janitor timeout?)")
+    }
     // Pre-publish check: lose to (a) any *successful* txn that committed the
     // same revision of the same metafile, and (b) any still-uncommitted
     // contender with a lexicographically higher txn id (deterministic winner
@@ -244,9 +251,9 @@ final class Metastore(val root: Path) {
   // ---- txn visibility ------------------------------------------------------
   @volatile private var txnCache: Map[String, TxnRecord] = Map.empty
   @volatile private var txnCacheStamp: Long = -1L
-  private[txn] def invalidateTxnCache(): Unit = txnCacheStamp = -1L
+  private[txn] def invalidateTxnCache(): Unit = synchronized { txnCacheStamp = -1L }
 
-  def successfulTxns(): Map[String, TxnRecord] = {
+  def successfulTxns(): Map[String, TxnRecord] = synchronized {
     val stamp = Files.getLastModifiedTime(successDir).toMillis
     if (stamp != txnCacheStamp) {
       val m = listFiles(successDir).map { p =>
@@ -340,7 +347,9 @@ final class Metastore(val root: Path) {
   def janitor(timeoutMillis: Long = 24L * 3600 * 1000): (Int, Int) = {
     val now = System.currentTimeMillis()
     var failed = 0
-    listFiles(runningDir).foreach { p =>
+    // Paused txns are just as abandonable as running ones.
+    val paused = if (Files.exists(pausedDir)) listFiles(pausedDir) else Nil
+    (listFiles(runningDir) ++ paused).foreach { p =>
       val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
       if (now - rec.startTimeMillis > timeoutMillis) {
         Files.createDirectories(failedDir)
