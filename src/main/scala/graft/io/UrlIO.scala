@@ -80,7 +80,12 @@ object UrlIO {
       case GraftTarget(cat, table, _) =>
         Graft.catalog(cat).writeToTable(df, table, mode)
       case FileTarget(path, fmt, opts) =>
-        df.write.format(fmt).options(opts).mode("overwrite").save(path)
+        val saveMode = mode match {
+          case WriteMode.Add | WriteMode.Append | WriteMode.Chrono => "append"
+          case WriteMode.Create => "errorifexists"
+          case _ => "overwrite"
+        }
+        df.write.format(fmt).options(opts).mode(saveMode).save(path)
     }
 
   /** List a container: graft catalog namespace/tables, or a directory. */

@@ -19,7 +19,7 @@ object Dedup {
     * content with the canonical (minimum) id and the copy count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).cast(LongType).as("canonical_id"),
+      .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).cast(LongType).as("copies"))
 
   /** Keep exactly one row per distinct content (the minimum id wins). */

@@ -70,10 +70,17 @@ object Similarity {
    * join), verified by exact cosine ≥ threshold. The embedding-space
    * counterpart of MinHash near-dup dedup.
    */
+  /** Dimensionality of the first non-null vector; None on empty input. */
+  private def dimOf(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("d")).where(col("d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0))
+
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       tables: Int = 12, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val dim = dimOf(df, vecCol).getOrElse(
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos")).limit(0))
     val pl = planes(tables, bitsPerTable, dim, seed)
     val rows = df.select(col(idCol).cast(LongType).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("tb", explode(bucketCols(col("vec"), pl)))
@@ -101,7 +108,10 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 12, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = dimOf(corpus, vecCol).getOrElse(
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0).as("rank")).limit(0))
     val pl = planes(tables, bitsPerTable, dim, seed)
     def withBuckets(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).cast(LongType).as(id), asDouble(col(vecCol)).as(s"${id}_vec"))

@@ -66,9 +66,12 @@ object TextOps {
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
   /** Character k-shingle set (distinct) of a text column. */
-  def shingles(colName: String, k: Int): Column =
-    array_distinct(expr(
-      s"transform(sequence(1, greatest(length($colName) - ${k - 1}, 1)), i -> substring($colName, i, $k))"))
+  def shingles(c: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k))))
+
+  def shingles(colName: String, k: Int): Column = shingles(col(colName), k)
 
   /** Word n-gram shingle set (distinct, lowercased). ~5–10× fewer shingles
     * than character k-grams on natural text — the cheaper MinHash front end

@@ -46,7 +46,11 @@ import graft.model.{ContentType, DeltaType}
 object GraftDsv2 {
 
   final case class Resolved(handle: TableHandle, schema: StructType, paths: Seq[String],
-      unresolvedMerges: Int, contentType: ContentType)
+      unresolvedMerges: Int, contentType: ContentType,
+      /** Some delta was written with a column subset (scan-faithfulness
+        * hazards: positional csv misalignment, unmaterialized past
+        * defaults). */
+      hasPartialDeltas: Boolean, hasPastDefaults: Boolean)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
@@ -61,8 +65,13 @@ object GraftDsv2 {
     val (base, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
     val unresolved = pending.count(d =>
       d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
-    Resolved(t, schema, (base.toSeq ++ pending).flatMap(_.entries).map(_.path), unresolved,
-      cat.contentTypeOf(meta))
+    val fullSet = schema.fieldNames.toSet
+    val active = base.toSeq ++ pending
+    val hasPartial = active.exists(d =>
+      d.properties.get("written_columns").exists(_.split(",").toSet != fullSet))
+    val hasDefaults = schema.fields.exists(f => graft.model.FieldMeta.pastDefault(f).isDefined)
+    Resolved(t, schema, active.flatMap(_.entries).map(_.path), unresolved,
+      cat.contentTypeOf(meta), hasPartial, hasDefaults)
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -82,6 +91,15 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with Supports
     require(resolved.unresolvedMerges == 0,
       s"${resolved.handle} has ${resolved.unresolvedMerges} unresolved merge delta(s); " +
         "compact() first or read through GraftCatalog.readTable (merge-on-read)")
+    // The delegate scan cannot regroup files by written-column subset
+    // (csv positional layout) or backfill declared past defaults — reject
+    // rather than silently misread; compact() materializes both.
+    require(!(resolved.hasPartialDeltas && resolved.contentType.format == "csv"),
+      s"${resolved.handle} has column-subset deltas in a delimited format; " +
+        "compact() first or use GraftCatalog.readTable")
+    require(!(resolved.hasPartialDeltas && resolved.hasPastDefaults),
+      s"${resolved.handle} has unmaterialized past_default columns; " +
+        "compact() first or use GraftCatalog.readTable")
     val spark = SparkSession.active
     // recursiveFileLookup disables partition inference, so physical-layout
     // dirs (_g_bucket=N, _g_p_*) never leak into the schema. Content-type
@@ -226,7 +244,9 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
     cat.listNamespaces().map(ns => Array(ns)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces() else Array.empty
+    if (namespace.isEmpty) listNamespaces()
+    else if (cat.namespaceExists(namespace.mkString("."))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!cat.namespaceExists(namespace.mkString("."))) {

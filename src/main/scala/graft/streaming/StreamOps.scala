@@ -57,7 +57,10 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastSeen <= gapMillis =>
-                  cur = Some(s.copy(lastSeen = t, events = s.events + 1))
+                  // Late (out-of-order but within-watermark) events extend
+                  // the session bounds; they must never rewind lastSeen.
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t), events = s.events + 1))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events)
                   cur = Some(SessionState(t, t, 1))

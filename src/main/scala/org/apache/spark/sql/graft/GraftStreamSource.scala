@@ -60,16 +60,33 @@ class GraftStreamSource(
       s"streaming source on $table hit ${bad.size} UPSERT/DELETE delta(s); " +
         "streams are append-only — set option ignoreChanges=true to stream " +
         "upserted rows as appends and skip deletes")
-    val paths = batch
-      .filter(_.typed != DeltaType.Delete)
-      .flatMap(_.entries).map(_.path)
+    val dataDeltas = batch.filter(_.typed != DeltaType.Delete)
     val ct = graft.model.ContentType.fromName(
       cat.getTableMeta(table).properties.getOrElse("content_type", "parquet"))
+    import org.apache.spark.sql.functions.{col, lit}
+    val fullSet = schema.fieldNames.toSet
+    // Read each delta group with its written-column subset schema (the
+    // csv family maps columns positionally) and pad the rest with nulls.
+    val groups = dataDeltas
+      .groupBy(_.properties.get("written_columns").map(_.split(",").toSet).getOrElse(fullSet))
+      .toSeq
+    val frames = groups.flatMap { case (written, ds) =>
+      val paths = ds.flatMap(_.entries).map(_.path)
+      if (paths.isEmpty) None
+      else {
+        val sub = org.apache.spark.sql.types.StructType(
+          schema.fields.filter(f => written(f.name)))
+        val base = spark.read.schema(sub).format(ct.format).options(ct.readOptions)
+          .load(paths: _*)
+        val padded = schema.fields.filterNot(f => written(f.name))
+          .foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        Some(padded.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    }
     val df =
-      if (paths.isEmpty)
+      if (frames.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).format(ct.format).options(ct.readOptions).load(paths: _*)
-        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      else frames.reduce(_ unionByName _)
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
   }
