@@ -98,7 +98,8 @@ object Compactor {
               MergeRead.resolve(scan, schema, scheme, mergeKeys, active), schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,
-              numBuckets, maxRec)
+              numBuckets, maxRec, estimatedRecords = Some(
+                toRead.map(d => math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum))
           } else {
             Files.createDirectories(Paths.get(
               cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
@@ -133,7 +134,8 @@ object Compactor {
       resolved: org.apache.spark.sql.DataFrame,
       schema: StructType, scheme: PartitionScheme, sortScheme: SortScheme,
       ct: ContentType, numBuckets: Int, maxRec: Long,
-      extraAggs: Seq[org.apache.spark.sql.Column] = Nil): (Seq[ManifestEntry], Long, Observation) = {
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
+      estimatedRecords: Option[Long] = None): (Seq[ManifestEntry], Long, Observation) = {
     val spark = cat.spark
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
@@ -145,7 +147,16 @@ object Compactor {
     val partNames = scheme.keys.map(_.partitionColumnName)
       .filter(partCols.columns.contains)
     val parallelism = math.max(numBuckets, spark.sparkContext.defaultParallelism)
-    val slices = math.max(1, parallelism / numBuckets)
+    // Slices per bucket: enough that no task materializes more than maxRec
+    // rows (known record counts from the delta metadata), capped by the
+    // cluster's parallelism. Small compactions collapse to one slice (few
+    // files); 100 TB inputs fan out to the full width.
+    val maxSlices = math.max(1, parallelism / numBuckets)
+    val slices = estimatedRecords match {
+      case Some(n) => math.min(maxSlices.toLong,
+        math.max(1L, (n / math.max(1L, maxRec * numBuckets)) + 1L)).toInt
+      case None => maxSlices
+    }
     partCols
       // Salt the slice hash: pmod(hash(keys), slices) would be arithmetically
       // correlated with the bucket expression (both mod the same hash), so
