@@ -57,6 +57,10 @@ object Dedup {
    *
    * numHashes = bands × rowsPerBand. Collision probability for Jaccard j is
    * 1-(1-j^rowsPerBand)^bands (the classic S-curve).
+   *
+   * Ids keep their natural type (long, string, …) end to end — no silent
+   * cast; `id_a < id_b` only needs a total order, which every orderable
+   * Spark type provides.
    */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -64,12 +68,19 @@ object Dedup {
       threshold: Double = 0.7,
       /** Some(n): shingle on word n-grams instead of char k-grams — ~5-10×
         * fewer shingle hashes per document, the right default at scale. */
-      wordGrams: Option[Int] = None): DataFrame = {
+      wordGrams: Option[Int] = None,
+      /** Some(w): drop band buckets wider than w docs before pairing.
+        * A bucket of width w yields w(w-1)/2 candidate pairs, so one hot
+        * bucket (shared boilerplate, adversarial self-similarity) can
+        * dominate the whole job; capping trades recall on mega-cluster
+        * duplicates (which exact dedup catches anyway) for bounded work —
+        * the standard LSH guard at corpus scale. None = exhaustive. */
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     val shingleCol = wordGrams
       .map(n => TextOps.wordShingles(col(textCol), n))
       .getOrElse(TextOps.shingles(textCol, shingleK))
-    val shingled = df.select(col(idCol).cast(LongType).as("id"), shingleCol.as("sh"))
+    val shingled = df.select(col(idCol).as("id"), shingleCol.as("sh"))
     // (id, sig) is persisted and materialized ONCE: the signature feeds the
     // band buckets AND the pair-wise estimate join, and Catalyst does not
     // share subtrees across joins — without the persist it would be
@@ -82,8 +93,18 @@ object Dedup {
     val bandCols = array((0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }: _*)
-    val buckets = sigs.select(col("id"), explode(bandCols).as("bb"))
+    val allBuckets = sigs.select(col("id"), explode(bandCols).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Hot-bucket cap: windowless (count-join) so the common case stays a
+    // single shuffle on (band,bucket) reused by the pair join below.
+    val buckets = maxBucketWidth match {
+      case None => allBuckets
+      case Some(w) =>
+        val widths = allBuckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
+          .select(col("band"), col("bucket"))
+        allBuckets.join(widths, Seq("band", "bucket"), "left_semi")
+    }
     // Same-bucket candidate pairs (id_a < id_b), deduped across bands.
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -97,6 +118,12 @@ object Dedup {
     // bulk BEFORE the expensive exact shingle-set join.
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
     val estFilter = math.max(0.0, threshold - 3 * sigma)
+    // The survivor-pair frame is materialized once via an eager
+    // localCheckpoint — lineage is cut so the O(corpus) signature cache can
+    // be freed immediately, and the checkpoint blocks themselves are
+    // reclaimed by the ContextCleaner when the returned frame goes out of
+    // scope (a persist here would pin blocks until an explicit unpersist
+    // that no caller could issue).
     val est = cand
       .join(sigs.select(col("id"), col("sig").as("sig_a")), col("id_a") === col("id")).drop("id")
       .join(sigs.select(col("id"), col("sig").as("sig_b")), col("id_b") === col("id")).drop("id")
@@ -106,10 +133,7 @@ object Dedup {
           .cast(DoubleType) / numHashes)
       .where(col("est") >= estFilter)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the (small) survivor-pair frame, then free the O(corpus)
-    // signature cache — the returned DataFrame no longer references it.
-    est.count()
+      .localCheckpoint(true)
     sigs.unpersist(blocking = false)
     // Exact verify on the survivors: join shingle sets back, true Jaccard.
     val sh = shingled
@@ -128,7 +152,7 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).cast(LongType).as("id"),
+    val sh = df.select(col(idCol).as("id"),
       TextOps.shingles(textCol, shingleK).as("sh"))
     pairs
       .join(sh.withColumnRenamed("sh", "sh_a"), pairs("id_a") === sh("id")).drop("id")
@@ -141,11 +165,23 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
+  /** Portable 64-bit token hash: the bit pattern of the first 16 hex chars
+    * of md5 — reproducible in any engine with md5 (DuckDB, Trino, …),
+    * unlike xxhash64. Assembled from two 32-bit halves so no conv() result
+    * overflows a signed long. */
+  def md5Hash64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast(LongType), 32)
+      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast(LongType))
+
   /** 64-bit SimHash over whitespace tokens: per bit j, sign of the sum of
     * ±1 contributions from each token hash. Computed with array expressions
-    * (transform + aggregate) — no explode, no UDF. */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(split(lower(textCol), "\\s+"), t => xxhash64(t))
+    * (transform + aggregate) — no explode, no UDF. Tokens come from
+    * `regexp_extract_all(lower, \S+)` (never empty strings, unlike split).
+    * `tokenHash` defaults to xxhash64 (fastest); pass [[md5Hash64]] when the
+    * signature must be reproducible outside Spark. */
+  def simhash(textCol: Column, tokenHash: Column => Column = xxhash64(_)): Column = {
+    val toks = regexp_extract_all(lower(textCol), lit("\\S+"), lit(0))
+    val hashes = transform(toks, t => tokenHash(t))
     val bits = (0 until 64).map { j =>
       val contrib = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
@@ -156,11 +192,14 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
     * (any pair within Hamming distance 3 must agree on ≥1 chunk), verified
-    * by exact Hamming distance ≤ maxHamming. */
+    * by exact Hamming distance ≤ maxHamming. For maxHamming ≤ 3 the chunk
+    * banding is exhaustive (pigeonhole), so the output is EXACTLY the set
+    * of pairs at Hamming ≤ maxHamming — deterministic, oracle-comparable. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol).cast(LongType).as("id"), col(textCol))
-      .withColumn("sh64", simhash(col(textCol))).drop(textCol)
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val withH = df.select(col(idCol).as("id"), col(textCol))
+      .withColumn("sh64", simhash(col(textCol), tokenHash)).drop(textCol)
     val chunks = withH.select(col("id"), col("sh64"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), col("sh64").bitwiseAND(lit(0xFFFFL << (c * 16))).as("val"))

@@ -75,9 +75,12 @@ object TextOps {
 
   /** Word n-gram shingle set (distinct, lowercased). ~5–10× fewer shingles
     * than character k-grams on natural text — the cheaper MinHash front end
-    * at corpus scale, at slightly coarser similarity granularity. */
+    * at corpus scale, at slightly coarser similarity granularity. Tokens are
+    * `regexp_extract_all(lower, \S+)` — no empty tokens for leading
+    * whitespace (split would emit one), so the shingle set is reproducible
+    * by any engine's regexp_extract_all. */
   def wordShingles(c: Column, n: Int): Column = {
-    val toks = split(lower(c), "\\s+")
+    val toks = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
