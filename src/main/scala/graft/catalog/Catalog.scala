@@ -460,8 +460,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)
       val n = obs.get("n").asInstanceOf[Long]
       val statsJson = statsJsonFrom(statFields, obs)
-      val entries = listDataFiles(Paths.get(out), ct).map(p =>
-        ManifestEntry(p.toString, Files.size(p), fileRowCount(p, ct)))
+      val entries = manifestEntriesOf(Paths.get(out), ct)
       val props = Map("written_columns" -> dfIn.columns.mkString(","),
         "column_stats" -> statsJson) ++
         (if (replace) Map("replace" -> "true") else Map.empty) ++
@@ -772,18 +771,55 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   private[graft] def contentTypeOf(meta: TableMeta): ContentType =
     ContentType.fromName(meta.properties.getOrElse("content_type", "parquet"))
 
-  /** Per-file row count: parquet reads it from the footer (driver-side,
-    * metadata-only — feeds ManifestEntry.recordCount like the reference
-    * manifest, manifest.py:290); other content types have no cheap count
-    * and record -1 (unknown). */
+  /** Per-file row count: parquet reads it from the footer (metadata-only —
+    * feeds ManifestEntry.recordCount like the reference manifest,
+    * manifest.py:290); other content types have no cheap count and record -1
+    * (unknown). */
   private[catalog] def fileRowCount(p: Path, ct: ContentType): Long =
-    if (ct == ContentType.Parquet) parquetRowCount(p) else -1L
+    if (ct == ContentType.Parquet) parquetRowCount(p, spark.sessionState.newHadoopConf()) else -1L
 
-  private[catalog] def parquetRowCount(p: Path): Long = {
+  private def parquetRowCount(p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toString), spark.sessionState.newHadoopConf())
+      new org.apache.hadoop.fs.Path(p.toString), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** Batch per-file row counts for a commit. A serial driver loop over one
+    * footer per file stalls the commit path for minutes when a compaction
+    * emits tens of thousands of files, so beyond a small threshold the
+    * footer reads run as a Spark job — metadata-only work spread across the
+    * cluster (one ~8-byte footer field per file, no data pages touched).
+    * Below the threshold the driver loop wins (no job-scheduling latency). */
+  private[catalog] def fileRowCounts(paths: Seq[Path], ct: ContentType): Map[Path, Long] =
+    if (ct != ContentType.Parquet) paths.map(_ -> -1L).toMap
+    else if (paths.size < 16) {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.map(p => p -> parquetRowCount(p, conf)).toMap
+    } else {
+      val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
+      val counted = spark.sparkContext
+        .parallelize(paths.map(_.toString), slices)
+        .mapPartitions { it =>
+          // Fresh Configuration per task: loads the cluster's site configs
+          // from the executor classpath (same resolution a scan task uses).
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { s =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(s), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try (s, r.getRecordCount) finally r.close()
+          }
+        }.collect().toMap
+      paths.map(p => p -> counted(p.toString)).toMap
+    }
+
+  /** Manifest entries (path, size, records) for every data file under a
+    * just-written output dir — the single commit-path metadata pass. */
+  private[catalog] def manifestEntriesOf(out: Path, ct: ContentType): Seq[ManifestEntry] = {
+    val files = listDataFiles(out, ct)
+    val counts = fileRowCounts(files, ct)
+    files.map(p => ManifestEntry(p.toString, Files.size(p), counts(p)))
   }
 
   private[catalog] def listDataFiles(dir: Path, ct: ContentType): Seq[Path] = {

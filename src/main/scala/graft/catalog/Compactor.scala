@@ -171,8 +171,7 @@ object Compactor {
       .option("maxRecordsPerFile", maxRec)
       .partitionBy((Seq(Bucket) ++ partNames): _*)
       .save(out)
-    val entries = cat.listDataFiles(Paths.get(out), ct).map(p =>
-      ManifestEntry(p.toString, Files.size(p), cat.fileRowCount(p, ct)))
+    val entries = cat.manifestEntriesOf(Paths.get(out), ct)
     (entries, obs.get("n").asInstanceOf[Long], obs)
   }
 }

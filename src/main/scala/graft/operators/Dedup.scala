@@ -118,13 +118,18 @@ object Dedup {
     // bulk BEFORE the expensive exact shingle-set join.
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
     val estFilter = math.max(0.0, threshold - 3 * sigma)
-    // The survivor-pair frame is materialized once via an eager
-    // localCheckpoint — lineage is cut so the O(corpus) signature cache can
-    // be freed immediately, and the checkpoint blocks themselves are
-    // reclaimed by the ContextCleaner when the returned frame goes out of
-    // scope (a persist here would pin blocks until an explicit unpersist
-    // that no caller could issue).
-    val est = cand
+    // The survivor-pair frame is materialized once via an eager checkpoint —
+    // lineage is cut so the O(corpus) signature cache can be freed
+    // immediately, and the blocks/files are reclaimed when the returned
+    // frame goes out of scope (a persist here would pin blocks until an
+    // explicit unpersist that no caller could issue). A reliable
+    // checkpoint is used when spark.checkpoint.dir is set (survives
+    // executor loss — required under dynamic allocation / spot nodes);
+    // localCheckpoint otherwise (single-JVM local mode, tests).
+    def materialize(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
+      else d.localCheckpoint(true)
+    val est = materialize(cand
       .join(sigs.select(col("id"), col("sig").as("sig_a")), col("id_a") === col("id")).drop("id")
       .join(sigs.select(col("id"), col("sig").as("sig_b")), col("id_b") === col("id")).drop("id")
       .withColumn("est",
@@ -132,8 +137,7 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
           .cast(DoubleType) / numHashes)
       .where(col("est") >= estFilter)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .select(col("id_a"), col("id_b")))
     sigs.unpersist(blocking = false)
     // Exact verify on the survivors: join shingle sets back, true Jaccard.
     val sh = shingled
@@ -198,7 +202,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val withH = df.select(col(idCol).as("id"), col(textCol))
+    // Zero-token documents (null / empty / whitespace-only text) all hash
+    // to sh64 = 0 and would form one giant spurious Hamming-0 cluster —
+    // they carry no signal for near-dup detection, so drop them up front
+    // (exact dedup catches trivially-identical empties anyway).
+    val nonEmpty = df.where(
+      size(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))) > 0)
+    val withH = nonEmpty.select(col(idCol).as("id"), col(textCol))
       .withColumn("sh64", simhash(col(textCol), tokenHash)).drop(textCol)
     val chunks = withH.select(col("id"), col("sh64"),
       explode(array((0 until 4).map { c =>

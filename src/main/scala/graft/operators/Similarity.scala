@@ -30,13 +30,14 @@ object Similarity {
   /**
    * Exact top-k cosine neighbors for each query vector. The query set is
    * broadcast; rank ties break on the rounded similarity (9 decimals, to be
-   * engine-stable) then neighbor id.
+   * engine-stable) then neighbor id. Ids keep their natural type (long,
+   * string, …) — no silent cast.
    */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"), asDouble(col(vecCol)).as("ce"))
-    val q = broadcast(queries.select(col(idCol).cast(LongType).as("query_id"), asDouble(col(vecCol)).as("qe")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("ce"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qe")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qe"), col("ce")), 9))
     val w = org.apache.spark.sql.expressions.Window
@@ -47,8 +48,9 @@ object Similarity {
   }
 
   /** Deterministic ±1 random-projection planes: tables × bitsPerTable planes
-    * of `dim` components each. */
-  private[operators] def planes(tables: Int, bitsPerTable: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    * of `dim` components each. Public so an external oracle (e.g. generated
+    * DuckDB SQL) can replicate the exact bucketing. */
+  def planes(tables: Int, bitsPerTable: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bitsPerTable, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
@@ -79,10 +81,10 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       tables: Int = 12, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
     val dim = dimOf(df, vecCol).getOrElse(
-      return df.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos")).limit(0))
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos")).limit(0))
     val pl = planes(tables, bitsPerTable, dim, seed)
-    val rows = df.select(col(idCol).cast(LongType).as("id"), asDouble(col(vecCol)).as("vec"))
+    val rows = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("tb", explode(bucketCols(col("vec"), pl)))
       .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val a = rows.as("a")
@@ -109,12 +111,11 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 12, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
     val dim = dimOf(corpus, vecCol).getOrElse(
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
-          lit(0).as("rank")).limit(0))
+      return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0).as("rank")).limit(0))
     val pl = planes(tables, bitsPerTable, dim, seed)
     def withBuckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).cast(LongType).as(id), asDouble(col(vecCol)).as(s"${id}_vec"))
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(s"${id}_vec"))
         .withColumn("tb", explode(bucketCols(col(s"${id}_vec"), pl)))
         .select(col(id), col(s"${id}_vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val c = withBuckets(corpus, "neighbor_id")

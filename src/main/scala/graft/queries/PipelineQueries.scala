@@ -23,6 +23,28 @@ object PipelineQueries {
   private val ode = oscore("\\b(der|die|und|das|ist)\\b")
   private val oes = oscore("\\b(el|los|las|y|es)\\b")
 
+  /** The sign-random-projection planes as a DuckDB VALUES list
+    * `(tbl, bit, plane)` — the oracle replicates the EXACT bucketing of
+    * [[Similarity.lshTopK]] / [[Similarity.embeddingNearDupPairs]] by
+    * inlining the deterministic ±1 planes as literals. */
+  private def planesValues(tables: Int, bits: Int, dim: Int, seed: Long): String = {
+    val pl = Similarity.planes(tables, bits, dim, seed)
+    (for { t <- 0 until tables; j <- 0 until bits } yield
+      s"($t,$j,[${pl(t)(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    ).mkString(",")
+  }
+
+  /** DuckDB CTEs shared by the two LSH oracles: per-(vector, hash-table)
+    * bucket ids from the inlined planes. Replicates `bucketCols`: bit j set
+    * iff dot(vec, plane_j) >= 0. */
+  private def lshBucketCtes(tables: Int, bits: Int, dim: Int, seed: Long): String = s"""
+      pl(tbl, bit, plane) AS (VALUES ${planesValues(tables, bits, dim, seed)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bk AS (SELECT vec_id, tbl,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) >= 0
+                             THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS bucket
+             FROM e CROSS JOIN pl GROUP BY vec_id, tbl)"""
+
   val all: Seq[Q] = Seq(
 
     // Per-document text statistics: token counts, language ID, quality
@@ -71,16 +93,42 @@ object PipelineQueries {
         .select(col("doc_id"), size(TextOps.shingles("text", 3)).as("n_shingles"))
     },
 
-    // MinHash + banded LSH near-duplicate pairs (no all-pairs join; see
-    // PipelineSpec for the exact-Jaccard equivalence test).
-    Q("t04_minhash_neardup", None) { (s, dir) =>
+    // MinHash + banded LSH near-duplicate pairs (no all-pairs join). The
+    // oracle is the EXACT all-pairs word-2-gram Jaccard at the threshold:
+    // with 8×8 banding the planted near-dup pairs (min true Jaccard 0.909,
+    // next-highest pair 0.80 — a clean gap) all land in a shared bucket
+    // under the fixed seed, so LSH output = exact output deterministically.
+    Q("t04_minhash_neardup", Some("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1),
+              i -> array_to_string(tk[i:i+1],' '))) AS sh FROM toks),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.sh,b.sh)) AS inter, len(a.sh)+len(b.sh) AS tot
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(inter AS DOUBLE)/(tot-inter) AS jaccard
+      FROM p WHERE CAST(inter AS DOUBLE)/(tot-inter) >= 0.9""")) { (s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2))
+        bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+        maxBucketWidth = Some(64))
     },
 
-    // SimHash near-duplicate pairs (Hamming ≤ 3 via 16-bit chunk banding).
-    Q("t05_simhash_neardup", None) { (s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text")
+    // SimHash near-duplicate pairs (Hamming ≤ 3 via 16-bit chunk banding —
+    // exhaustive by pigeonhole, so output = exact all-pairs Hamming ≤ 3).
+    // md5-derived token hashes make the signature engine-portable; the
+    // oracle recomputes the 64 signature bits from md5 hex digits.
+    Q("t05_simhash_neardup", Some("""
+      WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(lower(text),'\S+'), t -> md5(t)) AS hs
+                    FROM documents),
+      bits AS (SELECT doc_id, list_transform(range(0,64), j ->
+          CASE WHEN 2*len(list_filter(hs, h ->
+            ((strpos('0123456789abcdef', substr(h, CAST(16 - j//4 AS INT), 1))-1) >> (j%4)) & 1 = 1)) > len(hs)
+          THEN 1 ELSE 0 END) AS bv FROM toks WHERE len(hs) > 0),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(list_sum(list_transform(range(1,65), i -> abs(a.bv[CAST(i AS INT)]-b.bv[CAST(i AS INT)]))) AS INT) AS hamming
+        FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+      SELECT * FROM p WHERE hamming <= 3""")) { (s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        tokenHash = Dedup.md5Hash64)
     },
 
     // Exact cosine top-5 for 20 query vectors (engine-stable via round(,9)).
@@ -102,15 +150,40 @@ object PipelineQueries {
     },
 
     // LSH-bucketed approximate top-5 (scale path: equi-join on buckets).
-    Q("t07_ann_lsh", None) { (s, dir) =>
+    // The oracle inlines the deterministic ±1 projection planes and
+    // replicates candidate generation + exact-cosine rerank bit-for-bit —
+    // it checks the CONTRACT (top-k by exact cosine over the deterministic
+    // LSH candidate set), not a recall gamble.
+    Q("t07_ann_lsh", Some(s"""
+      WITH ${lshBucketCtes(12, 4, 64, 7)},
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+               WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      s AS (SELECT query_id, neighbor_id,
+              round(list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 9) AS cos
+            FROM cand JOIN e qe ON qe.vec_id = cand.query_id JOIN e ce ON ce.vec_id = cand.neighbor_id)
+      SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+      WHERE rn <= 5""")) { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 5)
     },
 
     // Embedding-cosine near-duplicate pairs (bucketed, no cross join).
-    Q("t09_embedding_neardup", None) { (s, dir) =>
+    // Threshold 0.42 yields real pairs on the synthetic corpus (max pair
+    // cosine is 0.513 — 0.95 would vacuously match on zero rows). Oracle:
+    // same inlined-plane candidate replication + exact cosine filter.
+    Q("t09_embedding_neardup", Some(s"""
+      WITH ${lshBucketCtes(12, 4, 64, 7)},
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      s AS (SELECT id_a, id_b,
+              round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) AS cos
+            FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
+      SELECT id_a, id_b, cos FROM s WHERE cos >= 0.42""")) { (s, dir) =>
       Similarity.embeddingNearDupPairs(tbl(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.95)
+        "vec_id", "embedding", threshold = 0.42)
     },
 
     // Multimodal: binary payload column + stubbed per-partition decode.
