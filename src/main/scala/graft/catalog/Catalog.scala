@@ -708,12 +708,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val pendingRecords =
       pending.map(d => d.properties.getOrElse("record_count", "0").toLong).sum
     // Write-amplification valve: under MAX a steady trickle of tiny upserts
-    // would rewrite touched buckets on EVERY write. When
-    // compaction.min_pending_records is set, merge-triggered compaction
-    // defers until that many pending rows accumulate (reads stay correct via
-    // merge-on-read); the size/count triggers still apply. Default 0 =
-    // reference parity (compact on every merge write).
-    val minPending = p.getOrElse("compaction.min_pending_records", "0").toLong
+    // would rewrite every touched bucket on EVERY write — at 100 TB that
+    // write amplification is the scale-killer, not the merge itself. Merge-
+    // triggered compaction defers until compaction.min_pending_records
+    // pending rows accumulate (reads stay correct via merge-on-read); the
+    // delta/file/record-count triggers still apply. Default: 5% of the
+    // compacted base (amortizes the full-bucket rewrite ~20x); set the
+    // property to 0 for reference parity (compact on every merge write).
+    val baseRecords = MergeRead.activeDeltas(all)._1
+      .map(_.properties.getOrElse("record_count", "0").toLong).getOrElse(0L)
+    val minPending = p.get("compaction.min_pending_records").map(_.toLong)
+      .getOrElse(baseRecords / 20)
     val trigger = (levelMax && hasMerges && pendingRecords >= minPending) ||
       pending.size >= maxDeltas ||
       pending.map(_.entries.size).sum >= maxFiles ||

@@ -18,7 +18,7 @@ object Dedup {
   /** Exact duplicate groups by content fingerprint: one row per distinct
     * content with the canonical (minimum) id and the copy count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
+    Par.widen(df).groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).cast(LongType).as("copies"))
 
@@ -41,15 +41,28 @@ object Dedup {
     Seq.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature (array of numHashes longs) over a shingle-set column.
-    * One xxhash64 per shingle reduced mod P, then numHashes affine re-hashes
-    * (a·h+b mod P) — no explode, pure array expressions inside codegen. */
-  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
+  /** Base hash per shingle: xxhash64 reduced mod P. Materialize this ONCE
+    * per document (its own projection) before fanning out to the affine
+    * re-hashes — inlining it under every array_min would recompute the
+    * tokenize+shingle+hash work numHashes times per row, because lambda
+    * expressions are excluded from codegen subexpression elimination. */
+  def minhashBase(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** numHashes affine re-hashes (a·h+b mod P) over a pre-hashed shingle
+    * array — pure array expressions inside codegen, no explode. */
+  def minhashSignatureFromHashes(hashedCol: Column, numHashes: Int, seed: Long = 42L): Column =
     array(affineParams(numHashes, seed).map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
+      array_min(transform(hashedCol, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
     }: _*)
-  }
+
+  /** MinHash signature (array of numHashes longs) over a shingle-set column.
+    * Convenience one-expression form: fine for small numHashes, but at
+    * numHashes ≥ ~16 prefer materializing [[minhashBase]] in a separate
+    * projection and calling [[minhashSignatureFromHashes]] (as
+    * [[minhashPairs]] does) — this form recomputes the base per hash. */
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(minhashBase(shingleCol), numHashes, seed)
 
   /**
    * MinHash + banded LSH near-duplicate PAIRS: shingle → signature → band
@@ -77,17 +90,45 @@ object Dedup {
         * the standard LSH guard at corpus scale. None = exhaustive. */
       maxBucketWidth: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val shingleCol = wordGrams
-      .map(n => TextOps.wordShingles(col(textCol), n))
-      .getOrElse(TextOps.shingles(textCol, shingleK))
-    val shingled = df.select(col(idCol).as("id"), shingleCol.as("sh"))
+    // Word-gram shingling tokenizes in its OWN projection: inlined, the
+    // regexp tokenizer would re-run per shingle position inside the slice
+    // lambda (no subexpression elimination across lambda bodies). Char
+    // shingles substring the raw attribute directly — already cheap.
+    val dfp = Par.widen(df)
+    val shingled = wordGrams match {
+      case Some(n) =>
+        dfp.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+          .select(col("id"), TextOps.wordShinglesFromTokens(col("tk"), n).as("sh"))
+      case None =>
+        dfp.select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("sh"))
+    }
+    // Signatures via explode + numHashes codegen'd min-aggregates, NOT the
+    // one-expression array form: a 64-branch array_min(transform(...)) tree
+    // exceeds whole-stage-codegen limits and falls back to interpreted
+    // evaluation (~50× slower, measured). The hash aggregate keeps every
+    // (shingle × hash) op in tight generated code, and map-side partial
+    // aggregation collapses to one row per document before the shuffle —
+    // the shuffle moves |docs| × numHashes longs, not |shingles|.
+    val params = affineParams(numHashes, 42L)
+    val minAggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"_m$i")
+    }
     // (id, sig) is persisted and materialized ONCE: the signature feeds the
     // band buckets AND the pair-wise estimate join, and Catalyst does not
     // share subtrees across joins — without the persist it would be
     // recomputed per consumer.
+    // explode_OUTER, deliberately: plain explode triggers
+    // InferFiltersFromGenerate, whose size(sh)>0 predicate embeds the whole
+    // shingle expression and gets pushed below the widening shuffle — the
+    // expensive interpreted HOF then runs serially on the (often 1-task)
+    // scan side, twice. explode_outer infers nothing; the rare null row it
+    // keeps (null text) hashes to a constant and can never survive the
+    // exact-Jaccard verify.
     val sigs = shingled
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sig"))
+      .select(col("id"), explode_outer(col("sh")).as("s"))
+      .select(col("id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
+      .groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val bandCols = array((0 until bands).map { b =>
@@ -122,13 +163,7 @@ object Dedup {
     // lineage is cut so the O(corpus) signature cache can be freed
     // immediately, and the blocks/files are reclaimed when the returned
     // frame goes out of scope (a persist here would pin blocks until an
-    // explicit unpersist that no caller could issue). A reliable
-    // checkpoint is used when spark.checkpoint.dir is set (survives
-    // executor loss — required under dynamic allocation / spot nodes);
-    // localCheckpoint otherwise (single-JVM local mode, tests).
-    def materialize(d: DataFrame): DataFrame =
-      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
-      else d.localCheckpoint(true)
+    // explicit unpersist that no caller could issue).
     val est = materialize(cand
       .join(sigs.select(col("id"), col("sig").as("sig_a")), col("id_a") === col("id")).drop("id")
       .join(sigs.select(col("id"), col("sig").as("sig_b")), col("id_b") === col("id")).drop("id")
@@ -156,7 +191,7 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = Par.widen(df).select(col(idCol).as("id"),
       TextOps.shingles(textCol, shingleK).as("sh"))
     pairs
       .join(sh.withColumnRenamed("sh", "sh_a"), pairs("id_a") === sh("id")).drop("id")
@@ -166,6 +201,15 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Eagerly materialize a (small) derived frame, cutting lineage so
+    * upstream caches can be freed and self-joins don't recompute it. A
+    * reliable checkpoint is used when spark.checkpoint.dir is set (survives
+    * executor loss — required under dynamic allocation / spot nodes);
+    * localCheckpoint otherwise (single-JVM local mode, tests). */
+  private def materialize(d: DataFrame): DataFrame =
+    if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
+    else d.localCheckpoint(true)
 
   // ---------------------------------------------------------------- SimHash
 
@@ -183,11 +227,21 @@ object Dedup {
     * `regexp_extract_all(lower, \S+)` (never empty strings, unlike split).
     * `tokenHash` defaults to xxhash64 (fastest); pass [[md5Hash64]] when the
     * signature must be reproducible outside Spark. */
-  def simhash(textCol: Column, tokenHash: Column => Column = xxhash64(_)): Column = {
-    val toks = regexp_extract_all(lower(textCol), lit("\\S+"), lit(0))
-    val hashes = transform(toks, t => tokenHash(t))
+  def simhash(textCol: Column, tokenHash: Column => Column = xxhash64(_)): Column =
+    simhashFromHashes(simhashTokenHashes(textCol, tokenHash))
+
+  /** Per-token 64-bit hashes for [[simhash]]. Materialize this ONCE per
+    * document (own projection) before [[simhashFromHashes]] — the 64 bit
+    * aggregates each reference it, and lambda expressions are excluded from
+    * codegen subexpression elimination (same pitfall as [[minhashBase]]). */
+  def simhashTokenHashes(textCol: Column, tokenHash: Column => Column = xxhash64(_)): Column =
+    transform(regexp_extract_all(lower(textCol), lit("\\S+"), lit(0)), t => tokenHash(t))
+
+  /** SimHash from a pre-hashed token array: per bit j, sign of the sum of
+    * ±1 contributions from each token hash. */
+  def simhashFromHashes(hashesCol: Column): Column = {
     val bits = (0 until 64).map { j =>
-      val contrib = aggregate(hashes, lit(0L),
+      val contrib = aggregate(hashesCol, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
       when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -206,10 +260,25 @@ object Dedup {
     // to sh64 = 0 and would form one giant spurious Hamming-0 cluster —
     // they carry no signal for near-dup detection, so drop them up front
     // (exact dedup catches trivially-identical empties anyway).
-    val nonEmpty = df.where(
+    val nonEmpty = Par.widen(df).where(
       size(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))) > 0)
-    val withH = nonEmpty.select(col(idCol).as("id"), col(textCol))
-      .withColumn("sh64", simhash(col(textCol), tokenHash)).drop(textCol)
+    // Signature via explode + 64 codegen'd sum-aggregates (the one-expression
+    // 64-bit-branch form falls out of whole-stage codegen — same pitfall as
+    // the MinHash signature). Map-side partial aggregation collapses to one
+    // row per document before the shuffle. The small (id, sh64) frame is
+    // materialized once: the chunk self-join below would otherwise recompute
+    // the whole tokenize+hash+aggregate pipeline twice.
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)).as(s"_b$j")
+    }
+    val withH = materialize(nonEmpty
+      .select(col(idCol).as("id"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("t"))
+      .select(col("id"), tokenHash(col("t")).as("h"))
+      .groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), (0 until 64).map(j =>
+        when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("sh64")))
     val chunks = withH.select(col("id"), col("sh64"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), col("sh64").bitwiseAND(lit(0xFFFFL << (c * 16))).as("val"))

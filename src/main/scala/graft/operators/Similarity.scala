@@ -36,7 +36,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("ce"))
+    val c = Par.widen(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("ce"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qe")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qe"), col("ce")), 9))
@@ -84,7 +84,7 @@ object Similarity {
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cos")).limit(0))
     val pl = planes(tables, bitsPerTable, dim, seed)
-    val rows = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val rows = Par.widen(df).select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("tb", explode(bucketCols(col("vec"), pl)))
       .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val a = rows.as("a")
@@ -118,7 +118,7 @@ object Similarity {
       df.select(col(idCol).as(id), asDouble(col(vecCol)).as(s"${id}_vec"))
         .withColumn("tb", explode(bucketCols(col(s"${id}_vec"), pl)))
         .select(col(id), col(s"${id}_vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val c = withBuckets(corpus, "neighbor_id")
+    val c = withBuckets(Par.widen(corpus), "neighbor_id")
     val q = withBuckets(queries, "query_id")
     val cand = c.join(q, Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -73,18 +73,30 @@ object TextOps {
 
   def shingles(colName: String, k: Int): Column = shingles(col(colName), k)
 
-  /** Word n-gram shingle set (distinct, lowercased). ~5–10× fewer shingles
-    * than character k-grams on natural text — the cheaper MinHash front end
-    * at corpus scale, at slightly coarser similarity granularity. Tokens are
-    * `regexp_extract_all(lower, \S+)` — no empty tokens for leading
-    * whitespace (split would emit one), so the shingle set is reproducible
-    * by any engine's regexp_extract_all. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+  /** Whitespace tokens, lowercased: `regexp_extract_all(lower, \S+)` — no
+    * empty tokens for leading whitespace (split would emit one), so the
+    * token list is reproducible by any engine's regexp_extract_all. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
+  /** Word n-gram shingle set from a PRE-COMPUTED token-array column.
+    * IMPORTANT: pass an attribute (own projection), not the tokens(...)
+    * expression inline — the slice lambda references the token array once
+    * per shingle position, and lambda bodies are excluded from codegen
+    * subexpression elimination, so an inline regexp tokenizer would re-run
+    * ~|tokens| times per document (measured ~50× slowdown). */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+
+  /** Word n-gram shingle set (distinct, lowercased). ~5–10× fewer shingles
+    * than character k-grams on natural text — the cheaper MinHash front end
+    * at corpus scale, at slightly coarser similarity granularity.
+    * Convenience one-expression form — in hot paths tokenize into a
+    * separate projection and use [[wordShinglesFromTokens]]. */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(c), n)
 
   /** Per-document text-statistics projection. */
   def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -21,7 +21,10 @@ class FixesSpec extends SparkSpec {
 
   test("auto-compaction reuses the existing bucket count; copy-by-reference survives") {
     val cat = newCatalog()
-    cat.createTable("f.b", kvSchema(), properties = Map("read_optimization" -> "NONE"))
+    // min_pending_records=0 = reference parity (compact on every merge
+    // write) — the default now defers small trickles to merge-on-read.
+    cat.createTable("f.b", kvSchema(), properties = Map(
+      "read_optimization" -> "NONE", "compaction.min_pending_records" -> "0"))
     cat.writeToTable((1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), "f.b", WriteMode.Merge)
     cat.compact("f.b", numBuckets = 4)
     // Switch to MAX so the next merge write triggers auto-compaction.
