@@ -46,6 +46,12 @@ final case class ReadOptions(
 
 class TableAlreadyExists(t: String) extends RuntimeException(s"table $t already exists")
 class TableNotFound(t: String) extends RuntimeException(s"table $t not found")
+/** A write violated a field's VALIDATE consistency policy or omitted a
+  * required column — reference SchemaValidationError (schema.py:595-635). */
+class SchemaValidationError(msg: String) extends RuntimeException(msg)
+/** A schema change would break readers and was not explicitly allowed —
+  * reference SchemaCompatibilityError (SchemaUpdate, schema.py:975-999). */
+class SchemaCompatibilityError(msg: String) extends RuntimeException(msg)
 
 final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   val root: Path = Paths.get(rootDir)
@@ -231,18 +237,52 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
-  /** Schema evolution DDL — add/update columns per the promotion lattice
-    * (reference alter_table, interface.py:122-164). */
+  /** Schema evolution DDL — add/update columns per the promotion lattice,
+    * plus remove/rename behind the `allowIncompatibleChanges` gate
+    * (reference alter_table interface.py:122-164; SchemaUpdate add/remove/
+    * update ops with allow_incompatible_changes, schema.py:140-216,975-999).
+    *
+    * remove: breaks readers of the column — requires the gate; merge keys
+    * and partition/sort keys can never be removed. rename: metadata-only —
+    * a `renamed_from` breadcrumb lets the scan read old physical files
+    * (which carry the prior column name) under the new name; requires the
+    * gate because readers addressing the old name break. */
   def alterTable(
       table: String,
       newSchema: Option[StructType] = None,
       setProperties: Map[String, String] = Map.empty,
       sortScheme: Option[SortScheme] = None,
+      removeFields: Seq[String] = Nil,
+      renameFields: Map[String, String] = Map.empty,
+      allowIncompatibleChanges: Boolean = false,
       txn: Option[Transaction] = None): Unit = {
     val t = th(table)
     val m = getTableMeta(table)
     val cur = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val evolved = newSchema.map(s => TypePromotion.unify(cur, s)).getOrElse(cur)
+    if ((removeFields.nonEmpty || renameFields.nonEmpty) && !allowIncompatibleChanges)
+      throw new SchemaCompatibilityError(
+        s"removing/renaming fields of $t breaks readers; pass allowIncompatibleChanges=true " +
+          s"(remove: ${removeFields.mkString(",")}; rename: ${renameFields.mkString(",")})")
+    val protectedKeys = (FieldMeta.mergeKeys(cur) ++
+      m.partitionKeys.map(_(0)) ++ m.sortKeys.map(_(0))).toSet
+    removeFields.foreach { f =>
+      require(cur.fieldNames.contains(f), s"cannot remove unknown field $f of $t")
+      if (protectedKeys(f)) throw new SchemaCompatibilityError(
+        s"cannot remove $f of $t: it is a merge/partition/sort key")
+    }
+    renameFields.keys.foreach { f =>
+      require(cur.fieldNames.contains(f), s"cannot rename unknown field $f of $t")
+      // Merge/partition/sort keys anchor physical layout (partition dir
+      // names, bucket hashes) — renaming them would orphan existing files.
+      if (protectedKeys(f)) throw new SchemaCompatibilityError(
+        s"cannot rename $f of $t: it is a merge/partition/sort key")
+    }
+    renameFields.values.foreach(n =>
+      require(!cur.fieldNames.contains(n), s"rename target $n already exists on $t"))
+    val afterRemove = StructType(cur.fields.filterNot(f => removeFields.contains(f.name)))
+    val afterRename = StructType(afterRemove.fields.map(f =>
+      renameFields.get(f.name).map(FieldMeta.withRename(f, _)).getOrElse(f)))
+    val evolved = newSchema.map(s => TypePromotion.unify(afterRename, s)).getOrElse(afterRename)
     val updated = m.copy(
       schemaJson = evolved.json,
       properties = m.properties ++ setProperties,
@@ -331,6 +371,22 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val cur = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val mergeKeys = FieldMeta.mergeKeys(cur)
 
+    // Per-field consistency (reference SchemaConsistencyType,
+    // types.py:137-152, enforced via validate_and_coerce_dataset at the
+    // catalog write path, catalog/main/impl.py:392-403): a VALIDATE field
+    // rejects any incoming column whose type differs from the declaration —
+    // before type promotion gets a chance to widen it. COERCE (default)
+    // casts below; NONE falls through to promotion untouched.
+    if (deltaType != DeltaType.Delete) {
+      val inByName = dfIn.schema.fields.map(f => f.name -> f.dataType).toMap
+      val violations = cur.fields
+        .filter(f => FieldMeta.consistencyOf(f) == "validate")
+        .flatMap(f => inByName.get(f.name).filter(_ != f.dataType)
+          .map(got => s"${f.name}: expected ${f.dataType.sql}, got ${got.sql}"))
+      if (violations.nonEmpty) throw new SchemaValidationError(
+        s"VALIDATE consistency rejected write to $t: ${violations.mkString("; ")}")
+    }
+
     // Schema evolution (AUTO): unify incoming schema into the table schema via
     // the promotion lattice (reference schema.py:671-804). DELETE deltas carry
     // key columns only and never evolve the schema.
@@ -369,11 +425,29 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       require(missing.isEmpty, s"${deltaType.name} delta missing merge key columns $missing")
     }
 
+    // future_default (reference schema.py:301-311, filled by
+    // _add_missing_schema_fields at write): a data-carrying write that omits
+    // a column with a declared future default physically writes the default;
+    // a non-nullable column with neither a future default nor a value is
+    // rejected. DELETE deltas carry keys only and are exempt.
+    val incoming = dfIn.columns.toSet
+    val futureFilled =
+      if (deltaType == DeltaType.Delete) dfIn
+      else targetSchema.fields.filterNot(f => incoming(f.name)).foldLeft(dfIn) { (d, f) =>
+        FieldMeta.futureDefault(f) match {
+          case Some(v) => d.withColumn(f.name, lit(v).cast(f.dataType))
+          case None if !f.nullable => throw new SchemaValidationError(
+            s"column ${f.name} of $t is required (non-nullable) but absent " +
+              "from the write and has no future_default")
+          case None => d
+        }
+      }
+
     // Coerce incoming columns to the target schema types (only columns the
     // incoming frame actually has — absent columns stay absent; readers
     // backfill nulls/defaults from the latest schema).
-    val present = dfIn.columns.toSet
-    val coerced = dfIn.select(targetSchema.fields.filter(f => present(f.name)).map { f =>
+    val present = futureFilled.columns.toSet
+    val coerced = futureFilled.select(targetSchema.fields.filter(f => present(f.name)).map { f =>
       col(f.name).cast(f.dataType).as(f.name, f.metadata)
     }.toIndexedSeq: _*)
 
@@ -461,7 +535,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val n = obs.get("n").asInstanceOf[Long]
       val statsJson = statsJsonFrom(statFields, obs)
       val entries = manifestEntriesOf(Paths.get(out), ct)
-      val props = Map("written_columns" -> dfIn.columns.mkString(","),
+      val props = Map("written_columns" -> coerced.columns.mkString(","),
         "column_stats" -> statsJson) ++
         (if (replace) Map("replace" -> "true") else Map.empty) ++
         (if (deltaType == DeltaType.Chrono) Map("chrono_millis" -> System.currentTimeMillis.toString) else Map.empty) ++

@@ -186,6 +186,12 @@ object MergeRead {
     * join against the O(#deltas) lineage frame (never a Catalyst literal).
     * A row whose position misses the lineage is a corruption bug and fails
     * loudly rather than silently dropping. */
+  /** oldName -> newName for every renamed field of the schema — used to
+    * translate historical written_columns and to read old physical files
+    * (which carry the prior column name) under the new name. */
+  private[graft] def renameMapOf(schema: StructType): Map[String, String] =
+    schema.fields.flatMap(f => FieldMeta.renamedFrom(f).map(_ -> f.name)).toMap
+
   def scanWithLineage(
       spark: SparkSession,
       schema: StructType,
@@ -193,9 +199,11 @@ object MergeRead {
       paths: Seq[String],
       ct: ContentType = ContentType.Parquet): DataFrame = {
     import spark.implicits._
+    val renames = renameMapOf(schema)
+    def tr(c: String): String = renames.getOrElse(c, c)
     val lineageDf = broadcast(lineage.map { d =>
       val present = d.properties.get("written_columns")
-        .map(_.split(",").toSeq).getOrElse(schema.fieldNames.toSeq)
+        .map(_.split(",").toSeq.map(tr)).getOrElse(schema.fieldNames.toSeq)
       (d.streamPosition, d.deltaType, present)
     }.toDF(Pos, Dt, Present))
     val posExpr = element_at(
@@ -215,17 +223,34 @@ object MergeRead {
     val positional = ct.format == "csv"
     val writtenByPos: Map[Long, Set[String]] = lineage.map(d =>
       d.streamPosition -> d.properties.get("written_columns")
-        .map(_.split(",").toSet).getOrElse(schema.fieldNames.toSet)).toMap
+        .map(_.split(",").toSet.map(tr)).getOrElse(schema.fieldNames.toSet)).toMap
     val fullSet = schema.fieldNames.toSet
     val groups: Seq[(Set[String], Seq[String])] =
       if (!positional) Seq(fullSet -> paths)
       else paths.groupBy(p => revOfPath(p).flatMap(writtenByPos.get).getOrElse(fullSet)).toSeq
     val scans = groups.map { case (written, groupPaths) =>
-      val subSchema = StructType(schema.fields.filter(f => written(f.name)))
-      val base = spark.read.schema(subSchema).format(ct.format).options(ct.readOptions)
+      // Positional (csv) reads assign CURRENT names by position — rename is
+      // in-place, so positions align and no aliasing is needed. Name-matched
+      // formats additionally request each renamed field's prior physical
+      // names (absent names read null) and coalesce new-then-old: a file
+      // carries exactly one of the names, so coalesce picks the real column.
+      val subFields = schema.fields.filter(f => written(f.name))
+      val oldFields =
+        if (positional) Array.empty[StructField]
+        else subFields.flatMap(f => FieldMeta.renamedFrom(f)
+          .map(o => StructField(o, f.dataType, nullable = true)))
+      val base = spark.read.schema(StructType(subFields ++ oldFields))
+        .format(ct.format).options(ct.readOptions)
         .load(groupPaths: _*)
+      val unified =
+        if (oldFields.isEmpty) base
+        else subFields.filter(f => FieldMeta.renamedFrom(f).nonEmpty).foldLeft(base) {
+          (d, f) =>
+            d.withColumn(f.name,
+              coalesce((f.name +: FieldMeta.renamedFrom(f)).map(d(_)): _*))
+        }.drop(oldFields.map(_.name).toIndexedSeq: _*)
       val padded = schema.fields.filterNot(f => written(f.name))
-        .foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        .foldLeft(unified)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
       // _metadata must be dereferenced while the scan relation is in scope.
       padded.select((schema.fieldNames.map(col) :+ posExpr.as(Pos) :+
         col("_metadata.file_path").as(File) :+ rowIdx.as(Row)).toIndexedSeq: _*)
@@ -259,9 +284,11 @@ object MergeRead {
     val isDelete = col(Dt) === DeltaType.Delete.name
 
     val fullCols = schema.fieldNames.toSet
+    val renames = renameMapOf(schema)
     val allComplete = lineage.forall { d =>
       d.typed == DeltaType.Delete ||
-        d.properties.get("written_columns").forall(_.split(",").toSet == fullCols)
+        d.properties.get("written_columns").forall(
+          _.split(",").toSet.map((c: String) => renames.getOrElse(c, c)) == fullCols)
     }
     val moKeys = FieldMeta.mergeOrderKeys(schema)
 

@@ -254,7 +254,9 @@ object FieldMeta {
   val MergeOrder = "graft.merge_order"  // "ASC"|"DESC"
   val EventTime = "graft.is_event_time"
   val PastDefault = "graft.past_default"    // backfill default for old rows
-  val FutureDefault = "graft.future_default"
+  val FutureDefault = "graft.future_default" // fill for writes omitting the column
+  val Consistency = "graft.consistency"     // "none"|"coerce"|"validate"
+  val RenamedFrom = "graft.renamed_from"    // comma-joined prior names (newest first)
 
   def field(
       name: String,
@@ -264,13 +266,24 @@ object FieldMeta {
       mergeKey: Boolean = false,
       eventTime: Boolean = false,
       pastDefault: Option[String] = None,
-      mergeOrder: Option[String] = None): StructField = {
+      mergeOrder: Option[String] = None,
+      futureDefault: Option[String] = None,
+      /** Per-field write-time consistency policy — reference
+        * SchemaConsistencyType (storage/model/types.py:137-152): "validate"
+        * rejects writes whose incoming column type differs from the declared
+        * type; "coerce" (the default when absent) casts. */
+      consistency: Option[String] = None): StructField = {
     val b = new MetadataBuilder()
     fieldId.foreach(id => b.putLong(FieldId, id.toLong))
     if (mergeKey) b.putBoolean(MergeKey, true)
     if (eventTime) b.putBoolean(EventTime, true)
     pastDefault.foreach(d => b.putString(PastDefault, d))
     mergeOrder.foreach(o => b.putString(MergeOrder, o))
+    futureDefault.foreach(d => b.putString(FutureDefault, d))
+    consistency.foreach { c =>
+      require(Set("none", "coerce", "validate")(c), s"unknown consistency type: $c")
+      b.putString(Consistency, c)
+    }
     StructField(name, dt, nullable, b.build())
   }
 
@@ -282,6 +295,24 @@ object FieldMeta {
     if (f.metadata.contains(FieldId)) Some(f.metadata.getLong(FieldId)) else None
   def pastDefault(f: StructField): Option[String] =
     if (f.metadata.contains(PastDefault)) Some(f.metadata.getString(PastDefault)) else None
+  def futureDefault(f: StructField): Option[String] =
+    if (f.metadata.contains(FutureDefault)) Some(f.metadata.getString(FutureDefault)) else None
+  /** Consistency policy of a field; "coerce" when undeclared. */
+  def consistencyOf(f: StructField): String =
+    if (f.metadata.contains(Consistency)) f.metadata.getString(Consistency) else "coerce"
+  /** Prior names of a renamed field, newest first. */
+  def renamedFrom(f: StructField): Seq[String] =
+    if (f.metadata.contains(RenamedFrom))
+      f.metadata.getString(RenamedFrom).split(",").filter(_.nonEmpty).toSeq
+    else Nil
+
+  /** Stamp a rename breadcrumb onto a field being renamed. */
+  def withRename(f: StructField, newName: String): StructField = {
+    val chain = (f.name +: renamedFrom(f)).mkString(",")
+    val b = new MetadataBuilder().withMetadata(f.metadata)
+    b.putString(RenamedFrom, chain)
+    f.copy(name = newName, metadata = b.build())
+  }
 
   def mergeKeys(s: StructType): Seq[String] = s.fields.filter(isMergeKey).map(_.name).toSeq
   def eventTimeFields(s: StructType): Seq[String] = s.fields.filter(isEventTime).map(_.name).toSeq

@@ -483,6 +483,69 @@ object CatalogQueries {
       Converter.equalityToPositionDeletes(s, paths, o.schema,
         o.where(col("o_orderkey") % 50 === 0).select("o_orderkey"), Seq("o_orderkey"))
         .select("pos")
+    },
+
+    // Per-field consistency policies (reference SchemaConsistencyType): the
+    // COERCE column accepts a long and casts it to string; the VALIDATE
+    // column rejects a double write-attempt outright (the rejected write
+    // must leave NO trace — the read proves it).
+    Q("c33_consistency_policies", Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             CAST(n_regionkey AS VARCHAR) AS region_str,
+             CAST(n_nationkey * 2 AS BIGINT) AS strict_val
+      FROM nation""")) { (s, dir) =>
+      val cat = newCat(s, "c33")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("n_nationkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("region_str", StringType, consistency = Some("coerce")),
+        FieldMeta.field("strict_val", LongType, consistency = Some("validate")))))
+      val n = tbl(s, dir, "nation")
+      cat.writeToTable(n.select(col("n_nationkey"),
+        col("n_regionkey").as("region_str"),
+        (col("n_nationkey") * 2).cast(LongType).as("strict_val")), "q.n", WriteMode.Merge)
+      // VALIDATE rejects a type-mismatched write; nothing may be committed.
+      try {
+        cat.writeToTable(n.select(col("n_nationkey"),
+          (col("n_nationkey") * 2.5).as("strict_val")), "q.n", WriteMode.Merge)
+        throw new IllegalStateException("VALIDATE should have rejected the double write")
+      } catch { case _: SchemaValidationError => () }
+      cat.readTable("q.n")
+    },
+
+    // future_default: a write omitting the column physically fills the
+    // declared default (reference schema.py:301-311), distinct from
+    // past_default (which backfills rows OLDER than the field).
+    Q("c34_future_default", Some("""
+      SELECT r_regionkey, r_name, 'backfill' AS tier FROM region""")) { (s, dir) =>
+      val cat = newCat(s, "c34")
+      cat.createTable("q.r", StructType(Seq(
+        FieldMeta.field("r_regionkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("r_name", StringType),
+        FieldMeta.field("tier", StringType, futureDefault = Some("backfill")))))
+      cat.writeToTable(tbl(s, dir, "region").select("r_regionkey", "r_name"),
+        "q.r", WriteMode.Merge)
+      cat.readTable("q.r")
+    },
+
+    // remove_field + rename behind the allow_incompatible_changes gate
+    // (reference SchemaUpdate, schema.py:140-216): data written under the
+    // OLD column name reads back under the new one; the removed column is
+    // gone from the schema and the result.
+    Q("c35_remove_rename", Some("""
+      SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name AS supplier_name
+      FROM supplier""")) { (s, dir) =>
+      val cat = newCat(s, "c35")
+      cat.createTable("q.s", StructType(Seq(
+        FieldMeta.field("s_suppkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("s_name", StringType),
+        FieldMeta.field("s_acctbal", DoubleType))))
+      cat.writeToTable(tbl(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
+        "q.s", WriteMode.Merge)
+      cat.alterTable("q.s",
+        removeFields = Seq("s_acctbal"),
+        renameFields = Map("s_name" -> "supplier_name"),
+        allowIncompatibleChanges = true)
+      cat.readTable("q.s")
     }
   )
 }

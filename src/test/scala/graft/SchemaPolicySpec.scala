@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/** Per-field consistency policies, future_default fill, and the
+  * remove/rename schema-update gate. */
+class SchemaPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newCatalog(): GraftCatalog = new GraftCatalog(spark, tmpDir("graft-pol"))
+
+  test("VALIDATE rejects a type-mismatched write; COERCE casts silently") {
+    val cat = newCatalog()
+    cat.createTable("p.v", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("strict", LongType, consistency = Some("validate")),
+      FieldMeta.field("loose", StringType, consistency = Some("coerce")))))
+    cat.writeToTable(Seq((1L, 10L, 7)).toDF("id", "strict", "loose"), "p.v", WriteMode.Merge)
+    // loose: int 7 coerced to string "7"
+    assert(cat.readTable("p.v").select("loose").head.getString(0) == "7")
+    // strict: double rejected with a clear error, nothing committed
+    val e = intercept[SchemaValidationError] {
+      cat.writeToTable(Seq((2L, 2.5)).toDF("id", "strict"), "p.v", WriteMode.Merge)
+    }
+    assert(e.getMessage.contains("strict"))
+    assert(cat.readTable("p.v").count() == 1)
+    // exact-typed write still accepted
+    cat.writeToTable(Seq((2L, 20L)).toDF("id", "strict"), "p.v", WriteMode.Merge)
+    assert(cat.readTable("p.v").count() == 2)
+  }
+
+  test("future_default fills omitted columns at write; required column without it rejects") {
+    val cat = newCatalog()
+    cat.createTable("p.f", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("tier", StringType, futureDefault = Some("std")),
+      FieldMeta.field("req", LongType, nullable = false))))
+    // omitting non-nullable req (no future_default) rejects
+    intercept[SchemaValidationError] {
+      cat.writeToTable(Seq((1L, "x")).toDF("id", "tier"), "p.f", WriteMode.Merge)
+    }
+    // omitting tier fills the future default physically
+    cat.writeToTable(Seq((1L, 5L)).toDF("id", "req"), "p.f", WriteMode.Merge)
+    val row = cat.readTable("p.f").head
+    assert(row.getAs[String]("tier") == "std")
+    // an explicit value wins over the default
+    cat.writeToTable(Seq((2L, "gold", 6L)).toDF("id", "tier", "req"), "p.f", WriteMode.Merge)
+    val tiers = cat.readTable("p.f").select("id", "tier").as[(Long, String)].collect().toMap
+    assert(tiers == Map(1L -> "std", 2L -> "gold"))
+  }
+
+  test("remove/rename require allowIncompatibleChanges; keys are protected") {
+    val cat = newCatalog()
+    cat.createTable("p.g", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType),
+      FieldMeta.field("aux", LongType))))
+    intercept[SchemaCompatibilityError] {
+      cat.alterTable("p.g", removeFields = Seq("aux"))
+    }
+    intercept[SchemaCompatibilityError] {
+      cat.alterTable("p.g", renameFields = Map("v" -> "w"))
+    }
+    intercept[SchemaCompatibilityError] {
+      cat.alterTable("p.g", removeFields = Seq("id"), allowIncompatibleChanges = true)
+    }
+    intercept[SchemaCompatibilityError] {
+      cat.alterTable("p.g", renameFields = Map("id" -> "id2"), allowIncompatibleChanges = true)
+    }
+  }
+
+  test("rename reads old files under the new name, across merge and compaction") {
+    val cat = newCatalog()
+    cat.createTable("p.r", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable((1L to 10L).map(i => (i, s"old$i")).toDF("id", "v"), "p.r", WriteMode.Merge)
+    cat.alterTable("p.r", renameFields = Map("v" -> "val2"), allowIncompatibleChanges = true)
+    // old physical files carry column 'v'; reads map it to val2
+    assert(cat.readTable("p.r").columns.toSeq == Seq("id", "val2"))
+    assert(cat.readTable("p.r").where($"id" === 3L).select("val2").head.getString(0) == "old3")
+    // post-rename partial upsert under the new name merges field-wise
+    cat.writeToTable(Seq((3L, "new3")).toDF("id", "val2"), "p.r", WriteMode.Merge)
+    val got = cat.readTable("p.r").select("id", "val2").as[(Long, String)].collect().toMap
+    assert(got(3L) == "new3" && got(4L) == "old4" && got.size == 10)
+    // compaction materializes under the new name; content unchanged
+    cat.compact("p.r")
+    val post = cat.readTable("p.r").select("id", "val2").as[(Long, String)].collect().toMap
+    assert(post == got)
+  }
+}
