@@ -283,13 +283,67 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val afterRename = StructType(afterRemove.fields.map(f =>
       renameFields.get(f.name).map(FieldMeta.withRename(f, _)).getOrElse(f)))
     val evolved = newSchema.map(s => TypePromotion.unify(afterRename, s)).getOrElse(afterRename)
+    // Keep declared subschemas consistent: renamed fields follow, removed
+    // fields drop out of their groups.
+    val props = (m.properties ++ setProperties).map {
+      case (k, v) if k.startsWith("subschema.") =>
+        k -> v.split(",").toSeq
+          .filterNot(removeFields.contains)
+          .map(f => renameFields.getOrElse(f, f)).mkString(",")
+      case kv => kv
+    }
     val updated = m.copy(
       schemaJson = evolved.json,
-      properties = m.properties ++ setProperties,
+      properties = props,
       sortKeys = sortScheme.map(ss => ss.keys.map(k =>
         Seq(k.field, k.ascending.toString, k.nullsFirst.toString, k.transform.name)))
         .getOrElse(m.sortKeys))
     inTxn(txn, s"alter $t")(tx => stageTableMeta(tx, t, updated))
+  }
+
+  // ----------------------------------------------------- named subschemas
+  /** Declare (or replace) a named subschema — a column group over the
+    * unified table schema (reference Schema.subschemas, schema.py:818-845:
+    * per-subschema field mappings inside one table, e.g. a `text` group and
+    * a `media` group of a multimodal table). Stored as a table property;
+    * fields must exist in the current schema. */
+  def setSubschema(table: String, name: String, fields: Seq[String],
+      txn: Option[Transaction] = None): Unit = {
+    require(name.nonEmpty && fields.nonEmpty, "subschema needs a name and fields")
+    val cur = DataType.fromJson(getTableMeta(table).schemaJson).asInstanceOf[StructType]
+    val unknown = fields.filterNot(cur.fieldNames.contains)
+    require(unknown.isEmpty, s"subschema $name references unknown fields: ${unknown.mkString(",")}")
+    alterTable(table, setProperties = Map(s"subschema.$name" -> fields.mkString(",")), txn = txn)
+  }
+
+  def dropSubschema(table: String, name: String, txn: Option[Transaction] = None): Unit = {
+    val m = getTableMeta(table)
+    require(m.properties.contains(s"subschema.$name"), s"no subschema $name on $table")
+    inTxn(txn, s"drop subschema $name of $table")(tx =>
+      stageTableMeta(tx, th(table), m.copy(properties = m.properties - s"subschema.$name")))
+  }
+
+  /** All declared subschemas: name -> field list. */
+  def subschemas(table: String): Map[String, Seq[String]] =
+    getTableMeta(table).properties.collect {
+      case (k, v) if k.startsWith("subschema.") =>
+        k.stripPrefix("subschema.") -> v.split(",").toSeq
+    }
+
+  /** Read ONE column group: projects the group's fields (plus any merge
+    * keys, which identify the row). Catalyst prunes the scan to the group's
+    * columns — the other groups' (potentially huge multimodal) columns are
+    * never read. */
+  def readSubschema(table: String, name: String, opts: ReadOptions = ReadOptions()): DataFrame = {
+    val groups = subschemas(table)
+    val fields = groups.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no subschema $name on $table (have: ${groups.keys.mkString(",")})"))
+    val schema = DataType.fromJson(getTableMeta(table).schemaJson).asInstanceOf[StructType]
+    val keys = FieldMeta.mergeKeys(schema)
+    val cols = (keys ++ fields).distinct
+    readTable(table, opts.copy(columns = Some(opts.columns.map(_.filter(cols.contains))
+      .getOrElse(cols))))
   }
 
   // ------------------------------------------------------------ write path
@@ -498,7 +552,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         val bulkStatFields = statFieldsOf(targetSchema, targetSchema.fieldNames.toSet)
         val (entries, written, mObs) = Compactor.materialize(this, t, rev, tx.txnId, resolved,
           targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec,
-          statAggsFor(bulkStatFields))
+          statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta))
         val props = Map(
           "written_columns" -> targetSchema.fieldNames.mkString(","),
           "num_buckets" -> numBuckets.toString,
@@ -525,6 +579,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val writer = withPart.observe(obs, count(lit(1)).as("n"), statAggs.toIndexedSeq: _*)
         .write.mode("overwrite")
         .format(ct.format).options(ct.writeOptions)
+        .options(contentEncodingOf(meta).map("compression" -> _).toMap)
         // ≤N-record file slicing (reference _write_table_slices,
         // storage/main/impl.py:2578-2618) via Spark's native option.
         .option("maxRecordsPerFile", meta.properties
@@ -850,6 +905,25 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   private[graft] def contentTypeOf(meta: TableMeta): ContentType =
     ContentType.fromName(meta.properties.getOrElse("content_type", "parquet"))
 
+  /** Spark compression codec names accepted for `content_encoding`. */
+  private val KnownEncodings =
+    Set("gzip", "bzip2", "zstd", "lz4", "snappy", "deflate", "xz")
+
+  /** Per-table content encoding (reference ContentEncoding,
+    * types/media.py:35-54) — plumbed to the datasource `compression`
+    * option at write time. Text formats (csv/json) decompress on read by
+    * file extension; parquet/orc record the codec in their own metadata.
+    * "identity"/absent = uncompressed (format default for parquet/orc). */
+  private[graft] def contentEncodingOf(meta: TableMeta): Option[String] =
+    meta.properties.get("content_encoding").filterNot(_ == "identity").map { e =>
+      require(KnownEncodings(e), s"unknown content_encoding $e (one of $KnownEncodings)")
+      e
+    }
+
+  /** Compressed-file suffixes Spark appends after the format extension. */
+  private[catalog] val EncodingSuffixes =
+    Seq(".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate", ".xz")
+
   /** Per-file row count: parquet reads it from the footer (metadata-only —
     * feeds ManifestEntry.recordCount like the reference manifest,
     * manifest.py:290); other content types have no cheap count and record -1
@@ -903,8 +977,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
 
   private[catalog] def listDataFiles(dir: Path, ct: ContentType): Seq[Path] = {
     if (!Files.exists(dir)) return Nil
+    // Text formats under a content_encoding carry a codec suffix after the
+    // format extension (part-*.csv.gz) — both spellings are data files.
+    def isData(n: String): Boolean =
+      n.endsWith(ct.extension) ||
+        EncodingSuffixes.exists(sfx => n.endsWith(ct.extension + sfx))
     val s = Files.walk(dir)
-    try s.iterator().asScala.filter(p => p.toString.endsWith(ct.extension) && Files.isRegularFile(p)).toList.sortBy(_.toString)
+    try s.iterator().asScala.filter(p => isData(p.toString) && Files.isRegularFile(p)).toList.sortBy(_.toString)
     finally s.close()
   }
 

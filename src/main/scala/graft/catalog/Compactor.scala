@@ -99,7 +99,8 @@ object Compactor {
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,
               numBuckets, maxRec, estimatedRecords = Some(
-                toRead.map(d => math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum))
+                toRead.map(d => math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum),
+              encoding = cat.contentEncodingOf(meta))
           } else {
             Files.createDirectories(Paths.get(
               cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
@@ -135,7 +136,8 @@ object Compactor {
       schema: StructType, scheme: PartitionScheme, sortScheme: SortScheme,
       ct: ContentType, numBuckets: Int, maxRec: Long,
       extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
-      estimatedRecords: Option[Long] = None): (Seq[ManifestEntry], Long, Observation) = {
+      estimatedRecords: Option[Long] = None,
+      encoding: Option[String] = None): (Seq[ManifestEntry], Long, Observation) = {
     val spark = cat.spark
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
@@ -168,6 +170,7 @@ object Compactor {
       .observe(obs, count(lit(1)).as("n"), extraAggs: _*)
       .write.mode("overwrite")
       .format(ct.format).options(ct.writeOptions)
+      .options(encoding.map("compression" -> _).toMap)
       .option("maxRecordsPerFile", maxRec)
       .partitionBy((Seq(Bucket) ++ partNames): _*)
       .save(out)

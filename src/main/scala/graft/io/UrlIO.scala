@@ -28,7 +28,7 @@ object UrlIO {
 
   private val ExtFormats = Map(
     ".parquet" -> "parquet", ".csv" -> "csv", ".tsv" -> "csv", ".json" -> "json",
-    ".orc" -> "orc", ".avro" -> "avro", ".txt" -> "text", ".bin" -> "binaryFile")
+    ".orc" -> "orc", ".txt" -> "text", ".bin" -> "binaryFile")
 
   def parse(url: String): Target = {
     val (base, query) = url.span(_ != '?')

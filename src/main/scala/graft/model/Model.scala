@@ -58,9 +58,9 @@ object WriteMode {
  * Table data-file content type — reference ContentType (types/media.py:7-32)
  * re-expressed as Spark datasource format + options. TSV/PSV ride the csv
  * datasource with a different delimiter (their files still carry Spark's
- * .csv extension). Feather is de-scoped (no Arrow-IPC datasource in Spark);
- * Avro maps to the external `avro` module and raises Spark's own
- * missing-module error when the jar is absent.
+ * .csv extension). Feather (no Arrow-IPC datasource in Spark) and Avro (the
+ * spark-avro SQL module is not on this distribution's classpath) are
+ * de-scoped — declaring them would advertise formats that fail at runtime.
  */
 sealed trait ContentType {
   def name: String
@@ -93,10 +93,7 @@ object ContentType {
   case object Orc extends ContentType {
     val name = "orc"; val format = "orc"; val extension = ".orc"
   }
-  case object Avro extends ContentType {
-    val name = "avro"; val format = "avro"; val extension = ".avro"
-  }
-  val all: Seq[ContentType] = Seq(Parquet, Csv, Tsv, Psv, Json, Orc, Avro)
+  val all: Seq[ContentType] = Seq(Parquet, Csv, Tsv, Psv, Json, Orc)
   def fromName(n: String): ContentType =
     all.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"unknown content type $n"))

@@ -546,6 +546,38 @@ object CatalogQueries {
         renameFields = Map("s_name" -> "supplier_name"),
         allowIncompatibleChanges = true)
       cat.readTable("q.s")
+    },
+
+    // Content encoding: gzip-compressed delimited table round-trips
+    // (reference ContentEncoding, types/media.py:35-54). Write goes through
+    // the datasource `compression` option; read auto-decompresses by the
+    // .csv.gz extension.
+    Q("c36_gzip_csv", Some("SELECT * FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c36")
+      val n = tbl(s, dir, "nation")
+      cat.createTable("q.n", n.schema, properties = Map(
+        "content_type" -> "csv", "content_encoding" -> "gzip"))
+      cat.writeToTable(n, "q.n", WriteMode.Add)
+      val files = cat.manifestTable("q.n").select("path")
+        .collect().map(_.getString(0))
+      require(files.nonEmpty && files.forall(_.endsWith(".csv.gz")),
+        s"expected gzip csv files, got ${files.take(3).mkString(",")}")
+      cat.readTable("q.n")
+    },
+
+    // Named subschemas: one multimodal-style table with a `text` group and
+    // a `meta` group; reading the meta group projects only its columns
+    // (the text payload is never scanned — see SchemaPolicySpec's plan
+    // assert for the ReadSchema proof).
+    Q("c37_subschema_read", Some("""
+      SELECT doc_id, lang, source FROM documents""")) { (s, dir) =>
+      val cat = newCat(s, "c37")
+      val d = tbl(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      cat.createTable("q.d", d.schema)
+      cat.setSubschema("q.d", "text", Seq("doc_id", "text"))
+      cat.setSubschema("q.d", "meta", Seq("doc_id", "lang", "source"))
+      cat.writeToTable(d, "q.d", WriteMode.Add)
+      cat.readSubschema("q.d", "meta")
     }
   )
 }

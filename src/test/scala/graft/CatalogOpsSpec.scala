@@ -37,6 +37,9 @@ class CatalogOpsSpec extends SparkSpec {
     // Abandon a txn mid-flight (crash simulation: never sealed or aborted).
     val tx = cat.transaction("abandoned")
     cat.alterTable("ns.t", setProperties = Map("x" -> "1"), txn = Some(tx))
+    // A warm JVM can reach the janitor within the txn's start millisecond,
+    // making `now - start > 0` flicker false — step past the tick.
+    Thread.sleep(5)
     val (failedTxns, swept) = cat.janitor(timeoutMillis = 0)
     assert(failedTxns == 1)
     assert(swept == 1)

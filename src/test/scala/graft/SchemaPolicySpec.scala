@@ -93,4 +93,46 @@ class SchemaPolicySpec extends SparkSpec {
     val post = cat.readTable("p.r").select("id", "val2").as[(Long, String)].collect().toMap
     assert(post == got)
   }
+
+  test("subschema read prunes the other groups' columns from the scan") {
+    val cat = newCatalog()
+    cat.createTable("p.s", StructType(Seq(
+      FieldMeta.field("id", LongType),
+      FieldMeta.field("payload", StringType),
+      FieldMeta.field("lang", StringType))))
+    cat.setSubschema("p.s", "media", Seq("id", "payload"))
+    cat.setSubschema("p.s", "meta", Seq("id", "lang"))
+    cat.writeToTable(Seq((1L, "BIGPAYLOAD", "en"), (2L, "HUGE", "fr"))
+      .toDF("id", "payload", "lang"), "p.s", WriteMode.Add)
+    assert(cat.subschemas("p.s") ==
+      Map("media" -> Seq("id", "payload"), "meta" -> Seq("id", "lang")))
+    val meta = cat.readSubschema("p.s", "meta")
+    assert(meta.columns.toSeq == Seq("id", "lang"))
+    // the scan's ReadSchema must not include the payload column
+    val scans = meta.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.nonEmpty && scans.forall(!_.contains("payload")),
+      s"payload not pruned from scan:\n${scans.mkString("\n")}")
+    // rename + remove flow through group definitions
+    cat.alterTable("p.s", renameFields = Map("lang" -> "language"),
+      removeFields = Seq("payload"), allowIncompatibleChanges = true)
+    assert(cat.subschemas("p.s") ==
+      Map("media" -> Seq("id"), "meta" -> Seq("id", "language")))
+  }
+
+  test("gzip content encoding round-trips through write, compaction and read") {
+    val cat = newCatalog()
+    cat.createTable("p.z", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))), properties = Map(
+      "content_type" -> "csv", "content_encoding" -> "gzip",
+      "read_optimization" -> "NONE"))
+    cat.writeToTable((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), "p.z", WriteMode.Merge)
+    cat.writeToTable(Seq((7L, "updated")).toDF("id", "v"), "p.z", WriteMode.Merge)
+    cat.compact("p.z")
+    val paths = cat.manifestTable("p.z").select("path").as[String].collect()
+    assert(paths.nonEmpty && paths.forall(_.endsWith(".csv.gz")), paths.take(3).mkString(","))
+    val got = cat.readTable("p.z").select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 50 && got(7L) == "updated" && got(8L) == "v8")
+  }
 }
