@@ -712,6 +712,46 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     * stream position — the incremental-consumption surface. */
   def deltaLog(table: String): Seq[DeltaMeta] = effectiveDeltas(th(table), None)
 
+  /** Per-partition high-watermark stream positions — reference
+    * Partition.stream_position (storage/model/partition.py:53-78), where
+    * each partition advances its own position so consumers can track
+    * incremental progress per partition rather than table-wide. Partition
+    * values are parsed from the manifest paths' `name=value` directory
+    * segments (Spark's partition-dir encoding); one string column per
+    * partition key plus the max committed position. Unpartitioned tables
+    * return a single row with just the table-level position. */
+  def partitionStreamPositions(table: String): DataFrame = {
+    import spark.implicits._
+    val t = th(table)
+    val meta = getTableMeta(table)
+    val scheme = partitionSchemeOf(meta)
+    val deltas = effectiveDeltas(t, None)
+    if (scheme.keys.isEmpty) {
+      val pos = if (deltas.isEmpty) -1L else deltas.map(_.streamPosition).max
+      return Seq(pos).toDF("stream_position")
+    }
+    val names = scheme.keys.map(_.partitionColumnName)
+    def valueOf(path: String, name: String): String = {
+      val seg = s"/$name="
+      val i = path.indexOf(seg)
+      if (i < 0) null
+      else {
+        val rest = path.substring(i + seg.length)
+        val end = rest.indexOf('/')
+        if (end < 0) rest else rest.substring(0, end)
+      }
+    }
+    val rows = deltas.flatMap(d => d.entries.map(e =>
+      (names.map(n => valueOf(e.path, n)), d.streamPosition)))
+    val grouped = rows.groupBy(_._1).map { case (vals, vs) =>
+      (vals, vs.map(_._2).max)
+    }.toSeq
+    val df = grouped.toDF("_vals", "stream_position")
+    names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+      d.withColumn(n, col("_vals").getItem(i))
+    }.select((names.map(col) :+ col("stream_position")).toIndexedSeq: _*)
+  }
+
   /** Raw change feed: rows of all deltas with stream position > afterPosition,
     * tagged with _delta_type and _stream_position (CDC-style incremental
     * read; reference discover_deltas, compactor_v2/utils/io.py:171). */

@@ -99,6 +99,96 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** (cosine, centroid) score array for one vector against a codebook —
+    * struct-ordered so array_max / array_sort break ties on the LOWEST
+    * centroid id (negated id: bigger negi = smaller id). */
+  private val ScoreStruct = StructType(Seq(
+    StructField("cos", DoubleType), StructField("negi", IntegerType)))
+
+  private def centroidScores(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val cv = array(c.map(lit(_)).toIndexedSeq: _*)
+      // cast pins the struct field names — aliases inside struct() are not
+      // preserved through array_sort/transform lambdas
+      struct(cosine(vec, cv), lit(-i)).cast(ScoreStruct)
+    }: _*)
+
+  /** Nearest centroid id by cosine (ties → lowest id). Pure expression —
+    * the codebook is inlined as literals, so assignment is map-only (no
+    * join of any kind). */
+  private def nearestCid(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(centroidScores(vec, cents)).getField("negi") * -1
+
+  /** The `nprobe` nearest centroid ids, best first (ties → lowest id). */
+  private def probeCids(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    transform(slice(reverse(array_sort(centroidScores(vec, cents))), 1, nprobe),
+      s => s.getField("negi") * -1)
+
+  /**
+   * Deterministic Lloyd's k-means for the IVF coarse codebook: init = the
+   * `nlist` vectors with the smallest ids, then `iters` assign/mean rounds
+   * (element-wise means via posexplode + hash aggregate — fully
+   * distributed; only the nlist × dim codebook ever reaches the driver,
+   * which is how IVF codebooks work at any scale). An emptied cluster
+   * keeps its previous centroid. iters=0 returns the raw init — useful
+   * when the codebook must be reproducible by an external oracle.
+   */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 0): Array[Array[Double]] = {
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull)
+    var cents = base.orderBy("id").limit(nlist).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"cannot train centroids on an empty corpus")
+    for (_ <- 0 until iters) {
+      val means = Par.widen(base.toDF())
+        .select(nearestCid(col("v"), cents).as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+        .collect().map(r => r.getInt(0) ->
+          r.getMap[Int, Double](1)).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i) match {
+          case Some(byPos) => old.indices.map(p => byPos.getOrElse(p, old(p))).toArray
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /**
+   * IVF top-k: the corpus is partitioned into inverted lists by nearest
+   * coarse centroid (map-only expression over the inlined codebook); each
+   * query probes its `nprobe` nearest lists, and candidates rerank by
+   * exact cosine. The scale path next to [[lshTopK]]: candidate generation
+   * is an equi-join on the centroid id, never all-pairs, and the per-list
+   * join prunes the corpus to roughly nprobe/nlist of its rows.
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1)
+    val c = Par.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("ce"))
+      .withColumn("cid", nearestCid(col("ce"), centroids))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qe"))
+      .withColumn("cid", explode(probeCids(col("qe"), centroids, nprobe)))
+    // Each corpus row lives in exactly ONE list and probed lists are
+    // distinct, so the join emits no duplicate (query, neighbor) pairs.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(q, Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 9))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast(IntegerType).as("rank"))
+  }
+
   /**
    * Approximate top-k: candidates = corpus rows sharing an LSH bucket with
    * the query in ANY of `tables` hash tables, reranked by exact cosine.

@@ -578,6 +578,25 @@ object CatalogQueries {
       cat.setSubschema("q.d", "meta", Seq("doc_id", "lang", "source"))
       cat.writeToTable(d, "q.d", WriteMode.Add)
       cat.readSubschema("q.d", "meta")
+    },
+
+    // Partition-scoped stream positions (reference Partition.stream_position,
+    // storage/model/partition.py:53-78): after a second write touching only
+    // regions 0 and 1, those partitions' high watermarks advance to delta 2
+    // while the untouched partitions stay at delta 1.
+    Q("c38_partition_positions", Some("""
+      SELECT CAST(r_regionkey AS VARCHAR) AS part_value,
+             CAST(CASE WHEN r_regionkey IN (0, 1) THEN 2 ELSE 1 END AS BIGINT) AS stream_position
+      FROM (SELECT DISTINCT r_regionkey FROM region)""")) { (s, dir) =>
+      val cat = newCat(s, "c38")
+      val r = tbl(s, dir, "region")
+      cat.createTable("q.r", r.schema,
+        partitionScheme = PartitionScheme(Seq(PartitionKey("r_regionkey", Transform.Identity))))
+      cat.writeToTable(r, "q.r", WriteMode.Add)
+      cat.writeToTable(r.where(col("r_regionkey") < 2), "q.r", WriteMode.Add)
+      val pcol = PartitionKey("r_regionkey", Transform.Identity).partitionColumnName
+      cat.partitionStreamPositions("q.r")
+        .select(col(pcol).as("part_value"), col("stream_position"))
     }
   )
 }

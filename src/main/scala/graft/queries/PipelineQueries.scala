@@ -186,6 +186,39 @@ object PipelineQueries {
         "vec_id", "embedding", threshold = 0.42)
     },
 
+    // IVF top-5 (scale path #2): inverted lists by nearest coarse centroid,
+    // queries probe their 4 nearest lists, exact-cosine rerank. The t10
+    // codebook is the deterministic init (the 16 lowest-id vectors,
+    // trainCentroids iters=0) so the oracle can reproduce the exact
+    // assignment + probing in SQL; production would pass iters>0
+    // (PipelineSpec covers the trained path).
+    Q("t10_ann_ivf", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      scored AS (SELECT e.vec_id, c.cid,
+          list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+        FROM e CROSS JOIN cents c),
+      asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      probe AS (SELECT vec_id AS query_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+          FROM scored WHERE vec_id < 20) WHERE rn <= 4),
+      cand AS (SELECT probe.query_id, asg.vec_id AS neighbor_id
+               FROM probe JOIN asg USING (cid) WHERE asg.vec_id <> probe.query_id),
+      s AS (SELECT query_id, neighbor_id,
+              round(list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 9) AS cos
+            FROM cand JOIN e qe ON qe.vec_id = cand.query_id JOIN e ce ON ce.vec_id = cand.neighbor_id)
+      SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+      WHERE rn <= 5""")) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, centroids = cents, nprobe = 4)
+    },
+
     // Multimodal: binary payload column + stubbed per-partition decode.
     Q("t08_multimodal_decode", Some("""
       SELECT doc_id,

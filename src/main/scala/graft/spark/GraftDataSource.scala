@@ -151,16 +151,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   // One snapshot per provider instance: inferSchema and getTable are called
   // back-to-back per read; re-resolving would walk the txn log twice and
-  // could observe two different snapshots.
-  @volatile private var cached: (String, GraftDsv2.Resolved) = _
+  // could observe two different snapshots. The entry expires after a short
+  // TTL so a LONG-lived provider instance (Spark may reuse one across
+  // reads in a session) re-resolves and sees newly committed deltas —
+  // within-read consistency only needs the back-to-back calls to agree.
+  private val SnapshotTtlMillis = 2000L
+  @volatile private var cached: (String, Long, GraftDsv2.Resolved) = _
   private def resolve(options: CaseInsensitiveStringMap): GraftDsv2.Resolved = {
     val key = s"${options.get("root")}|${options.get("table")}|${options.get("asOf")}"
+    val now = System.currentTimeMillis()
     val c = cached
-    if (c != null && c._1 == key) c._2
+    if (c != null && c._1 == key && now - c._2 < SnapshotTtlMillis) c._3
     else {
       val r = GraftDsv2.resolve(options.get("root"), options.get("table"),
         Option(options.get("asOf")).map(_.toLong))
-      cached = (key, r)
+      cached = (key, now, r)
       r
     }
   }

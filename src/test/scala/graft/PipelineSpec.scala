@@ -74,6 +74,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall below 0.5")
   }
 
+  test("IVF ANN with trained codebook: recall vs brute force; equi-join candidates") {
+    val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    // Lloyd refinement must actually move the codebook off its init.
+    val init = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+    assert(cents.zip(init).exists { case (a, b) => !a.sameElements(b) })
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, cents, nprobe = 4)
+    assertNoCartesian(approx)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+  }
+
   test("embedding near-dup pairs find a planted duplicate vector; no cross join") {
     val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
     // Plant an exact duplicate of vec_id 0 under a new id.
