@@ -48,8 +48,16 @@ object Compactor {
     val ct = cat.contentTypeOf(meta)
     val deltas = cat.effectiveDeltas(t, None)
     val (base, pending) = MergeRead.activeDeltas(deltas)
-    if (pending.isEmpty) return
-    val maxPos = pending.map(_.streamPosition).max
+    // A rename leaves the base's files under the OLD physical column name
+    // (reads alias them); compaction is the operation that rewrites the
+    // data under the current names, so a stale base compacts even with
+    // nothing pending.
+    val renamedOld = schema.fields.flatMap(FieldMeta.renamedFrom).toSet
+    val baseStale = renamedOld.nonEmpty && base.exists(d =>
+      d.properties.get("written_columns")
+        .map(_.split(",").exists(renamedOld)).getOrElse(true))
+    if (pending.isEmpty && !baseStale) return
+    val maxPos = (pending.map(_.streamPosition) ++ base.map(_.streamPosition)).max
 
     val txn = cat.store.newTransaction(s"compact $t up to $maxPos")
     try {
@@ -57,7 +65,7 @@ object Compactor {
       val rev = cat.store.nextRevision(dir, Some(txn))
 
       val delta: DeltaMeta =
-        if (mergeKeys.isEmpty) {
+        if (mergeKeys.isEmpty && !baseStale) {
           // Append-only table: compaction is pure manifest folding — zero
           // data movement (every file is copied by reference).
           val entries = (base.toSeq ++ pending).flatMap(_.entries)
@@ -68,10 +76,12 @@ object Compactor {
               "record_count" -> records.toString))
         } else {
           // Copy-by-reference: find buckets touched by incremental rows. Only
-          // valid when the base was bucketed with the same bucket count.
+          // valid when the base was bucketed with the same bucket count —
+          // and never when the base's files predate a rename (every file
+          // must be rewritten under the current column names).
           val baseBucketed = base.exists(_.properties.get("num_buckets").contains(numBuckets.toString))
           val touched: Set[Int] =
-            if (!baseBucketed) (0 until numBuckets).toSet
+            if (!baseBucketed || baseStale) (0 until numBuckets).toSet
             else MergeRead.touchedBuckets(spark, schema, mergeKeys, numBuckets,
               pending.flatMap(_.entries).map(_.path), ct, pending)
 
@@ -94,8 +104,13 @@ object Compactor {
             // path no longer backfills for them — the values must be
             // physically present or the table would read differently before
             // vs after compaction.
-            val resolved = MergeRead.applyPastDefaults(
-              MergeRead.resolve(scan, schema, scheme, mergeKeys, active), schema)
+            // Keyless tables (append-only rewrite after a rename) have no
+            // merge semantics — resolve would collapse everything into one
+            // group; every scanned row is live as-is.
+            val merged =
+              if (mergeKeys.isEmpty) scan
+              else MergeRead.resolve(scan, schema, scheme, mergeKeys, active)
+            val resolved = MergeRead.applyPastDefaults(merged, schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,
               numBuckets, maxRec, estimatedRecords = Some(
@@ -142,7 +157,12 @@ object Compactor {
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
     val obs = Observation(s"materialize-${t.name}-$rev")
-    val bucketExpr = pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
+    // Keyless tables (append-only forced through materialize, e.g. a
+    // post-rename rewrite) land in one logical bucket; parallelism still
+    // comes from the slice hash below.
+    val bucketExpr =
+      if (mergeKeys.isEmpty) lit(0)
+      else pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
     val bucketed = resolved.withColumn(Bucket, bucketExpr)
     val sortCols = col(Bucket) +: sortScheme.keys.map(_.toColumn)
     val partCols = cat.addDerivedPartitionColumns(bucketed, scheme)
@@ -163,9 +183,11 @@ object Compactor {
       // Salt the slice hash: pmod(hash(keys), slices) would be arithmetically
       // correlated with the bucket expression (both mod the same hash), so
       // gcd(numBuckets, slices) > 1 — the power-of-two norm — would collapse
-      // the extra parallelism back to numBuckets partitions.
+      // the extra parallelism back to numBuckets partitions. Keyless tables
+      // slice on all columns (merge keys alone would hash a constant).
       .repartition(parallelism, col(Bucket),
-        pmod(hash((mergeKeys.map(col) :+ lit("_slice")): _*), lit(slices)))
+        pmod(hash(((if (mergeKeys.nonEmpty) mergeKeys
+          else schema.fieldNames.toSeq).map(col) :+ lit("_slice")): _*), lit(slices)))
       .sortWithinPartitions(sortCols: _*)
       .observe(obs, count(lit(1)).as("n"), extraAggs: _*)
       .write.mode("overwrite")

@@ -188,8 +188,9 @@ object MergeRead {
     * loudly rather than silently dropping. */
   /** oldName -> newName for every renamed field of the schema — used to
     * translate historical written_columns and to read old physical files
-    * (which carry the prior column name) under the new name. */
-  private[graft] def renameMapOf(schema: StructType): Map[String, String] =
+    * (which carry the prior column name) under the new name. Public: the
+    * streaming source (org.apache.spark.sql.graft) shares the logic. */
+  def renameMapOf(schema: StructType): Map[String, String] =
     schema.fields.flatMap(f => FieldMeta.renamedFrom(f).map(_ -> f.name)).toMap
 
   def scanWithLineage(

@@ -50,7 +50,11 @@ object GraftDsv2 {
       /** Some delta was written with a column subset (scan-faithfulness
         * hazards: positional csv misalignment, unmaterialized past
         * defaults). */
-      hasPartialDeltas: Boolean, hasPastDefaults: Boolean)
+      hasPartialDeltas: Boolean, hasPastDefaults: Boolean,
+      /** Some active delta predates a field rename: its files carry the old
+        * physical column name, which the delegate scan (current schema,
+        * name-matched) would silently read as null. */
+      hasStaleRenames: Boolean)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
@@ -70,8 +74,14 @@ object GraftDsv2 {
     val hasPartial = active.exists(d =>
       d.properties.get("written_columns").exists(_.split(",").toSet != fullSet))
     val hasDefaults = schema.fields.exists(f => graft.model.FieldMeta.pastDefault(f).isDefined)
+    // Deltas whose written_columns still carry a pre-rename name (absent
+    // written_columns on a renamed table is treated as stale — age unknown).
+    val renamedOld = schema.fields.flatMap(graft.model.FieldMeta.renamedFrom).toSet
+    val staleRenames = renamedOld.nonEmpty && active.exists(d =>
+      d.properties.get("written_columns")
+        .map(_.split(",").exists(renamedOld)).getOrElse(true))
     Resolved(t, schema, active.flatMap(_.entries).map(_.path), unresolved,
-      cat.contentTypeOf(meta), hasPartial, hasDefaults)
+      cat.contentTypeOf(meta), hasPartial, hasDefaults, staleRenames)
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -99,6 +109,11 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with Supports
         "compact() first or use GraftCatalog.readTable")
     require(!(resolved.hasPartialDeltas && resolved.hasPastDefaults),
       s"${resolved.handle} has unmaterialized past_default columns; " +
+        "compact() first or use GraftCatalog.readTable")
+    // Old files carry pre-rename physical column names; the delegate would
+    // read the renamed column as null. Compaction rewrites to new names.
+    require(!resolved.hasStaleRenames,
+      s"${resolved.handle} has files written before a column rename; " +
         "compact() first or use GraftCatalog.readTable")
     val spark = SparkSession.active
     // recursiveFileLookup disables partition inference, so physical-layout

@@ -34,6 +34,7 @@ class LifecycleSpec extends SparkSpec {
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "l.t")
     val tx = cat.transaction("slowpoke")
     cat.alterTable("l.t", setProperties = Map("x" -> "1"), txn = Some(tx))
+    Thread.sleep(5) // step past the txn's start millisecond (timeout 0)
     cat.janitor(timeoutMillis = 0) // times the txn out
     intercept[ConcurrentTxnConflict] { tx.seal() }
     assert(!cat.getTableMeta("l.t").properties.contains("x"))
@@ -41,6 +42,7 @@ class LifecycleSpec extends SparkSpec {
     val tp = cat.transaction("paused-then-abandoned")
     cat.alterTable("l.t", setProperties = Map("y" -> "2"), txn = Some(tp))
     tp.pause()
+    Thread.sleep(5)
     val (failed, _) = cat.janitor(timeoutMillis = 0)
     assert(failed == 1, "paused txn not timed out")
     intercept[IllegalArgumentException] { cat.store.resumeTransaction(tp.txnId) }

@@ -94,6 +94,25 @@ class SchemaPolicySpec extends SparkSpec {
     assert(post == got)
   }
 
+  test("DSv2 scan rejects stale-rename files until compaction rewrites them") {
+    val root = tmpDir("graft-pol-dsv2")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("p.d", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "p.d", WriteMode.Merge)
+    cat.compact("p.d")
+    cat.alterTable("p.d", renameFields = Map("v" -> "w"), allowIncompatibleChanges = true)
+    def dsv2() = spark.read.format("graft")
+      .option("root", root).option("table", "p.d").load()
+    val e = intercept[Exception] { dsv2().collect() }
+    assert(e.getMessage.contains("rename"), e.getMessage)
+    cat.compact("p.d") // materializes files under the new name
+    Thread.sleep(2100) // DSv2 provider snapshot cache TTL
+    assert(dsv2().select("w").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("subschema read prunes the other groups' columns from the scan") {
     val cat = newCatalog()
     cat.createTable("p.s", StructType(Seq(
