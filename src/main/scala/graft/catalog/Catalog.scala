@@ -265,11 +265,25 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
           s"(remove: ${removeFields.mkString(",")}; rename: ${renameFields.mkString(",")})")
     val protectedKeys = (FieldMeta.mergeKeys(cur) ++
       m.partitionKeys.map(_(0)) ++ m.sortKeys.map(_(0))).toSet
+    // Positional (csv-family) files map columns by POSITION: dropping a
+    // field from the read schema while old files still physically carry it
+    // would shift every later column onto the wrong data — silently.
+    if (removeFields.nonEmpty && contentTypeOf(m).format == "csv")
+      throw new SchemaCompatibilityError(
+        s"cannot remove fields of $t: its content type maps columns " +
+          "positionally, so historical files would misalign (rename is fine)")
     removeFields.foreach { f =>
       require(cur.fieldNames.contains(f), s"cannot remove unknown field $f of $t")
       if (protectedKeys(f)) throw new SchemaCompatibilityError(
         s"cannot remove $f of $t: it is a merge/partition/sort key")
     }
+    // Retired names stay reserved: pre-rename names are requested by the
+    // scan as aliases of their renamed field (reuse would make the read
+    // schema ambiguous), and removed columns still live physically in old
+    // files (a new column reusing the name would resurrect their values
+    // for historical rows under name-matched formats).
+    val priorNames = cur.fields.flatMap(FieldMeta.renamedFrom).toSet ++
+      m.properties.get("retired_columns").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     renameFields.keys.foreach { f =>
       require(cur.fieldNames.contains(f), s"cannot rename unknown field $f of $t")
       // Merge/partition/sort keys anchor physical layout (partition dir
@@ -277,21 +291,35 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       if (protectedKeys(f)) throw new SchemaCompatibilityError(
         s"cannot rename $f of $t: it is a merge/partition/sort key")
     }
-    renameFields.values.foreach(n =>
-      require(!cur.fieldNames.contains(n), s"rename target $n already exists on $t"))
+    renameFields.values.foreach { n =>
+      require(!cur.fieldNames.contains(n), s"rename target $n already exists on $t")
+      if (priorNames(n)) throw new SchemaCompatibilityError(
+        s"rename target $n of $t is a retired (pre-rename) column name; " +
+          "retired names stay reserved for reading historical files")
+    }
+    newSchema.foreach(s => s.fieldNames.filterNot(cur.fieldNames.contains)
+      .filter(priorNames).foreach(n => throw new SchemaCompatibilityError(
+        s"new column $n of $t reuses a retired (pre-rename) column name")))
     val afterRemove = StructType(cur.fields.filterNot(f => removeFields.contains(f.name)))
     val afterRename = StructType(afterRemove.fields.map(f =>
       renameFields.get(f.name).map(FieldMeta.withRename(f, _)).getOrElse(f)))
     val evolved = newSchema.map(s => TypePromotion.unify(afterRename, s)).getOrElse(afterRename)
     // Keep declared subschemas consistent: renamed fields follow, removed
-    // fields drop out of their groups.
-    val props = (m.properties ++ setProperties).map {
+    // fields drop out of their groups, and a group emptied by removals is
+    // dropped outright (an empty field list is not a readable group).
+    val props0 = (m.properties ++ setProperties).flatMap {
       case (k, v) if k.startsWith("subschema.") =>
-        k -> v.split(",").toSeq
+        val remaining = v.split(",").toSeq.filter(_.nonEmpty)
           .filterNot(removeFields.contains)
-          .map(f => renameFields.getOrElse(f, f)).mkString(",")
-      case kv => kv
+          .map(f => renameFields.getOrElse(f, f))
+        if (remaining.isEmpty) None else Some(k -> remaining.mkString(","))
+      case kv => Some(kv)
     }
+    val newlyRetired = removeFields ++ renameFields.keys
+    val props =
+      if (newlyRetired.isEmpty) props0
+      else props0 + ("retired_columns" ->
+        (priorNames ++ newlyRetired).toSeq.sorted.mkString(","))
     val updated = m.copy(
       schemaJson = evolved.json,
       properties = props,
@@ -439,6 +467,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
           .map(got => s"${f.name}: expected ${f.dataType.sql}, got ${got.sql}"))
       if (violations.nonEmpty) throw new SchemaValidationError(
         s"VALIDATE consistency rejected write to $t: ${violations.mkString("; ")}")
+      // A retired (renamed-from or removed) column name must not re-enter
+      // via AUTO evolution: the scan aliases prior names to their renamed
+      // field (ambiguity) and old files still physically carry removed
+      // columns (resurrection). Typically an old producer still writing
+      // the pre-rename name.
+      val retired = cur.fields.flatMap(FieldMeta.renamedFrom).toSet ++
+        meta.properties.get("retired_columns").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      val clashes = dfIn.columns.filterNot(cur.fieldNames.contains).filter(retired)
+      if (clashes.nonEmpty) throw new SchemaValidationError(
+        s"write to $t uses retired column name(s) ${clashes.mkString(",")} — " +
+          "renamed or removed columns keep their old names reserved; " +
+          "write to the current column name instead")
     }
 
     // Schema evolution (AUTO): unify incoming schema into the table schema via
@@ -480,13 +520,24 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
 
     // future_default (reference schema.py:301-311, filled by
-    // _add_missing_schema_fields at write): a data-carrying write that omits
+    // _add_missing_schema_fields at write): a ROW-CREATING write that omits
     // a column with a declared future default physically writes the default;
     // a non-nullable column with neither a future default nor a value is
-    // rejected. DELETE deltas carry keys only and are exempt.
+    // rejected. Scope matters: UPSERT deltas on a non-empty table update
+    // field-wise — an omitted column there means "don't touch the existing
+    // value", and filling (or rejecting) would break partial upserts. The
+    // first upsert into an empty table creates every row, so it fills.
+    // DELETE deltas carry keys only and are exempt. (An upsert that inserts
+    // NEW keys into a non-empty table with omitted columns still reads
+    // null/past_default for them — the field-wise tradeoff, documented.)
+    val rowCreating = deltaType match {
+      case DeltaType.Delete => false
+      case DeltaType.Upsert => effectiveDeltas(t, None).isEmpty
+      case _ => true
+    }
     val incoming = dfIn.columns.toSet
     val futureFilled =
-      if (deltaType == DeltaType.Delete) dfIn
+      if (!rowCreating) dfIn
       else targetSchema.fields.filterNot(f => incoming(f.name)).foldLeft(dfIn) { (d, f) =>
         FieldMeta.futureDefault(f) match {
           case Some(v) => d.withColumn(f.name, lit(v).cast(f.dataType))
@@ -743,8 +794,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
     val rows = deltas.flatMap(d => d.entries.map(e =>
       (names.map(n => valueOf(e.path, n)), d.streamPosition)))
-    val grouped = rows.groupBy(_._1).map { case (vals, vs) =>
-      (vals, vs.map(_._2).max)
+    // Deltas whose files carry no partition directories (key-only DELETE
+    // deltas, zero-entry markers like REPLACE) cannot be attributed to
+    // specific partitions — they may touch ANY partition, so they advance
+    // every partition's watermark (an under-advanced watermark would hide
+    // deletes from incremental consumers; over-advancing is safe).
+    val (attributed, unattributed) = rows.partition(_._1.forall(_ != null))
+    val floor = (deltas.filter(_.entries.isEmpty).map(_.streamPosition) ++
+      unattributed.map(_._2)).foldLeft(-1L)(math.max)
+    val grouped = attributed.groupBy(_._1).map { case (vals, vs) =>
+      (vals, math.max(floor, vs.map(_._2).max))
     }.toSeq
     val df = grouped.toDF("_vals", "stream_position")
     names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>

@@ -48,14 +48,19 @@ object Compactor {
     val ct = cat.contentTypeOf(meta)
     val deltas = cat.effectiveDeltas(t, None)
     val (base, pending) = MergeRead.activeDeltas(deltas)
-    // A rename leaves the base's files under the OLD physical column name
+    // A rename leaves committed files under the OLD physical column name
     // (reads alias them); compaction is the operation that rewrites the
     // data under the current names, so a stale base compacts even with
-    // nothing pending.
+    // nothing pending. `anyStale` additionally covers stale PENDING deltas
+    // on keyless tables: the manifest-folding branch would copy their old
+    // files by reference while stamping the fold with current names —
+    // falsifying the staleness marker forever.
     val renamedOld = schema.fields.flatMap(FieldMeta.renamedFrom).toSet
-    val baseStale = renamedOld.nonEmpty && base.exists(d =>
+    def stale(d: DeltaMeta): Boolean = renamedOld.nonEmpty &&
       d.properties.get("written_columns")
-        .map(_.split(",").exists(renamedOld)).getOrElse(true))
+        .map(_.split(",").exists(renamedOld)).getOrElse(true)
+    val baseStale = base.exists(stale)
+    val anyStale = baseStale || pending.exists(stale)
     if (pending.isEmpty && !baseStale) return
     val maxPos = (pending.map(_.streamPosition) ++ base.map(_.streamPosition)).max
 
@@ -65,7 +70,7 @@ object Compactor {
       val rev = cat.store.nextRevision(dir, Some(txn))
 
       val delta: DeltaMeta =
-        if (mergeKeys.isEmpty && !baseStale) {
+        if (mergeKeys.isEmpty && !anyStale) {
           // Append-only table: compaction is pure manifest folding — zero
           // data movement (every file is copied by reference).
           val entries = (base.toSeq ++ pending).flatMap(_.entries)

@@ -193,6 +193,43 @@ object MergeRead {
   def renameMapOf(schema: StructType): Map[String, String] =
     schema.fields.flatMap(f => FieldMeta.renamedFrom(f).map(_ -> f.name)).toMap
 
+  /**
+   * Read one delta group's files under its written-column subset, returning
+   * the FULL current schema (missing columns null-padded; the source's
+   * hidden `_metadata` stays reachable through the projections). Shared by
+   * the batch scan and the streaming source. Positional (csv) reads assign
+   * CURRENT names by position — rename is in-place, so positions align and
+   * no aliasing is needed. Name-matched formats additionally request each
+   * renamed field's prior physical names (absent names read null) and
+   * coalesce new-then-old: a file carries exactly one of the names, so the
+   * coalesce picks the real column.
+   */
+  def readWrittenSubset(
+      spark: SparkSession,
+      schema: StructType,
+      written: Set[String],
+      paths: Seq[String],
+      ct: ContentType): DataFrame = {
+    val positional = ct.format == "csv"
+    val subFields = schema.fields.filter(f => written(f.name))
+    val oldFields =
+      if (positional) Array.empty[StructField]
+      else subFields.flatMap(f => FieldMeta.renamedFrom(f)
+        .map(o => StructField(o, f.dataType, nullable = true)))
+    val base = spark.read.schema(StructType(subFields ++ oldFields))
+      .format(ct.format).options(ct.readOptions)
+      .load(paths: _*)
+    val unified =
+      if (oldFields.isEmpty) base
+      else subFields.filter(f => FieldMeta.renamedFrom(f).nonEmpty).foldLeft(base) {
+        (d, f) =>
+          d.withColumn(f.name,
+            coalesce((f.name +: FieldMeta.renamedFrom(f)).map(d(_)): _*))
+      }.drop(oldFields.map(_.name).toIndexedSeq: _*)
+    schema.fields.filterNot(f => written(f.name))
+      .foldLeft(unified)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   def scanWithLineage(
       spark: SparkSession,
       schema: StructType,
@@ -230,31 +267,10 @@ object MergeRead {
       if (!positional) Seq(fullSet -> paths)
       else paths.groupBy(p => revOfPath(p).flatMap(writtenByPos.get).getOrElse(fullSet)).toSeq
     val scans = groups.map { case (written, groupPaths) =>
-      // Positional (csv) reads assign CURRENT names by position — rename is
-      // in-place, so positions align and no aliasing is needed. Name-matched
-      // formats additionally request each renamed field's prior physical
-      // names (absent names read null) and coalesce new-then-old: a file
-      // carries exactly one of the names, so coalesce picks the real column.
-      val subFields = schema.fields.filter(f => written(f.name))
-      val oldFields =
-        if (positional) Array.empty[StructField]
-        else subFields.flatMap(f => FieldMeta.renamedFrom(f)
-          .map(o => StructField(o, f.dataType, nullable = true)))
-      val base = spark.read.schema(StructType(subFields ++ oldFields))
-        .format(ct.format).options(ct.readOptions)
-        .load(groupPaths: _*)
-      val unified =
-        if (oldFields.isEmpty) base
-        else subFields.filter(f => FieldMeta.renamedFrom(f).nonEmpty).foldLeft(base) {
-          (d, f) =>
-            d.withColumn(f.name,
-              coalesce((f.name +: FieldMeta.renamedFrom(f)).map(d(_)): _*))
-        }.drop(oldFields.map(_.name).toIndexedSeq: _*)
-      val padded = schema.fields.filterNot(f => written(f.name))
-        .foldLeft(unified)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
       // _metadata must be dereferenced while the scan relation is in scope.
-      padded.select((schema.fieldNames.map(col) :+ posExpr.as(Pos) :+
-        col("_metadata.file_path").as(File) :+ rowIdx.as(Row)).toIndexedSeq: _*)
+      readWrittenSubset(spark, schema, written, groupPaths, ct)
+        .select((schema.fieldNames.map(col) :+ posExpr.as(Pos) :+
+          col("_metadata.file_path").as(File) :+ rowIdx.as(Row)).toIndexedSeq: _*)
     }
     scans.reduce(_ unionByName _)
       .join(lineageDf, Seq(Pos), "left")

@@ -166,17 +166,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   // One snapshot per provider instance: inferSchema and getTable are called
   // back-to-back per read; re-resolving would walk the txn log twice and
-  // could observe two different snapshots. The entry expires after a short
-  // TTL so a LONG-lived provider instance (Spark may reuse one across
-  // reads in a session) re-resolves and sees newly committed deltas —
-  // within-read consistency only needs the back-to-back calls to agree.
+  // could observe two different snapshots. Only inferSchema (the START of a
+  // read) refreshes past the TTL — getTable reuses whatever snapshot the
+  // read began with regardless of age, so a slow-planning read can never
+  // tear across a concurrent commit, while a LONG-lived provider instance
+  // (Spark may reuse one across reads in a session) still sees newly
+  // committed deltas on its next read.
   private val SnapshotTtlMillis = 2000L
   @volatile private var cached: (String, Long, GraftDsv2.Resolved) = _
-  private def resolve(options: CaseInsensitiveStringMap): GraftDsv2.Resolved = {
+  private def resolve(options: CaseInsensitiveStringMap, refresh: Boolean): GraftDsv2.Resolved = {
     val key = s"${options.get("root")}|${options.get("table")}|${options.get("asOf")}"
     val now = System.currentTimeMillis()
     val c = cached
-    if (c != null && c._1 == key && now - c._2 < SnapshotTtlMillis) c._3
+    val fresh = c != null && c._1 == key &&
+      (!refresh || now - c._2 < SnapshotTtlMillis)
+    if (fresh) c._3
     else {
       val r = GraftDsv2.resolve(options.get("root"), options.get("table"),
         Option(options.get("asOf")).map(_.toLong))
@@ -186,11 +190,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+    resolve(options, refresh = true).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    GraftDsv2.table(resolve(new CaseInsensitiveStringMap(properties)))
+    GraftDsv2.table(resolve(new CaseInsensitiveStringMap(properties), refresh = false))
 }
 
 /**

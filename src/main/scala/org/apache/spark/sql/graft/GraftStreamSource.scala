@@ -63,43 +63,23 @@ class GraftStreamSource(
     val dataDeltas = batch.filter(_.typed != DeltaType.Delete)
     val ct = graft.model.ContentType.fromName(
       cat.getTableMeta(table).properties.getOrElse("content_type", "parquet"))
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.col
     val fullSet = schema.fieldNames.toSet
     // Historical written_columns may carry pre-rename names — translate so
-    // renamed fields stream under their current name (old physical columns
-    // are requested alongside and coalesced, mirroring MergeRead's scan).
+    // renamed fields stream under their current name; the shared subset
+    // reader (rename aliasing, positional csv alignment, null padding)
+    // keeps this path semantically identical to the batch scan.
     val renames = graft.catalog.MergeRead.renameMapOf(schema)
     def tr(c: String): String = renames.getOrElse(c, c)
-    // Read each delta group with its written-column subset schema (the
-    // csv family maps columns positionally) and pad the rest with nulls.
     val groups = dataDeltas
       .groupBy(_.properties.get("written_columns").map(_.split(",").toSet.map(tr)).getOrElse(fullSet))
       .toSeq
-    val positional = ct.format == "csv"
     val frames = groups.flatMap { case (written, ds) =>
       val paths = ds.flatMap(_.entries).map(_.path)
       if (paths.isEmpty) None
-      else {
-        val subFields = schema.fields.filter(f => written(f.name))
-        val oldFields =
-          if (positional) Array.empty[org.apache.spark.sql.types.StructField]
-          else subFields.flatMap(f => graft.model.FieldMeta.renamedFrom(f)
-            .map(o => org.apache.spark.sql.types.StructField(o, f.dataType, nullable = true)))
-        val base = spark.read
-          .schema(org.apache.spark.sql.types.StructType(subFields ++ oldFields))
-          .format(ct.format).options(ct.readOptions)
-          .load(paths: _*)
-        val unified =
-          if (oldFields.isEmpty) base
-          else subFields.filter(f => graft.model.FieldMeta.renamedFrom(f).nonEmpty)
-            .foldLeft(base) { (d, f) =>
-              d.withColumn(f.name,
-                coalesce((f.name +: graft.model.FieldMeta.renamedFrom(f)).map(d(_)): _*))
-            }.drop(oldFields.map(_.name).toIndexedSeq: _*)
-        val padded = schema.fields.filterNot(f => written(f.name))
-          .foldLeft(unified)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-        Some(padded.select(schema.fieldNames.map(col).toIndexedSeq: _*))
-      }
+      else Some(graft.catalog.MergeRead
+        .readWrittenSubset(spark, schema, written, paths, ct)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
     }
     val df =
       if (frames.isEmpty)

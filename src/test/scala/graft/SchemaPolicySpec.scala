@@ -51,6 +51,71 @@ class SchemaPolicySpec extends SparkSpec {
     cat.writeToTable(Seq((2L, "gold", 6L)).toDF("id", "tier", "req"), "p.f", WriteMode.Merge)
     val tiers = cat.readTable("p.f").select("id", "tier").as[(Long, String)].collect().toMap
     assert(tiers == Map(1L -> "std", 2L -> "gold"))
+    // Field-wise partial upsert on a NON-empty table: an omitted column
+    // (even non-nullable req, even tier with its future_default) means
+    // "don't touch" — no rejection, no default clobbering the old value.
+    cat.writeToTable(Seq((2L, "plat")).toDF("id", "tier"), "p.f", WriteMode.Merge)
+    val after = cat.readTable("p.f").select("id", "tier", "req")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after(2L) == (("plat", 6L)), s"partial upsert clobbered: ${after(2L)}")
+    assert(after(1L) == (("std", 5L)))
+  }
+
+  test("retired column names stay reserved after rename and remove") {
+    val cat = newCatalog()
+    cat.createTable("p.n", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType),
+      FieldMeta.field("aux", LongType))))
+    cat.writeToTable(Seq((1L, "a", 9L)).toDF("id", "v", "aux"), "p.n", WriteMode.Merge)
+    cat.alterTable("p.n", renameFields = Map("v" -> "w"),
+      removeFields = Seq("aux"), allowIncompatibleChanges = true)
+    // An old producer still writing the pre-rename name is rejected, not
+    // silently evolved into a duplicate column.
+    val e1 = intercept[SchemaValidationError] {
+      cat.writeToTable(Seq((2L, "b", "x")).toDF("id", "v", "w"), "p.n", WriteMode.Merge)
+    }
+    assert(e1.getMessage.contains("retired"))
+    // Rename-back and re-adding the removed name are both rejected.
+    intercept[SchemaCompatibilityError] {
+      cat.alterTable("p.n", renameFields = Map("w" -> "v"), allowIncompatibleChanges = true)
+    }
+    intercept[SchemaValidationError] {
+      cat.writeToTable(Seq((2L, "b", 1L)).toDF("id", "w", "aux"), "p.n", WriteMode.Merge)
+    }
+    // The current name still works.
+    cat.writeToTable(Seq((2L, "b")).toDF("id", "w"), "p.n", WriteMode.Merge)
+    assert(cat.readTable("p.n").count() == 2)
+  }
+
+  test("removeFields is rejected on positional (csv) tables; keyless rename rewrites") {
+    val cat = newCatalog()
+    cat.createTable("p.c", StructType(Seq(
+      FieldMeta.field("id", LongType),
+      FieldMeta.field("gone", StringType),
+      FieldMeta.field("v", StringType))), properties = Map("content_type" -> "csv"))
+    cat.writeToTable(Seq((1L, "g", "keep")).toDF("id", "gone", "v"), "p.c", WriteMode.Add)
+    val e = intercept[SchemaCompatibilityError] {
+      cat.alterTable("p.c", removeFields = Seq("gone"), allowIncompatibleChanges = true)
+    }
+    assert(e.getMessage.contains("positionally"))
+    // Keyless (append-only) parquet table: rename + compact rewrites the
+    // files under the new name, clearing the stale-rename marker.
+    cat.createTable("p.a", StructType(Seq(
+      FieldMeta.field("id", LongType), FieldMeta.field("v", StringType))))
+    cat.writeToTable(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), "p.a", WriteMode.Add)
+    cat.alterTable("p.a", renameFields = Map("v" -> "w"), allowIncompatibleChanges = true)
+    cat.compact("p.a")
+    val last = cat.deltaLog("p.a").last
+    assert(last.properties.get("written_columns").contains("id,w"),
+      s"stale fold: ${last.properties}")
+    assert(cat.readTable("p.a").select("w").as[String].collect().sorted.toSeq == Seq("x", "y"))
+    // Emptying a subschema via removal drops the group.
+    cat.createTable("p.e", StructType(Seq(
+      FieldMeta.field("id", LongType), FieldMeta.field("x", LongType))))
+    cat.setSubschema("p.e", "only", Seq("x"))
+    cat.alterTable("p.e", removeFields = Seq("x"), allowIncompatibleChanges = true)
+    assert(cat.subschemas("p.e").isEmpty)
   }
 
   test("remove/rename require allowIncompatibleChanges; keys are protected") {
