@@ -189,6 +189,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast(IntegerType).as("rank"))
   }
 
+  // ------------------------------------------------------- semantic dedup
+
+  /**
+   * Semantic near-duplicate PAIRS, cluster-blocked (the SemDeDup recipe,
+   * Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+   * nearest coarse centroid (map-only — the codebook is inlined literals,
+   * same as [[ivfTopK]]), then compare pairs WITHIN a cluster only, by
+   * exact cosine ≥ threshold. At corpus scale the intra-cluster join is an
+   * equi-join on the centroid id — candidate work is Σ |cluster|²/2
+   * instead of |corpus|²/2, tunable via nlist (more centroids → smaller
+   * blocks). Unlike the LSH variant ([[embeddingNearDupPairs]]) the
+   * blocking is semantic: near-identical embeddings land in one cluster
+   * with probability → 1 as nlist/corpus stays calibrated, and the
+   * centroid id doubles as the IVF routing key, so one codebook serves
+   * both dedup and ANN.
+   */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "semanticNearDupPairs needs a trained codebook")
+    val rows = Par.widen(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .where(col("vec").isNotNull)
+      .withColumn("cid", nearestCid(col("vec"), centroids))
+    val a = rows.as("a")
+    val b = rows.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(cosine(col("a.vec"), col("b.vec")), 9))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
+  /** Semantic dedup: drop every row that has a same-cluster neighbor at
+    * cosine ≥ threshold with a smaller id (the minimum id of each duplicate
+    * chain survives — same canonical-winner rule as exact dedup). */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val losers = semanticNearDupPairs(df, idCol, vecCol, threshold, centroids)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /**
    * Approximate top-k: candidates = corpus rows sharing an LSH bucket with
    * the query in ANY of `tables` hash tables, reranked by exact cosine.

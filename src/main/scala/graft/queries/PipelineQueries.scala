@@ -219,6 +219,31 @@ object PipelineQueries {
         k = 5, centroids = cents, nprobe = 4)
     },
 
+    // Semantic near-dup pairs, cluster-blocked (SemDeDup): nearest-centroid
+    // assignment partitions the corpus; only same-cluster pairs are compared
+    // by exact cosine. Deterministic init codebook (16 lowest-id vectors,
+    // iters=0) so the oracle reproduces the exact assignment in SQL;
+    // production passes a trained codebook (PipelineSpec covers iters>0).
+    Q("t11_semantic_dedup", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      scored AS (SELECT e.vec_id, c.cid,
+          list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+        FROM e CROSS JOIN cents c),
+      asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) AS cos
+            FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
+      SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""")) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, centroids = cents)
+    },
+
     // Multimodal: binary payload column + stubbed per-partition decode.
     Q("t08_multimodal_decode", Some("""
       SELECT doc_id,

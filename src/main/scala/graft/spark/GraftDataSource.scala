@@ -144,11 +144,36 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with Supports
 }
 
 /** `spark.read.format("graft").option("root", …).option("table", "ns.t")`;
-  * also a streaming source: `spark.readStream.format("graft")…` consumes the
-  * delta log incrementally by stream position. */
+  * also a streaming source (`spark.readStream.format("graft")…` consumes the
+  * delta log incrementally by stream position) and a streaming sink
+  * (`df.writeStream.format("graft")…` commits one exactly-once delta per
+  * micro-batch). */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(partitionColumns.isEmpty,
+      "partitionBy on the graft sink is unsupported; declare a PartitionScheme " +
+        "on the table instead (createTable partitionScheme=…)")
+    val mode = parameters.get("writeMode").map(graft.model.WriteMode.fromName)
+      .getOrElse {
+        if (outputMode == OutputMode.Update()) graft.model.WriteMode.Merge
+        else if (outputMode == OutputMode.Complete()) graft.model.WriteMode.Replace
+        else graft.model.WriteMode.Auto
+      }
+    // Exactly-once scope = the checkpoint (Spark's batchId sequence is
+    // per-checkpoint); hash keeps the property key filename-safe.
+    val queryKey = parameters.get("checkpointLocation")
+      .map(p => java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8")).toString.take(8))
+      .getOrElse("default")
+    new org.apache.spark.sql.graft.GraftStreamSink(sqlContext,
+      parameters("root"), parameters("table"), mode, queryKey)
+  }
 
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
       schema: Option[StructType], providerName: String,
@@ -189,12 +214,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     }
   }
 
+  // A missing table must NOT fail schema inference: writeStream resolves the
+  // provider's Table before the sink exists (first batch creates it), and
+  // DataStreamWriter only falls back to the V1 StreamSinkProvider when the
+  // resolved table lacks STREAMING_WRITE — so absent tables yield a
+  // capability-less placeholder instead of an exception. Batch reads of a
+  // missing table still fail crisply (no BATCH_READ capability → analysis
+  // error naming the table).
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options, refresh = true).schema
+    try resolve(options, refresh = true).schema
+    catch { case _: graft.catalog.TableNotFound => new StructType() }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    GraftDsv2.table(resolve(new CaseInsensitiveStringMap(properties), refresh = false))
+    try GraftDsv2.table(resolve(new CaseInsensitiveStringMap(properties), refresh = false))
+    catch {
+      case _: graft.catalog.TableNotFound =>
+        val name = s"graft.${properties.get("table")} (not found)"
+        new Table {
+          override def name(): String = name
+          override def schema(): StructType = new StructType()
+          override def capabilities(): util.Set[TableCapability] =
+            util.Collections.emptySet()
+        }
+    }
 }
 
 /**

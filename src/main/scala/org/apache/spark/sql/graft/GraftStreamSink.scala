@@ -1,0 +1,82 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+
+import graft.catalog.GraftCatalog
+import graft.model.WriteMode
+
+/**
+ * Structured Streaming sink into a Graft table: `df.writeStream
+ * .format("graft").option("root", …).option("table", "ns.t")` — the
+ * streaming dual of [[GraftStreamSource]], and the Spark-native expression
+ * of the reference's continuous-ingest write path (catalog dc.write with
+ * ordered stream positions, catalog/main/impl.py:226-650).
+ *
+ * Exactly-once: the last committed micro-batch id is persisted as a table
+ * property in the SAME MVCC transaction as the batch's delta, so a replayed
+ * batch after a driver restart is recognized and skipped — the data and the
+ * progress marker can never diverge. The marker is scoped per checkpoint
+ * (Spark's batchId sequence is per-checkpoint), so independent queries into
+ * one table don't collide.
+ *
+ * Write-mode mapping (overridable via option `writeMode`):
+ * Append → AUTO (creates the table from the stream schema on first batch;
+ * merge-keyed tables upsert), Update → MERGE, Complete → REPLACE.
+ *
+ * Lives under org.apache.spark.sql because converting the micro-batch frame
+ * (bound to the streaming IncrementalExecution) into a writable batch frame
+ * requires the private[sql] `internalCreateDataFrame` — the same placement
+ * as the source.
+ */
+class GraftStreamSink(
+    sqlContext: SQLContext,
+    root: String,
+    table: String,
+    mode: WriteMode,
+    queryKey: String) extends Sink {
+
+  private val propKey = s"streaming.last_batch.$queryKey"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = sqlContext.sparkSession
+    val cat = new GraftCatalog(spark, root)
+    val exists = cat.tableExists(table)
+    if (exists) {
+      val last = cat.getTableMeta(table).properties.get(propKey).map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) return // replayed batch after restart — already durable
+    }
+    // Rebind the micro-batch rows to a plain batch frame (the incoming frame
+    // is owned by the streaming execution and cannot be written directly).
+    val batch = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(data.queryExecution.toRdd, data.schema)
+    if (!exists) {
+      // First batch creates the table; the marker property rides the same
+      // transaction via createTable's property map.
+      val tx = cat.transaction(s"stream batch $batchId -> $table (create)")
+      try {
+        cat.createTable(table, data.schema,
+          properties = Map(propKey -> batchId.toString), txn = Some(tx))
+        cat.writeToTable(batch, table,
+          if (mode == WriteMode.Auto) WriteMode.Add else mode, Some(tx))
+        tx.seal()
+      } catch { case e: Throwable => tx.abort(); throw e }
+    } else {
+      // Marker first, data second: writeToTable resolves table meta with
+      // read-your-writes inside the transaction, so a schema-evolving batch
+      // stages its widened schema ON TOP of the marker update.
+      val tx = cat.transaction(s"stream batch $batchId -> $table")
+      try {
+        cat.alterTable(table, setProperties = Map(propKey -> batchId.toString), txn = Some(tx))
+        cat.writeToTable(batch, table, mode, Some(tx))
+        tx.seal()
+      } catch { case e: Throwable => tx.abort(); throw e }
+    }
+    // Same post-commit policy as batch writes: losing a compaction race to a
+    // concurrent writer is benign.
+    try cat.maybeAutoCompact(table)
+    catch { case _: graft.txn.ConcurrentTxnConflict => () }
+  }
+
+  override def toString: String = s"GraftStreamSink[$table]"
+}

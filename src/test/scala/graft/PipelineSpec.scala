@@ -103,6 +103,27 @@ class PipelineSpec extends SparkSpec {
     assert(found.head.getAs[Double]("cos") >= 0.999999)
   }
 
+  test("semantic dedup: cluster-blocked pairs find a planted duplicate; anti-join keeps canonical") {
+    val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
+    // Plant an exact duplicate of vec_id 0 under a new id: nearest-centroid
+    // assignment MUST route both copies to the same cluster (identical
+    // vectors score identically), so blocking cannot lose the pair.
+    val dup = emb.where($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val corpus = emb.unionByName(dup)
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    val pairs = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, centroids = cents)
+    assertNoCartesian(pairs)
+    val found = pairs.where($"id_a" === 0L && $"id_b" === 9999L).collect()
+    assert(found.length == 1, "planted duplicate not found by cluster-blocked dedup")
+    assert(found.head.getAs[Double]("cos") >= 0.999999)
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.99, centroids = cents)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(keptIds.contains(0L) && !keptIds.contains(9999L),
+      "canonical (minimum) id must survive; the planted copy must be dropped")
+  }
+
   test("text stats: language id and quality buckets are deterministic") {
     val df = Seq(
       (1L, "the cat is on the mat and the dog is of the house"),

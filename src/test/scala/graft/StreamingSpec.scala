@@ -105,6 +105,87 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("writeStream into a graft table: auto-create, incremental deltas, merge mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("graft-wsink")
+    val cat = new GraftCatalog(spark, root)
+
+    // Append stream into a table that does not exist yet: first batch creates it.
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("root", root).option("table", "ns.out")
+      .option("checkpointLocation", tmpDir("graft-wsink-ck")).start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(cat.readTable("ns.out").count() == 2)
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(cat.readTable("ns.out").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+
+    // MERGE mode into a merge-keyed table: later batches upsert by key.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType)))
+    cat.createTable("ns.up", schema)
+    val mIn = MemoryStream[(Long, String)]
+    val mq = mIn.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("root", root).option("table", "ns.up").option("writeMode", "MERGE")
+      .option("checkpointLocation", tmpDir("graft-wsink-ck2")).start()
+    try {
+      mIn.addData((1L, "a"), (2L, "b"))
+      mq.processAllAvailable()
+      mIn.addData((1L, "a2"))
+      mq.processAllAvailable()
+      assert(cat.readTable("ns.up").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a2"), (2L, "b")))
+    } finally mq.stop()
+  }
+
+  test("sink batch replay after restart is idempotent (exactly-once marker)") {
+    val root = tmpDir("graft-wsink-once")
+    val cat = new GraftCatalog(spark, root)
+    val sink = new org.apache.spark.sql.graft.GraftStreamSink(
+      spark.sqlContext, root, "ns.once", WriteMode.Auto, "ck1")
+    sink.addBatch(0, Seq((1L, "a")).toDF("id", "v"))
+    // Same batch re-delivered (driver restart replays the last batch).
+    sink.addBatch(0, Seq((1L, "a")).toDF("id", "v"))
+    sink.addBatch(1, Seq((2L, "b")).toDF("id", "v"))
+    assert(cat.readTable("ns.once").count() == 2)
+    // A DIFFERENT query (different checkpoint key) has its own sequence.
+    val other = new org.apache.spark.sql.graft.GraftStreamSink(
+      spark.sqlContext, root, "ns.once", WriteMode.Auto, "ck2")
+    other.addBatch(0, Seq((3L, "c")).toDF("id", "v"))
+    assert(cat.readTable("ns.once").count() == 3)
+  }
+
+  test("graft-to-graft incremental streaming pipeline") {
+    import org.apache.spark.sql.functions.upper
+    val root = tmpDir("graft-pipe")
+    val cat = new GraftCatalog(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType)))
+    cat.createTable("ns.src", schema)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.src", WriteMode.Append)
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.src").load()
+      .withColumn("v", upper(col("v")))
+      .writeStream.format("graft")
+      .option("root", root).option("table", "ns.dst")
+      .option("checkpointLocation", tmpDir("graft-pipe-ck")).start()
+    try {
+      q.processAllAvailable()
+      cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), "ns.src", WriteMode.Append)
+      q.processAllAvailable()
+      assert(cat.readTable("ns.dst").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "A"), (2L, "B")))
+    } finally q.stop()
+  }
+
   test("readChanges surfaces the raw change feed after a position") {
     val cat = new GraftCatalog(spark, tmpDir("graft-cdc"))
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.c")
