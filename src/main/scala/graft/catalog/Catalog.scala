@@ -581,29 +581,39 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         val presentCols = targetSchema.fieldNames.filter(present).toSeq
         val withMissing = targetSchema.fields.filterNot(f => present(f.name))
           .foldLeft(coerced)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-        // Synthetic lineage: one delta, recency within the batch = row order
-        // (monotonically_increasing_id follows the same partition/row order
-        // the two-phase path would have persisted to files).
-        val scan = withMissing
-          .withColumn(Pos, lit(rev))
-          .withColumn(File, lit(""))
-          .withColumn(Row, monotonically_increasing_id())
-          .withColumn(Dt, lit(DeltaType.Upsert.name))
-          .withColumn(Present, typedLit(presentCols))
-        val synth = DeltaMeta(rev, DeltaType.Upsert.name, Nil, "", -1L,
-          Map("written_columns" -> presentCols.mkString(",")))
-        val resolved = MergeRead.applyPastDefaults(
-          MergeRead.resolve(scan, targetSchema, scheme, mergeKeys, Seq(synth)), targetSchema)
-          .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
         val numBuckets = meta.properties.get("compaction.num_buckets").map(_.toInt).getOrElse(8)
         val maxRec = meta.properties.get("compaction.max_records_per_file")
           .map(_.toLong).getOrElse(Compactor.DefaultMaxRecordsPerFile)
         // Column stats ride the materialize pass (same as the normal write
         // path), so bulk-loaded rows feed columnStats/eventTimeWatermark.
         val bulkStatFields = statFieldsOf(targetSchema, targetSchema.fieldNames.toSet)
-        val (entries, written, mObs) = Compactor.materialize(this, t, rev, tx.txnId, resolved,
-          targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec,
-          statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta))
+        // Fused single-shuffle path whenever batch recency alone picks
+        // winners (the common bulk-ingest shape); otherwise resolve first.
+        val canFuse = presentCols.toSet == targetSchema.fieldNames.toSet &&
+          FieldMeta.mergeOrderKeys(targetSchema).isEmpty && sortSchemeOf(meta).keys.isEmpty
+        val (entries, written, mObs) = if (canFuse) {
+          Compactor.materializeBulkDedupe(this, t, rev, tx.txnId, withMissing,
+            targetSchema, scheme, contentTypeOf(meta), numBuckets, maxRec, mergeKeys,
+            statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta))
+        } else {
+          // Synthetic lineage: one delta, recency within the batch = row order
+          // (monotonically_increasing_id follows the same partition/row order
+          // the two-phase path would have persisted to files).
+          val scan = withMissing
+            .withColumn(Pos, lit(rev))
+            .withColumn(File, lit(""))
+            .withColumn(Row, monotonically_increasing_id())
+            .withColumn(Dt, lit(DeltaType.Upsert.name))
+            .withColumn(Present, typedLit(presentCols))
+          val synth = DeltaMeta(rev, DeltaType.Upsert.name, Nil, "", -1L,
+            Map("written_columns" -> presentCols.mkString(",")))
+          val resolved = MergeRead.applyPastDefaults(
+            MergeRead.resolve(scan, targetSchema, scheme, mergeKeys, Seq(synth)), targetSchema)
+            .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
+          Compactor.materialize(this, t, rev, tx.txnId, resolved,
+            targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec,
+            statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta))
+        }
         val props = Map(
           "written_columns" -> targetSchema.fieldNames.mkString(","),
           "num_buckets" -> numBuckets.toString,

@@ -204,4 +204,66 @@ object Compactor {
     val entries = cat.manifestEntriesOf(Paths.get(out), ct)
     (entries, obs.get("n").asInstanceOf[Long], obs)
   }
+
+  /**
+   * Fused bulk load: resolve + materialize in ONE shuffle. The standard
+   * bulk path shuffles twice — a hash aggregate to dedupe intra-batch
+   * merge keys, then the bucket/slice clustering for the sorted write.
+   * But the clustering is ALREADY key-deterministic (bucket and slice both
+   * hash the merge keys), so every row of a key lands in the same task and
+   * intra-batch last-writer-wins reduces to: sort the task by
+   * (key, recency desc) and keep the FIRST row of each key run — a lag()
+   * window over the exact partitioning the write needs anyway. Halves the
+   * shuffled bytes of every bulk ingest.
+   *
+   * Only valid when batch recency alone picks winners: complete rows (no
+   * partial-upsert coalescing), no merge_order fields, no sort scheme
+   * (the run sort must double as the file sort). Callers fall back to
+   * resolve + [[materialize]] otherwise.
+   */
+  private[catalog] def materializeBulkDedupe(
+      cat: GraftCatalog, t: TableHandle, rev: Long, txnId: String,
+      df: org.apache.spark.sql.DataFrame,
+      schema: StructType, scheme: PartitionScheme,
+      ct: ContentType, numBuckets: Int, maxRec: Long,
+      mergeKeys: Seq[String],
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
+      encoding: Option[String] = None): (Seq[ManifestEntry], Long, Observation) = {
+    require(mergeKeys.nonEmpty, "fused bulk load needs merge keys")
+    val spark = cat.spark
+    val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
+    val obs = Observation(s"materialize-${t.name}-$rev")
+    val parallelism = math.max(numBuckets, spark.sparkContext.defaultParallelism)
+    val slices = math.max(1, parallelism / numBuckets)
+    // Row order = intra-batch recency (same contract as the two-phase path).
+    val withB = df
+      .withColumn(Row, monotonically_increasing_id())
+      .withColumn(Bucket, pmod(hash(mergeKeys.map(col): _*), lit(numBuckets)))
+      .withColumn("_g_slice",
+        pmod(hash((mergeKeys.map(col) :+ lit("_slice")): _*), lit(slices)))
+    val partCols = cat.addDerivedPartitionColumns(withB, scheme)
+    val partNames = scheme.keys.map(_.partitionColumnName)
+      .filter(partCols.columns.contains)
+    // Merge scope = partition values + merge keys (identical keys in
+    // different partitions are distinct rows) — both land in the same
+    // (bucket, slice) task, so runs are contiguous under the window sort.
+    val runKey = struct((partNames ++ mergeKeys).map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Bucket), col("_g_slice"))
+      .orderBy((partNames ++ mergeKeys).map(col(_).asc) :+ col(Row).desc: _*)
+    partCols
+      .repartition(parallelism, col(Bucket), col("_g_slice"))
+      .withColumn("_g_prev", lag(runKey, 1).over(w))
+      .where(col("_g_prev").isNull || !(col("_g_prev") <=> runKey))
+      .drop("_g_prev", "_g_slice", Row)
+      .observe(obs, count(lit(1)).as("n"), extraAggs: _*)
+      .write.mode("overwrite")
+      .format(ct.format).options(ct.writeOptions)
+      .options(encoding.map("compression" -> _).toMap)
+      .option("maxRecordsPerFile", maxRec)
+      .partitionBy((Seq(Bucket) ++ partNames): _*)
+      .save(out)
+    val entries = cat.manifestEntriesOf(Paths.get(out), ct)
+    (entries, obs.get("n").asInstanceOf[Long], obs)
+  }
 }

@@ -84,6 +84,13 @@ object MergeRead {
         scanWithLineage(spark, schema, deltas, basePaths ++ pendingPaths, contentType)
           .where(col(Dt) =!= DeltaType.Delete.name)
           .select(normCols: _*)
+      } else if (sparseEligible(spark, base, basePaths, pending, pendingPaths)) {
+        // Sparse-eligible reads skip bucket discovery outright: the
+        // broadcast key anti-join is a strictly finer (row-level) prune
+        // than the bucket-level one, and touchedBuckets costs a full
+        // scan+collect job of its own.
+        sparseMerge(spark, schema, scheme, mergeKeys, deltas,
+          basePaths, pending, pendingPaths, contentType).select(normCols: _*)
       } else numBuckets match {
         case Some(n) if basePaths.nonEmpty =>
           // Bucket-pruned merge: only base buckets touched by pending keys
@@ -119,14 +126,12 @@ object MergeRead {
     resolve(scanWithLineage(spark, schema, deltas, paths, ct),
       schema, scheme, mergeKeys, referencedDeltas(deltas, paths))
 
-  /** Buckets hit by the pending deltas' merge keys — a metadata-sized
-    * key-column scan (mirrors Compactor's copy-by-reference discovery). */
-  def touchedBuckets(
+  /** The pending deltas' merge-key columns only — a metadata-sized scan
+    * shared by bucket discovery and the sparse-merge key set. */
+  private def pendingKeyFrame(
       spark: SparkSession, schema: StructType, mergeKeys: Seq[String],
-      numBuckets: Int, pendingPaths: Seq[String],
-      ct: ContentType = ContentType.Parquet,
-      lineage: Seq[DeltaMeta] = Nil): Set[Int] = {
-    if (pendingPaths.isEmpty) return Set.empty
+      pendingPaths: Seq[String], ct: ContentType,
+      lineage: Seq[DeltaMeta]): DataFrame = {
     val scans: Seq[DataFrame] =
       if (ct == ContentType.Parquet || ct == ContentType.Orc || ct == ContentType.Json) {
         // Name-matched formats prune straight to the key columns.
@@ -150,8 +155,86 @@ object MergeRead {
           }
       }
     scans.reduce(_ unionByName _)
+  }
+
+  /** Buckets hit by the pending deltas' merge keys — a metadata-sized
+    * key-column scan (mirrors Compactor's copy-by-reference discovery). */
+  def touchedBuckets(
+      spark: SparkSession, schema: StructType, mergeKeys: Seq[String],
+      numBuckets: Int, pendingPaths: Seq[String],
+      ct: ContentType = ContentType.Parquet,
+      lineage: Seq[DeltaMeta] = Nil): Set[Int] = {
+    if (pendingPaths.isEmpty) return Set.empty
+    pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, lineage)
       .select(pmod(hash(mergeKeys.map(col): _*), lit(numBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Sparse-merge guardrails: the pending key set must be broadcastable
+    * (row cap) and small relative to the base (ratio), or the dense
+    * shuffle resolve wins. */
+  private val SparseMaxPendingRows = 4L * 1000 * 1000
+  private val SparseMaxPendingRatio = 8L
+
+  /** Should the merge read take the sparse path? True when the pending
+    * record counts are known, broadcastable, and a small fraction of the
+    * base — the trickle regime where [[sparseMerge]] beats the dense
+    * shuffle resolve. Disable via spark.conf
+    * `graft.merge.sparse.enabled=false`. */
+  private def sparseEligible(
+      spark: SparkSession, base: Option[DeltaMeta], basePaths: Seq[String],
+      pending: Seq[DeltaMeta], pendingPaths: Seq[String]): Boolean = {
+    def knownRows(entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
+      if (entries.isEmpty || entries.exists(_.recordCount < 0)) None
+      else Some(entries.map(_.recordCount).sum)
+    val basePathSet = basePaths.toSet
+    val baseRows = base.map(_.entries.filter(e => basePathSet(e.path))).flatMap(knownRows)
+    val pendingRows = knownRows(pending.flatMap(_.entries))
+    spark.conf.get("graft.merge.sparse.enabled", "true").toBoolean &&
+      base.isDefined && basePaths.nonEmpty && pendingPaths.nonEmpty &&
+      (for { b <- baseRows; p <- pendingRows }
+        yield p <= SparseMaxPendingRows && p * SparseMaxPendingRatio <= b).getOrElse(false)
+  }
+
+  /**
+   * Sparse merge-on-read: when pending is a trickle (a 1% upsert against a
+   * big base — the steady state of a continuously-ingesting table), the
+   * pending MERGE-KEY set is broadcast and the base splits with two
+   * broadcast joins: uncontested rows (key ∉ pending — the vast majority)
+   * stream through scan-only with NO shuffle, and only contested base rows
+   * + the pending rows enter the resolve shuffle. At 100 TB this turns the
+   * read's sort/agg shuffle of every touched bucket into a shuffle of
+   * O(|pending|) rows. Cost: the base is scanned twice (anti + semi side)
+   * — two cheap columnar scans in exchange for eliminating the wide
+   * shuffle, the same trade position-delete/DV readers make.
+   *
+   * Sound because a compacted base is already resolved: exactly one live
+   * row per (partition scope, merge key) and no tombstones — so any key
+   * absent from pending deltas cannot change, regardless of merge_order or
+   * partial-upsert semantics (those only matter among contested rows,
+   * which take the full resolve path). Null-safe key equality (`<=>`)
+   * keeps null-keyed equality deletes on the contested side.
+   */
+  private def sparseMerge(
+      spark: SparkSession, schema: StructType, scheme: PartitionScheme,
+      mergeKeys: Seq[String], deltas: Seq[DeltaMeta], basePaths: Seq[String],
+      pending: Seq[DeltaMeta], pendingPaths: Seq[String],
+      ct: ContentType): DataFrame = {
+    val pk = broadcast(
+      pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, pending)
+        .select(mergeKeys.map(k => col(k).as(s"_g_pk_$k")): _*)
+        .distinct())
+    val cond = mergeKeys.map(k => col(k) <=> col(s"_g_pk_$k")).reduce(_ && _)
+    val baseScan = scanWithLineage(spark, schema, deltas, basePaths, ct)
+    val pass = baseScan.join(pk, cond, "left_anti")
+    val contested = baseScan.join(pk, cond, "left_semi")
+      .unionByName(scanWithLineage(spark, schema, deltas, pendingPaths, ct))
+    // Both sides normalize to (schema, Present, File): resolve's branches
+    // drop the per-row recency columns the raw scan still carries.
+    val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
+    pass.select(normCols: _*).unionByName(
+      resolve(contested, schema, scheme, mergeKeys,
+        referencedDeltas(deltas, basePaths ++ pendingPaths)).select(normCols: _*))
   }
 
   /** Bucket id encoded in a compacted file's `_g_bucket=N` path segment. */
@@ -282,11 +365,19 @@ object MergeRead {
 
   /** The single-window LSM resolution described in the class doc. */
   def resolve(
-      scan: DataFrame,
+      scanIn: DataFrame,
       schema: StructType,
       scheme: PartitionScheme,
       mergeKeys: Seq[String],
       lineage: Seq[DeltaMeta]): DataFrame = {
+    // A small input often arrives as 1-3 file splits, serializing the
+    // map side of the resolve aggregate (payload-struct building, partial
+    // max_by) on a few cores while 30 idle. One cheap round-robin shuffle
+    // of the raw rows unlocks the cluster AND keeps map-side combine (a
+    // repartition on the merge keys instead would forfeit the partial
+    // aggregation's skew resistance). Stats-gated: large scans — the
+    // 100 TB case — already carry ≥ one split per core and pass through.
+    val scan = graft.operators.Par.widen(scanIn)
     // Merge scope = partition values + merge keys (the reference compacts
     // within a Partition object, so identical keys in different partitions
     // are distinct rows).

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 /** Input-parallelism guard for map-heavy operators. */
-private[operators] object Par {
+private[graft] object Par {
 
   /**
    * Widen a small input to the cluster's default parallelism before

@@ -13,14 +13,16 @@ import org.apache.spark.sql.types._
  * sign-random-projection LSH with L hash tables, so candidate generation is
  * an equi-join on (table, bucket) — no cross join anywhere in the plan.
  *
- * Dot products are `aggregate(zip_with(...))` column expressions — codegen,
- * no UDF.
+ * Dot products compile to a tight generated loop via the custom
+ * [[graft.functions.DotProduct]] Catalyst expression — no UDF, no
+ * interpreted higher-order functions in the hot path.
  */
 object Similarity {
 
-  /** Left-to-right double dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right double dot product of two array<double> columns —
+    * a codegen'd Catalyst expression ([[graft.functions.DotProduct]]), not
+    * the interpreted `aggregate(zip_with(...))` HOF form. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -54,7 +54,10 @@ object GraftDsv2 {
       /** Some active delta predates a field rename: its files carry the old
         * physical column name, which the delegate scan (current schema,
         * name-matched) would silently read as null. */
-      hasStaleRenames: Boolean)
+      hasStaleRenames: Boolean,
+      /** Catalog root + whether this snapshot is pinned to the past (asOf):
+        * the write path needs the former and must reject the latter. */
+      root: String = "", timeTravel: Boolean = false)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")

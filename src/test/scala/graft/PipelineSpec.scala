@@ -103,6 +103,22 @@ class PipelineSpec extends SparkSpec {
     assert(found.head.getAs[Double]("cos") >= 0.999999)
   }
 
+  test("DotProduct expression: codegen and interpreted agree with the HOF form") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.5), Array(2.0, 2.0)),
+      (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val hof = df.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)).collect().map(_.getDouble(0))
+    val expr = df.select(graft.functions.DotProduct($"a", $"b")).collect().map(_.getDouble(0))
+    assert(expr.toSeq == hof.toSeq)
+    assert(expr.toSeq == Seq(32.0, -2.0, 0.0))
+    // Null input (either side) gives null output; the codegen path is the
+    // one the planner actually uses inside whole-stage codegen.
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(withNull.select(graft.functions.DotProduct($"a", $"b")).collect().head.isNullAt(0))
+  }
+
   test("semantic dedup: cluster-blocked pairs find a planted duplicate; anti-join keeps canonical") {
     val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
     // Plant an exact duplicate of vec_id 0 under a new id: nearest-centroid

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/** Sparse merge-on-read: a trickle of pending upserts/deletes against a big
+  * compacted base reads via broadcast key-split (uncontested base rows
+  * stream through with no shuffle) instead of the dense shuffle resolve. */
+class SparseMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(cat: GraftCatalog, name: String): Unit =
+    cat.createTable(name, StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))))
+
+  test("trickle upsert+delete takes the broadcast sparse path and matches the dense resolve") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-sparse"))
+    mkTable(cat, "ns.t")
+    val base = spark.range(10000).select($"id", ($"id" % 7).cast("string").as("v"))
+    cat.writeToTable(base.toDF(), "ns.t", WriteMode.Merge)
+    // 5% auto-compaction valve: ~120 pending rows on a 10k base stay
+    // merge-on-read, which is exactly the sparse regime (ratio 8x, cap 4M).
+    cat.writeToTable(
+      (spark.range(100).select(($"id" * 100).as("id"), lit("upd").as("v")) union
+        Seq((20001L, "ins")).toDF("id", "v")).toDF(), "ns.t", WriteMode.Merge)
+    cat.writeToTable(spark.range(10000).select($"id")
+      .where($"id" % 997 === 0).toDF(), "ns.t", WriteMode.Delete)
+
+    val sparse = cat.readTable("ns.t")
+    // The sparse key-split is visible as the renamed pending-key columns in
+    // a broadcast join (the lineage join is ALSO broadcast, so the join
+    // operator alone does not discriminate).
+    val plan = sparse.queryExecution.executedPlan.toString
+    assert(plan.contains("_g_pk_id"),
+      s"sparse merge read should broadcast the pending key set; got:\n${plan.take(2000)}")
+    val got = sparse.as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    spark.conf.set("graft.merge.sparse.enabled", "false")
+    try {
+      val dense = cat.readTable("ns.t")
+      assert(!dense.queryExecution.executedPlan.toString.contains("_g_pk_id"))
+      assert(got == dense.as[(Long, String)].collect().sortBy(_._1).toSeq,
+        "sparse and dense merge reads must be identical")
+    } finally spark.conf.unset("graft.merge.sparse.enabled")
+
+    // Semantics spot checks: updates win, insert present, deletes gone.
+    val byId = got.toMap
+    assert(byId(100L) == "upd" && byId(20001L) == "ins")
+    assert(!byId.contains(0L), "id 0 was updated then... (0*100=0 upd, 0%997==0 deleted)")
+    assert(!byId.contains(997L))
+    assert(got.size == 10000 + 1 - 11) // 11 multiples of 997 in [0, 10000): 0..9970
+  }
+
+  test("null-keyed equality delete stays on the contested side (null-safe key join)") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-sparse-null"))
+    cat.createTable("ns.n", StructType(Seq(
+      FieldMeta.field("a", StringType, nullable = true, mergeKey = true),
+      FieldMeta.field("b", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))))
+    val base = spark.range(5000)
+      .select(when($"id" === 0, lit(null)).otherwise(concat(lit("k"), $"id")).as("a"),
+        $"id".as("b"), lit("x").as("v"))
+    cat.writeToTable(base.toDF(), "ns.n", WriteMode.Merge)
+    // Delete the null-keyed row plus one normal row — tiny pending → sparse.
+    cat.writeToTable(Seq((Option.empty[String], 0L), (Some("k7"), 7L)).toDF("a", "b"),
+      "ns.n", WriteMode.Delete)
+    val read = cat.readTable("ns.n")
+    assert(read.queryExecution.executedPlan.toString.contains("_g_pk_a"))
+    assert(read.count() == 4998)
+    assert(read.where($"a".isNull).count() == 0,
+      "null-keyed row must be deleted — a non-null-safe key join would leak it")
+    assert(read.where($"b" === 7L).count() == 0)
+  }
+}
