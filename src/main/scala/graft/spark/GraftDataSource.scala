@@ -84,18 +84,51 @@ object GraftDsv2 {
       d.properties.get("written_columns")
         .map(_.split(",").exists(renamedOld)).getOrElse(true))
     Resolved(t, schema, active.flatMap(_.entries).map(_.path), unresolved,
-      cat.contentTypeOf(meta), hasPartial, hasDefaults, staleRenames)
+      cat.contentTypeOf(meta), hasPartial, hasDefaults, staleRenames,
+      root = root, timeTravel = asOf.isDefined)
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
 }
 
-/** A Graft table exposed through DSv2; scans delegate to ParquetTable. */
-final class GraftTable(resolved: GraftDsv2.Resolved) extends Table with SupportsRead {
+/** A Graft table exposed through DSv2; scans delegate to ParquetTable.
+  * Batch writes (`INSERT INTO` / `df.writeTo(...).append()`) route through
+  * the V1 InsertableRelation fallback into the catalog's transactional
+  * write path — so SQL inserts get the same MVCC commit, schema policy,
+  * and auto-compaction as `GraftCatalog.writeToTable`. */
+final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.${resolved.handle}"
   override def schema(): StructType = resolved.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!resolved.timeTravel,
+      s"cannot write to ${resolved.handle}: the table was resolved asOf a past snapshot")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame, ovr: Boolean): Unit = {
+                val cat = new GraftCatalog(SparkSession.active, resolved.root)
+                val mode =
+                  if (overwrite || ovr) graft.model.WriteMode.Replace
+                  else graft.model.WriteMode.Auto
+                cat.writeToTable(data, resolved.handle.toString, mode)
+              }
+            }
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Deferred to scan time (not schema resolution) so the streaming path —

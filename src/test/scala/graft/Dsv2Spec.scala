@@ -30,6 +30,38 @@ class Dsv2Spec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft.ns").collect().map(_.getString(1)).contains("t"))
   }
 
+  test("SQL INSERT INTO / OVERWRITE and writeTo().append() commit through the catalog") {
+    val root = tmpDir("graft-dsv2w")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.w")
+    spark.conf.set("spark.sql.catalog.graftw", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftw.root", root)
+
+    spark.sql("INSERT INTO graftw.ns.w VALUES (2, 'b'), (3, 'c')")
+    assert(cat.readTable("ns.w").count() == 3)
+    // The SQL insert is a real MVCC commit: the delta log grew.
+    assert(cat.deltaLog("ns.w").size == 2)
+
+    Seq((4L, "d")).toDF("id", "v").writeTo("graftw.ns.w").append()
+    assert(spark.sql("SELECT id FROM graftw.ns.w").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+
+    spark.sql("INSERT OVERWRITE graftw.ns.w VALUES (9, 'z')")
+    assert(cat.readTable("ns.w").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // REPLACE truncates the EFFECTIVE log to the replacing delta.
+    assert(cat.deltaLog("ns.w").size == 1)
+
+    // Merge-keyed table: INSERT takes AUTO semantics = upsert by key.
+    cat.createTable("ns.mk", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType))))
+    spark.sql("INSERT INTO graftw.ns.mk VALUES (1, 'x'), (1, 'y'), (2, 'b')")
+    assert(cat.readTable("ns.mk").count() == 2)
+    spark.sql("INSERT INTO graftw.ns.mk VALUES (1, 'upd')")
+    assert(cat.readTable("ns.mk").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "upd"), (2L, "b")))
+  }
+
   test("DSv2 reads non-parquet content types through the matching file table") {
     val root = tmpDir("graft-dsv2c")
     val cat = new GraftCatalog(spark, root)
