@@ -26,7 +26,7 @@ object Bench {
     "q01_pricing_summary", "q03_join_topk", "q05_region_revenue",
     "q07_topk_orders", "q12_events_sessionize",
     "t01_text_stats", "t02_exact_dedup", "t04_minhash_neardup",
-    "t06_ann_brute", "t07_ann_lsh", "t10_ann_ivf")
+    "t06_ann_brute", "t07_ann_lsh", "t10_ann_ivf", "t11_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,8 +39,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM + codegen once (unmeasured).
+    // Warm the JVM + codegen once (unmeasured): the scan/agg path via q01,
+    // and the wide signature-aggregate shapes via a 16-doc in-memory corpus
+    // — janino compilation of the 64-aggregate generated classes costs
+    // seconds once per JVM and is a fixed constant, not a scale property
+    // (the generated-source cache serves the measured run).
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    locally {
+      import spark.implicits._
+      val warm = (1 to 16).map(i => (i.toLong, s"warm doc number $i with text")).toDF("doc_id", "text")
+      graft.operators.Dedup.minhashPairs(warm, "doc_id", "text",
+        bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+        maxBucketWidth = Some(64)).count()
+      graft.operators.Dedup.simhashPairs(warm, "doc_id", "text").count()
+    }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
