@@ -51,7 +51,6 @@ object Bench {
       graft.operators.Dedup.minhashPairs(warm, "doc_id", "text",
         bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
         maxBucketWidth = Some(64)).count()
-      graft.operators.Dedup.simhashPairs(warm, "doc_id", "text").count()
     }
 
     def time(body: => Unit): Double = {

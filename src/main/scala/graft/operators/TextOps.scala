@@ -98,6 +98,53 @@ object TextOps {
   def wordShingles(c: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(c), n)
 
+  /** Non-distinct word n-grams from a pre-computed token-array ATTRIBUTE
+    * (empty when fewer than n tokens) — the repetition-signal front end,
+    * unlike the DISTINCT shingle sets used for similarity. */
+  def wordNgramsAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /**
+   * Within-document repetition signals (the Gopher-rule quality family:
+   * Rae et al. 2021, arXiv:2112.11446 §A1.1): fraction of duplicate
+   * words / 2-grams / 3-grams, and the text share of the single most
+   * frequent 2-gram. High values mark degenerate (looping, boilerplate,
+   * keyword-stuffed) documents that pretraining filters drop.
+   *
+   * Shape: the fraction columns are pure per-row array expressions
+   * (gram arrays materialized ONCE in their own projection — lambda
+   * bodies get no subexpression elimination); the most-frequent-gram
+   * share needs a per-(doc, gram) count, which is two map-side-combining
+   * hash aggregates keyed by doc — scales as a plain word count.
+   * explode_outer, not explode: the inferred size>0 filter would embed
+   * the gram expression and push below the widening shuffle.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Par.widen(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val grams = base.select(col("doc_id"), col("tk"),
+      wordNgramsAll(col("tk"), 2).as("g2"), wordNgramsAll(col("tk"), 3).as("g3"))
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0)).otherwise(
+        round((size(g) - size(array_distinct(g))).cast(DoubleType) /
+          size(g).cast(DoubleType), 9))
+    val perDoc = grams.select(col("doc_id"),
+      size(col("tk")).cast(LongType).as("n_tokens"),
+      dupFrac(col("tk")).as("dup_word_frac"),
+      dupFrac(col("g2")).as("dup_2gram_frac"),
+      dupFrac(col("g3")).as("dup_3gram_frac"))
+    val top2 = grams.select(col("doc_id"), explode_outer(col("g2")).as("g"))
+      .where(col("g").isNotNull)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        round(max(col("c")).cast(DoubleType) / sum(col("c")).cast(DoubleType), 9)
+          .as("max_2gram_frac"))
+    perDoc.join(top2, Seq("doc_id"), "left")
+      .withColumn("max_2gram_frac", coalesce(col("max_2gram_frac"), lit(0.0)))
+  }
+
   /** Per-document text-statistics projection. */
   def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

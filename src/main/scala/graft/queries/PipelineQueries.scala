@@ -244,6 +244,29 @@ object PipelineQueries {
         threshold = 0.35, centroids = cents)
     },
 
+    // Within-document repetition signals (Gopher-rule quality family):
+    // duplicate word/2-gram/3-gram fractions + most-frequent-2-gram share.
+    Q("t12_repetition_stats", Some("""
+      WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      g AS (SELECT doc_id, tk,
+              CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2,
+              CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END AS g3
+            FROM t),
+      base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CASE WHEN len(tk) = 0 THEN 0.0 ELSE round((len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE), 9) END AS dup_word_frac,
+        CASE WHEN len(g2) = 0 THEN 0.0 ELSE round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 9) END AS dup_2gram_frac,
+        CASE WHEN len(g3) = 0 THEN 0.0 ELSE round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 9) END AS dup_3gram_frac
+        FROM g),
+      cnts AS (SELECT doc_id, gram, count(*) AS c
+               FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
+      top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 9) AS max_2gram_frac
+              FROM cnts GROUP BY 1)
+      SELECT base.doc_id, n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+             COALESCE(top.max_2gram_frac, 0.0) AS max_2gram_frac
+      FROM base LEFT JOIN top ON base.doc_id = top.doc_id""")) { (s, dir) =>
+      TextOps.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
     // Multimodal: binary payload column + stubbed per-partition decode.
     Q("t08_multimodal_decode", Some("""
       SELECT doc_id,

@@ -203,12 +203,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         else graft.model.WriteMode.Auto
       }
     // Exactly-once scope = the checkpoint (Spark's batchId sequence is
-    // per-checkpoint); hash keeps the property key filename-safe.
+    // per-checkpoint), so the writer MUST name it explicitly: a shared
+    // fallback key would let two queries clobber each other's batch-id
+    // marker and silently skip batches, and a random key would break
+    // replay dedup across restarts. Full name-UUID keeps the table
+    // property key filename-safe without truncation collisions.
     val queryKey = parameters.get("checkpointLocation")
-      .map(p => java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8")).toString.take(8))
-      .getOrElse("default")
-    new org.apache.spark.sql.graft.GraftStreamSink(sqlContext,
-      parameters("root"), parameters("table"), mode, queryKey)
+      .map(p => java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8")).toString)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink requires .option(\"checkpointLocation\", ...) on the writer " +
+          "— its exactly-once batch marker is scoped to the checkpoint"))
+    val root = parameters.getOrElse("root", throw new IllegalArgumentException(
+      "graft sink requires option 'root' (catalog root dir)"))
+    val table = parameters.getOrElse("table", throw new IllegalArgumentException(
+      "graft sink requires option 'table' (ns.table)"))
+    new org.apache.spark.sql.graft.GraftStreamSink(sqlContext, root, table, mode, queryKey)
   }
 
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,

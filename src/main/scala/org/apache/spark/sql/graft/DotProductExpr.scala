@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
  * custom-op preference order: a native Catalyst Expression with doGenCode.
  *
  * Summation order is left-to-right, bit-identical to both the HOF form and
- * DuckDB's list_dot_product, so oracle hash-compares are unaffected.
- * Contract: elements must be non-null (embedding vectors); on length
- * mismatch the shorter length wins.
+ * DuckDB's list_dot_product, so oracle hash-compares are unaffected. Null
+ * ELEMENTS also match the HOF: any null element nulls the whole product
+ * (the check is only generated when the static element type admits nulls).
+ * On length mismatch the shorter length wins (the HOF form yields null
+ * there — but unequal-length embedding columns are malformed input either
+ * way, and min-length keeps the kernel total).
  */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -31,13 +34,29 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -46,10 +65,15 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (!mayHaveNullElements) ""
+        else s"""
+          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        """.stripMargin
       s"""
         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $s = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; $i < $n; $i++) {$nullCheck
         |  $s += $a.getDouble($i) * $b.getDouble($i);
         |}
         |${ev.value} = $s;

@@ -117,6 +117,11 @@ class PipelineSpec extends SparkSpec {
     // one the planner actually uses inside whole-stage codegen.
     val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
     assert(withNull.select(graft.functions.DotProduct($"a", $"b")).collect().head.isNullAt(0))
+    // Null ELEMENTS propagate to a null product — same as the HOF form
+    // (x*null => null => null sum), not silently treated as zero.
+    val nullElem = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0)))).toDF("a", "b")
+      .select($"a".cast("array<double>").as("a"), $"b".cast("array<double>").as("b"))
+    assert(nullElem.select(graft.functions.DotProduct($"a", $"b")).collect().head.isNullAt(0))
   }
 
   test("semantic dedup: cluster-blocked pairs find a planted duplicate; anti-join keeps canonical") {
@@ -138,6 +143,24 @@ class PipelineSpec extends SparkSpec {
     val keptIds = kept.select("vec_id").as[Long].collect().toSet
     assert(keptIds.contains(0L) && !keptIds.contains(9999L),
       "canonical (minimum) id must survive; the planted copy must be dropped")
+  }
+
+  test("repetition stats: degenerate looping text scores high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // all dup words; "spam spam" covers all 2-grams
+      (2L, "one two three four"),           // no repetition
+      (3L, "a b a b a b"),                  // alternating: words dup, 2-grams dup
+      (4L, "")).toDF("doc_id", "text")      // empty: all fractions 0
+    val got = TextOps.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("dup_word_frac") == 0.75)    // 4 words, 1 distinct
+    assert(got(1L).getAs[Double]("max_2gram_frac") == 1.0)    // every 2-gram = "spam spam"
+    assert(got(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(got(2L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(got(2L).getAs[Double]("max_2gram_frac") == math.round(1.0 / 3 * 1e9) / 1e9)
+    assert(got(3L).getAs[Double]("dup_2gram_frac") == 0.6)    // 5 2-grams, 2 distinct
+    assert(got(4L).getAs[Long]("n_tokens") == 0L)
+    assert(got(4L).getAs[Double]("max_2gram_frac") == 0.0)
   }
 
   test("text stats: language id and quality buckets are deterministic") {
