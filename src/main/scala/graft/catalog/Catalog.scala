@@ -226,6 +226,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   }
 
   /** Truncate: drop all data, keep schema — reference interface.py:317-336. */
+  /** Reference refresh_table (catalog/interface.py:249-264): drop cached
+    * metadata so the next read observes the latest committed state. The
+    * reference refreshes Ray-cluster caches; the Spark analogs are the
+    * metastore's successful-transaction cache and Spark's file-index /
+    * relation caches for the table's data paths. */
+  def refreshTable(table: String): Unit = {
+    val t = th(table)
+    if (currentMeta(t, None, None).forall(_.dropped)) throw new TableNotFound(table)
+    store.invalidateTxnCache()
+    spark.catalog.refreshByPath(dataDir(t).toString)
+  }
+
   def truncateTable(table: String, txn: Option[Transaction] = None): Unit = {
     val t = th(table)
     getTableMeta(table)

@@ -57,16 +57,23 @@ object Similarity {
     Array.fill(tables, bitsPerTable, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  private val TableBucketStruct = StructType(Seq(
+    StructField("table", IntegerType), StructField("bucket", LongType)))
+
   /** LSH bucket ids per hash table for one embedding column: bucket =
-    * sign-bit string over the table's hyperplanes. */
-  private def bucketCols(vec: Column, pl: Array[Array[Array[Double]]]): Column =
-    array(pl.indices.map { t =>
-      val bits = pl(t).indices.map { j =>
-        val plane = array(pl(t)(j).map(lit(_)).toIndexedSeq: _*)
-        when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
-    }: _*)
+    * sign-bit string over the table's hyperplanes. The planes ride as ONE
+    * typedLit (same rationale as [[codebookLit]]: inlining tables × bits ×
+    * dim scalar literals costs seconds of janino compile); the per-bit
+    * sign tests and dot products are value-identical to the inline form,
+    * so bucketing matches the SQL oracles bit-for-bit. */
+  private def bucketCols(vec: Column, pl: Array[Array[Array[Double]]]): Column = {
+    val bits = pl.headOption.map(_.length).getOrElse(0)
+    transform(typedLit(pl.map(_.map(_.toSeq).toSeq).toSeq), (tblPlanes, t) =>
+      struct(t,
+        (0 until bits).map { j =>
+          when(dot(vec, element_at(tblPlanes, j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))).cast(TableBucketStruct))
+  }
 
   /**
    * Embedding-cosine near-duplicate PAIRS: candidates share a
@@ -109,13 +116,23 @@ object Similarity {
   private val ScoreStruct = StructType(Seq(
     StructField("cos", DoubleType), StructField("negi", IntegerType)))
 
+  /** The codebook as ONE literal (array<array<double>>), not nlist × dim
+    * inlined scalar literals: inlining a 64×64 codebook puts ~4k constants
+    * in the generated source and janino compilation alone costs seconds —
+    * more than the query at bench scale. A single typedLit rides the
+    * generated code as a reference object; the per-centroid lambda below
+    * is interpreted (HOFs are CodegenFallback) but each evaluation is just
+    * DotProductExpr's tight loop. The arithmetic — cosine via
+    * dot/(sqrt·sqrt), left-to-right — is exactly the inline form's, so
+    * scores and tie-breaks match the SQL oracles bit-for-bit. */
+  private def codebookLit(cents: Array[Array[Double]]): Column =
+    typedLit(cents.map(_.toSeq).toSeq)
+
   private def centroidScores(vec: Column, cents: Array[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      val cv = array(c.map(lit(_)).toIndexedSeq: _*)
+    transform(codebookLit(cents), (cv, i) =>
       // cast pins the struct field names — aliases inside struct() are not
       // preserved through array_sort/transform lambdas
-      struct(cosine(vec, cv), lit(-i)).cast(ScoreStruct)
-    }: _*)
+      struct(cosine(vec, cv), -i).cast(ScoreStruct))
 
   /** Nearest centroid id by cosine (ties → lowest id). Pure expression —
     * the codebook is inlined as literals, so assignment is map-only (no

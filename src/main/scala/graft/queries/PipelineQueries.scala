@@ -221,12 +221,14 @@ object PipelineQueries {
 
     // Semantic near-dup pairs, cluster-blocked (SemDeDup): nearest-centroid
     // assignment partitions the corpus; only same-cluster pairs are compared
-    // by exact cosine. Deterministic init codebook (16 lowest-id vectors,
+    // by exact cosine. Deterministic init codebook (64 lowest-id vectors,
     // iters=0) so the oracle reproduces the exact assignment in SQL;
     // production passes a trained codebook (PipelineSpec covers iters>0).
+    // 64 lists keeps intra-cluster pair work bounded as the corpus grows
+    // (candidate pairs scale as corpus²/nlist).
     Q("t11_semantic_dedup", Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
       scored AS (SELECT e.vec_id, c.cid,
           list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
         FROM e CROSS JOIN cents c),
@@ -239,7 +241,7 @@ object PipelineQueries {
             JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""")) { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 64, iters = 0)
       Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.35, centroids = cents)
     },

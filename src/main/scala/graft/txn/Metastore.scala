@@ -251,7 +251,7 @@ final class Metastore(val root: Path) {
   // ---- txn visibility ------------------------------------------------------
   @volatile private var txnCache: Map[String, TxnRecord] = Map.empty
   @volatile private var txnCacheStamp: Long = -1L
-  private[txn] def invalidateTxnCache(): Unit = synchronized { txnCacheStamp = -1L }
+  private[graft] def invalidateTxnCache(): Unit = synchronized { txnCacheStamp = -1L }
 
   def successfulTxns(): Map[String, TxnRecord] = synchronized {
     val stamp = Files.getLastModifiedTime(successDir).toMillis

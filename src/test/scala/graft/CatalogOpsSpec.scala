@@ -31,6 +31,14 @@ class CatalogOpsSpec extends SparkSpec {
     assert(cat.readTable("t").count() == 1)
   }
 
+  test("refreshTable invalidates cached metadata; unknown table rejected") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-refresh"))
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.r")
+    cat.refreshTable("ns.r") // must not throw; next read sees latest state
+    assert(cat.readTable("ns.r").count() == 1)
+    intercept[graft.catalog.TableNotFound](cat.refreshTable("ns.missing"))
+  }
+
   test("janitor fails timed-out running txns and sweeps their staged files") {
     val cat = new GraftCatalog(spark, tmpDir("graft-jan"))
     cat.writeToTable(Seq((1L, "v")).toDF("id", "v"), "ns.t")

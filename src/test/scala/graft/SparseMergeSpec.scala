@@ -55,6 +55,42 @@ class SparseMergeSpec extends SparkSpec {
     assert(got.size == 10000 + 1 - 11) // 11 multiples of 997 in [0, 10000): 0..9970
   }
 
+  test("randomized upsert/delete sequences: sparse read ≡ dense read") {
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 0 until 3) {
+      val cat = new GraftCatalog(spark, tmpDir(s"graft-sparse-prop$round"))
+      mkTable(cat, "ns.p")
+      // Big-enough base that small pendings stay under the compaction valve
+      // AND inside the sparse ratio.
+      val n = 4000 + rnd.nextInt(2000)
+      cat.writeToTable(
+        spark.range(n).select($"id", ($"id" % 13).cast("string").as("v")).toDF(),
+        "ns.p", WriteMode.Merge)
+      // 1-3 trickle deltas: upserts (some updating, some inserting) and deletes.
+      for (_ <- 0 to rnd.nextInt(2)) {
+        val k = 1 + rnd.nextInt(40)
+        if (rnd.nextBoolean()) {
+          val lo = rnd.nextInt(n + 200)
+          cat.writeToTable(
+            spark.range(lo, lo + k).select($"id", lit(s"u$round").as("v")).toDF(),
+            "ns.p", WriteMode.Merge)
+        } else {
+          val m = 3 + rnd.nextInt(97)
+          cat.writeToTable(
+            spark.range(n).select($"id").where($"id" % m === 0).toDF(),
+            "ns.p", WriteMode.Delete)
+        }
+      }
+      val sparse = cat.readTable("ns.p").as[(Long, String)].collect().sortBy(_._1).toSeq
+      spark.conf.set("graft.merge.sparse.enabled", "false")
+      val dense =
+        try cat.readTable("ns.p").as[(Long, String)].collect().sortBy(_._1).toSeq
+        finally spark.conf.unset("graft.merge.sparse.enabled")
+      assert(sparse == dense, s"round $round: sparse and dense reads diverged " +
+        s"(sparse=${sparse.size} rows, dense=${dense.size} rows)")
+    }
+  }
+
   test("null-keyed equality delete stays on the contested side (null-safe key join)") {
     val cat = new GraftCatalog(spark, tmpDir("graft-sparse-null"))
     cat.createTable("ns.n", StructType(Seq(
