@@ -197,10 +197,26 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
-  def dropTable(table: String, txn: Option[Transaction] = None): Unit = {
+  /** Drop a table. `purge = true` additionally deletes every data file any
+    * visible delta revision of the table references (the reference declares
+    * this flag on delete_table, storage/main/impl.py:1999-2013, but raises
+    * NotImplementedError). File deletion runs AFTER the drop commits —
+    * best-effort, like the janitor — and is file-precise (manifest paths,
+    * never whole directories), so a later incarnation sharing the data dir
+    * is untouched. Purge forfeits time travel for the dropped table, and is
+    * refused inside a caller-managed transaction (physical deletes cannot
+    * roll back with it). */
+  def dropTable(table: String, txn: Option[Transaction] = None,
+      purge: Boolean = false): Unit = {
+    require(!purge || txn.isEmpty,
+      "purge cannot run inside a caller-managed transaction (file deletes don't roll back)")
     val t = th(table)
     val m = getTableMeta(table)
+    val toDelete: Seq[String] =
+      if (!purge) Nil
+      else visibleDeltas(t, None, None).flatMap(_._2.entries).map(_.path).distinct
     inTxn(txn, s"drop table $t")(tx => stageTableMeta(tx, t, m.copy(dropped = true)))
+    toDelete.foreach(p => try Files.deleteIfExists(Paths.get(p)) catch { case _: Exception => () })
   }
 
   def renameTable(table: String, newName: String, txn: Option[Transaction] = None): Unit = {
@@ -225,19 +241,21 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
   }
 
-  /** Truncate: drop all data, keep schema — reference interface.py:317-336. */
   /** Reference refresh_table (catalog/interface.py:249-264): drop cached
     * metadata so the next read observes the latest committed state. The
     * reference refreshes Ray-cluster caches; the Spark analogs are the
     * metastore's successful-transaction cache and Spark's file-index /
-    * relation caches for the table's data paths. */
+    * relation caches for the table's data paths. The cache is invalidated
+    * BEFORE the existence check, so a table committed by another process
+    * within the cache's staleness window refreshes instead of throwing. */
   def refreshTable(table: String): Unit = {
     val t = th(table)
-    if (currentMeta(t, None, None).forall(_.dropped)) throw new TableNotFound(table)
     store.invalidateTxnCache()
+    if (currentMeta(t, None, None).forall(_.dropped)) throw new TableNotFound(table)
     spark.catalog.refreshByPath(dataDir(t).toString)
   }
 
+  /** Truncate: drop all data, keep schema — reference interface.py:317-336. */
   def truncateTable(table: String, txn: Option[Transaction] = None): Unit = {
     val t = th(table)
     getTableMeta(table)

@@ -203,15 +203,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         else graft.model.WriteMode.Auto
       }
     // Exactly-once scope = the checkpoint (Spark's batchId sequence is
-    // per-checkpoint), so the writer MUST name it explicitly: a shared
-    // fallback key would let two queries clobber each other's batch-id
-    // marker and silently skip batches, and a random key would break
-    // replay dedup across restarts. Full name-UUID keeps the table
-    // property key filename-safe without truncation collisions.
-    val queryKey = parameters.get("checkpointLocation")
+    // per-checkpoint), so the sink needs a stable checkpoint identity: a
+    // shared fallback key would let two queries clobber each other's
+    // batch-id marker and silently skip batches, and a random key would
+    // break replay dedup across restarts. Resolution mirrors Spark's own:
+    // the writer's checkpointLocation option, else the
+    // spark.sql.streaming.checkpointLocation session conf + queryName
+    // (exactly how StreamingQueryManager derives the checkpoint dir).
+    // Full name-UUID keeps the table property key filename-safe without
+    // truncation collisions.
+    val checkpointId = parameters.get("checkpointLocation").orElse {
+      SparkSession.active.conf.getOption("spark.sql.streaming.checkpointLocation")
+        .flatMap(dir => parameters.get("queryName").map(q => s"$dir/$q"))
+    }
+    val queryKey = checkpointId
       .map(p => java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8")).toString)
       .getOrElse(throw new IllegalArgumentException(
         "graft sink requires .option(\"checkpointLocation\", ...) on the writer " +
+          "(or the spark.sql.streaming.checkpointLocation conf plus .queryName(...)) " +
           "— its exactly-once batch marker is scoped to the checkpoint"))
     val root = parameters.getOrElse("root", throw new IllegalArgumentException(
       "graft sink requires option 'root' (catalog root dir)"))

@@ -29,6 +29,31 @@ class LifecycleSpec extends SparkSpec {
     assert(e.getMessage.contains("prior table history"))
   }
 
+  test("dropTable purge deletes data files; plain drop preserves them") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-lc-purge"))
+    cat.writeToTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "l.keep")
+    cat.writeToTable(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), "l.gone")
+    def files(t: String): Seq[String] =
+      cat.manifestTable(t).select("path").collect().map(_.getString(0)).toSeq
+    val keepFiles = files("l.keep")
+    val goneFiles = files("l.gone")
+    assert(keepFiles.nonEmpty && goneFiles.nonEmpty)
+
+    cat.dropTable("l.keep")
+    assert(keepFiles.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "plain drop must preserve data files (time travel)")
+
+    cat.dropTable("l.gone", purge = true)
+    assert(goneFiles.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "purge must delete every manifest-listed data file")
+
+    // Purge inside a caller-managed transaction is refused.
+    cat.writeToTable(Seq((5L, "e")).toDF("id", "v"), "l.tx")
+    val tx = cat.transaction("no-purge")
+    intercept[IllegalArgumentException] { cat.dropTable("l.tx", Some(tx), purge = true) }
+    tx.abort()
+  }
+
   test("a janitor-failed transaction cannot seal afterwards") {
     val cat = new GraftCatalog(spark, tmpDir("graft-lc2"))
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "l.t")

@@ -66,8 +66,10 @@ class SparseMergeSpec extends SparkSpec {
       cat.writeToTable(
         spark.range(n).select($"id", ($"id" % 13).cast("string").as("v")).toDF(),
         "ns.p", WriteMode.Merge)
-      // 1-3 trickle deltas: upserts (some updating, some inserting) and deletes.
-      for (_ <- 0 to rnd.nextInt(2)) {
+      // 1-3 trickle deltas: upserts (some updating, some inserting) and
+      // deletes — each ≤ ~1% of the base so the total stays under both the
+      // 5% auto-compaction valve and the 8x sparse ratio.
+      for (_ <- 0 to rnd.nextInt(3)) {
         val k = 1 + rnd.nextInt(40)
         if (rnd.nextBoolean()) {
           val lo = rnd.nextInt(n + 200)
@@ -75,13 +77,17 @@ class SparseMergeSpec extends SparkSpec {
             spark.range(lo, lo + k).select($"id", lit(s"u$round").as("v")).toDF(),
             "ns.p", WriteMode.Merge)
         } else {
-          val m = 3 + rnd.nextInt(97)
+          val m = 150 + rnd.nextInt(150)
           cat.writeToTable(
             spark.range(n).select($"id").where($"id" % m === 0).toDF(),
             "ns.p", WriteMode.Delete)
         }
       }
-      val sparse = cat.readTable("ns.p").as[(Long, String)].collect().sortBy(_._1).toSeq
+      val sparseRead = cat.readTable("ns.p")
+      // Guard against a vacuous round: the sparse plan must actually engage.
+      assert(sparseRead.queryExecution.executedPlan.toString.contains("_g_pk_id"),
+        s"round $round: expected the sparse key-split plan")
+      val sparse = sparseRead.as[(Long, String)].collect().sortBy(_._1).toSeq
       spark.conf.set("graft.merge.sparse.enabled", "false")
       val dense =
         try cat.readTable("ns.p").as[(Long, String)].collect().sortBy(_._1).toSeq

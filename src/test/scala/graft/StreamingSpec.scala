@@ -145,6 +145,36 @@ class StreamingSpec extends SparkSpec {
     } finally mq.stop()
   }
 
+  test("sink scopes its marker via session-conf checkpoint + queryName") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("graft-wsink-conf")
+    val cat = new GraftCatalog(spark, root)
+    spark.conf.set("spark.sql.streaming.checkpointLocation", tmpDir("graft-ckconf"))
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("id", "v").writeStream.format("graft")
+        .queryName("confq")
+        .option("root", root).option("table", "ns.cq").start()
+      try {
+        in.addData((1L, "a"))
+        q.processAllAvailable()
+        assert(cat.readTable("ns.cq").count() == 1)
+      } finally q.stop()
+      // Without either an option or (conf + queryName), the sink refuses.
+      spark.conf.unset("spark.sql.streaming.checkpointLocation")
+      val in2 = MemoryStream[(Long, String)]
+      val err = intercept[Exception] {
+        in2.toDF().toDF("id", "v").writeStream.format("graft")
+          .option("root", root).option("table", "ns.cq2").start()
+      }
+      assert(err.getMessage.contains("checkpointLocation") ||
+        Option(err.getCause).exists(_.getMessage.contains("checkpointLocation")))
+    } finally if (spark.conf.getOption("spark.sql.streaming.checkpointLocation").isDefined) {
+      spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    }
+  }
+
   test("sink batch replay after restart is idempotent (exactly-once marker)") {
     val root = tmpDir("graft-wsink-once")
     val cat = new GraftCatalog(spark, root)
