@@ -285,6 +285,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       removeFields: Seq[String] = Nil,
       renameFields: Map[String, String] = Map.empty,
       allowIncompatibleChanges: Boolean = false,
+      removeProperties: Seq[String] = Nil,
       txn: Option[Transaction] = None): Unit = {
     val t = th(table)
     val m = getTableMeta(table)
@@ -337,7 +338,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     // Keep declared subschemas consistent: renamed fields follow, removed
     // fields drop out of their groups, and a group emptied by removals is
     // dropped outright (an empty field list is not a readable group).
-    val props0 = (m.properties ++ setProperties).flatMap {
+    val props0 = (m.properties ++ setProperties -- removeProperties).flatMap {
       case (k, v) if k.startsWith("subschema.") =>
         val remaining = v.split(",").toSeq.filter(_.nonEmpty)
           .filterNot(removeFields.contains)
@@ -940,6 +941,21 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   }
 
   def transaction(commitMessage: String = ""): Transaction = store.newTransaction(commitMessage)
+
+  /** Resolve a table "version" — a delta stream position — to the commit
+    * timestamp of the transaction that wrote it, usable as an `asOf` read
+    * time (SQL `VERSION AS OF n`). Searches the full visible log, including
+    * deltas superseded by a later REPLACE, so historical versions resolve. */
+  def versionAsOf(table: String, version: Long): Long = {
+    val t = th(table)
+    getTableMeta(table)
+    val d = visibleDeltas(t, None, None).map(_._2).find(_.streamPosition == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version (delta stream position) $version of $table"))
+    store.successfulTxns().getOrElse(d.txnId, throw new IllegalStateException(
+      s"delta $version of $table has no committed transaction record (${d.txnId})"))
+      .endTimeMillis
+  }
 
   // ------------------------------------------------------------ compaction
   /** Eagerly resolve upserts/deletes into a read-optimized snapshot.

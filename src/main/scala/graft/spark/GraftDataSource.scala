@@ -89,15 +89,96 @@ object GraftDsv2 {
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
+
+  /** SQL DML (INSERT on keyed tables, DELETE FROM) leaves pending merge
+    * deltas when the write-amplification valve defers compaction — fine for
+    * the programmatic path (readTable is merge-on-read) but fatal for the
+    * SQL surface, whose scans serve read-optimized state only: the next
+    * SELECT would fail with "compact() first". SQL-path writes therefore
+    * force-resolve any pending merges the valve deferred. */
+  private[spark] def ensureReadOptimized(cat: GraftCatalog, table: String): Unit = {
+    val deltas = cat.effectiveDeltas(TableHandle.parse(table), None)
+    val (_, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
+    if (pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete))
+      cat.compact(table)
+  }
 }
 
 /** A Graft table exposed through DSv2; scans delegate to ParquetTable.
   * Batch writes (`INSERT INTO` / `df.writeTo(...).append()`) route through
   * the V1 InsertableRelation fallback into the catalog's transactional
   * write path — so SQL inserts get the same MVCC commit, schema policy,
-  * and auto-compaction as `GraftCatalog.writeToTable`. */
+  * and auto-compaction as `GraftCatalog.writeToTable`. `DELETE FROM`
+  * translates merge-key equality predicates into an equality-delete delta
+  * (reference delete_strategy_equality_delete.py) — the lakehouse-native
+  * metadata delete, no data files rewritten until compaction. */
 final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, In, Or}
+
+  private def mergeKeys: Seq[String] = graft.model.FieldMeta.mergeKeys(resolved.schema)
+
+  /** Cross-product conjunction of two tuple sets. A key constrained on both
+    * sides (id=1 AND id=2) is contradictory — reject rather than guess. */
+  private def conjoin(a: Option[Seq[Map[String, Any]]], b: Option[Seq[Map[String, Any]]]):
+      Option[Seq[Map[String, Any]]] =
+    for {
+      as <- a; bs <- b
+      merged <- {
+        val ms = for (am <- as; bm <- bs) yield
+          if (am.keySet.intersect(bm.keySet).nonEmpty) None else Some(am ++ bm)
+        if (ms.contains(None)) None else Some(ms.flatten)
+      }
+    } yield merged
+
+  /** Expand a predicate tree into complete merge-key tuples (a DNF over
+    * EqualTo / null-safe EqualTo / In on the merge keys), or None when the
+    * predicate cannot be expressed as equality deletes. */
+  private def keyTuples(f: Filter, keys: Set[String]): Option[Seq[Map[String, Any]]] = f match {
+    case EqualTo(a, v) if keys(a) => Some(Seq(Map(a -> v)))
+    case EqualNullSafe(a, v) if keys(a) => Some(Seq(Map(a -> v)))
+    case In(a, vs) if keys(a) => Some(vs.toSeq.map(v => Map(a -> v)))
+    case Or(l, r) => for { lt <- keyTuples(l, keys); rt <- keyTuples(r, keys) } yield lt ++ rt
+    case And(l, r) => conjoin(keyTuples(l, keys), keyTuples(r, keys))
+    case _ => None
+  }
+
+  /** The conjunction of `filters` as complete merge-key tuples, or None. */
+  private def tuplesFor(filters: Array[Filter]): Option[Seq[Map[String, Any]]] = {
+    val keys = mergeKeys
+    if (keys.isEmpty) return None
+    val keySet = keys.toSet
+    filters.map(keyTuples(_, keySet)).reduceLeftOption(conjoin)
+      .flatten.map(_.distinct).filter(ts => ts.nonEmpty && ts.forall(_.keySet == keySet))
+  }
+
+  private def realFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(_ == AlwaysTrue())
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    realFilters(filters).isEmpty || tuplesFor(realFilters(filters)).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!resolved.timeTravel,
+      s"cannot delete from ${resolved.handle}: the table was resolved asOf a past snapshot")
+    val spark = SparkSession.active
+    val cat = new GraftCatalog(spark, resolved.root)
+    val real = realFilters(filters)
+    if (real.isEmpty) { cat.truncateTable(resolved.handle.toString); return }
+    val tuples = tuplesFor(real).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE FROM ${resolved.handle} supports only merge-key equality predicates " +
+        s"(=, <=>, IN, AND/OR of those, covering all of: ${mergeKeys.mkString(", ")}); " +
+        s"got: ${real.mkString(" AND ")}"))
+    val keys = mergeKeys
+    // Nullable copies: `WHERE k <=> NULL` deletes the null-key row, which
+    // the equality-delete path supports even on non-nullable declarations.
+    val keySchema = StructType(keys.map(k => resolved.schema(k).copy(nullable = true)))
+    val rows = tuples.map(m => org.apache.spark.sql.Row.fromSeq(keys.map(m(_))))
+    val df = spark.createDataFrame(rows.asJava, keySchema)
+    cat.writeToTable(df, resolved.handle.toString, graft.model.WriteMode.Delete)
+    GraftDsv2.ensureReadOptimized(cat, resolved.handle.toString)
+  }
   override def name(): String = s"graft.${resolved.handle}"
   override def schema(): StructType = resolved.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -124,6 +205,9 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
                   if (overwrite || ovr) graft.model.WriteMode.Replace
                   else graft.model.WriteMode.Auto
                 cat.writeToTable(data, resolved.handle.toString, mode)
+                // SQL readers cannot merge-on-read — resolve any deferred
+                // merge so the next SELECT sees read-optimized state.
+                GraftDsv2.ensureReadOptimized(cat, resolved.handle.toString)
               }
             }
         }
@@ -321,6 +405,30 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
     GraftDsv2.table(GraftDsv2.resolve(root, fullName(ident), None))
   }
 
+  /** SQL `VERSION AS OF n` — n is a delta stream position; the read is
+    * pinned to the commit time of the transaction that wrote delta n. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft table versions are delta stream positions (integers); got '$version'")
+      }
+    GraftDsv2.table(GraftDsv2.resolve(root, fullName(ident),
+      Some(cat.versionAsOf(fullName(ident), v))))
+  }
+
+  /** SQL `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROseconds;
+    * the metastore's asOf granularity is millis. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val asOfMillis = timestamp / 1000L
+    if (!cat.tableExists(fullName(ident), Some(asOfMillis))) {
+      throw new NoSuchTableException(ident)
+    }
+    GraftDsv2.table(GraftDsv2.resolve(root, fullName(ident), Some(asOfMillis)))
+  }
+
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(fullName(ident))
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -347,12 +455,82 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER through Spark SQL is not supported; use GraftCatalog.alterTable")
+  /** SQL ALTER TABLE → GraftCatalog.alterTable, one atomic commit for the
+    * whole change set. DROP/RENAME COLUMN are explicit DDL intent, so they
+    * pass the `allowIncompatibleChanges` gate the programmatic API requires;
+    * merge/partition/sort-key protection still applies underneath. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import TableChange._
+    val name = fullName(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"$what of nested column ${fieldNames.mkString(".")} is not supported")
+      fieldNames(0)
+    }
+    var added = Vector.empty[org.apache.spark.sql.types.StructField]
+    var retyped = Map.empty[String, org.apache.spark.sql.types.DataType]
+    var renames = Map.empty[String, String]
+    var removes = Vector.empty[String]
+    var setProps = Map.empty[String, String]
+    var removeProps = Vector.empty[String]
+    changes.foreach {
+      case a: AddColumn =>
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... FIRST/AFTER is not supported (columns append)")
+        added :+= org.apache.spark.sql.types.StructField(
+          topLevel(a.fieldNames(), "add"), a.dataType(), a.isNullable())
+      case r: RenameColumn => renames += topLevel(r.fieldNames(), "rename") -> r.newName()
+      case d: DeleteColumn => removes :+= topLevel(d.fieldNames(), "drop")
+      case u: UpdateColumnType => retyped += topLevel(u.fieldNames(), "retype") -> u.newDataType()
+      case s: SetProperty => setProps += s.property() -> s.value()
+      case r: RemoveProperty => removeProps :+= r.property()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    val newSchema =
+      if (added.isEmpty && retyped.isEmpty) None
+      else {
+        val cur = cat.tableSchema(name)
+        retyped.keys.find(!cur.fieldNames.contains(_)).foreach(f =>
+          throw new IllegalArgumentException(s"cannot alter unknown column $f of $name"))
+        // Widening only, per the promotion lattice: the physical files keep
+        // the old type, which the scan reads under the widened declaration.
+        retyped.foreach { case (f, to) =>
+          val from = cur(f).dataType
+          val promoted = graft.model.TypePromotion.promote(from, to)
+          if (!promoted.contains(to)) throw new IllegalArgumentException(
+            s"cannot change $f of $name from ${from.sql} to ${to.sql}: " +
+              "only widening type changes are supported")
+        }
+        Some(org.apache.spark.sql.types.StructType(
+          cur.fields.map(f => retyped.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+            ++ added))
+      }
+    // A schema built from the CURRENT field set cannot also describe the
+    // post-rename/remove layout; SQL never batches those together anyway.
+    if (newSchema.isDefined && (renames.nonEmpty || removes.nonEmpty))
+      throw new UnsupportedOperationException(
+        "cannot combine ADD/ALTER COLUMN with DROP/RENAME COLUMN in one ALTER TABLE")
+    cat.alterTable(name, newSchema = newSchema, setProperties = setProps,
+      removeFields = removes, renameFields = renames,
+      allowIncompatibleChanges = removes.nonEmpty || renames.nonEmpty,
+      removeProperties = removeProps)
+    // A rename leaves data files under the old physical column name, which
+    // the SQL scan (delegate, name-matched) cannot alias — compaction
+    // rewrites them under current names so the next SELECT just works.
+    if (renames.nonEmpty) cat.compact(name)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (cat.tableExists(fullName(ident))) { cat.dropTable(fullName(ident)); true } else false
+
+  /** SQL `DROP TABLE ... PURGE` — also deletes the data files (the
+    * reference declares the flag but raises NotImplementedError). */
+  override def purgeTable(ident: Identifier): Boolean =
+    if (cat.tableExists(fullName(ident))) {
+      cat.dropTable(fullName(ident), purge = true); true
+    } else false
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(oldIdent.namespace().sameElements(newIdent.namespace()),
@@ -370,20 +548,28 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
-    if (!cat.namespaceExists(namespace.mkString("."))) {
-      throw new NoSuchNamespaceException(namespace)
-    }
-    util.Collections.emptyMap()
+    val ns = namespace.mkString(".")
+    if (!cat.namespaceExists(ns)) throw new NoSuchNamespaceException(namespace)
+    cat.namespaceProperties(ns).asJava
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit =
     cat.createNamespace(namespace.mkString("."), metadata.asScala.toMap)
 
-  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("alterNamespace is not supported")
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = {
+    val sets = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property() -> s.value()
+    }.toMap
+    val unsupported = changes.filterNot(_.isInstanceOf[NamespaceChange.SetProperty])
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported ALTER NAMESPACE change: ${unsupported.head}")
+    cat.alterNamespace(namespace.mkString("."), sets)
+  }
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException(
-      "dropNamespace through Spark SQL is not supported; use GraftCatalog")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.mkString(".")
+    if (!cat.namespaceExists(ns)) false
+    else { cat.dropNamespace(ns, cascade); true }
+  }
 }

@@ -62,6 +62,134 @@ class Dsv2Spec extends SparkSpec {
       Seq((1L, "upd"), (2L, "b")))
   }
 
+  test("SQL DELETE FROM translates key predicates into equality-delete deltas") {
+    val root = tmpDir("graft-dsv2d")
+    val cat = new GraftCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.gd", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gd.root", root)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType)))
+    cat.createTable("ns.d", schema)
+    cat.writeToTable((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), "ns.d", WriteMode.Merge)
+
+    spark.sql("DELETE FROM gd.ns.d WHERE id = 3")
+    spark.sql("DELETE FROM gd.ns.d WHERE id IN (5, 6) OR id = 8")
+    // SELECT right after DELETE works: the SQL path force-resolves merges.
+    assert(spark.sql("SELECT id FROM gd.ns.d").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 7L, 9L, 10L))
+
+    // Non-key / non-equality predicates are rejected, not silently wrong.
+    val e1 = intercept[Exception](spark.sql("DELETE FROM gd.ns.d WHERE v = 'v1'"))
+    assert(e1.getMessage.contains("Cannot delete") || e1.getMessage.contains("merge-key equality"),
+      s"unexpected: ${e1.getMessage}")
+    val e2 = intercept[Exception](spark.sql("DELETE FROM gd.ns.d WHERE id > 5"))
+    assert(e2.getMessage.contains("Cannot delete") || e2.getMessage.contains("merge-key equality"),
+      s"unexpected: ${e2.getMessage}")
+
+    // Unconditional DELETE = truncate (works on keyless tables too).
+    spark.sql("DELETE FROM gd.ns.d")
+    assert(spark.sql("SELECT * FROM gd.ns.d").count() == 0)
+
+    // Composite keys: a conjunction must cover ALL keys; OR of conjunctions fans out.
+    val comp = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("k1", org.apache.spark.sql.types.LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("k2", org.apache.spark.sql.types.StringType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.LongType)))
+    cat.createTable("ns.dc", comp)
+    cat.writeToTable(Seq((1L, "a", 10L), (1L, "b", 11L), (2L, "a", 12L), (2L, "b", 13L))
+      .toDF("k1", "k2", "v"), "ns.dc", WriteMode.Merge)
+    spark.sql("DELETE FROM gd.ns.dc WHERE k1 = 1 AND k2 = 'a'")
+    spark.sql("DELETE FROM gd.ns.dc WHERE (k1 = 2 AND k2 = 'a') OR (k1 = 2 AND k2 = 'b')")
+    assert(spark.sql("SELECT k1, k2 FROM gd.ns.dc").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "b")))
+    // A conjunction covering only one of two keys is rejected.
+    val e3 = intercept[Exception](spark.sql("DELETE FROM gd.ns.dc WHERE k1 = 1"))
+    assert(e3.getMessage.contains("Cannot delete") || e3.getMessage.contains("merge-key equality"),
+      s"unexpected: ${e3.getMessage}")
+  }
+
+  test("SQL ALTER TABLE: add/retype/rename/drop columns and table properties") {
+    val root = tmpDir("graft-dsv2a")
+    val cat = new GraftCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.ga", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ga.root", root)
+    cat.writeToTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "ns.a")
+
+    spark.sql("ALTER TABLE ga.ns.a ADD COLUMNS (score DOUBLE, note STRING)")
+    assert(cat.tableSchema("ns.a").fieldNames.toSeq == Seq("id", "v", "score", "note"))
+
+    spark.sql("ALTER TABLE ga.ns.a ALTER COLUMN id TYPE BIGINT")
+    assert(cat.tableSchema("ns.a")("id").dataType == org.apache.spark.sql.types.LongType)
+    // Narrowing is refused.
+    val e = intercept[Exception](spark.sql("ALTER TABLE ga.ns.a ALTER COLUMN id TYPE INT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") || e.getMessage.contains("widening"),
+      s"unexpected: ${e.getMessage}")
+
+    spark.sql("ALTER TABLE ga.ns.a SET TBLPROPERTIES ('team' = 'data', 'x' = '1')")
+    assert(cat.getTableMeta("ns.a").properties.get("team").contains("data"))
+    spark.sql("ALTER TABLE ga.ns.a UNSET TBLPROPERTIES ('x')")
+    assert(!cat.getTableMeta("ns.a").properties.contains("x"))
+
+    // Rename: breadcrumbed, force-compacted — SELECT sees the new name with
+    // the historical data intact.
+    spark.sql("ALTER TABLE ga.ns.a RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM ga.ns.a ORDER BY id").as[String].collect().toSeq ==
+      Seq("a", "b"))
+
+    spark.sql("ALTER TABLE ga.ns.a DROP COLUMN note")
+    assert(!cat.tableSchema("ns.a").fieldNames.contains("note"))
+  }
+
+  test("SQL time travel: TIMESTAMP AS OF and VERSION AS OF") {
+    val root = tmpDir("graft-dsv2t")
+    val cat = new GraftCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.gt", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gt.root", root)
+
+    cat.writeToTable(Seq((1L, "v1")).toDF("id", "v"), "ns.t")
+    val t1 = cat.store.history().head.endTimeMillis
+    Thread.sleep(5) // distinct commit timestamps
+    cat.writeToTable(Seq((2L, "v2")).toDF("id", "v"), "ns.t", WriteMode.Add)
+
+    val ts = new java.sql.Timestamp(t1).toString
+    assert(spark.sql(s"SELECT * FROM gt.ns.t TIMESTAMP AS OF '$ts'").count() == 1)
+    assert(spark.sql("SELECT * FROM gt.ns.t VERSION AS OF 1").count() == 1)
+    assert(spark.sql("SELECT * FROM gt.ns.t VERSION AS OF 2").count() == 2)
+    val e = intercept[Exception](spark.sql("SELECT * FROM gt.ns.t VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("no version"), s"unexpected: ${e.getMessage}")
+  }
+
+  test("SQL DROP TABLE PURGE deletes data files; namespace DDL round-trips") {
+    val root = tmpDir("graft-dsv2p")
+    val cat = new GraftCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.gp", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gp.root", root)
+
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.p")
+    val files = cat.deltaLog("ns.p").flatMap(_.entries).map(_.path)
+    assert(files.nonEmpty && files.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    spark.sql("DROP TABLE gp.ns.p PURGE")
+    assert(!cat.tableExists("ns.p"))
+    assert(files.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+
+    spark.sql("CREATE NAMESPACE gp.wk WITH PROPERTIES ('team' = 'data')")
+    assert(cat.namespaceExists("wk"))
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED gp.wk").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Properties").exists(_.contains("team")))
+    spark.sql("ALTER NAMESPACE gp.wk SET PROPERTIES ('tier' = 'gold')")
+    assert(cat.namespaceProperties("wk").get("tier").contains("gold"))
+
+    spark.sql("CREATE TABLE gp.wk.t (id BIGINT, v STRING) USING parquet")
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE gp.wk"))
+    assert(e.getMessage.contains("not empty") || e.getMessage.contains("NON_EMPTY"),
+      s"unexpected: ${e.getMessage}")
+    spark.sql("DROP NAMESPACE gp.wk CASCADE")
+    assert(!cat.namespaceExists("wk"))
+  }
+
   test("DSv2 reads non-parquet content types through the matching file table") {
     val root = tmpDir("graft-dsv2c")
     val cat = new GraftCatalog(spark, root)
