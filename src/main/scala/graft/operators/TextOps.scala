@@ -145,6 +145,64 @@ object TextOps {
       .withColumn("max_2gram_frac", coalesce(col("max_2gram_frac"), lit(0.0)))
   }
 
+  // -------------------------------------------------------- PII redaction
+  /** PII patterns: (name, regex, replacement token). Conservative,
+    * cross-engine regex — no lookaround/backreferences, so Java regex and
+    * RE2-based engines (DuckDB, Hyperscan scanners) match identically.
+    * Applied in order: emails first so an address's host part is consumed
+    * before the IPv4 rule can see it. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"))
+
+  /** Text with all PII patterns replaced by their tokens (sequential,
+    * pattern order above). Pure codegen'd regexp_replace chain. */
+  def redactedText(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, p, repl)) =>
+      regexp_replace(acc, lit(p), lit(repl))
+    }
+
+  /** Per-document PII scrub: per-pattern match counts (on the original
+    * text, each pattern independently) + the redacted text. A map-only
+    * projection — at 100 TB this runs at scan speed with zero shuffles. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val counts = PiiPatterns.map { case (name, p, _) => matchCount(c, p).as(s"n_$name") }
+    df.select((Seq(col(idCol)) ++ counts ++ Seq(redactedText(c).as("redacted"))): _*)
+  }
+
+  // --------------------------------------------- deterministic sampling
+  /** Engine-portable deterministic hash bucket in [0, buckets): the first
+    * 8 md5 hex digits of the id's string form. Unlike `df.sample` (RNG
+    * seeded per partition — resample on repartition/retry) or xxhash64
+    * (Spark-specific), the same row lands in the same bucket on every
+    * engine and every run, so a 10% corpus sample is reproducible
+    * forever and disjoint buckets never overlap between experiments. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType),
+      lit(buckets.toLong)).cast(IntegerType)
+
+  /** Keep `fraction` of rows, deterministically by id hash. Map-side
+    * filter: no shuffle, no RNG state. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    df.where(hashBucket(col(idCol), buckets) < math.round(fraction * buckets).toInt)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep fractions (the
+    * corpus-rebalancing primitive — e.g. keep all low-resource-language
+    * documents but 5% of English). Strata not listed keep `default`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      buckets: Int = 10000): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol), buckets) < round(frac * buckets).cast(IntegerType))
+  }
+
   /** Per-document text-statistics projection. */
   def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

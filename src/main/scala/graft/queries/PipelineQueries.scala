@@ -269,6 +269,40 @@ object PipelineQueries {
       TextOps.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")
     },
 
+    // PII scrub: per-pattern match counts + md5 of the redacted text (the
+    // oracle replicates the exact sequential regexp_replace chain — both
+    // engines run the same RE2-safe patterns).
+    Q("t13_pii_redact", Some {
+      val pats = TextOps.PiiPatterns.map(_._2.replace("'", "''"))
+      val (em, ip, ph) = (pats(0), pats(1), pats(2))
+      s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')) AS redacted_md5
+      FROM documents"""
+    }) { (s, dir) =>
+      TextOps.redactPii(tbl(s, dir, "documents"), "doc_id", "text")
+        .withColumn("redacted_md5", md5(col("redacted"))).drop("redacted")
+    },
+
+    // Deterministic 10% sample by md5 hash bucket: the same doc_ids are
+    // kept by ANY engine on every run (the oracle recomputes the bucket
+    // from md5 hex digits), unlike RNG-based df.sample.
+    Q("t14_deterministic_sample", Some("""
+      WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      v AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CAST(strpos('0123456789abcdef', substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+                  * (CAST(1 AS BIGINT) << CAST((7 - i) * 4 AS INT)))) AS BIGINT) % 10000 AS bucket
+            FROM h)
+      SELECT doc_id FROM v WHERE bucket < 1000""")) { (s, dir) =>
+      TextOps.deterministicSample(
+        tbl(s, dir, "documents").select("doc_id"), "doc_id", 0.10)
+    },
+
     // Multimodal: binary payload column + stubbed per-partition decode.
     Q("t08_multimodal_decode", Some("""
       SELECT doc_id,

@@ -178,6 +178,51 @@ class PipelineSpec extends SparkSpec {
     assert(stats(1L).getAs[Long]("n_tokens") == 13L)
   }
 
+  test("PII redaction: planted emails/IPs/phones are counted and scrubbed") {
+    val df = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@corp.co.uk today"),
+      (2L, "server at 10.0.42.7 rebooted; peer 192.168.1.255 timed out"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "mixed: c@d.io from 8.8.8.8, dial +44 20 7946 0958")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 2 && out(1L).getAs[Long]("n_ipv4") == 0)
+    assert(out(1L).getAs[String]("redacted") == "contact <EMAIL> or <EMAIL> today")
+    assert(out(2L).getAs[Long]("n_ipv4") == 2)
+    assert(out(2L).getAs[String]("redacted") == "server at <IP> rebooted; peer <IP> timed out")
+    assert(out(3L).getAs[Long]("n_phone") == 1)
+    assert(out(3L).getAs[String]("redacted") == "call <PHONE> now")
+    assert(out(4L).getAs[String]("redacted") == "nothing sensitive here at all")
+    assert(out(5L).getAs[Long]("n_email") == 1 && out(5L).getAs[Long]("n_ipv4") == 1 &&
+      out(5L).getAs[Long]("n_phone") == 1)
+    assert(out(5L).getAs[String]("redacted") == "mixed: <EMAIL> from <IP>, dial <PHONE>")
+  }
+
+  test("deterministic sampling: stable across runs, ~fraction kept, strata honored") {
+    val df = spark.range(0, 10000).toDF("id")
+    val s1 = TextOps.deterministicSample(df, "id", 0.1).collect().map(_.getLong(0)).sorted
+    val s2 = TextOps.deterministicSample(df.repartition(7), "id", 0.1)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.toSeq == s2.toSeq, "sample must be identical across partitionings")
+    assert(math.abs(s1.length - 1000) < 120, s"10% of 10k should keep ~1000, got ${s1.length}")
+    // Fraction 0 and 1 are exact.
+    assert(TextOps.deterministicSample(df, "id", 0.0).count() == 0)
+    assert(TextOps.deterministicSample(df, "id", 1.0).count() == 10000)
+    // Nested samples: a 5% sample is a subset of the 10% sample (same hash).
+    val s05 = TextOps.deterministicSample(df, "id", 0.05).collect().map(_.getLong(0)).toSet
+    assert(s05.subsetOf(s1.toSet), "smaller fraction must nest inside larger")
+
+    val strat = spark.range(0, 6000)
+      .selectExpr("id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' ELSE 'de' END AS lang")
+    val kept = TextOps.stratifiedSample(strat, "id", "lang", Map("en" -> 0.05, "fr" -> 1.0))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 2000L, s"fr keeps all: $kept")
+    assert(!kept.contains("de"), s"de keeps none (default 0): $kept")
+    assert(kept("en") < 300L, s"en keeps ~5%: $kept")
+  }
+
   test("multimodal decode stub: deterministic features, distributed shape") {
     val docs = spark.read.parquet(s"$sfd/documents.parquet").limit(50)
     val media = Multimodal.withPayload(docs, "doc_id", "text")
