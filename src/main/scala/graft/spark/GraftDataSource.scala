@@ -96,7 +96,7 @@ object GraftDsv2 {
     * SQL surface, whose scans serve read-optimized state only: the next
     * SELECT would fail with "compact() first". SQL-path writes therefore
     * force-resolve any pending merges the valve deferred. */
-  private[spark] def ensureReadOptimized(cat: GraftCatalog, table: String): Unit = {
+  def ensureReadOptimized(cat: GraftCatalog, table: String): Unit = {
     val deltas = cat.effectiveDeltas(TableHandle.parse(table), None)
     val (_, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
     if (pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete))
@@ -118,6 +118,13 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
   import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, In, Or}
 
   private def mergeKeys: Seq[String] = graft.model.FieldMeta.mergeKeys(resolved.schema)
+
+  // Metadata accessors for the DML planner strategy, which lives under
+  // org.apache.spark.sql.graft (outside this package's private scopes).
+  def tableRef: String = resolved.handle.toString
+  def catalogRoot: String = resolved.root
+  def isTimeTravel: Boolean = resolved.timeTravel
+  def mergeKeyNames: Seq[String] = mergeKeys
 
   /** Cross-product conjunction of two tuple sets. A key constrained on both
     * sides (id=1 AND id=2) is contradictory — reject rather than guess. */
@@ -378,6 +385,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     }
 }
 
+/** `spark.sql.extensions=graft.spark.GraftSparkExtensions` registers the
+  * SQL UPDATE / MERGE INTO planner strategy at session build time (the
+  * GraftSparkCatalog also self-registers it on initialize). */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GraftDmlStrategy)
+}
+
 /**
  * Catalog plugin: `spark.sql.catalog.graft=graft.spark.GraftSparkCatalog`
  * (+ `.root=<dir>`) makes `SELECT … FROM graft.ns.t` resolve.
@@ -390,6 +405,12 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
     catalogName = name
     root = options.get("root")
     require(root != null, s"spark.sql.catalog.$name.root must be set")
+    // Auto-enable the UPDATE/MERGE INTO planner strategy for this session:
+    // configuring the graft catalog is the opt-in. (Also available without
+    // a catalog via spark.sql.extensions=graft.spark.GraftSparkExtensions.)
+    val exp = SparkSession.active.experimental
+    if (!exp.extraStrategies.contains(org.apache.spark.sql.graft.GraftDmlStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ org.apache.spark.sql.graft.GraftDmlStrategy
   }
   override def name(): String = catalogName
 

@@ -110,6 +110,64 @@ class Dsv2Spec extends SparkSpec {
       s"unexpected: ${e3.getMessage}")
   }
 
+  test("SQL UPDATE and MERGE INTO run as merge deltas through the DML strategy") {
+    val root = tmpDir("graft-dsv2u")
+    val cat = new GraftCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.gu", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gu.root", root)
+    cat.createTable("ns.u", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType),
+      FieldMeta.field("n", org.apache.spark.sql.types.LongType))))
+    cat.writeToTable((1L to 5L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "n"),
+      "ns.u", WriteMode.Merge)
+
+    // UPDATE with values referencing the current row; untouched rows stay.
+    spark.sql("UPDATE gu.ns.u SET v = 'upd', n = n + 1 WHERE id <= 2")
+    assert(spark.sql("SELECT id, v, n FROM gu.ns.u ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "upd", 11L), (2L, "upd", 21L), (3L, "v3", 30L), (4L, "v4", 40L), (5L, "v5", 50L)))
+    // SET NULL really nulls (full-row upsert, not partial coalesce).
+    spark.sql("UPDATE gu.ns.u SET v = NULL WHERE id = 3")
+    assert(spark.sql("SELECT v FROM gu.ns.u WHERE id = 3").collect().head.isNullAt(0))
+    // Merge keys cannot be updated.
+    val e = intercept[Exception](spark.sql("UPDATE gu.ns.u SET id = 9 WHERE id = 2"))
+    assert(e.getMessage.contains("merge key"), s"unexpected: ${e.getMessage}")
+
+    // Canonical MERGE upsert: matched rows update, unmatched insert.
+    spark.sql("MERGE INTO gu.ns.u t USING (SELECT 4L AS id, 'merged' AS v, 99L AS n " +
+      "UNION ALL SELECT 10L, 'new', 100L) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT v FROM gu.ns.u WHERE id IN (4, 10) ORDER BY id")
+      .as[String].collect().toSeq == Seq("merged", "new"))
+
+    // WHEN MATCHED THEN DELETE: source keys not in the target are no-ops.
+    spark.sql("MERGE INTO gu.ns.u t USING (SELECT 5L AS id UNION ALL SELECT 77L) s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    assert(spark.sql("SELECT id FROM gu.ns.u ORDER BY id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L, 4L, 10L))
+
+    // INSERT-only: existing keys untouched, new keys inserted.
+    spark.sql("MERGE INTO gu.ns.u t USING (SELECT 1L AS id, 'clobber' AS v, 0L AS n " +
+      "UNION ALL SELECT 20L, 'ins20', 1L) s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT id, v FROM gu.ns.u WHERE id IN (1, 20) ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "upd"), (20L, "ins20")))
+
+    // UPDATE-only: only matched keys written.
+    spark.sql("MERGE INTO gu.ns.u t USING (SELECT 2L AS id, 'm2' AS v, 2L AS n " +
+      "UNION ALL SELECT 55L, 'nope', 0L) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    assert(spark.sql("SELECT v FROM gu.ns.u WHERE id = 2").as[String].collect().head == "m2")
+    assert(spark.sql("SELECT count(*) FROM gu.ns.u WHERE id = 55").as[Long].collect().head == 0L)
+
+    // Unsupported shapes are rejected crisply, not silently wrong.
+    val e2 = intercept[Exception](spark.sql(
+      "MERGE INTO gu.ns.u t USING (SELECT 2L AS id, 'x' AS v, 0L AS n) s ON t.id = s.id " +
+        "WHEN MATCHED AND s.n > 0 THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(e2.getMessage.contains("conditional"), s"unexpected: ${e2.getMessage}")
+  }
+
   test("SQL ALTER TABLE: add/retype/rename/drop columns and table properties") {
     val root = tmpDir("graft-dsv2a")
     val cat = new GraftCatalog(spark, root)
