@@ -211,6 +211,117 @@ object Dedup {
     if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
     else d.localCheckpoint(true)
 
+  // ---------------------------------- connected components / dedup clusters
+
+  /**
+   * Connected components of an undirected pair graph, via alternating
+   * large-star / small-star rounds (Kiveris et al., "Connected Components
+   * in MapReduce and Beyond", SoCC'14) — the standard O(log n)-round
+   * shuffle algorithm. Near-dup PAIRS (from [[minhashPairs]] /
+   * [[simhashPairs]] / embedding variants) are not directly actionable:
+   * dedup needs one CLUSTER id per document so a single canonical copy can
+   * be kept per transitive duplicate group.
+   *
+   * Scale shape: each round is two key-partitioned aggregate+join passes
+   * (no driver-side graph, no component ever materialized on one node —
+   * the failure mode of label propagation on high-diameter graphs is
+   * round COUNT, which large/small-star bounds at O(log n), not memory).
+   * Every round is eagerly materialized: iterative lineage otherwise
+   * doubles the plan per round, and the convergence check needs an action
+   * anyway. Convergence = the edge set's (count, xor-of-hashes)
+   * fingerprint is stable across a round.
+   *
+   * Returns (id, component): one row per node appearing in `pairs`,
+   * component = the MINIMUM id reachable. Ids keep their natural type —
+   * any orderable Spark type (long, string, …) works; null ids are
+   * dropped.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val raw = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+
+    // large-star: every node connects its strictly-LARGER neighbors to its
+    // minimum neighbor (or itself if smaller). Neighborhoods come from both
+    // edge directions; output edges always point larger → smaller.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: every node connects its smaller-or-equal neighbors (and
+    // itself) to its minimum neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // Order-independent set fingerprint. bit_xor, not sum: ANSI mode makes
+    // a long-sum overflow an error, xor cannot overflow (and the frame is
+    // distinct, so no duplicate edge can cancel itself out).
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = materialize(smallStar(largeStar(raw)))
+    var fp = fingerprint(edges)
+    var converged = false
+    var round = 1
+    while (!converged && round < maxRounds) {
+      val next = materialize(smallStar(largeStar(edges)))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next; fp = nfp; round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // Converged edges form stars (node → component minimum); roots have no
+    // outgoing edge and are their own component.
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+    nodes.join(edges.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Near-duplicate cluster assignment: [[minhashPairs]] candidates →
+    * transitive closure via [[connectedComponents]]. One (id, component)
+    * row per document that participates in at least one near-dup pair. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double = 0.7, wordGrams: Option[Int] = None,
+      maxBucketWidth: Option[Int] = None): DataFrame =
+    connectedComponents(minhashPairs(df, idCol, textCol, shingleK, bands,
+      rowsPerBand, threshold, wordGrams, maxBucketWidth))
+
+  /** Keep one document per transitive near-duplicate cluster (the cluster's
+    * minimum id) plus every unclustered document — the end-to-end fuzzy
+    * dedup a training pipeline actually runs. The anti-join drops only
+    * non-canonical cluster members. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double = 0.7, wordGrams: Option[Int] = None,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val cc = nearDupClusters(df, idCol, textCol, shingleK, bands, rowsPerBand,
+      threshold, wordGrams, maxBucketWidth)
+    val losers = cc.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Portable 64-bit token hash: the bit pattern of the first 16 hex chars

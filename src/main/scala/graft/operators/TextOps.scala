@@ -203,6 +203,58 @@ object TextOps {
     df.where(hashBucket(col(idCol), buckets) < round(frac * buckets).cast(IntegerType))
   }
 
+  // ------------------------------------------- cross-document line dedup
+  /** Normalized line hash used by [[dedupLines]] — md5 of the trimmed,
+    * lowercased line, reproducible in any engine with md5. */
+  def lineHash(line: Column): Column = md5(trim(lower(line)))
+
+  /**
+   * Cross-document line-level dedup (the CCNet recipe, Wenzek et al. 2020,
+   * arXiv:1911.00359 §3.1): a line whose normalized hash appears in
+   * ≥ `minDocs` DISTINCT documents is boilerplate (navigation, cookie
+   * banners, license headers) and is removed from every document; each
+   * document's surviving lines are reassembled in original order.
+   *
+   * Scale shape: explode to (doc, pos, line) → distinct-doc count per line
+   * hash (map-side-combining partial aggregate — the hot keys are exactly
+   * the boilerplate lines, which partial agg collapses per task) →
+   * left-anti join the exploded lines against the ≥minDocs hash set (a
+   * key-partitioned shuffle on the hash; no row ever reaches the driver)
+   * → regroup by doc with an order-restoring sort. Per-doc memory is one
+   * document's lines — the same bound as reading the row.
+   *
+   * Returns (doc_id, n_lines, n_kept, kept_text): null text stays null.
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val wide = Par.widen(df)
+    val lines = wide
+      .select(col(idCol).as("doc_id"), posexplode_outer(split(col(textCol), "\n")))
+      .withColumnRenamed("col", "line")
+      .where(col("line").isNotNull)
+      .withColumn("h", lineHash(col("line")))
+    val common = lines.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("h")
+    val kept = lines.join(common, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("kept_text"))
+    wide
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast(LongType).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        when(col("n_lines").isNull, lit(null).cast(LongType))
+          .otherwise(coalesce(col("n_kept"), lit(0L))).as("n_kept"),
+        when(col("n_lines").isNull, lit(null).cast(StringType))
+          .otherwise(coalesce(col("kept_text"), lit(""))).as("kept_text"))
+  }
+
   /** Per-document text-statistics projection. */
   def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

@@ -45,6 +45,20 @@ object PipelineQueries {
                              THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS bucket
              FROM e CROSS JOIN pl GROUP BY vec_id, tbl)"""
 
+  /** DuckDB CTEs producing the EXACT word-2-gram Jaccard ≥ 0.9 pair set
+    * (`pr(id_a, id_b, jaccard)`) — the oracle contract of t04 (the LSH
+    * banding at the fixed seed recalls every pair above the clean
+    * threshold gap), reused by t15's transitive-closure oracle. */
+  private val minhashPairCtes = """
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1),
+              i -> array_to_string(tk[i:i+1],' '))) AS sh FROM toks),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.sh,b.sh)) AS inter, len(a.sh)+len(b.sh) AS tot
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      pr AS (SELECT id_a, id_b, CAST(inter AS DOUBLE)/(tot-inter) AS jaccard
+             FROM p WHERE CAST(inter AS DOUBLE)/(tot-inter) >= 0.9)"""
+
   val all: Seq[Q] = Seq(
 
     // Per-document text statistics: token counts, language ID, quality
@@ -98,18 +112,55 @@ object PipelineQueries {
     // with 8×8 banding the planted near-dup pairs (min true Jaccard 0.909,
     // next-highest pair 0.80 — a clean gap) all land in a shared bucket
     // under the fixed seed, so LSH output = exact output deterministically.
-    Q("t04_minhash_neardup", Some("""
-      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1),
-              i -> array_to_string(tk[i:i+1],' '))) AS sh FROM toks),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              len(list_intersect(a.sh,b.sh)) AS inter, len(a.sh)+len(b.sh) AS tot
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      SELECT id_a, id_b, CAST(inter AS DOUBLE)/(tot-inter) AS jaccard
-      FROM p WHERE CAST(inter AS DOUBLE)/(tot-inter) >= 0.9""")) { (s, dir) =>
+    Q("t04_minhash_neardup", Some(s"""
+      WITH $minhashPairCtes
+      SELECT id_a, id_b, jaccard FROM pr""")) { (s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
         bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
         maxBucketWidth = Some(64))
+    },
+
+    // Near-dup CLUSTERS: the t04 pair graph closed transitively via
+    // alternating large-star/small-star connected components (one
+    // (doc, component-min) row per clustered doc). The oracle computes the
+    // same closure with a recursive min-label propagation: label l reaches
+    // node u iff a path exists (the component minimum always propagates:
+    // every receiving node on the path exceeds it).
+    Q("t15_neardup_clusters", Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      edges AS (SELECT id_a AS u, id_b AS v FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      cc(id, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, c.lbl FROM edges e JOIN cc c ON c.id = e.v WHERE c.lbl < e.u)
+      SELECT id AS doc_id, MIN(lbl) AS component FROM cc GROUP BY id""")) { (s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+          maxBucketWidth = Some(64)))
+        .select(col("id").as("doc_id"), col("component"))
+    },
+
+    // Cross-document line dedup (CCNet): lines appearing in ≥3 distinct
+    // documents are boilerplate and removed everywhere; texts reassemble
+    // in order. The oracle filters each doc's line list against the
+    // corpus-common hash set.
+    Q("t16_line_dedup", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      lh AS (SELECT doc_id, unnest(list_transform(ls, x -> md5(trim(lower(x))))) AS h FROM d),
+      common AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM lh GROUP BY h)
+                 WHERE nd >= 3),
+      cl AS (SELECT coalesce(list(h), []) AS chs FROM common),
+      k AS (SELECT doc_id, len(ls) AS n_lines,
+              list_filter(ls, x -> NOT list_contains(chs, md5(trim(lower(x))))) AS kept
+            FROM d, cl)
+      SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             md5(array_to_string(kept, chr(10))) AS kept_md5
+      FROM k""")) { (s, dir) =>
+      TextOps.dedupLines(tbl(s, dir, "documents"), "doc_id", "text", minDocs = 3)
+        .withColumn("kept_md5", md5(col("kept_text"))).drop("kept_text")
     },
 
     // SimHash near-duplicate pairs (Hamming ≤ 3 via 16-bit chunk banding —

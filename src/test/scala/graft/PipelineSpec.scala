@@ -52,6 +52,54 @@ class PipelineSpec extends SparkSpec {
     joined.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("connected components: chains, strings, multi-round convergence, cluster dedup") {
+    // A 10-node path in adversarial id order (each edge links a high id to
+    // a lower one far away) needs several large/small-star rounds.
+    val path = (0 until 9).map(i => (i.toLong, i.toLong + 1L))
+    val pairs = (path ++ Seq((20L, 21L), (21L, 22L), (30L, 30L)))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(cc(_) == 0L), s"path component wrong: $cc")
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(!cc.contains(30L), "self-loop node must not appear")
+
+    // String ids: min is lexicographic.
+    val scc = Dedup.connectedComponents(
+      Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id_a", "id_b")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(scc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+
+    // End-to-end fuzzy dedup: three transitive near-copies collapse to the
+    // minimum id; unrelated docs survive.
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val docs = Seq(
+      (1L, base), (2L, base.replace("tonight", "tomorrow")),
+      (3L, base.replace("quick", "swift")),
+      (9L, "completely different content about oceans and tides and the moon above"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.6,
+      wordGrams = Some(2)).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 9L), s"expected canonical 1 and unrelated 9, got ${kept.toSeq}")
+  }
+
+  test("line dedup: boilerplate lines removed everywhere, order preserved") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha line\nshared footer\nmore alpha"),
+      (2L, "cookie banner \nunique beta line\nshared footer"),
+      (3L, "Cookie Banner\nunique gamma line\nshared footer"),
+      (4L, "totally unrelated\ndocument four"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // "cookie banner" (normalized) and "shared footer" occur in 3 docs → dropped.
+    assert(out(1L) == ((4L, 2L, "unique alpha line\nmore alpha")))
+    assert(out(2L) == ((3L, 1L, "unique beta line")))
+    assert(out(3L) == ((3L, 1L, "unique gamma line")))
+    assert(out(4L) == ((2L, 2L, "totally unrelated\ndocument four")))
+  }
+
   test("simhash: identical docs give hamming 0; no cross join") {
     val docs = Seq((1L, "spark shuffles data across the cluster"),
       (2L, "spark shuffles data across the cluster"),
