@@ -203,6 +203,44 @@ object TextOps {
     df.where(hashBucket(col(idCol), buckets) < round(frac * buckets).cast(IntegerType))
   }
 
+  // --------------------------------------------- benchmark decontamination
+  /**
+   * Benchmark decontamination (the GPT-3 appendix C / PaLM recipe): per
+   * training document, how many of its distinct word n-grams appear
+   * anywhere in a benchmark/eval corpus — documents with any hit are
+   * "contaminated" and dropped or flagged before pretraining. n = 13 is
+   * the published default; small n only for tiny test corpora.
+   *
+   * Scale shape: both sides explode to distinct n-gram keys; the benchmark
+   * gram set (small — eval suites are MBs, not TBs) is deduped and the
+   * training grams left-semi join against it — Spark broadcasts the small
+   * side automatically, so the 100 TB training scan never shuffles; the
+   * per-doc rollup is a map-side-combining count keyed by doc id.
+   *
+   * `gramKey` maps a gram string to the join key: default md5 (portable,
+   * collision-free at any corpus size for 128 bits); pass `xxhash64(_)`
+   * to halve the key bytes when cross-engine reproducibility is not
+   * needed.
+   */
+  def contaminationStats(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13,
+      gramKey: Column => Column = md5(_)): DataFrame = {
+    def gramKeys(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select((cols :+ tokens(col(textCol)).as("tk")): _*)
+      .select((cols :+ explode_outer(wordShinglesFromTokens(col("tk"), n)).as("g")): _*)
+      .where(col("g").isNotNull)
+      .select((cols :+ gramKey(col("g")).as("h")): _*)
+    val tg = gramKeys(Par.widen(train), Seq(col(idCol).as("doc_id")))
+    val bg = gramKeys(Par.widen(bench), Seq.empty).distinct()
+    val totals = tg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = tg.join(bg, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   // ------------------------------------------- cross-document line dedup
   /** Normalized line hash used by [[dedupLines]] — md5 of the trimmed,
     * lowercased line, reproducible in any engine with md5. */

@@ -182,6 +182,31 @@ object PipelineQueries {
         tokenHash = Dedup.md5Hash64)
     },
 
+    // Benchmark decontamination: docs < 50 play the eval suite, the rest
+    // the training corpus; a training doc is contaminated when any of its
+    // distinct word 3-grams appears in the eval set (3-grams because the
+    // synthetic docs are short; production uses the published 13).
+    Q("t17_decontaminate", Some("""
+      WITH tr AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk
+                  FROM documents WHERE doc_id >= 50),
+      be AS (SELECT regexp_extract_all(lower(text),'\S+') AS tk
+             FROM documents WHERE doc_id < 50),
+      tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
+              i -> array_to_string(tk[i:i+2],' ')))) AS g FROM tr),
+      bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
+              i -> array_to_string(tk[i:i+2],' ')))) AS g FROM be),
+      t AS (SELECT doc_id, count(*) AS ng FROM tg GROUP BY doc_id),
+      m AS (SELECT doc_id, count(*) AS nc FROM tg WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
+      SELECT t.doc_id, CAST(ng AS BIGINT) AS n_grams,
+             CAST(coalesce(nc, 0) AS BIGINT) AS n_contaminated,
+             coalesce(nc, 0) > 0 AS contaminated
+      FROM t LEFT JOIN m ON t.doc_id = m.doc_id""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      TextOps.contaminationStats(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", n = 3)
+    },
+
     // Exact cosine top-5 for 20 query vectors (engine-stable via round(,9)).
     Q("t06_ann_brute", Some("""
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -83,6 +83,26 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 9L), s"expected canonical 1 and unrelated 9, got ${kept.toSeq}")
   }
 
+  test("decontamination: planted benchmark n-gram flags the training doc") {
+    val bench = Seq((100L, "what is the capital of france paris is the answer"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "today we ask what is the capital of france and other questions"),
+      (2L, "entirely unrelated training text about gardening and soil quality"))
+      .toDF("doc_id", "text")
+    val out = TextOps.contaminationStats(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L)._3, "doc sharing a 5-gram must be flagged")
+    assert(out(1L)._2 >= 1L && out(1L)._2 < out(1L)._1)
+    assert(out(2L) == ((out(2L)._1, 0L, false)))
+    // the benchmark side broadcasts: no shuffle of the training grams
+    val plan = TextOps.contaminationStats(train, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark gram set should broadcast:\n$plan")
+  }
+
   test("line dedup: boilerplate lines removed everywhere, order preserved") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nunique alpha line\nshared footer\nmore alpha"),
