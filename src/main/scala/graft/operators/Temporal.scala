@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Temporal join operators Spark lacks natively.
+ *
+ * The as-of join (each left row matched to the latest right row at or
+ * before its timestamp, per key) is the standard point-in-time lookup of
+ * feature stores, market data, and slowly-changing dimensions. Spark has
+ * no built-in; the naive `l JOIN r ON l.k = r.k AND r.ts <= l.ts` +
+ * row_number explodes to the full per-key cross product before pruning —
+ * quadratic per key, fatal at scale.
+ */
+object Temporal {
+
+  /**
+   * As-of join via union + single key-partitioned sort + running
+   * `last(..., ignoreNulls)` window: right rows interleave with left rows
+   * in time order within each key, and every left row picks up the most
+   * recent right payload at or before it (`<=` semantics — a right row
+   * exactly at the left timestamp matches, sorting before the left row at
+   * equal timestamps).
+   *
+   * Scale shape: ONE shuffle of |left| + |right| rows on the join keys and
+   * a per-partition sort — no per-key cross product, no range explosion,
+   * skew bounded by the biggest single key (same bound as any windowed
+   * computation). This is the plan a native as-of operator would produce.
+   *
+   * Output: every left row (left join semantics), with the matched right
+   * row's non-key columns appended as `<rightPrefix><name>`; nulls when no
+   * right row precedes. `tolerance` (an interval/duration Column, e.g.
+   * `expr("INTERVAL 1 HOUR")`) drops matches staler than leftTs − tolerance.
+   *
+   * Ties among right rows with identical (key, rightTs) resolve by
+   * `rightTiebreak` (default: none — pass a unique column for fully
+   * deterministic output, as in any window ordering).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPrefix: String = "asof_",
+      tolerance: Option[Column] = None,
+      rightTiebreak: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
+    val lCols = left.columns.toSeq
+    val rStructType = StructType(rPayloadCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+
+    // Unioned event stream: keys, the ordering columns, one struct per side.
+    val lPart = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("_ts"), lit(1).as("_side"),
+        struct(lCols.filterNot(keys.contains).map(col): _*).as("_l"),
+        lit(null).cast(rStructType).as("_r")): _*)
+    val rPart = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("_ts"), lit(0).as("_side"),
+        lit(null).cast(lPart.schema("_l").dataType).as("_l"),
+        struct(rPayloadCols.map(col): _*).as("_r")): _*)
+
+    val tieCols = rightTiebreak.toSeq.map(t => col("_r").getField(t))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col("_ts").asc, col("_side").asc) ++ tieCols.map(_.asc_nulls_first)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lPart.unionByName(rPart)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+
+    val withTol = tolerance match {
+      case None => matched
+      case Some(tol) => matched.withColumn("_m",
+        when(col("_m").getField(rightTs) >= col("_ts") - tol, col("_m")))
+    }
+    withTol.select(
+      lCols.map(c => (if (keys.contains(c)) col(c) else col("_l").getField(c)).as(c)) ++
+        rPayloadCols.map(c => col("_m").getField(c).as(s"$rightPrefix$c")): _*)
+  }
+}

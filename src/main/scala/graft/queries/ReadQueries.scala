@@ -241,6 +241,29 @@ object ReadQueries {
       val p = broadcast(tbl(s, dir, "part").where(col("p_name").like("%red%")))
       tbl(s, dir, "lineitem").join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand").agg(cnt.as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
+    },
+
+    // As-of join: each click matched to the user's latest view at or
+    // before it (point-in-time lookup). Spark has no native as-of; the
+    // operator is one key shuffle + sort (union + running last window) —
+    // no per-key cross product. DuckDB's native ASOF JOIN is the oracle.
+    Q("q16_asof_join", Some("""
+      WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      v AS (SELECT event_id AS view_id, user_id, ts, value AS view_value FROM events
+            WHERE event_type = 'view')
+      SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+             v.view_id AS asof_view_id, v.view_value AS asof_view_value
+      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""")) { (s, dir) =>
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.operators.Temporal.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+          rightTiebreak = Some("view_id"))
+        .select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),
+          col("asof_view_id"), col("asof_view_value"))
     }
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** As-of join semantics: <= matching, left-join nulls, tolerance,
+  * tie-break, and the single-shuffle plan shape. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val trades = Seq(
+    (1L, "AAPL", ts("2024-01-01 10:00:05"), 100.0),
+    (2L, "AAPL", ts("2024-01-01 10:00:00"), 101.0), // exactly at a quote
+    (3L, "MSFT", ts("2024-01-01 09:59:00"), 200.0), // before any quote
+    (4L, "GOOG", ts("2024-01-01 11:00:00"), 300.0)  // key with no quotes
+  ).toDF("trade_id", "sym", "t_ts", "px")
+
+  private val quotes = Seq(
+    (10L, "AAPL", ts("2024-01-01 10:00:00"), 99.5),
+    (11L, "AAPL", ts("2024-01-01 10:00:03"), 99.7),
+    (12L, "MSFT", ts("2024-01-01 10:30:00"), 199.0)
+  ).toDF("quote_id", "sym", "q_ts", "bid")
+
+  test("asof join: <= semantics, nulls for unmatched, tie-break") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts",
+      rightTiebreak = Some("quote_id"))
+    assert(out.columns.toSeq ==
+      Seq("trade_id", "sym", "t_ts", "px", "asof_quote_id", "asof_q_ts", "asof_bid"))
+    val m = out.collect().map(r => r.getAs[Long]("trade_id") ->
+      Option(r.getAs[java.lang.Long]("asof_quote_id")).map(_.toLong)).toMap
+    assert(m(1L).contains(11L), "latest quote at/before 10:00:05 is 11")
+    assert(m(2L).contains(10L), "quote exactly AT the trade ts matches (<=)")
+    assert(m(3L).isEmpty, "no quote before 09:59")
+    assert(m(4L).isEmpty, "key with no right rows -> null")
+    assert(out.count() == 4, "left join keeps every left row")
+  }
+
+  test("asof join: tolerance drops stale matches") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts",
+      tolerance = Some(expr("INTERVAL 1 SECOND")), rightTiebreak = Some("quote_id"))
+    val m = out.collect().map(r => r.getAs[Long]("trade_id") ->
+      Option(r.getAs[java.lang.Long]("asof_quote_id")).map(_.toLong)).toMap
+    assert(m(1L).isEmpty, "10:00:03 quote is 2s stale under 1s tolerance")
+    assert(m(2L).contains(10L), "0s gap survives tolerance")
+  }
+
+  test("asof join plan: one shuffle, no cross product") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not expand a cross product:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
+  }
+}
