@@ -202,14 +202,9 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Eagerly materialize a (small) derived frame, cutting lineage so
-    * upstream caches can be freed and self-joins don't recompute it. A
-    * reliable checkpoint is used when spark.checkpoint.dir is set (survives
-    * executor loss — required under dynamic allocation / spot nodes);
-    * localCheckpoint otherwise (single-JVM local mode, tests). */
-  private def materialize(d: DataFrame): DataFrame =
-    if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
-    else d.localCheckpoint(true)
+  /** See [[Par.materialize]]: eager, lineage-cutting, checkpoint-reliable
+    * when a checkpoint dir is configured. */
+  private def materialize(d: DataFrame): DataFrame = Par.materialize(d)
 
   // ---------------------------------- connected components / dedup clusters
 

@@ -293,6 +293,54 @@ object TextOps {
           .otherwise(coalesce(col("kept_text"), lit(""))).as("kept_text"))
   }
 
+  // ------------------------------------------------- sequence packing
+  /**
+   * Pretraining sequence packing ("concat and chunk"): documents are laid
+   * out in id order as one token stream and cut into fixed `ctxLen`
+   * windows; each document's placement is (start_offset, first/last pack
+   * id). Deterministic — the same corpus packs identically on any engine
+   * or cluster layout.
+   *
+   * Scale shape: a global prefix sum WITHOUT a global-order window (which
+   * would collapse to one task). Range-partition by id, per-partition
+   * running totals, then one metadata-sized collect of per-partition sums
+   * whose prefix offsets shift each partition — the classic two-pass
+   * distributed scan. Result is independent of where the range boundaries
+   * land, so the sampling-based partitioner cannot perturb it.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    import org.apache.spark.sql.expressions.Window
+    // Materialized eagerly: the range partitioner SAMPLES (nondeterministic
+    // boundaries), and the _pid-keyed offsets below must be read from the
+    // exact partitioning they were computed on — a recompute could land
+    // rows in different partitions.
+    val counted = Par.materialize(df
+      .select(col(idCol).as("doc_id"),
+        coalesce(tokenCount(col(textCol)), lit(0L)).as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("_pid", spark_partition_id()))
+    // Metadata-sized collect: one row per partition → prefix offsets.
+    val perPid = counted.groupBy("_pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = perPid.map(_._1).zip(
+      perPid.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offsetCol = prefix.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("_pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .withColumn("start_offset",
+        coalesce(sum("n_tokens").over(w), lit(0L)) + offsetCol)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / ctxLen).cast(LongType).as("pack_first"),
+        floor((col("start_offset") + greatest(col("n_tokens"), lit(1L)) - 1L) / ctxLen)
+          .cast(LongType).as("pack_last"))
+  }
+
   /** Per-document text-statistics projection. */
   def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

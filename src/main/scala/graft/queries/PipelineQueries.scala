@@ -207,6 +207,23 @@ object PipelineQueries {
         "doc_id", "text", n = 3)
     },
 
+    // Sequence packing: documents laid out in id order as one token stream,
+    // cut into 512-token context windows — each doc's (start_offset,
+    // first/last pack). Distributed prefix sum (range partition + local
+    // window + per-partition offsets), never a one-task global window.
+    Q("t18_sequence_pack", Some("""
+      WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+            FROM t)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(so AS BIGINT) AS start_offset,
+             CAST(so // 512 AS BIGINT) AS pack_first,
+             CAST((so + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS pack_last
+      FROM c""")) { (s, dir) =>
+      TextOps.packSequences(tbl(s, dir, "documents"), "doc_id", "text", ctxLen = 512)
+    },
+
     // Exact cosine top-5 for 20 query vectors (engine-stable via round(,9)).
     Q("t06_ann_brute", Some("""
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -76,4 +76,24 @@ object StreamOps {
           }
       }
   }
+
+  /**
+   * Streaming exact dedup by content fingerprint: the first arrival of
+   * each normalized content hash passes, later copies are dropped —
+   * the streaming half of [[graft.operators.Dedup.dropExactDuplicates]]
+   * for a continuously-ingesting corpus.
+   *
+   * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: unbounded
+   * dedup state is the classic streaming-job slow death (state grows
+   * with every distinct document ever seen). The watermark bounds state
+   * to hashes seen within `delay` of the stream head — duplicates
+   * farther apart than the watermark are the batch dedup's job
+   * (run [[graft.operators.Dedup]] over the compacted table).
+   */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", graft.operators.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -83,6 +83,27 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 9L), s"expected canonical 1 and unrelated 9, got ${kept.toSeq}")
   }
 
+  test("sequence packing: contiguous offsets, boundary straddle, layout-independent") {
+    val docs = Seq(
+      (1L, Seq.fill(300)("tok").mkString(" ")),   // [0, 300)    pack 0
+      (2L, Seq.fill(300)("tok").mkString(" ")),   // [300, 600)  packs 0-1 (straddles 512)
+      (3L, Seq.fill(100)("tok").mkString(" ")),   // [600, 700)  pack 1
+      (4L, ""),                                   // 0 tokens at 700, pack 1
+      (5L, Seq.fill(500)("tok").mkString(" ")))   // [700, 1200) packs 1-2
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.packSequences(df, "doc_id", "text", ctxLen = 512)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val expected = Seq(
+      (1L, 300L, 0L, 0L, 0L), (2L, 300L, 300L, 0L, 1L), (3L, 100L, 600L, 1L, 1L),
+      (4L, 0L, 700L, 1L, 1L), (5L, 500L, 700L, 1L, 2L))
+    assert(run(docs) == expected)
+    // identical packing regardless of input partitioning
+    assert(run(docs.repartition(7)) == expected)
+    assert(run(docs.coalesce(1)) == expected)
+  }
+
   test("decontamination: planted benchmark n-gram flags the training doc") {
     val bench = Seq((100L, "what is the capital of france paris is the answer"))
       .toDF("doc_id", "text")
@@ -101,6 +122,29 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"benchmark gram set should broadcast:\n$plan")
+  }
+
+  test("connected components: random graphs match an in-memory union-find") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => if (a != b) parent(find(a)) = find(b) }
+      val nodes = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val root = members.min; members.map(_ -> root)
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial mismatch (n=$n, ${edges.length} edges)")
+    }
   }
 
   test("line dedup: boilerplate lines removed everywhere, order preserved") {

@@ -105,6 +105,32 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming dedup: later copies of the same content are dropped, state watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.dedupStream(docs, "text", "ts", delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-dedup-ck")).start()
+    try {
+      in.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "alpha beta gamma"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "unrelated text"))
+      q.processAllAvailable()
+      in.addData( // same normalized content, different whitespace/case
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "ALPHA  beta gamma "),
+        (4L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), "fresh content here"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dedup_stream").collect()
+        .map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(1L, 2L, 4L),
+        s"duplicate doc 3 must be dropped, got ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   test("writeStream into a graft table: auto-create, incremental deltas, merge mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
