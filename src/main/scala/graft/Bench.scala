@@ -58,13 +58,23 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Min of two runs per query: the steady-state number. A single-shot
+    // measurement on a shared machine mixes in scheduler noise and
+    // stragglers (the raw-parquet floor anchor alone varied 0.8-2.8 s
+    // across identical runs); the min is the reproducible cost of the
+    // plan, which is what a scale judgment needs.
     headline.foreach { name =>
-      results(name) = time(SparkEntry.queries(name)(spark, sfDir).count())
+      val runs = (1 to 2).map(_ => time(SparkEntry.queries(name)(spark, sfDir).count()))
+      results(name) = runs.min
     }
 
     // BASELINE.md pipeline: bulk write (auto-compacts) → 1% upsert
     // (bucket-pruned compaction) → delete slice → full read.
-    results("pipeline_write_compact_read") = time {
+    // The stateful pipeline + floor anchor run twice as well (independent
+    // temp dirs), reported as the min of the two.
+    def timeMin2(body: => Unit): Double = Seq(time(body), time(body)).min
+
+    results("pipeline_write_compact_read") = timeMin2 {
       val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench").toString)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -86,7 +96,7 @@ object Bench {
     }
 
     // Anchor: the same data through bare Spark parquet write + read.
-    results("baseline_raw_spark") = time {
+    results("baseline_raw_spark") = timeMin2 {
       val out = Files.createTempDirectory("graft_bench_raw").toString
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")

@@ -264,6 +264,21 @@ object ReadQueries {
           rightTiebreak = Some("view_id"))
         .select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),
           col("asof_view_id"), col("asof_view_value"))
+    },
+
+    // Exact percentiles (sort-based aggregate): both engines compute the
+    // same linear-interpolated continuous quantile; round(,9) absorbs
+    // last-ulp interpolation differences.
+    Q("q17_quantiles", Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
+             round(quantile_cont(l_quantity, 0.95), 9) AS p95_qty,
+             round(quantile_cont(l_extendedprice, 0.99), 9) AS p99_price
+      FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
+      tbl(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 9).as("median_qty"),
+        round(percentile(col("l_quantity"), lit(0.95)), 9).as("p95_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 9).as("p99_price"))
     }
   )
 }
