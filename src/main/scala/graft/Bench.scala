@@ -26,7 +26,8 @@ object Bench {
     "q01_pricing_summary", "q03_join_topk", "q05_region_revenue",
     "q07_topk_orders", "q12_events_sessionize",
     "t01_text_stats", "t02_exact_dedup", "t04_minhash_neardup",
-    "t06_ann_brute", "t07_ann_lsh", "t10_ann_ivf", "t11_semantic_dedup")
+    "t06_ann_brute", "t07_ann_lsh", "t10_ann_ivf", "t11_semantic_dedup",
+    "t15_neardup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

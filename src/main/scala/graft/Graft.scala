@@ -36,6 +36,13 @@ object Graft {
     registry.keys().asScala.toSeq.sorted
   }
 
+  /** Register the graft SQL functions (graft_dot, graft_fingerprint,
+    * graft_simhash, graft_lang, graft_hash_bucket) in a live session —
+    * the runtime path; `spark.sql.extensions=graft.spark.GraftSparkExtensions`
+    * injects the same set at session build. */
+  def registerFunctions(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+
   // ------------------------------------------------- URL-addressed dataset ops
   def get(spark: SparkSession, url: String): DataFrame = io.UrlIO.read(spark, url)
   def put(df: DataFrame, url: String, mode: WriteMode = WriteMode.Auto): Unit =

@@ -389,8 +389,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * SQL UPDATE / MERGE INTO planner strategy at session build time (the
   * GraftSparkCatalog also self-registers it on initialize). */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GraftDmlStrategy)
+    org.apache.spark.sql.graft.GraftFunctions.injectable.foreach(ext.injectFunction)
+  }
 }
 
 /**

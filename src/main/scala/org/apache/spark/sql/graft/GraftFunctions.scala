@@ -1,0 +1,78 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * SQL-surface registration of the graft kernel functions, so pure-SQL
+ * sessions (`spark.sql(...)`, JDBC/Thrift users of the DSv2 catalog) can
+ * call the same codegen'd expressions the Scala operators use:
+ *
+ *   graft_dot(a, b)          codegen'd array<double> dot product
+ *   graft_fingerprint(text)  normalized content hash (exact-dedup key)
+ *   graft_simhash(text)      64-bit SimHash signature
+ *   graft_lang(text)         n-gram-marker language id
+ *   graft_hash_bucket(id, n) deterministic md5 bucket in [0, n)
+ *
+ * Two registration paths: `GraftSparkExtensions` injects them at session
+ * build (`spark.sql.extensions=graft.spark.GraftSparkExtensions`), and
+ * [[register]] adds them to an already-running session (what
+ * `graft.Graft.registerFunctions` calls). Builders are thin wrappers over
+ * the Column-expression operators — one definition, both surfaces.
+ */
+object GraftFunctions {
+
+  private def c(e: Expression): Column = ExpressionUtils.column(e)
+  /** EAGER Column → Expression conversion. ExpressionUtils.expression wraps
+    * the column in a lazy ColumnNodeExpression that the analyzer never
+    * descends into (its inner UnresolvedFunctions survive to codegen and
+    * throw); the converter inlines the real catalyst tree instead. */
+  private def e(col: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(col.node)
+
+  /** (name, arity, builder) for every SQL function. */
+  val all: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", 2, args => DotProductExpr(args(0), args(1))),
+    ("graft_fingerprint", 1,
+      args => e(graft.operators.TextOps.fingerprint(c(args(0))))),
+    ("graft_simhash", 1,
+      args => e(graft.operators.Dedup.simhash(c(args(0))))),
+    ("graft_lang", 1,
+      args => e(graft.operators.TextOps.langId(c(args(0))))),
+    ("graft_hash_bucket", 2, args =>
+      e(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(
+              c(args(0)).cast(org.apache.spark.sql.types.StringType)), 1, 8),
+          16, 10).cast(org.apache.spark.sql.types.LongType),
+        c(args(1)).cast(org.apache.spark.sql.types.LongType)))))
+
+  private def checkedBuilder(name: String, arity: Int,
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == arity,
+        s"$name expects $arity argument(s), got ${args.length}")
+      b(args)
+    }
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, name)
+
+  /** Register into a live session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (name, arity, b) =>
+      registry.createOrReplaceTempFunction(name, checkedBuilder(name, arity, b), "built-in")
+    }
+  }
+
+  /** Extension-injection descriptors for SparkSessionExtensions. */
+  def injectable: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    all.map { case (name, arity, b) =>
+      (FunctionIdentifier(name), info(name), checkedBuilder(name, arity, b))
+    }
+}

@@ -104,6 +104,29 @@ class PipelineSpec extends SparkSpec {
     assert(run(docs.coalesce(1)) == expected)
   }
 
+  test("SQL function registration: kernels callable from pure SQL") {
+    Graft.registerFunctions(spark)
+    Seq((1L, "Hello  World", Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, "hello world", Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("fx")
+    val rows = spark.sql("""
+      SELECT id, graft_dot(a, b) AS dot, graft_fingerprint(text) AS fp,
+             graft_simhash(text) AS sh, graft_lang(text) AS lang,
+             graft_hash_bucket(id, 10) AS bucket
+      FROM fx""").collect().sortBy(_.getLong(0))
+    assert(rows(0).getAs[Double]("dot") == 32.0)
+    assert(rows(1).getAs[Double]("dot") == 0.0)
+    // same normalized content -> same fingerprint; matches the Column API
+    assert(rows(0).getAs[String]("fp") == rows(1).getAs[String]("fp"))
+    val apiFp = Seq(("Hello  World")).toDF("text")
+      .select(TextOps.fingerprint(col("text"))).head.getString(0)
+    assert(rows(0).getAs[String]("fp") == apiFp)
+    assert(rows(0).getAs[Long]("sh") == rows(1).getAs[Long]("sh"))
+    rows.foreach(r => assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 10))
+    // arity misuse fails analysis, not execution
+    intercept[Exception](spark.sql("SELECT graft_dot(a) FROM fx").collect())
+  }
+
   test("decontamination: planted benchmark n-gram flags the training doc") {
     val bench = Seq((100L, "what is the capital of france paris is the answer"))
       .toDF("doc_id", "text")
