@@ -128,7 +128,7 @@ object PipelineQueries {
     // every receiving node on the path exceeds it).
     Q("t15_neardup_clusters", Some(s"""
       WITH RECURSIVE $minhashPairCtes,
-      edges AS (SELECT id_a AS u, id_b AS v FROM pr
+      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr
                 UNION SELECT id_b, id_a FROM pr),
       cc(id, lbl) AS (
         SELECT DISTINCT u, u FROM edges
