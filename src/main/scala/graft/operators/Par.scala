@@ -5,6 +5,16 @@ import org.apache.spark.sql.DataFrame
 /** Input-parallelism guard for map-heavy operators. */
 private[graft] object Par {
 
+  /** Eagerly materialize a derived frame, cutting lineage: upstream caches
+    * can be freed, self-joins don't recompute it, and nondeterministic
+    * upstream stages (range-partitioner sampling, RNG) are frozen at their
+    * first evaluation. Reliable checkpoint when spark.checkpoint.dir is set
+    * (survives executor loss — required under dynamic allocation / spot
+    * nodes); localCheckpoint otherwise (single-JVM local mode, tests). */
+  def materialize(d: DataFrame): DataFrame =
+    if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
+    else d.localCheckpoint(true)
+
   /**
    * Widen a small input to the cluster's default parallelism before
    * expensive per-row work (shingling, hashing, dot products). A small
@@ -21,16 +31,6 @@ private[graft] object Par {
    * extra shuffle at scale; Catalyst's conservative over-estimates for
    * complex plans also land on the safe (no-shuffle) side.
    */
-  /** Eagerly materialize a derived frame, cutting lineage: upstream caches
-    * can be freed, self-joins don't recompute it, and nondeterministic
-    * upstream stages (range-partitioner sampling, RNG) are frozen at their
-    * first evaluation. Reliable checkpoint when spark.checkpoint.dir is set
-    * (survives executor loss — required under dynamic allocation / spot
-    * nodes); localCheckpoint otherwise (single-JVM local mode, tests). */
-  def materialize(d: DataFrame): DataFrame =
-    if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
-    else d.localCheckpoint(true)
-
   def widen(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism

@@ -55,7 +55,11 @@ object Temporal {
         col(leftTs).as("_ts"), lit(1).as("_side"),
         struct(lCols.filterNot(keys.contains).map(col): _*).as("_l"),
         lit(null).cast(rStructType).as("_r")): _*)
-    val rPart = right.select(
+    // Null right timestamps can never satisfy r.ts <= l.ts (SQL semantics);
+    // unfiltered they would sort nulls-first and become the running "match"
+    // for left rows with no genuine predecessor. Null LEFT timestamps also
+    // sort first and so match nothing — consistent with the same rule.
+    val rPart = right.where(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"), lit(0).as("_side"),
         lit(null).cast(lPart.schema("_l").dataType).as("_l"),

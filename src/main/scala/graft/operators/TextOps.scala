@@ -180,8 +180,14 @@ object TextOps {
     * engine and every run, so a 10% corpus sample is reproducible
     * forever and disjoint buckets never overlap between experiments. */
   def hashBucket(id: Column, buckets: Int): Column =
+    hashBucket(id, lit(buckets.toLong))
+
+  /** Column-typed variant — the single definition behind both the Scala
+    * API and the `graft_hash_bucket` SQL function (one expression, no
+    * drift between surfaces). */
+  def hashBucket(id: Column, buckets: Column): Column =
     pmod(conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType),
-      lit(buckets.toLong)).cast(IntegerType)
+      buckets.cast(LongType)).cast(IntegerType)
 
   /** Keep `fraction` of rows, deterministically by id hash. Map-side
     * filter: no shuffle, no RNG state. */
@@ -225,20 +231,28 @@ object TextOps {
   def contaminationStats(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 13,
       gramKey: Column => Column = md5(_)): DataFrame = {
+    // Empty-string grams (zero-token documents shingle to [""]) are noise,
+    // not contamination — a blank line in the eval file must not flag every
+    // blank training doc. Truncated grams from 1..n-1-token documents stay:
+    // a whole short doc appearing verbatim in the benchmark IS a hit.
     def gramKeys(df: DataFrame, cols: Seq[Column]): DataFrame = df
       .select((cols :+ tokens(col(textCol)).as("tk")): _*)
       .select((cols :+ explode_outer(wordShinglesFromTokens(col("tk"), n)).as("g")): _*)
-      .where(col("g").isNotNull)
+      .where(col("g").isNotNull && col("g") =!= "")
       .select((cols :+ gramKey(col("g")).as("h")): _*)
     val tg = gramKeys(Par.widen(train), Seq(col(idCol).as("doc_id")))
     val bg = gramKeys(Par.widen(bench), Seq.empty).distinct()
-    val totals = tg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = tg.join(bg, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)) > 0L).as("contaminated"))
+    // ONE pass over the training grams: Catalyst does not share subplans
+    // across separate aggregates, so a totals-agg + semi-join-agg pair
+    // would tokenize and hash the whole training corpus twice. The
+    // broadcast left join tags hits; both counts come from one map-side-
+    // combining aggregate.
+    tg.join(bg.withColumn("_hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") > 0L).as("contaminated"))
   }
 
   // ------------------------------------------- cross-document line dedup
@@ -266,31 +280,35 @@ object TextOps {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val wide = Par.widen(df)
-    val lines = wide
+    // Null-text docs keep their explode_outer row (null pos/line) so they
+    // surface as (null, null, null) without a separate corpus scan.
+    val lines = Par.widen(df)
       .select(col(idCol).as("doc_id"), posexplode_outer(split(col(textCol), "\n")))
       .withColumnRenamed("col", "line")
-      .where(col("line").isNotNull)
       .withColumn("h", lineHash(col("line")))
-    val common = lines.groupBy("h")
+    val common = lines.where(col("line").isNotNull).groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs)
       .select("h")
-    val kept = lines.join(common, Seq("h"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
+    // One doc-keyed aggregate computes totals AND the kept reassembly: the
+    // left join tags common lines (null h never matches: null-line rows
+    // stay untagged and are excluded by the isNotNull guards). `lines` is
+    // still evaluated twice (common + here) — the same two-pass shape as
+    // every derived-key dedup; what this avoids is a THIRD pass re-reading
+    // and re-splitting the raw corpus just for n_lines plus its join.
+    val isKept = col("_c").isNull && col("line").isNotNull
+    lines.join(common.withColumn("_c", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id").agg(
+        max(col("line").isNotNull).as("_has"),
+        count(col("line")).cast(LongType).as("_nl"),
+        count(when(isKept, 1)).cast(LongType).as("_nk"),
         concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            s => s.getField("line"))).as("kept_text"))
-    wide
-      .select(col(idCol).as("doc_id"),
-        size(split(col(textCol), "\n")).cast(LongType).as("n_lines"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        when(col("n_lines").isNull, lit(null).cast(LongType))
-          .otherwise(coalesce(col("n_kept"), lit(0L))).as("n_kept"),
-        when(col("n_lines").isNull, lit(null).cast(StringType))
-          .otherwise(coalesce(col("kept_text"), lit(""))).as("kept_text"))
+          transform(array_sort(collect_list(when(isKept, struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("_kt"))
+      .select(col("doc_id"),
+        when(col("_has"), col("_nl")).as("n_lines"),
+        when(col("_has"), col("_nk")).as("n_kept"),
+        when(col("_has"), col("_kt")).as("kept_text"))
   }
 
   // ------------------------------------------------- sequence packing
@@ -322,19 +340,23 @@ object TextOps {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .withColumn("_pid", spark_partition_id()))
-    // Metadata-sized collect: one row per partition → prefix offsets.
+    // Metadata-sized collect: one row per partition → prefix offsets,
+    // rejoined as a BROADCAST frame keyed by _pid. (A when-chain literal
+    // would be O(#partitions) work per row and a partition-count-deep
+    // expression tree — pathological at thousands of shuffle partitions.)
     val perPid = counted.groupBy("_pid").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val prefix = perPid.map(_._1).zip(
-      perPid.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
-    val offsetCol = prefix.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
+      perPid.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(prefix.toSeq.toDF("_pid", "_offset"))
     val w = Window.partitionBy("_pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     counted
+      .join(offsets, Seq("_pid"), "left")
       .withColumn("start_offset",
-        coalesce(sum("n_tokens").over(w), lit(0L)) + offsetCol)
+        coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("_offset"), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         floor(col("start_offset") / ctxLen).cast(LongType).as("pack_first"),
         floor((col("start_offset") + greatest(col("n_tokens"), lit(1L)) - 1L) / ctxLen)

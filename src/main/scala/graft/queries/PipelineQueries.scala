@@ -191,10 +191,12 @@ object PipelineQueries {
                   FROM documents WHERE doc_id >= 50),
       be AS (SELECT regexp_extract_all(lower(text),'\S+') AS tk
              FROM documents WHERE doc_id < 50),
-      tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
-              i -> array_to_string(tk[i:i+2],' ')))) AS g FROM tr),
-      bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
-              i -> array_to_string(tk[i:i+2],' ')))) AS g FROM be),
+      tg AS (SELECT doc_id, g FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk)-2,1)+1), i -> array_to_string(tk[i:i+2],' ')))) AS g
+             FROM tr) WHERE g <> ''),
+      bg AS (SELECT DISTINCT g FROM (SELECT unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk)-2,1)+1), i -> array_to_string(tk[i:i+2],' ')))) AS g
+             FROM be) WHERE g <> ''),
       t AS (SELECT doc_id, count(*) AS ng FROM tg GROUP BY doc_id),
       m AS (SELECT doc_id, count(*) AS nc FROM tg WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
       SELECT t.doc_id, CAST(ng AS BIGINT) AS n_grams,

@@ -247,19 +247,27 @@ object ReadQueries {
     // before it (point-in-time lookup). Spark has no native as-of; the
     // operator is one key shuffle + sort (union + running last window) —
     // no per-key cross product. DuckDB's native ASOF JOIN is the oracle.
+    // Views are pre-deduped to one row per (user, microsecond): nanosecond
+    // ts values can collapse to the same microsecond after truncation, and
+    // DuckDB's ASOF JOIN gives no tie-break guarantee — removing the ties
+    // makes both engines' answers unique.
     Q("q16_asof_join", Some("""
       WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
-      v AS (SELECT event_id AS view_id, user_id, ts, value AS view_value FROM events
-            WHERE event_type = 'view')
+      v AS (SELECT view_id, user_id, ts, view_value FROM (
+              SELECT event_id AS view_id, user_id, ts, value AS view_value,
+                     row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'view') WHERE rn = 1)
       SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
              v.view_id AS asof_view_id, v.view_value AS asof_view_value
       FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""")) { (s, dir) =>
       val ev = events(s, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select("event_id", "user_id", "ts", "value")
+      val wv = Window.partitionBy("user_id", "ts").orderBy(col("view_id").desc)
       val views = ev.where(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
           col("value").as("view_value"))
+        .withColumn("_rn", row_number().over(wv)).where(col("_rn") === 1).drop("_rn")
       graft.operators.Temporal.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
           rightTiebreak = Some("view_id"))
         .select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),

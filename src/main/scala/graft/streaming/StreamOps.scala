@@ -96,4 +96,5 @@ object StreamOps {
       .withColumn("content_hash", graft.operators.TextOps.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash") // output schema = input schema, like the batch op
 }

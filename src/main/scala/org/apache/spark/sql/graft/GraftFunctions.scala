@@ -41,14 +41,8 @@ object GraftFunctions {
       args => e(graft.operators.Dedup.simhash(c(args(0))))),
     ("graft_lang", 1,
       args => e(graft.operators.TextOps.langId(c(args(0))))),
-    ("graft_hash_bucket", 2, args =>
-      e(org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.conv(
-          org.apache.spark.sql.functions.substring(
-            org.apache.spark.sql.functions.md5(
-              c(args(0)).cast(org.apache.spark.sql.types.StringType)), 1, 8),
-          16, 10).cast(org.apache.spark.sql.types.LongType),
-        c(args(1)).cast(org.apache.spark.sql.types.LongType)))))
+    ("graft_hash_bucket", 2,
+      args => e(graft.operators.TextOps.hashBucket(c(args(0)), c(args(1))))))
 
   private def checkedBuilder(name: String, arity: Int,
       b: Seq[Expression] => Expression): Seq[Expression] => Expression =

@@ -122,7 +122,8 @@ class PipelineSpec extends SparkSpec {
       .select(TextOps.fingerprint(col("text"))).head.getString(0)
     assert(rows(0).getAs[String]("fp") == apiFp)
     assert(rows(0).getAs[Long]("sh") == rows(1).getAs[Long]("sh"))
-    rows.foreach(r => assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 10))
+    // bucket is INT — the same type TextOps.hashBucket returns (no drift)
+    rows.foreach(r => assert(r.getAs[Int]("bucket") >= 0 && r.getAs[Int]("bucket") < 10))
     // arity misuse fails analysis, not execution
     intercept[Exception](spark.sql("SELECT graft_dot(a) FROM fx").collect())
   }

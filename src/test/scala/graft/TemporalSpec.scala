@@ -47,6 +47,18 @@ class TemporalSpec extends SparkSpec {
     assert(m(2L).contains(10L), "0s gap survives tolerance")
   }
 
+  test("asof join: null timestamps never match (SQL <= semantics)") {
+    val q2 = Seq((20L, "MSFT", null.asInstanceOf[java.sql.Timestamp], 1.0))
+      .toDF("quote_id", "sym", "q_ts", "bid")
+      .unionByName(quotes)
+    val out = Temporal.asofJoin(trades, q2, Seq("sym"), "t_ts", "q_ts",
+      rightTiebreak = Some("quote_id"))
+    val m = out.collect().map(r => r.getAs[Long]("trade_id") ->
+      Option(r.getAs[java.lang.Long]("asof_quote_id")).map(_.toLong)).toMap
+    assert(m(3L).isEmpty, "a null-ts right row must not match (null <= ts is never true)")
+    assert(m(1L).contains(11L), "real matches unaffected")
+  }
+
   test("asof join plan: one shuffle, no cross product") {
     val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts")
     val plan = out.queryExecution.executedPlan.toString
