@@ -24,7 +24,7 @@ object Bench {
   /** Read-path + pipeline-op headliners registered in SparkEntry. */
   private val headline = Seq(
     "q01_pricing_summary", "q03_join_topk", "q05_region_revenue",
-    "q07_topk_orders", "q12_events_sessionize",
+    "q07_topk_orders", "q12_events_sessionize", "q16_asof_join",
     "t01_text_stats", "t02_exact_dedup", "t04_minhash_neardup",
     "t06_ann_brute", "t07_ann_lsh", "t10_ann_ivf", "t11_semantic_dedup",
     "t15_neardup_clusters")
