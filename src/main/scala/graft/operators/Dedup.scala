@@ -361,7 +361,16 @@ object Dedup {
     * of pairs at Hamming ≤ maxHamming — deterministic, oracle-comparable. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_),
+      /** Some(w): drop 16-bit-chunk buckets wider than w docs before
+        * pairing — same guard as [[minhashPairs]]'s maxBucketWidth. A
+        * mega-cluster of near-identical documents (shared boilerplate)
+        * otherwise lands one chunk value in one bucket and yields
+        * w(w-1)/2 candidates in a single straggler task. Capping trades
+        * recall on mega-cluster duplicates (which exact dedup catches
+        * anyway) for bounded per-bucket work. None = exhaustive (and for
+        * maxHamming ≤ 3 exactly the Hamming-≤maxHamming pair set). */
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     // Zero-token documents (null / empty / whitespace-only text) all hash
     // to sh64 = 0 and would form one giant spurious Hamming-0 cluster —
     // they carry no signal for near-dup detection, so drop them up front
@@ -385,11 +394,22 @@ object Dedup {
       .select(col("id"), (0 until 64).map(j =>
         when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_.bitwiseOR(_)).as("sh64")))
-    val chunks = withH.select(col("id"), col("sh64"),
+    val allChunks = withH.select(col("id"), col("sh64"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), col("sh64").bitwiseAND(lit(0xFFFFL << (c * 16))).as("val"))
       }: _*)).as("cv"))
       .select(col("id"), col("sh64"), col("cv.chunk").as("chunk"), col("cv.val").as("val"))
+    // Hot-bucket cap: windowless (count-join) so the common case stays a
+    // single shuffle on (chunk,val) reused by the pair join below — the
+    // same shape as minhashPairs' maxBucketWidth guard.
+    val chunks = maxBucketWidth match {
+      case None => allChunks
+      case Some(w) =>
+        val widths = allChunks.groupBy("chunk", "val")
+          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
+          .select(col("chunk"), col("val"))
+        allChunks.join(widths, Seq("chunk", "val"), "left_semi")
+    }
     val a = chunks.as("a")
     val b = chunks.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&

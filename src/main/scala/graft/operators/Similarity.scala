@@ -93,16 +93,23 @@ object Similarity {
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cos")).limit(0))
     val pl = planes(tables, bitsPerTable, dim, seed)
-    val rows = Par.widen(df).select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    // Buckets carry IDS ONLY: a candidate pair appears once per shared
+    // table, so the dedup distinct below would otherwise shuffle and hash
+    // two dim-sized vectors per duplicate. Ids dedup first; the (id → vec)
+    // frame joins back for the exact-cosine verify — the same est-join
+    // shape minhashPairs uses for its signatures.
+    val vecs = Par.widen(df).select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val rows = vecs
       .withColumn("tb", explode(bucketCols(col("vec"), pl)))
-      .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val a = rows.as("a")
     val b = rows.as("b")
     a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .join(vecs.select(col("id"), col("vec").as("va")), col("id_a") === col("id")).drop("id")
+      .join(vecs.select(col("id"), col("vec").as("vb")), col("id_b") === col("id")).drop("id")
       .withColumn("cos", round(cosine(col("va"), col("vb")), 9))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
@@ -266,19 +273,27 @@ object Similarity {
       return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(0).as("rank")).limit(0))
     val pl = planes(tables, bitsPerTable, dim, seed)
+    // Buckets carry IDS ONLY (see embeddingNearDupPairs): the cross-table
+    // dedup distinct moves (query_id, neighbor_id) pairs, not two dim-sized
+    // vectors per duplicate; vectors rejoin for the exact-cosine rerank.
     def withBuckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(s"${id}_vec"))
-        .withColumn("tb", explode(bucketCols(col(s"${id}_vec"), pl)))
-        .select(col(id), col(s"${id}_vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as("_v"))
+        .withColumn("tb", explode(bucketCols(col("_v"), pl)))
+        .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val c = withBuckets(Par.widen(corpus), "neighbor_id")
     val q = withBuckets(queries, "query_id")
     val cand = c.join(q, Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+      .select("query_id", "neighbor_id")
       .distinct()
+    val cv = Par.widen(corpus).select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("neighbor_id_vec"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("query_id_vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", round(cosine(col("query_id_vec"), col("neighbor_id_vec")), 9))
+    cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("cos", round(cosine(col("query_id_vec"), col("neighbor_id_vec")), 9))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast(IntegerType).as("rank"))

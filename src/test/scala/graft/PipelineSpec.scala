@@ -198,6 +198,27 @@ class PipelineSpec extends SparkSpec {
     assert(p.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getAs[Int]("hamming") == 0))
   }
 
+  test("simhash hot-bucket cap bounds a planted mega-cluster's candidates") {
+    // 500 identical docs: every 16-bit chunk bucket has width ≥ 500, so the
+    // uncapped join would emit 500·499/2 pairs from this cluster alone. A
+    // distinct near-pair must survive the cap (its buckets stay narrow).
+    val boiler = (1L to 500L).map(i => (i, "the same legal boilerplate footer text repeated everywhere"))
+    // Identical text (Hamming 0) guarantees a pair; its buckets have width 2.
+    val pair = Seq((9001L, "a genuinely unique document about distributed query engines"),
+      (9002L, "a genuinely unique document about distributed query engines"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxBucketWidth = Some(10))
+    val rows = capped.collect()
+    assert(rows.length <= 10 * 4, s"cap did not bound candidates: ${rows.length}")
+    assert(rows.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L),
+      "narrow-bucket near-pair lost under the cap")
+    assert(!rows.exists(r => r.getLong(0) <= 500L && r.getLong(1) <= 500L),
+      "mega-cluster pairs should be dropped by the cap")
+    // Uncapped stays exhaustive: the mega-cluster emits all its pairs.
+    val uncapped = Dedup.simhashPairs(docs.where($"doc_id" <= 50), "doc_id", "text")
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+
   test("LSH ANN recall vs brute force; candidate generation is an equi-join") {
     val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
     val queries = emb.where($"vec_id" < 10)

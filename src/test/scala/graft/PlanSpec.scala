@@ -27,6 +27,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LSH candidate distincts dedup id pairs, not dim-sized vectors") {
+    // The cross-table candidate dedup in lshTopK / embeddingNearDupPairs
+    // must shuffle id pairs only — a distinct whose output carries the
+    // embedding arrays multiplies shuffle bytes by ~2·dim·8 per duplicate
+    // candidate at corpus scale. Vectors rejoin after the distinct.
+    Seq("t07_ann_lsh", "t09_embedding_neardup").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sfd).queryExecution.sparkPlan
+      val distincts = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.isEmpty && a.groupingExpressions.nonEmpty => a
+      }
+      assert(distincts.nonEmpty, s"$n: expected a candidate-dedup distinct in the plan")
+      distincts.foreach { a =>
+        val arrays = a.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"$n: candidate distinct carries array column(s) ${arrays.map(_.name).mkString(",")}")
+      }
+    }
+  }
+
   test("catalog read pushes filters and projection into the parquet scan") {
     val cat = new GraftCatalog(spark, tmpDir("graft-plan"))
     cat.writeToTable((1L to 1000L).map(i => (i, s"n$i", (i % 5).toInt)).toDF("id", "name", "grp"), "p.t")
