@@ -583,8 +583,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     // incoming frame actually has — absent columns stay absent; readers
     // backfill nulls/defaults from the latest schema).
     val present = futureFilled.columns.toSet
+    val inTypes = futureFilled.schema.fields.map(f => f.name -> f.dataType).toMap
     val coerced = futureFilled.select(targetSchema.fields.filter(f => present(f.name)).map { f =>
-      col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      // conform, not cast: an evolved nested struct needs its field set
+      // rebuilt by name (cast cannot add struct fields).
+      TypePromotion.conform(col(f.name), inTypes(f.name), f.dataType).as(f.name, f.metadata)
     }.toIndexedSeq: _*)
 
     // Bulk-load fast path: the FIRST merge write to an empty table under

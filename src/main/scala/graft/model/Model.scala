@@ -363,9 +363,32 @@ object TypePromotion {
       val p = math.min(DecimalType.MAX_PRECISION, intDigits + scale)
       Some(DecimalType(p, scale))
     case (DateType, TimestampType) | (TimestampType, DateType) => Some(TimestampType)
-    case (StringType, _) | (_, StringType) => Some(StringType)
     case (ArrayType(x, n1), ArrayType(y, n2)) =>
       promote(x, y).map(e => ArrayType(e, n1 || n2))
+    // Nested structs unify field-wise by name (reference schema.py:319-321
+    // models nested field paths; pa.unify_schemas promote_options="permissive"
+    // widens inside structs): shared fields promote recursively, fields
+    // present on only one side are kept and become nullable (the other side's
+    // rows read null there).
+    case (x: StructType, y: StructType) =>
+      val yByName = y.fields.map(f => f.name -> f).toMap
+      val xNames = x.fieldNames.toSet
+      val merged = x.fields.map { xf =>
+        yByName.get(xf.name) match {
+          case Some(yf) =>
+            promote(xf.dataType, yf.dataType)
+              .map(dt => xf.copy(dataType = dt, nullable = xf.nullable || yf.nullable))
+          case None => Some(xf.copy(nullable = true))
+        }
+      }
+      if (merged.contains(None)) None
+      else {
+        val appended = y.fields.filterNot(f => xNames.contains(f.name)).map(_.copy(nullable = true))
+        Some(StructType(merged.flatten ++ appended))
+      }
+    case (MapType(kx, vx, n1), MapType(ky, vy, n2)) =>
+      for { k <- promote(kx, ky); v <- promote(vx, vy) } yield MapType(k, v, n1 || n2)
+    case (StringType, _) | (_, StringType) => Some(StringType)
     case _ => None
   }
 
@@ -387,4 +410,45 @@ object TypePromotion {
       .map(_.copy(nullable = true))
     StructType(widened ++ added)
   }
+
+  /** Structurally coerce a column of type `from` to type `to`. Spark's `cast`
+    * cannot add/drop struct fields (it requires equal field counts), so an
+    * evolved nested schema needs the struct rebuilt field-by-field by NAME:
+    * shared fields conform recursively, fields absent from `from` become
+    * typed nulls. Falls back to a plain `cast` wherever the shape already
+    * lines up — the common (non-evolving) write stays fully codegen'd; the
+    * lambda-based array/map rebuild only appears on writes that actually
+    * reshape a nested struct. */
+  def conform(c: Column, from: DataType, to: DataType): Column = (from, to) match {
+    case (f, t) if f == t => c
+    case (fs: StructType, ts: StructType) if needsRebuild(fs, ts) =>
+      val fByName = fs.fields.map(x => x.name -> x).toMap
+      val rebuilt = struct(ts.fields.toIndexedSeq.map { tf =>
+        fByName.get(tf.name) match {
+          case Some(ff) => conform(c.getField(tf.name), ff.dataType, tf.dataType).as(tf.name)
+          case None => lit(null).cast(tf.dataType).as(tf.name)
+        }
+      }: _*)
+      // struct(...) of a null struct would yield a row of nulls, not null.
+      when(c.isNull, lit(null)).otherwise(rebuilt).cast(ts)
+    case (ArrayType(fe, _), ArrayType(te, _)) if needsRebuild(fe, te) =>
+      transform(c, e => conform(e, fe, te)).cast(to)
+    case (MapType(_, fv, _), MapType(_, tv, _)) if needsRebuild(fv, tv) =>
+      transform_values(c, (_, v) => conform(v, fv, tv)).cast(to)
+    case _ => c.cast(to)
+  }
+
+  /** True when a struct somewhere under (from → to) changes its field SET —
+    * the case plain `cast` cannot express. */
+  private def needsRebuild(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (fs: StructType, ts: StructType) =>
+      !sameShape(fs, ts) ||
+        fs.fields.zip(ts.fields).exists { case (a, b) => needsRebuild(a.dataType, b.dataType) }
+    case (ArrayType(fe, _), ArrayType(te, _)) => needsRebuild(fe, te)
+    case (MapType(_, fv, _), MapType(_, tv, _)) => needsRebuild(fv, tv)
+    case _ => false
+  }
+
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fieldNames.sameElements(b.fieldNames)
 }

@@ -597,6 +597,35 @@ object CatalogQueries {
       val pcol = PartitionKey("r_regionkey", Transform.Identity).partitionColumnName
       cat.partitionStreamPositions("q.r")
         .select(col(pcol).as("part_value"), col("stream_position"))
+    },
+
+    // Nested-struct schema evolution (reference schema.py:319-321 nested
+    // field paths; pa.unify_schemas permissive widening inside structs):
+    // write struct<a:int,b:string>, then a second write whose struct widens
+    // a→bigint, drops b, and appends c. AUTO evolution unifies to
+    // struct<a:bigint,b:string,c:string>; write-1 files are read under the
+    // evolved nested schema (a widened, c null) and write-2 rows conform at
+    // write time (b null). Output flattens the struct — the compare harness
+    // sorts/hashes primitive cells.
+    Q("c39_nested_evolution", Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(n_regionkey AS BIGINT) AS a,
+             n_name AS b, CAST(NULL AS VARCHAR) AS c FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS BIGINT) AS id, CAST(n_nationkey AS BIGINT) AS a,
+             CAST(NULL AS VARCHAR) AS b, 'c' || CAST(n_nationkey AS VARCHAR) AS c FROM nation""")) { (s, dir) =>
+      val cat = newCat(s, "c39")
+      val n = tbl(s, dir, "nation")
+      cat.writeToTable(n.select(
+        col("n_nationkey").cast(LongType).as("id"),
+        struct(col("n_regionkey").cast(IntegerType).as("a"), col("n_name").as("b")).as("meta")),
+        "q.t")
+      cat.writeToTable(n.select(
+        (col("n_nationkey") + 100).cast(LongType).as("id"),
+        struct(col("n_nationkey").cast(LongType).as("a"),
+          concat(lit("c"), col("n_nationkey").cast(StringType)).as("c")).as("meta")),
+        "q.t", WriteMode.Add)
+      cat.readTable("q.t").select(col("id"), col("meta.a").as("a"),
+        col("meta.b").as("b"), col("meta.c").as("c"))
     }
   )
 }

@@ -204,6 +204,81 @@ class SchemaPolicySpec extends SparkSpec {
       Map("media" -> Seq("id"), "meta" -> Seq("id", "language")))
   }
 
+  test("nested-struct AUTO evolution: widen inside struct, append nested field") {
+    val cat = newCatalog()
+    val n1 = Seq((1L, (10, "x")), (2L, (20, "y"))).toDF("id", "meta")
+      .select($"id", $"meta".cast(StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))).as("meta"))
+    cat.writeToTable(n1, "p.nest")
+    // second write: a widened to long, b absent, c appended
+    val n2 = Seq((3L, (30L, "zz"))).toDF("id", "meta")
+      .select($"id", $"meta".cast(StructType(Seq(
+        StructField("a", LongType), StructField("c", StringType)))).as("meta"))
+    cat.writeToTable(n2, "p.nest", WriteMode.Add)
+    val evolved = cat.tableSchema("p.nest")("meta").dataType.asInstanceOf[StructType]
+    assert(evolved.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(evolved("a").dataType == LongType)
+    val rows = cat.readTable("p.nest")
+      .select($"id", $"meta.a", $"meta.b", $"meta.c")
+      .as[(Long, Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10L, Some("x"), None), (2L, 20L, Some("y"), None),
+      (3L, 30L, None, Some("zz"))))
+  }
+
+  test("nested evolution inside array<struct> and map values; incompatible nested change rejects") {
+    val cat = newCatalog()
+    val w1 = Seq((1L, Seq((1, "p")))).toDF("id", "tags")
+      .select($"id", $"tags".cast(ArrayType(StructType(Seq(
+        StructField("k", IntegerType), StructField("v", StringType))))).as("tags"))
+    cat.writeToTable(w1, "p.arr")
+    val w2 = Seq((2L, Seq((5L, 0.5)))).toDF("id", "tags")
+      .select($"id", $"tags".cast(ArrayType(StructType(Seq(
+        StructField("k", LongType), StructField("w", DoubleType))))).as("tags"))
+    cat.writeToTable(w2, "p.arr", WriteMode.Add)
+    val el = cat.tableSchema("p.arr")("tags").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(el.fieldNames.toSeq == Seq("k", "v", "w") && el("k").dataType == LongType)
+    val got = cat.readTable("p.arr").select($"id", explode($"tags").as("t"))
+      .select($"id", $"t.k", $"t.v", $"t.w")
+      .as[(Long, Long, Option[String], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, Some("p"), None), (2L, 5L, None, Some(0.5))))
+    // a nested field changing to a non-promotable type is an incompatible
+    // change (k: long vs array<int>; note v: string vs array WOULD promote —
+    // the lattice sends anything to string)
+    val bad = Seq((3L, Seq((Seq(1), "p")))).toDF("id", "tags")
+      .select($"id", $"tags".cast(ArrayType(StructType(Seq(
+        StructField("k", ArrayType(IntegerType)), StructField("v", StringType))))).as("tags"))
+    val e = intercept[IllegalArgumentException] {
+      cat.writeToTable(bad, "p.arr", WriteMode.Add)
+    }
+    assert(e.getMessage.contains("incompatible"), e.getMessage)
+  }
+
+  test("nested evolution under MANUAL mode is rejected; alterTable applies it") {
+    val cat = newCatalog()
+    val metaT = StructType(Seq(StructField("a", IntegerType)))
+    cat.createTable("p.man", StructType(Seq(
+      FieldMeta.field("id", LongType), StructField("meta", metaT))),
+      properties = Map("schema_evolution" -> "MANUAL"))
+    val w1 = Seq((1L, Tuple1(1))).toDF("id", "meta")
+      .select($"id", $"meta".cast(metaT).as("meta"))
+    cat.writeToTable(w1, "p.man", WriteMode.Add)
+    val wide = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val w2 = Seq((2L, (2, "n"))).toDF("id", "meta")
+      .select($"id", $"meta".cast(wide).as("meta"))
+    val e = intercept[IllegalArgumentException] {
+      cat.writeToTable(w2, "p.man", WriteMode.Add)
+    }
+    assert(e.getMessage.contains("MANUAL"), e.getMessage)
+    // explicit DDL evolves the nested type, after which the write lands
+    cat.alterTable("p.man", newSchema = Some(StructType(Seq(
+      FieldMeta.field("id", LongType), StructField("meta", wide)))))
+    cat.writeToTable(w2, "p.man", WriteMode.Add)
+    val rows = cat.readTable("p.man").select($"id", $"meta.a", $"meta.b")
+      .as[(Long, Int, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 1, None), (2L, 2, Some("n"))))
+  }
+
   test("gzip content encoding round-trips through write, compaction and read") {
     val cat = newCatalog()
     cat.createTable("p.z", StructType(Seq(
