@@ -626,6 +626,36 @@ object CatalogQueries {
         "q.t", WriteMode.Add)
       cat.readTable("q.t").select(col("id"), col("meta.a").as("a"),
         col("meta.b").as("b"), col("meta.c").as("c"))
+    },
+
+    // CDC change feed (reference discover_deltas, compactor_v2/utils/io.py:171):
+    // rows of every delta past a consumer's checkpoint position, tagged with
+    // _delta_type/_stream_position. Positions are the per-table revision
+    // numbers (1=base load, 2=upsert, 3=delete), so afterPosition=1 yields
+    // exactly the upsert rows and the key-only delete tombstones.
+    Q("c40_read_changes", Some("""
+      SELECT n_nationkey, 'UPD' AS n_name, n_regionkey,
+             'UPSERT' AS _delta_type, CAST(2 AS BIGINT) AS _stream_position
+      FROM nation WHERE n_nationkey % 5 = 0
+      UNION ALL
+      SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+             'DELETE' AS _delta_type, CAST(3 AS BIGINT) AS _stream_position
+      FROM nation WHERE n_nationkey % 7 = 0""")) { (s, dir) =>
+      val cat = newCat(s, "c40")
+      val n = tbl(s, dir, "nation")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("n_nationkey", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("n_name", StringType),
+        FieldMeta.field("n_regionkey", IntegerType))), properties = MoR)
+      cat.writeToTable(n.select("n_nationkey", "n_name", "n_regionkey"), "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        n.where(col("n_nationkey") % 5 === 0)
+          .select(col("n_nationkey"), lit("UPD").as("n_name"), col("n_regionkey")),
+        "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        n.where(col("n_nationkey") % 7 === 0).select("n_nationkey"),
+        "q.n", WriteMode.Delete)
+      cat.readChanges("q.n", afterPosition = 1L)
     }
   )
 }
