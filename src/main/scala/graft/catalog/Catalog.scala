@@ -216,7 +216,26 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       if (!purge) Nil
       else visibleDeltas(t, None, None).flatMap(_._2.entries).map(_.path).distinct
     inTxn(txn, s"drop table $t")(tx => stageTableMeta(tx, t, m.copy(dropped = true)))
-    toDelete.foreach(p => try Files.deleteIfExists(Paths.get(p)) catch { case _: Exception => () })
+    // Deletes are best-effort and post-commit; past a small threshold they
+    // run as a Spark job (a purged table can reference 10^5+ files — a
+    // serial driver loop would stall for minutes; same split as
+    // fileRowCounts). Driver loop below it: no job-scheduling latency.
+    if (toDelete.size < 64)
+      toDelete.foreach(p => try Files.deleteIfExists(Paths.get(p)) catch { case _: Exception => () })
+    else {
+      val slices = math.min(toDelete.size, spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(toDelete, slices).foreachPartition { it =>
+        // Hadoop FS, not java.nio: executors must resolve the catalog's
+        // (possibly remote) filesystem the same way scan tasks do.
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { s =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(s)
+            p.getFileSystem(conf).delete(p, false)
+          } catch { case _: Exception => () }
+        }
+      }
+    }
   }
 
   def renameTable(table: String, newName: String, txn: Option[Transaction] = None): Unit = {

@@ -54,6 +54,35 @@ class LifecycleSpec extends SparkSpec {
     tx.abort()
   }
 
+  test("many-file purge deletes via a distributed job, not a driver loop") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-lc-bigpurge"))
+    cat.createTable("l.big", StructType(Seq(
+      FieldMeta.field("id", LongType), FieldMeta.field("v", StringType))),
+      properties = Map("write.max_records_per_file" -> "2"))
+    cat.writeToTable((1L to 300L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "l.big", WriteMode.Add)
+    val paths = cat.manifestTable("l.big").select("path").collect().map(_.getString(0)).toSeq
+    assert(paths.size > 64, s"fixture too small for the distributed branch: ${paths.size}")
+    // Count job stages while the purge runs: past the threshold the deletes
+    // must go through a Spark job (multi-task), never a serial driver loop.
+    @volatile var deleteTasks = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        deleteTasks += sc.stageInfo.numTasks
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      cat.dropTable("l.big", purge = true)
+      // listener events are async; poll briefly for the stage-completed event
+      val deadline = System.currentTimeMillis() + 10000
+      while (deleteTasks <= 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(deleteTasks > 1, "purge of a many-file table must run as a multi-task Spark job")
+    assert(paths.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "purge must delete every manifest-listed data file")
+  }
+
   test("a janitor-failed transaction cannot seal afterwards") {
     val cat = new GraftCatalog(spark, tmpDir("graft-lc2"))
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "l.t")
