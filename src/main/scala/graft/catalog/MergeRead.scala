@@ -170,9 +170,15 @@ object MergeRead {
       .distinct().collect().map(_.getInt(0)).toSet
   }
 
-  /** Sparse-merge guardrails: the pending key set must be broadcastable
-    * (row cap) and small relative to the base (ratio), or the dense
-    * shuffle resolve wins. */
+  /** Sparse-merge guardrail defaults: the pending key set must be
+    * broadcastable (row cap) and small relative to the base (ratio), or the
+    * dense shuffle resolve wins. Both are tunable per-session alongside
+    * `graft.merge.sparse.enabled`:
+    *  - `graft.merge.sparse.maxPendingRows` (default 4M): pending rows above
+    *    this never broadcast — size it to what one executor can hold.
+    *  - `graft.merge.sparse.minBaseRatio` (default 8): the base must be at
+    *    least this many times larger than pending — below it, the double
+    *    base scan costs more than the dense shuffle saves. */
   private val SparseMaxPendingRows = 4L * 1000 * 1000
   private val SparseMaxPendingRatio = 8L
 
@@ -187,13 +193,17 @@ object MergeRead {
     def knownRows(entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
       if (entries.isEmpty || entries.exists(_.recordCount < 0)) None
       else Some(entries.map(_.recordCount).sum)
+    val maxPendingRows = spark.conf
+      .get("graft.merge.sparse.maxPendingRows", SparseMaxPendingRows.toString).toLong
+    val minBaseRatio = spark.conf
+      .get("graft.merge.sparse.minBaseRatio", SparseMaxPendingRatio.toString).toLong
     val basePathSet = basePaths.toSet
     val baseRows = base.map(_.entries.filter(e => basePathSet(e.path))).flatMap(knownRows)
     val pendingRows = knownRows(pending.flatMap(_.entries))
     spark.conf.get("graft.merge.sparse.enabled", "true").toBoolean &&
       base.isDefined && basePaths.nonEmpty && pendingPaths.nonEmpty &&
       (for { b <- baseRows; p <- pendingRows }
-        yield p <= SparseMaxPendingRows && p * SparseMaxPendingRatio <= b).getOrElse(false)
+        yield p <= maxPendingRows && p * minBaseRatio <= b).getOrElse(false)
   }
 
   /**

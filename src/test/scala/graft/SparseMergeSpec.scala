@@ -55,6 +55,29 @@ class SparseMergeSpec extends SparkSpec {
     assert(got.size == 10000 + 1 - 11) // 11 multiples of 997 in [0, 10000): 0..9970
   }
 
+  test("sparse thresholds are conf-tunable: ratio and row cap flip the path") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-sparse-conf"))
+    mkTable(cat, "ns.c")
+    cat.writeToTable(spark.range(10000)
+      .select($"id", ($"id" % 7).cast("string").as("v")).toDF(), "ns.c", WriteMode.Merge)
+    cat.writeToTable(spark.range(100)
+      .select(($"id" * 100).as("id"), lit("upd").as("v")).toDF(), "ns.c", WriteMode.Merge)
+    def planOf() = cat.readTable("ns.c").queryExecution.executedPlan.toString
+    // defaults: 100 pending vs 10000 base (ratio 100, cap 4M) → sparse
+    assert(planOf().contains("_g_pk_id"), "default thresholds should take the sparse path")
+    // base must be ≥ 200× pending → only 100× here → dense
+    spark.conf.set("graft.merge.sparse.minBaseRatio", "200")
+    try assert(!planOf().contains("_g_pk_id"),
+      "raised minBaseRatio must fall back to the dense resolve")
+    finally spark.conf.unset("graft.merge.sparse.minBaseRatio")
+    // pending no longer broadcastable under a 50-row cap → dense
+    spark.conf.set("graft.merge.sparse.maxPendingRows", "50")
+    try assert(!planOf().contains("_g_pk_id"),
+      "lowered maxPendingRows must fall back to the dense resolve")
+    finally spark.conf.unset("graft.merge.sparse.maxPendingRows")
+    assert(planOf().contains("_g_pk_id"), "unsetting restores the sparse path")
+  }
+
   test("randomized upsert/delete sequences: sparse read ≡ dense read") {
     val rnd = new scala.util.Random(20260812L)
     for (round <- 0 until 3) {
