@@ -902,17 +902,44 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     * (io/datasource/deltacat_datasource.py: DeltacatReadType.METADATA). */
   def metafilesDF(): DataFrame = {
     import spark.implicits._
-    val rows = scala.collection.mutable.ArrayBuffer[(String, String, Long, String, Boolean)]()
-    val walk = Files.walk(root)
-    try walk.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      if (n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p)) {
-        val parts = n.stripSuffix(".json").split("__", 3)
-        if (parts.length == 3) rows += ((p.toString, parts(2), parts(0).toLong,
-          parts(1), store.isTxnSuccessful(parts(1))))
-      }
-    } finally walk.close()
-    rows.toSeq.toDF("path", "kind", "revision", "txn_id", "committed")
+    // Metafiles live only under root/ns/<namespace>/<table-or-__ns__>/…; the
+    // walk parallelizes over those depth-2 dirs (a 100x-revision catalog has
+    // metadata-sized dir COUNT but per-table revision fan-out — exactly the
+    // axis a Spark job spreads). A pure lambda (no `this` capture: Catalog
+    // is not serializable) so the same walker runs on driver or executors.
+    val walkUnit: String => Seq[(String, String, Long, String)] = { dir =>
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+      val walk = Files.walk(Paths.get(dir))
+      try walk.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p)) {
+          val parts = n.stripSuffix(".json").split("__", 3)
+          if (parts.length == 3) out += ((p.toString, parts(2), parts(0).toLong, parts(1)))
+        }
+      } finally walk.close()
+      out.toSeq
+    }
+    val base = root.resolve("ns")
+    val units: Seq[String] =
+      if (!Files.isDirectory(base)) Nil
+      else listDirs(base).flatMap(listDirs).map(_.toString)
+    val ok = store.successfulTxns().keySet
+    if (units.size < 8)
+      units.flatMap(walkUnit).map { case (p, k, r, t) => (p, k, r, t, ok(t)) }
+        .toDF("path", "kind", "revision", "txn_id", "committed")
+    else {
+      val bc = spark.sparkContext.broadcast(ok)
+      val slices = math.min(units.size, spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(units, slices)
+        .flatMap(u => walkUnit(u).map { case (p, k, r, t) => (p, k, r, t, bc.value(t)) })
+        .toDF("path", "kind", "revision", "txn_id", "committed")
+    }
+  }
+
+  private def listDirs(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq finally s.close()
   }
 
   /** Event-time high watermark: the max committed value of the table's

@@ -99,5 +99,17 @@ class PlanSpec extends SparkSpec {
     assert(cat.metafilesDF().where(!$"committed").count() == 0)
     assert(cat.eventTimeWatermark("p.e").contains("2024-01-02 09:30:00"))
     assert(cat.eventTimeWatermark("p.e").isDefined)
+    // Past 8 table dirs the listing walks as a distributed job; the output
+    // must be identical in content to the driver-side walk's.
+    val before = cat.metafilesDF().collect().map(_.toSeq).toSet
+    (1 to 9).foreach(i => cat.writeToTable(Seq((i.toLong, s"v$i")).toDF("id", "v"), s"p.m$i"))
+    val after = cat.metafilesDF()
+    val rows = after.collect()
+    assert(before.subsetOf(rows.map(_.toSeq).toSet), "distributed walk lost driver-walk rows")
+    (1 to 9).foreach { i =>
+      assert(rows.exists(r => r.getString(0).contains(s"/m$i/") && r.getString(1) == "meta"),
+        s"table p.m$i missing from distributed metafilesDF")
+    }
+    assert(after.where(!$"committed").count() == 0)
   }
 }
