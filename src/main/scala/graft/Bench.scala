@@ -105,6 +105,69 @@ object Bench {
       spark.read.parquet(s"$out/li").count()
     }
 
+    // ---- 10x scaled entries. sf0.1 is small enough that per-job overhead
+    // dominates; these rerun the two heaviest paths at 10x the volume
+    // (deterministic synthetic derivation, prep unmeasured) so the round
+    // numbers expose scaling behavior, not constants. Single-shot timing:
+    // at this length the run amortizes its own scheduler noise.
+    locally {
+      val scaleDir = Files.createTempDirectory("graft_bench_10x").toString
+      // Corpus: each doc yields v=0 (original), v=1 (every 10th word
+      // salted — a planted near-dup), v=2..9 (every 2nd word salted —
+      // distinct). Deterministic: salts hash (doc_id, v, position).
+      val words = split(col("text"), "\\s+")
+      val step = when(col("v") === 1, lit(10)).otherwise(lit(2))
+      val mutated = transform(words, (w, i) =>
+        when(col("v") =!= 0 && i % step === 0,
+          concat(lit("s"), abs(hash(col("doc_id"), col("v"), i)).cast("string")))
+          .otherwise(w))
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+        .withColumn("v", explode(sequence(lit(0), lit(9))))
+        .select((col("doc_id") * 10 + col("v")).as("doc_id"),
+          concat_ws(" ", mutated).as("text"))
+        .write.mode("overwrite").parquet(s"$scaleDir/documents10x")
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .select((col("l_orderkey") + col("rep").cast(LongType) * 100000000L).as("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").parquet(s"$scaleDir/lineitem10x")
+
+      val docs10 = spark.read.parquet(s"$scaleDir/documents10x")
+      results("t04_minhash_neardup_10x") = time {
+        graft.operators.Dedup.minhashPairs(docs10, "doc_id", "text",
+          bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+          maxBucketWidth = Some(64)).count()
+      }
+      val li10 = spark.read.parquet(s"$scaleDir/lineitem10x")
+      results("pipeline_10x") = time {
+        val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench10").toString)
+        cat.createTable("bench.li10", StructType(Seq(
+          FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
+          FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
+          FieldMeta.field("l_quantity", DoubleType),
+          FieldMeta.field("l_extendedprice", DoubleType),
+          FieldMeta.field("l_returnflag", StringType))))
+        cat.writeToTable(li10, "bench.li10", WriteMode.Merge)
+        cat.writeToTable(
+          li10.where(col("l_orderkey") % 100 === 0)
+            .withColumn("l_extendedprice", col("l_extendedprice") * 1.1),
+          "bench.li10", WriteMode.Merge)
+        cat.writeToTable(
+          li10.select("l_orderkey", "l_linenumber").where(col("l_orderkey") % 101 === 0),
+          "bench.li10", WriteMode.Delete)
+        cat.readTable("bench.li10").count()
+      }
+      // 10x raw floor: anchors how much of pipeline_10x is irreducible
+      // parquet write+read (the fixed ACID/commit costs amortize with
+      // scale — the pipeline/floor ratio should SHRINK vs the 1x pair).
+      results("baseline_raw_spark_10x") = time {
+        val out = Files.createTempDirectory("graft_bench_raw10").toString
+        li10.write.mode("overwrite").parquet(s"$out/li")
+        spark.read.parquet(s"$out/li").count()
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
