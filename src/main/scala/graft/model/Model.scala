@@ -58,9 +58,11 @@ object WriteMode {
  * Table data-file content type — reference ContentType (types/media.py:7-32)
  * re-expressed as Spark datasource format + options. TSV/PSV ride the csv
  * datasource with a different delimiter (their files still carry Spark's
- * .csv extension). Feather (no Arrow-IPC datasource in Spark) and Avro (the
- * spark-avro SQL module is not on this distribution's classpath) are
- * de-scoped — declaring them would advertise formats that fail at runtime.
+ * .csv extension). Avro and Feather (Arrow IPC) have no Spark datasource on
+ * this distribution, so Graft ships its own V1 FileFormats
+ * (org.apache.spark.sql.graft.formats.{AvroFileFormat, FeatherFileFormat},
+ * registered as "avro"/"feather" via DataSourceRegister) built on the
+ * avro-core and arrow-vector libraries that ARE on the classpath.
  */
 sealed trait ContentType {
   def name: String
@@ -93,7 +95,13 @@ object ContentType {
   case object Orc extends ContentType {
     val name = "orc"; val format = "orc"; val extension = ".orc"
   }
-  val all: Seq[ContentType] = Seq(Parquet, Csv, Tsv, Psv, Json, Orc)
+  case object Avro extends ContentType {
+    val name = "avro"; val format = "avro"; val extension = ".avro"
+  }
+  case object Feather extends ContentType {
+    val name = "feather"; val format = "feather"; val extension = ".feather"
+  }
+  val all: Seq[ContentType] = Seq(Parquet, Csv, Tsv, Psv, Json, Orc, Avro, Feather)
   def fromName(n: String): ContentType =
     all.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"unknown content type $n"))

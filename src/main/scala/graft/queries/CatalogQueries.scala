@@ -656,6 +656,54 @@ object CatalogQueries {
         n.where(col("n_nationkey") % 7 === 0).select("n_nationkey"),
         "q.n", WriteMode.Delete)
       cat.readChanges("q.n", afterPosition = 1L)
+    },
+
+    // Avro content type (reference utils/pyarrow.py:448-483,643) through
+    // Graft's own AvroFileFormat: merge + delete + read on an avro table.
+    Q("c41_avro_merge", Some("""
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'A' ELSE n_name END AS n_name
+      FROM nation WHERE n_nationkey % 4 <> 0""")) { (s, dir) =>
+      val cat = newCat(s, "c41")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("n_nationkey", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("n_name", StringType))), properties = Map(
+        "content_type" -> "avro", "read_optimization" -> "NONE"))
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      cat.writeToTable(n, "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        n.where(col("n_nationkey") % 3 === 0)
+          .select(col("n_nationkey"), lit("A").as("n_name")),
+        "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        n.where(col("n_nationkey") % 4 === 0).select("n_nationkey"),
+        "q.n", WriteMode.Delete)
+      cat.readTable("q.n")
+    },
+
+    // Feather/Arrow-IPC content type (reference utils/pyarrow.py:272-329)
+    // through Graft's own FeatherFileFormat, with compaction rewriting the
+    // LSM into feather files.
+    Q("c42_feather_merge", Some("""
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'F' ELSE n_name END AS n_name
+      FROM nation WHERE n_nationkey % 4 <> 0""")) { (s, dir) =>
+      val cat = newCat(s, "c42")
+      cat.createTable("q.n", StructType(Seq(
+        FieldMeta.field("n_nationkey", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("n_name", StringType))), properties = Map(
+        "content_type" -> "feather", "read_optimization" -> "NONE"))
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      cat.writeToTable(n, "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        n.where(col("n_nationkey") % 3 === 0)
+          .select(col("n_nationkey"), lit("F").as("n_name")),
+        "q.n", WriteMode.Merge)
+      cat.writeToTable(
+        n.where(col("n_nationkey") % 4 === 0).select("n_nationkey"),
+        "q.n", WriteMode.Delete)
+      cat.compact("q.n")
+      cat.readTable("q.n")
     }
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/** Graft's own Avro and Feather (Arrow IPC) FileFormats: typed roundtrips,
+  * schema-evolution reads (absent columns null, numeric widening), and full
+  * catalog LSM integration (merge, delete, compaction). */
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val formats = Seq("avro", "feather")
+
+  test("typed roundtrip: primitives, date, binary, array, map, struct, nulls") {
+    val df = Seq(
+      (1L, "alpha", 1.5, java.sql.Date.valueOf("2024-01-02"), Array[Byte](1, 2),
+        Seq(1, 2, 3), Map("k" -> 1L), (7, "in")),
+      (2L, null.asInstanceOf[String], -0.25, null.asInstanceOf[java.sql.Date],
+        null.asInstanceOf[Array[Byte]], Seq.empty[Int], Map.empty[String, Long],
+        (8, null.asInstanceOf[String])))
+      .toDF("id", "s", "d", "dt", "bin", "arr", "m", "st")
+    for (fmt <- formats) {
+      val out = tmpDir(s"fmt-rt-$fmt")
+      df.write.format(fmt).mode("overwrite").save(out)
+      val back = spark.read.schema(df.schema).format(fmt).load(out)
+      // compare via json so binary/map/struct compare by VALUE
+      assert(back.toJSON.collect().sorted.toSeq == df.toJSON.collect().sorted.toSeq,
+        s"$fmt roundtrip mismatch")
+      // schemaless read infers the written schema
+      val inferred = spark.read.format(fmt).load(out).schema
+      assert(inferred.fieldNames.toSeq == df.schema.fieldNames.toSeq, s"$fmt inference")
+    }
+  }
+
+  test("timestamp and decimal roundtrip") {
+    val df = Seq(
+      (1L, "2024-03-01 10:30:00", BigDecimal("1234.56")),
+      (2L, "2024-03-02 23:59:59", BigDecimal("-0.01")))
+      .toDF("id", "ts", "dec")
+      .select($"id", $"ts".cast("timestamp_ntz").as("ts"), $"dec".cast(DecimalType(10, 2)).as("dec"))
+    for (fmt <- formats) {
+      val out = tmpDir(s"fmt-ts-$fmt")
+      df.write.format(fmt).mode("overwrite").save(out)
+      val back = spark.read.schema(df.schema).format(fmt).load(out)
+      assert(back.toJSON.collect().sorted.toSeq == df.toJSON.collect().sorted.toSeq,
+        s"$fmt ts/decimal mismatch")
+    }
+  }
+
+  test("evolved reads: absent column null-fills, int widens to long/double") {
+    for (fmt <- formats) {
+      val out = tmpDir(s"fmt-ev-$fmt")
+      Seq((1, 10), (2, 20)).toDF("k", "v").write.format(fmt).mode("overwrite").save(out)
+      val evolved = spark.read.schema(StructType(Seq(
+        StructField("k", LongType), StructField("v", DoubleType),
+        StructField("w", StringType)))).format(fmt).load(out)
+      val got = evolved.as[(Long, Double, Option[String])].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 10.0, None), (2L, 20.0, None)), s"$fmt evolved read: $got")
+    }
+  }
+
+  test("catalog LSM on avro/feather tables: merge, delete, compact, read") {
+    for (fmt <- formats) {
+      val cat = new GraftCatalog(spark, tmpDir(s"fmt-cat-$fmt"))
+      cat.createTable("f.t", StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", StringType))), properties = Map(
+        "content_type" -> fmt, "read_optimization" -> "NONE"))
+      cat.writeToTable((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), "f.t", WriteMode.Merge)
+      cat.writeToTable(Seq((7L, "updated")).toDF("id", "v"), "f.t", WriteMode.Merge)
+      cat.writeToTable(Seq(9L).toDF("id"), "f.t", WriteMode.Delete)
+      cat.compact("f.t")
+      val got = cat.readTable("f.t").select("id", "v").as[(Long, String)].collect().toMap
+      assert(got.size == 49 && got(7L) == "updated" && !got.contains(9L) && got(8L) == "v8",
+        s"$fmt catalog merge state wrong")
+      val paths = cat.manifestTable("f.t").select("path").as[String].collect()
+      assert(paths.nonEmpty && paths.forall(_.endsWith(s".$fmt")),
+        s"$fmt extension: ${paths.take(3).mkString(",")}")
+      cat.dropTable("f.t")
+    }
+  }
+}
