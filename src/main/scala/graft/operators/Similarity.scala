@@ -160,30 +160,47 @@ object Similarity {
    * which is how IVF codebooks work at any scale). An emptied cluster
    * keeps its previous centroid. iters=0 returns the raw init — useful
    * when the codebook must be reproducible by an external oracle.
+   *
+   * `trainFraction` < 1 trains on a deterministic hash-sample of the
+   * corpus: each Lloyd's round re-scans its input, so at 100 TB the
+   * training frame must be a sample (a coarse codebook needs ~100-1000
+   * points per centroid, not the corpus). The sample is engine- and
+   * rerun-stable (md5 bucket of the id — same contract as
+   * TextOps.deterministicSample) and persisted across rounds, so the
+   * full corpus is read exactly once regardless of `iters`.
    */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 0): Array[Array[Double]] = {
-    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      nlist: Int, iters: Int = 0, trainFraction: Double = 1.0): Array[Array[Double]] = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0,1], got $trainFraction")
+    val all = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .where(col("v").isNotNull)
-    var cents = base.orderBy("id").limit(nlist).collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, s"cannot train centroids on an empty corpus")
-    for (_ <- 0 until iters) {
-      val means = Par.widen(base.toDF())
-        .select(nearestCid(col("v"), cents).as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid").agg(map_from_arrays(
-          collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
-        .collect().map(r => r.getInt(0) ->
-          r.getMap[Int, Double](1)).toMap
-      cents = cents.zipWithIndex.map { case (old, i) =>
-        means.get(i) match {
-          case Some(byPos) => old.indices.map(p => byPos.getOrElse(p, old(p))).toArray
-          case None => old
+    val base =
+      if (trainFraction >= 1.0) all
+      else all.where(
+        TextOps.hashBucket(col("id"), 10000) < math.round(trainFraction * 10000).toInt)
+    val cached = if (iters > 0) base.persist() else base
+    try {
+      var cents = cached.orderBy("id").limit(nlist).collect()
+        .map(_.getSeq[Double](1).toArray)
+      require(cents.nonEmpty, s"cannot train centroids on an empty corpus")
+      for (_ <- 0 until iters) {
+        val means = Par.widen(cached.toDF())
+          .select(nearestCid(col("v"), cents).as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cid").agg(map_from_arrays(
+            collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+          .collect().map(r => r.getInt(0) ->
+            r.getMap[Int, Double](1)).toMap
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          means.get(i) match {
+            case Some(byPos) => old.indices.map(p => byPos.getOrElse(p, old(p))).toArray
+            case None => old
+          }
         }
       }
-    }
-    cents
+      cents
+    } finally if (iters > 0) { cached.unpersist(); () }
   }
 
   /**

@@ -60,10 +60,11 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
       options: Map[String, String],
       dataSchema: StructType): OutputWriterFactory =
     new OutputWriterFactory {
+      private val codec = options.get("compression")
       override def getFileExtension(context: TaskAttemptContext): String = ".avro"
       override def newInstance(
           path: String, dataSchema: StructType, context: TaskAttemptContext): OutputWriter =
-        new AvroOutputWriter(path, dataSchema, context)
+        new AvroOutputWriter(path, dataSchema, context, codec)
     }
 
   override def buildReader(
@@ -291,15 +292,32 @@ object AvroFileFormat {
 }
 
 private class AvroOutputWriter(
-    val path: String, dataSchema: StructType, context: TaskAttemptContext) extends OutputWriter {
+    val path: String, dataSchema: StructType, context: TaskAttemptContext,
+    compression: Option[String]) extends OutputWriter {
   private val avroSchema = AvroFileFormat.toAvroSchema(dataSchema)
   private val conv = AvroFileFormat.rowToAvro(dataSchema, avroSchema)
   private val writer = {
     val p = new Path(path)
     val out = p.getFileSystem(context.getConfiguration).create(p, false)
-    new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
-      .create(avroSchema, out)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    compression.foreach(c => w.setCodec(AvroOutputWriter.codecFor(c)))
+    w.create(avroSchema, out)
   }
   override def write(row: InternalRow): Unit = writer.append(conv(row))
   override def close(): Unit = writer.close()
+}
+
+private object AvroOutputWriter {
+  import org.apache.avro.file.CodecFactory
+  /** Graft content_encoding → Avro container codec (reads are transparent:
+    * the codec rides the file header). */
+  def codecFor(name: String): CodecFactory = name match {
+    case "gzip" | "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+    case "snappy" => CodecFactory.snappyCodec()
+    case "zstd" => CodecFactory.zstandardCodec(CodecFactory.DEFAULT_ZSTANDARD_LEVEL)
+    case "bzip2" => CodecFactory.bzip2Codec()
+    case "xz" => CodecFactory.xzCodec(CodecFactory.DEFAULT_XZ_LEVEL)
+    case other => throw new UnsupportedOperationException(
+      s"avro: unsupported content_encoding $other (gzip/deflate/snappy/zstd/bzip2/xz)")
+  }
 }

@@ -65,10 +65,11 @@ class FeatherFileFormat extends FileFormat with DataSourceRegister with Serializ
       dataSchema: StructType): OutputWriterFactory = {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     new OutputWriterFactory {
+      private val codec = options.get("compression")
       override def getFileExtension(context: TaskAttemptContext): String = ".feather"
       override def newInstance(
           path: String, dataSchema: StructType, context: TaskAttemptContext): OutputWriter =
-        new FeatherOutputWriter(path, dataSchema, context, tz)
+        new FeatherOutputWriter(path, dataSchema, context, tz, codec)
     }
   }
 
@@ -86,8 +87,11 @@ class FeatherFileFormat extends FileFormat with DataSourceRegister with Serializ
       val in = p.getFileSystem(confBc.value.value).open(p)
       val allocator =
         ArrowUtils.rootAllocator.newChildAllocator(s"graft-feather-${p.getName}", 0, Long.MaxValue)
+      // the commons compression factory serves zstd/lz4 batch bodies and is
+      // only consulted when a batch declares compression
       val reader = new ArrowFileReader(
-        new SeekableReadChannel(new HadoopSeekableChannel(in, file.fileSize)), allocator)
+        new SeekableReadChannel(new HadoopSeekableChannel(in, file.fileSize)), allocator,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
       def closeAll(): Unit = { reader.close(); allocator.close() }
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
       val root = reader.getVectorSchemaRoot
@@ -210,7 +214,7 @@ private class HadoopSeekableChannel(in: FSDataInputStream, len: Long) extends Se
 
 private class FeatherOutputWriter(
     val path: String, dataSchema: StructType, context: TaskAttemptContext,
-    timeZoneId: String) extends OutputWriter {
+    timeZoneId: String, compression: Option[String]) extends OutputWriter {
   private val allocator =
     ArrowUtils.rootAllocator.newChildAllocator(s"graft-feather-write", 0, Long.MaxValue)
   private val arrowSchema = ArrowUtils.toArrowSchema(
@@ -222,7 +226,20 @@ private class FeatherOutputWriter(
     p.getFileSystem(context.getConfiguration).create(p, false)
   }
   private val channel = java.nio.channels.Channels.newChannel(out)
-  private val fileWriter = new ArrowFileWriter(root, null, channel)
+  private val fileWriter = compression match {
+    case None => new ArrowFileWriter(root, null, channel)
+    case Some(c) =>
+      import org.apache.arrow.vector.compression.CompressionUtil
+      val codecType = c match {
+        case "zstd" => CompressionUtil.CodecType.ZSTD
+        case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+        case other => throw new UnsupportedOperationException(
+          s"feather: unsupported content_encoding $other (arrow IPC bodies support zstd/lz4)")
+      }
+      new ArrowFileWriter(root, null, channel, null,
+        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, codecType)
+  }
   fileWriter.start()
   private var pending = 0
 

@@ -62,6 +62,33 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("content_encoding codecs: avro container codec, feather IPC body compression") {
+    val df = (1L to 200L).map(i => (i, s"value-$i" * 5)).toDF("id", "v")
+    // avro: gzip->deflate rides the container header, reads transparent
+    for (enc <- Seq("gzip", "snappy", "zstd")) {
+      val cat = new GraftCatalog(spark, tmpDir(s"fmt-enc-avro-$enc"))
+      cat.createTable("f.z", df.schema, properties = Map(
+        "content_type" -> "avro", "content_encoding" -> enc))
+      cat.writeToTable(df, "f.z", WriteMode.Add)
+      assert(cat.readTable("f.z").as[(Long, String)].collect().sorted.toSeq ==
+        df.as[(Long, String)].collect().sorted.toSeq, s"avro/$enc roundtrip")
+    }
+    // feather: arrow IPC bodies compress with zstd/lz4
+    for (enc <- Seq("zstd", "lz4")) {
+      val cat = new GraftCatalog(spark, tmpDir(s"fmt-enc-fth-$enc"))
+      cat.createTable("f.z", df.schema, properties = Map(
+        "content_type" -> "feather", "content_encoding" -> enc))
+      cat.writeToTable(df, "f.z", WriteMode.Add)
+      assert(cat.readTable("f.z").as[(Long, String)].collect().sorted.toSeq ==
+        df.as[(Long, String)].collect().sorted.toSeq, s"feather/$enc roundtrip")
+    }
+    // unsupported combination fails loudly at write, not with corrupt files
+    val cat = new GraftCatalog(spark, tmpDir("fmt-enc-bad"))
+    cat.createTable("f.z", df.schema, properties = Map(
+      "content_type" -> "feather", "content_encoding" -> "gzip"))
+    intercept[Exception] { cat.writeToTable(df, "f.z", WriteMode.Add) }
+  }
+
   test("catalog LSM on avro/feather tables: merge, delete, compact, read") {
     for (fmt <- formats) {
       val cat = new GraftCatalog(spark, tmpDir(s"fmt-cat-$fmt"))

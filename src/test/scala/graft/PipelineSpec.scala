@@ -246,6 +246,20 @@ class PipelineSpec extends SparkSpec {
     val got = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+    // Sampled training (the 100 TB shape: each Lloyd's round scans the
+    // sample, not the corpus) is deterministic across invocations and
+    // still yields a full, usable codebook.
+    val s1 = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2, trainFraction = 0.5)
+    val s2 = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2, trainFraction = 0.5)
+    assert(s1.length == 8 && s1.forall(_.length == 64))
+    assert(s1.zip(s2).forall { case (a, b) => a.sameElements(b) },
+      "sampled training must be rerun-deterministic")
+    val sApprox = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, s1, nprobe = 4)
+    val sGot = sApprox.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & sGot).size.toDouble / exact.size >= 0.5,
+      "sample-trained codebook recall below 0.5")
   }
 
   test("embedding near-dup pairs find a planted duplicate vector; no cross join") {
