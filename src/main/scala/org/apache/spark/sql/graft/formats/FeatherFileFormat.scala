@@ -167,6 +167,40 @@ object FeatherFileFormat {
     case BinaryType => v.getBinary(r)
     case d: DecimalType => v.getDecimal(r, d.precision, d.scale)
     case ArrayType(_, _) => v.getArray(r).copy()
+    case st: StructType => getRowValue(v.getStruct(r), -1, st)
+    case other => throw new UnsupportedOperationException(s"feather: cannot widen-read $other")
+  }
+
+  /** Owned (batch-survival-safe) Catalyst value from a row slot; i = -1
+    * means `row` itself IS the value (a nested struct). Arrow vectors are
+    * reloaded in place per batch, so views (strings, arrays, rows) must be
+    * copied out on the widen path. */
+  private def getRowValue(
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType): Any = dt match {
+    case st: StructType =>
+      val r = if (i < 0) row.asInstanceOf[InternalRow] else row.getStruct(i, st.length)
+      if (r == null) null
+      else {
+        val out = new GenericInternalRow(st.length)
+        var j = 0
+        while (j < st.length) {
+          out.update(j, if (r.isNullAt(j)) null else getRowValue(r, j, st.fields(j).dataType))
+          j += 1
+        }
+        out
+      }
+    case BooleanType => row.getBoolean(i)
+    case ByteType => row.getByte(i)
+    case ShortType => row.getShort(i)
+    case IntegerType | DateType => row.getInt(i)
+    case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+    case FloatType => row.getFloat(i)
+    case DoubleType => row.getDouble(i)
+    case StringType => row.getUTF8String(i).copy()
+    case BinaryType => row.getBinary(i)
+    case d: DecimalType => row.getDecimal(i, d.precision, d.scale)
+    case ArrayType(_, _) => row.getArray(i).copy()
     case other => throw new UnsupportedOperationException(s"feather: cannot widen-read $other")
   }
 
@@ -185,6 +219,27 @@ object FeatherFileFormat {
       v => org.apache.spark.sql.types.Decimal(
         v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
           .setScale(b.scale), b.precision, b.scale)
+    // nested structs conform by NAME: shared fields widen recursively,
+    // appended fields read null (the evolved-nested-read contract, c39)
+    case (a: StructType, b: StructType) =>
+      val plan: Array[Option[(Int, DataType, Any => Any)]] = b.fields.map { bf =>
+        val i = a.fields.indexWhere(_.name == bf.name)
+        if (i < 0) None
+        else Some((i, a.fields(i).dataType, widener(a.fields(i).dataType, bf.dataType)))
+      }
+      v => {
+        val row = v.asInstanceOf[InternalRow]
+        val out = new GenericInternalRow(b.length)
+        var j = 0
+        while (j < b.length) {
+          out.update(j, plan(j) match {
+            case Some((i, sdt, w)) if !row.isNullAt(i) => w(getRowValue(row, i, sdt))
+            case _ => null
+          })
+          j += 1
+        }
+        out
+      }
     case (a, b) => throw new UnsupportedOperationException(
       s"feather: unsupported evolved read $a -> $b")
   }

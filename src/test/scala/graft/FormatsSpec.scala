@@ -89,6 +89,29 @@ class FormatsSpec extends SparkSpec {
     intercept[Exception] { cat.writeToTable(df, "f.z", WriteMode.Add) }
   }
 
+  test("nested-struct schema evolution on avro/feather tables") {
+    // both readers resolve nested fields by NAME, so evolved reads of old
+    // files (widened nested int->long, appended nested field) must work
+    // exactly like the parquet path (c39)
+    for (fmt <- formats) {
+      val cat = new GraftCatalog(spark, tmpDir(s"fmt-nest-$fmt"))
+      val w1 = Seq((1L, (10, "x"))).toDF("id", "meta")
+        .select($"id", $"meta".cast(StructType(Seq(
+          StructField("a", IntegerType), StructField("b", StringType)))).as("meta"))
+      val w2 = Seq((2L, (20L, "zz"))).toDF("id", "meta")
+        .select($"id", $"meta".cast(StructType(Seq(
+          StructField("a", LongType), StructField("c", StringType)))).as("meta"))
+      cat.createTable("f.n", w1.schema, properties = Map("content_type" -> fmt))
+      cat.writeToTable(w1, "f.n", WriteMode.Add)
+      cat.writeToTable(w2, "f.n", WriteMode.Add)
+      val rows = cat.readTable("f.n")
+        .select($"id", $"meta.a", $"meta.b", $"meta.c")
+        .as[(Long, Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+      assert(rows == Seq((1L, 10L, Some("x"), None), (2L, 20L, None, Some("zz"))),
+        s"$fmt nested evolution: $rows")
+    }
+  }
+
   test("catalog LSM on avro/feather tables: merge, delete, compact, read") {
     for (fmt <- formats) {
       val cat = new GraftCatalog(spark, tmpDir(s"fmt-cat-$fmt"))
