@@ -634,7 +634,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         val presentCols = targetSchema.fieldNames.filter(present).toSeq
         val withMissing = targetSchema.fields.filterNot(f => present(f.name))
           .foldLeft(coerced)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-        val numBuckets = meta.properties.get("compaction.num_buckets").map(_.toInt).getOrElse(8)
+        // Bucket count for the fused bulk load: explicit property, else
+        // stats-driven (optimizer size estimate of the incoming frame — for
+        // file-backed plans that is ~on-disk bytes; no execution happens).
+        val numBuckets = meta.properties.get("compaction.num_buckets").map(_.toInt)
+          .getOrElse(Compactor.suggestBuckets(
+            coerced.queryExecution.optimizedPlan.stats.sizeInBytes
+              .min(BigInt(Long.MaxValue)).toLong))
         val maxRec = meta.properties.get("compaction.max_records_per_file")
           .map(_.toLong).getOrElse(Compactor.DefaultMaxRecordsPerFile)
         // Column stats ride the materialize pass (same as the normal write
@@ -1011,15 +1017,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     * numBuckets ≤ 0 resolves to: the existing base's bucket count (so
     * write-triggered recompaction never silently discards copy-by-reference
     * by re-bucketing), else the `compaction.num_buckets` table property,
-    * else 8 (reference default, types/tables.py:659). */
+    * else a stats-driven suggestion from the pending deltas' manifest bytes
+    * (Compactor.suggestBuckets — floor 8, the reference default
+    * types/tables.py:659, so toy tables are unchanged). */
   def compact(table: String, numBuckets: Int = 0): Unit = {
     val n = if (numBuckets > 0) numBuckets
     else {
       val t = th(table)
-      val (base, _) = MergeRead.activeDeltas(effectiveDeltas(t, None))
+      val all = effectiveDeltas(t, None)
+      val (base, _) = MergeRead.activeDeltas(all)
       base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
         .orElse(getTableMeta(table).properties.get("compaction.num_buckets").map(_.toInt))
-        .getOrElse(8)
+        .getOrElse(Compactor.suggestBuckets(all.flatMap(_.entries).map(_.sizeBytes).sum))
     }
     Compactor.compact(this, table, n)
   }

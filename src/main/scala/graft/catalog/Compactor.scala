@@ -37,6 +37,28 @@ object Compactor {
 
   val DefaultMaxRecordsPerFile = 4000000L
 
+  /** ~on-disk bytes one compaction bucket should own. One bucket = one
+    * sorted write task (plus record-slice fan-out), so this bounds task
+    * input at roughly 1 GiB in-memory under the reference's ~4x
+    * parquet→Arrow inflation estimate. */
+  val TargetBucketBytes: Long = 256L << 20
+
+  /** Stats-driven bucket count — the Spark-native analog of the reference's
+    * resource estimation (it sizes worker tasks from manifest metadata,
+    * compute/resource_estimation/manifest.py + the per-type inflation table
+    * api.py:103-120; we size the bucket layout the tasks derive from
+    * instead). Used only when no explicit count exists: a caller argument,
+    * the existing base's count (copy-by-reference must keep the layout) and
+    * the `compaction.num_buckets` table property all take precedence. Floor
+    * 8 keeps toy tables multi-task; cap 16384 bounds file count (buckets ×
+    * slices) on very large tables. */
+  def suggestBuckets(onDiskBytes: Long): Int = {
+    // overflow-safe ceiling: Long.MaxValue-sized stats estimates exist
+    val ceil = onDiskBytes / TargetBucketBytes +
+      (if (onDiskBytes % TargetBucketBytes == 0) 0 else 1)
+    math.min(16384L, math.max(8L, ceil)).toInt
+  }
+
   def compact(cat: GraftCatalog, table: String, numBuckets: Int = 8): Unit = {
     val spark = cat.spark
     val t = cat.handleOf(table)

@@ -40,6 +40,25 @@ class FixesSpec extends SparkSpec {
     assert(cat.readTable("f.b").count() == 200)
   }
 
+  test("stats-driven bucket suggestion: scales with bytes, floors at 8, caps") {
+    assert(Compactor.suggestBuckets(0L) == 8)
+    assert(Compactor.suggestBuckets(256L << 20) == 8)       // one target bucket
+    assert(Compactor.suggestBuckets(10L << 30) == 40)       // 10 GiB -> 40
+    assert(Compactor.suggestBuckets((256L << 20) * 100) == 100)
+    assert(Compactor.suggestBuckets(100L << 40) == 16384)   // 100 TiB caps
+    assert(Compactor.suggestBuckets(Long.MaxValue) == 16384)
+    // explicit property still wins over the suggestion
+    val cat = new GraftCatalog(spark, tmpDir("graft-fix-buckets"))
+    cat.createTable("x.b", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))), properties = Map(
+      "compaction.num_buckets" -> "3", "read_optimization" -> "NONE"))
+    cat.writeToTable((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "x.b", WriteMode.Merge)
+    cat.compact("x.b")
+    val base = cat.deltaLog("x.b").last
+    assert(base.properties.get("num_buckets").contains("3"))
+  }
+
   test("partition filter referencing an unprojected column") {
     val cat = newCatalog()
     cat.writeToTable(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "age"), "f.p")
