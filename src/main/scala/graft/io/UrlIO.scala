@@ -28,7 +28,8 @@ object UrlIO {
 
   private val ExtFormats = Map(
     ".parquet" -> "parquet", ".csv" -> "csv", ".tsv" -> "csv", ".json" -> "json",
-    ".orc" -> "orc", ".txt" -> "text", ".bin" -> "binaryFile")
+    ".orc" -> "orc", ".txt" -> "text", ".bin" -> "binaryFile",
+    ".avro" -> "avro", ".feather" -> "feather", ".arrow" -> "feather")
 
   def parse(url: String): Target = {
     val (base, query) = url.span(_ != '?')

@@ -115,5 +115,12 @@ class CatalogOpsSpec extends SparkSpec {
 
     assert(Graft.list(spark, "graft://c1/ns") == Seq("ns.t"))
     assert(Graft.list(spark, "graft://c1/") == Seq("ns"))
+
+    // avro/feather round the URL surface too (extension-dispatched)
+    for (ext <- Seq("avro", "feather")) {
+      val out = tmpDir(s"graft-url-$ext") + s"/out.$ext"
+      Graft.copy(spark, "graft://c1/ns.t", out)
+      assert(Graft.get(spark, out).count() == 3, s"$ext url roundtrip")
+    }
   }
 }
