@@ -85,6 +85,15 @@ object ContentType {
     val name = "tsv"; val format = "csv"; val extension = ".csv"
     override val writeOptions = Map("header" -> "false", "sep" -> "\t", "nullValue" -> NullToken)
   }
+  /** Reference UNESCAPED_TSV (media.py:32; write quoting_style="none",
+    * pyarrow.py:689-693): raw tab-delimited values, quote/escape handling
+    * disabled in both directions (Spark maps an empty quote/escape option
+    * to the NUL char, which turns univocity quoting off). */
+  case object UnescapedTsv extends ContentType {
+    val name = "unescaped_tsv"; val format = "csv"; val extension = ".csv"
+    override val writeOptions = Map("header" -> "false", "sep" -> "\t",
+      "nullValue" -> NullToken, "quote" -> "", "escape" -> "")
+  }
   case object Psv extends ContentType {
     val name = "psv"; val format = "csv"; val extension = ".csv"
     override val writeOptions = Map("header" -> "false", "sep" -> "|", "nullValue" -> NullToken)
@@ -101,7 +110,8 @@ object ContentType {
   case object Feather extends ContentType {
     val name = "feather"; val format = "feather"; val extension = ".feather"
   }
-  val all: Seq[ContentType] = Seq(Parquet, Csv, Tsv, Psv, Json, Orc, Avro, Feather)
+  val all: Seq[ContentType] =
+    Seq(Parquet, Csv, Tsv, UnescapedTsv, Psv, Json, Orc, Avro, Feather)
   def fromName(n: String): ContentType =
     all.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"unknown content type $n"))

@@ -704,6 +704,16 @@ object CatalogQueries {
         "q.n", WriteMode.Delete)
       cat.compact("q.n")
       cat.readTable("q.n")
+    },
+
+    // Unescaped-TSV content type (reference UNESCAPED_TSV media.py:32,
+    // quoting_style="none" pyarrow.py:689-693): raw tab-delimited roundtrip.
+    Q("c43_unescaped_tsv", Some("SELECT n_nationkey, n_name FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c43")
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      cat.createTable("q.n", n.schema, properties = Map("content_type" -> "unescaped_tsv"))
+      cat.writeToTable(n, "q.n", WriteMode.Add)
+      cat.readTable("q.n")
     }
   )
 }

@@ -112,6 +112,27 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("unescaped TSV: raw values, quotes untouched, roundtrips through merge") {
+    val cat = new GraftCatalog(spark, tmpDir("fmt-utsv"))
+    cat.createTable("f.u", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))), properties = Map(
+      "content_type" -> "unescaped_tsv", "read_optimization" -> "NONE"))
+    // values with embedded double quotes and commas must ride raw
+    val rows = Seq((1L, """he said "hi", twice"""), (2L, "plain"), (3L, "a'b\"c"))
+    cat.writeToTable(rows.toDF("id", "v"), "f.u", WriteMode.Merge)
+    cat.writeToTable(Seq((2L, """now "quoted"""")).toDF("id", "v"), "f.u", WriteMode.Merge)
+    val got = cat.readTable("f.u").as[(Long, String)].collect().toMap
+    assert(got(1L) == """he said "hi", twice""" && got(2L) == """now "quoted"""" &&
+      got(3L) == "a'b\"c", got.toString)
+    // the physical file carries the quote characters verbatim (no quoting)
+    val path = cat.manifestTable("f.u").select("path").as[String].collect()
+      .find(_.nonEmpty).get
+    val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(raw.contains("he said \"hi\", twice") || raw.contains("now \"quoted\""),
+      s"unescaped tsv should carry raw quotes:\n$raw")
+  }
+
   test("catalog LSM on avro/feather tables: merge, delete, compact, read") {
     for (fmt <- formats) {
       val cat = new GraftCatalog(spark, tmpDir(s"fmt-cat-$fmt"))
