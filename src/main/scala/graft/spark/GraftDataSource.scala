@@ -254,7 +254,7 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
       case ContentType.Parquet =>
         ParquetTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
           classOf[ParquetFileFormat])
-      case ContentType.Csv | ContentType.Tsv | ContentType.Psv =>
+      case ContentType.Csv | ContentType.Tsv | ContentType.UnescapedTsv | ContentType.Psv =>
         CSVTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
           classOf[CSVFileFormat])
       case ContentType.Json =>
@@ -263,8 +263,16 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
       case ContentType.Orc =>
         OrcTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
           classOf[OrcFileFormat])
-      case other => throw new UnsupportedOperationException(
-        s"DSv2 scan does not support content type ${other.name}")
+      // Graft's own V1 formats have no built-in V2 file table; a thin
+      // generic scan drives their buildReader (one partition per file).
+      case ContentType.Avro =>
+        return new V1FormatScanBuilder(spark,
+          new org.apache.spark.sql.graft.formats.AvroFileFormat(),
+          resolved.schema, resolved.paths, opts)
+      case ContentType.Feather =>
+        return new V1FormatScanBuilder(spark,
+          new org.apache.spark.sql.graft.formats.FeatherFileFormat(),
+          resolved.schema, resolved.paths, opts)
     }
     delegate.newScanBuilder(opts)
   }

@@ -252,12 +252,14 @@ class Dsv2Spec extends SparkSpec {
     val root = tmpDir("graft-dsv2c")
     val cat = new GraftCatalog(spark, root)
     val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "v")
-    cat.createTable("ns.c", df.schema, properties = Map("content_type" -> "tsv"))
-    cat.writeToTable(df, "ns.c", WriteMode.Add)
-    val got = spark.read.format("graft").option("root", root).option("table", "ns.c")
-      .load().orderBy("id").collect()
-    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
-      Seq((1L, "a"), (2L, null), (3L, "c")))
+    for ((ct, ns) <- Seq("tsv" -> "ns.c", "avro" -> "ns.ca", "feather" -> "ns.cf")) {
+      cat.createTable(ns, df.schema, properties = Map("content_type" -> ct))
+      cat.writeToTable(df, ns, WriteMode.Add)
+      val got = spark.read.format("graft").option("root", root).option("table", ns)
+        .load().orderBy("id").collect()
+      assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, null), (3L, "c")), s"dsv2 over $ct")
+    }
   }
 
   test("format reader with time travel option; merge-on-read tables rejected") {
