@@ -254,6 +254,46 @@ class SchemaPolicySpec extends SparkSpec {
     assert(e.getMessage.contains("incompatible"), e.getMessage)
   }
 
+  test("deep nesting: struct-in-array-in-struct and map-of-struct evolve") {
+    val cat = newCatalog()
+    // outer struct holds an array of inner structs AND a map of structs
+    val t1 = StructType(Seq(StructField("outer", StructType(Seq(
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("k", IntegerType), StructField("v", StringType))))),
+      StructField("props", MapType(StringType, StructType(Seq(
+        StructField("n", IntegerType))))))))))
+    val w1 = Seq(1L).toDF("id").select($"id", struct(
+      array(struct(lit(1).as("k"), lit("p").as("v"))).as("items"),
+      map(lit("x"), struct(lit(5).as("n"))).as("props")).cast(t1("outer").dataType).as("outer"))
+    cat.writeToTable(w1, "p.deep")
+    // second write: k widens to long inside the array's struct, map-value
+    // struct gains field m; items' struct loses v
+    val t2inner = StructType(Seq(StructField("k", LongType)))
+    val t2map = StructType(Seq(StructField("n", IntegerType), StructField("m", StringType)))
+    val w2 = Seq(2L).toDF("id").select($"id", struct(
+      array(struct(lit(9L).as("k"))).as("items"),
+      map(lit("y"), struct(lit(6).as("n"), lit("mm").as("m"))).as("props"))
+      .cast(StructType(Seq(StructField("items", ArrayType(t2inner)),
+        StructField("props", MapType(StringType, t2map))))).as("outer"))
+    cat.writeToTable(w2, "p.deep", WriteMode.Add)
+    val evolved = cat.tableSchema("p.deep")("outer").dataType.asInstanceOf[StructType]
+    val itemT = evolved("items").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val mapT = evolved("props").dataType.asInstanceOf[MapType]
+      .valueType.asInstanceOf[StructType]
+    assert(itemT("k").dataType == LongType && itemT.fieldNames.toSeq == Seq("k", "v"))
+    assert(mapT.fieldNames.toSeq == Seq("n", "m"))
+    val got = cat.readTable("p.deep")
+      .select($"id", explode($"outer.items").as("it"), $"outer.props".as("pr"))
+      .select($"id", $"it.k", $"it.v", map_keys($"pr")(0).as("pk"),
+        map_values($"pr")(0).getField("n").as("pn"),
+        map_values($"pr")(0).getField("m").as("pm"))
+      .as[(Long, Long, Option[String], String, Int, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, Some("p"), "x", 5, None),
+      (2L, 9L, None, "y", 6, Some("mm"))), got.toString)
+  }
+
   test("nested evolution under MANUAL mode is rejected; alterTable applies it") {
     val cat = newCatalog()
     val metaT = StructType(Seq(StructField("a", IntegerType)))
