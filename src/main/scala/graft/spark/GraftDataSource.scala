@@ -57,7 +57,10 @@ object GraftDsv2 {
       hasStaleRenames: Boolean,
       /** Catalog root + whether this snapshot is pinned to the past (asOf):
         * the write path needs the former and must reject the latter. */
-      root: String = "", timeTravel: Boolean = false)
+      root: String = "", timeTravel: Boolean = false,
+      /** Manifest byte sizes aligned with `paths` — input-partition planning
+        * must not re-stat 10^5 files on the driver. */
+      fileSizes: Seq[Long] = Nil)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
@@ -83,9 +86,11 @@ object GraftDsv2 {
     val staleRenames = renamedOld.nonEmpty && active.exists(d =>
       d.properties.get("written_columns")
         .map(_.split(",").exists(renamedOld)).getOrElse(true))
-    Resolved(t, schema, active.flatMap(_.entries).map(_.path), unresolved,
+    val entries = active.flatMap(_.entries)
+    Resolved(t, schema, entries.map(_.path), unresolved,
       cat.contentTypeOf(meta), hasPartial, hasDefaults, staleRenames,
-      root = root, timeTravel = asOf.isDefined)
+      root = root, timeTravel = asOf.isDefined,
+      fileSizes = entries.map(_.sizeBytes))
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -268,11 +273,11 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
       case ContentType.Avro =>
         return new V1FormatScanBuilder(spark,
           new org.apache.spark.sql.graft.formats.AvroFileFormat(),
-          resolved.schema, resolved.paths, opts)
+          resolved.schema, resolved.paths, resolved.fileSizes, opts)
       case ContentType.Feather =>
         return new V1FormatScanBuilder(spark,
           new org.apache.spark.sql.graft.formats.FeatherFileFormat(),
-          resolved.schema, resolved.paths, opts)
+          resolved.schema, resolved.paths, resolved.fileSizes, opts)
     }
     delegate.newScanBuilder(opts)
   }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  */
 class V1FormatScanBuilder(
     spark: SparkSession, fmt: FileFormat, dataSchema: StructType,
-    paths: Seq[String], options: CaseInsensitiveStringMap)
+    paths: Seq[String], fileSizes: Seq[Long], options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = dataSchema
@@ -29,12 +29,14 @@ class V1FormatScanBuilder(
     required = StructType(dataSchema.fields.filter(f => keep(f.name)))
   }
 
-  override def build(): Scan = new V1FormatScan(spark, fmt, dataSchema, required, paths, options)
+  override def build(): Scan =
+    new V1FormatScan(spark, fmt, dataSchema, required, paths, fileSizes, options)
 }
 
 private class V1FormatScan(
     spark: SparkSession, fmt: FileFormat, dataSchema: StructType,
-    required: StructType, paths: Seq[String], options: CaseInsensitiveStringMap)
+    required: StructType, paths: Seq[String], fileSizes: Seq[Long],
+    options: CaseInsensitiveStringMap)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -42,11 +44,17 @@ private class V1FormatScan(
   override def description(): String = s"GraftV1FormatScan(${fmt.toString})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = spark.sessionState.newHadoopConf()
-    paths.map { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      V1FileInput(p, hp.getFileSystem(conf).getFileStatus(hp).getLen): InputPartition
-    }.toArray
+    // manifest sizes ride along — never re-stat 10^5 files on the driver
+    val sizes: Seq[Long] =
+      if (fileSizes.length == paths.length) fileSizes
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        paths.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).getFileStatus(hp).getLen
+        }
+      }
+    paths.zip(sizes).map { case (p, len) => V1FileInput(p, len): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
