@@ -224,10 +224,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       toDelete.foreach(p => try Files.deleteIfExists(Paths.get(p)) catch { case _: Exception => () })
     else {
       val slices = math.min(toDelete.size, spark.sparkContext.defaultParallelism * 2)
+      // Hadoop FS with the SESSION conf broadcast to executors — a bare
+      // Configuration() drops spark.hadoop.* credentials/defaultFS, so on a
+      // remote catalog every delete would fail (and be swallowed).
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
       spark.sparkContext.parallelize(toDelete, slices).foreachPartition { it =>
-        // Hadoop FS, not java.nio: executors must resolve the catalog's
-        // (possibly remote) filesystem the same way scan tasks do.
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         it.foreach { s =>
           try {
             val p = new org.apache.hadoop.fs.Path(s)
@@ -637,10 +640,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         // Bucket count for the fused bulk load: explicit property, else
         // stats-driven (optimizer size estimate of the incoming frame — for
         // file-backed plans that is ~on-disk bytes; no execution happens).
+        // Plans with NO real estimate (RDD-backed frames report
+        // defaultSizeInBytes = Long.MaxValue; join estimates multiply) must
+        // not explode to the bucket cap — treat absurd estimates as unknown
+        // and keep the reference default.
         val numBuckets = meta.properties.get("compaction.num_buckets").map(_.toInt)
-          .getOrElse(Compactor.suggestBuckets(
-            coerced.queryExecution.optimizedPlan.stats.sizeInBytes
-              .min(BigInt(Long.MaxValue)).toLong))
+          .getOrElse {
+            val est = coerced.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (est >= BigInt(Long.MaxValue) / 4) 8
+            else Compactor.suggestBuckets(est.toLong)
+          }
         val maxRec = meta.properties.get("compaction.max_records_per_file")
           .map(_.toLong).getOrElse(Compactor.DefaultMaxRecordsPerFile)
         // Column stats ride the materialize pass (same as the normal write
@@ -1164,12 +1173,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       paths.map(p => p -> parquetRowCount(p, conf)).toMap
     } else {
       val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
+      // Session Hadoop conf broadcast to executors — a bare Configuration
+      // would drop spark.hadoop.* credentials/defaultFS on remote catalogs.
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
       val counted = spark.sparkContext
         .parallelize(paths.map(_.toString), slices)
         .mapPartitions { it =>
-          // Fresh Configuration per task: loads the cluster's site configs
-          // from the executor classpath (same resolution a scan task uses).
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confBc.value.value
           it.map { s =>
             val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(s), conf)

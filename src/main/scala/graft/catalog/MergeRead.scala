@@ -133,7 +133,8 @@ object MergeRead {
       pendingPaths: Seq[String], ct: ContentType,
       lineage: Seq[DeltaMeta]): DataFrame = {
     val scans: Seq[DataFrame] =
-      if (ct == ContentType.Parquet || ct == ContentType.Orc || ct == ContentType.Json) {
+      if (ct == ContentType.Parquet || ct == ContentType.Orc || ct == ContentType.Json ||
+          ct == ContentType.Avro || ct == ContentType.Feather) {
         // Name-matched formats prune straight to the key columns.
         val keySchema = StructType(schema.fields.filter(f => mergeKeys.contains(f.name)))
         Seq(spark.read.schema(keySchema).format(ct.format).options(ct.readOptions)

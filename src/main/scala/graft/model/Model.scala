@@ -451,8 +451,12 @@ object TypePromotion {
       when(c.isNull, lit(null)).otherwise(rebuilt).cast(ts)
     case (ArrayType(fe, _), ArrayType(te, _)) if needsRebuild(fe, te) =>
       transform(c, e => conform(e, fe, te)).cast(to)
-    case (MapType(_, fv, _), MapType(_, tv, _)) if needsRebuild(fv, tv) =>
-      transform_values(c, (_, v) => conform(v, fv, tv)).cast(to)
+    case (MapType(fk, fv, _), MapType(tk, tv, _))
+        if needsRebuild(fk, tk) || needsRebuild(fv, tv) =>
+      val keyed =
+        if (needsRebuild(fk, tk)) transform_keys(c, (k, _) => conform(k, fk, tk)) else c
+      (if (needsRebuild(fv, tv)) transform_values(keyed, (_, v) => conform(v, fv, tv))
+       else keyed).cast(to)
     case _ => c.cast(to)
   }
 
@@ -463,7 +467,8 @@ object TypePromotion {
       !sameShape(fs, ts) ||
         fs.fields.zip(ts.fields).exists { case (a, b) => needsRebuild(a.dataType, b.dataType) }
     case (ArrayType(fe, _), ArrayType(te, _)) => needsRebuild(fe, te)
-    case (MapType(_, fv, _), MapType(_, tv, _)) => needsRebuild(fv, tv)
+    case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
+      needsRebuild(fk, tk) || needsRebuild(fv, tv)
     case _ => false
   }
 

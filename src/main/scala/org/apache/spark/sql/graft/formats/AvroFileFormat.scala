@@ -76,12 +76,13 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
     val confBc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     (file: PartitionedFile) => {
       val reader = DataFileReader.openReader(
         new FsInput(file.toPath, confBc.value.value), new GenericDatumReader[GenericRecord]())
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
       val fileSchema = reader.getSchema
-      val conv = recordConverter(fileSchema, requiredSchema)
+      val conv = recordConverter(fileSchema, requiredSchema, tz)
       val it = reader.iterator().asScala.map(conv)
       new Iterator[InternalRow] {
         def hasNext: Boolean = { val h = it.hasNext; if (!h) reader.close(); h }
@@ -174,16 +175,24 @@ object AvroFileFormat {
 
   /** GenericRecord → InternalRow shaped by the REQUESTED schema: fields
     * resolved by name, absent fields null — the same evolution contract the
-    * parquet read path gives the catalog. */
+    * parquet read path gives the catalog. Converters (incl. nested
+    * record/array/map converters) are built ONCE per file from the pair
+    * (file avro schema, requested type) — never per row — so file logical
+    * types (decimal scale, date) are interpreted before widening. */
   private def recordConverter(
-      fileSchema: AvroSchema, required: StructType): GenericRecord => InternalRow = {
-    val posOf = required.fields.map(f => Option(fileSchema.getField(f.name)).map(_.pos()))
+      fileSchema: AvroSchema, required: StructType, tz: String): GenericRecord => InternalRow = {
+    val fields: Array[Option[(Int, Any => Any)]] = required.fields.map { f =>
+      Option(fileSchema.getField(f.name)).map(af =>
+        (af.pos(), valueReader(af.schema(), f.dataType, tz)))
+    }
     rec => {
       val out = new GenericInternalRow(required.length)
       var i = 0
       while (i < required.length) {
-        out.update(i, posOf(i) match {
-          case Some(p) => toCatalyst(rec.get(p), required.fields(i).dataType)
+        out.update(i, fields(i) match {
+          case Some((p, conv)) =>
+            val v = rec.get(p)
+            if (v == null) null else conv(v)
           case None => null
         })
         i += 1
@@ -192,34 +201,91 @@ object AvroFileFormat {
     }
   }
 
-  /** Avro runtime value → Catalyst value of the requested type. Numbers
-    * widen (int→long, int/float→double) so evolved reads of old files work. */
-  private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (x, StringType) => UTF8String.fromString(x.toString)
-    case (n: Number, ByteType) => n.byteValue()
-    case (n: Number, ShortType) => n.shortValue()
-    case (n: Number, IntegerType | DateType) => n.intValue()
-    case (n: Number, LongType | TimestampType | TimestampNTZType) => n.longValue()
-    case (n: Number, FloatType) => n.floatValue()
-    case (n: Number, DoubleType) => n.doubleValue()
-    case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
-    case (bb: ByteBuffer, BinaryType) =>
-      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-    case (f: GenericFixed, BinaryType) => f.bytes()
-    case (bb: ByteBuffer, d: DecimalType) =>
-      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
-      Decimal(new java.math.BigDecimal(new java.math.BigInteger(a), d.scale), d.precision, d.scale)
-    case (c: java.util.Collection[_], ArrayType(et, _)) =>
-      new GenericArrayData(c.asScala.map(toCatalyst(_, et)).toArray)
-    case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
-      val entries = m.asScala.toSeq
-      new ArrayBasedMapData(
-        new GenericArrayData(entries.map(e => UTF8String.fromString(e._1.toString)).toArray),
-        new GenericArrayData(entries.map(e => toCatalyst(e._2, vt)).toArray))
-    case (r: GenericRecord, st: StructType) => recordConverter(r.getSchema, st)(r)
-    case (other, t) => throw new UnsupportedOperationException(
-      s"avro: cannot read ${other.getClass.getName} as $t")
+  private val MicrosPerDay = 86400000000L
+
+  /** Build-once converter: avro runtime value (interpreted under the FILE's
+    * schema + logical type) → Catalyst value of the REQUESTED type. Numeric
+    * widening, decimal rescale and date→timestamp promotion follow
+    * TypePromotion's lattice so evolved reads of old files are exact. */
+  private def valueReader(fileS: AvroSchema, dt: DataType, tz: String): Any => Any = {
+    val nn = nonNull(fileS)
+    import AvroSchema.Type._
+    (nn.getType, dt) match {
+      // anything → string (the lattice's universal promotion)
+      case (_, StringType) => v => UTF8String.fromString(v.toString)
+      case (BOOLEAN, BooleanType) => v => v
+      // date logical type: the stored int is DAYS — converting to a
+      // timestamp must go through days→micros, not reinterpretation
+      case (INT, dt2) if nn.getLogicalType.isInstanceOf[LogicalTypes.Date] => dt2 match {
+        case DateType => v => v
+        case TimestampNTZType => v => v.asInstanceOf[Number].intValue() * MicrosPerDay
+        case TimestampType =>
+          val zone = java.time.ZoneId.of(tz)
+          v => org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .daysToMicros(v.asInstanceOf[Number].intValue(), zone)
+        case other => throw new UnsupportedOperationException(
+          s"avro: cannot read date as $other")
+      }
+      case (LONG, dt2) if nn.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] ||
+          nn.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMillis] => dt2 match {
+        case TimestampType | TimestampNTZType => v => v.asInstanceOf[Number].longValue() * 1000L
+        case other => throw new UnsupportedOperationException(
+          s"avro: cannot read timestamp-millis as $other")
+      }
+      case (INT | LONG | FLOAT | DOUBLE, _) => dt match {
+        case ByteType => v => v.asInstanceOf[Number].byteValue()
+        case ShortType => v => v.asInstanceOf[Number].shortValue()
+        case IntegerType | DateType => v => v.asInstanceOf[Number].intValue()
+        case LongType | TimestampType | TimestampNTZType => v => v.asInstanceOf[Number].longValue()
+        case FloatType => v => v.asInstanceOf[Number].floatValue()
+        case DoubleType => v => v.asInstanceOf[Number].doubleValue()
+        case other => throw new UnsupportedOperationException(
+          s"avro: cannot read ${nn.getType} as $other")
+      }
+      case (BYTES | FIXED, d: DecimalType) => nn.getLogicalType match {
+        case dec: LogicalTypes.Decimal =>
+          // rebuild with the FILE's scale, then rescale to the requested
+          // type — a widened decimal(12,4) read of a decimal(10,2) file
+          // must not reinterpret the unscaled integer
+          val fileScale = dec.getScale
+          v => {
+            val bytes = v match {
+              case bb: ByteBuffer =>
+                val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+              case f: GenericFixed => f.bytes()
+            }
+            Decimal(new java.math.BigDecimal(new java.math.BigInteger(bytes), fileScale)
+              .setScale(d.scale), d.precision, d.scale)
+          }
+        case _ => throw new UnsupportedOperationException(
+          s"avro: cannot read plain bytes as $d")
+      }
+      case (BYTES, BinaryType) => v => {
+        val bb = v.asInstanceOf[ByteBuffer]
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      }
+      case (FIXED, BinaryType) => v => v.asInstanceOf[GenericFixed].bytes()
+      case (ARRAY, ArrayType(et, _)) =>
+        val elem = valueReader(nn.getElementType, et, tz)
+        v => {
+          val c = v.asInstanceOf[java.util.Collection[_]]
+          new GenericArrayData(c.asScala.map(e => if (e == null) null else elem(e)).toArray)
+        }
+      case (MAP, MapType(StringType, vt, _)) =>
+        val valueConv = valueReader(nn.getValueType, vt, tz)
+        v => {
+          val entries = v.asInstanceOf[java.util.Map[_, _]].asScala.toSeq
+          new ArrayBasedMapData(
+            new GenericArrayData(entries.map(e => UTF8String.fromString(e._1.toString)).toArray),
+            new GenericArrayData(entries.map(e =>
+              if (e._2 == null) null else valueConv(e._2)).toArray))
+        }
+      case (RECORD, st: StructType) =>
+        val conv = recordConverter(nn, st, tz)
+        v => conv(v.asInstanceOf[GenericRecord])
+      case (ft, t) => throw new UnsupportedOperationException(
+        s"avro: cannot read avro $ft as $t")
+    }
   }
 
   /** InternalRow accessor+converter per field of `st` → Avro value. */

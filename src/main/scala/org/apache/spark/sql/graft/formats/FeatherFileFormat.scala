@@ -167,6 +167,7 @@ object FeatherFileFormat {
     case BinaryType => v.getBinary(r)
     case d: DecimalType => v.getDecimal(r, d.precision, d.scale)
     case ArrayType(_, _) => v.getArray(r).copy()
+    case MapType(_, _, _) => v.getMap(r).copy()
     case st: StructType => getRowValue(v.getStruct(r), -1, st)
     case other => throw new UnsupportedOperationException(s"feather: cannot widen-read $other")
   }
@@ -201,6 +202,7 @@ object FeatherFileFormat {
     case BinaryType => row.getBinary(i)
     case d: DecimalType => row.getDecimal(i, d.precision, d.scale)
     case ArrayType(_, _) => row.getArray(i).copy()
+    case MapType(_, _, _) => row.getMap(i).copy()
     case other => throw new UnsupportedOperationException(s"feather: cannot widen-read $other")
   }
 
@@ -219,6 +221,27 @@ object FeatherFileFormat {
       v => org.apache.spark.sql.types.Decimal(
         v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
           .setScale(b.scale), b.precision, b.scale)
+    // arrays widen element-wise, maps key/value-wise
+    case (ArrayType(ae, _), ArrayType(be, _)) =>
+      val w = widener(ae, be)
+      v => {
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          (0 until ad.numElements()).map(i =>
+            if (ad.isNullAt(i)) null else w(getRowValue(ad, i, ae))).toArray)
+      }
+    case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+      val wk = widener(ak, bk); val wv = widener(av, bv)
+      v => {
+        val md = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = md.keyArray(); val vs = md.valueArray()
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            (0 until md.numElements()).map(i => wk(getRowValue(ks, i, ak))).toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            (0 until md.numElements()).map(i =>
+              if (vs.isNullAt(i)) null else wv(getRowValue(vs, i, av))).toArray))
+      }
     // nested structs conform by NAME: shared fields widen recursively,
     // appended fields read null (the evolved-nested-read contract, c39)
     case (a: StructType, b: StructType) =>

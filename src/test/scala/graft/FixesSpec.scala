@@ -57,6 +57,19 @@ class FixesSpec extends SparkSpec {
     cat.compact("x.b")
     val base = cat.deltaLog("x.b").last
     assert(base.properties.get("num_buckets").contains("3"))
+    // RDD-backed frames report defaultSizeInBytes (Long.MaxValue) — the
+    // bulk load must treat that as UNKNOWN and keep the default 8, not
+    // shuffle a tiny dataset into 16384 bucket files
+    cat.createTable("x.r", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))))
+    val rdd = spark.sparkContext.parallelize(
+      (1L to 50L).map(i => org.apache.spark.sql.Row(i, s"v$i")))
+    cat.writeToTable(spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false), StructField("v", StringType)))),
+      "x.r", WriteMode.Merge)
+    assert(cat.deltaLog("x.r").last.properties.get("num_buckets").contains("8"),
+      s"unknown-stats bulk load must default to 8: ${cat.deltaLog("x.r").last.properties}")
   }
 
   test("partition filter referencing an unprojected column") {

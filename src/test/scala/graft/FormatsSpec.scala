@@ -133,6 +133,44 @@ class FormatsSpec extends SparkSpec {
       s"unescaped tsv should carry raw quotes:\n$raw")
   }
 
+  test("avro evolved reads honor file logical types: decimal rescale, date->timestamp") {
+    val cat = new GraftCatalog(spark, tmpDir("fmt-avro-logical"))
+    val t1 = StructType(Seq(StructField("id", LongType),
+      StructField("dec", DecimalType(10, 2)), StructField("dt", DateType)))
+    cat.createTable("f.l", t1, properties = Map("content_type" -> "avro"))
+    cat.writeToTable(Seq((1L, "1234.56", "2024-01-02")).toDF("id", "dec", "dt")
+      .select($"id", $"dec".cast(DecimalType(10, 2)).as("dec"), $"dt".cast(DateType).as("dt")),
+      "f.l", WriteMode.Add)
+    // second write widens dec -> (12,4) and dt -> timestamp (lattice moves)
+    cat.writeToTable(Seq((2L, "0.1234", "2024-02-03 10:30:00")).toDF("id", "dec", "dt")
+      .select($"id", $"dec".cast(DecimalType(12, 4)).as("dec"),
+        $"dt".cast(TimestampType).as("dt")),
+      "f.l", WriteMode.Add)
+    val got = cat.readTable("f.l")
+      .select($"id", $"dec".cast(StringType), $"dt".cast(StringType))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    // old row: unscaled 123456 at file scale 2 must NOT be reinterpreted at
+    // scale 4 (= 12.3456); the date is midnight in the session tz, not
+    // day-count-as-microseconds (= 1970-01-01 00:00:00.019724)
+    assert(got == Seq((1L, "1234.5600", "2024-01-02 00:00:00"),
+      (2L, "0.1234", "2024-02-03 10:30:00")), got.toString)
+  }
+
+  test("feather widen path: maps survive, array elements widen") {
+    val cat = new GraftCatalog(spark, tmpDir("fmt-fth-widen"))
+    val w1 = Seq((1, Map("a" -> 1), Seq(1, 2))).toDF("k", "m", "arr")
+    cat.createTable("f.w", w1.schema, properties = Map("content_type" -> "feather"))
+    cat.writeToTable(w1, "f.w", WriteMode.Add)
+    // k widens to long and arr's elements widen to long; m is untouched but
+    // rides the same per-row widen projection
+    val w2 = Seq((2L, Map("b" -> 2), Seq(9L))).toDF("k", "m", "arr")
+    cat.writeToTable(w2, "f.w", WriteMode.Add)
+    val got = cat.readTable("f.w")
+      .select($"k", map_keys($"m")(0), $"arr")
+      .as[(Long, String, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", Seq(1L, 2L)), (2L, "b", Seq(9L))), got.toString)
+  }
+
   test("catalog LSM on avro/feather tables: merge, delete, compact, read") {
     for (fmt <- formats) {
       val cat = new GraftCatalog(spark, tmpDir(s"fmt-cat-$fmt"))

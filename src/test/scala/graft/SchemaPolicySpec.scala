@@ -294,6 +294,27 @@ class SchemaPolicySpec extends SparkSpec {
       (2L, 9L, None, "y", 6, Some("mm"))), got.toString)
   }
 
+  test("map KEY struct evolution conforms (write-side rebuild of key structs)") {
+    val cat = newCatalog()
+    val k1 = StructType(Seq(StructField("a", IntegerType)))
+    val w1 = Seq(1L).toDF("id").select($"id",
+      map(struct(lit(1).as("a")), lit(10)).cast(MapType(k1, IntegerType)).as("m"))
+    cat.writeToTable(w1, "p.mk")
+    val k2 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val w2 = Seq(2L).toDF("id").select($"id",
+      map(struct(lit(2).as("a"), lit("x").as("b")), lit(20))
+        .cast(MapType(k2, IntegerType)).as("m"))
+    cat.writeToTable(w2, "p.mk", WriteMode.Add)
+    val keyT = cat.tableSchema("p.mk")("m").dataType.asInstanceOf[MapType]
+      .keyType.asInstanceOf[StructType]
+    assert(keyT.fieldNames.toSeq == Seq("a", "b"))
+    val got = cat.readTable("p.mk")
+      .select($"id", map_keys($"m")(0).getField("a").as("ka"),
+        map_keys($"m")(0).getField("b").as("kb"), map_values($"m")(0).as("v"))
+      .as[(Long, Int, Option[String], Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1, None, 10), (2L, 2, Some("x"), 20)), got.toString)
+  }
+
   test("nested evolution under MANUAL mode is rejected; alterTable applies it") {
     val cat = newCatalog()
     val metaT = StructType(Seq(StructField("a", IntegerType)))
