@@ -72,6 +72,12 @@ object UrlIO {
   def read(spark: SparkSession, url: String): DataFrame = parse(url) match {
     case GraftTarget(cat, table, asOf) =>
       Graft.catalog(cat).readTable(table, graft.catalog.ReadOptions(asOf = asOf))
+    case FileTarget(path, "delta", opts) =>
+      // delta:///path?versionAsOf=3 — the foreign Delta Lake binding (no
+      // delta runtime jar; graft.interop.DeltaLake speaks the protocol)
+      graft.interop.DeltaLake.read(spark, path,
+        versionAsOf = opts.get("versionAsOf").map(_.toLong),
+        timestampAsOf = opts.get("timestampAsOf").map(_.toLong))
     case FileTarget(path, fmt, opts) =>
       spark.read.format(fmt).options(opts).load(path)
   }
@@ -86,7 +92,10 @@ object UrlIO {
           case WriteMode.Create => "errorifexists"
           case _ => "overwrite"
         }
-        df.write.format(fmt).options(opts).mode(saveMode).save(path)
+        if (fmt == "delta")
+          graft.interop.DeltaLake.write(df, path, saveMode,
+            partitionBy = opts.get("partitionBy").toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
+        else df.write.format(fmt).options(opts).mode(saveMode).save(path)
     }
 
   /** List a container: graft catalog namespace/tables, or a directory. */

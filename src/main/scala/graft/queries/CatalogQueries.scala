@@ -714,6 +714,47 @@ object CatalogQueries {
       cat.createTable("q.n", n.schema, properties = Map("content_type" -> "unescaped_tsv"))
       cat.writeToTable(n, "q.n", WriteMode.Add)
       cat.readTable("q.n")
+    },
+
+    // Delta Lake foreign stream format (reference StreamFormat.DELTA_LAKE,
+    // storage/model/types.py:32-38), spoken via the public transaction-log
+    // protocol: partitioned append, metadata-only partition delete, append
+    // after delete (path re-add), then a snapshot read that reattaches
+    // partition columns from the log's add actions.
+    Q("c44_delta_lake", Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem WHERE l_orderkey % 3 = 0 AND l_returnflag <> 'R'
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem WHERE l_orderkey % 3 = 1 AND l_returnflag = 'R'""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c44").resolve("tbl").toString
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      graft.interop.DeltaLake.write(
+        li.where(col("l_orderkey") % 3 === 0), t, partitionBy = Seq("l_returnflag"))
+      graft.interop.DeltaLake.deletePartitions(s, t, col("l_returnflag") === "R")
+      graft.interop.DeltaLake.write(
+        li.where(col("l_orderkey") % 3 === 1 && col("l_returnflag") === "R"),
+        t, partitionBy = Seq("l_returnflag"))
+      graft.interop.DeltaLake.read(s, t)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
+    // Delta Lake time travel: versionAsOf replays the log prefix, and the
+    // checkpoint written at version 2 (interval 2) is used for the head
+    // snapshot while the pinned read replays pure JSON — both paths oracled.
+    Q("c45_delta_time_travel", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c45").resolve("tbl").toString
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.interop.DeltaLake.write(
+        o.where(col("o_orderkey") % 4 === 0), t, checkpointInterval = 2)
+      graft.interop.DeltaLake.write(
+        o.where(col("o_orderkey") % 4 === 1), t, checkpointInterval = 2)
+      graft.interop.DeltaLake.write(
+        o.where(col("o_orderkey") % 4 === 2), t, checkpointInterval = 2)
+      graft.interop.DeltaLake.read(s, t, versionAsOf = Some(0L))
     }
   )
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.interop.DeltaLake
+
+/** Delta Lake binding: log-replay reads, partitioned writes, metadata-only
+  * deletes, time travel, checkpoint + tail replay, protocol gating. */
+class InteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nation = spark.read.parquet(s"$sf/nation.parquet")
+    .select("n_nationkey", "n_name", "n_regionkey")
+
+  test("delta: unpartitioned append roundtrip + overwrite") {
+    val t = tmpDir("delta-rt")
+    val v0 = DeltaLake.write(nation, t)
+    assert(v0 == 0L)
+    val back = DeltaLake.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+
+    val v1 = DeltaLake.write(nation.where($"n_regionkey" === 0), t, mode = "overwrite")
+    assert(v1 == 1L)
+    assert(DeltaLake.read(spark, t).count() == nation.where($"n_regionkey" === 0).count())
+    // time travel back to the full table
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(0L)).count() == nation.count())
+  }
+
+  test("delta: partitioned writes, partition reattachment, pruning, delete") {
+    val t = tmpDir("delta-part")
+    DeltaLake.write(nation, t, partitionBy = Seq("n_regionkey"))
+    val back = DeltaLake.read(spark, t)
+    // partition column values come back intact and typed
+    assert(back.schema("n_regionkey").dataType == nation.schema("n_regionkey").dataType)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+
+    // pruning is behavioral: physically delete another partition's files;
+    // the pruned read must succeed without ever opening them
+    val doomed = DeltaLake.snapshot(spark, t).files
+      .where(element_at(col("partitionValues"), "n_regionkey") === "4")
+      .select("path").as[String].collect()
+    assert(doomed.nonEmpty)
+    doomed.foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val pruned = DeltaLake.read(spark, t, partitionFilter = Some(col("n_regionkey") === 2))
+    assert(pruned.count() == nation.where($"n_regionkey" === 2).count())
+    // restore for the rest of the test: re-write partition 4 is not needed —
+    // subsequent asserts avoid partition 4 by deleting it from the log first
+    DeltaLake.deletePartitions(spark, t, col("n_regionkey") === 4)
+
+    // metadata-only partition delete: no data files rewritten
+    val filesBefore = DeltaLake.snapshot(spark, t).files
+      .select("path").as[String].collect().toSet
+    DeltaLake.deletePartitions(spark, t, col("n_regionkey") === 2)
+    val filesAfter = DeltaLake.snapshot(spark, t).files
+      .select("path").as[String].collect().toSet
+    assert(filesAfter.subsetOf(filesBefore), "delete must not write data files")
+    assert(DeltaLake.read(spark, t).count() ==
+      nation.where(!$"n_regionkey".isin(2, 4)).count())
+    // re-append the deleted region (path re-add after remove)
+    DeltaLake.write(nation.where($"n_regionkey" === 2), t, partitionBy = Seq("n_regionkey"))
+    assert(DeltaLake.read(spark, t).orderBy("n_nationkey").collect().toSeq ==
+      nation.where($"n_regionkey" =!= 4).orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("delta: checkpoint + tail replay agrees with pure-json replay") {
+    val t = tmpDir("delta-cp")
+    // interval 2: versions 0,1,2,3 -> checkpoint at 2, tail 3
+    DeltaLake.write(nation.where($"n_nationkey" < 5), t,
+      partitionBy = Seq("n_regionkey"), checkpointInterval = 2)
+    DeltaLake.write(nation.where($"n_nationkey" >= 5 && $"n_nationkey" < 10), t,
+      partitionBy = Seq("n_regionkey"), checkpointInterval = 2)
+    DeltaLake.write(nation.where($"n_nationkey" >= 10 && $"n_nationkey" < 15), t,
+      partitionBy = Seq("n_regionkey"), checkpointInterval = 2)
+    DeltaLake.write(nation.where($"n_nationkey" >= 15), t,
+      partitionBy = Seq("n_regionkey"), checkpointInterval = 2)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_delta_log", f"${2L}%020d.checkpoint.parquet")))
+    assert(DeltaLake.read(spark, t).orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // snapshot pinned before the checkpoint still resolves (json-only replay)
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(1L)).count() ==
+      nation.where($"n_nationkey" < 10).count())
+  }
+
+  test("delta: timestamp time travel and changes feed") {
+    val t = tmpDir("delta-ts")
+    DeltaLake.write(nation.where($"n_nationkey" < 10), t)
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(1100) // fs mtime granularity
+    DeltaLake.write(nation.where($"n_nationkey" >= 10), t)
+    assert(DeltaLake.read(spark, t, timestampAsOf = Some(afterV0)).count() == 10)
+    val ch = DeltaLake.changes(spark, t, 1L)
+    assert(ch.where($"action" === "add").count() > 0)
+    assert(ch.where($"action" === "remove").count() == 0)
+  }
+
+  test("delta: unsupported protocol is refused, not misread") {
+    val t = tmpDir("delta-proto")
+    DeltaLake.write(nation, t)
+    // hand-write a commit that upgrades the protocol past what we support
+    val log = java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json")
+    java.nio.file.Files.write(log,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaLake.read(spark, t))
+    assert(e.getMessage.contains("deletionVectors"))
+    // but the pre-upgrade version still reads
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(0L)).count() == nation.count())
+  }
+
+  test("delta: concurrent same-version commit loses the rename race") {
+    val t = tmpDir("delta-race")
+    DeltaLake.write(nation, t)
+    // a racer takes version 1 after our (stale) listing saw only version 0
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      "{}".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      DeltaLake.commit(t, Seq(0L), Nil)
+    }
+    assert(e.getMessage.contains("concurrent"))
+  }
+}
