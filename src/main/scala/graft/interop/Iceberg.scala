@@ -1,0 +1,792 @@
+package graft.interop
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Apache Iceberg table-format binding — the `StreamFormat.ICEBERG` foreign
+ * stream format (reference storage/model/types.py:32-38) and the snapshot
+ * commit the reference's converter performs through pyiceberg
+ * (compute/converter/pyiceberg/update_snapshot_overrides.py,
+ * overrides.py). No Iceberg runtime jar exists in this environment, so
+ * this speaks the PUBLIC table spec (iceberg.apache.org/spec, v2)
+ * directly: JSON table metadata under `metadata/`, avro manifest lists and
+ * manifests (field-ids riding as avro field props), parquet data and
+ * delete files.
+ *
+ * Reader: current or pinned snapshot, schema from the snapshot's
+ * schema-id, POSITION deletes (file_path, pos) applied as an anti-join on
+ * parquet `_metadata` row indexes, EQUALITY deletes applied as null-safe
+ * anti-joins gated by sequence number (a delete only hits data files with
+ * a strictly smaller data sequence). Partition pruning happens against
+ * manifest-entry partition values before any data file is opened.
+ *
+ * Writer: create (v2), append snapshots, and `commitPositionDeletes` — the
+ * converter's snapshot commit: written as a `delete` snapshot whose
+ * manifest carries content=1 (position deletes) entries. Metadata versions
+ * commit atomically by hard-link, same discipline as the Delta binding.
+ */
+object Iceberg {
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  // --------------------------------------------------------------- model
+
+  /** One manifest-entry data/delete file, flattened. */
+  final case class FileEntry(
+      status: Int, // 0 existing / 1 added / 2 deleted
+      content: Int, // 0 data / 1 position deletes / 2 equality deletes
+      path: String,
+      format: String,
+      partition: Map[String, String], // identity partition values, stringified
+      recordCount: Long,
+      sizeBytes: Long,
+      sequenceNumber: Long,
+      equalityIds: Seq[Int])
+
+  final case class TableMeta(
+      formatVersion: Int,
+      location: String,
+      tableUuid: String,
+      schema: StructType,
+      fieldIds: Map[String, Int], // top-level name -> iceberg field id
+      lastColumnId: Int,
+      partitionCols: Seq[String], // identity-transform source names
+      specId: Int,
+      snapshots: Seq[SnapshotMeta],
+      currentSnapshotId: Option[Long],
+      lastSequenceNumber: Long,
+      version: Int) // metadata file version (vN.metadata.json)
+
+  final case class SnapshotMeta(
+      snapshotId: Long, timestampMs: Long, sequenceNumber: Long,
+      manifestList: String, operation: String)
+
+  private def metaDir(table: String): JPath = Paths.get(table, "metadata")
+
+  // ---------------------------------------------------------------- read
+
+  /** Load current table metadata (version-hint, else newest vN file). */
+  def loadMeta(table: String): TableMeta = {
+    val dir = metaDir(table)
+    require(Files.isDirectory(dir), s"not an Iceberg table (no metadata dir): $table")
+    val hint = dir.resolve("version-hint.text")
+    val version: Int =
+      if (Files.exists(hint)) new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+          .maxOption.getOrElse(throw new IllegalArgumentException(
+            s"no vN.metadata.json under $dir"))
+        finally s.close()
+      }
+    parseMeta(mapper.readTree(Files.readAllBytes(dir.resolve(s"v$version.metadata.json"))),
+      table, version)
+  }
+
+  private def parseMeta(root: JsonNode, table: String, version: Int): TableMeta = {
+    val fv = root.get("format-version").asInt()
+    require(fv == 1 || fv == 2, s"unsupported iceberg format-version $fv")
+    val schemaNode: JsonNode =
+      if (root.has("schemas")) {
+        val cur = root.get("current-schema-id").asInt()
+        root.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(s"current-schema-id $cur not found"))
+      } else root.get("schema")
+    val (schema, ids) = schemaFromJson(schemaNode)
+
+    val (specId, partitionCols): (Int, Seq[String]) =
+      if (root.has("partition-specs")) {
+        val cur = root.get("default-spec-id").asInt()
+        val spec = root.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(s"default-spec-id $cur not found"))
+        (cur, specFields(spec.get("fields"), ids))
+      } else if (root.has("partition-spec"))
+        (0, specFields(root.get("partition-spec"), ids))
+      else (0, Nil)
+
+    val snaps = Option(root.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).map { s =>
+        SnapshotMeta(
+          s.get("snapshot-id").asLong(),
+          s.get("timestamp-ms").asLong(),
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+          s.get("manifest-list").asText(),
+          Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+            .map(_.asText()).getOrElse("append"))
+      }
+    TableMeta(
+      fv,
+      Option(root.get("location")).map(_.asText()).getOrElse(table),
+      Option(root.get("table-uuid")).map(_.asText()).getOrElse(""),
+      schema, ids,
+      Option(root.get("last-column-id")).map(_.asInt()).getOrElse(ids.values.maxOption.getOrElse(0)),
+      partitionCols, specId, snaps,
+      Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
+      Option(root.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+      version)
+  }
+
+  /** identity-transform fields only; any other transform is allowed in the
+    * metadata but yields no prunable column here. */
+  private def specFields(fields: JsonNode, ids: Map[String, Int]): Seq[String] = {
+    val byId = ids.map(_.swap)
+    fields.elements().asScala.toSeq.flatMap { f =>
+      val transform = f.get("transform").asText()
+      if (transform == "identity") byId.get(f.get("source-id").asInt()) else None
+    }
+  }
+
+  /** Iceberg schema JSON -> (StructType, top-level field ids). */
+  def schemaFromJson(node: JsonNode): (StructType, Map[String, Int]) = {
+    val fields = node.get("fields").elements().asScala.toSeq
+    val ids = Map.newBuilder[String, Int]
+    val st = StructType(fields.map { f =>
+      val name = f.get("name").asText()
+      ids += name -> f.get("id").asInt()
+      StructField(name, typeFromJson(f.get("type")), nullable = !f.get("required").asBoolean())
+    })
+    (st, ids.result())
+  }
+
+  def typeFromJson(t: JsonNode): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "time" => LongType // micros since midnight; no TimeType in Spark
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" | "uuid" => StringType
+      case "binary" => BinaryType
+      case s if s.startsWith("fixed") => BinaryType
+      case s if s.startsWith("decimal") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case other => throw new UnsupportedOperationException(s"iceberg type $other")
+    } else t.get("type").asText() match {
+      case "struct" => schemaFromJson(t)._1
+      case "list" =>
+        ArrayType(typeFromJson(t.get("element")), containsNull = !t.get("element-required").asBoolean())
+      case "map" =>
+        require(typeFromJson(t.get("key")) == StringType, "iceberg map: only string keys supported")
+        MapType(StringType, typeFromJson(t.get("value")),
+          valueContainsNull = !t.get("value-required").asBoolean())
+      case other => throw new UnsupportedOperationException(s"iceberg nested type $other")
+    }
+
+  /** All file entries of a snapshot (manifest list -> manifests). Driver
+    * work is one small avro read per manifest — parallelized past a
+    * threshold, same policy as the catalog's footer reads. */
+  def fileEntries(spark: SparkSession, meta: TableMeta, snap: SnapshotMeta): Seq[FileEntry] = {
+    val manifests = readManifestList(resolvePath(snap.manifestList, meta.location))
+    val lists: Seq[Seq[FileEntry]] =
+      if (manifests.size <= 16)
+        manifests.map { case (mPath, mSeq) =>
+          readManifest(resolvePath(mPath, meta.location), mSeq)
+        }
+      else {
+        val loc = meta.location
+        spark.sparkContext
+          .parallelize(manifests, math.min(manifests.size, 64).toInt)
+          .map { case (mPath, mSeq) => readManifest(resolvePath(mPath, loc), mSeq) }
+          .collect().toSeq
+      }
+    lists.flatten.filter(_.status != 2)
+  }
+
+  /** (manifest_path, sequence_number) pairs from a manifest-list avro. */
+  private def readManifestList(path: String): Seq[(String, Long)] = {
+    val reader = DataFileReader.openReader(
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.map { r =>
+      val seq = Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (r.get("manifest_path").toString, seq)
+    }.toSeq
+    finally reader.close()
+  }
+
+  /** Flattened entries of one manifest avro; null sequence numbers inherit
+    * the manifest's (spec: sequence-number inheritance for added files). */
+  private def readManifest(path: String, manifestSeq: Long): Seq[FileEntry] = {
+    val reader = DataFileReader.openReader(
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.map { r =>
+      val status = r.get("status").asInstanceOf[Int]
+      val seq = Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(manifestSeq)
+      val df = r.get("data_file").asInstanceOf[GenericRecord]
+      val content = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+      val partition = Option(df.get("partition")).map(_.asInstanceOf[GenericRecord]) match {
+        case Some(p) => p.getSchema.getFields.asScala.map { f =>
+          f.name() -> Option(p.get(f.pos())).map(_.toString).orNull
+        }.toMap
+        case None => Map.empty[String, String]
+      }
+      val eqIds = Option(df.get("equality_ids")).toSeq.flatMap(
+        _.asInstanceOf[java.util.Collection[_]].asScala.map(_.asInstanceOf[Int]))
+      FileEntry(status, content,
+        df.get("file_path").toString,
+        Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
+        partition,
+        Option(df.get("record_count")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(df.get("file_size_in_bytes")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        seq, eqIds)
+    }.toSeq
+    finally reader.close()
+  }
+
+  private def resolvePath(p: String, location: String): String = {
+    val stripped = p.stripPrefix("file:")
+    if (stripped.startsWith("/")) stripped
+    else Paths.get(location).resolve(stripped).toString
+  }
+
+  /** Snapshot read with position + equality deletes applied and partition
+    * pruning against manifest partition values. */
+  def read(
+      spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None, asOfTimestampMs: Option[Long] = None,
+      partitionFilter: Option[Column] = None): DataFrame = {
+    val meta = loadMeta(table)
+    val snap = pickSnapshot(meta, snapshotId, asOfTimestampMs).getOrElse(
+      return emptyFrame(spark, meta.schema))
+    val entries = fileEntries(spark, meta, snap)
+
+    var dataFiles = entries.filter(_.content == 0)
+    partitionFilter.foreach { pred =>
+      // evaluate the predicate once per distinct partition tuple via a tiny
+      // local frame — no data file is opened for pruned partitions
+      if (meta.partitionCols.nonEmpty && dataFiles.nonEmpty) {
+        import spark.implicits._
+        val pvDf = dataFiles.map(e =>
+          (e.path, meta.partitionCols.map(c => e.partition.getOrElse(c, null))))
+          .toDF("path", "pv")
+        val typed = meta.partitionCols.zipWithIndex.foldLeft(pvDf) { case (df, (c, i)) =>
+          df.withColumn(c, element_at(col("pv"), i + 1).cast(meta.schema(c).dataType))
+        }
+        val keep = typed.where(pred).select("path").as[String].collect().toSet
+        dataFiles = dataFiles.filter(e => keep.contains(e.path))
+      }
+    }
+    if (dataFiles.isEmpty) return emptyFrame(spark, meta.schema)
+
+    val paths = dataFiles.map(e => resolvePath(e.path, meta.location))
+    require(dataFiles.forall(_.format.equalsIgnoreCase("PARQUET")),
+      s"only PARQUET data files supported, saw ${dataFiles.map(_.format).distinct}")
+    var df = spark.read.schema(meta.schema).parquet(paths: _*)
+
+    val posDeletes = entries.filter(_.content == 1)
+    val eqDeletes = entries.filter(_.content == 2)
+    if (posDeletes.nonEmpty || eqDeletes.nonEmpty) {
+      df = df.withColumn("_g_path", normPath(col("_metadata.file_path")))
+        .withColumn("_g_pos", col("_metadata.row_index"))
+      if (posDeletes.nonEmpty) {
+        val del = spark.read
+          .schema(StructType(Seq(
+            StructField("file_path", StringType), StructField("pos", LongType))))
+          .parquet(posDeletes.map(e => resolvePath(e.path, meta.location)): _*)
+          .select(normPath(col("file_path")).as("_g_path"), col("pos").as("_g_pos"))
+        df = df.join(del, Seq("_g_path", "_g_pos"), "left_anti")
+      }
+      if (eqDeletes.nonEmpty) {
+        // per equality-id set: delete rows of data files whose data sequence
+        // number is STRICTLY below the delete file's sequence number
+        val idToName = meta.fieldIds.map(_.swap)
+        val seqMap = dataFiles.map(e => (resolvePath(e.path, meta.location), e.sequenceNumber))
+        import spark.implicits._
+        val seqDf = broadcast(seqMap.toDF("_g_spath", "_g_seq")
+          .select(normPath(col("_g_spath")).as("_g_path"), col("_g_seq")))
+        df = df.join(seqDf, Seq("_g_path"))
+        for ((ids, files) <- eqDeletes.groupBy(_.equalityIds.toSet)) {
+          val cols = ids.toSeq.sorted.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(s"equality_id $id not in schema")))
+          val delSchema = StructType(cols.map(c => meta.schema(c)))
+          for (f <- files) {
+            val del = spark.read.schema(delSchema)
+              .parquet(resolvePath(f.path, meta.location))
+              .select(cols.map(c => col(c).as(s"_d_$c")): _*).distinct()
+            val cond = cols.map(c => df(c) <=> del(s"_d_$c")).reduce(_ && _) &&
+              df("_g_seq") < lit(f.sequenceNumber)
+            df = df.join(del, cond, "left_anti")
+          }
+        }
+        df = df.drop("_g_seq")
+      }
+      df = df.drop("_g_path", "_g_pos")
+    }
+    df.select(meta.schema.fieldNames.map(col): _*)
+  }
+
+  private def pickSnapshot(
+      meta: TableMeta, snapshotId: Option[Long], asOf: Option[Long]): Option[SnapshotMeta] =
+    snapshotId match {
+      case Some(id) => Some(meta.snapshots.find(_.snapshotId == id)
+        .getOrElse(throw new IllegalArgumentException(s"snapshot $id not found")))
+      case None => asOf match {
+        case Some(ts) =>
+          val ok = meta.snapshots.filter(_.timestampMs <= ts)
+          if (ok.isEmpty) None else Some(ok.maxBy(_.timestampMs))
+        case None => meta.currentSnapshotId.flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      }
+    }
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+
+  // --------------------------------------------------------------- write
+
+  /** Create an empty v2 table. Field ids are assigned 1..n in schema order
+    * (nested fields get ids after all top-level ones, depth-first). */
+  def createTable(table: String, schema: StructType, partitionCols: Seq[String] = Nil): TableMeta = {
+    require(partitionCols.forall(schema.fieldNames.contains),
+      s"partition cols $partitionCols not all in schema")
+    val dir = metaDir(table)
+    require(!Files.exists(dir.resolve("version-hint.text")), s"Iceberg table exists: $table")
+    Files.createDirectories(dir)
+    val idCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", Paths.get(table).toAbsolutePath.toString)
+    root.put("last-sequence-number", 0L)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    val (schemaJson, topIds) = schemaToJson(schema, idCounter)
+    root.put("last-column-id", idCounter.get())
+    root.put("current-schema-id", 0)
+    root.set("schemas", mapper.createArrayNode().add(schemaJson))
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    val specFieldsArr = mapper.createArrayNode()
+    partitionCols.zipWithIndex.foreach { case (c, i) =>
+      val f = mapper.createObjectNode()
+      f.put("name", c); f.put("transform", "identity")
+      f.put("source-id", topIds(c)); f.put("field-id", 1000 + i)
+      specFieldsArr.add(f)
+    }
+    spec.set("fields", specFieldsArr)
+    root.set("partition-specs", mapper.createArrayNode().add(spec))
+    root.put("default-spec-id", 0)
+    val order = mapper.createObjectNode()
+    order.put("order-id", 0); order.set("fields", mapper.createArrayNode())
+    root.set("sort-orders", mapper.createArrayNode().add(order))
+    root.put("default-sort-order-id", 0)
+    root.set("snapshots", mapper.createArrayNode())
+    root.put("current-snapshot-id", -1L)
+    root.set("properties", mapper.createObjectNode())
+    writeMetadataVersion(table, 1, root)
+    loadMeta(table)
+  }
+
+  private def schemaToJson(
+      schema: StructType, counter: java.util.concurrent.atomic.AtomicInteger)
+      : (ObjectNode, Map[String, Int]) = {
+    val node = mapper.createObjectNode()
+    node.put("type", "struct"); node.put("schema-id", 0)
+    val arr = mapper.createArrayNode()
+    val top = Map.newBuilder[String, Int]
+    // two passes: top-level ids first (stable, spec-friendly), nested after
+    val topAssigned = schema.fields.map(f => f -> counter.incrementAndGet())
+    topAssigned.foreach { case (f, id) =>
+      top += f.name -> id
+      val fn = mapper.createObjectNode()
+      fn.put("id", id); fn.put("name", f.name); fn.put("required", !f.nullable)
+      fn.set("type", typeToJson(f.dataType, counter))
+      arr.add(fn)
+    }
+    node.set("fields", arr)
+    (node, top.result())
+  }
+
+  private def typeToJson(
+      dt: DataType, counter: java.util.concurrent.atomic.AtomicInteger): JsonNode = dt match {
+    case BooleanType => textNode("boolean")
+    case ByteType | ShortType | IntegerType => textNode("int")
+    case LongType => textNode("long")
+    case FloatType => textNode("float")
+    case DoubleType => textNode("double")
+    case DateType => textNode("date")
+    case TimestampNTZType => textNode("timestamp")
+    case TimestampType => textNode("timestamptz")
+    case StringType => textNode("string")
+    case BinaryType => textNode("binary")
+    case d: DecimalType => textNode(s"decimal(${d.precision}, ${d.scale})")
+    case ArrayType(e, nullable) =>
+      val n = mapper.createObjectNode()
+      n.put("type", "list"); n.put("element-id", counter.incrementAndGet())
+      n.put("element-required", !nullable); n.set("element", typeToJson(e, counter)); n
+    case MapType(StringType, v, nullable) =>
+      val n = mapper.createObjectNode()
+      n.put("type", "map")
+      n.put("key-id", counter.incrementAndGet()); n.set("key", textNode("string"))
+      n.put("value-id", counter.incrementAndGet()); n.put("value-required", !nullable)
+      n.set("value", typeToJson(v, counter)); n
+    case st: StructType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val arr = mapper.createArrayNode()
+      st.fields.foreach { f =>
+        val fn = mapper.createObjectNode()
+        fn.put("id", counter.incrementAndGet()); fn.put("name", f.name)
+        fn.put("required", !f.nullable); fn.set("type", typeToJson(f.dataType, counter))
+        arr.add(fn)
+      }
+      n.set("fields", arr); n
+    case other => throw new UnsupportedOperationException(s"iceberg: unsupported type $other")
+  }
+
+  private def textNode(s: String) = mapper.getNodeFactory.textNode(s)
+
+  /** Append `df` as one snapshot: stage parquet data files into `data/`,
+    * write a manifest + manifest list, commit metadata vN+1. Returns the
+    * new snapshot id. */
+  def append(df: DataFrame, table: String): Long = {
+    val meta = loadMeta(table)
+    require(df.schema.fieldNames.sorted.sameElements(meta.schema.fieldNames.sorted),
+      s"schema mismatch: ${df.schema.fieldNames.mkString(",")} vs ${meta.schema.fieldNames.mkString(",")}")
+    val root = Paths.get(meta.location)
+    val dataDir = root.resolve("data")
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(root, "_iceberg_staging_")
+    val written = try {
+      // Iceberg data files are COMPLETE (identity partition columns are
+      // stored in the file, unlike hive/delta layouts) — partition on an
+      // aliased copy so Spark's partitionBy doesn't strip the real column.
+      // Directory names are internal; file_path in the manifest is
+      // authoritative per the spec.
+      val base = df.select(meta.schema.fieldNames.map(col): _*)
+      val aliased = meta.partitionCols.foldLeft(base)(
+        (d, c) => d.withColumn(s"_p_$c", col(c)))
+      val w = aliased.write.mode("overwrite")
+      (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols.map("_p_" + _): _*)
+       else w).parquet(staging.toString)
+      moveStagedParquet(staging, dataDir)
+    } finally deleteRecursively(staging)
+    // per-file partition values (identity): from the aliased hive dirs
+    val files = written.map { case (rel, size) =>
+      val pv = rel.split('/').dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.startsWith("_p_") && meta.partitionCols.contains(k.drop(3)) =>
+            Some(k.drop(3) -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+          case _ => None
+        }
+      }.toMap
+      AddedFile(dataDir.resolve(rel).toString, 0, pv, size)
+    }
+    commitSnapshot(meta, files, "append")
+  }
+
+  /** The converter's Iceberg snapshot commit (reference
+    * update_snapshot_overrides.py `commit_replace_snapshot` /
+    * `append_delete_files_override`): publish (file_path, pos) position
+    * deletes — e.g. `Converter.equalityToPositionDeletes` output — as a
+    * `delete` snapshot. Returns the new snapshot id. */
+  def commitPositionDeletes(spark: SparkSession, table: String, posDeletes: DataFrame): Long = {
+    val meta = loadMeta(table)
+    val root = Paths.get(meta.location)
+    val delDir = root.resolve("data")
+    Files.createDirectories(delDir)
+    val staging = Files.createTempDirectory(root, "_iceberg_staging_")
+    val written = try {
+      posDeletes
+        .select(col("file_path").cast(StringType), col("pos").cast(LongType))
+        .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
+        .write.mode("overwrite").parquet(staging.toString)
+      moveStagedParquet(staging, delDir)
+    } finally deleteRecursively(staging)
+    val files = written.map { case (rel, size) =>
+      AddedFile(delDir.resolve(rel).toString, 1, Map.empty, size)
+    }
+    commitSnapshot(meta, files, "delete")
+  }
+
+  /** Publish EQUALITY deletes: any data row (in files of a strictly older
+    * data sequence) whose `keyCols` match a row of `deleteKeys` is deleted
+    * on read — the delete shape the reference's converter consumes
+    * (converter_session.py; equality_ids in the manifest entry). */
+  def commitEqualityDeletes(
+      spark: SparkSession, table: String, deleteKeys: DataFrame, keyCols: Seq[String]): Long = {
+    val meta = loadMeta(table)
+    require(keyCols.nonEmpty && keyCols.forall(meta.fieldIds.contains),
+      s"keyCols $keyCols must be top-level schema fields")
+    val root = Paths.get(meta.location)
+    val delDir = root.resolve("data")
+    Files.createDirectories(delDir)
+    val staging = Files.createTempDirectory(root, "_iceberg_staging_")
+    val written = try {
+      deleteKeys.select(keyCols.map(col): _*).distinct()
+        .write.mode("overwrite").parquet(staging.toString)
+      moveStagedParquet(staging, delDir)
+    } finally deleteRecursively(staging)
+    val ids = keyCols.map(meta.fieldIds)
+    val files = written.map { case (rel, size) =>
+      AddedFile(delDir.resolve(rel).toString, 2, Map.empty, size, ids)
+    }
+    commitSnapshot(meta, files, "delete")
+  }
+
+  private final case class AddedFile(
+      absPath: String, content: Int, partition: Map[String, String], sizeBytes: Long,
+      equalityIds: Seq[Int] = Nil)
+
+  /** Write manifest + manifest list + metadata vN+1 (atomic via link). */
+  private def commitSnapshot(meta: TableMeta, files: Seq[AddedFile], op: String): Long = {
+    val dir = metaDir(meta.location)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = java.util.UUID.randomUUID().toString
+
+    // partition record schema for identity cols (stringified values ride
+    // as nullable strings in OUR manifests; readers stringify anyway)
+    val partSchema: AvroSchema = {
+      val fields = meta.partitionCols.zipWithIndex.map { case (c, i) =>
+        val f = new AvroSchema.Field(c, nullableString, null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+        f.addProp("field-id", 1000 + i: Integer)
+        f
+      }
+      val rec = AvroSchema.createRecord("r102", null, "iceberg", false)
+      rec.setFields(java.util.Arrays.asList(fields: _*))
+      rec
+    }
+
+    // manifest
+    val manifestPath = dir.resolve(s"$commitUuid-m0.avro")
+    val entrySchema = manifestEntrySchema(partSchema)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    locally {
+      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+      writer.setMeta("format-version", "2")
+      writer.setMeta("content", if (files.exists(_.content != 0)) "deletes" else "data")
+      writer.create(entrySchema, manifestPath.toFile)
+      try files.foreach { f =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // added
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        val d = new GenericData.Record(dataFileSchema)
+        d.put("content", f.content)
+        d.put("file_path", f.absPath)
+        d.put("file_format", "PARQUET")
+        val p = new GenericData.Record(partSchema)
+        f.partition.foreach { case (k, v) =>
+          if (partSchema.getField(k) != null) p.put(k, v)
+        }
+        d.put("partition", p)
+        d.put("record_count", 0L)
+        d.put("file_size_in_bytes", f.sizeBytes)
+        d.put("equality_ids",
+          if (f.equalityIds.isEmpty) null
+          else java.util.Arrays.asList(f.equalityIds.map(Int.box): _*))
+        e.put("data_file", d)
+        writer.append(e)
+      } finally writer.close()
+    }
+
+    // manifest list: prior snapshot's manifests + the new one
+    val prior: Seq[(String, Long, Int)] = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id)) match {
+      case Some(cur) =>
+        readManifestListFull(resolvePath(cur.manifestList, meta.location))
+      case None => Nil
+    }
+    val listPath = dir.resolve(s"snap-$snapshotId-1-$commitUuid.avro")
+    locally {
+      val ls = manifestListSchema
+      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](ls))
+      writer.setMeta("format-version", "2")
+      writer.create(ls, listPath.toFile)
+      try {
+        val newEntry = new GenericData.Record(ls)
+        newEntry.put("manifest_path", manifestPath.toString)
+        newEntry.put("manifest_length", Files.size(manifestPath))
+        newEntry.put("partition_spec_id", meta.specId)
+        newEntry.put("content", if (files.exists(_.content != 0)) 1 else 0)
+        newEntry.put("sequence_number", seq)
+        newEntry.put("min_sequence_number", seq)
+        newEntry.put("added_snapshot_id", snapshotId)
+        newEntry.put("added_files_count", files.size)
+        newEntry.put("existing_files_count", 0)
+        newEntry.put("deleted_files_count", 0)
+        newEntry.put("added_rows_count", 0L)
+        newEntry.put("existing_rows_count", 0L)
+        newEntry.put("deleted_rows_count", 0L)
+        writer.append(newEntry)
+        prior.foreach { case (p, s, c) =>
+          val e = new GenericData.Record(ls)
+          e.put("manifest_path", p)
+          e.put("manifest_length", Files.size(Paths.get(resolvePath(p, meta.location))))
+          e.put("partition_spec_id", meta.specId)
+          e.put("content", c)
+          e.put("sequence_number", s)
+          e.put("min_sequence_number", s)
+          e.put("added_snapshot_id", snapshotId)
+          e.put("added_files_count", 0)
+          e.put("existing_files_count", 0)
+          e.put("deleted_files_count", 0)
+          e.put("added_rows_count", 0L)
+          e.put("existing_rows_count", 0L)
+          e.put("deleted_rows_count", 0L)
+          writer.append(e)
+        }
+      } finally writer.close()
+    }
+
+    // metadata vN+1
+    val now = System.currentTimeMillis()
+    val old = mapper.readTree(Files.readAllBytes(
+      dir.resolve(s"v${meta.version}.metadata.json"))).asInstanceOf[ObjectNode]
+    old.put("last-sequence-number", seq)
+    old.put("last-updated-ms", now)
+    old.put("current-snapshot-id", snapshotId)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("timestamp-ms", now)
+    snapNode.put("sequence-number", seq)
+    snapNode.put("manifest-list", listPath.toString)
+    snapNode.put("schema-id", 0)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", op)
+    snapNode.set("summary", summary)
+    old.withArray[ArrayNode]("snapshots").add(snapNode)
+    writeMetadataVersion(meta.location, meta.version + 1, old)
+    snapshotId
+  }
+
+  /** (path, sequence_number, content) of every manifest in a list. */
+  private def readManifestListFull(path: String): Seq[(String, Long, Int)] = {
+    val reader = DataFileReader.openReader(
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.map { r =>
+      (r.get("manifest_path").toString,
+        Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+    }.toSeq
+    finally reader.close()
+  }
+
+  /** Atomic metadata version publish: link fails on EEXIST, so a racing
+    * committer of the same version surfaces as a conflict. */
+  private def writeMetadataVersion(table: String, version: Int, root: JsonNode): Unit = {
+    val dir = metaDir(table)
+    val target = dir.resolve(s"v$version.metadata.json")
+    val tmp = Files.createTempFile(dir, s".v$version", ".json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp) }
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(s"concurrent Iceberg commit v$version on $table", e)
+    }
+    Files.write(dir.resolve("version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  // ---- avro schemas for manifests (field-ids as props, per the spec)
+
+  private def nullableString =
+    AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL),
+      AvroSchema.create(AvroSchema.Type.STRING))
+  private def nullable(t: AvroSchema.Type) =
+    AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), AvroSchema.create(t))
+  private def required(t: AvroSchema.Type) = AvroSchema.create(t)
+
+  private def fld(name: String, schema: AvroSchema, id: Int, dflt: AnyRef = null): AvroSchema.Field = {
+    val f =
+      if (schema.getType == AvroSchema.Type.UNION)
+        new AvroSchema.Field(name, schema, null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+      else new AvroSchema.Field(name, schema, null, dflt)
+    f.addProp("field-id", id: Integer)
+    f
+  }
+
+  private[interop] def manifestEntrySchema(partSchema: AvroSchema): AvroSchema = {
+    import AvroSchema.Type._
+    val dataFile = AvroSchema.createRecord("r2", null, "iceberg", false)
+    dataFile.setFields(java.util.Arrays.asList(
+      fld("content", required(INT), 134, 0: Integer),
+      fld("file_path", required(STRING), 100),
+      fld("file_format", required(STRING), 101),
+      fld("partition", partSchema, 102),
+      fld("record_count", required(LONG), 103),
+      fld("file_size_in_bytes", required(LONG), 104),
+      fld("equality_ids", AvroSchema.createUnion(
+        AvroSchema.create(NULL),
+        AvroSchema.createArray(AvroSchema.create(INT))), 135)))
+    val entry = AvroSchema.createRecord("manifest_entry", null, "iceberg", false)
+    entry.setFields(java.util.Arrays.asList(
+      fld("status", required(INT), 0),
+      fld("snapshot_id", nullable(LONG), 1),
+      fld("sequence_number", nullable(LONG), 3),
+      fld("file_sequence_number", nullable(LONG), 4),
+      fld("data_file", dataFile, 2)))
+    entry
+  }
+
+  private[interop] def manifestListSchema: AvroSchema = {
+    import AvroSchema.Type._
+    val mf = AvroSchema.createRecord("manifest_file", null, "iceberg", false)
+    mf.setFields(java.util.Arrays.asList(
+      fld("manifest_path", required(STRING), 500),
+      fld("manifest_length", required(LONG), 501),
+      fld("partition_spec_id", required(INT), 502),
+      fld("content", required(INT), 517, 0: Integer),
+      fld("sequence_number", required(LONG), 515, 0L: java.lang.Long),
+      fld("min_sequence_number", required(LONG), 516, 0L: java.lang.Long),
+      fld("added_snapshot_id", required(LONG), 503),
+      fld("added_files_count", required(INT), 504),
+      fld("existing_files_count", required(INT), 505),
+      fld("deleted_files_count", required(INT), 506),
+      fld("added_rows_count", required(LONG), 512),
+      fld("existing_rows_count", required(LONG), 513),
+      fld("deleted_rows_count", required(LONG), 514)))
+    mf
+  }
+
+  // ---- shared staging helpers (same discipline as the Delta binding)
+
+  private def moveStagedParquet(staging: JPath, destRoot: JPath): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    val stream = Files.walk(staging)
+    try stream.iterator().asScala.foreach { p =>
+      val name = p.getFileName.toString
+      if (Files.isRegularFile(p) && name.endsWith(".parquet") && !name.startsWith("_")) {
+        val rel = staging.relativize(p).toString
+        val dest = destRoot.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        out += ((rel, Files.size(dest)))
+      }
+    } finally stream.close()
+    out.result()
+  }
+
+  private def deleteRecursively(p: JPath): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+}

@@ -78,6 +78,11 @@ object UrlIO {
       graft.interop.DeltaLake.read(spark, path,
         versionAsOf = opts.get("versionAsOf").map(_.toLong),
         timestampAsOf = opts.get("timestampAsOf").map(_.toLong))
+    case FileTarget(path, "iceberg", opts) =>
+      // iceberg:///path?snapshotId=… — the foreign Iceberg v2 binding
+      graft.interop.Iceberg.read(spark, path,
+        snapshotId = opts.get("snapshotId").map(_.toLong),
+        asOfTimestampMs = opts.get("asOfTimestamp").map(_.toLong))
     case FileTarget(path, fmt, opts) =>
       spark.read.format(fmt).options(opts).load(path)
   }

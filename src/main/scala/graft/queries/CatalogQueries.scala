@@ -755,6 +755,46 @@ object CatalogQueries {
       graft.interop.DeltaLake.write(
         o.where(col("o_orderkey") % 4 === 2), t, checkpointInterval = 2)
       graft.interop.DeltaLake.read(s, t, versionAsOf = Some(0L))
+    },
+
+    // Iceberg v2 foreign stream format (reference StreamFormat.ICEBERG),
+    // spoken via the public table spec: JSON metadata + avro manifests
+    // written by Graft's own binding. Partitioned append (seq 1), an
+    // equality-delete snapshot (seq 2), then a later append (seq 3) whose
+    // rows the delete must NOT hit (sequence-gated application).
+    Q("c46_iceberg", Some("""
+      SELECT c_custkey, c_name, c_nationkey
+      FROM customer WHERE c_custkey % 6 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c46").resolve("tbl").toString
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      graft.interop.Iceberg.createTable(t, c.schema, partitionCols = Seq("c_nationkey"))
+      graft.interop.Iceberg.append(c.where(col("c_custkey") % 2 === 0), t)
+      graft.interop.Iceberg.commitEqualityDeletes(
+        s, t, c.where(col("c_custkey") % 6 === 0).select("c_custkey"), Seq("c_custkey"))
+      graft.interop.Iceberg.append(c.where(col("c_custkey") % 2 === 1), t)
+      graft.interop.Iceberg.read(s, t)
+    },
+
+    // The converter's Iceberg snapshot commit (reference
+    // pyiceberg/update_snapshot_overrides.py): equality keys become
+    // position deletes (Converter compute core) and are PUBLISHED as a
+    // delete snapshot; the snapshot read applies them.
+    Q("c47_iceberg_converter", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 9 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c47").resolve("tbl").toString
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.interop.Iceberg.createTable(t, o.schema)
+      graft.interop.Iceberg.append(o, t)
+      val meta = graft.interop.Iceberg.loadMeta(t)
+      val dataFiles = graft.interop.Iceberg
+        .fileEntries(s, meta, meta.snapshots.head).filter(_.content == 0).map(_.path)
+      val pos = Converter.equalityToPositionDeletes(
+        s, dataFiles, o.schema,
+        o.where(col("o_orderkey") % 9 === 0).select("o_orderkey"), Seq("o_orderkey"))
+        .select(regexp_replace(col("file_path"), "^file:/+", "/").as("file_path"), col("pos"))
+      graft.interop.Iceberg.commitPositionDeletes(s, t, pos)
+      graft.interop.Iceberg.read(s, t)
     }
   )
 }
