@@ -120,12 +120,67 @@ object UrlIO {
       }
   }
 
+  /** Decoded-bytes inflation per file extension — the reference's
+    * extension_to_memory_multiplier (api.py:103-120, same public values):
+    * how much bigger a file's in-memory decoded form is than its on-disk
+    * bytes. Compressed containers dominate compound extensions
+    * (`.csv.gz` -> 35). */
+  val ExtensionInflation: Map[String, Double] = Map(
+    "pq" -> 5, "parquet" -> 5,
+    "feather" -> 1.5, "arrow" -> 1.5,
+    "csv" -> 1.5, "tsv" -> 1.5, "psv" -> 1.5, "txt" -> 1.5,
+    "json" -> 1.5, "jsonl" -> 1.5,
+    "gz" -> 35, "bz2" -> 35, "zip" -> 35, "zst" -> 35, "7z" -> 35, "xz" -> 35,
+    "*" -> 2.5)
+
+  def inflationFor(path: String): Double = {
+    val ext = path.substring(path.lastIndexOf('/') + 1).split('.').drop(1)
+    ext.reverseIterator.collectFirst {
+      case e if ExtensionInflation.contains(e.toLowerCase) =>
+        ExtensionInflation(e.toLowerCase)
+    }.getOrElse(ExtensionInflation("*"))
+  }
+
+  /** Worst-case inflation of a source path: for a directory, the max over
+    * its (first-level) files — one 35x gzip member must not OOM its task
+    * because its siblings were tame. */
+  private def sourceInflation(path: String): Double = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.collection.JavaConverters._
+      val s = java.nio.file.Files.list(p)
+      val names = try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("_")).toList finally s.close()
+      if (names.isEmpty) 1.0 else names.map(inflationFor).max
+    } else inflationFor(path)
+  }
+
   /** Parallel read → transform pipeline → write between any two targets —
-    * reference `dc.copy` (api.py:97-190). Transforms apply in order. */
+    * reference `dc.copy` (api.py:97-190). Transforms apply in order.
+    *
+    * Task sizing: the reference estimates per-file decoded memory from the
+    * extension-inflation table and retries OOM'd copy tasks with escalating
+    * dedicated CPUs (api.py:580-615). Spark-first analog: scale the scan's
+    * `maxPartitionBytes` DOWN by the source's inflation factor for the
+    * duration of the copy, so each task's DECODED footprint fits the same
+    * envelope the default assumed for raw bytes — and spill/AQE (SURVEY §4)
+    * replace the kill-and-escalate loop. A 35x-inflating gzip source reads
+    * in ~35x smaller splits instead of OOMing one fat task. */
   def copy(spark: SparkSession, src: String, dst: String,
       transforms: Seq[DataFrame => DataFrame] = Nil): Unit = {
-    val in = read(spark, src)
-    val out = transforms.foldLeft(in)((df, t) => t(df))
-    write(out, dst)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    val inflation = parse(src) match {
+      case FileTarget(path, _, _) => sourceInflation(path)
+      case _ => 1.0 // graft catalog sources are parquet, sized by the catalog
+    }
+    val scaled = math.max(1L << 20,
+      (spark.sessionState.conf.filesMaxPartitionBytes / inflation).toLong)
+    try {
+      if (inflation > 1.0) spark.conf.set(key, scaled.toString)
+      val in = read(spark, src)
+      val out = transforms.foldLeft(in)((df, t) => t(df))
+      write(out, dst)
+    } finally spark.conf.set(key, prev)
   }
 }

@@ -111,6 +111,34 @@ class InteropSpec extends SparkSpec {
     assert(DeltaLake.read(spark, t, versionAsOf = Some(0L)).count() == nation.count())
   }
 
+  test("copy: inflation-aware scan sizing + foreign-format urls") {
+    import graft.io.UrlIO
+    assert(UrlIO.inflationFor("/a/b/data.csv.gz") == 35)
+    assert(UrlIO.inflationFor("x.parquet") == 5)
+    assert(UrlIO.inflationFor("weird.xyz") == 2.5)
+
+    // gzip-csv source -> parquet dest through copy(); split-size conf is
+    // scaled during the copy and restored after
+    val srcDir = tmpDir("copy-src")
+    nation.write.mode("overwrite").option("compression", "gzip")
+      .option("header", "true").csv(srcDir)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    val dst = tmpDir("copy-dst") + "/out.parquet"
+    UrlIO.copy(spark, s"$srcDir?format=csv", dst)
+    assert(spark.conf.get(key) == prev, "conf must be restored")
+    assert(spark.read.parquet(dst).count() == nation.count())
+
+    // delta:// and iceberg:// read dispatch
+    val dt = tmpDir("copy-delta")
+    graft.interop.DeltaLake.write(nation, dt)
+    assert(UrlIO.read(spark, s"delta://$dt").count() == nation.count())
+    val it = tmpDir("copy-ice") + "/tbl"
+    graft.interop.Iceberg.createTable(it, nation.schema)
+    graft.interop.Iceberg.append(nation, it)
+    assert(UrlIO.read(spark, s"iceberg://$it").count() == nation.count())
+  }
+
   test("delta: concurrent same-version commit loses the rename race") {
     val t = tmpDir("delta-race")
     DeltaLake.write(nation, t)
