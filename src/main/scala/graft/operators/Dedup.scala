@@ -29,6 +29,48 @@ object Dedup {
     df.join(canon, Seq(idCol), "left_semi")
   }
 
+  /**
+   * Incremental exact dedup: rows of `incoming` whose content fingerprint
+   * does NOT already exist in `corpus` — the daily-ingest shape (dedupe a
+   * small new batch against a 100 TB standing corpus).
+   *
+   * Scale design: a Bloom filter over the corpus fingerprints (one
+   * distributed aggregate, compact enough to broadcast) prefilters the
+   * incoming batch MAP-ONLY — rows the bloom rejects are definitely new and
+   * never enter a join. Only bloom-positive rows (true matches + the FPP
+   * sliver) are verified with an exact anti-join, so correctness never
+   * depends on the bloom: the result is exactly `incoming ∖ corpus`, the
+   * bloom only shrinks the join's left side. With a 1 % daily-new rate,
+   * ~99 % of the anti-join's left side vanishes before the shuffle.
+   *
+   * `expectedCorpusItems` sizes the filter (bits ≈ -n·ln(fpp)/ln(2)²);
+   * pass the corpus' approximate distinct count at 100 TB rather than
+   * forcing a count job.
+   */
+  def incrementalNew(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      expectedCorpusItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.BloomKernel
+    val fpOf = (d: DataFrame) =>
+      d.select(col(idCol), TextOps.fingerprint(col(textCol)).as("_g_fp"))
+    val corpusFp = fpOf(corpus).select("_g_fp")
+    // bits = -n·ln(p)/ln(2)²; one distributed aggregate, sketch to driver
+    val numBits = math.max(64L,
+      (-expectedCorpusItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = corpusFp
+      .select(BloomKernel.bloomAgg(xxhash64(col("_g_fp")), expectedCorpusItems, numBits))
+      .head().getAs[Array[Byte]](0)
+    val inFp = fpOf(incoming)
+    if (bloomBytes == null) return incoming // empty corpus: everything is new
+    val positive = BloomKernel.mightContain(bloomBytes, xxhash64(col("_g_fp")))
+    val definitelyNew = inFp.where(!positive)
+    val verified = inFp.where(positive)
+      .join(corpusFp.withColumnRenamed("_g_fp", "_c_fp"),
+        col("_g_fp") === col("_c_fp"), "left_anti")
+    incoming.join(
+      definitelyNew.select(idCol).union(verified.select(idCol)), Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------------------- MinHash LSH
 
   /** Modulus for the affine min-hash family: 2^31−1 (prime). Products stay

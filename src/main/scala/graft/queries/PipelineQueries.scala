@@ -226,6 +226,25 @@ object PipelineQueries {
       TextOps.packSequences(tbl(s, dir, "documents"), "doc_id", "text", ctxLen = 512)
     },
 
+    // Incremental exact dedup (daily-ingest shape): incoming batch minus
+    // the standing corpus by content fingerprint. The bloom prefilter is a
+    // pure optimization — the exact anti-join verifies every bloom-positive
+    // row, so the result is oracle-exact regardless of FPP.
+    Q("t19_incremental_dedup", Some("""
+      SELECT i.doc_id, i.lang, i.text
+      FROM documents i
+      WHERE i.doc_id % 2 = 0 AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 3 <> 0
+          AND md5(regexp_replace(lower(trim(c.text)), '\s+', ' ', 'g')) =
+              md5(regexp_replace(lower(trim(i.text)), '\s+', ' ', 'g')))""")) { (s, dir) =>
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      Dedup.incrementalNew(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", expectedCorpusItems = 1000L)
+    },
+
     // Exact cosine top-5 for 20 query vectors (engine-stable via round(,9)).
     Q("t06_ann_brute", Some("""
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -30,6 +30,27 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("incremental dedup: bloom prefilter never changes the exact answer") {
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.where($"doc_id" % 3 =!= 0)
+    val incoming = docs.where($"doc_id" % 2 === 0)
+    val exact = incoming.join(
+      corpus.select(graft.operators.TextOps.fingerprint($"text").as("fp")).distinct(),
+      graft.operators.TextOps.fingerprint(incoming("text")) === $"fp", "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // tight and sloppy FPPs both reproduce the exact anti-join
+    for (fpp <- Seq(0.0001, 0.5)) {
+      val got = Dedup.incrementalNew(incoming, corpus, "doc_id", "text",
+        expectedCorpusItems = 600L, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == exact, s"fpp=$fpp")
+    }
+    // empty corpus: everything is new
+    assert(Dedup.incrementalNew(incoming, corpus.limit(0), "doc_id", "text")
+      .count() == incoming.count())
+  }
+
   test("minhash LSH finds a high-jaccard planted pair; no cross join") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
     val near = base.replace("tonight", "tomorrow")
