@@ -83,6 +83,10 @@ object UrlIO {
       graft.interop.Iceberg.read(spark, path,
         snapshotId = opts.get("snapshotId").map(_.toLong),
         asOfTimestampMs = opts.get("asOfTimestamp").map(_.toLong))
+    case FileTarget(path, "hive", opts) =>
+      // hive:///warehouse/table — hive-style partitioned parquet layout;
+      // partition discovery is native Spark (reference StreamFormat.HIVE)
+      spark.read.options(opts - "partitionBy").option("basePath", path).parquet(path)
     case FileTarget(path, fmt, opts) =>
       spark.read.format(fmt).options(opts).load(path)
   }
@@ -97,10 +101,23 @@ object UrlIO {
           case WriteMode.Create => "errorifexists"
           case _ => "overwrite"
         }
-        if (fmt == "delta")
-          graft.interop.DeltaLake.write(df, path, saveMode,
-            partitionBy = opts.get("partitionBy").toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
-        else df.write.format(fmt).options(opts).mode(saveMode).save(path)
+        val partitionBy = opts.get("partitionBy").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+        fmt match {
+          case "delta" =>
+            graft.interop.DeltaLake.write(df, path, saveMode, partitionBy = partitionBy)
+          case "iceberg" =>
+            val exists = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(path, "metadata", "version-hint.text"))
+            require(!exists || saveMode == "append",
+              s"iceberg:// write to an existing table supports append, not $saveMode")
+            if (!exists)
+              graft.interop.Iceberg.createTable(path, df.schema, partitionCols = partitionBy)
+            graft.interop.Iceberg.append(df, path)
+          case "hive" =>
+            val w = df.write.options(opts - "partitionBy").mode(saveMode)
+            (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+          case _ => df.write.format(fmt).options(opts).mode(saveMode).save(path)
+        }
     }
 
   /** List a container: graft catalog namespace/tables, or a directory. */

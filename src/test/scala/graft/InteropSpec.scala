@@ -139,6 +139,30 @@ class InteropSpec extends SparkSpec {
     assert(UrlIO.read(spark, s"iceberg://$it").count() == nation.count())
   }
 
+  test("graft table exports to delta/iceberg/hive via copy; all read back equal") {
+    import graft.{Graft => G}
+    val cat = new graft.catalog.GraftCatalog(spark, tmpDir("export-cat"))
+    G.putCatalog("exp", cat)
+    cat.writeToTable(nation, "ns.nation")
+
+    val dt = tmpDir("export-delta") + "/t"
+    G.copy(spark, "graft://exp/ns.nation", s"delta://$dt?partitionBy=n_regionkey")
+    assert(graft.io.UrlIO.read(spark, s"delta://$dt").orderBy("n_nationkey")
+      .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
+
+    val it = tmpDir("export-ice") + "/t"
+    G.copy(spark, "graft://exp/ns.nation", s"iceberg://$it?partitionBy=n_regionkey")
+    assert(graft.io.UrlIO.read(spark, s"iceberg://$it")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
+
+    val ht = tmpDir("export-hive") + "/t"
+    G.copy(spark, "graft://exp/ns.nation", s"hive://$ht?partitionBy=n_regionkey")
+    assert(graft.io.UrlIO.read(spark, s"hive://$ht")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("delta: concurrent same-version commit loses the rename race") {
     val t = tmpDir("delta-race")
     DeltaLake.write(nation, t)
