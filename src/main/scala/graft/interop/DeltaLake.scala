@@ -72,15 +72,18 @@ object DeltaLake {
     val dataFields = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
     val dataSchema = StructType(dataFields)
 
+    require(partitionFilter.isEmpty || snap.partitionColumns.nonEmpty,
+      s"partitionFilter given but $table is unpartitioned — the filter would " +
+        "be silently dropped; filter the returned DataFrame instead")
     val active = partitionFilter match {
-      case Some(pred) if snap.partitionColumns.nonEmpty =>
+      case Some(pred) =>
         // prune on the serialized partition values BEFORE touching data
         val parts = snap.partitionColumns.map { c =>
           val dt = snap.schema(c).dataType
           element_at(col("partitionValues"), c).cast(dt).as(c)
         }
         snap.files.select((col("path") +: parts): _*).where(pred)
-      case _ => snap.files
+      case None => snap.files
     }
     val files = active.select("path").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().toSeq
@@ -91,9 +94,13 @@ object DeltaLake {
       if (snap.partitionColumns.isEmpty) data
       else {
         // data files omit partition columns (protocol: values live in the
-        // add action); rejoin them via a broadcast (path -> values) frame
+        // add action); rejoin them via a broadcast (path -> values) frame.
+        // _metadata.file_path is a URI (percent-ENCODED) — decode it to the
+        // real filesystem path the snapshot carries, or files under escaped
+        // partition dirs (k=a%3Ab) silently drop out of the inner join
+        val decode = udf(InteropUtil.decodeRelPath _)
         val pv = snap.files.select(col("path"), col("partitionValues"))
-        val withPath = data.withColumn("_g_path", normPath(col("_metadata.file_path")))
+        val withPath = data.withColumn("_g_path", decode(col("_metadata.file_path")))
         val joined = withPath.join(
           broadcast(pv.withColumnRenamed("path", "_g_path")
             .withColumn("_g_path", normPath(col("_g_path")))), Seq("_g_path"))
@@ -205,8 +212,11 @@ object DeltaLake {
       val snap = snapshot(spark, table)
       require(snap.partitionColumns == partitionBy,
         s"partitionBy $partitionBy != table partitioning ${snap.partitionColumns}")
-      require(schema.fieldNames.sorted.sameElements(snap.schema.fieldNames.sorted),
-        s"schema mismatch: ${schema.fieldNames.mkString(",")} vs table ${snap.schema.fieldNames.mkString(",")}")
+      // names AND types (nullability aside): a type-mismatched append would
+      // commit parquet the table schemaString can no longer read
+      def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+      require(shape(schema) == shape(snap.schema),
+        s"schema mismatch: ${shape(schema)} vs table ${shape(snap.schema)}")
     }
 
     // stage data files, then move into place recording (relPath, size, pv)
@@ -216,7 +226,7 @@ object DeltaLake {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(staging.toString)
       moveStaged(staging, Paths.get(table), partitionBy)
-    } finally deleteRecursively(staging)
+    } finally InteropUtil.deleteRecursively(staging)
 
     val removes: Seq[JsonNode] =
       if (mode == "overwrite" && !isCreate)
@@ -295,16 +305,35 @@ object DeltaLake {
       }
     }
     if (schema.isEmpty || protocol.isEmpty) cp.foreach { case (_, cpFiles) =>
-      val row = spark.read.parquet(cpFiles: _*)
-        .select("metaData.schemaString", "metaData.partitionColumns", "protocol.minReaderVersion")
+      // readerFeatures MUST survive the fallback — a feature table whose
+      // protocol action lives only in the checkpoint would otherwise slip
+      // past checkProtocol and be silently misread
+      val raw = spark.read.parquet(cpFiles: _*)
+      val hasFeatures = raw.schema.fieldNames.contains("protocol") &&
+        raw.schema("protocol").dataType.asInstanceOf[StructType]
+          .fieldNames.contains("readerFeatures")
+      val featCol =
+        if (hasFeatures) col("protocol.readerFeatures")
+        else lit(null).cast(ArrayType(StringType))
+      val row = raw
+        .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+          col("protocol.minReaderVersion"), featCol.as("readerFeatures"))
         .where(col("schemaString").isNotNull || col("minReaderVersion").isNotNull)
         .collect()
       row.find(!_.isNullAt(0)).foreach { r =>
         if (schema.isEmpty) schema = Some((r.getString(0), r.getSeq[String](1)))
       }
       row.find(!_.isNullAt(2)).foreach { r =>
-        if (protocol.isEmpty)
-          protocol = Some(mapper.readTree(s"""{"minReaderVersion":${r.getInt(2)}}"""))
+        if (protocol.isEmpty) {
+          val p = mapper.createObjectNode()
+          p.put("minReaderVersion", r.getInt(2))
+          if (!r.isNullAt(3)) {
+            val arr = mapper.createArrayNode()
+            r.getSeq[String](3).foreach(arr.add)
+            p.set[JsonNode]("readerFeatures", arr)
+          }
+          protocol = Some(p)
+        }
       }
     }
     val (ss, pc) = schema.getOrElse(
@@ -351,70 +380,32 @@ object DeltaLake {
       StructField("partitionValues", MapType(StringType, StringType)))))))
 
   private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    InteropUtil.emptyFrame(spark, schema)
 
-  private def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+  private def normPath(c: Column): Column = InteropUtil.normPath(c)
+
   private def absolutize(c: Column, table: String): Column = {
     val root = Paths.get(table).toAbsolutePath.toString.stripSuffix("/")
-    when(c.startsWith("/"), c).otherwise(concat(lit(root + "/"), urlDecode(c)))
-  }
-  private def urlDecode(c: Column): Column = {
-    // percent-decoding per RFC 2396 (the protocol encodes add.path); our
-    // writer emits safe names so this is a near-identity, but foreign
-    // writers may escape
-    val fn = udf { s: String =>
-      try new java.net.URI(s).getPath catch { case NonFatal(_) => s }
-    }
-    fn(c)
+    // add.path is percent-encoded per the protocol; decode before resolving
+    val decode = udf(InteropUtil.decodeRelPath _)
+    when(c.startsWith("/"), c).otherwise(concat(lit(root + "/"), decode(c)))
   }
 
   /** Move staged files under the table root, keeping Spark's unique part
     * names and hive partition dirs; returns (relativePath, size, pv). */
   private def moveStaged(
-      staging: JPath, root: JPath, partitionBy: Seq[String]): Seq[(String, Long, Map[String, String])] = {
-    val out = Seq.newBuilder[(String, Long, Map[String, String])]
-    val stream = Files.walk(staging)
-    try {
-      stream.iterator().asScala.foreach { p =>
-        val name = p.getFileName.toString
-        if (Files.isRegularFile(p) && name.endsWith(".parquet") && !name.startsWith("_")) {
-          val rel = staging.relativize(p).toString
-          val dest = root.resolve(rel)
-          Files.createDirectories(dest.getParent)
-          Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-          val pv = rel.split('/').dropRight(1).flatMap { seg =>
-            seg.split("=", 2) match {
-              case Array(k, v) if partitionBy.contains(k) =>
-                Some(k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapePathName(v)))
-              case _ => None
-            }
-          }.toMap
-          out += ((rel, Files.size(dest), pv))
+      staging: JPath, root: JPath, partitionBy: Seq[String]): Seq[(String, Long, Map[String, String])] =
+    InteropUtil.moveStagedParquet(staging, root).map { case (rel, size) =>
+      val pv = rel.split('/').dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if partitionBy.contains(k) =>
+            Some(k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+            else InteropUtil.unescapeHive(v)))
+          case _ => None
         }
-      }
-    } finally stream.close()
-    out.result()
-  }
-
-  /** Inverse of Hive's path escaping (%2F etc inside partition values). */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
-        catch { case NonFatal(_) => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
+      }.toMap
+      (rel, size, pv)
     }
-    sb.toString
-  }
-
-  private def deleteRecursively(p: JPath): Unit = if (Files.exists(p)) {
-    val s = Files.walk(p)
-    try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-    finally s.close()
-  }
 
   // ---- action JSON builders
 
@@ -440,7 +431,7 @@ object DeltaLake {
 
   private def addAction(rel: String, size: Long, pv: Map[String, String]): JsonNode = {
     val a = obj()
-    a.put("path", rel)
+    a.put("path", InteropUtil.encodeRelPath(rel))
     val pvn = obj(); pv.foreach { case (k, v) => if (v == null) pvn.putNull(k) else pvn.put(k, v) }
     a.set("partitionValues", pvn)
     a.put("size", size)
@@ -451,7 +442,8 @@ object DeltaLake {
 
   private def removeAction(rel: String, pv: Map[String, String]): JsonNode = {
     val r = obj()
-    r.put("path", rel)
+    // must match the original add.path byte-for-byte for replay
+    r.put("path", InteropUtil.encodeRelPath(rel))
     r.put("deletionTimestamp", System.currentTimeMillis())
     r.put("dataChange", true)
     val pvn = obj(); pv.foreach { case (k, v) => if (v == null) pvn.putNull(k) else pvn.put(k, v) }
@@ -525,11 +517,14 @@ object DeltaLake {
       val lc = obj(); lc.put("version", v); lc.put("size", 1)
       Files.write(logDir(table).resolve("_last_checkpoint"),
         mapper.writeValueAsString(lc).getBytes(StandardCharsets.UTF_8))
-    } finally deleteRecursively(cpDir)
+    } finally InteropUtil.deleteRecursively(cpDir)
   }
 
+  /** Absolute decoded path -> the protocol's relative percent-encoded form
+    * (checkpoint add.path must match the commit actions byte-for-byte). */
   private def urlEncodeRel(c: Column, table: String): Column = {
     val root = Paths.get(table).toAbsolutePath.toString.stripSuffix("/") + "/"
-    regexp_replace(c, java.util.regex.Pattern.quote(root), "")
+    val enc = udf(InteropUtil.encodeRelPath _)
+    enc(regexp_replace(c, java.util.regex.Pattern.quote(root), ""))
   }
 }

@@ -274,11 +274,14 @@ object Iceberg {
       return emptyFrame(spark, meta.schema))
     val entries = fileEntries(spark, meta, snap)
 
+    require(partitionFilter.isEmpty || meta.partitionCols.nonEmpty,
+      s"partitionFilter given but $table is unpartitioned — the filter would " +
+        "be silently dropped; filter the returned DataFrame instead")
     var dataFiles = entries.filter(_.content == 0)
     partitionFilter.foreach { pred =>
       // evaluate the predicate once per distinct partition tuple via a tiny
       // local frame — no data file is opened for pruned partitions
-      if (meta.partitionCols.nonEmpty && dataFiles.nonEmpty) {
+      if (dataFiles.nonEmpty) {
         import spark.implicits._
         val pvDf = dataFiles.map(e =>
           (e.path, meta.partitionCols.map(c => e.partition.getOrElse(c, null))))
@@ -353,9 +356,9 @@ object Iceberg {
     }
 
   private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    InteropUtil.emptyFrame(spark, schema)
 
-  private def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+  private def normPath(c: Column): Column = InteropUtil.normPath(c)
 
   // --------------------------------------------------------------- write
 
@@ -465,8 +468,11 @@ object Iceberg {
     * new snapshot id. */
   def append(df: DataFrame, table: String): Long = {
     val meta = loadMeta(table)
-    require(df.schema.fieldNames.sorted.sameElements(meta.schema.fieldNames.sorted),
-      s"schema mismatch: ${df.schema.fieldNames.mkString(",")} vs ${meta.schema.fieldNames.mkString(",")}")
+    // names AND types (nullability aside): a type-mismatched append would
+    // commit parquet files the table schema can no longer read
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+    require(shape(df.schema) == shape(meta.schema),
+      s"schema mismatch: ${shape(df.schema)} vs table ${shape(meta.schema)}")
     val root = Paths.get(meta.location)
     val dataDir = root.resolve("data")
     Files.createDirectories(dataDir)
@@ -483,20 +489,23 @@ object Iceberg {
       val w = aliased.write.mode("overwrite")
       (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols.map("_p_" + _): _*)
        else w).parquet(staging.toString)
-      moveStagedParquet(staging, dataDir)
-    } finally deleteRecursively(staging)
+      InteropUtil.moveStagedParquet(staging, dataDir)
+    } finally InteropUtil.deleteRecursively(staging)
     // per-file partition values (identity): from the aliased hive dirs
     val files = written.map { case (rel, size) =>
       val pv = rel.split('/').dropRight(1).flatMap { seg =>
         seg.split("=", 2) match {
           case Array(k, v) if k.startsWith("_p_") && meta.partitionCols.contains(k.drop(3)) =>
-            Some(k.drop(3) -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+            // un-hive-escape: the manifest must carry the REAL value or
+            // partition pruning silently drops matching rows
+            Some(k.drop(3) -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+            else InteropUtil.unescapeHive(v)))
           case _ => None
         }
       }.toMap
       AddedFile(dataDir.resolve(rel).toString, 0, pv, size)
     }
-    commitSnapshot(meta, files, "append")
+    commitSnapshot(df.sparkSession, meta, files, "append")
   }
 
   /** The converter's Iceberg snapshot commit (reference
@@ -515,12 +524,12 @@ object Iceberg {
         .select(col("file_path").cast(StringType), col("pos").cast(LongType))
         .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
         .write.mode("overwrite").parquet(staging.toString)
-      moveStagedParquet(staging, delDir)
-    } finally deleteRecursively(staging)
+      InteropUtil.moveStagedParquet(staging, delDir)
+    } finally InteropUtil.deleteRecursively(staging)
     val files = written.map { case (rel, size) =>
       AddedFile(delDir.resolve(rel).toString, 1, Map.empty, size)
     }
-    commitSnapshot(meta, files, "delete")
+    commitSnapshot(spark, meta, files, "delete")
   }
 
   /** Publish EQUALITY deletes: any data row (in files of a strictly older
@@ -539,13 +548,13 @@ object Iceberg {
     val written = try {
       deleteKeys.select(keyCols.map(col): _*).distinct()
         .write.mode("overwrite").parquet(staging.toString)
-      moveStagedParquet(staging, delDir)
-    } finally deleteRecursively(staging)
+      InteropUtil.moveStagedParquet(staging, delDir)
+    } finally InteropUtil.deleteRecursively(staging)
     val ids = keyCols.map(meta.fieldIds)
     val files = written.map { case (rel, size) =>
       AddedFile(delDir.resolve(rel).toString, 2, Map.empty, size, ids)
     }
-    commitSnapshot(meta, files, "delete")
+    commitSnapshot(spark, meta, files, "delete")
   }
 
   private final case class AddedFile(
@@ -553,11 +562,15 @@ object Iceberg {
       equalityIds: Seq[Int] = Nil)
 
   /** Write manifest + manifest list + metadata vN+1 (atomic via link). */
-  private def commitSnapshot(meta: TableMeta, files: Seq[AddedFile], op: String): Long = {
+  private def commitSnapshot(
+      spark: SparkSession, meta: TableMeta, files: Seq[AddedFile], op: String): Long = {
     val dir = metaDir(meta.location)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = meta.lastSequenceNumber + 1
     val commitUuid = java.util.UUID.randomUUID().toString
+    // record_count is a REQUIRED, meaningful field (foreign planners size
+    // scans from it) — read the real footer counts
+    val rowCounts = InteropUtil.parquetRowCounts(spark, files.map(_.absPath))
 
     // partition record schema for identity cols (stringified values ride
     // as nullable strings in OUR manifests; readers stringify anyway)
@@ -596,7 +609,7 @@ object Iceberg {
           if (partSchema.getField(k) != null) p.put(k, v)
         }
         d.put("partition", p)
-        d.put("record_count", 0L)
+        d.put("record_count", rowCounts.getOrElse(f.absPath, 0L))
         d.put("file_size_in_bytes", f.sizeBytes)
         d.put("equality_ids",
           if (f.equalityIds.isEmpty) null
@@ -606,13 +619,16 @@ object Iceberg {
       } finally writer.close()
     }
 
-    // manifest list: prior snapshot's manifests + the new one
-    val prior: Seq[(String, Long, Int)] = meta.currentSnapshotId
+    // manifest list: prior snapshot's manifests (metadata preserved — a
+    // foreign runtime uses added_snapshot_id for snapshot expiry and the
+    // row counts for planning) + the new one
+    val prior: Seq[ManifestRef] = meta.currentSnapshotId
       .flatMap(id => meta.snapshots.find(_.snapshotId == id)) match {
       case Some(cur) =>
         readManifestListFull(resolvePath(cur.manifestList, meta.location))
       case None => Nil
     }
+    val addedRows = files.map(f => rowCounts.getOrElse(f.absPath, 0L)).sum
     val listPath = dir.resolve(s"snap-$snapshotId-1-$commitUuid.avro")
     locally {
       val ls = manifestListSchema
@@ -620,38 +636,11 @@ object Iceberg {
       writer.setMeta("format-version", "2")
       writer.create(ls, listPath.toFile)
       try {
-        val newEntry = new GenericData.Record(ls)
-        newEntry.put("manifest_path", manifestPath.toString)
-        newEntry.put("manifest_length", Files.size(manifestPath))
-        newEntry.put("partition_spec_id", meta.specId)
-        newEntry.put("content", if (files.exists(_.content != 0)) 1 else 0)
-        newEntry.put("sequence_number", seq)
-        newEntry.put("min_sequence_number", seq)
-        newEntry.put("added_snapshot_id", snapshotId)
-        newEntry.put("added_files_count", files.size)
-        newEntry.put("existing_files_count", 0)
-        newEntry.put("deleted_files_count", 0)
-        newEntry.put("added_rows_count", 0L)
-        newEntry.put("existing_rows_count", 0L)
-        newEntry.put("deleted_rows_count", 0L)
-        writer.append(newEntry)
-        prior.foreach { case (p, s, c) =>
-          val e = new GenericData.Record(ls)
-          e.put("manifest_path", p)
-          e.put("manifest_length", Files.size(Paths.get(resolvePath(p, meta.location))))
-          e.put("partition_spec_id", meta.specId)
-          e.put("content", c)
-          e.put("sequence_number", s)
-          e.put("min_sequence_number", s)
-          e.put("added_snapshot_id", snapshotId)
-          e.put("added_files_count", 0)
-          e.put("existing_files_count", 0)
-          e.put("deleted_files_count", 0)
-          e.put("added_rows_count", 0L)
-          e.put("existing_rows_count", 0L)
-          e.put("deleted_rows_count", 0L)
-          writer.append(e)
-        }
+        writer.append(manifestListEntry(ls, ManifestRef(
+          manifestPath.toString, Files.size(manifestPath), seq,
+          if (files.exists(_.content != 0)) 1 else 0,
+          snapshotId, files.size, addedRows, meta.specId)))
+        prior.foreach(ref => writer.append(manifestListEntry(ls, ref)))
       } finally writer.close()
     }
 
@@ -676,14 +665,44 @@ object Iceberg {
     snapshotId
   }
 
-  /** (path, sequence_number, content) of every manifest in a list. */
-  private def readManifestListFull(path: String): Seq[(String, Long, Int)] = {
+  private final case class ManifestRef(
+      path: String, length: Long, sequenceNumber: Long, content: Int,
+      addedSnapshotId: Long, addedFiles: Int, addedRows: Long, specId: Int = 0)
+
+  private def manifestListEntry(ls: AvroSchema, ref: ManifestRef): GenericRecord = {
+    val e = new GenericData.Record(ls)
+    e.put("manifest_path", ref.path)
+    e.put("manifest_length", ref.length)
+    e.put("partition_spec_id", ref.specId)
+    e.put("content", ref.content)
+    e.put("sequence_number", ref.sequenceNumber)
+    e.put("min_sequence_number", ref.sequenceNumber)
+    e.put("added_snapshot_id", ref.addedSnapshotId)
+    e.put("added_files_count", ref.addedFiles)
+    e.put("existing_files_count", 0)
+    e.put("deleted_files_count", 0)
+    e.put("added_rows_count", ref.addedRows)
+    e.put("existing_rows_count", 0L)
+    e.put("deleted_rows_count", 0L)
+    e
+  }
+
+  /** Every manifest in a list, with its provenance metadata preserved. */
+  private def readManifestListFull(path: String): Seq[ManifestRef] = {
     val reader = DataFileReader.openReader(
       new java.io.File(path), new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.map { r =>
-      (r.get("manifest_path").toString,
-        Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+      def long(n: String, d: Long) = Option(r.get(n)).map(_.asInstanceOf[Long]).getOrElse(d)
+      def int(n: String, d: Int) = Option(r.get(n)).map(_.asInstanceOf[Int]).getOrElse(d)
+      ManifestRef(
+        r.get("manifest_path").toString,
+        long("manifest_length", 0L),
+        long("sequence_number", 0L),
+        int("content", 0),
+        long("added_snapshot_id", 0L),
+        int("added_files_count", 0),
+        long("added_rows_count", 0L),
+        int("partition_spec_id", 0))
     }.toSeq
     finally reader.close()
   }
@@ -766,27 +785,4 @@ object Iceberg {
     mf
   }
 
-  // ---- shared staging helpers (same discipline as the Delta binding)
-
-  private def moveStagedParquet(staging: JPath, destRoot: JPath): Seq[(String, Long)] = {
-    val out = Seq.newBuilder[(String, Long)]
-    val stream = Files.walk(staging)
-    try stream.iterator().asScala.foreach { p =>
-      val name = p.getFileName.toString
-      if (Files.isRegularFile(p) && name.endsWith(".parquet") && !name.startsWith("_")) {
-        val rel = staging.relativize(p).toString
-        val dest = destRoot.resolve(rel)
-        Files.createDirectories(dest.getParent)
-        Files.move(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        out += ((rel, Files.size(dest)))
-      }
-    } finally stream.close()
-    out.result()
-  }
-
-  private def deleteRecursively(p: JPath): Unit = if (Files.exists(p)) {
-    val s = Files.walk(p)
-    try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-    finally s.close()
-  }
 }

@@ -1,0 +1,84 @@
+package graft.interop
+
+import java.nio.file.{Files, Path => JPath}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Helpers shared by the Delta Lake and Iceberg bindings: path escaping,
+  * staged-file moves, and footer row counts. One definition — the two
+  * bindings must not drift on escaping rules. */
+private[graft] object InteropUtil {
+
+  def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+
+  def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** RFC 2396 percent-encode a relative path (the Delta protocol's add.path
+    * form). The multi-arg URI constructor quotes every illegal character
+    * INCLUDING '%' itself, so hive-escaped dir names survive a
+    * decode-after-encode roundtrip. */
+  def encodeRelPath(rel: String): String =
+    new java.net.URI(null, null, "/" + rel, null).getRawPath.substring(1)
+
+  /** Inverse: percent-decode; tolerate foreign writers' unencoded paths. */
+  def decodeRelPath(s: String): String =
+    try new java.net.URI(s).getPath catch { case NonFatal(_) => s }
+
+  /** Hive partition-dir value unescaping (k=a%3Ab -> a:b) — Spark's own
+    * rule, so values roundtrip exactly what partitionBy wrote. */
+  def unescapeHive(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** Move staged parquet part files under destRoot keeping relative dirs;
+    * returns (relativePath, sizeBytes). */
+  def moveStagedParquet(staging: JPath, destRoot: JPath): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    val stream = Files.walk(staging)
+    try stream.iterator().asScala.foreach { p =>
+      val name = p.getFileName.toString
+      if (Files.isRegularFile(p) && name.endsWith(".parquet") && !name.startsWith("_")) {
+        val rel = staging.relativize(p).toString
+        val dest = destRoot.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        out += ((rel, Files.size(dest)))
+      }
+    } finally stream.close()
+    out.result()
+  }
+
+  def deleteRecursively(p: JPath): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  /** Parquet footer record counts; driver loop under 16 files, distributed
+    * job above (the catalog's fileRowCounts policy). */
+  def parquetRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
+    def countOne(s: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    if (paths.isEmpty) Map.empty
+    else if (paths.size < 16) {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.map(p => p -> countOne(p, conf)).toMap
+    } else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      spark.sparkContext
+        .parallelize(paths, math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
+        .map(s => s -> countOne(s, confBc.value.value))
+        .collect().toMap
+    }
+  }
+}

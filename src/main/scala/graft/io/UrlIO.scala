@@ -159,18 +159,30 @@ object UrlIO {
   }
 
   /** Worst-case inflation of a source path: for a directory, the max over
-    * its (first-level) files — one 35x gzip member must not OOM its task
-    * because its siblings were tame. */
-  private def sourceInflation(path: String): Double = {
+    * its FILES (recursive — a hive-partitioned source keeps its data under
+    * `k=v/` dirs whose names carry no extension) — one 35x gzip member must
+    * not OOM its task because its siblings were tame. Depth- and
+    * count-capped: the extension mix repeats long before 4 levels / 1024
+    * files. */
+  private[graft] def sourceInflation(path: String): Double = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) {
       import scala.collection.JavaConverters._
-      val s = java.nio.file.Files.list(p)
-      val names = try s.iterator().asScala.map(_.getFileName.toString)
-        .filterNot(_.startsWith("_")).toList finally s.close()
+      val s = java.nio.file.Files.walk(p, 4)
+      val names = try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .take(1024).toList
+      finally s.close()
       if (names.isEmpty) 1.0 else names.map(inflationFor).max
     } else inflationFor(path)
   }
+
+  /** Serializes the maxPartitionBytes-scaling section of [[copy]]: two
+    * concurrent copies would otherwise restore each other's scaled value
+    * and leave the session permanently mis-sized. */
+  private val copyLock = new Object
 
   /** Parallel read → transform pipeline → write between any two targets —
     * reference `dc.copy` (api.py:97-190). Transforms apply in order.
@@ -184,7 +196,7 @@ object UrlIO {
     * replace the kill-and-escalate loop. A 35x-inflating gzip source reads
     * in ~35x smaller splits instead of OOMing one fat task. */
   def copy(spark: SparkSession, src: String, dst: String,
-      transforms: Seq[DataFrame => DataFrame] = Nil): Unit = {
+      transforms: Seq[DataFrame => DataFrame] = Nil): Unit = copyLock.synchronized {
     val key = "spark.sql.files.maxPartitionBytes"
     val prev = spark.conf.get(key)
     val inflation = parse(src) match {

@@ -54,12 +54,29 @@ object Dedup {
     val fpOf = (d: DataFrame) =>
       d.select(col(idCol), TextOps.fingerprint(col(textCol)).as("_g_fp"))
     val corpusFp = fpOf(corpus).select("_g_fp")
-    // bits = -n·ln(p)/ln(2)²; one distributed aggregate, sketch to driver
+    // bits = -n·ln(p)/ln(2)²; one distributed aggregate, sketch to driver.
+    // BloomFilterAggregate CLAMPS items/bits to the runtime-filter conf
+    // maxima (4M items / 64M bits by default) — silently saturating the
+    // filter at corpus scale — so raise the caps for this aggregate and
+    // restore them after.
     val numBits = math.max(64L,
       (-expectedCorpusItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomBytes = corpusFp
-      .select(BloomKernel.bloomAgg(xxhash64(col("_g_fp")), expectedCorpusItems, numBits))
-      .head().getAs[Array[Byte]](0)
+    val spark = incoming.sparkSession
+    import org.apache.spark.sql.internal.SQLConf
+    val itemsKey = SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS.key
+    val bitsKey = SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS.key
+    val (prevItems, prevBits) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    val bloomBytes =
+      try {
+        spark.conf.set(itemsKey, math.max(prevItems.toLong, expectedCorpusItems).toString)
+        spark.conf.set(bitsKey, math.max(prevBits.toLong, numBits).toString)
+        corpusFp
+          .select(BloomKernel.bloomAgg(xxhash64(col("_g_fp")), expectedCorpusItems, numBits))
+          .head().getAs[Array[Byte]](0)
+      } finally {
+        spark.conf.set(itemsKey, prevItems)
+        spark.conf.set(bitsKey, prevBits)
+      }
     val inFp = fpOf(incoming)
     if (bloomBytes == null) return incoming // empty corpus: everything is new
     val positive = BloomKernel.mightContain(bloomBytes, xxhash64(col("_g_fp")))

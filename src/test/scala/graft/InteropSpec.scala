@@ -163,6 +163,92 @@ class InteropSpec extends SparkSpec {
       .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("delta: partition values with escapable chars roundtrip, incl. checkpoint") {
+    val df = Seq((1L, "a:b c"), (2L, "x%25y"), (3L, "plain"), (4L, "a:b c"))
+      .toDF("id", "k")
+    val t = tmpDir("delta-esc")
+    // interval 1 forces a checkpoint, so the encoded checkpoint paths and
+    // the encoded commit paths must agree byte-for-byte
+    DeltaLake.write(df, t, partitionBy = Seq("k"), checkpointInterval = 1)
+    DeltaLake.write(df.where($"id" === 1L), t, partitionBy = Seq("k"), checkpointInterval = 1)
+    val back = DeltaLake.read(spark, t)
+    assert(back.count() == 5)
+    assert(back.select("k").distinct().as[String].collect().toSet == Set("a:b c", "x%25y", "plain"))
+    // pruning on the weird value hits exactly its rows
+    val pruned = DeltaLake.read(spark, t, partitionFilter = Some(col("k") === "a:b c"))
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 1L, 4L))
+  }
+
+  test("iceberg: escapable partition values prune correctly") {
+    import graft.interop.Iceberg
+    val df = Seq((1L, "a:b c"), (2L, "plain")).toDF("id", "k")
+    val t = tmpDir("ice-esc") + "/tbl"
+    Iceberg.createTable(t, df.schema, partitionCols = Seq("k"))
+    Iceberg.append(df, t)
+    val pruned = Iceberg.read(spark, t, partitionFilter = Some(col("k") === "a:b c"))
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("delta: readerFeatures in a CHECKPOINT-only protocol still gate the read") {
+    val t = tmpDir("delta-cp-proto")
+    DeltaLake.write(nation, t)
+    // craft a checkpoint at v0 whose protocol demands deletionVectors; the
+    // JSON tail above it is empty, so metadata resolution must use the
+    // checkpoint AND preserve readerFeatures
+    val files = DeltaLake.snapshot(spark, t).files.select("path").as[String].collect()
+    val addDf = files.toSeq.toDF("p").select(struct(
+      col("p").as("path"),
+      map().cast(org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)).as("partitionValues"),
+      lit(1L).as("size")).as("add"))
+    val metaDf = Seq(1).toDF("x").select(struct(
+      lit(nation.schema.json).as("schemaString"),
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)).as("partitionColumns")).as("metaData"))
+    val protoDf = Seq(1).toDF("x").select(struct(
+      lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
+      array(lit("deletionVectors")).as("readerFeatures")).as("protocol"))
+    val cpTmp = tmpDir("cp-build")
+    addDf.unionByName(metaDf, allowMissingColumns = true)
+      .unionByName(protoDf, allowMissingColumns = true)
+      .coalesce(1).write.mode("overwrite").parquet(cpTmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(cpTmp)).iterator()
+    val parquet = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(parquet,
+      java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
+    val e = intercept[IllegalArgumentException](DeltaLake.read(spark, t))
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("schema-shape gates: type-mismatched appends are refused") {
+    val t = tmpDir("delta-types")
+    DeltaLake.write(nation, t)
+    val retyped = nation.withColumn("n_regionkey", $"n_regionkey".cast("string"))
+    val e1 = intercept[IllegalArgumentException](DeltaLake.write(retyped, t))
+    assert(e1.getMessage.contains("schema mismatch"))
+
+    import graft.interop.Iceberg
+    val it = tmpDir("ice-types") + "/tbl"
+    Iceberg.createTable(it, nation.schema)
+    val e2 = intercept[IllegalArgumentException](Iceberg.append(retyped, it))
+    assert(e2.getMessage.contains("schema mismatch"))
+  }
+
+  test("inflation: hive-partitioned gz source found through nested dirs; filter on unpartitioned throws") {
+    val src = tmpDir("inf-src")
+    nation.write.mode("overwrite").option("compression", "gzip")
+      .partitionBy("n_regionkey").option("header", "true").csv(src)
+    assert(graft.io.UrlIO.sourceInflation(src) == 35.0)
+
+    val t = tmpDir("delta-nofilter")
+    DeltaLake.write(nation, t) // unpartitioned
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.read(spark, t, partitionFilter = Some(col("n_regionkey") === 1)))
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
   test("delta: concurrent same-version commit loses the rename race") {
     val t = tmpDir("delta-race")
     DeltaLake.write(nation, t)
