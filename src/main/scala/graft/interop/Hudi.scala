@@ -1,0 +1,426 @@
+package graft.interop
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant => JInstant, ZoneOffset}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.formats.AvroFileFormat
+
+/**
+ * Apache Hudi copy-on-write table-format binding — the `StreamFormat.HUDI`
+ * foreign stream format from the reference's model (storage/model/types.py:
+ * 32-38; its readers delegate to `ray.data.read_hudi` / `daft.io.read_hudi`,
+ * utils/url.py:120-124, 265-269). No hudi runtime jar exists in this
+ * environment, so this speaks the PUBLIC table layout directly
+ * (hudi.apache.org/tech-specs, table version 6 / timeline layout 1):
+ * a `.hoodie/` timeline of instant files plus base parquet files named
+ * `<fileId>_<writeToken>_<instantTime>.parquet`.
+ *
+ * Spark-first: the active file-slice set is resolved from COMPLETED
+ * timeline instants only (commit metadata JSON is the source of truth — no
+ * directory walk over data), per file group the newest base file at or
+ * before the requested instant wins, and file groups whose id appears in a
+ * completed `replacecommit`'s `partitionToReplaceFileIds` are dead from
+ * that instant on. Partition pruning filters the slice list BEFORE any
+ * data file is opened. The driver only ever holds the metadata-sized
+ * timeline — the same contract as the Delta binding's log replay.
+ *
+ * Reader supports: snapshot read, `asOfInstant` / `asOfTimestampMs` time
+ * travel, partition pruning, hive-style partition-path reattachment,
+ * populated-meta-field (foreign) tables — `_hoodie_*` columns are dropped
+ * unless asked for. Writer supports: create/append, overwrite as a
+ * `replacecommit`, hive-style partitioning, atomic completed-instant
+ * publication via rename. Written tables use virtual keys
+ * (`hoodie.populate.meta.fields=false`, a standard Hudi table config), so
+ * data files are plain parquet; the writer records the table's Avro schema
+ * in commit `extraMetadata.schema` exactly as Hudi's own writers do.
+ */
+object Hudi {
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  private val InstantFmt =
+    DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS").withZone(ZoneOffset.UTC)
+
+  private def hoodieDir(table: String): JPath = Paths.get(table, ".hoodie")
+
+  /** Completed instants only: `<time>.commit` / `<time>.replacecommit`.
+    * (12-18 digit times accepted: old Hudi used second granularity.) */
+  private val CompletedRe = "^([0-9]{12,18})\\.(commit|replacecommit)$".r
+
+  final case class Instant(time: String, action: String)
+
+  /** Completed timeline, sorted by instant time. */
+  def timeline(table: String): Seq[Instant] = {
+    val dir = hoodieDir(table)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).collect {
+      case CompletedRe(t, action) => Instant(t, action)
+    }.toSeq.sortBy(_.time)
+    finally s.close()
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** One live base file of a file group. `partitionPath` is the raw
+    * relative dir ("" for unpartitioned; hive-style `k=v` when our writer
+    * produced it). */
+  final case class FileSlice(
+      partitionPath: String, fileId: String, relPath: String, instant: String)
+
+  /** Resolved snapshot: live slices + what the commit metadata knows about
+    * the table shape. `schema` is present when a commit recorded an Avro
+    * schema (ours always do; foreign writers usually do too). */
+  final case class Snapshot(
+      instant: String, slices: Seq[FileSlice],
+      schema: Option[StructType], partitionFields: Seq[String])
+
+  def snapshot(
+      spark: SparkSession, table: String,
+      asOfInstant: Option[String] = None,
+      asOfTimestampMs: Option[Long] = None): Snapshot = {
+    require(Files.isDirectory(hoodieDir(table)), s"not a Hudi table (no .hoodie): $table")
+    val cutoff = asOfInstant.orElse(asOfTimestampMs.map(ms =>
+      InstantFmt.format(JInstant.ofEpochMilli(ms))))
+    val instants = timeline(table).filter(i => cutoff.forall(i.time <= _))
+    require(instants.nonEmpty || cutoff.isEmpty || timeline(table).isEmpty,
+      s"no completed instant at or before ${cutoff.get} in $table")
+
+    // replay: adds per (partition, fileId) keep the newest; replaced groups die
+    val adds = Seq.newBuilder[FileSlice]
+    val dead = scala.collection.mutable.Set.empty[(String, String)]
+    var schema: Option[StructType] = None
+    for (i <- instants) {
+      val meta = readInstantMeta(table, i)
+      meta.path("partitionToWriteStats").fields().asScala.foreach { e =>
+        val p = e.getKey
+        e.getValue.elements().asScala.foreach { st =>
+          adds += FileSlice(p, st.path("fileId").asText(), st.path("path").asText(), i.time)
+        }
+      }
+      if (i.action == "replacecommit")
+        meta.path("partitionToReplaceFileIds").fields().asScala.foreach { e =>
+          e.getValue.elements().asScala.foreach(fid => dead += ((e.getKey, fid.asText())))
+        }
+      val ss = meta.path("extraMetadata").path("schema").asText("")
+      if (ss.nonEmpty)
+        try schema = Some(AvroFileFormat
+          .fromAvroSchema(new org.apache.avro.Schema.Parser().parse(ss))
+          .asInstanceOf[StructType])
+        catch { case NonFatal(_) => } // foreign schema dialect: fall back to parquet
+    }
+    val live = adds.result()
+      .groupBy(s => (s.partitionPath, s.fileId))
+      .filterNot { case (k, _) => dead.contains(k) }
+      .values.map(_.maxBy(_.instant)).toSeq
+      .sortBy(s => (s.partitionPath, s.fileId))
+    Snapshot(instants.lastOption.map(_.time).getOrElse(""), live, schema,
+      partitionFields(table))
+  }
+
+  /** `hoodie.table.partition.fields` from hoodie.properties (empty when
+    * unpartitioned or foreign table omitted it). */
+  def partitionFields(table: String): Seq[String] = {
+    val p = hoodieDir(table).resolve("hoodie.properties")
+    if (!Files.exists(p)) return Nil
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(p)
+    try props.load(in) finally in.close()
+    Option(props.getProperty("hoodie.table.partition.fields")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Snapshot read of a copy-on-write table. Meta columns (`_hoodie_*`)
+    * present in foreign-written base files are dropped unless
+    * `keepMetaFields`. `partitionFilter` prunes file slices by their
+    * hive-style partition-path values before any data file is opened. */
+  def read(
+      spark: SparkSession, table: String,
+      asOfInstant: Option[String] = None, asOfTimestampMs: Option[Long] = None,
+      partitionFilter: Option[Column] = None,
+      keepMetaFields: Boolean = false): DataFrame = {
+    val snap = snapshot(spark, table, asOfInstant, asOfTimestampMs)
+    val pf = snap.partitionFields
+    require(partitionFilter.isEmpty || pf.nonEmpty,
+      s"partitionFilter given but $table is unpartitioned — the filter would " +
+        "be silently dropped; filter the returned DataFrame instead")
+
+    val slices = partitionFilter match {
+      case Some(pred) if snap.slices.nonEmpty =>
+        // evaluate once per slice on a tiny local frame; no data touched
+        import spark.implicits._
+        val rows = snap.slices.map(s => (s.relPath, pf.map(f => partValue(s.partitionPath, f))))
+        val cols = pf.zipWithIndex.map { case (f, i) =>
+          val c = col("_2")(i)
+          snap.schema.flatMap(sc => sc.fields.find(_.name == f)).map(sf => c.cast(sf.dataType))
+            .getOrElse(c).as(f)
+        }
+        val kept = rows.toDF("_1", "_2").select((col("_1") +: cols): _*).where(pred)
+          .select("_1").as[String].collect().toSet
+        snap.slices.filter(s => kept.contains(s.relPath))
+      case _ => snap.slices
+    }
+    if (slices.isEmpty)
+      return InteropUtil.emptyFrame(spark,
+        snap.schema.getOrElse(StructType(Nil)))
+
+    val root = Paths.get(table).toAbsolutePath
+    val paths = slices.map(s => root.resolve(s.relPath).toString)
+    val data = snap.schema match {
+      // our writer's files omit partition columns (hive staging); a known
+      // schema tells us which fields the files actually carry
+      case Some(sc) =>
+        val dataOnly = StructType(sc.fields.filterNot(f => pf.contains(f.name)))
+        spark.read.schema(dataOnly).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
+    val needReattach = pf.filterNot(data.columns.contains)
+    val out =
+      if (needReattach.isEmpty) data
+      else {
+        // rejoin partition values from the slice list via broadcast, keyed
+        // on the decoded file path (the _metadata column is URI-encoded)
+        import spark.implicits._
+        val decode = udf(InteropUtil.decodeRelPath _)
+        val pv = slices.map(s =>
+          (root.resolve(s.relPath).toString, needReattach.map(f => partValue(s.partitionPath, f))))
+          .toDF("_g_path", "_g_pv")
+        val joined = data.withColumn("_g_path", decode(col("_metadata.file_path")))
+          .join(broadcast(pv), Seq("_g_path"))
+        needReattach.zipWithIndex.foldLeft(joined) { case (df, (f, i)) =>
+          val c = col("_g_pv")(i)
+          df.withColumn(f, snap.schema.flatMap(_.fields.find(_.name == f))
+            .map(sf => c.cast(sf.dataType)).getOrElse(c))
+        }.drop("_g_path", "_g_pv")
+      }
+    val ordered = snap.schema match {
+      case Some(sc) => out.select(sc.fieldNames.filter(out.columns.contains).map(col): _*)
+      case None => out
+    }
+    if (keepMetaFields) ordered
+    else ordered.drop(ordered.columns.filter(_.startsWith("_hoodie_")): _*)
+  }
+
+  /** Value of partition field `f` inside a partition path: hive-style
+    * `k=v` segment when present (unescaped), else — single-field non-hive
+    * layout — the whole path. */
+  private def partValue(partitionPath: String, f: String): String = {
+    if (partitionPath.isEmpty) return null
+    val segs = partitionPath.split('/')
+    segs.collectFirst {
+      case seg if seg.startsWith(f + "=") =>
+        val v = seg.drop(f.length + 1)
+        if (v == "__HIVE_DEFAULT_PARTITION__") null else InteropUtil.unescapeHive(v)
+    }.getOrElse(if (segs.exists(_.contains('='))) null else partitionPath)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Append or overwrite `df` as one commit; creates the table on first
+    * write. Overwrite publishes a `replacecommit` that replaces every live
+    * file group (Hudi's INSERT_OVERWRITE_TABLE). Returns the completed
+    * instant time. Single-writer optimistic: completing an instant is an
+    * atomic no-replace rename, so a concurrent committer of the same
+    * instant surfaces as a conflict, never a torn timeline. */
+  def write(
+      df: DataFrame, table: String, mode: String = "append",
+      partitionBy: Seq[String] = Nil): String = {
+    require(Seq("append", "overwrite", "errorifexists").contains(mode), s"mode: $mode")
+    val spark = df.sparkSession
+    val isCreate = !Files.isDirectory(hoodieDir(table))
+    require(isCreate || mode != "errorifexists", s"Hudi table exists: $table")
+    if (isCreate) createTable(table, partitionBy)
+    else {
+      val pf = partitionFields(table)
+      require(pf == partitionBy,
+        s"partitionBy $partitionBy != table partitioning $pf")
+      snapshot(spark, table).schema.foreach { tableSchema =>
+        def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+        require(shape(df.schema) == shape(tableSchema),
+          s"schema mismatch: ${shape(df.schema)} vs table ${shape(tableSchema)}")
+      }
+    }
+    val replaced: Map[String, Seq[String]] =
+      if (mode == "overwrite" && !isCreate)
+        snapshot(spark, table).slices.groupBy(_.partitionPath)
+          .map { case (p, ss) => p -> ss.map(_.fileId).distinct.sorted }
+      else Map.empty
+    val action = if (replaced.nonEmpty) "replacecommit" else "commit"
+
+    val instant = newInstant(table)
+    transitionFile(table, instant, action, "requested")
+    transitionFile(table, instant, action, "inflight")
+
+    // stage hive-style, then move into place under hudi base-file names
+    val root = Paths.get(table).toAbsolutePath
+    val staging = Files.createTempDirectory(root.getParent, "_hudi_staging_")
+    val written: Seq[FileSlice] = try {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(staging.toString)
+      moveAsBaseFiles(staging, root, instant)
+    } finally InteropUtil.deleteRecursively(staging)
+    written.map(_.partitionPath).distinct.foreach(writePartitionMetadata(root, _, instant))
+
+    val sizes = written.map { s =>
+      s.relPath -> Files.size(root.resolve(s.relPath))
+    }.toMap
+    val counts = InteropUtil.parquetRowCounts(spark,
+      written.map(s => root.resolve(s.relPath).toString))
+
+    val meta = mapper.createObjectNode()
+    val ptws = mapper.createObjectNode()
+    written.groupBy(_.partitionPath).foreach { case (p, ss) =>
+      val arr = mapper.createArrayNode()
+      ss.foreach { s =>
+        val st = mapper.createObjectNode()
+        st.put("fileId", s.fileId)
+        st.put("path", s.relPath)
+        st.put("prevCommit", "null")
+        val n = counts.getOrElse(root.resolve(s.relPath).toString, 0L)
+        st.put("numWrites", n)
+        st.put("numInserts", n)
+        st.put("numDeletes", 0L)
+        st.put("numUpdateWrites", 0L)
+        st.put("totalWriteBytes", sizes(s.relPath))
+        st.put("fileSizeInBytes", sizes(s.relPath))
+        st.put("partitionPath", p)
+        arr.add(st)
+      }
+      ptws.set[JsonNode](p, arr)
+    }
+    meta.set[JsonNode]("partitionToWriteStats", ptws)
+    if (replaced.nonEmpty) {
+      val ptr = mapper.createObjectNode()
+      replaced.foreach { case (p, fids) =>
+        val arr = mapper.createArrayNode(); fids.foreach(arr.add); ptr.set[JsonNode](p, arr)
+      }
+      meta.set[JsonNode]("partitionToReplaceFileIds", ptr)
+    }
+    meta.put("compacted", false)
+    meta.put("operationType", if (replaced.nonEmpty) "INSERT_OVERWRITE_TABLE" else "INSERT")
+    val extra = mapper.createObjectNode()
+    extra.put("schema", AvroFileFormat.toAvroSchema(df.schema, "hoodie_record").toString)
+    meta.set[JsonNode]("extraMetadata", extra)
+
+    completeInstant(table, instant, action, mapper.writeValueAsString(meta))
+    instant
+  }
+
+  private def createTable(table: String, partitionBy: Seq[String]): Unit = {
+    val dir = hoodieDir(table)
+    Files.createDirectories(dir)
+    val props =
+      s"""#Properties saved on ${java.time.ZonedDateTime.now(ZoneOffset.UTC)}
+         |hoodie.table.name=${Paths.get(table).getFileName}
+         |hoodie.table.type=COPY_ON_WRITE
+         |hoodie.table.version=6
+         |hoodie.timeline.layout.version=1
+         |hoodie.datasource.write.hive_style_partitioning=true
+         |hoodie.populate.meta.fields=false
+         |hoodie.datasource.write.drop.partition.columns=true
+         |${if (partitionBy.nonEmpty) s"hoodie.table.partition.fields=${partitionBy.mkString(",")}" else ""}
+         |""".stripMargin.linesIterator.filter(_.nonEmpty).mkString("\n") + "\n"
+    Files.write(dir.resolve("hoodie.properties"), props.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Fresh instant time, strictly greater than anything on the timeline
+    * (including pending instants — two writes in one millisecond must not
+    * collide). */
+  private def newInstant(table: String): String = {
+    val dir = hoodieDir(table)
+    val existing: Set[String] = if (!Files.isDirectory(dir)) Set.empty else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.headOption.exists(_.isDigit)).map(_.takeWhile(_.isDigit)).toSet
+      finally s.close()
+    }
+    var ms = System.currentTimeMillis()
+    var cand = InstantFmt.format(JInstant.ofEpochMilli(ms))
+    while (existing.exists(_ >= cand)) { ms += 1; cand = InstantFmt.format(JInstant.ofEpochMilli(ms)) }
+    cand
+  }
+
+  /** Timeline state files. Hudi quirk: a `commit`'s inflight marker is
+    * `<t>.inflight` (no action infix); every other action uses
+    * `<t>.<action>.inflight`. */
+  private def transitionFile(table: String, instant: String, action: String, state: String): Unit = {
+    val name =
+      if (state == "inflight" && action == "commit") s"$instant.inflight"
+      else s"$instant.$action.$state"
+    Files.write(hoodieDir(table).resolve(name), Array.emptyByteArray)
+  }
+
+  private def completeInstant(
+      table: String, instant: String, action: String, json: String): Unit = {
+    val dir = hoodieDir(table)
+    val tmp = Files.createTempFile(dir, s".$instant", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, dir.resolve(s"$instant.$action"),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(
+        s"concurrent Hudi commit at instant $instant on $table", e)
+    }
+  }
+
+  private def readInstantMeta(table: String, i: Instant): JsonNode = {
+    val p = hoodieDir(table).resolve(s"${i.time}.${i.action}")
+    val bytes = Files.readAllBytes(p)
+    if (bytes.isEmpty) mapper.createObjectNode()
+    else mapper.readTree(bytes)
+  }
+
+  /** Move staged spark part files under the table root, renaming each to
+    * the Hudi base-file convention `<fileId>_<writeToken>_<instant>.parquet`
+    * with a fresh file-group id per file. */
+  private def moveAsBaseFiles(
+      staging: JPath, root: JPath, instant: String): Seq[FileSlice] = {
+    val out = Seq.newBuilder[FileSlice]
+    val stream = Files.walk(staging)
+    try stream.iterator().asScala.foreach { p =>
+      val name = p.getFileName.toString
+      if (Files.isRegularFile(p) && name.endsWith(".parquet") && !name.startsWith("_")) {
+        val relDir = Option(staging.relativize(p).getParent).map(_.toString).getOrElse("")
+        val fileId = java.util.UUID.randomUUID().toString
+        val newName = s"${fileId}_0-0-0_$instant.parquet"
+        val rel = if (relDir.isEmpty) newName else s"$relDir/$newName"
+        val dest = root.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        out += FileSlice(relDir, fileId, rel, instant)
+      }
+    } finally stream.close()
+    out.result()
+  }
+
+  private def writePartitionMetadata(root: JPath, partitionPath: String, instant: String): Unit = {
+    if (partitionPath.isEmpty) return
+    val marker = root.resolve(partitionPath).resolve(".hoodie_partition_metadata")
+    if (Files.exists(marker)) return
+    val depth = partitionPath.split('/').length
+    val body =
+      s"""#partition metadata
+         |#${java.time.ZonedDateTime.now(ZoneOffset.UTC)}
+         |commitTime=$instant
+         |partitionDepth=$depth
+         |""".stripMargin
+    Files.write(marker, body.getBytes(StandardCharsets.UTF_8))
+  }
+}

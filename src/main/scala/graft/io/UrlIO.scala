@@ -83,6 +83,13 @@ object UrlIO {
       graft.interop.Iceberg.read(spark, path,
         snapshotId = opts.get("snapshotId").map(_.toLong),
         asOfTimestampMs = opts.get("asOfTimestamp").map(_.toLong))
+    case FileTarget(path, "hudi", opts) =>
+      // hudi:///path?asOfInstant=20260101123045678 — the foreign Hudi CoW
+      // binding (no hudi runtime jar; graft.interop.Hudi speaks the layout)
+      graft.interop.Hudi.read(spark, path,
+        asOfInstant = opts.get("asOfInstant"),
+        asOfTimestampMs = opts.get("asOfTimestamp").map(_.toLong),
+        keepMetaFields = opts.get("keepMetaFields").exists(_.toBoolean))
     case FileTarget(path, "hive", opts) =>
       // hive:///warehouse/table — hive-style partitioned parquet layout;
       // partition discovery is native Spark (reference StreamFormat.HIVE)
@@ -113,6 +120,8 @@ object UrlIO {
             if (!exists)
               graft.interop.Iceberg.createTable(path, df.schema, partitionCols = partitionBy)
             graft.interop.Iceberg.append(df, path)
+          case "hudi" =>
+            graft.interop.Hudi.write(df, path, saveMode, partitionBy = partitionBy)
           case "hive" =>
             val w = df.write.options(opts - "partitionBy").mode(saveMode)
             (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

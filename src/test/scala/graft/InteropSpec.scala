@@ -161,6 +161,88 @@ class InteropSpec extends SparkSpec {
     assert(graft.io.UrlIO.read(spark, s"hive://$ht")
       .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
       .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
+
+    val hu = tmpDir("export-hudi") + "/t"
+    G.copy(spark, "graft://exp/ns.nation", s"hudi://$hu?partitionBy=n_regionkey")
+    assert(graft.io.UrlIO.read(spark, s"hudi://$hu")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("hudi: append roundtrip, overwrite as replacecommit, instant time travel") {
+    import graft.interop.Hudi
+    val t = tmpDir("hudi-rt")
+    val i0 = Hudi.write(nation, t)
+    val back = Hudi.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+
+    Hudi.write(nation.where($"n_regionkey" === 0), t)
+    assert(Hudi.read(spark, t).count() ==
+      nation.count() + nation.where($"n_regionkey" === 0).count())
+
+    // overwrite must publish a replacecommit that hides every prior group
+    Hudi.write(nation.where($"n_regionkey" === 1), t, mode = "overwrite")
+    assert(Hudi.timeline(t).last.action == "replacecommit")
+    assert(Hudi.read(spark, t).count() == nation.where($"n_regionkey" === 1).count())
+    // time travel to the first commit sees only the original rows
+    assert(Hudi.read(spark, t, asOfInstant = Some(i0)).count() == nation.count())
+  }
+
+  test("hudi: partitioned writes, typed reattachment, pruning; escapable values") {
+    import graft.interop.Hudi
+    val t = tmpDir("hudi-part")
+    Hudi.write(nation, t, partitionBy = Seq("n_regionkey"))
+    val back = Hudi.read(spark, t)
+    assert(back.schema("n_regionkey").dataType == nation.schema("n_regionkey").dataType)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+
+    // pruning is behavioral: physically delete another partition's files;
+    // the pruned read must succeed without ever opening them
+    val root = java.nio.file.Paths.get(t)
+    val gone = Hudi.snapshot(spark, t).slices.filter(_.partitionPath == "n_regionkey=4")
+    assert(gone.nonEmpty)
+    gone.foreach(s => java.nio.file.Files.delete(root.resolve(s.relPath)))
+    val pruned = Hudi.read(spark, t, partitionFilter = Some(col("n_regionkey") === 2))
+    assert(pruned.count() == nation.where($"n_regionkey" === 2).count())
+
+    // escapable partition values roundtrip through hive-style dirs
+    val esc = Seq((1L, "a:b c"), (2L, "plain")).toDF("id", "k")
+    val et = tmpDir("hudi-esc")
+    Hudi.write(esc, et, partitionBy = Seq("k"))
+    assert(Hudi.read(spark, et).select("k").as[String].collect().toSet == Set("a:b c", "plain"))
+    val hit = Hudi.read(spark, et, partitionFilter = Some(col("k") === "a:b c"))
+    assert(hit.select("id").as[Long].collect().toSeq == Seq(1L))
+
+    // filter on an unpartitioned table throws instead of scanning everything
+    val ut = tmpDir("hudi-nofilter")
+    Hudi.write(nation, ut)
+    val e = intercept[IllegalArgumentException](
+      Hudi.read(spark, ut, partitionFilter = Some(col("n_regionkey") === 1)))
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  test("hudi: foreign meta-field tables drop _hoodie_* unless asked; schema gate") {
+    import graft.interop.Hudi
+    // a populated-meta-fields table (what real Hudi writers produce)
+    val withMeta = nation
+      .withColumn("_hoodie_commit_time", lit("20260101000000000"))
+      .withColumn("_hoodie_record_key", $"n_nationkey".cast("string"))
+    val t = tmpDir("hudi-meta")
+    Hudi.write(withMeta, t)
+    val back = Hudi.read(spark, t)
+    assert(!back.columns.exists(_.startsWith("_hoodie_")))
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    val kept = Hudi.read(spark, t, keepMetaFields = true)
+    assert(kept.columns.contains("_hoodie_record_key"))
+
+    // type-mismatched append refused (names AND types gate)
+    val retyped = withMeta.withColumn("n_regionkey", $"n_regionkey".cast("string"))
+    val e = intercept[IllegalArgumentException](Hudi.write(retyped, t))
+    assert(e.getMessage.contains("schema mismatch"))
   }
 
   test("delta: partition values with escapable chars roundtrip, incl. checkpoint") {
