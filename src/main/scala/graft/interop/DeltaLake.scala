@@ -46,7 +46,7 @@ object DeltaLake {
 
   /** Reader feature set this binding implements; a table whose protocol
     * demands anything else fails fast instead of returning wrong rows. */
-  private val SupportedReaderFeatures = Set("timestampNtz")
+  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
 
   // ---------------------------------------------------------------- read
 
@@ -82,14 +82,15 @@ object DeltaLake {
           val dt = snap.schema(c).dataType
           element_at(col("partitionValues"), c).cast(dt).as(c)
         }
-        snap.files.select((col("path") +: parts): _*).where(pred)
+        snap.files.select((col("path") +: col("deletionVector") +: parts): _*).where(pred)
       case None => snap.files
     }
-    val files = active.select("path").as[String](org.apache.spark.sql.Encoders.STRING)
-      .collect().toSeq
+    val activeRows = active.select("path", "deletionVector").collect().toSeq
+    val files = activeRows.map(_.getString(0))
     if (files.isEmpty) return emptyFrame(spark, snap.schema)
 
-    val data = spark.read.schema(dataSchema).parquet(files: _*)
+    val data = dvFilter(spark, table,
+      spark.read.schema(dataSchema).parquet(files: _*), activeRows)
     val out =
       if (snap.partitionColumns.isEmpty) data
       else {
@@ -141,17 +142,21 @@ object DeltaLake {
     checkProtocol(meta.protocol, table)
     val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
 
-    val actionCols = Seq(
+    def actionCols(df: DataFrame) = Seq(
       col("add.path").as("add_path"),
       col("add.partitionValues").as("add_pv"),
       col("add.size").as("add_size"),
+      // a checkpoint written before the table had DVs lacks the nested field
+      (if (df.schema("add").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("deletionVector")) col("add.deletionVector")
+      else lit(null).cast(dvDescriptorSchema)).as("add_dv"),
       col("remove.path").as("remove_path"))
     val tail: Option[DataFrame] = if (tailVersions.isEmpty) None else Some {
-      spark.read.schema(commitActionSchema).json(
-          tailVersions.map(v => commitFile(table, v).toString): _*)
-        .withColumn("version",
+      val raw = spark.read.schema(commitActionSchema).json(
+        tailVersions.map(v => commitFile(table, v).toString): _*)
+      raw.withColumn("version",
           regexp_extract(col("_metadata.file_path"), "(\\d+)\\.json$", 1).cast(LongType))
-        .select(actionCols :+ col("version"): _*)
+        .select(actionCols(raw) :+ col("version"): _*)
     }
     val base: Option[DataFrame] = cp.map { case (cpv, cpFiles) =>
       // tolerate checkpoints missing an action column (ours omit `remove`
@@ -161,21 +166,23 @@ object DeltaLake {
         if (df.schema.fieldNames.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
       }
-      padded.select(actionCols :+ lit(cpv).as("version"): _*)
+      padded.select(actionCols(padded) :+ lit(cpv).as("version"): _*)
     }
     val actions = (base.toSeq ++ tail.toSeq).reduce(_ unionByName _)
       .where(col("add_path").isNotNull || col("remove_path").isNotNull)
       .select(
         coalesce(col("add_path"), col("remove_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
-        col("version"), col("add_pv"), col("add_size"))
+        col("version"), col("add_pv"), col("add_size"), col("add_dv"))
 
     // last action per path wins; ties inside one commit cannot mix add and
     // remove of the same path (protocol invariant)
     val latest = actions.groupBy("path").agg(
-      max_by(struct(col("is_add"), col("add_pv"), col("add_size")), col("version")).as("w"))
+      max_by(struct(col("is_add"), col("add_pv"), col("add_size"), col("add_dv")),
+        col("version")).as("w"))
     val files = latest.where(col("w.is_add"))
-      .select(col("path"), col("w.add_pv").as("partitionValues"), col("w.add_size").as("size"))
+      .select(col("path"), col("w.add_pv").as("partitionValues"), col("w.add_size").as("size"),
+        col("w.add_dv").as("deletionVector"))
       .withColumn("path", absolutize(col("path"), table))
 
     Snapshot(target, schema, meta.partitionColumns, files)
@@ -352,7 +359,7 @@ object DeltaLake {
       require(v <= 1 || (v == 3 && unsupported.isEmpty),
         s"Delta table $table requires reader version $v" +
           (if (unsupported.nonEmpty) s" with features $unsupported" else "") +
-          " — this binding reads basic tables (no deletion vectors / column mapping)")
+          " — this binding reads basic + deletion-vector tables (no column mapping)")
     }
 
   /** (version, checkpoint part files) of the newest checkpoint <= v. */
@@ -369,12 +376,22 @@ object DeltaLake {
     }
   }
 
+  /** Deletion-vector descriptor shape (PROTOCOL.md "Deletion Vector
+    * Descriptor Schema"). */
+  private[interop] val dvDescriptorSchema: StructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   /** Minimal action schema for distributed commit-tail reads. */
   private val commitActionSchema: StructType = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
-      StructField("size", LongType)))),
+      StructField("size", LongType),
+      StructField("deletionVector", dvDescriptorSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)))))))
@@ -407,6 +424,283 @@ object DeltaLake {
       (rel, size, pv)
     }
 
+  // ------------------------------------------------- deletion vectors
+  //
+  // PROTOCOL.md "Deletion Vectors": a per-file roaring bitmap of deleted
+  // row indexes. On disk: a `deletion_vector_<uuid>.bin` file holding a
+  // 1-byte format version, then per DV entry a big-endian size int, the
+  // bitmap blob, and a big-endian CRC-32 of the blob. The blob itself is
+  // the LITTLE-endian "portable" RoaringBitmapArray format: magic
+  // 1681511377, a long bitmap count, then standard serialized 32-bit
+  // roaring bitmaps in dense high-word order. Descriptor paths/inline
+  // payloads are Z85-encoded.
+
+  private val DvMagic = 1681511377
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Index: Array[Int] = {
+    val idx = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => idx(c) = i }
+    idx
+  }
+
+  private[graft] def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + Z85Index(s.charAt(i + j)); j += 1 }
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      i += 5; o += 4
+    }
+    out
+  }
+
+  /** Z85 with Delta's padding rule: zero-pad to a 4-byte multiple (the
+    * true length rides in the descriptor's sizeInBytes). */
+  private[graft] def z85Encode(raw: Array[Byte]): String = {
+    val bytes =
+      if (raw.length % 4 == 0) raw
+      else java.util.Arrays.copyOf(raw, raw.length + (4 - raw.length % 4))
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div > 0) { sb.append(Z85Alphabet(((v / div) % 85).toInt)); div /= 85 }
+      i += 4
+    }
+    sb.toString
+  }
+
+  import org.roaringbitmap.buffer.{ImmutableRoaringBitmap, MutableRoaringBitmap}
+
+  /** Portable RoaringBitmapArray blob -> dense per-high-word bitmaps. */
+  private[graft] def parseBitmapArray(blob: Array[Byte]): Array[ImmutableRoaringBitmap] = {
+    val buf = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == DvMagic, s"bad deletion-vector magic $magic (want $DvMagic)")
+    val n = buf.getLong
+    require(n >= 0 && n < Int.MaxValue, s"bad bitmap count $n")
+    Array.fill(n.toInt) {
+      val rb = new ImmutableRoaringBitmap(buf.slice().order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      buf.position(buf.position() + rb.serializedSizeInBytes())
+      rb
+    }
+  }
+
+  /** Inverse: 64-bit row indexes -> portable blob. */
+  private[graft] def serializeBitmapArray(maps: Seq[MutableRoaringBitmap]): Array[Byte] = {
+    maps.foreach(_.runOptimize())
+    val size = 12 + maps.map(_.serializedSizeInBytes()).sum
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(DvMagic)
+    buf.putLong(maps.size.toLong)
+    maps.foreach(_.serialize(buf))
+    buf.array()
+  }
+
+  private def dvContains(maps: Array[ImmutableRoaringBitmap], rowIndex: Long): Boolean = {
+    val bucket = (rowIndex >>> 32).toInt
+    bucket < maps.length && maps(bucket).contains(rowIndex.toInt)
+  }
+
+  /** Deserialized-bitmap cache, keyed by broadcast value identity — one
+    * parse per executor, not per row. */
+  private object DvCache {
+    private val cache =
+      new java.util.WeakHashMap[AnyRef, Map[String, Array[ImmutableRoaringBitmap]]]()
+    def bitmaps(blobs: Map[String, Array[Byte]]): Map[String, Array[ImmutableRoaringBitmap]] =
+      cache.synchronized {
+        Option(cache.get(blobs)).getOrElse {
+          val m = blobs.map { case (k, v) => k -> parseBitmapArray(v) }
+          cache.put(blobs, m); m
+        }
+      }
+  }
+
+  /** Resolve one descriptor to its bitmap blob bytes. */
+  private def loadDvBlob(
+      table: String, storageType: String, pathOrInlineDv: String,
+      offset: Int, sizeInBytes: Int): Array[Byte] = storageType match {
+    case "i" => // inline payload is zero-padded to a 4-byte multiple
+      java.util.Arrays.copyOf(z85Decode(pathOrInlineDv), sizeInBytes)
+    case "u" | "p" =>
+      val file =
+        if (storageType == "p") {
+          val p = Paths.get(pathOrInlineDv)
+          if (p.isAbsolute) p else Paths.get(table).toAbsolutePath.resolve(pathOrInlineDv)
+        } else {
+          val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+          val bb = java.nio.ByteBuffer.wrap(z85Decode(enc))
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val dir = Paths.get(table).toAbsolutePath
+          (if (prefix.isEmpty) dir else dir.resolve(prefix))
+            .resolve(s"deletion_vector_$uuid.bin")
+        }
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(Files.newInputStream(file)))
+      try {
+        in.skipNBytes(offset.toLong)
+        val sz = in.readInt() // big-endian, per the on-disk format
+        require(sz == sizeInBytes,
+          s"DV size $sz != descriptor sizeInBytes $sizeInBytes in $file")
+        val blob = new Array[Byte](sz)
+        in.readFully(blob)
+        val crc = in.readInt()
+        val c = new java.util.zip.CRC32; c.update(blob)
+        require(crc == c.getValue.toInt, s"DV checksum mismatch in $file")
+        blob
+      } finally in.close()
+    case other => throw new IllegalArgumentException(s"unknown DV storageType: $other")
+  }
+
+  /** Filter `data` by the deletion vectors of its files: broadcast the
+    * (path -> blob) map — bitmap bytes, not exploded positions — and keep
+    * rows whose `_metadata.row_index` is absent from their file's bitmap.
+    * Files without a DV stream through untouched. */
+  private def dvFilter(
+      spark: SparkSession, table: String, data: DataFrame,
+      activeRows: Seq[Row]): DataFrame = {
+    val descs = activeRows.filter(!_.isNullAt(1)).map { r =>
+      val d = r.getStruct(1)
+      (r.getString(0), d.getString(0), d.getString(1),
+        if (d.isNullAt(2)) 0 else d.getInt(2), d.getInt(3))
+    }
+    if (descs.isEmpty) return data
+    // blob loads are metadata-sized I/O: driver loop under 16, distributed
+    // above (same policy as the catalog's footer reads)
+    val blobs: Map[String, Array[Byte]] =
+      if (descs.size < 16)
+        descs.map { case (p, st, pi, off, sz) => p -> loadDvBlob(table, st, pi, off, sz) }.toMap
+      else
+        spark.sparkContext.parallelize(descs,
+            math.min(descs.size, spark.sparkContext.defaultParallelism * 2))
+          .map { case (p, st, pi, off, sz) => p -> loadDvBlob(table, st, pi, off, sz) }
+          .collect().toMap
+    val bc = spark.sparkContext.broadcast(blobs)
+    val live = udf { (path: String, rowIndex: Long) =>
+      DvCache.bitmaps(bc.value).get(path) match {
+        case Some(maps) => !dvContains(maps, rowIndex)
+        case None => true
+      }
+    }
+    val decode = udf(InteropUtil.decodeRelPath _)
+    data.where(live(decode(col("_metadata.file_path")), col("_metadata.row_index")))
+  }
+
+  /** Row-level DELETE via deletion vectors — no data file is rewritten:
+    * each file whose rows match `pred` gets a (merged) bitmap of deleted
+    * row indexes, committed as a replacement add action carrying the DV
+    * descriptor (PROTOCOL.md: the new add supersedes the old one for the
+    * same path). Upgrades the table protocol to the deletionVectors
+    * feature on first use. Returns the committed version.
+    *
+    * Matching positions materialize on the driver as bitmaps (the same
+    * cost class as the reference's equality-delete key frames); a delete
+    * wide enough for that to hurt should compact instead. */
+  def deleteWhere(spark: SparkSession, table: String, pred: Column,
+      checkpointInterval: Int = 10): Long = {
+    val snap = snapshot(spark, table)
+    val fileMeta = snap.files.collect().map(r => r.getString(0) -> r).toMap
+
+    // scan with lineage; reattach partition columns so pred may use them
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val decode = udf(InteropUtil.decodeRelPath _)
+    val base = spark.read.schema(dataSchema).parquet(fileMeta.keys.toSeq: _*)
+      .withColumn("_g_path", decode(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+    val scan =
+      if (snap.partitionColumns.isEmpty) base
+      else {
+        val pv = snap.files.select(
+          normPath(col("path")).as("_g_path"), col("partitionValues"))
+        snap.partitionColumns.foldLeft(base.join(broadcast(pv), Seq("_g_path"))) { (df, c) =>
+          df.withColumn(c, element_at(col("partitionValues"), c).cast(snap.schema(c).dataType))
+        }.drop("partitionValues")
+      }
+    val hits = scan.where(pred).groupBy("_g_path")
+      .agg(collect_list(col("_g_pos")).as("pos"))
+      .collect()
+    if (hits.isEmpty) return snap.version // nothing matched: no commit
+
+    val adds = hits.toSeq.map { r =>
+      val path = r.getString(0)
+      val meta = fileMeta.getOrElse(path,
+        throw new IllegalStateException(s"matched file not in snapshot: $path"))
+      // merge with the file's existing DV: once deleted, always deleted
+      val merged = scala.collection.mutable.ArrayBuffer.empty[MutableRoaringBitmap]
+      if (!meta.isNullAt(3)) {
+        val d = meta.getStruct(3)
+        parseBitmapArray(loadDvBlob(table, d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) 0 else d.getInt(2), d.getInt(3)))
+          .foreach(im => merged += im.toMutableRoaringBitmap)
+      }
+      r.getSeq[Long](1).foreach { pos =>
+        val bucket = (pos >>> 32).toInt
+        while (merged.size <= bucket) merged += new MutableRoaringBitmap()
+        merged(bucket).add(pos.toInt)
+      }
+      val blob = serializeBitmapArray(merged.toSeq)
+      val cardinality = merged.map(_.getLongCardinality).sum
+
+      // one DV file per data file, uuid-named at the table root
+      val uuid = java.util.UUID.randomUUID()
+      val dvPath = Paths.get(table).toAbsolutePath.resolve(s"deletion_vector_$uuid.bin")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(dvPath)))
+      try {
+        out.writeByte(1) // format version
+        out.writeInt(blob.length)
+        out.write(blob)
+        val c = new java.util.zip.CRC32; c.update(blob)
+        out.writeInt(c.getValue.toInt)
+      } finally out.close()
+      val uuidBytes = java.nio.ByteBuffer.allocate(16)
+        .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+
+      val dv = obj()
+      dv.put("storageType", "u")
+      dv.put("pathOrInlineDv", z85Encode(uuidBytes))
+      dv.put("offset", 1)
+      dv.put("sizeInBytes", blob.length)
+      dv.put("cardinality", cardinality)
+      val pvMap = Option(meta.getJavaMap[String, String](1))
+        .map(_.asScala.toMap).getOrElse(Map.empty[String, String])
+      addAction(relativize(path, table), meta.getLong(2), pvMap, Some(dv))
+    }
+
+    val needUpgrade = !protocolHasFeature(spark, table, "deletionVectors")
+    val actions = Seq.newBuilder[JsonNode]
+    if (needUpgrade) {
+      val p = obj()
+      p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+      val rf = mapper.createArrayNode(); rf.add("deletionVectors")
+      val wf = mapper.createArrayNode(); wf.add("deletionVectors")
+      p.set[JsonNode]("readerFeatures", rf); p.set[JsonNode]("writerFeatures", wf)
+      val w = obj(); w.set[JsonNode]("protocol", p); actions += w
+    }
+    actions ++= adds
+    actions += commitInfoAction("DELETE")
+    val v = commit(table, versions(table), actions.result())
+    maybeCheckpoint(spark, table, v, checkpointInterval)
+    v
+  }
+
+  private def protocolHasFeature(spark: SparkSession, table: String, feature: String): Boolean = {
+    val cp = latestCheckpointAtOrBefore(table, Long.MaxValue)
+    val meta = resolveMetadata(spark, table,
+      versions(table).filter(v => v > cp.map(_._1).getOrElse(-1L)), cp)
+    meta.protocol.exists(p => p.has("readerFeatures") &&
+      p.get("readerFeatures").elements().asScala.exists(_.asText() == feature))
+  }
+
   // ---- action JSON builders
 
   private def obj() = mapper.createObjectNode()
@@ -429,7 +723,8 @@ object DeltaLake {
     val w = obj(); w.set("metaData", m); w
   }
 
-  private def addAction(rel: String, size: Long, pv: Map[String, String]): JsonNode = {
+  private def addAction(rel: String, size: Long, pv: Map[String, String],
+      dv: Option[JsonNode] = None): JsonNode = {
     val a = obj()
     a.put("path", InteropUtil.encodeRelPath(rel))
     val pvn = obj(); pv.foreach { case (k, v) => if (v == null) pvn.putNull(k) else pvn.put(k, v) }
@@ -437,6 +732,7 @@ object DeltaLake {
     a.put("size", size)
     a.put("modificationTime", System.currentTimeMillis())
     a.put("dataChange", true)
+    dv.foreach(a.set[JsonNode]("deletionVector", _))
     val w = obj(); w.set("add", a); w
   }
 
@@ -496,14 +792,29 @@ object DeltaLake {
       col("partitionValues"),
       col("size"),
       lit(System.currentTimeMillis()).as("modificationTime"),
-      lit(true).as("dataChange")).as("add"))
+      lit(true).as("dataChange"),
+      // DV descriptors MUST survive the checkpoint or deleted rows resurrect
+      col("deletionVector")).as("add"))
     val metaRow = Seq((meta.schemaString, snap.partitionColumns))
     import spark.implicits._
     val metaDf = metaRow.toDF("schemaString", "partitionColumns").select(
       struct(col("schemaString"), col("partitionColumns"),
         lit("parquet").as("provider")).as("metaData"))
+    // preserve the table's real protocol (a DV table checkpointed at
+    // minReaderVersion 1 would let feature-blind readers misread it)
+    val (minR, minW, feats) = meta.protocol match {
+      case Some(p) =>
+        (p.path("minReaderVersion").asInt(1),
+          p.path("minWriterVersion").asInt(2),
+          if (p.has("readerFeatures"))
+            Some(p.get("readerFeatures").elements().asScala.map(_.asText()).toSeq)
+          else None)
+      case None => (1, 2, None)
+    }
     val protoDf = Seq(1).toDF("x").select(
-      struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"))
+      struct(lit(minR).as("minReaderVersion"), lit(minW).as("minWriterVersion"),
+        feats.map(f => typedlit(f)).getOrElse(lit(null).cast(ArrayType(StringType)))
+          .as("readerFeatures")).as("protocol"))
     val cpDir = Files.createTempDirectory(logDir(table), ".cp_")
     try {
       addDf.unionByName(metaDf, allowMissingColumns = true)

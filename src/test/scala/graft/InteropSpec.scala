@@ -103,10 +103,10 @@ class InteropSpec extends SparkSpec {
     // hand-write a commit that upgrades the protocol past what we support
     val log = java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json")
     java.nio.file.Files.write(log,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}"""
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, t))
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("columnMapping"))
     // but the pre-upgrade version still reads
     assert(DeltaLake.read(spark, t, versionAsOf = Some(0L)).count() == nation.count())
   }
@@ -274,7 +274,7 @@ class InteropSpec extends SparkSpec {
   test("delta: readerFeatures in a CHECKPOINT-only protocol still gate the read") {
     val t = tmpDir("delta-cp-proto")
     DeltaLake.write(nation, t)
-    // craft a checkpoint at v0 whose protocol demands deletionVectors; the
+    // craft a checkpoint at v0 whose protocol demands columnMapping; the
     // JSON tail above it is empty, so metadata resolution must use the
     // checkpoint AND preserve readerFeatures
     val files = DeltaLake.snapshot(spark, t).files.select("path").as[String].collect()
@@ -290,7 +290,7 @@ class InteropSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)).as("partitionColumns")).as("metaData"))
     val protoDf = Seq(1).toDF("x").select(struct(
       lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
-      array(lit("deletionVectors")).as("readerFeatures")).as("protocol"))
+      array(lit("columnMapping")).as("readerFeatures")).as("protocol"))
     val cpTmp = tmpDir("cp-build")
     addDf.unionByName(metaDf, allowMissingColumns = true)
       .unionByName(protoDf, allowMissingColumns = true)
@@ -301,7 +301,7 @@ class InteropSpec extends SparkSpec {
     java.nio.file.Files.copy(parquet,
       java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, t))
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("columnMapping"))
   }
 
   test("schema-shape gates: type-mismatched appends are refused") {
@@ -329,6 +329,75 @@ class InteropSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLake.read(spark, t, partitionFilter = Some(col("n_regionkey") === 1)))
     assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  test("delta: deletion vectors — row-level delete with zero file rewrites") {
+    val t = tmpDir("delta-dv")
+    DeltaLake.write(nation, t, partitionBy = Seq("n_regionkey"))
+    val filesBefore = DeltaLake.snapshot(spark, t).files
+      .select("path").as[String].collect().toSet
+    val v = DeltaLake.deleteWhere(spark, t, col("n_nationkey") % 3 === 0)
+    assert(v == 1L)
+    // same data files after the delete — only DV descriptors attached
+    assert(DeltaLake.snapshot(spark, t).files
+      .select("path").as[String].collect().toSet == filesBefore)
+    assert(DeltaLake.snapshot(spark, t).files
+      .where(col("deletionVector").isNotNull).count() > 0)
+    val expect1 = nation.where($"n_nationkey" % 3 =!= 0)
+    assert(DeltaLake.read(spark, t).orderBy("n_nationkey").collect().toSeq ==
+      expect1.orderBy("n_nationkey").collect().toSeq)
+
+    // a second delete merges bitmaps: cumulative row-level removal
+    DeltaLake.deleteWhere(spark, t, col("n_name").startsWith("A"))
+    val expect2 = nation.where($"n_nationkey" % 3 =!= 0 && !$"n_name".startsWith("A"))
+    assert(DeltaLake.read(spark, t).orderBy("n_nationkey").collect().toSeq ==
+      expect2.orderBy("n_nationkey").collect().toSeq)
+
+    // time travel before any DV sees every row
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(0L)).count() == nation.count())
+    // partition pruning composes with the DV filter (pred on a data column)
+    val pruned = DeltaLake.read(spark, t, partitionFilter = Some(col("n_regionkey") === 2))
+    assert(pruned.collect().toSet == expect2.where($"n_regionkey" === 2).collect().toSet)
+  }
+
+  test("delta: deletion vectors survive checkpoints; inline DVs; z85 vector") {
+    // ZeroMQ RFC 32 test vector
+    val hello = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(DeltaLake.z85Encode(hello) == "HelloWorld")
+    assert(DeltaLake.z85Decode("HelloWorld").toSeq == hello.toSeq)
+
+    // checkpoint directly after the DV commit: replay below comes from the
+    // checkpoint alone (empty JSON tail), so descriptors AND the upgraded
+    // protocol must have survived it
+    val t = tmpDir("delta-dv-cp")
+    DeltaLake.write(nation, t)
+    DeltaLake.deleteWhere(spark, t, col("n_nationkey") < 5, checkpointInterval = 1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.checkpoint.parquet")))
+    assert(DeltaLake.read(spark, t).count() == nation.where($"n_nationkey" >= 5).count())
+
+    // inline ("i") storage: hand-written commit with the bitmap in-line
+    val t2 = tmpDir("delta-dv-inline")
+    DeltaLake.write(nation.coalesce(1), t2)
+    val snap = DeltaLake.snapshot(spark, t2)
+    val abs = snap.files.select("path").as[String].head()
+    val rel = java.nio.file.Paths.get(t2).toAbsolutePath.relativize(
+      java.nio.file.Paths.get(abs)).toString
+    val size = snap.files.select("size").as[Long].head()
+    val bm = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+    bm.add(0); bm.add(1); bm.add(2)
+    val blob = DeltaLake.serializeBitmapArray(Seq(bm))
+    val inline = DeltaLake.z85Encode(blob)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t2, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$inline",""" +
+        s""""sizeInBytes":${blob.length},"cardinality":3}}}""").getBytes("UTF-8"))
+    // expected: every row except the file's first three by physical position
+    val survivors = spark.read.parquet(abs)
+      .where(col("_metadata.row_index") >= 3).drop("_metadata")
+    assert(DeltaLake.read(spark, t2).orderBy("n_nationkey").collect().toSeq ==
+      survivors.orderBy("n_nationkey").collect().toSeq)
   }
 
   test("delta: concurrent same-version commit loses the rename race") {
