@@ -46,7 +46,7 @@ object DeltaLake {
 
   /** Reader feature set this binding implements; a table whose protocol
     * demands anything else fails fast instead of returning wrong rows. */
-  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
+  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors", "columnMapping")
 
   // ---------------------------------------------------------------- read
 
@@ -69,30 +69,39 @@ object DeltaLake {
       versionAsOf: Option[Long] = None, timestampAsOf: Option[Long] = None,
       partitionFilter: Option[Column] = None): DataFrame = {
     val snap = snapshot(spark, table, versionAsOf, timestampAsOf)
-    val dataFields = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
-    val dataSchema = StructType(dataFields)
+    // under column mapping, data files AND partitionValues keys use
+    // physical names; metaData.partitionColumns may carry either form
+    val partCols: Seq[(String, String, DataType)] = snap.partitionColumns.map { pc =>
+      snap.schema.fields.find(f => f.name == pc || physicalName(f) == pc)
+        .map(f => (f.name, physicalName(f), f.dataType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column $pc not in table schema"))
+    }
+    val dataFields = snap.schema.fields.filterNot(f => partCols.exists(_._1 == f.name))
+    val physDataSchema = StructType(dataFields.map(f =>
+      StructField(physicalName(f), physicalize(f.dataType), f.nullable)))
 
-    require(partitionFilter.isEmpty || snap.partitionColumns.nonEmpty,
+    require(partitionFilter.isEmpty || partCols.nonEmpty,
       s"partitionFilter given but $table is unpartitioned — the filter would " +
         "be silently dropped; filter the returned DataFrame instead")
     val active = partitionFilter match {
       case Some(pred) =>
-        // prune on the serialized partition values BEFORE touching data
-        val parts = snap.partitionColumns.map { c =>
-          val dt = snap.schema(c).dataType
-          element_at(col("partitionValues"), c).cast(dt).as(c)
+        // prune on the serialized partition values BEFORE touching data;
+        // values surface under LOGICAL names so the caller's pred matches
+        val parts = partCols.map { case (log, phys, dt) =>
+          element_at(col("partitionValues"), phys).cast(dt).as(log)
         }
         snap.files.select((col("path") +: col("deletionVector") +: parts): _*).where(pred)
       case None => snap.files
     }
     val activeRows = active.select("path", "deletionVector").collect().toSeq
     val files = activeRows.map(_.getString(0))
-    if (files.isEmpty) return emptyFrame(spark, snap.schema)
+    if (files.isEmpty) return emptyFrame(spark, stripFieldMeta(snap.schema))
 
     val data = dvFilter(spark, table,
-      spark.read.schema(dataSchema).parquet(files: _*), activeRows)
+      spark.read.schema(physDataSchema).parquet(files: _*), activeRows)
     val out =
-      if (snap.partitionColumns.isEmpty) data
+      if (partCols.isEmpty) data
       else {
         // data files omit partition columns (protocol: values live in the
         // add action); rejoin them via a broadcast (path -> values) frame.
@@ -105,18 +114,57 @@ object DeltaLake {
         val joined = withPath.join(
           broadcast(pv.withColumnRenamed("path", "_g_path")
             .withColumn("_g_path", normPath(col("_g_path")))), Seq("_g_path"))
-        snap.partitionColumns.foldLeft(joined) { (df, c) =>
-          df.withColumn(c, element_at(col("partitionValues"), c).cast(snap.schema(c).dataType))
+        partCols.foldLeft(joined) { case (df, (log, phys, dt)) =>
+          df.withColumn(log, element_at(col("partitionValues"), phys).cast(dt))
         }.drop("_g_path", "partitionValues")
       }
-    out.select(snap.schema.fieldNames.map(col): _*)
+    // physical -> logical: positional struct cast renames nested fields too
+    out.select(snap.schema.fields.map { f =>
+      if (partCols.exists(_._1 == f.name)) col(f.name)
+      else {
+        val phys = physicalName(f)
+        val logicalType = stripFieldMeta(f.dataType)
+        if (phys == f.name && physicalize(f.dataType) == logicalType) col(f.name)
+        else col(phys).cast(logicalType).as(f.name)
+      }
+    }: _*)
   }
 
+  /** Physical parquet name of a mapped field (logical name otherwise). */
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Rename every (nested) field to its physical name. */
+  private def physicalize(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physicalName(f), physicalize(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = physicalize(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physicalize(m.keyType), valueType = physicalize(m.valueType))
+    case other => other
+  }
+
+  /** Logical shape without the column-mapping metadata (cast target). */
+  private def stripFieldMeta(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, stripFieldMeta(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = stripFieldMeta(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = stripFieldMeta(m.keyType), valueType = stripFieldMeta(m.valueType))
+    case other => other
+  }
+  private def stripFieldMeta(s: StructType): StructType =
+    stripFieldMeta(s: DataType).asInstanceOf[StructType]
+
   /** Resolved snapshot state: schema, partitioning, and the active file
-    * list as a DataFrame (path, partitionValues, size). */
+    * list as a DataFrame (path, partitionValues, size, deletionVector).
+    * `schema` is LOGICAL; under column mapping the physical parquet names
+    * ride in each field's `delta.columnMapping.physicalName` metadata. */
   final case class Snapshot(
       version: Long, schema: StructType, partitionColumns: Seq[String],
-      files: DataFrame)
+      files: DataFrame, columnMappingMode: String = "none")
 
   def snapshot(
       spark: SparkSession, table: String,
@@ -185,7 +233,7 @@ object DeltaLake {
         col("w.add_dv").as("deletionVector"))
       .withColumn("path", absolutize(col("path"), table))
 
-    Snapshot(target, schema, meta.partitionColumns, files)
+    Snapshot(target, schema, meta.partitionColumns, files, meta.columnMappingMode)
   }
 
   /** CDC-style view of one commit: the add/remove actions at `version`. */
@@ -217,6 +265,9 @@ object DeltaLake {
     val schema = df.schema
     if (!isCreate) {
       val snap = snapshot(spark, table)
+      require(snap.columnMappingMode == "none",
+        s"$table uses column mapping (${snap.columnMappingMode}) — " +
+          "this binding reads such tables but does not write them")
       require(snap.partitionColumns == partitionBy,
         s"partitionBy $partitionBy != table partitioning ${snap.partitionColumns}")
       // names AND types (nullability aside): a type-mismatched append would
@@ -266,6 +317,8 @@ object DeltaLake {
   def deletePartitions(spark: SparkSession, table: String, pred: Column,
       checkpointInterval: Int = 10): Long = {
     val snap = snapshot(spark, table)
+    require(snap.columnMappingMode == "none",
+      s"$table uses column mapping — read-only in this binding")
     require(snap.partitionColumns.nonEmpty, "deletePartitions needs a partitioned table")
     val parts = snap.partitionColumns.map { c =>
       element_at(col("partitionValues"), c).cast(snap.schema(c).dataType).as(c)
@@ -284,7 +337,8 @@ object DeltaLake {
   // ------------------------------------------------------------ internals
 
   private final case class Meta(
-      schemaString: String, partitionColumns: Seq[String], protocol: Option[JsonNode])
+      schemaString: String, partitionColumns: Seq[String], protocol: Option[JsonNode],
+      columnMappingMode: String = "none")
 
   /** Latest metaData + protocol at the snapshot: scan the commit tail
     * newest-first on the driver (metadata actions are rare and live near
@@ -293,20 +347,25 @@ object DeltaLake {
   private def resolveMetadata(
       spark: SparkSession, table: String, tailVersions: Seq[Long],
       cp: Option[(Long, Seq[String])]): Meta = {
-    var schema: Option[(String, Seq[String])] = None
+    var schema: Option[(String, Seq[String], String)] = None
     var protocol: Option[JsonNode] = None
+    def checkCmMode(mode: String): String = {
+      require(Seq("none", "name", "id").contains(mode),
+        s"unsupported delta.columnMapping.mode=$mode in $table")
+      mode
+    }
     for (v <- tailVersions.sorted.reverse if schema.isEmpty || protocol.isEmpty) {
       val lines = Files.readAllLines(commitFile(table, v)).asScala
       for (line <- lines if line.nonEmpty) {
         val node = mapper.readTree(line)
         if (schema.isEmpty && node.has("metaData")) {
           val m = node.get("metaData")
+          val mode = Option(m.get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText())
+            .getOrElse("none")
           schema = Some((m.get("schemaString").asText(),
-            m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq))
-          val cfg = Option(m.get("configuration"))
-          val cmMode = cfg.flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText())
-          require(cmMode.forall(m => m == "none"),
-            s"unsupported delta.columnMapping.mode=${cmMode.get} in $table")
+            m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq,
+            checkCmMode(mode)))
         }
         if (protocol.isEmpty && node.has("protocol")) protocol = Some(node.get("protocol"))
       }
@@ -316,19 +375,26 @@ object DeltaLake {
       // protocol action lives only in the checkpoint would otherwise slip
       // past checkProtocol and be silently misread
       val raw = spark.read.parquet(cpFiles: _*)
-      val hasFeatures = raw.schema.fieldNames.contains("protocol") &&
-        raw.schema("protocol").dataType.asInstanceOf[StructType]
-          .fieldNames.contains("readerFeatures")
-      val featCol =
-        if (hasFeatures) col("protocol.readerFeatures")
-        else lit(null).cast(ArrayType(StringType))
+      def sub(parent: String, field: String, fallback: Column): Column =
+        if (raw.schema.fieldNames.contains(parent) &&
+          raw.schema(parent).dataType.asInstanceOf[StructType].fieldNames.contains(field))
+          col(s"$parent.$field")
+        else fallback
+      val featCol = sub("protocol", "readerFeatures", lit(null).cast(ArrayType(StringType)))
+      val cfgCol = sub("metaData", "configuration",
+        lit(null).cast(MapType(StringType, StringType)))
       val row = raw
         .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-          col("protocol.minReaderVersion"), featCol.as("readerFeatures"))
+          col("protocol.minReaderVersion"), featCol.as("readerFeatures"),
+          cfgCol.as("configuration"))
         .where(col("schemaString").isNotNull || col("minReaderVersion").isNotNull)
         .collect()
       row.find(!_.isNullAt(0)).foreach { r =>
-        if (schema.isEmpty) schema = Some((r.getString(0), r.getSeq[String](1)))
+        if (schema.isEmpty) {
+          val mode = Option(r.getJavaMap[String, String](4))
+            .flatMap(m => Option(m.get("delta.columnMapping.mode"))).getOrElse("none")
+          schema = Some((r.getString(0), r.getSeq[String](1), checkCmMode(mode)))
+        }
       }
       row.find(!_.isNullAt(2)).foreach { r =>
         if (protocol.isEmpty) {
@@ -343,9 +409,9 @@ object DeltaLake {
         }
       }
     }
-    val (ss, pc) = schema.getOrElse(
+    val (ss, pc, cm) = schema.getOrElse(
       throw new IllegalStateException(s"no metaData action found in Delta log: $table"))
-    Meta(ss, pc, protocol)
+    Meta(ss, pc, protocol, cm)
   }
 
   private def checkProtocol(protocol: Option[JsonNode], table: String): Unit =
@@ -356,10 +422,11 @@ object DeltaLake {
           p.get("readerFeatures").elements().asScala.map(_.asText()).toSet
         else Set.empty
       val unsupported = feats -- SupportedReaderFeatures
-      require(v <= 1 || (v == 3 && unsupported.isEmpty),
+      // v2 = legacy column-mapping tables (supported); v3 = table features
+      require(v <= 2 || (v == 3 && unsupported.isEmpty),
         s"Delta table $table requires reader version $v" +
           (if (unsupported.nonEmpty) s" with features $unsupported" else "") +
-          " — this binding reads basic + deletion-vector tables (no column mapping)")
+          " — supported: basic, column-mapping, and deletion-vector tables")
     }
 
   /** (version, checkpoint part files) of the newest checkpoint <= v. */
@@ -607,6 +674,8 @@ object DeltaLake {
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
       checkpointInterval: Int = 10): Long = {
     val snap = snapshot(spark, table)
+    require(snap.columnMappingMode == "none",
+      s"$table uses column mapping — read-only in this binding")
     val fileMeta = snap.files.collect().map(r => r.getString(0) -> r).toMap
 
     // scan with lineage; reattach partition columns so pred may use them

@@ -103,10 +103,10 @@ class InteropSpec extends SparkSpec {
     // hand-write a commit that upgrades the protocol past what we support
     val log = java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json")
     java.nio.file.Files.write(log,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, t))
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("v2Checkpoint"))
     // but the pre-upgrade version still reads
     assert(DeltaLake.read(spark, t, versionAsOf = Some(0L)).count() == nation.count())
   }
@@ -274,7 +274,7 @@ class InteropSpec extends SparkSpec {
   test("delta: readerFeatures in a CHECKPOINT-only protocol still gate the read") {
     val t = tmpDir("delta-cp-proto")
     DeltaLake.write(nation, t)
-    // craft a checkpoint at v0 whose protocol demands columnMapping; the
+    // craft a checkpoint at v0 whose protocol demands v2Checkpoint; the
     // JSON tail above it is empty, so metadata resolution must use the
     // checkpoint AND preserve readerFeatures
     val files = DeltaLake.snapshot(spark, t).files.select("path").as[String].collect()
@@ -290,7 +290,7 @@ class InteropSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)).as("partitionColumns")).as("metaData"))
     val protoDf = Seq(1).toDF("x").select(struct(
       lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
-      array(lit("columnMapping")).as("readerFeatures")).as("protocol"))
+      array(lit("v2Checkpoint")).as("readerFeatures")).as("protocol"))
     val cpTmp = tmpDir("cp-build")
     addDf.unionByName(metaDf, allowMissingColumns = true)
       .unionByName(protoDf, allowMissingColumns = true)
@@ -301,7 +301,7 @@ class InteropSpec extends SparkSpec {
     java.nio.file.Files.copy(parquet,
       java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, t))
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 
   test("schema-shape gates: type-mismatched appends are refused") {
@@ -398,6 +398,63 @@ class InteropSpec extends SparkSpec {
       .where(col("_metadata.row_index") >= 3).drop("_metadata")
     assert(DeltaLake.read(spark, t2).orderBy("n_nationkey").collect().toSeq ==
       survivors.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("delta: column-mapped tables (name mode) read under logical names") {
+    import org.apache.spark.sql.types._
+    val t = tmpDir("delta-cm")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "_delta_log"))
+
+    def fmeta(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, true, fmeta("col-a1", 1)),
+      StructField("info", StructType(Seq(
+        StructField("tag", StringType, true, fmeta("col-c3", 3)))), true, fmeta("col-b2", 2)),
+      StructField("k", StringType, true, fmeta("col-k9", 4))))
+
+    // physical data files: parquet columns carry the PHYSICAL names and
+    // omit the partition column
+    def writePhys(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = tmpDir(s"cm-$name")
+      rows.toDF("a", "c").select(col("a").as("col-a1"),
+        struct(col("c").as("col-c3")).as("col-b2"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      val pq = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(pq, java.nio.file.Paths.get(t, name))
+    }
+    writePhys(Seq((1L, "t1"), (2L, "t2")), "f1.parquet")
+    writePhys(Seq((3L, "t3")), "f2.parquet")
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ss = om.writeValueAsString(logical.json)
+    val commit =
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"cm-test","format":{"provider":"parquet","options":{}},"schemaString":$ss,"partitionColumns":["col-k9"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":0}}
+         |{"add":{"path":"f1.parquet","partitionValues":{"col-k9":"x"},"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f2.parquet","partitionValues":{"col-k9":"y"},"size":1,"modificationTime":0,"dataChange":true}}""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.json"), commit.getBytes("UTF-8"))
+
+    val back = DeltaLake.read(spark, t)
+    assert(back.columns.toSeq == Seq("id", "info", "k"))
+    assert(back.select("info.tag").as[String].collect().toSet == Set("t1", "t2", "t3"))
+    assert(back.select("id", "k").as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "x"), (3L, "y")))
+
+    // pruning happens on logical names BEFORE data files open: delete f2
+    // physically, then a k="x" read must still succeed
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, "f2.parquet"))
+    val pruned = DeltaLake.read(spark, t, partitionFilter = Some(col("k") === "x"))
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // column-mapped tables are read-only in this binding
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((9L, "z")).toDF("id", "k"), t))
+    assert(e.getMessage.contains("column mapping"))
   }
 
   test("delta: concurrent same-version commit loses the rename race") {
