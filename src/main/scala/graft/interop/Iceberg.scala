@@ -298,13 +298,11 @@ object Iceberg {
     val paths = dataFiles.map(e => resolvePath(e.path, meta.location))
     require(dataFiles.forall(_.format.equalsIgnoreCase("PARQUET")),
       s"only PARQUET data files supported, saw ${dataFiles.map(_.format).distinct}")
-    var df = spark.read.schema(meta.schema).parquet(paths: _*)
+    var df = readDataFilesById(spark, meta, paths)
 
     val posDeletes = entries.filter(_.content == 1)
     val eqDeletes = entries.filter(_.content == 2)
     if (posDeletes.nonEmpty || eqDeletes.nonEmpty) {
-      df = df.withColumn("_g_path", normPath(col("_metadata.file_path")))
-        .withColumn("_g_pos", col("_metadata.row_index"))
       if (posDeletes.nonEmpty) {
         val del = spark.read
           .schema(StructType(Seq(
@@ -342,6 +340,44 @@ object Iceberg {
     df.select(meta.schema.fieldNames.map(col): _*)
   }
 
+  /** Scan data files resolving top-level columns by Iceberg FIELD ID (the
+    * spec's rule — name matching silently misreads tables whose columns
+    * were renamed): per-file parquet footers give (id -> written name);
+    * files group by that signature — one scan per distinct signature,
+    * which is almost always one — each renamed back to the current schema
+    * and unioned. A column id absent from a file (added after the file was
+    * written) projects null; files with NO recorded ids (foreign non-
+    * Iceberg writers) fall back to name matching. Footer reads follow the
+    * usual driver-under-16 / distributed-above policy. Lineage columns
+    * `_g_path`/`_g_pos` are materialized inside each scan so delete
+    * application works across the union. */
+  private def readDataFilesById(
+      spark: SparkSession, meta: TableMeta, paths: Seq[String]): DataFrame = {
+    val wanted: Seq[(StructField, Int)] =
+      meta.schema.fields.toSeq.map(f => f -> meta.fieldIds(f.name))
+    val footers = InteropUtil.parquetFieldIds(spark, paths)
+    // signature: the written physical name per wanted field (None = absent)
+    def sig(p: String): Seq[Option[String]] = {
+      val byId = footers.getOrElse(p, Map.empty)
+      if (byId.isEmpty) wanted.map { case (f, _) => Some(f.name) } // name fallback
+      else wanted.map { case (_, id) => byId.get(id) }
+    }
+    val groups = paths.groupBy(sig)
+    val scans = groups.toSeq.map { case (s, groupPaths) =>
+      val readSchema = StructType(wanted.zip(s).collect {
+        case ((f, _), Some(phys)) => StructField(phys, f.dataType, nullable = true)
+      })
+      val scan = spark.read.schema(readSchema).parquet(groupPaths: _*)
+      val cols = wanted.zip(s).map {
+        case ((f, _), Some(phys)) => col(phys).as(f.name)
+        case ((f, _), None) => lit(null).cast(f.dataType).as(f.name)
+      }
+      scan.select(cols :+ normPath(col("_metadata.file_path")).as("_g_path")
+        :+ col("_metadata.row_index").as("_g_pos"): _*)
+    }
+    scans.reduce(_ union _)
+  }
+
   private def pickSnapshot(
       meta: TableMeta, snapshotId: Option[Long], asOf: Option[Long]): Option[SnapshotMeta] =
     snapshotId match {
@@ -359,6 +395,11 @@ object Iceberg {
     InteropUtil.emptyFrame(spark, schema)
 
   private def normPath(c: Column): Column = InteropUtil.normPath(c)
+
+  /** Spark's parquet writer records this as the column's field id. */
+  private def fieldIdMeta(id: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id.toLong).build()
 
   // --------------------------------------------------------------- write
 
@@ -482,8 +523,10 @@ object Iceberg {
       // stored in the file, unlike hive/delta layouts) — partition on an
       // aliased copy so Spark's partitionBy doesn't strip the real column.
       // Directory names are internal; file_path in the manifest is
-      // authoritative per the spec.
-      val base = df.select(meta.schema.fieldNames.map(col): _*)
+      // authoritative per the spec. Field ids ride into the parquet
+      // footers (spec REQUIRES them; readers match columns by id).
+      val base = df.select(meta.schema.fields.map(f =>
+        col(f.name).as(f.name, fieldIdMeta(meta.fieldIds(f.name)))): _*)
       val aliased = meta.partitionCols.foldLeft(base)(
         (d, c) => d.withColumn(s"_p_$c", col(c)))
       val w = aliased.write.mode("overwrite")
@@ -520,8 +563,9 @@ object Iceberg {
     Files.createDirectories(delDir)
     val staging = Files.createTempDirectory(root, "_iceberg_staging_")
     val written = try {
-      posDeletes
-        .select(col("file_path").cast(StringType), col("pos").cast(LongType))
+      posDeletes // spec-reserved field ids for position-delete columns
+        .select(col("file_path").cast(StringType).as("file_path", fieldIdMeta(2147483546)),
+          col("pos").cast(LongType).as("pos", fieldIdMeta(2147483545)))
         .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
         .write.mode("overwrite").parquet(staging.toString)
       InteropUtil.moveStagedParquet(staging, delDir)
@@ -546,7 +590,8 @@ object Iceberg {
     Files.createDirectories(delDir)
     val staging = Files.createTempDirectory(root, "_iceberg_staging_")
     val written = try {
-      deleteKeys.select(keyCols.map(col): _*).distinct()
+      deleteKeys.select(keyCols.map(c =>
+          col(c).as(c, fieldIdMeta(meta.fieldIds(c)))): _*).distinct()
         .write.mode("overwrite").parquet(staging.toString)
       InteropUtil.moveStagedParquet(staging, delDir)
     } finally InteropUtil.deleteRecursively(staging)

@@ -59,26 +59,41 @@ private[graft] object InteropUtil {
     finally s.close()
   }
 
-  /** Parquet footer record counts; driver loop under 16 files, distributed
-    * job above (the catalog's fileRowCounts policy). */
-  def parquetRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
-    def countOne(s: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+  /** Per-path footer metadata, driver loop under 16 files, distributed job
+    * above (the catalog's fileRowCounts policy). `extract` must be
+    * serializable. */
+  private def footerMap[T](spark: SparkSession, paths: Seq[String])(
+      extract: org.apache.parquet.hadoop.ParquetFileReader => T): Map[String, T] = {
+    def one(s: String, conf: org.apache.hadoop.conf.Configuration): T = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      try extract(r) finally r.close()
     }
     if (paths.isEmpty) Map.empty
     else if (paths.size < 16) {
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> countOne(p, conf)).toMap
+      paths.map(p => p -> one(p, conf)).toMap
     } else {
       val confBc = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
       spark.sparkContext
         .parallelize(paths, math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
-        .map(s => s -> countOne(s, confBc.value.value))
+        .map(s => s -> one(s, confBc.value.value))
         .collect().toMap
     }
   }
+
+  /** Parquet footer record counts. */
+  def parquetRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] =
+    footerMap(spark, paths)(_.getRecordCount)
+
+  /** Top-level (fieldId -> columnName) per file; empty map when the writer
+    * recorded no field ids. */
+  def parquetFieldIds(spark: SparkSession, paths: Seq[String]): Map[String, Map[Int, String]] =
+    footerMap(spark, paths) { r =>
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala.flatMap { t =>
+        Option(t.getId).map(id => id.intValue() -> t.getName)
+      }.toMap
+    }
 }

@@ -98,6 +98,52 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent"))
   }
 
+  test("iceberg: renamed columns read by FIELD ID; id-less files fall back to names") {
+    val t = tmpDir("ice-rename") + "/tbl"
+    Iceberg.createTable(t, nation.schema)
+    Iceberg.append(nation, t)
+
+    // foreign rename: a new metadata version changes the field NAME but
+    // keeps its id — exactly what an Iceberg RENAME COLUMN commit does
+    val metaDir = java.nio.file.Paths.get(t, "metadata")
+    val v = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(
+      metaDir.resolve(s"v$v.metadata.json"))).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    import scala.jdk.CollectionConverters._
+    root.get("schemas").elements().asScala.foreach { s =>
+      s.get("fields").elements().asScala.foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode
+          if f.get("name").asText() == "n_name" => f.put("name", "nation_title")
+        case _ =>
+      }
+    }
+    java.nio.file.Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
+      om.writeValueAsBytes(root))
+    java.nio.file.Files.write(metaDir.resolve("version-hint.text"),
+      String.valueOf(v + 1).getBytes("UTF-8"))
+
+    // pre-rename data files surface under the NEW name with the old values
+    val back = Iceberg.read(spark, t)
+    assert(back.columns.contains("nation_title") && !back.columns.contains("n_name"))
+    assert(back.select("nation_title").as[String].collect().toSet ==
+      nation.select("n_name").as[String].collect().toSet)
+    // and appends under the renamed schema coexist with the old files
+    Iceberg.append(back.limit(2).withColumn("n_nationkey", col("n_nationkey") + 100), t)
+    assert(Iceberg.read(spark, t).count() == nation.count() + 2)
+
+    // files written without parquet field ids still read by name
+    val t2 = tmpDir("ice-noid") + "/tbl"
+    Iceberg.createTable(t2, nation.schema)
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = spark.conf.get(key)
+    try { spark.conf.set(key, "false"); Iceberg.append(nation, t2) }
+    finally spark.conf.set(key, prev)
+    assert(Iceberg.read(spark, t2).orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("iceberg: nested types roundtrip through schema JSON") {
     val df = Seq((1, Seq(1.5, 2.5), Map("k" -> 1L), (2, "x")))
       .toDF("id", "arr", "m", "st")
