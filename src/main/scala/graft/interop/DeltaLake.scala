@@ -164,7 +164,8 @@ object DeltaLake {
     * ride in each field's `delta.columnMapping.physicalName` metadata. */
   final case class Snapshot(
       version: Long, schema: StructType, partitionColumns: Seq[String],
-      files: DataFrame, columnMappingMode: String = "none")
+      files: DataFrame, columnMappingMode: String = "none",
+      protocol: Option[JsonNode] = None)
 
   def snapshot(
       spark: SparkSession, table: String,
@@ -190,15 +191,20 @@ object DeltaLake {
     checkProtocol(meta.protocol, table)
     val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
 
-    def actionCols(df: DataFrame) = Seq(
-      col("add.path").as("add_path"),
-      col("add.partitionValues").as("add_pv"),
-      col("add.size").as("add_size"),
+    def actionCols(df: DataFrame) = {
       // a checkpoint written before the table had DVs lacks the nested field
-      (if (df.schema("add").dataType.asInstanceOf[StructType]
-        .fieldNames.contains("deletionVector")) col("add.deletionVector")
-      else lit(null).cast(dvDescriptorSchema)).as("add_dv"),
-      col("remove.path").as("remove_path"))
+      def dvOf(parent: String) =
+        if (df.schema(parent).dataType.asInstanceOf[StructType]
+          .fieldNames.contains("deletionVector")) col(s"$parent.deletionVector")
+        else lit(null).cast(dvDescriptorSchema)
+      Seq(
+        col("add.path").as("add_path"),
+        col("add.partitionValues").as("add_pv"),
+        col("add.size").as("add_size"),
+        dvOf("add").as("add_dv"),
+        col("remove.path").as("remove_path"),
+        dvOf("remove").as("remove_dv"))
+    }
     val tail: Option[DataFrame] = if (tailVersions.isEmpty) None else Some {
       val raw = spark.read.schema(commitActionSchema).json(
         tailVersions.map(v => commitFile(table, v).toString): _*)
@@ -216,16 +222,23 @@ object DeltaLake {
       }
       padded.select(actionCols(padded) :+ lit(cpv).as("version"): _*)
     }
+    // the protocol's logical-file identity is (path, deletionVector
+    // uniqueId): a DV rewrite legally pairs add(path, newDV) with
+    // remove(path, oldDV) IN THE SAME commit, so replay must key on the
+    // pair — path alone would make that a tie
+    def dvUid(dv: Column) = when(dv.isNull, lit(""))
+      .otherwise(concat_ws(":", dv("storageType"), dv("pathOrInlineDv"),
+        coalesce(dv("offset"), lit(0))))
     val actions = (base.toSeq ++ tail.toSeq).reduce(_ unionByName _)
       .where(col("add_path").isNotNull || col("remove_path").isNotNull)
       .select(
         coalesce(col("add_path"), col("remove_path")).as("path"),
+        dvUid(coalesce(col("add_dv"), col("remove_dv"))).as("dv_uid"),
         col("add_path").isNotNull.as("is_add"),
         col("version"), col("add_pv"), col("add_size"), col("add_dv"))
 
-    // last action per path wins; ties inside one commit cannot mix add and
-    // remove of the same path (protocol invariant)
-    val latest = actions.groupBy("path").agg(
+    // last action per logical file wins
+    val latest = actions.groupBy("path", "dv_uid").agg(
       max_by(struct(col("is_add"), col("add_pv"), col("add_size"), col("add_dv")),
         col("version")).as("w"))
     val files = latest.where(col("w.is_add"))
@@ -233,7 +246,8 @@ object DeltaLake {
         col("w.add_dv").as("deletionVector"))
       .withColumn("path", absolutize(col("path"), table))
 
-    Snapshot(target, schema, meta.partitionColumns, files, meta.columnMappingMode)
+    Snapshot(target, schema, meta.partitionColumns, files, meta.columnMappingMode,
+      meta.protocol)
   }
 
   /** CDC-style view of one commit: the add/remove actions at `version`. */
@@ -288,10 +302,11 @@ object DeltaLake {
 
     val removes: Seq[JsonNode] =
       if (mode == "overwrite" && !isCreate)
-        snapshot(spark, table).files.select("path", "partitionValues")
+        snapshot(spark, table).files.select("path", "partitionValues", "deletionVector")
           .collect().toSeq.map { r =>
             removeAction(relativize(r.getString(0), table),
-              Option(r.getJavaMap[String, String](1)).map(_.asScala.toMap).getOrElse(Map.empty))
+              Option(r.getJavaMap[String, String](1)).map(_.asScala.toMap).getOrElse(Map.empty),
+              if (r.isNullAt(2)) None else Some(dvNode(r.getStruct(2))))
           }
       else Nil
 
@@ -323,11 +338,13 @@ object DeltaLake {
     val parts = snap.partitionColumns.map { c =>
       element_at(col("partitionValues"), c).cast(snap.schema(c).dataType).as(c)
     }
-    val doomed = snap.files.select((col("path") +: col("partitionValues") +: parts): _*)
-      .where(pred).select("path", "partitionValues").collect().toSeq
+    val doomed = snap.files
+      .select((col("path") +: col("partitionValues") +: col("deletionVector") +: parts): _*)
+      .where(pred).select("path", "partitionValues", "deletionVector").collect().toSeq
     val actions = doomed.map { r =>
       removeAction(relativize(r.getString(0), table),
-        Option(r.getJavaMap[String, String](1)).map(_.asScala.toMap).getOrElse(Map.empty))
+        Option(r.getJavaMap[String, String](1)).map(_.asScala.toMap).getOrElse(Map.empty),
+        if (r.isNullAt(2)) None else Some(dvNode(r.getStruct(2))))
     } :+ commitInfoAction("DELETE PARTITIONS")
     val v = commit(table, versions(table), actions)
     maybeCheckpoint(spark, table, v, checkpointInterval)
@@ -381,12 +398,15 @@ object DeltaLake {
           col(s"$parent.$field")
         else fallback
       val featCol = sub("protocol", "readerFeatures", lit(null).cast(ArrayType(StringType)))
+      val wFeatCol = sub("protocol", "writerFeatures", lit(null).cast(ArrayType(StringType)))
+      val minWCol = sub("protocol", "minWriterVersion", lit(null).cast(IntegerType))
       val cfgCol = sub("metaData", "configuration",
         lit(null).cast(MapType(StringType, StringType)))
       val row = raw
         .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
           col("protocol.minReaderVersion"), featCol.as("readerFeatures"),
-          cfgCol.as("configuration"))
+          cfgCol.as("configuration"), minWCol.as("minWriterVersion"),
+          wFeatCol.as("writerFeatures"))
         .where(col("schemaString").isNotNull || col("minReaderVersion").isNotNull)
         .collect()
       row.find(!_.isNullAt(0)).foreach { r =>
@@ -400,11 +420,14 @@ object DeltaLake {
         if (protocol.isEmpty) {
           val p = mapper.createObjectNode()
           p.put("minReaderVersion", r.getInt(2))
-          if (!r.isNullAt(3)) {
+          if (!r.isNullAt(5)) p.put("minWriterVersion", r.getInt(5))
+          def feats(i: Int, k: String): Unit = if (!r.isNullAt(i)) {
             val arr = mapper.createArrayNode()
-            r.getSeq[String](3).foreach(arr.add)
-            p.set[JsonNode]("readerFeatures", arr)
+            r.getSeq[String](i).foreach(arr.add)
+            p.set[JsonNode](k, arr)
           }
+          feats(3, "readerFeatures")
+          feats(6, "writerFeatures")
           protocol = Some(p)
         }
       }
@@ -461,7 +484,8 @@ object DeltaLake {
       StructField("deletionVector", dvDescriptorSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType)))))))
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("deletionVector", dvDescriptorSchema))))))
 
   private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     InteropUtil.emptyFrame(spark, schema)
@@ -518,7 +542,11 @@ object DeltaLake {
     while (i < s.length) {
       var v = 0L
       var j = 0
-      while (j < 5) { v = v * 85 + Z85Index(s.charAt(i + j)); j += 1 }
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        require(c < 128 && Z85Index(c) >= 0, s"invalid z85 character '$c'")
+        v = v * 85 + Z85Index(c); j += 1
+      }
       out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
       out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
       i += 5; o += 4
@@ -699,7 +727,7 @@ object DeltaLake {
       .collect()
     if (hits.isEmpty) return snap.version // nothing matched: no commit
 
-    val adds = hits.toSeq.map { r =>
+    val adds = hits.toSeq.flatMap { r =>
       val path = r.getString(0)
       val meta = fileMeta.getOrElse(path,
         throw new IllegalStateException(s"matched file not in snapshot: $path"))
@@ -742,10 +770,18 @@ object DeltaLake {
       dv.put("cardinality", cardinality)
       val pvMap = Option(meta.getJavaMap[String, String](1))
         .map(_.asScala.toMap).getOrElse(Map.empty[String, String])
-      addAction(relativize(path, table), meta.getLong(2), pvMap, Some(dv))
+      val rel = relativize(path, table)
+      // the new (path, newDV) add supersedes the old (path, oldDV) logical
+      // file — which must be explicitly removed, or (path,dvId)-keyed
+      // replays keep both alive and deleted rows resurrect
+      Seq(
+        removeAction(rel, pvMap,
+          if (meta.isNullAt(3)) None else Some(dvNode(meta.getStruct(3)))),
+        addAction(rel, meta.getLong(2), pvMap, Some(dv)))
     }
 
-    val needUpgrade = !protocolHasFeature(spark, table, "deletionVectors")
+    val needUpgrade = !snap.protocol.exists(p => p.has("readerFeatures") &&
+      p.get("readerFeatures").elements().asScala.exists(_.asText() == "deletionVectors"))
     val actions = Seq.newBuilder[JsonNode]
     if (needUpgrade) {
       val p = obj()
@@ -760,14 +796,6 @@ object DeltaLake {
     val v = commit(table, versions(table), actions.result())
     maybeCheckpoint(spark, table, v, checkpointInterval)
     v
-  }
-
-  private def protocolHasFeature(spark: SparkSession, table: String, feature: String): Boolean = {
-    val cp = latestCheckpointAtOrBefore(table, Long.MaxValue)
-    val meta = resolveMetadata(spark, table,
-      versions(table).filter(v => v > cp.map(_._1).getOrElse(-1L)), cp)
-    meta.protocol.exists(p => p.has("readerFeatures") &&
-      p.get("readerFeatures").elements().asScala.exists(_.asText() == feature))
   }
 
   // ---- action JSON builders
@@ -805,15 +833,30 @@ object DeltaLake {
     val w = obj(); w.set("add", a); w
   }
 
-  private def removeAction(rel: String, pv: Map[String, String]): JsonNode = {
+  private def removeAction(rel: String, pv: Map[String, String],
+      dv: Option[JsonNode] = None): JsonNode = {
     val r = obj()
-    // must match the original add.path byte-for-byte for replay
+    // must match the original add.path byte-for-byte for replay — and carry
+    // the add's deletionVector: the logical file being removed is
+    // (path, dvId), so a DV-less remove would not cancel a DV-tagged add
     r.put("path", InteropUtil.encodeRelPath(rel))
     r.put("deletionTimestamp", System.currentTimeMillis())
     r.put("dataChange", true)
     val pvn = obj(); pv.foreach { case (k, v) => if (v == null) pvn.putNull(k) else pvn.put(k, v) }
     r.set("partitionValues", pvn)
+    dv.foreach(r.set[JsonNode]("deletionVector", _))
     val w = obj(); w.set("remove", r); w
+  }
+
+  /** snapshot.files deletionVector struct row -> descriptor JSON. */
+  private def dvNode(row: Row): JsonNode = {
+    val d = obj()
+    d.put("storageType", row.getString(0))
+    d.put("pathOrInlineDv", row.getString(1))
+    if (!row.isNullAt(2)) d.put("offset", row.getInt(2))
+    d.put("sizeInBytes", row.getInt(3))
+    d.put("cardinality", row.getLong(4))
+    d
   }
 
   private def commitInfoAction(op: String): JsonNode = {
@@ -871,19 +914,22 @@ object DeltaLake {
         lit("parquet").as("provider")).as("metaData"))
     // preserve the table's real protocol (a DV table checkpointed at
     // minReaderVersion 1 would let feature-blind readers misread it)
-    val (minR, minW, feats) = meta.protocol match {
+    // writerFeatures is REQUIRED whenever minWriterVersion is 7 — a
+    // checkpoint without it is rejected by spec-validating clients
+    def featSeq(p: JsonNode, k: String): Option[Seq[String]] =
+      if (p.has(k)) Some(p.get(k).elements().asScala.map(_.asText()).toSeq) else None
+    val (minR, minW, rFeats, wFeats) = meta.protocol match {
       case Some(p) =>
-        (p.path("minReaderVersion").asInt(1),
-          p.path("minWriterVersion").asInt(2),
-          if (p.has("readerFeatures"))
-            Some(p.get("readerFeatures").elements().asScala.map(_.asText()).toSeq)
-          else None)
-      case None => (1, 2, None)
+        (p.path("minReaderVersion").asInt(1), p.path("minWriterVersion").asInt(2),
+          featSeq(p, "readerFeatures"), featSeq(p, "writerFeatures"))
+      case None => (1, 2, None, None)
     }
+    def featCol(v: Option[Seq[String]]) =
+      v.map(typedlit(_)).getOrElse(lit(null).cast(ArrayType(StringType)))
     val protoDf = Seq(1).toDF("x").select(
       struct(lit(minR).as("minReaderVersion"), lit(minW).as("minWriterVersion"),
-        feats.map(f => typedlit(f)).getOrElse(lit(null).cast(ArrayType(StringType)))
-          .as("readerFeatures")).as("protocol"))
+        featCol(rFeats).as("readerFeatures"),
+        featCol(wFeats).as("writerFeatures")).as("protocol"))
     val cpDir = Files.createTempDirectory(logDir(table), ".cp_")
     try {
       addDf.unionByName(metaDf, allowMissingColumns = true)

@@ -163,7 +163,7 @@ object Hudi {
       case Some(pred) if snap.slices.nonEmpty =>
         // evaluate once per slice on a tiny local frame; no data touched
         import spark.implicits._
-        val rows = snap.slices.map(s => (s.relPath, pf.map(f => partValue(s.partitionPath, f))))
+        val rows = snap.slices.map(s => (s.relPath, partValues(s.partitionPath, pf)))
         val cols = pf.zipWithIndex.map { case (f, i) =>
           val c = col("_2")(i)
           snap.schema.flatMap(sc => sc.fields.find(_.name == f)).map(sf => c.cast(sf.dataType))
@@ -197,9 +197,10 @@ object Hudi {
         // on the decoded file path (the _metadata column is URI-encoded)
         import spark.implicits._
         val decode = udf(InteropUtil.decodeRelPath _)
-        val pv = slices.map(s =>
-          (root.resolve(s.relPath).toString, needReattach.map(f => partValue(s.partitionPath, f))))
-          .toDF("_g_path", "_g_pv")
+        val pv = slices.map { s =>
+          val byField = pf.zip(partValues(s.partitionPath, pf)).toMap
+          (root.resolve(s.relPath).toString, needReattach.map(byField))
+        }.toDF("_g_path", "_g_pv")
         val joined = data.withColumn("_g_path", decode(col("_metadata.file_path")))
           .join(broadcast(pv), Seq("_g_path"))
         needReattach.zipWithIndex.foldLeft(joined) { case (df, (f, i)) =>
@@ -216,17 +217,23 @@ object Hudi {
     else ordered.drop(ordered.columns.filter(_.startsWith("_hoodie_")): _*)
   }
 
-  /** Value of partition field `f` inside a partition path: hive-style
-    * `k=v` segment when present (unescaped), else — single-field non-hive
-    * layout — the whole path. */
-  private def partValue(partitionPath: String, f: String): String = {
-    if (partitionPath.isEmpty) return null
+  /** Partition values for `fields`, aligned positionally: hive-style
+    * `k=v` segments resolve by name (unescaped); a non-hive layout maps
+    * path segments to fields BY POSITION when the counts line up
+    * (`2026/08` -> year=2026, month=08) and yields nulls otherwise — never
+    * the same segment for every field. */
+  private[graft] def partValues(partitionPath: String, fields: Seq[String]): Seq[String] = {
+    if (partitionPath.isEmpty) return fields.map(_ => null)
     val segs = partitionPath.split('/')
-    segs.collectFirst {
-      case seg if seg.startsWith(f + "=") =>
-        val v = seg.drop(f.length + 1)
-        if (v == "__HIVE_DEFAULT_PARTITION__") null else InteropUtil.unescapeHive(v)
-    }.getOrElse(if (segs.exists(_.contains('='))) null else partitionPath)
+    if (segs.exists(_.contains('='))) fields.map { f =>
+      segs.collectFirst {
+        case seg if seg.startsWith(f + "=") =>
+          val v = seg.drop(f.length + 1)
+          if (v == "__HIVE_DEFAULT_PARTITION__") null else InteropUtil.unescapeHive(v)
+      }.orNull
+    }
+    else if (segs.length == fields.length) segs.toSeq
+    else fields.map(_ => null)
   }
 
   // --------------------------------------------------------------- write
@@ -244,21 +251,26 @@ object Hudi {
     val spark = df.sparkSession
     val isCreate = !Files.isDirectory(hoodieDir(table))
     require(isCreate || mode != "errorifexists", s"Hudi table exists: $table")
-    if (isCreate) createTable(table, partitionBy)
-    else {
-      val pf = partitionFields(table)
-      require(pf == partitionBy,
-        s"partitionBy $partitionBy != table partitioning $pf")
-      snapshot(spark, table).schema.foreach { tableSchema =>
-        def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
-        require(shape(df.schema) == shape(tableSchema),
-          s"schema mismatch: ${shape(df.schema)} vs table ${shape(tableSchema)}")
+    // one timeline replay serves both the schema gate and the replaced set
+    val existing: Option[Snapshot] =
+      if (isCreate) { createTable(table, partitionBy); None }
+      else {
+        val pf = partitionFields(table)
+        require(pf == partitionBy,
+          s"partitionBy $partitionBy != table partitioning $pf")
+        val snap = snapshot(spark, table)
+        snap.schema.foreach { tableSchema =>
+          def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+          require(shape(df.schema) == shape(tableSchema),
+            s"schema mismatch: ${shape(df.schema)} vs table ${shape(tableSchema)}")
+        }
+        Some(snap)
       }
-    }
     val replaced: Map[String, Seq[String]] =
-      if (mode == "overwrite" && !isCreate)
-        snapshot(spark, table).slices.groupBy(_.partitionPath)
-          .map { case (p, ss) => p -> ss.map(_.fileId).distinct.sorted }
+      if (mode == "overwrite")
+        existing.map(_.slices.groupBy(_.partitionPath)
+          .map { case (p, ss) => p -> ss.map(_.fileId).distinct.sorted })
+          .getOrElse(Map.empty)
       else Map.empty
     val action = if (replaced.nonEmpty) "replacecommit" else "commit"
 
@@ -387,28 +399,20 @@ object Hudi {
     else mapper.readTree(bytes)
   }
 
-  /** Move staged spark part files under the table root, renaming each to
-    * the Hudi base-file convention `<fileId>_<writeToken>_<instant>.parquet`
-    * with a fresh file-group id per file. */
+  /** Move staged spark part files under the table root via the shared
+    * staging rules, then rename each to the Hudi base-file convention
+    * `<fileId>_<writeToken>_<instant>.parquet` with a fresh file-group id
+    * per file. */
   private def moveAsBaseFiles(
-      staging: JPath, root: JPath, instant: String): Seq[FileSlice] = {
-    val out = Seq.newBuilder[FileSlice]
-    val stream = Files.walk(staging)
-    try stream.iterator().asScala.foreach { p =>
-      val name = p.getFileName.toString
-      if (Files.isRegularFile(p) && name.endsWith(".parquet") && !name.startsWith("_")) {
-        val relDir = Option(staging.relativize(p).getParent).map(_.toString).getOrElse("")
-        val fileId = java.util.UUID.randomUUID().toString
-        val newName = s"${fileId}_0-0-0_$instant.parquet"
-        val rel = if (relDir.isEmpty) newName else s"$relDir/$newName"
-        val dest = root.resolve(rel)
-        Files.createDirectories(dest.getParent)
-        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-        out += FileSlice(relDir, fileId, rel, instant)
-      }
-    } finally stream.close()
-    out.result()
-  }
+      staging: JPath, root: JPath, instant: String): Seq[FileSlice] =
+    InteropUtil.moveStagedParquet(staging, root).map { case (rel, _) =>
+      val relDir = rel.split('/').dropRight(1).mkString("/")
+      val fileId = java.util.UUID.randomUUID().toString
+      val newName = s"${fileId}_0-0-0_$instant.parquet"
+      val newRel = if (relDir.isEmpty) newName else s"$relDir/$newName"
+      Files.move(root.resolve(rel), root.resolve(newRel))
+      FileSlice(relDir, fileId, newRel, instant)
+    }
 
   private def writePartitionMetadata(root: JPath, partitionPath: String, instant: String): Unit = {
     if (partitionPath.isEmpty) return

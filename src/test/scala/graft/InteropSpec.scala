@@ -388,9 +388,12 @@ class InteropSpec extends SparkSpec {
     bm.add(0); bm.add(1); bm.add(2)
     val blob = DeltaLake.serializeBitmapArray(Seq(bm))
     val inline = DeltaLake.z85Encode(blob)
+    // a compliant DV rewrite pairs the new add with a remove of the old
+    // (path, no-DV) logical file — replay is keyed on (path, dvId)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(t2, "_delta_log", f"${1L}%020d.json"),
-      (s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
+      (s"""{"remove":{"path":"$rel","partitionValues":{},"dataChange":true}}""" + "\n" +
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
         s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$inline",""" +
         s""""sizeInBytes":${blob.length},"cardinality":3}}}""").getBytes("UTF-8"))
     // expected: every row except the file's first three by physical position
@@ -455,6 +458,39 @@ class InteropSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLake.write(Seq((9L, "z")).toDF("id", "k"), t))
     assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("delta: DV rewrite pairs the add with a remove of the old logical file") {
+    // the protocol keys logical files by (path, dv uniqueId): a foreign
+    // replay must see the superseded (path, oldDV) removed or rows resurrect
+    val t = tmpDir("delta-dv-remove")
+    DeltaLake.write(nation.coalesce(1), t)
+    DeltaLake.deleteWhere(spark, t, col("n_nationkey") < 3)
+    DeltaLake.deleteWhere(spark, t, col("n_nationkey") >= 20)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def actions(v: Long) = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json")).toArray
+      .map(l => om.readTree(l.toString))
+    val v1 = actions(1L)
+    assert(v1.exists(_.has("remove")), "DV commit must remove the old logical file")
+    assert(v1.filter(_.has("remove")).forall(!_.get("remove").has("deletionVector")),
+      "first rewrite removes the DV-less original")
+    val v2 = actions(2L)
+    val rm = v2.filter(_.has("remove")).map(_.get("remove"))
+    assert(rm.nonEmpty && rm.forall(_.has("deletionVector")),
+      "second rewrite must remove the (path, firstDV) logical file")
+    // and the replay still resolves to exactly one live entry per path
+    assert(DeltaLake.snapshot(spark, t).files.count() == 1)
+    assert(DeltaLake.read(spark, t).count() ==
+      nation.where($"n_nationkey" >= 3 && $"n_nationkey" < 20).count())
+  }
+
+  test("hudi: non-hive partition paths map positionally, never one-segment-for-all") {
+    import graft.interop.Hudi
+    assert(Hudi.partValues("2026/08", Seq("year", "month")) == Seq("2026", "08"))
+    assert(Hudi.partValues("2026", Seq("year", "month")) == Seq(null, null))
+    assert(Hudi.partValues("k=a%3Ab/j=2", Seq("k", "j")) == Seq("a:b", "2"))
+    assert(Hudi.partValues("", Seq("k")) == Seq(null))
   }
 
   test("delta: concurrent same-version commit loses the rename race") {
