@@ -57,21 +57,32 @@ object Hudi {
 
   private def hoodieDir(table: String): JPath = Paths.get(table, ".hoodie")
 
-  /** Completed instants only: `<time>.commit` / `<time>.replacecommit`.
-    * (12-18 digit times accepted: old Hudi used second granularity.) */
-  private val CompletedRe = "^([0-9]{12,18})\\.(commit|replacecommit)$".r
+  /** Completed instants only: `<time>.commit` / `<time>.replacecommit`,
+    * plus the 1.x form `<time>_<completionTime>.<action>`. (12-18 digit
+    * times accepted: old Hudi used second granularity.) */
+  private val CompletedRe =
+    "^([0-9]{12,18})(?:_[0-9]{12,18})?\\.(commit|replacecommit)$".r
 
-  final case class Instant(time: String, action: String)
+  final case class Instant(time: String, action: String, fileName: String)
 
-  /** Completed timeline, sorted by instant time. */
+  /** Completed timeline, sorted by instant time. Hudi 0.x keeps instant
+    * files directly under `.hoodie/`; 1.x moves them to
+    * `.hoodie/timeline/` — both are read. */
   def timeline(table: String): Seq[Instant] = {
-    val dir = hoodieDir(table)
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try s.iterator().asScala.map(_.getFileName.toString).collect {
-      case CompletedRe(t, action) => Instant(t, action)
-    }.toSeq.sortBy(_.time)
-    finally s.close()
+    val dirs = Seq(hoodieDir(table), hoodieDir(table).resolve("timeline"))
+      .filter(Files.isDirectory(_))
+    dirs.flatMap { dir =>
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).collect {
+        case n @ CompletedRe(t, action) => Instant(t, action, n)
+      }.toList
+      finally s.close()
+    }.sortBy(_.time)
+  }
+
+  private def instantFile(table: String, i: Instant): JPath = {
+    val flat = hoodieDir(table).resolve(i.fileName)
+    if (Files.exists(flat)) flat else hoodieDir(table).resolve("timeline").resolve(i.fileName)
   }
 
   // ---------------------------------------------------------------- read
@@ -100,10 +111,24 @@ object Hudi {
     require(instants.nonEmpty || cutoff.isEmpty || timeline(table).isEmpty,
       s"no completed instant at or before ${cutoff.get} in $table")
 
-    // replay: adds per (partition, fileId) keep the newest; replaced groups die
+    // replay: adds per (partition, fileId) keep the newest; replaced groups
+    // die. Driver loop for short timelines, a DataFrame job above the
+    // threshold (a long-lived ingest table accumulates thousands of
+    // instants — the same scaling rule as the Delta log replay).
+    val live =
+      if (instants.size < DistributedReplayThreshold) replayOnDriver(table, instants)
+      else replayDistributed(spark, table, instants)
+    Snapshot(instants.lastOption.map(_.time).getOrElse(""),
+      live.sortBy(s => (s.partitionPath, s.fileId)),
+      resolveSchema(table, instants), partitionFields(table))
+  }
+
+  /** Var only so tests can exercise the distributed branch cheaply. */
+  private[graft] var DistributedReplayThreshold = 64
+
+  private def replayOnDriver(table: String, instants: Seq[Instant]): Seq[FileSlice] = {
     val adds = Seq.newBuilder[FileSlice]
     val dead = scala.collection.mutable.Set.empty[(String, String)]
-    var schema: Option[StructType] = None
     for (i <- instants) {
       val meta = readInstantMeta(table, i)
       meta.path("partitionToWriteStats").fields().asScala.foreach { e =>
@@ -116,20 +141,57 @@ object Hudi {
         meta.path("partitionToReplaceFileIds").fields().asScala.foreach { e =>
           e.getValue.elements().asScala.foreach(fid => dead += ((e.getKey, fid.asText())))
         }
-      val ss = meta.path("extraMetadata").path("schema").asText("")
-      if (ss.nonEmpty)
-        try schema = Some(AvroFileFormat
-          .fromAvroSchema(new org.apache.avro.Schema.Parser().parse(ss))
-          .asInstanceOf[StructType])
-        catch { case NonFatal(_) => } // foreign schema dialect: fall back to parquet
     }
-    val live = adds.result()
+    adds.result()
       .groupBy(s => (s.partitionPath, s.fileId))
       .filterNot { case (k, _) => dead.contains(k) }
       .values.map(_.maxBy(_.instant)).toSeq
-      .sortBy(s => (s.partitionPath, s.fileId))
-    Snapshot(instants.lastOption.map(_.time).getOrElse(""), live, schema,
-      partitionFields(table))
+  }
+
+  /** Timeline replay as one Spark job: parse every completed instant's
+    * commit metadata (multiLine — real Hudi pretty-prints), explode the
+    * write stats, keep the newest add per file group, anti-join the
+    * replaced set. The driver only ever holds the LIVE slice list. */
+  private def replayDistributed(
+      spark: SparkSession, table: String, instants: Seq[Instant]): Seq[FileSlice] = {
+    val statSchema = StructType(Seq(
+      StructField("fileId", StringType), StructField("path", StringType)))
+    val metaSchema = StructType(Seq(
+      StructField("partitionToWriteStats", MapType(StringType, ArrayType(statSchema))),
+      StructField("partitionToReplaceFileIds", MapType(StringType, ArrayType(StringType)))))
+    val paths = instants.map(i => instantFile(table, i).toString)
+    val raw = spark.read.schema(metaSchema).option("multiLine", "true").json(paths: _*)
+      .withColumn("_name", regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+      .withColumn("instant", regexp_extract(col("_name"), "^([0-9]+)", 1))
+      .withColumn("action", regexp_extract(col("_name"), "\\.([a-z]+)$", 1))
+    val adds = raw
+      .select(col("instant"), explode(col("partitionToWriteStats")).as(Seq("p", "stats")))
+      .select(col("instant"), col("p"), explode(col("stats")).as("st"))
+      .select(col("p"), col("st.fileId").as("fileId"),
+        col("st.path").as("relPath"), col("instant"))
+    val dead = raw.where(col("action") === "replacecommit")
+      .select(explode(col("partitionToReplaceFileIds")).as(Seq("p", "fids")))
+      .select(col("p"), explode(col("fids")).as("fileId")).distinct()
+    adds.groupBy("p", "fileId")
+      .agg(max_by(struct(col("relPath"), col("instant")), col("instant")).as("w"))
+      .join(dead, Seq("p", "fileId"), "left_anti")
+      .select(col("p"), col("fileId"), col("w.relPath"), col("w.instant"))
+      .collect().toSeq
+      .map(r => FileSlice(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+  }
+
+  /** Newest recorded Avro schema, scanning backwards (it lives in every
+    * commit our writer — and Hudi's — produces, so this reads one file). */
+  private def resolveSchema(table: String, instants: Seq[Instant]): Option[StructType] = {
+    for (i <- instants.reverseIterator) {
+      val ss = readInstantMeta(table, i).path("extraMetadata").path("schema").asText("")
+      if (ss.nonEmpty)
+        try return Some(AvroFileFormat
+          .fromAvroSchema(new org.apache.avro.Schema.Parser().parse(ss))
+          .asInstanceOf[StructType])
+        catch { case NonFatal(_) => return None } // foreign dialect: parquet fallback
+    }
+    None
   }
 
   /** `hoodie.table.partition.fields` from hoodie.properties (empty when
@@ -356,12 +418,13 @@ object Hudi {
     * collide). */
   private def newInstant(table: String): String = {
     val dir = hoodieDir(table)
-    val existing: Set[String] = if (!Files.isDirectory(dir)) Set.empty else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.headOption.exists(_.isDigit)).map(_.takeWhile(_.isDigit)).toSet
-      finally s.close()
-    }
+    val existing: Set[String] =
+      Seq(dir, dir.resolve("timeline")).filter(Files.isDirectory(_)).flatMap { d =>
+        val s = Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.headOption.exists(_.isDigit)).map(_.takeWhile(_.isDigit)).toList
+        finally s.close()
+      }.toSet
     var ms = System.currentTimeMillis()
     var cand = InstantFmt.format(JInstant.ofEpochMilli(ms))
     while (existing.exists(_ >= cand)) { ms += 1; cand = InstantFmt.format(JInstant.ofEpochMilli(ms)) }
@@ -393,7 +456,7 @@ object Hudi {
   }
 
   private def readInstantMeta(table: String, i: Instant): JsonNode = {
-    val p = hoodieDir(table).resolve(s"${i.time}.${i.action}")
+    val p = instantFile(table, i)
     val bytes = Files.readAllBytes(p)
     if (bytes.isEmpty) mapper.createObjectNode()
     else mapper.readTree(bytes)

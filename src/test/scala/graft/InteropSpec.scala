@@ -485,6 +485,42 @@ class InteropSpec extends SparkSpec {
       nation.where($"n_nationkey" >= 3 && $"n_nationkey" < 20).count())
   }
 
+  test("hudi: distributed timeline replay matches the driver loop; 1.x layout reads") {
+    import graft.interop.Hudi
+    val t = tmpDir("hudi-dist")
+    Hudi.write(nation.where($"n_regionkey" < 2), t)
+    Hudi.write(nation.where($"n_regionkey" === 2), t)
+    Hudi.write(nation.where($"n_regionkey" === 3), t, mode = "overwrite") // replacecommit
+    Hudi.write(nation.where($"n_regionkey" === 4), t)
+    val driverRows = Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq
+    val prev = Hudi.DistributedReplayThreshold
+    try {
+      Hudi.DistributedReplayThreshold = 1 // force the DataFrame replay
+      assert(Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq == driverRows)
+    } finally Hudi.DistributedReplayThreshold = prev
+    assert(driverRows.map(_.getInt(2)).toSet == Set(3, 4))
+
+    // foreign 1.x layout: instants under .hoodie/timeline/ with
+    // <instant>_<completionTime>.commit names
+    val t2 = tmpDir("hudi-v1x")
+    Hudi.write(nation, t2)
+    val hoodie = java.nio.file.Paths.get(t2, ".hoodie")
+    val tl = hoodie.resolve("timeline")
+    java.nio.file.Files.createDirectories(tl)
+    val flat = java.nio.file.Files.list(hoodie).iterator()
+    Iterator.continually(flat).takeWhile(_.hasNext).map(_.next())
+      .filter(_.getFileName.toString.matches("^[0-9]+\\.commit.*|^[0-9]+\\.inflight$"))
+      .toList.foreach { p =>
+        val n = p.getFileName.toString
+        val renamed = if (n.endsWith(".commit")) n.replace(".commit", "_20991231235959999.commit") else n
+        java.nio.file.Files.move(p, tl.resolve(renamed))
+      }
+    assert(Hudi.read(spark, t2).count() == nation.count())
+    Hudi.write(nation.where($"n_regionkey" === 0), t2) // append coexists with 1.x timeline
+    assert(Hudi.read(spark, t2).count() ==
+      nation.count() + nation.where($"n_regionkey" === 0).count())
+  }
+
   test("hudi: non-hive partition paths map positionally, never one-segment-for-all") {
     import graft.interop.Hudi
     assert(Hudi.partValues("2026/08", Seq("year", "month")) == Seq("2026", "08"))
