@@ -239,10 +239,45 @@ object Hudi {
     if (slices.isEmpty)
       return InteropUtil.emptyFrame(spark,
         snap.schema.getOrElse(StructType(Nil)))
+    readSlices(spark, table, slices, snap.schema, pf, keepMetaFields)
+  }
 
+  /** Hudi incremental query over a copy-on-write table: rows written by
+    * completed commits in `(fromInstant, toInstant]` — the files those
+    * instants added — with the same schema/meta-field/partition handling
+    * as a snapshot read, plus a `_hoodie_commit_instant` column saying
+    * which commit produced each row. `fromInstant` = "" pulls from the
+    * beginning. */
+  def incremental(
+      spark: SparkSession, table: String,
+      fromInstant: String, toInstant: Option[String] = None): DataFrame = {
+    val window = timeline(table)
+      .filter(i => i.time > fromInstant && toInstant.forall(i.time <= _))
+    // replay semantics over the window: newest slice per file group, groups
+    // replaced inside the window dropped — rows that no longer exist at the
+    // window's end must not surface in the pull
+    val added: Seq[FileSlice] =
+      if (window.size < DistributedReplayThreshold) replayOnDriver(table, window)
+      else replayDistributed(spark, table, window)
+    val schema = resolveSchema(table, timeline(table))
+    val pf = partitionFields(table)
+    if (added.isEmpty)
+      return InteropUtil.emptyFrame(spark,
+        StructType(schema.getOrElse(StructType(Nil)).fields :+
+          StructField("_hoodie_commit_instant", StringType)))
+    readSlices(spark, table, added, schema, pf, keepMetaFields = false,
+      commitInstantOf = Some(added.map(s => s.relPath -> s.instant).toMap))
+  }
+
+  /** Shared data-file scan: read the slices, reattach partition values,
+    * restore schema order, drop foreign meta columns. */
+  private def readSlices(
+      spark: SparkSession, table: String, slices: Seq[FileSlice],
+      schema: Option[StructType], pf: Seq[String], keepMetaFields: Boolean,
+      commitInstantOf: Option[Map[String, String]] = None): DataFrame = {
     val root = Paths.get(table).toAbsolutePath
     val paths = slices.map(s => root.resolve(s.relPath).toString)
-    val data = snap.schema match {
+    val data = schema match {
       // our writer's files omit partition columns (hive staging); a known
       // schema tells us which fields the files actually carry
       case Some(sc) =>
@@ -253,30 +288,38 @@ object Hudi {
 
     val needReattach = pf.filterNot(data.columns.contains)
     val out =
-      if (needReattach.isEmpty) data
+      if (needReattach.isEmpty && commitInstantOf.isEmpty) data
       else {
-        // rejoin partition values from the slice list via broadcast, keyed
-        // on the decoded file path (the _metadata column is URI-encoded)
+        // rejoin partition values (and the producing instant) from the
+        // slice list via broadcast, keyed on the decoded file path (the
+        // _metadata column is URI-encoded)
         import spark.implicits._
         val decode = udf(InteropUtil.decodeRelPath _)
         val pv = slices.map { s =>
           val byField = pf.zip(partValues(s.partitionPath, pf)).toMap
-          (root.resolve(s.relPath).toString, needReattach.map(byField))
-        }.toDF("_g_path", "_g_pv")
+          (root.resolve(s.relPath).toString, needReattach.map(byField),
+            commitInstantOf.map(_(s.relPath)).orNull)
+        }.toDF("_g_path", "_g_pv", "_g_instant")
         val joined = data.withColumn("_g_path", decode(col("_metadata.file_path")))
           .join(broadcast(pv), Seq("_g_path"))
-        needReattach.zipWithIndex.foldLeft(joined) { case (df, (f, i)) =>
+        val withPv = needReattach.zipWithIndex.foldLeft(joined) { case (df, (f, i)) =>
           val c = col("_g_pv")(i)
-          df.withColumn(f, snap.schema.flatMap(_.fields.find(_.name == f))
+          df.withColumn(f, schema.flatMap(_.fields.find(_.name == f))
             .map(sf => c.cast(sf.dataType)).getOrElse(c))
-        }.drop("_g_path", "_g_pv")
+        }
+        (if (commitInstantOf.nonEmpty)
+          withPv.withColumn("_hoodie_commit_instant", col("_g_instant"))
+        else withPv).drop("_g_path", "_g_pv", "_g_instant")
       }
-    val ordered = snap.schema match {
-      case Some(sc) => out.select(sc.fieldNames.filter(out.columns.contains).map(col): _*)
+    val extra = if (commitInstantOf.nonEmpty) Seq("_hoodie_commit_instant") else Nil
+    val ordered = schema match {
+      case Some(sc) => out.select(
+        (sc.fieldNames.filter(out.columns.contains) ++ extra).map(col): _*)
       case None => out
     }
     if (keepMetaFields) ordered
-    else ordered.drop(ordered.columns.filter(_.startsWith("_hoodie_")): _*)
+    else ordered.drop(ordered.columns
+      .filter(c => c.startsWith("_hoodie_") && !extra.contains(c)): _*)
   }
 
   /** Partition values for `fields`, aligned positionally: hive-style

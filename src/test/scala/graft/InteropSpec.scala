@@ -521,6 +521,36 @@ class InteropSpec extends SparkSpec {
       nation.count() + nation.where($"n_regionkey" === 0).count())
   }
 
+  test("hudi: incremental pull returns exactly the window's rows, tagged by instant") {
+    import graft.interop.Hudi
+    val t = tmpDir("hudi-incr")
+    Hudi.write(nation.where($"n_regionkey" === 0), t)
+    val i0 = Hudi.timeline(t).last.time
+    Hudi.write(nation.where($"n_regionkey" === 1), t)
+    val i1 = Hudi.timeline(t).last.time
+    Hudi.write(nation.where($"n_regionkey" === 2), t)
+
+    // (i0, i1]: only the second commit's rows, tagged with its instant
+    val mid = Hudi.incremental(spark, t, i0, toInstant = Some(i1))
+    assert(mid.select("n_nationkey").as[Int].collect().toSet ==
+      nation.where($"n_regionkey" === 1).select("n_nationkey").as[Int].collect().toSet)
+    assert(mid.select("_hoodie_commit_instant").distinct().as[String].collect().toSeq == Seq(i1))
+    // (i0, ∞): commits two and three
+    assert(Hudi.incremental(spark, t, i0).count() ==
+      nation.where($"n_regionkey".isin(1, 2)).count())
+    // from the beginning: everything
+    assert(Hudi.incremental(spark, t, "").count() ==
+      nation.where($"n_regionkey".isin(0, 1, 2)).count())
+    // a file group replaced INSIDE the window never surfaces
+    Hudi.write(nation.where($"n_regionkey" === 3), t, mode = "overwrite")
+    val afterReplace = Hudi.incremental(spark, t, i1)
+    assert(afterReplace.select("n_nationkey").as[Int].collect().toSet ==
+      nation.where($"n_regionkey" === 3).select("n_nationkey").as[Int].collect().toSet)
+    // empty window yields an empty, well-formed frame
+    val none = Hudi.incremental(spark, t, Hudi.timeline(t).last.time)
+    assert(none.columns.contains("_hoodie_commit_instant") && none.count() == 0)
+  }
+
   test("hudi: non-hive partition paths map positionally, never one-segment-for-all") {
     import graft.interop.Hudi
     assert(Hudi.partValues("2026/08", Seq("year", "month")) == Seq("2026", "08"))
