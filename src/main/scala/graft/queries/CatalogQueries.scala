@@ -795,6 +795,50 @@ object CatalogQueries {
         .select(regexp_replace(col("file_path"), "^file:/+", "/").as("file_path"), col("pos"))
       graft.interop.Iceberg.commitPositionDeletes(s, t, pos)
       graft.interop.Iceberg.read(s, t)
+    },
+
+    // Hudi copy-on-write foreign stream format (reference StreamFormat.HUDI,
+    // readers via ray/daft read_hudi url.py:120-124): partitioned appends
+    // through the timeline, snapshot read reattaches typed partition values
+    // from the hive-style slice paths.
+    Q("c48_hudi", Some("""
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c48").resolve("tbl").toString
+      val sp = tbl(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      graft.interop.Hudi.write(
+        sp.where(col("s_suppkey") % 2 === 0), t, partitionBy = Seq("s_nationkey"))
+      graft.interop.Hudi.write(
+        sp.where(col("s_suppkey") % 2 === 1), t, partitionBy = Seq("s_nationkey"))
+      graft.interop.Hudi.read(s, t).select("s_suppkey", "s_name", "s_nationkey")
+    },
+
+    // Delta deletion vectors (PROTOCOL.md): two row-level deleteWhere
+    // commits rewrite NO data files — each publishes a roaring-bitmap DV
+    // and the (path, dvId)-keyed replay applies the merged bitmap on read.
+    Q("c49_delta_deletion_vectors", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey % 5 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c49").resolve("tbl").toString
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.interop.DeltaLake.write(o, t)
+      graft.interop.DeltaLake.deleteWhere(s, t, col("o_orderkey") % 7 === 0)
+      graft.interop.DeltaLake.deleteWhere(s, t, col("o_custkey") % 5 === 0)
+      graft.interop.DeltaLake.read(s, t)
+    },
+
+    // Hudi incremental pull: rows written by the commits AFTER a given
+    // instant (the reference catalog's readChanges analog for the foreign
+    // format). The wall-clock instant tag is dropped for determinism.
+    Q("c50_hudi_incremental", Some("""
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part WHERE p_partkey % 3 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c50").resolve("tbl").toString
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      graft.interop.Hudi.write(p.where(col("p_partkey") % 3 === 0), t)
+      val i0 = graft.interop.Hudi.timeline(t).last.time
+      graft.interop.Hudi.write(p.where(col("p_partkey") % 3 === 1), t)
+      graft.interop.Hudi.write(p.where(col("p_partkey") % 3 === 2), t)
+      graft.interop.Hudi.incremental(s, t, i0).drop("_hoodie_commit_instant")
     }
   )
 }
