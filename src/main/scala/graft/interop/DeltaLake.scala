@@ -798,6 +798,54 @@ object DeltaLake {
     v
   }
 
+  /** Reclaim storage: delete files under the table root that the CURRENT
+    * snapshot does not reference and whose modification time is older than
+    * `retentionMs` (Delta's VACUUM semantics — time travel beyond the
+    * retention window is forfeited, the log itself is untouched).
+    * Referenced deletion-vector files are kept. Returns the deleted count.
+    * Candidate listing is a driver walk of the table tree minus
+    * `_delta_log`; deletion is distributed past the usual threshold. */
+  def vacuum(spark: SparkSession, table: String, retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val snap = snapshot(spark, table)
+    val referenced: Set[String] = snap.files
+      .select("path", "deletionVector.storageType", "deletionVector.pathOrInlineDv")
+      .collect().flatMap { r =>
+        val data = Seq(r.getString(0))
+        val dv =
+          if (r.isNullAt(1)) Nil
+          else (r.getString(1), r.getString(2)) match {
+            case ("u", enc) =>
+              val (prefix, tail) = enc.splitAt(enc.length - 20)
+              val bb = java.nio.ByteBuffer.wrap(z85Decode(tail))
+              val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+              val dir = Paths.get(table).toAbsolutePath
+              Seq((if (prefix.isEmpty) dir else dir.resolve(prefix))
+                .resolve(s"deletion_vector_$uuid.bin").toString)
+            case ("p", p) =>
+              val jp = Paths.get(p)
+              Seq((if (jp.isAbsolute) jp
+              else Paths.get(table).toAbsolutePath.resolve(p)).toString)
+            case _ => Nil // inline: no file
+          }
+        data ++ dv
+      }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val root = Paths.get(table).toAbsolutePath
+    val doomed = {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && !p.startsWith(root.resolve("_delta_log"))
+          && !p.getFileName.toString.startsWith("_")
+          && Files.getLastModifiedTime(p).toMillis < cutoff
+          && !referenced.contains(p.toString))
+        .map(_.toString).toList
+      finally s.close()
+    }
+    InteropUtil.deleteFilesDistributed(spark, doomed)
+    doomed.size.toLong
+  }
+
   // ---- action JSON builders
 
   private def obj() = mapper.createObjectNode()

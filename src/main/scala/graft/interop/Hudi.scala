@@ -126,7 +126,9 @@ object Hudi {
   /** Var only so tests can exercise the distributed branch cheaply. */
   private[graft] var DistributedReplayThreshold = 64
 
-  private def replayOnDriver(table: String, instants: Seq[Instant]): Seq[FileSlice] = {
+  /** Every add + the replaced-group set across `instants` (driver-side). */
+  private def addsAndDead(
+      table: String, instants: Seq[Instant]): (Seq[FileSlice], Set[(String, String)]) = {
     val adds = Seq.newBuilder[FileSlice]
     val dead = scala.collection.mutable.Set.empty[(String, String)]
     for (i <- instants) {
@@ -142,10 +144,34 @@ object Hudi {
           e.getValue.elements().asScala.foreach(fid => dead += ((e.getKey, fid.asText())))
         }
     }
-    adds.result()
+    (adds.result(), dead.toSet)
+  }
+
+  private def replayOnDriver(table: String, instants: Seq[Instant]): Seq[FileSlice] = {
+    val (adds, dead) = addsAndDead(table, instants)
+    adds
       .groupBy(s => (s.partitionPath, s.fileId))
       .filterNot { case (k, _) => dead.contains(k) }
       .values.map(_.maxBy(_.instant)).toSeq
+  }
+
+  /** Reclaim storage (Hudi's cleaner, KEEP_LATEST_FILE_VERSIONS policy):
+    * per file group keep the newest `keepVersions` base files; every older
+    * version — and every file of a replaced group — is deleted, distributed
+    * past the usual threshold. Snapshot reads are unaffected; time travel
+    * to instants whose files were cleaned is forfeited. Returns the
+    * deleted-file count. */
+  def clean(spark: SparkSession, table: String, keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val (adds, dead) = addsAndDead(table, timeline(table))
+    val root = Paths.get(table).toAbsolutePath
+    val doomed = adds.groupBy(s => (s.partitionPath, s.fileId)).toSeq.flatMap {
+      case (k, vs) =>
+        if (dead.contains(k)) vs // replaced group: every version reclaimable
+        else vs.sortBy(_.instant).dropRight(keepVersions)
+    }.map(s => root.resolve(s.relPath).toString).distinct
+    InteropUtil.deleteFilesDistributed(spark, doomed)
+    doomed.size.toLong
   }
 
   /** Timeline replay as one Spark job: parse every completed instant's

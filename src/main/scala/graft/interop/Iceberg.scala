@@ -710,6 +710,46 @@ object Iceberg {
     snapshotId
   }
 
+  /** Expire old snapshots, keeping the newest `keepLast` (the current one
+    * always survives): metadata vN+1 drops the expired entries, then every
+    * file referenced ONLY by expired snapshots — manifest lists, manifests,
+    * data and delete files — is deleted, distributed past the usual
+    * threshold. Time travel to expired snapshots is forfeited (the spec's
+    * expire-snapshots maintenance op). Returns the deleted-file count. */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1): Long = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val meta = loadMeta(table)
+    val sorted = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    if (sorted.size <= keepLast) return 0L
+    val kept = sorted.takeRight(keepLast)
+    require(meta.currentSnapshotId.forall(id => kept.exists(_.snapshotId == id)),
+      "current snapshot would be expired — raise keepLast")
+    val dropped = sorted.dropRight(keepLast)
+
+    def refs(s: SnapshotMeta): Set[String] = {
+      val listPath = resolvePath(s.manifestList, meta.location)
+      val manifests = readManifestListFull(listPath)
+        .map(m => resolvePath(m.path, meta.location))
+      val files = fileEntries(spark, meta, s).map(e => resolvePath(e.path, meta.location))
+      (listPath +: (manifests ++ files)).toSet
+    }
+    val keepSet = kept.map(refs).foldLeft(Set.empty[String])(_ ++ _)
+    val doomed = dropped.map(refs).foldLeft(Set.empty[String])(_ ++ _) -- keepSet
+
+    val dir = metaDir(meta.location)
+    val old = mapper.readTree(Files.readAllBytes(
+      dir.resolve(s"v${meta.version}.metadata.json"))).asInstanceOf[ObjectNode]
+    val arr = mapper.createArrayNode()
+    old.withArray[ArrayNode]("snapshots").elements().asScala
+      .filter(n => kept.exists(_.snapshotId == n.get("snapshot-id").asLong()))
+      .foreach(arr.add)
+    old.set[JsonNode]("snapshots", arr)
+    old.put("last-updated-ms", System.currentTimeMillis())
+    writeMetadataVersion(meta.location, meta.version + 1, old)
+    InteropUtil.deleteFilesDistributed(spark, doomed.toSeq)
+    doomed.size.toLong
+  }
+
   private final case class ManifestRef(
       path: String, length: Long, sequenceNumber: Long, content: Int,
       addedSnapshotId: Long, addedFiles: Int, addedRows: Long, specId: Int = 0)

@@ -96,4 +96,29 @@ private[graft] object InteropUtil {
         Option(t.getId).map(id => id.intValue() -> t.getName)
       }.toMap
     }
+
+  /** Best-effort file deletion: driver loop under 64 paths, Spark job
+    * above (a reclamation pass can reference 10^5+ files — a serial driver
+    * loop would stall for minutes; the catalog's dropTable(purge) policy).
+    * The session Hadoop conf rides to executors so remote filesystems keep
+    * their credentials. */
+  def deleteFilesDistributed(spark: SparkSession, paths: Seq[String]): Unit = {
+    if (paths.size < 64)
+      paths.foreach(p => try Files.deleteIfExists(java.nio.file.Paths.get(p))
+      catch { case NonFatal(_) => () })
+    else {
+      val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      spark.sparkContext.parallelize(paths, slices).foreachPartition { it =>
+        val conf = confBc.value.value
+        it.foreach { s =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(s)
+            p.getFileSystem(conf).delete(p, false)
+          } catch { case NonFatal(_) => () }
+        }
+      }
+    }
+  }
 }

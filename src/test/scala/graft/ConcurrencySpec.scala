@@ -47,8 +47,10 @@ class ConcurrencySpec extends SparkSpec {
         .map(r => (r.getInt(0), r.getInt(1)))
       assert(rows.length == writers, s"expected $writers rows, got ${rows.toSeq}")
       assert(rows.map(_._1).toSet == (1 to writers).toSet)
-      assert(attempts.exists(_ > 1) || writers == 1,
-        "expected at least one retry under contention (flaky-ok if all landed cleanly)")
+      // NOTE: no assert that a conflict actually happened — under a loaded
+      // machine the 8 writers can serialize naturally and zero retries is a
+      // legitimate outcome; asserting scheduling behavior made this flaky.
+      assert(attempts.forall(_ >= 1))
       // Delta log: one committed delta per writer, distinct stream positions.
       val log = cat.deltaLog("c.t")
       assert(log.size == writers)

@@ -559,6 +559,62 @@ class InteropSpec extends SparkSpec {
     assert(Hudi.partValues("", Seq("k")) == Seq(null))
   }
 
+  test("lifecycle: delta vacuum, iceberg expireSnapshots, hudi clean reclaim storage") {
+    // delta vacuum: files orphaned by an overwrite go; live + DV files stay
+    val t = tmpDir("delta-vac")
+    DeltaLake.write(nation, t)
+    DeltaLake.write(nation.where($"n_regionkey" === 1), t, mode = "overwrite")
+    DeltaLake.deleteWhere(spark, t, col("n_nationkey") === 1)
+    def parquets(dir: String) = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p)
+          && !p.toString.contains("_delta_log")
+          && p.getFileName.toString.endsWith(".parquet")).size
+      } finally s.close()
+    }
+    val before = parquets(t)
+    val deleted = DeltaLake.vacuum(spark, t, retentionMs = 0L)
+    assert(deleted > 0)
+    assert(parquets(t) == before - deleted.toInt ||
+      parquets(t) == before) // DV .bin files may be among the deleted
+    val expect = nation.where($"n_regionkey" === 1 && $"n_nationkey" =!= 1)
+    assert(DeltaLake.read(spark, t).orderBy("n_nationkey").collect().toSeq ==
+      expect.orderBy("n_nationkey").collect().toSeq)
+
+    // iceberg expireSnapshots: old manifest lists go, current stays readable
+    import graft.interop.Iceberg
+    val it = tmpDir("ice-expire") + "/tbl"
+    Iceberg.createTable(it, nation.schema)
+    Iceberg.append(nation.where($"n_regionkey" < 2), it)
+    Iceberg.append(nation.where($"n_regionkey" === 2), it)
+    Iceberg.append(nation.where($"n_regionkey" > 2), it)
+    def snapLists() = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(it, "metadata"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith("snap-"))
+      } finally s.close()
+    }
+    assert(snapLists() == 3)
+    val dropped = Iceberg.expireSnapshots(spark, it, keepLast = 1)
+    assert(dropped >= 2) // at least the two expired manifest lists
+    assert(snapLists() == 1)
+    assert(Iceberg.loadMeta(it).snapshots.size == 1)
+    assert(Iceberg.read(spark, it).orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+
+    // hudi clean: a replaced file group's base files are reclaimed
+    import graft.interop.Hudi
+    val ht = tmpDir("hudi-clean")
+    Hudi.write(nation, ht)
+    Hudi.write(nation.where($"n_regionkey" === 0), ht, mode = "overwrite")
+    val cleaned = Hudi.clean(spark, ht)
+    assert(cleaned > 0)
+    assert(Hudi.read(spark, ht).count() == nation.where($"n_regionkey" === 0).count())
+  }
+
   test("delta: concurrent same-version commit loses the rename race") {
     val t = tmpDir("delta-race")
     DeltaLake.write(nation, t)
