@@ -494,9 +494,12 @@ object DeltaLake {
 
   private def absolutize(c: Column, table: String): Column = {
     val root = Paths.get(table).toAbsolutePath.toString.stripSuffix("/")
-    // add.path is percent-encoded per the protocol; decode before resolving
+    // add.path is percent-encoded per the protocol — relative AND absolute
+    // forms; decode both, or an absolute path with escaped chars never
+    // matches the on-disk file (reads drop it, vacuum would DELETE it)
     val decode = udf(InteropUtil.decodeRelPath _)
-    when(c.startsWith("/"), c).otherwise(concat(lit(root + "/"), decode(c)))
+    val d = decode(c)
+    when(d.startsWith("/") || d.contains("://"), d).otherwise(concat(lit(root + "/"), d))
   }
 
   /** Move staged files under the table root, keeping Spark's unique part
@@ -619,6 +622,24 @@ object DeltaLake {
       }
   }
 
+  /** On-disk file a "u"/"p" descriptor points at — ONE definition shared by
+    * the read path and vacuum's referenced-set, so they cannot drift (a
+    * drifted vacuum would delete DV files reads still need). */
+  private def dvFilePath(table: String, storageType: String, pathOrInlineDv: String): JPath =
+    storageType match {
+      case "p" =>
+        val p = Paths.get(pathOrInlineDv)
+        if (p.isAbsolute) p else Paths.get(table).toAbsolutePath.resolve(pathOrInlineDv)
+      case "u" =>
+        val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+        val bb = java.nio.ByteBuffer.wrap(z85Decode(enc))
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val dir = Paths.get(table).toAbsolutePath
+        (if (prefix.isEmpty) dir else dir.resolve(prefix))
+          .resolve(s"deletion_vector_$uuid.bin")
+      case other => throw new IllegalArgumentException(s"DV storageType $other has no file")
+    }
+
   /** Resolve one descriptor to its bitmap blob bytes. */
   private def loadDvBlob(
       table: String, storageType: String, pathOrInlineDv: String,
@@ -626,18 +647,7 @@ object DeltaLake {
     case "i" => // inline payload is zero-padded to a 4-byte multiple
       java.util.Arrays.copyOf(z85Decode(pathOrInlineDv), sizeInBytes)
     case "u" | "p" =>
-      val file =
-        if (storageType == "p") {
-          val p = Paths.get(pathOrInlineDv)
-          if (p.isAbsolute) p else Paths.get(table).toAbsolutePath.resolve(pathOrInlineDv)
-        } else {
-          val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
-          val bb = java.nio.ByteBuffer.wrap(z85Decode(enc))
-          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-          val dir = Paths.get(table).toAbsolutePath
-          (if (prefix.isEmpty) dir else dir.resolve(prefix))
-            .resolve(s"deletion_vector_$uuid.bin")
-        }
+      val file = dvFilePath(table, storageType, pathOrInlineDv)
       val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(Files.newInputStream(file)))
       try {
@@ -812,21 +822,8 @@ object DeltaLake {
       .collect().flatMap { r =>
         val data = Seq(r.getString(0))
         val dv =
-          if (r.isNullAt(1)) Nil
-          else (r.getString(1), r.getString(2)) match {
-            case ("u", enc) =>
-              val (prefix, tail) = enc.splitAt(enc.length - 20)
-              val bb = java.nio.ByteBuffer.wrap(z85Decode(tail))
-              val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-              val dir = Paths.get(table).toAbsolutePath
-              Seq((if (prefix.isEmpty) dir else dir.resolve(prefix))
-                .resolve(s"deletion_vector_$uuid.bin").toString)
-            case ("p", p) =>
-              val jp = Paths.get(p)
-              Seq((if (jp.isAbsolute) jp
-              else Paths.get(table).toAbsolutePath.resolve(p)).toString)
-            case _ => Nil // inline: no file
-          }
+          if (r.isNullAt(1) || r.getString(1) == "i") Nil // inline: no file
+          else Seq(dvFilePath(table, r.getString(1), r.getString(2)).toString)
         data ++ dv
       }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs

@@ -185,6 +185,9 @@ object Hudi {
     val metaSchema = StructType(Seq(
       StructField("partitionToWriteStats", MapType(StringType, ArrayType(statSchema))),
       StructField("partitionToReplaceFileIds", MapType(StringType, ArrayType(StringType)))))
+    // sniff one file on the driver: an Avro-metadata (1.x) timeline would
+    // otherwise parse to all-null rows and yield a silently EMPTY table
+    readInstantMeta(table, instants.head)
     val paths = instants.map(i => instantFile(table, i).toString)
     val raw = spark.read.schema(metaSchema).option("multiLine", "true").json(paths: _*)
       .withColumn("_name", regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
@@ -277,22 +280,34 @@ object Hudi {
   def incremental(
       spark: SparkSession, table: String,
       fromInstant: String, toInstant: Option[String] = None): DataFrame = {
-    val window = timeline(table)
-      .filter(i => i.time > fromInstant && toInstant.forall(i.time <= _))
+    val tl = timeline(table)
+    val window = tl.filter(i => i.time > fromInstant && toInstant.forall(i.time <= _))
     // replay semantics over the window: newest slice per file group, groups
     // replaced inside the window dropped — rows that no longer exist at the
     // window's end must not surface in the pull
     val added: Seq[FileSlice] =
       if (window.size < DistributedReplayThreshold) replayOnDriver(table, window)
       else replayDistributed(spark, table, window)
-    val schema = resolveSchema(table, timeline(table))
+    val schema = resolveSchema(table, tl)
     val pf = partitionFields(table)
     if (added.isEmpty)
       return InteropUtil.emptyFrame(spark,
         StructType(schema.getOrElse(StructType(Nil)).fields :+
           StructField("_hoodie_commit_instant", StringType)))
-    readSlices(spark, table, added, schema, pf, keepMetaFields = false,
+    val raw = readSlices(spark, table, added, schema, pf, keepMetaFields = true,
       commitInstantOf = Some(added.map(s => s.relPath -> s.instant).toMap))
+    // populated-meta-field tables (foreign CoW with upserts): a rewritten
+    // base file carries EVERY row of its group — filter to rows whose own
+    // _hoodie_commit_time falls in the window, or the pull over-reports the
+    // carried-over rows. Virtual-key tables (ours) are insert-only, so
+    // file-level attribution is already exact.
+    val filtered =
+      if (raw.columns.contains("_hoodie_commit_time"))
+        raw.where(col("_hoodie_commit_time") > fromInstant &&
+          toInstant.map(col("_hoodie_commit_time") <= lit(_)).getOrElse(lit(true)))
+      else raw
+    filtered.drop(filtered.columns
+      .filter(c => c.startsWith("_hoodie_") && c != "_hoodie_commit_instant"): _*)
   }
 
   /** Shared data-file scan: read the slices, reattach partition values,
@@ -528,7 +543,14 @@ object Hudi {
     val p = instantFile(table, i)
     val bytes = Files.readAllBytes(p)
     if (bytes.isEmpty) mapper.createObjectNode()
-    else mapper.readTree(bytes)
+    else {
+      // 1.x tables MAY serialize completed commit metadata as Avro; that is
+      // not readable here — fail loudly rather than return an empty table
+      val first = bytes.iterator.map(_.toChar).find(!_.isWhitespace)
+      require(first.contains('{'),
+        s"commit metadata in $p is not JSON (Hudi 1.x Avro timeline?) — unsupported")
+      mapper.readTree(bytes)
+    }
   }
 
   /** Move staged spark part files under the table root via the shared

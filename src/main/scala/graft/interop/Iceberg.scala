@@ -725,25 +725,50 @@ object Iceberg {
     require(meta.currentSnapshotId.forall(id => kept.exists(_.snapshotId == id)),
       "current snapshot would be expired — raise keepLast")
     val dropped = sorted.dropRight(keepLast)
+    require(meta.snapshots.forall(s => kept.exists(_.snapshotId == s.snapshotId) ||
+      dropped.exists(_.snapshotId == s.snapshotId)), "snapshot partition mismatch")
 
+    // manifests are immutable and manifest lists are cumulative — cache per
+    // manifest path so the walk is linear, not O(snapshots x manifests)
+    val manifestCache = scala.collection.mutable.Map.empty[String, Seq[FileEntry]]
     def refs(s: SnapshotMeta): Set[String] = {
       val listPath = resolvePath(s.manifestList, meta.location)
-      val manifests = readManifestListFull(listPath)
-        .map(m => resolvePath(m.path, meta.location))
-      val files = fileEntries(spark, meta, s).map(e => resolvePath(e.path, meta.location))
-      (listPath +: (manifests ++ files)).toSet
+      val manifests = readManifestList(listPath)
+      val files = manifests.flatMap { case (mPath, mSeq) =>
+        val abs = resolvePath(mPath, meta.location)
+        manifestCache.getOrElseUpdate(abs, readManifest(abs, mSeq))
+      }.map(e => resolvePath(e.path, meta.location))
+      (listPath +: (manifests.map(m => resolvePath(m._1, meta.location)) ++ files)).toSet
     }
     val keepSet = kept.map(refs).foldLeft(Set.empty[String])(_ ++ _)
     val doomed = dropped.map(refs).foldLeft(Set.empty[String])(_ ++ _) -- keepSet
 
+    val droppedIds = dropped.map(_.snapshotId).toSet
     val dir = metaDir(meta.location)
     val old = mapper.readTree(Files.readAllBytes(
       dir.resolve(s"v${meta.version}.metadata.json"))).asInstanceOf[ObjectNode]
     val arr = mapper.createArrayNode()
     old.withArray[ArrayNode]("snapshots").elements().asScala
-      .filter(n => kept.exists(_.snapshotId == n.get("snapshot-id").asLong()))
+      .filter(n => !droppedIds.contains(n.get("snapshot-id").asLong()))
       .foreach(arr.add)
     old.set[JsonNode]("snapshots", arr)
+    // refs and snapshot-log entries naming an expired snapshot must go too —
+    // real Iceberg readers VALIDATE that every ref's snapshot exists and
+    // reject the whole table otherwise
+    if (old.has("refs")) {
+      val refsNode = old.get("refs").asInstanceOf[ObjectNode]
+      val stale = refsNode.fields().asScala
+        .filter(e => droppedIds.contains(e.getValue.path("snapshot-id").asLong()))
+        .map(_.getKey).toList
+      stale.foreach(refsNode.remove)
+    }
+    if (old.has("snapshot-log")) {
+      val log = mapper.createArrayNode()
+      old.withArray[ArrayNode]("snapshot-log").elements().asScala
+        .filter(n => !droppedIds.contains(n.path("snapshot-id").asLong()))
+        .foreach(log.add)
+      old.set[JsonNode]("snapshot-log", log)
+    }
     old.put("last-updated-ms", System.currentTimeMillis())
     writeMetadataVersion(meta.location, meta.version + 1, old)
     InteropUtil.deleteFilesDistributed(spark, doomed.toSeq)

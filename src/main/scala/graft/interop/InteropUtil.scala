@@ -103,10 +103,17 @@ private[graft] object InteropUtil {
     * The session Hadoop conf rides to executors so remote filesystems keep
     * their credentials. */
   def deleteFilesDistributed(spark: SparkSession, paths: Seq[String]): Unit = {
-    if (paths.size < 64)
-      paths.foreach(p => try Files.deleteIfExists(java.nio.file.Paths.get(p))
-      catch { case NonFatal(_) => () })
-    else {
+    if (paths.size < 64) {
+      // Hadoop FS here too — java.nio silently no-ops on s3a://-style paths,
+      // and behavior must not flip across the size threshold
+      val conf = spark.sessionState.newHadoopConf()
+      paths.foreach { s =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(s)
+          p.getFileSystem(conf).delete(p, false)
+        } catch { case NonFatal(_) => () }
+      }
+    } else {
       val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
       val confBc = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))

@@ -551,6 +551,40 @@ class InteropSpec extends SparkSpec {
     assert(none.columns.contains("_hoodie_commit_instant") && none.count() == 0)
   }
 
+  test("hudi: incremental row-filters populated-meta rewrites; delta reads encoded absolute paths") {
+    import graft.interop.Hudi
+    // foreign CoW upsert shape: the second commit's base file carries
+    // CARRIED-OVER rows (old _hoodie_commit_time) plus genuinely new ones —
+    // the pull must return only rows whose own commit time is in the window
+    val t = tmpDir("hudi-incr-meta")
+    val c1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("_hoodie_commit_time", lit("00000000000000001"))
+    Hudi.write(c1, t)
+    val i1 = Hudi.timeline(t).last.time
+    val carried = c1 // rows rewritten into the new file with their OLD times
+    val fresh = Seq((3L, "c")).toDF("id", "v")
+      .withColumn("_hoodie_commit_time", lit("99999999999999999"))
+    Hudi.write(carried.unionByName(fresh), t)
+    val pulled = Hudi.incremental(spark, t, i1)
+    assert(pulled.select("id").as[Long].collect().toSeq == Seq(3L),
+      "carried-over rows must not surface in the incremental pull")
+
+    // delta: an ABSOLUTE percent-encoded add.path must resolve to the real
+    // on-disk file (decode applies to absolute paths too)
+    val dt = tmpDir("delta-abs")
+    DeltaLake.write(nation.coalesce(1), dt)
+    val abs = DeltaLake.snapshot(spark, dt).files.select("path").as[String].head()
+    val spaced = java.nio.file.Paths.get(dt, "part with space.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(abs), spaced)
+    val encoded = spaced.toString.replace(" ", "%20")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dt, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"add":{"path":"$encoded","partitionValues":{},"size":1,"dataChange":true}}""")
+        .getBytes("UTF-8"))
+    // v1 adds the same rows again under the encoded absolute path
+    assert(DeltaLake.read(spark, dt).count() == nation.count() * 2)
+  }
+
   test("hudi: non-hive partition paths map positionally, never one-segment-for-all") {
     import graft.interop.Hudi
     assert(Hudi.partValues("2026/08", Seq("year", "month")) == Seq("2026", "08"))
@@ -598,10 +632,40 @@ class InteropSpec extends SparkSpec {
       } finally s.close()
     }
     assert(snapLists() == 3)
+    // a foreign tag on a to-be-expired snapshot must be pruned with it, or
+    // real Iceberg readers reject the table (ref validation)
+    locally {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val md = java.nio.file.Paths.get(it, "metadata")
+      val v = new String(java.nio.file.Files.readAllBytes(
+        md.resolve("version-hint.text")), "UTF-8").trim.toInt
+      val root = om.readTree(java.nio.file.Files.readAllBytes(
+        md.resolve(s"v$v.metadata.json")))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val oldestId = Iceberg.loadMeta(it).snapshots.minBy(_.timestampMs).snapshotId
+      val refs = om.createObjectNode()
+      val tag = om.createObjectNode()
+      tag.put("snapshot-id", oldestId); tag.put("type", "tag")
+      refs.set[com.fasterxml.jackson.databind.JsonNode]("old-tag", tag)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("refs", refs)
+      java.nio.file.Files.write(md.resolve(s"v${v + 1}.metadata.json"),
+        om.writeValueAsBytes(root))
+      java.nio.file.Files.write(md.resolve("version-hint.text"),
+        String.valueOf(v + 1).getBytes("UTF-8"))
+    }
     val dropped = Iceberg.expireSnapshots(spark, it, keepLast = 1)
     assert(dropped >= 2) // at least the two expired manifest lists
     assert(snapLists() == 1)
     assert(Iceberg.loadMeta(it).snapshots.size == 1)
+    locally {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val md = java.nio.file.Paths.get(it, "metadata")
+      val v = new String(java.nio.file.Files.readAllBytes(
+        md.resolve("version-hint.text")), "UTF-8").trim.toInt
+      val root = om.readTree(java.nio.file.Files.readAllBytes(
+        md.resolve(s"v$v.metadata.json")))
+      assert(!root.path("refs").has("old-tag"), "dangling ref must be pruned")
+    }
     assert(Iceberg.read(spark, it).orderBy("n_nationkey").collect().toSeq ==
       nation.orderBy("n_nationkey").collect().toSeq)
 
