@@ -123,4 +123,42 @@ class CatalogOpsSpec extends SparkSpec {
       assert(Graft.get(spark, out).count() == 3, s"$ext url roundtrip")
     }
   }
+
+  test("URL ops the reference declares but never implemented: concat/delete/move/exists/touch/head/tail/query") {
+    Graft.initCatalog("u1", spark, tmpDir("graft-uops"))
+    val a = tmpDir("graft-uops-a") + "/a.parquet"
+    val b = tmpDir("graft-uops-b") + "/b.parquet"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(a)
+    Seq((3L, "z")).toDF("id", "v").write.parquet(b)
+
+    // concat appends source rows into an existing graft table
+    Graft.copy(spark, a, "graft://u1/ns.t")
+    Graft.concat(spark, b, "graft://u1/ns.t")
+    assert(Graft.get(spark, "graft://u1/ns.t").count() == 3)
+
+    // head/tail/query
+    assert(Graft.head(spark, "graft://u1/ns.t", 2).count() == 2)
+    assert(Graft.tail(spark, "graft://u1/ns.t", 1).count() == 1)
+    Graft.get(spark, "graft://u1/ns.t").createOrReplaceTempView("uops_t")
+    assert(Graft.query(spark, "SELECT count(*) AS n FROM uops_t")
+      .head().getLong(0) == 3)
+
+    // exists / touch
+    assert(Graft.exists(spark, "graft://u1/ns.t"))
+    assert(!Graft.exists(spark, "graft://u1/ns.missing"))
+    assert(Graft.exists(spark, a))
+    Graft.touch(spark, "graft://u1/fresh")
+    assert(Graft.exists(spark, "graft://u1/fresh"))
+    val touched = tmpDir("graft-uops-touch") + "/marker"
+    Graft.touch(spark, touched)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(touched)))
+
+    // move = copy + delete; delete removes files and graft tables
+    val moved = tmpDir("graft-uops-moved") + "/m.parquet"
+    Graft.move(spark, b, moved)
+    assert(Graft.get(spark, moved).count() == 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(b)))
+    Graft.delete(spark, "graft://u1/ns.t")
+    assert(!Graft.exists(spark, "graft://u1/ns.t"))
+  }
 }
