@@ -36,6 +36,12 @@ object Graft {
     registry.keys().asScala.toSeq.sorted
   }
 
+  /** Deregister and return a catalog (reference `pop_catalog`). */
+  def popCatalog(name: String): Option[GraftCatalog] = Option(registry.remove(name))
+
+  /** Deregister every catalog (reference `clear_catalogs`). */
+  def clearCatalogs(): Unit = registry.clear()
+
   /** Register the graft SQL functions (graft_dot, graft_fingerprint,
     * graft_simhash, graft_lang, graft_hash_bucket) in a live session —
     * the runtime path; `spark.sql.extensions=graft.spark.GraftSparkExtensions`

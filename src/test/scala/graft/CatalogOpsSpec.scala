@@ -160,5 +160,11 @@ class CatalogOpsSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(b)))
     Graft.delete(spark, "graft://u1/ns.t")
     assert(!Graft.exists(spark, "graft://u1/ns.t"))
+
+    // registry pop/clear (don't clear the whole registry mid-suite)
+    Graft.initCatalog("u-pop", spark, tmpDir("graft-upop"))
+    assert(Graft.popCatalog("u-pop").isDefined)
+    assert(!Graft.catalogExists("u-pop"))
+    assert(Graft.popCatalog("u-pop").isEmpty)
   }
 }
