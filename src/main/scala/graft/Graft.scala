@@ -65,11 +65,15 @@ object Graft {
   def concat(spark: SparkSession, source: String, destination: String): Unit =
     put(get(spark, source), destination, WriteMode.Append)
 
-  /** Delete the dataset a URL names: a graft table is dropped WITH file
-    * purge; a filesystem target is removed recursively (api.py:315). */
+  /** Delete the dataset a URL names: a graft `ns.table` is dropped WITH
+    * file purge, a dot-less graft segment is a NAMESPACE (dropped with
+    * cascade — matching list/touch, and never silently resolving to a
+    * same-named default-namespace table); a filesystem target is removed
+    * recursively (api.py:315). */
   def delete(spark: SparkSession, url: String): Unit = io.UrlIO.parse(url) match {
     case io.UrlIO.GraftTarget(cat, table, _) =>
-      catalog(cat).dropTable(table, purge = true)
+      if (table.contains(".")) catalog(cat).dropTable(table, purge = true)
+      else catalog(cat).dropNamespace(table, cascade = true)
     case io.UrlIO.FileTarget(path, _, _) =>
       val root = java.nio.file.Paths.get(path)
       if (java.nio.file.Files.isDirectory(root)) {
@@ -97,12 +101,14 @@ object Graft {
     delete(spark, source)
   }
 
-  /** Does the URL name an existing dataset/container? (api.py:476) */
+  /** Does the URL name an existing dataset/container? A dot-less graft
+    * segment matches a namespace OR a default-namespace table (the same
+    * forms `get` accepts). (api.py:476) */
   def exists(spark: SparkSession, url: String): Boolean = io.UrlIO.parse(url) match {
     case io.UrlIO.GraftTarget(cat, table, _) =>
       catalogExists(cat) && (table.isEmpty ||
         (if (table.contains(".")) catalog(cat).tableExists(table)
-        else catalog(cat).listNamespaces().contains(table)))
+        else catalog(cat).namespaceExists(table) || catalog(cat).tableExists(table)))
     case io.UrlIO.FileTarget(path, _, _) =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(path))
   }
@@ -113,7 +119,7 @@ object Graft {
     case io.UrlIO.GraftTarget(cat, container, _) =>
       require(!container.contains("."),
         "touch creates namespaces or files; tables need a schema — use createTable")
-      if (!catalog(cat).listNamespaces().contains(container))
+      if (!catalog(cat).namespaceExists(container))
         catalog(cat).createNamespace(container)
     case io.UrlIO.FileTarget(path, _, _) =>
       val p = java.nio.file.Paths.get(path)

@@ -495,9 +495,10 @@ object DeltaLake {
   private def absolutize(c: Column, table: String): Column = {
     val root = Paths.get(table).toAbsolutePath.toString.stripSuffix("/")
     // add.path is percent-encoded per the protocol — relative AND absolute
-    // forms; decode both, or an absolute path with escaped chars never
-    // matches the on-disk file (reads drop it, vacuum would DELETE it)
-    val decode = udf(InteropUtil.decodeRelPath _)
+    // forms; decode both (scheme/authority preserved), or an absolute path
+    // with escaped chars never matches the on-disk file (reads drop it,
+    // vacuum would DELETE it)
+    val decode = udf(InteropUtil.decodeAnyPath _)
     val d = decode(c)
     when(d.startsWith("/") || d.contains("://"), d).otherwise(concat(lit(root + "/"), d))
   }

@@ -185,9 +185,12 @@ object Hudi {
     val metaSchema = StructType(Seq(
       StructField("partitionToWriteStats", MapType(StringType, ArrayType(statSchema))),
       StructField("partitionToReplaceFileIds", MapType(StringType, ArrayType(StringType)))))
-    // sniff one file on the driver: an Avro-metadata (1.x) timeline would
-    // otherwise parse to all-null rows and yield a silently EMPTY table
+    // sniff the OLDEST and NEWEST instants on the driver: an Avro-metadata
+    // (1.x) timeline — or the Avro tail of an upgraded 0.x table, where the
+    // head is still JSON — would otherwise parse to all-null rows and yield
+    // a silently EMPTY table
     readInstantMeta(table, instants.head)
+    readInstantMeta(table, instants.last)
     val paths = instants.map(i => instantFile(table, i).toString)
     val raw = spark.read.schema(metaSchema).option("multiLine", "true").json(paths: _*)
       .withColumn("_name", regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
@@ -294,17 +297,25 @@ object Hudi {
       return InteropUtil.emptyFrame(spark,
         StructType(schema.getOrElse(StructType(Nil)).fields :+
           StructField("_hoodie_commit_instant", StringType)))
-    val raw = readSlices(spark, table, added, schema, pf, keepMetaFields = true,
-      commitInstantOf = Some(added.map(s => s.relPath -> s.instant).toMap))
     // populated-meta-field tables (foreign CoW with upserts): a rewritten
     // base file carries EVERY row of its group — filter to rows whose own
     // _hoodie_commit_time falls in the window, or the pull over-reports the
-    // carried-over rows. Virtual-key tables (ours) are insert-only, so
-    // file-level attribution is already exact.
+    // carried-over rows. The commit-recorded schema normally EXCLUDES meta
+    // fields, so force the column into the read schema; files that lack it
+    // (virtual-key tables like ours — insert-only, file-level attribution
+    // already exact) surface null and are KEPT, never dropped.
+    val metaCol = "_hoodie_commit_time"
+    val readSchema = schema.map { sc =>
+      if (sc.fieldNames.contains(metaCol)) sc
+      else StructType(sc.fields :+ StructField(metaCol, StringType))
+    }
+    val raw = readSlices(spark, table, added, readSchema, pf, keepMetaFields = true,
+      commitInstantOf = Some(added.map(s => s.relPath -> s.instant).toMap))
     val filtered =
-      if (raw.columns.contains("_hoodie_commit_time"))
-        raw.where(col("_hoodie_commit_time") > fromInstant &&
-          toInstant.map(col("_hoodie_commit_time") <= lit(_)).getOrElse(lit(true)))
+      if (raw.columns.contains(metaCol))
+        raw.where(col(metaCol).isNull ||
+          (col(metaCol) > fromInstant &&
+            toInstant.map(col(metaCol) <= lit(_)).getOrElse(lit(true))))
       else raw
     filtered.drop(filtered.columns
       .filter(c => c.startsWith("_hoodie_") && c != "_hoodie_commit_instant"): _*)

@@ -725,11 +725,12 @@ object Iceberg {
     require(meta.currentSnapshotId.forall(id => kept.exists(_.snapshotId == id)),
       "current snapshot would be expired — raise keepLast")
     val dropped = sorted.dropRight(keepLast)
-    require(meta.snapshots.forall(s => kept.exists(_.snapshotId == s.snapshotId) ||
-      dropped.exists(_.snapshotId == s.snapshotId)), "snapshot partition mismatch")
 
     // manifests are immutable and manifest lists are cumulative — cache per
-    // manifest path so the walk is linear, not O(snapshots x manifests)
+    // manifest path so the walk is linear, not O(snapshots x manifests).
+    // status=2 (DELETED) entries are tombstones, NOT live references: a
+    // kept snapshot's tombstone must not protect a file only expired
+    // snapshots still carry live, or every expire leaks it forever.
     val manifestCache = scala.collection.mutable.Map.empty[String, Seq[FileEntry]]
     def refs(s: SnapshotMeta): Set[String] = {
       val listPath = resolvePath(s.manifestList, meta.location)
@@ -737,7 +738,7 @@ object Iceberg {
       val files = manifests.flatMap { case (mPath, mSeq) =>
         val abs = resolvePath(mPath, meta.location)
         manifestCache.getOrElseUpdate(abs, readManifest(abs, mSeq))
-      }.map(e => resolvePath(e.path, meta.location))
+      }.filter(_.status != 2).map(e => resolvePath(e.path, meta.location))
       (listPath +: (manifests.map(m => resolvePath(m._1, meta.location)) ++ files)).toSet
     }
     val keepSet = kept.map(refs).foldLeft(Set.empty[String])(_ ++ _)

@@ -30,6 +30,18 @@ private[graft] object InteropUtil {
   def decodeRelPath(s: String): String =
     try new java.net.URI(s).getPath catch { case NonFatal(_) => s }
 
+  /** Percent-decode a possibly scheme-qualified path, PRESERVING scheme and
+    * authority (`s3a://bucket/k%20a` -> `s3a://bucket/k a`). Plain
+    * `URI.getPath` would strip them and mangle remote absolute paths into
+    * bare local ones. */
+  def decodeAnyPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme != null && s.contains("://"))
+        u.getScheme + "://" + Option(u.getAuthority).getOrElse("") + u.getPath
+      else u.getPath
+    } catch { case NonFatal(_) => s }
+
   /** Hive partition-dir value unescaping (k=a%3Ab -> a:b) — Spark's own
     * rule, so values roundtrip exactly what partitionBy wrote. */
   def unescapeHive(s: String): String =
@@ -97,6 +109,19 @@ private[graft] object InteropUtil {
       }.toMap
     }
 
+  /** One delete, one rule in BOTH branches below: scheme-qualified paths
+    * (s3a://…) go through Hadoop FS with the session conf; scheme-less
+    * paths are LOCAL (the bindings build them with java.nio) and use
+    * java.nio — resolving them against fs.defaultFS would no-op locally or
+    * hit a same-named remote path. */
+  private def deleteOne(s: String, conf: org.apache.hadoop.conf.Configuration): Unit =
+    try {
+      if (s.contains("://")) {
+        val p = new org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(conf).delete(p, false)
+      } else Files.deleteIfExists(java.nio.file.Paths.get(s))
+    } catch { case NonFatal(_) => () }
+
   /** Best-effort file deletion: driver loop under 64 paths, Spark job
     * above (a reclamation pass can reference 10^5+ files — a serial driver
     * loop would stall for minutes; the catalog's dropTable(purge) policy).
@@ -104,27 +129,15 @@ private[graft] object InteropUtil {
     * their credentials. */
   def deleteFilesDistributed(spark: SparkSession, paths: Seq[String]): Unit = {
     if (paths.size < 64) {
-      // Hadoop FS here too — java.nio silently no-ops on s3a://-style paths,
-      // and behavior must not flip across the size threshold
       val conf = spark.sessionState.newHadoopConf()
-      paths.foreach { s =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(s)
-          p.getFileSystem(conf).delete(p, false)
-        } catch { case NonFatal(_) => () }
-      }
+      paths.foreach(deleteOne(_, conf))
     } else {
       val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
       val confBc = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
       spark.sparkContext.parallelize(paths, slices).foreachPartition { it =>
         val conf = confBc.value.value
-        it.foreach { s =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(s)
-            p.getFileSystem(conf).delete(p, false)
-          } catch { case NonFatal(_) => () }
-        }
+        it.foreach(deleteOne(_, conf))
       }
     }
   }

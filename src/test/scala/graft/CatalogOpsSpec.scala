@@ -161,6 +161,11 @@ class CatalogOpsSpec extends SparkSpec {
     Graft.delete(spark, "graft://u1/ns.t")
     assert(!Graft.exists(spark, "graft://u1/ns.t"))
 
+    // dot-less delete targets the NAMESPACE (cascade), matching touch/exists
+    assert(Graft.exists(spark, "graft://u1/fresh"))
+    Graft.delete(spark, "graft://u1/fresh")
+    assert(!Graft.exists(spark, "graft://u1/fresh"))
+
     // registry pop/clear (don't clear the whole registry mid-suite)
     Graft.initCatalog("u-pop", spark, tmpDir("graft-upop"))
     assert(Graft.popCatalog("u-pop").isDefined)

@@ -50,7 +50,6 @@ class ConcurrencySpec extends SparkSpec {
       // NOTE: no assert that a conflict actually happened — under a loaded
       // machine the 8 writers can serialize naturally and zero retries is a
       // legitimate outcome; asserting scheduling behavior made this flaky.
-      assert(attempts.size == writers)
       // Delta log: one committed delta per writer, distinct stream positions.
       val log = cat.deltaLog("c.t")
       assert(log.size == writers)
