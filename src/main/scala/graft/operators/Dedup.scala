@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -289,12 +289,78 @@ object Dedup {
    * component = the MINIMUM id reachable. Ids keep their natural type —
    * any orderable Spark type (long, string, …) works; null ids are
    * dropped.
+   *
+   * Size gate: verified candidate graphs are edge-sparse relative to the
+   * corpus (pairs survive an exact-Jaccard check), so the edge list is
+   * usually metadata-sized even when the corpus is not. At or below
+   * `localEdgeLimit` edges the closure runs as driver union-find (one
+   * collect of the already-materialized edge frame — the same
+   * driver-below/distributed-above shape as the catalog's footer reads);
+   * above it, the O(log n) large-star/small-star rounds. Pass 0 to force
+   * the distributed path.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+      bCol: String = "id_b", maxRounds: Int = 50,
+      localEdgeLimit: Long = 1L << 20): DataFrame = {
     val raw = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+
+    if (localEdgeLimit > 0) {
+      val base = materialize(raw)
+      // count is a cheap second action over the checkpointed frame
+      if (base.count() <= localEdgeLimit) {
+        val rows = base.collect()
+        val comparable = rows.isEmpty ||
+          (rows.head.get(0).isInstanceOf[Comparable[_]] &&
+            rows.head.get(1).isInstanceOf[Comparable[_]])
+        if (comparable)
+          return localComponents(pairs.sparkSession, rows,
+            pairs.schema(aCol).dataType)
+      }
+      return componentsDistributed(base, maxRounds)
+    }
+    componentsDistributed(raw, maxRounds)
+  }
+
+  /** Driver union-find over a collected edge list (see size gate above).
+    * Iterative find with full path compression — no recursion, so a
+    * million-edge chain cannot overflow the stack. */
+  private def localComponents(spark: SparkSession, rows: Array[Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val index = new java.util.HashMap[Any, Int]()
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def idx(x: Any): Int =
+      if (index.containsKey(x)) index.get(x)
+      else { val i = vals.size; index.put(x, i); vals += x; parent += i; i }
+    def find(x0: Int): Int = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var y = x0
+      while (parent(y) != y) { val n = parent(y); parent(y) = r; y = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (find(idx(r.get(0))), find(idx(r.get(1))))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    // component label = minimum member VALUE (not index) per root
+    def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOf = new java.util.HashMap[Int, Any]()
+    vals.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || lt(vals(i), cur)) minOf.put(r, vals(i))
+    }
+    val out: java.util.List[Row] = new java.util.ArrayList[Row](vals.size)
+    vals.indices.foreach(i => out.add(Row(vals(i), minOf.get(find(i)))))
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType))))
+  }
+
+  private def componentsDistributed(raw: DataFrame, maxRounds: Int): DataFrame = {
 
     // large-star: every node connects its strictly-LARGER neighbors to its
     // minimum neighbor (or itself if smaller). Neighborhoods come from both

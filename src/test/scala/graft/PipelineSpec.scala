@@ -79,11 +79,16 @@ class PipelineSpec extends SparkSpec {
     val path = (0 until 9).map(i => (i.toLong, i.toLong + 1L))
     val pairs = (path ++ Seq((20L, 21L), (21L, 22L), (30L, 30L)))
       .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs).collect()
+    // localEdgeLimit=0: the adversarial chain must converge on the
+    // DISTRIBUTED large/small-star path (the local gate would hide it)
+    val cc = Dedup.connectedComponents(pairs, localEdgeLimit = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 9L).forall(cc(_) == 0L), s"path component wrong: $cc")
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
     assert(!cc.contains(30L), "self-loop node must not appear")
+    val ccLocal = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccLocal == cc, "driver union-find path disagrees with distributed")
 
     // String ids: min is lexicographic.
     val scc = Dedup.connectedComponents(
@@ -189,6 +194,12 @@ class PipelineSpec extends SparkSpec {
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial mismatch (n=$n, ${edges.length} edges)")
+      // localEdgeLimit=0 forces the distributed large/small-star path — it
+      // must agree with the driver union-find exactly
+      val dist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        localEdgeLimit = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected, s"trial $trial distributed mismatch")
     }
   }
 
