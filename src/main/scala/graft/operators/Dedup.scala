@@ -442,6 +442,76 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // -------------------------------------------------- exact substring dedup
+
+  /**
+   * Exact duplicated-substring coverage (Lee et al., "Deduplicating
+   * Training Data Makes Language Models Better", arXiv:2107.06499 — the
+   * ExactSubstr criterion): any k-token window whose exact content occurs
+   * at least `minOccurrences` times ANYWHERE in the corpus (across
+   * documents or repeated within one) is a duplicated span. Per document,
+   * the union of its duplicated windows gives the duplicated-token count
+   * and ratio — the signal ExactSubstr cuts on.
+   *
+   * The reference paper builds a corpus-wide suffix array; that is a
+   * single-machine construction. The Spark-shaped equivalent: hash every
+   * k-token window (one array expression per document — the window rows
+   * shuffled carry (id, pos, 16-byte hash), never token arrays), count
+   * occurrences with a map-side-combining aggregate, semi-join the
+   * duplicated hashes back, and take per-document interval union with a
+   * doc-partitioned running-max window — every stage is key-partitioned,
+   * nothing driver-side. Window hashes are md5 of the space-joined tokens,
+   * reproducible in any engine.
+   *
+   * Returns (id, n_tokens, dup_tokens, dup_ratio), one row per document
+   * with ≥1 token; `id` keeps the input column name.
+   */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 1 && minOccurrences >= 2, "k >= 1, minOccurrences >= 2")
+    // tokens + ALL window hashes in one projection per doc: the windows
+    // explode as (pos, hash) pairs so no row ever carries the token array
+    val toks = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("id"), size(col("tk")).cast("long").as("n_tokens"),
+        when(size(col("tk")) >= k,
+          transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+            s => md5(array_join(slice(col("tk"), s, lit(k)), " "))))
+          .otherwise(array().cast("array<string>")).as("whs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count()
+    // posexplode_OUTER: plain generators trigger InferFiltersFromGenerate,
+    // which would duplicate the whole window-hash expression into a pushed
+    // filter; outer infers nothing and the null row is dropped by name
+    val wins = toks
+      .select(col("id"), posexplode_outer(col("whs")).as(Seq("p", "h")))
+      .where(col("h").isNotNull)
+      .select(col("id"), (col("p") + 1).cast("long").as("s"), col("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("_occ"))
+      .where(col("_occ") >= minOccurrences).select("h")
+    val dupStarts = wins.join(dup, Seq("h"), "left_semi")
+    // interval union without islands: each duplicated window [s, s+k-1]
+    // contributes the tokens past the running max end of earlier windows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = dupStarts
+      .withColumn("pe", coalesce(max(col("s") + (k - 1)).over(w), lit(0L)))
+      .withColumn("add",
+        greatest(col("s") + (k - 1) - greatest(col("pe"), col("s") - 1), lit(0L)))
+      .groupBy("id").agg(sum(col("add")).as("dup_tokens"))
+    val out = toks.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_tokens")).as("dup_ratio"))
+    val res = materialize(out)
+    toks.unpersist(blocking = false)
+    res
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Portable 64-bit token hash: the bit pattern of the first 16 hex chars

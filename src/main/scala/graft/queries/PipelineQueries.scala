@@ -245,6 +245,30 @@ object PipelineQueries {
         "doc_id", "text", expectedCorpusItems = 1000L)
     },
 
+    // Exact substring dedup (Lee et al. ExactSubstr): any 8-token window
+    // occurring >= 2 times anywhere in the corpus is a duplicated span;
+    // per doc, interval-union coverage of its duplicated windows. The
+    // oracle replays windows + corpus counts + the running-max union.
+    Q("t20_substring_dedup", Some("""
+      WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk,
+                   len(regexp_extract_all(lower(text),'\S+')) AS n
+                 FROM documents WHERE len(regexp_extract_all(lower(text),'\S+')) > 0),
+      w AS (SELECT doc_id, unnest(range(1, greatest(n-7,0)+1)) AS s, tk FROM t),
+      wh AS (SELECT doc_id, s, md5(array_to_string(tk[s:s+7], ' ')) AS h FROM w),
+      dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+      ds AS (SELECT doc_id, s FROM wh WHERE h IN (SELECT h FROM dup)),
+      cov AS (SELECT doc_id, s,
+              coalesce(max(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe FROM ds),
+      c AS (SELECT doc_id, SUM(greatest(s + 7 - greatest(pe, s - 1), 0)) AS dup_tokens
+            FROM cov GROUP BY doc_id)
+      SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens,
+             CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / n AS dup_ratio
+      FROM t LEFT JOIN c ON t.doc_id = c.doc_id""")) { (s, dir) =>
+      Dedup.duplicateSpanStats(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
+    },
+
     // Exact cosine top-5 for 20 query vectors (engine-stable via round(,9)).
     Q("t06_ann_brute", Some("""
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -203,6 +203,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("exact substring dedup: cross-doc and within-doc spans, interval union") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // shares "a b c","b c d" with doc 2
+      (2L, "x y a b c d z"),
+      (3L, "unique tokens only here now"),
+      (4L, "p q r s p q r t"),        // "p q r" repeats WITHIN the doc
+      (5L, "ab"))                     // shorter than k: no windows, 0 dup
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((6L, 4L, 4.0 / 6)), s"doc1: ${got(1L)}")   // union [1,4]
+    assert(got(2L) == ((7L, 4L, 4.0 / 7)), s"doc2: ${got(2L)}")   // union [3,6]
+    assert(got(3L) == ((5L, 0L, 0.0)))
+    assert(got(4L) == ((8L, 6L, 6.0 / 8)), s"doc4: ${got(4L)}")   // [1,3]+[5,7]
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
   test("line dedup: boilerplate lines removed everywhere, order preserved") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nunique alpha line\nshared footer\nmore alpha"),
