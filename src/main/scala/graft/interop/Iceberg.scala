@@ -558,6 +558,12 @@ object Iceberg {
     * `delete` snapshot. Returns the new snapshot id. */
   def commitPositionDeletes(spark: SparkSession, table: String, posDeletes: DataFrame): Long = {
     val meta = loadMeta(table)
+    commitSnapshot(spark, meta, writePosDeleteFiles(posDeletes, meta), "delete")
+  }
+
+  /** Write a (file_path, pos) frame as spec-shaped position-delete parquet
+    * under `data/`, returning the manifest entries to commit. */
+  private def writePosDeleteFiles(posDeletes: DataFrame, meta: TableMeta): Seq[AddedFile] = {
     val root = Paths.get(meta.location)
     val delDir = root.resolve("data")
     Files.createDirectories(delDir)
@@ -570,10 +576,9 @@ object Iceberg {
         .write.mode("overwrite").parquet(staging.toString)
       InteropUtil.moveStagedParquet(staging, delDir)
     } finally InteropUtil.deleteRecursively(staging)
-    val files = written.map { case (rel, size) =>
+    written.map { case (rel, size) =>
       AddedFile(delDir.resolve(rel).toString, 1, Map.empty, size)
     }
-    commitSnapshot(spark, meta, files, "delete")
   }
 
   /** Publish EQUALITY deletes: any data row (in files of a strictly older
@@ -606,9 +611,20 @@ object Iceberg {
       absPath: String, content: Int, partition: Map[String, String], sizeBytes: Long,
       equalityIds: Seq[Int] = Nil)
 
-  /** Write manifest + manifest list + metadata vN+1 (atomic via link). */
+  /** Write manifest + manifest list + metadata vN+1 (atomic via link).
+    *
+    * `removePaths` (absolute, resolved) makes this a REPLACE-shaped commit:
+    * any prior manifest that references a removed file is rewritten for the
+    * new snapshot — removed entries become status=2 (DELETED) tombstones
+    * stamped with the new snapshot id, survivors become status=0 (EXISTING)
+    * with their sequence numbers made explicit (the spec's inheritance only
+    * covers ADDED entries). Untouched manifests carry through by reference,
+    * so the rewrite cost is proportional to the manifests actually hit.
+    * Rewrites copy raw records under each manifest's own embedded schema —
+    * foreign writers' extra fields (column stats, split offsets) survive. */
   private def commitSnapshot(
-      spark: SparkSession, meta: TableMeta, files: Seq[AddedFile], op: String): Long = {
+      spark: SparkSession, meta: TableMeta, files: Seq[AddedFile], op: String,
+      removePaths: Set[String] = Set.empty): Long = {
     val dir = metaDir(meta.location)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = meta.lastSequenceNumber + 1
@@ -634,7 +650,7 @@ object Iceberg {
     val manifestPath = dir.resolve(s"$commitUuid-m0.avro")
     val entrySchema = manifestEntrySchema(partSchema)
     val dataFileSchema = entrySchema.getField("data_file").schema()
-    locally {
+    if (files.nonEmpty) locally {
       val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
       writer.setMeta("format-version", "2")
       writer.setMeta("content", if (files.exists(_.content != 0)) "deletes" else "data")
@@ -673,6 +689,12 @@ object Iceberg {
         readManifestListFull(resolvePath(cur.manifestList, meta.location))
       case None => Nil
     }
+    val carried: Seq[ManifestRef] =
+      if (removePaths.isEmpty) prior
+      else prior.zipWithIndex.map { case (ref, i) =>
+        rewriteManifestForRemoval(ref, removePaths, meta, snapshotId,
+          dir.resolve(s"$commitUuid-m${i + 1}.avro"))
+      }
     val addedRows = files.map(f => rowCounts.getOrElse(f.absPath, 0L)).sum
     val listPath = dir.resolve(s"snap-$snapshotId-1-$commitUuid.avro")
     locally {
@@ -681,11 +703,12 @@ object Iceberg {
       writer.setMeta("format-version", "2")
       writer.create(ls, listPath.toFile)
       try {
-        writer.append(manifestListEntry(ls, ManifestRef(
-          manifestPath.toString, Files.size(manifestPath), seq,
-          if (files.exists(_.content != 0)) 1 else 0,
-          snapshotId, files.size, addedRows, meta.specId)))
-        prior.foreach(ref => writer.append(manifestListEntry(ls, ref)))
+        if (files.nonEmpty)
+          writer.append(manifestListEntry(ls, ManifestRef(
+            manifestPath.toString, Files.size(manifestPath), seq,
+            if (files.exists(_.content != 0)) 1 else 0,
+            snapshotId, files.size, addedRows, meta.specId)))
+        carried.foreach(ref => writer.append(manifestListEntry(ls, ref)))
       } finally writer.close()
     }
 
@@ -778,7 +801,9 @@ object Iceberg {
 
   private final case class ManifestRef(
       path: String, length: Long, sequenceNumber: Long, content: Int,
-      addedSnapshotId: Long, addedFiles: Int, addedRows: Long, specId: Int = 0)
+      addedSnapshotId: Long, addedFiles: Int, addedRows: Long, specId: Int = 0,
+      existingFiles: Int = 0, deletedFiles: Int = 0,
+      existingRows: Long = 0L, deletedRows: Long = 0L)
 
   private def manifestListEntry(ls: AvroSchema, ref: ManifestRef): GenericRecord = {
     val e = new GenericData.Record(ls)
@@ -790,12 +815,67 @@ object Iceberg {
     e.put("min_sequence_number", ref.sequenceNumber)
     e.put("added_snapshot_id", ref.addedSnapshotId)
     e.put("added_files_count", ref.addedFiles)
-    e.put("existing_files_count", 0)
-    e.put("deleted_files_count", 0)
+    e.put("existing_files_count", ref.existingFiles)
+    e.put("deleted_files_count", ref.deletedFiles)
     e.put("added_rows_count", ref.addedRows)
-    e.put("existing_rows_count", 0L)
-    e.put("deleted_rows_count", 0L)
+    e.put("existing_rows_count", ref.existingRows)
+    e.put("deleted_rows_count", ref.deletedRows)
     e
+  }
+
+  /** Rewrite one prior manifest for a replace commit: entries for
+    * `removePaths` become DELETED tombstones stamped with the committing
+    * snapshot, survivors become EXISTING with explicit sequence numbers,
+    * and tombstones inherited from earlier commits are dropped (their
+    * history lives in the older snapshot's own manifests). A manifest
+    * touching no removed path carries through by reference, unwritten.
+    * Records are copied under the source manifest's own embedded schema so
+    * fields this binding doesn't model (column stats, split offsets)
+    * survive the rewrite. */
+  private def rewriteManifestForRemoval(
+      ref: ManifestRef, removePaths: Set[String], meta: TableMeta,
+      newSnapshotId: Long, out: JPath): ManifestRef = {
+    val src = new java.io.File(resolvePath(ref.path, meta.location))
+    val reader = DataFileReader.openReader(src, new GenericDatumReader[GenericRecord]())
+    try {
+      val records = reader.iterator().asScala.toVector
+      def dataFile(r: GenericRecord) = r.get("data_file").asInstanceOf[GenericRecord]
+      def filePath(r: GenericRecord) =
+        resolvePath(dataFile(r).get("file_path").toString, meta.location)
+      if (!records.exists(r => removePaths.contains(filePath(r)))) return ref
+      val schema = reader.getSchema
+      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      reader.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+        .foreach(k => writer.setMeta(k, reader.getMeta(k)))
+      writer.create(schema, out.toFile)
+      var (exF, deF) = (0, 0)
+      var (exR, deR) = (0L, 0L)
+      try records.foreach { r =>
+        val priorStatus = r.get("status").asInstanceOf[Int]
+        if (priorStatus != 2) {
+          val rc = Option(dataFile(r).get("record_count"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          if (r.get("sequence_number") == null) r.put("sequence_number", ref.sequenceNumber)
+          if (schema.getField("file_sequence_number") != null &&
+              r.get("file_sequence_number") == null)
+            r.put("file_sequence_number", ref.sequenceNumber)
+          if (removePaths.contains(filePath(r))) {
+            r.put("status", 2)
+            r.put("snapshot_id", newSnapshotId)
+            deF += 1; deR += rc
+          } else {
+            r.put("status", 0)
+            if (r.get("snapshot_id") == null) r.put("snapshot_id", ref.addedSnapshotId)
+            exF += 1; exR += rc
+          }
+          writer.append(r)
+        }
+      } finally writer.close()
+      ref.copy(path = out.toString, length = Files.size(out),
+        addedSnapshotId = newSnapshotId, addedFiles = 0, addedRows = 0L,
+        existingFiles = exF, deletedFiles = deF,
+        existingRows = exR, deletedRows = deR)
+    } finally reader.close()
   }
 
   /** Every manifest in a list, with its provenance metadata preserved. */
@@ -813,7 +893,11 @@ object Iceberg {
         long("added_snapshot_id", 0L),
         int("added_files_count", 0),
         long("added_rows_count", 0L),
-        int("partition_spec_id", 0))
+        int("partition_spec_id", 0),
+        int("existing_files_count", 0),
+        int("deleted_files_count", 0),
+        long("existing_rows_count", 0L),
+        long("deleted_rows_count", 0L))
     }.toSeq
     finally reader.close()
   }
