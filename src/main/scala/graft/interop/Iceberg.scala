@@ -836,7 +836,7 @@ object Iceberg {
       ref: ManifestRef, removePaths: Set[String], meta: TableMeta,
       newSnapshotId: Long, out: JPath): ManifestRef = {
     val src = new java.io.File(resolvePath(ref.path, meta.location))
-    val reader = DataFileReader.openReader(src, new GenericDatumReader[GenericRecord]())
+    val reader = new DataFileReader[GenericRecord](src, new GenericDatumReader[GenericRecord]())
     try {
       val records = reader.iterator().asScala.toVector
       def dataFile(r: GenericRecord) = r.get("data_file").asInstanceOf[GenericRecord]
