@@ -45,7 +45,8 @@ object Bench {
     // — janino compilation of the 64-aggregate generated classes costs
     // seconds once per JVM and is a fixed constant, not a scale property
     // (the generated-source cache serves the measured run).
-    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => () } // warm-up only; failures surface in the measured run
     locally {
       import spark.implicits._
       val warm = (1 to 16).map(i => (i.toLong, s"warm doc number $i with text")).toDF("doc_id", "text")
@@ -59,14 +60,22 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def attempt(name: String)(body: => Double): Unit =
+      try results(name) = body
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+      }
     // Min of two runs per query: the steady-state number. A single-shot
     // measurement on a shared machine mixes in scheduler noise and
     // stragglers (the raw-parquet floor anchor alone varied 0.8-2.8 s
     // across identical runs); the min is the reproducible cost of the
-    // plan, which is what a scale judgment needs.
+    // plan, which is what a scale judgment needs. A query missing from the
+    // registry or failing at analysis becomes an "errors" entry rather
+    // than crashing the whole run (registry/testdata drift resilience).
     headline.foreach { name =>
-      val runs = (1 to 2).map(_ => time(SparkEntry.queries(name)(spark, sfDir).count()))
-      results(name) = runs.min
+      if (!SparkEntry.queries.contains(name)) errors(name) = "not registered in SparkEntry.queries"
+      else attempt(name)((1 to 2).map(_ => time(SparkEntry.queries(name)(spark, sfDir).count())).min)
     }
 
     // BASELINE.md pipeline: bulk write (auto-compacts) → 1% upsert
@@ -75,7 +84,7 @@ object Bench {
     // temp dirs), reported as the min of the two.
     def timeMin2(body: => Unit): Double = Seq(time(body), time(body)).min
 
-    results("pipeline_write_compact_read") = timeMin2 {
+    attempt("pipeline_write_compact_read")(timeMin2 {
       val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench").toString)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -94,16 +103,16 @@ object Bench {
         li.select("l_orderkey", "l_linenumber").where(col("l_orderkey") % 101 === 0),
         "bench.li", WriteMode.Delete)
       cat.readTable("bench.li").count()
-    }
+    })
 
     // Anchor: the same data through bare Spark parquet write + read.
-    results("baseline_raw_spark") = timeMin2 {
+    attempt("baseline_raw_spark")(timeMin2 {
       val out = Files.createTempDirectory("graft_bench_raw").toString
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
         .write.mode("overwrite").parquet(s"$out/li")
       spark.read.parquet(s"$out/li").count()
-    }
+    })
 
     // ---- 10x scaled entries. sf0.1 is small enough that per-job overhead
     // dominates; these rerun the two heaviest paths at 10x the volume
@@ -134,13 +143,13 @@ object Bench {
         .write.mode("overwrite").parquet(s"$scaleDir/lineitem10x")
 
       val docs10 = spark.read.parquet(s"$scaleDir/documents10x")
-      results("t04_minhash_neardup_10x") = time {
+      attempt("t04_minhash_neardup_10x")(time {
         graft.operators.Dedup.minhashPairs(docs10, "doc_id", "text",
           bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
           maxBucketWidth = Some(64)).count()
-      }
+      })
       val li10 = spark.read.parquet(s"$scaleDir/lineitem10x")
-      results("pipeline_10x") = time {
+      attempt("pipeline_10x")(time {
         val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench10").toString)
         cat.createTable("bench.li10", StructType(Seq(
           FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
@@ -157,21 +166,25 @@ object Bench {
           li10.select("l_orderkey", "l_linenumber").where(col("l_orderkey") % 101 === 0),
           "bench.li10", WriteMode.Delete)
         cat.readTable("bench.li10").count()
-      }
+      })
       // 10x raw floor: anchors how much of pipeline_10x is irreducible
       // parquet write+read (the fixed ACID/commit costs amortize with
       // scale — the pipeline/floor ratio should SHRINK vs the 1x pair).
-      results("baseline_raw_spark_10x") = time {
+      attempt("baseline_raw_spark_10x")(time {
         val out = Files.createTempDirectory("graft_bench_raw10").toString
         li10.write.mode("overwrite").parquet(s"$out/li")
         spark.read.parquet(s"$out/li").count()
-      }
+      })
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        .mkString(""","errors":{""", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

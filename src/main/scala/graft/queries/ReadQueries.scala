@@ -25,13 +25,21 @@ object Queries {
 
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-  /** events.parquet carries nanosecond timestamps (unreadable by Spark's
-    * parquet reader natively): read ts as long nanos, truncate to micros —
-    * exactly what DuckDB's ns→µs conversion does. */
+  /** events.parquet's `ts` column has shipped in two physical encodings
+    * across testdata generations: int64 nanoseconds (unreadable by Spark's
+    * parquet reader natively) and a proper microsecond timestamp. Branch on
+    * the type actually read so both work: long nanos truncate to micros —
+    * exactly what DuckDB's ns→µs conversion does — while native timestamps
+    * just normalize to TIMESTAMP_NTZ. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val df = tbl(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
   /** Exact decimal sum of a double column, surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
