@@ -57,11 +57,12 @@ object Hudi {
 
   private def hoodieDir(table: String): JPath = Paths.get(table, ".hoodie")
 
-  /** Completed instants only: `<time>.commit` / `<time>.replacecommit`,
-    * plus the 1.x form `<time>_<completionTime>.<action>`. (12-18 digit
-    * times accepted: old Hudi used second granularity.) */
+  /** Completed instants only: `<time>.commit` / `<time>.replacecommit` /
+    * `<time>.deltacommit` (merge-on-read log writes), plus the 1.x form
+    * `<time>_<completionTime>.<action>`. (12-18 digit times accepted: old
+    * Hudi used second granularity.) */
   private val CompletedRe =
-    "^([0-9]{12,18})(?:_[0-9]{12,18})?\\.(commit|replacecommit)$".r
+    "^([0-9]{12,18})(?:_[0-9]{12,18})?\\.(commit|replacecommit|deltacommit)$".r
 
   final case class Instant(time: String, action: String, fileName: String)
 
@@ -87,18 +88,45 @@ object Hudi {
 
   // ---------------------------------------------------------------- read
 
-  /** One live base file of a file group. `partitionPath` is the raw
-    * relative dir ("" for unpartitioned; hive-style `k=v` when our writer
-    * produced it). */
+  /** One log (delta) file of a merge-on-read file slice, named
+    * `.<fileId>_<baseInstant>.log.<version>_<writeToken>` (tech-specs
+    * "Log File Format"). `instant` is the deltacommit that first recorded
+    * it on the timeline. */
+  final case class LogFile(
+      partitionPath: String, fileId: String, relPath: String,
+      baseInstant: String, version: Int, instant: String)
+
+  private val LogNameRe = "^\\.(.+)_([0-9]{12,18})\\.log\\.([0-9]+)_(.+)$".r
+
+  private[graft] def isLogPath(relPath: String): Boolean = {
+    val name = relPath.split('/').last
+    name.startsWith(".") && name.contains(".log.")
+  }
+
+  private def parseLogAdd(a: FileSlice): LogFile = a.relPath.split('/').last match {
+    case LogNameRe(fid, base, v, _) =>
+      LogFile(a.partitionPath, fid, a.relPath, base, v.toInt, a.instant)
+    case other => throw new IllegalStateException(s"unparseable Hudi log file name: $other")
+  }
+
+  /** One live file slice of a file group: the newest base file (if any —
+    * `relPath` is "" for a log-only group) plus its attached log files in
+    * apply order. `partitionPath` is the raw relative dir ("" for
+    * unpartitioned; hive-style `k=v` when our writer produced it). */
   final case class FileSlice(
-      partitionPath: String, fileId: String, relPath: String, instant: String)
+      partitionPath: String, fileId: String, relPath: String, instant: String,
+      logFiles: Seq[LogFile] = Nil)
 
   /** Resolved snapshot: live slices + what the commit metadata knows about
     * the table shape. `schema` is present when a commit recorded an Avro
-    * schema (ours always do; foreign writers usually do too). */
+    * schema (ours always do; foreign writers usually do too).
+    * `completedInstants` is the instant-time set visible at the snapshot —
+    * log blocks are gated on it at read (uncommitted log data is
+    * invisible, exactly Hudi's reader contract). */
   final case class Snapshot(
       instant: String, slices: Seq[FileSlice],
-      schema: Option[StructType], partitionFields: Seq[String])
+      schema: Option[StructType], partitionFields: Seq[String],
+      completedInstants: Set[String] = Set.empty)
 
   def snapshot(
       spark: SparkSession, table: String,
@@ -111,16 +139,18 @@ object Hudi {
     require(instants.nonEmpty || cutoff.isEmpty || timeline(table).isEmpty,
       s"no completed instant at or before ${cutoff.get} in $table")
 
-    // replay: adds per (partition, fileId) keep the newest; replaced groups
-    // die. Driver loop for short timelines, a DataFrame job above the
-    // threshold (a long-lived ingest table accumulates thousands of
-    // instants — the same scaling rule as the Delta log replay).
+    // replay: adds per (partition, fileId) keep the newest base; log adds
+    // attach to their slice; replaced groups die. Driver loop for short
+    // timelines, a DataFrame job above the threshold (a long-lived ingest
+    // table accumulates thousands of instants — the same scaling rule as
+    // the Delta log replay).
     val live =
       if (instants.size < DistributedReplayThreshold) replayOnDriver(table, instants)
       else replayDistributed(spark, table, instants)
     Snapshot(instants.lastOption.map(_.time).getOrElse(""),
       live.sortBy(s => (s.partitionPath, s.fileId)),
-      resolveSchema(table, instants), partitionFields(table))
+      resolveSchema(table, instants), partitionFields(table),
+      instants.map(_.time).toSet)
   }
 
   /** Var only so tests can exercise the distributed branch cheaply. */
@@ -149,10 +179,32 @@ object Hudi {
 
   private def replayOnDriver(table: String, instants: Seq[Instant]): Seq[FileSlice] = {
     val (adds, dead) = addsAndDead(table, instants)
-    adds
-      .groupBy(s => (s.partitionPath, s.fileId))
-      .filterNot { case (k, _) => dead.contains(k) }
-      .values.map(_.maxBy(_.instant)).toSeq
+    assembleSlices(adds.filterNot(a => dead.contains((a.partitionPath, a.fileId))))
+  }
+
+  /** Live adds → file slices. Per group: newest base file wins; log files
+    * with that base's instant attach in (version, instant) order (older
+    * baseInstants were compacted away); a group with only log files is a
+    * log-only slice (insert into MoR before any compaction). The same log
+    * path re-recorded by a later appending deltacommit dedupes to its
+    * first appearance — block-level instant gating handles visibility. */
+  private def assembleSlices(live: Seq[FileSlice]): Seq[FileSlice] = {
+    val (logAdds, baseAdds) = live.partition(a => isLogPath(a.relPath))
+    val logsByGroup = logAdds.map(parseLogAdd)
+      .groupBy(l => (l.partitionPath, l.fileId))
+      .view.mapValues(_.groupBy(_.relPath).values.map(_.minBy(_.instant)).toSeq).toMap
+    val baseGroups = baseAdds.groupBy(s => (s.partitionPath, s.fileId))
+    val withBase = baseGroups.map { case (k, vs) =>
+      val b = vs.maxBy(_.instant)
+      b.copy(logFiles = logsByGroup.getOrElse(k, Nil)
+        .filter(_.baseInstant == b.instant)
+        .sortBy(l => (l.version, l.instant, l.relPath)))
+    }.toSeq
+    val logOnly = (logsByGroup.keySet -- baseGroups.keySet).toSeq.map { case k @ (p, fid) =>
+      val logs = logsByGroup(k).sortBy(l => (l.baseInstant, l.version, l.instant, l.relPath))
+      FileSlice(p, fid, "", logs.head.instant, logs)
+    }
+    withBase ++ logOnly
   }
 
   /** Reclaim storage (Hudi's cleaner, KEEP_LATEST_FILE_VERSIONS policy):
@@ -168,7 +220,16 @@ object Hudi {
     val doomed = adds.groupBy(s => (s.partitionPath, s.fileId)).toSeq.flatMap {
       case (k, vs) =>
         if (dead.contains(k)) vs // replaced group: every version reclaimable
-        else vs.sortBy(_.instant).dropRight(keepVersions)
+        else {
+          // log files live with their base version: one attached to a kept
+          // base (or to a log-only group's head) survives; one whose
+          // baseInstant predates every kept base was compacted away
+          val (logs, bases) = vs.partition(a => isLogPath(a.relPath))
+          val keptBases = bases.sortBy(_.instant).takeRight(keepVersions)
+          val floor = keptBases.headOption.map(_.instant)
+          bases.sortBy(_.instant).dropRight(keepVersions) ++
+            logs.filter(l => floor.exists(parseLogAdd(l).baseInstant < _))
+        }
     }.map(s => root.resolve(s.relPath).toString).distinct
     InteropUtil.deleteFilesDistributed(spark, doomed)
     doomed.size.toLong
@@ -204,12 +265,22 @@ object Hudi {
     val dead = raw.where(col("action") === "replacecommit")
       .select(explode(col("partitionToReplaceFileIds")).as(Seq("p", "fids")))
       .select(col("p"), explode(col("fids")).as("fileId")).distinct()
-    adds.groupBy("p", "fileId")
+    // log adds (hidden `.…log.…` names) must NOT last-wins-collapse with
+    // their base file: reduce bases in the job, keep live log adds whole,
+    // assemble slices from the (metadata-sized) union on the driver.
+    val isLog = regexp_extract(col("relPath"), "([^/]+)$", 1).rlike("^\\..*\\.log\\.")
+    val bases = adds.where(!isLog).groupBy("p", "fileId")
       .agg(max_by(struct(col("relPath"), col("instant")), col("instant")).as("w"))
       .join(dead, Seq("p", "fileId"), "left_anti")
       .select(col("p"), col("fileId"), col("w.relPath"), col("w.instant"))
       .collect().toSeq
       .map(r => FileSlice(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val logs = adds.where(isLog)
+      .join(dead, Seq("p", "fileId"), "left_anti")
+      .select("p", "fileId", "relPath", "instant")
+      .collect().toSeq
+      .map(r => FileSlice(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assembleSlices(bases ++ logs)
   }
 
   /** Newest recorded Avro schema, scanning backwards (it lives in every
@@ -226,17 +297,32 @@ object Hudi {
     None
   }
 
+  private def hoodieProps(table: String): java.util.Properties = {
+    val props = new java.util.Properties()
+    val p = hoodieDir(table).resolve("hoodie.properties")
+    if (Files.exists(p)) {
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+    }
+    props
+  }
+
+  private def csvProp(table: String, key: String): Seq[String] =
+    Option(hoodieProps(table).getProperty(key)).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** `hoodie.table.partition.fields` from hoodie.properties (empty when
     * unpartitioned or foreign table omitted it). */
-  def partitionFields(table: String): Seq[String] = {
-    val p = hoodieDir(table).resolve("hoodie.properties")
-    if (!Files.exists(p)) return Nil
-    val props = new java.util.Properties()
-    val in = Files.newInputStream(p)
-    try props.load(in) finally in.close()
-    Option(props.getProperty("hoodie.table.partition.fields")).toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-  }
+  def partitionFields(table: String): Seq[String] =
+    csvProp(table, "hoodie.table.partition.fields")
+
+  /** `hoodie.table.recordkey.fields` — required to merge log records onto
+    * base rows in a merge-on-read table. */
+  def recordKeyFields(table: String): Seq[String] =
+    csvProp(table, "hoodie.table.recordkey.fields")
+
+  def tableType(table: String): String =
+    Option(hoodieProps(table).getProperty("hoodie.table.type")).getOrElse("COPY_ON_WRITE")
 
   /** Snapshot read of a copy-on-write table. Meta columns (`_hoodie_*`)
     * present in foreign-written base files are dropped unless
@@ -257,21 +343,32 @@ object Hudi {
       case Some(pred) if snap.slices.nonEmpty =>
         // evaluate once per slice on a tiny local frame; no data touched
         import spark.implicits._
-        val rows = snap.slices.map(s => (s.relPath, partValues(s.partitionPath, pf)))
+        val rows = snap.slices.zipWithIndex.map { case (s, i) =>
+          (i, partValues(s.partitionPath, pf))
+        }
         val cols = pf.zipWithIndex.map { case (f, i) =>
           val c = col("_2")(i)
           snap.schema.flatMap(sc => sc.fields.find(_.name == f)).map(sf => c.cast(sf.dataType))
             .getOrElse(c).as(f)
         }
         val kept = rows.toDF("_1", "_2").select((col("_1") +: cols): _*).where(pred)
-          .select("_1").as[String].collect().toSet
-        snap.slices.filter(s => kept.contains(s.relPath))
+          .select("_1").as[Int].collect().toSet
+        snap.slices.zipWithIndex.collect { case (s, i) if kept(i) => s }
       case _ => snap.slices
     }
     if (slices.isEmpty)
       return InteropUtil.emptyFrame(spark,
         snap.schema.getOrElse(StructType(Nil)))
-    readSlices(spark, table, slices, snap.schema, pf, keepMetaFields)
+    // merge-on-read: slices carrying log files go through the key-merge
+    // path; pure base-file slices stay on the plain scan
+    val (mor, plain) = slices.partition(_.logFiles.nonEmpty)
+    val parts = Seq(
+      Option(plain).filter(_.nonEmpty).map(ps =>
+        readSlices(spark, table, ps, snap.schema, pf, keepMetaFields)),
+      Option(mor).filter(_.nonEmpty).map(ms =>
+        readMerged(spark, table, ms, snap.schema, pf, keepMetaFields,
+          snap.completedInstants))).flatten
+    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Hudi incremental query over a copy-on-write table: rows written by
@@ -288,12 +385,23 @@ object Hudi {
     // replay semantics over the window: newest slice per file group, groups
     // replaced inside the window dropped — rows that no longer exist at the
     // window's end must not surface in the pull
-    val added: Seq[FileSlice] =
+    val assembled: Seq[FileSlice] =
       if (window.size < DistributedReplayThreshold) replayOnDriver(table, window)
       else replayDistributed(spark, table, window)
+    // merge-on-read: log blocks written inside the window are pulled as
+    // rows tagged with their block's commit instant; base-file adds keep
+    // the existing path. Log-only slices contribute no base files.
+    val windowLogs = assembled.flatMap(s =>
+      s.logFiles.map(l => (s.partitionPath + " " + s.fileId, l)))
+    val gidPart: Map[String, String] =
+      assembled.map(s => (s.partitionPath + " " + s.fileId) -> s.partitionPath).toMap
+    val logRows: Option[DataFrame] =
+      logRecordsFrame(spark, table, windowLogs, window.map(_.time).toSet,
+        instantWindow = Some((fromInstant, toInstant)), withInstant = true)
+    val added = assembled.filter(_.relPath.nonEmpty).map(_.copy(logFiles = Nil))
     val schema = resolveSchema(table, tl)
     val pf = partitionFields(table)
-    if (added.isEmpty)
+    if (added.isEmpty && logRows.isEmpty)
       return InteropUtil.emptyFrame(spark,
         StructType(schema.getOrElse(StructType(Nil)).fields :+
           StructField("_hoodie_commit_instant", StringType)))
@@ -309,14 +417,34 @@ object Hudi {
       if (sc.fieldNames.contains(metaCol)) sc
       else StructType(sc.fields :+ StructField(metaCol, StringType))
     }
-    val raw = readSlices(spark, table, added, readSchema, pf, keepMetaFields = true,
-      commitInstantOf = Some(added.map(s => s.relPath -> s.instant).toMap))
-    val filtered =
+    val basePull: Option[DataFrame] = Option(added).filter(_.nonEmpty).map { bs =>
+      val raw = readSlices(spark, table, bs, readSchema, pf, keepMetaFields = true,
+        commitInstantOf = Some(bs.map(s => s.relPath -> s.instant).toMap))
       if (raw.columns.contains(metaCol))
         raw.where(col(metaCol).isNull ||
           (col(metaCol) > fromInstant &&
             toInstant.map(col(metaCol) <= lit(_)).getOrElse(lit(true))))
       else raw
+    }
+    // log-block rows: reattach partition values from their file group
+    val logPull: Option[DataFrame] = logRows.map { lr =>
+      import spark.implicits._
+      val needPf = pf.filterNot(lr.columns.contains)
+      val withPv =
+        if (needPf.isEmpty) lr
+        else {
+          val pv = gidPart.toSeq.map { case (g, p) => (g, partValues(p, pf)) }
+            .toDF("_g_gid", "_g_pv")
+          needPf.foldLeft(lr.join(broadcast(pv), Seq("_g_gid"))) { case (df, f) =>
+            val c = col("_g_pv")(pf.indexOf(f))
+            df.withColumn(f, schema.flatMap(_.fields.find(_.name == f))
+              .map(sf => c.cast(sf.dataType)).getOrElse(c))
+          }.drop("_g_pv")
+        }
+      withPv.drop("_g_gid", "_g_seq")
+    }
+    val filtered = (basePull.toSeq ++ logPull.toSeq)
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     filtered.drop(filtered.columns
       .filter(c => c.startsWith("_hoodie_") && c != "_hoodie_commit_instant"): _*)
   }
@@ -393,6 +521,319 @@ object Hudi {
     else fields.map(_ => null)
   }
 
+  // ------------------------------------------- merge-on-read log format
+  //
+  // HoodieLogFormat version 1 (hudi.apache.org/tech-specs "Log File
+  // Format"): a log file is a sequence of blocks, each
+  //   #HUDI# | blockLen(8) | formatVersion(4) | blockType(4)
+  //   | headers | contentLen(8) | content | footers | totalLen(8)
+  // where headers/footers serialize as count(4) then per entry
+  // ordinal(4) + utf8Len(4) + utf8 bytes.
+
+  private val LogMagic: Array[Byte] = "#HUDI#".getBytes(StandardCharsets.US_ASCII)
+  // HoodieLogBlockType ordinals
+  private val CommandBlock = 0
+  private val DeleteBlock = 1
+  private val CorruptBlock = 2
+  private val AvroDataBlock = 3
+  private val ParquetDataBlock = 5
+  // HeaderMetadataType ordinals
+  private val HInstantTime = 0
+  private val HTargetInstant = 1
+  private val HSchema = 2
+  private val HCommandType = 3
+
+  private[graft] final case class LogBlock(
+      blockType: Int, headers: Map[Int, String], content: Array[Byte])
+
+  private def readLogMeta(in: java.io.DataInputStream): Map[Int, String] = {
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val k = in.readInt()
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      k -> new String(bytes, StandardCharsets.UTF_8)
+    }.toMap
+  }
+
+  private def writeLogMeta(out: java.io.DataOutputStream, m: Map[Int, String]): Unit = {
+    out.writeInt(m.size)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      out.writeInt(k)
+      val bytes = v.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+  }
+
+  /** Scan every block of one log file, applying rollback command blocks
+    * (a COMMAND block whose COMMAND_BLOCK_TYPE is ROLLBACK invalidates the
+    * earlier blocks of the SAME file carrying its TARGET_INSTANT_TIME —
+    * Hudi's failed-write recovery). Corrupt-marked blocks are skipped. */
+  private[graft] def scanLogBlocks(path: JPath): Seq[LogBlock] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(path)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[LogBlock]
+    try {
+      val magic = new Array[Byte](LogMagic.length)
+      var eof = false
+      while (!eof) {
+        val first = in.read()
+        if (first < 0) eof = true
+        else {
+          magic(0) = first.toByte
+          in.readFully(magic, 1, magic.length - 1)
+          require(java.util.Arrays.equals(magic, LogMagic),
+            s"bad log block magic in $path — corrupt or unsupported log format")
+          in.readLong() // block length (forward pointer)
+          val ver = in.readInt()
+          require(ver <= 1, s"unsupported HoodieLogFormat version $ver in $path")
+          val btype = in.readInt()
+          val headers = readLogMeta(in)
+          val contentLen = in.readLong()
+          require(contentLen >= 0 && contentLen <= Int.MaxValue, s"log block content length $contentLen")
+          val content = new Array[Byte](contentLen.toInt)
+          in.readFully(content)
+          readLogMeta(in) // footers
+          in.readLong() // total block length (reverse pointer)
+          if (btype == CommandBlock && headers.get(HCommandType).forall(_ == "0"))
+            headers.get(HTargetInstant).foreach { target =>
+              out.filterInPlace(b => !b.headers.get(HInstantTime).contains(target))
+            }
+          else if (btype != CorruptBlock) out += LogBlock(btype, headers, content)
+        }
+      }
+      out.toSeq
+    } finally in.close()
+  }
+
+  /** Frame one log block in the v1 on-disk layout. */
+  private[graft] def frameLogBlock(
+      blockType: Int, headers: Map[Int, String], content: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val hb = { val b = new java.io.ByteArrayOutputStream(); val d = new java.io.DataOutputStream(b)
+      writeLogMeta(d, headers); d.flush(); b.toByteArray }
+    val fb = { val b = new java.io.ByteArrayOutputStream(); val d = new java.io.DataOutputStream(b)
+      writeLogMeta(d, Map.empty); d.flush(); b.toByteArray }
+    // blockLen excludes magic + its own field; totalLen (reverse pointer)
+    // covers everything written before it including magic — both per the
+    // reference implementation's accounting
+    val blockLen = 4L + 4L + hb.length + 8L + content.length + fb.length + 8L
+    out.write(LogMagic)
+    out.writeLong(blockLen)
+    out.writeInt(1)
+    out.writeInt(blockType)
+    out.write(hb)
+    out.writeLong(content.length.toLong)
+    out.write(content)
+    out.write(fb)
+    out.writeLong(LogMagic.length + 8L + blockLen - 8L)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Extracted data block, materialized to a standalone scratch file the
+    * executors can re-read with the native parquet/avro readers. */
+  private final case class BlockMeta(
+      gid: String, fmt: String, path: String, instant: String,
+      version: Int, idx: Int, avroSchema: String)
+
+  /** Scratch dir for extracted log-block contents. On a multi-executor
+    * cluster this MUST point at shared storage
+    * (`graft.interop.hudi.scratchDir`); the default JVM temp dir is
+    * correct for local mode. */
+  private def scratchRoot(spark: SparkSession): String =
+    spark.conf.getOption("graft.interop.hudi.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Distributed block extraction: one task per log file scans its blocks,
+    * gates them on the COMPLETED instant set (uncommitted log data is
+    * invisible — Hudi's reader contract), and spills each data block's
+    * content to a scratch file (parquet as-is; avro binary records
+    * re-encoded as a container file). Only block METADATA returns to the
+    * driver; row bytes never do. */
+  private def extractLogBlocks(
+      spark: SparkSession, table: String,
+      logs: Seq[(String, LogFile)], completed: Set[String],
+      instantWindow: Option[(String, Option[String])] = None): Seq[BlockMeta] = {
+    if (logs.isEmpty) return Nil
+    val root = Paths.get(table).toAbsolutePath
+    val scratch = Files.createTempDirectory(
+      Paths.get(scratchRoot(spark)), "graft_hudi_logs_").toString
+    val completedB = spark.sparkContext.broadcast(completed)
+    val tasks = logs.map { case (gid, l) =>
+      (gid, root.resolve(l.relPath).toString, l.version)
+    }
+    val metas = spark.sparkContext
+      .parallelize(tasks, math.min(tasks.size, spark.sparkContext.defaultParallelism * 2))
+      .flatMap { case (gid, absPath, version) =>
+        scanLogBlocks(Paths.get(absPath)).zipWithIndex.flatMap { case (b, idx) =>
+          val instant = b.headers.getOrElse(HInstantTime, "")
+          val visible = completedB.value.contains(instant) &&
+            instantWindow.forall { case (from, to) =>
+              instant > from && to.forall(instant <= _) }
+          if (!visible) None
+          else b.blockType match {
+            case ParquetDataBlock =>
+              val out = Paths.get(scratch, java.util.UUID.randomUUID().toString + ".parquet")
+              Files.write(out, b.content)
+              Some(BlockMeta(gid, "parquet", out.toString, instant, version, idx, null))
+            case AvroDataBlock =>
+              val schemaStr = b.headers.getOrElse(HSchema,
+                throw new IllegalStateException(s"avro data block without SCHEMA header in $absPath"))
+              val out = Paths.get(scratch, java.util.UUID.randomUUID().toString + ".avro")
+              rewriteAvroBlock(b.content, schemaStr, out)
+              Some(BlockMeta(gid, "avro", out.toString, instant, version, idx, schemaStr))
+            case DeleteBlock =>
+              throw new UnsupportedOperationException(
+                s"Hudi DELETE_BLOCK (kryo/avro delete-record list) in $absPath is not supported — " +
+                  "write deletes as data blocks with _hoodie_is_deleted=true")
+            case other =>
+              throw new UnsupportedOperationException(s"Hudi log block type $other in $absPath")
+          }
+        }
+      }.collect().toSeq
+    // apply order: commit instant, then log version, then position in file
+    metas.sortBy(m => (m.instant, m.version, m.idx))
+  }
+
+  /** Avro data block content — formatVersion(4) + recordCount(4) then per
+    * record len(4) + avro-binary bytes — re-encoded as a container file
+    * readable by the Graft AvroFileFormat. */
+  private def rewriteAvroBlock(content: Array[Byte], schemaStr: String, out: JPath): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    import org.apache.avro.file.DataFileWriter
+    val schema = new Schema.Parser().parse(schemaStr)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(content))
+    in.readInt() // block content format version
+    val n = in.readInt()
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out.toFile)
+    try (0 until n).foreach { _ =>
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      w.append(reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null)))
+    } finally w.close()
+  }
+
+  /** Log rows of the given (gid, LogFile) pairs as one DataFrame with
+    * `_g_gid` (file group) and `_g_seq` (global apply order) attached —
+    * the merge input. None when every block is gated out. */
+  private def logRecordsFrame(
+      spark: SparkSession, table: String, logs: Seq[(String, LogFile)],
+      completed: Set[String],
+      instantWindow: Option[(String, Option[String])] = None,
+      withInstant: Boolean = false): Option[DataFrame] = {
+    val metas = extractLogBlocks(spark, table, logs, completed, instantWindow)
+    if (metas.isEmpty) return None
+    import spark.implicits._
+    val seqOf = metas.zipWithIndex.map { case (m, i) => (m.path, (m.gid, i.toLong, m.instant)) }
+    val tag = seqOf.map { case (p, (g, s, i)) => (p, g, s, i) }
+      .toDF("_g_bpath", "_g_gid", "_g_seq", "_g_binstant")
+    val decode = udf(InteropUtil.decodeAnyPath _)
+    def attach(df: DataFrame): DataFrame = {
+      val t = df.withColumn("_g_bpath", decode(col("_metadata.file_path")))
+        .join(broadcast(tag), Seq("_g_bpath")).drop("_g_bpath")
+      if (withInstant) t.withColumn("_hoodie_commit_instant", col("_g_binstant")).drop("_g_binstant")
+      else t.drop("_g_binstant")
+    }
+    val parts = Seq(
+      Option(metas.filter(_.fmt == "parquet")).filter(_.nonEmpty).map { ms =>
+        attach(spark.read.option("mergeSchema", "true").parquet(ms.map(_.path): _*))
+      },
+      Option(metas.filter(_.fmt == "avro")).filter(_.nonEmpty).map { ms =>
+        val st = AvroFileFormat.fromAvroSchema(
+          new org.apache.avro.Schema.Parser().parse(ms.last.avroSchema))
+          .asInstanceOf[StructType]
+        attach(spark.read.format(classOf[AvroFileFormat].getName)
+          .schema(st).load(ms.map(_.path): _*))
+      }).flatten
+    parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Merge-on-read snapshot read of the log-bearing slices: per file group
+    * and record key, the latest log record wins over the base row; a log
+    * record flagged `_hoodie_is_deleted` tombstones it. One shuffle on
+    * (group, key) for the log window + one key-partitioned anti-join for
+    * the base — no row ever visits the driver. */
+  private def readMerged(
+      spark: SparkSession, table: String, slices: Seq[FileSlice],
+      schema: Option[StructType], pf: Seq[String], keepMetaFields: Boolean,
+      completed: Set[String]): DataFrame = {
+    val keys = recordKeyFields(table)
+    require(keys.nonEmpty,
+      s"$table has log files but no hoodie.table.recordkey.fields — cannot merge")
+    val root = Paths.get(table).toAbsolutePath
+    def gidOf(s: FileSlice) = s.partitionPath + " " + s.fileId
+
+    val logDF = logRecordsFrame(spark, table,
+      slices.flatMap(s => s.logFiles.map(l => (gidOf(s), l))), completed)
+
+    val withBase = slices.filter(_.relPath.nonEmpty)
+    val baseDF: Option[DataFrame] = Option(withBase).filter(_.nonEmpty).map { bs =>
+      import spark.implicits._
+      val dataOnly = schema.map(sc => StructType(sc.fields.filterNot(f => pf.contains(f.name))))
+      val raw = dataOnly match {
+        case Some(sc) => spark.read.schema(sc).parquet(bs.map(b => root.resolve(b.relPath).toString): _*)
+        case None => spark.read.parquet(bs.map(b => root.resolve(b.relPath).toString): _*)
+      }
+      val tag = bs.map(b => (root.resolve(b.relPath).toString, gidOf(b))).toDF("_g_bpath", "_g_gid")
+      val decode = udf(InteropUtil.decodeRelPath _)
+      raw.withColumn("_g_bpath", decode(col("_metadata.file_path")))
+        .join(broadcast(tag), Seq("_g_bpath")).drop("_g_bpath")
+    }
+
+    val delFlag = "_hoodie_is_deleted"
+    val merged = (logDF, baseDF) match {
+      case (None, None) => return InteropUtil.emptyFrame(spark, schema.getOrElse(StructType(Nil)))
+      case (None, Some(b)) => b
+      case (Some(l), b) =>
+        import org.apache.spark.sql.expressions.Window
+        val keyCols = ("_g_gid" +: keys).map(col)
+        val latest = l
+          .withColumn("_g_rn", row_number().over(
+            Window.partitionBy(keyCols: _*).orderBy(col("_g_seq").desc)))
+          .where(col("_g_rn") === 1).drop("_g_rn", "_g_seq")
+        val live =
+          if (latest.columns.contains(delFlag))
+            latest.where(!coalesce(col(delFlag), lit(false)))
+          else latest
+        b match {
+          case None => live
+          case Some(base) =>
+            base.join(latest.select(keyCols: _*), "_g_gid" +: keys, "left_anti")
+              .unionByName(live, allowMissingColumns = true)
+        }
+    }
+    // reattach partition values (by group) for fields the rows don't carry
+    val needPf = pf.filterNot(merged.columns.contains)
+    val withPv =
+      if (needPf.isEmpty) merged
+      else {
+        import spark.implicits._
+        val pv = slices.map(s => (gidOf(s), partValues(s.partitionPath, pf))).toDF("_g_gid", "_g_pv")
+        val joined = merged.join(broadcast(pv), Seq("_g_gid"))
+        needPf.zipWithIndex.foldLeft(joined) { case (df, (f, _)) =>
+          val c = col("_g_pv")(pf.indexOf(f))
+          df.withColumn(f, schema.flatMap(_.fields.find(_.name == f))
+            .map(sf => c.cast(sf.dataType)).getOrElse(c))
+        }.drop("_g_pv")
+      }
+    val clean = withPv.drop("_g_gid", "_g_seq")
+    val ordered = schema match {
+      case Some(sc) =>
+        val extras = clean.columns.filterNot(sc.fieldNames.contains)
+        clean.select((sc.fieldNames.filter(clean.columns.contains) ++ extras).map(col): _*)
+      case None => clean
+    }
+    if (keepMetaFields) ordered
+    else ordered.drop(ordered.columns.filter(_.startsWith("_hoodie_")): _*)
+  }
+
   // --------------------------------------------------------------- write
 
   /** Append or overwrite `df` as one commit; creates the table on first
@@ -403,14 +844,17 @@ object Hudi {
     * instant surfaces as a conflict, never a torn timeline. */
   def write(
       df: DataFrame, table: String, mode: String = "append",
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      tableType: String = "COPY_ON_WRITE",
+      recordKeyFields: Seq[String] = Nil): String = {
     require(Seq("append", "overwrite", "errorifexists").contains(mode), s"mode: $mode")
+    require(Seq("COPY_ON_WRITE", "MERGE_ON_READ").contains(tableType), s"tableType: $tableType")
     val spark = df.sparkSession
     val isCreate = !Files.isDirectory(hoodieDir(table))
     require(isCreate || mode != "errorifexists", s"Hudi table exists: $table")
     // one timeline replay serves both the schema gate and the replaced set
     val existing: Option[Snapshot] =
-      if (isCreate) { createTable(table, partitionBy); None }
+      if (isCreate) { createTable(table, partitionBy, tableType, recordKeyFields); None }
       else {
         val pf = partitionFields(table)
         require(pf == partitionBy,
@@ -429,7 +873,12 @@ object Hudi {
           .map { case (p, ss) => p -> ss.map(_.fileId).distinct.sorted })
           .getOrElse(Map.empty)
       else Map.empty
-    val action = if (replaced.nonEmpty) "replacecommit" else "commit"
+    // MoR writers record base-file inserts under deltacommits (Hudi's own
+    // convention); replace stays a replacecommit on both table types
+    val action =
+      if (replaced.nonEmpty) "replacecommit"
+      else if (this.tableType(table) == "MERGE_ON_READ") "deltacommit"
+      else "commit"
 
     val instant = newInstant(table)
     transitionFile(table, instant, action, "requested")
@@ -491,18 +940,184 @@ object Hudi {
     instant
   }
 
-  private def createTable(table: String, partitionBy: Seq[String]): Unit = {
+  /** Merge-on-read upsert: route each row to the file group owning its
+    * record key (the index lookup Hudi's bloom/simple index performs — here
+    * a key-column scan of base files + live log blocks), then append one
+    * parquet data block per target group as a NEW log file version,
+    * published atomically by a single deltacommit. Keys the table has never
+    * seen are inserts and go to a fresh log-only file group in their
+    * partition. Deletes travel as rows with `_hoodie_is_deleted = true`
+    * (the public soft-delete convention; the DELETE_BLOCK binary encoding
+    * is writer-internal kryo/avro and intentionally not spoken). Row bytes
+    * stay in executors end-to-end: Spark stages one parquet file per
+    * target group, and a distributed framing pass wraps each into its log
+    * block in place. Returns the completed instant time. */
+  def upsertLog(df: DataFrame, table: String): String = {
+    val spark = df.sparkSession
+    require(tableType(table) == "MERGE_ON_READ",
+      s"upsertLog targets MERGE_ON_READ tables; $table is ${tableType(table)}")
+    val keys = recordKeyFields(table)
+    require(keys.nonEmpty, s"$table has no hoodie.table.recordkey.fields")
+    val pf = partitionFields(table)
+    val snap = snapshot(spark, table)
+    val root = Paths.get(table).toAbsolutePath
+    def gidOf(s: FileSlice) = s.partitionPath + " " + s.fileId
+    import spark.implicits._
+
+    // ---- key → file-group index (metadata flows to driver only via the
+    // final routed-target DISTINCT, which is bounded by group count)
+    val keyIdx: Option[DataFrame] = {
+      val baseIdx = Option(snap.slices.filter(_.relPath.nonEmpty)).filter(_.nonEmpty).map { bs =>
+        val keyStruct = snap.schema
+          .map(sc => StructType(sc.fields.filter(f => keys.contains(f.name))))
+          .getOrElse(StructType(Nil))
+        val raw =
+          if (keyStruct.nonEmpty)
+            spark.read.schema(keyStruct).parquet(bs.map(b => root.resolve(b.relPath).toString): _*)
+          else spark.read.parquet(bs.map(b => root.resolve(b.relPath).toString): _*).select(keys.map(col): _*)
+        val tag = bs.map(b => (root.resolve(b.relPath).toString, gidOf(b))).toDF("_g_bpath", "_g_gid")
+        val decode = udf(InteropUtil.decodeRelPath _)
+        raw.withColumn("_g_bpath", decode(col("_metadata.file_path")))
+          .join(broadcast(tag), Seq("_g_bpath"))
+          .select((keys.map(col) :+ col("_g_gid")): _*)
+      }
+      val logIdx = logRecordsFrame(spark, table,
+        snap.slices.flatMap(s => s.logFiles.map(l => (gidOf(s), l))), snap.completedInstants)
+        .map(_.select((keys.map(col) :+ col("_g_gid")): _*))
+      (baseIdx.toSeq ++ logIdx.toSeq).reduceOption(_ unionByName _).map(_.distinct())
+    }
+
+    // ---- routing: existing key → its group; new key → per-partition group
+    val escapeU = udf((s: String) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s))
+    val partExpr =
+      if (pf.isEmpty) lit("")
+      else concat_ws("/", pf.map(f => concat(lit(f + "="), escapeU(col(f).cast(StringType)))): _*)
+    val routed = keyIdx.map(ix => df.join(ix, keys, "left"))
+      .getOrElse(df.withColumn("_g_gid", lit(null).cast(StringType)))
+      .withColumn("_g_part", partExpr)
+      .withColumn("_g_route", coalesce(col("_g_gid"), concat(lit("NEW "), col("_g_part"))))
+
+    val instant = newInstant(table)
+    transitionFile(table, instant, "deltacommit", "requested")
+    transitionFile(table, instant, "deltacommit", "inflight")
+
+    /** One target log file: route key, staging token, partition path,
+      * fileId, base-file name instant, log version. A fresh (insert)
+      * group's log names itself after the creating deltacommit. */
+    final case class Target(route: String, tok: String, part: String,
+        fileId: String, baseInstant: String, version: Int) {
+      def logName: String = s".${fileId}_$baseInstant.log.${version}_0-0-0"
+      def logRel: String = if (part.isEmpty) logName else s"$part/$logName"
+    }
+    val targets: Seq[Target] = {
+      val routes = routed.select("_g_route", "_g_part").distinct()
+        .as[(String, String)].collect().toSeq.sortBy(_._1)
+      val sliceByGid = snap.slices.map(s => gidOf(s) -> s).toMap
+      routes.zipWithIndex.map { case ((route, part), i) =>
+        sliceByGid.get(route) match {
+          case Some(s) =>
+            val ver = s.logFiles.map(_.version).maxOption.getOrElse(0) + 1
+            val base = if (s.relPath.nonEmpty) s.instant else s.logFiles.head.baseInstant
+            Target(route, s"g$i", s.partitionPath, s.fileId, base, ver)
+          case None =>
+            Target(route, s"g$i", part, java.util.UUID.randomUUID().toString, instant, 1)
+        }
+      }
+    }
+    val tokOf = targets.map(t => t.route -> t.tok).toMap
+
+    // ---- stage one parquet file per target group (partition columns are
+    // not stored in blocks — they reattach from the slice path at read)
+    val staging = Files.createTempDirectory(root.getParent, "_hudi_log_staging_")
+    val written: Seq[(Target, String, Long, Long)] = try { // (target, relPath, bytes, rows)
+      val tokU = udf((route: String) => tokOf(route))
+      val dataCols = df.columns.filterNot(pf.contains).map(col)
+      routed.withColumn("_g_tok", tokU(col("_g_route")))
+        .select(dataCols :+ col("_g_tok"): _*)
+        .repartition(col("_g_tok"))
+        .write.mode("overwrite").partitionBy("_g_tok").parquet(staging.toString)
+      val stagedOf: Map[String, JPath] = {
+        val s = Files.walk(staging)
+        try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getParent.getFileName.toString.stripPrefix("_g_tok=") -> p).toMap
+        finally s.close()
+      }
+      val work = targets.flatMap(t => stagedOf.get(t.tok).map(p => (t, p.toString)))
+      val rowsOf = InteropUtil.parquetRowCounts(spark, work.map(_._2))
+      val schemaStr = AvroFileFormat.toAvroSchema(
+        StructType(df.schema.fields.filterNot(f => pf.contains(f.name))), "hoodie_record").toString
+      // distributed framing: each task wraps its staged file into a framed
+      // log block and writes the final log file (visibility still gated on
+      // the deltacommit publication below — orphans are invisible)
+      val rootStr = root.toString
+      val framed = spark.sparkContext
+        .parallelize(work.map { case (t, p) => (t.logRel, p) },
+          math.max(1, math.min(work.size, spark.sparkContext.defaultParallelism)))
+        .map { case (logRel, stagedPath) =>
+          val content = Files.readAllBytes(Paths.get(stagedPath))
+          val block = frameLogBlock(ParquetDataBlock,
+            Map(HInstantTime -> instant, HSchema -> schemaStr), content)
+          val dest = Paths.get(rootStr).resolve(logRel)
+          Files.createDirectories(dest.getParent)
+          Files.write(dest, block)
+          logRel -> block.length.toLong
+        }.collect().toMap
+      work.map { case (t, p) => (t, t.logRel, framed(t.logRel), rowsOf.getOrElse(p, 0L)) }
+    } finally InteropUtil.deleteRecursively(staging)
+    written.map(_._1.part).distinct.foreach(writePartitionMetadata(root, _, instant))
+
+    // ---- publish: one deltacommit recording every log file
+    val meta = mapper.createObjectNode()
+    val ptws = mapper.createObjectNode()
+    written.groupBy(_._1.part).foreach { case (p, ws) =>
+      val arr = mapper.createArrayNode()
+      ws.foreach { case (t, rel, bytes, rows) =>
+        val st = mapper.createObjectNode()
+        st.put("fileId", t.fileId)
+        st.put("path", rel)
+        st.put("prevCommit", t.baseInstant)
+        st.put("numWrites", rows)
+        st.put("numUpdateWrites", rows)
+        st.put("numDeletes", 0L)
+        st.put("totalWriteBytes", bytes)
+        st.put("fileSizeInBytes", bytes)
+        st.put("logVersion", t.version)
+        st.put("partitionPath", p)
+        arr.add(st)
+      }
+      ptws.set[JsonNode](p, arr)
+    }
+    meta.set[JsonNode]("partitionToWriteStats", ptws)
+    meta.put("compacted", false)
+    meta.put("operationType", "UPSERT")
+    val extra = mapper.createObjectNode()
+    val tableSchema = snap.schema.getOrElse(
+      StructType(df.schema.fields.filterNot(_.name == "_hoodie_is_deleted")))
+    extra.put("schema", AvroFileFormat.toAvroSchema(tableSchema, "hoodie_record").toString)
+    meta.set[JsonNode]("extraMetadata", extra)
+    completeInstant(table, instant, "deltacommit", mapper.writeValueAsString(meta))
+    instant
+  }
+
+  private def createTable(
+      table: String, partitionBy: Seq[String],
+      tableType: String = "COPY_ON_WRITE", recordKeyFields: Seq[String] = Nil): Unit = {
+    require(tableType != "MERGE_ON_READ" || recordKeyFields.nonEmpty,
+      "a MERGE_ON_READ table needs recordKeyFields — log records merge by key")
     val dir = hoodieDir(table)
     Files.createDirectories(dir)
     val props =
       s"""#Properties saved on ${java.time.ZonedDateTime.now(ZoneOffset.UTC)}
          |hoodie.table.name=${Paths.get(table).getFileName}
-         |hoodie.table.type=COPY_ON_WRITE
+         |hoodie.table.type=$tableType
          |hoodie.table.version=6
          |hoodie.timeline.layout.version=1
          |hoodie.datasource.write.hive_style_partitioning=true
          |hoodie.populate.meta.fields=false
          |hoodie.datasource.write.drop.partition.columns=true
+         |${if (recordKeyFields.nonEmpty) s"hoodie.table.recordkey.fields=${recordKeyFields.mkString(",")}" else ""}
          |${if (partitionBy.nonEmpty) s"hoodie.table.partition.fields=${partitionBy.mkString(",")}" else ""}
          |""".stripMargin.linesIterator.filter(_.nonEmpty).mkString("\n") + "\n"
     Files.write(dir.resolve("hoodie.properties"), props.getBytes(StandardCharsets.UTF_8))

@@ -839,6 +839,27 @@ object CatalogQueries {
       graft.interop.Hudi.write(p.where(col("p_partkey") % 3 === 1), t)
       graft.interop.Hudi.write(p.where(col("p_partkey") % 3 === 2), t)
       graft.interop.Hudi.incremental(s, t, i0).drop("_hoodie_commit_instant")
+    },
+
+    // Hudi merge-on-read (StreamFormat.HUDI is format-generic — real MoR
+    // tables carry `.log` delta files): base insert via deltacommit, a
+    // price upsert and a tombstone delete each append parquet data blocks
+    // in HoodieLogFormat v1, and the snapshot read zipper-merges base +
+    // logs per record key (latest block wins, tombstones drop).
+    Q("c51_hudi_mor", Some("""
+      SELECT p_partkey, p_name,
+             CASE WHEN p_partkey % 5 = 0 THEN p_retailprice * 2 ELSE p_retailprice END AS p_retailprice
+      FROM part WHERE p_partkey % 7 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c51").resolve("tbl").toString
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      graft.interop.Hudi.write(p, t,
+        tableType = "MERGE_ON_READ", recordKeyFields = Seq("p_partkey"))
+      graft.interop.Hudi.upsertLog(
+        p.where(col("p_partkey") % 5 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") * 2), t)
+      graft.interop.Hudi.upsertLog(
+        p.where(col("p_partkey") % 7 === 0).withColumn("_hoodie_is_deleted", lit(true)), t)
+      graft.interop.Hudi.read(s, t)
     }
   )
 }

@@ -245,6 +245,99 @@ class InteropSpec extends SparkSpec {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("hudi merge-on-read: log upsert/tombstone/insert, time travel, incremental") {
+    import graft.interop.Hudi
+    val t = tmpDir("hudi-mor")
+    val i0 = Hudi.write(nation, t,
+      tableType = "MERGE_ON_READ", recordKeyFields = Seq("n_nationkey"))
+    assert(Hudi.timeline(t).last.action == "deltacommit")
+
+    // upsert: rename every %3 key via a parquet log block
+    Hudi.upsertLog(
+      nation.where($"n_nationkey" % 3 === 0).withColumn("n_name", concat($"n_name", lit("_v2"))), t)
+    val r1 = Hudi.read(spark, t)
+    assert(r1.count() == nation.count())
+    assert(r1.where($"n_name".endsWith("_v2")).count() ==
+      nation.where($"n_nationkey" % 3 === 0).count())
+
+    // tombstone delete via _hoodie_is_deleted rows
+    Hudi.upsertLog(
+      nation.where($"n_nationkey" % 4 === 0).withColumn("_hoodie_is_deleted", lit(true)), t)
+    val r2 = Hudi.read(spark, t)
+    assert(r2.count() == nation.where($"n_nationkey" % 4 =!= 0).count())
+    assert(!r2.columns.exists(_.startsWith("_hoodie_")))
+
+    // brand-new keys route to a fresh log-only file group
+    Hudi.upsertLog(nation.where($"n_nationkey" === 1)
+      .withColumn("n_nationkey", $"n_nationkey" + 100), t)
+    assert(Hudi.read(spark, t).where($"n_nationkey" === 101).count() == 1)
+
+    // time travel to the base instant ignores every later log block
+    assert(Hudi.read(spark, t, asOfInstant = Some(i0)).orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+
+    // incremental pull over the upsert window returns exactly its log rows
+    val tl = Hudi.timeline(t)
+    val inc = Hudi.incremental(spark, t, i0, Some(tl(1).time))
+    assert(inc.columns.contains("_hoodie_commit_instant"))
+    assert(inc.count() == nation.where($"n_nationkey" % 3 === 0).count())
+    assert(inc.where(!$"n_name".endsWith("_v2")).count() == 0)
+  }
+
+  test("hudi merge-on-read: foreign avro data block and rollback command block") {
+    import graft.interop.Hudi
+    import org.apache.spark.sql.graft.formats.AvroFileFormat
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val t = tmpDir("hudi-mor-avro")
+    Hudi.write(nation, t, tableType = "MERGE_ON_READ", recordKeyFields = Seq("n_nationkey"))
+    val root = java.nio.file.Paths.get(t).toAbsolutePath
+    val snap = Hudi.snapshot(spark, t)
+    val s0 = snap.slices.head
+    val k = spark.read.parquet(root.resolve(s0.relPath).toString)
+      .select("n_nationkey").limit(1).collect()(0).getInt(0)
+
+    // hand-craft what a real Hudi writer produces: an AVRO_DATA_BLOCK whose
+    // content is formatVersion + count + per-record length-prefixed binary
+    val avroSchema = AvroFileFormat.toAvroSchema(
+      nation.schema, "hoodie_record")
+    def avroBlockBytes(name: String): Array[Byte] = {
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("n_nationkey", k); rec.put("n_name", name); rec.put("n_regionkey", 9)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](avroSchema).write(rec, enc)
+      enc.flush()
+      val recBytes = bos.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(out)
+      d.writeInt(3); d.writeInt(1); d.writeInt(recBytes.length); d.write(recBytes)
+      d.flush(); out.toByteArray
+    }
+    val i1 = (snap.instant.toLong + 1).toString
+    val i2 = (snap.instant.toLong + 2).toString
+    val schemaStr = avroSchema.toString
+    // block at i1 (later rolled back), rollback command for i1, block at i2
+    val log = new java.io.ByteArrayOutputStream()
+    log.write(Hudi.frameLogBlock(3, Map(0 -> i1, 2 -> schemaStr), avroBlockBytes("ROLLED_BACK")))
+    log.write(Hudi.frameLogBlock(0, Map(1 -> i1, 3 -> "0"), Array.emptyByteArray))
+    log.write(Hudi.frameLogBlock(3, Map(0 -> i2, 2 -> schemaStr), avroBlockBytes("AVRO_WINS")))
+    val logName = s".${s0.fileId}_${s0.instant}.log.1_0-0-0"
+    java.nio.file.Files.write(root.resolve(logName), log.toByteArray)
+    // two foreign deltacommits publishing the log file
+    for (i <- Seq(i1, i2)) {
+      val json = s"""{"partitionToWriteStats":{"":[{"fileId":"${s0.fileId}","path":"$logName"}]},
+        "extraMetadata":{"schema":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schemaStr)}}}"""
+      java.nio.file.Files.write(root.resolve(".hoodie").resolve(s"$i.deltacommit"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val r = Hudi.read(spark, t)
+    assert(r.count() == nation.count())
+    val hit = r.where($"n_nationkey" === k).collect()(0)
+    assert(hit.getAs[String]("n_name") == "AVRO_WINS") // rollback erased i1's block
+    assert(hit.getAs[Int]("n_regionkey") == 9)
+  }
+
   test("delta: partition values with escapable chars roundtrip, incl. checkpoint") {
     val df = Seq((1L, "a:b c"), (2L, "x%25y"), (3L, "plain"), (4L, "a:b c"))
       .toDF("id", "k")
