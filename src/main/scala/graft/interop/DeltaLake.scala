@@ -267,37 +267,64 @@ object DeltaLake {
   /** Append or overwrite `df` as one Delta commit; creates the table (and
     * its protocol/metaData actions) on first write. Returns the committed
     * version. Single-writer optimistic: the commit rename fails if the
-    * version was taken, and the caller sees the conflict. */
+    * version was taken, and the caller sees the conflict.
+    *
+    * Column mapping: `columnMappingMode = "name"` at create assigns every
+    * (nested) field a physical `col-…` name and commits the mapped
+    * schemaString under a reader-version-2 protocol (PROTOCOL.md "Column
+    * Mapping"); appends to an EXISTING mapped table — ours or foreign —
+    * write parquet under the table's physical names and key
+    * partitionValues by them, while the caller keeps speaking logical
+    * names throughout. */
   def write(
       df: DataFrame, table: String, mode: String = "append",
-      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10): Long = {
+      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
+      columnMappingMode: String = "none"): Long = {
     require(Seq("append", "overwrite", "errorifexists").contains(mode), s"mode: $mode")
+    require(Seq("none", "name").contains(columnMappingMode),
+      s"columnMappingMode: $columnMappingMode (id-mode tables are created by foreign writers only)")
     val spark = df.sparkSession
     val existing = versions(table)
     require(existing.isEmpty || mode != "errorifexists", s"Delta table exists: $table")
     val isCreate = existing.isEmpty
     val schema = df.schema
-    if (!isCreate) {
-      val snap = snapshot(spark, table)
-      require(snap.columnMappingMode == "none",
-        s"$table uses column mapping (${snap.columnMappingMode}) — " +
-          "this binding reads such tables but does not write them")
-      require(snap.partitionColumns == partitionBy,
-        s"partitionBy $partitionBy != table partitioning ${snap.partitionColumns}")
+    val snapOpt = if (isCreate) None else Some(snapshot(spark, table))
+    snapOpt.foreach { snap =>
+      // snap.partitionColumns may carry physical OR logical names
+      // (foreign writers differ); gate on the logical view
+      val logicalPc = snap.partitionColumns.map(pc =>
+        snap.schema.fields.find(f => f.name == pc || physicalName(f) == pc)
+          .map(_.name).getOrElse(pc))
+      require(logicalPc == partitionBy,
+        s"partitionBy $partitionBy != table partitioning $logicalPc")
       // names AND types (nullability aside): a type-mismatched append would
       // commit parquet the table schemaString can no longer read
       def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
       require(shape(schema) == shape(snap.schema),
         s"schema mismatch: ${shape(schema)} vs table ${shape(snap.schema)}")
     }
+    // the schema whose (possibly mapped) names the staged parquet must use
+    val createMapping: Option[(StructType, Long)] =
+      if (isCreate && columnMappingMode == "name") Some(assignColumnMapping(schema)) else None
+    val tableSchema: StructType =
+      snapOpt.map(_.schema).orElse(createMapping.map(_._1)).getOrElse(schema)
+    val mapped = snapOpt.map(_.columnMappingMode != "none")
+      .getOrElse(columnMappingMode != "none")
+    val physDf =
+      if (!mapped) df
+      else df.select(tableSchema.fields.map(f =>
+        col(f.name).cast(physicalize(f.dataType)).as(physicalName(f))): _*)
+    val physPartitionBy =
+      if (!mapped) partitionBy
+      else partitionBy.map(lp => physicalName(tableSchema(lp)))
 
     // stage data files, then move into place recording (relPath, size, pv)
     val staging = Files.createTempDirectory(Paths.get(table).toAbsolutePath.getParent, "_delta_staging_")
     val added = try {
-      val w = df.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      val w = physDf.write.mode("overwrite")
+      (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
         .parquet(staging.toString)
-      moveStaged(staging, Paths.get(table), partitionBy)
+      moveStaged(staging, Paths.get(table), physPartitionBy)
     } finally InteropUtil.deleteRecursively(staging)
 
     val removes: Seq[JsonNode] =
@@ -312,8 +339,12 @@ object DeltaLake {
 
     val actions = Seq.newBuilder[JsonNode]
     if (isCreate) {
-      actions += protocolAction()
-      actions += metaDataAction(schema, partitionBy)
+      actions += protocolAction(columnMapping = createMapping.nonEmpty)
+      actions += metaDataAction(tableSchema, partitionBy,
+        createMapping.map { case (_, maxId) => Map(
+          "delta.columnMapping.mode" -> columnMappingMode,
+          "delta.columnMapping.maxColumnId" -> maxId.toString)
+        }.getOrElse(Map.empty))
     }
     actions ++= removes
     actions ++= added.map { case (rel, size, pv) => addAction(rel, size, pv) }
@@ -332,11 +363,14 @@ object DeltaLake {
   def deletePartitions(spark: SparkSession, table: String, pred: Column,
       checkpointInterval: Int = 10): Long = {
     val snap = snapshot(spark, table)
-    require(snap.columnMappingMode == "none",
-      s"$table uses column mapping — read-only in this binding")
     require(snap.partitionColumns.nonEmpty, "deletePartitions needs a partitioned table")
-    val parts = snap.partitionColumns.map { c =>
-      element_at(col("partitionValues"), c).cast(snap.schema(c).dataType).as(c)
+    // partitionValues keys are physical names under column mapping; the
+    // caller's pred speaks logical names
+    val parts = snap.partitionColumns.map { pc =>
+      val f = snap.schema.fields.find(f => f.name == pc || physicalName(f) == pc)
+        .getOrElse(throw new IllegalArgumentException(s"partition column $pc not in table schema"))
+      element_at(col("partitionValues"), physicalName(f))
+        .cast(stripFieldMeta(f.dataType)).as(f.name)
     }
     val doomed = snap.files
       .select((col("path") +: col("partitionValues") +: col("deletionVector") +: parts): _*)
@@ -713,24 +747,39 @@ object DeltaLake {
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
       checkpointInterval: Int = 10): Long = {
     val snap = snapshot(spark, table)
-    require(snap.columnMappingMode == "none",
-      s"$table uses column mapping — read-only in this binding")
     val fileMeta = snap.files.collect().map(r => r.getString(0) -> r).toMap
 
-    // scan with lineage; reattach partition columns so pred may use them
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    // scan with lineage; reattach partition columns so pred may use them.
+    // Under column mapping the files (and partitionValues keys) carry
+    // physical names — scan physical, then surface logical views so the
+    // caller's predicate resolves
+    val partCols: Seq[(String, String, DataType)] = snap.partitionColumns.map { pc =>
+      snap.schema.fields.find(f => f.name == pc || physicalName(f) == pc)
+        .map(f => (f.name, physicalName(f), f.dataType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column $pc not in table schema"))
+    }
+    val dataFields = snap.schema.fields.filterNot(f => partCols.exists(_._1 == f.name))
+    val physDataSchema = StructType(dataFields.map(f =>
+      StructField(physicalName(f), physicalize(f.dataType), f.nullable)))
     val decode = udf(InteropUtil.decodeRelPath _)
-    val base = spark.read.schema(dataSchema).parquet(fileMeta.keys.toSeq: _*)
+    val physBase = spark.read.schema(physDataSchema).parquet(fileMeta.keys.toSeq: _*)
       .withColumn("_g_path", decode(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index"))
+    val base = dataFields.foldLeft(physBase) { (df, f) =>
+      val phys = physicalName(f)
+      val lt = stripFieldMeta(f.dataType)
+      if (phys == f.name && physicalize(f.dataType) == lt) df
+      else df.withColumn(f.name, col(phys).cast(lt))
+    }
     val scan =
-      if (snap.partitionColumns.isEmpty) base
+      if (partCols.isEmpty) base
       else {
         val pv = snap.files.select(
           normPath(col("path")).as("_g_path"), col("partitionValues"))
-        snap.partitionColumns.foldLeft(base.join(broadcast(pv), Seq("_g_path"))) { (df, c) =>
-          df.withColumn(c, element_at(col("partitionValues"), c).cast(snap.schema(c).dataType))
+        partCols.foldLeft(base.join(broadcast(pv), Seq("_g_path"))) {
+          case (df, (log, phys, dt)) =>
+            df.withColumn(log, element_at(col("partitionValues"), phys).cast(stripFieldMeta(dt)))
         }.drop("partitionValues")
       }
     val hits = scan.where(pred).groupBy("_g_path")
@@ -799,6 +848,9 @@ object DeltaLake {
       p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
       val rf = mapper.createArrayNode(); rf.add("deletionVectors")
       val wf = mapper.createArrayNode(); wf.add("deletionVectors")
+      // a v2 column-mapping table upgraded to the features protocol must
+      // re-declare columnMapping explicitly or readers drop the mapping
+      if (snap.columnMappingMode != "none") { rf.add("columnMapping"); wf.add("columnMapping") }
       p.set[JsonNode]("readerFeatures", rf); p.set[JsonNode]("writerFeatures", wf)
       val w = obj(); w.set[JsonNode]("protocol", p); actions += w
     }
@@ -848,22 +900,49 @@ object DeltaLake {
 
   private def obj() = mapper.createObjectNode()
 
-  private def protocolAction(): JsonNode = {
+  private def protocolAction(columnMapping: Boolean = false): JsonNode = {
     val p = obj(); val inner = obj()
-    inner.put("minReaderVersion", 1); inner.put("minWriterVersion", 2)
+    // column mapping needs the legacy reader-version-2 protocol (or v3 +
+    // feature); plain tables stay at the widest-compat 1/2
+    if (columnMapping) { inner.put("minReaderVersion", 2); inner.put("minWriterVersion", 5) }
+    else { inner.put("minReaderVersion", 1); inner.put("minWriterVersion", 2) }
     p.set("protocol", inner); p
   }
 
-  private def metaDataAction(schema: StructType, partitionBy: Seq[String]): JsonNode = {
+  private def metaDataAction(schema: StructType, partitionBy: Seq[String],
+      configuration: Map[String, String] = Map.empty): JsonNode = {
     val m = obj()
     m.put("id", java.util.UUID.randomUUID().toString)
     val fmt = obj(); fmt.put("provider", "parquet"); fmt.set("options", obj())
     m.set("format", fmt)
     m.put("schemaString", schema.json)
     val pc = mapper.createArrayNode(); partitionBy.foreach(pc.add); m.set("partitionColumns", pc)
-    m.set("configuration", obj())
+    val cfg = obj(); configuration.foreach { case (k, v) => cfg.put(k, v) }
+    m.set("configuration", cfg)
     m.put("createdTime", System.currentTimeMillis())
     val w = obj(); w.set("metaData", m); w
+  }
+
+  /** Assign fresh column-mapping metadata to every (nested) field —
+    * delta-spark's `col-<uuid>` physical-name convention plus sequential
+    * field ids. Returns the mapped schema and the max id. */
+  private def assignColumnMapping(schema: StructType): (StructType, Long) = {
+    var id = 0L
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        id += 1
+        val meta = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .putLong("delta.columnMapping.id", id).build()
+        StructField(f.name, walk(f.dataType), f.nullable, meta)
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType => m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other => other
+    }
+    val mapped = walk(schema).asInstanceOf[StructType]
+    (mapped, id)
   }
 
   private def addAction(rel: String, size: Long, pv: Map[String, String],

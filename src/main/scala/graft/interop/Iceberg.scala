@@ -508,12 +508,17 @@ object Iceberg {
     * write a manifest + manifest list, commit metadata vN+1. Returns the
     * new snapshot id. */
   def append(df: DataFrame, table: String): Long = {
-    val meta = loadMeta(table)
-    // names AND types (nullability aside): a type-mismatched append would
-    // commit parquet files the table schema can no longer read
+    // compatible evolution instead of a shape gate (the spec's valid
+    // updates): new nullable columns, int→long / float→double /
+    // decimal-precision widening, required→optional. Anything else —
+    // narrowing, dropping a required column, struct reshapes — still
+    // fails loudly before any data is staged.
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
-    require(shape(df.schema) == shape(meta.schema),
-      s"schema mismatch: ${shape(df.schema)} vs table ${shape(meta.schema)}")
+    val meta = {
+      val m = loadMeta(table)
+      if (shape(df.schema) == shape(m.schema)) m
+      else { evolveSchema(table, df.schema); loadMeta(table) }
+    }
     val root = Paths.get(meta.location)
     val dataDir = root.resolve("data")
     Files.createDirectories(dataDir)
@@ -525,8 +530,13 @@ object Iceberg {
       // Directory names are internal; file_path in the manifest is
       // authoritative per the spec. Field ids ride into the parquet
       // footers (spec REQUIRES them; readers match columns by id).
-      val base = df.select(meta.schema.fields.map(f =>
-        col(f.name).as(f.name, fieldIdMeta(meta.fieldIds(f.name)))): _*)
+      // align to the (possibly evolved) table schema: absent optional
+      // columns pad null, narrower-typed inputs cast up
+      val base = df.select(meta.schema.fields.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType))
+          .as(f.name, fieldIdMeta(meta.fieldIds(f.name)))
+      }: _*)
       val aliased = meta.partitionCols.foldLeft(base)(
         (d, c) => d.withColumn(s"_p_$c", col(c)))
       val w = aliased.write.mode("overwrite")
@@ -549,6 +559,83 @@ object Iceberg {
       AddedFile(dataDir.resolve(rel).toString, 0, pv, size)
     }
     commitSnapshot(df.sparkSession, meta, files, "append")
+  }
+
+  /** Legal type promotions (spec "Schema Evolution"). */
+  private def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (d1: DecimalType, d2: DecimalType) => d1.scale == d2.scale && d2.precision >= d1.precision
+    case _ => false
+  }
+
+  /** Commit a compatibly-evolved schema as metadata vN+1 (new schema-id,
+    * `TypePromotion`'s catalog-side analog for the foreign format): kept
+    * fields keep their JSON nodes VERBATIM — nested field ids must survive
+    * or id-based column resolution breaks on old files — with only the
+    * primitive type text widened / `required` relaxed; new fields append
+    * with fresh ids past last-column-id. Struct-typed fields must match
+    * exactly (nested evolution needs full nested-id bookkeeping this
+    * binding does not do). Readers project old files through the new
+    * schema by field id, so no data file is touched. */
+  def evolveSchema(table: String, dfSchema: StructType): Unit = {
+    val meta = loadMeta(table)
+    val dir = metaDir(meta.location)
+    meta.schema.fields.foreach { tf =>
+      require(dfSchema.fieldNames.contains(tf.name) || tf.nullable,
+        s"append would leave required column ${tf.name} unwritten")
+    }
+    val root = mapper.readTree(Files.readAllBytes(
+      dir.resolve(s"v${meta.version}.metadata.json"))).asInstanceOf[ObjectNode]
+    val curNode: JsonNode =
+      if (root.has("schemas"))
+        root.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == root.get("current-schema-id").asInt()).get
+      else root.get("schema")
+    val newSchema = curNode.deepCopy[ObjectNode]()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(meta.lastColumnId)
+
+    newSchema.withArray[ArrayNode]("fields").elements().asScala.foreach { fn =>
+      val o = fn.asInstanceOf[ObjectNode]
+      val name = o.get("name").asText()
+      dfSchema.fields.find(_.name == name).foreach { dfF =>
+        val cur = meta.schema(name).dataType
+        if (cur != dfF.dataType) {
+          if (canWiden(cur, dfF.dataType))
+            o.set[JsonNode]("type", typeToJson(dfF.dataType, counter)) // primitive: no ids consumed
+          else require(canWiden(dfF.dataType, cur),
+            s"incompatible type change for $name: $cur -> ${dfF.dataType}")
+        }
+        if (o.get("required").asBoolean() && dfF.nullable) o.put("required", false)
+      }
+    }
+    dfSchema.fields.filterNot(f => meta.schema.fieldNames.contains(f.name)).foreach { f =>
+      require(f.nullable, s"new column ${f.name} must be nullable (add-optional evolution)")
+      val fn = mapper.createObjectNode()
+      fn.put("id", counter.incrementAndGet())
+      fn.put("name", f.name)
+      fn.put("required", false)
+      fn.set[JsonNode]("type", typeToJson(f.dataType, counter))
+      newSchema.withArray[ArrayNode]("fields").add(fn)
+    }
+
+    val newSchemaId =
+      (if (root.has("schemas"))
+        root.get("schemas").elements().asScala.map(_.get("schema-id").asInt()).max
+      else 0) + 1
+    newSchema.put("schema-id", newSchemaId)
+    if (!root.has("schemas")) {
+      val old = curNode.deepCopy[ObjectNode]()
+      if (!old.has("schema-id")) old.put("schema-id", 0)
+      root.set[JsonNode]("schemas", mapper.createArrayNode().add(old))
+    }
+    root.withArray[ArrayNode]("schemas").add(newSchema)
+    root.put("current-schema-id", newSchemaId)
+    root.put("last-column-id", counter.get())
+    if (root.has("schema")) root.set[JsonNode]("schema", newSchema) // v1 compat
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeMetadataVersion(meta.location, meta.version + 1, root)
   }
 
   /** The converter's Iceberg snapshot commit (reference
@@ -724,7 +811,8 @@ object Iceberg {
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
     snapNode.put("manifest-list", listPath.toString)
-    snapNode.put("schema-id", 0)
+    snapNode.put("schema-id",
+      Option(old.get("current-schema-id")).map(_.asInt()).getOrElse(0))
     val summary = mapper.createObjectNode()
     summary.put("operation", op)
     snapNode.set("summary", summary)

@@ -477,8 +477,11 @@ object Dedup {
       .select(col("id"), size(col("tk")).cast("long").as("n_tokens"),
         when(size(col("tk")) >= k,
           transform(sequence(lit(1), size(col("tk")) - (k - 1)),
-            s => md5(array_join(slice(col("tk"), s, lit(k)), " "))))
-          .otherwise(array().cast("array<string>")).as("whs"))
+            // 16-byte binary, not the 32-char hex string: the window-row
+            // stream is the dominant shuffle at corpus scale and the hash
+            // is half the row — equality semantics are unchanged
+            s => unhex(md5(array_join(slice(col("tk"), s, lit(k)), " ")))))
+          .otherwise(array().cast("array<binary>")).as("whs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.count()
     // posexplode_OUTER: plain generators trigger InferFiltersFromGenerate,

@@ -860,6 +860,22 @@ object CatalogQueries {
       graft.interop.Hudi.upsertLog(
         p.where(col("p_partkey") % 7 === 0).withColumn("_hoodie_is_deleted", lit(true)), t)
       graft.interop.Hudi.read(s, t)
+    },
+
+    // Delta column-mapping WRITE path (PROTOCOL.md "Column Mapping"):
+    // create a name-mode table (physical col-… parquet names), append to
+    // it, then a DV row-delete — all under logical names; the snapshot
+    // read maps physical back to logical.
+    Q("c52_delta_cm_write", Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 4 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c52").resolve("tbl").toString
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      graft.interop.DeltaLake.write(
+        c.where(col("c_custkey") % 2 === 0), t, columnMappingMode = "name")
+      graft.interop.DeltaLake.write(c.where(col("c_custkey") % 2 === 1), t)
+      graft.interop.DeltaLake.deleteWhere(s, t, col("c_custkey") % 4 === 0)
+      graft.interop.DeltaLake.read(s, t)
     }
   )
 }

@@ -159,10 +159,25 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     }
     val end = store.nextTimestamp()
     val rec = TxnRecord(txnId, startTimeMillis, end, commitMessage, ops.toSeq)
-    val tmp = store.runningDir.resolve(s"$txnId.json")
-    Files.write(tmp, Json.write(rec).getBytes(StandardCharsets.UTF_8))
+    // End-time FENCING: the running record is the txn's lease, and claiming
+    // it (atomic move) is the only way to publish. A janitor that fenced
+    // this txn (running → failed) has already taken the file, so a stale
+    // sealer — paused writer resumed after timeout, GC-stalled process —
+    // loses the move race and surfaces as a conflict instead of committing
+    // work the janitor is about to garbage-collect (the reference
+    // acknowledges exactly this race, metafile.py:355-361).
+    val running = store.runningDir.resolve(s"$txnId.json")
+    val claimed = store.txnDir.resolve(s".$txnId.sealing")
+    try Files.move(running, claimed, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.NoSuchFileException =>
+      staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+      sealed_ = true
+      throw new ConcurrentTxnConflict(
+        s"txn $txnId was fenced before publish (janitor end-time fencing)")
+    }
+    Files.write(claimed, Json.write(rec).getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(store.successDir)
-    Files.move(tmp, store.successDir.resolve(s"$txnId.json"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(claimed, store.successDir.resolve(s"$txnId.json"), StandardCopyOption.ATOMIC_MOVE)
     store.invalidateTxnCache()
     // Post-publish re-check: two racers may both have passed the pre-check
     // before either published. The smaller txn id demotes itself.
@@ -199,6 +214,18 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       Json.write(rec).getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(store.runningDir.resolve(s"$txnId.json"))
     sealed_ = true // this handle is dead; resume() returns a fresh one
+  }
+
+  /** Liveness beacon: refresh the running record so a janitor fences on
+    * time-since-last-heartbeat, not time-since-start — a legitimately
+    * long-running writer survives while a dead or paused-and-forgotten one
+    * stays reclaimable. */
+  def heartbeat(): Unit = {
+    require(!sealed_, s"txn $txnId already sealed")
+    val p = store.runningDir.resolve(s"$txnId.json")
+    if (Files.exists(p))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
   }
 
   def abort(): Unit = {
@@ -351,10 +378,20 @@ final class Metastore(val root: Path) {
     val paused = if (Files.exists(pausedDir)) listFiles(pausedDir) else Nil
     (listFiles(runningDir) ++ paused).foreach { p =>
       val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
-      if (now - rec.startTimeMillis > timeoutMillis) {
+      // last activity = heartbeat (record mtime) or start, whichever is
+      // newer: heartbeating writers stay alive past the timeout; the move
+      // is the FENCE — a concurrently-sealing writer that claims the
+      // record first wins, and a fenced one loses its later seal
+      val lastActivity = math.max(rec.startTimeMillis,
+        Files.getLastModifiedTime(p).toMillis)
+      if (now - lastActivity > timeoutMillis) {
         Files.createDirectories(failedDir)
-        Files.move(p, failedDir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
-        failed += 1
+        try { Files.move(p, failedDir.resolve(p.getFileName)); failed += 1 }
+        catch {
+          case _: java.nio.file.NoSuchFileException => () // sealer won the race
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(p); failed += 1 // already fenced earlier
+        }
       }
     }
     val failedIds: Set[String] =

@@ -56,4 +56,55 @@ class ConcurrencySpec extends SparkSpec {
       assert(log.map(_.streamPosition).distinct.size == writers)
     } finally pool.shutdown()
   }
+
+  test("end-time fencing: a fenced writer's stale seal is a conflict, not a commit") {
+    val ms = new graft.txn.Metastore(java.nio.file.Paths.get(tmpDir("graft-fence")))
+    val dir = java.nio.file.Paths.get(tmpDir("graft-fence-data"))
+
+    // 1. a paused-and-forgotten txn is fenced by the janitor; resume refuses
+    val t1 = ms.newTransaction("will-be-fenced-paused")
+    t1.stage(dir, 1L, "a", """{"v":1}""", "write")
+    t1.pause()
+    Thread.sleep(5)
+    val (fenced1, _) = ms.janitor(timeoutMillis = 0)
+    assert(fenced1 >= 1)
+    val e1 = intercept[IllegalArgumentException](ms.resumeTransaction(t1.txnId))
+    assert(e1.getMessage.contains("no paused txn"))
+
+    // 2. a RUNNING txn fenced mid-flight: its later seal must lose the
+    // claim race and surface as a conflict — and commit nothing
+    val t2 = ms.newTransaction("will-be-fenced-running")
+    t2.stage(dir, 2L, "b", """{"v":2}""", "write")
+    Thread.sleep(5)
+    ms.janitor(timeoutMillis = 0)
+    val e2 = intercept[ConcurrentTxnConflict](t2.seal())
+    assert(e2.getMessage.contains("fenced") || e2.getMessage.contains("failed"))
+    assert(!ms.isTxnSuccessful(t2.txnId))
+    assert(ms.isTxnFailed(t2.txnId))
+    // its staged revision is gone (or at worst janitor-reclaimable)
+    assert(ms.latestVisible(dir, None, None).isEmpty)
+
+    // 2b. the TOCTOU window itself: fencer claims the running record AFTER
+    // the sealer's pre-publish check would pass (simulated by taking the
+    // lease file directly) — the seal's atomic claim must lose and refuse
+    val t2b = ms.newTransaction("fenced-inside-window")
+    t2b.stage(dir, 20L, "b2", """{"v":20}""", "write")
+    java.nio.file.Files.delete(
+      ms.runningDir.resolve(s"${t2b.txnId}.json")) // fencer took the lease
+    val e2b = intercept[ConcurrentTxnConflict](t2b.seal())
+    assert(e2b.getMessage.contains("fenced"))
+    assert(!ms.isTxnSuccessful(t2b.txnId))
+    assert(ms.latestVisible(dir, None, None).isEmpty)
+
+    // 3. heartbeats keep a slow writer alive past the start-time timeout
+    val t3 = ms.newTransaction("slow-but-alive")
+    t3.stage(dir, 3L, "c", """{"v":3}""", "write")
+    Thread.sleep(60)
+    t3.heartbeat()
+    val (fenced3, _) = ms.janitor(timeoutMillis = 50)
+    assert(fenced3 == 0, "heartbeating txn must not be fenced")
+    t3.seal()
+    assert(ms.isTxnSuccessful(t3.txnId))
+    assert(ms.latestVisible(dir, None, None).exists(_._2.contains("\"v\":3")))
+  }
 }

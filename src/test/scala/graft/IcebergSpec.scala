@@ -160,4 +160,46 @@ class IcebergSpec extends SparkSpec {
     assert(meta.schema("st").dataType.asInstanceOf[StructType]("_2").nullable)
     assert(back.toJSON.collect().toSeq == df.toJSON.collect().toSeq)
   }
+
+  test("iceberg: compatible schema evolution on append — widen, add-nullable") {
+    val t = tmpDir("ice-evolve") + "/tbl"
+    val v1 = Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("id", "name", "score")
+    Iceberg.createTable(t, v1.schema)
+    Iceberg.append(v1, t)
+    val idsBefore = Iceberg.loadMeta(t).fieldIds
+
+    // widened id (int→long), score (float→double), plus a new nullable col
+    val v2 = Seq((3L, "c", 3.5d, Some("x")), (4L, "d", 4.5d, None))
+      .toDF("id", "name", "score", "tag")
+    Iceberg.append(v2, t)
+
+    val meta = Iceberg.loadMeta(t)
+    assert(meta.schema("id").dataType == LongType)
+    assert(meta.schema("score").dataType == DoubleType)
+    assert(meta.schema("tag").dataType == StringType)
+    // kept fields keep their ids; the new field gets a fresh one
+    assert(idsBefore.forall { case (n, i) => meta.fieldIds(n) == i })
+    assert(meta.fieldIds("tag") > idsBefore.values.max)
+
+    val back = Iceberg.read(spark, t)
+    assert(back.count() == 4)
+    // old files project through the new schema: padded tag, upcast types
+    assert(back.where($"id" === 1L).select("tag").collect()(0).isNullAt(0))
+    assert(back.where($"id" === 3L).select("tag").as[String].collect().toSeq == Seq("x"))
+    assert(back.schema("id").dataType == LongType)
+    assert(back.select(sum($"score")).as[Double].collect()(0) == 12.0)
+
+    // a dropped REQUIRED column (id is required in v1) still refuses
+    val e = intercept[IllegalArgumentException](
+      Iceberg.append(Seq(("e", 5.5d)).toDF("name", "score"), t))
+    assert(e.getMessage.contains("required"))
+    // a narrower-typed input is NOT an evolution — it casts up at staging
+    Iceberg.append(Seq((6, "f", 6.5f, "y")).toDF("id", "name", "score", "tag"), t)
+    assert(Iceberg.read(spark, t).where($"id" === 6L).count() == 1)
+    // an incompatible type change refuses
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.append(
+        Seq(("x7", "g", 7.5d, "z")).toDF("id", "name", "score", "tag"), t))
+    assert(e2.getMessage.contains("incompatible"))
+  }
 }

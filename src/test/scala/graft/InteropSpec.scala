@@ -407,8 +407,10 @@ class InteropSpec extends SparkSpec {
     import graft.interop.Iceberg
     val it = tmpDir("ice-types") + "/tbl"
     Iceberg.createTable(it, nation.schema)
+    // iceberg now EVOLVES compatible shapes; an int→string retype is not
+    // one of the spec's legal promotions and still refuses
     val e2 = intercept[IllegalArgumentException](Iceberg.append(retyped, it))
-    assert(e2.getMessage.contains("schema mismatch"))
+    assert(e2.getMessage.contains("incompatible type change"))
   }
 
   test("inflation: hive-partitioned gz source found through nested dirs; filter on unpartitioned throws") {
@@ -547,10 +549,57 @@ class InteropSpec extends SparkSpec {
     val pruned = DeltaLake.read(spark, t, partitionFilter = Some(col("k") === "x"))
     assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 2L))
 
-    // column-mapped tables are read-only in this binding
-    val e = intercept[IllegalArgumentException](
-      DeltaLake.write(Seq((9L, "z")).toDF("id", "k"), t))
-    assert(e.getMessage.contains("column mapping"))
+    // appending to the foreign name-mode table: staged parquet must carry
+    // PHYSICAL names and partitionValues must key physically, while the
+    // caller speaks logical names (partitionColumns here is physical —
+    // the gate maps it back)
+    DeltaLake.write(
+      Seq((9L, "t9", "x")).toDF("id", "c", "k")
+        .select(col("id"), struct(col("c").as("tag")).as("info"), col("k")),
+      t, partitionBy = Seq("k"))
+    val appended = DeltaLake.read(spark, t, partitionFilter = Some(col("k") === "x"))
+    assert(appended.select("id").as[Long].collect().toSet == Set(1L, 2L, 9L))
+    assert(appended.where($"id" === 9L).select("info.tag").as[String].collect().toSeq == Seq("t9"))
+  }
+
+  test("delta: column-mapping writes — create name-mode, append, DV delete, partition delete") {
+    import scala.jdk.CollectionConverters._
+    val t = tmpDir("delta-cm-write")
+    DeltaLake.write(nation.where($"n_nationkey" % 2 === 0), t,
+      partitionBy = Seq("n_regionkey"), columnMappingMode = "name")
+    // every physical parquet column is a col-… name; no logical name leaks
+    val dataFile = java.nio.file.Files.walk(java.nio.file.Paths.get(t)).iterator().asScala
+      .find(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("_delta_log")).get
+    val physCols = spark.read.parquet(dataFile.toString).columns
+    assert(physCols.nonEmpty && physCols.forall(_.startsWith("col-")), physCols.mkString(","))
+    // partition dir uses the physical name too
+    assert(dataFile.getParent.getFileName.toString.startsWith("col-"))
+
+    DeltaLake.write(nation.where($"n_nationkey" % 2 === 1), t, partitionBy = Seq("n_regionkey"))
+    assert(DeltaLake.read(spark, t).orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+
+    // row-level DV delete on the mapped table (logical predicate)
+    DeltaLake.deleteWhere(spark, t, $"n_nationkey" % 5 === 0)
+    val afterDv = DeltaLake.read(spark, t)
+    assert(afterDv.count() == nation.where($"n_nationkey" % 5 =!= 0).count())
+    // protocol upgrade must re-declare columnMapping alongside deletionVectors
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val proto = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq.sorted
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .map(om.readTree).filter(_.has("protocol")).last.get("protocol")
+    assert(proto.get("readerFeatures").toString.contains("columnMapping"))
+
+    // metadata-only partition delete with a logical predicate
+    DeltaLake.deletePartitions(spark, t, $"n_regionkey" === 2)
+    val afterPd = DeltaLake.read(spark, t)
+    assert(afterPd.count() ==
+      nation.where($"n_nationkey" % 5 =!= 0 && $"n_regionkey" =!= 2).count())
+    // pruned read on the logical partition name
+    val pruned = DeltaLake.read(spark, t, partitionFilter = Some(col("n_regionkey") === 1))
+    assert(pruned.select("n_regionkey").distinct().as[Int].collect().toSeq == Seq(1))
   }
 
   test("delta: DV rewrite pairs the add with a remove of the old logical file") {
