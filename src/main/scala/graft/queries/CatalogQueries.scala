@@ -876,6 +876,64 @@ object CatalogQueries {
       graft.interop.DeltaLake.write(c.where(col("c_custkey") % 2 === 1), t)
       graft.interop.DeltaLake.deleteWhere(s, t, col("c_custkey") % 4 === 0)
       graft.interop.DeltaLake.read(s, t)
+    },
+
+    // download_delta_manifest_entry (reference storage/interface.py:229-248):
+    // a sorted single-partition write sliced at 1 record/file gives a
+    // deterministic entry order (manifest entries sort by path; Spark's
+    // slice suffixes c000,c001,… sort in write order), so entry i IS row i.
+    Q("c53_manifest_entry", Some("""
+      SELECT r_regionkey, r_name FROM region WHERE r_regionkey IN (1, 3)""")) { (s, dir) =>
+      val cat = newCat(s, "c53")
+      val r = tbl(s, dir, "region").select("r_regionkey", "r_name")
+      cat.createTable("q.r", r.schema,
+        properties = Map("write.max_records_per_file" -> "1"))
+      cat.writeToTable(r.repartition(1).sortWithinPartitions("r_regionkey"),
+        "q.r", WriteMode.Add)
+      val pos = cat.deltaLog("q.r").head.streamPosition
+      cat.downloadDeltaManifestEntry("q.r", pos, 1)
+        .unionByName(cat.downloadDeltaManifestEntry("q.r", pos, 3))
+    },
+
+    // Paged listing (reference ListResult, storage/model/list_result.py):
+    // 25 tables named after the nations, walked at page size 7 with resume
+    // tokens; each name must surface exactly once on its predicted page.
+    Q("c54_list_pagination", Some("""
+      SELECT replace(n_name, ' ', '_') AS table_name,
+             CAST(floor((row_number() OVER (ORDER BY replace(n_name, ' ', '_')) - 1) / 7) AS BIGINT) AS page
+      FROM nation""")) { (s, dir) =>
+      import s.implicits._
+      val cat = newCat(s, "c54")
+      val schema = StructType(Seq(FieldMeta.field("id", LongType)))
+      val names = tbl(s, dir, "nation").select("n_name")
+        .collect().map(_.getString(0).replace(' ', '_')).toSeq
+      names.foreach(n => cat.createTable(s"pg.$n", schema))
+      val pages = Iterator.unfold((Option.empty[String], 0, true)) {
+        case (_, _, false) => None
+        case (token, page, true) =>
+          val (batch, next) = cat.listTablesPaged("pg", 7, token)
+          Some((batch.map(n => (n, page.toLong)), (next, page + 1, next.isDefined)))
+      }.flatten.toSeq
+      pages.toDF("table_name", "page")
+    },
+
+    // SHA-1 bucket transform end-to-end: every row must land in EXACTLY one
+    // of the 8 bucket partitions and be found by a bucket-value-pruned read
+    // — a misrouted write or a file missing its bucket path segment makes
+    // the union of the 8 pruned reads drop or duplicate rows.
+    Q("c55_bucket_pruned_read", Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer""")) { (s, dir) =>
+      val cat = newCat(s, "c55")
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      cat.createTable("q.c", StructType(Seq(
+        FieldMeta.field("c_custkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("c_name", StringType),
+        FieldMeta.field("c_acctbal", DoubleType))),
+        PartitionScheme(Seq(PartitionKey("c_custkey", Transform.BucketSha1(8)))))
+      cat.writeToTable(c, "q.c", WriteMode.Merge)
+      (0 until 8).map(b => cat.readTable("q.c",
+          ReadOptions(partitionValues = Some(Map("c_custkey" -> b.toString)))))
+        .reduce(_ unionByName _)
     }
   )
 }
