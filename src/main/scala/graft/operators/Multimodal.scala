@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
 /**
  * Multimodal column plumbing: media payloads ride as opaque BinaryType
  * columns with a typed metadata struct; decode / feature-extraction runs as
- * a per-partition batch pipeline over the binary payloads.
+ * a per-partition batch pipeline over the binary payloads (the reference
+ * decodes via per-format datasource readers, utils/url.py:77-248).
  *
- * The actual media decode is STUBBED (no image/audio libs in this
- * environment): `decodeStub` derives deterministic fake features (byte
- * length, content digest, fake dimensions) so the Spark-side plumbing —
- * schema, partitioning, batch iteration, typed Encoders — is real and
- * testable. Swap `decodeStub` for a real codec (e.g. JNI/FFI decode) without
- * touching the pipeline shape.
+ * IMAGE and AUDIO decode are REAL: the JDK ships actual codecs —
+ * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP) and RIFF/WAV PCM — so
+ * `decodeImages` / `resizeImages` / `encodeImages` / `decodeWav` run true
+ * decode/transcode in executors, one codec instance per partition, no
+ * driver collect. VIDEO frame-sampling stays stubbed (`decodeStub`): no
+ * video codec exists in the JVM, and the stub keeps the pipeline shape —
+ * schema, partitioning, batch iteration, typed Encoders — real and
+ * testable until an FFI decoder is swapped in.
  */
 object Multimodal {
 
@@ -54,5 +57,164 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.payload.length.toLong, digest, w, w / 2)
       }
     }
+  }
+
+  // ---------------------------------------------------------- real codecs
+
+  /** Decoded image features. `mean_gray` is the rounded mean luminance
+    * (ITU-R BT.601 integer weights over 8-bit RGB); `format` is sniffed
+    * from the payload magic, not trusted metadata. */
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      format: String, mean_gray: Long)
+
+  /** One re-encoded image payload. */
+  final case class ImageOut(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    img
+  }
+
+  /** REAL image decode via the JDK's ImageIO codecs: dimensions, sniffed
+    * format, mean luminance — computed per partition in executors. Rows
+    * whose payload does not decode are dropped (`strict = false`) or fail
+    * the job (`strict = true`); a training-data pipeline wants the filter,
+    * an ingest gate wants the failure. */
+  def decodeImages(spark: SparkSession, media: DataFrame,
+      strict: Boolean = false): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = readImage(r.payload)
+          var sum = 0L
+          val w = img.getWidth; val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              // BT.601 integer luma: (77 R + 150 G + 29 B) >> 8
+              sum += (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+                29 * (rgb & 0xFF)) >> 8
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageFeatures(r.doc_id, w, h, sniffFormat(r.payload),
+            math.round(sum.toDouble / (w.toLong * h))))
+        } catch {
+          case e: Exception if !strict => None
+          case e: Exception => throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: image decode failed", e)
+        }
+      }
+    }
+  }
+
+  /** REAL resize: decode, scale so max(width,height) == maxDim (never
+    * upscale), bilinear interpolation, re-encode PNG. The distributed
+    * transcode pass of a vision-data pipeline. */
+  def resizeImages(spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[ImageOut] = {
+    import spark.implicits._
+    require(maxDim >= 1, "maxDim >= 1")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = readImage(r.payload)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+          val (nw, nh) = (math.max(1, math.round(img.getWidth * scale).toInt),
+            math.max(1, math.round(img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(ImageOut(r.doc_id, bos.toByteArray, nw, nh))
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Decoded WAV/PCM features. `rms` is over normalized [-1, 1] samples of
+    * the first channel. */
+  final case class WavFeatures(doc_id: Long, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_frames: Long, duration_ms: Long, rms: Double)
+
+  /** REAL RIFF/WAV PCM decode (byte-level per the public WAVE format spec —
+    * deterministic, no AudioSystem service lookup): fmt chunk → layout,
+    * data chunk → samples; 8/16/24/32-bit integer PCM. */
+  def decodeWav(spark: SparkSession, media: DataFrame,
+      strict: Boolean = false): Dataset[WavFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try Some(parseWav(r.doc_id, r.payload))
+        catch {
+          case e: Exception if !strict => None
+          case e: Exception => throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: wav decode failed", e)
+        }
+      }
+    }
+  }
+
+  private[graft] def parseWav(docId: Long, b: Array[Byte]): WavFeatures = {
+    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xFFFFFFFFL
+    require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not RIFF/WAVE")
+    var pos = 12
+    var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = u32(pos + 4)
+      id match {
+        case "fmt " =>
+          val fmt = u16(pos + 8)
+          require(fmt == 1, s"non-PCM wav format tag $fmt")
+          channels = u16(pos + 10); rate = u32(pos + 12).toInt; bits = u16(pos + 22)
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => ()
+      }
+      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    require(channels > 0 && dataOff >= 0, "missing fmt/data chunk")
+    val bytesPer = bits / 8
+    val frameBytes = bytesPer * channels
+    val nFrames = dataLen / frameBytes
+    val full = (1L << (bits - 1)).toDouble
+    var sumSq = 0.0
+    var f = 0L
+    while (f < nFrames) {
+      val off = dataOff + (f * frameBytes).toInt // first channel only
+      val v: Long = bits match {
+        case 8 => (b(off) & 0xFF) - 128L // 8-bit wav is unsigned
+        case 16 => u16(off).toShort.toLong
+        case 24 => ((u16(off).toLong | ((b(off + 2) & 0xFF).toLong << 16)) << 40) >> 40
+        case 32 => (u32(off) << 32) >> 32
+        case other => throw new IllegalArgumentException(s"unsupported PCM depth $other")
+      }
+      val s = v / full
+      sumSq += s * s
+      f += 1
+    }
+    val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
+    WavFeatures(docId, channels, rate, bits, nFrames,
+      if (rate == 0) 0L else nFrames * 1000L / rate, rms)
   }
 }

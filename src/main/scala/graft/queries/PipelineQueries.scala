@@ -450,6 +450,76 @@ object PipelineQueries {
              CAST((16 + octet_length(encode(text)) % 64) // 2 AS INTEGER) AS fake_height
       FROM documents""")) { (s, dir) =>
       Multimodal.decodeStub(s, Multimodal.withPayload(tbl(s, dir, "documents"), "doc_id", "text")).toDF()
+    },
+
+    // REAL image decode through the JDK's actual PNG codec: executors
+    // generate a solid-gray W×H png per doc (dims and gray level are
+    // doc_id arithmetic), decodeImages round-trips it through ImageIO,
+    // and the oracle recomputes the features without touching pixels —
+    // solid gray g has exact BT.601 luma g, so mean_gray == doc_id % 256.
+    Q("t21_image_decode", Some("""
+      SELECT doc_id,
+             CAST(16 + doc_id % 32 AS INTEGER) AS width,
+             CAST(8 + doc_id % 16 AS INTEGER) AS height,
+             'png' AS format,
+             CAST(doc_id % 256 AS BIGINT) AS mean_gray
+      FROM documents""")) { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val w = (16 + id % 32).toInt
+            val h = (8 + id % 16).toInt
+            val g = (id % 256).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val b = bos.toByteArray
+            Multimodal.MediaRow(id, b, "image/png", b.length.toLong)
+          }
+        }.toDF()
+      Multimodal.decodeImages(s, media, strict = true).toDF()
+    },
+
+    // REAL RIFF/WAV PCM decode: executors synthesize a 16-bit mono wav per
+    // doc with a constant-amplitude signal, so every decoded feature —
+    // frame count, duration, RMS — is exact doc_id arithmetic the oracle
+    // recomputes symbolically.
+    Q("t22_audio_decode", Some("""
+      SELECT doc_id,
+             CAST(1 AS INTEGER) AS channels,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(16 AS INTEGER) AS bits_per_sample,
+             CAST(1000 + doc_id % 500 AS BIGINT) AS n_frames,
+             CAST(floor((1000 + doc_id % 500) / 8) AS BIGINT) AS duration_ms,
+             round((doc_id % 100) * 327 / 32768.0, 9) AS rms
+      FROM documents""")) { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val n = (1000 + id % 500).toInt
+            val amp = ((id % 100) * 327).toShort
+            val dataLen = n * 2
+            val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+              .put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+            bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+            var i = 0
+            while (i < n) { bb.putShort(amp); i += 1 }
+            val b = bb.array()
+            Multimodal.MediaRow(id, b, "audio/wav", b.length.toLong)
+          }
+        }.toDF()
+      Multimodal.decodeWav(s, media, strict = true).toDF()
+        .withColumn("rms", round(col("rms"), 9))
     }
   )
 }

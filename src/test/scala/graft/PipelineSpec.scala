@@ -455,4 +455,52 @@ class PipelineSpec extends SparkSpec {
       assert(f.fake_height == f.fake_width / 2)
     }
   }
+
+  test("multimodal real codecs: image decode/resize via ImageIO, wav PCM parse") {
+    import spark.implicits._
+    // a 64×32 half-black/half-white png: mean luma must be ~127/128
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, png(64, 32), "image/png", 0L),
+      Multimodal.MediaRow(2L, png(100, 40), "image/png", 0L),
+      Multimodal.MediaRow(3L, "not an image".getBytes, "image/png", 0L)).toDF()
+
+    val feats = Multimodal.decodeImages(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.length == 2, "undecodable row dropped in lenient mode")
+    assert(feats(0).width == 64 && feats(0).height == 32 && feats(0).format == "png")
+    assert(math.abs(feats(0).mean_gray - 127) <= 1)
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeImages(spark, media, strict = true).collect())
+
+    // resize: 100×40 → maxDim 50 → 50×20; smaller image untouched (no upscale)
+    val resized = Multimodal.resizeImages(spark, media, 50).collect().sortBy(_.doc_id)
+    assert(resized.map(r => (r.doc_id, r.width, r.height)).toSeq ==
+      Seq((1L, 50, 25), (2L, 50, 20)))
+    // outputs are real PNGs that decode again
+    val again = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1).payload))
+    assert(again.getWidth == 50 && again.getHeight == 20)
+
+    // wav: constant 16-bit amplitude 16384 → rms exactly 0.5
+    val n = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(n * 2)
+    (0 until n).foreach(_ => bb.putShort(16384))
+    val wav = Multimodal.parseWav(7L, bb.array())
+    assert(wav.channels == 1 && wav.sample_rate == 8000 && wav.bits_per_sample == 16)
+    assert(wav.n_frames == 8000L && wav.duration_ms == 1000L)
+    assert(math.abs(wav.rms - 0.5) < 1e-12)
+  }
 }
