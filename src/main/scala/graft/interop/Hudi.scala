@@ -392,9 +392,9 @@ object Hudi {
     // rows tagged with their block's commit instant; base-file adds keep
     // the existing path. Log-only slices contribute no base files.
     val windowLogs = assembled.flatMap(s =>
-      s.logFiles.map(l => (s.partitionPath + " " + s.fileId, l)))
+      s.logFiles.map(l => (s.partitionPath + "\u0000" + s.fileId, l)))
     val gidPart: Map[String, String] =
-      assembled.map(s => (s.partitionPath + " " + s.fileId) -> s.partitionPath).toMap
+      assembled.map(s => (s.partitionPath + "\u0000" + s.fileId) -> s.partitionPath).toMap
     val logRows: Option[DataFrame] =
       logRecordsFrame(spark, table, windowLogs, window.map(_.time).toSet,
         instantWindow = Some((fromInstant, toInstant)), withInstant = true)
@@ -763,12 +763,12 @@ object Hudi {
   private def readMerged(
       spark: SparkSession, table: String, slices: Seq[FileSlice],
       schema: Option[StructType], pf: Seq[String], keepMetaFields: Boolean,
-      completed: Set[String]): DataFrame = {
+      completed: Set[String], keepGid: Boolean = false): DataFrame = {
     val keys = recordKeyFields(table)
     require(keys.nonEmpty,
       s"$table has log files but no hoodie.table.recordkey.fields — cannot merge")
     val root = Paths.get(table).toAbsolutePath
-    def gidOf(s: FileSlice) = s.partitionPath + " " + s.fileId
+    def gidOf(s: FileSlice) = s.partitionPath + "\u0000" + s.fileId
 
     val logDF = logRecordsFrame(spark, table,
       slices.flatMap(s => s.logFiles.map(l => (gidOf(s), l))), completed)
@@ -823,7 +823,9 @@ object Hudi {
             .map(sf => c.cast(sf.dataType)).getOrElse(c))
         }.drop("_g_pv")
       }
-    val clean = withPv.drop("_g_gid", "_g_seq")
+    val clean =
+      if (keepGid) withPv.drop("_g_seq")
+      else withPv.drop("_g_gid", "_g_seq")
     val ordered = schema match {
       case Some(sc) =>
         val extras = clean.columns.filterNot(sc.fieldNames.contains)
@@ -961,7 +963,7 @@ object Hudi {
     val pf = partitionFields(table)
     val snap = snapshot(spark, table)
     val root = Paths.get(table).toAbsolutePath
-    def gidOf(s: FileSlice) = s.partitionPath + " " + s.fileId
+    def gidOf(s: FileSlice) = s.partitionPath + "\u0000" + s.fileId
     import spark.implicits._
 
     // ---- key → file-group index (metadata flows to driver only via the
@@ -1099,6 +1101,112 @@ object Hudi {
     meta.set[JsonNode]("extraMetadata", extra)
     completeInstant(table, instant, "deltacommit", mapper.writeValueAsString(meta))
     instant
+  }
+
+  /** Hudi compaction (the MoR table service): fold every log-bearing file
+    * slice into a fresh base file at a new instant, completed as a `commit`
+    * action per the timeline spec. Log-free slices carry through untouched
+    * — replay then attaches nothing to the new bases, so the folded log
+    * files fall out of the read path and `clean()` can reclaim them.
+    * The merge runs as one distributed job (same plan as a snapshot read)
+    * and one staged write partitioned by file group; a group whose rows
+    * were all tombstoned still gets an (empty) base file, or its old slice
+    * would resurrect on replay. Returns the instant, or None if there was
+    * nothing to compact. */
+  def compact(spark: SparkSession, table: String): Option[String] = {
+    require(tableType(table) == "MERGE_ON_READ",
+      s"compact targets MERGE_ON_READ tables; $table is ${tableType(table)}")
+    val snap = snapshot(spark, table)
+    val mor = snap.slices.filter(_.logFiles.nonEmpty)
+    if (mor.isEmpty) return None
+    val pf = partitionFields(table)
+    val root = Paths.get(table).toAbsolutePath
+    def gidOf(s: FileSlice) = s.partitionPath + "\u0000" + s.fileId
+
+    val instant = newInstant(table)
+    transitionFile(table, instant, "commit", "requested")
+    transitionFile(table, instant, "commit", "inflight")
+
+    val merged = readMerged(spark, table, mor, snap.schema, pf,
+      keepMetaFields = false, snap.completedInstants, keepGid = true)
+    val dataCols = merged.columns.filterNot(c => pf.contains(c) || c == "_g_gid")
+    val toks: Map[String, String] = mor.zipWithIndex.map { case (s, i) => gidOf(s) -> s"g$i" }.toMap
+    val sliceByTok: Map[String, FileSlice] = mor.zipWithIndex.map { case (s, i) => s"g$i" -> s }.toMap
+
+    val staging = Files.createTempDirectory(root.getParent, "_hudi_compact_staging_")
+    val written: Seq[(FileSlice, String, Long)] = try { // (slice, newRelPath, bytes)
+      val tokU = udf((gid: String) => toks(gid))
+      merged.withColumn("_g_tok", tokU(col("_g_gid")))
+        .select((dataCols :+ "_g_tok").map(col): _*)
+        .repartition(col("_g_tok"))
+        .write.mode("overwrite").partitionBy("_g_tok").parquet(staging.toString)
+      val stagedOf: Map[String, JPath] = {
+        val s = Files.walk(staging)
+        try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getParent.getFileName.toString.stripPrefix("_g_tok=") -> p).toMap
+        finally s.close()
+      }
+      // all-tombstoned groups produced no staged file — they need an empty
+      // base or the pre-compaction slice resurrects on replay
+      val missing = toks.values.toSeq.filterNot(stagedOf.contains)
+      val emptyStaged: Map[String, JPath] =
+        if (missing.isEmpty) Map.empty
+        else {
+          val schemaOnly = StructType(merged.schema.fields
+            .filter(f => dataCols.contains(f.name)))
+          val eDir = staging.resolve("_empty")
+          InteropUtil.emptyFrame(spark, schemaOnly).repartition(1)
+            .write.mode("overwrite").parquet(eDir.toString)
+          val ef = { val s = Files.walk(eDir)
+            try s.iterator().asScala.find(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet")).get
+            finally s.close() }
+          missing.map(_ -> ef).toMap
+        }
+      (stagedOf ++ emptyStaged).toSeq.map { case (tok, staged) =>
+        val s = sliceByTok(tok)
+        val newName = s"${s.fileId}_0-0-0_$instant.parquet"
+        val newRel = if (s.partitionPath.isEmpty) newName else s"${s.partitionPath}/$newName"
+        val dest = root.resolve(newRel)
+        Files.createDirectories(dest.getParent)
+        Files.copy(staged, dest) // copy, not move: empty file may serve many groups
+        (s, newRel, Files.size(dest))
+      }
+    } finally InteropUtil.deleteRecursively(staging)
+
+    val counts = InteropUtil.parquetRowCounts(spark, written.map(w => root.resolve(w._2).toString))
+    val meta = mapper.createObjectNode()
+    val ptws = mapper.createObjectNode()
+    written.groupBy(_._1.partitionPath).foreach { case (p, ws) =>
+      val arr = mapper.createArrayNode()
+      ws.foreach { case (s, rel, bytes) =>
+        val st = mapper.createObjectNode()
+        st.put("fileId", s.fileId)
+        st.put("path", rel)
+        st.put("prevCommit", s.instant)
+        val n = counts.getOrElse(root.resolve(rel).toString, 0L)
+        st.put("numWrites", n)
+        st.put("numInserts", 0L)
+        st.put("numDeletes", 0L)
+        st.put("numUpdateWrites", n)
+        st.put("totalWriteBytes", bytes)
+        st.put("fileSizeInBytes", bytes)
+        st.put("partitionPath", p)
+        arr.add(st)
+      }
+      ptws.set[JsonNode](p, arr)
+    }
+    meta.set[JsonNode]("partitionToWriteStats", ptws)
+    meta.put("compacted", true)
+    meta.put("operationType", "COMPACT")
+    snap.schema.foreach { sc =>
+      val extra = mapper.createObjectNode()
+      extra.put("schema", AvroFileFormat.toAvroSchema(sc, "hoodie_record").toString)
+      meta.set[JsonNode]("extraMetadata", extra)
+    }
+    completeInstant(table, instant, "commit", mapper.writeValueAsString(meta))
+    Some(instant)
   }
 
   private def createTable(

@@ -282,6 +282,21 @@ class InteropSpec extends SparkSpec {
     assert(inc.columns.contains("_hoodie_commit_instant"))
     assert(inc.count() == nation.where($"n_nationkey" % 3 === 0).count())
     assert(inc.where(!$"n_name".endsWith("_v2")).count() == 0)
+
+    // compaction folds logs into fresh base files; the read is unchanged,
+    // no slice carries logs anymore, and clean() reclaims the old files
+    val preCompact = Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq
+    assert(Hudi.compact(spark, t).isDefined)
+    val postSnap = Hudi.snapshot(spark, t)
+    assert(postSnap.slices.forall(_.logFiles.isEmpty), "no live slice keeps logs")
+    assert(Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq == preCompact)
+    // time travel to the pre-compaction instant still merges the old logs
+    assert(Hudi.read(spark, t, asOfInstant = Some(tl.last.time))
+      .orderBy("n_nationkey").collect().toSeq == preCompact)
+    assert(Hudi.clean(spark, t) > 0)
+    assert(Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq == preCompact)
+    // nothing left to compact
+    assert(Hudi.compact(spark, t).isEmpty)
   }
 
   test("hudi merge-on-read: foreign avro data block and rollback command block") {
