@@ -29,15 +29,37 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
+  /** Query-side row ceiling for [[bruteForceTopK]] (override with
+    * `graft.ann.brute.maxQueries`, 0 disables). The guard is on the
+    * BROADCAST side: the corpus streams once per task regardless of size,
+    * but every query row multiplies the whole corpus scan — 10k queries
+    * against a 100 TB corpus is a 10k-way cross amplification the caller
+    * should be routing through lshTopK/ivfTopK instead. */
+  private val DefaultMaxBruteQueries = 10000L
+
   /**
-   * Exact top-k cosine neighbors for each query vector. The query set is
-   * broadcast; rank ties break on the rounded similarity (9 decimals, to be
+   * Exact top-k cosine neighbors for each query vector — the labeled
+   * BASELINE path: one corpus scan joined against a broadcast query set.
+   * GUARDED, not just labeled: more query rows than
+   * `graft.ann.brute.maxQueries` (default 10k) fails fast with a pointer
+   * at the scale paths ([[lshTopK]], [[ivfTopK]]); the corpus side may be
+   * any size. Rank ties break on the rounded similarity (9 decimals, to be
    * engine-stable) then neighbor id. Ids keep their natural type (long,
    * string, …) — no silent cast.
    */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    val maxQ = corpus.sparkSession.conf
+      .getOption("graft.ann.brute.maxQueries").map(_.toLong)
+      .getOrElse(DefaultMaxBruteQueries)
+    if (maxQ > 0) {
+      val nq = queries.count()
+      require(nq <= maxQ,
+        s"bruteForceTopK: $nq query rows exceed graft.ann.brute.maxQueries=$maxQ — " +
+          "each query row re-scores the ENTIRE corpus; use lshTopK or ivfTopK " +
+          "for large query sets (or raise/disable the guard explicitly)")
+    }
     val c = Par.widen(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("ce"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qe")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
