@@ -862,6 +862,27 @@ object CatalogQueries {
       graft.interop.Hudi.read(s, t)
     },
 
+    // Merge-on-read incremental pull: the rows carried by log blocks whose
+    // deltacommit falls inside the requested instant window — here exactly
+    // the price-upsert batch, not the base insert before it nor the
+    // tombstone batch after it.
+    Q("c56_hudi_mor_incremental", Some("""
+      SELECT p_partkey, p_name, p_retailprice * 2 AS p_retailprice
+      FROM part WHERE p_partkey % 5 = 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c56").resolve("tbl").toString
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      graft.interop.Hudi.write(p, t,
+        tableType = "MERGE_ON_READ", recordKeyFields = Seq("p_partkey"))
+      val i0 = graft.interop.Hudi.timeline(t).last.time
+      val i1 = graft.interop.Hudi.upsertLog(
+        p.where(col("p_partkey") % 5 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") * 2), t)
+      graft.interop.Hudi.upsertLog(
+        p.where(col("p_partkey") % 11 === 0).withColumn("_hoodie_is_deleted", lit(true)), t)
+      graft.interop.Hudi.incremental(s, t, i0, Some(i1))
+        .drop("_hoodie_commit_instant")
+    },
+
     // Delta column-mapping WRITE path (PROTOCOL.md "Column Mapping"):
     // create a name-mode table (physical col-… parquet names), append to
     // it, then a DV row-delete — all under logical names; the snapshot
