@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -297,23 +298,58 @@ object DeltaLake {
           .map(_.name).getOrElse(pc))
       require(logicalPc == partitionBy,
         s"partitionBy $partitionBy != table partitioning $logicalPc")
-      // names AND types (nullability aside): a type-mismatched append would
-      // commit parquet the table schemaString can no longer read
+    }
+    // COMPATIBLE schema evolution instead of a shape gate (delta-spark's
+    // mergeSchema): new nullable columns append to the schemaString (fresh
+    // physical names + ids under column mapping), required→optional
+    // relaxes, a dropped optional column pads null at staging. A TYPE
+    // change still refuses — Delta type changes need the typeWidening
+    // table feature, which this binding does not write.
+    val evolved: Option[(StructType, Long)] = snapOpt.flatMap { snap =>
       def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
-      require(shape(schema) == shape(snap.schema),
-        s"schema mismatch: ${shape(schema)} vs table ${shape(snap.schema)}")
+      if (shape(schema) == shape(snap.schema)) None
+      else {
+        snap.schema.fields.foreach { tf =>
+          schema.fields.find(_.name == tf.name) match {
+            case Some(dfF) => require(dfF.dataType.sql == tf.dataType.sql,
+              s"incompatible type change for ${tf.name}: ${tf.dataType.sql} -> ${dfF.dataType.sql}")
+            case None => require(tf.nullable,
+              s"append would leave required column ${tf.name} unwritten")
+          }
+        }
+        val kept = snap.schema.fields.map { tf =>
+          if (tf.nullable || schema.fields.find(_.name == tf.name).forall(!_.nullable)) tf
+          else tf.copy(nullable = true)
+        }
+        val maxExisting = collectMappingIds(snap.schema).maxOption.getOrElse(0L)
+        val addedPlain = schema.fields
+          .filterNot(f => snap.schema.fieldNames.contains(f.name)).map { f =>
+            require(f.nullable, s"new column ${f.name} must be nullable (add-column evolution)")
+            f.copy(nullable = true)
+          }
+        if (snap.columnMappingMode == "none")
+          Some((StructType(kept ++ addedPlain), 0L))
+        else {
+          val (mappedAdded, maxId) =
+            assignColumnMapping(StructType(addedPlain), startId = maxExisting)
+          Some((StructType(kept ++ mappedAdded.fields), maxId))
+        }
+      }
     }
     // the schema whose (possibly mapped) names the staged parquet must use
     val createMapping: Option[(StructType, Long)] =
       if (isCreate && columnMappingMode == "name") Some(assignColumnMapping(schema)) else None
     val tableSchema: StructType =
-      snapOpt.map(_.schema).orElse(createMapping.map(_._1)).getOrElse(schema)
+      evolved.map(_._1).orElse(snapOpt.map(_.schema)).orElse(createMapping.map(_._1)).getOrElse(schema)
     val mapped = snapOpt.map(_.columnMappingMode != "none")
       .getOrElse(columnMappingMode != "none")
-    val physDf =
-      if (!mapped) df
-      else df.select(tableSchema.fields.map(f =>
-        col(f.name).cast(physicalize(f.dataType)).as(physicalName(f))): _*)
+    // align to the (possibly evolved) table schema: absent optional columns
+    // pad null; mapped tables stage under physical names
+    val physDf = df.select(tableSchema.fields.map { f =>
+      val src = if (df.columns.contains(f.name)) col(f.name) else lit(null)
+      if (mapped) src.cast(physicalize(f.dataType)).as(physicalName(f))
+      else src.cast(stripFieldMeta(f.dataType)).as(f.name)
+    }: _*)
     val physPartitionBy =
       if (!mapped) partitionBy
       else partitionBy.map(lp => physicalName(tableSchema(lp)))
@@ -345,6 +381,27 @@ object DeltaLake {
           "delta.columnMapping.mode" -> columnMappingMode,
           "delta.columnMapping.maxColumnId" -> maxId.toString)
         }.getOrElse(Map.empty))
+    }
+    // evolution rides the same commit as the data it admits: the newest
+    // metaData action re-published with the merged schemaString, table
+    // identity and configuration preserved (maxColumnId bumped under
+    // column mapping)
+    evolved.foreach { case (_, maxId) =>
+      val node: ObjectNode = rawMetaDataNode(table).getOrElse {
+        val snap = snapOpt.get
+        metaDataAction(tableSchema, snap.partitionColumns,
+          if (snap.columnMappingMode == "none") Map.empty
+          else Map("delta.columnMapping.mode" -> snap.columnMappingMode))
+          .get("metaData").asInstanceOf[ObjectNode]
+      }
+      node.put("schemaString", tableSchema.json)
+      if (maxId > 0) {
+        val cfg = Option(node.get("configuration")).collect { case o: ObjectNode => o }
+          .getOrElse { val o = obj(); node.set[JsonNode]("configuration", o); o }
+        cfg.put("delta.columnMapping.maxColumnId", maxId.toString)
+      }
+      val w = obj(); w.set[JsonNode]("metaData", node)
+      actions += w
     }
     actions ++= removes
     actions ++= added.map { case (rel, size, pv) => addAction(rel, size, pv) }
@@ -469,6 +526,18 @@ object DeltaLake {
     val (ss, pc, cm) = schema.getOrElse(
       throw new IllegalStateException(s"no metaData action found in Delta log: $table"))
     Meta(ss, pc, protocol, cm)
+  }
+
+  /** Newest raw metaData action node from the JSON commit tail (None for
+    * checkpoint-only tables — the caller rebuilds a minimal one). */
+  private def rawMetaDataNode(table: String): Option[ObjectNode] = {
+    for (v <- versions(table).sorted.reverse) {
+      for (line <- Files.readAllLines(commitFile(table, v)).asScala if line.nonEmpty) {
+        val n = mapper.readTree(line)
+        if (n.has("metaData")) return Some(n.get("metaData").deepCopy[ObjectNode]())
+      }
+    }
+    None
   }
 
   private def checkProtocol(protocol: Option[JsonNode], table: String): Unit =
@@ -923,11 +992,24 @@ object DeltaLake {
     val w = obj(); w.set("metaData", m); w
   }
 
+  /** Every `delta.columnMapping.id` anywhere in the schema tree. */
+  private def collectMappingIds(dt: DataType): Seq[Long] = dt match {
+    case s: StructType => s.fields.toSeq.flatMap { f =>
+      (if (f.metadata.contains("delta.columnMapping.id"))
+        Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++
+        collectMappingIds(f.dataType)
+    }
+    case a: ArrayType => collectMappingIds(a.elementType)
+    case m: MapType => collectMappingIds(m.keyType) ++ collectMappingIds(m.valueType)
+    case _ => Nil
+  }
+
   /** Assign fresh column-mapping metadata to every (nested) field —
     * delta-spark's `col-<uuid>` physical-name convention plus sequential
-    * field ids. Returns the mapped schema and the max id. */
-  private def assignColumnMapping(schema: StructType): (StructType, Long) = {
-    var id = 0L
+    * field ids starting past `startId`. Returns the mapped schema and the
+    * max id. */
+  private def assignColumnMapping(schema: StructType, startId: Long = 0L): (StructType, Long) = {
+    var id = startId
     def walk(dt: DataType): DataType = dt match {
       case s: StructType => StructType(s.fields.map { f =>
         id += 1

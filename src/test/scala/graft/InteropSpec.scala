@@ -415,9 +415,11 @@ class InteropSpec extends SparkSpec {
   test("schema-shape gates: type-mismatched appends are refused") {
     val t = tmpDir("delta-types")
     DeltaLake.write(nation, t)
+    // delta now EVOLVES compatible shapes; a type change is not one (it
+    // would need the typeWidening feature) and still refuses
     val retyped = nation.withColumn("n_regionkey", $"n_regionkey".cast("string"))
     val e1 = intercept[IllegalArgumentException](DeltaLake.write(retyped, t))
-    assert(e1.getMessage.contains("schema mismatch"))
+    assert(e1.getMessage.contains("incompatible type change"))
 
     import graft.interop.Iceberg
     val it = tmpDir("ice-types") + "/tbl"
@@ -575,6 +577,37 @@ class InteropSpec extends SparkSpec {
     val appended = DeltaLake.read(spark, t, partitionFilter = Some(col("k") === "x"))
     assert(appended.select("id").as[Long].collect().toSet == Set(1L, 2L, 9L))
     assert(appended.where($"id" === 9L).select("info.tag").as[String].collect().toSeq == Seq("t9"))
+  }
+
+  test("delta: schema evolution on append — add-nullable, plain and column-mapped") {
+    // plain table: an appended frame with a new nullable column evolves the
+    // schemaString in the same commit; old rows pad null
+    val t = tmpDir("delta-evolve")
+    DeltaLake.write(nation.where($"n_nationkey" < 10), t)
+    DeltaLake.write(
+      nation.where($"n_nationkey" >= 10).withColumn("tag", concat(lit("t"), $"n_nationkey")), t)
+    val back = DeltaLake.read(spark, t)
+    assert(back.columns.contains("tag"))
+    assert(back.count() == nation.count())
+    assert(back.where($"n_nationkey" < 10).where($"tag".isNotNull).count() == 0)
+    assert(back.where($"n_nationkey" >= 10).where($"tag".isNull).count() == 0)
+    // and a frame MISSING the (nullable) column still appends, padded
+    DeltaLake.write(
+      nation.where($"n_nationkey" === 0).withColumn("n_nationkey", $"n_nationkey" + 100), t)
+    assert(DeltaLake.read(spark, t).where($"n_nationkey" === 100).count() == 1)
+
+    // column-mapped table: the new column gets a fresh physical name + id
+    val tc = tmpDir("delta-evolve-cm")
+    DeltaLake.write(nation.where($"n_nationkey" < 10), tc, columnMappingMode = "name")
+    DeltaLake.write(
+      nation.where($"n_nationkey" >= 10).withColumn("tag", concat(lit("t"), $"n_nationkey")), tc)
+    val snap = DeltaLake.snapshot(spark, tc)
+    val tagField = snap.schema("tag")
+    assert(tagField.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(tagField.metadata.getLong("delta.columnMapping.id") == 4L)
+    val backCm = DeltaLake.read(spark, tc)
+    assert(backCm.where($"n_nationkey" >= 10).where($"tag".isNull).count() == 0)
+    assert(backCm.where($"n_nationkey" < 10).where($"tag".isNotNull).count() == 0)
   }
 
   test("delta: column-mapping writes — create name-mode, append, DV delete, partition delete") {
