@@ -861,14 +861,25 @@ object Hudi {
         val pf = partitionFields(table)
         require(pf == partitionBy,
           s"partitionBy $partitionBy != table partitioning $pf")
-        val snap = snapshot(spark, table)
-        snap.schema.foreach { tableSchema =>
-          def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
-          require(shape(df.schema) == shape(tableSchema),
-            s"schema mismatch: ${shape(df.schema)} vs table ${shape(tableSchema)}")
-        }
-        Some(snap)
+        Some(snapshot(spark, table))
       }
+    // COMPATIBLE schema evolution instead of a shape gate (Hudi's own
+    // writers evolve via the commit-recorded avro schema): new nullable
+    // columns, int→long / float→double / decimal-precision widening,
+    // required→optional. The merged schema rides this commit's
+    // extraMetadata and becomes the read schema; old base files project
+    // through it by name with null-padded columns and upcast reads.
+    // Overwrite REPLACES the table, so its schema replaces too.
+    val tableSchema: StructType = existing.flatMap(_.schema) match {
+      case Some(ts) if mode != "overwrite" =>
+        def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+        if (shape(df.schema) == shape(ts)) ts else mergeSchemas(ts, df.schema)
+      case _ => df.schema
+    }
+    val aligned = df.select(tableSchema.fields.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
     val replaced: Map[String, Seq[String]] =
       if (mode == "overwrite")
         existing.map(_.slices.groupBy(_.partitionPath)
@@ -890,7 +901,7 @@ object Hudi {
     val root = Paths.get(table).toAbsolutePath
     val staging = Files.createTempDirectory(root.getParent, "_hudi_staging_")
     val written: Seq[FileSlice] = try {
-      val w = df.write.mode("overwrite")
+      val w = aligned.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(staging.toString)
       moveAsBaseFiles(staging, root, instant)
@@ -935,11 +946,45 @@ object Hudi {
     meta.put("compacted", false)
     meta.put("operationType", if (replaced.nonEmpty) "INSERT_OVERWRITE_TABLE" else "INSERT")
     val extra = mapper.createObjectNode()
-    extra.put("schema", AvroFileFormat.toAvroSchema(df.schema, "hoodie_record").toString)
+    extra.put("schema", AvroFileFormat.toAvroSchema(tableSchema, "hoodie_record").toString)
     meta.set[JsonNode]("extraMetadata", extra)
 
     completeInstant(table, instant, action, mapper.writeValueAsString(meta))
     instant
+  }
+
+  /** Merged append schema (the spec-legal promotions shared with the
+    * Iceberg binding): kept fields widen int→long / float→double /
+    * decimal-precision and relax required→optional; incoming-only fields
+    * append as nullable; anything else refuses before data is staged. */
+  private def mergeSchemas(table: StructType, incoming: StructType): StructType = {
+    def widen(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) => d1.scale == d2.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+    val kept = table.fields.map { tf =>
+      incoming.fields.find(_.name == tf.name) match {
+        case Some(inF) =>
+          val t =
+            if (tf.dataType == inF.dataType) tf.dataType
+            else if (widen(tf.dataType, inF.dataType)) inF.dataType
+            else if (widen(inF.dataType, tf.dataType)) tf.dataType
+            else throw new IllegalArgumentException(
+              s"incompatible type change for ${tf.name}: ${tf.dataType.sql} -> ${inF.dataType.sql}")
+          StructField(tf.name, t, tf.nullable || inF.nullable)
+        case None =>
+          require(tf.nullable, s"append would leave required column ${tf.name} unwritten")
+          tf
+      }
+    }
+    val added = incoming.fields.filterNot(f => table.fieldNames.contains(f.name)).map { f =>
+      require(f.nullable, s"new column ${f.name} must be nullable (add-column evolution)")
+      f
+    }
+    StructType(kept ++ added)
   }
 
   /** Merge-on-read upsert: route each row to the file group owning its

@@ -239,10 +239,30 @@ class InteropSpec extends SparkSpec {
     val kept = Hudi.read(spark, t, keepMetaFields = true)
     assert(kept.columns.contains("_hoodie_record_key"))
 
-    // type-mismatched append refused (names AND types gate)
+    // a type CHANGE (not a legal widening) still refuses
     val retyped = withMeta.withColumn("n_regionkey", $"n_regionkey".cast("string"))
     val e = intercept[IllegalArgumentException](Hudi.write(retyped, t))
-    assert(e.getMessage.contains("schema mismatch"))
+    assert(e.getMessage.contains("incompatible type change"))
+  }
+
+  test("hudi: compatible schema evolution on append — widen, add-nullable") {
+    import graft.interop.Hudi
+    val t = tmpDir("hudi-evolve")
+    Hudi.write(nation.where($"n_nationkey" < 10), t)
+    // widen the key int→long, add a nullable column
+    Hudi.write(nation.where($"n_nationkey" >= 10)
+      .withColumn("n_nationkey", $"n_nationkey".cast("long"))
+      .withColumn("tag", concat(lit("t"), $"n_nationkey")), t)
+    val back = Hudi.read(spark, t)
+    assert(back.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(back.count() == nation.count())
+    assert(back.where($"n_nationkey" < 10).where($"tag".isNotNull).count() == 0)
+    assert(back.where($"n_nationkey" >= 10).where($"tag".isNull).count() == 0)
+    // a frame missing the optional column still appends, null-padded
+    Hudi.write(nation.where($"n_nationkey" === 0)
+      .withColumn("n_nationkey", $"n_nationkey" + 200), t)
+    assert(Hudi.read(spark, t).where($"n_nationkey" === 200).count() == 1)
   }
 
   test("hudi merge-on-read: log upsert/tombstone/insert, time travel, incremental") {
