@@ -1040,7 +1040,15 @@ object Hudi {
     val partExpr =
       if (pf.isEmpty) lit("")
       else concat_ws("/", pf.map(f => concat(lit(f + "="), escapeU(col(f).cast(StringType)))): _*)
-    val routed = keyIdx.map(ix => df.join(ix, keys, "left"))
+    // Hudi GLOBAL_SIMPLE-index semantics: the index is a key-column scan of
+    // the whole table. Keep it shuffle-free at scale — semi-filter the scan
+    // by the (broadcast) incoming key set first, so the metadata-sized
+    // survivor set broadcasts into the routing join and the 100 TB table's
+    // key stream never crosses an exchange for a small upsert batch.
+    val routed = keyIdx.map { ix =>
+      val needed = ix.join(broadcast(df.select(keys.map(col): _*).distinct()), keys, "left_semi")
+      df.join(broadcast(needed), keys, "left")
+    }
       .getOrElse(df.withColumn("_g_gid", lit(null).cast(StringType)))
       .withColumn("_g_part", partExpr)
       .withColumn("_g_route", coalesce(col("_g_gid"), concat(lit("NEW "), col("_g_part"))))
