@@ -883,6 +883,61 @@ object CatalogQueries {
         .drop("_hoodie_commit_instant")
     },
 
+    // Hudi MoR compaction: after folding the upsert + tombstone logs into
+    // fresh base files, the snapshot read must still be the merged state —
+    // now served from bases alone (no slice keeps logs).
+    Q("c57_hudi_mor_compact", Some("""
+      SELECT p_partkey, p_name,
+             CASE WHEN p_partkey % 5 = 0 THEN p_retailprice * 2 ELSE p_retailprice END AS p_retailprice
+      FROM part WHERE p_partkey % 9 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c57").resolve("tbl").toString
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      graft.interop.Hudi.write(p, t,
+        tableType = "MERGE_ON_READ", recordKeyFields = Seq("p_partkey"))
+      graft.interop.Hudi.upsertLog(
+        p.where(col("p_partkey") % 5 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") * 2), t)
+      graft.interop.Hudi.upsertLog(
+        p.where(col("p_partkey") % 9 === 0).withColumn("_hoodie_is_deleted", lit(true)), t)
+      require(graft.interop.Hudi.compact(s, t).isDefined, "compaction must run")
+      require(graft.interop.Hudi.snapshot(s, t).slices.forall(_.logFiles.isEmpty),
+        "post-compaction slices must be log-free")
+      graft.interop.Hudi.read(s, t)
+    },
+
+    // Delta schema evolution on append: the second half arrives with a new
+    // nullable column; earlier rows surface it as null.
+    Q("c58_delta_evolution", Some("""
+      SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey % 2 = 1 THEN concat('t', CAST(s_suppkey AS VARCHAR)) END AS tag
+      FROM supplier""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c58").resolve("tbl").toString
+      val sp = tbl(s, dir, "supplier").select("s_suppkey", "s_name")
+      graft.interop.DeltaLake.write(sp.where(col("s_suppkey") % 2 === 0), t)
+      graft.interop.DeltaLake.write(
+        sp.where(col("s_suppkey") % 2 === 1)
+          .withColumn("tag", concat(lit("t"), col("s_suppkey"))), t)
+      graft.interop.DeltaLake.read(s, t)
+    },
+
+    // Iceberg schema evolution on append: int→long key widening + a new
+    // nullable column, committed as a new schema-id; old files project
+    // through the evolved schema by field id.
+    Q("c59_iceberg_evolution", Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CASE WHEN n_nationkey >= 10 THEN concat('t', CAST(n_nationkey AS VARCHAR)) END AS tag
+      FROM nation""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c59").resolve("tbl").toString
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      graft.interop.Iceberg.createTable(t, n.schema)
+      graft.interop.Iceberg.append(n.where(col("n_nationkey") < 10), t)
+      graft.interop.Iceberg.append(
+        n.where(col("n_nationkey") >= 10)
+          .withColumn("n_nationkey", col("n_nationkey").cast(LongType))
+          .withColumn("tag", concat(lit("t"), col("n_nationkey"))), t)
+      graft.interop.Iceberg.read(s, t)
+    },
+
     // Delta column-mapping WRITE path (PROTOCOL.md "Column Mapping"):
     // create a name-mode table (physical col-… parquet names), append to
     // it, then a DV row-delete — all under logical names; the snapshot
