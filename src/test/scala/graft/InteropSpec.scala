@@ -303,6 +303,21 @@ class InteropSpec extends SparkSpec {
     assert(inc.count() == nation.where($"n_nationkey" % 3 === 0).count())
     assert(inc.where(!$"n_name".endsWith("_v2")).count() == 0)
 
+    // partitioned MoR: an upsert batch containing keys of a partition the
+    // table has NEVER seen routes them to a fresh log-only group under the
+    // new hive-style dir (escaped partition value included)
+    val tp = tmpDir("hudi-mor-newpart")
+    val seed = Seq((1L, "a", "p one"), (2L, "b", "p one")).toDF("id", "v", "part")
+    Hudi.write(seed, tp, partitionBy = Seq("part"),
+      tableType = "MERGE_ON_READ", recordKeyFields = Seq("id"))
+    Hudi.upsertLog(Seq((2L, "b2", "p one"), (3L, "c", "p:two")).toDF("id", "v", "part"), tp)
+    val backP = Hudi.read(spark, tp)
+    assert(backP.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[String]("part"))).toSeq ==
+      Seq((1L, "a", "p one"), (2L, "b2", "p one"), (3L, "c", "p:two")))
+    val prunedP = Hudi.read(spark, tp, partitionFilter = Some(col("part") === "p:two"))
+    assert(prunedP.select("id").as[Long].collect().toSeq == Seq(3L))
+
     // compaction folds logs into fresh base files; the read is unchanged,
     // no slice carries logs anymore, and clean() reclaims the old files
     val preCompact = Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq
