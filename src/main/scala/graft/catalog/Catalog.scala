@@ -42,7 +42,12 @@ final case class ReadOptions(
     mergeOnRead: Boolean = true,
     withFilePath: Boolean = false,
     /** Row-limit pushdown — reference Pushdown.limit (push_down.py:32). */
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    /** Row-predicate pushdown — reference Pushdown.row_filter
+      * (push_down.py:32). Applied to the result for correctness AND
+      * evaluated against per-file footer stats (ManifestEntry.stats) to
+      * skip whole files at planning time (StatsSkip). */
+    rowFilter: Option[Column] = None)
 
 class TableAlreadyExists(t: String) extends RuntimeException(s"table $t already exists")
 class TableNotFound(t: String) extends RuntimeException(s"table $t not found")
@@ -715,7 +720,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
           .getOrElse("write.max_records_per_file",
             Compactor.DefaultMaxRecordsPerFile.toString).toLong)
       val partCols = scheme.keys.map(_.partitionColumnName).filter(withPart.columns.contains)
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)
+      withMicrosTimestamps {
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)
+      }
       val n = obs.get("n").asInstanceOf[Long]
       val statsJson = statsJsonFrom(statFields, obs)
       val entries = manifestEntriesOf(Paths.get(out), ct)
@@ -743,12 +750,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
 
     val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts,
       dataDir(t).toString, contentTypeOf(meta))
-    // Filter BEFORE projecting: a partition filter may reference columns the
-    // caller did not project (Catalyst prunes the scan all the same).
-    val filtered = opts.partitionFilter match {
-      case Some(p) => df.where(p)
-      case None => df
-    }
+    // Filter BEFORE projecting: a partition/row filter may reference columns
+    // the caller did not project (Catalyst prunes the scan all the same).
+    val filtered = (opts.partitionFilter.toSeq ++ opts.rowFilter.toSeq)
+      .foldLeft(df)((d, p) => d.where(p))
     val extra = if (opts.withFilePath) Seq("_file_path") else Nil
     val projected = opts.columns match {
       case Some(cols) => filtered.select((cols ++ extra).map(col): _*)
@@ -1142,6 +1147,21 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       e
     }
 
+  /** Run a write with modern parquet timestamp output (TIMESTAMP_MICROS):
+    * parquet suppresses footer stats for INT96 — Spark's legacy default —
+    * which would exclude timestamp columns from the data-skipping index
+    * (and INT96 is deprecated by the parquet spec; Iceberg forbids it).
+    * Session value restored afterwards. */
+  private[catalog] def withMicrosTimestamps[A](body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Compressed-file suffixes Spark appends after the format extension. */
   private[catalog] val EncodingSuffixes =
     Seq(".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate", ".xz")
@@ -1167,36 +1187,43 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     * cluster (one ~8-byte footer field per file, no data pages touched).
     * Below the threshold the driver loop wins (no job-scheduling latency). */
   private[catalog] def fileRowCounts(paths: Seq[Path], ct: ContentType): Map[Path, Long] =
-    if (ct != ContentType.Parquet) paths.map(_ -> -1L).toMap
+    fileFooterInfo(paths, ct).map { case (p, (n, _)) => p -> n }
+
+  /** Batch per-file (rowCount, column min/max/null stats) from parquet
+    * footers — the commit path's single metadata pass, now also feeding the
+    * data-skipping index (ManifestEntry.stats). Same I/O as the old
+    * count-only pass: stats live in the footer already being read. */
+  private[catalog] def fileFooterInfo(paths: Seq[Path], ct: ContentType)
+      : Map[Path, (Long, Map[String, graft.txn.ColStat])] =
+    if (ct != ContentType.Parquet) paths.map(_ -> (-1L, null: Map[String, graft.txn.ColStat])).toMap
     else if (paths.size < 16) {
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> parquetRowCount(p, conf)).toMap
+      paths.map(p => p -> FooterStats.read(p.toString, conf)).toMap
     } else {
       val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
       // Session Hadoop conf broadcast to executors — a bare Configuration
       // would drop spark.hadoop.* credentials/defaultFS on remote catalogs.
       val confBc = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
-      val counted = spark.sparkContext
+      val read = spark.sparkContext
         .parallelize(paths.map(_.toString), slices)
         .mapPartitions { it =>
           val conf = confBc.value.value
-          it.map { s =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(s), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try (s, r.getRecordCount) finally r.close()
-          }
+          it.map(s => (s, FooterStats.read(s, conf)))
         }.collect().toMap
-      paths.map(p => p -> counted(p.toString)).toMap
+      paths.map(p => p -> read(p.toString)).toMap
     }
 
-  /** Manifest entries (path, size, records) for every data file under a
-    * just-written output dir — the single commit-path metadata pass. */
+  /** Manifest entries (path, size, records, stats) for every data file under
+    * a just-written output dir — the single commit-path metadata pass. */
   private[catalog] def manifestEntriesOf(out: Path, ct: ContentType): Seq[ManifestEntry] = {
     val files = listDataFiles(out, ct)
-    val counts = fileRowCounts(files, ct)
-    files.map(p => ManifestEntry(p.toString, Files.size(p), counts(p)))
+    val info = fileFooterInfo(files, ct)
+    files.map { p =>
+      val (n, stats) = info(p)
+      ManifestEntry(p.toString, Files.size(p), n,
+        if (stats == null || stats.isEmpty) null else stats)
+    }
   }
 
   private[catalog] def listDataFiles(dir: Path, ct: ContentType): Seq[Path] = {

@@ -221,8 +221,9 @@ object Compactor {
       .format(ct.format).options(ct.writeOptions)
       .options(encoding.map("compression" -> _).toMap)
       .option("maxRecordsPerFile", maxRec)
-      .partitionBy((Seq(Bucket) ++ partNames): _*)
-      .save(out)
+      .partitionBy((Seq(Bucket) ++ partNames): _*) match {
+        case w => cat.withMicrosTimestamps(w.save(out))
+      }
     val entries = cat.manifestEntriesOf(Paths.get(out), ct)
     (entries, obs.get("n").asInstanceOf[Long], obs)
   }
@@ -283,8 +284,9 @@ object Compactor {
       .format(ct.format).options(ct.writeOptions)
       .options(encoding.map("compression" -> _).toMap)
       .option("maxRecordsPerFile", maxRec)
-      .partitionBy((Seq(Bucket) ++ partNames): _*)
-      .save(out)
+      .partitionBy((Seq(Bucket) ++ partNames): _*) match {
+        case w => cat.withMicrosTimestamps(w.save(out))
+      }
     val entries = cat.manifestEntriesOf(Paths.get(out), ct)
     (entries, obs.get("n").asInstanceOf[Long], obs)
   }

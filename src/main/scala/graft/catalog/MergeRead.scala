@@ -67,8 +67,17 @@ object MergeRead {
     val needMerge = opts.mergeOnRead && mergeKeys.nonEmpty &&
       pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
 
-    val basePaths = prunePaths(base.toSeq.flatMap(_.entries).map(_.path), scheme, opts)
-    val pendingPaths = prunePaths(pending.flatMap(_.entries).map(_.path), scheme, opts)
+    // File-level data skipping: drop manifest entries whose footer stats
+    // prove no row can satisfy the pushed rowFilter. Under unresolved
+    // merges only merge-key predicates may prune (StatsSkip doc) — a
+    // value predicate could prune the newest version of a key and
+    // resurrect a stale base row.
+    val statFilters = StatsSkip.safeFilters(
+      opts.rowFilter.map(StatsSkip.translate).getOrElse(Nil), needMerge, mergeKeys)
+    val baseEntries = StatsSkip.prune(base.toSeq.flatMap(_.entries), statFilters, schema)
+    val pendingEntries = StatsSkip.prune(pending.flatMap(_.entries), statFilters, schema)
+    val basePaths = prunePaths(baseEntries.map(_.path), scheme, opts)
+    val pendingPaths = prunePaths(pendingEntries.map(_.path), scheme, opts)
     if (basePaths.isEmpty && pendingPaths.isEmpty) {
       val e = emptyFrame(spark, schema)
       return if (opts.withFilePath) e.withColumn("_file_path", col(File)) else e

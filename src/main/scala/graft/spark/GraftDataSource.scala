@@ -60,7 +60,10 @@ object GraftDsv2 {
       root: String = "", timeTravel: Boolean = false,
       /** Manifest byte sizes aligned with `paths` — input-partition planning
         * must not re-stat 10^5 files on the driver. */
-      fileSizes: Seq[Long] = Nil)
+      fileSizes: Seq[Long] = Nil,
+      /** Full manifest entries (incl. per-file footer stats) — the
+        * data-skipping index consulted at filter pushdown. */
+      entries: Seq[graft.txn.ManifestEntry] = Nil)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
@@ -90,7 +93,7 @@ object GraftDsv2 {
     Resolved(t, schema, entries.map(_.path), unresolved,
       cat.contentTypeOf(meta), hasPartial, hasDefaults, staleRenames,
       root = root, timeTravel = asOf.isDefined,
-      fileSizes = entries.map(_.sizeBytes))
+      fileSizes = entries.map(_.sizeBytes), entries = entries)
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -257,6 +260,12 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
       (options.asScala ++ ct.readOptions ++ Map("recursiveFileLookup" -> "true")).asJava)
     val delegate: Table with SupportsRead = ct match {
       case ContentType.Parquet =>
+        // Stats-pruning interposer: pushed filters drop whole files via the
+        // manifest's footer stats before the parquet scan is built.
+        if (resolved.entries.exists(_.stats != null))
+          return new StatsPruningScanBuilder(resolved.schema, resolved.entries,
+            ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
+              classOf[ParquetFileFormat]).newScanBuilder(opts))
         ParquetTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
           classOf[ParquetFileFormat])
       case ContentType.Csv | ContentType.Tsv | ContentType.UnescapedTsv | ContentType.Psv =>

@@ -52,9 +52,22 @@ final case class TxnRecord(
   def this() = this("", 0L, 0L, "", Nil) // jackson
 }
 
-/** One file in a delta manifest — reference storage/model/manifest.py:406. */
-final case class ManifestEntry(path: String, sizeBytes: Long, recordCount: Long) {
-  def this() = this("", 0L, 0L)
+/** Per-column file statistics in StatCodec canonical string form — the
+  * data-skipping index (reference keeps the same min/max/null triple per
+  * delta, compute/stats/models/delta_stats.py; per-FILE granularity is what
+  * lets a selective read skip manifest entries at planning). */
+final case class ColStat(min: String, max: String, nulls: Long) {
+  def this() = this(null, null, 0L)
+}
+
+/** One file in a delta manifest — reference storage/model/manifest.py:406.
+  * `stats` is per-column min/max/nulls from the parquet footer (null for
+  * pre-stats manifests and non-parquet content types — readers treat a
+  * missing map as "no information", never as "no rows match"). */
+final case class ManifestEntry(path: String, sizeBytes: Long, recordCount: Long,
+    stats: Map[String, ColStat] = null) {
+  def this() = this("", 0L, 0L, null)
+  def colStats: Map[String, ColStat] = Option(stats).getOrElse(Map.empty)
 }
 
 /** A committed delta (one write) — reference storage/model/delta.py:43. */

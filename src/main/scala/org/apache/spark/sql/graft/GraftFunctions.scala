@@ -32,6 +32,16 @@ object GraftFunctions {
   private def e(col: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(col.node)
 
+  /** Package bridge: eager Column → catalyst Expression for planners outside
+    * the sql package (StatsSkip rowFilter translation). */
+  def expressionOf(col: Column): Expression = e(col)
+
+  /** Package bridge: catalyst predicate → data-source Filter (protected[sql]
+    * in DataSourceStrategy) for the stats-pruning DSv2 scan builder. */
+  def toSourceFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** (name, arity, builder) for every SQL function. */
   val all: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", 2, args => DotProductExpr(args(0), args(1))),

@@ -1,0 +1,192 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+import graft.txn.ColStat
+
+/** Per-file footer stats + planning-time data skipping (FileStats.scala). */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newCatalog(): GraftCatalog = new GraftCatalog(spark, tmpDir("graft-stats"))
+
+  // --------------------------------------------------- footer extraction
+
+  test("footer stats: min/max/nulls per column, merged across row groups") {
+    val dir = tmpDir("fs-footer")
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      (col("id") * 2).cast("int").as("i"),
+      (col("id") / 10.0).as("d"),
+      concat(lit("k"), format_string("%04d", col("id"))).as("s"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("withnulls"),
+      date_add(lit(Date.valueOf("2024-01-01")), col("id").cast("int")).as("dt"),
+      timestamp_micros(col("id") * 1000000L).as("ts"))
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "4096") // force multiple row groups
+      .parquet(dir)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val (rows, stats) = FooterStats.read(f, spark.sessionState.newHadoopConf())
+    assert(rows == 1000)
+    assert(stats("id") == ColStat("0", "999", 0))
+    assert(stats("i") == ColStat("0", "1998", 0))
+    // parquet writers record double min as -0.0 (spec-recommended) — the
+    // codec compares decimally, so -0.0 == 0.
+    assert(BigDecimal(stats("d").min) == 0 && stats("d").max == "99.9")
+    assert(stats("s") == ColStat("k0000", "k0999", 0))
+    assert(stats("withnulls") == ColStat("1", "999", 100))
+    assert(stats("dt") == ColStat("2024-01-01", "2026-09-26", 0))
+    assert(stats("ts").min == "1970-01-01 00:00:00.000000")
+    assert(stats("ts").max == "1970-01-01 00:16:39.000000")
+  }
+
+  // --------------------------------------------------- skip decisions
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType),
+    StructField("s", StringType), StructField("dt", DateType),
+    StructField("ts", TimestampType)))
+  private val st = Map(
+    "k" -> ColStat("100", "200", 0),
+    "v" -> ColStat("1.5", "9.25", 3),
+    "s" -> ColStat("banana", "cherry", 0),
+    "dt" -> ColStat("2024-03-01", "2024-06-30", 0),
+    "ts" -> ColStat("2024-03-01 00:00:00.000000", "2024-06-30 12:00:00.000000", 0))
+  private def keep(f: Filter): Boolean = StatsSkip.keep(f, schema, st, 50)
+
+  test("skip decisions: ranges, equality, null checks, prefixes, boolean ops") {
+    assert(!keep(EqualTo("k", 99L)) && keep(EqualTo("k", 100L)) && keep(EqualTo("k", 150)))
+    assert(!keep(GreaterThan("k", 200L)) && keep(GreaterThanOrEqual("k", 200L)))
+    assert(!keep(LessThan("k", 100L)) && keep(LessThanOrEqual("k", 100L)))
+    assert(!keep(In("k", Array(1L, 5L, 99L))) && keep(In("k", Array(1L, 150L))))
+    // cross-type literal: int literal against double column
+    assert(!keep(GreaterThan("v", 10)) && keep(GreaterThan("v", 9)))
+    assert(!keep(IsNull("k")) && keep(IsNull("v")))
+    assert(keep(IsNotNull("v")) && keep(IsNotNull("k")))
+    // strings: range + prefix
+    assert(!keep(EqualTo("s", "apple")) && keep(EqualTo("s", "blueberry")))
+    assert(!keep(StringStartsWith("s", "az")) && keep(StringStartsWith("s", "ba")))
+    assert(!keep(StringStartsWith("s", "d")) && keep(StringStartsWith("s", "c")))
+    // dates / timestamps via external JVM literal types
+    assert(!keep(LessThan("dt", Date.valueOf("2024-03-01"))))
+    assert(keep(LessThanOrEqual("dt", Date.valueOf("2024-03-01"))))
+    assert(!keep(GreaterThan("ts", Timestamp.valueOf("2024-06-30 12:00:00"))))
+    assert(keep(GreaterThan("ts", Timestamp.valueOf("2024-06-30 11:59:59"))))
+    // boolean composition: one provably-empty conjunct skips the file
+    assert(!keep(And(GreaterThan("k", 250L), LessThan("k", 300L))))
+    assert(keep(And(GreaterThan("k", 150L), LessThan("k", 180L))))
+    assert(keep(Or(GreaterThan("k", 250L), EqualTo("s", "cat"))))
+    assert(!keep(Or(GreaterThan("k", 250L), EqualTo("s", "zebra"))))
+    // unknown column / unsupported filter: keep
+    assert(keep(EqualTo("nope", 1)) && keep(Not(EqualTo("k", 1L))))
+  }
+
+  test("all-null column skips comparisons and IsNotNull") {
+    val s2 = Map("v" -> ColStat(null, null, 50))
+    assert(!StatsSkip.keep(EqualTo("v", 1.0), schema, s2, 50))
+    assert(!StatsSkip.keep(IsNotNull("v"), schema, s2, 50))
+    assert(StatsSkip.keep(IsNull("v"), schema, s2, 50))
+    // unknown bounds, nulls unknown: everything keeps
+    val s3 = Map("v" -> ColStat(null, null, -1))
+    assert(StatsSkip.keep(EqualTo("v", 1.0), schema, s3, 50))
+    assert(StatsSkip.keep(IsNotNull("v"), schema, s3, 50))
+  }
+
+  test("column rowFilter translates to pruning filters incl. literal-first and Or") {
+    val fs = StatsSkip.translate(
+      col("k") > 5 && lit(3) < col("v") && (col("s") === "x" || col("s").startsWith("y")) &&
+        col("k").isin(1, 2) && col("v").isNotNull && abs(col("v")) < 2)
+    assert(fs.contains(GreaterThan("k", 5)))
+    assert(fs.contains(GreaterThan("v", 3)))
+    assert(fs.contains(Or(EqualTo("s", "x"), StringStartsWith("s", "y"))))
+    assert(fs.contains(In("k", Array(1, 2))))
+    assert(fs.contains(IsNotNull("v")))
+    assert(fs.size == 5) // abs(v) < 2 is untranslatable and dropped
+  }
+
+  // --------------------------------------------------- end-to-end skipping
+
+  test("readTable rowFilter skips files at planning (sorted table)") {
+    val cat = newCatalog()
+    cat.createTable("q.t", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("write.max_records_per_file" -> "100"))
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")).orderBy("k").coalesce(1)
+    cat.writeToTable(df, "q.t")
+    val all = cat.readTable("q.t")
+    assert(all.inputFiles.length >= 10)
+    val filtered = cat.readTable("q.t",
+      ReadOptions(rowFilter = Some(col("k") >= 420 && col("k") < 470)))
+    assert(filtered.inputFiles.length <= 2)
+    assert(filtered.count() == 50)
+    assert(filtered.agg(min("k"), max("k")).as[(Long, Long)].head() == ((420L, 469L)))
+    // disjoint range: zero files planned, empty result
+    val none = cat.readTable("q.t", ReadOptions(rowFilter = Some(col("k") > 5000)))
+    assert(none.count() == 0)
+  }
+
+  test("merge-on-read: value filters never prune pending/base files (no resurrection)") {
+    val cat = newCatalog()
+    cat.createTable("q.m", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("score", LongType))),
+      properties = Map("read_optimization" -> "NONE"))
+    // Base: id 0-99 score=id (sorted, one file). Upsert moves id 10's score
+    // to 1000 — OUT of the filter range below.
+    cat.writeToTable(spark.range(0, 100).select(col("id"), col("id").as("score")),
+      "q.m", WriteMode.Merge)
+    cat.writeToTable(Seq((10L, 1000L)).toDF("id", "score"), "q.m", WriteMode.Merge)
+    val got = cat.readTable("q.m", ReadOptions(rowFilter = Some(col("score") < 50)))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // id 10 must NOT appear with its stale base score of 10.
+    assert(!got.exists(_._1 == 10L))
+    assert(got.size == 49 && got.forall(r => r._2 == r._1))
+    // key filters DO prune under merge-on-read and stay correct.
+    val keyed = cat.readTable("q.m", ReadOptions(rowFilter = Some(col("id") === 10)))
+      .as[(Long, Long)].collect().toSeq
+    assert(keyed == Seq((10L, 1000L)))
+  }
+
+  test("DSv2 SQL WHERE skips files via pushed filters") {
+    val root = tmpDir("graft-dsv2-skip")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("q.s", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("write.max_records_per_file" -> "100"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")).orderBy("k").coalesce(1), "q.s")
+    graft.spark.StatsPruningScanBuilder.lastPrune = (0, 0)
+    val got = spark.read.format("graft").option("root", root).option("table", "q.s")
+      .load().where(col("k") >= 420 && col("k") < 470)
+    assert(got.count() == 50)
+    val (total, kept) = graft.spark.StatsPruningScanBuilder.lastPrune
+    assert(total >= 10 && kept <= 2, s"expected file pruning, got $total -> $kept")
+  }
+
+  test("stats survive the manifest JSON roundtrip and compaction refreshes them") {
+    val cat = newCatalog()
+    cat.createTable("q.c", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("x", LongType))))
+    cat.writeToTable(spark.range(0, 100).select(col("id"), (col("id") * 3).as("x")),
+      "q.c", WriteMode.Merge)
+    cat.compact("q.c")
+    val entries = cat.deltaLog("q.c").flatMap(_.entries).filter(_.stats != null)
+    assert(entries.nonEmpty)
+    val merged = entries.map(_.colStats("x"))
+    assert(merged.map(s => BigDecimal(s.min)).min == 0 &&
+      merged.map(s => BigDecimal(s.max)).max == 297)
+  }
+}
