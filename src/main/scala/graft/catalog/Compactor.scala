@@ -83,7 +83,11 @@ object Compactor {
         .map(_.split(",").exists(renamedOld)).getOrElse(true)
     val baseStale = base.exists(stale)
     val anyStale = baseStale || pending.exists(stale)
-    if (pending.isEmpty && !baseStale) return
+    // A base never clustered on the CURRENT z-order columns needs a rewrite
+    // even with nothing pending (the user just set/changed the property).
+    val needsRecluster = ZOrder.columnsOf(meta.properties).exists(zc =>
+      mergeKeys.isEmpty && base.exists(!_.properties.get("zordered").contains(zc.mkString(","))))
+    if (pending.isEmpty && !baseStale && !needsRecluster) return
     val maxPos = (pending.map(_.streamPosition) ++ base.map(_.streamPosition)).max
 
     val txn = cat.store.newTransaction(s"compact $t up to $maxPos")
@@ -91,8 +95,12 @@ object Compactor {
       val dir = cat.deltaDirOf(t)
       val rev = cat.store.nextRevision(dir, Some(txn))
 
+      val zCols = ZOrder.columnsOf(meta.properties)
+      def zScan(paths: Seq[String]) = spark.read.schema(schema)
+        .format(ct.format).options(ct.readOptions).load(paths: _*)
+
       val delta: DeltaMeta =
-        if (mergeKeys.isEmpty && !anyStale) {
+        if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty) {
           // Append-only table: compaction is pure manifest folding — zero
           // data movement (every file is copied by reference).
           val entries = (base.toSeq ++ pending).flatMap(_.entries)
@@ -101,6 +109,42 @@ object Compactor {
           DeltaMeta(rev, DeltaType.Add.name, entries, txn.txnId, maxPos,
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> records.toString))
+        } else if (mergeKeys.isEmpty && !anyStale) {
+          // Append-only + z-order: INCREMENTAL recluster. A base already
+          // z-ordered on the same columns is copied by reference (its files
+          // are tight hyper-rectangles already); only the pending tail is
+          // rewritten through the z-sort. First compaction (or a changed
+          // column list) reclusters everything once.
+          val zTag = zCols.get.mkString(",")
+          val (refDeltas, rewriteDeltas) =
+            if (base.exists(_.properties.get("zordered").contains(zTag)))
+              (base.toSeq, pending)
+            else (Nil, base.toSeq ++ pending)
+          val refEntries = refDeltas.flatMap(_.entries)
+          val paths = rewriteDeltas.flatMap(_.entries).map(_.path)
+          val maxRec = meta.properties.get("compaction.max_records_per_file")
+            .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
+          val (newEntries, written) = if (paths.isEmpty) (Nil, 0L) else {
+            // Bounds over ALL active data (ref + rewrite) so bin edges stay
+            // stable as the table grows.
+            val allPaths = refEntries.map(_.path) ++ paths
+            val z = ZOrder.zvalue(schema, ZOrder.bounds(zScan(allPaths), schema, zCols.get))
+            val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths, ct)
+            val resolved = MergeRead.applyPastDefaults(scan, schema)
+              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            val (e, w, _) = materialize(cat, t, rev, txn.txnId, resolved, schema, scheme,
+              sortScheme, ct, numBuckets, maxRec,
+              estimatedRecords = Some(rewriteDeltas.map(d =>
+                math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum),
+              encoding = cat.contentEncodingOf(meta), zorder = Some(z))
+            (e, w)
+          }
+          val refRecords = refEntries.map(e => math.max(0L, e.recordCount)).sum
+          DeltaMeta(rev, DeltaType.Add.name, refEntries ++ newEntries, txn.txnId, maxPos,
+            Map("written_columns" -> schema.fieldNames.mkString(","),
+              "record_count" -> (written + refRecords).toString,
+              "zordered" -> zTag,
+              "copied_by_reference" -> refEntries.size.toString))
         } else {
           // Copy-by-reference: find buckets touched by incremental rows. Only
           // valid when the base was bucketed with the same bucket count —
@@ -142,7 +186,11 @@ object Compactor {
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,
               numBuckets, maxRec, estimatedRecords = Some(
                 toRead.map(d => math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum),
-              encoding = cat.contentEncodingOf(meta))
+              encoding = cat.contentEncodingOf(meta),
+              // Keyed tables z-sort within each bucket slice: files stay
+              // bucket-aligned for merge pruning AND tight in value space.
+              zorder = zCols.map(zc =>
+                ZOrder.zvalue(schema, ZOrder.bounds(zScan(paths), schema, zc))))
           } else {
             Files.createDirectories(Paths.get(
               cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
@@ -179,7 +227,8 @@ object Compactor {
       ct: ContentType, numBuckets: Int, maxRec: Long,
       extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
       estimatedRecords: Option[Long] = None,
-      encoding: Option[String] = None): (Seq[ManifestEntry], Long, Observation) = {
+      encoding: Option[String] = None,
+      zorder: Option[org.apache.spark.sql.Column] = None): (Seq[ManifestEntry], Long, Observation) = {
     val spark = cat.spark
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
@@ -191,7 +240,11 @@ object Compactor {
       if (mergeKeys.isEmpty) lit(0)
       else pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
     val bucketed = resolved.withColumn(Bucket, bucketExpr)
-    val sortCols = col(Bucket) +: sortScheme.keys.map(_.toColumn)
+    // Z-order clustering sorts by the interleaved z-value ahead of any
+    // declared sort keys, so each emitted file covers a tight
+    // hyper-rectangle and footer-stats skipping works on every clustered
+    // column (ZOrder doc).
+    val sortCols = col(Bucket) +: (zorder.map(_.asc).toSeq ++ sortScheme.keys.map(_.toColumn))
     val partCols = cat.addDerivedPartitionColumns(bucketed, scheme)
     val partNames = scheme.keys.map(_.partitionColumnName)
       .filter(partCols.columns.contains)
@@ -206,15 +259,24 @@ object Compactor {
         math.max(1L, (n / math.max(1L, maxRec * numBuckets)) + 1L)).toInt
       case None => maxSlices
     }
-    partCols
-      // Salt the slice hash: pmod(hash(keys), slices) would be arithmetically
-      // correlated with the bucket expression (both mod the same hash), so
-      // gcd(numBuckets, slices) > 1 — the power-of-two norm — would collapse
-      // the extra parallelism back to numBuckets partitions. Keyless tables
-      // slice on all columns (merge keys alone would hash a constant).
-      .repartition(parallelism, col(Bucket),
-        pmod(hash(((if (mergeKeys.nonEmpty) mergeKeys
-          else schema.fieldNames.toSeq).map(col) :+ lit("_slice")): _*), lit(slices)))
+    val shaped = zorder match {
+      // Keyless z-ordered tables RANGE partition on the z-value: tasks own
+      // disjoint z-ranges, so files are near-disjoint hyper-rectangles
+      // globally (hash slicing would give every task the full value space
+      // and every file a full-range span, defeating the skip index).
+      case Some(z) if mergeKeys.isEmpty =>
+        partCols.repartitionByRange(parallelism, z.asc)
+      case _ => partCols
+        // Salt the slice hash: pmod(hash(keys), slices) would be arithmetically
+        // correlated with the bucket expression (both mod the same hash), so
+        // gcd(numBuckets, slices) > 1 — the power-of-two norm — would collapse
+        // the extra parallelism back to numBuckets partitions. Keyless tables
+        // slice on all columns (merge keys alone would hash a constant).
+        .repartition(parallelism, col(Bucket),
+          pmod(hash(((if (mergeKeys.nonEmpty) mergeKeys
+            else schema.fieldNames.toSeq).map(col) :+ lit("_slice")): _*), lit(slices)))
+    }
+    shaped
       .sortWithinPartitions(sortCols: _*)
       .observe(obs, count(lit(1)).as("n"), extraAggs: _*)
       .write.mode("overwrite")

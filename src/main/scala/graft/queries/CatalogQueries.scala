@@ -1010,6 +1010,70 @@ object CatalogQueries {
       (0 until 8).map(b => cat.readTable("q.c",
           ReadOptions(partitionValues = Some(Map("c_custkey" -> b.toString)))))
         .reduce(_ unionByName _)
+    },
+
+    // File-level data skipping: a date-sorted many-file table read through a
+    // rowFilter must return exactly the predicate's rows — a skip decision
+    // that wrongly drops a file loses rows; one that mis-translates the
+    // predicate returns extras. (The pruning itself is asserted in
+    // FileStatsSpec/PlanSpec; this row pins the VALUES.)
+    Q("c60_stats_skip_read", Some("""
+      SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_shipdate, l_quantity
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1995-06-01'""")) { (s, dir) =>
+      val cat = newCat(s, "c60")
+      cat.createTable("q.li", StructType(Seq(
+        FieldMeta.field("l_orderkey", LongType),
+        FieldMeta.field("l_shipdate", DateType),
+        FieldMeta.field("l_quantity", DoubleType))),
+        properties = Map("write.max_records_per_file" -> "5000"))
+      cat.writeToTable(tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_shipdate"),
+          col("l_quantity"))
+        .orderBy("l_shipdate").coalesce(1), "q.li")
+      cat.readTable("q.li", ReadOptions(rowFilter = Some(
+        col("l_shipdate") >= "1995-03-01" && col("l_shipdate") < "1995-06-01")))
+    },
+
+    // Z-order clustering: Morton-sorted compaction must preserve the table
+    // EXACTLY (clustering is layout-only), and a 2-D rowFilter over the
+    // clustered columns returns the predicate's rows through the pruned
+    // plan.
+    Q("c61_zorder_read", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_custkey BETWEEN 100 AND 500 AND o_totalprice BETWEEN 50000 AND 150000""")) { (s, dir) =>
+      val cat = newCat(s, "c61")
+      cat.createTable("q.o", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType),
+        FieldMeta.field("o_custkey", LongType),
+        FieldMeta.field("o_totalprice", DoubleType))),
+        properties = Map(
+          graft.catalog.ZOrder.Prop -> "o_custkey,o_totalprice",
+          "compaction.max_records_per_file" -> "2000"))
+      cat.writeToTable(tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"), "q.o")
+      cat.compact("q.o")
+      cat.readTable("q.o", ReadOptions(rowFilter = Some(
+        col("o_custkey").between(100, 500) && col("o_totalprice").between(50000, 150000))))
+    },
+
+    // rowFilter under merge-on-read: value predicates must see POST-merge
+    // values (an upsert moving a row out of the filtered range removes it;
+    // a naive file prune would resurrect the stale base row).
+    Q("c62_rowfilter_mor", Some("""
+      SELECT o_orderkey, o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 3 ELSE 1 END AS o_totalprice
+      FROM orders
+      WHERE o_totalprice * CASE WHEN o_orderkey % 10 = 0 THEN 3 ELSE 1 END < 100000""")) { (s, dir) =>
+      val cat = newCat(s, "c62")
+      cat.createTable("q.o", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("o_totalprice", DoubleType))), properties = MoR)
+      val base = tbl(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      cat.writeToTable(base, "q.o", WriteMode.Merge)
+      cat.writeToTable(base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3), "q.o", WriteMode.Merge)
+      cat.readTable("q.o", ReadOptions(rowFilter = Some(col("o_totalprice") < 100000)))
     }
   )
 }

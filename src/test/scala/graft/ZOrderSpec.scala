@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/** Z-order clustering: Morton-code sort at compaction + 2-D file skipping. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zvalue interleaves bits (identity scaling)") {
+    val schema = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val spec = Seq(("x", 0.0, 65535.0), ("y", 0.0, 65535.0))
+    val z = ZOrder.zvalue(schema, spec)
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L))
+      .toDF("x", "y").select(z.as("z")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L, 8L))
+  }
+
+  test("zvalue of one column degenerates to a plain rank sort") {
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val z = ZOrder.zvalue(schema, Seq(("x", 0.0, 65535.0)))
+    val got = Seq(5L, 0L, 65535L).toDF("x").select(z.as("z")).as[Long].collect().toSeq
+    assert(got == Seq(5L, 0L, 65535L))
+  }
+
+  test("z-ordered compaction prunes files on BOTH dimensions") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-z"))
+    cat.createTable("q.grid", StructType(Seq(
+      FieldMeta.field("x", LongType, nullable = false),
+      FieldMeta.field("y", LongType, nullable = false),
+      FieldMeta.field("payload", StringType))),
+      properties = Map(
+        ZOrder.Prop -> "x,y",
+        "compaction.max_records_per_file" -> "256"))
+    // 64x64 grid, written in row-major order (worst case for y-locality).
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), shiftright(col("id"), 6).as("y"),
+      concat(lit("p"), col("id")).as("payload"))
+    cat.writeToTable(grid, "q.grid")
+    cat.compact("q.grid")
+    val total = cat.readTable("q.grid").inputFiles.length
+    assert(total >= 8, s"expected many files, got $total")
+    val xf = cat.readTable("q.grid", ReadOptions(rowFilter = Some(col("x") < 8)))
+    val yf = cat.readTable("q.grid", ReadOptions(rowFilter = Some(col("y") < 8)))
+    assert(xf.count() == 8 * 64 && yf.count() == 8 * 64)
+    assert(xf.inputFiles.length <= total / 2,
+      s"x-filter planned ${xf.inputFiles.length}/$total files")
+    assert(yf.inputFiles.length <= total / 2,
+      s"y-filter planned ${yf.inputFiles.length}/$total files")
+    // point lookup in both dims: a small corner of the space
+    val pt = cat.readTable("q.grid",
+      ReadOptions(rowFilter = Some(col("x") === 3 && col("y") === 3)))
+    assert(pt.count() == 1)
+    assert(pt.inputFiles.length <= math.max(1, total / 4))
+  }
+
+  test("incremental recluster: z-tagged base is copied by reference") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-zi"))
+    cat.createTable("q.inc", StructType(Seq(
+      FieldMeta.field("x", LongType, nullable = false),
+      FieldMeta.field("y", LongType, nullable = false))),
+      properties = Map(ZOrder.Prop -> "x,y",
+        "compaction.max_records_per_file" -> "128"))
+    cat.writeToTable(spark.range(0, 1024).select((col("id") % 32).as("x"), shiftright(col("id"), 5).as("y")), "q.inc")
+    cat.compact("q.inc")
+    val d1 = cat.deltaLog("q.inc").filter(_.compactedUpTo >= 0).last
+    assert(d1.properties.get("zordered").contains("x,y"))
+    // Append a tail and recompact: the z-ordered base must not be rewritten.
+    cat.writeToTable(spark.range(1024, 1100).select((col("id") % 32).as("x"), shiftright(col("id"), 5).as("y")), "q.inc")
+    cat.compact("q.inc")
+    val d2 = cat.deltaLog("q.inc").filter(_.compactedUpTo >= 0).last
+    assert(d2.properties("copied_by_reference").toInt == d1.entries.size)
+    assert(cat.readTable("q.inc").count() == 1100)
+  }
+}
