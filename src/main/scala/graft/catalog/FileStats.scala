@@ -84,6 +84,12 @@ object StatCodec {
     if (ldt.getYear < 0 || ldt.getYear > 9999) None else Some(TsFmt.format(ldt))
   }
 
+  /** Canonical timestamp string → epoch micros (inverse of formatMicros). */
+  def parseCanonicalMicros(s: String): Option[Long] = try {
+    val ldt = LocalDateTime.parse(s, TsFmt)
+    Some(ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+  } catch { case _: Exception => None }
+
   private def formatInstant(i: Instant): Option[String] =
     formatMicros(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
       i.getNano / 1000L))
@@ -179,7 +185,12 @@ object FooterStats {
   def read(pathStr: String, conf: Configuration): (Long, Map[String, ColStat]) = {
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(pathStr), conf)
     val r = ParquetFileReader.open(in)
-    try {
+    try fromReader(r) finally r.close()
+  }
+
+  /** Same extraction over an already-open reader (shared footer passes). */
+  def fromReader(r: ParquetFileReader): (Long, Map[String, ColStat]) = {
+    locally {
       val md = r.getFooter
       val msg = md.getFileMetaData.getSchema
       // Eligible = top-level primitive, non-repeated, renderable type.
@@ -210,7 +221,7 @@ object FooterStats {
       }
       val stats = perCol.map { case (n, (mn, mx, nulls, _)) => n -> ColStat(mn, mx, nulls) }.toMap
       (r.getRecordCount, stats)
-    } finally r.close()
+    }
   }
 
   private def minOf(k: Kind, a: String, b: String): String =
@@ -419,9 +430,15 @@ object StatsSkip {
       Option(CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value))
     case c: ce.Cast if c.child.isInstanceOf[ce.Literal] =>
       // lit("1994-07-01").cast("date") and friends: fold the constant here
-      // (these trees are pre-analysis, so no ConstantFolding ran).
-      try Option(CatalystTypeConverters.createToScalaConverter(c.dataType)(c.eval(null)))
-      catch { case _: Exception => None }
+      // (these trees are pre-analysis, so no ConstantFolding ran). Timestamp
+      // casts only resolve with a timezone — pin the session's.
+      try {
+        val cz = if (c.timeZoneId.isEmpty)
+          c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+            .asInstanceOf[ce.Cast]
+        else c
+        Option(CatalystTypeConverters.createToScalaConverter(cz.dataType)(cz.eval(null)))
+      } catch { case _: Exception => None }
     case _ => None
   }
 

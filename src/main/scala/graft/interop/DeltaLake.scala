@@ -68,7 +68,11 @@ object DeltaLake {
   def read(
       spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None, timestampAsOf: Option[Long] = None,
-      partitionFilter: Option[Column] = None): DataFrame = {
+      partitionFilter: Option[Column] = None,
+      /** Row predicate: applied to the result AND evaluated against each
+        * add action's `stats` JSON (ours or a foreign writer's) to skip
+        * whole data files at planning — Delta-native data skipping. */
+      dataFilter: Option[Column] = None): DataFrame = {
     val snap = snapshot(spark, table, versionAsOf, timestampAsOf)
     // under column mapping, data files AND partitionValues keys use
     // physical names; metaData.partitionColumns may carry either form
@@ -92,10 +96,33 @@ object DeltaLake {
         val parts = partCols.map { case (log, phys, dt) =>
           element_at(col("partitionValues"), phys).cast(dt).as(log)
         }
-        snap.files.select((col("path") +: col("deletionVector") +: parts): _*).where(pred)
+        snap.files.select((col("path") +: col("deletionVector") +: col("stats") +: parts): _*)
+          .where(pred)
       case None => snap.files
     }
-    val activeRows = active.select("path", "deletionVector").collect().toSeq
+    val allRows = active.select(col("path"), col("deletionVector"),
+      active.columns.find(_ == "stats").map(col).getOrElse(lit(null).cast(StringType)).as("stats"))
+      .collect().toSeq
+    // Data skipping over the log's per-file stats: a file provably outside
+    // the predicate's value range never gets opened. Conservative on every
+    // unknown (no stats / unparseable / untranslatable conjunct).
+    val activeRows = dataFilter.map(graft.catalog.StatsSkip.translate) match {
+      case Some(filters) if filters.nonEmpty =>
+        val fieldMap = dataFields.map(f =>
+          (f.name, physicalName(f), stripFieldMeta(f.dataType))).toSeq
+        val logical = StructType(dataFields.map(f =>
+          StructField(f.name, stripFieldMeta(f.dataType), f.nullable)))
+        allRows.filter { r =>
+          r.isNullAt(2) || {
+            DeltaStats.parse(r.getString(2), fieldMap) match {
+              case Some((rows, st)) =>
+                filters.forall(fl => graft.catalog.StatsSkip.keep(fl, logical, st, rows))
+              case None => true
+            }
+          }
+        }
+      case _ => allRows
+    }
     val files = activeRows.map(_.getString(0))
     if (files.isEmpty) return emptyFrame(spark, stripFieldMeta(snap.schema))
 
@@ -120,7 +147,7 @@ object DeltaLake {
         }.drop("_g_path", "partitionValues")
       }
     // physical -> logical: positional struct cast renames nested fields too
-    out.select(snap.schema.fields.map { f =>
+    val logicalOut = out.select(snap.schema.fields.map { f =>
       if (partCols.exists(_._1 == f.name)) col(f.name)
       else {
         val phys = physicalName(f)
@@ -129,6 +156,8 @@ object DeltaLake {
         else col(phys).cast(logicalType).as(f.name)
       }
     }: _*)
+    // stats skipping is file-granular; the row predicate still applies
+    dataFilter.foldLeft(logicalOut)((d, p) => d.where(p))
   }
 
   /** Physical parquet name of a mapped field (logical name otherwise). */
@@ -198,10 +227,16 @@ object DeltaLake {
         if (df.schema(parent).dataType.asInstanceOf[StructType]
           .fieldNames.contains("deletionVector")) col(s"$parent.deletionVector")
         else lit(null).cast(dvDescriptorSchema)
+      // older checkpoints/commits may predate the stats field
+      def statsOf(parent: String) =
+        if (df.schema(parent).dataType.asInstanceOf[StructType]
+          .fieldNames.contains("stats")) col(s"$parent.stats")
+        else lit(null).cast(StringType)
       Seq(
         col("add.path").as("add_path"),
         col("add.partitionValues").as("add_pv"),
         col("add.size").as("add_size"),
+        statsOf("add").as("add_stats"),
         dvOf("add").as("add_dv"),
         col("remove.path").as("remove_path"),
         dvOf("remove").as("remove_dv"))
@@ -236,15 +271,15 @@ object DeltaLake {
         coalesce(col("add_path"), col("remove_path")).as("path"),
         dvUid(coalesce(col("add_dv"), col("remove_dv"))).as("dv_uid"),
         col("add_path").isNotNull.as("is_add"),
-        col("version"), col("add_pv"), col("add_size"), col("add_dv"))
+        col("version"), col("add_pv"), col("add_size"), col("add_stats"), col("add_dv"))
 
     // last action per logical file wins
     val latest = actions.groupBy("path", "dv_uid").agg(
-      max_by(struct(col("is_add"), col("add_pv"), col("add_size"), col("add_dv")),
+      max_by(struct(col("is_add"), col("add_pv"), col("add_size"), col("add_stats"), col("add_dv")),
         col("version")).as("w"))
     val files = latest.where(col("w.is_add"))
       .select(col("path"), col("w.add_pv").as("partitionValues"), col("w.add_size").as("size"),
-        col("w.add_dv").as("deletionVector"))
+        col("w.add_stats").as("stats"), col("w.add_dv").as("deletionVector"))
       .withColumn("path", absolutize(col("path"), table))
 
     Snapshot(target, schema, meta.partitionColumns, files, meta.columnMappingMode,
@@ -357,9 +392,11 @@ object DeltaLake {
     // stage data files, then move into place recording (relPath, size, pv)
     val staging = Files.createTempDirectory(Paths.get(table).toAbsolutePath.getParent, "_delta_staging_")
     val added = try {
-      val w = physDf.write.mode("overwrite")
-      (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
-        .parquet(staging.toString)
+      InteropUtil.withMicrosTimestamps(spark) {
+        val w = physDf.write.mode("overwrite")
+        (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
+          .parquet(staging.toString)
+      }
       moveStaged(staging, Paths.get(table), physPartitionBy)
     } finally InteropUtil.deleteRecursively(staging)
 
@@ -404,7 +441,11 @@ object DeltaLake {
       actions += w
     }
     actions ++= removes
-    actions ++= added.map { case (rel, size, pv) => addAction(rel, size, pv) }
+    val hconf = spark.sessionState.newHadoopConf()
+    val statFields = physDf.schema.fields.filterNot(f => physPartitionBy.contains(f.name)).toSeq
+    actions ++= added.map { case (rel, size, pv) =>
+      addAction(rel, size, pv, stats = fileStats(table, rel, hconf, statFields))
+    }
     actions += commitInfoAction(if (isCreate) "CREATE TABLE AS SELECT"
       else if (mode == "overwrite") "WRITE OVERWRITE" else "WRITE APPEND")
 
@@ -584,6 +625,7 @@ object DeltaLake {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
+      StructField("stats", StringType),
       StructField("deletionVector", dvDescriptorSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
@@ -816,7 +858,10 @@ object DeltaLake {
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
       checkpointInterval: Int = 10): Long = {
     val snap = snapshot(spark, table)
-    val fileMeta = snap.files.collect().map(r => r.getString(0) -> r).toMap
+    // positional contract for the DV-rewrite below: 2=size, 3=DV, 4=stats
+    val fileMeta = snap.files
+      .select("path", "partitionValues", "size", "deletionVector", "stats")
+      .collect().map(r => r.getString(0) -> r).toMap
 
     // scan with lineage; reattach partition columns so pred may use them.
     // Under column mapping the files (and partitionValues keys) carry
@@ -906,7 +951,10 @@ object DeltaLake {
       Seq(
         removeAction(rel, pvMap,
           if (meta.isNullAt(3)) None else Some(dvNode(meta.getStruct(3)))),
-        addAction(rel, meta.getLong(2), pvMap, Some(dv)))
+        // stats describe the PHYSICAL file (protocol: numRecords counts DV'd
+        // rows too) — carry them through the DV rewrite or skipping is lost
+        addAction(rel, meta.getLong(2), pvMap, Some(dv),
+          stats = if (meta.isNullAt(4)) None else Some(meta.getString(4))))
     }
 
     val needUpgrade = !snap.protocol.exists(p => p.has("readerFeatures") &&
@@ -1028,7 +1076,7 @@ object DeltaLake {
   }
 
   private def addAction(rel: String, size: Long, pv: Map[String, String],
-      dv: Option[JsonNode] = None): JsonNode = {
+      dv: Option[JsonNode] = None, stats: Option[String] = None): JsonNode = {
     val a = obj()
     a.put("path", InteropUtil.encodeRelPath(rel))
     val pvn = obj(); pv.foreach { case (k, v) => if (v == null) pvn.putNull(k) else pvn.put(k, v) }
@@ -1036,9 +1084,22 @@ object DeltaLake {
     a.put("size", size)
     a.put("modificationTime", System.currentTimeMillis())
     a.put("dataChange", true)
+    stats.foreach(a.put("stats", _))
     dv.foreach(a.set[JsonNode]("deletionVector", _))
     val w = obj(); w.set("add", a); w
   }
+
+  /** Per-file protocol stats for a just-written data file — footer-only
+    * I/O; best-effort (a file whose stats fail to read simply carries
+    * none). `statFields` = physically-named DATA columns. */
+  private def fileStats(table: String, rel: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      statFields: Seq[StructField]): Option[String] =
+    try {
+      val (rows, st) = graft.catalog.FooterStats.read(
+        Paths.get(table).resolve(rel).toString, conf)
+      Some(DeltaStats.json(rows, st, statFields))
+    } catch { case _: Exception => None }
 
   private def removeAction(rel: String, pv: Map[String, String],
       dv: Option[JsonNode] = None): JsonNode = {
@@ -1110,6 +1171,7 @@ object DeltaLake {
       urlEncodeRel(col("path"), table).as("path"),
       col("partitionValues"),
       col("size"),
+      col("stats"), // the skip index must survive the checkpoint
       lit(System.currentTimeMillis()).as("modificationTime"),
       lit(true).as("dataChange"),
       // DV descriptors MUST survive the checkpoint or deleted rows resurrect

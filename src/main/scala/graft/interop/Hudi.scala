@@ -901,9 +901,11 @@ object Hudi {
     val root = Paths.get(table).toAbsolutePath
     val staging = Files.createTempDirectory(root.getParent, "_hudi_staging_")
     val written: Seq[FileSlice] = try {
-      val w = aligned.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(staging.toString)
+      InteropUtil.withMicrosTimestamps(aligned.sparkSession) {
+        val w = aligned.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(staging.toString)
+      }
       moveAsBaseFiles(staging, root, instant)
     } finally InteropUtil.deleteRecursively(staging)
     written.map(_.partitionPath).distinct.foreach(writePartitionMetadata(root, _, instant))
@@ -1088,10 +1090,12 @@ object Hudi {
     val written: Seq[(Target, String, Long, Long)] = try { // (target, relPath, bytes, rows)
       val tokU = udf((route: String) => tokOf(route))
       val dataCols = df.columns.filterNot(pf.contains).map(col)
-      routed.withColumn("_g_tok", tokU(col("_g_route")))
-        .select(dataCols :+ col("_g_tok"): _*)
-        .repartition(col("_g_tok"))
-        .write.mode("overwrite").partitionBy("_g_tok").parquet(staging.toString)
+      InteropUtil.withMicrosTimestamps(df.sparkSession) {
+        routed.withColumn("_g_tok", tokU(col("_g_route")))
+          .select(dataCols :+ col("_g_tok"): _*)
+          .repartition(col("_g_tok"))
+          .write.mode("overwrite").partitionBy("_g_tok").parquet(staging.toString)
+      }
       val stagedOf: Map[String, JPath] = {
         val s = Files.walk(staging)
         try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
@@ -1189,10 +1193,12 @@ object Hudi {
     val staging = Files.createTempDirectory(root.getParent, "_hudi_compact_staging_")
     val written: Seq[(FileSlice, String, Long)] = try { // (slice, newRelPath, bytes)
       val tokU = udf((gid: String) => toks(gid))
-      merged.withColumn("_g_tok", tokU(col("_g_gid")))
-        .select((dataCols :+ "_g_tok").map(col): _*)
-        .repartition(col("_g_tok"))
-        .write.mode("overwrite").partitionBy("_g_tok").parquet(staging.toString)
+      InteropUtil.withMicrosTimestamps(merged.sparkSession) {
+        merged.withColumn("_g_tok", tokU(col("_g_gid")))
+          .select((dataCols :+ "_g_tok").map(col): _*)
+          .repartition(col("_g_tok"))
+          .write.mode("overwrite").partitionBy("_g_tok").parquet(staging.toString)
+      }
       val stagedOf: Map[String, JPath] = {
         val s = Files.walk(staging)
         try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&

@@ -57,7 +57,13 @@ object Iceberg {
       recordCount: Long,
       sizeBytes: Long,
       sequenceNumber: Long,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int],
+      /** Per-field-id column bounds/null counts (spec manifest fields
+        * 125/128/110) — the data-skipping index; empty when the writer
+        * recorded none. */
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   final case class TableMeta(
       formatVersion: Int,
@@ -246,15 +252,111 @@ object Iceberg {
       }
       val eqIds = Option(df.get("equality_ids")).toSeq.flatMap(
         _.asInstanceOf[java.util.Collection[_]].asScala.map(_.asInstanceOf[Int]))
+      // bounds maps: spec serializes int-keyed maps as arrays of key/value
+      // records (logicalType map); some writers use a real Avro map
+      def kvBytes(name: String): Map[Int, Array[Byte]] =
+        kvMap(df, name) { v =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val a = new Array[Byte](bb.remaining()); bb.get(a); a
+        }
       FileEntry(status, content,
         df.get("file_path").toString,
         Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
         partition,
         Option(df.get("record_count")).map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(df.get("file_size_in_bytes")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        seq, eqIds)
+        seq, eqIds,
+        lowerBounds = kvBytes("lower_bounds"),
+        upperBounds = kvBytes("upper_bounds"),
+        nullCounts = kvMap(df, "null_value_counts")(_.asInstanceOf[Long]))
     }.toSeq
     finally reader.close()
+  }
+
+  /** Read a manifest's int-keyed map field in either physical shape. */
+  private def kvMap[V](df: GenericRecord, field: String)(conv: AnyRef => V): Map[Int, V] = {
+    if (df.getSchema.getField(field) == null) return Map.empty
+    Option(df.get(field)) match {
+      case Some(c: java.util.Collection[_]) =>
+        c.asScala.flatMap {
+          case r: GenericRecord =>
+            try Some(r.get("key").asInstanceOf[Int] -> conv(r.get("value")))
+            catch { case _: Exception => None }
+          case _ => None
+        }.toMap
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.flatMap { case (k, v) =>
+          try Some(k.toString.toInt -> conv(v.asInstanceOf[AnyRef]))
+          catch { case _: Exception => None }
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  // ---- single-value serialization (Iceberg spec, "Binary single-value
+  // serialization"): fixed-width little-endian numerics, UTF-8 strings,
+  // int days / long micros for date/timestamp, big-endian unscaled decimal.
+  private[graft] def boundBytes(dt: DataType, canonical: String): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case IntegerType | ShortType | ByteType =>
+        Some(le(4).putInt(new java.math.BigDecimal(canonical).intValueExact).array)
+      case LongType => Some(le(8).putLong(new java.math.BigDecimal(canonical).longValueExact).array)
+      case FloatType => Some(le(4).putFloat(canonical.toFloat).array)
+      case DoubleType => Some(le(8).putDouble(canonical.toDouble).array)
+      case StringType => Some(canonical.getBytes(StandardCharsets.UTF_8))
+      case BooleanType => Some(Array[Byte](if (canonical.toBoolean) 1 else 0))
+      case DateType =>
+        Some(le(4).putInt(java.time.LocalDate.parse(canonical).toEpochDay.toInt).array)
+      case TimestampType | TimestampNTZType =>
+        graft.catalog.StatCodec.parseCanonicalMicros(canonical).map(m => le(8).putLong(m).array)
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(canonical).setScale(d.scale).unscaledValue.toByteArray)
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  private[graft] def boundCanonical(dt: DataType, b: Array[Byte]): Option[String] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case IntegerType | ShortType | ByteType if b.length == 4 => Some(le.getInt.toString)
+      case LongType if b.length == 8 => Some(le.getLong.toString)
+      case FloatType if b.length == 4 =>
+        val f = le.getFloat; if (f.isNaN || f.isInfinite) None else Some(f.toString)
+      case DoubleType if b.length == 8 =>
+        val d = le.getDouble; if (d.isNaN || d.isInfinite) None else Some(d.toString)
+      case StringType =>
+        Some(new String(b, StandardCharsets.UTF_8))
+          .filter(_.length <= graft.catalog.StatCodec.MaxLen)
+      case BooleanType if b.length == 1 => Some((b(0) != 0).toString)
+      case DateType if b.length == 4 => graft.catalog.StatCodec.formatDate(le.getInt.toLong)
+      case TimestampType | TimestampNTZType if b.length == 8 =>
+        graft.catalog.StatCodec.formatMicros(le.getLong)
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(b), d.scale).toPlainString)
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** A manifest entry's bounds → canonical per-LOGICAL-name ColStats. */
+  private def entryColStats(e: FileEntry, idToName: Map[Int, String],
+      schema: StructType): Map[String, graft.txn.ColStat] = {
+    val ids = e.lowerBounds.keySet ++ e.upperBounds.keySet ++ e.nullCounts.keySet
+    ids.flatMap { id =>
+      for {
+        name <- idToName.get(id)
+        f <- schema.fields.find(_.name == name)
+      } yield {
+        val mn = e.lowerBounds.get(id).flatMap(boundCanonical(f.dataType, _))
+        val mx = e.upperBounds.get(id).flatMap(boundCanonical(f.dataType, _))
+        val nc = e.nullCounts.getOrElse(id, -1L)
+        // one-sided bounds only when the column is provably all-null
+        if (mn.isDefined != mx.isDefined) name -> graft.txn.ColStat(null, null, nc)
+        else name -> graft.txn.ColStat(mn.orNull, mx.orNull, nc)
+      }
+    }.toMap
   }
 
   private def resolvePath(p: String, location: String): String = {
@@ -268,7 +370,11 @@ object Iceberg {
   def read(
       spark: SparkSession, table: String,
       snapshotId: Option[Long] = None, asOfTimestampMs: Option[Long] = None,
-      partitionFilter: Option[Column] = None): DataFrame = {
+      partitionFilter: Option[Column] = None,
+      /** Row predicate: applied to the result AND evaluated against each
+        * manifest entry's column bounds to skip data files at planning.
+        * Delete files are never skipped (they must keep masking). */
+      dataFilter: Option[Column] = None): DataFrame = {
     val meta = loadMeta(table)
     val snap = pickSnapshot(meta, snapshotId, asOfTimestampMs).getOrElse(
       return emptyFrame(spark, meta.schema))
@@ -291,6 +397,18 @@ object Iceberg {
         }
         val keep = typed.where(pred).select("path").as[String].collect().toSet
         dataFiles = dataFiles.filter(e => keep.contains(e.path))
+      }
+    }
+    // Data skipping over manifest bounds — DATA files only: a skipped
+    // data file's rows fail the predicate anyway (Iceberg v2 upserts are
+    // eq-delete + add, so the old version is masked regardless), while a
+    // skipped DELETE file would resurrect rows.
+    dataFilter.map(graft.catalog.StatsSkip.translate).filter(_.nonEmpty).foreach { filters =>
+      val idToName = meta.fieldIds.map(_.swap)
+      dataFiles = dataFiles.filter { e =>
+        val st = entryColStats(e, idToName, meta.schema)
+        st.isEmpty || filters.forall(f =>
+          graft.catalog.StatsSkip.keep(f, meta.schema, st, e.recordCount))
       }
     }
     if (dataFiles.isEmpty) return emptyFrame(spark, meta.schema)
@@ -337,7 +455,9 @@ object Iceberg {
       }
       df = df.drop("_g_path", "_g_pos")
     }
-    df.select(meta.schema.fieldNames.map(col): _*)
+    val out = df.select(meta.schema.fieldNames.map(col): _*)
+    // stats skipping is file-granular; the row predicate still applies
+    dataFilter.foldLeft(out)((d, p) => d.where(p))
   }
 
   /** Scan data files resolving top-level columns by Iceberg FIELD ID (the
@@ -539,9 +659,12 @@ object Iceberg {
       }: _*)
       val aliased = meta.partitionCols.foldLeft(base)(
         (d, c) => d.withColumn(s"_p_$c", col(c)))
-      val w = aliased.write.mode("overwrite")
-      (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols.map("_p_" + _): _*)
-       else w).parquet(staging.toString)
+      // Iceberg FORBIDS int96 timestamps (spec: timestamps are int64 micros)
+      InteropUtil.withMicrosTimestamps(df.sparkSession) {
+        val w = aliased.write.mode("overwrite")
+        (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols.map("_p_" + _): _*)
+         else w).parquet(staging.toString)
+      }
       InteropUtil.moveStagedParquet(staging, dataDir)
     } finally InteropUtil.deleteRecursively(staging)
     // per-file partition values (identity): from the aliased hive dirs
@@ -682,9 +805,11 @@ object Iceberg {
     Files.createDirectories(delDir)
     val staging = Files.createTempDirectory(root, "_iceberg_staging_")
     val written = try {
-      deleteKeys.select(keyCols.map(c =>
-          col(c).as(c, fieldIdMeta(meta.fieldIds(c)))): _*).distinct()
-        .write.mode("overwrite").parquet(staging.toString)
+      InteropUtil.withMicrosTimestamps(spark) {
+        deleteKeys.select(keyCols.map(c =>
+            col(c).as(c, fieldIdMeta(meta.fieldIds(c)))): _*).distinct()
+          .write.mode("overwrite").parquet(staging.toString)
+      }
       InteropUtil.moveStagedParquet(staging, delDir)
     } finally InteropUtil.deleteRecursively(staging)
     val ids = keyCols.map(meta.fieldIds)
@@ -717,8 +842,10 @@ object Iceberg {
     val seq = meta.lastSequenceNumber + 1
     val commitUuid = java.util.UUID.randomUUID().toString
     // record_count is a REQUIRED, meaningful field (foreign planners size
-    // scans from it) — read the real footer counts
-    val rowCounts = InteropUtil.parquetRowCounts(spark, files.map(_.absPath))
+    // scans from it) — one footer pass serves it AND the column bounds
+    // (null counts + single-value min/max) that foreign planners data-skip on
+    val footerInfo = InteropUtil.parquetFooterStats(spark, files.map(_.absPath))
+    val rowCounts = footerInfo.map { case (p, (n, _)) => p -> n }
 
     // partition record schema for identity cols (stringified values ride
     // as nullable strings in OUR manifests; readers stringify anyway)
@@ -759,6 +886,36 @@ object Iceberg {
         d.put("partition", p)
         d.put("record_count", rowCounts.getOrElse(f.absPath, 0L))
         d.put("file_size_in_bytes", f.sizeBytes)
+        // column stats for DATA files (delete files carry none): field-id
+        // keyed null counts + single-value serialized bounds
+        if (f.content == 0) {
+          val st = footerInfo.get(f.absPath).map(_._2).getOrElse(Map.empty)
+          val byId = st.toSeq.flatMap { case (name, cs) =>
+            for (id <- meta.fieldIds.get(name); fd <- meta.schema.fields.find(_.name == name))
+              yield (id, fd.dataType, cs)
+          }
+          def kvList(field: String, entries: Seq[(Int, AnyRef)]): Unit =
+            if (entries.nonEmpty) {
+              val arrSchema = dataFileSchema.getField(field).schema()
+                .getTypes.asScala.find(_.getType == AvroSchema.Type.ARRAY).get
+              val lst = new java.util.ArrayList[GenericRecord]()
+              entries.foreach { case (k, v) =>
+                val r = new GenericData.Record(arrSchema.getElementType)
+                r.put("key", k); r.put("value", v); lst.add(r)
+              }
+              d.put(field, new GenericData.Array(arrSchema, lst))
+            }
+          kvList("null_value_counts",
+            byId.filter(_._3.nulls >= 0).map(t => (t._1, Long.box(t._3.nulls))))
+          kvList("lower_bounds", byId.flatMap { case (id, dt, cs) =>
+            Option(cs.min).flatMap(boundBytes(dt, _))
+              .map(b => (id, java.nio.ByteBuffer.wrap(b): AnyRef))
+          })
+          kvList("upper_bounds", byId.flatMap { case (id, dt, cs) =>
+            Option(cs.max).flatMap(boundBytes(dt, _))
+              .map(b => (id, java.nio.ByteBuffer.wrap(b): AnyRef))
+          })
+        }
         d.put("equality_ids",
           if (f.equalityIds.isEmpty) null
           else java.util.Arrays.asList(f.equalityIds.map(Int.box): _*))
@@ -1025,6 +1182,21 @@ object Iceberg {
     f
   }
 
+  /** Nullable int-keyed map as the spec's array-of-k/v-records form. */
+  private def kvMapSchema(recName: String, keyId: Int, valId: Int,
+      valType: AvroSchema.Type): AvroSchema = {
+    import AvroSchema.Type._
+    val rec = AvroSchema.createRecord(recName, null, "iceberg", false)
+    val kf = new AvroSchema.Field("key", required(INT), null, null.asInstanceOf[AnyRef])
+    kf.addProp("field-id", keyId: Integer)
+    val vf = new AvroSchema.Field("value", required(valType), null, null.asInstanceOf[AnyRef])
+    vf.addProp("field-id", valId: Integer)
+    rec.setFields(java.util.Arrays.asList(kf, vf))
+    val arr = AvroSchema.createArray(rec)
+    arr.addProp("logicalType", "map")
+    AvroSchema.createUnion(AvroSchema.create(NULL), arr)
+  }
+
   private[interop] def manifestEntrySchema(partSchema: AvroSchema): AvroSchema = {
     import AvroSchema.Type._
     val dataFile = AvroSchema.createRecord("r2", null, "iceberg", false)
@@ -1035,6 +1207,12 @@ object Iceberg {
       fld("partition", partSchema, 102),
       fld("record_count", required(LONG), 103),
       fld("file_size_in_bytes", required(LONG), 104),
+      // column stats (spec manifest fields): null counts + single-value
+      // serialized bounds, keyed by field id — foreign planners data-skip
+      // on these
+      fld("null_value_counts", kvMapSchema("k121_v122", 121, 122, LONG), 110),
+      fld("lower_bounds", kvMapSchema("k126_v127", 126, 127, BYTES), 125),
+      fld("upper_bounds", kvMapSchema("k129_v130", 129, 130, BYTES), 128),
       fld("equality_ids", AvroSchema.createUnion(
         AvroSchema.create(NULL),
         AvroSchema.createArray(AvroSchema.create(INT))), 135)))

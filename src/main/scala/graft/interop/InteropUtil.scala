@@ -16,6 +16,20 @@ private[graft] object InteropUtil {
 
   def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
 
+  /** Run a foreign-format write with modern parquet timestamp output
+    * (TIMESTAMP_MICROS): Spark's legacy INT96 default has footer stats
+    * suppressed (no data skipping), Iceberg forbids INT96 outright, and the
+    * Delta/Hudi ecosystems both default to micros. Restored afterwards. */
+  def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
@@ -99,6 +113,12 @@ private[graft] object InteropUtil {
   /** Parquet footer record counts. */
   def parquetRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] =
     footerMap(spark, paths)(_.getRecordCount)
+
+  /** (rowCount, canonical column stats) per file — one footer read serving
+    * both the record counts and the data-skipping bounds. */
+  def parquetFooterStats(spark: SparkSession, paths: Seq[String])
+      : Map[String, (Long, Map[String, graft.txn.ColStat])] =
+    footerMap(spark, paths)(graft.catalog.FooterStats.fromReader)
 
   /** Top-level (fieldId -> columnName) per file; empty map when the writer
     * recorded no field ids. */

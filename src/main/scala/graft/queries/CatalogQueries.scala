@@ -1058,6 +1058,19 @@ object CatalogQueries {
         col("o_custkey").between(100, 500) && col("o_totalprice").between(50000, 150000))))
     },
 
+    // Delta-native data skipping: our add.stats written at commit must be
+    // sound (a wrongly-skipped file loses rows vs the oracle) and the
+    // dataFilter semantics exact.
+    Q("c63_delta_skip_read", Some("""
+      SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem
+      WHERE l_quantity >= 45""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c63").toString + "/t"
+      graft.interop.DeltaLake.write(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_shipdate")
+          .repartitionByRange(8, col("l_quantity")), t)
+      graft.interop.DeltaLake.read(s, t, dataFilter = Some(col("l_quantity") >= 45))
+    },
+
     // rowFilter under merge-on-read: value predicates must see POST-merge
     // values (an upsert moving a row out of the filtered range removes it;
     // a naive file prune would resurrect the stale base row).
