@@ -667,7 +667,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         val (entries, written, mObs) = if (canFuse) {
           Compactor.materializeBulkDedupe(this, t, rev, tx.txnId, withMissing,
             targetSchema, scheme, contentTypeOf(meta), numBuckets, maxRec, mergeKeys,
-            statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta))
+            statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta),
+            writeOptions = bloomOptionsOf(meta), statCols = statColsOf(meta))
         } else {
           // Synthetic lineage: one delta, recency within the batch = row order
           // (monotonically_increasing_id follows the same partition/row order
@@ -685,7 +686,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
             .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
           Compactor.materialize(this, t, rev, tx.txnId, resolved,
             targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec,
-            statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta))
+            statAggsFor(bulkStatFields), encoding = contentEncodingOf(meta),
+            writeOptions = bloomOptionsOf(meta), statCols = statColsOf(meta))
         }
         val props = Map(
           "written_columns" -> targetSchema.fieldNames.mkString(","),
@@ -714,6 +716,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         .write.mode("overwrite")
         .format(ct.format).options(ct.writeOptions)
         .options(contentEncodingOf(meta).map("compression" -> _).toMap)
+        .options(bloomOptionsOf(meta))
         // ≤N-record file slicing (reference _write_table_slices,
         // storage/main/impl.py:2578-2618) via Spark's native option.
         .option("maxRecordsPerFile", meta.properties
@@ -725,7 +728,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       }
       val n = obs.get("n").asInstanceOf[Long]
       val statsJson = statsJsonFrom(statFields, obs)
-      val entries = manifestEntriesOf(Paths.get(out), ct)
+      val entries = manifestEntriesOf(Paths.get(out), ct, statColsOf(meta))
       val props = Map("written_columns" -> coerced.columns.mkString(","),
         "column_stats" -> statsJson) ++
         (if (replace) Map("replace" -> "true") else Map.empty) ++
@@ -1147,6 +1150,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       e
     }
 
+  /** Parquet bloom-filter index options from the `write.bloom.columns`
+    * table property ("c1,c2"): split-block bloom filters in every written
+    * file for those columns, so point lookups (equality/IN) skip row
+    * groups the min/max range index cannot — e.g. high-cardinality ids
+    * scattered uniformly (where every file's [min,max] spans everything).
+    * Read-side use is automatic in Spark's parquet reader. */
+  private[catalog] def bloomOptionsOf(meta: TableMeta): Map[String, String] =
+    meta.properties.get("write.bloom.columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   /** Run a write with modern parquet timestamp output (TIMESTAMP_MICROS):
     * parquet suppresses footer stats for INT96 — Spark's legacy default —
     * which would exclude timestamp columns from the data-skipping index
@@ -1215,16 +1229,32 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
 
   /** Manifest entries (path, size, records, stats) for every data file under
-    * a just-written output dir — the single commit-path metadata pass. */
-  private[catalog] def manifestEntriesOf(out: Path, ct: ContentType): Seq[ManifestEntry] = {
+    * a just-written output dir — the single commit-path metadata pass.
+    * `statCols` (from the `stats.columns` table property) restricts which
+    * columns keep stats — the manifest-size valve for very wide tables
+    * (stats cost ~60 bytes/column/file of manifest JSON; a 40-column
+    * 100k-file table carries ~240 MB unless narrowed to the columns
+    * queries actually filter on). */
+  private[catalog] def manifestEntriesOf(out: Path, ct: ContentType,
+      statCols: Option[Set[String]] = None): Seq[ManifestEntry] = {
     val files = listDataFiles(out, ct)
     val info = fileFooterInfo(files, ct)
     files.map { p =>
-      val (n, stats) = info(p)
+      val (n, stats0) = info(p)
+      val stats = (Option(stats0), statCols) match {
+        case (Some(st), Some(keep)) => st.filter { case (k, _) => keep(k) }
+        case (Some(st), None) => st
+        case _ => null
+      }
       ManifestEntry(p.toString, Files.size(p), n,
         if (stats == null || stats.isEmpty) null else stats)
     }
   }
+
+  /** Parse the `stats.columns` property ("c1,c2" or unset = all). */
+  private[catalog] def statColsOf(meta: TableMeta): Option[Set[String]] =
+    meta.properties.get("stats.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   private[catalog] def listDataFiles(dir: Path, ct: ContentType): Seq[Path] = {
     if (!Files.exists(dir)) return Nil

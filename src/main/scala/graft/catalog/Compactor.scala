@@ -136,7 +136,8 @@ object Compactor {
               sortScheme, ct, numBuckets, maxRec,
               estimatedRecords = Some(rewriteDeltas.map(d =>
                 math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum),
-              encoding = cat.contentEncodingOf(meta), zorder = Some(z))
+              encoding = cat.contentEncodingOf(meta), zorder = Some(z),
+              writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
             (e, w)
           }
           val refRecords = refEntries.map(e => math.max(0L, e.recordCount)).sum
@@ -190,7 +191,8 @@ object Compactor {
               // Keyed tables z-sort within each bucket slice: files stay
               // bucket-aligned for merge pruning AND tight in value space.
               zorder = zCols.map(zc =>
-                ZOrder.zvalue(schema, ZOrder.bounds(zScan(paths), schema, zc))))
+                ZOrder.zvalue(schema, ZOrder.bounds(zScan(paths), schema, zc))),
+              writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
           } else {
             Files.createDirectories(Paths.get(
               cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
@@ -228,7 +230,9 @@ object Compactor {
       extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
       estimatedRecords: Option[Long] = None,
       encoding: Option[String] = None,
-      zorder: Option[org.apache.spark.sql.Column] = None): (Seq[ManifestEntry], Long, Observation) = {
+      zorder: Option[org.apache.spark.sql.Column] = None,
+      writeOptions: Map[String, String] = Map.empty,
+      statCols: Option[Set[String]] = None): (Seq[ManifestEntry], Long, Observation) = {
     val spark = cat.spark
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
@@ -282,11 +286,12 @@ object Compactor {
       .write.mode("overwrite")
       .format(ct.format).options(ct.writeOptions)
       .options(encoding.map("compression" -> _).toMap)
+      .options(writeOptions)
       .option("maxRecordsPerFile", maxRec)
       .partitionBy((Seq(Bucket) ++ partNames): _*) match {
         case w => cat.withMicrosTimestamps(w.save(out))
       }
-    val entries = cat.manifestEntriesOf(Paths.get(out), ct)
+    val entries = cat.manifestEntriesOf(Paths.get(out), ct, statCols)
     (entries, obs.get("n").asInstanceOf[Long], obs)
   }
 
@@ -313,7 +318,9 @@ object Compactor {
       ct: ContentType, numBuckets: Int, maxRec: Long,
       mergeKeys: Seq[String],
       extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
-      encoding: Option[String] = None): (Seq[ManifestEntry], Long, Observation) = {
+      encoding: Option[String] = None,
+      writeOptions: Map[String, String] = Map.empty,
+      statCols: Option[Set[String]] = None): (Seq[ManifestEntry], Long, Observation) = {
     require(mergeKeys.nonEmpty, "fused bulk load needs merge keys")
     val spark = cat.spark
     val out = cat.dataDirOf(t).resolve(f"d$rev%06d__$txnId").toString
@@ -345,11 +352,12 @@ object Compactor {
       .write.mode("overwrite")
       .format(ct.format).options(ct.writeOptions)
       .options(encoding.map("compression" -> _).toMap)
+      .options(writeOptions)
       .option("maxRecordsPerFile", maxRec)
       .partitionBy((Seq(Bucket) ++ partNames): _*) match {
         case w => cat.withMicrosTimestamps(w.save(out))
       }
-    val entries = cat.manifestEntriesOf(Paths.get(out), ct)
+    val entries = cat.manifestEntriesOf(Paths.get(out), ct, statCols)
     (entries, obs.get("n").asInstanceOf[Long], obs)
   }
 }

@@ -332,7 +332,13 @@ object Hudi {
       spark: SparkSession, table: String,
       asOfInstant: Option[String] = None, asOfTimestampMs: Option[Long] = None,
       partitionFilter: Option[Column] = None,
-      keepMetaFields: Boolean = false): DataFrame = {
+      keepMetaFields: Boolean = false,
+      /** Row predicate: applied to the result AND used to skip pure
+        * base-file slices via a planning-time footer-stats pass (what Hudi
+        * itself does without a metadata table). Slices carrying log files
+        * are never skipped — a log row may supersede a base row in either
+        * direction, so only the key-merge path may judge them. */
+      dataFilter: Option[Column] = None): DataFrame = {
     val snap = snapshot(spark, table, asOfInstant, asOfTimestampMs)
     val pf = snap.partitionFields
     require(partitionFilter.isEmpty || pf.nonEmpty,
@@ -361,14 +367,33 @@ object Hudi {
         snap.schema.getOrElse(StructType(Nil)))
     // merge-on-read: slices carrying log files go through the key-merge
     // path; pure base-file slices stay on the plain scan
-    val (mor, plain) = slices.partition(_.logFiles.nonEmpty)
+    val (mor, plain0) = slices.partition(_.logFiles.nonEmpty)
+    // data skipping for pure base slices: one footer-stats metadata pass
+    val plain = dataFilter.map(graft.catalog.StatsSkip.translate)
+      .filter(_.nonEmpty) match {
+      case Some(filters) if plain0.nonEmpty && snap.schema.isDefined =>
+        val schema = snap.schema.get
+        val root = Paths.get(table).toAbsolutePath
+        val withPaths = plain0.map(s => s -> root.resolve(s.relPath).toString)
+        val info = InteropUtil.parquetFooterStats(spark, withPaths.map(_._2))
+        withPaths.filter { case (_, p) =>
+          info.get(p).forall { case (rows, st) =>
+            st.isEmpty || filters.forall(f =>
+              graft.catalog.StatsSkip.keep(f, schema, st, rows))
+          }
+        }.map(_._1)
+      case _ => plain0
+    }
+    if (plain.isEmpty && mor.isEmpty)
+      return InteropUtil.emptyFrame(spark, snap.schema.getOrElse(StructType(Nil)))
     val parts = Seq(
       Option(plain).filter(_.nonEmpty).map(ps =>
         readSlices(spark, table, ps, snap.schema, pf, keepMetaFields)),
       Option(mor).filter(_.nonEmpty).map(ms =>
         readMerged(spark, table, ms, snap.schema, pf, keepMetaFields,
           snap.completedInstants))).flatten
-    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val out = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    dataFilter.foldLeft(out)((d, p) => d.where(p))
   }
 
   /** Hudi incremental query over a copy-on-write table: rows written by

@@ -175,6 +175,39 @@ class FileStatsSpec extends SparkSpec {
     assert(total >= 10 && kept <= 2, s"expected file pruning, got $total -> $kept")
   }
 
+  test("stats.columns narrows the skip index to the listed columns") {
+    val cat = newCatalog()
+    cat.createTable("q.n", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("wide", StringType))),
+      properties = Map("stats.columns" -> "k"))
+    cat.writeToTable(spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("w"), col("id")).as("wide")), "q.n")
+    val st = cat.deltaLog("q.n").flatMap(_.entries).head.colStats
+    assert(st.contains("k") && !st.contains("wide"))
+  }
+
+  test("write.bloom.columns emits parquet bloom filters in data files") {
+    val cat = newCatalog()
+    cat.createTable("q.b", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("write.bloom.columns" -> "k"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")), "q.b")
+    val f = cat.deltaLog("q.b").flatMap(_.entries).head.path
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = r.getFooter.getBlocks.get(0).getColumns
+      import scala.collection.JavaConverters._
+      val byName = cols.asScala.map(c => c.getPath.toArray.mkString(".") -> c).toMap
+      assert(byName("k").getBloomFilterOffset >= 0, "k should carry a bloom filter")
+      assert(byName("v").getBloomFilterOffset < 0, "v should not")
+    } finally r.close()
+  }
+
   test("stats survive the manifest JSON roundtrip and compaction refreshes them") {
     val cat = newCatalog()
     cat.createTable("q.c", StructType(Seq(
