@@ -1161,20 +1161,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
 
-  /** Run a write with modern parquet timestamp output (TIMESTAMP_MICROS):
-    * parquet suppresses footer stats for INT96 — Spark's legacy default —
-    * which would exclude timestamp columns from the data-skipping index
-    * (and INT96 is deprecated by the parquet spec; Iceberg forbids it).
-    * Session value restored afterwards. */
-  private[catalog] def withMicrosTimestamps[A](body: => A): A = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  /** Run a write with modern parquet timestamp output (TIMESTAMP_MICROS) —
+    * delegates to the shared reentrant per-session guard (see
+    * InteropUtil.withMicrosTimestamps for the concurrency rationale). */
+  private[catalog] def withMicrosTimestamps[A](body: => A): A =
+    graft.interop.InteropUtil.withMicrosTimestamps(spark)(body)
 
   /** Compressed-file suffixes Spark appends after the format extension. */
   private[catalog] val EncodingSuffixes =
@@ -1200,9 +1191,6 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     * footer reads run as a Spark job — metadata-only work spread across the
     * cluster (one ~8-byte footer field per file, no data pages touched).
     * Below the threshold the driver loop wins (no job-scheduling latency). */
-  private[catalog] def fileRowCounts(paths: Seq[Path], ct: ContentType): Map[Path, Long] =
-    fileFooterInfo(paths, ct).map { case (p, (n, _)) => p -> n }
-
   /** Batch per-file (rowCount, column min/max/null stats) from parquet
     * footers — the commit path's single metadata pass, now also feeding the
     * data-skipping index (ManifestEntry.stats). Same I/O as the old

@@ -190,8 +190,10 @@ object Compactor {
               encoding = cat.contentEncodingOf(meta),
               // Keyed tables z-sort within each bucket slice: files stay
               // bucket-aligned for merge pruning AND tight in value space.
-              zorder = zCols.map(zc =>
-                ZOrder.zvalue(schema, ZOrder.bounds(zScan(paths), schema, zc))),
+              // bounds over ALL active files (incl. untouched copy-by-ref
+              // buckets) so bin edges stay stable across incremental rounds
+              zorder = zCols.map(zc => ZOrder.zvalue(schema, ZOrder.bounds(
+                zScan(paths ++ untouchedEntries.map(_.path)), schema, zc))),
               writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
           } else {
             Files.createDirectories(Paths.get(
@@ -204,7 +206,11 @@ object Compactor {
               "written_columns" -> schema.fieldNames.mkString(","),
               "num_buckets" -> numBuckets.toString,
               "record_count" -> (written + untouchedRecords).toString,
-              "copied_by_reference" -> untouchedEntries.size.toString))
+              "copied_by_reference" -> untouchedEntries.size.toString) ++
+              // stamp the clustering or the next keyless compact would
+              // needlessly full-recluster a base this branch just z-sorted
+              // (post-rename rewrite path)
+              zCols.map(zc => "zordered" -> zc.mkString(",")).toMap)
         }
 
       txn.stage(dir, rev, "delta", Json.write(delta), s"COMPACT $t@$rev")

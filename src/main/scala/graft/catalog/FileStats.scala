@@ -104,7 +104,10 @@ object StatCodec {
       case (_: NumericType, d: java.lang.Double) =>
         if (d.isNaN || d.isInfinite) None else Some(d.toString)
       case (_: NumericType, f: java.lang.Float) =>
-        if (f.isNaN || f.isInfinite) None else Some(f.toString)
+        // widen exactly as Spark does in mixed float/double comparisons
+        // (0.1f -> 0.100000001490…) or decimal compare diverges from the
+        // engine's verdict
+        if (f.isNaN || f.isInfinite) None else Some(f.doubleValue.toString)
       case (_: NumericType, d: java.math.BigDecimal) => Some(d.toPlainString)
       case (_: NumericType, d: BigDecimal) => Some(d.underlying.toPlainString)
       case (_: NumericType, n: java.lang.Number) => Some(n.toString)
@@ -118,10 +121,24 @@ object StatCodec {
       case (TimestampType, i: Instant) => formatInstant(i)
       case (TimestampNTZType, l: LocalDateTime) =>
         if (l.getYear < 0 || l.getYear > 9999) None else Some(TsFmt.format(l))
-      case (TimestampType | TimestampNTZType, s: String) =>
-        // ISO-ish string literal against a timestamp column (pre-analysis
-        // rowFilter trees): parse the common Spark literal spellings.
+      case (TimestampNTZType, s: String) =>
+        // ISO-ish string literal against a naive timestamp column
+        // (pre-analysis rowFilter trees): parse the common spellings.
         parseTsLiteral(s)
+      case (TimestampType, s: String) =>
+        // Spark casts string->TIMESTAMP in the SESSION timezone; the
+        // canonical form is UTC — convert or skips shift by the UTC offset.
+        parseTsLiteral(s).flatMap { canonical =>
+          parseCanonicalMicros(canonical).flatMap { naiveMicros =>
+            val zone = java.time.ZoneId.of(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+            val ldt = LocalDateTime.ofEpochSecond(
+              Math.floorDiv(naiveMicros, 1000000L),
+              (Math.floorMod(naiveMicros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+            val inst = ldt.atZone(zone).toInstant
+            formatMicros(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+          }
+        }
       case _ => None
     }
     r.filter(_.length <= MaxLen)
@@ -231,6 +248,29 @@ object FooterStats {
     if (a == null) b else if (b == null) a
     else if (StatCodec.compare(k, a, b) >= 0) a else b
 
+  /** The comparison kind a parquet type's canonical form uses — must match
+    * renderPair's choices (value-free so all-null chunks get the RIGHT kind;
+    * a wrong kind would merge later numeric chunks byte-wise). */
+  private def kindOfParquet(pt: PrimitiveType): Option[Kind] = {
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case PrimitiveTypeName.BOOLEAN => Some(Str)
+      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => ann match {
+        case _: DateLogicalTypeAnnotation | _: TimestampLogicalTypeAnnotation => Some(Str)
+        case _: TimeLogicalTypeAnnotation => None
+        case i: IntLogicalTypeAnnotation if !i.isSigned => None
+        case _ => Some(Num)
+      }
+      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some(Num)
+      case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY => ann match {
+        case _: StringLogicalTypeAnnotation | _: EnumLogicalTypeAnnotation => Some(Str)
+        case _: DecimalLogicalTypeAnnotation => Some(Num)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** One chunk's (min, max, nulls, kind); min/max null for all-null chunks.
     * None = stats unusable for this column (drop it file-wide). */
   private def merged(st: Statistics[_], pt: PrimitiveType, rowCount: Long)
@@ -240,8 +280,11 @@ object FooterStats {
     if (!st.hasNonNullValue) {
       // All-null chunk: contributes null count only — min/max stay undefined
       // but the chunk must not drop the column (the merge keeps other
-      // chunks' bounds and the caller treats null bounds conservatively).
-      return if (nulls >= 0 && nulls >= rowCount) Some((null, null, nulls, Str)) else None
+      // chunks' bounds; the kind MUST be the type's real one or a later
+      // value-carrying chunk merges under the wrong comparator).
+      return if (nulls >= 0 && nulls >= rowCount)
+        kindOfParquet(pt).map(k => (null, null, nulls, k))
+      else None
     }
     renderPair(st, pt).map { case (mn, mx, kind) => (mn, mx, nulls, kind) }
   }
@@ -281,8 +324,9 @@ object FooterStats {
         case _ => num(v => Some(v.toString))
       }
       case PrimitiveTypeName.FLOAT =>
+        // widened to double (Spark's comparison semantics for floats)
         num { v => val f = v.asInstanceOf[java.lang.Float]
-          if (f.isNaN || f.isInfinite) None else Some(f.toString) }
+          if (f.isNaN || f.isInfinite) None else Some(f.doubleValue.toString) }
       case PrimitiveTypeName.DOUBLE =>
         num { v => val d = v.asInstanceOf[java.lang.Double]
           if (d.isNaN || d.isInfinite) None else Some(d.toString) }

@@ -62,27 +62,26 @@ object ZOrder {
 
   /** The interleaved z-value Column for the given (column, min, max) spec.
     * Nulls bin to 0 (cluster at the origin). Pure codegen-able arithmetic:
-    * scale each dimension to a [[Bits]]-bit rank, then interleave bits. */
+    * scale each dimension to a per-dimension bit rank, then interleave.
+    * 4 dimensions get 15 bits each (60 total) — 16 would shift into bit 63
+    * and negative z-values would wrap the SIGNED sort at the sign boundary,
+    * splitting the space into two inverted halves. */
   def zvalue(schema: StructType, spec: Seq[(String, Double, Double)]): Column = {
     val n = spec.size
+    val bits = if (n >= 4) 15 else Bits
+    val maxRank = (1L << bits) - 1
     val ranks = spec.map { case (name, mn, mx) =>
       val dt = schema.fields.find(_.name == name).get.dataType
       val v = coalesce(numeric(col(name), dt), lit(mn))
       if (mx <= mn) lit(0L)
-      else least(lit((1L << Bits) - 1), greatest(lit(0L),
-        (((v - mn) / (mx - mn)) * ((1L << Bits) - 1).toDouble).cast(LongType)))
+      else least(lit(maxRank), greatest(lit(0L),
+        (((v - mn) / (mx - mn)) * maxRank.toDouble).cast(LongType)))
     }
     if (n == 1) return ranks.head
     val terms = for {
       (r, i) <- ranks.zipWithIndex
-      b <- 0 until Bits
+      b <- 0 until bits
     } yield shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * n + i)
     terms.reduce(_ bitwiseOR _)
   }
-
-  /** Resolve the table's z-order sort column, if configured: property →
-    * bounds over the given active-data scan → z-value expression. */
-  def sortColumn(properties: Map[String, String], schema: StructType,
-      scan: => DataFrame): Option[Column] =
-    columnsOf(properties).map(cols => zvalue(schema, bounds(scan, schema, cols)))
 }

@@ -441,10 +441,16 @@ object DeltaLake {
       actions += w
     }
     actions ++= removes
-    val hconf = spark.sessionState.newHadoopConf()
     val statFields = physDf.schema.fields.filterNot(f => physPartitionBy.contains(f.name)).toSeq
+    // one batched footer pass (driver-under-16 / distributed-above) — a
+    // sequential per-file loop would serialize O(files) opens in the commit
+    val footer = try InteropUtil.parquetFooterStats(spark,
+      added.map { case (rel, _, _) => Paths.get(table).resolve(rel).toString })
+    catch { case _: Exception => Map.empty[String, (Long, Map[String, graft.txn.ColStat])] }
     actions ++= added.map { case (rel, size, pv) =>
-      addAction(rel, size, pv, stats = fileStats(table, rel, hconf, statFields))
+      val st = footer.get(Paths.get(table).resolve(rel).toString)
+        .map { case (rows, s) => DeltaStats.json(rows, s, statFields) }
+      addAction(rel, size, pv, stats = st)
     }
     actions += commitInfoAction(if (isCreate) "CREATE TABLE AS SELECT"
       else if (mode == "overwrite") "WRITE OVERWRITE" else "WRITE APPEND")
@@ -1089,17 +1095,6 @@ object DeltaLake {
     val w = obj(); w.set("add", a); w
   }
 
-  /** Per-file protocol stats for a just-written data file — footer-only
-    * I/O; best-effort (a file whose stats fail to read simply carries
-    * none). `statFields` = physically-named DATA columns. */
-  private def fileStats(table: String, rel: String,
-      conf: org.apache.hadoop.conf.Configuration,
-      statFields: Seq[StructField]): Option[String] =
-    try {
-      val (rows, st) = graft.catalog.FooterStats.read(
-        Paths.get(table).resolve(rel).toString, conf)
-      Some(DeltaStats.json(rows, st, statFields))
-    } catch { case _: Exception => None }
 
   private def removeAction(rel: String, pv: Map[String, String],
       dv: Option[JsonNode] = None): JsonNode = {

@@ -89,6 +89,12 @@ object DeltaStats {
   private def canonical(n: JsonNode, dt: DataType): Option[String] = {
     if (n == null || n.isMissingNode || n.isNull) return None
     try dt match {
+      // Floating-point bounds from FOREIGN writers are untrusted: the Delta
+      // protocol excludes NaN from minValues/maxValues while Spark orders
+      // NaN above everything, so a range skip could drop a file whose NaN
+      // rows match. (Our own write side NaN-drops the whole column, which
+      // is why bounds WE wrote are safe — but we cannot tell authorship.)
+      case FloatType | DoubleType => None
       case _: NumericType =>
         val t = n.asText()
         new java.math.BigDecimal(t); Some(t)

@@ -63,7 +63,8 @@ object Iceberg {
         * recorded none. */
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      nanCounts: Map[Int, Long] = Map.empty)
 
   final case class TableMeta(
       formatVersion: Int,
@@ -268,7 +269,8 @@ object Iceberg {
         seq, eqIds,
         lowerBounds = kvBytes("lower_bounds"),
         upperBounds = kvBytes("upper_bounds"),
-        nullCounts = kvMap(df, "null_value_counts")(_.asInstanceOf[Long]))
+        nullCounts = kvMap(df, "null_value_counts")(_.asInstanceOf[Long]),
+        nanCounts = kvMap(df, "nan_value_counts")(_.asInstanceOf[Long]))
     }.toSeq
     finally reader.close()
   }
@@ -324,7 +326,8 @@ object Iceberg {
       case IntegerType | ShortType | ByteType if b.length == 4 => Some(le.getInt.toString)
       case LongType if b.length == 8 => Some(le.getLong.toString)
       case FloatType if b.length == 4 =>
-        val f = le.getFloat; if (f.isNaN || f.isInfinite) None else Some(f.toString)
+        // widened to double — Spark's mixed float/double comparison semantics
+        val f = le.getFloat; if (f.isNaN || f.isInfinite) None else Some(f.doubleValue.toString)
       case DoubleType if b.length == 8 =>
         val d = le.getDouble; if (d.isNaN || d.isInfinite) None else Some(d.toString)
       case StringType =>
@@ -349,8 +352,15 @@ object Iceberg {
         name <- idToName.get(id)
         f <- schema.fields.find(_.name == name)
       } yield {
-        val mn = e.lowerBounds.get(id).flatMap(boundCanonical(f.dataType, _))
-        val mx = e.upperBounds.get(id).flatMap(boundCanonical(f.dataType, _))
+        // float/double bounds EXCLUDE NaN per spec while Spark orders NaN
+        // above everything — only trust them when the writer recorded
+        // nan_value_counts == 0 for the column
+        val fpUnsafe = (f.dataType == FloatType || f.dataType == DoubleType) &&
+          !e.nanCounts.get(id).contains(0L)
+        val mn = if (fpUnsafe) None
+          else e.lowerBounds.get(id).flatMap(boundCanonical(f.dataType, _))
+        val mx = if (fpUnsafe) None
+          else e.upperBounds.get(id).flatMap(boundCanonical(f.dataType, _))
         val nc = e.nullCounts.getOrElse(id, -1L)
         // one-sided bounds only when the column is provably all-null
         if (mn.isDefined != mx.isDefined) name -> graft.txn.ColStat(null, null, nc)
@@ -907,6 +917,12 @@ object Iceberg {
             }
           kvList("null_value_counts",
             byId.filter(_._3.nulls >= 0).map(t => (t._1, Long.box(t._3.nulls))))
+          // bounds we write are NaN-free (a NaN-polluted footer column is
+          // dropped upstream) — record nan_value_counts=0 so readers,
+          // including ourselves, may trust the float/double bounds
+          kvList("nan_value_counts", byId.collect {
+            case (id, FloatType | DoubleType, cs) if cs.min != null => (id, Long.box(0L))
+          })
           kvList("lower_bounds", byId.flatMap { case (id, dt, cs) =>
             Option(cs.min).flatMap(boundBytes(dt, _))
               .map(b => (id, java.nio.ByteBuffer.wrap(b): AnyRef))
@@ -1211,6 +1227,7 @@ object Iceberg {
       // serialized bounds, keyed by field id — foreign planners data-skip
       // on these
       fld("null_value_counts", kvMapSchema("k121_v122", 121, 122, LONG), 110),
+      fld("nan_value_counts", kvMapSchema("k138_v139", 138, 139, LONG), 137),
       fld("lower_bounds", kvMapSchema("k126_v127", 126, 127, BYTES), 125),
       fld("upper_bounds", kvMapSchema("k129_v130", 129, 130, BYTES), 128),
       fld("equality_ids", AvroSchema.createUnion(

@@ -16,19 +16,38 @@ private[graft] object InteropUtil {
 
   def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
 
-  /** Run a foreign-format write with modern parquet timestamp output
-    * (TIMESTAMP_MICROS): Spark's legacy INT96 default has footer stats
-    * suppressed (no data skipping), Iceberg forbids INT96 outright, and the
-    * Delta/Hudi ecosystems both default to micros. Restored afterwards. */
+  /** Run a write with modern parquet timestamp output (TIMESTAMP_MICROS):
+    * Spark's legacy INT96 default has footer stats suppressed (no data
+    * skipping), Iceberg forbids INT96 outright, and the Delta/Hudi
+    * ecosystems both default to micros. The guard is REENTRANT and
+    * per-session reference-counted: concurrent writers (ConcurrencySpec's
+    * racing commits) share one save/restore instead of racing a naive
+    * save-set-restore, which could leave a writer on INT96 mid-flight or
+    * leak the override into the session permanently. */
   def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    val st = microsGuards.computeIfAbsent(spark, _ => new MicrosGuard)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.saved = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+      }
+      st.depth += 1
+    }
+    try body finally st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0) st.saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
+  private final class MicrosGuard {
+    var depth: Int = 0
+    var saved: Option[String] = None
+  }
+  private val microsGuards =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, MicrosGuard]
 
   def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -86,7 +105,7 @@ private[graft] object InteropUtil {
   }
 
   /** Per-path footer metadata, driver loop under 16 files, distributed job
-    * above (the catalog's fileRowCounts policy). `extract` must be
+    * above (the catalog footer-pass policy). `extract` must be
     * serializable. */
   private def footerMap[T](spark: SparkSession, paths: Seq[String])(
       extract: org.apache.parquet.hadoop.ParquetFileReader => T): Map[String, T] = {

@@ -175,6 +175,60 @@ class FileStatsSpec extends SparkSpec {
     assert(total >= 10 && kept <= 2, s"expected file pruning, got $total -> $kept")
   }
 
+  test("all-null leading row group keeps the numeric merge kind (review fix)") {
+    val dir = tmpDir("fs-nullfirst")
+    // sorted so the FIRST row groups are entirely null, later ones carry
+    // values spanning a decimal-vs-bytes-divergent range (9 vs 85)
+    val df = spark.range(0, 3000).select(col("id"),
+      when(col("id") < 1500, lit(null))
+        .otherwise(when(col("id") < 2000, col("id") % 2 + 9).otherwise(col("id") % 16 + 85))
+        .as("x"))
+      .orderBy("id").coalesce(1)
+    df.write.mode("overwrite").option("parquet.block.size", "1024").parquet(dir)
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val (_, stats) = FooterStats.read(f, spark.sessionState.newHadoopConf())
+    // byte-wise merge would report min "10" > "100"-style garbage ("85" < "9")
+    assert(BigDecimal(stats("x").min) == 9 && BigDecimal(stats("x").max) == 100,
+      s"got ${stats("x")}")
+  }
+
+  test("string timestamp literal skips in the SESSION timezone (review fix)") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val cat = newCatalog()
+      cat.createTable("q.tz", StructType(Seq(
+        FieldMeta.field("ts", TimestampType), FieldMeta.field("k", LongType))),
+        properties = Map("write.max_records_per_file" -> "100"))
+      // instants 2024-01-01T00:00Z .. +1000h
+      cat.writeToTable(spark.range(0, 1000).select(
+        timestamp_seconds(lit(1704067200L) + col("id") * 3600).as("ts"), col("id").as("k"))
+        .orderBy("k").coalesce(1), "q.tz")
+      // string literal is interpreted in session tz (= UTC-8): compare the
+      // rowFilter result against Spark's own evaluation of the same filter
+      val pred = col("ts") < "2024-01-05 00:00:00"
+      val got = cat.readTable("q.tz", ReadOptions(rowFilter = Some(pred))).count()
+      val want = cat.readTable("q.tz").where(pred).count()
+      assert(got == want, s"skip-pruned read $got != unpruned $want")
+      assert(want == 4 * 24 + 8) // 4 days + the 8h offset
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("float bounds use Spark's widened comparison (review fix)") {
+    val dir = tmpDir("fs-float")
+    spark.range(0, 10).select(lit(0.1f).as("f")).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val (rows, stats) = FooterStats.read(f, spark.sessionState.newHadoopConf())
+    val sch = StructType(Seq(StructField("f", FloatType)))
+    // 0.1f widens to 0.100000001490…, which IS > 0.100000001 — the file
+    // must be kept (a narrow "0.1" rendering would wrongly skip it)
+    assert(StatsSkip.keep(GreaterThan("f", 0.100000001d), sch, stats, rows))
+    assert(!StatsSkip.keep(GreaterThan("f", 0.11d), sch, stats, rows))
+  }
+
   test("stats.columns narrows the skip index to the listed columns") {
     val cat = newCatalog()
     cat.createTable("q.n", StructType(Seq(
