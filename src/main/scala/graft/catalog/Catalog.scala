@@ -1004,6 +1004,82 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }.toDF("stream_position", "column_name", "min", "max", "null_count")
   }
 
+  /** The per-FILE skip index as a DataFrame — observability for the
+    * data-skipping work (`DESCRIBE DETAIL` analog at file granularity). */
+  def fileStatsTable(table: String): DataFrame = {
+    import spark.implicits._
+    effectiveDeltas(th(table), None).flatMap { d =>
+      d.entries.flatMap { e =>
+        if (e.colStats.isEmpty)
+          Seq((d.streamPosition, e.path, e.recordCount, null: String, null: String, null: String, -1L))
+        else e.colStats.toSeq.map { case (c, st) =>
+          (d.streamPosition, e.path, e.recordCount, c, st.min, st.max, st.nulls)
+        }
+      }
+    }.toDF("stream_position", "path", "record_count", "column_name", "min", "max", "null_count")
+  }
+
+  /** Backfill the per-file skip index for a table written BEFORE stats
+    * existed (or with `stats.columns` narrowed): reads the footers of
+    * active files lacking stats and commits a metadata-only
+    * copy-by-reference fold carrying the same files with stats attached —
+    * zero data movement, one new metafile. Keyed tables backfill the
+    * compacted BASE only (folding pending upsert/delete deltas would
+    * collapse their recency order — they gain stats at the next
+    * compaction); append-only tables fold everything. Returns the number
+    * of entries that gained stats. */
+  def analyzeTable(table: String): Int = {
+    val t = th(table)
+    val meta = getTableMeta(table)
+    if (contentTypeOf(meta) != ContentType.Parquet) return 0
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val keyed = FieldMeta.mergeKeys(schema).nonEmpty
+    val deltas = effectiveDeltas(t, None)
+    val (base, pending) = MergeRead.activeDeltas(deltas)
+    val foldable: Seq[DeltaMeta] = if (keyed) base.toSeq else base.toSeq ++ pending
+    if (foldable.isEmpty) return 0
+    // column-subset deltas carry per-delta written_columns lineage that a
+    // fold would collapse (default backfill / positional reads depend on
+    // it) — leave such tables to compaction, which materializes instead
+    val fullSet = schema.fieldNames.toSet
+    if (foldable.exists(d => d.properties.get("written_columns")
+        .exists(_.split(",").toSet != fullSet))) return 0
+    val missing = foldable.flatMap(_.entries).filter(_.stats == null)
+    if (missing.isEmpty) return 0
+    val keep = statColsOf(meta)
+    val info = fileFooterInfo(missing.map(e => Paths.get(e.path)), ContentType.Parquet)
+    def upgraded(e: ManifestEntry): ManifestEntry =
+      if (e.stats != null) e
+      else info.get(Paths.get(e.path)).map(_._2).filter(_ != null) match {
+        case Some(st0) =>
+          val st = keep.map(k => st0.filter { case (c, _) => k(c) }).getOrElse(st0)
+          if (st.isEmpty) e else e.copy(stats = st)
+        case None => e
+      }
+    val entries = foldable.flatMap(_.entries).map(upgraded)
+    val gained = entries.count(_.stats != null) - foldable.flatMap(_.entries).count(_.stats != null)
+    // watermark: keyed tables keep the base's (pending stays pending);
+    // append-only folds absorb everything up to the newest position
+    val upTo =
+      if (keyed) base.get.compactedUpTo
+      else (foldable.map(_.streamPosition) ++ base.map(_.compactedUpTo)).max
+    val carried = Seq("num_buckets", "zordered").flatMap(k =>
+      foldable.flatMap(_.properties.get(k)).lastOption.map(k -> _))
+    val records = foldable.map(_.properties.getOrElse("record_count", "0").toLong).sum
+    val txn = store.newTransaction(s"analyze $t")
+    try {
+      val dir = deltaDir(t)
+      val rev = store.nextRevision(dir, Some(txn))
+      val d = DeltaMeta(rev, DeltaType.Add.name, entries, txn.txnId, upTo,
+        Map("written_columns" -> schema.fieldNames.mkString(","),
+          "record_count" -> records.toString,
+          "analyze" -> "true") ++ carried)
+      txn.stage(dir, rev, "delta", Json.write(d), s"ANALYZE $t@$rev")
+      txn.seal()
+    } catch { case e: Throwable => if (!txn.isSealed) txn.abort(); throw e }
+    gained
+  }
+
   /** Transaction history as a DataFrame — `DESCRIBE HISTORY` analog. */
   def historyDF(): DataFrame = {
     import spark.implicits._

@@ -1071,6 +1071,24 @@ object CatalogQueries {
       graft.interop.DeltaLake.read(s, t, dataFilter = Some(col("l_quantity") >= 45))
     },
 
+    // ANALYZE backfill: a pre-stats table (stats.columns="") analyzed into
+    // a copy-by-reference fold must read identically through the new
+    // skip-indexed manifest — both filtered and in full.
+    Q("c64_analyze_backfill", Some("""
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 50000""")) { (s, dir) =>
+      val cat = newCat(s, "c64")
+      cat.createTable("q.o", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType),
+        FieldMeta.field("o_totalprice", DoubleType))),
+        properties = Map("stats.columns" -> "", "write.max_records_per_file" -> "2000"))
+      cat.writeToTable(tbl(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_totalprice").coalesce(1), "q.o")
+      cat.alterTable("q.o", removeProperties = Seq("stats.columns"))
+      cat.analyzeTable("q.o")
+      cat.readTable("q.o", ReadOptions(rowFilter = Some(col("o_totalprice") < 50000)))
+    },
+
     // rowFilter under merge-on-read: value predicates must see POST-merge
     // values (an upsert moving a row out of the filtered range removes it;
     // a naive file prune would resurrect the stale base row).

@@ -262,6 +262,33 @@ class FileStatsSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("analyzeTable backfills the skip index metadata-only; fileStatsTable exposes it") {
+    val cat = newCatalog()
+    // stats.columns="" writes NO stats — simulates a pre-stats table
+    cat.createTable("q.a", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("stats.columns" -> "", "write.max_records_per_file" -> "250"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")).orderBy("k").coalesce(1), "q.a")
+    val before = cat.deltaLog("q.a").flatMap(_.entries)
+    assert(before.nonEmpty && before.forall(_.stats == null))
+    // widen the stat set back on and analyze
+    cat.alterTable("q.a", removeProperties = Seq("stats.columns"))
+    val gained = cat.analyzeTable("q.a")
+    assert(gained == before.size, s"backfilled $gained of ${before.size}")
+    // same files (copy-by-reference), stats attached, skipping now works
+    val d = cat.deltaLog("q.a").filter(_.properties.contains("analyze")).last
+    assert(d.entries.map(_.path).toSet == before.map(_.path).toSet)
+    val filtered = cat.readTable("q.a", ReadOptions(rowFilter = Some(col("k") < 100)))
+    assert(filtered.count() == 100 && filtered.inputFiles.length <= 2)
+    // observability frame
+    val fs = cat.fileStatsTable("q.a")
+    assert(fs.where(col("column_name") === "k").count() == before.size.toLong)
+    // idempotent
+    assert(cat.analyzeTable("q.a") == 0)
+  }
+
   test("stats survive the manifest JSON roundtrip and compaction refreshes them") {
     val cat = newCatalog()
     cat.createTable("q.c", StructType(Seq(
