@@ -421,7 +421,8 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
  * Catalog plugin: `spark.sql.catalog.graft=graft.spark.GraftSparkCatalog`
  * (+ `.root=<dir>`) makes `SELECT … FROM graft.ns.t` resolve.
  */
-class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -437,6 +438,13 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
       exp.extraStrategies = exp.extraStrategies :+ org.apache.spark.sql.graft.GraftDmlStrategy
   }
   override def name(): String = catalogName
+
+  // SQL stored procedures: CALL cat.system.{compact,analyze,zorder,janitor}
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident).getOrElse(
+      throw new RuntimeException(s"undefined procedure: $ident"))
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   private def cat = new GraftCatalog(SparkSession.active, root)
   private def fullName(ident: Identifier): String =

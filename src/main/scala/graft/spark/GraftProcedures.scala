@@ -1,0 +1,103 @@
+package graft.spark
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.GraftCatalog
+
+/**
+ * SQL stored procedures for the Graft catalog (Spark 4 ProcedureCatalog —
+ * the `CALL cat.system.<proc>(…)` surface Iceberg popularized):
+ *
+ *   CALL g.system.compact(`table` => 'ns.t' [, num_buckets => 16])
+ *   CALL g.system.analyze(`table` => 'ns.t')     -- stats backfill
+ *   CALL g.system.zorder(`table` => 'ns.t', columns => 'x,y')
+ *   CALL g.system.janitor([timeout_ms => …])     -- fail+sweep stale txns
+ *
+ * Each returns one summary row. Maintenance operations deliberately run
+ * through the same public catalog APIs the programmatic surface uses.
+ */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+  val Names: Seq[String] = Seq("compact", "analyze", "zorder", "janitor")
+
+  def load(root: String, ident: Identifier): Option[UnboundProcedure] =
+    if (!ident.namespace().sameElements(Namespace)) None
+    else Names.find(_ == ident.name()).map(n => new GraftUnboundProcedure(root, n))
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Namespace))
+      Names.map(Identifier.of(Namespace, _)).toArray
+    else Array.empty
+
+  private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, dflt: String) =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  private final class GraftUnboundProcedure(root: String, proc: String)
+      extends UnboundProcedure {
+    override def name(): String = proc
+    override def description(): String = proc match {
+      case "compact" => "resolve pending deltas into a read-optimized bucketed snapshot"
+      case "analyze" => "backfill the per-file column-stats skip index (metadata-only)"
+      case "zorder" => "set compaction.zorder and recluster the table"
+      case "janitor" => "fail timed-out transactions and sweep their staged files"
+    }
+    override def bind(inputType: StructType): BoundProcedure =
+      new GraftBoundProcedure(root, proc)
+  }
+
+  private final class GraftBoundProcedure(root: String, proc: String)
+      extends BoundProcedure {
+    override def name(): String = proc
+    override def description(): String = proc
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = proc match {
+      case "compact" => Array(in("table", StringType),
+        inDefault("num_buckets", IntegerType, "0"))
+      case "analyze" => Array(in("table", StringType))
+      case "zorder" => Array(in("table", StringType), in("columns", StringType))
+      case "janitor" => Array(
+        inDefault("timeout_ms", LongType, (24L * 3600 * 1000).toString))
+    }
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val cat = new GraftCatalog(SparkSession.active, root)
+      val msg = proc match {
+        case "compact" =>
+          val t = input.getUTF8String(0).toString
+          cat.compact(t, input.getInt(1))
+          s"compacted $t"
+        case "analyze" =>
+          val t = input.getUTF8String(0).toString
+          val n = cat.analyzeTable(t)
+          s"backfilled stats for $n file(s) of $t"
+        case "zorder" =>
+          val t = input.getUTF8String(0).toString
+          val cols = input.getUTF8String(1).toString
+          cat.alterTable(t, setProperties = Map(graft.catalog.ZOrder.Prop -> cols))
+          cat.compact(t)
+          s"z-ordered $t by $cols"
+        case "janitor" =>
+          val (failed, removed) = cat.store.janitor(input.getLong(0))
+          s"failed $failed stale txn(s), removed $removed file(s)"
+      }
+      java.util.Collections.singletonList[Scan](new MessageScan(msg)).iterator()
+    }
+  }
+
+  private final class MessageScan(msg: String) extends LocalScan {
+    override def readSchema(): StructType =
+      StructType(Seq(StructField("result", StringType, nullable = false)))
+    override def rows(): Array[InternalRow] =
+      Array(InternalRow(UTF8String.fromString(msg)))
+  }
+}
