@@ -354,7 +354,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new org.apache.spark.sql.graft.GraftStreamSource(sqlContext,
       parameters("root"), parameters("table"),
-      parameters.getOrElse("ignoreChanges", "false").toBoolean)
+      parameters.getOrElse("ignoreChanges", "false").toBoolean,
+      parameters.get("rowFilter"))
 
   // One snapshot per provider instance: inferSchema and getTable are called
   // back-to-back per read; re-resolving would walk the txn log twice and

@@ -27,13 +27,22 @@ class GraftStreamSource(
     sqlContext: SQLContext,
     root: String,
     table: String,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean,
+    /** `option("rowFilter", "<sql predicate>")`: the stream carries only
+      * matching rows AND each micro-batch skips whole files whose footer
+      * stats exclude the predicate — a streaming backfill over a huge
+      * table reads only the relevant slice. */
+    rowFilterSql: Option[String] = None) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val cat = new GraftCatalog(spark, root)
   private val handle: TableHandle = TableHandle.parse(table)
 
   override val schema: StructType = cat.tableSchema(table)
+
+  private val rowFilter = rowFilterSql.map(org.apache.spark.sql.functions.expr)
+  private val skipFilters =
+    rowFilter.map(graft.catalog.StatsSkip.translate).getOrElse(Nil)
 
   private def visible(): Seq[graft.txn.DeltaMeta] = cat.deltaLog(table)
 
@@ -75,16 +84,20 @@ class GraftStreamSource(
       .groupBy(_.properties.get("written_columns").map(_.split(",").toSet.map(tr)).getOrElse(fullSet))
       .toSeq
     val frames = groups.flatMap { case (written, ds) =>
-      val paths = ds.flatMap(_.entries).map(_.path)
+      // footer-stats skipping per micro-batch (appends only — no merge
+      // resolution in this source, so value-predicate pruning is sound)
+      val paths = graft.catalog.StatsSkip
+        .prune(ds.flatMap(_.entries), skipFilters, schema).map(_.path)
       if (paths.isEmpty) None
       else Some(graft.catalog.MergeRead
         .readWrittenSubset(spark, schema, written, paths, ct)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*))
     }
-    val df =
+    val df0 =
       if (frames.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else frames.reduce(_ unionByName _)
+    val df = rowFilter.foldLeft(df0)((d, p) => d.where(p))
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
   }

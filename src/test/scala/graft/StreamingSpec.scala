@@ -254,4 +254,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getString(1) == "ADD")
     assert(cat.readChanges("ns.c").count() == 2)
   }
+
+  test("rowFilter option streams only matching rows and skips files by stats") {
+    val root = tmpDir("graft-stream-rf")
+    val cat = new GraftCatalog(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType),
+      FieldMeta.field("v", org.apache.spark.sql.types.LongType)))
+    cat.createTable("ns.rf", schema,
+      properties = Map("write.max_records_per_file" -> "100"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+      .orderBy("id").coalesce(1), "ns.rf", WriteMode.Append)
+
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.rf")
+      .option("rowFilter", "id >= 420 AND id < 470").load()
+      .writeStream.format("memory").queryName("graft_rf")
+      .option("checkpointLocation", tmpDir("graft-stream-rf-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM graft_rf").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (420L until 470L))
+      // a later out-of-range append contributes NOTHING (whole delta skipped)
+      cat.writeToTable(spark.range(5000, 5100).select(col("id"), (col("id") * 2).as("v")),
+        "ns.rf", WriteMode.Append)
+      cat.writeToTable(spark.range(450, 460).select(col("id"), (col("id") * 2).as("v")),
+        "ns.rf", WriteMode.Append)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft_rf").head.getLong(0) == 60)
+    } finally q.stop()
+  }
 }
