@@ -153,6 +153,29 @@ object StatCodec {
     } catch { case _: Exception => None }
   }
 
+  /** Canonical stat string → Spark INTERNAL value (for manifest-served
+    * aggregate results). None = not exactly representable → caller must
+    * fall back to a real scan. */
+  def toInternal(dt: DataType, s: String): Option[Any] = {
+    if (s == null) return None
+    try dt match {
+      case ByteType => Some(new java.math.BigDecimal(s).byteValueExact)
+      case ShortType => Some(new java.math.BigDecimal(s).shortValueExact)
+      case IntegerType => Some(new java.math.BigDecimal(s).intValueExact)
+      case LongType => Some(new java.math.BigDecimal(s).longValueExact)
+      case FloatType => Some(s.toDouble.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case d: DecimalType =>
+        val bd = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
+        if (bd.changePrecision(d.precision, d.scale)) Some(bd) else None
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case BooleanType => Some(s.toBoolean)
+      case DateType => Some(LocalDate.parse(s).toEpochDay.toInt)
+      case TimestampType | TimestampNTZType => parseCanonicalMicros(s)
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
   /** Order-preserving comparison of two canonical stat strings. */
   def compare(kind: Kind, a: String, b: String): Int = kind match {
     case Num => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))

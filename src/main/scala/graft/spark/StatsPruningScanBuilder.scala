@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.catalog.StatsSkip
 import graft.txn.ManifestEntry
@@ -39,8 +39,11 @@ final class StatsPruningScanBuilder(
 
   private var delegate: ScanBuilder = mkDelegate(entries.map(_.path))
   private var requiredSchema: Option[StructType] = None
+  private var filtersPushed: Boolean = false
+  private var manifestAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    filtersPushed = filtersPushed || filters.nonEmpty
     val translated = filters.flatMap(f =>
       org.apache.spark.sql.graft.GraftFunctions.toSourceFilter(f))
     val kept = StatsSkip.prune(entries, translated, schema)
@@ -61,17 +64,108 @@ final class StatsPruningScanBuilder(
     delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s)
   }
 
-  override def pushAggregation(agg: Aggregation): Boolean = delegate match {
-    case a: SupportsPushDownAggregates => a.pushAggregation(agg)
-    case _ => false
+  override def pushAggregation(agg: Aggregation): Boolean =
+    answerFromManifest(agg) match {
+      case Some(sr) => manifestAgg = Some(sr); true
+      case None => delegate match {
+        case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+        case _ => false
+      }
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerFromManifest(agg).isDefined || (delegate match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+      case _ => false
+    })
+
+  /** Answer COUNT(*)/COUNT(col)/MIN(col)/MAX(col) (no grouping, no pushed
+    * filters) from the manifest alone — the skip index doubles as an exact
+    * aggregate index, so `SELECT count(*) FROM t` is METADATA-ONLY: zero
+    * files opened at any scale. Every uncertainty (missing stats, unknown
+    * row/null counts, truncation-prone types, DISTINCT) declines to the
+    * real scan. Sound because our stats come from parquet footers verbatim
+    * (exact min/max; over-long strings and NaN columns are dropped at
+    * harvest, which lands here as "missing stats" → decline). */
+  private def answerFromManifest(agg: Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (filtersPushed || agg.groupByExpressions().nonEmpty || entries.isEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case n: NamedReference if n.fieldNames().length == 1 =>
+          schema.fields.find(_.name == n.fieldNames()(0))
+        case _ => None
+      }
+    if (entries.exists(_.recordCount < 0)) return None
+    val total = entries.map(_.recordCount).sum
+    val answered = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some((StructField("count_star", LongType, nullable = false), total))
+      case c: Count if !c.isDistinct =>
+        for {
+          f <- colOf(c.column())
+          nulls <- {
+            val per = entries.map(_.colStats.get(f.name).map(_.nulls).getOrElse(-1L))
+            if (per.exists(_ < 0)) None else Some(per.sum)
+          }
+        } yield (StructField(s"count_${f.name}", LongType, nullable = false), total - nulls)
+      case m: Min =>
+        for {
+          f <- colOf(m.column())
+          v <- boundOf(f, min = true)
+        } yield (StructField(s"min_${f.name}", f.dataType), v)
+      case m: Max =>
+        for {
+          f <- colOf(m.column())
+          v <- boundOf(f, min = false)
+        } yield (StructField(s"max_${f.name}", f.dataType), v)
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) return None
+    val (fields, values) = answered.flatten.unzip
+    Some((StructType(fields),
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
   }
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = delegate match {
-    case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
-    case _ => false
+  /** Exact table-wide MIN or MAX of a column from per-file bounds; None
+    * unless EVERY file either carries exact bounds or is provably all-null.
+    * Inner Option: the SQL result (null when the column is null table-wide,
+    * encoded for InternalRow as a raw null). */
+  private def boundOf(f: StructField, min: Boolean): Option[Any] = {
+    val kind = graft.catalog.StatCodec.kindOf(f.dataType).getOrElse(return None)
+    var best: String = null
+    entries.foreach { e =>
+      e.colStats.get(f.name) match {
+        case Some(st) if st.min == null =>
+          // usable only if provably all-null (contributes nothing)
+          if (!(st.nulls >= 0 && e.recordCount >= 0 && st.nulls >= e.recordCount)) return None
+        case Some(st) =>
+          val v = if (min) st.min else st.max
+          if (best == null) best = v
+          else {
+            val c = graft.catalog.StatCodec.compare(kind, v, best)
+            if ((min && c < 0) || (!min && c > 0)) best = v
+          }
+        case None => return None
+      }
+    }
+    if (best == null) Some(null) // every row null => SQL NULL
+    else graft.catalog.StatCodec.toInternal(f.dataType, best)
   }
 
-  override def build(): Scan = delegate.build()
+  override def build(): Scan = manifestAgg match {
+    case Some((aggSchema, row)) => new ManifestAggScan(aggSchema, row)
+    case None => delegate.build()
+  }
+}
+
+/** One-row metadata-only result for a completely-pushed aggregation. */
+private final class ManifestAggScan(
+    aggSchema: StructType, row: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
 }
 
 object StatsPruningScanBuilder {

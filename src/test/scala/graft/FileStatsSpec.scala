@@ -289,6 +289,32 @@ class FileStatsSpec extends SparkSpec {
     assert(cat.analyzeTable("q.a") == 0)
   }
 
+  test("manifest-served aggregates: count/min/max answered with zero files opened") {
+    val root = tmpDir("graft-aggpush")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("q.ag", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("s", StringType),
+      FieldMeta.field("maybe", LongType))),
+      properties = Map("write.max_records_per_file" -> "100"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("s"), format_string("%04d", col("id"))).as("s"),
+      when(col("id") % 4 === 0, lit(null)).otherwise(col("id")).as("maybe")), "q.ag")
+    val t = spark.read.format("graft").option("root", root).option("table", "q.ag").load()
+    val r = t.agg(count(lit(1)).as("n"), min("k").as("mnk"), max("k").as("mxk"),
+      min("s").as("mns"), max("s").as("mxs"), count(col("maybe")).as("nm")).head()
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 0 && r.getLong(2) == 999)
+    assert(r.getString(3) == "s0000" && r.getString(4) == "s0999")
+    assert(r.getLong(5) == 750)
+    // metadata-only: the plan carries a LocalScan, no parquet scan at all
+    val agg = t.agg(count(lit(1)), min("k"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet") && agg.inputFiles.isEmpty, plan.take(400))
+    // with a filter the real scan must come back (no stale manifest answer)
+    val f = t.where(col("k") < 100).agg(count(lit(1))).head()
+    assert(f.getLong(0) == 100)
+  }
+
   test("stats survive the manifest JSON roundtrip and compaction refreshes them") {
     val cat = newCatalog()
     cat.createTable("q.c", StructType(Seq(
