@@ -1089,6 +1089,25 @@ object CatalogQueries {
       cat.readTable("q.o", ReadOptions(rowFilter = Some(col("o_totalprice") < 50000)))
     },
 
+    // Manifest-served aggregates through the SQL surface: count/min/max
+    // answered from the skip index must equal the real aggregation.
+    Q("c65_agg_pushdown", Some("""
+      SELECT count(*) AS n, min(l_quantity) AS mn, max(l_quantity) AS mx,
+             min(l_returnflag) AS mnf, max(l_returnflag) AS mxf
+      FROM lineitem""")) { (s, dir) =>
+      val cat = newCat(s, "c65")
+      cat.createTable("q.li", StructType(Seq(
+        FieldMeta.field("l_quantity", DoubleType),
+        FieldMeta.field("l_returnflag", StringType))),
+        properties = Map("write.max_records_per_file" -> "5000"))
+      cat.writeToTable(tbl(s, dir, "lineitem")
+        .select("l_quantity", "l_returnflag"), "q.li")
+      s.read.format("graft").option("root", cat.root.toString).option("table", "q.li").load()
+        .agg(count(lit(1)).as("n"),
+          min("l_quantity").as("mn"), max("l_quantity").as("mx"),
+          min("l_returnflag").as("mnf"), max("l_returnflag").as("mxf"))
+    },
+
     // rowFilter under merge-on-read: value predicates must see POST-merge
     // values (an upsert moving a row out of the filtered range removes it;
     // a naive file prune would resurrect the stale base row).
