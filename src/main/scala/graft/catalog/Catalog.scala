@@ -1004,6 +1004,35 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }.toDF("stream_position", "column_name", "min", "max", "null_count")
   }
 
+  /** One-row table summary — Delta's `DESCRIBE DETAIL` analog: physical
+    * footprint, layout (buckets / z-order / sort / partitioning), pending
+    * merge-delta state, and skip-index coverage. Metadata-only. */
+  def tableInfo(table: String): DataFrame = {
+    import spark.implicits._
+    val meta = getTableMeta(table)
+    val deltas = effectiveDeltas(th(table), None)
+    val (base, pending) = MergeRead.activeDeltas(deltas)
+    val active = base.toSeq ++ pending
+    val entries = active.flatMap(_.entries)
+    val unresolved = pending.count(d =>
+      d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
+    Seq((
+      table,
+      meta.properties.getOrElse("content_type", "parquet"),
+      entries.size.toLong,
+      entries.map(_.sizeBytes).sum,
+      active.map(_.properties.getOrElse("record_count", "0").toLong).sum,
+      base.flatMap(_.properties.get("num_buckets")).map(_.toLong).getOrElse(-1L),
+      base.flatMap(_.properties.get("zordered")).orNull,
+      meta.sortKeys.map(_.head).mkString(","),
+      meta.partitionKeys.map(k => s"${k(0)}:${k(1)}").mkString(","),
+      unresolved.toLong,
+      entries.count(_.stats != null).toLong
+    )).toDF("table", "content_type", "num_files", "size_bytes", "num_rows",
+      "num_buckets", "zordered", "sort_keys", "partition_keys",
+      "unresolved_merge_deltas", "files_with_stats")
+  }
+
   /** The per-FILE skip index as a DataFrame — observability for the
     * data-skipping work (`DESCRIBE DETAIL` analog at file granularity). */
   def fileStatsTable(table: String): DataFrame = {

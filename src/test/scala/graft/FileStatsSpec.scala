@@ -315,6 +315,27 @@ class FileStatsSpec extends SparkSpec {
     assert(f.getLong(0) == 100)
   }
 
+  test("tableInfo summarizes layout, footprint, and skip-index coverage") {
+    val cat = newCatalog()
+    cat.createTable("q.i", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", LongType))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable(spark.range(0, 500).select(col("id"), col("id").as("v")),
+      "q.i", WriteMode.Merge)
+    cat.writeToTable(spark.range(0, 5).select(col("id"), lit(0L).as("v")),
+      "q.i", WriteMode.Merge)
+    val r = cat.tableInfo("q.i").head()
+    assert(r.getAs[String]("table") == "q.i")
+    assert(r.getAs[Long]("num_rows") == 505) // pre-merge physical rows
+    assert(r.getAs[Long]("unresolved_merge_deltas") == 2) // both merge writes pending (no base yet)
+    assert(r.getAs[Long]("files_with_stats") == r.getAs[Long]("num_files"))
+    cat.compact("q.i")
+    val r2 = cat.tableInfo("q.i").head()
+    assert(r2.getAs[Long]("unresolved_merge_deltas") == 0)
+    assert(r2.getAs[Long]("num_buckets") > 0)
+  }
+
   test("stats survive the manifest JSON roundtrip and compaction refreshes them") {
     val cat = newCatalog()
     cat.createTable("q.c", StructType(Seq(
