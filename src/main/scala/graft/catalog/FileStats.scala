@@ -459,6 +459,23 @@ object StatsSkip {
       st.isEmpty || filters.forall(f => keep(f, schema, st, e.recordCount))
     }
 
+  /** File-level LIMIT pruning: an unordered LIMIT n needs at most n rows,
+    * so any entry prefix whose record counts cover n suffices — a LIMIT 10
+    * over 10^5 files plans one file. Only sound with NO row predicate (a
+    * predicate makes per-file match counts unknown) and fully-known record
+    * counts; otherwise returns the list unchanged. */
+  def limitPrefix(entries: Seq[graft.txn.ManifestEntry], limit: Int)
+      : Seq[graft.txn.ManifestEntry] = {
+    if (limit <= 0 || entries.exists(_.recordCount < 0)) return entries
+    var acc = 0L
+    val out = entries.takeWhile { e =>
+      val need = acc < limit
+      acc += e.recordCount
+      need
+    }
+    out
+  }
+
   // ---------------------------------------------------------- translation
 
   /** Translate a (possibly unresolved) Column predicate into the

@@ -74,8 +74,22 @@ object MergeRead {
     // resurrect a stale base row.
     val statFilters = StatsSkip.safeFilters(
       opts.rowFilter.map(StatsSkip.translate).getOrElse(Nil), needMerge, mergeKeys)
-    val baseEntries = StatsSkip.prune(base.toSeq.flatMap(_.entries), statFilters, schema)
-    val pendingEntries = StatsSkip.prune(pending.flatMap(_.entries), statFilters, schema)
+    val baseEntries0 = StatsSkip.prune(base.toSeq.flatMap(_.entries), statFilters, schema)
+    val pendingEntries0 = StatsSkip.prune(pending.flatMap(_.entries), statFilters, schema)
+    // LIMIT file pruning: an unordered limit with no predicate/merge work
+    // needs only an entry prefix covering n rows — LIMIT 10 over 10^5
+    // files plans one file, not the whole manifest. DELETE-delta files
+    // never reach this path (needMerge false means none are pending).
+    val (baseEntries, pendingEntries) = opts.limit match {
+      case Some(n) if !needMerge && opts.rowFilter.isEmpty &&
+          opts.partitionFilter.isEmpty && opts.partitionValues.isEmpty &&
+          !pending.exists(_.typed == DeltaType.Delete) =>
+        val keptPaths = StatsSkip.limitPrefix(baseEntries0 ++ pendingEntries0, n)
+          .map(_.path).toSet
+        (baseEntries0.filter(e => keptPaths(e.path)),
+          pendingEntries0.filter(e => keptPaths(e.path)))
+      case _ => (baseEntries0, pendingEntries0)
+    }
     val basePaths = prunePaths(baseEntries.map(_.path), scheme, opts)
     val pendingPaths = prunePaths(pendingEntries.map(_.path), scheme, opts)
     if (basePaths.isEmpty && pendingPaths.isEmpty) {

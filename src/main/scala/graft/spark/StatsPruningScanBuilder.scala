@@ -35,7 +35,8 @@ final class StatsPruningScanBuilder(
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var delegate: ScanBuilder = mkDelegate(entries.map(_.path))
   private var requiredSchema: Option[StructType] = None
@@ -62,6 +63,24 @@ final class StatsPruningScanBuilder(
   override def pruneColumns(s: StructType): Unit = {
     requiredSchema = Some(s)
     delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s)
+  }
+
+  /** LIMIT file pruning: an unordered LIMIT n needs at most n rows, so a
+    * file prefix covering n suffices — LIMIT 10 over 10^5 files plans one
+    * file. Returns false (the limit operator stays above the scan; only
+    * the planned FILE LIST shrinks). Declines under pushed filters
+    * (per-file match counts unknown). */
+  override def pushLimit(n: Int): Boolean = {
+    if (!filtersPushed && entries.nonEmpty) {
+      val kept = StatsSkip.limitPrefix(entries, n)
+      if (kept.size < entries.size) {
+        StatsPruningScanBuilder.lastPrune = (entries.size, kept.size)
+        delegate = mkDelegate(kept.map(_.path))
+        requiredSchema.foreach(s =>
+          delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
+      }
+    }
+    false
   }
 
   override def pushAggregation(agg: Aggregation): Boolean =

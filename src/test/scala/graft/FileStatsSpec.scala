@@ -315,6 +315,30 @@ class FileStatsSpec extends SparkSpec {
     assert(f.getLong(0) == 100)
   }
 
+  test("LIMIT plans only a file prefix covering n rows (readTable + DSv2)") {
+    val root = tmpDir("graft-limit")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("q.l", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("write.max_records_per_file" -> "100"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")).coalesce(1), "q.l")
+    val limited = cat.readTable("q.l", ReadOptions(limit = Some(150)))
+    assert(limited.count() == 150)
+    assert(limited.inputFiles.length <= 2, s"planned ${limited.inputFiles.length} files")
+    // rowFilter + limit: limit pruning declines, result still exact
+    val both = cat.readTable("q.l",
+      ReadOptions(limit = Some(5), rowFilter = Some(col("k") >= 990)))
+    assert(both.count() == 5)
+    // DSv2: LIMIT shrinks the planned file list too
+    graft.spark.StatsPruningScanBuilder.lastPrune = (0, 0)
+    val t = spark.read.format("graft").option("root", root).option("table", "q.l").load()
+    assert(t.limit(150).count() == 150)
+    val (total, kept) = graft.spark.StatsPruningScanBuilder.lastPrune
+    assert(total == 10 && kept <= 2, s"limit pruning got $total -> $kept")
+  }
+
   test("tableInfo summarizes layout, footprint, and skip-index coverage") {
     val cat = newCatalog()
     cat.createTable("q.i", StructType(Seq(
