@@ -1069,10 +1069,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     if (foldable.isEmpty) return 0
     // column-subset deltas carry per-delta written_columns lineage that a
     // fold would collapse (default backfill / positional reads depend on
-    // it) — leave such tables to compaction, which materializes instead
+    // it) — leave such tables to compaction, which materializes instead.
+    // ABSENT written_columns counts as unfoldable too: the Compactor
+    // deliberately treats it as possibly-stale (age unknown) and a fold
+    // stamping current names would falsify the stale-rename marker.
     val fullSet = schema.fieldNames.toSet
     if (foldable.exists(d => d.properties.get("written_columns")
-        .exists(_.split(",").toSet != fullSet))) return 0
+        .map(_.split(",").toSet != fullSet).getOrElse(true))) return 0
     val missing = foldable.flatMap(_.entries).filter(_.stats == null)
     if (missing.isEmpty) return 0
     val keep = statColsOf(meta)
@@ -1087,6 +1090,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       }
     val entries = foldable.flatMap(_.entries).map(upgraded)
     val gained = entries.count(_.stats != null) - foldable.flatMap(_.entries).count(_.stats != null)
+    // nothing improved (unreadable footers / all stats filtered away):
+    // committing would grow the log on every run of a maintenance loop
+    if (gained == 0) return 0
     // watermark: keyed tables keep the base's (pending stays pending);
     // append-only folds absorb everything up to the newest position
     val upTo =

@@ -84,9 +84,11 @@ object Compactor {
     val baseStale = base.exists(stale)
     val anyStale = baseStale || pending.exists(stale)
     // A base never clustered on the CURRENT z-order columns needs a rewrite
-    // even with nothing pending (the user just set/changed the property).
+    // even with nothing pending (the user just set/changed the property) —
+    // keyed tables included: their recluster forces every bucket through
+    // the materialize path below.
     val needsRecluster = ZOrder.columnsOf(meta.properties).exists(zc =>
-      mergeKeys.isEmpty && base.exists(!_.properties.get("zordered").contains(zc.mkString(","))))
+      base.exists(!_.properties.get("zordered").contains(zc.mkString(","))))
     if (pending.isEmpty && !baseStale && !needsRecluster) return
     val maxPos = (pending.map(_.streamPosition) ++ base.map(_.streamPosition)).max
 
@@ -153,7 +155,7 @@ object Compactor {
           // must be rewritten under the current column names).
           val baseBucketed = base.exists(_.properties.get("num_buckets").contains(numBuckets.toString))
           val touched: Set[Int] =
-            if (!baseBucketed || baseStale) (0 until numBuckets).toSet
+            if (!baseBucketed || baseStale || needsRecluster) (0 until numBuckets).toSet
             else MergeRead.touchedBuckets(spark, schema, mergeKeys, numBuckets,
               pending.flatMap(_.entries).map(_.path), ct, pending)
 

@@ -1108,6 +1108,26 @@ object CatalogQueries {
           min("l_returnflag").as("mnf"), max("l_returnflag").as("mxf"))
     },
 
+    // DSv2 SQL data skipping end-to-end: a WHERE through the registered
+    // catalog runs the StatsPruningScanBuilder path; values must match the
+    // oracle exactly (an unsound skip loses rows, a mistranslation adds).
+    Q("c66_sql_skip_read", Some("""
+      SELECT l_orderkey, l_quantity FROM lineitem
+      WHERE l_quantity BETWEEN 20 AND 25""")) { (s, dir) =>
+      val cat = newCat(s, "c66")
+      val cn = "gq66"
+      s.conf.set(s"spark.sql.catalog.$cn", classOf[graft.spark.GraftSparkCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cn.root", cat.root.toString)
+      cat.createTable("q.li", StructType(Seq(
+        FieldMeta.field("l_orderkey", LongType),
+        FieldMeta.field("l_quantity", DoubleType))),
+        properties = Map("write.max_records_per_file" -> "5000"))
+      cat.writeToTable(tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_quantity").coalesce(1), "q.li")
+      s.sql(s"SELECT l_orderkey, l_quantity FROM $cn.q.li WHERE l_quantity BETWEEN 20 AND 25")
+    },
+
     // rowFilter under merge-on-read: value predicates must see POST-merge
     // values (an upsert moving a row out of the filtered range removes it;
     // a naive file prune would resurrect the stale base row).

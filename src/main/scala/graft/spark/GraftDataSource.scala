@@ -443,7 +443,9 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
   // SQL stored procedures: CALL cat.system.{compact,analyze,zorder,janitor}
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     GraftProcedures.load(root, ident).getOrElse(
-      throw new RuntimeException(s"undefined procedure: $ident"))
+      throw new IllegalArgumentException(
+        s"undefined procedure: $ident (available: " +
+          GraftProcedures.Names.map(n => s"$catalogName.system.$n").mkString(", ") + ")"))
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)
 

@@ -87,7 +87,8 @@ object GraftProcedures {
           cat.compact(t)
           s"z-ordered $t by $cols"
         case "janitor" =>
-          val (failed, removed) = cat.store.janitor(input.getLong(0))
+          // through the public wrapper, same as the programmatic surface
+          val (failed, removed) = cat.janitor(input.getLong(0))
           s"failed $failed stale txn(s), removed $removed file(s)"
       }
       java.util.Collections.singletonList[Scan](new MessageScan(msg)).iterator()

@@ -41,19 +41,24 @@ final class StatsPruningScanBuilder(
   private var delegate: ScanBuilder = mkDelegate(entries.map(_.path))
   private var requiredSchema: Option[StructType] = None
   private var filtersPushed: Boolean = false
+  private var delegateAggPushed: Boolean = false
   private var manifestAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  /** Swap in a delegate over a smaller file list, replaying column pruning
+    * (the ONE rebuild path — filters and limit both go through here). */
+  private def rebuild(kept: Seq[ManifestEntry]): Unit = {
+    StatsPruningScanBuilder.lastPrune = (entries.size, kept.size)
+    delegate = mkDelegate(kept.map(_.path))
+    requiredSchema.foreach(s =>
+      delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtersPushed = filtersPushed || filters.nonEmpty
     val translated = filters.flatMap(f =>
       org.apache.spark.sql.graft.GraftFunctions.toSourceFilter(f))
     val kept = StatsSkip.prune(entries, translated, schema)
-    if (kept.size < entries.size) {
-      StatsPruningScanBuilder.lastPrune = (entries.size, kept.size)
-      delegate = mkDelegate(kept.map(_.path))
-      requiredSchema.foreach(s =>
-        delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
-    }
+    if (kept.size < entries.size) rebuild(kept)
     delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
   }
 
@@ -71,14 +76,13 @@ final class StatsPruningScanBuilder(
     * the planned FILE LIST shrinks). Declines under pushed filters
     * (per-file match counts unknown). */
   override def pushLimit(n: Int): Boolean = {
-    if (!filtersPushed && entries.nonEmpty) {
+    // NEVER rebuild under a pushed aggregation (manifest-served or
+    // delegate-accepted): the rebuilt delegate would forget the pushed agg
+    // and a file prefix is wrong for min/max anyway. Spark's pushdown rule
+    // calls pushLimit after pushDownAggregates without its own guard.
+    if (!filtersPushed && manifestAgg.isEmpty && !delegateAggPushed && entries.nonEmpty) {
       val kept = StatsSkip.limitPrefix(entries, n)
-      if (kept.size < entries.size) {
-        StatsPruningScanBuilder.lastPrune = (entries.size, kept.size)
-        delegate = mkDelegate(kept.map(_.path))
-        requiredSchema.foreach(s =>
-          delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
-      }
+      if (kept.size < entries.size) rebuild(kept)
     }
     false
   }
@@ -87,7 +91,9 @@ final class StatsPruningScanBuilder(
     answerFromManifest(agg) match {
       case Some(sr) => manifestAgg = Some(sr); true
       case None => delegate match {
-        case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+        case a: SupportsPushDownAggregates =>
+          delegateAggPushed = a.pushAggregation(agg)
+          delegateAggPushed
         case _ => false
       }
     }

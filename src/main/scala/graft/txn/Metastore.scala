@@ -154,6 +154,48 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       sealed_ = true
       throw new ConcurrentTxnConflict(s"txn $txnId was failed (janitor timeout?)")
     }
+    // Per-revision ATOMIC claims (CREATE_NEW) serialize [pre-check ..
+    // publish] for each staged revision. Without them there is a
+    // double-commit window: two racers both pass the pre-check, the
+    // smaller id publishes and runs its post-publish re-check BEFORE the
+    // larger publishes (sees nothing, keeps), and the larger's re-check
+    // only looks for LARGER ids — both commits survive at one revision,
+    // readers see two deltas at one stream position, and the
+    // lineage-by-position join duplicates every row of both files.
+    // Claims are acquired in global sorted order (deadlock-free), carry
+    // the owner txn id (stale claims of FAILED txns are reclaimable), are
+    // invisible to readers (listRevisionFiles keeps only *.json), and are
+    // released on every exit path below.
+    val claims = staged.map(sw => (sw.dir, sw.rev)).distinct
+      .sortBy { case (d, r) => (d.toString, r) }
+      .map { case (d, r) => d.resolve(f".claim_$r%020d") }
+    val held = scala.collection.mutable.ArrayBuffer[Path]()
+    def releaseClaims(): Unit = { held.foreach(Files.deleteIfExists); held.clear() }
+    claims.foreach { c =>
+      var acquired = false
+      var attempts = 0
+      while (!acquired) {
+        attempts += 1
+        try {
+          Files.createDirectories(c.getParent)
+          Files.write(c, txnId.getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE_NEW)
+          held += c; acquired = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val owner =
+              try new String(Files.readAllBytes(c), StandardCharsets.UTF_8)
+              catch { case _: Exception => "" }
+            if (owner.nonEmpty && store.isTxnFailed(owner)) Files.deleteIfExists(c)
+            else if (attempts > 200) { // ~2s: a live contender holds it — yield
+              releaseClaims(); abort()
+              throw new ConcurrentTxnConflict(
+                s"txn $txnId could not claim ${c.getFileName} (held by '$owner')")
+            } else Thread.sleep(10)
+        }
+      }
+    }
+    try {
     // Pre-publish check: lose to (a) any *successful* txn that committed the
     // same revision of the same metafile, and (b) any still-uncommitted
     // contender with a lexicographically higher txn id (deterministic winner
@@ -212,6 +254,7 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
         s"txn $txnId lost post-publish conflict to ${lostTo.get}")
     }
     sealed_ = true
+    } finally releaseClaims()
   }
 
   /** Persist the in-flight txn state and release this handle — reference

@@ -57,6 +57,37 @@ class ConcurrencySpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("publish is atomic per revision: no double commit under heavy contention") {
+    // Regression for the double-commit window the revision claims close:
+    // without them, two racers could BOTH survive at one revision and the
+    // lineage-by-position join would duplicate every row of both files.
+    val cat = new GraftCatalog(spark, tmpDir("graft-conc2"))
+    cat.createTable("c.s", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("writer", org.apache.spark.sql.types.IntegerType),
+      FieldMeta.field("round", org.apache.spark.sql.types.IntegerType))))
+    val pool = Executors.newFixedThreadPool(12)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writers = 12
+    val rounds = 3
+    try {
+      val futures = for (w <- 1 to writers; r <- 1 to rounds) yield Future {
+        var done = false
+        while (!done) {
+          try {
+            cat.writeToTable(Seq((w, r)).toDF("writer", "round"), "c.s", WriteMode.Add)
+            done = true
+          } catch { case _: ConcurrentTxnConflict => Thread.sleep(1) }
+        }
+      }
+      Await.result(Future.sequence(futures), 5.minutes)
+      val log = cat.deltaLog("c.s")
+      assert(log.size == writers * rounds, s"expected ${writers * rounds} deltas, got ${log.size}")
+      assert(log.map(_.streamPosition).distinct.size == log.size,
+        s"DUPLICATE stream positions: ${log.map(_.streamPosition).groupBy(identity).filter(_._2.size > 1).keys}")
+      assert(cat.readTable("c.s").count() == writers * rounds)
+    } finally pool.shutdown()
+  }
+
   test("end-time fencing: a fenced writer's stale seal is a conflict, not a commit") {
     val ms = new graft.txn.Metastore(java.nio.file.Paths.get(tmpDir("graft-fence")))
     val dir = java.nio.file.Paths.get(tmpDir("graft-fence-data"))

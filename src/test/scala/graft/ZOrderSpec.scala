@@ -57,6 +57,29 @@ class ZOrderSpec extends SparkSpec {
     assert(pt.inputFiles.length <= math.max(1, total / 4))
   }
 
+  test("setting zorder on a compacted KEYED table reclusters on next compact (review fix)") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-zk"))
+    cat.createTable("q.k", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("x", LongType),
+      FieldMeta.field("y", LongType))),
+      properties = Map("compaction.max_records_per_file" -> "256"))
+    cat.writeToTable(spark.range(0, 4096).select(col("id"),
+      (col("id") % 64).as("x"), shiftright(col("id"), 6).as("y")), "q.k", WriteMode.Merge)
+    cat.compact("q.k")
+    // nothing pending now; declaring z-order must still trigger a recluster
+    cat.alterTable("q.k", setProperties = Map(ZOrder.Prop -> "x,y"))
+    cat.compact("q.k")
+    val d = cat.deltaLog("q.k").filter(_.compactedUpTo >= 0).last
+    assert(d.properties.get("zordered").contains("x,y"))
+    val yf = cat.readTable("q.k", ReadOptions(rowFilter = Some(col("y") < 8)))
+    assert(yf.count() == 8 * 64)
+    // and the next compact with nothing pending is a no-op (tag present)
+    val before = cat.deltaLog("q.k").size
+    cat.compact("q.k")
+    assert(cat.deltaLog("q.k").size == before)
+  }
+
   test("incremental recluster: z-tagged base is copied by reference") {
     val cat = new GraftCatalog(spark, tmpDir("graft-zi"))
     cat.createTable("q.inc", StructType(Seq(
