@@ -67,4 +67,42 @@ class MergePropertySpec extends SparkSpec {
       assert(compacted == expected, s"trial $trial compacted: $compacted != $expected\nops=$ops")
     }
   }
+
+  /** Same engine run, read through a rowFilter (exercises the stats-skip
+    * safe-filter rule under merge-on-read AND the read-optimized prune). */
+  private def runFiltered(ops: List[Op], compactEvery: Option[Int],
+      pred: org.apache.spark.sql.Column, modelPred: ((Option[Int], Int)) => Boolean)
+      : (Map[Option[Int], Int], Map[Option[Int], Int]) = {
+    val cat = new GraftCatalog(spark, tmpDir("graft-prop-f"))
+    cat.createTable("p.f", StructType(Seq(
+      FieldMeta.field("k", IntegerType, mergeKey = true),
+      FieldMeta.field("v", IntegerType))), properties = Map("read_optimization" -> "NONE"))
+    ops.zipWithIndex.foreach { case (op, i) =>
+      val df = op.rows.zipWithIndex.map { case ((k, v), ord) => (k, v, ord) }
+        .toDF("k", "v", "_ord").repartition(1).sortWithinPartitions("_ord").drop("_ord")
+      if (op.isDelete) cat.writeToTable(df.select("k"), "p.f", WriteMode.Delete)
+      else cat.writeToTable(df, "p.f", WriteMode.Merge)
+      if (compactEvery.exists(e => (i + 1) % e == 0)) cat.compact("p.f", numBuckets = 4)
+    }
+    val got = cat.readTable("p.f", ReadOptions(rowFilter = Some(pred))).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getInt(1)).toMap
+    (got, model(ops).filter(modelPred))
+  }
+
+  test("rowFilter reads equal the filtered model (value and key predicates; MoR and compacted)") {
+    import org.apache.spark.sql.functions.col
+    val params = Gen.Parameters.default
+    (0 until 4).foreach { trial =>
+      val ops = Gen.listOfN(5, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(7000L + trial))
+      // value predicate: must see POST-merge values (no stale resurrection)
+      val (gv, ev) = runFiltered(ops, None, col("v") < 500, _._2 < 500)
+      assert(gv == ev, s"trial $trial value-filter MoR: $gv != $ev\nops=$ops")
+      val (gvc, evc) = runFiltered(ops, Some(2), col("v") < 500, _._2 < 500)
+      assert(gvc == evc, s"trial $trial value-filter compacted: $gvc != $evc\nops=$ops")
+      // key predicate: allowed to prune files even under pending merges
+      val (gk, ek) = runFiltered(ops, None, col("k") >= 5, _._1.exists(_ >= 5))
+      assert(gk == ek, s"trial $trial key-filter MoR: $gk != $ek\nops=$ops")
+    }
+  }
 }
