@@ -1082,11 +1082,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val info = fileFooterInfo(missing.map(e => Paths.get(e.path)), ContentType.Parquet)
     def upgraded(e: ManifestEntry): ManifestEntry =
       if (e.stats != null) e
-      else info.get(Paths.get(e.path)).map(_._2).filter(_ != null) match {
-        case Some(st0) =>
+      else info.get(Paths.get(e.path)) match {
+        case Some((_, unc, st0)) if st0 != null =>
           val st = keep.map(k => st0.filter { case (c, _) => k(c) }).getOrElse(st0)
-          if (st.isEmpty) e else e.copy(stats = st)
-        case None => e
+          val withUnc = if (e.uncompressedBytes <= 0 && unc > 0) e.copy(uncompressedBytes = unc) else e
+          if (st.isEmpty) withUnc else withUnc.copy(stats = st)
+        case _ => e
       }
     val entries = foldable.flatMap(_.entries).map(upgraded)
     val gained = entries.count(_.stats != null) - foldable.flatMap(_.entries).count(_.stats != null)
@@ -1156,10 +1157,28 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       val (base, _) = MergeRead.activeDeltas(all)
       base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
         .orElse(getTableMeta(table).properties.get("compaction.num_buckets").map(_.toInt))
-        .getOrElse(Compactor.suggestBuckets(all.flatMap(_.entries).map(_.sizeBytes).sum))
+        .getOrElse {
+          val entries = all.flatMap(_.entries)
+          // Prefer the resource estimator's in-memory footprint when the
+          // manifests carry estimation metadata (uncompressed sizes —
+          // round-7+ commits); blanket on-disk heuristic otherwise.
+          if (entries.exists(_.uncompressedBytes > 0)) {
+            val schema = DataType.fromJson(getTableMeta(table).schemaJson).asInstanceOf[StructType]
+            val est = ResourceEstimator.estimateEntryBytes(
+              spark, schema, entries, ResourceEstimator.Params())
+            Compactor.suggestBucketsFromMemory(est.map(_._2).sum)
+          } else Compactor.suggestBuckets(entries.map(_.sizeBytes).sum)
+        }
     }
     Compactor.compact(this, table, n)
   }
+
+  /** Estimated resources to process this table — SURVEY §2 row 27, the
+    * reference's compute/resource_estimation surface (see
+    * [[ResourceEstimator]] for the method semantics). */
+  def estimateResources(table: String,
+      params: ResourceEstimator.Params = ResourceEstimator.Params()): ResourceEstimator.Estimate =
+    ResourceEstimator.estimate(this, table, params)
 
   /** Reference write-triggered auto-compaction (impl.py:985-1091): compact
     * when pending deltas/files/records exceed the table's thresholds. */
@@ -1307,11 +1326,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     * data-skipping index (ManifestEntry.stats). Same I/O as the old
     * count-only pass: stats live in the footer already being read. */
   private[catalog] def fileFooterInfo(paths: Seq[Path], ct: ContentType)
-      : Map[Path, (Long, Map[String, graft.txn.ColStat])] =
-    if (ct != ContentType.Parquet) paths.map(_ -> (-1L, null: Map[String, graft.txn.ColStat])).toMap
+      : Map[Path, (Long, Long, Map[String, graft.txn.ColStat])] =
+    if (ct != ContentType.Parquet) paths.map(_ -> (-1L, -1L, null: Map[String, graft.txn.ColStat])).toMap
     else if (paths.size < 16) {
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> FooterStats.read(p.toString, conf)).toMap
+      paths.map(p => p -> FooterStats.readFull(p.toString, conf)).toMap
     } else {
       val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
       // Session Hadoop conf broadcast to executors — a bare Configuration
@@ -1322,7 +1341,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
         .parallelize(paths.map(_.toString), slices)
         .mapPartitions { it =>
           val conf = confBc.value.value
-          it.map(s => (s, FooterStats.read(s, conf)))
+          it.map(s => (s, FooterStats.readFull(s, conf)))
         }.collect().toMap
       paths.map(p => p -> read(p.toString)).toMap
     }
@@ -1339,14 +1358,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val files = listDataFiles(out, ct)
     val info = fileFooterInfo(files, ct)
     files.map { p =>
-      val (n, stats0) = info(p)
+      val (n, uncompressed, stats0) = info(p)
       val stats = (Option(stats0), statCols) match {
         case (Some(st), Some(keep)) => st.filter { case (k, _) => keep(k) }
         case (Some(st), None) => st
         case _ => null
       }
       ManifestEntry(p.toString, Files.size(p), n,
-        if (stats == null || stats.isEmpty) null else stats)
+        if (stats == null || stats.isEmpty) null else stats, uncompressed)
     }
   }
 

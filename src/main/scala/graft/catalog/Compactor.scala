@@ -59,6 +59,20 @@ object Compactor {
     math.min(16384L, math.max(8L, ceil)).toInt
   }
 
+  /** Target IN-MEMORY bytes one bucket's sorted-write task should hold —
+    * what TargetBucketBytes approximates via the blanket 4× inflation.
+    * Used when ResourceEstimator has real per-entry estimates. */
+  val TargetBucketMemoryBytes: Long = 1L << 30
+
+  /** Bucket count from an estimated in-memory footprint (same floor/cap as
+    * suggestBuckets) — the resource-estimation-driven layout sizing the
+    * reference's compactor derives from its estimates. */
+  def suggestBucketsFromMemory(memBytes: Double): Int = {
+    val ceil = math.ceil(
+      math.min(memBytes, Long.MaxValue.toDouble) / TargetBucketMemoryBytes).toLong
+    math.min(16384L, math.max(8L, ceil)).toInt
+  }
+
   def compact(cat: GraftCatalog, table: String, numBuckets: Int = 8): Unit = {
     val spark = cat.spark
     val t = cat.handleOf(table)

@@ -228,6 +228,22 @@ object FooterStats {
     try fromReader(r) finally r.close()
   }
 
+  /** `fromReader` plus the file's total UNCOMPRESSED byte size (sum of
+    * row-group totals) — the content-type parameter resource estimation
+    * caches in the manifest (reference manifest.py `in_memory_size_bytes`).
+    * Same footer, zero extra I/O. */
+  def readFull(pathStr: String, conf: Configuration): (Long, Long, Map[String, ColStat]) = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(pathStr), conf)
+    val r = ParquetFileReader.open(in)
+    try fromReaderFull(r) finally r.close()
+  }
+
+  def fromReaderFull(r: ParquetFileReader): (Long, Long, Map[String, ColStat]) = {
+    val (rows, stats) = fromReader(r)
+    val uncompressed = r.getFooter.getBlocks.asScala.map(_.getTotalByteSize).sum
+    (rows, uncompressed, stats)
+  }
+
   /** Same extraction over an already-open reader (shared footer passes). */
   def fromReader(r: ParquetFileReader): (Long, Map[String, ColStat]) = {
     locally {

@@ -1,0 +1,308 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.column.statistics.{BinaryStatistics, Statistics}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation.{EnumLogicalTypeAnnotation, StringLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.txn.{ColStat, ManifestEntry}
+
+/**
+ * Resource estimation — SURVEY §2 row 27, the reference's
+ * compute/resource_estimation/{model,manifest,parquet,delta}.py re-expressed
+ * for Spark. The reference predicts the in-memory (pyarrow) footprint of
+ * manifest entries so the Ray compactor can size worker tasks; here the same
+ * estimates size the bucket layout and answer `estimate(table)` for users,
+ * while per-task admission stays with AQE (SURVEY §4's standing division of
+ * labor).
+ *
+ * Estimation methods mirror model.py's `ResourceEstimationMethod`, with the
+ * same per-entry fallback chains (manifest.py
+ * RESOURCE_ESTIMATION_METHOD_TO_SIZE_ESTIMATION_FUNCTIONS):
+ *
+ *  - PreviousInflation  — onDiskBytes × previousInflation
+ *    (manifest.py:169-183; default factor constants.py:91).
+ *  - ContentTypeMeta    — uncompressedBytes × parquetToArrowInflation, using
+ *    the uncompressed size the commit path caches in the manifest
+ *    (manifest.py:186-210 reads the same number from cached parquet
+ *    metadata; default factor compactor_v2/constants.py:46).
+ *  - Intelligent        — type-aware per-column model from manifest stats
+ *    alone (zero I/O): fixed-width columns cost rows × width of the TABLE
+ *    schema type; strings cost the observed average from the min/max stat
+ *    pair (+4 bytes arrow offset) per non-null plus 4 bytes per null —
+ *    parquet.py:10-14's `_observed_string_size` and NULL_SIZE_BYTES
+ *    (constants.py:99). Where the reference walks cached parquet
+ *    ColumnChunkMetaData, we walk the manifest's ColStat map — same inputs
+ *    (footer statistics), no file opens.
+ *  - FileSampling       — open the FOOTERS of up to maxFilesToSample files
+ *    (as a Spark job past the driver threshold) and run parquet.py's
+ *    physical-type estimators over real ColumnChunkMetaData; unsampled
+ *    entries scale by the observed inflation (estimated ÷ on-disk). The
+ *    reference downloads sampled entries and measures materialized tables
+ *    (delta.py FILE_SAMPLING); a metadata-only probe keeps the sample cost
+ *    at footers, which is what survives 10⁶-file tables.
+ *
+ * Chains: Default = ContentTypeMeta → PreviousInflation.
+ * DefaultV2 = Intelligent → FileSampling → PreviousInflation.
+ * All pure metadata — nothing here reads data pages except nothing at all.
+ */
+object ResourceEstimator {
+
+  /** Arrow offset overhead per string value — parquet.py:14 (`+ 4`). */
+  val StringOverheadBytes = 4.0
+  /** Cost of a null slot — reference constants.py:99 NULL_SIZE_BYTES. */
+  val NullSizeBytes = 4.0
+  /** Default on-disk → in-memory inflation — constants.py:91. */
+  val DefaultPreviousInflation = 2.5
+  /** Default uncompressed-parquet → in-memory inflation —
+    * compactor_v2/constants.py:46. */
+  val DefaultParquetToArrowInflation = 4.0
+
+  sealed abstract class Method(val chain: Seq[String])
+  object Method {
+    /** ContentTypeMeta → PreviousInflation (model.py DEFAULT). */
+    case object Default extends Method(Seq("content_type_meta", "previous_inflation"))
+    /** Intelligent → FileSampling → PreviousInflation (model.py DEFAULT_V2;
+      * the reference's V2 chain runs sampling inside FILE_SAMPLING_WITH_…
+      * fallback — folded here for the same net order). */
+    case object DefaultV2 extends Method(Seq("intelligent", "file_sampling", "previous_inflation"))
+    case object PreviousInflation extends Method(Seq("previous_inflation"))
+    case object ContentTypeMeta extends Method(Seq("content_type_meta"))
+    case object Intelligent extends Method(Seq("intelligent"))
+    case object FileSampling extends Method(Seq("file_sampling", "previous_inflation"))
+  }
+
+  /** model.py EstimateResourcesParams. Unlike the reference (which leaves
+    * inflations None and asserts), the factors default to the reference's
+    * own constants so `estimate(table)` works out of the box. */
+  final case class Params(
+      method: Method = Method.Default,
+      previousInflation: Double = DefaultPreviousInflation,
+      parquetToArrowInflation: Double = DefaultParquetToArrowInflation,
+      averageRecordBytes: Option[Double] = None,
+      maxFilesToSample: Int = 16)
+
+  /** model.py EstimatedResources + Statistics, flattened. */
+  final case class Estimate(
+      memoryBytes: Double, records: Long, onDiskBytes: Long, files: Int,
+      methodsUsed: Map[String, Int])
+
+  // ------------------------------------------------------------ per-entry
+
+  /** Spark in-memory width of a fixed-width column type (UnsafeRow word
+    * sizes are 8B-aligned, but arrays/vectors hold the primitive width —
+    * the honest analog of the reference's pyarrow widths, parquet.py:17-50). */
+  private def fixedWidth(dt: DataType): Option[Double] = dt match {
+    case BooleanType => Some(1)
+    case ByteType => Some(1)
+    case ShortType => Some(2)
+    case IntegerType | FloatType | DateType => Some(4)
+    case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8)
+    case d: DecimalType => Some(if (d.precision <= 18) 8 else 16)
+    case _ => None
+  }
+
+  /** Intelligent estimate from manifest stats alone (no I/O). None when the
+    * entry lacks stats/rows or the schema has a column the stat model can't
+    * price (binary, nested) — the caller falls through the chain, exactly
+    * like manifest.py returning None from an estimator. */
+  private[catalog] def intelligentFromManifest(
+      schema: StructType, e: ManifestEntry, inflation: Double): Option[Double] = {
+    if (e.recordCount < 0 || e.stats == null) return None
+    val rows = e.recordCount.toDouble
+    var total = 0.0
+    for (f <- schema.fields) {
+      fixedWidth(f.dataType) match {
+        case Some(w) => total += rows * w
+        case None => f.dataType match {
+          case StringType => e.colStats.get(f.name) match {
+            case Some(ColStat(mn, mx, nulls0)) if mn != null && mx != null =>
+              val nulls = math.max(0L, nulls0).toDouble
+              val observed = (mn.length + mx.length) / 2.0 + StringOverheadBytes
+              total += (rows - nulls) * observed + nulls * NullSizeBytes
+            // no stat harvested for a string column: all-null in this file
+            // (manifest.py:158-160 columns_found == 0 → NULL_SIZE × rows)
+            // OR dropped by the stats valve — price as null, stay cheap
+            case _ => total += rows * NullSizeBytes
+          }
+          case _ => return None // nested/binary: not priceable from stats
+        }
+      }
+    }
+    Some(total * inflation)
+  }
+
+  /** ContentTypeMeta: manifest-cached uncompressed size × inflation
+    * (manifest.py:186-210). */
+  private def contentTypeMeta(e: ManifestEntry, inflation: Double): Option[Double] =
+    if (e.uncompressedBytes > 0) Some(e.uncompressedBytes * inflation) else None
+
+  // ------------------------------------------------------------ sampling
+
+  /** parquet.py's physical-type estimators over one real footer: the
+    * reference's most granular model, applied to sampled files only. */
+  private[catalog] def estimateFooterBytes(pathStr: String, conf: Configuration): Double = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(pathStr), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.collection.JavaConverters._
+      var total = 0.0
+      for (b <- r.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
+        val n = c.getValueCount.toDouble
+        val pt = r.getFooter.getFileMetaData.getSchema
+          .getType(c.getPath.toArray: _*)
+        val prim = if (pt.isPrimitive) pt.asPrimitiveType() else null
+        val tpe = if (prim != null) prim.getPrimitiveTypeName else null
+        total += (tpe match {
+          case PrimitiveTypeName.INT96 => n * 12
+          case PrimitiveTypeName.INT64 => n * 8
+          case PrimitiveTypeName.INT32 => n * 4
+          case PrimitiveTypeName.BOOLEAN => n
+          case PrimitiveTypeName.DOUBLE => n * 8
+          case PrimitiveTypeName.FLOAT => n * 4
+          case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+            byteArrayBytes(c.getStatistics, prim, n, c.getTotalUncompressedSize.toDouble)
+          case _ => c.getTotalUncompressedSize.toDouble
+        })
+      }
+      total
+    } finally r.close()
+  }
+
+  /** parquet.py:52-76 `_byte_array_size_estimator`. */
+  private def byteArrayBytes(st: Statistics[_],
+      prim: org.apache.parquet.schema.PrimitiveType, n: Double, uncompressed: Double): Double = {
+    val isString = prim.getLogicalTypeAnnotation match {
+      case _: StringLogicalTypeAnnotation | _: EnumLogicalTypeAnnotation => true
+      case _ => false
+    }
+    st match {
+      case bs: BinaryStatistics if bs.hasNonNullValue && isString =>
+        val mn = bs.genericGetMin.toStringUsingUTF8
+        val mx = bs.genericGetMax.toStringUsingUTF8
+        val nulls = if (bs.isNumNullsSet) bs.getNumNulls.toDouble else 0.0
+        val observed = (mn.length + mx.length) / 2.0 + StringOverheadBytes
+        math.max(uncompressed, (n - nulls) * observed + nulls * NullSizeBytes)
+      case bs: BinaryStatistics if bs.hasNonNullValue => // decimal / raw bytes
+        math.max(n * 16, uncompressed)
+      case _ => uncompressed
+    }
+  }
+
+  /** Footer-probe a sample of entries — a Spark job past the driver
+    * threshold, mirroring the commit path's distributed footer pass. */
+  private def sampleEstimates(spark: SparkSession, paths: Seq[String]): Map[String, Double] =
+    if (paths.isEmpty) Map.empty
+    else if (paths.size < 16) {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.map(p => p -> estimateFooterBytes(p, conf)).toMap
+    } else {
+      val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      spark.sparkContext.parallelize(paths, slices)
+        .mapPartitions { it =>
+          val conf = confBc.value.value
+          it.map(p => p -> estimateFooterBytes(p, conf))
+        }.collect().toMap
+    }
+
+  // ------------------------------------------------------------ driver
+
+  /** Per-entry estimates for a set of manifest entries. Returns
+    * (entry, estimatedMemoryBytes, methodName) for every entry — the chain
+    * guarantees resolution because previous_inflation (last in every
+    * public chain except the strict single-method ones) never declines. */
+  def estimateEntryBytes(spark: SparkSession, schema: StructType,
+      entries: Seq[ManifestEntry], params: Params): Seq[(ManifestEntry, Double, String)] = {
+    var resolved = Map.empty[String, (Double, String)]
+    var pending = entries
+    for (step <- params.method.chain if pending.nonEmpty) step match {
+      case "content_type_meta" =>
+        val (ok, rest) = pending.partition(e => contentTypeMeta(e, params.parquetToArrowInflation).isDefined)
+        resolved ++= ok.map(e =>
+          e.path -> (contentTypeMeta(e, params.parquetToArrowInflation).get, step))
+        pending = rest
+      case "intelligent" =>
+        val est = pending.map(e => e -> intelligentFromManifest(schema, e, params.parquetToArrowInflation))
+        resolved ++= est.collect { case (e, Some(v)) => e.path -> (v, step) }
+        pending = est.collect { case (e, None) => e }
+      case "file_sampling" =>
+        // Only parquet files (sizeBytes known) can be probed; sample a
+        // prefix (reference samples the first maxFilesToSample entries).
+        val sampled = pending.take(params.maxFilesToSample)
+        val probes = sampleEstimates(spark, sampled.map(_.path))
+        if (probes.nonEmpty) {
+          val sampleDisk = sampled.map(_.sizeBytes.toDouble).sum
+          val sampleMem = sampled.flatMap(e => probes.get(e.path)).sum
+          val inflation = if (sampleDisk > 0) sampleMem / sampleDisk else params.previousInflation
+          resolved ++= pending.map { e =>
+            e.path -> (probes.getOrElse(e.path, e.sizeBytes * inflation), step)
+          }
+          pending = Nil
+        }
+      case "previous_inflation" =>
+        resolved ++= pending.map(e => e.path -> (e.sizeBytes * params.previousInflation, step))
+        pending = Nil
+    }
+    require(pending.isEmpty, s"entries unresolvable by method ${params.method}: " +
+      s"${pending.take(3).map(_.path)}… — use Default/DefaultV2 or supply the missing params")
+    entries.map { e => val (v, m) = resolved(e.path); (e, v, m) }
+  }
+
+  /** Estimate the resources to process one TABLE (active entries after
+    * merge-on-read delta selection) — delta.py estimate_resources_required…
+    * at table granularity. */
+  def estimate(cat: GraftCatalog, table: String, params: Params = Params(),
+      asOf: Option[Long] = None): Estimate = {
+    val meta = cat.getTableMeta(table)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val deltas = cat.effectiveDeltas(cat.handleOf(table), asOf)
+    val (base, pending) = MergeRead.activeDeltas(deltas)
+    val entries = (base.toSeq ++ pending).flatMap(_.entries)
+    fromEntries(cat.spark, schema, entries, params)
+  }
+
+  /** Estimate one DELTA (reference estimates per-delta for compaction
+    * admission). */
+  def estimateDelta(cat: GraftCatalog, table: String, streamPosition: Long,
+      params: Params = Params()): Estimate = {
+    val meta = cat.getTableMeta(table)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val deltas = cat.effectiveDeltas(cat.handleOf(table), None)
+      .filter(_.streamPosition == streamPosition)
+    fromEntries(cat.spark, schema, deltas.flatMap(_.entries), params)
+  }
+
+  private def fromEntries(spark: SparkSession, schema: StructType,
+      entries: Seq[ManifestEntry], params: Params): Estimate = {
+    val est = estimateEntryBytes(spark, schema, entries, params)
+    val mem = est.map(_._2).sum
+    val knownRows = entries.filter(_.recordCount >= 0).map(_.recordCount).sum
+    // rows unknown (non-parquet): derive from avg record size when given —
+    // manifest.py _estimate_…_num_rows_using_previous_inflation
+    val unknownMem = est.collect { case (e, v, _) if e.recordCount < 0 => v }.sum
+    val derived = params.averageRecordBytes.filter(_ > 0)
+      .map(a => (unknownMem / a).toLong).getOrElse(0L)
+    Estimate(mem, knownRows + derived, entries.map(_.sizeBytes).sum, entries.size,
+      est.groupBy(_._3).map { case (m, xs) => m -> xs.size })
+  }
+
+  /** Per-entry estimates as a DataFrame — the user-facing/oracle surface. */
+  def entriesDF(cat: GraftCatalog, table: String, params: Params = Params()): DataFrame = {
+    val meta = cat.getTableMeta(table)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val deltas = cat.effectiveDeltas(cat.handleOf(table), None)
+    val (base, pending) = MergeRead.activeDeltas(deltas)
+    val entries = (base.toSeq ++ pending).flatMap(_.entries)
+    val rows = estimateEntryBytes(cat.spark, schema, entries, params).map {
+      case (e, v, m) => (e.path, e.sizeBytes, e.recordCount, v, m)
+    }
+    import cat.spark.implicits._
+    rows.toDF("path", "on_disk_bytes", "records", "est_memory_bytes", "method")
+  }
+}

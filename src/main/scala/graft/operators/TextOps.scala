@@ -363,6 +363,19 @@ object TextOps {
           .cast(LongType).as("pack_last"))
   }
 
+  /** Vocabulary building: corpus token frequencies → top-K vocab — the
+    * seed step of BPE/WordPiece tokenizer training over a training corpus.
+    * Scale shape: explode → hash-agg is map-side combinable (partial counts
+    * collapse before the shuffle, so shuffled rows ≈ distinct tokens per
+    * partition, not corpus tokens) and the final top-K plans as
+    * TakeOrderedAndProject — no global sort ever materializes. Ties at the
+    * cut break by token text so the selected SET is deterministic. */
+  def buildVocab(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+
   /** Per-document text-statistics projection. */
   def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

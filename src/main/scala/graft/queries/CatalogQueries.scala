@@ -1144,6 +1144,43 @@ object CatalogQueries {
       cat.writeToTable(base.where(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 3), "q.o", WriteMode.Merge)
       cat.readTable("q.o", ReadOptions(rowFilter = Some(col("o_totalprice") < 100000)))
+    },
+
+    // Resource estimation (SURVEY §2 row 27): the INTELLIGENT method's
+    // type-aware in-memory model is pure arithmetic over footer statistics
+    // — int32 ≡ 4 bytes/row, strings ≡ observed (len(min)+len(max))/2 + 4
+    // arrow-offset bytes per value (reference parquet.py:10-14, 29-32) —
+    // so DuckDB reproduces it exactly from the raw column values.
+    Q("c67_resource_estimate", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS records,
+             CAST(count(*) * 4
+                  + count(*) * ((length(min(n_name)) + length(max(n_name))) / 2.0 + 4)
+               AS DOUBLE) AS est_memory_bytes
+      FROM nation""")) { (s, dir) =>
+      val cat = newCat(s, "c67")
+      cat.writeToTable(
+        tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name")).repartition(1), "q.n")
+      val est = cat.estimateResources("q.n", ResourceEstimator.Params(
+        method = ResourceEstimator.Method.Intelligent, parquetToArrowInflation = 1.0))
+      import s.implicits._
+      Seq((est.records, est.memoryBytes)).toDF("records", "est_memory_bytes")
+    },
+
+    // Interactive transaction pause/resume (SURVEY §2 row 42): a two-phase
+    // ingest staged across a pause — a NEW handle resumes by txn id and
+    // both halves land in ONE atomic commit. The terminal state equals the
+    // plain table; mid-txn invisibility is ScalaTested (DeltaApiSpec).
+    Q("c68_txn_pause_resume", Some("SELECT * FROM nation")) { (s, dir) =>
+      val cat = newCat(s, "c68")
+      val n = tbl(s, dir, "nation")
+      val tx = cat.transaction("paused two-phase ingest")
+      cat.writeToTable(n.where(col("n_nationkey") < 12), "q.n", txn = Some(tx))
+      tx.pause()
+      val resumed = cat.store.resumeTransaction(tx.txnId)
+      cat.writeToTable(n.where(col("n_nationkey") >= 12), "q.n", WriteMode.Add,
+        txn = Some(resumed))
+      resumed.seal()
+      cat.readTable("q.n")
     }
   )
 }

@@ -520,6 +520,17 @@ object PipelineQueries {
         }.toDF()
       Multimodal.decodeWav(s, media, strict = true).toDF()
         .withColumn("rms", round(col("rms"), 9))
+    },
+
+    // Vocabulary building (BPE/WordPiece seeding): corpus token counts →
+    // top-K vocab, ties at the cut broken by token so the SET is unique.
+    Q("t23_vocab_topk", Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents)
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY token
+      ORDER BY cnt DESC, token LIMIT 100""")) { (s, dir) =>
+      TextOps.buildVocab(tbl(s, dir, "documents"), "text", 100)
     }
   )
 }

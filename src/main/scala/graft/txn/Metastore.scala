@@ -63,10 +63,15 @@ final case class ColStat(min: String, max: String, nulls: Long) {
 /** One file in a delta manifest — reference storage/model/manifest.py:406.
   * `stats` is per-column min/max/nulls from the parquet footer (null for
   * pre-stats manifests and non-parquet content types — readers treat a
-  * missing map as "no information", never as "no rows match"). */
+  * missing map as "no information", never as "no rows match").
+  * `uncompressedBytes` is the file's total uncompressed byte size (sum of
+  * row-group totals from the same footer pass) — the manifest-cached
+  * content-type parameter the reference's resource estimation reads
+  * (compute/resource_estimation/manifest.py `in_memory_size_bytes`);
+  * ≤ 0 means unknown (pre-round-7 manifests, non-parquet files). */
 final case class ManifestEntry(path: String, sizeBytes: Long, recordCount: Long,
-    stats: Map[String, ColStat] = null) {
-  def this() = this("", 0L, 0L, null)
+    stats: Map[String, ColStat] = null, uncompressedBytes: Long = -1L) {
+  def this() = this("", 0L, 0L, null, -1L)
   def colStats: Map[String, ColStat] = Option(stats).getOrElse(Map.empty)
 }
 
