@@ -355,7 +355,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new org.apache.spark.sql.graft.GraftStreamSource(sqlContext,
       parameters("root"), parameters("table"),
       parameters.getOrElse("ignoreChanges", "false").toBoolean,
-      parameters.get("rowFilter"))
+      parameters.get("rowFilter"),
+      parameters.get("maxDeltasPerTrigger").map(_.toInt),
+      parameters.get("maxFilesPerTrigger").map(_.toInt))
 
   // One snapshot per provider instance: inferSchema and getTable are called
   // back-to-back per read; re-resolving would walk the txn log twice and

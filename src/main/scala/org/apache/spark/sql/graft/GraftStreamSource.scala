@@ -32,7 +32,16 @@ class GraftStreamSource(
       * matching rows AND each micro-batch skips whole files whose footer
       * stats exclude the predicate — a streaming backfill over a huge
       * table reads only the relevant slice. */
-    rowFilterSql: Option[String] = None) extends Source {
+    rowFilterSql: Option[String] = None,
+    /** Admission control (Delta's maxFilesPerTrigger analog): cap how much
+      * of the delta log one micro-batch may admit. Without a cap, the FIRST
+      * trigger of a stream over a long-lived table reads the entire history
+      * in one batch — at 100 TB that batch never finishes and its failure
+      * restarts from zero. Caps make the backfill incremental: each trigger
+      * admits the next ≤N deltas / ≤N files (always ≥1 delta so progress
+      * is guaranteed), checkpointing between. */
+    maxDeltasPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val cat = new GraftCatalog(spark, root)
@@ -46,9 +55,33 @@ class GraftStreamSource(
 
   private def visible(): Seq[graft.txn.DeltaMeta] = cat.deltaLog(table)
 
+  /** Highest position already OFFERED via getOffset (not necessarily
+    * committed) — the admission cursor. getBatch fast-forwards it on
+    * recovery, so a restarted query resumes admission after its last
+    * checkpointed offset rather than re-capping from scratch. */
+  @volatile private var offeredHi: Long = -1L
+
   override def getOffset: Option[Offset] = {
     val deltas = visible()
-    if (deltas.isEmpty) None else Some(LongOffset(deltas.map(_.streamPosition).max))
+    if (deltas.isEmpty) return None
+    val latest = deltas.map(_.streamPosition).max
+    if (maxDeltasPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      return Some(LongOffset(latest))
+    val fresh = deltas.filter(_.streamPosition > offeredHi).sortBy(_.streamPosition)
+    if (fresh.isEmpty)
+      return if (offeredHi < 0) None else Some(LongOffset(offeredHi))
+    val maxD = maxDeltasPerTrigger.getOrElse(Int.MaxValue)
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    var (nD, nF) = (0, 0)
+    // always admit at least one delta, however many files it carries —
+    // otherwise a single delta wider than the cap would stall forever
+    val admitted = fresh.takeWhile { d =>
+      val take = nD == 0 || (nD < maxD && nF + d.entries.size <= maxF)
+      if (take) { nD += 1; nF += d.entries.size }
+      take
+    }
+    offeredHi = admitted.last.streamPosition
+    Some(LongOffset(offeredHi))
   }
 
   private def pos(o: Offset): Long = o match {
@@ -60,6 +93,9 @@ class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(pos).getOrElse(-1L)
     val hi = pos(end)
+    // recovery fast-forward: a restart replays the last checkpointed batch
+    // through getBatch before any getOffset — admission resumes past it
+    if (hi > offeredHi) offeredHi = hi
     val batch = visible().filter(d => d.streamPosition > lo && d.streamPosition <= hi)
       // A compacted snapshot re-references already-streamed data: skip it —
       // except bulk-load deltas, whose rows appeared in no earlier delta.

@@ -284,4 +284,56 @@ class StreamingSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM graft_rf").head.getLong(0) == 60)
     } finally q.stop()
   }
+
+  test("maxDeltasPerTrigger paces the backfill into multiple micro-batches") {
+    val root = tmpDir("graft-stream-rate")
+    val cat = new GraftCatalog(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType)))
+    cat.createTable("ns.rt", schema)
+    for (i <- 0 until 5)
+      cat.writeToTable(spark.range(i * 10, i * 10 + 10).toDF("id"), "ns.rt", WriteMode.Append)
+
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.rt")
+      .option("maxDeltasPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("graft_rt")
+      .option("checkpointLocation", tmpDir("graft-stream-rate-ck")).start()
+    try {
+      q.processAllAvailable()
+      // completeness: every row arrives despite pacing
+      val got = spark.sql("SELECT id FROM graft_rt").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 50L))
+      // pacing: 5 deltas at ≤2/trigger = ≥3 committed micro-batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected ≥3 paced batches, got $batches")
+      assert(q.recentProgress.forall(_.numInputRows <= 20),
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger caps admitted files but a wide delta still progresses") {
+    val root = tmpDir("graft-stream-rate2")
+    val cat = new GraftCatalog(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType)))
+    // one delta sliced into ~10 files — wider than the per-trigger cap
+    cat.createTable("ns.rt2", schema,
+      properties = Map("write.max_records_per_file" -> "10"))
+    cat.writeToTable(spark.range(0, 100).toDF("id").coalesce(1), "ns.rt2", WriteMode.Append)
+    cat.writeToTable(spark.range(100, 110).toDF("id").coalesce(1), "ns.rt2", WriteMode.Append)
+
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.rt2")
+      .option("maxFilesPerTrigger", "3").load()
+      .writeStream.format("memory").queryName("graft_rt2")
+      .option("checkpointLocation", tmpDir("graft-stream-rate2-ck")).start()
+    try {
+      q.processAllAvailable()
+      // the 10-file delta exceeds the cap but is admitted alone (progress
+      // guarantee); the second delta lands in a separate batch
+      assert(spark.sql("SELECT count(*) FROM graft_rt2").head.getLong(0) == 110)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
 }
