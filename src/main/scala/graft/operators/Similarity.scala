@@ -166,11 +166,11 @@ object Similarity {
   /** Nearest centroid id by cosine (ties → lowest id). Pure expression —
     * the codebook is inlined as literals, so assignment is map-only (no
     * join of any kind). */
-  private def nearestCid(vec: Column, cents: Array[Array[Double]]): Column =
+  private[operators] def nearestCid(vec: Column, cents: Array[Array[Double]]): Column =
     array_max(centroidScores(vec, cents)).getField("negi") * -1
 
   /** The `nprobe` nearest centroid ids, best first (ties → lowest id). */
-  private def probeCids(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+  private[operators] def probeCids(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     transform(slice(reverse(array_sort(centroidScores(vec, cents))), 1, nprobe),
       s => s.getField("negi") * -1)
 

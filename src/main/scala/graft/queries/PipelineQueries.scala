@@ -522,6 +522,56 @@ object PipelineQueries {
         .withColumn("rms", round(col("rms"), 9))
     },
 
+    // IVF-PQ ANN (Jégou et al. 2011): corpus vectors → 8×16-code product
+    // quantization, IVF-routed candidates (equi-join on coarse centroid),
+    // ADC scoring from codes alone. Deterministic iters=0 codebooks (first
+    // 8 raw vectors coarse / first 16 normalized slices per subspace) and
+    // refine=0 (pure-ADC ranking) so the oracle replays the whole index in
+    // SQL; the trained + reranked path is PipelineSpec/QuantizationSpec
+    // territory (full-budget run ≡ brute force, exactly).
+    Q("t24_ann_ivfpq", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      cscore AS (SELECT n.vec_id, c.cid,
+          list_dot_product(n.vn, c.cv) / (sqrt(list_dot_product(n.vn, n.vn)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+        FROM n CROSS JOIN cents c),
+      asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+          FROM cscore) WHERE rn = 1),
+      probe AS (SELECT vec_id AS query_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+          FROM cscore WHERE vec_id < 20) WHERE rn <= 2),
+      subs AS (SELECT vec_id, j, list_slice(vn, j*8+1, j*8+8) AS s
+               FROM n CROSS JOIN range(8) t(j)),
+      cb AS (SELECT j, vec_id AS code, s AS cbv FROM subs WHERE vec_id < 16),
+      codescore AS (SELECT subs.vec_id, subs.j, cb.code,
+          2*list_dot_product(subs.s, cb.cbv) - list_dot_product(cb.cbv, cb.cbv) AS sc
+        FROM subs JOIN cb ON subs.j = cb.j),
+      codes AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, code) AS rn
+          FROM codescore) WHERE rn = 1),
+      recon AS (SELECT codes.vec_id, flatten(list(cb.cbv ORDER BY codes.j)) AS rv
+        FROM codes JOIN cb ON cb.j = codes.j AND cb.code = codes.code
+        GROUP BY codes.vec_id),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+          round(list_dot_product(qn.vn, r.rv), 9) AS adc
+        FROM cand c JOIN n qn ON qn.vec_id = c.query_id
+        JOIN recon r ON r.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+      FROM (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+            FROM scored)
+      WHERE rn <= 5""")) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+      val cb = Quantization.trainPQ(emb, "vec_id", "embedding", m = 8, k = 16)
+      Quantization.ivfpqTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, coarse = coarse, codebooks = cb, nprobe = 2, refine = 0)
+    },
+
     // Vocabulary building (BPE/WordPiece seeding): corpus token counts →
     // top-K vocab, ties at the cut broken by token so the SET is unique.
     Q("t23_vocab_topk", Some("""
