@@ -83,6 +83,24 @@ object Multimodal {
     img
   }
 
+  /** Rounded mean luminance (BT.601 integer luma) of a decoded image. */
+  private def meanGray(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+          29 * (rgb & 0xFF)) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    math.round(sum.toDouble / (w.toLong * h))
+  }
+
   /** REAL image decode via the JDK's ImageIO codecs: dimensions, sniffed
     * format, mean luminance — computed per partition in executors. Rows
     * whose payload does not decode are dropped (`strict = false`) or fail
@@ -95,22 +113,8 @@ object Multimodal {
       rows.flatMap { r =>
         try {
           val img = readImage(r.payload)
-          var sum = 0L
-          val w = img.getWidth; val h = img.getHeight
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              // BT.601 integer luma: (77 R + 150 G + 29 B) >> 8
-              sum += (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
-                29 * (rgb & 0xFF)) >> 8
-              x += 1
-            }
-            y += 1
-          }
-          Some(ImageFeatures(r.doc_id, w, h, sniffFormat(r.payload),
-            math.round(sum.toDouble / (w.toLong * h))))
+          Some(ImageFeatures(r.doc_id, img.getWidth, img.getHeight,
+            sniffFormat(r.payload), meanGray(img)))
         } catch {
           case e: Exception if !strict => None
           case e: Exception => throw new IllegalArgumentException(
@@ -145,6 +149,70 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           Some(ImageOut(r.doc_id, bos.toByteArray, nw, nh))
         } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- video
+
+  /** One sampled, decoded video frame. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long,
+      width: Int, height: Int, mean_gray: Long)
+
+  /** Serialize an MJPEG/MPNG-style frame stream — magic "GMJ1",
+    * u32 frame count, then per frame (u32 ts_ms, u32 len, image payload),
+    * all big-endian. Motion-JPEG-style streams (every frame an
+    * independently-coded image) are the one video family the JDK can REALLY
+    * decode; inter-frame codecs (H.264…) have no JDK demuxer/decoder — the
+    * sampling PLUMBING below (schema, per-frame fan-out, stride math,
+    * partition shape) is codec-agnostic and is what a real decoder would
+    * plug into. */
+  def writeFrameStream(frames: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val total = 8 + frames.map(f => 8 + f._2.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.put("GMJ1".getBytes("US-ASCII")).putInt(frames.size)
+    for ((ts, payload) <- frames) {
+      bb.putInt(ts.toInt).putInt(payload.length).put(payload)
+    }
+    bb.array()
+  }
+
+  /** Frame sampling over video payloads: demux the frame stream, KEEP only
+    * every `everyNth` frame, decode kept frames via ImageIO (skipped frames
+    * are never decoded — the whole point of sampling: a 30 fps corpus
+    * sampled at stride 30 decodes 1/30th of the pixels), emit one row per
+    * sampled frame. Fan-out is a partition-preserving flatMap — no shuffle;
+    * downstream repartitioning is the caller's choice when frame rows
+    * outnumber documents enough to skew partitions. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int,
+      strict: Boolean = false): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(everyNth >= 1, "everyNth >= 1")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val bb = java.nio.ByteBuffer.wrap(r.payload)
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(new String(magic, "US-ASCII") == "GMJ1",
+            "bad frame-stream magic — not a GMJ1 payload")
+          val n = bb.getInt
+          (0 until n).iterator.flatMap { idx =>
+            val ts = bb.getInt.toLong
+            val len = bb.getInt
+            if (idx % everyNth != 0) { // skip without decoding
+              bb.position(bb.position() + len); None
+            } else {
+              val payload = new Array[Byte](len); bb.get(payload)
+              val img = readImage(payload)
+              Some(FrameRow(r.doc_id, idx, ts, img.getWidth, img.getHeight,
+                meanGray(img)))
+            }
+          }.toSeq
+        } catch {
+          case e: Exception if !strict => Nil
+          case e: Exception => throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: frame-stream decode failed", e)
+        }
       }
     }
   }

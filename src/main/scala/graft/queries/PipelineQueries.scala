@@ -522,6 +522,41 @@ object PipelineQueries {
         .withColumn("rms", round(col("rms"), 9))
     },
 
+    // Video frame sampling: executors synthesize an MPNG frame stream per
+    // doc (4 + doc_id%5 solid-gray PNG frames at 25 fps), sample every 2nd
+    // frame, REALLY decode the sampled ones (skipped frames are never
+    // decoded). PNG is lossless so every decoded value is exact doc_id/idx
+    // arithmetic the oracle replays.
+    Q("t25_video_frames", Some("""
+      SELECT doc_id, CAST(j AS INTEGER) AS frame_idx, CAST(j*40 AS BIGINT) AS ts_ms,
+             CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS width,
+             CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+             CAST((doc_id * 7 + j * 11) % 256 AS BIGINT) AS mean_gray
+      FROM documents CROSS JOIN range(0, 9, 2) t(j)
+      WHERE j < 4 + doc_id % 5""")) { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val side = (16 + (id % 3) * 8).toInt
+            val frames = (0 until (4 + id % 5).toInt).map { idx =>
+              val g = ((id * 7 + idx * 11) % 256).toInt
+              val img = new java.awt.image.BufferedImage(side, side,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (g << 16) | (g << 8) | g
+              var y = 0
+              while (y < side) { var x = 0; while (x < side) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              (idx * 40L, bos.toByteArray)
+            }
+            val b = Multimodal.writeFrameStream(frames)
+            Multimodal.MediaRow(id, b, "video/x-graft-mjpeg", b.length.toLong)
+          }
+        }.toDF()
+      Multimodal.sampleFrames(s, media, everyNth = 2, strict = true).toDF()
+    },
+
     // IVF-PQ ANN (Jégou et al. 2011): corpus vectors → 8×16-code product
     // quantization, IVF-routed candidates (equi-join on coarse centroid),
     // ADC scoring from codes alone. Deterministic iters=0 codebooks (first
