@@ -134,6 +134,71 @@ object Dedup {
    * cast; `id_a < id_b` only needs a total order, which every orderable
    * Spark type provides.
    */
+  /** (id, sh) shingle-set frame. Word-gram shingling tokenizes in its OWN
+    * projection: inlined, the regexp tokenizer would re-run per shingle
+    * position inside the slice lambda (no subexpression elimination across
+    * lambda bodies). Char shingles substring the raw attribute directly —
+    * already cheap. */
+  private def shingledOf(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, wordGrams: Option[Int]): DataFrame = {
+    val dfp = Par.widen(df)
+    wordGrams match {
+      case Some(n) =>
+        dfp.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+          .select(col("id"), TextOps.wordShinglesFromTokens(col("tk"), n).as("sh"))
+      case None =>
+        dfp.select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("sh"))
+    }
+  }
+
+  /** (id, sig) minhash signatures from an (id, sh) frame. Signatures via
+    * explode + numHashes codegen'd min-aggregates, NOT the one-expression
+    * array form: a 64-branch array_min(transform(...)) tree exceeds
+    * whole-stage-codegen limits and falls back to interpreted evaluation
+    * (~50× slower, measured). The hash aggregate keeps every
+    * (shingle × hash) op in tight generated code, and map-side partial
+    * aggregation collapses to one row per document before the shuffle —
+    * the shuffle moves |docs| × numHashes longs, not |shingles|.
+    * explode_OUTER, deliberately: plain explode triggers
+    * InferFiltersFromGenerate, whose size(sh)>0 predicate embeds the whole
+    * shingle expression and gets pushed below the widening shuffle — the
+    * expensive interpreted HOF then runs serially on the (often 1-task)
+    * scan side, twice. explode_outer infers nothing; the rare null row it
+    * keeps (null text) hashes to a constant and can never survive the
+    * exact-Jaccard verify. */
+  private def signaturesOf(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val params = affineParams(numHashes, 42L)
+    val minAggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"_m$i")
+    }
+    shingled
+      .select(col("id"), explode_outer(col("sh")).as("s"))
+      .select(col("id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
+      .groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** PUBLIC signature builder — the persistent LSH INDEX of a corpus:
+    * 8·bands·rowsPerBand bytes per document instead of its text. Write it
+    * to a catalog table once; incremental batches join against it without
+    * ever re-reading or re-signaturing the standing corpus
+    * ([[incrementalNearDupPairs]]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
+      wordGrams: Option[Int] = None): DataFrame =
+    signaturesOf(shingledOf(df, idCol, textCol, shingleK, wordGrams), bands * rowsPerBand)
+      .withColumnRenamed("id", idCol)
+
+  /** (id, band, bucket) LSH band buckets derived from signatures —
+    * map-only arithmetic; the index never stores buckets. */
+  private def bucketsOf(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+    sigs.select(col("id"), explode(bandCols).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
@@ -149,52 +214,15 @@ object Dedup {
         * the standard LSH guard at corpus scale. None = exhaustive. */
       maxBucketWidth: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Word-gram shingling tokenizes in its OWN projection: inlined, the
-    // regexp tokenizer would re-run per shingle position inside the slice
-    // lambda (no subexpression elimination across lambda bodies). Char
-    // shingles substring the raw attribute directly — already cheap.
-    val dfp = Par.widen(df)
-    val shingled = wordGrams match {
-      case Some(n) =>
-        dfp.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
-          .select(col("id"), TextOps.wordShinglesFromTokens(col("tk"), n).as("sh"))
-      case None =>
-        dfp.select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("sh"))
-    }
-    // Signatures via explode + numHashes codegen'd min-aggregates, NOT the
-    // one-expression array form: a 64-branch array_min(transform(...)) tree
-    // exceeds whole-stage-codegen limits and falls back to interpreted
-    // evaluation (~50× slower, measured). The hash aggregate keeps every
-    // (shingle × hash) op in tight generated code, and map-side partial
-    // aggregation collapses to one row per document before the shuffle —
-    // the shuffle moves |docs| × numHashes longs, not |shingles|.
-    val params = affineParams(numHashes, 42L)
-    val minAggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"_m$i")
-    }
+    val shingled = shingledOf(df, idCol, textCol, shingleK, wordGrams)
     // (id, sig) is persisted and materialized ONCE: the signature feeds the
     // band buckets AND the pair-wise estimate join, and Catalyst does not
     // share subtrees across joins — without the persist it would be
     // recomputed per consumer.
-    // explode_OUTER, deliberately: plain explode triggers
-    // InferFiltersFromGenerate, whose size(sh)>0 predicate embeds the whole
-    // shingle expression and gets pushed below the widening shuffle — the
-    // expensive interpreted HOF then runs serially on the (often 1-task)
-    // scan side, twice. explode_outer infers nothing; the rare null row it
-    // keeps (null text) hashes to a constant and can never survive the
-    // exact-Jaccard verify.
-    val sigs = shingled
-      .select(col("id"), explode_outer(col("sh")).as("s"))
-      .select(col("id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
-      .groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+    val sigs = signaturesOf(shingled, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    val bandCols = array((0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-    }: _*)
-    val allBuckets = sigs.select(col("id"), explode(bandCols).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val allBuckets = bucketsOf(sigs, bands, rowsPerBand)
     // Hot-bucket cap: windowless (count-join) so the common case stays a
     // single shuffle on (band,bucket) reused by the pair join below.
     val buckets = maxBucketWidth match {
@@ -245,6 +273,82 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Incremental near-duplicate detection of a NEW batch against a standing
+   * corpus — the MinHash analog of [[incrementalNew]]'s Bloom-gated exact
+   * dedup, and the shape a daily ingest actually runs at 100 TB:
+   *
+   *  - `corpusIndex` is the persisted (idCol, sig) signature table built
+   *    once by [[minhashSignatures]] (and appended batch-over-batch); the
+   *    standing corpus TEXT is never re-shingled — only candidate rows are
+   *    fetched from `corpusText` for the exact verify, via a semi-join;
+   *  - the batch signatures and band buckets are computed fresh (the batch
+   *    is the small side); candidates come from a (band,bucket) equi-join
+   *    of batch buckets against index buckets derived map-only from sigs;
+   *  - same σ-prefilter and exact-Jaccard verify as [[minhashPairs]], so a
+   *    returned pair is a TRUE near-duplicate, not an LSH guess.
+   *
+   * Returns (id_new, id_corpus, jaccard). Intra-batch duplicates are the
+   * caller's [[minhashPairs]] call over the batch alone.
+   */
+  def incrementalNearDupPairs(
+      incoming: DataFrame, corpusIndex: DataFrame, corpusText: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double = 0.7, wordGrams: Option[Int] = None,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newShingled = shingledOf(incoming, idCol, textCol, shingleK, wordGrams)
+    val newSigs = signaturesOf(newShingled, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newSigs.count()
+    val corpusSigs = corpusIndex.select(col(idCol).as("id"), col("sig"))
+    val newBuckets = bucketsOf(newSigs, bands, rowsPerBand)
+    val corpusBuckets = bucketsOf(corpusSigs, bands, rowsPerBand)
+    // Hot-bucket cap on the CORPUS side (the unbounded one): same
+    // windowless count-join guard as minhashPairs.
+    val cappedCorpus = maxBucketWidth match {
+      case None => corpusBuckets
+      case Some(w) =>
+        val widths = corpusBuckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
+          .select(col("band"), col("bucket"))
+        corpusBuckets.join(widths, Seq("band", "bucket"), "left_semi")
+    }
+    val cand = newBuckets.as("n")
+      .join(cappedCorpus.as("c"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket") &&
+          col("n.id") =!= col("c.id"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+    val estFilter = math.max(0.0, threshold - 3 * sigma)
+    val est = materialize(cand
+      .join(newSigs.select(col("id"), col("sig").as("sig_a")), col("id_new") === col("id")).drop("id")
+      .join(corpusSigs.select(col("id"), col("sig").as("sig_b")), col("id_corpus") === col("id")).drop("id")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast(DoubleType) / numHashes)
+      .where(col("est") >= estFilter)
+      .select(col("id_new"), col("id_corpus")))
+    newSigs.unpersist(blocking = false)
+    // Exact verify: batch shingles recompute (small side); corpus shingles
+    // ONLY for candidate ids — the semi-join keeps the standing corpus
+    // text untouched except for the handful of candidate rows.
+    val candCorpusText = corpusText.join(
+      est.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val corpusShingled = shingledOf(candCorpusText, idCol, textCol, shingleK, wordGrams)
+    est
+      .join(newShingled.withColumnRenamed("sh", "sh_a"), col("id_new") === col("id")).drop("id")
+      .join(corpusShingled.withColumnRenamed("sh", "sh_b"), col("id_corpus") === col("id")).drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */

@@ -522,6 +522,29 @@ object PipelineQueries {
         .withColumn("rms", round(col("rms"), 9))
     },
 
+    // Incremental near-dup: batch (doc_id%4=0) against the standing corpus
+    // (rest) via its persisted signature index — corpus text is touched
+    // only for verified candidates. Oracle = the exact batch×corpus
+    // Jaccard join (the LSH path's verify makes a returned pair exact;
+    // recall 1 on this corpus, same contract as t04).
+    Q("t26_incremental_neardup", Some("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1),
+              i -> array_to_string(tk[i:i+1],' '))) AS sh FROM toks),
+      p AS (SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
+              len(list_intersect(a.sh,b.sh)) AS inter, len(a.sh)+len(b.sh) AS tot
+            FROM sh a JOIN sh b ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
+      SELECT id_new, id_corpus, CAST(inter AS DOUBLE)/(tot-inter) AS jaccard
+      FROM p WHERE CAST(inter AS DOUBLE)/(tot-inter) >= 0.9""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 4 =!= 0)
+      val batch = docs.where(col("doc_id") % 4 === 0)
+      val index = Dedup.minhashSignatures(corpus, "doc_id", "text", wordGrams = Some(2))
+      Dedup.incrementalNearDupPairs(batch, index, corpus, "doc_id", "text",
+        bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+        maxBucketWidth = Some(64))
+    },
+
     // Video frame sampling: executors synthesize an MPNG frame stream per
     // doc (4 + doc_id%5 solid-gray PNG frames at 25 fps), sample every 2nd
     // frame, REALLY decode the sampled ones (skipped frames are never
