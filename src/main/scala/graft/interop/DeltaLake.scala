@@ -47,7 +47,20 @@ object DeltaLake {
 
   /** Reader feature set this binding implements; a table whose protocol
     * demands anything else fails fast instead of returning wrong rows. */
-  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "deletionVectors", "columnMapping", "typeWidening")
+
+  /** Type Widening feature (PROTOCOL.md "Type Widening"): the widenings
+    * this binding writes AND reads back — Spark's parquet readers up-cast
+    * the narrower physical type of pre-change files at scan time. */
+  private def isWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (ByteType | ShortType | IntegerType, DoubleType) => true
+    case _ => false
+  }
 
   // ---------------------------------------------------------------- read
 
@@ -337,24 +350,46 @@ object DeltaLake {
     // COMPATIBLE schema evolution instead of a shape gate (delta-spark's
     // mergeSchema): new nullable columns append to the schemaString (fresh
     // physical names + ids under column mapping), required→optional
-    // relaxes, a dropped optional column pads null at staging. A TYPE
-    // change still refuses — Delta type changes need the typeWidening
-    // table feature, which this binding does not write.
-    val evolved: Option[(StructType, Long)] = snapOpt.flatMap { snap =>
+    // relaxes, a dropped optional column pads null at staging, and WIDENING
+    // type changes (int→long, float→double, …) are recorded per the Type
+    // Widening table feature — old files keep their narrower physical type
+    // and up-cast at scan; the field carries the protocol's
+    // `delta.typeChanges` history and the table's protocol upgrades to the
+    // feature form on the same commit. Non-widening type changes refuse.
+    val evolved: Option[(StructType, Long, Boolean)] = snapOpt.flatMap { snap =>
       def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
       if (shape(schema) == shape(snap.schema)) None
       else {
         snap.schema.fields.foreach { tf =>
           schema.fields.find(_.name == tf.name) match {
-            case Some(dfF) => require(dfF.dataType.sql == tf.dataType.sql,
+            case Some(dfF) => require(dfF.dataType.sql == tf.dataType.sql ||
+                isWidening(tf.dataType, dfF.dataType) ||
+                // narrower INCOMING data up-casts at staging, no evolution
+                isWidening(dfF.dataType, tf.dataType),
               s"incompatible type change for ${tf.name}: ${tf.dataType.sql} -> ${dfF.dataType.sql}")
             case None => require(tf.nullable,
               s"append would leave required column ${tf.name} unwritten")
           }
         }
+        var anyWidened = false
         val kept = snap.schema.fields.map { tf =>
-          if (tf.nullable || schema.fields.find(_.name == tf.name).forall(!_.nullable)) tf
-          else tf.copy(nullable = true)
+          val relaxed =
+            if (tf.nullable || schema.fields.find(_.name == tf.name).forall(!_.nullable)) tf
+            else tf.copy(nullable = true)
+          schema.fields.find(_.name == tf.name) match {
+            case Some(dfF) if dfF.dataType.sql != tf.dataType.sql &&
+                isWidening(tf.dataType, dfF.dataType) =>
+              anyWidened = true
+              val change = new MetadataBuilder()
+                .putString("fromType", tf.dataType.typeName)
+                .putString("toType", dfF.dataType.typeName).build()
+              val history = (if (relaxed.metadata.contains("delta.typeChanges"))
+                relaxed.metadata.getMetadataArray("delta.typeChanges").toSeq else Nil) :+ change
+              relaxed.copy(dataType = dfF.dataType,
+                metadata = new MetadataBuilder().withMetadata(relaxed.metadata)
+                  .putMetadataArray("delta.typeChanges", history.toArray).build())
+            case _ => relaxed
+          }
         }
         val maxExisting = collectMappingIds(snap.schema).maxOption.getOrElse(0L)
         val addedPlain = schema.fields
@@ -363,11 +398,11 @@ object DeltaLake {
             f.copy(nullable = true)
           }
         if (snap.columnMappingMode == "none")
-          Some((StructType(kept ++ addedPlain), 0L))
+          Some((StructType(kept ++ addedPlain), 0L, anyWidened))
         else {
           val (mappedAdded, maxId) =
             assignColumnMapping(StructType(addedPlain), startId = maxExisting)
-          Some((StructType(kept ++ mappedAdded.fields), maxId))
+          Some((StructType(kept ++ mappedAdded.fields), maxId, anyWidened))
         }
       }
     }
@@ -422,8 +457,13 @@ object DeltaLake {
     // evolution rides the same commit as the data it admits: the newest
     // metaData action re-published with the merged schemaString, table
     // identity and configuration preserved (maxColumnId bumped under
-    // column mapping)
-    evolved.foreach { case (_, maxId) =>
+    // column mapping). A first WIDENING also upgrades the protocol to the
+    // table-features form with typeWidening on the same commit (the spec's
+    // required ordering: protocol action precedes the metaData that uses
+    // the feature).
+    evolved.foreach { case (_, maxId, widened) =>
+      if (widened && !hasFeature(snapOpt.flatMap(_.protocol), "typeWidening"))
+        actions += typeWideningProtocolAction(snapOpt.flatMap(_.protocol))
       val node: ObjectNode = rawMetaDataNode(table).getOrElse {
         val snap = snapOpt.get
         metaDataAction(tableSchema, snap.partitionColumns,
@@ -1022,6 +1062,45 @@ object DeltaLake {
   // ---- action JSON builders
 
   private def obj() = mapper.createObjectNode()
+
+  /** Does the protocol's readerFeatures list carry `feature`? */
+  private def hasFeature(protocol: Option[JsonNode], feature: String): Boolean =
+    protocol.exists(p => p.has("readerFeatures") &&
+      p.get("readerFeatures").elements().asScala.exists(_.asText() == feature))
+
+  /** Protocol upgrade to the table-features form (3, 7) adding
+    * typeWidening. Per PROTOCOL.md, the feature lists must ENUMERATE every
+    * feature the legacy version pair implied, plus the new one. */
+  private def typeWideningProtocolAction(prev: Option[JsonNode]): JsonNode = {
+    val (minR, minW) = prev.map(p =>
+      (p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt()))
+      .getOrElse((1, 2))
+    def prevList(key: String): Seq[String] = prev.toSeq.flatMap(p =>
+      if (p.has(key)) p.get(key).elements().asScala.map(_.asText()).toSeq else Nil)
+    val readerLegacy: Seq[String] =
+      if (minR >= 3) prevList("readerFeatures")
+      else if (minR == 2) Seq("columnMapping")
+      else Nil
+    val writerLegacy: Seq[String] =
+      if (minW >= 7) prevList("writerFeatures")
+      else minW match { // cumulative legacy writer implications, spec table
+        case v if v >= 5 => Seq("appendOnly", "invariants", "checkConstraints",
+          "changeDataFeed", "generatedColumns", "columnMapping")
+        case 4 => Seq("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+          "generatedColumns")
+        case 3 => Seq("appendOnly", "invariants", "checkConstraints")
+        case _ => Seq("appendOnly", "invariants")
+      }
+    val p = obj(); val inner = obj()
+    inner.put("minReaderVersion", 3); inner.put("minWriterVersion", 7)
+    val rf = mapper.createArrayNode()
+    (readerLegacy :+ "typeWidening").distinct.foreach(rf.add)
+    val wf = mapper.createArrayNode()
+    (writerLegacy :+ "typeWidening").distinct.foreach(wf.add)
+    inner.set[JsonNode]("readerFeatures", rf)
+    inner.set[JsonNode]("writerFeatures", wf)
+    p.set("protocol", inner); p
+  }
 
   private def protocolAction(columnMapping: Boolean = false): JsonNode = {
     val p = obj(); val inner = obj()

@@ -920,6 +920,21 @@ object CatalogQueries {
       graft.interop.DeltaLake.read(s, t)
     },
 
+    // Delta TYPE WIDENING on append (PROTOCOL.md Type Widening): int→long
+    // arrives in the second half; the table's schema widens, the protocol
+    // upgrades to the feature form, and pre-change int32 files up-cast at
+    // scan.
+    Q("c69_delta_widen", Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c69").resolve("tbl").toString
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      graft.interop.DeltaLake.write(n.where(col("n_nationkey") < 10), t)
+      graft.interop.DeltaLake.write(
+        n.where(col("n_nationkey") >= 10)
+          .withColumn("n_nationkey", col("n_nationkey").cast(LongType)), t)
+      graft.interop.DeltaLake.read(s, t)
+    },
+
     // Iceberg schema evolution on append: int→long key widening + a new
     // nullable column, committed as a new schema-id; old files project
     // through the evolved schema by field id.

@@ -645,6 +645,35 @@ class InteropSpec extends SparkSpec {
     assert(backCm.where($"n_nationkey" < 10).where($"tag".isNotNull).count() == 0)
   }
 
+  test("delta: type widening on append — schema + protocol upgrade, old files up-cast") {
+    import org.apache.spark.sql.types.{LongType, DoubleType}
+    val t = tmpDir("delta-widen")
+    DeltaLake.write(nation.where($"n_nationkey" < 10), t) // n_nationkey/n_regionkey are INT
+    DeltaLake.write(nation.where($"n_nationkey" >= 10)
+      .withColumn("n_nationkey", $"n_nationkey".cast("long"))
+      .withColumn("n_regionkey", $"n_regionkey".cast("double")), t)
+    val snap = DeltaLake.snapshot(spark, t)
+    assert(snap.schema("n_nationkey").dataType == LongType)
+    assert(snap.schema("n_regionkey").dataType == DoubleType)
+    val tc = snap.schema("n_nationkey").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 && tc(0).getString("fromType") == "integer" &&
+      tc(0).getString("toType") == "long")
+    val p = snap.protocol.get
+    assert(p.get("minReaderVersion").asInt == 3 && p.get("minWriterVersion").asInt == 7)
+    assert(p.get("readerFeatures").toString.contains("typeWidening"))
+    assert(p.get("writerFeatures").toString.contains("appendOnly"), "legacy implied features enumerated")
+    // read back: pre-change int32 files up-cast at scan; values preserved
+    val back = DeltaLake.read(spark, t)
+    assert(back.schema("n_nationkey").dataType == LongType)
+    assert(back.count() == nation.count())
+    assert(back.agg(sum($"n_nationkey")).head.getLong(0) ==
+      nation.agg(sum($"n_nationkey".cast("long"))).head.getLong(0))
+    // a narrower INCOMING frame still appends (up-cast at staging, no evolution)
+    DeltaLake.write(nation.where($"n_nationkey" === 0)
+      .withColumn("n_nationkey", $"n_nationkey" + 200), t)
+    assert(DeltaLake.read(spark, t).where($"n_nationkey" === 200).count() == 1)
+  }
+
   test("delta: column-mapping writes — create name-mode, append, DV delete, partition delete") {
     import scala.jdk.CollectionConverters._
     val t = tmpDir("delta-cm-write")
