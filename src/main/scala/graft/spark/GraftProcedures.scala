@@ -27,7 +27,7 @@ import graft.catalog.GraftCatalog
 object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
-  val Names: Seq[String] = Seq("compact", "analyze", "zorder", "janitor")
+  val Names: Seq[String] = Seq("compact", "analyze", "zorder", "janitor", "estimate")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] =
     if (!ident.namespace().sameElements(Namespace)) None
@@ -50,6 +50,7 @@ object GraftProcedures {
       case "analyze" => "backfill the per-file column-stats skip index (metadata-only)"
       case "zorder" => "set compaction.zorder and recluster the table"
       case "janitor" => "fail timed-out transactions and sweep their staged files"
+      case "estimate" => "estimate the in-memory resources to process a table (manifest metadata only)"
     }
     override def bind(inputType: StructType): BoundProcedure =
       new GraftBoundProcedure(root, proc)
@@ -67,6 +68,7 @@ object GraftProcedures {
       case "zorder" => Array(in("table", StringType), in("columns", StringType))
       case "janitor" => Array(
         inDefault("timeout_ms", LongType, (24L * 3600 * 1000).toString))
+      case "estimate" => Array(in("table", StringType))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -90,6 +92,11 @@ object GraftProcedures {
           // through the public wrapper, same as the programmatic surface
           val (failed, removed) = cat.janitor(input.getLong(0))
           s"failed $failed stale txn(s), removed $removed file(s)"
+        case "estimate" =>
+          val t = input.getUTF8String(0).toString
+          val e = cat.estimateResources(t)
+          s"$t: ~${e.memoryBytes.toLong} bytes in memory / ${e.onDiskBytes} on disk, " +
+            s"${e.records} rows in ${e.files} file(s) via ${e.methodsUsed.keys.mkString("+")}"
       }
       java.util.Collections.singletonList[Scan](new MessageScan(msg)).iterator()
     }

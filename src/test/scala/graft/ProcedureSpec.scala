@@ -33,6 +33,9 @@ class ProcedureSpec extends SparkSpec {
     assert(!pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete))
     val a = spark.sql(s"CALL $cn.system.analyze(`table` => 'q.t')").collect()
     assert(a.head.getString(0).contains("backfilled stats for 0"))
+    val e = spark.sql(s"CALL $cn.system.estimate(`table` => 'q.t')").collect()
+    assert(e.head.getString(0).contains("rows in") &&
+      e.head.getString(0).contains("content_type_meta"), e.head.getString(0))
   }
 
   test("CALL system.zorder reclusters; SHOW PROCEDURES lists them") {
