@@ -1181,6 +1181,40 @@ object CatalogQueries {
       Seq((est.records, est.memoryBytes)).toDF("records", "est_memory_bytes")
     },
 
+    // Namespace lifecycle + list/exists (SURVEY §2 rows 56/57): create,
+    // list (nested dropped), tables listed per namespace, drop CASCADE
+    // removes both. The terminal inventory is the deterministic frame.
+    Q("c70_namespace_ops", Some("""
+      SELECT 'a' AS ns, 'r1' AS tbl UNION ALL
+      SELECT 'a', 'r2' UNION ALL SELECT 'b', 'r3'""")) { (s, dir) =>
+      val cat = newCat(s, "c70")
+      val r = tbl(s, dir, "region")
+      cat.createNamespace("a"); cat.createNamespace("b"); cat.createNamespace("gone")
+      cat.writeToTable(r, "a.r1"); cat.writeToTable(r, "a.r2")
+      cat.writeToTable(r, "b.r3"); cat.writeToTable(r, "gone.r4")
+      cat.dropNamespace("gone", cascade = true)
+      assert(!cat.namespaceExists("gone") && !cat.tableExists("gone.r4"))
+      assert(cat.tableExists("a.r1") && !cat.tableExists("a.r9"))
+      import s.implicits._
+      cat.listNamespaces().sorted
+        .flatMap(ns => cat.listTables(ns).sorted.map(t => (ns, t)))
+        .toDF("ns", "tbl")
+    },
+
+    // Txn-log janitor (SURVEY §2 row 44): an abandoned in-flight txn is
+    // failed and its staged files swept; committed data is untouched.
+    Q("c71_janitor", Some("""
+      SELECT CAST(1 AS INTEGER) AS failed_txns, CAST(count(*) AS BIGINT) AS rows_after
+      FROM region""")) { (s, dir) =>
+      val cat = newCat(s, "c71")
+      cat.writeToTable(tbl(s, dir, "region"), "q.r")
+      val abandoned = cat.transaction("never sealed")
+      cat.writeToTable(tbl(s, dir, "region"), "q.r", WriteMode.Add, txn = Some(abandoned))
+      val (failed, _) = cat.janitor(timeoutMillis = 0) // 0: everything in-flight is stale
+      import s.implicits._
+      Seq((failed, cat.readTable("q.r").count())).toDF("failed_txns", "rows_after")
+    },
+
     // Interactive transaction pause/resume (SURVEY §2 row 42): a two-phase
     // ingest staged across a pause — a NEW handle resumes by txn id and
     // both halves land in ONE atomic commit. The terminal state equals the
