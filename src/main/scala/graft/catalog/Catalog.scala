@@ -47,7 +47,12 @@ final case class ReadOptions(
       * (push_down.py:32). Applied to the result for correctness AND
       * evaluated against per-file footer stats (ManifestEntry.stats) to
       * skip whole files at planning time (StatsSkip). */
-    rowFilter: Option[Column] = None)
+    rowFilter: Option[Column] = None,
+    /** Snapshot-isolation read-your-writes (reference txn reads): a read
+      * WITHIN an open transaction sees that txn's staged metadata and
+      * deltas on top of the committed snapshot; every other reader sees
+      * neither until seal. */
+    txn: Option[graft.txn.Transaction] = None)
 
 class TableAlreadyExists(t: String) extends RuntimeException(s"table $t already exists")
 class TableNotFound(t: String) extends RuntimeException(s"table $t not found")
@@ -744,12 +749,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   // ------------------------------------------------------------- read path
   def readTable(table: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     val t = th(table)
-    val meta = currentMeta(t, opts.asOf, None).filter(!_.dropped)
+    val meta = currentMeta(t, opts.asOf, opts.txn).filter(!_.dropped)
       .getOrElse(throw new TableNotFound(table))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val scheme = partitionSchemeOf(meta)
-    val deltas = effectiveDeltas(t, opts.asOf)
+    val deltas = effectiveDeltas(t, opts.asOf, opts.txn)
 
     val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts,
       dataDir(t).toString, contentTypeOf(meta))
@@ -1245,8 +1250,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     }
 
   /** Visible deltas after the last REPLACE marker, ascending stream position. */
-  private[graft] def effectiveDeltas(t: TableHandle, asOf: Option[Long]): Seq[DeltaMeta] = {
-    val all = visibleDeltas(t, asOf, None).map(_._2)
+  private[graft] def effectiveDeltas(t: TableHandle, asOf: Option[Long],
+      within: Option[Transaction] = None): Seq[DeltaMeta] = {
+    val all = visibleDeltas(t, asOf, within).map(_._2)
     val lastReplace = all.zipWithIndex
       .filter(_._1.properties.get("replace").contains("true")).map(_._2).lastOption
     lastReplace match {

@@ -1215,6 +1215,24 @@ object CatalogQueries {
       Seq((failed, cat.readTable("q.r").count())).toDF("failed_txns", "rows_after")
     },
 
+    // Snapshot-isolation read-your-writes (SURVEY §2 row 47): a read
+    // WITHIN an open txn sees its staged delta; a plain read does not.
+    Q("c72_read_your_writes", Some("""
+      SELECT 'outside' AS reader, CAST(count(*) AS BIGINT) AS n FROM region
+      UNION ALL
+      SELECT 'within', CAST(2 * count(*) AS BIGINT) FROM region""")) { (s, dir) =>
+      val cat = newCat(s, "c72")
+      val r = tbl(s, dir, "region")
+      cat.writeToTable(r, "q.r")
+      val tx = cat.transaction("open writer")
+      cat.writeToTable(r, "q.r", WriteMode.Add, txn = Some(tx))
+      import s.implicits._
+      Seq(
+        ("outside", cat.readTable("q.r").count()),
+        ("within", cat.readTable("q.r", ReadOptions(txn = Some(tx))).count())
+      ).toDF("reader", "n")
+    },
+
     // Interactive transaction pause/resume (SURVEY §2 row 42): a two-phase
     // ingest staged across a pause — a NEW handle resumes by txn id and
     // both halves land in ONE atomic commit. The terminal state equals the
