@@ -52,12 +52,14 @@ object Compactor {
     * the `compaction.num_buckets` table property all take precedence. Floor
     * 8 keeps toy tables multi-task; cap 16384 bounds file count (buckets ×
     * slices) on very large tables. */
-  def suggestBuckets(onDiskBytes: Long): Int = {
-    // overflow-safe ceiling: Long.MaxValue-sized stats estimates exist
-    val ceil = onDiskBytes / TargetBucketBytes +
-      (if (onDiskBytes % TargetBucketBytes == 0) 0 else 1)
+  /** Shared floor-8 / cap-16384 bucket-count shape. Overflow-safe:
+    * Long.MaxValue-sized stats estimates exist. */
+  private def suggest(bytes: Double, targetPerBucket: Long): Int = {
+    val ceil = math.ceil(math.min(bytes, Long.MaxValue.toDouble) / targetPerBucket).toLong
     math.min(16384L, math.max(8L, ceil)).toInt
   }
+
+  def suggestBuckets(onDiskBytes: Long): Int = suggest(onDiskBytes.toDouble, TargetBucketBytes)
 
   /** Target IN-MEMORY bytes one bucket's sorted-write task should hold —
     * what TargetBucketBytes approximates via the blanket 4× inflation.
@@ -67,11 +69,8 @@ object Compactor {
   /** Bucket count from an estimated in-memory footprint (same floor/cap as
     * suggestBuckets) — the resource-estimation-driven layout sizing the
     * reference's compactor derives from its estimates. */
-  def suggestBucketsFromMemory(memBytes: Double): Int = {
-    val ceil = math.ceil(
-      math.min(memBytes, Long.MaxValue.toDouble) / TargetBucketMemoryBytes).toLong
-    math.min(16384L, math.max(8L, ceil)).toInt
-  }
+  def suggestBucketsFromMemory(memBytes: Double): Int =
+    suggest(memBytes, TargetBucketMemoryBytes)
 
   def compact(cat: GraftCatalog, table: String, numBuckets: Int = 8): Unit = {
     val spark = cat.spark

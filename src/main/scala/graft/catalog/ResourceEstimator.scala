@@ -195,11 +195,16 @@ object ResourceEstimator {
 
   /** Footer-probe a sample of entries — a Spark job past the driver
     * threshold, mirroring the commit path's distributed footer pass. */
-  private def sampleEstimates(spark: SparkSession, paths: Seq[String]): Map[String, Double] =
+  /** Paths whose footers cannot be opened (non-parquet content types,
+    * unreadable files) are simply absent from the result — the caller's
+    * chain falls through to previous_inflation for them. */
+  private def sampleEstimates(spark: SparkSession, paths: Seq[String]): Map[String, Double] = {
+    def tryProbe(p: String, conf: Configuration): Option[(String, Double)] =
+      try Some(p -> estimateFooterBytes(p, conf)) catch { case _: Exception => None }
     if (paths.isEmpty) Map.empty
     else if (paths.size < 16) {
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> estimateFooterBytes(p, conf)).toMap
+      paths.flatMap(p => tryProbe(p, conf)).toMap
     } else {
       val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
       val confBc = spark.sparkContext.broadcast(
@@ -207,9 +212,10 @@ object ResourceEstimator {
       spark.sparkContext.parallelize(paths, slices)
         .mapPartitions { it =>
           val conf = confBc.value.value
-          it.map(p => p -> estimateFooterBytes(p, conf))
+          it.flatMap(p => tryProbe(p, conf))
         }.collect().toMap
     }
+  }
 
   // ------------------------------------------------------------ driver
 
@@ -223,10 +229,9 @@ object ResourceEstimator {
     var pending = entries
     for (step <- params.method.chain if pending.nonEmpty) step match {
       case "content_type_meta" =>
-        val (ok, rest) = pending.partition(e => contentTypeMeta(e, params.parquetToArrowInflation).isDefined)
-        resolved ++= ok.map(e =>
-          e.path -> (contentTypeMeta(e, params.parquetToArrowInflation).get, step))
-        pending = rest
+        val est = pending.map(e => e -> contentTypeMeta(e, params.parquetToArrowInflation))
+        resolved ++= est.collect { case (e, Some(v)) => e.path -> (v, step) }
+        pending = est.collect { case (e, None) => e }
       case "intelligent" =>
         val est = pending.map(e => e -> intelligentFromManifest(schema, e, params.parquetToArrowInflation))
         resolved ++= est.collect { case (e, Some(v)) => e.path -> (v, step) }
@@ -259,7 +264,10 @@ object ResourceEstimator {
     * at table granularity. */
   def estimate(cat: GraftCatalog, table: String, params: Params = Params(),
       asOf: Option[Long] = None): Estimate = {
-    val meta = cat.getTableMeta(table)
+    // schema as-of the SAME snapshot as the deltas — pricing historical
+    // entries against a later evolved schema would mis-cost dropped or
+    // widened columns
+    val meta = cat.getTableMeta(table, asOf)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val deltas = cat.effectiveDeltas(cat.handleOf(table), asOf)
     val (base, pending) = MergeRead.activeDeltas(deltas)

@@ -397,7 +397,11 @@ object DeltaLake {
             require(f.nullable, s"new column ${f.name} must be nullable (add-column evolution)")
             f.copy(nullable = true)
           }
-        if (snap.columnMappingMode == "none")
+        // a shape difference with NO schema change (narrower incoming data
+        // that merely up-casts at staging) must not republish metaData on
+        // every append — pure log bloat
+        if (addedPlain.isEmpty && StructType(kept) == snap.schema) None
+        else if (snap.columnMappingMode == "none")
           Some((StructType(kept ++ addedPlain), 0L, anyWidened))
         else {
           val (mappedAdded, maxId) =
@@ -463,7 +467,7 @@ object DeltaLake {
     // the feature).
     evolved.foreach { case (_, maxId, widened) =>
       if (widened && !hasFeature(snapOpt.flatMap(_.protocol), "typeWidening"))
-        actions += typeWideningProtocolAction(snapOpt.flatMap(_.protocol))
+        actions += featureProtocolAction(snapOpt.flatMap(_.protocol), "typeWidening")
       val node: ObjectNode = rawMetaDataNode(table).getOrElse {
         val snap = snapOpt.get
         metaDataAction(tableSchema, snap.partitionColumns,
@@ -1003,20 +1007,9 @@ object DeltaLake {
           stats = if (meta.isNullAt(4)) None else Some(meta.getString(4))))
     }
 
-    val needUpgrade = !snap.protocol.exists(p => p.has("readerFeatures") &&
-      p.get("readerFeatures").elements().asScala.exists(_.asText() == "deletionVectors"))
     val actions = Seq.newBuilder[JsonNode]
-    if (needUpgrade) {
-      val p = obj()
-      p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
-      val rf = mapper.createArrayNode(); rf.add("deletionVectors")
-      val wf = mapper.createArrayNode(); wf.add("deletionVectors")
-      // a v2 column-mapping table upgraded to the features protocol must
-      // re-declare columnMapping explicitly or readers drop the mapping
-      if (snap.columnMappingMode != "none") { rf.add("columnMapping"); wf.add("columnMapping") }
-      p.set[JsonNode]("readerFeatures", rf); p.set[JsonNode]("writerFeatures", wf)
-      val w = obj(); w.set[JsonNode]("protocol", p); actions += w
-    }
+    if (!hasFeature(snap.protocol, "deletionVectors"))
+      actions += featureProtocolAction(snap.protocol, "deletionVectors")
     actions ++= adds
     actions += commitInfoAction("DELETE")
     val v = commit(table, versions(table), actions.result())
@@ -1068,10 +1061,11 @@ object DeltaLake {
     protocol.exists(p => p.has("readerFeatures") &&
       p.get("readerFeatures").elements().asScala.exists(_.asText() == feature))
 
-  /** Protocol upgrade to the table-features form (3, 7) adding
-    * typeWidening. Per PROTOCOL.md, the feature lists must ENUMERATE every
-    * feature the legacy version pair implied, plus the new one. */
-  private def typeWideningProtocolAction(prev: Option[JsonNode]): JsonNode = {
+  /** Protocol upgrade to the table-features form (3, 7) adding `feature`
+    * (reader+writer). Per PROTOCOL.md, the feature lists must ENUMERATE
+    * every feature the legacy version pair implied, plus the new one —
+    * shared by the typeWidening and deletionVectors upgrade paths. */
+  private def featureProtocolAction(prev: Option[JsonNode], feature: String): JsonNode = {
     val (minR, minW) = prev.map(p =>
       (p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt()))
       .getOrElse((1, 2))
@@ -1084,7 +1078,9 @@ object DeltaLake {
     val writerLegacy: Seq[String] =
       if (minW >= 7) prevList("writerFeatures")
       else minW match { // cumulative legacy writer implications, spec table
-        case v if v >= 5 => Seq("appendOnly", "invariants", "checkConstraints",
+        case v if v >= 6 => Seq("appendOnly", "invariants", "checkConstraints",
+          "changeDataFeed", "generatedColumns", "columnMapping", "identityColumns")
+        case 5 => Seq("appendOnly", "invariants", "checkConstraints",
           "changeDataFeed", "generatedColumns", "columnMapping")
         case 4 => Seq("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
           "generatedColumns")
@@ -1094,9 +1090,9 @@ object DeltaLake {
     val p = obj(); val inner = obj()
     inner.put("minReaderVersion", 3); inner.put("minWriterVersion", 7)
     val rf = mapper.createArrayNode()
-    (readerLegacy :+ "typeWidening").distinct.foreach(rf.add)
+    (readerLegacy :+ feature).distinct.foreach(rf.add)
     val wf = mapper.createArrayNode()
-    (writerLegacy :+ "typeWidening").distinct.foreach(wf.add)
+    (writerLegacy :+ feature).distinct.foreach(wf.add)
     inner.set[JsonNode]("readerFeatures", rf)
     inner.set[JsonNode]("writerFeatures", wf)
     p.set("protocol", inner); p

@@ -305,6 +305,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newSigs.count()
     val corpusSigs = corpusIndex.select(col(idCol).as("id"), col("sig"))
+    // a bands/rowsPerBand mismatch vs the persisted index would not error —
+    // it would silently band-hash past the signature and prefilter every
+    // true duplicate away — so fail fast on the first row's length
+    corpusSigs.select(size(col("sig"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"corpus index signatures have ${r.getInt(0)} hashes but bands*rowsPerBand = $numHashes — " +
+          "pass the same (bands, rowsPerBand) the index was built with")
+    }
     val newBuckets = bucketsOf(newSigs, bands, rowsPerBand)
     val corpusBuckets = bucketsOf(corpusSigs, bands, rowsPerBand)
     // Hot-bucket cap on the CORPUS side (the unbounded one): same

@@ -197,7 +197,7 @@ object Multimodal {
             "bad frame-stream magic — not a GMJ1 payload")
           val n = bb.getInt
           (0 until n).iterator.flatMap { idx =>
-            val ts = bb.getInt.toLong
+            val ts = bb.getInt.toLong & 0xFFFFFFFFL // declared u32: no sign extension
             val len = bb.getInt
             if (idx % everyNth != 0) { // skip without decoding
               bb.position(bb.position() + len); None

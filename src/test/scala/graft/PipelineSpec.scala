@@ -51,6 +51,18 @@ class PipelineSpec extends SparkSpec {
       .count() == incoming.count())
   }
 
+  test("incremental near-dup refuses a signature index built with other band params") {
+    val docs = spark.read.parquet(s"$sfd/documents.parquet").select("doc_id", "text")
+    val corpus = docs.where($"doc_id" % 3 =!= 0)
+    val idx32 = Dedup.minhashSignatures(corpus, "doc_id", "text",
+      bands = 4, rowsPerBand = 8, wordGrams = Some(2)) // 32 hashes
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(docs.where($"doc_id" % 3 === 0), idx32, corpus,
+        "doc_id", "text", bands = 8, rowsPerBand = 8, wordGrams = Some(2)).count()
+    }
+    assert(e.getMessage.contains("32 hashes"))
+  }
+
   test("minhash LSH finds a high-jaccard planted pair; no cross join") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
     val near = base.replace("tonight", "tomorrow")

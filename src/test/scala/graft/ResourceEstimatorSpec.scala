@@ -78,6 +78,18 @@ class ResourceEstimatorSpec extends SparkSpec {
     assert(est.records == (entry.sizeBytes * 2.0 / 4.0).toLong)
   }
 
+  test("DefaultV2 on a non-parquet table falls through sampling to previous inflation") {
+    val cat = newCatalog()
+    cat.createTable("re.g", StructType(Seq(FieldMeta.field("id", LongType, nullable = false))),
+      properties = Map("content_type" -> "csv"))
+    cat.writeToTable((1L to 50L).toDF("id"), "re.g")
+    // intelligent declines (no stats), sampling probes fail (csv footers),
+    // previous_inflation resolves — no crash
+    val est = cat.estimateResources("re.g", Params(method = Method.DefaultV2))
+    assert(est.methodsUsed == Map("previous_inflation" -> est.files))
+    assert(est.memoryBytes > 0)
+  }
+
   test("strict single-method params refuse when prerequisites are missing") {
     val cat = newCatalog()
     cat.createTable("re.e", StructType(Seq(FieldMeta.field("id", LongType, nullable = false))),
