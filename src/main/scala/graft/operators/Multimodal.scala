@@ -153,6 +153,60 @@ object Multimodal {
     }
   }
 
+  /** Per-image patch-grid luma vector. */
+  final case class PatchFeatures(doc_id: Long, features: Array[Double])
+
+  /** FEATURE-EXTRACT step: decode and reduce each image to a grid²-dim
+    * vector of per-patch mean luminance — the cheap classic visual
+    * embedding. The output column feeds the ANN / semantic-dedup operators
+    * directly (Similarity.*, Quantization.*), completing the
+    * decode → feature-extract → embed → dedup/search pipeline. Patch (i,j)
+    * covers pixel rows [i·h/g, (i+1)·h/g) × cols [j·w/g, (j+1)·w/g)
+    * (integer bounds), index = i·g + j. */
+  def patchFeatures(spark: SparkSession, media: DataFrame, grid: Int,
+      strict: Boolean = false): Dataset[PatchFeatures] = {
+    import spark.implicits._
+    require(grid >= 1, "grid >= 1")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = readImage(r.payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= grid && h >= grid, s"image ${w}x$h smaller than grid $grid")
+          val feats = new Array[Double](grid * grid)
+          var i = 0
+          while (i < grid) {
+            var j = 0
+            while (j < grid) {
+              val (y0, y1) = (i * h / grid, (i + 1) * h / grid)
+              val (x0, x1) = (j * w / grid, (j + 1) * w / grid)
+              var sum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+                    29 * (rgb & 0xFF)) >> 8
+                  x += 1
+                }
+                y += 1
+              }
+              feats(i * grid + j) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0))
+              j += 1
+            }
+            i += 1
+          }
+          Some(PatchFeatures(r.doc_id, feats))
+        } catch {
+          case e: Exception if !strict => None
+          case e: Exception => throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: patch feature extraction failed", e)
+        }
+      }
+    }
+  }
+
   // -------------------------------------------------------------- video
 
   /** One sampled, decoded video frame. */

@@ -522,6 +522,43 @@ object PipelineQueries {
         .withColumn("rms", round(col("rms"), 9))
     },
 
+    // Image FEATURE-EXTRACT: decode a synthesized 8×8 gradient image
+    // (pixel gray = (7x+13y+doc_id)%256, lossless PNG) and reduce to a 2×2
+    // patch-mean-luma grid — every value is exact pixel arithmetic the
+    // oracle replays over generate_series.
+    Q("t27_image_patches", Some("""
+      WITH px AS (
+        SELECT d.doc_id, x.x, y.y,
+               CAST((x.x*7 + y.y*13 + d.doc_id) % 256 AS DOUBLE) AS g
+        FROM documents d CROSS JOIN range(8) x(x) CROSS JOIN range(8) y(y))
+      SELECT doc_id, CAST((y//4)*2 + (x//4) AS INTEGER) AS patch, avg(g) AS mean_gray
+      FROM px GROUP BY doc_id, (y//4)*2 + (x//4)""")) { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val g = ((x * 7 + y * 13 + id) % 256).toInt
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val b = bos.toByteArray
+            Multimodal.MediaRow(id, b, "image/png", b.length.toLong)
+          }
+        }.toDF()
+      Multimodal.patchFeatures(s, media, grid = 2, strict = true).toDF()
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("patch", "mean_gray")))
+    },
+
     // Incremental near-dup: batch (doc_id%4=0) against the standing corpus
     // (rest) via its persisted signature index — corpus text is touched
     // only for verified candidates. Oracle = the exact batch×corpus

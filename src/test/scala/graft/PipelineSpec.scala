@@ -51,6 +51,30 @@ class PipelineSpec extends SparkSpec {
       .count() == incoming.count())
   }
 
+  test("incremental near-dup equals the batch-crossing subset of the full-corpus pairs") {
+    val docs = spark.read.parquet(s"$sfd/documents.parquet").select("doc_id", "text")
+    val corpus = docs.where($"doc_id" % 3 =!= 0)
+    val batch = docs.where($"doc_id" % 3 === 0)
+    val idx = Dedup.minhashSignatures(corpus, "doc_id", "text", wordGrams = Some(2))
+    val inc = Dedup.incrementalNearDupPairs(batch, idx, corpus, "doc_id", "text",
+      threshold = 0.9, wordGrams = Some(2))
+      .select($"id_new", $"id_corpus", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same banding over the union: a crossing pair shares a band bucket in
+    // the incremental join iff it does in the all-pairs job
+    val full = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.9, wordGrams = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (a % 3 == 0, b % 3 == 0) match {
+          case (true, false) => Some((a, b, j))
+          case (false, true) => Some((b, a, j))
+          case _ => None
+        }
+      }.toSet
+    assert(inc == full, s"incremental=${inc.size} fullCrossing=${full.size}")
+  }
+
   test("incremental near-dup refuses a signature index built with other band params") {
     val docs = spark.read.parquet(s"$sfd/documents.parquet").select("doc_id", "text")
     val corpus = docs.where($"doc_id" % 3 =!= 0)
