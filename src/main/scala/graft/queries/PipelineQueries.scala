@@ -522,6 +522,20 @@ object PipelineQueries {
         .withColumn("rms", round(col("rms"), 9))
     },
 
+    // BPE segmentation (Sennrich et al. 2016) under an EMPTY merge list:
+    // pure character segmentation, so n_bpe = chars-in-tokens + one
+    // end-of-word sentinel per token — exact SQL arithmetic. Training
+    // (iterative argmax) is not SQL-expressible; BpeSpec proves the paper's
+    // example merge sequence and end-to-end train+apply on this corpus.
+    Q("t28_bpe_chars", Some("""
+      SELECT doc_id,
+             CAST(length(array_to_string(regexp_extract_all(lower(text), '\S+'), ''))
+                  + len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_bpe
+      FROM documents""")) { (s, dir) =>
+      Bpe.applyBpe(tbl(s, dir, "documents"), "doc_id", "text", Nil)
+        .select(col("doc_id"), col("n_bpe"))
+    },
+
     // Image FEATURE-EXTRACT: decode a synthesized 8×8 gradient image
     // (pixel gray = (7x+13y+doc_id)%256, lossless PNG) and reduce to a 2×2
     // patch-mean-luma grid — every value is exact pixel arithmetic the
