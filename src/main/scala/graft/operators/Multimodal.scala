@@ -339,4 +339,77 @@ object Multimodal {
     WavFeatures(docId, channels, rate, bits, nFrames,
       if (rate == 0) 0L else nFrames * 1000L / rate, rms)
   }
+
+  /** Extended audio features (the audio FEATURE-EXTRACT step): RMS plus
+    * zero-crossing count and normalized peak over the first channel. */
+  final case class AudioFeatures(doc_id: Long, n_frames: Long, rms: Double,
+      zero_crossings: Long, peak: Double)
+
+  /** Second decode pass re-using the WAV demux: sign changes between
+    * consecutive first-channel samples (zeros carry the previous sign) and
+    * max |sample| in [-1, 1]. Same per-partition executor shape as
+    * decodeWav. */
+  def audioFeatures(spark: SparkSession, media: DataFrame,
+      strict: Boolean = false): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val base = parseWav(r.doc_id, r.payload)
+          val (zc, peak) = wavZcPeak(r.payload)
+          Some(AudioFeatures(r.doc_id, base.n_frames, base.rms, zc, peak))
+        } catch {
+          case e: Exception if !strict => None
+          case e: Exception => throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: audio feature extraction failed", e)
+        }
+      }
+    }
+  }
+
+  /** (zero crossings, normalized peak) of the first channel. */
+  private def wavZcPeak(b: Array[Byte]): (Long, Double) = {
+    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xFFFFFFFFL
+    var pos = 12
+    var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = u32(pos + 4)
+      id match {
+        case "fmt " => channels = u16(pos + 10); bits = u16(pos + 22)
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => ()
+      }
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    val bytesPer = bits / 8
+    val frameBytes = bytesPer * channels
+    val nFrames = dataLen / frameBytes
+    val full = (1L << (bits - 1)).toDouble
+    var zc = 0L
+    var peak = 0.0
+    var prevSign = 0 // 0 = no signed sample seen yet
+    var f = 0L
+    while (f < nFrames) {
+      val off = dataOff + (f * frameBytes).toInt
+      val v: Long = bits match {
+        case 8 => (b(off) & 0xFF) - 128L
+        case 16 => u16(off).toShort.toLong
+        case 24 => ((u16(off).toLong | ((b(off + 2) & 0xFF).toLong << 16)) << 40) >> 40
+        case 32 => (u32(off) << 32) >> 32
+        case other => throw new IllegalArgumentException(s"unsupported PCM depth $other")
+      }
+      val a = math.abs(v) / full
+      if (a > peak) peak = a
+      val sign = java.lang.Long.signum(v)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+      }
+      f += 1
+    }
+    (zc, peak)
+  }
 }

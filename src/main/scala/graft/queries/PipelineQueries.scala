@@ -522,6 +522,43 @@ object PipelineQueries {
         .withColumn("rms", round(col("rms"), 9))
     },
 
+    // Audio FEATURE-EXTRACT: an alternating-sign square wave makes every
+    // extended feature exact arithmetic — n-1 zero crossings, peak = rms =
+    // A/32768.
+    Q("t29_audio_features", Some("""
+      SELECT doc_id,
+             CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+             round((1000 + (doc_id % 10) * 100) / 32768.0, 9) AS rms,
+             CAST(99 + doc_id % 50 AS BIGINT) AS zero_crossings,
+             round((1000 + (doc_id % 10) * 100) / 32768.0, 9) AS peak
+      FROM documents""")) { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val n = (100 + id % 50).toInt
+            val amp = (1000 + (id % 10) * 100).toShort
+            val dataLen = n * 2
+            val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+              .put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+            bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+            var i = 0
+            while (i < n) {
+              bb.putShort(if (i % 2 == 0) amp else (-amp).toShort); i += 1
+            }
+            val b = bb.array()
+            Multimodal.MediaRow(id, b, "audio/wav", b.length.toLong)
+          }
+        }.toDF()
+      Multimodal.audioFeatures(s, media, strict = true).toDF()
+        .withColumn("rms", round(col("rms"), 9))
+        .withColumn("peak", round(col("peak"), 9))
+    },
+
     // BPE segmentation (Sennrich et al. 2016) under an EMPTY merge list:
     // pure character segmentation, so n_bpe = chars-in-tokens + one
     // end-of-word sentinel per token — exact SQL arithmetic. Training
