@@ -189,6 +189,34 @@ object TextOps {
     pmod(conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType),
       buckets.cast(LongType)).cast(IntegerType)
 
+  /** Corpus MIXING to per-source token budgets — the data-mixture step of
+    * pretraining (static DoReMi-style reweighting): one map-side-combinable
+    * aggregate counts tokens per source (the result is #sources rows —
+    * metadata-sized at any corpus scale), each listed source derives a
+    * keep-fraction min(1, budget ÷ available), and rows are kept by the
+    * same deterministic id-hash contract as [[deterministicSample]] — the
+    * mixture is reproducible across runs, engines, and retries, and the
+    * per-source filter is a MAP-ONLY broadcast-map lookup (no join, no
+    * shuffle). Sources absent from `budgets` are dropped. Selection is by
+    * whole documents; the realized token count tracks fraction × available
+    * in expectation (exact targeting would be a per-doc knapsack — not a
+    * corpus-scale op). */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: Map[String, Long],
+      buckets: Int = 10000): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val toks = df.groupBy(col(sourceCol)).agg(sum(tokenCount(col(textCol))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds: Map[String, Int] = budgets.flatMap { case (src, budget) =>
+      toks.get(src).map { avail =>
+        val frac = if (avail <= 0) 0.0 else math.min(1.0, budget.toDouble / avail)
+        src -> math.round(frac * buckets).toInt
+      }
+    }
+    df.where(hashBucket(col(idCol), buckets) <
+      coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0)))
+  }
+
   /** Keep `fraction` of rows, deterministically by id hash. Map-side
     * filter: no shuffle, no RNG state. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,

@@ -522,6 +522,30 @@ object PipelineQueries {
         .withColumn("rms", round(col("rms"), 9))
     },
 
+    // Corpus mixing to per-source TOKEN budgets: token counts per source →
+    // keep-fraction → deterministic id-hash filter. The oracle recomputes
+    // fraction and bucket (t14's md5-prefix recipe) symbolically.
+    Q("t30_token_budget_mix", Some("""
+      WITH toks AS (SELECT source, CAST(sum(len(regexp_extract_all(text,'\S+'))) AS DOUBLE) AS t
+                    FROM documents GROUP BY source),
+      thr AS (SELECT source,
+                CAST(round(least(1.0, CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 5000
+                                        WHEN 'src2' THEN 600 END / t) * 10000, 0) AS BIGINT) AS cut
+              FROM toks WHERE source IN ('src0','src1','src2')),
+      h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      v AS (SELECT doc_id, source,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CAST(strpos('0123456789abcdef', substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+                  * (CAST(1 AS BIGINT) << CAST((7 - i) * 4 AS INT)))) AS BIGINT) % 10000 AS bucket
+            FROM h)
+      SELECT v.doc_id, v.source FROM v JOIN thr ON v.source = thr.source
+      WHERE v.bucket < thr.cut""")) { (s, dir) =>
+      TextOps.sampleToTokenBudget(tbl(s, dir, "documents"),
+        "doc_id", "text", "source",
+        Map("src0" -> 800L, "src1" -> 5000L, "src2" -> 600L))
+        .select("doc_id", "source")
+    },
+
     // Audio FEATURE-EXTRACT: an alternating-sign square wave makes every
     // extended feature exact arithmetic — n-1 zero crossings, peak = rms =
     // A/32768.
