@@ -1011,7 +1011,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
 
   /** One-row table summary — Delta's `DESCRIBE DETAIL` analog: physical
     * footprint, layout (buckets / z-order / sort / partitioning), pending
-    * merge-delta state, and skip-index coverage. Metadata-only. */
+    * merge-delta state, and skip-index coverage. Metadata-only.
+    * `num_rows` is the PHYSICAL (pre-merge) row count: with
+    * `unresolved_merge_deltas > 0` it includes superseded versions and
+    * tombstone rows, so it upper-bounds — and may exceed — the logical
+    * `readTable().count()`; resolving to logical rows would require the
+    * merge itself, which a metadata-only summary must not run. */
   def tableInfo(table: String): DataFrame = {
     import spark.implicits._
     val meta = getTableMeta(table)
@@ -1033,7 +1038,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       meta.partitionKeys.map(k => s"${k(0)}:${k(1)}").mkString(","),
       unresolved.toLong,
       entries.count(_.stats != null).toLong
-    )).toDF("table", "content_type", "num_files", "size_bytes", "num_rows",
+    )).toDF("table", "content_type", "num_files", "size_bytes", "num_rows_physical",
       "num_buckets", "zordered", "sort_keys", "partition_keys",
       "unresolved_merge_deltas", "files_with_stats")
   }
@@ -1104,8 +1109,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     val upTo =
       if (keyed) base.get.compactedUpTo
       else (foldable.map(_.streamPosition) ++ base.map(_.compactedUpTo)).max
-    val carried = Seq("num_buckets", "zordered").flatMap(k =>
-      foldable.flatMap(_.properties.get(k)).lastOption.map(k -> _))
+    // Layout properties (bucket count, z-order tag) describe the BASE's
+    // file layout. They carry onto the fold only when the fold is exactly
+    // the base: an append-only fold absorbing unclustered pending files
+    // stamped `zordered` would make the next compaction's incremental
+    // z-order path copy those files by reference forever — they would
+    // permanently escape reclustering (and a false `num_buckets` would
+    // falsify bucket-pruned reads the same way).
+    val foldIsBaseOnly = base.exists(b => foldable == Seq(b))
+    val carried =
+      if (!foldIsBaseOnly) Nil
+      else Seq("num_buckets", "zordered").flatMap(k =>
+        foldable.flatMap(_.properties.get(k)).lastOption.map(k -> _))
     val records = foldable.map(_.properties.getOrElse("record_count", "0").toLong).sum
     val txn = store.newTransaction(s"analyze $t")
     try {

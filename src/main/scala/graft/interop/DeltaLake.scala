@@ -113,8 +113,14 @@ object DeltaLake {
           .where(pred)
       case None => snap.files
     }
-    val allRows = active.select(col("path"), col("deletionVector"),
-      active.columns.find(_ == "stats").map(col).getOrElse(lit(null).cast(StringType)).as("stats"))
+    // stats JSON ships to the driver ONLY when a dataFilter will read it —
+    // on a plain read of a 10⁵-file foreign table the per-file stats
+    // strings are the bulk of the collect and would be discarded unread
+    val statsCol =
+      if (dataFilter.isEmpty) lit(null).cast(StringType).as("stats")
+      else active.columns.find(_ == "stats").map(col)
+        .getOrElse(lit(null).cast(StringType)).as("stats")
+    val allRows = active.select(col("path"), col("deletionVector"), statsCol)
       .collect().toSeq
     // Data skipping over the log's per-file stats: a file provably outside
     // the predicate's value range never gets opened. Conservative on every

@@ -26,7 +26,11 @@ private[graft] object InteropUtil {
     * leak the override into the session permanently. */
   def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val st = microsGuards.computeIfAbsent(spark, _ => new MicrosGuard)
+    val st = microsGuards.synchronized {
+      var g = microsGuards.get(spark)
+      if (g == null) { g = new MicrosGuard; microsGuards.put(spark, g) }
+      g
+    }
     st.synchronized {
       if (st.depth == 0) {
         st.saved = spark.conf.getOption(key)
@@ -46,8 +50,11 @@ private[graft] object InteropUtil {
     var depth: Int = 0
     var saved: Option[String] = None
   }
-  private val microsGuards =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, MicrosGuard]
+  // WeakHashMap (guarded by its own monitor): a session key is held weakly,
+  // so short-lived cloned/new sessions do not accumulate forever in a
+  // long-lived driver — a ConcurrentHashMap here was an unbounded leak of
+  // SparkSession (and SessionState) references.
+  private val microsGuards = new java.util.WeakHashMap[SparkSession, MicrosGuard]
 
   def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -159,46 +159,87 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       sealed_ = true
       throw new ConcurrentTxnConflict(s"txn $txnId was failed (janitor timeout?)")
     }
-    // Per-revision ATOMIC claims (CREATE_NEW) serialize [pre-check ..
-    // publish] for each staged revision. Without them there is a
-    // double-commit window: two racers both pass the pre-check, the
-    // smaller id publishes and runs its post-publish re-check BEFORE the
-    // larger publishes (sees nothing, keeps), and the larger's re-check
-    // only looks for LARGER ids — both commits survive at one revision,
-    // readers see two deltas at one stream position, and the
-    // lineage-by-position join duplicates every row of both files.
-    // Claims are acquired in global sorted order (deadlock-free), carry
-    // the owner txn id (stale claims of FAILED txns are reclaimable), are
-    // invisible to readers (listRevisionFiles keeps only *.json), and are
-    // released on every exit path below.
+    // Per-revision ATOMIC claims serialize [pre-check .. publish] for each
+    // staged revision. Without them there is a double-commit window: two
+    // racers both pass the pre-check, the smaller id publishes and runs
+    // its post-publish re-check BEFORE the larger publishes (sees nothing,
+    // keeps), and the larger's re-check only looks for LARGER ids — both
+    // commits survive at one revision, readers see two deltas at one
+    // stream position, and the lineage-by-position join duplicates every
+    // row of both files.
+    //
+    // A claim is a dot-DIRECTORY holding one MARKER FILE PER CONTENDER,
+    // named by the contender's txn id; the holder is the smallest
+    // still-pending marker (txn ids are time-ordered, so later arrivals
+    // order after a holder already in its section). Reclamation only ever
+    // deletes markers NAMED by txns observed failed-or-successful — both
+    // states are monotonic, so no interleaving can delete a live
+    // contender's marker (a single shared claim FILE would reopen the
+    // double-commit window via read-then-delete on reclaim: the delete can
+    // land on a LIVE claim that replaced the stale one in between).
+    // Claim dirs are acquired in global sorted order (deadlock-free), are
+    // invisible to readers (listRevisionFiles keeps only *.json), and all
+    // markers release on EVERY exit path, exceptional ones included.
+    // Liveness: a blocker that stopped heartbeating (crashed writer whose
+    // record still sits in running/) is FENCED via the janitor's
+    // lease-move primitive after `claimFenceMillis` idle — a write stalls
+    // behind a dead writer for bounded time, not until a 24h janitor run.
     val claims = staged.map(sw => (sw.dir, sw.rev)).distinct
       .sortBy { case (d, r) => (d.toString, r) }
-      .map { case (d, r) => d.resolve(f".claim_$r%020d") }
+      .map { case (d, r) => d.resolve(f".claimd_$r%020d") }
     val held = scala.collection.mutable.ArrayBuffer[Path]()
-    def releaseClaims(): Unit = { held.foreach(Files.deleteIfExists); held.clear() }
-    claims.foreach { c =>
+    def releaseClaims(): Unit = {
+      held.foreach { dir =>
+        Files.deleteIfExists(dir.resolve(txnId))
+        try Files.delete(dir) catch { case _: Exception => () } // non-empty/racing: fine
+      }
+      held.clear()
+    }
+    def claimDirNames(dir: Path): Seq[String] = {
+      val s = try Files.list(dir) catch { case _: java.nio.file.NoSuchFileException => null }
+      if (s == null) Nil
+      else try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+    }
+    // monotonic terminal states — safe to reclaim markers named by them
+    def isTerminal(id: String): Boolean =
+      Files.exists(store.failedDir.resolve(s"$id.json")) ||
+        Files.exists(store.successDir.resolve(s"$id.json"))
+    try claims.foreach { c =>
       var acquired = false
       var attempts = 0
       while (!acquired) {
         attempts += 1
         try {
-          Files.createDirectories(c.getParent)
-          Files.write(c, txnId.getBytes(StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE_NEW)
-          held += c; acquired = true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            val owner =
-              try new String(Files.readAllBytes(c), StandardCharsets.UTF_8)
-              catch { case _: Exception => "" }
-            if (owner.nonEmpty && store.isTxnFailed(owner)) Files.deleteIfExists(c)
-            else if (attempts > 200) { // ~2s: a live contender holds it — yield
-              releaseClaims(); abort()
+          Files.createDirectories(c)
+          try Files.write(c.resolve(txnId), Array.emptyByteArray, StandardOpenOption.CREATE_NEW)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () } // already ours
+        } catch { case _: java.io.IOException => () } // dir swept mid-create: retry below
+        val names = claimDirNames(c)
+        if (names.contains(txnId)) {
+          names.filter(n => n != txnId && isTerminal(n))
+            .foreach(n => Files.deleteIfExists(c.resolve(n)))
+          val pending = claimDirNames(c).filterNot(isTerminal)
+          if (pending.nonEmpty && pending.min == txnId) {
+            held += c; acquired = true
+          } else {
+            if (attempts % 100 == 0) // ~1s cadence: fence dead blockers
+              pending.filter(_ != txnId).foreach(store.fenceTxnIfStale(_, store.claimFenceMillis))
+            if (attempts > 600) { // ~6s of LIVE contention — yield deterministically
+              releaseClaims(); Files.deleteIfExists(c.resolve(txnId)); abort()
               throw new ConcurrentTxnConflict(
-                s"txn $txnId could not claim ${c.getFileName} (held by '$owner')")
-            } else Thread.sleep(10)
-        }
+                s"txn $txnId could not claim ${c.getFileName} " +
+                  s"(pending contenders: ${pending.filter(_ != txnId).take(3).mkString(",")})")
+            }
+            Thread.sleep(10)
+          }
+        } else Thread.sleep(1) // marker swept with the dir — recreate and retry
       }
+    } catch {
+      case e: ConcurrentTxnConflict => throw e
+      case e: Throwable => // never leak markers on an unexpected failure
+        releaseClaims()
+        claims.foreach(c => Files.deleteIfExists(c.resolve(txnId)))
+        throw e
     }
     try {
     // Pre-publish check: lose to (a) any *successful* txn that committed the
@@ -432,6 +473,36 @@ final class Metastore(val root: Path) {
    * failed transaction anywhere under the catalog root. Returns
    * (txnsFailed, filesRemoved). Driver-side, O(metadata tree).
    */
+  /** Idle threshold after which a claim-blocking writer may be fenced by a
+    * contender (the janitor's lease-move, targeted). Heartbeating writers
+    * refresh their running-record mtime and are never fenced. */
+  @volatile var claimFenceMillis: Long = 5L * 60 * 1000
+
+  /** Fence ONE txn iff its lease (running/paused record) has been idle
+    * longer than `maxIdleMillis` — the same atomic move the janitor uses,
+    * so a fenced-but-alive writer loses its later seal instead of
+    * committing. Returns true if this call did the fencing. */
+  private[txn] def fenceTxnIfStale(txnId: String, maxIdleMillis: Long): Boolean = {
+    val candidates = Seq(runningDir.resolve(s"$txnId.json"),
+      pausedDir.resolve(s"$txnId.json")).filter(Files.exists(_))
+    candidates.exists { p =>
+      val stale =
+        try {
+          val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
+            classOf[TxnRecord])
+          val last = math.max(rec.startTimeMillis, Files.getLastModifiedTime(p).toMillis)
+          System.currentTimeMillis() - last > maxIdleMillis
+        } catch { case _: Exception => false }
+      stale && {
+        try {
+          Files.createDirectories(failedDir)
+          Files.move(p, failedDir.resolve(p.getFileName))
+          invalidateTxnCache(); true
+        } catch { case _: Exception => false } // sealer or another fencer won
+      }
+    }
+  }
+
   def janitor(timeoutMillis: Long = 24L * 3600 * 1000): (Int, Int) = {
     val now = System.currentTimeMillis()
     var failed = 0

@@ -138,4 +138,44 @@ class ConcurrencySpec extends SparkSpec {
     assert(ms.isTxnSuccessful(t3.txnId))
     assert(ms.latestVisible(dir, None, None).exists(_._2.contains("\"v\":3")))
   }
+
+  test("a dead writer's claim marker is fenced by a contender; the write proceeds") {
+    val ms = new graft.txn.Metastore(java.nio.file.Paths.get(tmpDir("graft-claim")))
+    val dir = java.nio.file.Paths.get(tmpDir("graft-claim-data"))
+    // dead writer: running record idle past the fence threshold, holding a
+    // claim marker at the revision the next writer will take (a crash
+    // between marker creation and release)
+    val dead = ms.newTransaction("crashed mid-seal")
+    val rec = ms.runningDir.resolve(s"${dead.txnId}.json")
+    // backdate BOTH liveness signals: record start time and file mtime
+    java.nio.file.Files.write(rec, graft.txn.Json.write(graft.txn.TxnRecord(
+      dead.txnId, System.currentTimeMillis() - 3600 * 1000, -1L, "crashed", Nil))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.setLastModifiedTime(rec,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    val claimDir = dir.resolve(f".claimd_${1L}%020d")
+    java.nio.file.Files.createDirectories(claimDir)
+    java.nio.file.Files.write(claimDir.resolve(dead.txnId), Array.emptyByteArray)
+    // backdate the txn's own start time so mtime is the only liveness signal
+    val old = ms.claimFenceMillis
+    ms.claimFenceMillis = 1000L
+    try {
+      val live = ms.newTransaction("live contender")
+      live.stage(dir, 1L, "x", """{"v":1}""", "write")
+      live.seal() // must fence the dead blocker (not spin into a conflict)
+      assert(ms.isTxnSuccessful(live.txnId))
+      assert(ms.isTxnFailed(dead.txnId), "dead blocker should have been fenced")
+      assert(ms.latestVisible(dir, None, None).exists(_._2.contains("\"v\":1")))
+    } finally ms.claimFenceMillis = old
+    // a LIVE (recent-heartbeat) blocker is NOT fenced: contender yields
+    val holder = ms.newTransaction("live holder")
+    val claim2 = dir.resolve(f".claimd_${2L}%020d")
+    java.nio.file.Files.createDirectories(claim2)
+    java.nio.file.Files.write(claim2.resolve(holder.txnId), Array.emptyByteArray)
+    val loser = ms.newTransaction("yields to live holder")
+    loser.stage(dir, 2L, "y", """{"v":2}""", "write")
+    val e = intercept[ConcurrentTxnConflict](loser.seal())
+    assert(e.getMessage.contains("could not claim"))
+    assert(!ms.isTxnFailed(holder.txnId), "live holder must not be fenced")
+  }
 }
