@@ -1037,10 +1037,15 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       meta.sortKeys.map(_.head).mkString(","),
       meta.partitionKeys.map(k => s"${k(0)}:${k(1)}").mkString(","),
       unresolved.toLong,
-      entries.count(_.stats != null).toLong
+      entries.count(_.stats != null).toLong,
+      // in-memory footprint estimate (ResourceEstimator DEFAULT chain —
+      // manifest metadata only, no file opens)
+      ResourceEstimator.estimateEntryBytes(spark,
+        DataType.fromJson(meta.schemaJson).asInstanceOf[StructType], entries,
+        ResourceEstimator.Params()).map(_._2).sum.toLong
     )).toDF("table", "content_type", "num_files", "size_bytes", "num_rows_physical",
       "num_buckets", "zordered", "sort_keys", "partition_keys",
-      "unresolved_merge_deltas", "files_with_stats")
+      "unresolved_merge_deltas", "files_with_stats", "est_memory_bytes")
   }
 
   /** The per-FILE skip index as a DataFrame — observability for the

@@ -352,6 +352,7 @@ class FileStatsSpec extends SparkSpec {
     val r = cat.tableInfo("q.i").head()
     assert(r.getAs[String]("table") == "q.i")
     assert(r.getAs[Long]("num_rows_physical") == 505) // pre-merge physical rows
+    assert(r.getAs[Long]("est_memory_bytes") > 0) // estimator rides the summary
     assert(r.getAs[Long]("unresolved_merge_deltas") == 2) // both merge writes pending (no base yet)
     assert(r.getAs[Long]("files_with_stats") == r.getAs[Long]("num_files"))
     cat.compact("q.i")
