@@ -97,9 +97,15 @@ object Bpe {
           val next = dict.map(e => e.copy(symbols = mergeOnce(e.symbols, a, b)))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // eager checkpoint every 8 rounds: caps lineage depth (a plan
-          // that nests numMerges map stages re-plans quadratically)
-          val mat = if ((round + 1) % 8 == 0)
-            next.localCheckpoint(true) else { next.count(); next }
+          // that nests numMerges map stages re-plans quadratically). The
+          // pre-checkpoint persist is released right after — keeping it
+          // would leak one cached dictionary copy per 8 rounds over a
+          // real (10k+ merge) training run.
+          val mat = if ((round + 1) % 8 == 0) {
+            val cp = next.localCheckpoint(true)
+            next.unpersist(blocking = false)
+            cp
+          } else { next.count(); next }
           dict.unpersist(blocking = false)
           dict = mat
         case _ => done = true
@@ -122,7 +128,11 @@ object Bpe {
     val segmented = df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
       .as[(Long, String)].map { case (id, text) =>
         val rk = ranksBc.value
-        val words = Option(text).map(_.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+        // Locale.ROOT: training lowercased via Spark's locale-independent
+        // lower(); a locale-sensitive toLowerCase would segment I -> dotless
+        // i on tr-TR JVMs against merges that never saw it
+        val words = Option(text)
+          .map(_.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty))
           .getOrElse(Nil)
         val toks = words.flatMap { w =>
           var symbols: Seq[String] = w.map(_.toString) :+ EndOfWord

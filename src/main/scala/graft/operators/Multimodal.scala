@@ -294,50 +294,85 @@ object Multimodal {
     }
   }
 
-  private[graft] def parseWav(docId: Long, b: Array[Byte]): WavFeatures = {
-    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
-    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xFFFFFFFFL
+  /** Parsed RIFF/WAVE layout — the SINGLE demux both decode paths share
+    * (one parser to harden; a second copy already grew a divergent bug). */
+  private final case class WavLayout(channels: Int, rate: Int, bits: Int,
+      dataOff: Int, dataLen: Long) {
+    def frameBytes: Int = (bits / 8) * channels
+    def nFrames: Long = if (frameBytes == 0) 0L else dataLen / frameBytes
+  }
+
+  private def wu16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def wu32(b: Array[Byte], i: Int): Long =
+    (wu16(b, i).toLong | (wu16(b, i + 2).toLong << 16)) & 0xFFFFFFFFL
+
+  private def demuxWav(b: Array[Byte]): WavLayout = {
     require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not RIFF/WAVE")
-    var pos = 12
+    // pos/len stay Long: a corrupt u32 chunk length cast to Int went
+    // NEGATIVE and stalled (or reversed) the walk — an unkillable spin on
+    // hostile input. As unsigned Longs the step is always ≥ 8 (progress
+    // guaranteed) and an out-of-range length fails the bounds check.
+    var pos = 12L
     var channels = 0; var rate = 0; var bits = 0
-    var dataOff = -1; var dataLen = 0L
+    var dataOff = -1L; var dataLen = 0L
     while (pos + 8 <= b.length && (channels == 0 || dataOff < 0)) {
-      val id = new String(b, pos, 4, "US-ASCII")
-      val len = u32(pos + 4)
+      val id = new String(b, pos.toInt, 4, "US-ASCII")
+      val len = wu32(b, pos.toInt + 4)
+      require(pos + 8 + len <= b.length, s"corrupt chunk length $len at $pos")
       id match {
         case "fmt " =>
-          val fmt = u16(pos + 8)
+          val fmt = wu16(b, pos.toInt + 8)
           require(fmt == 1, s"non-PCM wav format tag $fmt")
-          channels = u16(pos + 10); rate = u32(pos + 12).toInt; bits = u16(pos + 22)
+          channels = wu16(b, pos.toInt + 10)
+          rate = wu32(b, pos.toInt + 12).toInt
+          bits = wu16(b, pos.toInt + 22)
         case "data" => dataOff = pos + 8; dataLen = len
         case _ => ()
       }
-      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      pos += 8 + len + (len & 1) // chunks are word-aligned
     }
     require(channels > 0 && dataOff >= 0, "missing fmt/data chunk")
-    val bytesPer = bits / 8
-    val frameBytes = bytesPer * channels
-    val nFrames = dataLen / frameBytes
-    val full = (1L << (bits - 1)).toDouble
+    WavLayout(channels, rate, bits, dataOff.toInt, dataLen)
+  }
+
+  /** One pass over the first channel: (rms, zero crossings, peak). */
+  private def wavSampleStats(b: Array[Byte], l: WavLayout): (Double, Long, Double) = {
+    val full = (1L << (l.bits - 1)).toDouble
     var sumSq = 0.0
+    var zc = 0L
+    var peak = 0.0
+    var prevSign = 0
     var f = 0L
-    while (f < nFrames) {
-      val off = dataOff + (f * frameBytes).toInt // first channel only
-      val v: Long = bits match {
+    val n = l.nFrames
+    while (f < n) {
+      val off = l.dataOff + (f * l.frameBytes).toInt // first channel only
+      val v: Long = l.bits match {
         case 8 => (b(off) & 0xFF) - 128L // 8-bit wav is unsigned
-        case 16 => u16(off).toShort.toLong
-        case 24 => ((u16(off).toLong | ((b(off + 2) & 0xFF).toLong << 16)) << 40) >> 40
-        case 32 => (u32(off) << 32) >> 32
+        case 16 => wu16(b, off).toShort.toLong
+        case 24 => ((wu16(b, off).toLong | ((b(off + 2) & 0xFF).toLong << 16)) << 40) >> 40
+        case 32 => (wu32(b, off) << 32) >> 32
         case other => throw new IllegalArgumentException(s"unsupported PCM depth $other")
       }
       val s = v / full
       sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val sign = java.lang.Long.signum(v)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+      }
       f += 1
     }
-    val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
-    WavFeatures(docId, channels, rate, bits, nFrames,
-      if (rate == 0) 0L else nFrames * 1000L / rate, rms)
+    (if (n == 0) 0.0 else math.sqrt(sumSq / n), zc, peak)
+  }
+
+  private[graft] def parseWav(docId: Long, b: Array[Byte]): WavFeatures = {
+    val l = demuxWav(b)
+    val (rms, _, _) = wavSampleStats(b, l)
+    WavFeatures(docId, l.channels, l.rate, l.bits, l.nFrames,
+      if (l.rate == 0) 0L else l.nFrames * 1000L / l.rate, rms)
   }
 
   /** Extended audio features (the audio FEATURE-EXTRACT step): RMS plus
@@ -345,7 +380,7 @@ object Multimodal {
   final case class AudioFeatures(doc_id: Long, n_frames: Long, rms: Double,
       zero_crossings: Long, peak: Double)
 
-  /** Second decode pass re-using the WAV demux: sign changes between
+  /** One demux + ONE sample pass per payload: rms, sign changes between
     * consecutive first-channel samples (zeros carry the previous sign) and
     * max |sample| in [-1, 1]. Same per-partition executor shape as
     * decodeWav. */
@@ -355,9 +390,9 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
         try {
-          val base = parseWav(r.doc_id, r.payload)
-          val (zc, peak) = wavZcPeak(r.payload)
-          Some(AudioFeatures(r.doc_id, base.n_frames, base.rms, zc, peak))
+          val l = demuxWav(r.payload)
+          val (rms, zc, peak) = wavSampleStats(r.payload, l)
+          Some(AudioFeatures(r.doc_id, l.nFrames, rms, zc, peak))
         } catch {
           case e: Exception if !strict => None
           case e: Exception => throw new IllegalArgumentException(
@@ -365,51 +400,5 @@ object Multimodal {
         }
       }
     }
-  }
-
-  /** (zero crossings, normalized peak) of the first channel. */
-  private def wavZcPeak(b: Array[Byte]): (Long, Double) = {
-    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
-    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xFFFFFFFFL
-    var pos = 12
-    var channels = 0; var bits = 0
-    var dataOff = -1; var dataLen = 0L
-    while (pos + 8 <= b.length && (channels == 0 || dataOff < 0)) {
-      val id = new String(b, pos, 4, "US-ASCII")
-      val len = u32(pos + 4)
-      id match {
-        case "fmt " => channels = u16(pos + 10); bits = u16(pos + 22)
-        case "data" => dataOff = pos + 8; dataLen = len
-        case _ => ()
-      }
-      pos += 8 + len.toInt + (len.toInt & 1)
-    }
-    val bytesPer = bits / 8
-    val frameBytes = bytesPer * channels
-    val nFrames = dataLen / frameBytes
-    val full = (1L << (bits - 1)).toDouble
-    var zc = 0L
-    var peak = 0.0
-    var prevSign = 0 // 0 = no signed sample seen yet
-    var f = 0L
-    while (f < nFrames) {
-      val off = dataOff + (f * frameBytes).toInt
-      val v: Long = bits match {
-        case 8 => (b(off) & 0xFF) - 128L
-        case 16 => u16(off).toShort.toLong
-        case 24 => ((u16(off).toLong | ((b(off + 2) & 0xFF).toLong << 16)) << 40) >> 40
-        case 32 => (u32(off) << 32) >> 32
-        case other => throw new IllegalArgumentException(s"unsupported PCM depth $other")
-      }
-      val a = math.abs(v) / full
-      if (a > peak) peak = a
-      val sign = java.lang.Long.signum(v)
-      if (sign != 0) {
-        if (prevSign != 0 && sign != prevSign) zc += 1
-        prevSign = sign
-      }
-      f += 1
-    }
-    (zc, peak)
   }
 }

@@ -205,8 +205,11 @@ object TextOps {
       sourceCol: String, budgets: Map[String, Long],
       buckets: Int = 10000): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
-    val toks = df.groupBy(col(sourceCol)).agg(sum(tokenCount(col(textCol))).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // coalesce: a source whose every text is NULL sums to null, and the
+    // mixing job must treat it as zero available tokens, not crash
+    val toks = df.groupBy(col(sourceCol))
+      .agg(sum(coalesce(tokenCount(col(textCol)), lit(0L))).as("t"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val thresholds: Map[String, Int] = budgets.flatMap { case (src, budget) =>
       toks.get(src).map { avail =>
         val frac = if (avail <= 0) 0.0 else math.min(1.0, budget.toDouble / avail)

@@ -169,9 +169,16 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     // row of both files.
     //
     // A claim is a dot-DIRECTORY holding one MARKER FILE PER CONTENDER,
-    // named by the contender's txn id; the holder is the smallest
-    // still-pending marker (txn ids are time-ordered, so later arrivals
-    // order after a holder already in its section). Reclamation only ever
+    // named by the contender's txn id; the holder is the FIRST-COME marker
+    // (earliest creation time, txn id tiebreak) — arrival order, NOT id
+    // order: a small-id txn that seals late must queue behind a larger-id
+    // holder already inside its section, not steal holdership. (Even in
+    // the residual same-timestamp tie, no double commit can result:
+    // stage() publishes revision files while the txn is live, so either
+    // racer's pre-check below sees the other's staged revision and the
+    // deterministic id rule aborts one — the claims bound the window, the
+    // staged-visibility pre/post checks are the correctness backstop.)
+    // Reclamation only ever
     // deletes markers NAMED by txns observed failed-or-successful — both
     // states are monotonic, so no interleaving can delete a live
     // contender's marker (a single shared claim FILE would reopen the
@@ -219,7 +226,12 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
           names.filter(n => n != txnId && isTerminal(n))
             .foreach(n => Files.deleteIfExists(c.resolve(n)))
           val pending = claimDirNames(c).filterNot(isTerminal)
-          if (pending.nonEmpty && pending.min == txnId) {
+          // first-come election: earliest marker creation (nanos), id tiebreak
+          def arrival(n: String): (Long, String) =
+            (try Files.getLastModifiedTime(c.resolve(n))
+              .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+            catch { case _: Exception => Long.MaxValue }, n)
+          if (pending.nonEmpty && pending.minBy(arrival) == txnId) {
             held += c; acquired = true
           } else {
             if (attempts % 100 == 0) // ~1s cadence: fence dead blockers
@@ -529,23 +541,49 @@ final class Metastore(val root: Path) {
     val failedIds: Set[String] =
       listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
     var removed = 0
-    if (failedIds.nonEmpty) {
+    // claim debris is swept regardless of failedIds: a writer that crashed
+    // between publish (success) and marker release leaves a dead marker
+    // even though nothing ever failed
+    def isTerminalId(id: String): Boolean =
+      Files.exists(failedDir.resolve(s"$id.json")) ||
+        Files.exists(successDir.resolve(s"$id.json"))
+    locally {
+      val claimDirs = scala.collection.mutable.ArrayBuffer[Path]()
       val orphanDirs = scala.collection.mutable.ArrayBuffer[Path]()
       val walk = Files.walk(root)
       try walk.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
-        if (n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p) &&
+        if (n.startsWith(".claimd_") && Files.isDirectory(p)) claimDirs += p
+        else if (n.startsWith(".claim_") && Files.isRegularFile(p)) {
+          // legacy single-file claim from the pre-directory scheme
+          val owner = try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+            catch { case _: Exception => "" }
+          if (owner.isEmpty || isTerminalId(owner)) { Files.deleteIfExists(p); removed += 1 }
+        } else if (failedIds.nonEmpty &&
+            n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p) &&
             !p.startsWith(txnDir)) {
           val parts = n.stripSuffix(".json").split("__", 3)
           if (parts.length == 3 && failedIds.contains(parts(1))) {
             Files.deleteIfExists(p); removed += 1
           }
-        } else if (Files.isDirectory(p) && n.startsWith("d") && n.contains("__") &&
+        } else if (failedIds.nonEmpty &&
+            Files.isDirectory(p) && n.startsWith("d") && n.contains("__") &&
             failedIds.contains(n.split("__", 2)(1))) {
           // Orphaned data dir written by a failed txn (d<rev>__<txnId>).
           orphanDirs += p
         }
       } finally walk.close()
+      claimDirs.foreach { cd =>
+        val s = try Files.list(cd) catch { case _: Exception => null }
+        if (s != null) {
+          val markers = try s.iterator().asScala.map(_.getFileName.toString).toSeq
+            finally s.close()
+          markers.filter(isTerminalId).foreach { m =>
+            Files.deleteIfExists(cd.resolve(m)); removed += 1
+          }
+        }
+        try Files.delete(cd) catch { case _: Exception => () } // non-empty: live
+      }
       orphanDirs.foreach { d =>
         val files = Files.walk(d)
         try files.iterator().asScala.toSeq.reverse.foreach { f =>

@@ -141,7 +141,7 @@ class ConcurrencySpec extends SparkSpec {
 
   test("a dead writer's claim marker is fenced by a contender; the write proceeds") {
     val ms = new graft.txn.Metastore(java.nio.file.Paths.get(tmpDir("graft-claim")))
-    val dir = java.nio.file.Paths.get(tmpDir("graft-claim-data"))
+    val dir = ms.root.resolve("tbl") // under root: the janitor sweep walks root
     // dead writer: running record idle past the fence threshold, holding a
     // claim marker at the revision the next writer will take (a crash
     // between marker creation and release)
@@ -167,15 +167,27 @@ class ConcurrencySpec extends SparkSpec {
       assert(ms.isTxnFailed(dead.txnId), "dead blocker should have been fenced")
       assert(ms.latestVisible(dir, None, None).exists(_._2.contains("\"v\":1")))
     } finally ms.claimFenceMillis = old
-    // a LIVE (recent-heartbeat) blocker is NOT fenced: contender yields
-    val holder = ms.newTransaction("live holder")
+    // a LIVE (recent-heartbeat) blocker is NOT fenced: contender yields.
+    // The contender deliberately has the SMALLER txn id — holder election
+    // is FIRST-COME (marker creation order), not id order, or a late
+    // small-id sealer would steal holdership from a larger-id holder
+    // already inside its section.
+    val loser = ms.newTransaction("yields to live holder despite smaller id")
+    val holder = ms.newTransaction("live holder, larger id")
+    assert(loser.txnId < holder.txnId)
     val claim2 = dir.resolve(f".claimd_${2L}%020d")
     java.nio.file.Files.createDirectories(claim2)
     java.nio.file.Files.write(claim2.resolve(holder.txnId), Array.emptyByteArray)
-    val loser = ms.newTransaction("yields to live holder")
+    Thread.sleep(5) // holder's marker is strictly earlier
     loser.stage(dir, 2L, "y", """{"v":2}""", "write")
     val e = intercept[ConcurrentTxnConflict](loser.seal())
     assert(e.getMessage.contains("could not claim"))
     assert(!ms.isTxnFailed(holder.txnId), "live holder must not be fenced")
+    // ...and once the holder is gone (fenced by the janitor), its marker
+    // and the claim dir are janitor-swept debris
+    ms.janitor(timeoutMillis = 0)
+    assert(ms.isTxnFailed(holder.txnId))
+    ms.janitor(timeoutMillis = 0)
+    assert(!java.nio.file.Files.exists(claim2), "claim debris must be swept")
   }
 }
