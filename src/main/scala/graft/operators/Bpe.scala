@@ -128,11 +128,18 @@ object Bpe {
     val segmented = df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
       .as[(Long, String)].map { case (id, text) =>
         val rk = ranksBc.value
-        // Locale.ROOT: training lowercased via Spark's locale-independent
-        // lower(); a locale-sensitive toLowerCase would segment I -> dotless
-        // i on tr-TR JVMs against merges that never saw it
+        // lowercase EXACTLY as training did (Spark lower() =
+        // UTF8String.toLowerCase: ASCII fast path for full-ASCII strings,
+        // default-locale String.toLowerCase otherwise) — a blanket
+        // Locale.ROOT would diverge on non-ASCII text under tr/az JVM
+        // locales, a blanket default-locale on ASCII "I"
         val words = Option(text)
-          .map(_.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty))
+          .map { t =>
+            val lowered =
+              if (t.forall(_ < 0x80)) t.toLowerCase(java.util.Locale.ROOT)
+              else t.toLowerCase()
+            lowered.split("\\s+").toSeq.filter(_.nonEmpty)
+          }
           .getOrElse(Nil)
         val toks = words.flatMap { w =>
           var symbols: Seq[String] = w.map(_.toString) :+ EndOfWord

@@ -322,6 +322,7 @@ object Multimodal {
       require(pos + 8 + len <= b.length, s"corrupt chunk length $len at $pos")
       id match {
         case "fmt " =>
+          require(len >= 16, s"fmt chunk too short ($len bytes) — corrupt header")
           val fmt = wu16(b, pos.toInt + 8)
           require(fmt == 1, s"non-PCM wav format tag $fmt")
           channels = wu16(b, pos.toInt + 10)
@@ -336,8 +337,11 @@ object Multimodal {
     WavLayout(channels, rate, bits, dataOff.toInt, dataLen)
   }
 
-  /** One pass over the first channel: (rms, zero crossings, peak). */
-  private def wavSampleStats(b: Array[Byte], l: WavLayout): (Double, Long, Double) = {
+  /** One pass over the first channel: (rms, zero crossings, peak).
+    * `needZcPeak = false` keeps decodeWav's rms-only hot loop free of the
+    * abs/signum/branch cost it would otherwise pay per sample. */
+  private def wavSampleStats(b: Array[Byte], l: WavLayout,
+      needZcPeak: Boolean = true): (Double, Long, Double) = {
     val full = (1L << (l.bits - 1)).toDouble
     var sumSq = 0.0
     var zc = 0L
@@ -356,12 +360,14 @@ object Multimodal {
       }
       val s = v / full
       sumSq += s * s
-      val a = math.abs(s)
-      if (a > peak) peak = a
-      val sign = java.lang.Long.signum(v)
-      if (sign != 0) {
-        if (prevSign != 0 && sign != prevSign) zc += 1
-        prevSign = sign
+      if (needZcPeak) {
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        val sign = java.lang.Long.signum(v)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) zc += 1
+          prevSign = sign
+        }
       }
       f += 1
     }
@@ -370,7 +376,7 @@ object Multimodal {
 
   private[graft] def parseWav(docId: Long, b: Array[Byte]): WavFeatures = {
     val l = demuxWav(b)
-    val (rms, _, _) = wavSampleStats(b, l)
+    val (rms, _, _) = wavSampleStats(b, l, needZcPeak = false)
     WavFeatures(docId, l.channels, l.rate, l.bits, l.nFrames,
       if (l.rate == 0) 0L else l.nFrames * 1000L / l.rate, rms)
   }

@@ -227,10 +227,14 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
             .foreach(n => Files.deleteIfExists(c.resolve(n)))
           val pending = claimDirNames(c).filterNot(isTerminal)
           // first-come election: earliest marker creation (nanos), id tiebreak
+          // a transiently-unreadable mtime sorts EARLIEST: treating it as
+          // latest would let this txn elect itself past a live holder and
+          // reopen the double-commit window; a truly-deleted marker just
+          // vanishes from the next listing, so liveness is unaffected
           def arrival(n: String): (Long, String) =
             (try Files.getLastModifiedTime(c.resolve(n))
               .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-            catch { case _: Exception => Long.MaxValue }, n)
+            catch { case _: Exception => Long.MinValue }, n)
           if (pending.nonEmpty && pending.minBy(arrival) == txnId) {
             held += c; acquired = true
           } else {
@@ -541,13 +545,15 @@ final class Metastore(val root: Path) {
     val failedIds: Set[String] =
       listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
     var removed = 0
-    // claim debris is swept regardless of failedIds: a writer that crashed
-    // between publish (success) and marker release leaves a dead marker
-    // even though nothing ever failed
     def isTerminalId(id: String): Boolean =
       Files.exists(failedDir.resolve(s"$id.json")) ||
         Files.exists(successDir.resolve(s"$id.json"))
-    locally {
+    // The tree walk is gated on failed txns existing — a healthy catalog's
+    // janitor cycle stays O(txn dirs), not O(catalog tree). Claim debris
+    // from a success-crash (publish succeeded, release did not) lingers
+    // only until any txn anywhere fails or its (dir, rev) is contended
+    // again — both of which reclaim it.
+    if (failedIds.nonEmpty) {
       val claimDirs = scala.collection.mutable.ArrayBuffer[Path]()
       val orphanDirs = scala.collection.mutable.ArrayBuffer[Path]()
       val walk = Files.walk(root)

@@ -178,7 +178,10 @@ class ConcurrencySpec extends SparkSpec {
     val claim2 = dir.resolve(f".claimd_${2L}%020d")
     java.nio.file.Files.createDirectories(claim2)
     java.nio.file.Files.write(claim2.resolve(holder.txnId), Array.emptyByteArray)
-    Thread.sleep(5) // holder's marker is strictly earlier
+    // force a strictly-earlier arrival regardless of filesystem timestamp
+    // granularity (a 5ms sleep ties on coarse-mtime kernels/filesystems)
+    java.nio.file.Files.setLastModifiedTime(claim2.resolve(holder.txnId),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
     loser.stage(dir, 2L, "y", """{"v":2}""", "write")
     val e = intercept[ConcurrentTxnConflict](loser.seal())
     assert(e.getMessage.contains("could not claim"))
