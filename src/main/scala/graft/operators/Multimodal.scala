@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
  *
  * IMAGE and AUDIO decode are REAL: the JDK ships actual codecs —
  * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP) and RIFF/WAV PCM — so
- * `decodeImages` / `resizeImages` / `encodeImages` / `decodeWav` run true
- * decode/transcode in executors, one codec instance per partition, no
- * driver collect. VIDEO frame-sampling stays stubbed (`decodeStub`): no
- * video codec exists in the JVM, and the stub keeps the pipeline shape —
- * schema, partitioning, batch iteration, typed Encoders — real and
+ * `decodeImages` / `resizeImages` / `patchFeatures` / `decodeWav` /
+ * `audioFeatures` run true decode/transcode in executors, one codec
+ * instance per partition, no driver collect. VIDEO is covered for
+ * MJPEG-style frame streams (`sampleFrames`: every frame an
+ * independently-coded image the JDK can decode); inter-frame codecs
+ * (H.264…) have no JVM decoder — `decodeStub` keeps that pipeline shape
+ * (schema, partitioning, batch iteration, typed Encoders) real and
  * testable until an FFI decoder is swapped in.
  */
 object Multimodal {
