@@ -39,7 +39,11 @@ class GraftStreamSource(
       * in one batch — at 100 TB that batch never finishes and its failure
       * restarts from zero. Caps make the backfill incremental: each trigger
       * admits the next ≤N deltas / ≤N files (always ≥1 delta so progress
-      * is guaranteed), checkpointing between. */
+      * is guaranteed), checkpointing between.
+      * Trigger.AvailableNow caveat: Spark's v1-source AvailableNow wrapper
+      * snapshots getOffset ONCE per run, so with a cap each run advances
+      * exactly one capped step (repeated runs drain the log; an uncapped
+      * AvailableNow run drains in one batch) — see StreamingSpec. */
     maxDeltasPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None) extends Source {
 

@@ -312,6 +312,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: uncapped drains in one run; caps advance one step per run") {
+    val root = tmpDir("graft-stream-an")
+    val cat = new GraftCatalog(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("id", org.apache.spark.sql.types.LongType)))
+    cat.createTable("ns.an", schema)
+    for (i <- 0 until 6)
+      cat.writeToTable(spark.range(i * 10, i * 10 + 10).toDF("id"), "ns.an", WriteMode.Append)
+
+    // Spark's v1-source AvailableNow wrapper snapshots getOffset ONCE per
+    // run, so an admission cap advances exactly one capped step per run
+    // (documented on the source options); repeated runs drain the log.
+    val ck = tmpDir("graft-stream-an-ck")
+    def run(): Long = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "ns.an")
+        .option("maxDeltasPerTrigger", "2").load()
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+      q.stop()
+      spark.read.parquet(s"$root/out").count()
+    }
+    assert(run() == 20L) // one capped step
+    var total = 20L
+    var runs = 1
+    while (total < 60L && runs < 10) { total = run(); runs += 1 }
+    assert(total == 60L, s"repeated AvailableNow runs must drain: $total")
+    val got = spark.read.parquet(s"$root/out").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 60L))
+
+    // uncapped AvailableNow drains everything in a single run
+    val q2 = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.an").load()
+      .writeStream.format("memory").queryName("graft_an_all")
+      .option("checkpointLocation", tmpDir("graft-stream-an-ck2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q2.awaitTermination(120000))
+      assert(spark.sql("SELECT count(*) FROM graft_an_all").head.getLong(0) == 60L)
+    } finally q2.stop()
+  }
+
   test("maxFilesPerTrigger caps admitted files but a wide delta still progresses") {
     val root = tmpDir("graft-stream-rate2")
     val cat = new GraftCatalog(spark, root)
