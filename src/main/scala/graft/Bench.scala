@@ -177,14 +177,72 @@ object Bench {
       })
     }
 
+    // ---- skip-index headliners (round-8): the read-path wins the footer
+    // stats bought. Prep (table build + compaction) is unmeasured; the
+    // entries time (a) a selective range read that plans ~1/12 of the
+    // files, and (b) a manifest-served count/min/max that opens ZERO files.
+    // Planned-file counts are reported in the "plan" field so the claim is
+    // machine-checkable, not just a BENCH_NOTES sentence.
+    val planCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    try {
+      val root = Files.createTempDirectory("graft_bench_skip").toString
+      val cat = new GraftCatalog(spark, root)
+      cat.createTable("bench.skip", StructType(Seq(
+        FieldMeta.field("l_orderkey", LongType, nullable = false),
+        FieldMeta.field("l_linenumber", IntegerType, nullable = false),
+        FieldMeta.field("l_quantity", DoubleType),
+        FieldMeta.field("l_extendedprice", DoubleType),
+        FieldMeta.field("l_returnflag", StringType))),
+        properties = Map("write.max_records_per_file" -> "50000"))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      // Global sort on the filter key → disjoint per-file ranges, the
+      // layout compaction's sort scheme produces at scale.
+      cat.writeToTable(li.orderBy("l_orderkey").coalesce(1), "bench.skip")
+      val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+      val lo = maxKey / 2
+      val hi = lo + maxKey / 24 // ~1/24 of the key space → ~1-2 of ~12 files
+      planCounts("skip_read_total_files") = cat.readTable("bench.skip").inputFiles.length.toLong
+      planCounts("skip_read_files") = cat.readTable("bench.skip",
+        ReadOptions(rowFilter = Some(col("l_orderkey") >= lo && col("l_orderkey") < hi)))
+        .inputFiles.length.toLong
+      attempt("skip_read")(timeMin2 {
+        cat.readTable("bench.skip",
+          ReadOptions(rowFilter = Some(col("l_orderkey") >= lo && col("l_orderkey") < hi)))
+          .agg(sum("l_quantity")).head()
+      })
+      val t = spark.read.format("graft").option("root", root)
+        .option("table", "bench.skip").load()
+      planCounts("agg_meta_files") =
+        t.agg(count(lit(1)), min("l_orderkey")).inputFiles.length.toLong
+      attempt("agg_meta")(timeMin2 {
+        t.agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+          max("l_orderkey").as("mx")).head()
+      })
+    } catch { case e: Throwable =>
+      errors("skip_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
         .mkString(""","errors":{""", ",", "}")
+    val planJson =
+      if (planCounts.isEmpty) ""
+      else planCounts.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","plan":{""", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson,"sf":"$sfDir"}"""
+    println(line)
+    // Machine-clean copy: sbt prefixes stdout with [info], so the driver's
+    // JSON extractor can fall back to this file.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      Files.createDirectories(out.getParent)
+      Files.write(out, line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

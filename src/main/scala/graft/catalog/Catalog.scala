@@ -1031,6 +1031,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       meta.properties.getOrElse("content_type", "parquet"),
       entries.size.toLong,
       entries.map(_.sizeBytes).sum,
+      // `num_rows` keeps its pre-r7 name/meaning (physical record count)
+      // for existing consumers; `num_rows_physical` stays as the explicit
+      // alias introduced alongside est_memory_bytes.
+      active.map(_.properties.getOrElse("record_count", "0").toLong).sum,
       active.map(_.properties.getOrElse("record_count", "0").toLong).sum,
       base.flatMap(_.properties.get("num_buckets")).map(_.toLong).getOrElse(-1L),
       base.flatMap(_.properties.get("zordered")).orNull,
@@ -1043,7 +1047,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       ResourceEstimator.estimateEntryBytes(spark,
         DataType.fromJson(meta.schemaJson).asInstanceOf[StructType], entries,
         ResourceEstimator.Params()).map(_._2).sum.toLong
-    )).toDF("table", "content_type", "num_files", "size_bytes", "num_rows_physical",
+    )).toDF("table", "content_type", "num_files", "size_bytes", "num_rows",
+      "num_rows_physical",
       "num_buckets", "zordered", "sort_keys", "partition_keys",
       "unresolved_merge_deltas", "files_with_stats", "est_memory_bytes")
   }

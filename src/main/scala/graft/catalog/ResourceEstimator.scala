@@ -242,8 +242,12 @@ object ResourceEstimator {
         val sampled = pending.take(params.maxFilesToSample)
         val probes = sampleEstimates(spark, sampled.map(_.path))
         if (probes.nonEmpty) {
-          val sampleDisk = sampled.map(_.sizeBytes.toDouble).sum
-          val sampleMem = sampled.flatMap(e => probes.get(e.path)).sum
+          // Inflation over successfully-probed entries ONLY: mixing
+          // unprobed disk bytes into the denominator skews inflation low
+          // and undersizes downstream memory-driven bucket suggestions.
+          val probed = sampled.filter(e => probes.contains(e.path))
+          val sampleDisk = probed.map(_.sizeBytes.toDouble).sum
+          val sampleMem = probed.flatMap(e => probes.get(e.path)).sum
           val inflation = if (sampleDisk > 0) sampleMem / sampleDisk else params.previousInflation
           resolved ++= pending.map { e =>
             e.path -> (probes.getOrElse(e.path, e.sizeBytes * inflation), step)

@@ -155,9 +155,8 @@ object DeltaLake {
         // _metadata.file_path is a URI (percent-ENCODED) — decode it to the
         // real filesystem path the snapshot carries, or files under escaped
         // partition dirs (k=a%3Ab) silently drop out of the inner join
-        val decode = udf(InteropUtil.decodeRelPath _)
-        val pv = snap.files.select(col("path"), col("partitionValues"))
-        val withPath = data.withColumn("_g_path", decode(col("_metadata.file_path")))
+                val pv = snap.files.select(col("path"), col("partitionValues"))
+        val withPath = data.withColumn("_g_path", InteropUtil.decodePathColumn(col("_metadata.file_path")))
         val joined = withPath.join(
           broadcast(pv.withColumnRenamed("path", "_g_path")
             .withColumn("_g_path", normPath(col("_g_path")))), Seq("_g_path"))
@@ -897,8 +896,7 @@ object DeltaLake {
         case None => true
       }
     }
-    val decode = udf(InteropUtil.decodeRelPath _)
-    data.where(live(decode(col("_metadata.file_path")), col("_metadata.row_index")))
+        data.where(live(InteropUtil.decodePathColumn(col("_metadata.file_path")), col("_metadata.row_index")))
   }
 
   /** Row-level DELETE via deletion vectors — no data file is rewritten:
@@ -932,9 +930,8 @@ object DeltaLake {
     val dataFields = snap.schema.fields.filterNot(f => partCols.exists(_._1 == f.name))
     val physDataSchema = StructType(dataFields.map(f =>
       StructField(physicalName(f), physicalize(f.dataType), f.nullable)))
-    val decode = udf(InteropUtil.decodeRelPath _)
-    val physBase = spark.read.schema(physDataSchema).parquet(fileMeta.keys.toSeq: _*)
-      .withColumn("_g_path", decode(col("_metadata.file_path")))
+        val physBase = spark.read.schema(physDataSchema).parquet(fileMeta.keys.toSeq: _*)
+      .withColumn("_g_path", InteropUtil.decodePathColumn(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index"))
     val base = dataFields.foldLeft(physBase) { (df, f) =>
       val phys = physicalName(f)

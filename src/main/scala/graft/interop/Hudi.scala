@@ -499,13 +499,12 @@ object Hudi {
         // slice list via broadcast, keyed on the decoded file path (the
         // _metadata column is URI-encoded)
         import spark.implicits._
-        val decode = udf(InteropUtil.decodeRelPath _)
-        val pv = slices.map { s =>
+                val pv = slices.map { s =>
           val byField = pf.zip(partValues(s.partitionPath, pf)).toMap
           (root.resolve(s.relPath).toString, needReattach.map(byField),
             commitInstantOf.map(_(s.relPath)).orNull)
         }.toDF("_g_path", "_g_pv", "_g_instant")
-        val joined = data.withColumn("_g_path", decode(col("_metadata.file_path")))
+        val joined = data.withColumn("_g_path", InteropUtil.decodePathColumn(col("_metadata.file_path")))
           .join(broadcast(pv), Seq("_g_path"))
         val withPv = needReattach.zipWithIndex.foldLeft(joined) { case (df, (f, i)) =>
           val c = col("_g_pv")(i)
@@ -761,7 +760,7 @@ object Hudi {
       .toDF("_g_bpath", "_g_gid", "_g_seq", "_g_binstant")
     val decode = udf(InteropUtil.decodeAnyPath _)
     def attach(df: DataFrame): DataFrame = {
-      val t = df.withColumn("_g_bpath", decode(col("_metadata.file_path")))
+      val t = df.withColumn("_g_bpath", InteropUtil.decodePathColumn(col("_metadata.file_path")))
         .join(broadcast(tag), Seq("_g_bpath")).drop("_g_bpath")
       if (withInstant) t.withColumn("_hoodie_commit_instant", col("_g_binstant")).drop("_g_binstant")
       else t.drop("_g_binstant")
@@ -807,8 +806,7 @@ object Hudi {
         case None => spark.read.parquet(bs.map(b => root.resolve(b.relPath).toString): _*)
       }
       val tag = bs.map(b => (root.resolve(b.relPath).toString, gidOf(b))).toDF("_g_bpath", "_g_gid")
-      val decode = udf(InteropUtil.decodeRelPath _)
-      raw.withColumn("_g_bpath", decode(col("_metadata.file_path")))
+            raw.withColumn("_g_bpath", InteropUtil.decodePathColumn(col("_metadata.file_path")))
         .join(broadcast(tag), Seq("_g_bpath")).drop("_g_bpath")
     }
 
@@ -1050,8 +1048,7 @@ object Hudi {
             spark.read.schema(keyStruct).parquet(bs.map(b => root.resolve(b.relPath).toString): _*)
           else spark.read.parquet(bs.map(b => root.resolve(b.relPath).toString): _*).select(keys.map(col): _*)
         val tag = bs.map(b => (root.resolve(b.relPath).toString, gidOf(b))).toDF("_g_bpath", "_g_gid")
-        val decode = udf(InteropUtil.decodeRelPath _)
-        raw.withColumn("_g_bpath", decode(col("_metadata.file_path")))
+                raw.withColumn("_g_bpath", InteropUtil.decodePathColumn(col("_metadata.file_path")))
           .join(broadcast(tag), Seq("_g_bpath"))
           .select((keys.map(col) :+ col("_g_gid")): _*)
       }

@@ -70,6 +70,20 @@ private[graft] object InteropUtil {
   def decodeRelPath(s: String): String =
     try new java.net.URI(s).getPath catch { case NonFatal(_) => s }
 
+  /** Column-level equivalent of [[decodeRelPath]] for `_metadata.file_path`
+    * join keys, built entirely from codegen'd builtins so the interop tag
+    * joins stay inside whole-stage codegen (a scala UDF here forces the
+    * join key out of codegen and loses null-safety for free).
+    * Semantics match `URI.getPath`: scheme + authority are stripped, and
+    * a literal `+` in the path stays `+` — `url_decode` alone is
+    * form-decoding (`+` → space), so `+` is pre-escaped to `%2B` first. */
+  def decodePathColumn(c: Column): Column = {
+    val stripped = regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+    url_decode(regexp_replace(stripped, "\\+", "%2B"))
+  }
+
   /** Percent-decode a possibly scheme-qualified path, PRESERVING scheme and
     * authority (`s3a://bucket/k%20a` -> `s3a://bucket/k a`). Plain
     * `URI.getPath` would strip them and mangle remote absolute paths into

@@ -143,6 +143,20 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
     staged += StagedWrite(dir, rev, name, content)
     ops += op
+    // Framework-driven heartbeat: every stage refreshes the lease so a
+    // long staged-write or interactive txn is never fenced by a contender
+    // mid-flight merely for being older than claimFenceMillis. Callers
+    // that stage nothing for long stretches can still heartbeat() manually.
+    touchLease()
+  }
+
+  /** Refresh the running-record mtime (the txn's lease) without requiring
+    * the caller to invoke heartbeat() — used by stage() and the claim loop. */
+  private def touchLease(): Unit = {
+    val p = store.runningDir.resolve(s"$txnId.json")
+    if (Files.exists(p))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
   }
 
   /** Atomic publish: conflict-check staged revisions, move the txn record
@@ -225,6 +239,19 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
         if (names.contains(txnId)) {
           names.filter(n => n != txnId && isTerminal(n))
             .foreach(n => Files.deleteIfExists(c.resolve(n)))
+          // Mixed-version safety: a legacy single-FILE claim (.claim_<rev>)
+          // held by an old-scheme writer must exclude us too, or a rolling
+          // upgrade reopens the double-commit interleaving these claims
+          // close. Respect a live legacy owner; reclaim terminal/unreadable.
+          val legacy = c.resolveSibling(c.getFileName.toString.replaceFirst("claimd_", "claim_"))
+          val legacyOwner: Option[String] =
+            if (!Files.exists(legacy)) None
+            else {
+              val owner = try new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8).trim
+                catch { case _: Exception => "" }
+              if (owner.isEmpty || isTerminal(owner)) { Files.deleteIfExists(legacy); None }
+              else Some(owner)
+            }
           val pending = claimDirNames(c).filterNot(isTerminal)
           // first-come election: earliest marker creation (nanos), id tiebreak
           // a transiently-unreadable mtime sorts EARLIEST: treating it as
@@ -235,11 +262,14 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
             (try Files.getLastModifiedTime(c.resolve(n))
               .to(java.util.concurrent.TimeUnit.NANOSECONDS)
             catch { case _: Exception => Long.MinValue }, n)
-          if (pending.nonEmpty && pending.minBy(arrival) == txnId) {
+          if (legacyOwner.isEmpty && pending.nonEmpty && pending.minBy(arrival) == txnId) {
             held += c; acquired = true
           } else {
-            if (attempts % 100 == 0) // ~1s cadence: fence dead blockers
-              pending.filter(_ != txnId).foreach(store.fenceTxnIfStale(_, store.claimFenceMillis))
+            if (attempts % 100 == 0) { // ~1s cadence: fence dead blockers
+              (pending.filter(_ != txnId) ++ legacyOwner)
+                .foreach(store.fenceTxnIfStale(_, store.claimFenceMillis))
+              touchLease() // we are alive and queued — don't let a peer fence US
+            }
             if (attempts > 600) { // ~6s of LIVE contention — yield deterministically
               releaseClaims(); Files.deleteIfExists(c.resolve(txnId)); abort()
               throw new ConcurrentTxnConflict(
