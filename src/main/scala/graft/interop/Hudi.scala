@@ -710,9 +710,13 @@ object Hudi {
               rewriteAvroBlock(b.content, schemaStr, out)
               Some(BlockMeta(gid, "avro", out.toString, instant, version, idx, schemaStr))
             case DeleteBlock =>
-              throw new UnsupportedOperationException(
-                s"Hudi DELETE_BLOCK (kryo/avro delete-record list) in $absPath is not supported — " +
-                  "write deletes as data blocks with _hoodie_is_deleted=true")
+              // decode the avro delete-record list and spill it as a flat
+              // avro container (recordKey, partitionPath) — downstream it
+              // reads like any other log part, rows never visit the driver
+              val recs = decodeDeleteContent(b.content)
+              val out = Paths.get(scratch, java.util.UUID.randomUUID().toString + ".avro")
+              writeFlatDeleteFile(recs, out)
+              Some(BlockMeta(gid, "delete", out.toString, instant, version, idx, null))
             case other =>
               throw new UnsupportedOperationException(s"Hudi log block type $other in $absPath")
           }
@@ -742,6 +746,101 @@ object Hudi {
       in.readFully(bytes)
       w.append(reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null)))
     } finally w.close()
+  }
+
+  // ----------------------------------------------- delete block content
+  //
+  // HoodieLogBlockType.DELETE_BLOCK content (tech-specs "Log File Format"):
+  //   contentVersion(4) | dataLen(4) | payload
+  // Content-format version 3 encodes the payload as the avro binary
+  // serialization of HoodieDeleteRecordList (one nested HoodieDeleteRecord
+  // — recordKey, partitionPath, orderingVal — per deleted key; schema per
+  // hudi-common's published HoodieDeleteRecordList.avsc). Versions 1-2
+  // were JVM-kryo-serialized HoodieKey[]/HoodieDeleteRecord[] — a
+  // writer-internal wire format this binding intentionally does not speak.
+  private val DeleteContentVersion = 3
+  private lazy val deleteRecordListSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse("""{
+      "type":"record","name":"HoodieDeleteRecordList",
+      "namespace":"org.apache.hudi.avro.model","fields":[
+        {"name":"deleteRecordList","type":{"type":"array","items":{
+          "type":"record","name":"HoodieDeleteRecord","fields":[
+            {"name":"recordKey","type":["null","string"],"default":null},
+            {"name":"partitionPath","type":["null","string"],"default":null},
+            {"name":"orderingVal","type":
+              ["null","boolean","int","long","float","double","bytes","string"],
+              "default":null}]}}}]}""")
+
+  /** Encode (recordKey, partitionPath) pairs as DELETE_BLOCK v3 content —
+    * the shape a real Hudi writer emits. orderingVal is written null
+    * (COMMIT_TIME_ORDERING; the merge below orders by block apply order). */
+  private[graft] def encodeDeleteContent(recs: Seq[(String, String)]): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val itemSchema = deleteRecordListSchema.getField("deleteRecordList")
+      .schema().getElementType
+    val list = new java.util.ArrayList[GenericRecord](recs.size)
+    recs.foreach { case (rk, pp) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("recordKey", rk)
+      r.put("partitionPath", pp)
+      list.add(r)
+    }
+    val rec = new GenericData.Record(deleteRecordListSchema)
+    rec.put("deleteRecordList", list)
+    val payload = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](deleteRecordListSchema).write(rec, enc)
+      enc.flush()
+      bos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(DeleteContentVersion)
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Flat (recordKey, partitionPath) avro container — the scratch shape a
+    * decoded delete block spills to for the distributed read. */
+  private val flatDeleteSchema: StructType = StructType(Seq(
+    StructField("recordKey", StringType), StructField("partitionPath", StringType)))
+
+  private def writeFlatDeleteFile(recs: Seq[(String, String)], out: JPath): Unit = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val schema = AvroFileFormat.toAvroSchema(flatDeleteSchema, "hoodie_delete_record")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out.toFile)
+    try recs.foreach { case (rk, pp) =>
+      val r = new GenericData.Record(schema)
+      r.put("recordKey", rk)
+      r.put("partitionPath", pp)
+      w.append(r)
+    } finally w.close()
+  }
+
+  /** Decode DELETE_BLOCK content to (recordKey, partitionPath) pairs.
+    * Kryo-era content versions (1-2) fail with a clear message. */
+  private[graft] def decodeDeleteContent(content: Array[Byte]): Seq[(String, String)] = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(content))
+    val ver = in.readInt()
+    if (ver < DeleteContentVersion)
+      throw new UnsupportedOperationException(
+        s"Hudi DELETE_BLOCK content version $ver is kryo-serialized (writer-internal); " +
+          "only the avro HoodieDeleteRecordList encoding (version >= 3) is supported")
+    val payload = new Array[Byte](in.readInt())
+    in.readFully(payload)
+    val rec = new GenericDatumReader[GenericRecord](deleteRecordListSchema)
+      .read(null, DecoderFactory.get().binaryDecoder(payload, null))
+    rec.get("deleteRecordList").asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq
+      .map(r => (Option(r.get("recordKey")).map(_.toString).orNull,
+        Option(r.get("partitionPath")).map(_.toString).orNull))
   }
 
   /** Log rows of the given (gid, LogFile) pairs as one DataFrame with
@@ -775,6 +874,36 @@ object Hudi {
           .asInstanceOf[StructType]
         attach(spark.read.format(classOf[AvroFileFormat].getName)
           .schema(st).load(ms.map(_.path): _*))
+      },
+      // DELETE_BLOCK rows: synthesize the table's record-key columns from
+      // the serialized recordKey string and flag them `_hoodie_is_deleted`
+      // — from there they ride the same latest-wins merge as soft-delete
+      // data rows. Composite keys use Hudi's "f1:v1,f2:v2" key-generator
+      // encoding with __null__/__empty__ sentinels.
+      Option(metas.filter(_.fmt == "delete")).filter(_.nonEmpty).map { ms =>
+        val keys = recordKeyFields(table)
+        require(keys.nonEmpty,
+          s"$table carries DELETE_BLOCKs but no hoodie.table.recordkey.fields")
+        val tblSchema = resolveSchema(table, timeline(table))
+        def typed(f: String, c: Column): Column =
+          tblSchema.flatMap(_.fields.find(_.name == f))
+            .map(sf => c.cast(sf.dataType)).getOrElse(c)
+        val raw = attach(spark.read.format(classOf[AvroFileFormat].getName)
+          .schema(flatDeleteSchema).load(ms.map(_.path): _*))
+        val keyed =
+          if (keys.size == 1)
+            raw.withColumn(keys.head, typed(keys.head, col("recordKey")))
+          else {
+            val kv = expr("str_to_map(recordKey, ',', ':')")
+            keys.foldLeft(raw) { (df, f) =>
+              val v0 = kv.getItem(f)
+              val v = when(v0 === "__null__", lit(null).cast(StringType))
+                .when(v0 === "__empty__", lit("")).otherwise(v0)
+              df.withColumn(f, typed(f, v))
+            }
+          }
+        keyed.withColumn("_hoodie_is_deleted", lit(true))
+          .drop("recordKey", "partitionPath")
       }).flatten
     parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
@@ -828,7 +957,12 @@ object Hudi {
         b match {
           case None => live
           case Some(base) =>
-            base.join(latest.select(keyCols: _*), "_g_gid" +: keys, "left_anti")
+            // null-safe keys: Hudi's composite-key __null__ sentinel means a
+            // null key part still identifies a record, so the base anti-join
+            // must match it (<=> keeps this an equi-join — hash, not NLJ)
+            val keySel = latest.select(keyCols: _*)
+            val cond = ("_g_gid" +: keys).map(k => base(k) <=> keySel(k)).reduce(_ && _)
+            base.join(keySel, cond, "left_anti")
               .unionByName(live, allowMissingColumns = true)
         }
     }
@@ -1019,11 +1153,126 @@ object Hudi {
     * published atomically by a single deltacommit. Keys the table has never
     * seen are inserts and go to a fresh log-only file group in their
     * partition. Deletes travel as rows with `_hoodie_is_deleted = true`
-    * (the public soft-delete convention; the DELETE_BLOCK binary encoding
-    * is writer-internal kryo/avro and intentionally not spoken). Row bytes
+    * (the public soft-delete convention; foreign writers' DELETE_BLOCKs
+    * are understood on read — see [[decodeDeleteContent]]). Row bytes
     * stay in executors end-to-end: Spark stages one parquet file per
     * target group, and a distributed framing pass wraps each into its log
     * block in place. Returns the completed instant time. */
+  /** Distributed key → file-group index over base files + live log blocks
+    * (Hudi GLOBAL_SIMPLE-index semantics): the (keys…, _g_gid) pairs of
+    * every live record. A key-column-only parquet scan — no data columns
+    * cross an exchange; None when the table is empty. */
+  private def keyGroupIndex(spark: SparkSession, table: String,
+      snap: Snapshot, keys: Seq[String]): Option[DataFrame] = {
+    import spark.implicits._
+    val root = Paths.get(table).toAbsolutePath
+    def gidOf(s: FileSlice) = s.partitionPath + "\u0000" + s.fileId
+    val baseIdx = Option(snap.slices.filter(_.relPath.nonEmpty)).filter(_.nonEmpty).map { bs =>
+      val keyStruct = snap.schema
+        .map(sc => StructType(sc.fields.filter(f => keys.contains(f.name))))
+        .getOrElse(StructType(Nil))
+      val raw =
+        if (keyStruct.nonEmpty)
+          spark.read.schema(keyStruct).parquet(bs.map(b => root.resolve(b.relPath).toString): _*)
+        else spark.read.parquet(bs.map(b => root.resolve(b.relPath).toString): _*).select(keys.map(col): _*)
+      val tag = bs.map(b => (root.resolve(b.relPath).toString, gidOf(b))).toDF("_g_bpath", "_g_gid")
+      raw.withColumn("_g_bpath", InteropUtil.decodePathColumn(col("_metadata.file_path")))
+        .join(broadcast(tag), Seq("_g_bpath"))
+        .select((keys.map(col) :+ col("_g_gid")): _*)
+    }
+    val logIdx = logRecordsFrame(spark, table,
+      snap.slices.flatMap(s => s.logFiles.map(l => (gidOf(s), l))), snap.completedInstants)
+      .map(_.select((keys.map(col) :+ col("_g_gid")): _*))
+    (baseIdx.toSeq ++ logIdx.toSeq).reduceOption(_ unionByName _).map(_.distinct())
+  }
+
+  /** Append a REAL `DELETE_BLOCK` (content v3, avro HoodieDeleteRecordList)
+    * carrying `keyDf`'s record keys, one new log file per affected file
+    * group, published by a single deltacommit — the byte shape a foreign
+    * Hudi writer's delete produces, exercised by interop tests against the
+    * read path above. Graft's own distributed delete convention remains
+    * [[upsertLog]]'s `_hoodie_is_deleted` data rows; here the per-group key
+    * lists route distributed but frame driver-side (a delete batch is a
+    * key list — metadata-sized). Returns the completed instant. */
+  private[graft] def deleteByKeyBlock(keyDf: DataFrame, table: String): String = {
+    val spark = keyDf.sparkSession
+    require(tableType(table) == "MERGE_ON_READ",
+      s"deleteByKeyBlock targets MERGE_ON_READ tables; $table is ${tableType(table)}")
+    val keys = recordKeyFields(table)
+    require(keys.nonEmpty, s"$table has no hoodie.table.recordkey.fields")
+    val snap = snapshot(spark, table)
+    val root = Paths.get(table).toAbsolutePath
+    import spark.implicits._
+    val idx = keyGroupIndex(spark, table, snap, keys)
+      .getOrElse(throw new IllegalStateException(s"$table is empty — nothing to delete"))
+    // Hudi key-generator string form: simple = raw value; composite =
+    // "f1:v1,f2:v2" with __null__/__empty__ sentinels.
+    val recKeyCol: Column =
+      if (keys.size == 1) col(keys.head).cast(StringType)
+      else concat_ws(",", keys.map { f =>
+        val v = col(f).cast(StringType)
+        concat(lit(f + ":"),
+          when(v.isNull, "__null__").when(v === "", "__empty__").otherwise(v))
+      }: _*)
+    val wanted = keyDf.select(keys.map(col): _*).distinct()
+    val semiCond = keys.map(k => idx(k) <=> wanted(k)).reduce(_ && _) // null-safe: __null__ parts
+    val routed: Map[String, Seq[String]] = idx
+      .join(broadcast(wanted), semiCond, "left_semi")
+      .select(col("_g_gid"), recKeyCol.as("_g_rk")).distinct()
+      .as[(String, String)].collect().toSeq.groupMap(_._1)(_._2)
+    require(routed.nonEmpty, s"no existing keys matched — nothing to delete in $table")
+
+    val sliceByGid = snap.slices.map(s => (s.partitionPath + "\u0000" + s.fileId) -> s).toMap
+    val instant = newInstant(table)
+    transitionFile(table, instant, "deltacommit", "requested")
+    transitionFile(table, instant, "deltacommit", "inflight")
+    val written: Seq[(FileSlice, String, Long, Int, Long)] = // (slice, rel, bytes, ver, deletes)
+      routed.toSeq.sortBy(_._1).map { case (gid, rks) =>
+        val s = sliceByGid(gid)
+        val ver = s.logFiles.map(_.version).maxOption.getOrElse(0) + 1
+        val baseInstant = if (s.relPath.nonEmpty) s.instant else s.logFiles.head.baseInstant
+        val logName = s".${s.fileId}_$baseInstant.log.${ver}_0-0-0"
+        val rel = if (s.partitionPath.isEmpty) logName else s"${s.partitionPath}/$logName"
+        val block = frameLogBlock(DeleteBlock, Map(HInstantTime -> instant),
+          encodeDeleteContent(rks.sorted.map(rk => (rk, s.partitionPath))))
+        val dest = root.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.write(dest, block)
+        (s, rel, block.length.toLong, ver, rks.size.toLong)
+      }
+    written.map(_._1.partitionPath).distinct.foreach(writePartitionMetadata(root, _, instant))
+    val meta = mapper.createObjectNode()
+    val ptws = mapper.createObjectNode()
+    written.groupBy(_._1.partitionPath).foreach { case (p, ws) =>
+      val arr = mapper.createArrayNode()
+      ws.foreach { case (s, rel, bytes, ver, dels) =>
+        val st = mapper.createObjectNode()
+        st.put("fileId", s.fileId)
+        st.put("path", rel)
+        st.put("prevCommit", if (s.relPath.nonEmpty) s.instant else s.logFiles.head.baseInstant)
+        st.put("numWrites", dels)
+        st.put("numUpdateWrites", 0L)
+        st.put("numDeletes", dels)
+        st.put("totalWriteBytes", bytes)
+        st.put("fileSizeInBytes", bytes)
+        st.put("logVersion", ver)
+        st.put("partitionPath", p)
+        arr.add(st)
+      }
+      ptws.set[JsonNode](p, arr)
+    }
+    meta.set[JsonNode]("partitionToWriteStats", ptws)
+    meta.put("compacted", false)
+    meta.put("operationType", "DELETE")
+    snap.schema.foreach { ts =>
+      val extra = mapper.createObjectNode()
+      extra.put("schema", AvroFileFormat.toAvroSchema(ts, "hoodie_record").toString)
+      meta.set[JsonNode]("extraMetadata", extra)
+    }
+    completeInstant(table, instant, "deltacommit", mapper.writeValueAsString(meta))
+    instant
+  }
+
   def upsertLog(df: DataFrame, table: String): String = {
     val spark = df.sparkSession
     require(tableType(table) == "MERGE_ON_READ",
@@ -1038,25 +1287,7 @@ object Hudi {
 
     // ---- key → file-group index (metadata flows to driver only via the
     // final routed-target DISTINCT, which is bounded by group count)
-    val keyIdx: Option[DataFrame] = {
-      val baseIdx = Option(snap.slices.filter(_.relPath.nonEmpty)).filter(_.nonEmpty).map { bs =>
-        val keyStruct = snap.schema
-          .map(sc => StructType(sc.fields.filter(f => keys.contains(f.name))))
-          .getOrElse(StructType(Nil))
-        val raw =
-          if (keyStruct.nonEmpty)
-            spark.read.schema(keyStruct).parquet(bs.map(b => root.resolve(b.relPath).toString): _*)
-          else spark.read.parquet(bs.map(b => root.resolve(b.relPath).toString): _*).select(keys.map(col): _*)
-        val tag = bs.map(b => (root.resolve(b.relPath).toString, gidOf(b))).toDF("_g_bpath", "_g_gid")
-                raw.withColumn("_g_bpath", InteropUtil.decodePathColumn(col("_metadata.file_path")))
-          .join(broadcast(tag), Seq("_g_bpath"))
-          .select((keys.map(col) :+ col("_g_gid")): _*)
-      }
-      val logIdx = logRecordsFrame(spark, table,
-        snap.slices.flatMap(s => s.logFiles.map(l => (gidOf(s), l))), snap.completedInstants)
-        .map(_.select((keys.map(col) :+ col("_g_gid")): _*))
-      (baseIdx.toSeq ++ logIdx.toSeq).reduceOption(_ unionByName _).map(_.distinct())
-    }
+    val keyIdx: Option[DataFrame] = keyGroupIndex(spark, table, snap, keys)
 
     // ---- routing: existing key → its group; new key → per-partition group
     val escapeU = udf((s: String) =>
@@ -1070,8 +1301,14 @@ object Hudi {
     // survivor set broadcasts into the routing join and the 100 TB table's
     // key stream never crosses an exchange for a small upsert batch.
     val routed = keyIdx.map { ix =>
-      val needed = ix.join(broadcast(df.select(keys.map(col): _*).distinct()), keys, "left_semi")
-      df.join(broadcast(needed), keys, "left")
+      // null-safe key equality end-to-end: Hudi's composite-key __null__
+      // sentinel means a null key part still identifies a record, so
+      // routing must send it to its existing group, not a fresh one
+      val wanted = df.select(keys.map(col): _*).distinct()
+      val semiCond = keys.map(k => ix(k) <=> wanted(k)).reduce(_ && _)
+      val needed = ix.join(broadcast(wanted), semiCond, "left_semi")
+      val joinCond = keys.map(k => df(k) <=> needed(k)).reduce(_ && _)
+      keys.foldLeft(df.join(broadcast(needed), joinCond, "left"))((d, k) => d.drop(needed(k)))
     }
       .getOrElse(df.withColumn("_g_gid", lit(null).cast(StringType)))
       .withColumn("_g_part", partExpr)

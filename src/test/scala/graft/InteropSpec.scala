@@ -334,6 +334,60 @@ class InteropSpec extends SparkSpec {
     assert(Hudi.compact(spark, t).isEmpty)
   }
 
+  test("hudi merge-on-read: foreign DELETE_BLOCK (avro delete-record list)") {
+    import graft.interop.Hudi
+
+    // content codec round-trips; kryo-era versions refuse with context
+    val recs = Seq(("k1", ""), ("f:2,g:__null__", "part=x"))
+    assert(Hudi.decodeDeleteContent(Hudi.encodeDeleteContent(recs)) == recs)
+    val kryo = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(2); o.writeInt(4); o.write(Array[Byte](1, 2, 3, 4)); bos.toByteArray
+    }
+    val ex = intercept[UnsupportedOperationException](Hudi.decodeDeleteContent(kryo))
+    assert(ex.getMessage.contains("kryo"))
+
+    // simple key: a real delete block tombstones its keys on snapshot read,
+    // later data blocks resurrect, compaction folds the result
+    val t = tmpDir("hudi-delblock")
+    Hudi.write(nation, t, tableType = "MERGE_ON_READ", recordKeyFields = Seq("n_nationkey"))
+    Hudi.upsertLog(
+      nation.where($"n_nationkey" % 3 === 0).withColumn("n_name", concat($"n_name", lit("_v2"))), t)
+    val iDel = Hudi.deleteByKeyBlock(nation.where($"n_nationkey" % 4 === 0).select("n_nationkey"), t)
+    val r = Hudi.read(spark, t)
+    assert(r.count() == nation.where($"n_nationkey" % 4 =!= 0).count())
+    assert(r.where($"n_nationkey" % 4 === 0).count() == 0)
+    assert(r.where($"n_name".endsWith("_v2") && $"n_nationkey" % 4 =!= 0).count() ==
+      nation.where($"n_nationkey" % 3 === 0 && $"n_nationkey" % 4 =!= 0).count())
+    // a later upsert of a deleted key wins over the tombstone
+    Hudi.upsertLog(nation.where($"n_nationkey" === 4), t)
+    assert(Hudi.read(spark, t).where($"n_nationkey" === 4).count() == 1)
+    // time travel BEFORE the delete block sees the full key set
+    assert(Hudi.read(spark, t, asOfInstant = Some(Hudi.timeline(t)(1).time)).count() ==
+      nation.count())
+    // incremental pull over the delete window carries the tombstone flags
+    val tl = Hudi.timeline(t)
+    val from = tl(tl.indexWhere(_.time == iDel) - 1).time
+    val inc = Hudi.incremental(spark, t, from, Some(iDel))
+    assert(inc.where($"_hoodie_is_deleted").count() ==
+      nation.where($"n_nationkey" % 4 === 0).count())
+    // compaction folds the delete into fresh log-free bases
+    val pre = Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq
+    assert(Hudi.compact(spark, t).isDefined)
+    assert(Hudi.snapshot(spark, t).slices.forall(_.logFiles.isEmpty))
+    assert(Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq == pre)
+
+    // composite key: "f1:v1,f2:v2" serialization incl. __null__/__empty__
+    val tc = tmpDir("hudi-delblock-ck")
+    val rows = Seq((1L, Option("a"), "x"), (2L, None, "y"), (3L, Option(""), "z"),
+      (4L, Option("d"), "w")).toDF("id", "sub", "v")
+    Hudi.write(rows, tc, tableType = "MERGE_ON_READ", recordKeyFields = Seq("id", "sub"))
+    Hudi.deleteByKeyBlock(rows.where($"id" =!= 4).select("id", "sub"), tc)
+    val rc = Hudi.read(spark, tc)
+    assert(rc.select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("hudi merge-on-read: foreign avro data block and rollback command block") {
     import graft.interop.Hudi
     import org.apache.spark.sql.graft.formats.AvroFileFormat
