@@ -20,17 +20,58 @@ import graft.txn._
  * is DataFrame reads/writes planned by Catalyst; only metadata commits are
  * driver-side.
  */
-final case class TableHandle(namespace: String, name: String) {
-  override def toString = s"$namespace.$name"
+/** `version = None` means "default" — catalog APIs resolve it to the latest
+  * ACTIVE table version (reference get_latest_active_table_version,
+  * catalog/main/impl.py:1793-1800); `Some(v)` pins an explicit version
+  * (`"ns.t@v2"` string form). Version 1 lives at the table's legacy paths,
+  * so single-version tables are byte-identical to pre-version catalogs. */
+final case class TableHandle(namespace: String, name: String,
+    version: Option[Long] = None) {
+  override def toString = version match {
+    case Some(v) => s"$namespace.$name@v$v"
+    case None => s"$namespace.$name"
+  }
 }
 
 object TableHandle {
-  def parse(s: String, defaultNs: String = "default"): TableHandle = s.split('.') match {
-    case Array(ns, t) => TableHandle(ns, t)
-    case Array(t) => TableHandle(defaultNs, t)
-    case _ => throw new IllegalArgumentException(s"bad table name $s")
+  private val VerSuffix = "^(.*)@v(\\d+)$".r
+  def parse(s: String, defaultNs: String = "default"): TableHandle = {
+    val (base, ver) = s match {
+      case VerSuffix(b, v) => (b, Some(v.toLong))
+      case _ => (s, None)
+    }
+    base.split('.') match {
+      case Array(ns, t) => TableHandle(ns, t, ver)
+      case Array(t) => TableHandle(defaultNs, t, ver)
+      case _ => throw new IllegalArgumentException(s"bad table name $s")
+    }
   }
 }
+
+/** Table-version lifecycle states — reference LifecycleState
+  * (storage/model/types.py:122). An UNRELEASED/CREATED version stages a
+  * breaking change invisibly; promoting it to ACTIVE flips default reads
+  * and writes over atomically; DEPRECATED/DELETED versions refuse writes. */
+object Lifecycle {
+  val Created = "created"
+  val Unreleased = "unreleased"
+  val Active = "active"
+  val Deprecated = "deprecated"
+  val Beta = "beta"
+  val Deleted = "deleted"
+  val All: Set[String] = Set(Created, Unreleased, Active, Deprecated, Beta, Deleted)
+  def validate(s: String): String = {
+    require(All(s), s"unknown lifecycle state $s (one of ${All.mkString(",")})")
+    s
+  }
+  /** May this version accept writes? Deprecated/deleted are read-only. */
+  def writable(s: String): Boolean = s != Deprecated && s != Deleted
+}
+
+/** A default (unversioned) reference found no ACTIVE table version. */
+class NoActiveTableVersion(t: String, state: String) extends RuntimeException(
+  s"table $t has no ACTIVE version (resolved version is $state); " +
+    "activate one via alterTableLifecycle or pin a version with 'ns.t@vN'")
 
 /** Options for readTable — projection/partition-filter/time-travel/merge-on-read. */
 final case class ReadOptions(
@@ -63,9 +104,10 @@ class SchemaValidationError(msg: String) extends RuntimeException(msg)
   * reference SchemaCompatibilityError (SchemaUpdate, schema.py:975-999). */
 class SchemaCompatibilityError(msg: String) extends RuntimeException(msg)
 
-final class GraftCatalog(val spark: SparkSession, rootDir: String) {
+final class GraftCatalog(val spark: SparkSession, rootDir: String,
+    commitStore: CommitStore = RenameCommitStore) {
   val root: Path = Paths.get(rootDir)
-  val store = new Metastore(root)
+  val store = new Metastore(root, commitStore)
 
   import Hidden._
 
@@ -73,15 +115,65 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   private def nsDir(ns: String): Path = root.resolve("ns").resolve(ns)
   private def nsMetaDir(ns: String): Path = nsDir(ns).resolve("__ns__")
   private def tableDir(t: TableHandle): Path = nsDir(t.namespace).resolve(t.name)
-  private def metaDir(t: TableHandle): Path = tableDir(t).resolve("meta")
-  private def deltaDir(t: TableHandle): Path = tableDir(t).resolve("deltas")
-  private def dataDir(t: TableHandle): Path = tableDir(t).resolve("data")
+  // Version 1 = the table's legacy layout (meta/deltas/data directly under
+  // the table dir); versions ≥ 2 nest under versions/v<id>. A pre-version
+  // catalog is therefore already a valid single-version catalog.
+  private def versionsDir(t: TableHandle): Path = tableDir(t).resolve("versions")
+  private def verRoot(t: TableHandle): Path = t.version match {
+    case Some(v) if v >= 2 => versionsDir(t).resolve(f"v$v%05d")
+    case _ => tableDir(t)
+  }
+  private def metaDir(t: TableHandle): Path = verRoot(t).resolve("meta")
+  private def deltaDir(t: TableHandle): Path = verRoot(t).resolve("deltas")
+  private def dataDir(t: TableHandle): Path = verRoot(t).resolve("data")
+
+  // ------------------------------------------------------- version resolve
+  /** All version ids of a table (existing metafile dirs, dropped included),
+    * ascending. Metadata-scale: one dir listing. */
+  private def versionIds(t: TableHandle): Seq[Long] = {
+    val v1 = if (Files.isDirectory(metaDir(t.copy(version = Some(1L))))) Seq(1L) else Nil
+    val vdir = versionsDir(t)
+    val extra =
+      if (!Files.isDirectory(vdir)) Nil
+      else {
+        val s = Files.list(vdir)
+        try s.iterator().asScala.map(_.getFileName.toString).collect {
+          case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+        }.toSeq
+        finally s.close()
+      }
+    (v1 ++ extra).distinct.sorted
+  }
+
+  /** Resolve an unpinned handle to its latest ACTIVE version (reference
+    * active-version resolution, catalog/main/impl.py:1793-1800). Single-
+    * version tables short-circuit on one directory probe. When NO version
+    * is active, falls back to the unpinned (v1) handle — the lifecycle
+    * gates at read/write entry points surface the error with context. */
+  private def resolveVersion(t0: TableHandle, asOf: Option[Long],
+      within: Option[Transaction]): TableHandle = {
+    if (t0.version.isDefined) return t0
+    if (!Files.isDirectory(versionsDir(t0))) return t0
+    versionIds(t0).reverseIterator.map { v =>
+      (v, currentMeta(t0.copy(version = Some(v)), asOf, within))
+    }.collectFirst {
+      case (v, Some(m)) if !m.dropped && m.lifecycleState == Lifecycle.Active => v
+    } match {
+      case Some(v) => t0.copy(version = Some(v))
+      case None => t0
+    }
+  }
 
   // ------------------------------------------------------------- namespaces
   /** Default namespace for unqualified table names — reference
     * get/set default namespace (catalog/interface.py:389-513). */
   @volatile var defaultNamespace: String = "default"
-  private def th(table: String): TableHandle = TableHandle.parse(table, defaultNamespace)
+  /** Parse + resolve to the latest ACTIVE version (or the pinned one). */
+  private def th(table: String): TableHandle =
+    resolveVersion(TableHandle.parse(table, defaultNamespace), None, None)
+  /** Parse only — no version resolution. */
+  private def thRaw(table: String): TableHandle =
+    TableHandle.parse(table, defaultNamespace)
 
   def createNamespace(ns: String, properties: Map[String, String] = Map.empty,
       txn: Option[Transaction] = None): Unit =
@@ -154,7 +246,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       sortScheme: SortScheme = SortScheme.unsorted,
       properties: Map[String, String] = Map.empty,
       txn: Option[Transaction] = None): TableHandle = {
-    val t = th(table)
+    val t = thRaw(table)
+    require(t.version.isEmpty,
+      s"createTable takes a bare table name (use createTableVersion for $table)")
     schema.fields.filter(FieldMeta.isMergeKey).foreach(FieldMeta.validateMergeKey)
     if (tableExists(table)) throw new TableAlreadyExists(table)
     // A previously-dropped incarnation leaves committed deltas behind;
@@ -183,9 +277,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
     store.latestVisible(nsMetaDir(ns), None, Some(tx))
       .map(c => Json.read(c._2, classOf[NsMeta])).exists(!_.dropped)
 
+  /** True when ANY version of the table exists and is not dropped (a table
+    * whose only version is still UNRELEASED exists, though default reads
+    * refuse it); a pinned `ns.t@vN` checks exactly that version. */
   def tableExists(table: String, asOf: Option[Long] = None): Boolean = {
-    val t = th(table)
-    currentMeta(t, asOf, None).exists(!_.dropped)
+    val t0 = thRaw(table)
+    def versionExists(t: TableHandle) = currentMeta(t, asOf, None).exists(!_.dropped)
+    t0.version match {
+      case Some(_) => versionExists(t0)
+      case None =>
+        versionExists(t0) || (Files.isDirectory(versionsDir(t0)) &&
+          versionIds(t0).exists(v => versionExists(t0.copy(version = Some(v)))))
+    }
   }
 
   def getTableMeta(table: String, asOf: Option[Long] = None): TableMeta = {
@@ -220,12 +323,29 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       purge: Boolean = false): Unit = {
     require(!purge || txn.isEmpty,
       "purge cannot run inside a caller-managed transaction (file deletes don't roll back)")
-    val t = th(table)
-    val m = getTableMeta(table)
+    // A bare name drops EVERY live version atomically; `ns.t@vN` drops just
+    // that version (reference table-version delete semantics —
+    // LifecycleState.DELETED, types.py:122).
+    val parsed = thRaw(table)
+    val targets: Seq[(TableHandle, TableMeta)] = parsed.version match {
+      case Some(_) =>
+        Seq(parsed -> currentMeta(parsed, None, txn).filter(!_.dropped)
+          .getOrElse(throw new TableNotFound(table)))
+      case None =>
+        versionIds(parsed).flatMap { v =>
+          val tv = parsed.copy(version = Some(v))
+          currentMeta(tv, None, txn).filter(!_.dropped).map(tv -> _)
+        }
+    }
+    if (targets.isEmpty) throw new TableNotFound(table)
     val toDelete: Seq[String] =
       if (!purge) Nil
-      else visibleDeltas(t, None, None).flatMap(_._2.entries).map(_.path).distinct
-    inTxn(txn, s"drop table $t")(tx => stageTableMeta(tx, t, m.copy(dropped = true)))
+      else targets.flatMap { case (tv, _) =>
+        visibleDeltas(tv, None, None).flatMap(_._2.entries).map(_.path)
+      }.distinct
+    inTxn(txn, s"drop table $parsed")(tx => targets.foreach { case (tv, m) =>
+      stageTableMeta(tx, tv, m.copy(dropped = true, lifecycle = Lifecycle.Deleted))
+    })
     // Deletes are best-effort and post-commit; past a small threshold they
     // run as a Spark job (a purged table can reference 10^5+ files — a
     // serial driver loop would stall for minutes; same split as
@@ -252,25 +372,140 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
   }
 
   def renameTable(table: String, newName: String, txn: Option[Transaction] = None): Unit = {
-    val t = th(table)
+    val t = thRaw(table)
+    require(t.version.isEmpty, s"rename targets the whole table, not a version ($table)")
     val nt = TableHandle(t.namespace, newName)
-    val m = getTableMeta(table)
     if (tableExists(nt.toString)) throw new TableAlreadyExists(nt.toString)
+    // Every live version moves in ONE atomic commit.
+    val live = versionIds(t).flatMap { v =>
+      val tv = t.copy(version = Some(v))
+      currentMeta(tv, None, txn).filter(!_.dropped).map(v -> _)
+    }
+    if (live.isEmpty) throw new TableNotFound(table)
     // Delta metafiles are copied at their ORIGINAL revisions (stream
     // positions must keep matching the data-file paths), so a destination
     // with prior-incarnation history would collide on revision numbers.
-    if (store.allVisible(deltaDir(nt), None, None).nonEmpty)
-      throw new IllegalArgumentException(
-        s"cannot rename onto $nt: the name has prior table history")
+    live.foreach { case (v, _) =>
+      if (store.allVisible(deltaDir(nt.copy(version = Some(v))), None, None).nonEmpty)
+        throw new IllegalArgumentException(
+          s"cannot rename onto $nt: the name has prior table history")
+    }
     inTxn(txn, s"rename $t -> $nt") { tx =>
-      stageTableMeta(tx, t, m.copy(dropped = true))
-      stageTableMeta(tx, nt, m.copy(table = newName, dropped = false))
-      // Data files are addressed by manifest paths, so the old table's deltas
-      // must be re-pointed: copy visible delta metafiles to the new table.
-      visibleDeltas(t, None, Some(tx)).foreach { case (rev, d) =>
-        tx.stage(deltaDir(nt), rev, "delta", Json.write(d), s"CREATE delta/$nt/$rev")
+      live.foreach { case (v, m) =>
+        val tv = t.copy(version = Some(v))
+        val ntv = nt.copy(version = Some(v))
+        stageTableMeta(tx, tv, m.copy(dropped = true))
+        stageTableMeta(tx, ntv, m.copy(table = newName, dropped = false))
+        // Data files are addressed by manifest paths, so the old table's deltas
+        // must be re-pointed: copy visible delta metafiles to the new table.
+        visibleDeltas(tv, None, Some(tx)).foreach { case (rev, d) =>
+          tx.stage(deltaDir(ntv), rev, "delta", Json.write(d), s"CREATE delta/$ntv/$rev")
+        }
       }
     }
+  }
+
+  // ------------------------------------------------------- table versions
+  /** Create a NEW table version — reference create_table_version
+    * (storage/main/impl.py:1323-1460): the staging mechanism for a breaking
+    * change. The new version carries its own schema/schemes/properties and
+    * its own delta stream; unspecified pieces are inherited from the latest
+    * live version. It is born in `lifecycle` (default CREATED —
+    * storage/model/types.py:122) and stays INVISIBLE to default reads and
+    * writes until promoted ACTIVE via [[alterTableLifecycle]]; load it in
+    * the meantime by pinning `ns.t@vN`. Creates the table (as version 1)
+    * when it does not exist yet, mirroring the reference. Returns the new
+    * version id. */
+  def createTableVersion(
+      table: String,
+      schema: Option[StructType] = None,
+      lifecycle: String = Lifecycle.Created,
+      partitionScheme: Option[PartitionScheme] = None,
+      sortScheme: Option[SortScheme] = None,
+      properties: Option[Map[String, String]] = None,
+      txn: Option[Transaction] = None): Long = {
+    val t0 = thRaw(table)
+    require(t0.version.isEmpty, s"createTableVersion takes a bare table name ($table)")
+    Lifecycle.validate(lifecycle)
+    schema.foreach(_.fields.filter(FieldMeta.isMergeKey).foreach(FieldMeta.validateMergeKey))
+    val vids = versionIds(t0)
+    val latestLive = vids.reverse.iterator.flatMap(v =>
+      currentMeta(t0.copy(version = Some(v)), None, txn).filter(!_.dropped).map(v -> _))
+      .nextOption()
+    latestLive match {
+      case None =>
+        // No parent table — create it as version 1 in the requested state
+        // (reference creates the parent in the same transaction).
+        val s = schema.getOrElse(throw new IllegalArgumentException(
+          s"schema required: $table does not exist yet"))
+        inTxn(txn, s"create table version ${t0}@v1") { tx =>
+          if (!namespaceExistsInTxn(t0.namespace, tx)) {
+            val dir = nsMetaDir(t0.namespace)
+            tx.stage(dir, store.nextRevision(dir, Some(tx)), "ns",
+              Json.write(NsMeta(t0.namespace, Map.empty, dropped = false)),
+              s"CREATE ns/${t0.namespace}")
+          }
+          stageTableMeta(tx, t0.copy(version = Some(1L)),
+            toMeta(t0, s, partitionScheme.getOrElse(PartitionScheme.unpartitioned),
+              sortScheme.getOrElse(SortScheme.unsorted), properties.getOrElse(Map.empty))
+              .copy(lifecycle = lifecycle))
+        }
+        1L
+      case Some((_, base)) =>
+        // Next id is max over ALL versions incl. dropped ones (their delta
+        // dirs may still hold history; never reuse a version id).
+        val newV = vids.max + 1
+        val tv = t0.copy(version = Some(newV))
+        val m = TableMeta(t0.namespace, t0.name,
+          schema.map(_.json).getOrElse(base.schemaJson),
+          partitionScheme.map(_.keys.map(k => Seq(k.field, k.transform.name)))
+            .getOrElse(base.partitionKeys),
+          sortScheme.map(_.keys.map(k =>
+            Seq(k.field, k.ascending.toString, k.nullsFirst.toString, k.transform.name)))
+            .getOrElse(base.sortKeys),
+          properties.getOrElse(base.properties), dropped = false, lifecycle = lifecycle)
+        inTxn(txn, s"create table version $tv")(tx => stageTableMeta(tx, tv, m))
+        newV
+    }
+  }
+
+  /** (version, lifecycle) for every live version, ascending by version. */
+  def listTableVersions(table: String): Seq[(Long, String)] = {
+    val t0 = thRaw(table)
+    require(t0.version.isEmpty, s"listTableVersions takes a bare table name ($table)")
+    val out = versionIds(t0).flatMap { v =>
+      currentMeta(t0.copy(version = Some(v)), None, None).filter(!_.dropped)
+        .map(m => v -> m.lifecycleState)
+    }
+    if (out.isEmpty) throw new TableNotFound(table)
+    out
+  }
+
+  /** Highest live version id — reference Table.latest_table_version. */
+  def latestTableVersion(table: String): Long =
+    listTableVersions(table).map(_._1).max
+
+  /** Highest ACTIVE version id (the default read/write target) — reference
+    * Table.latest_active_table_version; None when nothing is active. */
+  def latestActiveVersion(table: String): Option[Long] =
+    listTableVersions(table).filter(_._2 == Lifecycle.Active).map(_._1).maxOption
+
+  /** Change one version's lifecycle — reference update_table_version
+    * (storage/main/impl.py:1574-1680): promoting an UNRELEASED/CREATED
+    * version to ACTIVE atomically flips default read/write resolution onto
+    * it; DEPRECATED retires it from writes while pinned reads keep working.
+    * A bare table name targets the LATEST version (the one
+    * createTableVersion just made); pin `@vN` to target another. */
+  def alterTableLifecycle(table: String, lifecycle: String,
+      txn: Option[Transaction] = None): Unit = {
+    Lifecycle.validate(lifecycle)
+    val parsed = thRaw(table)
+    val v = parsed.version.getOrElse(latestTableVersion(table))
+    val tv = parsed.copy(version = Some(v))
+    val m = currentMeta(tv, None, txn).filter(!_.dropped)
+      .getOrElse(throw new TableNotFound(tv.toString))
+    inTxn(txn, s"set lifecycle $lifecycle on $tv")(tx =>
+      stageTableMeta(tx, tv, m.copy(lifecycle = lifecycle)))
   }
 
   /** Reference refresh_table (catalog/interface.py:249-264): drop cached
@@ -447,7 +682,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       table: String,
       mode: WriteMode = WriteMode.Auto,
       txn: Option[Transaction] = None): Long = {
-    val t = th(table)
+    val parsed = thRaw(table)
+    val t = resolveVersion(parsed, None, txn)
     // Read-your-writes: a table created earlier in the same open transaction
     // is visible to later writes in it (reference transaction.py:85-115).
     def metaInTx: Option[TableMeta] = currentMeta(t, None, txn).filter(!_.dropped)
@@ -455,6 +691,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       DataType.fromJson(metaInTx.getOrElse(throw new TableNotFound(table)).schemaJson)
         .asInstanceOf[StructType]
     val exists = metaInTx.isDefined
+    // Lifecycle gate: DEPRECATED/DELETED versions refuse writes outright; a
+    // default (unversioned) write additionally requires the resolved
+    // version to be ACTIVE — loading a staging version is done by pinning
+    // it (`ns.t@vN`), never implicitly.
+    metaInTx.map(_.lifecycleState).foreach { lc =>
+      if (parsed.version.isEmpty && lc != Lifecycle.Active)
+        throw new NoActiveTableVersion(table, lc)
+      if (!Lifecycle.writable(lc)) throw new IllegalStateException(
+        s"table version $t is $lc and refuses writes")
+    }
     val resolved: WriteMode = mode match {
       case WriteMode.Auto =>
         if (!exists) WriteMode.Create
@@ -748,13 +994,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
 
   // ------------------------------------------------------------- read path
   def readTable(table: String, opts: ReadOptions = ReadOptions()): DataFrame = {
-    val t = th(table)
+    val parsed = thRaw(table)
+    val t = resolveVersion(parsed, opts.asOf, opts.txn)
     val meta = currentMeta(t, opts.asOf, opts.txn).filter(!_.dropped)
       .getOrElse(throw new TableNotFound(table))
+    // Default reads serve the latest ACTIVE version only (reference
+    // resolution); a pinned `@vN` read may inspect any live version.
+    if (parsed.version.isEmpty && meta.lifecycleState != Lifecycle.Active)
+      throw new NoActiveTableVersion(table, meta.lifecycleState)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val scheme = partitionSchemeOf(meta)
-    val deltas = effectiveDeltas(t, opts.asOf, opts.txn)
+    val deltas = plannedDeltas(t, opts, schema, scheme, mergeKeys)
 
     val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts,
       dataDir(t).toString, contentTypeOf(meta))
@@ -1274,9 +1525,64 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String) {
       (rev, Json.read(c, classOf[DeltaMeta]))
     }
 
-  /** Visible deltas after the last REPLACE marker, ascending stream position. */
-  private[graft] def effectiveDeltas(t: TableHandle, asOf: Option[Long],
+  /** [[effectiveDeltas]] with the driver-metadata ceiling lifted for the
+    * scan path: when the visible manifest JSON exceeds
+    * `graft.manifest.distributedPlanningBytes` (default 16 MB ≈ 10^5
+    * entries), delta metafiles are skeleton-parsed on the driver (entries
+    * skipped — O(#deltas) heap) and entry-level pruning (footer-stats skip
+    * + partition-value prune) runs as a Spark job, one task per metafile;
+    * only surviving entries materialize, stats stripped. The predicates
+    * mirror [[MergeRead.plan]]'s exactly, and plan re-applies them, so the
+    * gate is purely a materialization strategy — same files either way.
+    * Below the gate this IS [[effectiveDeltas]] (no job launch for the
+    * common small-manifest read). */
+  private def plannedDeltas(t: TableHandle, opts: ReadOptions, schema: StructType,
+      scheme: PartitionScheme, mergeKeys: Seq[String]): Seq[DeltaMeta] = {
+    val files = store.visibleRevisionPaths(deltaDir(t), opts.asOf, opts.txn)
+    val totalBytes = files.iterator.map { case (_, p) =>
+      try Files.size(p) catch { case _: Exception => 0L } }.sum
+    if (totalBytes <= ManifestPlanner.gateBytes(spark))
+      return effectiveDeltas(t, opts.asOf, opts.txn)
+    val sk: Seq[(Long, Path, DeltaMeta)] =
+      files.map { case (rev, p) => (rev, p, ManifestPlanner.skeleton(p)) }
+    val lastReplace = sk.zipWithIndex
+      .filter(_._1._3.properties.get("replace").contains("true")).map(_._2).lastOption
+    val kept = lastReplace match { case Some(i) => sk.drop(i); case None => sk }
+    val (base, pending) = MergeRead.activeDeltas(kept.map(_._3))
+    val needMerge = opts.mergeOnRead && mergeKeys.nonEmpty &&
+      pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
+    val statFilters = StatsSkip.safeFilters(
+      opts.rowFilter.map(StatsSkip.translate).getOrElse(Nil), needMerge, mergeKeys)
+    val segs: Seq[(String, String)] = opts.partitionValues.toSeq.flatMap(_.flatMap {
+      case (field, v) =>
+        scheme.keys.find(_.field == field).map(k => (s"${k.partitionColumnName}=", v))
+    })
+    // Only ACTIVE deltas (latest compacted base + beyond-watermark pending)
+    // contribute entries to the plan; the rest ride along as entry-less
+    // lineage skeletons — plan never reads their entries.
+    val activePos = (base.toSeq ++ pending).map(_.streamPosition).toSet
+    val activeFiles = kept.collect {
+      case (rev, p, d) if activePos.contains(d.streamPosition) => (rev, p.toString)
+    }
+    val limitOnly = opts.limit.isDefined && statFilters.isEmpty && !needMerge &&
+      opts.rowFilter.isEmpty && opts.partitionFilter.isEmpty &&
+      opts.partitionValues.isEmpty && !pending.exists(_.typed == DeltaType.Delete)
+    val survivors: Map[Long, Seq[ManifestEntry]] =
+      if (limitOnly)
+        ManifestPlanner.limitPrefixStreaming(activeFiles, opts.limit.get)
+          .getOrElse(ManifestPlanner.materializeStreaming(activeFiles))
+      else if (statFilters.nonEmpty || segs.nonEmpty)
+        ManifestPlanner.pruneDistributed(spark, activeFiles, statFilters, schema, segs)
+      else ManifestPlanner.materializeStreaming(activeFiles)
+    kept.map { case (rev, _, d) => d.copy(entries = survivors.getOrElse(rev, Nil)) }
+  }
+
+  /** Visible deltas after the last REPLACE marker, ascending stream position.
+    * Unpinned handles (external callers — DSv2, streaming) resolve to the
+    * latest ACTIVE version here, so every read surface follows activation. */
+  private[graft] def effectiveDeltas(t0: TableHandle, asOf: Option[Long],
       within: Option[Transaction] = None): Seq[DeltaMeta] = {
+    val t = resolveVersion(t0, asOf, within)
     val all = visibleDeltas(t, asOf, within).map(_._2)
     val lastReplace = all.zipWithIndex
       .filter(_._1.properties.get("replace").contains("true")).map(_._2).lastOption

@@ -1210,7 +1210,10 @@ object CatalogQueries {
       cat.writeToTable(tbl(s, dir, "region"), "q.r")
       val abandoned = cat.transaction("never sealed")
       cat.writeToTable(tbl(s, dir, "region"), "q.r", WriteMode.Add, txn = Some(abandoned))
-      val (failed, _) = cat.janitor(timeoutMillis = 0) // 0: everything in-flight is stale
+      // stage() heartbeats the lease, so idleness accrues from the LAST
+      // staged write, not txn start — wait past the timeout before sweeping.
+      Thread.sleep(25)
+      val (failed, _) = cat.janitor(timeoutMillis = 10)
       import s.implicits._
       Seq((failed, cat.readTable("q.r").count())).toDF("failed_txns", "rows_after")
     },
@@ -1266,6 +1269,101 @@ object CatalogQueries {
         txn = Some(resumed))
       resumed.seal()
       cat.readTable("q.n")
+    },
+
+    // Table versions + lifecycle states (SURVEY coverage: reference
+    // table_version.py:1-513, LifecycleState types.py:122): an UNRELEASED
+    // v2 with an evolved schema stages invisibly — default reads serve v1
+    // until v2 is promoted ACTIVE, then resolution flips atomically. The
+    // row set interleaves reads taken at each stage.
+    Q("c74_table_versions", Some("""
+      SELECT 'v1_before' AS stage, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_nationkey) AS BIGINT) AS s FROM nation
+      UNION ALL
+      SELECT 'v2_pinned', CAST(count(*) AS BIGINT),
+             CAST(sum(n_regionkey * 10) AS BIGINT)
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT 'v2_after', CAST(count(*) AS BIGINT),
+             CAST(sum(n_regionkey * 10) AS BIGINT)
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT 'v1_time_travel', CAST(count(*) AS BIGINT),
+             CAST(sum(n_nationkey) AS BIGINT) FROM nation""")) { (s, dir) =>
+      import s.implicits._
+      val cat = newCat(s, "c74")
+      val n = tbl(s, dir, "nation")
+      cat.writeToTable(n.select("n_nationkey", "n_name"), "q.n")
+      def snap(stage: String, df: org.apache.spark.sql.DataFrame, sumCol: String) = {
+        val r = df.agg(cnt.as("n"), sum(col(sumCol)).cast("long").as("s")).head()
+        (stage, r.getLong(0), r.getLong(1))
+      }
+      // v2: breaking change (different shape), staged UNRELEASED
+      val v2 = cat.createTableVersion("q.n",
+        schema = Some(org.apache.spark.sql.types.StructType(Seq(
+          FieldMeta.field("n_nationkey", org.apache.spark.sql.types.LongType, nullable = false),
+          FieldMeta.field("score", org.apache.spark.sql.types.LongType)))),
+        lifecycle = Lifecycle.Unreleased)
+      cat.writeToTable(
+        n.where(col("n_nationkey") < 10)
+          .select(col("n_nationkey"), (col("n_regionkey") * 10).as("score")),
+        s"q.n@v$v2", WriteMode.Add)
+      val before = snap("v1_before", cat.readTable("q.n"), "n_nationkey")
+      val pinned = snap("v2_pinned", cat.readTable(s"q.n@v$v2"), "score")
+      val tBefore = System.currentTimeMillis(); Thread.sleep(5)
+      cat.alterTableLifecycle(s"q.n@v$v2", Lifecycle.Active)
+      val after = snap("v2_after", cat.readTable("q.n"), "score")
+      val travel = snap("v1_time_travel",
+        cat.readTable("q.n", ReadOptions(asOf = Some(tBefore))), "n_nationkey")
+      Seq(before, pinned, after, travel).toDF("stage", "n", "s")
+    },
+
+    // Lifecycle-gated writes: a DEPRECATED version refuses writes (its rows
+    // stay frozen) while the ACTIVE successor keeps accepting them.
+    Q("c75_lifecycle_gates", Some("""
+      SELECT 'v1_frozen' AS stage, CAST(count(*) AS BIGINT) AS n
+      FROM region
+      UNION ALL
+      SELECT 'v1_write_refused', CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT 'v2_grows', CAST(2 * count(*) AS BIGINT) FROM region""")) { (s, dir) =>
+      import s.implicits._
+      val cat = newCat(s, "c75")
+      val r = tbl(s, dir, "region")
+      cat.writeToTable(r, "q.r")
+      val v2 = cat.createTableVersion("q.r", lifecycle = Lifecycle.Active)
+      cat.writeToTable(r, s"q.r@v$v2", WriteMode.Add)
+      cat.alterTableLifecycle("q.r@v1", Lifecycle.Deprecated)
+      val refused =
+        try { cat.writeToTable(r, "q.r@v1", WriteMode.Add); 0L }
+        catch { case _: IllegalStateException => 1L }
+      cat.writeToTable(r, s"q.r@v$v2", WriteMode.Add) // active version still writable
+      Seq(
+        ("v1_frozen", cat.readTable("q.r@v1").count()),
+        ("v1_write_refused", refused),
+        ("v2_grows", cat.readTable("q.r").count())
+      ).toDF("stage", "n")
+    },
+
+    // Hudi foreign DELETE_BLOCK: a real Hudi writer's delete emits a
+    // DELETE_BLOCK log block (avro HoodieDeleteRecordList, content v3 —
+    // tech-specs "Log File Format"), not soft-delete data rows. The
+    // snapshot read decodes the key list into tombstones feeding the same
+    // latest-wins merge as data blocks.
+    Q("c76_hudi_delete_block", Some("""
+      SELECT p_partkey, p_name,
+             CASE WHEN p_partkey % 5 = 0 THEN p_retailprice * 2 ELSE p_retailprice END AS p_retailprice
+      FROM part WHERE p_partkey % 7 <> 0""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c76").resolve("tbl").toString
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      graft.interop.Hudi.write(p, t,
+        tableType = "MERGE_ON_READ", recordKeyFields = Seq("p_partkey"))
+      graft.interop.Hudi.upsertLog(
+        p.where(col("p_partkey") % 5 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") * 2), t)
+      graft.interop.Hudi.deleteByKeyBlock(
+        p.where(col("p_partkey") % 7 === 0).select("p_partkey"), t)
+      graft.interop.Hudi.read(s, t)
     }
   )
 }

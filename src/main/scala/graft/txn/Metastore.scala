@@ -96,7 +96,10 @@ final case class NsMeta(name: String, properties: Map[String, String], dropped: 
   def props: Map[String, String] = Option(properties).getOrElse(Map.empty)
 }
 
-/** Table-version metadata revision — schema + schemes + properties. */
+/** Table-version metadata revision — schema + schemes + properties.
+  * `lifecycle` is the version's LifecycleState (reference
+  * storage/model/types.py:122: created/unreleased/active/deprecated/beta/
+  * deleted); absent in pre-version metafiles, which read as "active". */
 final case class TableMeta(
     namespace: String,
     table: String,
@@ -104,8 +107,11 @@ final case class TableMeta(
     partitionKeys: Seq[Seq[String]],   // (field, transformName) pairs
     sortKeys: Seq[Seq[String]],        // (field, asc, nullsFirst, transformName)
     properties: Map[String, String],
-    dropped: Boolean) {
-  def this() = this("", "", "", Nil, Nil, Map.empty, false)
+    dropped: Boolean,
+    lifecycle: String = "active") {
+  def this() = this("", "", "", Nil, Nil, Map.empty, false, "active")
+  /** Effective lifecycle — robust to pre-lifecycle JSON (null/empty). */
+  def lifecycleState: String = Option(lifecycle).filter(_.nonEmpty).getOrElse("active")
 }
 
 class ConcurrentTxnConflict(msg: String) extends RuntimeException(msg)
@@ -232,8 +238,7 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
         attempts += 1
         try {
           Files.createDirectories(c)
-          try Files.write(c.resolve(txnId), Array.emptyByteArray, StandardOpenOption.CREATE_NEW)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () } // already ours
+          store.commitStore.putIfAbsent(c.resolve(txnId), Array.emptyByteArray) // false = already ours
         } catch { case _: java.io.IOException => () } // dir swept mid-create: retry below
         val names = claimDirNames(c)
         if (names.contains(txnId)) {
@@ -315,16 +320,21 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     // acknowledges exactly this race, metafile.py:355-361).
     val running = store.runningDir.resolve(s"$txnId.json")
     val claimed = store.txnDir.resolve(s".$txnId.sealing")
-    try Files.move(running, claimed, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.NoSuchFileException =>
+    if (!store.commitStore.claim(running, claimed)) {
       staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
       sealed_ = true
       throw new ConcurrentTxnConflict(
         s"txn $txnId was fenced before publish (janitor end-time fencing)")
     }
     Files.write(claimed, Json.write(rec).getBytes(StandardCharsets.UTF_8))
-    Files.createDirectories(store.successDir)
-    Files.move(claimed, store.successDir.resolve(s"$txnId.json"), StandardCopyOption.ATOMIC_MOVE)
+    if (!store.commitStore.claim(claimed, store.successDir.resolve(s"$txnId.json"))) {
+      // a janitor swept the sealing file as crash debris mid-publish
+      staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+      sealed_ = true
+      store.invalidateTxnCache()
+      throw new ConcurrentTxnConflict(
+        s"txn $txnId lost its sealing record before publish (janitor sweep)")
+    }
     store.invalidateTxnCache()
     // Post-publish re-check: two racers may both have passed the pre-check
     // before either published. The smaller txn id demotes itself.
@@ -335,10 +345,13 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       }
     }.headOption
     if (lostTo.isDefined) {
-      // Roll back our own publish: success record → failed, staged files gone.
+      // Roll back our own publish: success record → failed, staged files
+      // gone. Self-demotion has no contention (only the owner demotes its
+      // own success record), so put-then-delete is safe on any store.
       Files.createDirectories(store.failedDir)
-      Files.move(store.successDir.resolve(s"$txnId.json"),
-        store.failedDir.resolve(s"$txnId.json"), StandardCopyOption.REPLACE_EXISTING)
+      store.commitStore.putIfAbsent(store.failedDir.resolve(s"$txnId.json"),
+        Json.write(rec).getBytes(StandardCharsets.UTF_8))
+      Files.deleteIfExists(store.successDir.resolve(s"$txnId.json"))
       staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
       sealed_ = true
       store.invalidateTxnCache()
@@ -378,11 +391,10 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
 
   def abort(): Unit = {
     staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
-    val tmp = store.runningDir.resolve(s"$txnId.json")
-    if (Files.exists(tmp)) {
-      Files.createDirectories(store.failedDir)
-      Files.move(tmp, store.failedDir.resolve(s"$txnId.json"), StandardCopyOption.REPLACE_EXISTING)
-    }
+    // claim-move: a janitor fencing this txn concurrently resolves to one
+    // winner — either way the record lands in failed/
+    store.commitStore.claim(store.runningDir.resolve(s"$txnId.json"),
+      store.failedDir.resolve(s"$txnId.json"))
     sealed_ = true
   }
 }
@@ -395,7 +407,7 @@ object Metastore {
   }
 }
 
-final class Metastore(val root: Path) {
+final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommitStore) {
   import Metastore._
 
   val txnDir: Path = root.resolve("txn")
@@ -504,6 +516,14 @@ final class Metastore(val root: Path) {
     }
   }
 
+  /** Visible revision FILES (revision + path, content unread) — lets the
+    * scan planner size-gate manifest parsing before reading a byte. */
+  def visibleRevisionPaths(dir: Path, asOf: Option[Long], within: Option[Transaction]): Seq[(Long, Path)] =
+    listRevisionFiles(dir).flatMap { p =>
+      val (rev, tid) = parseRevisionName(p.getFileName.toString)
+      if (isVisible(tid, asOf, within)) Some((rev, p)) else None
+    }.sortBy(_._1)
+
   /** All visible revision contents in `dir` (e.g. all deltas), ascending by rev. */
   def allVisible(dir: Path, asOf: Option[Long], within: Option[Transaction]): Seq[(Long, String)] =
     listRevisionFiles(dir).flatMap { p =>
@@ -540,11 +560,11 @@ final class Metastore(val root: Path) {
           System.currentTimeMillis() - last > maxIdleMillis
         } catch { case _: Exception => false }
       stale && {
-        try {
-          Files.createDirectories(failedDir)
-          Files.move(p, failedDir.resolve(p.getFileName))
-          invalidateTxnCache(); true
-        } catch { case _: Exception => false } // sealer or another fencer won
+        // claim-move: a concurrently-sealing writer that claims the record
+        // first wins; a fenced one loses its later seal
+        val won = commitStore.claim(p, failedDir.resolve(p.getFileName))
+        if (won) invalidateTxnCache()
+        won
       }
     }
   }
@@ -563,15 +583,47 @@ final class Metastore(val root: Path) {
       val lastActivity = math.max(rec.startTimeMillis,
         Files.getLastModifiedTime(p).toMillis)
       if (now - lastActivity > timeoutMillis) {
-        Files.createDirectories(failedDir)
-        try { Files.move(p, failedDir.resolve(p.getFileName)); failed += 1 }
-        catch {
-          case _: java.nio.file.NoSuchFileException => () // sealer won the race
-          case _: java.nio.file.FileAlreadyExistsException =>
-            Files.deleteIfExists(p); failed += 1 // already fenced earlier
+        // claim-move: losing to a concurrent sealer (or another janitor)
+        // is fine — exactly one outcome survives either way
+        if (commitStore.claim(p, failedDir.resolve(p.getFileName))) failed += 1
+      }
+    }
+    // Crash debris in the publish protocol itself. (a) A sealer that died
+    // between its two transitions leaves `.<txnId>.sealing` with the txn in
+    // neither running/ nor a terminal state — fence it to failed once idle
+    // past the claim threshold (a LIVE sealer is milliseconds wide there,
+    // and one swept mid-publish surfaces a clean conflict, not a tear).
+    // (b) A completed claim's decision object (`.*.moved` with its source
+    // gone) is plain debris.
+    val debrisAge = math.max(timeoutMillis, claimFenceMillis)
+    def sweepDir(d: Path): Unit = {
+      val s = try Files.list(d) catch { case _: Exception => null }
+      if (s == null) return
+      val entries = try s.iterator().asScala.toList finally s.close()
+      entries.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".moved")) {
+          // only sweep AGED decisions: a fresh one may still be shielding
+          // an in-flight claim (a claimer that pre-read the source before
+          // it vanished must keep losing the decision election, or it
+          // could re-elect itself and produce a second terminal record)
+          val src = p.resolveSibling(n.stripPrefix(".").stripSuffix(".moved"))
+          val idle = try now - Files.getLastModifiedTime(p).toMillis
+            catch { case _: Exception => -1L }
+          if (!Files.exists(src) && idle > debrisAge) Files.deleteIfExists(p)
+        } else if (n.startsWith(".") && n.endsWith(".sealing")) {
+          val id = n.stripPrefix(".").stripSuffix(".sealing")
+          val idle = try now - Files.getLastModifiedTime(p).toMillis
+            catch { case _: Exception => -1L }
+          if (idle > debrisAge &&
+              !Files.exists(successDir.resolve(s"$id.json")) &&
+              !Files.exists(failedDir.resolve(s"$id.json")) &&
+              commitStore.claim(p, failedDir.resolve(s"$id.json")))
+            failed += 1
         }
       }
     }
+    Seq(txnDir, runningDir, pausedDir).foreach(sweepDir)
     val failedIds: Set[String] =
       listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
     var removed = 0

@@ -193,4 +193,104 @@ class ConcurrencySpec extends SparkSpec {
     ms.janitor(timeoutMillis = 0)
     assert(!java.nio.file.Files.exists(claim2), "claim debris must be swept")
   }
+
+  test("conditional-put claim: one winner among racers to different destinations") {
+    import java.nio.file.{Files, Paths}
+    val store = new graft.txn.ConditionalPutCommitStore
+    val root = Paths.get(tmpDir("cput-claim"))
+    // the sealer-vs-janitor shape: N racers claim ONE lease file, each to
+    // its own destination — exactly one may win, no rename anywhere
+    val rounds = 20
+    val racers = 8
+    val pool = Executors.newFixedThreadPool(racers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try (1 to rounds).foreach { r =>
+      val src = root.resolve(s"lease_$r.json")
+      Files.write(src, s"""{"round":$r}""".getBytes("UTF-8"))
+      val dsts = (1 to racers).map(i => root.resolve(s"out_${r}_$i.json"))
+      val wins = Await.result(
+        Future.sequence(dsts.map(d => Future(store.claim(src, d)))), 1.minute)
+      assert(wins.count(identity) == 1, s"round $r: ${wins.count(identity)} winners")
+      assert(!Files.exists(src), s"round $r: lease survived the claim")
+      val landed = dsts.filter(Files.exists(_))
+      assert(landed.size == 1, s"round $r: ${landed.size} destinations materialized")
+      assert(new String(Files.readAllBytes(landed.head), "UTF-8") == s"""{"round":$r}""")
+    } finally pool.shutdown()
+  }
+
+  test("conditional-put claim: a winner crashing mid-move is completed by helpers") {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tmpDir("cput-crash"))
+    val crashy = new graft.txn.ConditionalPutCommitStore {
+      override protected def afterDecisionHook(): Unit =
+        throw new RuntimeException("simulated crash after winning the decision")
+    }
+    val src = root.resolve("lease.json")
+    Files.createDirectories(root)
+    Files.write(src, """{"v":42}""".getBytes("UTF-8"))
+    val dst = root.resolve("failed.json")
+    intercept[RuntimeException](crashy.claim(src, dst))
+    // decision recorded, destination missing, source still present
+    assert(Files.exists(src) && !Files.exists(dst))
+    // ANY later claimer (even to another destination) completes the
+    // recorded transition and reports itself the loser
+    val helper = new graft.txn.ConditionalPutCommitStore
+    assert(!helper.claim(src, root.resolve("other.json")))
+    assert(!Files.exists(src))
+    assert(Files.exists(dst), "recorded destination must be materialized")
+    assert(!Files.exists(root.resolve("other.json")))
+    assert(new String(Files.readAllBytes(dst), "UTF-8") == """{"v":42}""")
+    // the janitor sweeps the completed decision object — but only once it
+    // has AGED past the claim-fence threshold (a fresh decision still
+    // shields in-flight claimers from re-electing)
+    val ms = new graft.txn.Metastore(root)
+    Files.move(root.resolve(".lease.json.moved"), ms.runningDir.resolve(".lease.json.moved"))
+    ms.janitor(timeoutMillis = 0)
+    assert(Files.exists(ms.runningDir.resolve(".lease.json.moved")),
+      "a fresh decision must survive the sweep")
+    val old = ms.claimFenceMillis
+    ms.claimFenceMillis = 0L
+    try {
+      Thread.sleep(5)
+      ms.janitor(timeoutMillis = 0)
+      assert(!Files.exists(ms.runningDir.resolve(".lease.json.moved")))
+    } finally ms.claimFenceMillis = old
+  }
+
+  test("zero lost updates on an object store: full MVCC race over conditional put") {
+    // the headline gate for the commit seam: the same 8-racer contention
+    // test, but every decisive transition goes through conditional put —
+    // the protocol a rename-free S3-semantics store can actually run
+    val cat = new GraftCatalog(spark, tmpDir("graft-conc-cput"),
+      commitStore = new graft.txn.ConditionalPutCommitStore)
+    cat.createTable("c.t", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("writer", org.apache.spark.sql.types.IntegerType),
+      FieldMeta.field("attempt", org.apache.spark.sql.types.IntegerType))))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writers = 8
+    try {
+      val futures = (1 to writers).map { w =>
+        Future {
+          var done = false
+          while (!done) {
+            try {
+              cat.writeToTable(Seq((w, 1)).toDF("writer", "attempt"), "c.t", WriteMode.Add)
+              done = true
+            } catch {
+              case _: ConcurrentTxnConflict =>
+                Thread.sleep(scala.util.Random.nextInt(30).toLong)
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 5.minutes)
+      val rows = cat.readTable("c.t").collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(rows.length == writers, s"expected $writers rows, got ${rows.toSeq}")
+      assert(rows.map(_._1).toSet == (1 to writers).toSet)
+      val log = cat.deltaLog("c.t")
+      assert(log.size == writers)
+      assert(log.map(_.streamPosition).distinct.size == writers)
+    } finally pool.shutdown()
+  }
 }
