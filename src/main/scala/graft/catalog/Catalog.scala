@@ -164,6 +164,23 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     }
   }
 
+  /** [[resolveVersion]] + the resolved handle's current meta in ONE pass —
+    * spares the hot read path a second metadata read per version probed. */
+  private def resolveVersionMeta(t0: TableHandle, asOf: Option[Long],
+      within: Option[Transaction]): (TableHandle, Option[TableMeta]) = {
+    if (t0.version.isEmpty && Files.isDirectory(versionsDir(t0))) {
+      versionIds(t0).reverseIterator.map { v =>
+        (v, currentMeta(t0.copy(version = Some(v)), asOf, within))
+      }.collectFirst {
+        case (v, Some(m)) if !m.dropped && m.lifecycleState == Lifecycle.Active => (v, m)
+      } match {
+        case Some((v, m)) => return (t0.copy(version = Some(v)), Some(m))
+        case None => () // nothing active: fall through to the unpinned probe
+      }
+    }
+    (t0, currentMeta(t0, asOf, within))
+  }
+
   // ------------------------------------------------------------- namespaces
   /** Default namespace for unqualified table names — reference
     * get/set default namespace (catalog/interface.py:389-513). */
@@ -292,7 +309,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   }
 
   def getTableMeta(table: String, asOf: Option[Long] = None): TableMeta = {
-    val t = th(table)
+    // version resolution must observe asOf too, or a time-travel schema
+    // lookup would serve a version activated AFTER the travel point
+    val t = resolveVersion(thRaw(table), asOf, None)
     currentMeta(t, asOf, None).filter(!_.dropped).getOrElse(throw new TableNotFound(table))
   }
 
@@ -434,23 +453,39 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       .nextOption()
     latestLive match {
       case None =>
-        // No parent table — create it as version 1 in the requested state
-        // (reference creates the parent in the same transaction).
+        // No LIVE parent table — create a fresh version in the requested
+        // state (reference creates the parent in the same transaction).
+        // Prior DROPPED incarnations may have left committed deltas behind:
+        // never reuse their version ids (fresh delta dir = nothing to
+        // resurrect), and a dropped pre-version v1 additionally needs the
+        // same REPLACE marker createTable stages on recreate, because v1's
+        // delta dir IS the legacy one holding the old incarnation's files.
         val s = schema.getOrElse(throw new IllegalArgumentException(
           s"schema required: $table does not exist yet"))
-        inTxn(txn, s"create table version ${t0}@v1") { tx =>
+        val newV = vids.maxOption.map(_ + 1).getOrElse(1L)
+        val tv = t0.copy(version = Some(newV))
+        val hadPriorIncarnation =
+          newV == 1L && currentMeta(tv, None, txn).exists(_.dropped)
+        inTxn(txn, s"create table version $tv") { tx =>
           if (!namespaceExistsInTxn(t0.namespace, tx)) {
             val dir = nsMetaDir(t0.namespace)
             tx.stage(dir, store.nextRevision(dir, Some(tx)), "ns",
               Json.write(NsMeta(t0.namespace, Map.empty, dropped = false)),
               s"CREATE ns/${t0.namespace}")
           }
-          stageTableMeta(tx, t0.copy(version = Some(1L)),
+          stageTableMeta(tx, tv,
             toMeta(t0, s, partitionScheme.getOrElse(PartitionScheme.unpartitioned),
               sortScheme.getOrElse(SortScheme.unsorted), properties.getOrElse(Map.empty))
               .copy(lifecycle = lifecycle))
+          if (hadPriorIncarnation) {
+            val dir = deltaDir(tv)
+            val rev = store.nextRevision(dir, Some(tx))
+            tx.stage(dir, rev, "delta",
+              Json.write(DeltaMeta(rev, DeltaType.Add.name, Nil, tx.txnId, -1L,
+                Map("replace" -> "true"))), s"REPLACE $tv (recreate)")
+          }
         }
-        1L
+        newV
       case Some((_, base)) =>
         // Next id is max over ALL versions incl. dropped ones (their delta
         // dirs may still hold history; never reuse a version id).
@@ -504,8 +539,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val tv = parsed.copy(version = Some(v))
     val m = currentMeta(tv, None, txn).filter(!_.dropped)
       .getOrElse(throw new TableNotFound(tv.toString))
+    // DELETED is a terminal state with drop semantics (the reference's
+    // delete path sets it, types.py:122) — mark the version dropped too,
+    // exactly like dropTable("ns.t@vN"), or the version would refuse
+    // writes yet keep serving reads/exists/list, and could be "revived"
+    // by a later lifecycle change.
+    val dropped = lifecycle == Lifecycle.Deleted
     inTxn(txn, s"set lifecycle $lifecycle on $tv")(tx =>
-      stageTableMeta(tx, tv, m.copy(lifecycle = lifecycle)))
+      stageTableMeta(tx, tv, m.copy(lifecycle = lifecycle, dropped = dropped)))
   }
 
   /** Reference refresh_table (catalog/interface.py:249-264): drop cached
@@ -995,8 +1036,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   // ------------------------------------------------------------- read path
   def readTable(table: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     val parsed = thRaw(table)
-    val t = resolveVersion(parsed, opts.asOf, opts.txn)
-    val meta = currentMeta(t, opts.asOf, opts.txn).filter(!_.dropped)
+    val (t, meta0) = resolveVersionMeta(parsed, opts.asOf, opts.txn)
+    val meta = meta0.filter(!_.dropped)
       .getOrElse(throw new TableNotFound(table))
     // Default reads serve the latest ACTIVE version only (reference
     // resolution); a pinned `@vN` read may inspect any live version.
@@ -1027,7 +1068,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   /** Schemaless read: the manifest as a table (path, size, records, delta
     * type, stream position) — reference catalog/main/impl.py:1408-1439. */
   def manifestTable(table: String, asOf: Option[Long] = None): DataFrame = {
-    val t = th(table)
+    val t = resolveVersion(thRaw(table), asOf, None) // asOf-consistent version
     val rows = effectiveDeltas(t, asOf).flatMap { d =>
       d.entries.map(e => (e.path, e.sizeBytes, d.properties.getOrElse("record_count", "-1").toLong,
         d.deltaType, d.streamPosition))

@@ -95,11 +95,13 @@ object ManifestPlanner {
 
   /** Distributed entry prune: one task per gated metafile streams its
     * entries and keeps survivors of the stats + partition predicates.
-    * Returns survivors per stream position, stats stripped. Only entry
-    * METADATA that survives pruning reaches the driver. */
+    * Survivors are keyed by the caller's metastore REVISION number (the
+    * first tuple element, passed through verbatim — correlate on the same
+    * key you pass in), stats stripped. Only entry METADATA that survives
+    * pruning reaches the driver. */
   def pruneDistributed(
       spark: SparkSession,
-      files: Seq[(Long, String)], // (streamPosition, absolute metafile path)
+      files: Seq[(Long, String)], // (metastore revision, absolute metafile path)
       filters: Seq[sources.Filter],
       schema: StructType,
       segs: Seq[(String, String)]): Map[Long, Seq[ManifestEntry]] = {
@@ -123,9 +125,10 @@ object ManifestPlanner {
 
   /** Driver-streaming LIMIT-prefix materialization (the no-predicate LIMIT
     * n case): walk deltas in apply order, stream entries, stop once n rows
-    * are covered — O(prefix) heap. Returns None when the prefix rule is
-    * unsound (an unknown record count), in which case the caller must fall
-    * back to full streaming materialization. */
+    * are covered — O(prefix) heap. Keyed by the caller's revision, like
+    * [[pruneDistributed]]. Returns None when the prefix rule is unsound
+    * (an unknown record count), in which case the caller must fall back to
+    * full streaming materialization. */
   def limitPrefixStreaming(files: Seq[(Long, String)], limit: Int)
       : Option[Map[Long, Seq[ManifestEntry]]] = {
     var acc = 0L

@@ -833,7 +833,13 @@ object Hudi {
     if (ver < DeleteContentVersion)
       throw new UnsupportedOperationException(
         s"Hudi DELETE_BLOCK content version $ver is kryo-serialized (writer-internal); " +
-          "only the avro HoodieDeleteRecordList encoding (version >= 3) is supported")
+          "only the avro HoodieDeleteRecordList encoding (version 3) is supported")
+    if (ver > DeleteContentVersion)
+      // refuse loudly rather than mis-parse an unknown future encoding as
+      // v3 avro (garbage keys would tombstone the wrong rows)
+      throw new UnsupportedOperationException(
+        s"Hudi DELETE_BLOCK content version $ver is newer than the supported version " +
+          s"$DeleteContentVersion — refusing to guess its payload encoding")
     val payload = new Array[Byte](in.readInt())
     in.readFully(payload)
     val rec = new GenericDatumReader[GenericRecord](deleteRecordListSchema)
@@ -894,9 +900,16 @@ object Hudi {
           if (keys.size == 1)
             raw.withColumn(keys.head, typed(keys.head, col("recordKey")))
           else {
-            val kv = expr("str_to_map(recordKey, ',', ':')")
-            keys.foldLeft(raw) { (df, f) =>
-              val v0 = kv.getItem(f)
+            // field-anchored parse, NOT a blind split: every segment is
+            // anchored on its known "field:" prefix, so a ',' or ':'
+            // INSIDE a value parses correctly (a value containing the
+            // literal ",nextField:" anchor remains ambiguous — greedy
+            // match resolves it deterministically; Hudi itself never
+            // re-parses these strings, it compares them whole)
+            val pat = "(?s)^" + keys.map(k =>
+              java.util.regex.Pattern.quote(k + ":") + "(.*)").mkString(",") + "$"
+            keys.zipWithIndex.foldLeft(raw) { case (df, (f, i)) =>
+              val v0 = regexp_extract(col("recordKey"), pat, i + 1)
               val v = when(v0 === "__null__", lit(null).cast(StringType))
                 .when(v0 === "__empty__", lit("")).otherwise(v0)
               df.withColumn(f, typed(f, v))

@@ -1364,6 +1364,64 @@ object CatalogQueries {
       graft.interop.Hudi.deleteByKeyBlock(
         p.where(col("p_partkey") % 7 === 0).select("p_partkey"), t)
       graft.interop.Hudi.read(s, t)
+    },
+
+    // Distributed manifest planning (the driver-metadata ceiling lift):
+    // with the size gate forced to 1 byte, scan planning skeleton-parses
+    // the delta metafiles and prunes entries in a Spark job instead of on
+    // the driver — and must select the same files / return the same rows.
+    Q("c77_distributed_manifest_planning", Some("""
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey >= 100000 AND o_orderkey < 200000""")) { (s, dir) =>
+      import s.implicits._
+      val cat = newCat(s, "c77")
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice"))
+      cat.createTable("q.o", org.apache.spark.sql.types.StructType(Seq(
+        FieldMeta.field("o_orderkey", org.apache.spark.sql.types.LongType, nullable = false),
+        FieldMeta.field("o_totalprice", org.apache.spark.sql.types.DoubleType))),
+        properties = Map("write.max_records_per_file" -> "2000",
+          "compaction.auto" -> "false"))
+      cat.writeToTable(o.orderBy("o_orderkey").coalesce(1), "q.o")
+      val filter = col("o_orderkey") >= 100000L && col("o_orderkey") < 200000L
+      val driverFiles = cat.readTable("q.o", ReadOptions(rowFilter = Some(filter)))
+        .inputFiles.sorted.toSeq
+      s.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+      try {
+        val gated = cat.readTable("q.o", ReadOptions(rowFilter = Some(filter)))
+        require(gated.inputFiles.sorted.toSeq == driverFiles,
+          "gated planning must select exactly the driver path's files")
+        require(driverFiles.size < cat.readTable("q.o").inputFiles.length,
+          "stats skip must have pruned files for this range")
+        gated.agg(dsum(col("o_totalprice")).as("s"), cnt.as("n"))
+      } finally s.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
+    },
+
+    // Object-store commit protocol: the same catalog semantics through the
+    // conditional-put CommitStore (no rename anywhere on the decisive
+    // transitions) — write, upsert, janitor sweep, read back.
+    Q("c78_conditional_put_commits", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s_suppkey) AS BIGINT) AS s
+      FROM supplier WHERE s_suppkey % 10 <> 3""")) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_c78").toString
+      val cat = new GraftCatalog(s, root,
+        commitStore = new graft.txn.ConditionalPutCommitStore)
+      val sup = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+      cat.createTable("q.s", org.apache.spark.sql.types.StructType(Seq(
+        FieldMeta.field("s_suppkey", org.apache.spark.sql.types.LongType,
+          nullable = false, mergeKey = true),
+        FieldMeta.field("s_name", org.apache.spark.sql.types.StringType))))
+      cat.writeToTable(sup, "q.s", WriteMode.Merge)
+      cat.writeToTable(sup.where(col("s_suppkey") % 10 === 3)
+        .select("s_suppkey"), "q.s", WriteMode.Delete)
+      val abandoned = cat.transaction("never sealed")
+      cat.writeToTable(sup.limit(1), "q.s", WriteMode.Add, txn = Some(abandoned))
+      Thread.sleep(25)
+      cat.janitor(timeoutMillis = 10) // sweeps the abandoned txn via claim-moves
+      cat.readTable("q.s").agg(cnt.as("n"), sum("s_suppkey").cast("long").as("s"))
     }
   )
 }

@@ -74,6 +74,11 @@ object GraftDsv2 {
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[StructType]
     val t = TableHandle.parse(table)
+    // same lifecycle gate as readTable: an unpinned name serves only the
+    // latest ACTIVE version — a staged (UNRELEASED/CREATED) or deprecated
+    // version must not leak through the SQL/DSv2 surface either
+    if (t.version.isEmpty && meta.lifecycleState != graft.catalog.Lifecycle.Active)
+      throw new graft.catalog.NoActiveTableVersion(table, meta.lifecycleState)
     val deltas = cat.effectiveDeltas(t, asOf)
     val (base, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
     val unresolved = pending.count(d =>

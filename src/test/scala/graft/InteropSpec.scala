@@ -347,6 +347,15 @@ class InteropSpec extends SparkSpec {
     }
     val ex = intercept[UnsupportedOperationException](Hudi.decodeDeleteContent(kryo))
     assert(ex.getMessage.contains("kryo"))
+    // an unknown FUTURE content version refuses loudly instead of
+    // mis-parsing its payload as v3 avro
+    val future = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(4); o.writeInt(4); o.write(Array[Byte](1, 2, 3, 4)); bos.toByteArray
+    }
+    val exF = intercept[UnsupportedOperationException](Hudi.decodeDeleteContent(future))
+    assert(exF.getMessage.contains("newer"))
 
     // simple key: a real delete block tombstones its keys on snapshot read,
     // later data blocks resurrect, compaction folds the result
@@ -379,8 +388,10 @@ class InteropSpec extends SparkSpec {
     assert(Hudi.read(spark, t).orderBy("n_nationkey").collect().toSeq == pre)
 
     // composite key: "f1:v1,f2:v2" serialization incl. __null__/__empty__
+    // sentinels AND separator characters (',' ':') INSIDE key values —
+    // the read-side parse is field-anchored, not a blind split
     val tc = tmpDir("hudi-delblock-ck")
-    val rows = Seq((1L, Option("a"), "x"), (2L, None, "y"), (3L, Option(""), "z"),
+    val rows = Seq((1L, Option("a,b:c"), "x"), (2L, None, "y"), (3L, Option(""), "z"),
       (4L, Option("d"), "w")).toDF("id", "sub", "v")
     Hudi.write(rows, tc, tableType = "MERGE_ON_READ", recordKeyFields = Seq("id", "sub"))
     Hudi.deleteByKeyBlock(rows.where($"id" =!= 4).select("id", "sub"), tc)

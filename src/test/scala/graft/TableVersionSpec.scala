@@ -151,6 +151,67 @@ class TableVersionSpec extends SparkSpec {
     assert(cat.readChanges("q.t").count() == 2)
   }
 
+  test("recreating a dropped table via createTableVersion does not resurrect old rows") {
+    val cat = freshCat("tv-resurrect")
+    cat.writeToTable(Seq((1L, "old"), (2L, "old")).toDF("id", "v"), "q.t")
+    cat.dropTable("q.t") // no purge: the old incarnation's deltas remain on disk
+    val v = cat.createTableVersion("q.t",
+      schema = Some(StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false),
+        FieldMeta.field("v", StringType)))),
+      lifecycle = Lifecycle.Active)
+    cat.writeToTable(Seq((9L, "new")).toDF("id", "v"), s"q.t@v$v", WriteMode.Add)
+    assert(cat.readTable("q.t").as[(Long, String)].collect().toSeq == Seq((9L, "new")),
+      "old incarnation's rows must not resurrect")
+  }
+
+  test("asOf resolves the version active AT the travel point on every surface") {
+    val cat = freshCat("tv-asof")
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "q.t")
+    val v2 = cat.createTableVersion("q.t",
+      schema = Some(StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false),
+        FieldMeta.field("score", DoubleType)))))
+    cat.writeToTable(Seq((5L, 0.5)).toDF("id", "score"), s"q.t@v$v2", WriteMode.Add)
+    val before = System.currentTimeMillis(); Thread.sleep(5)
+    cat.alterTableLifecycle(s"q.t@v$v2", Lifecycle.Active)
+    // schema/meta surfaces must agree with the data surface at asOf
+    assert(cat.tableSchema("q.t", asOf = Some(before)).fieldNames.toSeq == Seq("id", "v"))
+    assert(cat.getTableMeta("q.t", asOf = Some(before)).schemaJson.contains("\"v\""))
+    assert(cat.manifestTable("q.t", asOf = Some(before)).count() == 1)
+    assert(cat.readTable("q.t", ReadOptions(asOf = Some(before))).columns.toSeq == Seq("id", "v"))
+    // and at "now" they all flip together
+    assert(cat.tableSchema("q.t").fieldNames.toSeq == Seq("id", "score"))
+  }
+
+  test("staged versions do not leak through the DSv2/SQL surface") {
+    val root = tmpDir("tv-dsv2-gate")
+    val cat = new GraftCatalog(spark, root)
+    val v = cat.createTableVersion("q.t",
+      schema = Some(StructType(Seq(FieldMeta.field("id", LongType, nullable = false)))),
+      lifecycle = Lifecycle.Unreleased)
+    cat.writeToTable(Seq((1L)).toDF("id"), s"q.t@v$v", WriteMode.Add)
+    intercept[NoActiveTableVersion] {
+      spark.read.format("graft").option("root", root).option("table", "q.t").load()
+    }
+    cat.alterTableLifecycle(s"q.t@v$v", Lifecycle.Active)
+    assert(spark.read.format("graft").option("root", root)
+      .option("table", "q.t").load().count() == 1)
+  }
+
+  test("lifecycle DELETED is terminal: drop semantics, not a half-state") {
+    val cat = freshCat("tv-deleted")
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "q.t")
+    val v2 = cat.createTableVersion("q.t", lifecycle = Lifecycle.Active)
+    cat.alterTableLifecycle("q.t@v1", Lifecycle.Deleted)
+    assert(!cat.tableExists("q.t@v1"))
+    assert(cat.listTableVersions("q.t") == Seq(v2 -> Lifecycle.Active))
+    intercept[TableNotFound](cat.readTable("q.t@v1"))
+    intercept[TableNotFound](cat.alterTableLifecycle("q.t@v1", Lifecycle.Active))
+    // the table itself lives on through v2
+    assert(cat.tableExists("q.t"))
+  }
+
   test("activation is transactional: txn sees it pre-seal, others post-seal") {
     val cat = freshCat("tv-txn")
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "q.t")
