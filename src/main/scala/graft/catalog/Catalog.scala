@@ -1618,6 +1618,50 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     kept.map { case (rev, _, d) => d.copy(entries = survivors.getOrElse(rev, Nil)) }
   }
 
+  /** DSv2 planning hook — the SQL surface's version of [[plannedDeltas]]:
+    * returns the effective delta list (entry-less SKELETONS above the size
+    * gate) plus an entry provider the scan builder calls at FILTER-PUSHDOWN
+    * time. Below the gate the provider serves the already-parsed entries;
+    * above it, it skeleton-parses on the driver and prunes entries in a
+    * Spark job against the pushed filters — so a selective SQL query over
+    * a 10^6-file table materializes only surviving entries. The provider
+    * may be called more than once (a re-push); each call re-derives from
+    * the same visible file set, so results are stable within a plan. */
+  private[graft] def dsv2Plan(table: String, asOf: Option[Long])
+      : (Seq[DeltaMeta], Seq[org.apache.spark.sql.sources.Filter] => Seq[ManifestEntry], Boolean) = {
+    val t = resolveVersion(thRaw(table), asOf, None)
+    val files = store.visibleRevisionPaths(deltaDir(t), asOf, None)
+    val totalBytes = files.iterator.map { case (_, p) =>
+      try Files.size(p) catch { case _: Exception => 0L } }.sum
+    if (totalBytes <= ManifestPlanner.gateBytes(spark)) {
+      val deltas = effectiveDeltas(t, asOf)
+      val (base, pending) = MergeRead.activeDeltas(deltas)
+      val active = base.toSeq ++ pending
+      (deltas, _ => active.flatMap(_.entries), false)
+    } else {
+      val schema = DataType.fromJson(getTableMeta(table, asOf).schemaJson)
+        .asInstanceOf[StructType]
+      val sk: Seq[(Long, Path, DeltaMeta)] =
+        files.map { case (rev, p) => (rev, p, ManifestPlanner.skeleton(p)) }
+      val lastReplace = sk.zipWithIndex
+        .filter(_._1._3.properties.get("replace").contains("true")).map(_._2).lastOption
+      val kept = lastReplace match { case Some(i) => sk.drop(i); case None => sk }
+      val (base, pending) = MergeRead.activeDeltas(kept.map(_._3))
+      val activePos = (base.toSeq ++ pending).map(_.streamPosition).toSet
+      val activeFiles = kept.collect {
+        case (rev, p, d) if activePos.contains(d.streamPosition) => (rev, p.toString)
+      }
+      val provider = (fs: Seq[org.apache.spark.sql.sources.Filter]) => {
+        val survivors =
+          if (fs.nonEmpty)
+            ManifestPlanner.pruneDistributed(spark, activeFiles, fs, schema, Nil)
+          else ManifestPlanner.materializeStreaming(activeFiles)
+        activeFiles.flatMap { case (rev, _) => survivors.getOrElse(rev, Nil) }
+      }
+      (kept.map(_._3), provider, true)
+    }
+  }
+
   /** Visible deltas after the last REPLACE marker, ascending stream position.
     * Unpinned handles (external callers — DSv2, streaming) resolve to the
     * latest ACTIVE version here, so every read surface follows activation. */

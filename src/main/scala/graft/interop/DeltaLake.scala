@@ -113,35 +113,29 @@ object DeltaLake {
           .where(pred)
       case None => snap.files
     }
-    // stats JSON ships to the driver ONLY when a dataFilter will read it —
-    // on a plain read of a 10⁵-file foreign table the per-file stats
-    // strings are the bulk of the collect and would be discarded unread
-    val statsCol =
-      if (dataFilter.isEmpty) lit(null).cast(StringType).as("stats")
-      else active.columns.find(_ == "stats").map(col)
-        .getOrElse(lit(null).cast(StringType)).as("stats")
-    val allRows = active.select(col("path"), col("deletionVector"), statsCol)
-      .collect().toSeq
-    // Data skipping over the log's per-file stats: a file provably outside
-    // the predicate's value range never gets opened. Conservative on every
-    // unknown (no stats / unparseable / untranslatable conjunct).
-    val activeRows = dataFilter.map(graft.catalog.StatsSkip.translate) match {
-      case Some(filters) if filters.nonEmpty =>
+    // Data skipping over the log's per-file stats, evaluated INSIDE the
+    // files DataFrame (executor-side) so per-file stats JSON never ships
+    // to the driver: on a 10^7-file foreign table the stats strings are
+    // the bulk of the snapshot — only surviving (path, deletionVector)
+    // pairs materialize. Conservative on every unknown (no stats /
+    // unparseable / untranslatable conjunct).
+    val statFilters = dataFilter.map(graft.catalog.StatsSkip.translate).getOrElse(Nil)
+    val pruned = statFilters match {
+      case fs if fs.nonEmpty && active.columns.contains("stats") =>
         val fieldMap = dataFields.map(f =>
           (f.name, physicalName(f), stripFieldMeta(f.dataType))).toSeq
         val logical = StructType(dataFields.map(f =>
           StructField(f.name, stripFieldMeta(f.dataType), f.nullable)))
-        allRows.filter { r =>
-          r.isNullAt(2) || {
-            DeltaStats.parse(r.getString(2), fieldMap) match {
-              case Some((rows, st)) =>
-                filters.forall(fl => graft.catalog.StatsSkip.keep(fl, logical, st, rows))
-              case None => true
-            }
-          }
-        }
-      case _ => allRows
+        val keepU = udf((stats: String) =>
+          stats == null || (DeltaStats.parse(stats, fieldMap) match {
+            case Some((rows, st)) =>
+              fs.forall(fl => graft.catalog.StatsSkip.keep(fl, logical, st, rows))
+            case None => true
+          }))
+        active.where(keepU(col("stats")))
+      case _ => active
     }
+    val activeRows = pruned.select(col("path"), col("deletionVector")).collect().toSeq
     val files = activeRows.map(_.getString(0))
     if (files.isEmpty) return emptyFrame(spark, stripFieldMeta(snap.schema))
 

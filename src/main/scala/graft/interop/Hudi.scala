@@ -131,27 +131,59 @@ object Hudi {
   def snapshot(
       spark: SparkSession, table: String,
       asOfInstant: Option[String] = None,
-      asOfTimestampMs: Option[Long] = None): Snapshot = {
+      asOfTimestampMs: Option[Long] = None,
+      /** Partition-value predicate: prunes file slices during the replay
+        * itself — in the distributed branch the prune runs INSIDE the
+        * replay job, so only surviving slices ever materialize on the
+        * driver (the 10^7-file-table path). */
+      partitionFilter: Option[Column] = None): Snapshot = {
     require(Files.isDirectory(hoodieDir(table)), s"not a Hudi table (no .hoodie): $table")
     val cutoff = asOfInstant.orElse(asOfTimestampMs.map(ms =>
       InstantFmt.format(JInstant.ofEpochMilli(ms))))
     val instants = timeline(table).filter(i => cutoff.forall(i.time <= _))
     require(instants.nonEmpty || cutoff.isEmpty || timeline(table).isEmpty,
       s"no completed instant at or before ${cutoff.get} in $table")
+    val pf = partitionFields(table)
+    val schema = resolveSchema(table, instants)
+    val prune = partitionFilter.map(pred => (pf, pred, schema))
 
     // replay: adds per (partition, fileId) keep the newest base; log adds
     // attach to their slice; replaced groups die. Driver loop for short
     // timelines, a DataFrame job above the threshold (a long-lived ingest
     // table accumulates thousands of instants — the same scaling rule as
     // the Delta log replay).
+    // In-job pruning is an optimization; the local prune below is the
+    // authority (idempotent on survivors). Skip the job prune when a
+    // partition field name would collide with a replay-frame column.
+    val jobPrune = prune.filter { case (fields, _, _) =>
+      !fields.exists(Set("p", "fileId", "relPath", "instant", "_g_pv").contains) }
     val live =
-      if (instants.size < DistributedReplayThreshold) replayOnDriver(table, instants)
-      else replayDistributed(spark, table, instants)
+      if (instants.size < DistributedReplayThreshold)
+        pruneSlicesLocal(spark, replayOnDriver(table, instants), prune)
+      else pruneSlicesLocal(spark, replayDistributed(spark, table, instants, jobPrune), prune)
     Snapshot(instants.lastOption.map(_.time).getOrElse(""),
       live.sortBy(s => (s.partitionPath, s.fileId)),
-      resolveSchema(table, instants), partitionFields(table),
-      instants.map(_.time).toSet)
+      schema, pf, instants.map(_.time).toSet)
   }
+
+  /** Driver-side slice prune by partition values — one tiny local frame,
+    * no data touched. */
+  private def pruneSlicesLocal(spark: SparkSession, slices: Seq[FileSlice],
+      prune: Option[(Seq[String], Column, Option[StructType])]): Seq[FileSlice] =
+    prune match {
+      case Some((pf, pred, schema)) if slices.nonEmpty && pf.nonEmpty =>
+        import spark.implicits._
+        val rows = slices.zipWithIndex.map { case (s, i) => (i, partValues(s.partitionPath, pf)) }
+        val cols = pf.zipWithIndex.map { case (f, i) =>
+          val c = col("_2")(i)
+          schema.flatMap(sc => sc.fields.find(_.name == f)).map(sf => c.cast(sf.dataType))
+            .getOrElse(c).as(f)
+        }
+        val kept = rows.toDF("_1", "_2").select((col("_1") +: cols): _*).where(pred)
+          .select("_1").as[Int].collect().toSet
+        slices.zipWithIndex.collect { case (s, i) if kept(i) => s }
+      case _ => slices
+    }
 
   /** Var only so tests can exercise the distributed branch cheaply. */
   private[graft] var DistributedReplayThreshold = 64
@@ -240,7 +272,8 @@ object Hudi {
     * write stats, keep the newest add per file group, anti-join the
     * replaced set. The driver only ever holds the LIVE slice list. */
   private def replayDistributed(
-      spark: SparkSession, table: String, instants: Seq[Instant]): Seq[FileSlice] = {
+      spark: SparkSession, table: String, instants: Seq[Instant],
+      prune: Option[(Seq[String], Column, Option[StructType])] = None): Seq[FileSlice] = {
     val statSchema = StructType(Seq(
       StructField("fileId", StringType), StructField("path", StringType)))
     val metaSchema = StructType(Seq(
@@ -265,17 +298,38 @@ object Hudi {
     val dead = raw.where(col("action") === "replacecommit")
       .select(explode(col("partitionToReplaceFileIds")).as(Seq("p", "fids")))
       .select(col("p"), explode(col("fids")).as("fileId")).distinct()
+    // Partition prune INSIDE the replay job: parse each add's partition
+    // path into typed values and apply the caller's predicate, so a
+    // selective read of a heavily-partitioned 10^7-file table returns
+    // only surviving slices to the driver. replacecommit death still
+    // applies globally (dead is unpruned — group death is partition-local
+    // anyway, and `dead` rows are ids, not file entries).
+    val pruneWhere: DataFrame => DataFrame = prune match {
+      case Some((pf, pred, schema)) if pf.nonEmpty =>
+        val pvU = udf((p: String) => partValues(p, pf))
+        df => {
+          val withPv = df.withColumn("_g_pv", pvU(col("p")))
+          val typed = pf.zipWithIndex.foldLeft(withPv) { case (d, (f, i)) =>
+            val c = col("_g_pv")(i)
+            d.withColumn(f, schema.flatMap(sc => sc.fields.find(_.name == f))
+              .map(sf => c.cast(sf.dataType)).getOrElse(c))
+          }
+          typed.where(pred).drop("_g_pv" +: pf: _*)
+        }
+      case _ => identity
+    }
+    val keptAdds = pruneWhere(adds)
     // log adds (hidden `.…log.…` names) must NOT last-wins-collapse with
     // their base file: reduce bases in the job, keep live log adds whole,
     // assemble slices from the (metadata-sized) union on the driver.
     val isLog = regexp_extract(col("relPath"), "([^/]+)$", 1).rlike("^\\..*\\.log\\.")
-    val bases = adds.where(!isLog).groupBy("p", "fileId")
+    val bases = keptAdds.where(!isLog).groupBy("p", "fileId")
       .agg(max_by(struct(col("relPath"), col("instant")), col("instant")).as("w"))
       .join(dead, Seq("p", "fileId"), "left_anti")
       .select(col("p"), col("fileId"), col("w.relPath"), col("w.instant"))
       .collect().toSeq
       .map(r => FileSlice(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    val logs = adds.where(isLog)
+    val logs = keptAdds.where(isLog)
       .join(dead, Seq("p", "fileId"), "left_anti")
       .select("p", "fileId", "relPath", "instant")
       .collect().toSeq
@@ -339,29 +393,14 @@ object Hudi {
         * are never skipped — a log row may supersede a base row in either
         * direction, so only the key-merge path may judge them. */
       dataFilter: Option[Column] = None): DataFrame = {
-    val snap = snapshot(spark, table, asOfInstant, asOfTimestampMs)
-    val pf = snap.partitionFields
-    require(partitionFilter.isEmpty || pf.nonEmpty,
+    require(partitionFilter.isEmpty || partitionFields(table).nonEmpty,
       s"partitionFilter given but $table is unpartitioned — the filter would " +
         "be silently dropped; filter the returned DataFrame instead")
-
-    val slices = partitionFilter match {
-      case Some(pred) if snap.slices.nonEmpty =>
-        // evaluate once per slice on a tiny local frame; no data touched
-        import spark.implicits._
-        val rows = snap.slices.zipWithIndex.map { case (s, i) =>
-          (i, partValues(s.partitionPath, pf))
-        }
-        val cols = pf.zipWithIndex.map { case (f, i) =>
-          val c = col("_2")(i)
-          snap.schema.flatMap(sc => sc.fields.find(_.name == f)).map(sf => c.cast(sf.dataType))
-            .getOrElse(c).as(f)
-        }
-        val kept = rows.toDF("_1", "_2").select((col("_1") +: cols): _*).where(pred)
-          .select("_1").as[Int].collect().toSet
-        snap.slices.zipWithIndex.collect { case (s, i) if kept(i) => s }
-      case _ => snap.slices
-    }
+    // pruning happens during the replay — distributed branch never
+    // materializes pruned-away slices on the driver
+    val snap = snapshot(spark, table, asOfInstant, asOfTimestampMs, partitionFilter)
+    val pf = snap.partitionFields
+    val slices = snap.slices
     if (slices.isEmpty)
       return InteropUtil.emptyFrame(spark,
         snap.schema.getOrElse(StructType(Nil)))

@@ -206,19 +206,46 @@ object Iceberg {
 
   /** All file entries of a snapshot (manifest list -> manifests). Driver
     * work is one small avro read per manifest — parallelized past a
-    * threshold, same policy as the catalog's footer reads. */
-  def fileEntries(spark: SparkSession, meta: TableMeta, snap: SnapshotMeta): Seq[FileEntry] = {
+    * threshold, same policy as the catalog's footer reads.
+    *
+    * `statFilters` (translated from the caller's row predicate) prune DATA
+    * entries by their manifest bounds AT THE MANIFEST READER — in the
+    * distributed branch the pruning runs in executors and only survivors
+    * return to the driver, with their bounds maps stripped (already
+    * served), so a selective read of a 10^7-file table never materializes
+    * the full entry set driver-side. Delete entries (content != 0) are
+    * never pruned — a skipped delete file would resurrect rows. */
+  def fileEntries(spark: SparkSession, meta: TableMeta, snap: SnapshotMeta,
+      statFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Seq[FileEntry] = {
     val manifests = readManifestList(resolvePath(snap.manifestList, meta.location))
+    // capture only serializable, entry-local state (not TableMeta)
+    val schema = meta.schema
+    val idToName = meta.fieldIds.map(_.swap)
+    val fs = statFilters
+    def keepAndStrip(entries: Seq[FileEntry]): Seq[FileEntry] =
+      if (fs.isEmpty) entries
+      else entries.flatMap { e =>
+        if (e.content != 0) Some(e)
+        else {
+          val st = entryColStats(e, idToName, schema)
+          val keep = st.isEmpty ||
+            fs.forall(f => graft.catalog.StatsSkip.keep(f, schema, st, e.recordCount))
+          if (!keep) None
+          else Some(e.copy(lowerBounds = Map.empty, upperBounds = Map.empty,
+            nullCounts = Map.empty, nanCounts = Map.empty))
+        }
+      }
     val lists: Seq[Seq[FileEntry]] =
       if (manifests.size <= 16)
         manifests.map { case (mPath, mSeq) =>
-          readManifest(resolvePath(mPath, meta.location), mSeq)
+          keepAndStrip(readManifest(resolvePath(mPath, meta.location), mSeq))
         }
       else {
         val loc = meta.location
         spark.sparkContext
           .parallelize(manifests, math.min(manifests.size, 64).toInt)
-          .map { case (mPath, mSeq) => readManifest(resolvePath(mPath, loc), mSeq) }
+          .map { case (mPath, mSeq) =>
+            keepAndStrip(readManifest(resolvePath(mPath, loc), mSeq)) }
           .collect().toSeq
       }
     lists.flatten.filter(_.status != 2)
@@ -388,7 +415,10 @@ object Iceberg {
     val meta = loadMeta(table)
     val snap = pickSnapshot(meta, snapshotId, asOfTimestampMs).getOrElse(
       return emptyFrame(spark, meta.schema))
-    val entries = fileEntries(spark, meta, snap)
+    // bounds-based data skipping runs inside the manifest readers (and in
+    // executors past the distribution threshold) — survivors only
+    val statFilters = dataFilter.map(graft.catalog.StatsSkip.translate).getOrElse(Nil)
+    val entries = fileEntries(spark, meta, snap, statFilters)
 
     require(partitionFilter.isEmpty || meta.partitionCols.nonEmpty,
       s"partitionFilter given but $table is unpartitioned — the filter would " +
@@ -409,18 +439,7 @@ object Iceberg {
         dataFiles = dataFiles.filter(e => keep.contains(e.path))
       }
     }
-    // Data skipping over manifest bounds — DATA files only: a skipped
-    // data file's rows fail the predicate anyway (Iceberg v2 upserts are
-    // eq-delete + add, so the old version is masked regardless), while a
-    // skipped DELETE file would resurrect rows.
-    dataFilter.map(graft.catalog.StatsSkip.translate).filter(_.nonEmpty).foreach { filters =>
-      val idToName = meta.fieldIds.map(_.swap)
-      dataFiles = dataFiles.filter { e =>
-        val st = entryColStats(e, idToName, meta.schema)
-        st.isEmpty || filters.forall(f =>
-          graft.catalog.StatsSkip.keep(f, meta.schema, st, e.recordCount))
-      }
-    }
+    // (bounds-based data skipping already happened inside fileEntries)
     if (dataFiles.isEmpty) return emptyFrame(spark, meta.schema)
 
     val paths = dataFiles.map(e => resolvePath(e.path, meta.location))

@@ -62,8 +62,16 @@ object GraftDsv2 {
         * must not re-stat 10^5 files on the driver. */
       fileSizes: Seq[Long] = Nil,
       /** Full manifest entries (incl. per-file footer stats) — the
-        * data-skipping index consulted at filter pushdown. */
-      entries: Seq[graft.txn.ManifestEntry] = Nil)
+        * data-skipping index consulted at filter pushdown. EMPTY when
+        * `deferred` (the gated big-manifest path): use `entriesProvider`. */
+      entries: Seq[graft.txn.ManifestEntry] = Nil,
+      /** Above the manifest-size gate, entry materialization is DEFERRED to
+        * filter-pushdown time: the provider prunes entries in a Spark job
+        * against the pushed filters and only survivors reach the driver
+        * (parquet scan path only — other content types materialize
+        * eagerly). */
+      deferred: Boolean = false,
+      entriesProvider: Seq[org.apache.spark.sql.sources.Filter] => Seq[graft.txn.ManifestEntry] = null)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
@@ -79,7 +87,10 @@ object GraftDsv2 {
     // version must not leak through the SQL/DSv2 surface either
     if (t.version.isEmpty && meta.lifecycleState != graft.catalog.Lifecycle.Active)
       throw new graft.catalog.NoActiveTableVersion(table, meta.lifecycleState)
-    val deltas = cat.effectiveDeltas(t, asOf)
+    // above the manifest-size gate the deltas come back as entry-less
+    // skeletons (every check below reads delta PROPERTIES only) and the
+    // provider defers entry materialization to filter-pushdown time
+    val (deltas, provider, gated) = cat.dsv2Plan(table, asOf)
     val (base, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
     val unresolved = pending.count(d =>
       d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
@@ -94,11 +105,17 @@ object GraftDsv2 {
     val staleRenames = renamedOld.nonEmpty && active.exists(d =>
       d.properties.get("written_columns")
         .map(_.split(",").exists(renamedOld)).getOrElse(true))
-    val entries = active.flatMap(_.entries)
+    val ct = cat.contentTypeOf(meta)
+    // Deferral serves the parquet scan-builder path only; other content
+    // types (and the write/DML surfaces, which never read entries)
+    // materialize eagerly.
+    val deferred = gated && ct == ContentType.Parquet
+    val entries = if (deferred) Nil else provider(Nil)
     Resolved(t, schema, entries.map(_.path), unresolved,
-      cat.contentTypeOf(meta), hasPartial, hasDefaults, staleRenames,
+      ct, hasPartial, hasDefaults, staleRenames,
       root = root, timeTravel = asOf.isDefined,
-      fileSizes = entries.map(_.sizeBytes), entries = entries)
+      fileSizes = entries.map(_.sizeBytes), entries = entries,
+      deferred = deferred, entriesProvider = provider)
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -266,9 +283,15 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
     val delegate: Table with SupportsRead = ct match {
       case ContentType.Parquet =>
         // Stats-pruning interposer: pushed filters drop whole files via the
-        // manifest's footer stats before the parquet scan is built.
+        // manifest's footer stats before the parquet scan is built. Under
+        // the deferred big-manifest path the provider ALSO defers entry
+        // materialization itself to pushdown time (distributed prune).
+        if (resolved.deferred)
+          return new StatsPruningScanBuilder(resolved.schema, resolved.entriesProvider,
+            ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
+              classOf[ParquetFileFormat]).newScanBuilder(opts))
         if (resolved.entries.exists(_.stats != null))
-          return new StatsPruningScanBuilder(resolved.schema, resolved.entries,
+          return new StatsPruningScanBuilder(resolved.schema, _ => resolved.entries,
             ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
               classOf[ParquetFileFormat]).newScanBuilder(opts))
         ParquetTable(name(), spark, opts, resolved.paths, Some(resolved.schema),

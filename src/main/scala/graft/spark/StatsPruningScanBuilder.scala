@@ -30,7 +30,13 @@ import graft.txn.ManifestEntry
  */
 final class StatsPruningScanBuilder(
     schema: StructType,
-    entries: Seq[ManifestEntry],
+    /** Entry source, called with the TRANSLATED pushed filters at
+      * materialization time. The eager path ignores the argument and
+      * returns the pre-parsed list; the deferred big-manifest path runs
+      * the distributed manifest prune and returns survivors only (stats
+      * stripped — the local re-prune below then keeps everything, which
+      * is correct: the filters were already applied). */
+    provider: Seq[org.apache.spark.sql.sources.Filter] => Seq[ManifestEntry],
     mkDelegate: Seq[String] => ScanBuilder)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
@@ -38,25 +44,45 @@ final class StatsPruningScanBuilder(
   with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
-  private var delegate: ScanBuilder = mkDelegate(entries.map(_.path))
+  private var entriesOpt: Option[Seq[ManifestEntry]] = None
+  private var delegateOpt: Option[ScanBuilder] = None
   private var requiredSchema: Option[StructType] = None
   private var filtersPushed: Boolean = false
   private var delegateAggPushed: Boolean = false
   private var manifestAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
+  /** First materialization — runs the provider (possibly a distributed
+    * prune), builds the delegate over the result, replays column pruning. */
+  private def materialize(fs: Seq[org.apache.spark.sql.sources.Filter]): Seq[ManifestEntry] = {
+    val es = provider(fs)
+    if (fs.nonEmpty) StatsPruningScanBuilder.lastDeferredMaterialize = es.size
+    entriesOpt = Some(es)
+    delegateOpt = Some(mkDelegate(es.map(_.path)))
+    requiredSchema.foreach(s =>
+      delegateOpt.get.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
+    es
+  }
+
+  private def entries: Seq[ManifestEntry] = entriesOpt.getOrElse(materialize(Nil))
+  private def delegate: ScanBuilder = { entries; delegateOpt.get }
+
   /** Swap in a delegate over a smaller file list, replaying column pruning
     * (the ONE rebuild path — filters and limit both go through here). */
   private def rebuild(kept: Seq[ManifestEntry]): Unit = {
     StatsPruningScanBuilder.lastPrune = (entries.size, kept.size)
-    delegate = mkDelegate(kept.map(_.path))
+    entriesOpt = Some(kept)
+    delegateOpt = Some(mkDelegate(kept.map(_.path)))
     requiredSchema.foreach(s =>
-      delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
+      delegateOpt.get.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtersPushed = filtersPushed || filters.nonEmpty
     val translated = filters.flatMap(f =>
       org.apache.spark.sql.graft.GraftFunctions.toSourceFilter(f))
+    // deferred path: hand the filters to the provider so pruning happens
+    // BEFORE any entry materializes on the driver
+    if (entriesOpt.isEmpty) materialize(translated)
     val kept = StatsSkip.prune(entries, translated, schema)
     if (kept.size < entries.size) rebuild(kept)
     delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
@@ -67,7 +93,7 @@ final class StatsPruningScanBuilder(
 
   override def pruneColumns(s: StructType): Unit = {
     requiredSchema = Some(s)
-    delegate.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s)
+    delegateOpt.foreach(_.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
   }
 
   /** LIMIT file pruning: an unordered LIMIT n needs at most n rows, so a
@@ -197,4 +223,7 @@ object StatsPruningScanBuilder {
   /** (total files, files kept) of the most recent prune — observability for
     * tests and debugging; planning is driver-side single-threaded per query. */
   @volatile var lastPrune: (Int, Int) = (0, 0)
+  /** Entry count the most recent FILTERED deferred materialization returned
+    * (same caveat: test observability only). */
+  @volatile var lastDeferredMaterialize: Int = -1
 }

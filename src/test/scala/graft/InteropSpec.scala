@@ -819,6 +819,23 @@ class InteropSpec extends SparkSpec {
     } finally Hudi.DistributedReplayThreshold = prev
     assert(driverRows.map(_.getInt(2)).toSet == Set(3, 4))
 
+    // in-job partition pruning (distributed replay) selects the same
+    // slices as the driver-path prune — only survivors reach the driver
+    val tp = tmpDir("hudi-dist-prune")
+    val seed = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "y")).toDF("id", "v", "part")
+    Hudi.write(seed.where($"id" === 1), tp, partitionBy = Seq("part"))
+    Hudi.write(seed.where($"id" =!= 1), tp, partitionBy = Seq("part"))
+    val want = Hudi.read(spark, tp, partitionFilter = Some(col("part") === "y"))
+      .orderBy("id").collect().toSeq
+    try {
+      Hudi.DistributedReplayThreshold = 1
+      val snapP = Hudi.snapshot(spark, tp, partitionFilter = Some(col("part") === "y"))
+      assert(snapP.slices.nonEmpty && snapP.slices.forall(_.partitionPath == "part=y"),
+        s"pruned-away slices must not materialize: ${snapP.slices.map(_.partitionPath)}")
+      assert(Hudi.read(spark, tp, partitionFilter = Some(col("part") === "y"))
+        .orderBy("id").collect().toSeq == want)
+    } finally Hudi.DistributedReplayThreshold = prev
+
     // foreign 1.x layout: instants under .hoodie/timeline/ with
     // <instant>_<completionTime>.commit names
     val t2 = tmpDir("hudi-v1x")

@@ -87,6 +87,42 @@ class ManifestPlannerSpec extends SparkSpec {
     }
   }
 
+  test("DSv2/SQL surface defers entry materialization above the gate") {
+    val root = tmpDir("mp-dsv2")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("m.t", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("write.max_records_per_file" -> "100",
+        "compaction.auto" -> "false"))
+    val df = spark.range(0, 2000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    cat.writeToTable(df.orderBy("k").coalesce(1), "m.t")
+    def load() = spark.read.format("graft").option("root", root)
+      .option("table", "m.t").load()
+    val filter = col("k") >= 500 && col("k") < 700
+    val wantRows = load().where(filter).agg(count(lit(1)), sum("k")).as[(Long, Long)].head()
+    // the native read path gives the reference planned-file count
+    val wantFileCount = cat.readTable("m.t", ReadOptions(rowFilter = Some(filter)))
+      .inputFiles.length
+    assert(wantFileCount < cat.readTable("m.t").inputFiles.length, "stats skip must prune")
+    spark.conf.set(ManifestPlanner.GateConfKey, "1")
+    try {
+      graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize = -1
+      val gated = load().where(filter)
+      assert(gated.agg(count(lit(1)), sum("k")).as[(Long, Long)].head() == wantRows)
+      assert(graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize == wantFileCount,
+        s"deferred materialization must return only survivors " +
+          s"(${graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize} vs $wantFileCount)")
+      // metadata-only count(*) still answers from recordCount under the gate
+      val plan = load().groupBy().count().queryExecution.executedPlan.toString
+      assert(plan.contains("LocalScan") || !plan.contains("Scan parquet"),
+        s"count(*) should stay manifest-served, got:\n$plan")
+      // unfiltered read correct through eager fallback
+      assert(load().count() == 2000)
+    } finally spark.conf.unset(ManifestPlanner.GateConfKey)
+  }
+
   test("gated LIMIT read plans an entry prefix without full materialization") {
     val (cat, t) = buildTable("mp-limit")
     spark.conf.set(ManifestPlanner.GateConfKey, "1")
