@@ -1577,19 +1577,40 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * gate is purely a materialization strategy — same files either way.
     * Below the gate this IS [[effectiveDeltas]] (no job launch for the
     * common small-manifest read). */
-  private def plannedDeltas(t: TableHandle, opts: ReadOptions, schema: StructType,
-      scheme: PartitionScheme, mergeKeys: Seq[String]): Seq[DeltaMeta] = {
-    val files = store.visibleRevisionPaths(deltaDir(t), opts.asOf, opts.txn)
+  /** Size-gated skeleton planning shared by the native and DSv2 surfaces:
+    * None below the gate (callers take the plain parsed path); above it,
+    * the kept skeletons (post-REPLACE) and the ACTIVE (rev, metafile)
+    * pairs whose entries the distributed prune may materialize. */
+  private def skeletonPlan(t: TableHandle, asOf: Option[Long],
+      within: Option[Transaction])
+      : Option[(Seq[(Long, DeltaMeta)], Seq[(Long, String)])] = {
+    val files = store.visibleRevisionPaths(deltaDir(t), asOf, within)
     val totalBytes = files.iterator.map { case (_, p) =>
       try Files.size(p) catch { case _: Exception => 0L } }.sum
-    if (totalBytes <= ManifestPlanner.gateBytes(spark))
-      return effectiveDeltas(t, opts.asOf, opts.txn)
+    if (totalBytes <= ManifestPlanner.gateBytes(spark)) return None
     val sk: Seq[(Long, Path, DeltaMeta)] =
       files.map { case (rev, p) => (rev, p, ManifestPlanner.skeleton(p)) }
     val lastReplace = sk.zipWithIndex
       .filter(_._1._3.properties.get("replace").contains("true")).map(_._2).lastOption
     val kept = lastReplace match { case Some(i) => sk.drop(i); case None => sk }
     val (base, pending) = MergeRead.activeDeltas(kept.map(_._3))
+    // Only ACTIVE deltas (latest compacted base + beyond-watermark pending)
+    // contribute entries to the plan; the rest ride along as entry-less
+    // lineage skeletons — plan never reads their entries.
+    val activePos = (base.toSeq ++ pending).map(_.streamPosition).toSet
+    val activeFiles = kept.collect {
+      case (rev, p, d) if activePos.contains(d.streamPosition) => (rev, p.toString)
+    }
+    Some((kept.map { case (rev, _, d) => (rev, d) }, activeFiles))
+  }
+
+  private def plannedDeltas(t: TableHandle, opts: ReadOptions, schema: StructType,
+      scheme: PartitionScheme, mergeKeys: Seq[String]): Seq[DeltaMeta] = {
+    val (kept, activeFiles) = skeletonPlan(t, opts.asOf, opts.txn) match {
+      case None => return effectiveDeltas(t, opts.asOf, opts.txn)
+      case Some(x) => x
+    }
+    val (_, pending) = MergeRead.activeDeltas(kept.map(_._2))
     val needMerge = opts.mergeOnRead && mergeKeys.nonEmpty &&
       pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
     val statFilters = StatsSkip.safeFilters(
@@ -1598,13 +1619,6 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       case (field, v) =>
         scheme.keys.find(_.field == field).map(k => (s"${k.partitionColumnName}=", v))
     })
-    // Only ACTIVE deltas (latest compacted base + beyond-watermark pending)
-    // contribute entries to the plan; the rest ride along as entry-less
-    // lineage skeletons — plan never reads their entries.
-    val activePos = (base.toSeq ++ pending).map(_.streamPosition).toSet
-    val activeFiles = kept.collect {
-      case (rev, p, d) if activePos.contains(d.streamPosition) => (rev, p.toString)
-    }
     val limitOnly = opts.limit.isDefined && statFilters.isEmpty && !needMerge &&
       opts.rowFilter.isEmpty && opts.partitionFilter.isEmpty &&
       opts.partitionValues.isEmpty && !pending.exists(_.typed == DeltaType.Delete)
@@ -1615,7 +1629,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       else if (statFilters.nonEmpty || segs.nonEmpty)
         ManifestPlanner.pruneDistributed(spark, activeFiles, statFilters, schema, segs)
       else ManifestPlanner.materializeStreaming(activeFiles)
-    kept.map { case (rev, _, d) => d.copy(entries = survivors.getOrElse(rev, Nil)) }
+    kept.map { case (rev, d) => d.copy(entries = survivors.getOrElse(rev, Nil)) }
   }
 
   /** DSv2 planning hook — the SQL surface's version of [[plannedDeltas]]:
@@ -1627,38 +1641,40 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * a 10^6-file table materializes only surviving entries. The provider
     * may be called more than once (a re-push); each call re-derives from
     * the same visible file set, so results are stable within a plan. */
-  private[graft] def dsv2Plan(table: String, asOf: Option[Long])
-      : (Seq[DeltaMeta], Seq[org.apache.spark.sql.sources.Filter] => Seq[ManifestEntry], Boolean) = {
-    val t = resolveVersion(thRaw(table), asOf, None)
-    val files = store.visibleRevisionPaths(deltaDir(t), asOf, None)
-    val totalBytes = files.iterator.map { case (_, p) =>
-      try Files.size(p) catch { case _: Exception => 0L } }.sum
-    if (totalBytes <= ManifestPlanner.gateBytes(spark)) {
-      val deltas = effectiveDeltas(t, asOf)
-      val (base, pending) = MergeRead.activeDeltas(deltas)
-      val active = base.toSeq ++ pending
-      (deltas, _ => active.flatMap(_.entries), false)
-    } else {
-      val schema = DataType.fromJson(getTableMeta(table, asOf).schemaJson)
-        .asInstanceOf[StructType]
-      val sk: Seq[(Long, Path, DeltaMeta)] =
-        files.map { case (rev, p) => (rev, p, ManifestPlanner.skeleton(p)) }
-      val lastReplace = sk.zipWithIndex
-        .filter(_._1._3.properties.get("replace").contains("true")).map(_._2).lastOption
-      val kept = lastReplace match { case Some(i) => sk.drop(i); case None => sk }
-      val (base, pending) = MergeRead.activeDeltas(kept.map(_._3))
-      val activePos = (base.toSeq ++ pending).map(_.streamPosition).toSet
-      val activeFiles = kept.collect {
-        case (rev, p, d) if activePos.contains(d.streamPosition) => (rev, p.toString)
-      }
-      val provider = (fs: Seq[org.apache.spark.sql.sources.Filter]) => {
-        val survivors =
-          if (fs.nonEmpty)
-            ManifestPlanner.pruneDistributed(spark, activeFiles, fs, schema, Nil)
-          else ManifestPlanner.materializeStreaming(activeFiles)
-        activeFiles.flatMap { case (rev, _) => survivors.getOrElse(rev, Nil) }
-      }
-      (kept.map(_._3), provider, true)
+  /** Everything the DSv2 surface needs from ONE version/meta resolution —
+    * the prune schema, the delta skeletons, and the entry provider all
+    * derive from the same metadata read, so a concurrent schema change or
+    * activation cannot make the distributed prune and the delegate scan
+    * disagree. `statsSummary` serves manifest-only aggregates under the
+    * gate (the stripped survivor entries can't). */
+  private[graft] final case class Dsv2Plan(
+      meta: TableMeta,
+      deltas: Seq[DeltaMeta],
+      provider: Seq[org.apache.spark.sql.sources.Filter] => Seq[ManifestEntry],
+      gated: Boolean,
+      statsSummary: () => ManifestPlanner.StatsSummary)
+
+  private[graft] def dsv2Plan(table: String, asOf: Option[Long]): Dsv2Plan = {
+    val (t, meta0) = resolveVersionMeta(thRaw(table), asOf, None)
+    val meta = meta0.filter(!_.dropped).getOrElse(throw new TableNotFound(table))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    skeletonPlan(t, asOf, None) match {
+      case None =>
+        val deltas = effectiveDeltas(t, asOf)
+        val (base, pending) = MergeRead.activeDeltas(deltas)
+        val active = base.toSeq ++ pending
+        Dsv2Plan(meta, deltas, _ => active.flatMap(_.entries), gated = false,
+          () => ManifestPlanner.summarize(active.flatMap(_.entries).iterator, schema))
+      case Some((kept, activeFiles)) =>
+        val provider = (fs: Seq[org.apache.spark.sql.sources.Filter]) => {
+          val survivors =
+            if (fs.nonEmpty)
+              ManifestPlanner.pruneDistributed(spark, activeFiles, fs, schema, Nil)
+            else ManifestPlanner.materializeStreaming(activeFiles)
+          activeFiles.flatMap { case (rev, _) => survivors.getOrElse(rev, Nil) }
+        }
+        Dsv2Plan(meta, kept.map(_._2), provider, gated = true,
+          () => ManifestPlanner.summarizeDistributed(spark, activeFiles, schema))
     }
   }
 

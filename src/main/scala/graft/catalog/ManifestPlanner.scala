@@ -156,4 +156,107 @@ object ManifestPlanner {
       foreachEntry(Paths.get(path))(e => buf += e.copy(stats = null))
       (pos, buf.result())
     }.toMap
+
+  // -------------------------------------------------- aggregate summary
+
+  /** Combined per-column state for manifest-served aggregates. `boundsOk`
+    * = every entry carried exact bounds for the column or was provably
+    * all-null (the MIN/MAX soundness rule); `nullsKnown` = every entry
+    * carried a non-negative null count (the COUNT(col) rule). */
+  final case class ColSummary(
+      min: String, max: String, nulls: Long,
+      nullsKnown: Boolean, boundsOk: Boolean)
+
+  /** Entry-set roll-up answering COUNT(*)/COUNT(col)/MIN/MAX without the
+    * entries themselves — O(#columns) driver state however many files.
+    * Decline semantics mirror the per-entry evaluation exactly: any
+    * uncertainty flips the corresponding flag and the aggregate falls
+    * back to a real scan. */
+  final case class StatsSummary(
+      entryCount: Long, totalRecords: Long, recordsKnown: Boolean,
+      cols: Map[String, ColSummary])
+
+  def summarize(entries: Iterator[ManifestEntry], schema: StructType): StatsSummary = {
+    val kinds: Map[String, StatCodec.Kind] = schema.fields.flatMap(f =>
+      StatCodec.kindOf(f.dataType).map(f.name -> _)).toMap
+    val acc = scala.collection.mutable.LinkedHashMap[String, ColSummary]()
+    schema.fields.foreach(f =>
+      acc(f.name) = ColSummary(null, null, 0L, nullsKnown = true,
+        boundsOk = kinds.contains(f.name)))
+    var n = 0L
+    var total = 0L
+    var known = true
+    entries.foreach { e =>
+      n += 1
+      if (e.recordCount < 0) known = false else total += e.recordCount
+      val st = e.colStats
+      schema.fields.foreach { f =>
+        val cur = acc(f.name)
+        st.get(f.name) match {
+          case None =>
+            acc(f.name) = cur.copy(nullsKnown = false, boundsOk = false)
+          case Some(cs) =>
+            val nk = cur.nullsKnown && cs.nulls >= 0
+            val nl = if (nk) cur.nulls + cs.nulls else cur.nulls
+            if (cs.min == null) {
+              // bound-less entries stay sound only when provably all-null
+              val allNull = cs.nulls >= 0 && e.recordCount >= 0 && cs.nulls >= e.recordCount
+              acc(f.name) = cur.copy(nulls = nl, nullsKnown = nk,
+                boundsOk = cur.boundsOk && allNull)
+            } else kinds.get(f.name) match {
+              case Some(k) =>
+                val mn = if (cur.min == null || StatCodec.compare(k, cs.min, cur.min) < 0)
+                  cs.min else cur.min
+                val mx = if (cur.max == null || StatCodec.compare(k, cs.max, cur.max) > 0)
+                  cs.max else cur.max
+                acc(f.name) = cur.copy(min = mn, max = mx, nulls = nl, nullsKnown = nk)
+              case None =>
+                acc(f.name) = cur.copy(nulls = nl, nullsKnown = nk)
+            }
+        }
+      }
+    }
+    StatsSummary(n, total, known, acc.toMap)
+  }
+
+  private def mergeSummaries(schema: StructType)(a: StatsSummary, b: StatsSummary): StatsSummary = {
+    val kinds: Map[String, StatCodec.Kind] = schema.fields.flatMap(f =>
+      StatCodec.kindOf(f.dataType).map(f.name -> _)).toMap
+    val cols = (a.cols.keySet ++ b.cols.keySet).map { name =>
+      val (x, y) = (a.cols(name), b.cols(name))
+      def pick(min: Boolean): String = {
+        val (u, v) = (if (min) x.min else x.max, if (min) y.min else y.max)
+        if (u == null) v else if (v == null) u
+        else kinds.get(name) match {
+          case Some(k) =>
+            val c = StatCodec.compare(k, u, v)
+            if ((min && c <= 0) || (!min && c >= 0)) u else v
+          case None => null
+        }
+      }
+      name -> ColSummary(pick(min = true), pick(min = false),
+        x.nulls + y.nulls, x.nullsKnown && y.nullsKnown, x.boundsOk && y.boundsOk)
+    }.toMap
+    StatsSummary(a.entryCount + b.entryCount, a.totalRecords + b.totalRecords,
+      a.recordsKnown && b.recordsKnown, cols)
+  }
+
+  /** Distributed roll-up: one task per metafile streams + summarizes its
+    * entries; only O(#columns) summaries cross the wire — the gated path's
+    * manifest-aggregate answer (count/min/max over 10^7 files, zero files
+    * opened, nothing entry-sized on the driver). */
+  def summarizeDistributed(spark: SparkSession, files: Seq[(Long, String)],
+      schema: StructType): StatsSummary = {
+    val schemaJson = schema.json
+    if (files.isEmpty) return summarize(Iterator.empty, schema)
+    spark.sparkContext
+      .parallelize(files.map(_._2), math.min(files.size, spark.sparkContext.defaultParallelism * 2))
+      .map { path =>
+        val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val buf = Seq.newBuilder[ManifestEntry]
+        foreachEntry(Paths.get(path))(buf += _)
+        summarize(buf.result().iterator, sc)
+      }
+      .reduce(mergeSummaries(schema))
+  }
 }

@@ -144,6 +144,9 @@ object Hudi {
     require(instants.nonEmpty || cutoff.isEmpty || timeline(table).isEmpty,
       s"no completed instant at or before ${cutoff.get} in $table")
     val pf = partitionFields(table)
+    require(partitionFilter.isEmpty || pf.nonEmpty,
+      s"partitionFilter given but $table is unpartitioned — the filter would " +
+        "be silently dropped; filter the read DataFrame instead")
     val schema = resolveSchema(table, instants)
     val prune = partitionFilter.map(pred => (pf, pred, schema))
 
@@ -271,7 +274,7 @@ object Hudi {
     * commit metadata (multiLine — real Hudi pretty-prints), explode the
     * write stats, keep the newest add per file group, anti-join the
     * replaced set. The driver only ever holds the LIVE slice list. */
-  private def replayDistributed(
+  private[graft] def replayDistributed(
       spark: SparkSession, table: String, instants: Seq[Instant],
       prune: Option[(Seq[String], Column, Option[StructType])] = None): Seq[FileSlice] = {
     val statSchema = StructType(Seq(
@@ -393,10 +396,8 @@ object Hudi {
         * are never skipped — a log row may supersede a base row in either
         * direction, so only the key-merge path may judge them. */
       dataFilter: Option[Column] = None): DataFrame = {
-    require(partitionFilter.isEmpty || partitionFields(table).nonEmpty,
-      s"partitionFilter given but $table is unpartitioned — the filter would " +
-        "be silently dropped; filter the returned DataFrame instead")
-    // pruning happens during the replay — distributed branch never
+    // pruning happens during the replay (snapshot guards the
+    // filter-on-unpartitioned hazard) — the distributed branch never
     // materializes pruned-away slices on the driver
     val snap = snapshot(spark, table, asOfInstant, asOfTimestampMs, partitionFilter)
     val pf = snap.partitionFields

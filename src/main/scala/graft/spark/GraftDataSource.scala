@@ -71,14 +71,21 @@ object GraftDsv2 {
         * (parquet scan path only — other content types materialize
         * eagerly). */
       deferred: Boolean = false,
-      entriesProvider: Seq[org.apache.spark.sql.sources.Filter] => Seq[graft.txn.ManifestEntry] = null)
+      entriesProvider: Seq[org.apache.spark.sql.sources.Filter] => Seq[graft.txn.ManifestEntry] = null,
+      /** Manifest-aggregate roll-up source (distributed under the gate) —
+        * keeps count/min/max metadata-only at any manifest size. */
+      statsSummary: () => graft.catalog.ManifestPlanner.StatsSummary = null)
 
   def resolve(root: String, table: String, asOf: Option[Long]): Resolved = {
     require(root != null, "option 'root' (catalog root dir) is required")
     require(table != null, "option 'table' (ns.table) is required")
     val spark = SparkSession.active
     val cat = new GraftCatalog(spark, root)
-    val meta = cat.getTableMeta(table, asOf)
+    // ONE metadata resolution feeds everything — meta/schema, the delta
+    // skeletons, and the entry provider — so a concurrent schema change or
+    // version activation cannot make the prune and the scan disagree
+    val plan = cat.dsv2Plan(table, asOf)
+    val meta = plan.meta
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[StructType]
     val t = TableHandle.parse(table)
@@ -87,10 +94,7 @@ object GraftDsv2 {
     // version must not leak through the SQL/DSv2 surface either
     if (t.version.isEmpty && meta.lifecycleState != graft.catalog.Lifecycle.Active)
       throw new graft.catalog.NoActiveTableVersion(table, meta.lifecycleState)
-    // above the manifest-size gate the deltas come back as entry-less
-    // skeletons (every check below reads delta PROPERTIES only) and the
-    // provider defers entry materialization to filter-pushdown time
-    val (deltas, provider, gated) = cat.dsv2Plan(table, asOf)
+    val (deltas, provider, gated) = (plan.deltas, plan.provider, plan.gated)
     val (base, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
     val unresolved = pending.count(d =>
       d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
@@ -115,7 +119,8 @@ object GraftDsv2 {
       ct, hasPartial, hasDefaults, staleRenames,
       root = root, timeTravel = asOf.isDefined,
       fileSizes = entries.map(_.sizeBytes), entries = entries,
-      deferred = deferred, entriesProvider = provider)
+      deferred = deferred, entriesProvider = provider,
+      statsSummary = plan.statsSummary)
   }
 
   def table(r: Resolved): GraftTable = new GraftTable(r)
@@ -288,10 +293,14 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
         // materialization itself to pushdown time (distributed prune).
         if (resolved.deferred)
           return new StatsPruningScanBuilder(resolved.schema, resolved.entriesProvider,
+            resolved.statsSummary,
             ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
-              classOf[ParquetFileFormat]).newScanBuilder(opts))
+              classOf[ParquetFileFormat]).newScanBuilder(opts),
+            deferredPath = true)
         if (resolved.entries.exists(_.stats != null))
           return new StatsPruningScanBuilder(resolved.schema, _ => resolved.entries,
+            () => graft.catalog.ManifestPlanner.summarize(
+              resolved.entries.iterator, resolved.schema),
             ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
               classOf[ParquetFileFormat]).newScanBuilder(opts))
         ParquetTable(name(), spark, opts, resolved.paths, Some(resolved.schema),

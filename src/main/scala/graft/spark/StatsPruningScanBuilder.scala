@@ -37,7 +37,15 @@ final class StatsPruningScanBuilder(
       * stripped — the local re-prune below then keeps everything, which
       * is correct: the filters were already applied). */
     provider: Seq[org.apache.spark.sql.sources.Filter] => Seq[ManifestEntry],
-    mkDelegate: Seq[String] => ScanBuilder)
+    /** Entry-set roll-up for manifest-served aggregates — O(#columns)
+      * state, computed WITHOUT materializing entries (distributed on the
+      * deferred path), so `SELECT count(*)/min/max` stays metadata-only at
+      * any manifest size. */
+    summary: () => graft.catalog.ManifestPlanner.StatsSummary,
+    mkDelegate: Seq[String] => ScanBuilder,
+    /** True when `provider` is the gated big-manifest provider (entry
+      * materialization deferred to pushdown) — observability only. */
+    deferredPath: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -55,7 +63,7 @@ final class StatsPruningScanBuilder(
     * prune), builds the delegate over the result, replays column pruning. */
   private def materialize(fs: Seq[org.apache.spark.sql.sources.Filter]): Seq[ManifestEntry] = {
     val es = provider(fs)
-    if (fs.nonEmpty) StatsPruningScanBuilder.lastDeferredMaterialize = es.size
+    if (deferredPath && fs.nonEmpty) StatsPruningScanBuilder.lastDeferredMaterialize = es.size
     entriesOpt = Some(es)
     delegateOpt = Some(mkDelegate(es.map(_.path)))
     requiredSchema.foreach(s =>
@@ -142,34 +150,32 @@ final class StatsPruningScanBuilder(
       : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (filtersPushed || agg.groupByExpressions().nonEmpty || entries.isEmpty) return None
+    if (filtersPushed || agg.groupByExpressions().nonEmpty) return None
+    val sm = summaryOnce()
+    if (sm.entryCount == 0 || !sm.recordsKnown) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case n: NamedReference if n.fieldNames().length == 1 =>
           schema.fields.find(_.name == n.fieldNames()(0))
         case _ => None
       }
-    if (entries.exists(_.recordCount < 0)) return None
-    val total = entries.map(_.recordCount).sum
+    val total = sm.totalRecords
     val answered = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some((StructField("count_star", LongType, nullable = false), total))
       case c: Count if !c.isDistinct =>
         for {
           f <- colOf(c.column())
-          nulls <- {
-            val per = entries.map(_.colStats.get(f.name).map(_.nulls).getOrElse(-1L))
-            if (per.exists(_ < 0)) None else Some(per.sum)
-          }
-        } yield (StructField(s"count_${f.name}", LongType, nullable = false), total - nulls)
+          cs <- sm.cols.get(f.name) if cs.nullsKnown
+        } yield (StructField(s"count_${f.name}", LongType, nullable = false), total - cs.nulls)
       case m: Min =>
         for {
           f <- colOf(m.column())
-          v <- boundOf(f, min = true)
+          v <- boundOf(sm, f, min = true)
         } yield (StructField(s"min_${f.name}", f.dataType), v)
       case m: Max =>
         for {
           f <- colOf(m.column())
-          v <- boundOf(f, min = false)
+          v <- boundOf(sm, f, min = false)
         } yield (StructField(s"max_${f.name}", f.dataType), v)
       case _ => None
     }
@@ -179,28 +185,21 @@ final class StatsPruningScanBuilder(
       org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
   }
 
-  /** Exact table-wide MIN or MAX of a column from per-file bounds; None
-    * unless EVERY file either carries exact bounds or is provably all-null.
-    * Inner Option: the SQL result (null when the column is null table-wide,
-    * encoded for InternalRow as a raw null). */
-  private def boundOf(f: StructField, min: Boolean): Option[Any] = {
-    val kind = graft.catalog.StatCodec.kindOf(f.dataType).getOrElse(return None)
-    var best: String = null
-    entries.foreach { e =>
-      e.colStats.get(f.name) match {
-        case Some(st) if st.min == null =>
-          // usable only if provably all-null (contributes nothing)
-          if (!(st.nulls >= 0 && e.recordCount >= 0 && st.nulls >= e.recordCount)) return None
-        case Some(st) =>
-          val v = if (min) st.min else st.max
-          if (best == null) best = v
-          else {
-            val c = graft.catalog.StatCodec.compare(kind, v, best)
-            if ((min && c < 0) || (!min && c > 0)) best = v
-          }
-        case None => return None
-      }
-    }
+  private var summaryCache: Option[graft.catalog.ManifestPlanner.StatsSummary] = None
+  private def summaryOnce(): graft.catalog.ManifestPlanner.StatsSummary = {
+    if (summaryCache.isEmpty) summaryCache = Some(summary())
+    summaryCache.get
+  }
+
+  /** Exact table-wide MIN or MAX from the roll-up; None unless every file
+    * either carried exact bounds or was provably all-null (boundsOk).
+    * Inner value: the SQL result (raw null when the column is null
+    * table-wide). */
+  private def boundOf(sm: graft.catalog.ManifestPlanner.StatsSummary,
+      f: StructField, min: Boolean): Option[Any] = {
+    val cs = sm.cols.getOrElse(f.name, return None)
+    if (!cs.boundsOk) return None
+    val best = if (min) cs.min else cs.max
     if (best == null) Some(null) // every row null => SQL NULL
     else graft.catalog.StatCodec.toInternal(f.dataType, best)
   }

@@ -834,6 +834,15 @@ class InteropSpec extends SparkSpec {
         s"pruned-away slices must not materialize: ${snapP.slices.map(_.partitionPath)}")
       assert(Hudi.read(spark, tp, partitionFilter = Some(col("part") === "y"))
         .orderBy("id").collect().toSeq == want)
+      // the IN-JOB prune itself (before the local authority pass): the raw
+      // distributed replay must already return only surviving slices
+      val raw = Hudi.replayDistributed(spark, tp, Hudi.timeline(tp),
+        Some((Seq("part"), col("part") === "y",
+          Some(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("part",
+              org.apache.spark.sql.types.StringType)))))))
+      assert(raw.nonEmpty && raw.forall(_.partitionPath == "part=y"),
+        s"in-job prune must drop non-matching slices: ${raw.map(_.partitionPath)}")
     } finally Hudi.DistributedReplayThreshold = prev
 
     // foreign 1.x layout: instants under .hoodie/timeline/ with
