@@ -212,6 +212,31 @@ class TableVersionSpec extends SparkSpec {
     assert(cat.tableExists("q.t"))
   }
 
+  test("pinned @vN addressing works on the DSv2 surface and alterTable") {
+    val root = tmpDir("tv-pinned")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "q.t")
+    val v2 = cat.createTableVersion("q.t", lifecycle = Lifecycle.Unreleased)
+    cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), s"q.t@v$v2", WriteMode.Add)
+    // a pinned DSv2 load may inspect a staged version (the unpinned gate
+    // only protects DEFAULT resolution)
+    val pinned = spark.read.format("graft").option("root", root)
+      .option("table", s"q.t@v$v2").load()
+    assert(pinned.count() == 1)
+    // alterTable targeting the staged version evolves ITS schema only
+    // (reference alter-with-version, catalog/main/impl.py:1730)
+    def plus(base: StructType, name: String, dt: org.apache.spark.sql.types.DataType) =
+      StructType(base.fields :+ FieldMeta.field(name, dt))
+    cat.alterTable(s"q.t@v$v2",
+      newSchema = Some(plus(cat.tableSchema(s"q.t@v$v2"), "tag", StringType)))
+    assert(cat.tableSchema(s"q.t@v$v2").fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(cat.tableSchema("q.t").fieldNames.toSeq == Seq("id", "v"))
+    // and on the active version, the staged one is untouched
+    cat.alterTable("q.t", newSchema = Some(plus(cat.tableSchema("q.t"), "act", LongType)))
+    assert(cat.tableSchema("q.t").fieldNames.toSeq == Seq("id", "v", "act"))
+    assert(cat.tableSchema(s"q.t@v$v2").fieldNames.toSeq == Seq("id", "v", "tag"))
+  }
+
   test("activation is transactional: txn sees it pre-seal, others post-seal") {
     val cat = freshCat("tv-txn")
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "q.t")
