@@ -105,9 +105,14 @@ class SchemaValidationError(msg: String) extends RuntimeException(msg)
 class SchemaCompatibilityError(msg: String) extends RuntimeException(msg)
 
 final class GraftCatalog(val spark: SparkSession, rootDir: String,
-    commitStore: CommitStore = RenameCommitStore) {
+    /** Commit-protocol primitive set; null = pick by the `graft.commitStore`
+      * Spark conf (rename | conditional-put), so every surface that builds
+      * its own catalog — DSv2/SQL, streaming — honors the object-store
+      * protocol without plumbing. */
+    commitStore: CommitStore = null) {
   val root: Path = Paths.get(rootDir)
-  val store = new Metastore(root, commitStore)
+  val store = new Metastore(root,
+    Option(commitStore).getOrElse(CommitStore.fromConf(spark)))
 
   import Hidden._
 

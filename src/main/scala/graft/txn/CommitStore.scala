@@ -34,6 +34,20 @@ trait CommitStore {
   def claim(src: Path, dst: Path): Boolean
 }
 
+object CommitStore {
+  /** Spark-conf-driven selection (`graft.commitStore` = `rename` |
+    * `conditional-put`), so surfaces that construct their own catalog —
+    * DSv2/SQL, streaming — honor the object-store protocol without code
+    * changes. Default: rename (correct on POSIX/HDFS). */
+  def fromConf(spark: org.apache.spark.sql.SparkSession): CommitStore =
+    spark.conf.getOption("graft.commitStore") match {
+      case Some("conditional-put") => new ConditionalPutCommitStore
+      case Some("rename") | None => RenameCommitStore
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.commitStore=$other (expected rename | conditional-put)")
+    }
+}
+
 /** POSIX/HDFS implementation: an atomic no-replace rename IS the election.
   * Correct wherever rename is atomic (local fs, HDFS, most NFS); unsafe on
   * S3-semantics stores — use [[ConditionalPutCommitStore]] there. */

@@ -257,6 +257,30 @@ class ConcurrencySpec extends SparkSpec {
     } finally ms.claimFenceMillis = old
   }
 
+  test("graft.commitStore conf selects the protocol for conf-built catalogs") {
+    spark.conf.set("graft.commitStore", "conditional-put")
+    try {
+      val cat = new GraftCatalog(spark, tmpDir("graft-conf-store"))
+      cat.writeToTable(Seq((1, 1)).toDF("a", "b"), "c.t")
+      assert(cat.readTable("c.t").count() == 1)
+      // the conditional-put protocol's fingerprint: a sealed txn leaves its
+      // claim decision objects (swept later by the janitor)
+      val s = java.nio.file.Files.list(cat.store.runningDir)
+      val names = try {
+        val b = List.newBuilder[String]
+        val i = s.iterator()
+        while (i.hasNext) b += i.next().getFileName.toString
+        b.result()
+      } finally s.close()
+      assert(names.exists(_.endsWith(".moved")), s"expected decision debris, saw $names")
+    } finally spark.conf.unset("graft.commitStore")
+    intercept[IllegalArgumentException] {
+      spark.conf.set("graft.commitStore", "bogus")
+      try new GraftCatalog(spark, tmpDir("graft-conf-bad"))
+      finally spark.conf.unset("graft.commitStore")
+    }
+  }
+
   test("zero lost updates on an object store: full MVCC race over conditional put") {
     // the headline gate for the commit seam: the same 8-racer contention
     // test, but every decisive transition goes through conditional put —
