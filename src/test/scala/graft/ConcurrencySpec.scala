@@ -257,6 +257,38 @@ class ConcurrencySpec extends SparkSpec {
     } finally ms.claimFenceMillis = old
   }
 
+  test("janitor fences orphaned .sealing records once aged (crash between transitions)") {
+    val ms = new graft.txn.Metastore(java.nio.file.Paths.get(tmpDir("graft-sealing")))
+    val dir = ms.root.resolve("tbl")
+    // a sealer that died AFTER claiming running -> .sealing but BEFORE
+    // publishing: txn in neither running/ nor a terminal state
+    val t = ms.newTransaction("dies mid-seal")
+    t.stage(dir, 1L, "a", """{"v":1}""", "write")
+    val sealing = ms.txnDir.resolve(s".${t.txnId}.sealing")
+    java.nio.file.Files.move(ms.runningDir.resolve(s"${t.txnId}.json"), sealing)
+    // fresh debris survives a sweep (a LIVE sealer is milliseconds wide)
+    ms.janitor(timeoutMillis = 60000)
+    assert(java.nio.file.Files.exists(sealing))
+    assert(!ms.isTxnFailed(t.txnId))
+    // aged debris is fenced to failed and its staged revision reclaimed
+    java.nio.file.Files.setLastModifiedTime(sealing,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    val old = ms.claimFenceMillis
+    ms.claimFenceMillis = 1000L
+    try {
+      val (failed, _) = ms.janitor(timeoutMillis = 1000)
+      assert(failed >= 1)
+      assert(!java.nio.file.Files.exists(sealing))
+      assert(ms.isTxnFailed(t.txnId))
+      // second pass reclaims the staged revision file of the failed txn
+      ms.janitor(timeoutMillis = 1000)
+      assert(ms.latestVisible(dir, None, None).isEmpty)
+      // ...and the dead sealer's later publish attempt loses cleanly
+      val e = intercept[graft.txn.ConcurrentTxnConflict](t.seal())
+      assert(e.getMessage.contains("failed") || e.getMessage.contains("fenced"))
+    } finally ms.claimFenceMillis = old
+  }
+
   test("graft.commitStore conf selects the protocol for conf-built catalogs") {
     spark.conf.set("graft.commitStore", "conditional-put")
     try {

@@ -145,4 +145,30 @@ class ManifestPlannerSpec extends SparkSpec {
         Seq((1L, "a"), (2L, "b2")))
     } finally spark.conf.unset(ManifestPlanner.GateConfKey)
   }
+
+  test("gated prune under unresolved merges restricts to merge-key filters") {
+    // A VALUE-column filter must not prune files at planning while an
+    // unresolved upsert is pending: the pruned base file could hold the
+    // stale version of a key whose NEWEST version matches — dropping it
+    // would resurrect nothing, but pruning the NEWEST version's file on a
+    // stale value range would serve the old row. safeFilters guards this;
+    // verify it holds through the distributed gate.
+    val cat = new GraftCatalog(spark, tmpDir("mp-merge-safety"))
+    cat.createTable("m.s", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("score", LongType))),
+      properties = Map("read_optimization" -> "NONE")) // keep merges pending
+    val base = spark.range(0, 200).select(col("id").as("k"), col("id").as("score"))
+    cat.writeToTable(base.orderBy("k").coalesce(1), "m.s", WriteMode.Merge)
+    // upsert flips key 5's score from 5 to 9999 — far outside the base
+    // file's recorded [0,199] range for a score>5000 filter
+    cat.writeToTable(Seq((5L, 9999L)).toDF("k", "score"), "m.s", WriteMode.Merge)
+    def q(c: GraftCatalog) = c.readTable("m.s",
+      ReadOptions(rowFilter = Some(col("score") > 5000L)))
+      .as[(Long, Long)].collect().toSeq
+    assert(q(cat) == Seq((5L, 9999L))) // driver path
+    spark.conf.set(ManifestPlanner.GateConfKey, "1")
+    try assert(q(cat) == Seq((5L, 9999L)), "gated prune must not serve a stale row")
+    finally spark.conf.unset(ManifestPlanner.GateConfKey)
+  }
 }
