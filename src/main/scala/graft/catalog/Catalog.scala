@@ -155,36 +155,34 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * version tables short-circuit on one directory probe. When NO version
     * is active, falls back to the unpinned (v1) handle — the lifecycle
     * gates at read/write entry points surface the error with context. */
-  private def resolveVersion(t0: TableHandle, asOf: Option[Long],
-      within: Option[Transaction]): TableHandle = {
-    if (t0.version.isDefined) return t0
-    if (!Files.isDirectory(versionsDir(t0))) return t0
+  /** The ONE latest-ACTIVE probe both resolution entry points share — a
+    * future change to the resolution rule cannot fork them. None when the
+    * handle is pinned, the table is single-version, or nothing is active. */
+  private def probeActiveVersion(t0: TableHandle, asOf: Option[Long],
+      within: Option[Transaction]): Option[(Long, TableMeta)] = {
+    if (t0.version.isDefined || !Files.isDirectory(versionsDir(t0))) return None
     versionIds(t0).reverseIterator.map { v =>
       (v, currentMeta(t0.copy(version = Some(v)), asOf, within))
     }.collectFirst {
-      case (v, Some(m)) if !m.dropped && m.lifecycleState == Lifecycle.Active => v
-    } match {
-      case Some(v) => t0.copy(version = Some(v))
-      case None => t0
+      case (v, Some(m)) if !m.dropped && m.lifecycleState == Lifecycle.Active => (v, m)
     }
   }
+
+  private def resolveVersion(t0: TableHandle, asOf: Option[Long],
+      within: Option[Transaction]): TableHandle =
+    probeActiveVersion(t0, asOf, within) match {
+      case Some((v, _)) => t0.copy(version = Some(v))
+      case None => t0
+    }
 
   /** [[resolveVersion]] + the resolved handle's current meta in ONE pass —
     * spares the hot read path a second metadata read per version probed. */
   private def resolveVersionMeta(t0: TableHandle, asOf: Option[Long],
-      within: Option[Transaction]): (TableHandle, Option[TableMeta]) = {
-    if (t0.version.isEmpty && Files.isDirectory(versionsDir(t0))) {
-      versionIds(t0).reverseIterator.map { v =>
-        (v, currentMeta(t0.copy(version = Some(v)), asOf, within))
-      }.collectFirst {
-        case (v, Some(m)) if !m.dropped && m.lifecycleState == Lifecycle.Active => (v, m)
-      } match {
-        case Some((v, m)) => return (t0.copy(version = Some(v)), Some(m))
-        case None => () // nothing active: fall through to the unpinned probe
-      }
+      within: Option[Transaction]): (TableHandle, Option[TableMeta]) =
+    probeActiveVersion(t0, asOf, within) match {
+      case Some((v, m)) => (t0.copy(version = Some(v)), Some(m))
+      case None => (t0, currentMeta(t0, asOf, within))
     }
-    (t0, currentMeta(t0, asOf, within))
-  }
 
   // ------------------------------------------------------------- namespaces
   /** Default namespace for unqualified table names — reference
@@ -312,6 +310,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           versionIds(t0).exists(v => versionExists(t0.copy(version = Some(v)))))
     }
   }
+
+  /** Resolve a (possibly unpinned) name to its current target — the latest
+    * ACTIVE version pinned as `ns.t@vN` for multi-version tables, the name
+    * itself otherwise. Long-lived consumers (streaming sources/sinks) pin
+    * through this ONCE so a mid-stream activation cannot remap their
+    * checkpointed offsets onto a different version's delta log. */
+  def resolveTableName(table: String): String = th(table).toString
 
   def getTableMeta(table: String, asOf: Option[Long] = None): TableMeta = {
     // version resolution must observe asOf too, or a time-travel schema
@@ -1654,8 +1659,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * gate (the stripped survivor entries can't). */
   private[graft] final case class Dsv2Plan(
       meta: TableMeta,
+      /** The handle THIS resolution pinned (version included for
+        * multi-version tables) — DML against the relation must target it,
+        * not re-resolve the bare name at write time, or an activation
+        * between scan and write lands the DML in a different version. */
+      handle: TableHandle,
       deltas: Seq[DeltaMeta],
-      provider: Seq[org.apache.spark.sql.sources.Filter] => Seq[ManifestEntry],
+      provider: (Seq[org.apache.spark.sql.sources.Filter], Option[Int]) => Seq[ManifestEntry],
       gated: Boolean,
       statsSummary: () => ManifestPlanner.StatsSummary)
 
@@ -1668,17 +1678,24 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         val deltas = effectiveDeltas(t, asOf)
         val (base, pending) = MergeRead.activeDeltas(deltas)
         val active = base.toSeq ++ pending
-        Dsv2Plan(meta, deltas, _ => active.flatMap(_.entries), gated = false,
+        Dsv2Plan(meta, t, deltas, (_, _) => active.flatMap(_.entries), gated = false,
           () => ManifestPlanner.summarize(active.flatMap(_.entries).iterator, schema))
       case Some((kept, activeFiles)) =>
-        val provider = (fs: Seq[org.apache.spark.sql.sources.Filter]) => {
+        val provider = (fs: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int]) => {
           val survivors =
             if (fs.nonEmpty)
               ManifestPlanner.pruneDistributed(spark, activeFiles, fs, schema, Nil)
-            else ManifestPlanner.materializeStreaming(activeFiles)
+            else limit match {
+              // filterless LIMIT n: O(prefix) driver heap, like the native
+              // path (DSv2 scans are read-optimized-only, so the prefix
+              // rule's no-pending-delete precondition always holds here)
+              case Some(n) => ManifestPlanner.limitPrefixStreaming(activeFiles, n)
+                .getOrElse(ManifestPlanner.materializeStreaming(activeFiles))
+              case None => ManifestPlanner.materializeStreaming(activeFiles)
+            }
           activeFiles.flatMap { case (rev, _) => survivors.getOrElse(rev, Nil) }
         }
-        Dsv2Plan(meta, kept.map(_._2), provider, gated = true,
+        Dsv2Plan(meta, t, kept.map(_._2), provider, gated = true,
           () => ManifestPlanner.summarizeDistributed(spark, activeFiles, schema))
     }
   }

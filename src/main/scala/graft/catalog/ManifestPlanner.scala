@@ -176,17 +176,20 @@ object ManifestPlanner {
       entryCount: Long, totalRecords: Long, recordsKnown: Boolean,
       cols: Map[String, ColSummary])
 
-  def summarize(entries: Iterator[ManifestEntry], schema: StructType): StatsSummary = {
-    val kinds: Map[String, StatCodec.Kind] = schema.fields.flatMap(f =>
+  /** Mutable roll-up accumulator — O(#columns) state, fed one entry at a
+    * time so no entry set is ever buffered to summarize it. */
+  final class SummaryAcc(schema: StructType) {
+    private val kinds: Map[String, StatCodec.Kind] = schema.fields.flatMap(f =>
       StatCodec.kindOf(f.dataType).map(f.name -> _)).toMap
-    val acc = scala.collection.mutable.LinkedHashMap[String, ColSummary]()
+    private val acc = scala.collection.mutable.LinkedHashMap[String, ColSummary]()
     schema.fields.foreach(f =>
       acc(f.name) = ColSummary(null, null, 0L, nullsKnown = true,
         boundsOk = kinds.contains(f.name)))
-    var n = 0L
-    var total = 0L
-    var known = true
-    entries.foreach { e =>
+    private var n = 0L
+    private var total = 0L
+    private var known = true
+
+    def add(e: ManifestEntry): Unit = {
       n += 1
       if (e.recordCount < 0) known = false else total += e.recordCount
       val st = e.colStats
@@ -216,7 +219,14 @@ object ManifestPlanner {
         }
       }
     }
-    StatsSummary(n, total, known, acc.toMap)
+
+    def result(): StatsSummary = StatsSummary(n, total, known, acc.toMap)
+  }
+
+  def summarize(entries: Iterator[ManifestEntry], schema: StructType): StatsSummary = {
+    val a = new SummaryAcc(schema)
+    entries.foreach(a.add)
+    a.result()
   }
 
   private def mergeSummaries(schema: StructType)(a: StatsSummary, b: StatsSummary): StatsSummary = {
@@ -253,9 +263,9 @@ object ManifestPlanner {
       .parallelize(files.map(_._2), math.min(files.size, spark.sparkContext.defaultParallelism * 2))
       .map { path =>
         val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        val buf = Seq.newBuilder[ManifestEntry]
-        foreachEntry(Paths.get(path))(buf += _)
-        summarize(buf.result().iterator, sc)
+        val a = new SummaryAcc(sc)
+        foreachEntry(Paths.get(path))(a.add) // streamed — never buffered
+        a.result()
       }
       .reduce(mergeSummaries(schema))
   }

@@ -518,16 +518,9 @@ object MergeRead {
       case Some(values) =>
         val segs = values.flatMap { case (field, v) =>
           scheme.keys.find(_.field == field).map(k => (s"${k.partitionColumnName}=", v))
-        }
-        paths.filter { p =>
-          segs.forall { case (prefix, v) =>
-            val i = p.indexOf(prefix)
-            i < 0 || {
-              val rest = p.substring(i + prefix.length)
-              val end = rest.indexOf('/')
-              (if (end < 0) rest else rest.substring(0, end)) == v
-            }
-          }
-        }
+        }.toSeq
+        // ONE segment matcher for the driver and distributed paths — the
+        // gate's same-files-by-construction contract depends on it
+        paths.filter(ManifestPlanner.matchesSegs(_, segs))
     }
 }

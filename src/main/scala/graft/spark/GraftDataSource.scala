@@ -71,7 +71,7 @@ object GraftDsv2 {
         * (parquet scan path only — other content types materialize
         * eagerly). */
       deferred: Boolean = false,
-      entriesProvider: Seq[org.apache.spark.sql.sources.Filter] => Seq[graft.txn.ManifestEntry] = null,
+      entriesProvider: (Seq[org.apache.spark.sql.sources.Filter], Option[Int]) => Seq[graft.txn.ManifestEntry] = null,
       /** Manifest-aggregate roll-up source (distributed under the gate) —
         * keeps count/min/max metadata-only at any manifest size. */
       statsSummary: () => graft.catalog.ManifestPlanner.StatsSummary = null)
@@ -114,8 +114,12 @@ object GraftDsv2 {
     // types (and the write/DML surfaces, which never read entries)
     // materialize eagerly.
     val deferred = gated && ct == ContentType.Parquet
-    val entries = if (deferred) Nil else provider(Nil)
-    Resolved(t, schema, entries.map(_.path), unresolved,
+    val entries = if (deferred) Nil else provider(Nil, None)
+    // DML targets the PINNED handle this resolution chose (plan.handle) —
+    // a version activation between scan and write cannot redirect the
+    // write into a different version's delta stream. Single-version
+    // tables resolve to the unpinned handle, so nothing changes for them.
+    Resolved(plan.handle, schema, entries.map(_.path), unresolved,
       ct, hasPartial, hasDefaults, staleRenames,
       root = root, timeTravel = asOf.isDefined,
       fileSizes = entries.map(_.sizeBytes), entries = entries,
@@ -298,9 +302,8 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
               classOf[ParquetFileFormat]).newScanBuilder(opts),
             deferredPath = true)
         if (resolved.entries.exists(_.stats != null))
-          return new StatsPruningScanBuilder(resolved.schema, _ => resolved.entries,
-            () => graft.catalog.ManifestPlanner.summarize(
-              resolved.entries.iterator, resolved.schema),
+          return new StatsPruningScanBuilder(resolved.schema, (_, _) => resolved.entries,
+            resolved.statsSummary,
             ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
               classOf[ParquetFileFormat]).newScanBuilder(opts))
         ParquetTable(name(), spark, opts, resolved.paths, Some(resolved.schema),

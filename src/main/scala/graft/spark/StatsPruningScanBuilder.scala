@@ -30,13 +30,14 @@ import graft.txn.ManifestEntry
  */
 final class StatsPruningScanBuilder(
     schema: StructType,
-    /** Entry source, called with the TRANSLATED pushed filters at
-      * materialization time. The eager path ignores the argument and
-      * returns the pre-parsed list; the deferred big-manifest path runs
-      * the distributed manifest prune and returns survivors only (stats
+    /** Entry source, called with the TRANSLATED pushed filters (and the
+      * pushed limit when filterless) at materialization time. The eager
+      * path ignores the arguments and returns the pre-parsed list; the
+      * deferred big-manifest path runs the distributed manifest prune (or
+      * an O(prefix) limit-prefix stream) and returns survivors only (stats
       * stripped — the local re-prune below then keeps everything, which
       * is correct: the filters were already applied). */
-    provider: Seq[org.apache.spark.sql.sources.Filter] => Seq[ManifestEntry],
+    provider: (Seq[org.apache.spark.sql.sources.Filter], Option[Int]) => Seq[ManifestEntry],
     /** Entry-set roll-up for manifest-served aggregates — O(#columns)
       * state, computed WITHOUT materializing entries (distributed on the
       * deferred path), so `SELECT count(*)/min/max` stays metadata-only at
@@ -61,9 +62,11 @@ final class StatsPruningScanBuilder(
 
   /** First materialization — runs the provider (possibly a distributed
     * prune), builds the delegate over the result, replays column pruning. */
-  private def materialize(fs: Seq[org.apache.spark.sql.sources.Filter]): Seq[ManifestEntry] = {
-    val es = provider(fs)
-    if (deferredPath && fs.nonEmpty) StatsPruningScanBuilder.lastDeferredMaterialize = es.size
+  private def materialize(fs: Seq[org.apache.spark.sql.sources.Filter],
+      limit: Option[Int]): Seq[ManifestEntry] = {
+    val es = provider(fs, limit)
+    if (deferredPath && (fs.nonEmpty || limit.isDefined))
+      StatsPruningScanBuilder.lastDeferredMaterialize = es.size
     entriesOpt = Some(es)
     delegateOpt = Some(mkDelegate(es.map(_.path)))
     requiredSchema.foreach(s =>
@@ -71,7 +74,7 @@ final class StatsPruningScanBuilder(
     es
   }
 
-  private def entries: Seq[ManifestEntry] = entriesOpt.getOrElse(materialize(Nil))
+  private def entries: Seq[ManifestEntry] = entriesOpt.getOrElse(materialize(Nil, None))
   private def delegate: ScanBuilder = { entries; delegateOpt.get }
 
   /** Swap in a delegate over a smaller file list, replaying column pruning
@@ -85,19 +88,25 @@ final class StatsPruningScanBuilder(
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // a filterless push must not force materialization — a later pushLimit
+    // may still serve the query from an O(prefix) stream
+    if (filters.isEmpty && entriesOpt.isEmpty) return Nil
     filtersPushed = filtersPushed || filters.nonEmpty
     val translated = filters.flatMap(f =>
       org.apache.spark.sql.graft.GraftFunctions.toSourceFilter(f))
     // deferred path: hand the filters to the provider so pruning happens
     // BEFORE any entry materializes on the driver
-    if (entriesOpt.isEmpty) materialize(translated)
+    if (entriesOpt.isEmpty) materialize(translated, None)
     val kept = StatsSkip.prune(entries, translated, schema)
     if (kept.size < entries.size) rebuild(kept)
     delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
   }
 
   override def pushedFilters: Array[Predicate] =
-    delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
+    // must not force materialization — Spark reads this right after a
+    // (possibly filterless) pushFilters, before pushLimit gets its turn
+    delegateOpt.map(_.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters)
+      .getOrElse(Array.empty)
 
   override def pruneColumns(s: StructType): Unit = {
     requiredSchema = Some(s)
@@ -114,9 +123,14 @@ final class StatsPruningScanBuilder(
     // delegate-accepted): the rebuilt delegate would forget the pushed agg
     // and a file prefix is wrong for min/max anyway. Spark's pushdown rule
     // calls pushLimit after pushDownAggregates without its own guard.
-    if (!filtersPushed && manifestAgg.isEmpty && !delegateAggPushed && entries.nonEmpty) {
-      val kept = StatsSkip.limitPrefix(entries, n)
-      if (kept.size < entries.size) rebuild(kept)
+    if (!filtersPushed && manifestAgg.isEmpty && !delegateAggPushed) {
+      // deferred + filterless: let the provider stream an O(prefix) entry
+      // list instead of materializing the whole manifest first
+      val es = entriesOpt.getOrElse(materialize(Nil, Some(n)))
+      if (es.nonEmpty) {
+        val kept = StatsSkip.limitPrefix(es, n)
+        if (kept.size < es.size) rebuild(kept)
+      }
     }
     false
   }

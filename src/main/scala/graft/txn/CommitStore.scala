@@ -151,6 +151,20 @@ class ConditionalPutCommitStore extends CommitStore {
           return false
       }
     if (putIfAbsent(decision, dst.toString.getBytes("UTF-8"))) {
+      // Post-election re-check: if the source vanished between our pre-read
+      // and the election, a PRIOR transition completed and its (aged)
+      // decision was already swept — our fresh decision is a bogus
+      // re-election that would mint a SECOND terminal record from stale
+      // content. Withdraw it and lose. (A decision is only ever swept once
+      // its source is gone, so source-present + decision-absent at the
+      // moment we won proves no other transition is in flight.)
+      if (!Files.exists(src)) {
+        // ...unless a helper already completed OUR recorded move (it read
+        // this very decision): the transition happened, we won it.
+        if (Files.exists(dst)) return true
+        Files.deleteIfExists(decision)
+        return false
+      }
       afterDecisionHook()
       putIfAbsent(dst, content) // fresh destination; absent unless a helper beat us
       Files.deleteIfExists(src)

@@ -346,12 +346,11 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     }.headOption
     if (lostTo.isDefined) {
       // Roll back our own publish: success record → failed, staged files
-      // gone. Self-demotion has no contention (only the owner demotes its
-      // own success record), so put-then-delete is safe on any store.
-      Files.createDirectories(store.failedDir)
-      store.commitStore.putIfAbsent(store.failedDir.resolve(s"$txnId.json"),
-        Json.write(rec).getBytes(StandardCharsets.UTF_8))
-      Files.deleteIfExists(store.successDir.resolve(s"$txnId.json"))
+      // gone. The claim-move is atomic under rename; under conditional put
+      // a crash mid-transition leaves BOTH records briefly — the janitor's
+      // dual-terminal reconciliation (failed wins) closes that window.
+      store.commitStore.claim(store.successDir.resolve(s"$txnId.json"),
+        store.failedDir.resolve(s"$txnId.json"))
       staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
       sealed_ = true
       store.invalidateTxnCache()
@@ -624,6 +623,18 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
       }
     }
     Seq(txnDir, runningDir, pausedDir).foreach(sweepDir)
+    // Dual-terminal reconciliation: a txn in BOTH success/ and failed/ can
+    // only come from a post-publish self-demotion that crashed between its
+    // two steps — the demotion intent (failed) wins, matching the conflict
+    // rule that triggered it; without this, isTxnSuccessful/isTxnFailed
+    // would disagree forever while the sweep below reclaims the files.
+    val successIds: Set[String] =
+      listFiles(successDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
+    listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json"))
+      .filter(successIds).foreach { id =>
+        Files.deleteIfExists(successDir.resolve(s"$id.json"))
+        invalidateTxnCache()
+      }
     val failedIds: Set[String] =
       listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
     var removed = 0

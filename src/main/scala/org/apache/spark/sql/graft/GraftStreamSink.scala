@@ -38,9 +38,21 @@ class GraftStreamSink(
 
   private val propKey = s"streaming.last_batch.$queryKey"
 
+  /** Version pinned at SINK creation (same rationale as the source): the
+    * exactly-once batch marker lives in ONE version's metadata, so a
+    * mid-stream activation must not silently split the stream across two
+    * versions' delta logs. A missing table resolves to its plain name (the
+    * sink creates it on first batch — single-version by construction);
+    * writing to a later-deprecated pinned version fails loudly. */
+  private lazy val pinnedTable: String = {
+    val spark = sqlContext.sparkSession
+    new GraftCatalog(spark, root).resolveTableName(table)
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
     val cat = new GraftCatalog(spark, root)
+    val table = pinnedTable // shadow: every access below targets the pin
     val exists = cat.tableExists(table)
     if (exists) {
       val last = cat.getTableMeta(table).properties.get(propKey).map(_.toLong).getOrElse(-1L)

@@ -49,15 +49,29 @@ class GraftStreamSource(
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val cat = new GraftCatalog(spark, root)
-  private val handle: TableHandle = TableHandle.parse(table)
+  /** Version PINNED at stream start: checkpointed offsets are positions in
+    * ONE version's delta log — re-resolving per micro-batch would compare
+    * offsets from two unrelated logs on one axis when a new version
+    * activates mid-stream (silently skipping its early positions). Reading
+    * a newly-activated version takes a new stream, same contract as
+    * restarting a stream over a replaced table. An unpinned name must
+    * resolve to an ACTIVE version at start. */
+  private val pinnedTable: String = {
+    val resolved = cat.resolveTableName(table)
+    val lc = cat.getTableMeta(resolved).lifecycleState
+    if (TableHandle.parse(table).version.isEmpty && lc != graft.catalog.Lifecycle.Active)
+      throw new graft.catalog.NoActiveTableVersion(table, lc)
+    resolved
+  }
+  private val handle: TableHandle = TableHandle.parse(pinnedTable)
 
-  override val schema: StructType = cat.tableSchema(table)
+  override val schema: StructType = cat.tableSchema(pinnedTable)
 
   private val rowFilter = rowFilterSql.map(org.apache.spark.sql.functions.expr)
   private val skipFilters =
     rowFilter.map(graft.catalog.StatsSkip.translate).getOrElse(Nil)
 
-  private def visible(): Seq[graft.txn.DeltaMeta] = cat.deltaLog(table)
+  private def visible(): Seq[graft.txn.DeltaMeta] = cat.deltaLog(pinnedTable)
 
   /** Highest position already OFFERED via getOffset (not necessarily
     * committed) — the admission cursor. getBatch fast-forwards it on
@@ -111,7 +125,7 @@ class GraftStreamSource(
         "upserted rows as appends and skip deletes")
     val dataDeltas = batch.filter(_.typed != DeltaType.Delete)
     val ct = graft.model.ContentType.fromName(
-      cat.getTableMeta(table).properties.getOrElse("content_type", "parquet"))
+      cat.getTableMeta(pinnedTable).properties.getOrElse("content_type", "parquet"))
     import org.apache.spark.sql.functions.col
     val fullSet = schema.fieldNames.toSet
     // Historical written_columns may carry pre-rename names — translate so

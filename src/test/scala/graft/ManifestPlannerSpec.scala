@@ -120,6 +120,13 @@ class ManifestPlannerSpec extends SparkSpec {
         s"count(*) should stay manifest-served, got:\n$plan")
       // unfiltered read correct through eager fallback
       assert(load().count() == 2000)
+      // filterless LIMIT n: the provider streams an O(prefix) entry list —
+      // 150 rows over 100-row files is a 2-entry prefix, not 20
+      graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize = -1
+      assert(load().limit(150).count() == 150)
+      assert(graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize == 2,
+        s"DSv2 gated LIMIT must materialize a prefix " +
+          s"(${graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize})")
     } finally spark.conf.unset(ManifestPlanner.GateConfKey)
   }
 
