@@ -316,7 +316,19 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * itself otherwise. Long-lived consumers (streaming sources/sinks) pin
     * through this ONCE so a mid-stream activation cannot remap their
     * checkpointed offsets onto a different version's delta log. */
-  def resolveTableName(table: String): String = th(table).toString
+  def resolveTableName(table: String): String = {
+    val t = th(table)
+    // th() leaves single-version tables unpinned (no versions/ dir to
+    // probe), which would make this "pin" a no-op for exactly the common
+    // case — a v2 activated mid-stream would remap the consumer's
+    // checkpointed offsets onto the new version's delta log. Pin the
+    // legacy layout explicitly as @v1 (verRoot maps v1 to the same
+    // paths). Missing tables keep the bare name: a streaming sink
+    // creates them on first batch, and createTable takes bare names.
+    if (t.version.isEmpty && currentMeta(t.copy(version = Some(1L)), None, None).exists(!_.dropped))
+      t.copy(version = Some(1L)).toString
+    else t.toString
+  }
 
   def getTableMeta(table: String, asOf: Option[Long] = None): TableMeta = {
     // version resolution must observe asOf too, or a time-travel schema

@@ -622,7 +622,10 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
         }
       }
     }
-    Seq(txnDir, runningDir, pausedDir).foreach(sweepDir)
+    // successDir is a claim SOURCE too (post-publish self-demotion), so
+    // its completed decisions land there; terminal `<txnId>.json` records
+    // match neither debris pattern and are untouched.
+    Seq(txnDir, runningDir, pausedDir, successDir).foreach(sweepDir)
     // Dual-terminal reconciliation: a txn in BOTH success/ and failed/ can
     // only come from a post-publish self-demotion that crashed between its
     // two steps — the demotion intent (failed) wins, matching the conflict

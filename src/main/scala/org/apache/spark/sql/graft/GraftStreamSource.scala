@@ -63,7 +63,6 @@ class GraftStreamSource(
       throw new graft.catalog.NoActiveTableVersion(table, lc)
     resolved
   }
-  private val handle: TableHandle = TableHandle.parse(pinnedTable)
 
   override val schema: StructType = cat.tableSchema(pinnedTable)
 

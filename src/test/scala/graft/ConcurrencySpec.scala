@@ -349,4 +349,33 @@ class ConcurrencySpec extends SparkSpec {
       assert(log.map(_.streamPosition).distinct.size == writers)
     } finally pool.shutdown()
   }
+
+  test("janitor sweeps aged self-demotion decision debris in success/") {
+    val ms = new graft.txn.Metastore(
+      java.nio.file.Paths.get(tmpDir("graft-demote-debris")),
+      new graft.txn.ConditionalPutCommitStore)
+    // a committed txn whose post-publish conflict check self-demoted:
+    // claim(success/<id>.json -> failed/<id>.json) leaves its decision
+    // object in success/, a directory the sealing-debris sweep must cover
+    val t = ms.newTransaction("demoted post-publish")
+    t.seal()
+    val src = ms.successDir.resolve(s"${t.txnId}.json")
+    assert(java.nio.file.Files.exists(src))
+    assert(ms.commitStore.claim(src, ms.failedDir.resolve(s"${t.txnId}.json")))
+    val decision = ms.successDir.resolve(s".${t.txnId}.json.moved")
+    assert(java.nio.file.Files.exists(decision))
+    assert(ms.isTxnFailed(t.txnId))
+    // fresh debris survives a sweep (it may still shield an in-flight claim)
+    ms.janitor(timeoutMillis = 60000)
+    assert(java.nio.file.Files.exists(decision))
+    // aged debris with its source gone is swept
+    java.nio.file.Files.setLastModifiedTime(decision,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    val old = ms.claimFenceMillis
+    ms.claimFenceMillis = 1000L
+    try ms.janitor(timeoutMillis = 1000)
+    finally ms.claimFenceMillis = old
+    assert(!java.nio.file.Files.exists(decision))
+    assert(ms.isTxnFailed(t.txnId))
+  }
 }

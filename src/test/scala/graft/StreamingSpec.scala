@@ -36,6 +36,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a source over a single-version table stays on its version across a mid-stream activation") {
+    val root = tmpDir("graft-stream-pin")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.p")
+
+    val stream = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.p").load()
+    val q = stream.writeStream.format("memory").queryName("graft_pin_sink")
+      .option("checkpointLocation", tmpDir("graft-stream-pin-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM graft_pin_sink").count() == 1)
+      // activate a v2 mid-stream: its delta log is a DIFFERENT position
+      // axis — the running stream must keep serving v1, not remap its
+      // checkpointed offsets onto v2's log (replaying/skipping rows)
+      val v2 = cat.createTableVersion("ns.p", lifecycle = Lifecycle.Active)
+      cat.writeToTable(Seq((100L, "x"), (101L, "y")).toDF("id", "v"),
+        s"ns.p@v$v2", WriteMode.Add)
+      cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), "ns.p@v1", WriteMode.Add)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM graft_pin_sink").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L), s"stream must stay on v1, saw ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("merge deltas fail the stream unless ignoreChanges") {
     val root = tmpDir("graft-stream2")
     val cat = new GraftCatalog(spark, root)

@@ -251,4 +251,26 @@ class TableVersionSpec extends SparkSpec {
     tx.seal()
     assert(cat.readTable("q.t").count() == 2)
   }
+
+  test("resolveTableName pins single-version tables; activation cannot remap the pin") {
+    val cat = freshCat("tv-pin")
+    // missing table: bare name (a streaming sink creates it on first batch)
+    assert(cat.resolveTableName("q.t") == "q.t")
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "q.t")
+    // single-version tables pin to the legacy v1 layout — an UNPINNED name
+    // here would silently follow a later activation (the streaming
+    // source/sink hold this name across micro-batches)
+    val pinned = cat.resolveTableName("q.t")
+    assert(pinned == "q.t@v1")
+    assert(cat.readTable(pinned).count() == 1)
+
+    val v2 = cat.createTableVersion("q.t", lifecycle = Lifecycle.Active)
+    cat.writeToTable(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), s"q.t@v$v2", WriteMode.Add)
+    // new consumers resolve the activated version...
+    assert(cat.resolveTableName("q.t") == s"q.t@v$v2")
+    // ...but the existing pin still serves v1's data and delta log
+    assert(cat.readTable(pinned).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(cat.deltaLog(pinned).size == 1)
+    assert(cat.deltaLog("q.t").size == 1) // v2's own log: one append
+  }
 }
