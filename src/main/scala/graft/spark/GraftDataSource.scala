@@ -300,12 +300,13 @@ final class GraftTable(resolved: GraftDsv2.Resolved) extends Table
             resolved.statsSummary,
             ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
               classOf[ParquetFileFormat]).newScanBuilder(opts),
-            deferredPath = true)
+            deferredPath = true, tag = resolved.handle.toString)
         if (resolved.entries.exists(_.stats != null))
           return new StatsPruningScanBuilder(resolved.schema, (_, _) => resolved.entries,
             resolved.statsSummary,
             ps => ParquetTable(name(), spark, opts, ps, Some(resolved.schema),
-              classOf[ParquetFileFormat]).newScanBuilder(opts))
+              classOf[ParquetFileFormat]).newScanBuilder(opts),
+            tag = resolved.handle.toString)
         ParquetTable(name(), spark, opts, resolved.paths, Some(resolved.schema),
           classOf[ParquetFileFormat])
       case ContentType.Csv | ContentType.Tsv | ContentType.UnescapedTsv | ContentType.Psv =>

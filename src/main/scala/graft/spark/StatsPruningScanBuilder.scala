@@ -46,7 +46,9 @@ final class StatsPruningScanBuilder(
     mkDelegate: Seq[String] => ScanBuilder,
     /** True when `provider` is the gated big-manifest provider (entry
       * materialization deferred to pushdown) — observability only. */
-    deferredPath: Boolean = false)
+    deferredPath: Boolean = false,
+    /** Table identity for the per-table observability counters. */
+    tag: String = "")
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -66,7 +68,7 @@ final class StatsPruningScanBuilder(
       limit: Option[Int]): Seq[ManifestEntry] = {
     val es = provider(fs, limit)
     if (deferredPath && (fs.nonEmpty || limit.isDefined))
-      StatsPruningScanBuilder.lastDeferredMaterialize = es.size
+      StatsPruningScanBuilder.recordDeferred(tag, es.size)
     entriesOpt = Some(es)
     delegateOpt = Some(mkDelegate(es.map(_.path)))
     requiredSchema.foreach(s =>
@@ -80,7 +82,7 @@ final class StatsPruningScanBuilder(
   /** Swap in a delegate over a smaller file list, replaying column pruning
     * (the ONE rebuild path — filters and limit both go through here). */
   private def rebuild(kept: Seq[ManifestEntry]): Unit = {
-    StatsPruningScanBuilder.lastPrune = (entries.size, kept.size)
+    StatsPruningScanBuilder.recordPrune(tag, (entries.size, kept.size))
     entriesOpt = Some(kept)
     delegateOpt = Some(mkDelegate(kept.map(_.path)))
     requiredSchema.foreach(s =>
@@ -233,10 +235,24 @@ private final class ManifestAggScan(
 }
 
 object StatsPruningScanBuilder {
-  /** (total files, files kept) of the most recent prune — observability for
-    * tests and debugging; planning is driver-side single-threaded per query. */
-  @volatile var lastPrune: (Int, Int) = (0, 0)
+  /** (total files, files kept) of the most recent prune, PER TABLE —
+    * observability for tests and debugging. Keyed by table identity so
+    * concurrent queries over different tables cannot clobber each other's
+    * entry (two planners over the SAME table still last-write-win, which
+    * is what "most recent" means). */
+  private val prunes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
   /** Entry count the most recent FILTERED deferred materialization returned
-    * (same caveat: test observability only). */
-  @volatile var lastDeferredMaterialize: Int = -1
+    * for `table` (same caveat: test observability only). */
+  private val deferred =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[spark] def recordPrune(tag: String, totalKept: (Int, Int)): Unit =
+    prunes.put(tag, totalKept)
+  private[spark] def recordDeferred(tag: String, n: Int): Unit =
+    deferred.put(tag, n)
+  def lastPruneFor(table: String): (Int, Int) =
+    Option(prunes.get(table)).getOrElse((0, 0))
+  def lastDeferredFor(table: String): Int =
+    Option(deferred.get(table)).map(_.intValue()).getOrElse(-1)
+  def resetFor(table: String): Unit = { prunes.remove(table); deferred.remove(table) }
 }

@@ -167,11 +167,11 @@ class FileStatsSpec extends SparkSpec {
       properties = Map("write.max_records_per_file" -> "100"))
     cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
       concat(lit("v"), col("id")).as("v")).orderBy("k").coalesce(1), "q.s")
-    graft.spark.StatsPruningScanBuilder.lastPrune = (0, 0)
+    graft.spark.StatsPruningScanBuilder.resetFor("q.s")
     val got = spark.read.format("graft").option("root", root).option("table", "q.s")
       .load().where(col("k") >= 420 && col("k") < 470)
     assert(got.count() == 50)
-    val (total, kept) = graft.spark.StatsPruningScanBuilder.lastPrune
+    val (total, kept) = graft.spark.StatsPruningScanBuilder.lastPruneFor("q.s")
     assert(total >= 10 && kept <= 2, s"expected file pruning, got $total -> $kept")
   }
 
@@ -332,10 +332,10 @@ class FileStatsSpec extends SparkSpec {
       ReadOptions(limit = Some(5), rowFilter = Some(col("k") >= 990)))
     assert(both.count() == 5)
     // DSv2: LIMIT shrinks the planned file list too
-    graft.spark.StatsPruningScanBuilder.lastPrune = (0, 0)
+    graft.spark.StatsPruningScanBuilder.resetFor("q.l")
     val t = spark.read.format("graft").option("root", root).option("table", "q.l").load()
     assert(t.limit(150).count() == 150)
-    val (total, kept) = graft.spark.StatsPruningScanBuilder.lastPrune
+    val (total, kept) = graft.spark.StatsPruningScanBuilder.lastPruneFor("q.l")
     assert(total == 10 && kept <= 2, s"limit pruning got $total -> $kept")
   }
 

@@ -108,12 +108,12 @@ class ManifestPlannerSpec extends SparkSpec {
     assert(wantFileCount < cat.readTable("m.t").inputFiles.length, "stats skip must prune")
     spark.conf.set(ManifestPlanner.GateConfKey, "1")
     try {
-      graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize = -1
+      graft.spark.StatsPruningScanBuilder.resetFor("m.t")
       val gated = load().where(filter)
       assert(gated.agg(count(lit(1)), sum("k")).as[(Long, Long)].head() == wantRows)
-      assert(graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize == wantFileCount,
+      assert(graft.spark.StatsPruningScanBuilder.lastDeferredFor("m.t") == wantFileCount,
         s"deferred materialization must return only survivors " +
-          s"(${graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize} vs $wantFileCount)")
+          s"(${graft.spark.StatsPruningScanBuilder.lastDeferredFor("m.t")} vs $wantFileCount)")
       // metadata-only count(*) still answers from recordCount under the gate
       val plan = load().groupBy().count().queryExecution.executedPlan.toString
       assert(plan.contains("LocalScan") || !plan.contains("Scan parquet"),
@@ -122,11 +122,11 @@ class ManifestPlannerSpec extends SparkSpec {
       assert(load().count() == 2000)
       // filterless LIMIT n: the provider streams an O(prefix) entry list —
       // 150 rows over 100-row files is a 2-entry prefix, not 20
-      graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize = -1
+      graft.spark.StatsPruningScanBuilder.resetFor("m.t")
       assert(load().limit(150).count() == 150)
-      assert(graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize == 2,
+      assert(graft.spark.StatsPruningScanBuilder.lastDeferredFor("m.t") == 2,
         s"DSv2 gated LIMIT must materialize a prefix " +
-          s"(${graft.spark.StatsPruningScanBuilder.lastDeferredMaterialize})")
+          s"(${graft.spark.StatsPruningScanBuilder.lastDeferredFor("m.t")})")
     } finally spark.conf.unset(ManifestPlanner.GateConfKey)
   }
 
