@@ -38,15 +38,26 @@ class GraftStreamSink(
 
   private val propKey = s"streaming.last_batch.$queryKey"
 
-  /** Version pinned at SINK creation (same rationale as the source): the
-    * exactly-once batch marker lives in ONE version's metadata, so a
+  /** Version pinned at first resolution (same rationale as the source):
+    * the exactly-once batch marker lives in ONE version's metadata, so a
     * mid-stream activation must not silently split the stream across two
-    * versions' delta logs. A missing table resolves to its plain name (the
-    * sink creates it on first batch — single-version by construction);
-    * writing to a later-deprecated pinned version fails loudly. */
-  private lazy val pinnedTable: String = {
-    val spark = sqlContext.sparkSession
-    new GraftCatalog(spark, root).resolveTableName(table)
+    * versions' delta logs. A missing table resolves to its plain name
+    * until the sink's first batch creates it — the create branch then
+    * pins v1 directly (its creation IS v1), so even sink-created tables
+    * cannot be remapped by a later activation. Writing to a
+    * later-deprecated pinned version fails loudly. */
+  @volatile private var pinned: String = null
+  private def pinnedTable: String = {
+    val p = pinned
+    if (p != null) p
+    else {
+      val resolved =
+        new GraftCatalog(sqlContext.sparkSession, root).resolveTableName(table)
+      // only a versioned resolution is a durable pin; a bare name means
+      // the table does not exist yet (do not cache — pin on creation)
+      if (resolved.contains("@v")) pinned = resolved
+      resolved
+    }
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -67,11 +78,14 @@ class GraftStreamSink(
       // transaction via createTable's property map.
       val tx = cat.transaction(s"stream batch $batchId -> $table (create)")
       try {
-        cat.createTable(table, data.schema,
+        val h = cat.createTable(table, data.schema,
           properties = Map(propKey -> batchId.toString), txn = Some(tx))
         cat.writeToTable(batch, table,
           if (mode == WriteMode.Auto) WriteMode.Add else mode, Some(tx))
         tx.seal()
+        // the table this sink just created IS v1 — pin it deterministically
+        // (re-resolving could land on a version someone activated since)
+        pinned = h.copy(version = Some(1L)).toString
       } catch { case e: Throwable => tx.abort(); throw e }
     } else {
       // Marker first, data second: writeToTable resolves table meta with

@@ -196,6 +196,35 @@ class StreamingSpec extends SparkSpec {
     } finally mq.stop()
   }
 
+  test("a sink-created table pins v1: mid-stream activation cannot split the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("graft-wsink-pin")
+    val cat = new GraftCatalog(spark, root)
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("root", root).option("table", "ns.sp")
+      .option("checkpointLocation", tmpDir("graft-wsink-pin-ck")).start()
+    try {
+      in.addData((1L, "a"))
+      q.processAllAvailable() // first batch CREATES ns.sp (v1)
+      assert(cat.readTable("ns.sp").count() == 1)
+      // activate a v2 mid-stream: later batches must keep landing in v1
+      // (and the exactly-once marker must stay in v1's metadata) — an
+      // unpinned sink would see v2's missing marker and write there
+      val v2 = cat.createTableVersion("ns.sp", lifecycle = Lifecycle.Active,
+        properties = Some(Map.empty)) // marker-free: the case an unpinned sink would corrupt
+      in.addData((2L, "b"))
+      q.processAllAvailable()
+      assert(cat.readTable("ns.sp@v1").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      assert(cat.readTable(s"ns.sp@v$v2").count() == 0, "v2 must stay empty")
+      assert(cat.getTableMeta("ns.sp@v1").properties.keys.exists(_.startsWith("streaming.last_batch.")))
+      assert(!cat.getTableMeta(s"ns.sp@v$v2").properties.keys.exists(_.startsWith("streaming.last_batch.")))
+    } finally q.stop()
+  }
+
   test("sink scopes its marker via session-conf checkpoint + queryName") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
