@@ -43,28 +43,53 @@ class GraftStreamSink(
     * mid-stream activation must not silently split the stream across two
     * versions' delta logs. A missing table resolves to its plain name
     * until the sink's first batch creates it — the create branch then
-    * pins v1 directly (its creation IS v1), so even sink-created tables
-    * cannot be remapped by a later activation. Writing to a
-    * later-deprecated pinned version fails loudly. */
+    * pins v1 directly (its creation IS v1). The pin survives driver
+    * restarts because the marker itself records which version this
+    * stream was writing: resolution prefers the version carrying this
+    * checkpoint's marker over the currently-active one, so a restart
+    * after a mid-stream activation re-finds its version instead of
+    * splitting the stream. Writing to a later-deprecated pinned version
+    * fails loudly. */
   @volatile private var pinned: String = null
-  private def pinnedTable: String = {
+  private def pin(cat: GraftCatalog): String = {
     val p = pinned
-    if (p != null) p
-    else {
-      val resolved =
-        new GraftCatalog(sqlContext.sparkSession, root).resolveTableName(table)
-      // only a versioned resolution is a durable pin; a bare name means
-      // the table does not exist yet (do not cache — pin on creation)
-      if (resolved.contains("@v")) pinned = resolved
-      resolved
-    }
+    if (p != null) return p
+    val resolved = cat.resolveTableName(table)
+    val h = graft.catalog.TableHandle.parse(resolved)
+    // only a versioned resolution is a durable pin; a bare name means
+    // the table does not exist yet (do not cache — pin on creation)
+    if (h.version.isEmpty) return resolved
+    def hasMarker(name: String): Boolean =
+      try cat.getTableMeta(name).properties.contains(propKey)
+      catch { case _: Exception => false }
+    val target =
+      if (hasMarker(resolved)) resolved
+      else {
+        // restart recovery: this checkpoint's marker may live in a version
+        // that is no longer the active one (activated mid-stream, then the
+        // driver restarted) — keep writing THERE, not into the new version
+        val bare = h.copy(version = None)
+        cat.listTableVersions(bare.toString).iterator.map(_._1)
+          .map(v => bare.copy(version = Some(v)).toString)
+          .find(hasMarker)
+          .getOrElse(resolved) // fresh stream: the active version it is
+      }
+    pinned = target
+    target
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
     val cat = new GraftCatalog(spark, root)
-    val table = pinnedTable // shadow: every access below targets the pin
-    val exists = cat.tableExists(table)
+    var table = pin(cat) // shadow: every access below targets the pin
+    var exists = cat.tableExists(table)
+    if (exists && pinned == null) {
+      // the table appeared between resolution and the existence check
+      // (another writer created it) — re-resolve so this batch is pinned
+      // too, instead of running one batch against the bare name
+      table = pin(cat)
+      exists = cat.tableExists(table)
+    }
     if (exists) {
       val last = cat.getTableMeta(table).properties.get(propKey).map(_.toLong).getOrElse(-1L)
       if (batchId <= last) return // replayed batch after restart — already durable

@@ -56,13 +56,14 @@ class GraftStreamSource(
     * a newly-activated version takes a new stream, same contract as
     * restarting a stream over a replaced table. An unpinned name must
     * resolve to an ACTIVE version at start. */
-  private val pinnedTable: String = {
+  private var pinnedTable: String = {
     val resolved = cat.resolveTableName(table)
     val lc = cat.getTableMeta(resolved).lifecycleState
     if (TableHandle.parse(table).version.isEmpty && lc != graft.catalog.Lifecycle.Active)
       throw new graft.catalog.NoActiveTableVersion(table, lc)
     resolved
   }
+  private def pinnedVersion: Long = TableHandle.parse(pinnedTable).version.getOrElse(1L)
 
   override val schema: StructType = cat.tableSchema(pinnedTable)
 
@@ -83,10 +84,10 @@ class GraftStreamSource(
     if (deltas.isEmpty) return None
     val latest = deltas.map(_.streamPosition).max
     if (maxDeltasPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
-      return Some(LongOffset(latest))
+      return Some(VerOffset(latest, pinnedVersion))
     val fresh = deltas.filter(_.streamPosition > offeredHi).sortBy(_.streamPosition)
     if (fresh.isEmpty)
-      return if (offeredHi < 0) None else Some(LongOffset(offeredHi))
+      return if (offeredHi < 0) None else Some(VerOffset(offeredHi, pinnedVersion))
     val maxD = maxDeltasPerTrigger.getOrElse(Int.MaxValue)
     val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     var (nD, nF) = (0, 0)
@@ -98,18 +99,56 @@ class GraftStreamSource(
       take
     }
     offeredHi = admitted.last.streamPosition
-    Some(LongOffset(offeredHi))
+    Some(VerOffset(offeredHi, pinnedVersion))
   }
 
-  private def pos(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case s: SerializedOffset => s.json.trim.toLong
+  /** (position, version-if-recorded). Offsets written by this source carry
+    * the pinned version; pre-version checkpoints are plain longs. */
+  private def parse(o: Offset): (Long, Option[Long]) = o match {
+    case VerOffset(p, v) => (p, Some(v))
+    case LongOffset(v) => (v, None)
+    case s: SerializedOffset =>
+      val t = s.json.trim
+      t match {
+        case VerOffset.Json(p, v) => (p.toLong, Some(v.toLong))
+        case _ => (t.toLong, None)
+      }
     case other => throw new IllegalArgumentException(s"unexpected offset $other")
   }
 
+  /** Restart guard: checkpointed offsets are positions in ONE version's
+    * delta log, and the in-memory pin dies with the driver — a restart
+    * after a mid-stream activation would otherwise resolve the new active
+    * version and compare old offsets against an unrelated log. Offsets
+    * recorded by this source carry their version; on recovery, silently
+    * re-pin to it when the schema is unchanged, fail with the explicit-pin
+    * remedy when it is not. */
+  private def adoptVersion(ver: Long): Unit = {
+    if (ver == pinnedVersion) return
+    val target = TableHandle.parse(pinnedTable).copy(version = Some(ver)).toString
+    if (cat.tableSchema(target) == schema) pinnedTable = target
+    else throw new IllegalStateException(
+      s"this checkpoint was streaming $target but $table now resolves to " +
+        s"$pinnedTable, whose schema differs; restart the query with " +
+        s"""option("table", "$target") to keep following the original version""")
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(pos).getOrElse(-1L)
-    val hi = pos(end)
+    val (hi, hiVer) = parse(end)
+    val (lo, loVer) = start.map(parse).getOrElse((-1L, None))
+    (loVer, hiVer) match {
+      case (Some(a), Some(b)) if a != b =>
+        // start and end index DIFFERENT versions' logs: a restart raced a
+        // version activation and this batch's range spans two axes — no
+        // correct row set exists for it
+        throw new IllegalStateException(
+          s"offset range for $table mixes table versions v$a..v$b " +
+            "(a version was activated across a restart); restart the query " +
+            s"""with option("table", "${TableHandle.parse(pinnedTable)
+              .copy(version = Some(a)).toString}") to keep following the """ +
+            "original version")
+      case _ => hiVer.orElse(loVer).foreach(adoptVersion)
+    }
     // recovery fast-forward: a restart replays the last checkpointed batch
     // through getBatch before any getOffset — admission resumes past it
     if (hi > offeredHi) offeredHi = hi
@@ -157,4 +196,17 @@ class GraftStreamSource(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** A stream position tagged with the table version whose delta log it
+  * indexes — makes the source's version pin recoverable from the
+  * checkpoint across driver restarts. */
+final case class VerOffset(pos: Long, ver: Long) extends Offset {
+  override val json: String = s"""{"pos":$pos,"ver":$ver}"""
+}
+
+object VerOffset {
+  /** Matches this offset's serialized form (and nothing else). */
+  val Json: scala.util.matching.Regex =
+    """\{"pos":(-?\d+),"ver":(\d+)\}""".r
 }

@@ -41,13 +41,18 @@ class StreamingSpec extends SparkSpec {
     val cat = new GraftCatalog(spark, root)
     cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.p")
 
-    val stream = spark.readStream.format("graft")
+    val ck = tmpDir("graft-stream-pin-ck")
+    def start() = spark.readStream.format("graft")
       .option("root", root).option("table", "ns.p").load()
-    val q = stream.writeStream.format("memory").queryName("graft_pin_sink")
-      .option("checkpointLocation", tmpDir("graft-stream-pin-ck")).start()
+      .writeStream.format("graft")
+      .option("root", root).option("table", "ns.pout")
+      .option("checkpointLocation", ck).start()
+    def out(): Seq[Long] =
+      cat.readTable("ns.pout").select("id").as[Long].collect().sorted.toSeq
+    val q = start()
     try {
       q.processAllAvailable()
-      assert(spark.sql("SELECT * FROM graft_pin_sink").count() == 1)
+      assert(out() == Seq(1L))
       // activate a v2 mid-stream: its delta log is a DIFFERENT position
       // axis — the running stream must keep serving v1, not remap its
       // checkpointed offsets onto v2's log (replaying/skipping rows)
@@ -56,9 +61,19 @@ class StreamingSpec extends SparkSpec {
         s"ns.p@v$v2", WriteMode.Add)
       cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), "ns.p@v1", WriteMode.Add)
       q.processAllAvailable()
-      val got = spark.sql("SELECT id FROM graft_pin_sink").collect().map(_.getLong(0)).sorted
-      assert(got.toSeq == Seq(1L, 2L), s"stream must stay on v1, saw ${got.toSeq}")
+      assert(out() == Seq(1L, 2L), s"stream must stay on v1, saw ${out()}")
     } finally q.stop()
+    // driver restart AFTER the activation: the rebuilt source initially
+    // resolves the now-active v2, but the checkpoint's offsets carry v1 —
+    // recovery re-pins to v1 (schemas match), so the stream keeps
+    // following v1's log instead of comparing old offsets against v2's
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      cat.writeToTable(Seq((3L, "c")).toDF("id", "v"), "ns.p@v1", WriteMode.Add)
+      q2.processAllAvailable()
+      assert(out() == Seq(1L, 2L, 3L), s"restart must recover the v1 pin, saw ${out()}")
+    } finally q2.stop()
   }
 
   test("merge deltas fail the stream unless ignoreChanges") {
@@ -202,11 +217,13 @@ class StreamingSpec extends SparkSpec {
     val root = tmpDir("graft-wsink-pin")
     val cat = new GraftCatalog(spark, root)
 
+    val ck = tmpDir("graft-wsink-pin-ck")
     val in = MemoryStream[(Long, String)]
-    val q = in.toDF().toDF("id", "v").writeStream.format("graft")
+    def start() = in.toDF().toDF("id", "v").writeStream.format("graft")
       .option("root", root).option("table", "ns.sp")
-      .option("checkpointLocation", tmpDir("graft-wsink-pin-ck")).start()
-    try {
+      .option("checkpointLocation", ck).start()
+    val q = start()
+    val v2 = try {
       in.addData((1L, "a"))
       q.processAllAvailable() // first batch CREATES ns.sp (v1)
       assert(cat.readTable("ns.sp").count() == 1)
@@ -222,7 +239,19 @@ class StreamingSpec extends SparkSpec {
       assert(cat.readTable(s"ns.sp@v$v2").count() == 0, "v2 must stay empty")
       assert(cat.getTableMeta("ns.sp@v1").properties.keys.exists(_.startsWith("streaming.last_batch.")))
       assert(!cat.getTableMeta(s"ns.sp@v$v2").properties.keys.exists(_.startsWith("streaming.last_batch.")))
+      v2
     } finally q.stop()
+    // driver restart AFTER the activation: the rebuilt sink has no
+    // in-memory pin — it must recover its version from where this
+    // checkpoint's marker lives, not follow active-version resolution
+    val q2 = start()
+    try {
+      in.addData((3L, "c"))
+      q2.processAllAvailable()
+      assert(cat.readTable("ns.sp@v1").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(cat.readTable(s"ns.sp@v$v2").count() == 0, "v2 must stay empty across restart")
+    } finally q2.stop()
   }
 
   test("sink scopes its marker via session-conf checkpoint + queryName") {
