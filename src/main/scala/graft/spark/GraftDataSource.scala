@@ -398,7 +398,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters.getOrElse("ignoreChanges", "false").toBoolean,
       parameters.get("rowFilter"),
       parameters.get("maxDeltasPerTrigger").map(_.toInt),
-      parameters.get("maxFilesPerTrigger").map(_.toInt))
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      metadataPath = Some(metadataPath))
 
   // One snapshot per provider instance: inferSchema and getTable are called
   // back-to-back per read; re-resolving would walk the txn log twice and

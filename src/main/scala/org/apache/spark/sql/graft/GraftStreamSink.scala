@@ -59,21 +59,36 @@ class GraftStreamSink(
     // only a versioned resolution is a durable pin; a bare name means
     // the table does not exist yet (do not cache — pin on creation)
     if (h.version.isEmpty) return resolved
-    def hasMarker(name: String): Boolean =
-      try cat.getTableMeta(name).properties.contains(propKey)
-      catch { case _: Exception => false }
-    val target =
-      if (hasMarker(resolved)) resolved
-      else {
-        // restart recovery: this checkpoint's marker may live in a version
-        // that is no longer the active one (activated mid-stream, then the
-        // driver restarted) — keep writing THERE, not into the new version
-        val bare = h.copy(version = None)
-        cat.listTableVersions(bare.toString).iterator.map(_._1)
-          .map(v => bare.copy(version = Some(v)).toString)
-          .find(hasMarker)
-          .getOrElse(resolved) // fresh stream: the active version it is
-      }
+    // an EXPLICIT user pin in the table option always wins — recovery
+    // must not redirect a deliberately version-addressed stream
+    if (graft.catalog.TableHandle.parse(table).version.isDefined) {
+      pinned = resolved
+      return resolved
+    }
+    // restart recovery: this checkpoint's marker records which version the
+    // stream was writing, and it may no longer be the active one (activated
+    // mid-stream, then the driver restarted) — keep writing THERE. Only a
+    // missing version means "no marker"; any other failure is an infra
+    // error that must fail the batch (retryable), or a transient would
+    // silently pin the wrong version.
+    def markerOf(name: String): Option[Long] =
+      try cat.getTableMeta(name).properties.get(propKey).map(_.toLong)
+      catch { case _: graft.catalog.TableNotFound => None }
+    val bare = h.copy(version = None)
+    val carriers = cat.listTableVersions(bare.toString).flatMap { case (v, _) =>
+      markerOf(bare.copy(version = Some(v)).toString).map(m => (v, m))
+    }
+    // createTableVersion's property inheritance can COPY the marker into a
+    // new version, where it freezes while the pinned stream's own marker
+    // keeps advancing — so the stream's true version is the one with the
+    // HIGHEST marker value; a tie (no batch since inheritance) keeps the
+    // lowest version id, which is the side that actually holds the data
+    val target = carriers match {
+      case Seq() => resolved // fresh stream: the active version it is
+      case cs =>
+        val v = cs.maxBy { case (v, m) => (m, -v) }._1
+        bare.copy(version = Some(v)).toString
+    }
     pinned = target
     target
   }

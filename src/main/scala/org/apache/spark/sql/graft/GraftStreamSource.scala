@@ -45,23 +45,102 @@ class GraftStreamSource(
       * exactly one capped step (repeated runs drain the log; an uncapped
       * AvailableNow run drains in one batch) — see StreamingSpec. */
     maxDeltasPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Source {
+    maxFilesPerTrigger: Option[Int] = None,
+    /** This source's metadata directory INSIDE the checkpoint
+      * (`<ck>/sources/<ordinal>`, handed down by StreamSourceProvider) —
+      * where the version pin is persisted so it survives driver restarts.
+      * None only for direct construction outside a streaming query. */
+    metadataPath: Option[String] = None) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val cat = new GraftCatalog(spark, root)
+
   /** Version PINNED at stream start: checkpointed offsets are positions in
     * ONE version's delta log — re-resolving per micro-batch would compare
     * offsets from two unrelated logs on one axis when a new version
     * activates mid-stream (silently skipping its early positions). Reading
     * a newly-activated version takes a new stream, same contract as
     * restarting a stream over a replaced table. An unpinned name must
-    * resolve to an ACTIVE version at start. */
+    * resolve to an ACTIVE version at start.
+    *
+    * The pin is persisted in the checkpoint (metadataPath/version-pin) at
+    * FIRST construction and read back on every later one, so a restart
+    * after a mid-stream activation re-pins the original version before
+    * Spark asks for anything — getOffset and getBatch ordering (which
+    * varies by trigger: AvailableNow snapshots getOffset during plan init)
+    * never matters. A deprecated pinned version keeps streaming (pinned
+    * reads work); only a FRESH stream requires an active resolution. */
   private var pinnedTable: String = {
-    val resolved = cat.resolveTableName(table)
-    val lc = cat.getTableMeta(resolved).lifecycleState
-    if (TableHandle.parse(table).version.isEmpty && lc != graft.catalog.Lifecycle.Active)
-      throw new graft.catalog.NoActiveTableVersion(table, lc)
-    resolved
+    val pin = metadataPath.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, "version-pin")
+      val m = org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+        .create(p.getParent, spark.sessionState.newHadoopConf())
+      (p, m)
+    }
+    val recovered = pin.flatMap { case (p, m) =>
+      if (!m.exists(p)) None
+      else {
+        val in = m.open(p)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    }
+    recovered match {
+      case Some(name) =>
+        // an explicit pin that contradicts the checkpoint's recorded pin
+        // cannot be honored: the checkpointed offsets are positions in the
+        // RECORDED version's log
+        if (TableHandle.parse(table).version.isDefined && cat.resolveTableName(table) != name)
+          throw new IllegalStateException(
+            s"this checkpoint follows $name but the query pins $table; " +
+              "switching versions requires a new checkpointLocation")
+        // analysis resolved the UNPINNED option's schema — if the pinned
+        // version has since diverged from it, demand an explicit pin
+        // rather than serving rows the analyzed plan cannot hold
+        if (TableHandle.parse(table).version.isEmpty) {
+          val active = try Some(cat.resolveTableName(table)) catch { case _: Exception => None }
+          active.filter(_ != name).foreach { a =>
+            if (cat.tableSchema(a) != cat.tableSchema(name))
+              throw new IllegalStateException(
+                s"this checkpoint was streaming $name but $table now resolves to $a, " +
+                  "whose schema differs; restart the query with " +
+                  s"""option("table", "$name") to keep following the original version""")
+          }
+        }
+        name
+      case None =>
+        val resolved = cat.resolveTableName(table)
+        val lc = cat.getTableMeta(resolved).lifecycleState
+        if (TableHandle.parse(table).version.isEmpty && lc != graft.catalog.Lifecycle.Active)
+          throw new graft.catalog.NoActiveTableVersion(table, lc)
+        pin.foreach { case (p, m) =>
+          // a PRE-EXISTING checkpoint with offsets but no recorded pin
+          // (written before version pins existed): with several live
+          // versions there is no way to know which version's log its
+          // offsets index — refuse to guess rather than silently adopt
+          // the active axis. Detection is best-effort (FS errors fall
+          // through to the write below, the pre-pin behavior).
+          if (TableHandle.parse(table).version.isEmpty) {
+            val ambiguous = try {
+              val offsets = new org.apache.hadoop.fs.Path(
+                p.getParent.getParent.getParent, "offsets")
+              m.exists(offsets) && m.list(offsets).nonEmpty &&
+                cat.listTableVersions(
+                  TableHandle.parse(resolved).copy(version = None).toString).size > 1
+            } catch { case _: Exception => false }
+            if (ambiguous) throw new IllegalStateException(
+              s"this checkpoint predates version pins and $table has multiple " +
+                "versions — cannot determine which version's delta log its " +
+                "offsets index; restart the query with an explicit " +
+                """option("table", "ns.t@vN") pin""")
+          }
+          m.mkdirs(p.getParent) // sources/<ordinal> does not exist on a fresh checkpoint
+          val out = m.createAtomic(p, overwriteIfPossible = true)
+          try { out.write(resolved.getBytes("UTF-8")); out.close() }
+          catch { case e: Throwable => out.cancel(); throw e }
+        }
+        resolved
+    }
   }
   private def pinnedVersion: Long = TableHandle.parse(pinnedTable).version.getOrElse(1L)
 
@@ -141,12 +220,16 @@ class GraftStreamSource(
         // start and end index DIFFERENT versions' logs: a restart raced a
         // version activation and this batch's range spans two axes — no
         // correct row set exists for it
+        // the mixed range is already durable in the offset WAL, so every
+        // restart replays it — only a fresh checkpoint truly recovers
         throw new IllegalStateException(
           s"offset range for $table mixes table versions v$a..v$b " +
-            "(a version was activated across a restart); restart the query " +
-            s"""with option("table", "${TableHandle.parse(pinnedTable)
-              .copy(version = Some(a)).toString}") to keep following the """ +
-            "original version")
+            "(a version was activated across a restart and an offset was " +
+            "recorded on the new version's axis); the checkpoint cannot " +
+            "be continued — start the query with a NEW checkpointLocation " +
+            s"""and option("table", "${TableHandle.parse(pinnedTable)
+              .copy(version = Some(a)).toString}") to resume from the """ +
+            "original version (reprocessing from its retained history)")
       case _ => hiVer.orElse(loVer).foreach(adoptVersion)
     }
     // recovery fast-forward: a restart replays the last checkpointed batch

@@ -76,6 +76,32 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("capped AvailableNow runs stay pinned across an activation between runs") {
+    // AvailableNow snapshots getOffset during PLAN INIT — before any
+    // recovery getBatch — so only the persisted checkpoint pin (not
+    // offset-carried adoption) keeps the second run on the right axis
+    val root = tmpDir("graft-an-pin")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.ap")
+    cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), "ns.ap", WriteMode.Add)
+    val ck = tmpDir("graft-an-pin-ck")
+    def run() = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.ap")
+      .option("maxDeltasPerTrigger", "1").load()
+      .writeStream.format("graft")
+      .option("root", root).option("table", "ns.apout")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q = run(); q.awaitTermination() // capped: admits ONE delta, then stops
+    assert(cat.readTable("ns.apout").count() == 1)
+    // a v2 activated between runs must not capture the next run
+    val v2 = cat.createTableVersion("ns.ap", lifecycle = Lifecycle.Active)
+    cat.writeToTable(Seq((100L, "x")).toDF("id", "v"), s"ns.ap@v$v2", WriteMode.Add)
+    val q2 = run(); q2.awaitTermination() // drains v1's remaining delta
+    val got = cat.readTable("ns.apout").select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"second run must stay on v1, saw $got")
+  }
+
   test("merge deltas fail the stream unless ignoreChanges") {
     val root = tmpDir("graft-stream2")
     val cat = new GraftCatalog(spark, root)
@@ -252,6 +278,19 @@ class StreamingSpec extends SparkSpec {
         Seq((1L, "a"), (2L, "b"), (3L, "c")))
       assert(cat.readTable(s"ns.sp@v$v2").count() == 0, "v2 must stay empty across restart")
     } finally q2.stop()
+    // property INHERITANCE copies the (frozen) marker into a new version;
+    // recovery must still find the stream's true home — the version whose
+    // marker value is highest, ties resolved to the side holding the data
+    val v3 = cat.createTableVersion("ns.sp", lifecycle = Lifecycle.Active,
+      properties = Some(cat.getTableMeta("ns.sp@v1").properties))
+    val q3 = start()
+    try {
+      in.addData((4L, "d"))
+      q3.processAllAvailable()
+      assert(cat.readTable("ns.sp@v1").select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L), "batches must keep landing in v1")
+      assert(cat.readTable(s"ns.sp@v$v3").count() == 0, "v3 must stay empty")
+    } finally q3.stop()
   }
 
   test("sink scopes its marker via session-conf checkpoint + queryName") {
