@@ -70,76 +70,119 @@ class GraftStreamSource(
     * varies by trigger: AvailableNow snapshots getOffset during plan init)
     * never matters. A deprecated pinned version keeps streaming (pinned
     * reads work); only a FRESH stream requires an active resolution. */
-  private var pinnedTable: String = {
+  private var pinnedTable: String = resolvePin()
+
+  private def resolvePin(): String = {
+    import org.apache.hadoop.fs.Path
+    val explicitVer = TableHandle.parse(table).version
     val pin = metadataPath.map { dir =>
-      val p = new org.apache.hadoop.fs.Path(dir, "version-pin")
+      val p = new Path(dir, "version-pin")
       val m = org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
         .create(p.getParent, spark.sessionState.newHadoopConf())
       (p, m)
     }
+    def readFully(m: org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager,
+        p: Path): String = {
+      val in = m.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    /** Committed offset-WAL entries (batch-numbered files), best-effort. */
+    def offsetEntries: Seq[org.apache.hadoop.fs.FileStatus] = pin.toSeq.flatMap { case (p, m) =>
+      try {
+        val d = new Path(p.getParent.getParent.getParent, "offsets")
+        if (!m.exists(d)) Nil
+        else m.list(d).toSeq.filter(_.getPath.getName.forall(_.isDigit))
+      } catch { case _: Exception => Nil }
+    }
+    def writePin(name: String): Unit = pin.foreach { case (p, m) =>
+      m.mkdirs(p.getParent) // sources/<ordinal> does not exist on a fresh checkpoint
+      val out = m.createAtomic(p, overwriteIfPossible = true)
+      try { out.write(name.getBytes("UTF-8")); out.close() }
+      catch { case e: Throwable => out.cancel(); throw e }
+    }
     val recovered = pin.flatMap { case (p, m) =>
-      if (!m.exists(p)) None
-      else {
-        val in = m.open(p)
-        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-        finally in.close()
-      }
+      if (m.exists(p)) Some(readFully(m, p).trim) else None
     }
     recovered match {
       case Some(name) =>
-        // an explicit pin that contradicts the checkpoint's recorded pin
-        // cannot be honored: the checkpointed offsets are positions in the
-        // RECORDED version's log
-        if (TableHandle.parse(table).version.isDefined && cat.resolveTableName(table) != name)
+        val optionCanonical = cat.resolveTableName(table)
+        // a pin recorded for a DIFFERENT table than the option names is
+        // never silently honored — the checkpoint belongs to that stream
+        if (TableHandle.parse(optionCanonical).copy(version = None) !=
+            TableHandle.parse(name).copy(version = None))
           throw new IllegalStateException(
+            s"this checkpoint was created streaming $name, not $table; " +
+              s"use a new checkpointLocation to stream $table")
+        // an explicit pin contradicting the recorded one is honored only
+        // while the offsets log is still empty (nothing indexes any axis
+        // yet); afterwards the checkpointed offsets ARE positions in the
+        // recorded version's log
+        if (explicitVer.isDefined && optionCanonical != name) {
+          if (offsetEntries.nonEmpty) throw new IllegalStateException(
             s"this checkpoint follows $name but the query pins $table; " +
               "switching versions requires a new checkpointLocation")
+          writePin(optionCanonical)
+          return optionCanonical
+        }
         // analysis resolved the UNPINNED option's schema — if the pinned
         // version has since diverged from it, demand an explicit pin
         // rather than serving rows the analyzed plan cannot hold
-        if (TableHandle.parse(table).version.isEmpty) {
-          val active = try Some(cat.resolveTableName(table)) catch { case _: Exception => None }
-          active.filter(_ != name).foreach { a =>
-            if (cat.tableSchema(a) != cat.tableSchema(name))
-              throw new IllegalStateException(
-                s"this checkpoint was streaming $name but $table now resolves to $a, " +
-                  "whose schema differs; restart the query with " +
-                  s"""option("table", "$name") to keep following the original version""")
-          }
-        }
+        val diverged = explicitVer.isEmpty && optionCanonical != name &&
+          (try cat.tableSchema(optionCanonical) != cat.tableSchema(name)
+          catch { case _: Exception => false }) // unresolvable now: fail later with context
+        if (diverged)
+          throw new IllegalStateException(
+            s"this checkpoint was streaming $name but $table now resolves to " +
+              s"$optionCanonical, whose schema differs; restart the query with " +
+              s"""option("table", "$name") to keep following the original version""")
         name
       case None =>
         val resolved = cat.resolveTableName(table)
         val lc = cat.getTableMeta(resolved).lifecycleState
-        if (TableHandle.parse(table).version.isEmpty && lc != graft.catalog.Lifecycle.Active)
+        if (explicitVer.isEmpty && lc != graft.catalog.Lifecycle.Active)
           throw new graft.catalog.NoActiveTableVersion(table, lc)
-        pin.foreach { case (p, m) =>
-          // a PRE-EXISTING checkpoint with offsets but no recorded pin
-          // (written before version pins existed): with several live
-          // versions there is no way to know which version's log its
-          // offsets index — refuse to guess rather than silently adopt
-          // the active axis. Detection is best-effort (FS errors fall
-          // through to the write below, the pre-pin behavior).
-          if (TableHandle.parse(table).version.isEmpty) {
-            val ambiguous = try {
-              val offsets = new org.apache.hadoop.fs.Path(
-                p.getParent.getParent.getParent, "offsets")
-              m.exists(offsets) && m.list(offsets).nonEmpty &&
-                cat.listTableVersions(
-                  TableHandle.parse(resolved).copy(version = None).toString).size > 1
-            } catch { case _: Exception => false }
-            if (ambiguous) throw new IllegalStateException(
-              s"this checkpoint predates version pins and $table has multiple " +
-                "versions — cannot determine which version's delta log its " +
-                "offsets index; restart the query with an explicit " +
-                """option("table", "ns.t@vN") pin""")
-          }
-          m.mkdirs(p.getParent) // sources/<ordinal> does not exist on a fresh checkpoint
-          val out = m.createAtomic(p, overwriteIfPossible = true)
-          try { out.write(resolved.getBytes("UTF-8")); out.close() }
-          catch { case e: Throwable => out.cancel(); throw e }
+        // A PRE-EXISTING checkpoint with offsets but no recorded pin (the
+        // pin file postdates the source). Recover the axis from the newest
+        // WAL entry when its offsets carry a version; otherwise refuse to
+        // guess IF more than one version could ever have been the axis
+        // (states that were never activatable don't count). Best-effort:
+        // FS errors fall back to the pre-pin behavior.
+        val walVer: Option[Long] =
+          if (explicitVer.isDefined) None
+          else try {
+            val entries = offsetEntries
+            if (entries.isEmpty) None
+            else pin.flatMap { case (p, m) =>
+              val latest = entries.maxBy(_.getPath.getName.toLong).getPath
+              // OffsetSeqLog layout: line 0 = log version, line 1 =
+              // metadata (possibly empty), line 2+i = source i's offset
+              val ordinal = p.getParent.getName.toInt
+              readFully(m, latest).split("\n", -1).lift(2 + ordinal).collect {
+                case VerOffset.Json(_, v) => v.toLong
+              }
+            }
+          } catch { case _: Exception => None }
+        val target = walVer match {
+          case Some(v) => TableHandle.parse(resolved).copy(version = Some(v)).toString
+          case None =>
+            val everActivatable = try {
+              cat.listTableVersions(TableHandle.parse(resolved)
+                .copy(version = None).toString).count { case (_, l) =>
+                  l != graft.catalog.Lifecycle.Created &&
+                    l != graft.catalog.Lifecycle.Unreleased
+                }
+            } catch { case _: Exception => 1 }
+            if (explicitVer.isEmpty && offsetEntries.nonEmpty && everActivatable > 1)
+              throw new IllegalStateException(
+                s"this checkpoint predates version pins and $table has multiple " +
+                  "versions — cannot determine which version's delta log its " +
+                  "offsets index; restart the query with an explicit " +
+                  """option("table", "ns.t@vN") pin""")
+            resolved
         }
-        resolved
+        writePin(target)
+        target
     }
   }
   private def pinnedVersion: Long = TableHandle.parse(pinnedTable).version.getOrElse(1L)

@@ -74,6 +74,15 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(out() == Seq(1L, 2L, 3L), s"restart must recover the v1 pin, saw ${out()}")
     } finally q2.stop()
+    // a checkpoint whose pin file is missing (pre-pin build) but whose
+    // offset WAL carries versions still recovers its axis from the WAL
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ck, "sources", "0", "version-pin"))
+    val q3 = start()
+    try {
+      cat.writeToTable(Seq((4L, "d")).toDF("id", "v"), "ns.p@v1", WriteMode.Add)
+      q3.processAllAvailable()
+      assert(out() == Seq(1L, 2L, 3L, 4L), s"WAL recovery must re-pin v1, saw ${out()}")
+    } finally q3.stop()
   }
 
   test("capped AvailableNow runs stay pinned across an activation between runs") {
