@@ -72,6 +72,16 @@ class GraftStreamSource(
     * reads work); only a FRESH stream requires an active resolution. */
   private var pinnedTable: String = resolvePin()
 
+  /** One concept drives recovery: the checkpoint's AXIS — the version
+    * whose delta log its offsets index. Authority order: the pin file,
+    * else the version tagged in the newest offset-WAL entry. A known
+    * axis is resumed regardless of lifecycle (pinned reads work on
+    * deprecated versions); only a FRESH stream requires an active
+    * resolution. An explicit `table` option pin that contradicts a
+    * known axis fails unless the offsets log is known-empty; an
+    * explicit pin over an axis-less checkpoint is accepted as the
+    * user's assertion (it is the documented remedy for the ambiguous
+    * case below). */
   private def resolvePin(): String = {
     import org.apache.hadoop.fs.Path
     val explicitVer = TableHandle.parse(table).version
@@ -87,100 +97,109 @@ class GraftStreamSource(
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
     }
-    /** Committed offset-WAL entries (batch-numbered files), best-effort. */
-    def offsetEntries: Seq[org.apache.hadoop.fs.FileStatus] = pin.toSeq.flatMap { case (p, m) =>
-      try {
-        val d = new Path(p.getParent.getParent.getParent, "offsets")
-        if (!m.exists(d)) Nil
-        else m.list(d).toSeq.filter(_.getPath.getName.forall(_.isDigit))
-      } catch { case _: Exception => Nil }
-    }
+    // Some(entries) = offsets dir listed successfully; None = unknown
+    // (FS error) — consumers must fail CLOSED on unknown where it guards
+    // an override, and fall back to pre-pin behavior where it guards a
+    // refusal
+    lazy val offsetEntries: Option[Seq[org.apache.hadoop.fs.FileStatus]] =
+      pin.flatMap { case (p, m) =>
+        try {
+          val d = new Path(p.getParent.getParent.getParent, "offsets")
+          Some(if (!m.exists(d)) Nil
+          else m.list(d).toSeq.filter(_.getPath.getName.forall(_.isDigit)))
+        } catch { case _: Exception => None }
+      }
     def writePin(name: String): Unit = pin.foreach { case (p, m) =>
       m.mkdirs(p.getParent) // sources/<ordinal> does not exist on a fresh checkpoint
       val out = m.createAtomic(p, overwriteIfPossible = true)
       try { out.write(name.getBytes("UTF-8")); out.close() }
       catch { case e: Throwable => out.cancel(); throw e }
     }
-    val recovered = pin.flatMap { case (p, m) =>
+    val pinFile: Option[String] = pin.flatMap { case (p, m) =>
       if (m.exists(p)) Some(readFully(m, p).trim) else None
     }
-    recovered match {
+    // pre-pin-file checkpoints: the version tagged in the newest WAL entry
+    // (OffsetSeqLog layout: line 0 = log version, line 1 = metadata —
+    // possibly empty — line 2+i = source i's offset)
+    val walAxis: Option[String] =
+      if (pinFile.isDefined) None
+      else try {
+        for {
+          (p, m) <- pin
+          entries <- offsetEntries
+          if entries.nonEmpty
+          line <- readFully(m, entries.maxBy(_.getPath.getName.toLong).getPath)
+            .split("\n", -1).lift(2 + p.getParent.getName.toInt)
+          v <- Some(line).collect { case VerOffset.Json(_, x) => x.toLong }
+        } yield TableHandle.parse(table, cat.defaultNamespace)
+          .copy(version = Some(v)).toString
+      } catch { case _: Exception => None }
+
+    (pinFile orElse walAxis) match {
       case Some(name) =>
-        val optionCanonical = cat.resolveTableName(table)
-        // a pin recorded for a DIFFERENT table than the option names is
+        // resolution of the option is only needed for sanity checks — a
+        // transient failure must not kill a stream whose axis is known
+        val optionCanonical = try Some(cat.resolveTableName(table))
+          catch { case _: Exception => None }
+        // an axis recorded for a DIFFERENT table than the option names is
         // never silently honored — the checkpoint belongs to that stream
-        if (TableHandle.parse(optionCanonical).copy(version = None) !=
-            TableHandle.parse(name).copy(version = None))
-          throw new IllegalStateException(
-            s"this checkpoint was created streaming $name, not $table; " +
-              s"use a new checkpointLocation to stream $table")
-        // an explicit pin contradicting the recorded one is honored only
-        // while the offsets log is still empty (nothing indexes any axis
-        // yet); afterwards the checkpointed offsets ARE positions in the
-        // recorded version's log
-        if (explicitVer.isDefined && optionCanonical != name) {
-          if (offsetEntries.nonEmpty) throw new IllegalStateException(
+        optionCanonical.foreach { oc =>
+          if (TableHandle.parse(oc).copy(version = None) !=
+              TableHandle.parse(name).copy(version = None))
+            throw new IllegalStateException(
+              s"this checkpoint was created streaming $name, not $table; " +
+                s"use a new checkpointLocation to stream $table")
+        }
+        if (explicitVer.isDefined) {
+          val explicitName =
+            TableHandle.parse(name).copy(version = explicitVer).toString
+          if (explicitName == name) { if (pinFile.isEmpty) writePin(name); name }
+          else if (offsetEntries.exists(_.isEmpty)) { // KNOWN empty — nothing indexes any axis yet
+            writePin(explicitName); explicitName
+          } else throw new IllegalStateException(
             s"this checkpoint follows $name but the query pins $table; " +
               "switching versions requires a new checkpointLocation")
-          writePin(optionCanonical)
-          return optionCanonical
-        }
-        // analysis resolved the UNPINNED option's schema — if the pinned
-        // version has since diverged from it, demand an explicit pin
-        // rather than serving rows the analyzed plan cannot hold
-        val diverged = explicitVer.isEmpty && optionCanonical != name &&
-          (try cat.tableSchema(optionCanonical) != cat.tableSchema(name)
-          catch { case _: Exception => false }) // unresolvable now: fail later with context
-        if (diverged)
-          throw new IllegalStateException(
+        } else {
+          // analysis resolved the UNPINNED option's schema — if the axis
+          // version has since diverged from it, demand an explicit pin
+          // rather than serving rows the analyzed plan cannot hold
+          val diverged = optionCanonical.exists(oc => oc != name &&
+            (try cat.tableSchema(oc) != cat.tableSchema(name)
+            catch { case _: Exception => false }))
+          if (diverged) throw new IllegalStateException(
             s"this checkpoint was streaming $name but $table now resolves to " +
-              s"$optionCanonical, whose schema differs; restart the query with " +
-              s"""option("table", "$name") to keep following the original version""")
-        name
+              s"${optionCanonical.get}, whose schema differs; restart the query " +
+              s"""with option("table", "$name") to keep following the original version""")
+          if (pinFile.isEmpty) writePin(name) // stabilize a WAL-recovered axis
+          name
+        }
       case None =>
         val resolved = cat.resolveTableName(table)
-        val lc = cat.getTableMeta(resolved).lifecycleState
-        if (explicitVer.isEmpty && lc != graft.catalog.Lifecycle.Active)
-          throw new graft.catalog.NoActiveTableVersion(table, lc)
-        // A PRE-EXISTING checkpoint with offsets but no recorded pin (the
-        // pin file postdates the source). Recover the axis from the newest
-        // WAL entry when its offsets carry a version; otherwise refuse to
-        // guess IF more than one version could ever have been the axis
-        // (states that were never activatable don't count). Best-effort:
-        // FS errors fall back to the pre-pin behavior.
-        val walVer: Option[Long] =
-          if (explicitVer.isDefined) None
-          else try {
-            val entries = offsetEntries
-            if (entries.isEmpty) None
-            else pin.flatMap { case (p, m) =>
-              val latest = entries.maxBy(_.getPath.getName.toLong).getPath
-              // OffsetSeqLog layout: line 0 = log version, line 1 =
-              // metadata (possibly empty), line 2+i = source i's offset
-              val ordinal = p.getParent.getName.toInt
-              readFully(m, latest).split("\n", -1).lift(2 + ordinal).collect {
-                case VerOffset.Json(_, v) => v.toLong
-              }
-            }
-          } catch { case _: Exception => None }
-        val target = walVer match {
-          case Some(v) => TableHandle.parse(resolved).copy(version = Some(v)).toString
-          case None =>
-            val everActivatable = try {
-              cat.listTableVersions(TableHandle.parse(resolved)
-                .copy(version = None).toString).count { case (_, l) =>
-                  l != graft.catalog.Lifecycle.Created &&
-                    l != graft.catalog.Lifecycle.Unreleased
-                }
-            } catch { case _: Exception => 1 }
-            if (explicitVer.isEmpty && offsetEntries.nonEmpty && everActivatable > 1)
-              throw new IllegalStateException(
-                s"this checkpoint predates version pins and $table has multiple " +
-                  "versions — cannot determine which version's delta log its " +
-                  "offsets index; restart the query with an explicit " +
-                  """option("table", "ns.t@vN") pin""")
+        val target =
+          if (explicitVer.isDefined) resolved // user asserts the axis
+          else if (offsetEntries.exists(_.nonEmpty)) {
+            // a RESUMED pre-pin checkpoint whose offsets carry no version:
+            // with one version the axis is forced (resume it regardless of
+            // lifecycle); with several, any guess risks silent corruption —
+            // refuse loudly. Lifecycle states carry no activation history
+            // (any transition is legal), so every version counts.
+            val bare = TableHandle.parse(resolved).copy(version = None)
+            val versions = try cat.listTableVersions(bare.toString).map(_._1)
+              catch { case _: Exception => Seq(1L) }
+            if (versions.size > 1) throw new IllegalStateException(
+              s"this checkpoint predates version pins and $table has multiple " +
+                "versions — cannot determine which version's delta log its " +
+                "offsets index; restart the query with an explicit " +
+                """option("table", "ns.t@vN") pin""")
+            bare.copy(version = versions.headOption.orElse(Some(1L))).toString
+          } else {
+            // fresh stream (or unknown offsets state): require an active
+            // resolution, the normal start contract
+            val lc = cat.getTableMeta(resolved).lifecycleState
+            if (lc != graft.catalog.Lifecycle.Active)
+              throw new graft.catalog.NoActiveTableVersion(table, lc)
             resolved
-        }
+          }
         writePin(target)
         target
     }

@@ -83,6 +83,14 @@ class StreamingSpec extends SparkSpec {
       q3.processAllAvailable()
       assert(out() == Seq(1L, 2L, 3L, 4L), s"WAL recovery must re-pin v1, saw ${out()}")
     } finally q3.stop()
+    // a DEPRECATED pinned version still resumes (pinned reads work);
+    // only a fresh stream requires an active resolution
+    cat.alterTableLifecycle("ns.p@v1", Lifecycle.Deprecated)
+    val q4 = start()
+    try {
+      q4.processAllAvailable()
+      assert(out() == Seq(1L, 2L, 3L, 4L), "deprecated pinned version must resume")
+    } finally q4.stop()
   }
 
   test("capped AvailableNow runs stay pinned across an activation between runs") {
