@@ -154,6 +154,11 @@ class GraftStreamSource(
           val explicitName =
             TableHandle.parse(name).copy(version = explicitVer).toString
           if (explicitName == name) { if (pinFile.isEmpty) writePin(name); name }
+          else if (optionCanonical.isEmpty) throw new IllegalStateException(
+            // overriding a recorded pin writes a DURABLE decision — never
+            // proceed while the identity of the requested table is unknown
+            s"cannot verify the requested pin $table against this " +
+              s"checkpoint's recorded $name (table resolution failed); retry")
           else if (offsetEntries.exists(_.isEmpty)) { // KNOWN empty — nothing indexes any axis yet
             writePin(explicitName); explicitName
           } else throw new IllegalStateException(
@@ -184,14 +189,17 @@ class GraftStreamSource(
             // refuse loudly. Lifecycle states carry no activation history
             // (any transition is legal), so every version counts.
             val bare = TableHandle.parse(resolved).copy(version = None)
-            val versions = try cat.listTableVersions(bare.toString).map(_._1)
-              catch { case _: Exception => Seq(1L) }
+            // a listing failure must propagate (retryable): guessing an
+            // axis here would write a durably WRONG pin
+            val versions = cat.listTableVersions(bare.toString).map(_._1)
             if (versions.size > 1) throw new IllegalStateException(
               s"this checkpoint predates version pins and $table has multiple " +
                 "versions — cannot determine which version's delta log its " +
                 "offsets index; restart the query with an explicit " +
                 """option("table", "ns.t@vN") pin""")
-            bare.copy(version = versions.headOption.orElse(Some(1L))).toString
+            // listTableVersions throws TableNotFound rather than returning
+            // empty, so exactly one version remains here
+            bare.copy(version = Some(versions.head)).toString
           } else {
             // fresh stream (or unknown offsets state): require an active
             // resolution, the normal start contract
