@@ -252,6 +252,27 @@ class TableVersionSpec extends SparkSpec {
     assert(cat.readTable("q.t").count() == 2)
   }
 
+  test("CDC and compaction target pinned versions independently") {
+    val cat = freshCat("tv-cross")
+    cat.writeToTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "q.t")
+    val v2 = cat.createTableVersion("q.t", lifecycle = Lifecycle.Unreleased)
+    cat.writeToTable(Seq((10L, "x")).toDF("id", "v"), s"q.t@v$v2", WriteMode.Add)
+    cat.writeToTable(Seq((11L, "y")).toDF("id", "v"), s"q.t@v$v2", WriteMode.Add)
+    // each version has its own change feed
+    assert(cat.readChanges(s"q.t@v$v2").count() == 2)
+    assert(cat.readChanges("q.t").count() == 2)
+    // compacting the staged version leaves the active one untouched
+    val activeDeltas = cat.deltaLog("q.t").size
+    cat.compact(s"q.t@v$v2")
+    assert(cat.readTable(s"q.t@v$v2").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L))
+    assert(cat.deltaLog("q.t").size == activeDeltas)
+    assert(cat.readTable("q.t").count() == 2)
+    // the skip index and tableInfo resolve the pinned version too
+    assert(cat.analyzeTable(s"q.t@v$v2") == 0) // stats already footer-harvested
+    assert(cat.tableInfo(s"q.t@v$v2").select("num_files").as[Long].head() >= 1)
+  }
+
   test("resolveTableName pins single-version tables; activation cannot remap the pin") {
     val cat = freshCat("tv-pin")
     // missing table: bare name (a streaming sink creates it on first batch)
