@@ -246,10 +246,17 @@ object StatsPruningScanBuilder {
     * for `table` (same caveat: test observability only). */
   private val deferred =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private[spark] def recordPrune(tag: String, totalKept: (Int, Int)): Unit =
+  // observability only — bound the maps so a long-lived session planning
+  // over many transient table names cannot leak driver memory
+  private val MaxTracked = 256
+  private[spark] def recordPrune(tag: String, totalKept: (Int, Int)): Unit = {
+    if (prunes.size >= MaxTracked && !prunes.containsKey(tag)) prunes.clear()
     prunes.put(tag, totalKept)
-  private[spark] def recordDeferred(tag: String, n: Int): Unit =
+  }
+  private[spark] def recordDeferred(tag: String, n: Int): Unit = {
+    if (deferred.size >= MaxTracked && !deferred.containsKey(tag)) deferred.clear()
     deferred.put(tag, n)
+  }
   def lastPruneFor(table: String): (Int, Int) =
     Option(prunes.get(table)).getOrElse((0, 0))
   def lastDeferredFor(table: String): Int =

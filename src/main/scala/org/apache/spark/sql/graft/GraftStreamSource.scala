@@ -70,6 +70,16 @@ class GraftStreamSource(
     * varies by trigger: AvailableNow snapshots getOffset during plan init)
     * never matters. A deprecated pinned version keeps streaming (pinned
     * reads work); only a FRESH stream requires an active resolution. */
+  /** The pin file's location inside the checkpoint, when one exists.
+    * Declared BEFORE [[pinnedTable]]: resolvePin() reads it at init. */
+  private val pinLocation: Option[(org.apache.hadoop.fs.Path,
+      org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager)] =
+    metadataPath.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, "version-pin")
+      (p, org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+        .create(p.getParent, spark.sessionState.newHadoopConf()))
+    }
+
   private var pinnedTable: String = resolvePin()
 
   /** One concept drives recovery: the checkpoint's AXIS — the version
@@ -82,40 +92,37 @@ class GraftStreamSource(
     * explicit pin over an axis-less checkpoint is accepted as the
     * user's assertion (it is the documented remedy for the ambiguous
     * case below). */
+
+  private def persistPin(name: String): Unit = pinLocation.foreach { case (p, m) =>
+    m.mkdirs(p.getParent) // sources/<ordinal> does not exist on a fresh checkpoint
+    val out = m.createAtomic(p, overwriteIfPossible = true)
+    try { out.write(name.getBytes("UTF-8")); out.close() }
+    catch { case e: Throwable => out.cancel(); throw e }
+  }
+
+  private def readFully(
+      m: org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = m.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
   private def resolvePin(): String = {
     import org.apache.hadoop.fs.Path
     val explicitVer = TableHandle.parse(table).version
-    val pin = metadataPath.map { dir =>
-      val p = new Path(dir, "version-pin")
-      val m = org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
-        .create(p.getParent, spark.sessionState.newHadoopConf())
-      (p, m)
-    }
-    def readFully(m: org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager,
-        p: Path): String = {
-      val in = m.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    }
-    // Some(entries) = offsets dir listed successfully; None = unknown
-    // (FS error) — consumers must fail CLOSED on unknown where it guards
-    // an override, and fall back to pre-pin behavior where it guards a
-    // refusal
+    // Some(entries) = offsets dir listed successfully; None = unknown (FS
+    // error). Every durable decision gated on this fails CLOSED on unknown:
+    // a pin written off a misread state would be durably wrong.
     lazy val offsetEntries: Option[Seq[org.apache.hadoop.fs.FileStatus]] =
-      pin.flatMap { case (p, m) =>
+      pinLocation.flatMap { case (p, m) =>
         try {
           val d = new Path(p.getParent.getParent.getParent, "offsets")
           Some(if (!m.exists(d)) Nil
           else m.list(d).toSeq.filter(_.getPath.getName.forall(_.isDigit)))
         } catch { case _: Exception => None }
       }
-    def writePin(name: String): Unit = pin.foreach { case (p, m) =>
-      m.mkdirs(p.getParent) // sources/<ordinal> does not exist on a fresh checkpoint
-      val out = m.createAtomic(p, overwriteIfPossible = true)
-      try { out.write(name.getBytes("UTF-8")); out.close() }
-      catch { case e: Throwable => out.cancel(); throw e }
-    }
-    val pinFile: Option[String] = pin.flatMap { case (p, m) =>
+    val pinFile: Option[String] = pinLocation.flatMap { case (p, m) =>
       if (m.exists(p)) Some(readFully(m, p).trim) else None
     }
     // pre-pin-file checkpoints: the version tagged in the newest WAL entry
@@ -125,7 +132,7 @@ class GraftStreamSource(
       if (pinFile.isDefined) None
       else try {
         for {
-          (p, m) <- pin
+          (p, m) <- pinLocation
           entries <- offsetEntries
           if entries.nonEmpty
           line <- readFully(m, entries.maxBy(_.getPath.getName.toLong).getPath)
@@ -137,30 +144,23 @@ class GraftStreamSource(
 
     (pinFile orElse walAxis) match {
       case Some(name) =>
-        // resolution of the option is only needed for sanity checks — a
-        // transient failure must not kill a stream whose axis is known
-        val optionCanonical = try Some(cat.resolveTableName(table))
-          catch { case _: Exception => None }
+        // resolution failures propagate: every guard below decides
+        // correctness (wrong-table, wrong-schema, durable override) and a
+        // start-time failure is retryable, a fail-open guard is not
+        val optionCanonical = cat.resolveTableName(table)
         // an axis recorded for a DIFFERENT table than the option names is
         // never silently honored — the checkpoint belongs to that stream
-        optionCanonical.foreach { oc =>
-          if (TableHandle.parse(oc).copy(version = None) !=
-              TableHandle.parse(name).copy(version = None))
-            throw new IllegalStateException(
-              s"this checkpoint was created streaming $name, not $table; " +
-                s"use a new checkpointLocation to stream $table")
-        }
+        if (TableHandle.parse(optionCanonical).copy(version = None) !=
+            TableHandle.parse(name).copy(version = None))
+          throw new IllegalStateException(
+            s"this checkpoint was created streaming $name, not $table; " +
+              s"use a new checkpointLocation to stream $table")
         if (explicitVer.isDefined) {
           val explicitName =
             TableHandle.parse(name).copy(version = explicitVer).toString
-          if (explicitName == name) { if (pinFile.isEmpty) writePin(name); name }
-          else if (optionCanonical.isEmpty) throw new IllegalStateException(
-            // overriding a recorded pin writes a DURABLE decision — never
-            // proceed while the identity of the requested table is unknown
-            s"cannot verify the requested pin $table against this " +
-              s"checkpoint's recorded $name (table resolution failed); retry")
+          if (explicitName == name) { if (pinFile.isEmpty) persistPin(name); name }
           else if (offsetEntries.exists(_.isEmpty)) { // KNOWN empty — nothing indexes any axis yet
-            writePin(explicitName); explicitName
+            persistPin(explicitName); explicitName
           } else throw new IllegalStateException(
             s"this checkpoint follows $name but the query pins $table; " +
               "switching versions requires a new checkpointLocation")
@@ -168,14 +168,13 @@ class GraftStreamSource(
           // analysis resolved the UNPINNED option's schema — if the axis
           // version has since diverged from it, demand an explicit pin
           // rather than serving rows the analyzed plan cannot hold
-          val diverged = optionCanonical.exists(oc => oc != name &&
-            (try cat.tableSchema(oc) != cat.tableSchema(name)
-            catch { case _: Exception => false }))
-          if (diverged) throw new IllegalStateException(
-            s"this checkpoint was streaming $name but $table now resolves to " +
-              s"${optionCanonical.get}, whose schema differs; restart the query " +
-              s"""with option("table", "$name") to keep following the original version""")
-          if (pinFile.isEmpty) writePin(name) // stabilize a WAL-recovered axis
+          if (optionCanonical != name &&
+              cat.tableSchema(optionCanonical) != cat.tableSchema(name))
+            throw new IllegalStateException(
+              s"this checkpoint was streaming $name but $table now resolves to " +
+                s"$optionCanonical, whose schema differs; restart the query " +
+                s"""with option("table", "$name") to keep following the original version""")
+          if (pinFile.isEmpty) persistPin(name) // stabilize a WAL-recovered axis
           name
         }
       case None =>
@@ -201,14 +200,19 @@ class GraftStreamSource(
             // empty, so exactly one version remains here
             bare.copy(version = Some(versions.head)).toString
           } else {
-            // fresh stream (or unknown offsets state): require an active
-            // resolution, the normal start contract
+            // an UNREADABLE offsets log could hide a resumed axis, and the
+            // pin written below is durable — prove the log empty or fail
+            if (pinLocation.isDefined && offsetEntries.isEmpty)
+              throw new IllegalStateException(
+                s"cannot inspect the checkpoint offsets log for $table " +
+                  "(listing failed) — refusing to record a version pin; retry")
+            // fresh stream: require an active resolution, the start contract
             val lc = cat.getTableMeta(resolved).lifecycleState
             if (lc != graft.catalog.Lifecycle.Active)
               throw new graft.catalog.NoActiveTableVersion(table, lc)
             resolved
           }
-        writePin(target)
+        persistPin(target)
         target
     }
   }
@@ -275,7 +279,13 @@ class GraftStreamSource(
   private def adoptVersion(ver: Long): Unit = {
     if (ver == pinnedVersion) return
     val target = TableHandle.parse(pinnedTable).copy(version = Some(ver)).toString
-    if (cat.tableSchema(target) == schema) pinnedTable = target
+    if (cat.tableSchema(target) == schema) {
+      pinnedTable = target
+      // correct the pin file too — a stale one would force every future
+      // restart through offset-carried adoption, defeating the file's
+      // purpose of making getOffset/getBatch ordering irrelevant
+      persistPin(target)
+    }
     else throw new IllegalStateException(
       s"this checkpoint was streaming $target but $table now resolves to " +
         s"$pinnedTable, whose schema differs; restart the query with " +
