@@ -249,12 +249,19 @@ object StatsPruningScanBuilder {
   // observability only — bound the maps so a long-lived session planning
   // over many transient table names cannot leak driver memory
   private val MaxTracked = 256
+  // evict ONE arbitrary entry at the cap — a clear() would wipe every
+  // table's reading the moment a 257th name arrives, turning concurrent
+  // lastPruneFor calls into (0,0) defaults mid-flight
+  private def evictOne(m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit = {
+    val it = m.keySet.iterator()
+    if (it.hasNext) { it.next(); it.remove() }
+  }
   private[spark] def recordPrune(tag: String, totalKept: (Int, Int)): Unit = {
-    if (prunes.size >= MaxTracked && !prunes.containsKey(tag)) prunes.clear()
+    if (prunes.size >= MaxTracked && !prunes.containsKey(tag)) evictOne(prunes)
     prunes.put(tag, totalKept)
   }
   private[spark] def recordDeferred(tag: String, n: Int): Unit = {
-    if (deferred.size >= MaxTracked && !deferred.containsKey(tag)) deferred.clear()
+    if (deferred.size >= MaxTracked && !deferred.containsKey(tag)) evictOne(deferred)
     deferred.put(tag, n)
   }
   def lastPruneFor(table: String): (Int, Int) =

@@ -55,6 +55,16 @@ class GraftStreamSource(
   private val spark: SparkSession = sqlContext.sparkSession
   private val cat = new GraftCatalog(spark, root)
 
+  /** The pin file's location inside the checkpoint, when one exists.
+    * Declared BEFORE [[pinnedTable]]: resolvePin() reads it at init. */
+  private val pinLocation: Option[(org.apache.hadoop.fs.Path,
+      org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager)] =
+    metadataPath.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, "version-pin")
+      (p, org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+        .create(p.getParent, spark.sessionState.newHadoopConf()))
+    }
+
   /** Version PINNED at stream start: checkpointed offsets are positions in
     * ONE version's delta log — re-resolving per micro-batch would compare
     * offsets from two unrelated logs on one axis when a new version
@@ -70,16 +80,6 @@ class GraftStreamSource(
     * varies by trigger: AvailableNow snapshots getOffset during plan init)
     * never matters. A deprecated pinned version keeps streaming (pinned
     * reads work); only a FRESH stream requires an active resolution. */
-  /** The pin file's location inside the checkpoint, when one exists.
-    * Declared BEFORE [[pinnedTable]]: resolvePin() reads it at init. */
-  private val pinLocation: Option[(org.apache.hadoop.fs.Path,
-      org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager)] =
-    metadataPath.map { dir =>
-      val p = new org.apache.hadoop.fs.Path(dir, "version-pin")
-      (p, org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
-        .create(p.getParent, spark.sessionState.newHadoopConf()))
-    }
-
   private var pinnedTable: String = resolvePin()
 
   /** One concept drives recovery: the checkpoint's AXIS — the version
@@ -128,19 +128,23 @@ class GraftStreamSource(
     // pre-pin-file checkpoints: the version tagged in the newest WAL entry
     // (OffsetSeqLog layout: line 0 = log version, line 1 = metadata —
     // possibly empty — line 2+i = source i's offset)
+    // A read failure on the newest entry PROPAGATES (retryable start
+    // failure) rather than degrading to None — a swallowed failure here
+    // would misclassify a tagged checkpoint as axis-less and let the
+    // case-None path below write a durable pin off guesswork. Genuinely
+    // untagged content (pre-VerOffset plain longs) yields None through
+    // the lift/collect steps without throwing.
     val walAxis: Option[String] =
       if (pinFile.isDefined) None
-      else try {
-        for {
-          (p, m) <- pinLocation
-          entries <- offsetEntries
-          if entries.nonEmpty
-          line <- readFully(m, entries.maxBy(_.getPath.getName.toLong).getPath)
-            .split("\n", -1).lift(2 + p.getParent.getName.toInt)
-          v <- Some(line).collect { case VerOffset.Json(_, x) => x.toLong }
-        } yield TableHandle.parse(table, cat.defaultNamespace)
-          .copy(version = Some(v)).toString
-      } catch { case _: Exception => None }
+      else for {
+        (p, m) <- pinLocation
+        entries <- offsetEntries
+        if entries.nonEmpty
+        line <- readFully(m, entries.maxBy(_.getPath.getName.toLong).getPath)
+          .split("\n", -1).lift(2 + p.getParent.getName.toInt)
+        v <- Some(line).collect { case VerOffset.Json(_, x) => x.toLong }
+      } yield TableHandle.parse(table, cat.defaultNamespace)
+        .copy(version = Some(v)).toString
 
     (pinFile orElse walAxis) match {
       case Some(name) =>
@@ -178,6 +182,17 @@ class GraftStreamSource(
           name
         }
       case None =>
+        // an UNREADABLE offsets log could hide a resumed axis, and every
+        // pin written below is durable — prove the log listable first or
+        // fail (retryable). This guards the explicit-pin branch too: the
+        // "user asserts the axis" acceptance is only safe against a
+        // checkpoint whose offsets state is KNOWN (empty or untagged) —
+        // had the listing succeeded on a tagged log, a contradicting
+        // explicit pin would have been refused, not recorded.
+        if (pinLocation.isDefined && offsetEntries.isEmpty)
+          throw new IllegalStateException(
+            s"cannot inspect the checkpoint offsets log for $table " +
+              "(listing failed) — refusing to record a version pin; retry")
         val resolved = cat.resolveTableName(table)
         val target =
           if (explicitVer.isDefined) resolved // user asserts the axis
@@ -200,12 +215,6 @@ class GraftStreamSource(
             // empty, so exactly one version remains here
             bare.copy(version = Some(versions.head)).toString
           } else {
-            // an UNREADABLE offsets log could hide a resumed axis, and the
-            // pin written below is durable — prove the log empty or fail
-            if (pinLocation.isDefined && offsetEntries.isEmpty)
-              throw new IllegalStateException(
-                s"cannot inspect the checkpoint offsets log for $table " +
-                  "(listing failed) — refusing to record a version pin; retry")
             // fresh stream: require an active resolution, the start contract
             val lc = cat.getTableMeta(resolved).lifecycleState
             if (lc != graft.catalog.Lifecycle.Active)

@@ -521,4 +521,81 @@ class StreamingSpec extends SparkSpec {
       assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
     } finally q.stop()
   }
+
+  test("an unreadable offsets log fails stream start closed — no durable pin is written") {
+    val root = tmpDir("graft-stream-faily")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.fl")
+    val ck = tmpDir("graft-stream-faily-ck")
+    // an offsets dir EXISTS (so the state is not provably empty) but its
+    // listing fails — the simulated transient FS error
+    assert(new java.io.File(ck, "offsets").mkdirs())
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faily.impl", classOf[FailingListFs].getName)
+    def start(table: String): Unit =
+      new org.apache.spark.sql.graft.GraftStreamSource(spark.sqlContext, root,
+        table, false, None, None, None,
+        metadataPath = Some(s"faily:$ck/sources/0"))
+    // explicit pin: previously the one durable-write path open on an
+    // unknown offsets state — must now refuse instead of recording the
+    // user's assertion over a log it could not inspect
+    val e1 = intercept[IllegalStateException](start("ns.fl@v1"))
+    assert(e1.getMessage.contains("cannot inspect the checkpoint offsets log"))
+    // unpinned start refuses identically
+    val e2 = intercept[IllegalStateException](start("ns.fl"))
+    assert(e2.getMessage.contains("refusing to record a version pin"))
+    // and nothing durable was written either time
+    assert(!new java.io.File(ck, "sources/0/version-pin").exists())
+    // once the listing heals, the same start succeeds and pins durably
+    spark.sparkContext.hadoopConfiguration.unset("fs.faily.impl")
+    new org.apache.spark.sql.graft.GraftStreamSource(spark.sqlContext, root,
+      "ns.fl", false, None, None, None, metadataPath = Some(s"$ck/sources/0"))
+    assert(new java.io.File(ck, "sources/0/version-pin").exists())
+  }
+
+  test("a checkpoint pin for a dropped table propagates the resolution failure") {
+    val root = tmpDir("graft-stream-gone")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.gone")
+    val ck = tmpDir("graft-stream-gone-ck")
+    val srcDir = new java.io.File(ck, "sources/0"); assert(srcDir.mkdirs())
+    java.nio.file.Files.write(srcDir.toPath.resolve("version-pin"),
+      "ns.gone@v1".getBytes("UTF-8"))
+    cat.dropTable("ns.gone")
+    // the wrong-table / wrong-schema guards need the resolution — a start
+    // failure here is retryable, a fail-open guard would not be
+    intercept[Exception] {
+      new org.apache.spark.sql.graft.GraftStreamSource(spark.sqlContext, root,
+        "ns.gone", false, None, None, None, metadataPath = Some(srcDir.toString))
+    }
+  }
+
+  test("adoptVersion corrects the durable pin, not just the in-memory one") {
+    val root = tmpDir("graft-stream-adopt")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.ad")
+    cat.createTableVersion("ns.ad") // v2, same schema, not yet active
+    val ck = tmpDir("graft-stream-adopt-ck")
+    val srcDir = new java.io.File(ck, "sources/0")
+    val src = new org.apache.spark.sql.graft.GraftStreamSource(spark.sqlContext,
+      root, "ns.ad", false, None, None, None, metadataPath = Some(srcDir.toString))
+    def pin(): String = new String(java.nio.file.Files.readAllBytes(
+      srcDir.toPath.resolve("version-pin")), "UTF-8").trim
+    assert(pin() == "ns.ad@v1") // fresh stream pinned the active version
+    // recovery hands getBatch an offset recorded on v2's axis (the
+    // ordering adoptVersion exists for): the pin file must follow, or
+    // every later restart re-walks offset-carried adoption
+    src.getBatch(None, org.apache.spark.sql.graft.VerOffset(0L, 2L))
+    assert(pin() == "ns.ad@v2")
+  }
+}
+
+/** [[StreamingSpec]]'s simulated transient FS: local filesystem whose
+  * directory listing of any `offsets` path throws. */
+class FailingListFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faily:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    if (p.getName == "offsets")
+      throw new java.io.IOException("simulated transient listing failure")
+    else super.listStatus(p)
 }
