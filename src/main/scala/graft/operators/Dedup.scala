@@ -359,6 +359,73 @@ object Dedup {
       .select(col("id_new"), col("id_corpus"), col("jaccard"))
   }
 
+  /**
+   * Cross-corpus MinHash similarity JOIN: every (left, right) pair whose
+   * word-shingle Jaccard ≥ threshold — fuzzy alignment between two
+   * DIFFERENT tables (eval-set overlap audits, scraped-vs-licensed corpus
+   * matching, near-dup joins against a reference set). NOT a wrapper over
+   * [[incrementalNearDupPairs]]: that path drops `id_new = id_corpus`
+   * pairs (correct when both sides share one id space; wrong here, where
+   * left id 5 and right id 5 are unrelated documents).
+   *
+   * Same scale shape as every candidate generator in this file: banded
+   * signature equi-join on (band, bucket) — never a cross product — with
+   * the hot-bucket cap applied to the RIGHT (unbounded) side, the
+   * σ-prefilter on signature agreement, and an exact-Jaccard verify so a
+   * returned pair is a true match, not an LSH guess.
+   *
+   * Returns (id_left, id_right, jaccard).
+   */
+  def minhashJoin(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double = 0.7, wordGrams: Option[Int] = None,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val leftShingled = shingledOf(left, idCol, textCol, shingleK, wordGrams)
+    val rightShingled = shingledOf(right, idCol, textCol, shingleK, wordGrams)
+    val leftSigs = signaturesOf(leftShingled, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rightSigs = signaturesOf(rightShingled, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    leftSigs.count(); rightSigs.count()
+    val leftBuckets = bucketsOf(leftSigs, bands, rowsPerBand)
+    val rightBuckets = maxBucketWidth match {
+      case None => bucketsOf(rightSigs, bands, rowsPerBand)
+      case Some(w) =>
+        val all = bucketsOf(rightSigs, bands, rowsPerBand)
+        val widths = all.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
+          .select(col("band"), col("bucket"))
+        all.join(widths, Seq("band", "bucket"), "left_semi")
+    }
+    val cand = leftBuckets.as("l")
+      .join(rightBuckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("id_left"), col("r.id").as("id_right"))
+      .distinct()
+    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+    val estFilter = math.max(0.0, threshold - 3 * sigma)
+    val est = materialize(cand
+      .join(leftSigs.select(col("id"), col("sig").as("sig_a")), col("id_left") === col("id")).drop("id")
+      .join(rightSigs.select(col("id"), col("sig").as("sig_b")), col("id_right") === col("id")).drop("id")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast(DoubleType) / numHashes)
+      .where(col("est") >= estFilter)
+      .select(col("id_left"), col("id_right")))
+    leftSigs.unpersist(blocking = false); rightSigs.unpersist(blocking = false)
+    est
+      .join(leftShingled.withColumnRenamed("sh", "sh_a"), col("id_left") === col("id")).drop("id")
+      .join(rightShingled.withColumnRenamed("sh", "sh_b"), col("id_right") === col("id")).drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_left"), col("id_right"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {

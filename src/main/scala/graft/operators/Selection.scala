@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Data-SELECTION operators for training-corpus curation — which documents
+ * to keep, ranked by how much they look like a target distribution or a
+ * quality standard:
+ *
+ *  - DSIR importance weights (Xie et al., "Data Selection for Language
+ *    Models via Importance Resampling", NeurIPS 2023): hashed n-gram
+ *    bag-of-words generative models of a small TARGET corpus and the RAW
+ *    corpus; each raw document scores the log importance ratio of its
+ *    grams. The two models are `dim`-sized count arrays — metadata no
+ *    matter the corpus size — so scoring is a broadcast-literal lookup.
+ *  - A fastText-style quality classifier (Joulin et al. 2016, the shape
+ *    GPT-3/CCNet used for quality filtering): logistic regression over
+ *    mean hashed-unigram features. Training runs on the labeled subset
+ *    via Spark MLlib; SCORING is a pure Column plan over the broadcast
+ *    weight vector — map-only, codegen'd, no MLlib on the hot path.
+ *
+ * Both hash grams with the engine-portable md5 bucket
+ * ([[TextOps.hashBucket]]), so scores are bit-reproducible across engines
+ * and reruns — selection decisions are auditable forever.
+ *
+ * Scale shape: model building aggregates to `dim` rows (driver-safe at any
+ * corpus size); scoring is explode → map-side-combined sum keyed by doc —
+ * one shuffle whose payload is (id, partial sum), never the text.
+ */
+object Selection {
+
+  /** One row per gram OCCURRENCE (bag-of-words, not a set): word n-grams
+    * for n = 1..maxGram over whitespace tokens. Empty-slice artifacts
+    * (`""` from empty docs) are dropped; a doc shorter than n contributes
+    * its full token span once per n (same convention as the DuckDB oracle
+    * slice `tk[i:i+n-1]`). */
+  private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+      maxGram: Int): DataFrame = {
+    val toks = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+    val gramArrays = (1 to maxGram).map { n =>
+      transform(
+        sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("tk"), i, lit(n))))
+    }
+    toks.select(col("id"), explode(concat(gramArrays: _*)).as("g"))
+      .where(col("g") =!= "")
+  }
+
+  /** `dim`-sized occurrence-count array of a corpus's hashed grams —
+    * the bag-of-words language model both DSIR sides use. Distributed
+    * aggregate to ≤ dim rows, then a driver-side array. */
+  private def gramCounts(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, maxGram: Int): Array[Long] = {
+    val counts = gramOccurrences(df, idCol, textCol, maxGram)
+      .select(TextOps.hashBucket(col("g"), dim).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect()
+    val arr = new Array[Long](dim)
+    counts.foreach(r => arr(r.getAs[Int]("bucket")) = r.getAs[Long]("n"))
+    arr
+  }
+
+  /** Per-document DSIR log importance weight of `raw` toward `target`:
+    * `Σ_grams [ln p̂_target(b) − ln p̂_raw(b)]` with add-1 smoothing over
+    * `dim` hashed buckets (unigrams + bigrams by default, the paper's
+    * feature set). Higher = more target-like. Output `(idCol, log_weight)`
+    * with the weight rounded to 6 decimals (engine-portable float
+    * contract). Two passes over `raw` (model, then score) — the score pass
+    * is explode + one map-side-combined sum per doc. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096, maxGram: Int = 2): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val tgt = gramCounts(target, idCol, textCol, dim, maxGram)
+    val bg = gramCounts(raw, idCol, textCol, dim, maxGram)
+    val tgtTot = tgt.sum.toDouble + dim
+    val bgTot = bg.sum.toDouble + dim
+    val logRatio: Array[Double] = Array.tabulate(dim)(b =>
+      math.log((tgt(b) + 1) / tgtTot) - math.log((bg(b) + 1) / bgTot))
+    scoreByBucketWeight(raw, idCol, textCol, logRatio, maxGram)
+      .select(col("id").as(idCol),
+        round(coalesce(col("w_sum"), lit(0.0)), 6).as("log_weight"))
+  }
+
+  /** DSIR selection: keep the `k` raw documents with the highest
+    * `log_weight + Gumbel(τ)` — the paper's importance RESAMPLING, with
+    * deterministic per-doc Gumbel noise derived from the md5 id hash so
+    * the selected set is reproducible across runs and engines.
+    * `temperature = 0` degenerates to plain top-k by weight. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, dim: Int = 4096, maxGram: Int = 2,
+      temperature: Double = 1.0): DataFrame = {
+    val w = dsirWeights(raw, target, idCol, textCol, dim, maxGram)
+    // uniform in (0,1] from the 8-hex-digit md5 bucket (never exactly 0)
+    val u = (TextOps.hashBucket(col(idCol), 1 << 30).cast(DoubleType) + 1.0) /
+      (1 << 30).toDouble
+    val keyCol =
+      if (temperature == 0.0) col("log_weight")
+      else col("log_weight") + lit(temperature) * -log(-log(u))
+    // top-k by key: TakeOrderedAndProject (no global sort materialization)
+    w.orderBy(keyCol.desc, col(idCol)).limit(k)
+  }
+
+  /** Trained quality model: `dim`-bucket weight vector + intercept.
+    * Plain data — serialize/broadcast it however you like. */
+  final case class QualityModel(weights: Array[Double], intercept: Double) {
+    def dim: Int = weights.length
+  }
+
+  /** Train the fastText-style quality classifier on a LABELED subset
+    * (`labelCol` ∈ {0.0, 1.0}; 1 = high quality): logistic regression over
+    * mean hashed-unigram count features, L2-regularized. The labeled set
+    * is the small side (human/model judgments); MLlib's distributed
+    * L-BFGS handles it at any size that fits the label budget. */
+  def trainQualityClassifier(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int = 4096,
+      regParam: Double = 1e-4, maxIter: Int = 50): QualityModel = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val grams = gramOccurrences(labeled, idCol, textCol, maxGram = 1)
+      .select(col("id"), TextOps.hashBucket(col("g"), dim).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
+    val features = grams.groupBy("id")
+      .agg(collect_list(struct(col("bucket"), col("n"))).as("bn"),
+        sum(col("n")).as("tot"))
+    // vector assembly is a UDF — acceptable OFF the hot path (training
+    // touches only the labeled subset); scoring stays UDF-free
+    val toVec = udf((bn: Seq[org.apache.spark.sql.Row], tot: Long) => {
+      val sorted = bn.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      Vectors.sparse(dim, sorted.map(_._1).toArray,
+        sorted.map(_._2.toDouble / tot).toArray)
+    })
+    val assembled = features.join(
+        labeled.select(col(idCol).as("id"), col(labelCol).cast(DoubleType).as("label")),
+        Seq("id"))
+      .select(col("label"), toVec(col("bn"), col("tot")).as("features"))
+    val model = new LogisticRegression()
+      .setRegParam(regParam).setMaxIter(maxIter)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(assembled)
+    QualityModel(model.coefficients.toArray, model.intercept)
+  }
+
+  /** Score every document with a trained (or fixed) quality model:
+    * `sigmoid(intercept + mean_tokens weights[bucket(token)])`, rounded to
+    * 6 decimals. Pure Column plan — the weight vector rides along as a
+    * broadcast literal; per-doc work is explode + one combinable sum. A
+    * document with no tokens scores `sigmoid(intercept)`. Output
+    * `(idCol, quality)`. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      model: QualityModel): DataFrame = {
+    val scored = scoreByBucketWeight(docs, idCol, textCol, model.weights, maxGram = 1)
+    val z = lit(model.intercept) +
+      coalesce(col("w_sum") / col("n_grams"), lit(0.0))
+    scored.select(col("id").as(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"))
+  }
+
+  /** Shared scorer: per-doc `(w_sum, n_grams)` of `weights[bucket(gram)]`
+    * over gram occurrences. LEFT join back to the full id set so gramless
+    * documents survive with null sums. */
+  private def scoreByBucketWeight(df: DataFrame, idCol: String,
+      textCol: String, weights: Array[Double], maxGram: Int): DataFrame = {
+    val dim = weights.length
+    val wCol: Column = typedLit(weights)
+    val sums = gramOccurrences(df, idCol, textCol, maxGram)
+      .select(col("id"),
+        element_at(wCol, TextOps.hashBucket(col("g"), dim) + 1).as("w"))
+      .groupBy("id")
+      .agg(sum(col("w")).as("w_sum"), count(lit(1)).as("n_grams"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(sums, Seq("id"), "left")
+  }
+}

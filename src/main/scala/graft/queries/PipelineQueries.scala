@@ -15,6 +15,14 @@ import graft.operators._
 object PipelineQueries {
   import Queries._
 
+  /** DuckDB expression replicating [[TextOps.hashBucket]] for a string
+    * expression: first 8 md5 hex digits decoded to a BIGINT, mod `dim`
+    * (same strpos-decode idiom as the t14 oracle). */
+  private def obucket(expr: String, dim: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, 8), i ->
+       CAST(strpos('0123456789abcdef', substr(md5($expr), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+         * (CAST(1 AS BIGINT) << CAST((7 - i) * 4 AS INT)))) AS BIGINT) % $dim"""
+
   /** DuckDB marker-count expression, mirroring TextOps.langScore. */
   private def oscore(pat: String): String =
     s"len(regexp_extract_all(lower(text), '$pat'))"
@@ -751,6 +759,74 @@ object PipelineQueries {
       FROM toks GROUP BY token
       ORDER BY cnt DESC, token LIMIT 100""")) { (s, dir) =>
       TextOps.buildVocab(tbl(s, dir, "documents"), "text", 100)
+    },
+
+    // fastText-style quality scoring with a FIXED (formula-derived) weight
+    // vector: verifies the whole production path — tokenize, md5 bucket,
+    // broadcast-array weight lookup, mean, sigmoid — cross-engine. The
+    // trainable path (MLlib logistic regression producing the weights) is
+    // SelectionSpec's separability test; scoring is engine-portable.
+    Q("t31_quality_score", Some(s"""
+      WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS tok FROM documents),
+      g AS (SELECT doc_id, unnest(tok) AS gr FROM tk),
+      b AS (SELECT doc_id, ${obucket("gr", 1024)} AS b FROM g),
+      s AS (SELECT doc_id, sum(CAST(b % 101 AS DOUBLE)/50.0 - 1.0) AS ws,
+                   count(*) AS n FROM b GROUP BY doc_id)
+      SELECT d.doc_id,
+             round(1.0/(1.0 + exp(-(0.25 + coalesce(ws/n, 0.0)))), 6) AS quality
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)""")) { (s, dir) =>
+      Selection.qualityScore(tbl(s, dir, "documents"), "doc_id", "text",
+        Selection.QualityModel(
+          Array.tabulate(1024)(b => b % 101 / 50.0 - 1.0), 0.25))
+    },
+
+    // DSIR importance weights (Xie et al. NeurIPS'23): hashed
+    // unigram+bigram LMs of target (doc_id < 50) vs raw (doc_id >= 50),
+    // per-raw-doc log importance ratio. Both models are 1024-bucket count
+    // arrays — the oracle recomputes them relationally.
+    Q("t32_dsir_weights", Some(s"""
+      WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS tk FROM documents),
+      g0 AS (SELECT doc_id, unnest(list_concat(
+               list_transform(range(1, greatest(len(tk),1)+1), i -> array_to_string(tk[i:i],' ')),
+               list_transform(range(1, greatest(len(tk)-1,1)+1), i -> array_to_string(tk[i:i+1],' ')))) AS gr
+             FROM tk),
+      g AS (SELECT doc_id, ${obucket("gr", 1024)} AS b FROM g0 WHERE gr <> ''),
+      tc AS (SELECT b, count(*) AS n FROM g WHERE doc_id < 50 GROUP BY b),
+      tt AS (SELECT CAST(coalesce(sum(n),0) AS DOUBLE) + 1024 AS tot FROM tc),
+      rc AS (SELECT b, count(*) AS n FROM g WHERE doc_id >= 50 GROUP BY b),
+      rt AS (SELECT CAST(coalesce(sum(n),0) AS DOUBLE) + 1024 AS tot FROM rc),
+      s AS (SELECT g.doc_id,
+              sum(ln((coalesce(tc.n,0)+1)/(SELECT tot FROM tt))
+                - ln((coalesce(rc.n,0)+1)/(SELECT tot FROM rt))) AS sc
+            FROM g LEFT JOIN tc ON g.b = tc.b LEFT JOIN rc ON g.b = rc.b
+            WHERE g.doc_id >= 50 GROUP BY g.doc_id)
+      SELECT d.doc_id, round(coalesce(s.sc, 0.0), 6) AS log_weight
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+      LEFT JOIN s USING (doc_id)""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Selection.dsirWeights(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text", dim = 1024)
+    },
+
+    // Cross-corpus MinHash similarity JOIN (even-id docs vs odd-id docs):
+    // the oracle is the EXACT word-2-gram Jaccard >= 0.9 cross pair set —
+    // the banded LSH at the fixed seed must recall every pair above the
+    // clean threshold gap (same contract as t04) while the Spark plan
+    // never forms a cross product.
+    Q("t33_crosscorpus_join", Some("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1),
+              i -> array_to_string(tk[i:i+1],' '))) AS sh FROM toks),
+      p AS (SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+              len(list_intersect(a.sh,b.sh)) AS inter, len(a.sh)+len(b.sh) AS tot
+            FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      SELECT id_left, id_right, CAST(inter AS DOUBLE)/(tot-inter) AS jaccard
+      FROM p WHERE CAST(inter AS DOUBLE)/(tot-inter) >= 0.9""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Dedup.minhashJoin(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.9, wordGrams = Some(2))
     }
   )
 }
