@@ -27,7 +27,10 @@ object Bench {
     "q07_topk_orders", "q12_events_sessionize", "q16_asof_join",
     "t01_text_stats", "t02_exact_dedup", "t04_minhash_neardup",
     "t06_ann_brute", "t07_ann_lsh", "t10_ann_ivf", "t11_semantic_dedup",
-    "t15_neardup_clusters")
+    "t15_neardup_clusters",
+    // round-8 additions (existing entries untouched for cross-round
+    // comparability): the data-selection operators
+    "t31_quality_score", "t32_dsir_weights", "t33_crosscorpus_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
