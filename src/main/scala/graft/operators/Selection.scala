@@ -31,12 +31,14 @@ import org.apache.spark.sql.types._
  */
 object Selection {
 
-  /** One row per gram OCCURRENCE (bag-of-words, not a set): word n-grams
-    * for n = 1..maxGram over whitespace tokens. Empty-slice artifacts
-    * (`""` from empty docs) are dropped; a doc shorter than n contributes
-    * its full token span once per n (same convention as the DuckDB oracle
-    * slice `tk[i:i+n-1]`). */
-  private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+  /** One row per gram position, INCLUDING the `""` empty-slice artifact a
+    * gramless (empty/null-text) document emits — every doc contributes
+    * ≥ 1 row, which lets [[scoreByBucketWeight]] keep all docs through a
+    * single aggregate with no join-back. Word n-grams for n = 1..maxGram
+    * over whitespace tokens; a doc shorter than n contributes its full
+    * token span once per n (same convention as the DuckDB oracle slice
+    * `tk[i:i+n-1]`). */
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
       maxGram: Int): DataFrame = {
     val toks = Par.widen(df)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
@@ -46,8 +48,13 @@ object Selection {
         i => concat_ws(" ", slice(col("tk"), i, lit(n))))
     }
     toks.select(col("id"), explode(concat(gramArrays: _*)).as("g"))
-      .where(col("g") =!= "")
   }
+
+  /** One row per gram OCCURRENCE (bag-of-words, not a set) — [[gramRows]]
+    * with the empty-slice artifacts dropped. */
+  private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+      maxGram: Int): DataFrame =
+    gramRows(df, idCol, textCol, maxGram).where(col("g") =!= "")
 
   /** `dim`-sized occurrence-count array of a corpus's hashed grams —
     * the bag-of-words language model both DSIR sides use. Distributed
@@ -159,18 +166,19 @@ object Selection {
   }
 
   /** Shared scorer: per-doc `(w_sum, n_grams)` of `weights[bucket(gram)]`
-    * over gram occurrences. LEFT join back to the full id set so gramless
-    * documents survive with null sums. */
+    * over gram occurrences. Single explode → aggregate plan — ONE
+    * exchange, no join-back: gramless documents survive because every doc
+    * emits at least the `""` row ([[gramRows]]), which scores a null
+    * weight (excluded from both the sum and the count). */
   private def scoreByBucketWeight(df: DataFrame, idCol: String,
       textCol: String, weights: Array[Double], maxGram: Int): DataFrame = {
     val dim = weights.length
     val wCol: Column = typedLit(weights)
-    val sums = gramOccurrences(df, idCol, textCol, maxGram)
+    gramRows(df, idCol, textCol, maxGram)
       .select(col("id"),
-        element_at(wCol, TextOps.hashBucket(col("g"), dim) + 1).as("w"))
+        when(col("g") === "", lit(null).cast(DoubleType))
+          .otherwise(element_at(wCol, TextOps.hashBucket(col("g"), dim) + 1)).as("w"))
       .groupBy("id")
-      .agg(sum(col("w")).as("w_sum"), count(lit(1)).as("n_grams"))
-    df.select(col(idCol).as("id")).distinct()
-      .join(sums, Seq("id"), "left")
+      .agg(sum(col("w")).as("w_sum"), count(col("w")).as("n_grams"))
   }
 }
