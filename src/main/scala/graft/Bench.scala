@@ -29,8 +29,9 @@ object Bench {
     "t06_ann_brute", "t07_ann_lsh", "t10_ann_ivf", "t11_semantic_dedup",
     "t15_neardup_clusters",
     // round-8 additions (existing entries untouched for cross-round
-    // comparability): the data-selection operators
-    "t31_quality_score", "t32_dsir_weights", "t33_crosscorpus_join")
+    // comparability): the data-selection + retrieval operators
+    "t31_quality_score", "t32_dsir_weights", "t33_crosscorpus_join",
+    "t34_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -827,6 +827,35 @@ object PipelineQueries {
       Dedup.minhashJoin(
         docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
         "doc_id", "text", threshold = 0.9, wordGrams = Some(2))
+    },
+
+    // Okapi BM25 top-10 retrieval of 5 query docs against the full corpus
+    // (Lucene-style non-negative idf). Scores round to 6 decimals and ties
+    // rank by doc id, so the ranking is engine-portable; the oracle
+    // recomputes tf/df/dl/avgdl relationally with the exact same formula.
+    Q("t34_bm25_topk", Some("""
+      WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+      dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+      st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, t, count(*) AS tf, max(dl) AS dl FROM
+               (SELECT k.doc_id, unnest(k.tk) AS t, l.dl
+                FROM tk k JOIN dl l ON k.doc_id = l.doc_id)
+             GROUP BY doc_id, t),
+      qt AS (SELECT doc_id AS qid, unnest(list_distinct(tk)) AS t FROM tk WHERE doc_id < 5),
+      df AS (SELECT t, count(*) AS df FROM tf WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY t),
+      sc AS (SELECT q.qid, f.doc_id,
+               sum(ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+                   * (f.tf*(1.2+1))/(f.tf + 1.2*(1 - 0.75 + 0.75*f.dl/s.avgdl))) AS raw
+             FROM qt q JOIN tf f ON q.t = f.t JOIN df d ON q.t = d.t CROSS JOIN st s
+             GROUP BY q.qid, f.doc_id),
+      r AS (SELECT qid, doc_id, round(raw, 6) AS score,
+              row_number() OVER (PARTITION BY qid ORDER BY round(raw, 6) DESC, doc_id) AS rank
+            FROM sc)
+      SELECT qid AS query_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 10""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Retrieval.bm25TopK(docs, docs.where(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text", k = 10)
     }
   )
 }
