@@ -342,6 +342,43 @@ object TextOps {
         when(col("_has"), col("_kt")).as("kept_text"))
   }
 
+  // ---------------------------------------------- document chunking
+  /**
+   * PER-DOCUMENT sliding-window chunking: each document's token stream is
+   * cut into `chunkTokens`-token windows advancing by
+   * `chunkTokens − overlapTokens` (the HF-tokenizers "stride" convention:
+   * a window starts at every stride multiple < doc length, so tails
+   * shorter than a full window are emitted, and empty documents emit
+   * nothing). The complement of [[packSequences]]: packing concatenates
+   * ACROSS documents for pretraining batches; chunking splits WITHIN a
+   * document for context-window-bounded indexing/embedding (RAG) while
+   * the overlap preserves cross-boundary context.
+   *
+   * Map-only: tokenize → per-row window arithmetic → posexplode. No
+   * shuffle, no state — scales linearly with corpus size.
+   * Returns (idCol, chunk_idx, chunk_text, n_tokens).
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens): $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = Par.widen(df)
+      .select(col(idCol).as("_cid"), tokens(col(textCol)).as("tk"))
+    val nChunks = (floor((size(col("tk")) - 1) / stride) + 1).cast(IntegerType)
+    // guard the empty case explicitly: sequence(0, -1) would NOT be empty
+    // (Spark infers a negative step), so build no windows for no tokens
+    val chunks = when(size(col("tk")) <= 0,
+        array().cast(ArrayType(ArrayType(StringType))))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => slice(col("tk"), i * stride + 1, lit(chunkTokens))))
+    toks.select(col("_cid"), posexplode(chunks).as(Seq("chunk_idx", "ck")))
+      .select(col("_cid").as(idCol), col("chunk_idx"),
+        concat_ws(" ", col("ck")).as("chunk_text"),
+        size(col("ck")).as("n_tokens"))
+  }
+
   // ------------------------------------------------- sequence packing
   /**
    * Pretraining sequence packing ("concat and chunk"): documents are laid

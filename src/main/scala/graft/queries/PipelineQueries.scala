@@ -856,6 +856,22 @@ object PipelineQueries {
       val docs = tbl(s, dir, "documents")
       Retrieval.bm25TopK(docs, docs.where(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text", k = 10)
+    },
+
+    // Sliding-window document chunking (40-token windows, 10-token
+    // overlap → stride 30): a window starts at every stride multiple
+    // below the doc length, tails included, empty docs emit nothing.
+    Q("t35_chunk_documents", Some("""
+      WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk FROM documents),
+      c AS (SELECT doc_id, unnest(list_transform(range(0, (len(tk)-1)//30 + 1),
+              i -> {'chunk_idx': CAST(i AS INT),
+                    'chunk_text': array_to_string(tk[i*30+1 : i*30+40], ' '),
+                    'n_tokens': CAST(len(tk[i*30+1 : i*30+40]) AS INT)}),
+              recursive := true) AS u
+            FROM tk WHERE len(tk) > 0)
+      SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c""")) { (s, dir) =>
+      TextOps.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 10)
     }
   )
 }

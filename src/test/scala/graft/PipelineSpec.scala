@@ -539,4 +539,28 @@ class PipelineSpec extends SparkSpec {
     assert(wav.n_frames == 8000L && wav.duration_ms == 1000L)
     assert(math.abs(wav.rms - 0.5) < 1e-12)
   }
+
+  test("chunkDocuments: stride windows with overlap, tails kept, empty docs dropped") {
+    import spark.implicits._
+    val toks = (1 to 70).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, toks), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text", chunkTokens = 40, overlapTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: 70 tokens, stride 30 -> starts 0, 30, 60 -> 3 chunks
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq == Seq(40, 40, 10))
+    assert(d1(0)._3.startsWith("w1 ") && d1(1)._3.startsWith("w31 ") && d1(2)._3 == (61 to 70).map("w" + _).mkString(" "))
+    // overlap: chunk 0's last 10 tokens == chunk 1's first 10
+    assert(d1(0)._3.split(" ").takeRight(10).toSeq == d1(1)._3.split(" ").take(10).toSeq)
+    // doc 2 shorter than one window -> single tail chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    // empty doc emits nothing
+    assert(!out.exists(_._1 == 3L))
+    // map-only: no key shuffle or aggregation (Par.widen's round-robin
+    // widening of a tiny local input is the only permissible exchange)
+    val plan = TextOps.chunkDocuments(docs, "doc_id", "text", 40, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Aggregate") &&
+      !plan.contains("Join"), "chunking must stay map-only")
+  }
 }
