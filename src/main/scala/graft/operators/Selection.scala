@@ -110,6 +110,58 @@ object Selection {
     w.orderBy(keyCol.desc, col(idCol)).limit(k)
   }
 
+  /** Aligned (prev, cur, "prev cur") rows for every token position i ≥ 2 —
+    * the bigram stream a conditional LM scores. Docs with < 2 tokens emit
+    * nothing (no conditional exists). */
+  private def bigramTriples(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+    toks.select(col("id"), explode(transform(sequence(lit(2), size(col("tk"))),
+        i => struct(
+          element_at(col("tk"), i - 1).as("p"),
+          element_at(col("tk"), i).as("c"),
+          concat_ws(" ", element_at(col("tk"), i - 1), element_at(col("tk"), i)).as("g"))))
+        .as("t"))
+      .select(col("id"), col("t.p").as("p"), col("t.c").as("c"), col("t.g").as("g"))
+  }
+
+  /** CCNet-style LANGUAGE-MODEL perplexity filtering (Wenzek et al. 2020
+    * use a 5-gram KenLM; this is the hashed-bigram analog that needs no
+    * external model): train an interpolated bigram model on `reference`
+    * (the "clean" corpus — e.g. Wikipedia), score every doc in `docs` with
+    * its per-token negative mean log-likelihood
+    * `log_ppl = −mean_i ln[ λ·B(w_{i−1},w_i)/U(w_{i−1}) + (1−λ)·(U(w_i)+1)/(T+dimUni) ]`.
+    * LOW log_ppl = fluent/reference-like; the standard keep-the-head
+    * filter. Both count tables hash to fixed-size arrays (`dimUni`,
+    * `dimBi`) — broadcast literals, so scoring is one explode + one
+    * combinable aggregate regardless of corpus size. Docs with < 2 tokens
+    * are not scored (no conditional exists). Output (idCol, log_ppl)
+    * rounded to 6 decimals, engine-portable (md5 bucketing). */
+  def lmPerplexity(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, dimUni: Int = 4096, dimBi: Int = 16384,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val u = gramCounts(reference, idCol, textCol, dimUni, maxGram = 1)
+    val total = (u.sum + dimUni).toDouble
+    val bRows = bigramTriples(reference, idCol, textCol)
+      .select(TextOps.hashBucket(col("g"), dimBi).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n")).collect()
+    val b = new Array[Long](dimBi)
+    bRows.foreach(r => b(r.getAs[Int]("bucket")) = r.getAs[Long]("n"))
+    val uCol = typedLit(u)
+    val bCol = typedLit(b)
+    val up = element_at(uCol, TextOps.hashBucket(col("p"), dimUni) + 1)
+    val uc = element_at(uCol, TextOps.hashBucket(col("c"), dimUni) + 1)
+    val bg = element_at(bCol, TextOps.hashBucket(col("g"), dimBi) + 1)
+    val prob = lit(lambda) * when(up > 0, bg.cast(DoubleType) / up).otherwise(lit(0.0)) +
+      lit(1 - lambda) * (uc + 1).cast(DoubleType) / lit(total)
+    bigramTriples(docs, idCol, textCol)
+      .select(col("id"), log(prob).as("term"))
+      .groupBy("id").agg((-avg(col("term"))).as("raw"))
+      .select(col("id").as(idCol), round(col("raw"), 6).as("log_ppl"))
+  }
+
   /** Trained quality model: `dim`-bucket weight vector + intercept.
     * Plain data — serialize/broadcast it however you like. */
   final case class QualityModel(weights: Array[Double], intercept: Double) {

@@ -872,6 +872,41 @@ object PipelineQueries {
       SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c""")) { (s, dir) =>
       TextOps.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 40, overlapTokens = 10)
+    },
+
+    // CCNet-style LM perplexity filter: interpolated hashed-bigram model
+    // trained on the reference split (doc_id < 50), per-doc negative mean
+    // log-likelihood over the raw split. The oracle rebuilds both count
+    // tables relationally; the interpolation constants are CAST to DOUBLE
+    // and `1 - λ` written as a subtraction (DuckDB decimal literals would
+    // otherwise give an exact 0.1 where Scala's double 1-0.9 is not).
+    Q("t36_lm_perplexity", Some(s"""
+      WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS tk FROM documents),
+      u AS (SELECT ${obucket("t", 4096)} AS b, count(*) AS n FROM
+              (SELECT unnest(tk) AS t FROM tk WHERE doc_id < 50) GROUP BY 1),
+      tt AS (SELECT CAST(coalesce(sum(n),0) + 4096 AS DOUBLE) AS t FROM u),
+      bgc AS (SELECT ${obucket("g", 16384)} AS b, count(*) AS n FROM
+               (SELECT unnest(list_transform(range(2, len(tk)+1), i -> tk[i-1]||' '||tk[i])) AS g
+                FROM tk WHERE doc_id < 50 AND len(tk) >= 2) GROUP BY 1),
+      d0 AS (SELECT doc_id, unnest(list_transform(range(2, len(tk)+1), i ->
+               {'p': tk[i-1], 'c': tk[i], 'g': tk[i-1]||' '||tk[i]}), recursive := true)
+             FROM tk WHERE doc_id >= 50 AND len(tk) >= 2),
+      d AS (SELECT doc_id, ${obucket("p", 4096)} AS pb, ${obucket("c", 4096)} AS cb,
+                   ${obucket("g", 16384)} AS gb FROM d0),
+      terms AS (SELECT d.doc_id,
+          ln(CAST(0.9 AS DOUBLE) * (CASE WHEN coalesce(up.n, 0) > 0
+                         THEN CAST(coalesce(bb.n, 0) AS DOUBLE) / up.n ELSE 0.0 END)
+             + (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+               * (coalesce(uc.n, 0) + 1) / (SELECT t FROM tt)) AS term
+        FROM d LEFT JOIN u up ON d.pb = up.b
+               LEFT JOIN u uc ON d.cb = uc.b
+               LEFT JOIN bgc bb ON d.gb = bb.b)
+      SELECT doc_id, round(-avg(term), 6) AS log_ppl
+      FROM terms GROUP BY doc_id""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Selection.lmPerplexity(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text")
     }
   )
 }

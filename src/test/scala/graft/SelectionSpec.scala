@@ -100,6 +100,24 @@ class SelectionSpec extends SparkSpec {
     assert(pairs == Set((5L, 9L)), s"got $pairs")
   }
 
+  test("lmPerplexity: reference-like docs score lower than shuffled-vocab docs") {
+    val reference = (0 until 40).map(i =>
+      (i.toLong, "the model reads the data and the model writes the result"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, "the model reads the data"),          // fluent under the reference LM
+      (101L, "data the reads result writes model") // same vocab, broken bigrams
+    ).toDF("doc_id", "text")
+    val ppl = Selection.lmPerplexity(docs, reference, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppl(100L) < ppl(101L),
+      s"fluent doc (${ppl(100L)}) must score below shuffled doc (${ppl(101L)})")
+    // < 2 tokens → no conditional exists → not scored
+    val short = Selection.lmPerplexity(
+      Seq((1L, "single")).toDF("doc_id", "text"), reference, "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
   test("minhashJoin hot-bucket cap bounds a planted boilerplate cluster") {
     val boiler = "all rights reserved copyright notice terms of service apply here"
     val left = (0 until 50).map(i => (i.toLong, boiler + s" left$i")).toDF("doc_id", "text")
