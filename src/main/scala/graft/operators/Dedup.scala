@@ -199,6 +199,61 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Hot-bucket cap shared by all three candidate generators: drop
+    * (band, bucket) groups wider than `w` docs — windowless (count-join)
+    * so the common case stays one shuffle on (band, bucket), reused by
+    * the pair join. A bucket of width w yields O(w²) candidates, so one
+    * hot bucket (boilerplate, adversarial self-similarity) can dominate
+    * the job; exact dedup catches mega-cluster duplicates anyway. */
+  private def capBuckets(buckets: DataFrame, maxBucketWidth: Option[Int]): DataFrame =
+    maxBucketWidth match {
+      case None => buckets
+      case Some(w) =>
+        val widths = buckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
+          .select(col("band"), col("bucket"))
+        buckets.join(widths, Seq("band", "bucket"), "left_semi")
+    }
+
+  /** σ-prefilter shared by all three candidate generators: the minhash
+    * component-agreement rate estimates Jaccard with
+    * σ ≈ sqrt(j(1−j)/numHashes); filtering at threshold − 3σ keeps recall
+    * ≈ 1 while dropping the mid-similarity bulk BEFORE the expensive
+    * exact shingle-set join. The survivor-pair frame is materialized via
+    * an eager checkpoint — lineage is cut so the O(corpus) signature
+    * cache can be freed immediately (a persist would pin blocks until an
+    * unpersist no caller could issue). Returns (aCol, bCol) survivors. */
+  private def estPrefilter(cand: DataFrame, aCol: String, bCol: String,
+      sigsA: DataFrame, sigsB: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
+    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+    val estFilter = math.max(0.0, threshold - 3 * sigma)
+    materialize(cand
+      .join(sigsA.select(col("id"), col("sig").as("sig_a")), col(aCol) === col("id")).drop("id")
+      .join(sigsB.select(col("id"), col("sig").as("sig_b")), col(bCol) === col("id")).drop("id")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast(DoubleType) / numHashes)
+      .where(col("est") >= estFilter)
+      .select(col(aCol), col(bCol)))
+  }
+
+  /** Exact verify shared by all three candidate generators: join the
+    * shingle sets back and compute true Jaccard — a returned pair is a
+    * TRUE near-duplicate, never an LSH guess.
+    * Returns (aCol, bCol, jaccard) at ≥ threshold. */
+  private def exactVerify(pairs: DataFrame, aCol: String, bCol: String,
+      shA: DataFrame, shB: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(shA.withColumnRenamed("sh", "sh_a"), col(aCol) === col("id")).drop("id")
+      .join(shB.withColumnRenamed("sh", "sh_b"), col(bCol) === col("id")).drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col(aCol), col(bCol), col("jaccard"))
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
@@ -222,17 +277,7 @@ object Dedup {
     val sigs = signaturesOf(shingled, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    val allBuckets = bucketsOf(sigs, bands, rowsPerBand)
-    // Hot-bucket cap: windowless (count-join) so the common case stays a
-    // single shuffle on (band,bucket) reused by the pair join below.
-    val buckets = maxBucketWidth match {
-      case None => allBuckets
-      case Some(w) =>
-        val widths = allBuckets.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
-          .select(col("band"), col("bucket"))
-        allBuckets.join(widths, Seq("band", "bucket"), "left_semi")
-    }
+    val buckets = capBuckets(bucketsOf(sigs, bands, rowsPerBand), maxBucketWidth)
     // Same-bucket candidate pairs (id_a < id_b), deduped across bands.
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -240,39 +285,9 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Cheap pre-verify on the signatures: the minhash component-agreement
-    // rate estimates Jaccard with σ ≈ sqrt(j(1-j)/numHashes); filtering at
-    // threshold − 3σ keeps recall ≈ 1 while dropping the mid-similarity
-    // bulk BEFORE the expensive exact shingle-set join.
-    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
-    val estFilter = math.max(0.0, threshold - 3 * sigma)
-    // The survivor-pair frame is materialized once via an eager checkpoint —
-    // lineage is cut so the O(corpus) signature cache can be freed
-    // immediately, and the blocks/files are reclaimed when the returned
-    // frame goes out of scope (a persist here would pin blocks until an
-    // explicit unpersist that no caller could issue).
-    val est = materialize(cand
-      .join(sigs.select(col("id"), col("sig").as("sig_a")), col("id_a") === col("id")).drop("id")
-      .join(sigs.select(col("id"), col("sig").as("sig_b")), col("id_b") === col("id")).drop("id")
-      .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
-          .cast(DoubleType) / numHashes)
-      .where(col("est") >= estFilter)
-      .select(col("id_a"), col("id_b")))
+    val est = estPrefilter(cand, "id_a", "id_b", sigs, sigs, numHashes, threshold)
     sigs.unpersist(blocking = false)
-    // Exact verify on the survivors: join shingle sets back, true Jaccard.
-    val sh = shingled
-    est
-      .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
-      .drop("id")
-      .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
-      .drop("id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    exactVerify(est, "id_a", "id_b", shingled, shingled, threshold)
   }
 
   /**
@@ -314,34 +329,16 @@ object Dedup {
           "pass the same (bands, rowsPerBand) the index was built with")
     }
     val newBuckets = bucketsOf(newSigs, bands, rowsPerBand)
-    val corpusBuckets = bucketsOf(corpusSigs, bands, rowsPerBand)
-    // Hot-bucket cap on the CORPUS side (the unbounded one): same
-    // windowless count-join guard as minhashPairs.
-    val cappedCorpus = maxBucketWidth match {
-      case None => corpusBuckets
-      case Some(w) =>
-        val widths = corpusBuckets.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
-          .select(col("band"), col("bucket"))
-        corpusBuckets.join(widths, Seq("band", "bucket"), "left_semi")
-    }
+    // Hot-bucket cap on the CORPUS side (the unbounded one).
+    val cappedCorpus = capBuckets(bucketsOf(corpusSigs, bands, rowsPerBand), maxBucketWidth)
     val cand = newBuckets.as("n")
       .join(cappedCorpus.as("c"),
         col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket") &&
           col("n.id") =!= col("c.id"))
       .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
       .distinct()
-    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
-    val estFilter = math.max(0.0, threshold - 3 * sigma)
-    val est = materialize(cand
-      .join(newSigs.select(col("id"), col("sig").as("sig_a")), col("id_new") === col("id")).drop("id")
-      .join(corpusSigs.select(col("id"), col("sig").as("sig_b")), col("id_corpus") === col("id")).drop("id")
-      .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
-          .cast(DoubleType) / numHashes)
-      .where(col("est") >= estFilter)
-      .select(col("id_new"), col("id_corpus")))
+    val est = estPrefilter(cand, "id_new", "id_corpus", newSigs, corpusSigs,
+      numHashes, threshold)
     newSigs.unpersist(blocking = false)
     // Exact verify: batch shingles recompute (small side); corpus shingles
     // ONLY for candidate ids — the semi-join keeps the standing corpus
@@ -349,14 +346,7 @@ object Dedup {
     val candCorpusText = corpusText.join(
       est.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val corpusShingled = shingledOf(candCorpusText, idCol, textCol, shingleK, wordGrams)
-    est
-      .join(newShingled.withColumnRenamed("sh", "sh_a"), col("id_new") === col("id")).drop("id")
-      .join(corpusShingled.withColumnRenamed("sh", "sh_b"), col("id_corpus") === col("id")).drop("id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+    exactVerify(est, "id_new", "id_corpus", newShingled, corpusShingled, threshold)
   }
 
   /**
@@ -390,40 +380,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     leftSigs.count(); rightSigs.count()
     val leftBuckets = bucketsOf(leftSigs, bands, rowsPerBand)
-    val rightBuckets = maxBucketWidth match {
-      case None => bucketsOf(rightSigs, bands, rowsPerBand)
-      case Some(w) =>
-        val all = bucketsOf(rightSigs, bands, rowsPerBand)
-        val widths = all.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
-          .select(col("band"), col("bucket"))
-        all.join(widths, Seq("band", "bucket"), "left_semi")
-    }
+    // cap the RIGHT (unbounded) side
+    val rightBuckets = capBuckets(bucketsOf(rightSigs, bands, rowsPerBand), maxBucketWidth)
     val cand = leftBuckets.as("l")
       .join(rightBuckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.id").as("id_left"), col("r.id").as("id_right"))
       .distinct()
-    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
-    val estFilter = math.max(0.0, threshold - 3 * sigma)
-    val est = materialize(cand
-      .join(leftSigs.select(col("id"), col("sig").as("sig_a")), col("id_left") === col("id")).drop("id")
-      .join(rightSigs.select(col("id"), col("sig").as("sig_b")), col("id_right") === col("id")).drop("id")
-      .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
-          .cast(DoubleType) / numHashes)
-      .where(col("est") >= estFilter)
-      .select(col("id_left"), col("id_right")))
+    val est = estPrefilter(cand, "id_left", "id_right", leftSigs, rightSigs,
+      numHashes, threshold)
     leftSigs.unpersist(blocking = false); rightSigs.unpersist(blocking = false)
-    est
-      .join(leftShingled.withColumnRenamed("sh", "sh_a"), col("id_left") === col("id")).drop("id")
-      .join(rightShingled.withColumnRenamed("sh", "sh_b"), col("id_right") === col("id")).drop("id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_left"), col("id_right"), col("jaccard"))
+    exactVerify(est, "id_left", "id_right", leftShingled, rightShingled, threshold)
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */

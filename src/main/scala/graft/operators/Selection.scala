@@ -81,6 +81,10 @@ object Selection {
       textCol: String, dim: Int = 4096, maxGram: Int = 2): DataFrame = {
     require(dim > 0, "dim must be positive")
     val tgt = gramCounts(target, idCol, textCol, dim, maxGram)
+    // fail fast like bm25TopK's empty-corpus guard: an accidentally
+    // emptied target would otherwise degenerate every weight to an
+    // inverse-raw-frequency score that SELECTS the junkiest documents
+    require(tgt.sum > 0, "dsirWeights: target corpus has no grams")
     val bg = gramCounts(raw, idCol, textCol, dim, maxGram)
     val tgtTot = tgt.sum.toDouble + dim
     val bgTot = bg.sum.toDouble + dim
@@ -100,8 +104,11 @@ object Selection {
       textCol: String, k: Int, dim: Int = 4096, maxGram: Int = 2,
       temperature: Double = 1.0): DataFrame = {
     val w = dsirWeights(raw, target, idCol, textCol, dim, maxGram)
-    // uniform in (0,1] from the 8-hex-digit md5 bucket (never exactly 0)
-    val u = (TextOps.hashBucket(col(idCol), 1 << 30).cast(DoubleType) + 1.0) /
+    // uniform OPEN-interval (0,1) from the 8-hex-digit md5 bucket: the
+    // +0.5 midpoint keeps u off BOTH endpoints — at u=1, -log(-log(u))
+    // hits Spark's log(0) = NULL and the doc would silently never be
+    // selectable; at u=0 the outer log gets -inf
+    val u = (TextOps.hashBucket(col(idCol), 1 << 30).cast(DoubleType) + 0.5) /
       (1 << 30).toDouble
     val keyCol =
       if (temperature == 0.0) col("log_weight")
@@ -143,6 +150,9 @@ object Selection {
       lambda: Double = 0.9): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
     val u = gramCounts(reference, idCol, textCol, dimUni, maxGram = 1)
+    // an empty reference would flatten every doc to the same constant
+    // log_ppl — the "keep the head" filter would keep an arbitrary subset
+    require(u.sum > 0, "lmPerplexity: reference corpus has no tokens")
     val total = (u.sum + dimUni).toDouble
     val bRows = bigramTriples(reference, idCol, textCol)
       .select(TextOps.hashBucket(col("g"), dimBi).as("bucket"))

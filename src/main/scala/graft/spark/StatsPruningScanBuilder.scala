@@ -269,4 +269,7 @@ object StatsPruningScanBuilder {
   def lastDeferredFor(table: String): Int =
     Option(deferred.get(table)).map(_.intValue()).getOrElse(-1)
   def resetFor(table: String): Unit = { prunes.remove(table); deferred.remove(table) }
+  /** Test-only: wipe BOTH maps so eviction-bound assertions are exact
+    * (entries left by other suites would otherwise shift the cap). */
+  private[spark] def resetAllForTest(): Unit = { prunes.clear(); deferred.clear() }
 }
