@@ -903,7 +903,6 @@ object Hudi {
     val seqOf = metas.zipWithIndex.map { case (m, i) => (m.path, (m.gid, i.toLong, m.instant)) }
     val tag = seqOf.map { case (p, (g, s, i)) => (p, g, s, i) }
       .toDF("_g_bpath", "_g_gid", "_g_seq", "_g_binstant")
-    val decode = udf(InteropUtil.decodeAnyPath _)
     def attach(df: DataFrame): DataFrame = {
       val t = df.withColumn("_g_bpath", InteropUtil.decodePathColumn(col("_metadata.file_path")))
         .join(broadcast(tag), Seq("_g_bpath")).drop("_g_bpath")

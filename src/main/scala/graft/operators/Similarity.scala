@@ -137,6 +137,39 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  // ------------------------------------------- random projection (JL)
+
+  /** Deterministic Gaussian projection planes for [[randomProject]] —
+    * k rows of `dim` N(0,1) components drawn in row-major order from one
+    * seeded stream. Public so an external oracle can inline the exact
+    * doubles (Double.toString round-trips). */
+  def gaussianPlanes(k: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k, dim)(rnd.nextGaussian())
+  }
+
+  /**
+   * Johnson–Lindenstrauss random projection to `k` dims: the data-free
+   * alternative to [[Pca]] when even one moment pass over the corpus is
+   * too much (or the fit must not depend on the data at all — e.g. the
+   * projection is fixed before the corpus exists). Distances are preserved
+   * within (1±ε) w.h.p. for k = O(ε⁻² log n) — per JL; no training, no
+   * shuffle: a pure MAP-ONLY plan over the seeded planes (one typedLit),
+   * each coordinate `dot(x, gₖ)/√k` on the codegen'd
+   * [[graft.functions.DotProduct]] kernel.
+   */
+  def randomProject(df: DataFrame, vecCol: String, k: Int, seed: Long,
+      outCol: String = "rp"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dim = dimOf(df, vecCol).getOrElse(return df.withColumn(outCol,
+      lit(null).cast(ArrayType(DoubleType))).limit(0))
+    val pl = gaussianPlanes(k, dim, seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    df.withColumn(outCol,
+      transform(typedLit(pl.map(_.toSeq).toSeq),
+        g => dot(asDouble(col(vecCol)), g) * lit(scale)))
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** (cosine, centroid) score array for one vector against a codebook —

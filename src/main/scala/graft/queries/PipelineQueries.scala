@@ -907,6 +907,81 @@ object PipelineQueries {
       Selection.lmPerplexity(
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
         "doc_id", "text")
+    },
+
+    // Distributed PCA, part 1 — the FIT path. The full-rank (k = d) model's
+    // spectral reconstruction Σₖ λₖ vₖvₖᵀ must reproduce the population
+    // covariance, so the oracle computes covariance entries directly from
+    // the raw embeddings while Spark answers from eigenpairs: one row per
+    // (i ≤ j) pair over the first 8 dims, but every entry exercises ALL 64
+    // eigenpairs of the moment pass + Jacobi solve. The output frame is
+    // driver-built because it IS the model (d² doubles — metadata-sized at
+    // any corpus scale, like t10's codebook); the corpus-sized work is the
+    // single treeAggregate moment pass inside Pca.fit.
+    Q("t37_pca_covariance", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      u AS (SELECT vec_id, CAST(r.i AS INT) - 1 AS i, v[CAST(r.i AS INT)] AS x
+            FROM e CROSS JOIN range(1, 9) AS r(i)),
+      m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i),
+      p AS (SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+            FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i)
+      SELECT p.i, p.j, round(exy - mi.mu * mj.mu, 6) AS cov
+      FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""")) { (s, dir) =>
+      val model = Pca.fit(tbl(s, dir, "embeddings"), "embedding", k = 64)
+      val rows = for { i <- 0 until 8; j <- i until 8 } yield {
+        val c = (0 until 64).map(t =>
+          model.eigenvalues(t) * model.components(t)(i) * model.components(t)(j)).sum
+        (i, j, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      import s.implicits._
+      rows.toDF("i", "j", "cov")
+    },
+
+    // Distributed PCA, part 2 — the PROJECT path (map-only Column plan over
+    // the inlined components). At full rank the projection is an orthogonal
+    // change of basis, so per-vector Σₖ projₖ² must equal the centered
+    // squared norm ‖x−μ‖² — which the oracle computes straight from the
+    // data (‖x‖² − 2x·μ + ‖μ‖²). Verifies the component matrix is
+    // orthonormal AND the x·vₖ − μ·vₖ offset arithmetic, per row, with a
+    // hash match. Truncated-k behavior (monotone variance capture) is
+    // PcaSpec's job — it has no SQL expression.
+    Q("t38_pca_project", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      m AS (SELECT [${(1 to 64).map(i => s"avg(v[$i])").mkString(", ")}]::DOUBLE[] AS mu FROM e)
+      SELECT vec_id, round(list_dot_product(v, v) - 2 * list_dot_product(v, mu)
+                           + list_dot_product(mu, mu), 6) AS pnorm2
+      FROM e CROSS JOIN m""")) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val model = Pca.fit(emb, "embedding", k = 64)
+      Pca.project(emb, "embedding", model, "p")
+        .select(col("vec_id"),
+          round(aggregate(col("p"), lit(0.0d), (acc, x) => acc + x * x), 6).as("pnorm2"))
+    },
+
+    // Johnson–Lindenstrauss random projection — PCA's data-free sibling.
+    // The Gaussian planes are seed-derived constants, so the oracle inlines
+    // the exact doubles (Double.toString round-trips) and replicates every
+    // projected coordinate bit-for-bit at 9 dp: same left-to-right dot,
+    // same Scala-computed 1/√k factor CAST to DOUBLE (a bare DuckDB
+    // decimal literal would change the arithmetic).
+    Q("t39_random_projection", Some {
+      val pl = Similarity.gaussianPlanes(8, 64, 11L)
+      val values = pl.zipWithIndex
+        .map { case (g, j) => s"($j, [${g.mkString(",")}])" }.mkString(", ")
+      val scale = 1.0 / math.sqrt(8.0)
+      s"""
+      WITH pl(j, plane) AS (VALUES $values),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id, CAST(j AS INT) AS j,
+             round(list_dot_product(v, CAST(plane AS DOUBLE[])) * CAST($scale AS DOUBLE), 9) AS p
+      FROM e CROSS JOIN pl"""
+    }) { (s, dir) =>
+      Similarity.randomProject(tbl(s, dir, "embeddings"), "embedding",
+        k = 8, seed = 11L, outCol = "rp")
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "p0")))
+        .select(col("vec_id"), col("j").cast(IntegerType).as("j"),
+          round(col("p0"), 9).as("p"))
     }
   )
 }
