@@ -167,10 +167,15 @@ object Pca {
     PcaModel(mean, evecs.take(k), evals.take(k))
   }
 
-  /** Project `vecCol` onto the model's components — MAP-ONLY: the k×d
-    * component matrix rides as one typedLit and each output coordinate is
-    * (x−μ)·vₖ computed as x·vₖ − (μ·vₖ) with the μ·vₖ offsets folded to
-    * driver-side constants, so no per-row centering array is built.
+  /** Project `vecCol` onto the model's components — MAP-ONLY: each output
+    * coordinate is (x−μ)·vₖ computed as x·vₖ − (μ·vₖ) with the μ·vₖ
+    * offsets folded to driver-side constants, so no per-row centering
+    * array is built. The k coordinates are k separate codegen'd
+    * [[graft.functions.DotProduct]] expressions against per-component
+    * array literals inside ONE `array(...)` — NOT a `transform` lambda:
+    * higher-order functions are CodegenFallback and excluded from
+    * subexpression elimination, which would drop the projection out of
+    * whole-stage codegen and re-cast the input array k times.
     *
     * `whiten` rescales each coordinate to unit variance (÷√(λₖ+eps)) —
     * the usual pre-product-quantization normalization so no subspace
@@ -186,11 +191,10 @@ object Pca {
       }
     val offsets = comps0.map(pc =>
       pc.zip(model.mean).map { case (a, b) => a * b }.sum)
-    val comps = typedLit(comps0.map(_.toSeq).toSeq)
-    val offs = typedLit(offsets.toSeq)
-    df.withColumn(outCol,
-      transform(comps, (pc, i) =>
-        graft.functions.DotProduct(asDouble(col(vecCol)), pc) - element_at(offs, i + 1)))
+    val x = asDouble(col(vecCol))
+    df.withColumn(outCol, array(comps0.indices.map { k =>
+      graft.functions.DotProduct(x, typedLit(comps0(k).toSeq)) - lit(offsets(k))
+    }: _*))
   }
 
   /** Explained-variance ratio per component (λₖ / Σλ over the FITTED

@@ -154,9 +154,11 @@ object Similarity {
    * too much (or the fit must not depend on the data at all — e.g. the
    * projection is fixed before the corpus exists). Distances are preserved
    * within (1±ε) w.h.p. for k = O(ε⁻² log n) — per JL; no training, no
-   * shuffle: a pure MAP-ONLY plan over the seeded planes (one typedLit),
-   * each coordinate `dot(x, gₖ)/√k` on the codegen'd
-   * [[graft.functions.DotProduct]] kernel.
+   * shuffle: a pure MAP-ONLY plan, each coordinate `dot(x, gₖ)/√k` a
+   * separate codegen'd [[graft.functions.DotProduct]] against a plane
+   * literal inside one `array(...)` (not a `transform` lambda — HOFs are
+   * CodegenFallback and would evaluate the input cast k times,
+   * interpreted).
    */
   def randomProject(df: DataFrame, vecCol: String, k: Int, seed: Long,
       outCol: String = "rp"): DataFrame = {
@@ -165,9 +167,10 @@ object Similarity {
       lit(null).cast(ArrayType(DoubleType))).limit(0))
     val pl = gaussianPlanes(k, dim, seed)
     val scale = 1.0 / math.sqrt(k.toDouble)
-    df.withColumn(outCol,
-      transform(typedLit(pl.map(_.toSeq).toSeq),
-        g => dot(asDouble(col(vecCol)), g) * lit(scale)))
+    val x = asDouble(col(vecCol))
+    df.withColumn(outCol, array(pl.map { g =>
+      dot(x, typedLit(g.toSeq)) * lit(scale)
+    }: _*))
   }
 
   // ------------------------------------------------------------------ IVF

@@ -956,7 +956,7 @@ object PipelineQueries {
       val model = Pca.fit(emb, "embedding", k = 64)
       Pca.project(emb, "embedding", model, "p")
         .select(col("vec_id"),
-          round(aggregate(col("p"), lit(0.0d), (acc, x) => acc + x * x), 6).as("pnorm2"))
+          round(graft.functions.DotProduct(col("p"), col("p")), 6).as("pnorm2"))
     },
 
     // Johnson–Lindenstrauss random projection — PCA's data-free sibling.

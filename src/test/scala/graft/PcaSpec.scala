@@ -111,11 +111,23 @@ class PcaSpec extends SparkSpec {
     assert(a.components.zip(b.components).forall { case (x, y) => x.sameElements(y) })
   }
 
-  test("projection is map-only: no Exchange in the physical plan") {
+  test("projection is map-only and codegen'd: no Exchange, no HOF lambda in the plan") {
     val model = Pca.fit(emb, "embedding", k = 8)
-    val plan = Pca.project(emb, "embedding", model, "p")
-      .queryExecution.executedPlan.toString
+    val qe = Pca.project(emb, "embedding", model, "p").queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in projection plan:\n$plan")
+    // the k coordinates must be codegen'd DotProduct expressions, not a
+    // CodegenFallback transform() lambda (which would also re-cast the
+    // input array k times, interpreted)
+    assert(!plan.contains("transform("), s"HOF lambda in projection plan:\n$plan")
+    // "*(1) Project [...]": the star is executedPlan.toString's
+    // whole-stage-codegen marker — the projection must carry it
+    assert(plan.contains("*(1) Project"), s"projection fell out of codegen:\n$plan")
+    val rp = graft.operators.Similarity
+      .randomProject(emb, "embedding", k = 8, seed = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("transform(") && rp.contains("*(1) Project"),
+      s"JL projection not codegen'd:\n$rp")
   }
 
   test("whitened projection has unit per-coordinate variance") {
