@@ -204,4 +204,42 @@ object Pca {
     if (tot <= 0) model.eigenvalues.map(_ => 0.0)
     else model.eigenvalues.map(_ / tot)
   }
+
+  /** Fit on a deterministic id-hash sample of the corpus — the 100 TB
+    * path: even one full moment pass is a full scan, and principal axes
+    * converge at O(1/√n) with n in the millions, so a 0.1–1% sample fits
+    * an indistinguishable model for ~100–1000× less I/O. Same
+    * [[TextOps.deterministicSample]] contract as every other sampled
+    * operator (stable across runs AND across engines — the sample is a
+    * pure function of the id), so the fit stays reproducible. */
+  def fitSampled(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      fraction: Double): PcaModel =
+    fit(TextOps.deterministicSample(df, idCol, fraction), vecCol, k)
+
+  /** Model → one-row-per-component DataFrame (`component_idx`, `eigenvalue`,
+    * `component`, plus the shared `mean` on every row for self-containment)
+    * — so a fitted model can be committed to a catalog table and reloaded
+    * by later jobs ([[modelFromDF]]) instead of refitting per run. k rows
+    * of d doubles: metadata-sized at any corpus scale. */
+  def modelToDF(spark: org.apache.spark.sql.SparkSession, model: PcaModel): DataFrame = {
+    import spark.implicits._
+    model.components.indices.map { i =>
+      (i, model.eigenvalues(i), model.components(i).toSeq, model.mean.toSeq)
+    }.toDF("component_idx", "eigenvalue", "component", "mean")
+  }
+
+  /** Inverse of [[modelToDF]] — order restored from `component_idx`, so the
+    * round-trip is exact regardless of how the storing table shuffled the
+    * rows. */
+  def modelFromDF(df: DataFrame): PcaModel = {
+    val rows = df.select("component_idx", "eigenvalue", "component", "mean")
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "modelFromDF: empty model frame")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      s"modelFromDF: component_idx not contiguous from 0: ${rows.map(_.getInt(0)).mkString(",")}")
+    PcaModel(
+      mean = rows.head.getSeq[Double](3).toArray,
+      components = rows.map(_.getSeq[Double](2).toArray),
+      eigenvalues = rows.map(_.getDouble(1)))
+  }
 }

@@ -166,6 +166,27 @@ class PcaSpec extends SparkSpec {
     assert(c.flatMap(_.toSeq).toSeq != d.flatMap(_.toSeq).toSeq)
   }
 
+  test("model round-trips through a DataFrame exactly; sampled fit approximates the full fit") {
+    val model = Pca.fit(emb, "embedding", k = 16)
+    val back = Pca.modelFromDF(Pca.modelToDF(spark, model).orderBy(rand(7)))
+    assert(back.mean.sameElements(model.mean))
+    assert(back.eigenvalues.sameElements(model.eigenvalues))
+    assert(back.components.zip(model.components).forall { case (a, b) => a.sameElements(b) })
+    // projecting with the reloaded model is bit-identical
+    val a = Pca.project(emb, "embedding", model, "p").select("p").collect()
+    val b = Pca.project(emb, "embedding", back, "p").select("p").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+
+    // sampled fit: deterministic, and the top eigenvalue is in the full
+    // fit's ballpark (500 vecs sampled at 50% — loose band, catches a
+    // wiring bug not statistical noise)
+    val s1 = Pca.fitSampled(emb, "vec_id", "embedding", k = 4, fraction = 0.5)
+    val s2 = Pca.fitSampled(emb, "vec_id", "embedding", k = 4, fraction = 0.5)
+    assert(s1.eigenvalues.sameElements(s2.eigenvalues))
+    assert(s1.eigenvalues(0) > 0.5 * model.eigenvalues(0) &&
+      s1.eigenvalues(0) < 2.0 * model.eigenvalues(0))
+  }
+
   test("fit rejects ragged and empty vector columns") {
     val ragged = Seq(Array(1.0, 2.0), Array(1.0, 2.0, 3.0)).map(Tuple1(_)).toDF("v")
     intercept[Exception] { Pca.fit(ragged, "v", k = 2) }
