@@ -437,10 +437,15 @@ object MergeRead {
     if (allComplete && moKeys.isEmpty) {
       // Fast path: winner = the most recent row per key, dropped when it is
       // a tombstone (a rank-1 window row always has tombstone-count 0, so
-      // this is exactly the windowed semantics). A hash AGGREGATE instead of
-      // a window: partial (map-side) aggregation collapses hot keys before
+      // this is exactly the windowed semantics). An AGGREGATE instead of a
+      // window: partial (map-side) aggregation collapses hot keys before
       // the shuffle — skew-resistant where a window would serialize a hot
-      // key into one task — and no sort is needed.
+      // key into one task. NOTE the physical operator is SortAggregate,
+      // not HashAggregate: max_by's buffer holds the payload struct, which
+      // is not a hash-agg mutable type. Measured at sf0.1 (613k rows, 32
+      // cores) max_by ties window row_number (0.40 s both) and beats
+      // hash-max + self-join (0.84 s); the aggregate form is kept for the
+      // partial combine, which the window cannot do.
       val payload = struct(
         (schema.fieldNames.map(col) ++ Seq(col(Dt), col(File), col(Present))).toIndexedSeq: _*)
       val recencyKey = struct(col(Pos), col(File), col(Row))
