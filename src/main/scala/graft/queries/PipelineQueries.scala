@@ -982,6 +982,74 @@ object PipelineQueries {
         .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "p0")))
         .select(col("vec_id"), col("j").cast(IntegerType).as("j"),
           round(col("p0"), 9).as("p"))
+    },
+
+    // The COMPOSITE curation pipeline — the flagship "it all composes"
+    // query: quality gate → exact dedup (keep-min) → near-dup removal
+    // (drop the larger id of every verified MinHash pair) → benchmark
+    // decontamination (8-gram, the GPT-3-recipe scale — 3-grams flag ~95%
+    // of any real corpus), each stage the SAME operator its standalone
+    // query verifies (t01/t02/t04/t17 machinery), so the oracle is the
+    // composition of those four already-proven SQL shapes.
+    // Exactness carries through the composition: the quality/dedup stages
+    // only REMOVE documents, signatures depend only on text, so every
+    // surviving true pair still co-buckets under the fixed seed (bucket
+    // widths only shrink ⇒ the width prune keeps at least as much), and
+    // the pair set stays exact-verified. Corpus = doc_id ≥ 50, benchmark
+    // = doc_id < 50 (the t17/t36 split). No new shuffles beyond the
+    // operators' own: the pair set and contaminated-id set are tiny
+    // (broadcast anti-joins); everything else is map + the operators'
+    // existing scale shapes.
+    Q("t40_curation_pipeline", Some(s"""
+      WITH s AS (SELECT doc_id, text, $oen AS en,
+               len(regexp_extract_all(text, '\\S+')) AS ntok
+             FROM documents WHERE doc_id >= 50),
+      ok AS (SELECT doc_id, text, ntok FROM s WHERE ntok >= 10 AND en * 20 >= ntok),
+      h AS (SELECT doc_id, text, ntok, min(doc_id) OVER (PARTITION BY
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canon
+            FROM ok),
+      d AS (SELECT doc_id, text, ntok FROM h WHERE doc_id = canon),
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS tk FROM d),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1),
+              i -> array_to_string(tk[i:i+1],' '))) AS sh FROM toks),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.sh,b.sh)) AS inter, len(a.sh)+len(b.sh) AS tot
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      pr AS (SELECT DISTINCT id_b FROM p WHERE CAST(inter AS DOUBLE)/(tot-inter) >= 0.9),
+      nd AS (SELECT doc_id, text, ntok FROM d WHERE doc_id NOT IN (SELECT id_b FROM pr)),
+      trg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(tk)-7,1)+1), i -> array_to_string(tk[i:i+7],' ')))) AS g
+              FROM (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS tk FROM nd)),
+      bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                range(1, greatest(len(tk)-7,1)+1), i -> array_to_string(tk[i:i+7],' ')))) AS g
+             FROM (SELECT regexp_extract_all(lower(text),'\\S+') AS tk
+                   FROM documents WHERE doc_id < 50)),
+      cont AS (SELECT DISTINCT doc_id FROM trg
+               WHERE g <> '' AND g IN (SELECT g FROM bg WHERE g <> '')),
+      fin AS (SELECT doc_id, text, ntok FROM nd
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+      SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        CASE WHEN $oen > 0 AND $oen >= $ofr AND $oen >= $ode AND $oen >= $oes THEN 'en'
+             WHEN $ofr > 0 AND $ofr >= $ode AND $ofr >= $oes THEN 'fr'
+             WHEN $ode > 0 AND $ode >= $oes THEN 'de'
+             WHEN $oes > 0 THEN 'es' ELSE 'und' END AS pred_lang
+      FROM fin""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.where(col("doc_id") < 50)
+      val corpus = docs.where(col("doc_id") >= 50)
+      val ok = corpus.where(TextOps.qualityBucket(col("text")) === "ok")
+      val deduped = Dedup.dropExactDuplicates(ok, "doc_id", "text")
+      val pairs = Dedup.minhashPairs(deduped, "doc_id", "text",
+        bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+        maxBucketWidth = Some(64))
+      val near = deduped.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val contaminated = TextOps.contaminationStats(near, bench, "doc_id", "text", n = 8)
+        .where(col("contaminated")).select("doc_id")
+      near.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.langId(col("text")).as("pred_lang"))
     }
   )
 }

@@ -563,4 +563,33 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning") && !plan.contains("Aggregate") &&
       !plan.contains("Join"), "chunking must stay map-only")
   }
+
+  test("composite curation pipeline (t40): stage containment and removal accounting") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+    val corpus = docs.where(col("doc_id") >= 50)
+    val ok = corpus.where(TextOps.qualityBucket(col("text")) === "ok")
+    val deduped = Dedup.dropExactDuplicates(ok, "doc_id", "text")
+    val pairs = Dedup.minhashPairs(deduped, "doc_id", "text",
+      bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+      maxBucketWidth = Some(64)).select("id_a", "id_b").collect()
+    val survivors = graft.SparkEntry.queries("t40_curation_pipeline")(spark, sfd)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // containment: each stage only removes
+    val nCorpus = corpus.count(); val nOk = ok.count(); val nDedup = deduped.count()
+    assert(nOk <= nCorpus && nDedup <= nOk && survivors.size <= nDedup)
+    assert(survivors.nonEmpty, "pipeline must not drain the corpus at sf0.001")
+    val dedupIds = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(dedupIds))
+
+    // near-dup policy: every surviving doc that is the LARGER member of a
+    // verified pair would contradict drop-the-larger; every dropped
+    // near-dup has a smaller partner that the pair set explains
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, s"pair not ordered: ($a,$b)")
+      assert(!survivors.contains(b), s"near-dup $b (pair with $a) survived")
+    }
+  }
 }
