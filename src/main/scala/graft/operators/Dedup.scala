@@ -661,6 +661,78 @@ object Dedup {
     res
   }
 
+  /** ExactSubstr REMOVAL (the action [[duplicateSpanStats]] only reports):
+   * rewrite each document with every non-canonical duplicated k-token span
+   * cut out, keeping exactly one copy per span corpus-wide (Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better", ACL'22
+   * §3.2 — reference deltacat has no counterpart; this is pipeline-layer).
+   *
+   * Semantics: a k-token window is duplicated when its hash occurs
+   * `minOccurrences`+ times corpus-wide. Per duplicated hash the canonical
+   * occurrence is the (id, start)-minimum; every OTHER occurrence marks its
+   * k token positions for removal. A document's surviving tokens are
+   * re-joined with single spaces, so `clean_text` is in the tokenizer's
+   * canonical form (lowercased, whitespace-normalized) — same convention as
+   * every other text operator here.
+   *
+   * Scale shape: one window-hash stream (id, pos, 16-byte hash) — token
+   * arrays never shuffle; occurrence count + canonical election in ONE
+   * hash-partitioned window pass; removal starts collapse per doc with a
+   * map-side-combining collect; reconstruction is a map-only lambda over
+   * the doc's own tokens. Per-doc filter cost is O(tokens × removal
+   * windows) — fine for real documents (removal windows ≪ tokens after the
+   * duplicated-hash cut); the suffix-automaton exact bound is a
+   * single-machine construction out of scope by design.
+   *
+   * Returns (id, clean_text, n_tokens, removed_tokens), one row per input
+   * document with ≥1 token.
+   */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 1 && minOccurrences >= 2, "k >= 1, minOccurrences >= 2")
+    val toks = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"),
+        when(size(col("tk")) >= k,
+          transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+            s => unhex(md5(array_join(slice(col("tk"), s, lit(k)), " ")))))
+          .otherwise(array().cast("array<binary>")).as("whs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count()
+    // posexplode_outer: see duplicateSpanStats — plain generators trigger
+    // InferFiltersFromGenerate which re-embeds the window expression.
+    val wins = toks
+      .select(col("id"), posexplode_outer(col("whs")).as(Seq("p", "h")))
+      .where(col("h").isNotNull)
+      .select(col("id"), (col("p") + 1).cast("long").as("s"), col("h"))
+    // ONE hash-partitioned pass elects the canonical occurrence AND counts
+    // occurrences (vs groupBy+semi-join: same shuffle, one fewer join).
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val byHashOrd = byHash.orderBy(col("id"), col("s"))
+    val removal = wins
+      .withColumn("_occ", count(lit(1)).over(byHash))
+      .withColumn("_rn", row_number().over(byHashOrd))
+      .where(col("_occ") >= minOccurrences && col("_rn") > 1)
+      .select(col("id"), col("s"))
+    // Removal starts per doc: small arrays (bounded by the doc's own
+    // window count), map-side combinable.
+    val perDoc = removal.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("rs"))
+    val kept = toks.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        filter(col("tk"), (t, i) => not(exists(
+          coalesce(col("rs"), array().cast("array<long>")),
+          s => (i + 1) >= s && (i + 1) <= s + (k - 1)))).as("ck"))
+      .select(col("id").as(idCol),
+        array_join(col("ck"), " ").as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("ck"))).cast("long").as("removed_tokens"))
+    val res = materialize(kept)
+    toks.unpersist(blocking = false)
+    res
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Portable 64-bit token hash: the bit pattern of the first 16 hex chars

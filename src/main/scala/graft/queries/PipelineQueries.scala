@@ -1050,6 +1050,35 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
           TextOps.langId(col("text")).as("pred_lang"))
+    },
+
+    // ExactSubstr REMOVAL (Lee et al. ACL'22 §3.2) — the action t20 only
+    // reports: every non-canonical duplicated 8-token span is cut from its
+    // document, exactly one copy (the (id,start)-minimum) survives
+    // corpus-wide. The oracle replicates the full contract: window hashes,
+    // per-hash canonical election, position coverage, reconstruction.
+    Q("t41_span_removal", Some("""
+      WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'\S+') AS tk,
+                   len(regexp_extract_all(lower(text),'\S+')) AS n
+                 FROM documents WHERE len(regexp_extract_all(lower(text),'\S+')) > 0),
+      w AS (SELECT doc_id, unnest(range(1, greatest(n-7,0)+1)) AS s, tk FROM t),
+      wh AS (SELECT doc_id, s, md5(array_to_string(tk[s:s+7], ' ')) AS h FROM w),
+      r AS (SELECT doc_id, s,
+              count(*) OVER (PARTITION BY h) AS occ,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+            FROM wh),
+      rm AS (SELECT doc_id, s FROM r WHERE occ >= 2 AND rn > 1),
+      cov AS (SELECT DISTINCT doc_id, unnest(range(s, s+8)) AS p FROM rm),
+      tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk,1) AS p FROM t),
+      keep AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok LEFT JOIN cov
+                 ON tok.doc_id = cov.doc_id AND tok.p = cov.p WHERE cov.p IS NULL),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct,
+                count(*) AS kept FROM keep GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(agg.ct, '') AS clean_text,
+             CAST(n AS BIGINT) AS n_tokens,
+             CAST(n - coalesce(agg.kept, 0) AS BIGINT) AS removed_tokens
+      FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""")) { (s, dir) =>
+      Dedup.removeDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
     }
   )
 }

@@ -592,4 +592,39 @@ class PipelineSpec extends SparkSpec {
       assert(!survivors.contains(b), s"near-dup $b (pair with $a) survived")
     }
   }
+
+  test("span removal (t41): canonical copy survives, non-canonical spans cut") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // micro corpus: docs 1 and 2 share the 8-token run "a b c d e f g h";
+    // doc 1 holds the (id,start)-minimum occurrence and must keep it.
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "z w a b c d e f g h"),
+      (3L, "entirely unrelated words that never repeat anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f g h x y", 10L, 0L)))
+    assert(out(2L) == (("z w", 10L, 8L)))
+    assert(out(3L)._3 == 0L)
+
+    // corpus-level invariants at sf: reconstruction accounting is exact and
+    // removal coverage is a subset of t20's duplicated-window coverage
+    val sf = spark.read.parquet(s"$sfd/documents.parquet")
+    val rem = Dedup.removeDuplicateSpans(sf, "doc_id", "text", k = 8)
+    val stats = Dedup.duplicateSpanStats(sf, "doc_id", "text", k = 8)
+    val joined = rem.join(stats.withColumnRenamed("n_tokens", "nt2"), "doc_id")
+      .select(col("removed_tokens"), col("dup_tokens"),
+        (col("n_tokens") - size(TextOps.tokens(col("clean_text")))).as("acct"),
+        col("removed_tokens").as("rt"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(0) <= r.getLong(1), "removal exceeded duplicated coverage")
+      assert(r.getLong(2) == r.getLong(3), "token accounting mismatch")
+    }
+    assert(joined.map(_.getLong(0)).sum > 0, "synthetic corpus must trigger removal")
+  }
 }
