@@ -1038,7 +1038,13 @@ object PipelineQueries {
       val bench = docs.where(col("doc_id") < 50)
       val corpus = docs.where(col("doc_id") >= 50)
       val ok = corpus.where(TextOps.qualityBucket(col("text")) === "ok")
-      val deduped = Dedup.dropExactDuplicates(ok, "doc_id", "text")
+      // Materialize the deduped corpus ONCE: four consumers read it
+      // (signature build, near-dup anti-join, contamination grams, final
+      // projection) and Catalyst shares no subtrees across them — without
+      // this the scan → quality filter → fingerprint-window dedup subtree
+      // (a full shuffle) recomputes per consumer.
+      val deduped = Par.materialize(
+        Dedup.dropExactDuplicates(ok, "doc_id", "text"))
       val pairs = Dedup.minhashPairs(deduped, "doc_id", "text",
         bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
         maxBucketWidth = Some(64))
