@@ -588,6 +588,34 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with an explicit RETENTION POLICY: per
+    * transitive near-duplicate cluster keep the member maximizing `keepBy`
+    * (id-ascending tie-break), not the accidentally-smallest id — real
+    * pipelines keep the longest / highest-quality copy of a duplicate
+    * cluster, and min-id retention silently biases toward whatever arrived
+    * first. `keepBy` must be deterministic and orderable (e.g. a length,
+    * a quality score, a recency timestamp).
+    *
+    * Scale: the winner election runs only over CLUSTERED ids (the pair
+    * set's vertex set — tiny relative to the corpus), one window pass
+    * partitioned by component; the corpus is touched by one key join to
+    * fetch `keepBy` for those ids and one anti-join to drop the losers. */
+  def dropNearDuplicatesKeeping(df: DataFrame, idCol: String, textCol: String,
+      keepBy: Column,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double = 0.7, wordGrams: Option[Int] = None,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val cc = nearDupClusters(df, idCol, textCol, shingleK, bands, rowsPerBand,
+      threshold, wordGrams, maxBucketWidth)
+    val members = cc.join(
+      df.select(col(idCol).as("id"), keepBy.as("_kb")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("_kb").desc, col("id").asc)
+    val losers = members.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------- exact substring dedup
 
   /**

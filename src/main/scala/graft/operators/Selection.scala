@@ -117,6 +117,44 @@ object Selection {
     w.orderBy(keyCol.desc, col(idCol)).limit(k)
   }
 
+  /** Corpus-distribution divergence over `dim` hashed gram buckets —
+    * the mixing/drift observability a data pipeline runs before and after
+    * every re-weighting: KL(P‖Q), KL(Q‖P) and Jensen–Shannon divergence
+    * between the smoothed (add-1 over `dim` buckets) hashed-gram
+    * distributions of two corpora. Same feature space as [[dsirWeights]]
+    * (so "how far is my mix from the target" and "re-weight toward the
+    * target" read the same model).
+    *
+    * Scale: each corpus reduces to a ≤ `dim`-row distributed aggregate
+    * (the only corpus-sized work); the divergences are a dim-length driver
+    * loop over two metadata-sized arrays. Returns ONE row
+    * (kl_pq, kl_qp, jsd), each rounded to 6 decimals (engine-portable
+    * float contract — summation drift ≪ 1e-6 at any dim). */
+  def corpusDivergence(p: DataFrame, q: DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096, maxGram: Int = 1): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val pc = gramCounts(p, idCol, textCol, dim, maxGram)
+    val qc = gramCounts(q, idCol, textCol, dim, maxGram)
+    require(pc.sum > 0 && qc.sum > 0, "corpusDivergence: empty corpus")
+    val pt = pc.sum.toDouble + dim
+    val qt = qc.sum.toDouble + dim
+    var klPq = 0.0; var klQp = 0.0; var jsd = 0.0
+    var b = 0
+    while (b < dim) {
+      val pp = (pc(b) + 1) / pt
+      val qq = (qc(b) + 1) / qt
+      val m = (pp + qq) / 2
+      klPq += pp * math.log(pp / qq)
+      klQp += qq * math.log(qq / pp)
+      jsd += 0.5 * pp * math.log(pp / m) + 0.5 * qq * math.log(qq / m)
+      b += 1
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = p.sparkSession
+    import spark.implicits._
+    Seq((r6(klPq), r6(klQp), r6(jsd))).toDF("kl_pq", "kl_qp", "jsd")
+  }
+
   /** Aligned (prev, cur, "prev cur") rows for every token position i ≥ 2 —
     * the bigram stream a conditional LM scores. Docs with < 2 tokens emit
     * nothing (no conditional exists). */

@@ -1085,6 +1085,61 @@ object PipelineQueries {
              CAST(n - coalesce(agg.kept, 0) AS BIGINT) AS removed_tokens
       FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""")) { (s, dir) =>
       Dedup.removeDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
+    },
+
+    // Near-dup dedup with a RETENTION POLICY: per transitive cluster keep
+    // the LONGEST member (n_chars desc, doc_id tie-break) instead of the
+    // min id — the policy real pipelines run. Oracle: t15's recursive-CTE
+    // transitive closure, winner elected by the same ordering.
+    Q("t42_neardup_keep_longest", Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      cc(id, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, c.lbl FROM edges e JOIN cc c ON c.id = e.v WHERE c.lbl < e.u),
+      comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM cc GROUP BY id),
+      m AS (SELECT c.doc_id,
+              row_number() OVER (PARTITION BY c.component
+                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+      losers AS (SELECT doc_id FROM m WHERE rn > 1)
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)""")) { (s, dir) =>
+      Dedup.dropNearDuplicatesKeeping(tbl(s, dir, "documents"), "doc_id",
+          "text", keepBy = col("n_chars"),
+          bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+          maxBucketWidth = Some(64))
+        .select(col("doc_id"), col("n_chars"))
+    },
+
+    // Corpus-distribution divergence (mixing/drift observability): KL both
+    // directions + Jensen–Shannon between the target (doc_id < 50) and raw
+    // (doc_id >= 50) splits' smoothed hashed-unigram distributions — the
+    // DSIR feature space. The oracle rebuilds both bucket-count tables and
+    // the same add-1 formulas; summation drift ≪ the 6-decimal contract.
+    Q("t43_corpus_divergence", Some(s"""
+      WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS tk FROM documents),
+      pc AS (SELECT b, count(*) AS n FROM (SELECT ${obucket("t", 4096)} AS b
+               FROM (SELECT unnest(tk) AS t FROM tk WHERE doc_id >= 50)) GROUP BY 1),
+      qc AS (SELECT b, count(*) AS n FROM (SELECT ${obucket("t", 4096)} AS b
+               FROM (SELECT unnest(tk) AS t FROM tk WHERE doc_id < 50)) GROUP BY 1),
+      pt AS (SELECT CAST(coalesce(sum(n),0) + 4096 AS DOUBLE) AS t FROM pc),
+      qt AS (SELECT CAST(coalesce(sum(n),0) + 4096 AS DOUBLE) AS t FROM qc),
+      bb AS (SELECT unnest(range(0, 4096)) AS b),
+      j AS (SELECT (coalesce(pc.n,0) + 1) / (SELECT t FROM pt) AS pp,
+                   (coalesce(qc.n,0) + 1) / (SELECT t FROM qt) AS qq
+            FROM bb LEFT JOIN pc ON bb.b = pc.b LEFT JOIN qc ON bb.b = qc.b)
+      SELECT round(sum(pp * ln(pp / qq)), 6) AS kl_pq,
+             round(sum(qq * ln(qq / pp)), 6) AS kl_qp,
+             round(sum(0.5 * pp * ln(pp / ((pp + qq) / 2))
+                     + 0.5 * qq * ln(qq / ((pp + qq) / 2))), 6) AS jsd
+      FROM j""")) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Selection.corpusDivergence(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", "text")
     }
   )
 }

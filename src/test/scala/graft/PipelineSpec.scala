@@ -627,4 +627,48 @@ class PipelineSpec extends SparkSpec {
     }
     assert(joined.map(_.getLong(0)).sum > 0, "synthetic corpus must trigger removal")
   }
+
+  test("retention-policy near-dup dedup (t42): longest member survives each cluster") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+      maxBucketWidth = Some(64))
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      .collect().groupBy(_.getAs[Long]("component"))
+    assert(clusters.nonEmpty, "corpus must contain near-dup clusters")
+    val survivors = Dedup.dropNearDuplicatesKeeping(docs, "doc_id", "text",
+      keepBy = col("n_chars"),
+      bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+      maxBucketWidth = Some(64))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    clusters.values.foreach { members =>
+      val winner = members.minBy(r => (-r.getAs[Long]("n_chars"), r.getAs[Long]("id")))
+      members.foreach { m =>
+        val id = m.getAs[Long]("id")
+        assert(survivors.contains(id) == (id == winner.getAs[Long]("id")),
+          s"cluster ${members.map(_.getAs[Long]("id")).toSeq}: wrong survivor $id")
+      }
+    }
+    // unclustered docs all survive
+    val clustered = clusters.values.flatten.map(_.getAs[Long]("id")).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((all -- clustered).subsetOf(survivors))
+  }
+
+  test("corpus divergence (t43): non-negativity, symmetry, identity of indiscernibles") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+    val p = docs.where(col("doc_id") >= 50)
+    val q = docs.where(col("doc_id") < 50)
+    val r = Selection.corpusDivergence(p, q, "doc_id", "text").collect()(0)
+    val (klPq, klQp, jsd) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(klPq > 0 && klQp > 0, "distinct splits must diverge")
+    assert(jsd > 0 && jsd <= math.log(2) + 1e-9, "JSD bounded by ln 2")
+    val rev = Selection.corpusDivergence(q, p, "doc_id", "text").collect()(0)
+    assert(rev.getDouble(0) == klQp && rev.getDouble(1) == klPq)
+    assert(rev.getDouble(2) == jsd, "JSD must be symmetric")
+    val self = Selection.corpusDivergence(p, p, "doc_id", "text").collect()(0)
+    assert(self.getDouble(0) == 0.0 && self.getDouble(2) == 0.0)
+  }
 }
