@@ -220,6 +220,34 @@ object TextOps {
       coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0)))
   }
 
+  /** Deterministic global corpus SHUFFLE + sharding — the step between
+    * curation and training: documents must reach the trainer in a
+    * pseudo-random order decorrelated from ingest order (source runs,
+    * crawl locality), split into `nShards` equal-expectation shards, and
+    * the assignment must be REPRODUCIBLE (re-runs, engines, failure
+    * retries all agree — an RNG shuffle is none of these). Order key =
+    * 30-bit md5 bucket of (id, seed), id tie-break; shard = key mod
+    * nShards, so changing `seed` re-deals both shards and order.
+    *
+    * Returns (idCol, shard, position) with position 1..shardSize dense per
+    * shard. Scale: one hash-partitioned sort per shard (the window); size
+    * nShards so a shard fits an executor's write task (100 TB / ~1 GiB
+    * shards → ~10⁵ shards, each sort tiny). When only shard FILES are
+    * needed (no position column), skip the window entirely:
+    * `df.repartition(nShards, shardCol).sortWithinPartitions(orderCol)`
+    * writes the same order map-side. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val ord = hashBucket(concat_ws(":", col(idCol), lit(seed)), 1 << 30)
+    val shard = pmod(ord.cast("long"), lit(nShards.toLong)).cast(IntegerType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_ord"), col(idCol))
+    df.select(col(idCol), ord.as("_ord"), shard.as("shard"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("_ord")
+  }
+
   /** Keep `fraction` of rows, deterministically by id hash. Map-side
     * filter: no shuffle, no RNG state. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,

@@ -1140,6 +1140,22 @@ object PipelineQueries {
       Selection.corpusDivergence(
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
         "doc_id", "text")
+    },
+
+    // Deterministic global corpus shuffle + sharding (the pre-training
+    // "shuffle the corpus" step, reproducible across engines/retries):
+    // order = md5 bucket of (id, seed), shard = order mod n. The oracle
+    // replicates key, shard, and per-shard dense positions exactly.
+    Q("t44_corpus_shuffle", Some(s"""
+      WITH d AS (SELECT doc_id,
+              ${obucket("CAST(doc_id AS VARCHAR) || ':42'", 1 << 30)} AS ord
+            FROM documents)
+      SELECT doc_id, CAST(ord % 8 AS INTEGER) AS shard,
+             CAST(row_number() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id)
+               AS BIGINT) AS position
+      FROM d""")) { (s, dir) =>
+      TextOps.shuffleShards(tbl(s, dir, "documents"), "doc_id",
+        seed = 42L, nShards = 8)
     }
   )
 }

@@ -671,4 +671,33 @@ class PipelineSpec extends SparkSpec {
     val self = Selection.corpusDivergence(p, p, "doc_id", "text").collect()(0)
     assert(self.getDouble(0) == 0.0 && self.getDouble(2) == 0.0)
   }
+
+  test("corpus shuffle (t44): partition of the corpus, dense positions, seed sensitivity") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+    val n = docs.count()
+    val s1 = TextOps.shuffleShards(docs, "doc_id", seed = 42L, nShards = 8)
+    val rows = s1.collect()
+    assert(rows.length == n, "every document lands in exactly one shard")
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    // dense 1..size positions per shard
+    rows.groupBy(_.getInt(1)).foreach { case (_, ms) =>
+      assert(ms.map(_.getLong(2)).sorted.toSeq == (1L to ms.length).toSeq)
+    }
+    // deterministic: same seed reproduces bit-identically; different seed re-deals
+    val again = TextOps.shuffleShards(docs, "doc_id", seed = 42L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    val other = TextOps.shuffleShards(docs, "doc_id", seed = 7L, nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = rows.count(r => other(r.getLong(0)) != r.getInt(1))
+    assert(moved > n / 2, "a new seed must re-deal most shard assignments")
+    // shuffle decorrelates ingest order: within a shard, consecutive
+    // positions should not be consecutive doc_ids (allow a tiny accident)
+    val adjacent = rows.groupBy(_.getInt(1)).values.map { ms =>
+      val byPos = ms.sortBy(_.getLong(2)).map(_.getLong(0))
+      byPos.sliding(2).count { case Array(a, b) => b == a + 1; case _ => false }
+    }.sum
+    assert(adjacent < n / 20, s"shuffled order still tracks ingest order ($adjacent adjacent)")
+  }
 }
