@@ -588,6 +588,84 @@ class StreamingSpec extends SparkSpec {
     src.getBatch(None, org.apache.spark.sql.graft.VerOffset(0L, 2L))
     assert(pin() == "ns.ad@v2")
   }
+
+  test("streaming incremental curation: quality + exact + near-dup against the standing corpus") {
+    import graft.operators.{Dedup, TextOps}
+    // The daily-ingest loop as ONE streaming pipeline: raw appends stream in,
+    // each micro-batch is quality-gated, exact-deduped against the standing
+    // curated corpus (Bloom-gated), near-deduped against the persisted
+    // signature INDEX (corpus text untouched except verified candidates),
+    // intra-batch deduped, then appended to the curated table + index.
+    val root = tmpDir("graft-curate")
+    val cat = new GraftCatalog(spark, root)
+    val good1 = "the cat is on the mat and the dog is of the house and a bird sits by the door"
+    val good2 = "a storm is coming over the hills and the river runs fast under the old stone bridge"
+    val good3 = "the library holds a copy of the maps and the notes of the first voyage on the sea"
+    cat.writeToTable(Seq(
+      (1L, good1),
+      (2L, "tiny text")                       // quality: too_short
+    ).toDF("doc_id", "text"), "ns.raw")
+
+    def curateBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val ok = batch.where(TextOps.qualityBucket(col("text")) === "ok")
+      val standing = cat.tableExists("ns.cur")
+      val fresh =
+        if (!standing) ok
+        else Dedup.incrementalNew(ok, cat.readTable("ns.cur"), "doc_id", "text",
+          expectedCorpusItems = 1000L)
+      val noCorpusDup =
+        if (!standing) fresh
+        else {
+          val pairs = Dedup.incrementalNearDupPairs(fresh,
+            cat.readTable("ns.sig"), cat.readTable("ns.cur"), "doc_id", "text",
+            threshold = 0.7, wordGrams = Some(2))
+          fresh.join(pairs.select(col("id_new").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        }
+      val intraExact = Dedup.dropExactDuplicates(noCorpusDup, "doc_id", "text")
+      val intraPairs = Dedup.minhashPairs(intraExact, "doc_id", "text",
+        threshold = 0.7, wordGrams = Some(2))
+      val curated = intraExact.join(
+        intraPairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      if (curated.count() > 0) {
+        cat.writeToTable(curated, "ns.cur")
+        cat.writeToTable(
+          Dedup.minhashSignatures(curated, "doc_id", "text", wordGrams = Some(2)),
+          "ns.sig")
+      }
+    }
+
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.raw").load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("graft-curate-ck"))
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => curateBatch(b))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(cat.readTable("ns.cur").select("doc_id").as[Long].collect().toSet == Set(1L))
+
+      cat.writeToTable(Seq(
+        (3L, good1),                          // exact dup of standing doc 1
+        (4L, good1 + " today"),               // near-dup of standing doc 1
+        (5L, good2)                           // fresh
+      ).toDF("doc_id", "text"), "ns.raw", WriteMode.Append)
+      q.processAllAvailable()
+      assert(cat.readTable("ns.cur").select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 5L), "exact + near dup vs the standing corpus must be dropped")
+
+      cat.writeToTable(Seq(
+        (6L, good3),                          // intra-batch near-dup pair: keep 6
+        (7L, good3 + " again")                // drop 7 (larger id of the pair)
+      ).toDF("doc_id", "text"), "ns.raw", WriteMode.Append)
+      q.processAllAvailable()
+      assert(cat.readTable("ns.cur").select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 5L, 6L))
+      // the signature index tracks the curated corpus exactly
+      assert(cat.readTable("ns.sig").select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 5L, 6L))
+    } finally q.stop()
+  }
 }
 
 /** [[StreamingSpec]]'s simulated transient FS: local filesystem whose
