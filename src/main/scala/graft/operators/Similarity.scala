@@ -37,6 +37,33 @@ object Similarity {
     * should be routing through lshTopK/ivfTopK instead. */
   private val DefaultMaxBruteQueries = 10000L
 
+  /** Per-group mean embedding (class prototypes / cluster centroids from
+    * LABELED data — the supervised sibling of the IVF codebook): one row
+    * per distinct `groupCols` value with the component-wise mean of
+    * `vecCol` as `centroid: array<double>`.
+    *
+    * Engine-portable float contract: each component sums through an exact
+    * DECIMAL(27,12) (associativity-free — parallel partial aggregation
+    * cannot diverge from any other engine's sequential sum), divided by the
+    * exact count. Two map-side-combining aggregates: (group, dim) partial
+    * means, then per-group array assembly — (#groups × dim) rows after the
+    * first, metadata-sized at any corpus scale. */
+  def groupCentroids(df: DataFrame, vecCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val comp = df
+      .select(g :+ posexplode(col(vecCol)).as(Seq("i", "x")): _*)
+      .groupBy(g :+ col("i"): _*)
+      .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) /
+        count(lit(1))).as("m"))
+    comp
+      .groupBy(g: _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("i").as("i"), col("m").as("m")))),
+        s => s.getField("m")).as("centroid"))
+  }
+
   /**
    * Exact top-k cosine neighbors for each query vector — the labeled
    * BASELINE path: one corpus scan joined against a broadcast query set.

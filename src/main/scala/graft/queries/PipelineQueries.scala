@@ -1156,6 +1156,25 @@ object PipelineQueries {
       FROM d""")) { (s, dir) =>
       TextOps.shuffleShards(tbl(s, dir, "documents"), "doc_id",
         seed = 42L, nShards = 8)
+    },
+
+    // Per-label mean embeddings (class prototypes — the supervised sibling
+    // of the IVF codebook). Exact DECIMAL(27,12) component sums make the
+    // float means bit-portable; the oracle recomputes them sequentially.
+    Q("t45_label_centroids", Some("""
+      WITH e AS (SELECT label, len(embedding) AS d,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      u AS (SELECT label, CAST(r.i AS INT) - 1 AS i, v[CAST(r.i AS INT)] AS x
+            FROM e CROSS JOIN range(1, 65) AS r(i) WHERE r.i <= d)
+      SELECT label, i,
+             round(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9)
+               AS centroid
+      FROM u GROUP BY label, i""")) { (s, dir) =>
+      Similarity.groupCentroids(tbl(s, dir, "embeddings"), "embedding",
+          Seq("label"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("i", "centroid")))
+        .select(col("label"), col("i").cast(IntegerType).as("i"),
+          round(col("centroid"), 9).as("centroid"))
     }
   )
 }

@@ -700,4 +700,19 @@ class PipelineSpec extends SparkSpec {
     }.sum
     assert(adjacent < n / 20, s"shuffled order still tracks ingest order ($adjacent adjacent)")
   }
+
+  test("group centroids (t45): exact means, dimension order, group coverage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tiny = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(2.0f, -2.0f))).toDF("label", "embedding")
+    val c = Similarity.groupCentroids(tiny, "embedding", Seq("label")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c(0) == Seq(2.0, 4.0) && c(1) == Seq(2.0, -2.0))
+    val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
+    val cs = Similarity.groupCentroids(emb, "embedding", Seq("label"))
+    assert(cs.count() == emb.select("label").distinct().count())
+    assert(cs.select(size(col("centroid"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(64), "dims assemble in order, none lost")
+  }
 }
