@@ -715,4 +715,46 @@ class PipelineSpec extends SparkSpec {
     assert(cs.select(size(col("centroid"))).distinct()
       .collect().map(_.getInt(0)).toSeq == Seq(64), "dims assemble in order, none lost")
   }
+
+  test("span removal property: engine equals the in-memory reference on random corpora") {
+    import spark.implicits._
+    // Straight-line reference implementation of the removeDuplicateSpans
+    // contract: window strings (no hashing — md5 is injective here up to
+    // astronomically unlikely collisions), per-window canonical (id, start)
+    // minimum, coverage union, reconstruction.
+    def model(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      }.filter(_._2.nonEmpty)
+      val wins = for {
+        (id, tk) <- toks if tk.length >= k
+        s <- 1 to tk.length - k + 1
+      } yield (id, s, tk.slice(s - 1, s - 1 + k).mkString(" "))
+      val removed = wins.groupBy(_._3).values.filter(_.size >= 2)
+        .flatMap(_.sortBy(o => (o._1, o._2)).drop(1)).toSeq
+        .groupBy(_._1).map { case (id, os) => id -> os.map(_._2) }
+      toks.map { case (id, tk) =>
+        val cover = removed.getOrElse(id, Nil)
+          .flatMap(s => s until s + k).toSet
+        val keep = tk.zipWithIndex.collect {
+          case (t, i) if !cover.contains(i + 1) => t }
+        id -> ((keep.mkString(" "), tk.length.toLong,
+          (tk.length - keep.length).toLong))
+      }.toMap
+    }
+    val vocab = Vector("a", "b", "c", "d")
+    (0 until 5).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      // tiny vocab forces heavy window collisions incl. overlapping and
+      // intra-document repeats — the interval-edge cases
+      val docs = (1L to 8L).map { id =>
+        id -> Vector.fill(rnd.nextInt(21))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val got = Dedup.removeDuplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == model(docs, 3), s"trial $trial: engine diverged from model")
+    }
+  }
 }
