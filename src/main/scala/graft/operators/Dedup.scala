@@ -607,8 +607,12 @@ object Dedup {
       maxBucketWidth: Option[Int] = None): DataFrame = {
     val cc = nearDupClusters(df, idCol, textCol, shingleK, bands, rowsPerBand,
       threshold, wordGrams, maxBucketWidth)
+    // one keepBy row per id even under dirty duplicate-id input (two rows
+    // for the winning id would otherwise put the winner at rn=2 and drop
+    // the whole cluster); max = the value the policy prefers
     val members = cc.join(
-      df.select(col(idCol).as("id"), keepBy.as("_kb")), Seq("id"))
+      df.select(col(idCol).as("id"), keepBy.as("_kb"))
+        .groupBy("id").agg(max(col("_kb")).as("_kb")), Seq("id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(col("_kb").desc, col("id").asc)
     val losers = members.withColumn("_rn", row_number().over(w))
@@ -640,31 +644,43 @@ object Dedup {
    * Returns (id, n_tokens, dup_tokens, dup_ratio), one row per document
    * with ≥1 token; `id` keeps the input column name.
    */
-  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 50, minOccurrences: Int = 2): DataFrame = {
-    require(k >= 1 && minOccurrences >= 2, "k >= 1, minOccurrences >= 2")
-    // tokens + ALL window hashes in one projection per doc: the windows
-    // explode as (pos, hash) pairs so no row ever carries the token array
+  /** Shared ExactSubstr front end: (persisted per-doc frame, exploded
+    * window-start stream). The per-doc frame carries (id, [tk if
+    * `keepTokens`], n_tokens, whs); the stream is (id, s, h) with s
+    * 1-based. Callers MUST unpersist the returned frame.
+    *
+    * Window hashes are 16-byte binary md5, not the 32-char hex string: the
+    * window-row stream is the dominant shuffle at corpus scale and the
+    * hash is half the row — equality semantics are unchanged. The stream
+    * uses posexplode_OUTER: plain generators trigger
+    * InferFiltersFromGenerate, which would duplicate the whole window-hash
+    * expression into a pushed filter; outer infers nothing and the null
+    * row is dropped by name. */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int, keepTokens: Boolean): (DataFrame, DataFrame) = {
+    val tkCols = if (keepTokens) Seq(col("tk")) else Nil
     val toks = Par.widen(df)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) > 0)
-      .select(col("id"), size(col("tk")).cast("long").as("n_tokens"),
+      .select(col("id") +: tkCols ++: Seq(
+        size(col("tk")).cast("long").as("n_tokens"),
         when(size(col("tk")) >= k,
           transform(sequence(lit(1), size(col("tk")) - (k - 1)),
-            // 16-byte binary, not the 32-char hex string: the window-row
-            // stream is the dominant shuffle at corpus scale and the hash
-            // is half the row — equality semantics are unchanged
             s => unhex(md5(array_join(slice(col("tk"), s, lit(k)), " ")))))
-          .otherwise(array().cast("array<binary>")).as("whs"))
+          .otherwise(array().cast("array<binary>")).as("whs")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.count()
-    // posexplode_OUTER: plain generators trigger InferFiltersFromGenerate,
-    // which would duplicate the whole window-hash expression into a pushed
-    // filter; outer infers nothing and the null row is dropped by name
     val wins = toks
       .select(col("id"), posexplode_outer(col("whs")).as(Seq("p", "h")))
       .where(col("h").isNotNull)
       .select(col("id"), (col("p") + 1).cast("long").as("s"), col("h"))
+    (toks, wins)
+  }
+
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 1 && minOccurrences >= 2, "k >= 1, minOccurrences >= 2")
+    val (toks, wins) = spanWindows(df, idCol, textCol, k, keepTokens = false)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("_occ"))
       .where(col("_occ") >= minOccurrences).select("h")
     val dupStarts = wins.join(dup, Seq("h"), "left_semi")
@@ -691,17 +707,21 @@ object Dedup {
 
   /** ExactSubstr REMOVAL (the action [[duplicateSpanStats]] only reports):
    * rewrite each document with every non-canonical duplicated k-token span
-   * cut out, keeping exactly one copy per span corpus-wide (Lee et al.,
-   * "Deduplicating Training Data Makes Language Models Better", ACL'22
-   * §3.2 — reference deltacat has no counterpart; this is pipeline-layer).
+   * cut out (Lee et al., "Deduplicating Training Data Makes Language
+   * Models Better", ACL'22 §3.2 — reference deltacat has no counterpart;
+   * this is pipeline-layer).
    *
    * Semantics: a k-token window is duplicated when its hash occurs
    * `minOccurrences`+ times corpus-wide. Per duplicated hash the canonical
    * occurrence is the (id, start)-minimum; every OTHER occurrence marks its
-   * k token positions for removal. A document's surviving tokens are
-   * re-joined with single spaces, so `clean_text` is in the tokenizer's
-   * canonical form (lowercased, whitespace-normalized) — same convention as
-   * every other text operator here.
+   * k token positions for removal. The canonical occurrence is never
+   * removed FOR ITS OWN HASH, but an overlapping removal of a DIFFERENT
+   * duplicated hash may still clip it — so "one intact copy survives"
+   * holds for isolated spans, not through arbitrary overlaps (the same
+   * property as the paper's greedy span cutting). A document's surviving
+   * tokens are re-joined with single spaces, so `clean_text` is in the
+   * tokenizer's canonical form (lowercased, whitespace-normalized) — same
+   * convention as every other text operator here.
    *
    * Scale shape: one window-hash stream (id, pos, 16-byte hash) — token
    * arrays never shuffle; occurrence count + canonical election in ONE
@@ -718,22 +738,7 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 50, minOccurrences: Int = 2): DataFrame = {
     require(k >= 1 && minOccurrences >= 2, "k >= 1, minOccurrences >= 2")
-    val toks = Par.widen(df)
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) > 0)
-      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"),
-        when(size(col("tk")) >= k,
-          transform(sequence(lit(1), size(col("tk")) - (k - 1)),
-            s => unhex(md5(array_join(slice(col("tk"), s, lit(k)), " ")))))
-          .otherwise(array().cast("array<binary>")).as("whs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    toks.count()
-    // posexplode_outer: see duplicateSpanStats — plain generators trigger
-    // InferFiltersFromGenerate which re-embeds the window expression.
-    val wins = toks
-      .select(col("id"), posexplode_outer(col("whs")).as(Seq("p", "h")))
-      .where(col("h").isNotNull)
-      .select(col("id"), (col("p") + 1).cast("long").as("s"), col("h"))
+    val (toks, wins) = spanWindows(df, idCol, textCol, k, keepTokens = true)
     // ONE hash-partitioned pass elects the canonical occurrence AND counts
     // occurrences (vs groupBy+semi-join: same shuffle, one fewer join).
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")

@@ -131,7 +131,7 @@ object Selection {
     * (kl_pq, kl_qp, jsd), each rounded to 6 decimals (engine-portable
     * float contract — summation drift ≪ 1e-6 at any dim). */
   def corpusDivergence(p: DataFrame, q: DataFrame, idCol: String,
-      textCol: String, dim: Int = 4096, maxGram: Int = 1): DataFrame = {
+      textCol: String, dim: Int = 4096, maxGram: Int = 2): DataFrame = {
     require(dim > 0, "dim must be positive")
     val pc = gramCounts(p, idCol, textCol, dim, maxGram)
     val qc = gramCounts(q, idCol, textCol, dim, maxGram)

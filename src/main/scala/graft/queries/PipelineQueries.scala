@@ -1139,7 +1139,7 @@ object PipelineQueries {
       val docs = tbl(s, dir, "documents")
       Selection.corpusDivergence(
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
-        "doc_id", "text")
+        "doc_id", "text", maxGram = 1)
     },
 
     // Deterministic global corpus shuffle + sharding (the pre-training

@@ -661,14 +661,14 @@ class PipelineSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfd/documents.parquet")
     val p = docs.where(col("doc_id") >= 50)
     val q = docs.where(col("doc_id") < 50)
-    val r = Selection.corpusDivergence(p, q, "doc_id", "text").collect()(0)
+    val r = Selection.corpusDivergence(p, q, "doc_id", "text", maxGram = 1).collect()(0)
     val (klPq, klQp, jsd) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
     assert(klPq > 0 && klQp > 0, "distinct splits must diverge")
     assert(jsd > 0 && jsd <= math.log(2) + 1e-9, "JSD bounded by ln 2")
-    val rev = Selection.corpusDivergence(q, p, "doc_id", "text").collect()(0)
+    val rev = Selection.corpusDivergence(q, p, "doc_id", "text", maxGram = 1).collect()(0)
     assert(rev.getDouble(0) == klQp && rev.getDouble(1) == klPq)
     assert(rev.getDouble(2) == jsd, "JSD must be symmetric")
-    val self = Selection.corpusDivergence(p, p, "doc_id", "text").collect()(0)
+    val self = Selection.corpusDivergence(p, p, "doc_id", "text").collect()(0) // default bigram space
     assert(self.getDouble(0) == 0.0 && self.getDouble(2) == 0.0)
   }
 

@@ -625,8 +625,8 @@ class StreamingSpec extends SparkSpec {
       val intraExact = Dedup.dropExactDuplicates(noCorpusDup, "doc_id", "text")
       val intraPairs = Dedup.minhashPairs(intraExact, "doc_id", "text",
         threshold = 0.7, wordGrams = Some(2))
-      val curated = intraExact.join(
-        intraPairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val curated = graft.operators.Par.materialize(intraExact.join(
+        intraPairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
       if (curated.count() > 0) {
         cat.writeToTable(curated, "ns.cur")
         cat.writeToTable(
