@@ -124,6 +124,61 @@ object Similarity {
         }.reduce(_.bitwiseOR(_))).cast(TableBucketStruct))
   }
 
+  /** Cross-table embedding-cosine similarity JOIN — the semantic sibling
+    * of [[graft.operators.Dedup.minhashJoin]]: every (left, right) pair
+    * with exact cosine ≥ threshold, candidates from shared
+    * sign-random-projection buckets (equi-join on (table, bucket), no
+    * cross product). The semantic-decontamination / eval-overlap-audit
+    * shape: LEFT = the corpus under audit, RIGHT = the reference/benchmark
+    * set. NOT a wrapper over [[embeddingNearDupPairs]] — that path is
+    * single-table and drops id_a ≥ id_b pairs, which is wrong across two
+    * unrelated id spaces (same reasoning as minhashJoin vs the
+    * incremental path).
+    *
+    * `maxBucketWidth` caps hot buckets on the LEFT (unbounded/corpus)
+    * side — one degenerate bucket (near-zero vectors, boilerplate
+    * embeddings) otherwise dominates the join; the right side is the
+    * bounded reference set. Returns (id_left, id_right, cos ROUNDED to
+    * 9 decimals — the engine-stable contract every cosine op here uses). */
+  def embeddingJoin(left: DataFrame, right: DataFrame,
+      leftIdCol: String, rightIdCol: String, vecCol: String,
+      threshold: Double, tables: Int = 12, bitsPerTable: Int = 4,
+      seed: Long = 7L, maxBucketWidth: Option[Int] = None): DataFrame = {
+    val empty = left.sparkSession.emptyDataFrame
+      .withColumn("id_left", lit(null).cast(left.schema(leftIdCol).dataType))
+      .withColumn("id_right", lit(null).cast(right.schema(rightIdCol).dataType))
+      .withColumn("cos", lit(0.0)).limit(0)
+    val dim = dimOf(left, vecCol).orElse(dimOf(right, vecCol))
+      .getOrElse(return empty)
+    val pl = planes(tables, bitsPerTable, dim, seed)
+    def bucketRows(df: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+      val vecs = Par.widen(df)
+        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      val rows = vecs.withColumn("tb", explode(bucketCols(col("vec"), pl)))
+        .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      (vecs, rows)
+    }
+    val (lVecs, lRows0) = bucketRows(left, leftIdCol)
+    val (rVecs, rRows) = bucketRows(right, rightIdCol)
+    val lRows = maxBucketWidth match {
+      case None => lRows0
+      case Some(w) =>
+        val keep = lRows0.groupBy("table", "bucket")
+          .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
+          .select(col("table"), col("bucket"))
+        lRows0.join(keep, Seq("table", "bucket"), "left_semi")
+    }
+    lRows.as("a").join(rRows.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_left"), col("b.id").as("id_right"))
+      .distinct()
+      .join(lVecs.select(col("id"), col("vec").as("va")), col("id_left") === col("id")).drop("id")
+      .join(rVecs.select(col("id"), col("vec").as("vb")), col("id_right") === col("id")).drop("id")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 9))
+      .where(col("cos") >= threshold)
+      .select("id_left", "id_right", "cos")
+  }
+
   /**
    * Embedding-cosine near-duplicate PAIRS: candidates share a
    * sign-random-projection bucket in any hash table (equi-join, no cross

@@ -1175,6 +1175,27 @@ object PipelineQueries {
         .select(col("label"), posexplode(col("centroid")).as(Seq("i", "centroid")))
         .select(col("label"), col("i").cast(IntegerType).as("i"),
           round(col("centroid"), 9).as("centroid"))
+    },
+
+    // Cross-table SEMANTIC join (decontamination / eval-overlap audit in
+    // embedding space): corpus vectors (vec_id >= 50) cosine-matched
+    // against a benchmark set (vec_id < 50) through the shared LSH
+    // buckets — the embedding sibling of t33's lexical cross-corpus join.
+    // The oracle replicates candidate generation + exact-cosine verify.
+    Q("t46_semantic_join", Some(s"""
+      WITH ${lshBucketCtes(12, 4, 64, 7)},
+      cand AS (SELECT DISTINCT l.vec_id AS id_left, r.vec_id AS id_right
+               FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket
+               WHERE l.vec_id >= 50 AND r.vec_id < 50),
+      s AS (SELECT id_left, id_right,
+              round(list_dot_product(le.v, re.v) / (sqrt(list_dot_product(le.v, le.v)) * sqrt(list_dot_product(re.v, re.v))), 9) AS cos
+            FROM cand JOIN e le ON le.vec_id = cand.id_left
+                      JOIN e re ON re.vec_id = cand.id_right)
+      SELECT id_left, id_right, cos FROM s WHERE cos >= 0.42""")) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.embeddingJoin(
+        emb.where(col("vec_id") >= 50), emb.where(col("vec_id") < 50),
+        "vec_id", "vec_id", "embedding", threshold = 0.42)
     }
   )
 }

@@ -757,4 +757,33 @@ class PipelineSpec extends SparkSpec {
       assert(got == model(docs, 3), s"trial $trial: engine diverged from model")
     }
   }
+
+  test("semantic cross-table join (t46): contract vs brute force, no cross product, id-space safety") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
+    val left = emb.where(col("vec_id") >= 50)
+    val right = emb.where(col("vec_id") < 50)
+    val joined = Similarity.embeddingJoin(left, right, "vec_id", "vec_id",
+      "embedding", threshold = 0.42)
+    assertNoCartesian(joined)
+    val got = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every returned pair is a true cross-split match above threshold
+    got.foreach { case (l, r, c) =>
+      assert(l >= 50 && r < 50 && c >= 0.42, s"bad pair ($l,$r,$c)") }
+    assert(got.nonEmpty, "synthetic embeddings must produce cross-split matches")
+    // candidate-contract check: pairs whose exact cosine clears the
+    // threshold AND that share an LSH bucket are exactly the result —
+    // replicate with the single-table op on a shifted-id union (shift
+    // keeps the two sides' ids disjoint so a<b ordering splits cleanly)
+    val shifted = right.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val viaSingle = Similarity.embeddingNearDupPairs(
+      left.select("vec_id", "embedding").unionByName(shifted),
+      "vec_id", "embedding", threshold = 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { case (a, b, c) if b >= 1000000L && a < 1000000L => (a, b - 1000000L, c) }
+      .toSet
+    assert(got == viaSingle, s"cross-table join diverges from the single-table reference " +
+      s"(${got.size} vs ${viaSingle.size})")
+  }
 }
