@@ -236,11 +236,22 @@ object TextOps {
     * needed (no position column), skip the window entirely:
     * `df.repartition(nShards, shardCol).sortWithinPartitions(orderCol)`
     * writes the same order map-side. */
+  /** [[shuffleShards]]'s order key as a standalone Column — the single
+    * definition behind the Scala operator and the `graft_shard` SQL
+    * function (shard = shardOrder mod nShards). */
+  def shardOrder(id: Column, seed: Column): Column =
+    hashBucket(concat_ws(":", id, seed), lit(1 << 30))
+
+  /** Deterministic shard assignment: [[shardOrder]] mod `nShards`. */
+  def shardOf(id: Column, seed: Column, nShards: Column): Column =
+    pmod(shardOrder(id, seed).cast("long"), nShards.cast("long"))
+      .cast(IntegerType)
+
   def shuffleShards(df: DataFrame, idCol: String, seed: Long,
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val ord = hashBucket(concat_ws(":", col(idCol), lit(seed)), 1 << 30)
-    val shard = pmod(ord.cast("long"), lit(nShards.toLong)).cast(IntegerType)
+    val ord = shardOrder(col(idCol), lit(seed))
+    val shard = shardOf(col(idCol), lit(seed), lit(nShards))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("_ord"), col(idCol))
     df.select(col(idCol), ord.as("_ord"), shard.as("shard"))

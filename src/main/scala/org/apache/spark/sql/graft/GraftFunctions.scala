@@ -15,6 +15,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
  *   graft_simhash(text)      64-bit SimHash signature
  *   graft_lang(text)         n-gram-marker language id
  *   graft_hash_bucket(id, n) deterministic md5 bucket in [0, n)
+ *   graft_token_count(text)  whitespace token count
+ *   graft_quality(text)      heuristic quality bucket (ok/too_short/...)
+ *   graft_shard(id, seed, n) deterministic training-shard assignment
  *
  * Two registration paths: `GraftSparkExtensions` injects them at session
  * build (`spark.sql.extensions=graft.spark.GraftSparkExtensions`), and
@@ -52,7 +55,13 @@ object GraftFunctions {
     ("graft_lang", 1,
       args => e(graft.operators.TextOps.langId(c(args(0))))),
     ("graft_hash_bucket", 2,
-      args => e(graft.operators.TextOps.hashBucket(c(args(0)), c(args(1))))))
+      args => e(graft.operators.TextOps.hashBucket(c(args(0)), c(args(1))))),
+    ("graft_token_count", 1,
+      args => e(graft.operators.TextOps.tokenCount(c(args(0))))),
+    ("graft_quality", 1,
+      args => e(graft.operators.TextOps.qualityBucket(c(args(0))))),
+    ("graft_shard", 3,
+      args => e(graft.operators.TextOps.shardOf(c(args(0)), c(args(1)), c(args(2))))))
 
   private def checkedBuilder(name: String, arity: Int,
       b: Seq[Expression] => Expression): Seq[Expression] => Expression =

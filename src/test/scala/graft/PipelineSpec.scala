@@ -188,6 +188,19 @@ class PipelineSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("bucket") >= 0 && r.getAs[Int]("bucket") < 10))
     // arity misuse fails analysis, not execution
     intercept[Exception](spark.sql("SELECT graft_dot(a) FROM fx").collect())
+
+    // curation primitives: SQL ≡ Column API, incl. the shard contract
+    val cur = spark.sql("""
+      SELECT id, graft_token_count(text) AS tc, graft_quality(text) AS q,
+             graft_shard(id, 42, 8) AS sh
+      FROM fx""").collect().sortBy(_.getLong(0))
+    assert(cur(0).getAs[Long]("tc") == 2L)
+    assert(cur(0).getAs[String]("q") == "too_short")
+    val apiShard = Seq(1L, 2L).toDF("id")
+      .select(TextOps.shardOf(col("id"), lit(42L), lit(8)).as("sh"))
+      .collect().map(_.getInt(0))
+    assert(cur.map(_.getAs[Int]("sh")).toSeq == apiShard.toSeq,
+      "graft_shard must match TextOps.shardOf / shuffleShards")
   }
 
   test("decontamination: planted benchmark n-gram flags the training doc") {
