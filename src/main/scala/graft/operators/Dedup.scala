@@ -607,12 +607,15 @@ object Dedup {
       maxBucketWidth: Option[Int] = None): DataFrame = {
     val cc = nearDupClusters(df, idCol, textCol, shingleK, bands, rowsPerBand,
       threshold, wordGrams, maxBucketWidth)
-    // one keepBy row per id even under dirty duplicate-id input (two rows
-    // for the winning id would otherwise put the winner at rn=2 and drop
-    // the whole cluster); max = the value the policy prefers
+    // Join the tiny cluster set to the corpus FIRST (map-side against a
+    // broadcast cc), THEN collapse to one keepBy row per id — the
+    // aggregate runs over cluster-sized rows only, never shuffling the
+    // corpus. One row per id even under dirty duplicate-id input (two
+    // rows for the winning id would otherwise put the winner at rn=2 and
+    // drop the whole cluster); max = the value the policy prefers.
     val members = cc.join(
-      df.select(col(idCol).as("id"), keepBy.as("_kb"))
-        .groupBy("id").agg(max(col("_kb")).as("_kb")), Seq("id"))
+        df.select(col(idCol).as("id"), keepBy.as("_kb")), Seq("id"))
+      .groupBy("id", "component").agg(max(col("_kb")).as("_kb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(col("_kb").desc, col("id").asc)
     val losers = members.withColumn("_rn", row_number().over(w))

@@ -51,16 +51,33 @@ object Similarity {
   def groupCentroids(df: DataFrame, vecCol: String,
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(!groupCols.contains("centroid"),
+      "a grouping column named 'centroid' would collide with the output")
     val g = groupCols.map(col)
+    // _gc_-prefixed internals: a user grouping column named "i"/"x"/"m"
+    // must not collide (same convention as _kb/_rn/_occ elsewhere)
+    val x = col("_gc_x")
+    // NaN/±Inf/overflow handling: the DECIMAL cast cannot represent them
+    // (ANSI would crash; non-ANSI would silently drop from the sum while
+    // still counted) — so poisoned components are excluded from the
+    // decimal sum and the affected (group, dim) mean is NaN, matching how
+    // cosine/dot propagate NaN rather than fabricating a biased value.
+    val bad = x.isNaN || x === Double.PositiveInfinity ||
+      x === Double.NegativeInfinity || abs(x) >= 1e14
     val comp = df
-      .select(g :+ posexplode(col(vecCol)).as(Seq("i", "x")): _*)
-      .groupBy(g :+ col("i"): _*)
-      .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) /
-        count(lit(1))).as("m"))
+      .select(g :+ posexplode(col(vecCol)).as(Seq("_gc_i", "_gc_x")): _*)
+      .groupBy(g :+ col("_gc_i"): _*)
+      .agg(
+        (sum(when(bad, lit(null)).otherwise(x.cast(DoubleType))
+          .cast(DecimalType(27, 12))).cast(DoubleType) /
+          count(lit(1))).as("_gc_m0"),
+        max(when(bad, true).otherwise(false)).as("_gc_bad"))
+      .select(g :+ col("_gc_i") :+
+        when(col("_gc_bad"), lit(Double.NaN)).otherwise(col("_gc_m0")).as("_gc_m"): _*)
     comp
       .groupBy(g: _*)
       .agg(transform(
-        array_sort(collect_list(struct(col("i").as("i"), col("m").as("m")))),
+        array_sort(collect_list(struct(col("_gc_i").as("i"), col("_gc_m").as("m")))),
         s => s.getField("m")).as("centroid"))
   }
 
@@ -129,15 +146,17 @@ object Similarity {
     * with exact cosine ≥ threshold, candidates from shared
     * sign-random-projection buckets (equi-join on (table, bucket), no
     * cross product). The semantic-decontamination / eval-overlap-audit
-    * shape: LEFT = the corpus under audit, RIGHT = the reference/benchmark
-    * set. NOT a wrapper over [[embeddingNearDupPairs]] — that path is
-    * single-table and drops id_a ≥ id_b pairs, which is wrong across two
-    * unrelated id spaces (same reasoning as minhashJoin vs the
-    * incremental path).
+    * shape: LEFT = the bounded reference/benchmark set, RIGHT = the
+    * unbounded corpus under audit — the SAME argument convention as
+    * [[graft.operators.Dedup.minhashJoin]], so a pipeline running both
+    * passes its tables in one order. NOT a wrapper over
+    * [[embeddingNearDupPairs]] — that path is single-table and drops
+    * id_a ≥ id_b pairs, which is wrong across two unrelated id spaces
+    * (same reasoning as minhashJoin vs the incremental path).
     *
-    * `maxBucketWidth` caps hot buckets on the LEFT (unbounded/corpus)
+    * `maxBucketWidth` caps hot buckets on the RIGHT (unbounded/corpus)
     * side — one degenerate bucket (near-zero vectors, boilerplate
-    * embeddings) otherwise dominates the join; the right side is the
+    * embeddings) otherwise dominates the join; the left side is the
     * bounded reference set. Returns (id_left, id_right, cos ROUNDED to
     * 9 decimals — the engine-stable contract every cosine op here uses). */
   def embeddingJoin(left: DataFrame, right: DataFrame,
@@ -158,15 +177,15 @@ object Similarity {
         .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       (vecs, rows)
     }
-    val (lVecs, lRows0) = bucketRows(left, leftIdCol)
-    val (rVecs, rRows) = bucketRows(right, rightIdCol)
-    val lRows = maxBucketWidth match {
-      case None => lRows0
+    val (lVecs, lRows) = bucketRows(left, leftIdCol)
+    val (rVecs, rRows0) = bucketRows(right, rightIdCol)
+    val rRows = maxBucketWidth match {
+      case None => rRows0
       case Some(w) =>
-        val keep = lRows0.groupBy("table", "bucket")
+        val keep = rRows0.groupBy("table", "bucket")
           .agg(count(lit(1)).as("_w")).where(col("_w") <= w)
           .select(col("table"), col("bucket"))
-        lRows0.join(keep, Seq("table", "bucket"), "left_semi")
+        rRows0.join(keep, Seq("table", "bucket"), "left_semi")
     }
     lRows.as("a").join(rRows.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))

@@ -242,10 +242,18 @@ object TextOps {
   def shardOrder(id: Column, seed: Column): Column =
     hashBucket(concat_ws(":", id, seed), lit(1 << 30))
 
-  /** Deterministic shard assignment: [[shardOrder]] mod `nShards`. */
-  def shardOf(id: Column, seed: Column, nShards: Column): Column =
-    pmod(shardOrder(id, seed).cast("long"), nShards.cast("long"))
-      .cast(IntegerType)
+  /** Deterministic shard assignment: [[shardOrder]] mod `nShards`. Fails
+    * fast (raise_error, evaluated lazily per branch) on nShards ≤ 0 —
+    * the SQL surface (`graft_shard`) has no static require, and pmod
+    * would otherwise throw DIVIDE_BY_ZERO mid-job under ANSI or return
+    * all-NULL shards without it. */
+  def shardOf(id: Column, seed: Column, nShards: Column): Column = {
+    val n = nShards.cast("long")
+    when(n <= 0, raise_error(
+        concat(lit("graft_shard: nShards must be positive, got "), n.cast("string")))
+      .cast(IntegerType))
+      .otherwise(pmod(shardOrder(id, seed).cast("long"), n).cast(IntegerType))
+  }
 
   def shuffleShards(df: DataFrame, idCol: String, seed: Long,
       nShards: Int): DataFrame = {

@@ -1116,15 +1116,19 @@ object PipelineQueries {
 
     // Corpus-distribution divergence (mixing/drift observability): KL both
     // directions + Jensen–Shannon between the target (doc_id < 50) and raw
-    // (doc_id >= 50) splits' smoothed hashed-unigram distributions — the
-    // DSIR feature space. The oracle rebuilds both bucket-count tables and
-    // the same add-1 formulas; summation drift ≪ the 6-decimal contract.
+    // (doc_id >= 50) splits' smoothed hashed-gram distributions in the
+    // DEFAULT DSIR feature space (unigrams + bigrams — t32's gram stream).
+    // The oracle rebuilds both bucket-count tables and the same add-1
+    // formulas; summation drift ≪ the 6-decimal contract.
     Q("t43_corpus_divergence", Some(s"""
       WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'\\S+') AS tk FROM documents),
-      pc AS (SELECT b, count(*) AS n FROM (SELECT ${obucket("t", 4096)} AS b
-               FROM (SELECT unnest(tk) AS t FROM tk WHERE doc_id >= 50)) GROUP BY 1),
-      qc AS (SELECT b, count(*) AS n FROM (SELECT ${obucket("t", 4096)} AS b
-               FROM (SELECT unnest(tk) AS t FROM tk WHERE doc_id < 50)) GROUP BY 1),
+      g0 AS (SELECT doc_id, unnest(list_concat(
+               list_transform(range(1, greatest(len(tk),1)+1), i -> array_to_string(tk[i:i],' ')),
+               list_transform(range(1, greatest(len(tk)-1,1)+1), i -> array_to_string(tk[i:i+1],' ')))) AS gr
+             FROM tk),
+      g AS (SELECT doc_id, ${obucket("gr", 4096)} AS b FROM g0 WHERE gr <> ''),
+      pc AS (SELECT b, count(*) AS n FROM g WHERE doc_id >= 50 GROUP BY b),
+      qc AS (SELECT b, count(*) AS n FROM g WHERE doc_id < 50 GROUP BY b),
       pt AS (SELECT CAST(coalesce(sum(n),0) + 4096 AS DOUBLE) AS t FROM pc),
       qt AS (SELECT CAST(coalesce(sum(n),0) + 4096 AS DOUBLE) AS t FROM qc),
       bb AS (SELECT unnest(range(0, 4096)) AS b),
@@ -1139,7 +1143,7 @@ object PipelineQueries {
       val docs = tbl(s, dir, "documents")
       Selection.corpusDivergence(
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
-        "doc_id", "text", maxGram = 1)
+        "doc_id", "text")
     },
 
     // Deterministic global corpus shuffle + sharding (the pre-training
@@ -1178,15 +1182,16 @@ object PipelineQueries {
     },
 
     // Cross-table SEMANTIC join (decontamination / eval-overlap audit in
-    // embedding space): corpus vectors (vec_id >= 50) cosine-matched
-    // against a benchmark set (vec_id < 50) through the shared LSH
+    // embedding space): a benchmark set (vec_id < 50, the bounded LEFT)
+    // cosine-matched against corpus vectors (vec_id >= 50, the unbounded
+    // RIGHT — minhashJoin's argument convention) through the shared LSH
     // buckets — the embedding sibling of t33's lexical cross-corpus join.
     // The oracle replicates candidate generation + exact-cosine verify.
     Q("t46_semantic_join", Some(s"""
       WITH ${lshBucketCtes(12, 4, 64, 7)},
       cand AS (SELECT DISTINCT l.vec_id AS id_left, r.vec_id AS id_right
                FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket
-               WHERE l.vec_id >= 50 AND r.vec_id < 50),
+               WHERE l.vec_id < 50 AND r.vec_id >= 50),
       s AS (SELECT id_left, id_right,
               round(list_dot_product(le.v, re.v) / (sqrt(list_dot_product(le.v, le.v)) * sqrt(list_dot_product(re.v, re.v))), 9) AS cos
             FROM cand JOIN e le ON le.vec_id = cand.id_left
@@ -1194,7 +1199,7 @@ object PipelineQueries {
       SELECT id_left, id_right, cos FROM s WHERE cos >= 0.42""")) { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Similarity.embeddingJoin(
-        emb.where(col("vec_id") >= 50), emb.where(col("vec_id") < 50),
+        emb.where(col("vec_id") < 50), emb.where(col("vec_id") >= 50),
         "vec_id", "vec_id", "embedding", threshold = 0.42)
     }
   )

@@ -201,6 +201,12 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(cur.map(_.getAs[Int]("sh")).toSeq == apiShard.toSeq,
       "graft_shard must match TextOps.shardOf / shuffleShards")
+    // nShards <= 0 fails fast with the operator's message, not a
+    // mid-job DIVIDE_BY_ZERO / silent NULL
+    val bad = intercept[Exception](
+      spark.sql("SELECT graft_shard(id, 42, 0) FROM fx").collect())
+    assert(bad.getMessage.contains("nShards must be positive") ||
+      Option(bad.getCause).exists(_.getMessage.contains("nShards must be positive")))
   }
 
   test("decontamination: planted benchmark n-gram flags the training doc") {
@@ -674,14 +680,14 @@ class PipelineSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfd/documents.parquet")
     val p = docs.where(col("doc_id") >= 50)
     val q = docs.where(col("doc_id") < 50)
-    val r = Selection.corpusDivergence(p, q, "doc_id", "text", maxGram = 1).collect()(0)
+    val r = Selection.corpusDivergence(p, q, "doc_id", "text").collect()(0)
     val (klPq, klQp, jsd) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
     assert(klPq > 0 && klQp > 0, "distinct splits must diverge")
     assert(jsd > 0 && jsd <= math.log(2) + 1e-9, "JSD bounded by ln 2")
-    val rev = Selection.corpusDivergence(q, p, "doc_id", "text", maxGram = 1).collect()(0)
+    val rev = Selection.corpusDivergence(q, p, "doc_id", "text").collect()(0)
     assert(rev.getDouble(0) == klQp && rev.getDouble(1) == klPq)
     assert(rev.getDouble(2) == jsd, "JSD must be symmetric")
-    val self = Selection.corpusDivergence(p, p, "doc_id", "text").collect()(0) // default bigram space
+    val self = Selection.corpusDivergence(p, p, "doc_id", "text").collect()(0)
     assert(self.getDouble(0) == 0.0 && self.getDouble(2) == 0.0)
   }
 
@@ -727,6 +733,14 @@ class PipelineSpec extends SparkSpec {
     assert(cs.count() == emb.select("label").distinct().count())
     assert(cs.select(size(col("centroid"))).distinct()
       .collect().map(_.getInt(0)).toSeq == Seq(64), "dims assemble in order, none lost")
+    // a poisoned component propagates NaN for ITS dim only (never a
+    // silently biased mean), and user columns named i/x/m don't collide
+    val poisoned = Seq((0, Array(Float.NaN, 2.0f)), (0, Array(2.0f, 4.0f)))
+      .toDF("i", "embedding")
+    val pc = Similarity.groupCentroids(poisoned, "embedding", Seq("i"))
+      .collect()(0).getSeq[Double](1)
+    assert(pc(0).isNaN, s"NaN component must poison its dim, got ${pc(0)}")
+    assert(pc(1) == 3.0, s"clean dim must stay exact, got ${pc(1)}")
   }
 
   test("span removal property: engine equals the in-memory reference on random corpora") {
@@ -774,8 +788,8 @@ class PipelineSpec extends SparkSpec {
   test("semantic cross-table join (t46): contract vs brute force, no cross product, id-space safety") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
-    val left = emb.where(col("vec_id") >= 50)
-    val right = emb.where(col("vec_id") < 50)
+    val left = emb.where(col("vec_id") < 50)   // bounded benchmark side
+    val right = emb.where(col("vec_id") >= 50) // unbounded corpus side
     val joined = Similarity.embeddingJoin(left, right, "vec_id", "vec_id",
       "embedding", threshold = 0.42)
     assertNoCartesian(joined)
@@ -783,7 +797,7 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // every returned pair is a true cross-split match above threshold
     got.foreach { case (l, r, c) =>
-      assert(l >= 50 && r < 50 && c >= 0.42, s"bad pair ($l,$r,$c)") }
+      assert(l < 50 && r >= 50 && c >= 0.42, s"bad pair ($l,$r,$c)") }
     assert(got.nonEmpty, "synthetic embeddings must produce cross-split matches")
     // candidate-contract check: pairs whose exact cosine clears the
     // threshold AND that share an LSH bucket are exactly the result —
