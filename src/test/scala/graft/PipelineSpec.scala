@@ -209,6 +209,47 @@ class PipelineSpec extends SparkSpec {
       Option(bad.getCause).exists(_.getMessage.contains("nShards must be positive")))
   }
 
+  test("training hand-off: shuffled shards persist in order through partitioned catalog writes") {
+    import graft.catalog._
+    import graft.model._
+    // The last mile: shuffleShards' assignment materialized as a
+    // shard-partitioned catalog table whose compacted files are sorted by
+    // the shuffle position — a trainer streams each shard's files
+    // sequentially and sees exactly the deterministic shuffle order, and
+    // a per-shard reader plans only its own partition's files.
+    val docs = spark.read.parquet(s"$sfd/documents.parquet").select("doc_id", "text")
+    val sharded = docs.join(
+      TextOps.shuffleShards(docs, "doc_id", seed = 42L, nShards = 4), Seq("doc_id"))
+    val cat = new GraftCatalog(spark, tmpDir("graft-handoff"))
+    cat.createTable("ns.shards", sharded.schema,
+      partitionScheme = PartitionScheme(Seq(PartitionKey("shard"))))
+    // the shuffleShards scaladoc's map-side recipe: co-locate each shard,
+    // sort within it; the catalog's append write (partitionBy, no
+    // shuffle) preserves task order into the shard files
+    cat.writeToTable(
+      sharded.repartition(4, col("shard")).sortWithinPartitions("position"),
+      "ns.shards", WriteMode.Add)
+    // partition pruning: a per-shard read plans only that shard's files
+    val all = cat.readTable("ns.shards")
+    val one = cat.readTable("ns.shards",
+      ReadOptions(partitionValues = Some(Map("shard" -> "2"))))
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(_.contains("_g_p_shard_identity=2")))
+    assert(one.inputFiles.length < all.inputFiles.length)
+    // in-file order = shuffle order: position is sorted within every file
+    val perFile = cat.readTable("ns.shards", ReadOptions(withFilePath = true))
+      .select(col("_file_path").as("f"), col("shard"), col("position"))
+      .collect().groupBy(_.getString(0))
+    assert(perFile.nonEmpty)
+    perFile.foreach { case (f, rows) =>
+      assert(rows.map(_.getInt(1)).distinct.length == 1, s"$f mixes shards")
+      val pos = rows.map(_.getLong(2)).toSeq
+      assert(pos == pos.sorted, s"$f not in shuffle order")
+    }
+    // round trip preserves the full assignment
+    assert(all.count() == docs.count())
+  }
+
   test("decontamination: planted benchmark n-gram flags the training doc") {
     val bench = Seq((100L, "what is the capital of france paris is the answer"))
       .toDF("doc_id", "text")
