@@ -115,15 +115,52 @@ object Compactor {
         .format(ct.format).options(ct.readOptions).load(paths: _*)
 
       val delta: DeltaMeta =
-        if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty) {
-          // Append-only table: compaction is pure manifest folding — zero
-          // data movement (every file is copied by reference).
+        if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty && sortScheme.isEmpty) {
+          // Append-only table, no declared clustering: compaction is pure
+          // manifest folding — zero data movement (every file is copied by
+          // reference).
           val entries = (base.toSeq ++ pending).flatMap(_.entries)
           val records = (base.toSeq ++ pending)
             .map(_.properties.getOrElse("record_count", "0").toLong).sum
           DeltaMeta(rev, DeltaType.Add.name, entries, txn.txnId, maxPos,
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> records.toString))
+        } else if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty) {
+          // Append-only + declared SORT scheme: a pure manifest fold would
+          // silently never apply the scheme (appends land unsorted and
+          // nothing else rewrites them), so range skipping on the sort
+          // column would quietly degrade forever. INCREMENTAL like the
+          // z-order branch below: a base already materialized under the
+          // same sort keys is copied by reference; only the pending tail
+          // (plus a base sorted under different keys) rewrites.
+          val sTag = sortScheme.keys
+            .map(k => s"${k.field}:${if (k.ascending) "asc" else "desc"}").mkString(",")
+          val (refDeltas, rewriteDeltas) =
+            if (base.exists(_.properties.get("sorted").contains(sTag)))
+              (base.toSeq, pending)
+            else (Nil, base.toSeq ++ pending)
+          val refEntries = refDeltas.flatMap(_.entries)
+          val paths = rewriteDeltas.flatMap(_.entries).map(_.path)
+          val maxRec = meta.properties.get("compaction.max_records_per_file")
+            .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
+          val (newEntries, written) = if (paths.isEmpty) (Nil, 0L) else {
+            val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths, ct)
+            val resolved = MergeRead.applyPastDefaults(scan, schema)
+              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            val (e, w, _) = materialize(cat, t, rev, txn.txnId, resolved, schema, scheme,
+              sortScheme, ct, numBuckets, maxRec,
+              estimatedRecords = Some(rewriteDeltas.map(d =>
+                math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum),
+              encoding = cat.contentEncodingOf(meta),
+              writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
+            (e, w)
+          }
+          val refRecords = refEntries.map(e => math.max(0L, e.recordCount)).sum
+          DeltaMeta(rev, DeltaType.Add.name, refEntries ++ newEntries, txn.txnId, maxPos,
+            Map("written_columns" -> schema.fieldNames.mkString(","),
+              "record_count" -> (written + refRecords).toString,
+              "sorted" -> sTag,
+              "copied_by_reference" -> refEntries.size.toString))
         } else if (mergeKeys.isEmpty && !anyStale) {
           // Append-only + z-order: INCREMENTAL recluster. A base already
           // z-ordered on the same columns is copied by reference (its files

@@ -98,4 +98,41 @@ class ZOrderSpec extends SparkSpec {
     assert(d2.properties("copied_by_reference").toInt == d1.entries.size)
     assert(cat.readTable("q.inc").count() == 1100)
   }
+
+  test("declared sort scheme materializes at compaction on append-only tables, incrementally") {
+    // A pure manifest fold would never apply the scheme (appends land
+    // unsorted, nothing else rewrites them) — compaction must sort, and a
+    // sorted base must be copied by reference on the next compact.
+    val cat = new GraftCatalog(spark, tmpDir("graft-sortinc"))
+    cat.createTable("q.s", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", LongType))),
+      sortScheme = SortScheme(Seq(SortKey("k"))),
+      properties = Map("compaction.max_records_per_file" -> "256",
+        "compaction.auto" -> "false"))
+    // two unsorted appends (descending + shuffled)
+    cat.writeToTable(spark.range(0, 512).select((lit(511) - col("id")).as("k"),
+      col("id").as("v")), "q.s", WriteMode.Add)
+    cat.writeToTable(spark.range(512, 1024)
+      .select((lit(1535) - col("id")).as("k"), col("id").as("v")), "q.s", WriteMode.Add)
+    cat.compact("q.s")
+    val d1 = cat.deltaLog("q.s").filter(_.compactedUpTo >= 0).last
+    assert(d1.properties.get("sorted").contains("k:asc"))
+    // every data file is internally sorted by k
+    val perFile = cat.readTable("q.s", ReadOptions(withFilePath = true))
+      .select(col("_file_path"), col("k")).collect().groupBy(_.getString(0))
+    assert(perFile.size > 1, "max_records_per_file must have sliced the base")
+    perFile.foreach { case (f, rows) =>
+      val ks = rows.map(_.getLong(1)).toSeq
+      assert(ks == ks.sorted, s"$f not sorted by the declared scheme")
+    }
+    assert(cat.readTable("q.s").count() == 1024)
+    // incremental: the sorted base is copied by reference on recompact
+    cat.writeToTable(spark.range(1024, 1100).select(col("id").as("k"),
+      col("id").as("v")), "q.s", WriteMode.Add)
+    cat.compact("q.s")
+    val d2 = cat.deltaLog("q.s").filter(_.compactedUpTo >= 0).last
+    assert(d2.properties("copied_by_reference").toInt == d1.entries.size)
+    assert(cat.readTable("q.s").count() == 1100)
+  }
 }
