@@ -32,7 +32,8 @@ object Bench {
     // comparability): the data-selection + retrieval operators
     "t31_quality_score", "t32_dsir_weights", "t33_crosscorpus_join",
     "t34_bm25_topk", "t35_chunk_documents", "t36_lm_perplexity",
-    "t38_pca_project", "t40_curation_pipeline", "t41_span_removal")
+    "t38_pca_project", "t40_curation_pipeline", "t41_span_removal",
+    "t44_corpus_shuffle", "t46_semantic_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
