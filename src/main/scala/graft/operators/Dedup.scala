@@ -742,14 +742,19 @@ object Dedup {
       k: Int = 50, minOccurrences: Int = 2): DataFrame = {
     require(k >= 1 && minOccurrences >= 2, "k >= 1, minOccurrences >= 2")
     val (toks, wins) = spanWindows(df, idCol, textCol, k, keepTokens = true)
-    // ONE hash-partitioned pass elects the canonical occurrence AND counts
-    // occurrences (vs groupBy+semi-join: same shuffle, one fewer join).
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val byHashOrd = byHash.orderBy(col("id"), col("s"))
-    val removal = wins
-      .withColumn("_occ", count(lit(1)).over(byHash))
-      .withColumn("_rn", row_number().over(byHashOrd))
-      .where(col("_occ") >= minOccurrences && col("_rn") > 1)
+    // Canonical election via a MAP-SIDE-COMBINABLE aggregate (count +
+    // min(struct(id, s)) partials collapse before the shuffle), not a
+    // window over h — a corpus-wide boilerplate span would serialize a
+    // window's per-hash sort-rank on one task, while aggregate partials
+    // reduce the hot hash to one row per map task. Same shape as
+    // duplicateSpanStats' dup-hash aggregate.
+    val byHash = wins.groupBy("h").agg(
+        count(lit(1)).as("_occ"),
+        min(struct(col("id"), col("s"))).as("_c"))
+      .where(col("_occ") >= minOccurrences)
+      .select(col("h"), col("_c.id").as("_cid"), col("_c.s").as("_cs"))
+    val removal = wins.join(byHash, Seq("h"))
+      .where(!(col("id") === col("_cid") && col("s") === col("_cs")))
       .select(col("id"), col("s"))
     // Removal starts per doc: small arrays (bounded by the doc's own
     // window count), map-side combinable.
