@@ -1422,6 +1422,51 @@ object CatalogQueries {
       Thread.sleep(25)
       cat.janitor(timeoutMillis = 10) // sweeps the abandoned txn via claim-moves
       cat.readTable("q.s").agg(cnt.as("n"), sum("s_suppkey").cast("long").as("s"))
+    },
+
+    // Declared sort scheme on an APPEND-ONLY table: compaction must
+    // materialize it (a manifest fold would leave it forever inert and
+    // range skipping degraded). Order is not observable through the
+    // driver's sorted-row compare, so the builder asserts the physical
+    // contract — every post-compact file internally sorted, the sorted
+    // base copied by reference on recompact — and the oracle checks the
+    // row set (same pattern as c77's plan asserts).
+    Q("c79_sorted_compaction", Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 7 < 2""")) { (s, dir) =>
+      val cat = newCat(s, "c79")
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice"))
+        .where(col("o_orderkey") % 7 < 2)
+      cat.createTable("q.o", org.apache.spark.sql.types.StructType(Seq(
+        FieldMeta.field("o_orderkey", org.apache.spark.sql.types.LongType, nullable = false),
+        FieldMeta.field("o_totalprice", org.apache.spark.sql.types.DoubleType))),
+        sortScheme = SortScheme(Seq(SortKey("o_orderkey"))),
+        properties = Map("compaction.auto" -> "false",
+          "compaction.max_records_per_file" -> "2000"))
+      // two appends, both deliberately unsorted
+      cat.writeToTable(o.where(col("o_orderkey") % 7 === 0)
+        .orderBy(col("o_orderkey").desc), "q.o", WriteMode.Add)
+      cat.writeToTable(o.where(col("o_orderkey") % 7 === 1)
+        .orderBy(col("o_orderkey").desc), "q.o", WriteMode.Add)
+      cat.compact("q.o")
+      val perFile = cat.readTable("q.o", ReadOptions(withFilePath = true))
+        .select(col("_file_path"), col("o_orderkey")).collect()
+        .groupBy(_.getString(0)).values
+      require(perFile.size > 1, "slicing must produce several files")
+      perFile.foreach { rows =>
+        val ks = rows.map(_.getLong(1)).toSeq
+        require(ks == ks.sorted, "compacted file not sorted by the declared scheme")
+      }
+      val d1 = cat.deltaLog("q.o").last
+      require(d1.properties.get("sorted").contains("o_orderkey:asc"))
+      // recompact after a tail append: the sorted base rides by reference
+      cat.writeToTable(o.limit(50), "q.o", WriteMode.Add)
+      cat.compact("q.o")
+      val d2 = cat.deltaLog("q.o").last
+      require(d2.properties("copied_by_reference").toInt == d1.entries.size,
+        "sorted base must be copied by reference on recompact")
+      cat.readTable("q.o").select("o_orderkey", "o_totalprice").distinct()
     }
   )
 }
