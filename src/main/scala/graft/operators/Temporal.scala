@@ -82,4 +82,45 @@ object Temporal {
       lCols.map(c => (if (keys.contains(c)) col(c) else col("_l").getField(c)).as(c)) ++
         rPayloadCols.map(c => col("_m").getField(c).as(s"$rightPrefix$c")): _*)
   }
+
+  /** Ordered FUNNEL analysis: per entity, the completion time of each
+    * step in `steps`, where step i completes at the EARLIEST event of its
+    * type strictly after step i−1's completion (step 0 at the entity's
+    * earliest matching event). The classic product-analytics sequence
+    * query (view → click → purchase) Spark has no native operator for.
+    *
+    * Output is long-form: one row per (entity, completed step) —
+    * (idCol, step 1-based INT, step_ts) — so any funnel length fits one
+    * schema; `steps_completed` is `max(step)` per entity downstream.
+    *
+    * Scale shape: one combinable min-aggregate per step over only that
+    * step's events (filter pushes to the scan), chained by equi-joins on
+    * the entity key — each successive frame is one row per surviving
+    * entity, monotonically shrinking, so stage i's join input is tiny.
+    * No per-entity event-list collection (a power user with 10⁸ events
+    * costs nothing beyond their min()); no window over the event stream.
+    * Steps count is the funnel definition (3-6 in practice) — joins are
+    * O(|steps|), not data-dependent. */
+  def funnel(events: DataFrame, idCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(idCol).as("_u"), col(typeCol).as("_et"),
+      col(tsCol).as("_t"))
+    // frames(i) = entities completing step i+1, with t1.._t{i+1}
+    val first = e.where(col("_et") === steps.head)
+      .groupBy("_u").agg(min(col("_t")).as("_ts1"))
+    val frames = steps.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (step, i)) => // i is 1-based step index of `step`
+        val prevTs = (1 to i).map(j => col(s"_ts$j"))
+        e.where(col("_et") === step)
+          .join(prev, Seq("_u"))
+          .where(col("_t") > col(s"_ts$i"))
+          .groupBy(col("_u") +: prevTs: _*)
+          .agg(min(col("_t")).as(s"_ts${i + 1}"))
+    }
+    frames.zipWithIndex.map { case (f, i) =>
+      f.select(col("_u").as(idCol), lit(i + 1).as("step"),
+        col(s"_ts${i + 1}").as("step_ts"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -295,6 +295,28 @@ object ReadQueries {
         round(percentile(col("l_quantity"), lit(0.5)), 9).as("median_qty"),
         round(percentile(col("l_quantity"), lit(0.95)), 9).as("p95_qty"),
         round(percentile(col("l_extendedprice"), lit(0.99)), 9).as("p99_price"))
+    },
+
+    // Ordered funnel (view → click → purchase): per user, each step's
+    // completion time — the earliest matching event strictly after the
+    // previous step. Long-form output; exact-microsecond timestamps.
+    Q("q18_funnel", Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+             GROUP BY e.user_id, s1.t1),
+      s3 AS (SELECT e.user_id, s2.t2, min(e.ts) AS t3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             GROUP BY e.user_id, s2.t2)
+      SELECT user_id, 1 AS step, epoch_us(t1) AS step_us FROM s1
+      UNION ALL SELECT user_id, 2, epoch_us(t2) FROM s2
+      UNION ALL SELECT user_id, 3, epoch_us(t3) FROM s3""")) { (s, dir) =>
+      graft.operators.Temporal.funnel(events(s, dir), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("step"), us(col("step_ts")).as("step_us"))
     }
   )
 }

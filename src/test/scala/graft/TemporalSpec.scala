@@ -67,4 +67,32 @@ class TemporalSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
   }
+
+  test("funnel: strictly-ordered completion, partial funnels, out-of-order input") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // user 1 completes all three (with decoy repeats and a purchase BEFORE
+    // the click that must not count); user 2 stalls after view; user 3's
+    // purchase is simultaneous with the click (strictly-after: no step 3);
+    // user 4 never views (clicks alone complete nothing).
+    val events = Seq(
+      (1L, "purchase", ts(1)), (1L, "view", ts(2)), (1L, "view", ts(5)),
+      (1L, "click", ts(4)), (1L, "purchase", ts(9)), (1L, "click", ts(7)),
+      (2L, "view", ts(0)), (2L, "purchase", ts(0)),
+      (3L, "view", ts(0)), (3L, "click", ts(3)), (3L, "purchase", ts(3)),
+      (4L, "click", ts(1)), (4L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Temporal.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getTimestamp(2)).toMap
+    assert(got((1L, 1)) == ts(2), "step 1 = earliest view")
+    assert(got((1L, 2)) == ts(4), "step 2 = earliest click after the view")
+    assert(got((1L, 3)) == ts(9), "step 3 = earliest purchase after the click (t1 decoy ignored)")
+    assert(got((2L, 1)) == ts(0) && !got.contains((2L, 2)),
+      "purchase without a click completes nothing past step 1")
+    assert(got((3L, 2)) == ts(3) && !got.contains((3L, 3)),
+      "simultaneous purchase is not strictly after the click")
+    assert(!got.exists(_._1._1 == 4L), "no view, no funnel")
+    assert(got.size == 6) // (1,1..3), (2,1), (3,1..2)
+  }
 }
