@@ -123,4 +123,37 @@ object Temporal {
         col(s"_ts${i + 1}").as("step_ts"))
     }.reduce(_.unionByName(_))
   }
+
+  /** COHORT RETENTION: group entities by the ISO week of their anchor
+    * event (first `anchorType` occurrence), then count how many of each
+    * cohort are active (any event) N whole weeks later — the standard
+    * product-retention triangle. Activity strictly before the anchor is
+    * ignored (week_n ≥ 0 only).
+    *
+    * Output: (cohort_week timestamp, week_n long, n_active long) with
+    * n_active = DISTINCT active entities of that cohort in that week.
+    *
+    * Scale shape: the anchor frame is one combinable min per entity; the
+    * activity join is one equi-join on the entity key; the distinct-count
+    * is a two-level aggregate ((cohort, week, entity) partial collapses
+    * map-side, then the count) — no window over the event stream, no
+    * per-entity collection. */
+  def cohortRetention(events: DataFrame, idCol: String, typeCol: String,
+      tsCol: String, anchorType: String): DataFrame = {
+    val weekMicros = 7L * 86400L * 1000000L
+    val e = events.select(col(idCol).as("_u"), col(typeCol).as("_et"),
+      col(tsCol).as("_t"))
+    val anchor = e.where(col("_et") === anchorType)
+      .groupBy("_u").agg(min(col("_t")).as("_a"))
+    e.join(anchor, Seq("_u"))
+      .withColumn("week_n",
+        floor((unix_micros(col("_t").cast(TimestampType)) -
+          unix_micros(col("_a").cast(TimestampType))) / weekMicros))
+      .where(col("week_n") >= 0)
+      .select(date_trunc("week", col("_a")).as("cohort_week"),
+        col("week_n"), col("_u"))
+      .distinct()
+      .groupBy("cohort_week", "week_n")
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

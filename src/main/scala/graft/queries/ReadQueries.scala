@@ -317,6 +317,25 @@ object ReadQueries {
       graft.operators.Temporal.funnel(events(s, dir), "user_id", "event_type",
           "ts", Seq("view", "click", "purchase"))
         .select(col("user_id"), col("step"), us(col("step_ts")).as("step_us"))
+    },
+
+    // Cohort retention triangle: users grouped by signup week, distinct
+    // actives counted N whole weeks later (exact microsecond arithmetic).
+    Q("q19_cohort_retention", Some("""
+      WITH a AS (SELECT user_id, min(ts) AS a_ts FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+      act AS (SELECT DISTINCT
+                epoch_us(CAST(date_trunc('week', a.a_ts) AS TIMESTAMP)) AS cohort_us,
+                CAST(floor((epoch_us(e.ts) - epoch_us(a.a_ts)) / 604800000000) AS BIGINT) AS week_n,
+                e.user_id
+              FROM events e JOIN a ON e.user_id = a.user_id
+              WHERE epoch_us(e.ts) >= epoch_us(a.a_ts))
+      SELECT cohort_us, week_n, CAST(count(*) AS BIGINT) AS n_active
+      FROM act GROUP BY cohort_us, week_n""")) { (s, dir) =>
+      graft.operators.Temporal.cohortRetention(events(s, dir), "user_id",
+          "event_type", "ts", anchorType = "signup")
+        .select(us(col("cohort_week")).as("cohort_us"), col("week_n"),
+          col("n_active"))
     }
   )
 }

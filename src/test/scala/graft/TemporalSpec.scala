@@ -95,4 +95,26 @@ class TemporalSpec extends SparkSpec {
     assert(!got.exists(_._1._1 == 4L), "no view, no funnel")
     assert(got.size == 6) // (1,1..3), (2,1), (3,1..2)
   }
+
+  test("cohort retention: anchor week grouping, distinct actives, pre-anchor ignored") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(d)
+    // users 1,2 sign up in the week of Mon 2024-01-01; user 3 the next week.
+    // user 1 active in weeks 0 and 1 (two events in week 1 count once);
+    // user 2 only week 0 (the pre-signup view must not count anywhere);
+    // user 3 active in its own week 0.
+    val events = Seq(
+      (1L, "signup", t("2024-01-02 10:00:00")), (1L, "view", t("2024-01-03 09:00:00")),
+      (1L, "click", t("2024-01-09 11:00:00")), (1L, "view", t("2024-01-09 12:00:00")),
+      (2L, "view", t("2024-01-01 08:00:00")), (2L, "signup", t("2024-01-04 08:00:00")),
+      (3L, "signup", t("2024-01-10 09:00:00")), (3L, "purchase", t("2024-01-10 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Temporal.cohortRetention(events, "user_id", "event_type", "ts", "signup")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = t("2024-01-01 00:00:00"); val w2 = t("2024-01-08 00:00:00")
+    assert(got((w1, 0L)) == 2L, "both week-1 signups active in their week 0")
+    assert(got((w1, 1L)) == 1L, "only user 1 returns in week 1, counted once")
+    assert(got((w2, 0L)) == 1L)
+    assert(got.size == 3, s"pre-anchor activity must not create rows: $got")
+  }
 }
