@@ -97,4 +97,46 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("content_hash") // output schema = input schema, like the batch op
+
+  final case class FunnelState(nextStep: Int, lastTs: Long)
+  final case class FunnelHit(user_id: Long, step: Int, step_ts: Timestamp)
+
+  /**
+   * STREAMING funnel: the real-time half of
+   * [[graft.operators.Temporal.funnel]] — per-user progression through
+   * `steps` emitted as it happens, with O(1) state per user (next
+   * expected step + last completion time; nothing event-sized is ever
+   * stored, so state is bounded by the user population, not the stream).
+   *
+   * Semantics: within a micro-batch events process in event-time order;
+   * across batches progression is monotone — a step event is accepted iff
+   * it is the next expected step AND strictly after the previous step's
+   * completion. An event arriving in a LATER batch than an already-
+   * accepted later step cannot retroactively rewrite the path (the batch
+   * operator is the exact-reprocessing complement, same trade-off as
+   * dedupStream vs the batch dedup). Completed funnels reset so repeat
+   * conversions keep counting.
+   */
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+      steps: Seq[String]): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (e.event_type == steps(s.nextStep) && t > s.lastTs) {
+              hits += FunnelHit(userId, s.nextStep + 1, e.ts)
+              s = if (s.nextStep + 1 == steps.length) FunnelState(0, t)
+                  else FunnelState(s.nextStep + 1, t)
+            }
+          }
+          state.update(s)
+          hits.iterator
+      }
+  }
 }

@@ -188,6 +188,50 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming funnel: cross-batch progression, O(1) state, repeat conversions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    val in = MemoryStream[StreamOps.Event]
+    val hits = StreamOps.funnelStream(spark, in.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = hits.writeStream.format("memory").queryName("funl").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-funl-ck")).start()
+    def got(): Set[(Long, Int, java.sql.Timestamp)] =
+      spark.sql("SELECT user_id, step, step_ts FROM funl").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    try {
+      // batch 1: user 1 views (decoy purchase first must not count);
+      // user 2 emits view+click OUT OF ORDER within the batch
+      in.addData(
+        StreamOps.Event(1L, t("2024-01-01 10:01:00"), "purchase"),
+        StreamOps.Event(1L, t("2024-01-01 10:02:00"), "view"),
+        StreamOps.Event(2L, t("2024-01-01 10:05:00"), "click"),
+        StreamOps.Event(2L, t("2024-01-01 10:04:00"), "view"))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 1, t("2024-01-01 10:02:00")),
+        (2L, 1, t("2024-01-01 10:04:00")), (2L, 2, t("2024-01-01 10:05:00"))))
+      // batch 2: user 1 completes across the batch boundary (state
+      // persisted); a LATE view for user 2 predating its click is ignored
+      in.addData(
+        StreamOps.Event(1L, t("2024-01-01 10:03:00"), "click"),
+        StreamOps.Event(1L, t("2024-01-01 10:06:00"), "purchase"),
+        StreamOps.Event(2L, t("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      assert(got().contains((1L, 2, t("2024-01-01 10:03:00"))))
+      assert(got().contains((1L, 3, t("2024-01-01 10:06:00"))))
+      assert(!got().exists(h => h._1 == 2L && h._2 == 3), "late view must not advance user 2")
+      // batch 3: completed funnel resets — a repeat conversion counts again
+      in.addData(
+        StreamOps.Event(1L, t("2024-01-01 11:00:00"), "view"),
+        StreamOps.Event(1L, t("2024-01-01 11:01:00"), "click"))
+      q.processAllAvailable()
+      assert(got().contains((1L, 1, t("2024-01-01 11:00:00"))), "funnel resets after completion")
+      assert(got().contains((1L, 2, t("2024-01-01 11:01:00"))))
+    } finally q.stop()
+  }
+
   test("streaming dedup: later copies of the same content are dropped, state watermark-bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
