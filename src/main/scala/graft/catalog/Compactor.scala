@@ -72,6 +72,14 @@ object Compactor {
   def suggestBucketsFromMemory(memBytes: Double): Int =
     suggest(memBytes, TargetBucketMemoryBytes)
 
+  /** Full layout tag of a sort scheme — EVERY SortKey field affects the
+    * physical order (direction, null placement, transform), so the
+    * copy-by-reference check must compare them all; a tag that dropped
+    * any of them would skip re-sorting after that aspect changed. */
+  private[catalog] def sortTag(ss: SortScheme): String = ss.keys.map(k =>
+    s"${k.field}:${if (k.ascending) "asc" else "desc"}:" +
+      s"${if (k.nullsFirst) "nf" else "nl"}:${k.transform.name}").mkString(",")
+
   def compact(cat: GraftCatalog, table: String, numBuckets: Int = 8): Unit = {
     val spark = cat.spark
     val t = cat.handleOf(table)
@@ -102,7 +110,16 @@ object Compactor {
     // the materialize path below.
     val needsRecluster = ZOrder.columnsOf(meta.properties).exists(zc =>
       base.exists(!_.properties.get("zordered").contains(zc.mkString(","))))
-    if (pending.isEmpty && !baseStale && !needsRecluster) return
+    // Sort-scheme analog for keyless tables: a declared (or altered)
+    // scheme with a base not stamped under the SAME full tag (field,
+    // direction, null order, transform all layout-affecting) must rewrite
+    // on an explicit compact() even with nothing pending — otherwise
+    // "declare scheme, run compact" is a silent no-op until some
+    // unrelated append.
+    val needsResort = mergeKeys.isEmpty &&
+      ZOrder.columnsOf(meta.properties).isEmpty && !sortScheme.isEmpty &&
+      base.exists(!_.properties.get("sorted").contains(sortTag(sortScheme)))
+    if (pending.isEmpty && !baseStale && !needsRecluster && !needsResort) return
     val maxPos = (pending.map(_.streamPosition) ++ base.map(_.streamPosition)).max
 
     val txn = cat.store.newTransaction(s"compact $t up to $maxPos")
@@ -132,9 +149,8 @@ object Compactor {
           // column would quietly degrade forever. INCREMENTAL like the
           // z-order branch below: a base already materialized under the
           // same sort keys is copied by reference; only the pending tail
-          // (plus a base sorted under different keys) rewrites.
-          val sTag = sortScheme.keys
-            .map(k => s"${k.field}:${if (k.ascending) "asc" else "desc"}").mkString(",")
+          // (plus a base sorted under a different scheme) rewrites.
+          val sTag = sortTag(sortScheme)
           val (refDeltas, rewriteDeltas) =
             if (base.exists(_.properties.get("sorted").contains(sTag)))
               (base.toSeq, pending)
@@ -328,6 +344,14 @@ object Compactor {
       // and every file a full-range span, defeating the skip index).
       case Some(z) if mergeKeys.isEmpty =>
         partCols.repartitionByRange(parallelism, z.asc)
+      // Keyless SORTED tables likewise RANGE partition on the sort keys:
+      // hash slicing would hand every task a random sample of the key
+      // space (each file spanning ~the whole range — no cross-file
+      // skipping) or, with one slice, sort the entire rewrite on a single
+      // task. Range partitioning gives globally disjoint sorted files,
+      // which is the entire point of a declared sort scheme.
+      case None if mergeKeys.isEmpty && !sortScheme.isEmpty =>
+        partCols.repartitionByRange(parallelism, sortScheme.keys.map(_.toColumn): _*)
       case _ => partCols
         // Salt the slice hash: pmod(hash(keys), slices) would be arithmetically
         // correlated with the bucket expression (both mod the same hash), so

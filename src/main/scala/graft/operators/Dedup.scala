@@ -728,9 +728,11 @@ object Dedup {
    *
    * Scale shape: one window-hash stream (id, pos, 16-byte hash) — token
    * arrays never shuffle; occurrence count + canonical election in ONE
-   * hash-partitioned window pass; removal starts collapse per doc with a
-   * map-side-combining collect; reconstruction is a map-only lambda over
-   * the doc's own tokens. Per-doc filter cost is O(tokens × removal
+   * map-side-combinable aggregate over the hash (partials collapse before
+   * the shuffle, so a corpus-wide boilerplate span cannot serialize one
+   * task), joined back to tag non-canonical occurrences; removal starts
+   * collapse per doc with a map-side-combining collect; reconstruction is
+   * a map-only lambda over the doc's own tokens. Per-doc filter cost is O(tokens × removal
    * windows) — fine for real documents (removal windows ≪ tokens after the
    * duplicated-hash cut); the suffix-automaton exact bound is a
    * single-machine construction out of scope by design.

@@ -110,7 +110,7 @@ object Temporal {
     val first = e.where(col("_et") === steps.head)
       .groupBy("_u").agg(min(col("_t")).as("_ts1"))
     val frames = steps.zipWithIndex.tail.scanLeft(first) {
-      case (prev, (step, i)) => // i is 1-based step index of `step`
+      case (prev, (step, i)) => // i = 0-based index of `step` (so `step` is step i+1; _ts$i is the PREVIOUS step's column)
         val prevTs = (1 to i).map(j => col(s"_ts$j"))
         e.where(col("_et") === step)
           .join(prev, Seq("_u"))

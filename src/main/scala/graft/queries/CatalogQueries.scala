@@ -1459,7 +1459,7 @@ object CatalogQueries {
         require(ks == ks.sorted, "compacted file not sorted by the declared scheme")
       }
       val d1 = cat.deltaLog("q.o").last
-      require(d1.properties.get("sorted").contains("o_orderkey:asc"))
+      require(d1.properties.get("sorted").contains("o_orderkey:asc:nl:identity"))
       // recompact after a tail append: the sorted base rides by reference
       cat.writeToTable(o.limit(50), "q.o", WriteMode.Add)
       cat.compact("q.o")

@@ -127,8 +127,13 @@ object StreamOps {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
           val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
+          // FULL microsecond precision: Timestamp.getTime is millis-only,
+          // and the batch funnel (oracle-checked at epoch_us) orders and
+          // compares at micros — sub-millisecond-spaced steps must not
+          // collapse into "simultaneous" here.
+          def micros(x: Timestamp): Long = x.getTime * 1000L + (x.getNanos / 1000L) % 1000L
+          batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
             if (e.event_type == steps(s.nextStep) && t > s.lastTs) {
               hits += FunnelHit(userId, s.nextStep + 1, e.ts)
               s = if (s.nextStep + 1 == steps.length) FunnelState(0, t)

@@ -229,6 +229,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(got().contains((1L, 1, t("2024-01-01 11:00:00"))), "funnel resets after completion")
       assert(got().contains((1L, 2, t("2024-01-01 11:01:00"))))
+      // batch 4: SUB-MILLISECOND-spaced steps must not collapse into
+      // "simultaneous" (full-microsecond comparisons, like the batch op)
+      in.addData(
+        StreamOps.Event(5L, t("2024-01-01 12:00:00.000100"), "view"),
+        StreamOps.Event(5L, t("2024-01-01 12:00:00.000600"), "click"))
+      q.processAllAvailable()
+      assert(got().contains((5L, 2, t("2024-01-01 12:00:00.000600"))),
+        "micro-spaced click must advance the funnel")
     } finally q.stop()
   }
 

@@ -117,7 +117,7 @@ class ZOrderSpec extends SparkSpec {
       .select((lit(1535) - col("id")).as("k"), col("id").as("v")), "q.s", WriteMode.Add)
     cat.compact("q.s")
     val d1 = cat.deltaLog("q.s").filter(_.compactedUpTo >= 0).last
-    assert(d1.properties.get("sorted").contains("k:asc"))
+    assert(d1.properties.get("sorted").contains("k:asc:nl:identity"))
     // every data file is internally sorted by k
     val perFile = cat.readTable("q.s", ReadOptions(withFilePath = true))
       .select(col("_file_path"), col("k")).collect().groupBy(_.getString(0))
@@ -134,5 +134,32 @@ class ZOrderSpec extends SparkSpec {
     val d2 = cat.deltaLog("q.s").filter(_.compactedUpTo >= 0).last
     assert(d2.properties("copied_by_reference").toInt == d1.entries.size)
     assert(cat.readTable("q.s").count() == 1100)
+  }
+
+  test("altering the sort scheme re-sorts on the next compact even with nothing pending") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-sortalter"))
+    cat.createTable("q.a", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", LongType))),
+      properties = Map("compaction.auto" -> "false"))
+    cat.writeToTable(spark.range(0, 256).select((lit(255) - col("id")).as("k"),
+      col("id").as("v")), "q.a", WriteMode.Add)
+    cat.compact("q.a") // schemeless: pure fold
+    assert(!cat.deltaLog("q.a").last.properties.contains("sorted"))
+    // declare the scheme AFTER the base exists; compact() alone must apply it
+    cat.alterTable("q.a", sortScheme = Some(SortScheme(Seq(SortKey("k")))))
+    cat.compact("q.a")
+    val d = cat.deltaLog("q.a").last
+    assert(d.properties.get("sorted").contains("k:asc:nl:identity"),
+      "compact with nothing pending must materialize a newly-declared scheme")
+    val perFile = cat.readTable("q.a", ReadOptions(withFilePath = true))
+      .select(col("_file_path"), col("k")).collect().groupBy(_.getString(0))
+    perFile.foreach { case (f, rows) =>
+      val ks = rows.map(_.getLong(1)).toSeq
+      assert(ks == ks.sorted, s"$f not sorted after the alter+compact")
+    }
+    // and the now-sorted base folds by reference on the next compact
+    cat.compact("q.a")
+    assert(cat.deltaLog("q.a").last.properties.get("sorted").contains("k:asc:nl:identity"))
   }
 }
