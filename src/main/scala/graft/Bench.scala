@@ -154,6 +154,10 @@ object Bench {
           bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
           maxBucketWidth = Some(64)).count()
       })
+      attempt("t41_span_removal_10x")(time {
+        graft.operators.Dedup.removeDuplicateSpans(docs10, "doc_id", "text",
+          k = 8).count()
+      })
       val li10 = spark.read.parquet(s"$scaleDir/lineitem10x")
       attempt("pipeline_10x")(time {
         val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench10").toString)
