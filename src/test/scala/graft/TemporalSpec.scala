@@ -117,4 +117,34 @@ class TemporalSpec extends SparkSpec {
     assert(got((w2, 0L)) == 1L)
     assert(got.size == 3, s"pre-anchor activity must not create rows: $got")
   }
+
+  test("funnel property: engine equals the in-memory reference on random event streams") {
+    import java.sql.Timestamp
+    val steps = Seq("view", "click", "purchase")
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    def model(evts: Seq[(Long, String, Timestamp)]): Map[(Long, Int), Timestamp] =
+      evts.groupBy(_._1).flatMap { case (u, es) =>
+        // t_i = min ts of step-i events strictly after t_{i-1}: pure
+        // min-chaining, order-independent, duplicate-ts safe
+        var last = Long.MinValue
+        steps.zipWithIndex.iterator.map { case (st, i) =>
+          val cand = es.filter(e => e._2 == st && e._3.getTime > last)
+          if (cand.isEmpty) None
+          else { val m = cand.map(_._3.getTime).min; last = m
+            Some((u, i + 1) -> new Timestamp(m)) }
+        }.takeWhile(_.isDefined).flatten.toSeq
+      }
+    (0 until 4).foreach { trial =>
+      val rnd = new scala.util.Random(500 + trial)
+      val evts = (1 to 120).map { _ =>
+        (rnd.nextInt(6).toLong + 1L, types(rnd.nextInt(types.length)),
+          // coarse minutes force duplicate timestamps across and within users
+          new Timestamp(1700000000000L + rnd.nextInt(40) * 60000L))
+      }
+      val got = Temporal.funnel(evts.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getTimestamp(2)).toMap
+      assert(got == model(evts), s"trial $trial diverged")
+    }
+  }
 }
