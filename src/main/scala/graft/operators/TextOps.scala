@@ -236,6 +236,38 @@ object TextOps {
     * needed (no position column), skip the window entirely:
     * `df.repartition(nShards, shardCol).sortWithinPartitions(orderCol)`
     * writes the same order map-side. */
+  /** Gopher quality-rule gate (Rae et al. 2021, appendix A1.1 — the
+    * published heuristic suite C4/MassiveText-descended pipelines run):
+    * per document, `keep` plus the FIRST failing rule's name
+    * (`fail_reason`, null when kept), so rejects are auditable:
+    *
+    *  - word_count: 50 ≤ whitespace words ≤ 100 000
+    *  - mean_word_length: mean characters per word in [3, 10]
+    *  - symbol_ratio: (# + …/...) occurrences / words < 0.1
+    *  - alpha_fraction: > 80 % of words contain a letter
+    *  - stopwords: ≥ 2 of {the, be, to, of, and, that, have, with}
+    *
+    * The paper's repetition gates (dup lines/n-grams) are the separate
+    * [[repetitionStats]] — compose both for the full MassiveText filter.
+    * Pure codegen'd regexp counts, map-only; thresholds are the paper's.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val nWords = matchCount(t, "\\S+").cast("double")
+    val meanLen = matchCount(t, "\\S").cast("double") / nWords
+    val symbols = matchCount(t, "#|\\.\\.\\.|…").cast("double")
+    val alphaWords = matchCount(lower(t), "\\S*[a-z]\\S*").cast("double")
+    val stops = matchCount(lower(t),
+      "\\b(the|be|to|of|and|that|have|with)\\b")
+    val reason = when(nWords < minWords || nWords > maxWords, "word_count")
+      .when(meanLen < 3.0 || meanLen > 10.0, "mean_word_length")
+      .when(symbols / nWords >= 0.1, "symbol_ratio")
+      .when(alphaWords / nWords <= 0.8, "alpha_fraction")
+      .when(stops < 2, "stopwords")
+    df.select(col(idCol), reason.isNull.as("keep"), reason.as("fail_reason"))
+  }
+
   /** [[shuffleShards]]'s order key as a standalone Column — the single
     * definition behind the Scala operator and the `graft_shard` SQL
     * function (shard = shardOrder mod nShards). */

@@ -1201,6 +1201,27 @@ object PipelineQueries {
       Similarity.embeddingJoin(
         emb.where(col("vec_id") < 50), emb.where(col("vec_id") >= 50),
         "vec_id", "vec_id", "embedding", threshold = 0.42)
+    },
+
+    // Gopher quality gate (Rae et al. 2021 A1.1) with auditable first-fail
+    // reasons; the oracle replicates every rule and the precedence order.
+    Q("t47_gopher_filter", Some("""
+      WITH s AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE) AS nw,
+        CAST(len(regexp_extract_all(text,'\S')) AS DOUBLE) AS nc,
+        CAST(len(regexp_extract_all(text,'#|\.\.\.|…')) AS DOUBLE) AS sym,
+        CAST(len(regexp_extract_all(lower(text),'\S*[a-z]\S*')) AS DOUBLE) AS alpha,
+        len(regexp_extract_all(lower(text),'\b(the|be|to|of|and|that|have|with)\b')) AS st
+      FROM documents),
+      r AS (SELECT doc_id,
+        CASE WHEN nw < 50 OR nw > 100000 THEN 'word_count'
+             WHEN nc/nw < 3.0 OR nc/nw > 10.0 THEN 'mean_word_length'
+             WHEN sym/nw >= 0.1 THEN 'symbol_ratio'
+             WHEN alpha/nw <= 0.8 THEN 'alpha_fraction'
+             WHEN st < 2 THEN 'stopwords' END AS fail_reason
+      FROM s)
+      SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM r""")) { (s, dir) =>
+      TextOps.gopherFilter(tbl(s, dir, "documents"), "doc_id", "text")
     }
   )
 }
