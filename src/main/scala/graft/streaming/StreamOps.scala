@@ -118,30 +118,53 @@ object StreamOps {
    * conversions keep counting.
    */
   def funnelStream(spark: SparkSession, events: Dataset[Event],
-      steps: Seq[String]): Dataset[FunnelHit] = {
+      steps: Seq[String],
+      /** Some(delay): per-user state EXPIRES after `delay` of event-time
+        * inactivity (a watermark is applied on `ts`) — the unbounded-user
+        * guard for a forever stream; an expired user must restart from
+        * step 0. None: state lives as long as the user (bounded by the
+        * user population — fine when that is the smaller cardinality). */
+      idleTimeout: Option[String] = None): Dataset[FunnelHit] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import spark.implicits._
-    events
+    val src = idleTimeout.fold(events)(d => events.withWatermark("ts", d))
+    val timeoutConf = idleTimeout.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.EventTimeTimeout())
+    val idleMs = idleTimeout.map(d =>
+      org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      .map { i =>
+        require(i.months == 0, "idleTimeout must not use calendar months")
+        i.days * 86400000L + i.microseconds / 1000L
+      }
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
-          // FULL microsecond precision: Timestamp.getTime is millis-only,
-          // and the batch funnel (oracle-checked at epoch_us) orders and
-          // compares at micros — sub-millisecond-spaced steps must not
-          // collapse into "simultaneous" here.
-          def micros(x: Timestamp): Long = x.getTime * 1000L + (x.getNanos / 1000L) % 1000L
-          batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-            val t = micros(e.ts)
-            if (e.event_type == steps(s.nextStep) && t > s.lastTs) {
-              hits += FunnelHit(userId, s.nextStep + 1, e.ts)
-              s = if (s.nextStep + 1 == steps.length) FunnelState(0, t)
-                  else FunnelState(s.nextStep + 1, t)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+            // FULL microsecond precision: Timestamp.getTime is millis-only,
+            // and the batch funnel (oracle-checked at epoch_us) orders and
+            // compares at micros — sub-millisecond-spaced steps must not
+            // collapse into "simultaneous" here.
+            def micros(x: Timestamp): Long = x.getTime * 1000L + (x.getNanos / 1000L) % 1000L
+            var maxMs = Long.MinValue
+            batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val t = micros(e.ts)
+              maxMs = math.max(maxMs, e.ts.getTime)
+              if (e.event_type == steps(s.nextStep) && t > s.lastTs) {
+                hits += FunnelHit(userId, s.nextStep + 1, e.ts)
+                s = if (s.nextStep + 1 == steps.length) FunnelState(0, t)
+                    else FunnelState(s.nextStep + 1, t)
+              }
             }
+            state.update(s)
+            idleMs.foreach(ms =>
+              if (maxMs != Long.MinValue) state.setTimeoutTimestamp(maxMs + ms))
+            hits.iterator
           }
-          state.update(s)
-          hits.iterator
       }
   }
 }

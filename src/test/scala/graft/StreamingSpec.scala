@@ -238,6 +238,37 @@ class StreamingSpec extends SparkSpec {
       assert(got().contains((5L, 2, t("2024-01-01 12:00:00.000600"))),
         "micro-spaced click must advance the funnel")
     } finally q.stop()
+
+    // idle TTL: after event-time inactivity past the timeout, a user's
+    // funnel state expires — the next event must restart from step 0
+    val in2 = MemoryStream[StreamOps.Event]
+    val q2 = StreamOps.funnelStream(spark, in2.toDS(),
+      Seq("view", "click", "purchase"), idleTimeout = Some("10 minutes"))
+      .writeStream.format("memory").queryName("funl_ttl").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-funl-ttl-ck")).start()
+    def gotTtl(): Set[(Long, Int)] =
+      spark.sql("SELECT user_id, step FROM funl_ttl").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    try {
+      in2.addData(StreamOps.Event(9L, t("2024-01-01 10:00:00"), "view"))
+      q2.processAllAvailable()
+      assert(gotTtl() == Set((9L, 1)))
+      // advance the watermark far past 9's timeout via another user
+      in2.addData(StreamOps.Event(8L, t("2024-01-01 11:00:00"), "view"))
+      q2.processAllAvailable()
+      in2.addData(StreamOps.Event(8L, t("2024-01-01 11:30:00"), "click"))
+      q2.processAllAvailable()
+      // user 9's state expired: a click alone cannot advance; a fresh view restarts
+      in2.addData(StreamOps.Event(9L, t("2024-01-01 11:40:00"), "click"),
+        StreamOps.Event(9L, t("2024-01-01 11:41:00"), "view"))
+      q2.processAllAvailable()
+      assert(!gotTtl().contains((9L, 2)), "expired user must not resume at step 2")
+      assert(gotTtl().count(h => h._1 == 9L && h._2 == 1) == 1, "set semantics")
+      val steps9 = spark.sql("SELECT step, step_ts FROM funl_ttl WHERE user_id = 9")
+        .collect().map(r => r.getInt(0) -> r.getTimestamp(1)).toSet
+      assert(steps9 == Set(1 -> t("2024-01-01 10:00:00"), 1 -> t("2024-01-01 11:41:00")),
+        s"fresh view must restart the funnel, got $steps9")
+    } finally q2.stop()
   }
 
   test("streaming dedup: later copies of the same content are dropped, state watermark-bounded") {
