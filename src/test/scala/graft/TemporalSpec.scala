@@ -147,4 +147,37 @@ class TemporalSpec extends SparkSpec {
       assert(got == model(evts), s"trial $trial diverged")
     }
   }
+
+  test("cohort retention property: engine equals the in-memory reference") {
+    import java.sql.Timestamp
+    import java.time.{Instant, ZoneOffset, DayOfWeek}
+    import java.time.temporal.TemporalAdjusters
+    val types = Vector("signup", "view", "click")
+    def weekStart(ms: Long): Long =
+      Instant.ofEpochMilli(ms).atZone(ZoneOffset.UTC).toLocalDate
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    def model(evts: Seq[(Long, String, Timestamp)]): Map[(Long, Long), Long] = {
+      val anchor = evts.filter(_._2 == "signup").groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._3.getTime).min }
+      evts.flatMap { case (u, _, ts) =>
+        anchor.get(u).filter(_ <= ts.getTime).map { a =>
+          ((weekStart(a), (ts.getTime - a) / (7L * 86400000L)), u) }
+      }.distinct.groupBy(_._1).map { case (k, us) => k -> us.size.toLong }
+    }
+    (0 until 4).foreach { trial =>
+      val rnd = new scala.util.Random(900 + trial)
+      val evts = (1 to 150).map { _ =>
+        (rnd.nextInt(8).toLong + 1L, types(rnd.nextInt(types.length)),
+          // whole seconds over ~5 weeks from a Wednesday epoch
+          new Timestamp(1704276000000L + rnd.nextInt(3024000).toLong * 1000L))
+      }
+      val got = Temporal.cohortRetention(
+          evts.toDF("user_id", "event_type", "ts"), "user_id", "event_type",
+          "ts", "signup")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == model(evts), s"trial $trial diverged")
+    }
+  }
 }
