@@ -254,13 +254,18 @@ object TextOps {
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t = col(textCol)
-    val nWords = matchCount(t, "\\S+").cast("double")
+    val nWords = tokenCount(t).cast("double")
     val meanLen = matchCount(t, "\\S").cast("double") / nWords
     val symbols = matchCount(t, "#|\\.\\.\\.|…").cast("double")
     val alphaWords = matchCount(lower(t), "\\S*[a-z]\\S*").cast("double")
-    val stops = matchCount(lower(t),
-      "\\b(the|be|to|of|and|that|have|with)\\b")
-    val reason = when(nWords < minWords || nWords > maxWords, "word_count")
+    // "at least two of the following words" = two DISTINCT stopwords
+    // present, not two occurrences of one
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => (matchCount(lower(t), s"\\b$w\\b") > 0).cast("int"))
+      .reduce(_ + _)
+    // NULL text fails closed (word_count), like the empty string — a
+    // quality gate must never admit a document with no text
+    val reason = when(t.isNull || nWords < minWords || nWords > maxWords, "word_count")
       .when(meanLen < 3.0 || meanLen > 10.0, "mean_word_length")
       .when(symbols / nWords >= 0.1, "symbol_ratio")
       .when(alphaWords / nWords <= 0.8, "alpha_fraction")

@@ -1206,15 +1206,15 @@ object PipelineQueries {
     // Gopher quality gate (Rae et al. 2021 A1.1) with auditable first-fail
     // reasons; the oracle replicates every rule and the precedence order.
     Q("t47_gopher_filter", Some("""
-      WITH s AS (SELECT doc_id,
+      WITH s AS (SELECT doc_id, text,
         CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE) AS nw,
         CAST(len(regexp_extract_all(text,'\S')) AS DOUBLE) AS nc,
         CAST(len(regexp_extract_all(text,'#|\.\.\.|…')) AS DOUBLE) AS sym,
         CAST(len(regexp_extract_all(lower(text),'\S*[a-z]\S*')) AS DOUBLE) AS alpha,
-        len(regexp_extract_all(lower(text),'\b(the|be|to|of|and|that|have|with)\b')) AS st
+        (CASE WHEN len(regexp_extract_all(lower(text),'\\bthe\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bbe\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bto\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bof\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\band\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bthat\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bhave\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bwith\\b'))>0 THEN 1 ELSE 0 END) AS st
       FROM documents),
       r AS (SELECT doc_id,
-        CASE WHEN nw < 50 OR nw > 100000 THEN 'word_count'
+        CASE WHEN text IS NULL OR nw < 50 OR nw > 100000 THEN 'word_count'
              WHEN nc/nw < 3.0 OR nc/nw > 10.0 THEN 'mean_word_length'
              WHEN sym/nw >= 0.1 THEN 'symbol_ratio'
              WHEN alpha/nw <= 0.8 THEN 'alpha_fraction'

@@ -98,7 +98,11 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("content_hash") // output schema = input schema, like the batch op
 
-  final case class FunnelState(nextStep: Int, lastTs: Long)
+  final case class FunnelState(nextStep: Int, lastTs: Long,
+      /** Last ACTIVITY in epoch millis (monotone — an out-of-order batch
+        * must never rewind the idle timeout; same rule as sessionize's
+        * lastSeen). MinValue until the first event. */
+      lastSeenMs: Long = Long.MinValue)
   final case class FunnelHit(user_id: Long, step: Int, step_ts: Timestamp)
 
   /**
@@ -120,14 +124,21 @@ object StreamOps {
   def funnelStream(spark: SparkSession, events: Dataset[Event],
       steps: Seq[String],
       /** Some(delay): per-user state EXPIRES after `delay` of event-time
-        * inactivity (a watermark is applied on `ts`) — the unbounded-user
-        * guard for a forever stream; an expired user must restart from
-        * step 0. None: state lives as long as the user (bounded by the
-        * user population — fine when that is the smaller cardinality). */
-      idleTimeout: Option[String] = None): Dataset[FunnelHit] = {
+        * inactivity — the unbounded-user guard for a forever stream; an
+        * expired user must restart from step 0. None: state lives as long
+        * as the user (bounded by the user population — fine when that is
+        * the smaller cardinality). */
+      idleTimeout: Option[String] = None,
+      /** Out-of-order tolerance for the watermark the TTL path requires —
+        * an INDEPENDENT knob from `idleTimeout` (lateness is an ingest
+        * property, state lifetime a capacity one): a small TTL must not
+        * silently start dropping routinely-late events. Ignored when
+        * `idleTimeout` is None (no watermark, arbitrary in-batch
+        * disorder accepted). */
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelHit] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import spark.implicits._
-    val src = idleTimeout.fold(events)(d => events.withWatermark("ts", d))
+    val src = idleTimeout.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
     val timeoutConf = idleTimeout.fold(GroupStateTimeout.NoTimeout())(_ =>
       GroupStateTimeout.EventTimeTimeout())
     val idleMs = idleTimeout.map(d =>
@@ -150,19 +161,21 @@ object StreamOps {
             // compares at micros — sub-millisecond-spaced steps must not
             // collapse into "simultaneous" here.
             def micros(x: Timestamp): Long = x.getTime * 1000L + (x.getNanos / 1000L) % 1000L
-            var maxMs = Long.MinValue
             batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
               val t = micros(e.ts)
-              maxMs = math.max(maxMs, e.ts.getTime)
+              // monotone: an out-of-order event must never REWIND the
+              // idle clock (and so re-arm an earlier timeout)
+              s = s.copy(lastSeenMs = math.max(s.lastSeenMs, e.ts.getTime))
               if (e.event_type == steps(s.nextStep) && t > s.lastTs) {
                 hits += FunnelHit(userId, s.nextStep + 1, e.ts)
-                s = if (s.nextStep + 1 == steps.length) FunnelState(0, t)
-                    else FunnelState(s.nextStep + 1, t)
+                s = if (s.nextStep + 1 == steps.length)
+                      s.copy(nextStep = 0, lastTs = t)
+                    else s.copy(nextStep = s.nextStep + 1, lastTs = t)
               }
             }
             state.update(s)
             idleMs.foreach(ms =>
-              if (maxMs != Long.MinValue) state.setTimeoutTimestamp(maxMs + ms))
+              if (s.lastSeenMs != Long.MinValue) state.setTimeoutTimestamp(s.lastSeenMs + ms))
             hits.iterator
           }
       }

@@ -787,23 +787,26 @@ class PipelineSpec extends SparkSpec {
   test("gopher filter (t47): each rule fires with its reason, precedence holds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val fifty = (1 to 50).map(i => s"the word$i").mkString(" ") // 100 words, letters, stopwords
+    // 200 words, letters, TWO distinct stopwords (the rule needs >= 2 distinct)
+    val fifty = (1 to 50).map(i => s"the word$i and word${i}b").mkString(" ")
     val docs = Seq(
       (1L, fifty),                                             // passes all rules
       (2L, "short doc"),                                       // word_count
       (3L, (1 to 60).map(_ => "ab").mkString(" ")),            // mean_word_length (2.0)
       (4L, (1 to 60).map(_ => "#### word").mkString(" ")),     // symbol_ratio
       (5L, (1 to 60).map(_ => "123 456").mkString(" ")),       // alpha_fraction
-      (6L, (1 to 60).map(i => s"word$i unique$i").mkString(" ")) // stopwords
+      (6L, (1 to 60).map(i => s"the word$i").mkString(" ")) // stopwords: only ONE distinct
     ).toDF("doc_id", "text")
-    val got = TextOps.gopherFilter(docs, "doc_id", "text").collect()
+    val withNull = docs.unionByName(Seq((8L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = TextOps.gopherFilter(withNull, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
     assert(got(1L) == ((true, None)))
     assert(got(2L) == ((false, Some("word_count"))))
     assert(got(3L) == ((false, Some("mean_word_length"))))
     assert(got(4L) == ((false, Some("symbol_ratio"))))
     assert(got(5L) == ((false, Some("alpha_fraction"))))
-    assert(got(6L) == ((false, Some("stopwords"))))
+    assert(got(6L) == ((false, Some("stopwords"))), "one DISTINCT stopword is not enough")
+    assert(got(8L) == ((false, Some("word_count"))), "null text must fail closed")
     // precedence: a doc failing several rules reports the FIRST
     val multi = Seq((7L, "### 123")).toDF("doc_id", "text") // fails everything
     assert(TextOps.gopherFilter(multi, "doc_id", "text").collect()(0)
