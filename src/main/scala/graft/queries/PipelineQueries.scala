@@ -1211,7 +1211,7 @@ object PipelineQueries {
         CAST(len(regexp_extract_all(text,'\S')) AS DOUBLE) AS nc,
         CAST(len(regexp_extract_all(text,'#|\.\.\.|…')) AS DOUBLE) AS sym,
         CAST(len(regexp_extract_all(lower(text),'\S*[a-z]\S*')) AS DOUBLE) AS alpha,
-        (CASE WHEN len(regexp_extract_all(lower(text),'\\bthe\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bbe\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bto\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bof\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\band\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bthat\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bhave\\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\\bwith\\b'))>0 THEN 1 ELSE 0 END) AS st
+        (CASE WHEN len(regexp_extract_all(lower(text),'\bthe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bbe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bto\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bof\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\band\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bthat\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bhave\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bwith\b'))>0 THEN 1 ELSE 0 END) AS st
       FROM documents),
       r AS (SELECT doc_id,
         CASE WHEN text IS NULL OR nw < 50 OR nw > 100000 THEN 'word_count'
