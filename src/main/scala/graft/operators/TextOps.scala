@@ -273,6 +273,42 @@ object TextOps {
     df.select(col(idCol), reason.isNull.as("keep"), reason.as("fail_reason"))
   }
 
+  /** Repetition gate over [[repetitionStats]]' signals — thresholds from
+    * Rae et al. 2021 Table A1 applied to this engine's WORD-level
+    * fractions (the paper normalizes its duplicate-n-gram rules by
+    * characters; same signal, different denominator — an explicit
+    * adaptation, not a claim of bit-parity with MassiveText). First
+    * failing rule wins: dup_word_frac ≤ 0.30, dup_2gram_frac ≤ 0.20,
+    * dup_3gram_frac ≤ 0.18, max_2gram_frac ≤ 0.20. */
+  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
+      maxDupWordFrac: Double = 0.30, maxDup2GramFrac: Double = 0.20,
+      maxDup3GramFrac: Double = 0.18, maxTop2GramFrac: Double = 0.20): DataFrame = {
+    val reason = when(col("dup_word_frac") > maxDupWordFrac, "dup_word_frac")
+      .when(col("dup_2gram_frac") > maxDup2GramFrac, "dup_2gram_frac")
+      .when(col("dup_3gram_frac") > maxDup3GramFrac, "dup_3gram_frac")
+      .when(col("max_2gram_frac") > maxTop2GramFrac, "max_2gram_frac")
+    repetitionStats(df, idCol, textCol)
+      .select(col("doc_id").as(idCol), reason.isNull.as("keep"),
+        reason.as("fail_reason"))
+  }
+
+  /** The full heuristic document filter (Gopher/MassiveText shape):
+    * [[gopherFilter]]'s quality rules, then [[repetitionFilter]]'s
+    * repetition gates — one (id, keep, fail_reason) verdict per document,
+    * quality reasons taking precedence. The standard pre-dedup gate of a
+    * pretraining pipeline; compose with the dedup/decontamination
+    * operators for the end-to-end curation loop (see the t40 composite). */
+  def massiveTextFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = gopherFilter(df, idCol, textCol)
+      .select(col(idCol), col("fail_reason").as("_g_reason"))
+    val r = repetitionFilter(df, idCol, textCol)
+      .select(col(idCol), col("fail_reason").as("_r_reason"))
+    g.join(r, Seq(idCol))
+      .select(col(idCol),
+        coalesce(col("_g_reason"), col("_r_reason")).isNull.as("keep"),
+        coalesce(col("_g_reason"), col("_r_reason")).as("fail_reason"))
+  }
+
   /** [[shuffleShards]]'s order key as a standalone Column — the single
     * definition behind the Scala operator and the `graft_shard` SQL
     * function (shard = shardOrder mod nShards). */

@@ -1222,6 +1222,52 @@ object PipelineQueries {
       FROM s)
       SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM r""")) { (s, dir) =>
       TextOps.gopherFilter(tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // The FULL heuristic document filter: t47's quality rules, then the
+    // repetition gates over t12's signals (word-level adaptation of the
+    // MassiveText thresholds), quality reasons first. The oracle composes
+    // the two proven CTE families and the precedence.
+    Q("t48_massivetext_filter", Some("""
+      WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      g AS (SELECT doc_id, tk,
+              CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2,
+              CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END AS g3
+            FROM t),
+      base AS (SELECT doc_id,
+        CASE WHEN len(tk) = 0 THEN 0.0 ELSE round((len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE), 9) END AS dw,
+        CASE WHEN len(g2) = 0 THEN 0.0 ELSE round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 9) END AS d2,
+        CASE WHEN len(g3) = 0 THEN 0.0 ELSE round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 9) END AS d3
+        FROM g),
+      cnts AS (SELECT doc_id, gram, count(*) AS c
+               FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
+      top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 9) AS m2
+              FROM cnts GROUP BY 1),
+      rep AS (SELECT base.doc_id,
+        CASE WHEN dw > 0.30 THEN 'dup_word_frac'
+             WHEN d2 > 0.20 THEN 'dup_2gram_frac'
+             WHEN d3 > 0.18 THEN 'dup_3gram_frac'
+             WHEN COALESCE(top.m2, 0.0) > 0.20 THEN 'max_2gram_frac' END AS r_reason
+        FROM base LEFT JOIN top ON base.doc_id = top.doc_id),
+      q AS (SELECT doc_id, text,
+        CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE) AS nw,
+        CAST(len(regexp_extract_all(text,'\S')) AS DOUBLE) AS nc,
+        CAST(len(regexp_extract_all(text,'#|\.\.\.|…')) AS DOUBLE) AS sym,
+        CAST(len(regexp_extract_all(lower(text),'\S*[a-z]\S*')) AS DOUBLE) AS alpha,
+        (CASE WHEN len(regexp_extract_all(lower(text),'\bthe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bbe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bto\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bof\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\band\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bthat\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bhave\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bwith\b'))>0 THEN 1 ELSE 0 END) AS st
+      FROM documents),
+      gq AS (SELECT doc_id,
+        CASE WHEN text IS NULL OR nw < 50 OR nw > 100000 THEN 'word_count'
+             WHEN nc/nw < 3.0 OR nc/nw > 10.0 THEN 'mean_word_length'
+             WHEN sym/nw >= 0.1 THEN 'symbol_ratio'
+             WHEN alpha/nw <= 0.8 THEN 'alpha_fraction'
+             WHEN st < 2 THEN 'stopwords' END AS g_reason
+      FROM q)
+      SELECT gq.doc_id,
+             COALESCE(g_reason, r_reason) IS NULL AS keep,
+             COALESCE(g_reason, r_reason) AS fail_reason
+      FROM gq JOIN rep ON gq.doc_id = rep.doc_id""")) { (s, dir) =>
+      TextOps.massiveTextFilter(tbl(s, dir, "documents"), "doc_id", "text")
     }
   )
 }

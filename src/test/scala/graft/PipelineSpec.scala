@@ -813,6 +813,27 @@ class PipelineSpec extends SparkSpec {
       .getString(2) == "word_count")
   }
 
+  test("massivetext filter (t48): repetition gates fire after quality, composite precedence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 60 near-unique words with exactly two distinct stopwords: passes
+    // the quality rules AND the word-level repetition gates
+    val clean = "the and " + (1 to 58).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean),                                               // keeps
+      (2L, "short"),                                             // quality: word_count
+      (3L, "the and " + Seq.fill(60)("loop").mkString(" ")),     // dup_word_frac
+      (4L, "the and " + (1 to 40).map(_ => "alpha beta").mkString(" ")) // dup_2gram_frac
+    ).toDF("doc_id", "text")
+    val got = TextOps.massiveTextFilter(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got(1L) == ((true, None)))
+    assert(got(2L) == ((false, Some("word_count"))), "quality reasons take precedence")
+    assert(got(3L) == ((false, Some("dup_word_frac"))))
+    assert(got(4L) == ((false, Some("dup_word_frac"))) ||
+      got(4L) == ((false, Some("dup_2gram_frac"))), s"repetition gate must fire: ${got(4L)}")
+  }
+
   test("span removal property: engine equals the in-memory reference on random corpora") {
     import spark.implicits._
     // Straight-line reference implementation of the removeDuplicateSpans
