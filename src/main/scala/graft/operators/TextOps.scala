@@ -121,20 +121,33 @@ object TextOps {
    * explode_outer, not explode: the inferred size>0 filter would embed
    * the gram expression and push below the widening shuffle.
    */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionStatsCarry(df, idCol, textCol, Nil)
+
+  /** [[repetitionStats]] core with extra per-row CARRY columns computed in
+    * the same tokenizing projection — lets a caller ride a map-only
+    * verdict (e.g. the gopher quality reason) through the pass for free
+    * instead of re-scanning the corpus and joining. The carry columns ride
+    * the per-row side (perDoc is a plain select, no aggregation), so they
+    * survive to the output unchanged. */
+  private def repetitionStatsCarry(df: DataFrame, idCol: String,
+      textCol: String, carry: Seq[(String, Column)]): DataFrame = {
     val base = Par.widen(df)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-    val grams = base.select(col("doc_id"), col("tk"),
-      wordNgramsAll(col("tk"), 2).as("g2"), wordNgramsAll(col("tk"), 3).as("g3"))
+      .select(col(idCol).as("doc_id") +: tokens(col(textCol)).as("tk") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
+    val carryCols = carry.map { case (n, _) => col(n) }
+    val grams = base.select(col("doc_id") +: col("tk") +:
+      wordNgramsAll(col("tk"), 2).as("g2") +: wordNgramsAll(col("tk"), 3).as("g3") +:
+      carryCols: _*)
     def dupFrac(g: Column): Column =
       when(size(g) === 0, lit(0.0)).otherwise(
         round((size(g) - size(array_distinct(g))).cast(DoubleType) /
           size(g).cast(DoubleType), 9))
-    val perDoc = grams.select(col("doc_id"),
-      size(col("tk")).cast(LongType).as("n_tokens"),
-      dupFrac(col("tk")).as("dup_word_frac"),
-      dupFrac(col("g2")).as("dup_2gram_frac"),
-      dupFrac(col("g3")).as("dup_3gram_frac"))
+    val perDoc = grams.select(col("doc_id") +:
+      size(col("tk")).cast(LongType).as("n_tokens") +:
+      dupFrac(col("tk")).as("dup_word_frac") +:
+      dupFrac(col("g2")).as("dup_2gram_frac") +:
+      dupFrac(col("g3")).as("dup_3gram_frac") +: carryCols: _*)
     val top2 = grams.select(col("doc_id"), explode_outer(col("g2")).as("g"))
       .where(col("g").isNotNull)
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -251,25 +264,41 @@ object TextOps {
     * [[repetitionStats]] — compose both for the full MassiveText filter.
     * Pure codegen'd regexp counts, map-only; thresholds are the paper's.
     */
-  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val t = col(textCol)
+  /** [[gopherFilter]]'s first-failing-rule name as a pure Column (null =
+    * all rules pass) — the single definition the standalone filter and
+    * [[massiveTextFilter]]'s fused pass share. Stopword presence is
+    * TOKEN MEMBERSHIP over the \S+ tokens, not a regex \b test: Java's
+    * \b (engine) and RE2's (DuckDB and most scanners) disagree on
+    * non-ASCII word boundaries ("thé" matches RE2's \bthe\b but not
+    * Java's), while token equality is bit-identical in every engine; the
+    * cost is that a stopword glued to punctuation ("and,") doesn't count
+    * toward the ≥2-distinct presence test. */
+  def gopherReason(t: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
     val nWords = tokenCount(t).cast("double")
     val meanLen = matchCount(t, "\\S").cast("double") / nWords
     val symbols = matchCount(t, "#|\\.\\.\\.|…").cast("double")
     val alphaWords = matchCount(lower(t), "\\S*[a-z]\\S*").cast("double")
     // "at least two of the following words" = two DISTINCT stopwords
     // present, not two occurrences of one
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      .map(w => (matchCount(lower(t), s"\\b$w\\b") > 0).cast("int"))
-      .reduce(_ + _)
+    val tk = tokens(t)
+    val stops = Stopwords8.map(w => array_contains(tk, w).cast("int")).reduce(_ + _)
     // NULL text fails closed (word_count), like the empty string — a
     // quality gate must never admit a document with no text
-    val reason = when(t.isNull || nWords < minWords || nWords > maxWords, "word_count")
+    when(t.isNull || nWords < minWords || nWords > maxWords, "word_count")
       .when(meanLen < 3.0 || meanLen > 10.0, "mean_word_length")
       .when(symbols / nWords >= 0.1, "symbol_ratio")
       .when(alphaWords / nWords <= 0.8, "alpha_fraction")
       .when(stops < 2, "stopwords")
+  }
+
+  /** The paper's 8-word stopword presence list. */
+  val Stopwords8: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val reason = gopherReason(col(textCol), minWords, maxWords)
     df.select(col(idCol), reason.isNull.as("keep"), reason.as("fail_reason"))
   }
 
@@ -280,13 +309,23 @@ object TextOps {
     * adaptation, not a claim of bit-parity with MassiveText). First
     * failing rule wins: dup_word_frac ≤ 0.30, dup_2gram_frac ≤ 0.20,
     * dup_3gram_frac ≤ 0.18, max_2gram_frac ≤ 0.20. */
-  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
-      maxDupWordFrac: Double = 0.30, maxDup2GramFrac: Double = 0.20,
-      maxDup3GramFrac: Double = 0.18, maxTop2GramFrac: Double = 0.20): DataFrame = {
-    val reason = when(col("dup_word_frac") > maxDupWordFrac, "dup_word_frac")
+  /** Repetition-gate reason over [[repetitionStats]]' output columns
+    * (null = all gates pass). `no_text` fails closed on null/zero-token
+    * documents — the standalone filter must never admit a no-text doc
+    * (same invariant as [[gopherReason]]'s word_count). */
+  private def repetitionReason(maxDupWordFrac: Double, maxDup2GramFrac: Double,
+      maxDup3GramFrac: Double, maxTop2GramFrac: Double): Column =
+    when(col("n_tokens").isNull || col("n_tokens") === 0, "no_text")
+      .when(col("dup_word_frac") > maxDupWordFrac, "dup_word_frac")
       .when(col("dup_2gram_frac") > maxDup2GramFrac, "dup_2gram_frac")
       .when(col("dup_3gram_frac") > maxDup3GramFrac, "dup_3gram_frac")
       .when(col("max_2gram_frac") > maxTop2GramFrac, "max_2gram_frac")
+
+  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
+      maxDupWordFrac: Double = 0.30, maxDup2GramFrac: Double = 0.20,
+      maxDup3GramFrac: Double = 0.18, maxTop2GramFrac: Double = 0.20): DataFrame = {
+    val reason = repetitionReason(maxDupWordFrac, maxDup2GramFrac,
+      maxDup3GramFrac, maxTop2GramFrac)
     repetitionStats(df, idCol, textCol)
       .select(col("doc_id").as(idCol), reason.isNull.as("keep"),
         reason.as("fail_reason"))
@@ -297,16 +336,23 @@ object TextOps {
     * repetition gates — one (id, keep, fail_reason) verdict per document,
     * quality reasons taking precedence. The standard pre-dedup gate of a
     * pretraining pipeline; compose with the dedup/decontamination
-    * operators for the end-to-end curation loop (see the t40 composite). */
-  def massiveTextFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val g = gopherFilter(df, idCol, textCol)
-      .select(col(idCol), col("fail_reason").as("_g_reason"))
-    val r = repetitionFilter(df, idCol, textCol)
-      .select(col(idCol), col("fail_reason").as("_r_reason"))
-    g.join(r, Seq(idCol))
-      .select(col(idCol),
-        coalesce(col("_g_reason"), col("_r_reason")).isNull.as("keep"),
-        coalesce(col("_g_reason"), col("_r_reason")).as("fail_reason"))
+    * operators for the end-to-end curation loop (see the t40 composite).
+    *
+    * ONE pass: the gopher reason is a map-only column carried through the
+    * repetition pass's tokenizing projection — no second corpus scan, no
+    * id-keyed join of two verdict frames (and so no row loss on null ids
+    * either). Thresholds forward to both rule families. */
+  def massiveTextFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      maxDupWordFrac: Double = 0.30, maxDup2GramFrac: Double = 0.20,
+      maxDup3GramFrac: Double = 0.18, maxTop2GramFrac: Double = 0.20): DataFrame = {
+    val fused = repetitionStatsCarry(df, idCol, textCol,
+      Seq("_g_reason" -> gopherReason(col(textCol), minWords, maxWords)))
+    val reason = coalesce(col("_g_reason"),
+      repetitionReason(maxDupWordFrac, maxDup2GramFrac,
+        maxDup3GramFrac, maxTop2GramFrac))
+    fused.select(col("doc_id").as(idCol), reason.isNull.as("keep"),
+      reason.as("fail_reason"))
   }
 
   /** [[shuffleShards]]'s order key as a standalone Column — the single

@@ -67,6 +67,49 @@ object PipelineQueries {
       pr AS (SELECT id_a, id_b, CAST(inter AS DOUBLE)/(tot-inter) AS jaccard
              FROM p WHERE CAST(inter AS DOUBLE)/(tot-inter) >= 0.9)"""
 
+  /** Shared t12/t48 repetition CTEs: rbase(doc_id, n_tokens, dup_*_frac)
+    * and rtop(doc_id, max_2gram_frac) over `documents` — ONE definition so
+    * an oracle fix cannot drift between the stats and filter queries. */
+  private val oRepCtes = """rt AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      rg AS (SELECT doc_id, tk,
+              CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2,
+              CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END AS g3
+            FROM rt),
+      rbase AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CASE WHEN len(tk) = 0 THEN 0.0 ELSE round((len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE), 9) END AS dup_word_frac,
+        CASE WHEN len(g2) = 0 THEN 0.0 ELSE round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 9) END AS dup_2gram_frac,
+        CASE WHEN len(g3) = 0 THEN 0.0 ELSE round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 9) END AS dup_3gram_frac
+        FROM rg),
+      rcnts AS (SELECT doc_id, gram, count(*) AS c
+               FROM (SELECT doc_id, unnest(g2) AS gram FROM rg) GROUP BY 1, 2),
+      rtop AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 9) AS max_2gram_frac
+              FROM rcnts GROUP BY 1)"""
+
+  /** Shared t47/t48 gopher CTEs: gr(doc_id, g_reason) over `documents` —
+    * stopword presence via list_contains over the \S+ tokens, mirroring
+    * TextOps.gopherReason's token-membership semantics exactly (regex \b
+    * diverges between Java and RE2 on non-ASCII boundaries). */
+  private val oGopherCtes: String = {
+    val stops = graft.operators.TextOps.Stopwords8
+      .map(w => s"(CASE WHEN list_contains(tk0, '$w') THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""gq0 AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS tk0 FROM documents),
+      gq AS (SELECT doc_id,
+        CAST(len(tk0) AS DOUBLE) AS nw,
+        CAST(len(regexp_extract_all(text,'\\S')) AS DOUBLE) AS nc,
+        CAST(len(regexp_extract_all(text,'#|\\.\\.\\.|…')) AS DOUBLE) AS sym,
+        CAST(len(regexp_extract_all(lower(text),'\\S*[a-z]\\S*')) AS DOUBLE) AS alpha,
+        $stops AS st,
+        text IS NULL AS tnull
+      FROM gq0),
+      gr AS (SELECT doc_id,
+        CASE WHEN tnull OR nw < 50 OR nw > 100000 THEN 'word_count'
+             WHEN nc/nw < 3.0 OR nc/nw > 10.0 THEN 'mean_word_length'
+             WHEN sym/nw >= 0.1 THEN 'symbol_ratio'
+             WHEN alpha/nw <= 0.8 THEN 'alpha_fraction'
+             WHEN st < 2 THEN 'stopwords' END AS g_reason
+      FROM gq)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Per-document text statistics: token counts, language ID, quality
@@ -394,24 +437,11 @@ object PipelineQueries {
 
     // Within-document repetition signals (Gopher-rule quality family):
     // duplicate word/2-gram/3-gram fractions + most-frequent-2-gram share.
-    Q("t12_repetition_stats", Some("""
-      WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
-      g AS (SELECT doc_id, tk,
-              CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2,
-              CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END AS g3
-            FROM t),
-      base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-        CASE WHEN len(tk) = 0 THEN 0.0 ELSE round((len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE), 9) END AS dup_word_frac,
-        CASE WHEN len(g2) = 0 THEN 0.0 ELSE round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 9) END AS dup_2gram_frac,
-        CASE WHEN len(g3) = 0 THEN 0.0 ELSE round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 9) END AS dup_3gram_frac
-        FROM g),
-      cnts AS (SELECT doc_id, gram, count(*) AS c
-               FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
-      top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 9) AS max_2gram_frac
-              FROM cnts GROUP BY 1)
-      SELECT base.doc_id, n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
-             COALESCE(top.max_2gram_frac, 0.0) AS max_2gram_frac
-      FROM base LEFT JOIN top ON base.doc_id = top.doc_id""")) { (s, dir) =>
+    Q("t12_repetition_stats", Some(s"""
+      WITH $oRepCtes
+      SELECT rbase.doc_id, n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+             COALESCE(rtop.max_2gram_frac, 0.0) AS max_2gram_frac
+      FROM rbase LEFT JOIN rtop ON rbase.doc_id = rtop.doc_id""")) { (s, dir) =>
       TextOps.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")
     },
 
@@ -1205,22 +1235,10 @@ object PipelineQueries {
 
     // Gopher quality gate (Rae et al. 2021 A1.1) with auditable first-fail
     // reasons; the oracle replicates every rule and the precedence order.
-    Q("t47_gopher_filter", Some("""
-      WITH s AS (SELECT doc_id, text,
-        CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE) AS nw,
-        CAST(len(regexp_extract_all(text,'\S')) AS DOUBLE) AS nc,
-        CAST(len(regexp_extract_all(text,'#|\.\.\.|…')) AS DOUBLE) AS sym,
-        CAST(len(regexp_extract_all(lower(text),'\S*[a-z]\S*')) AS DOUBLE) AS alpha,
-        (CASE WHEN len(regexp_extract_all(lower(text),'\bthe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bbe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bto\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bof\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\band\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bthat\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bhave\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bwith\b'))>0 THEN 1 ELSE 0 END) AS st
-      FROM documents),
-      r AS (SELECT doc_id,
-        CASE WHEN text IS NULL OR nw < 50 OR nw > 100000 THEN 'word_count'
-             WHEN nc/nw < 3.0 OR nc/nw > 10.0 THEN 'mean_word_length'
-             WHEN sym/nw >= 0.1 THEN 'symbol_ratio'
-             WHEN alpha/nw <= 0.8 THEN 'alpha_fraction'
-             WHEN st < 2 THEN 'stopwords' END AS fail_reason
-      FROM s)
-      SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM r""")) { (s, dir) =>
+    Q("t47_gopher_filter", Some(s"""
+      WITH $oGopherCtes
+      SELECT doc_id, g_reason IS NULL AS keep, g_reason AS fail_reason
+      FROM gr""")) { (s, dir) =>
       TextOps.gopherFilter(tbl(s, dir, "documents"), "doc_id", "text")
     },
 
@@ -1228,45 +1246,19 @@ object PipelineQueries {
     // repetition gates over t12's signals (word-level adaptation of the
     // MassiveText thresholds), quality reasons first. The oracle composes
     // the two proven CTE families and the precedence.
-    Q("t48_massivetext_filter", Some("""
-      WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
-      g AS (SELECT doc_id, tk,
-              CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2,
-              CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END AS g3
-            FROM t),
-      base AS (SELECT doc_id,
-        CASE WHEN len(tk) = 0 THEN 0.0 ELSE round((len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE), 9) END AS dw,
-        CASE WHEN len(g2) = 0 THEN 0.0 ELSE round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 9) END AS d2,
-        CASE WHEN len(g3) = 0 THEN 0.0 ELSE round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 9) END AS d3
-        FROM g),
-      cnts AS (SELECT doc_id, gram, count(*) AS c
-               FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
-      top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 9) AS m2
-              FROM cnts GROUP BY 1),
-      rep AS (SELECT base.doc_id,
-        CASE WHEN dw > 0.30 THEN 'dup_word_frac'
-             WHEN d2 > 0.20 THEN 'dup_2gram_frac'
-             WHEN d3 > 0.18 THEN 'dup_3gram_frac'
-             WHEN COALESCE(top.m2, 0.0) > 0.20 THEN 'max_2gram_frac' END AS r_reason
-        FROM base LEFT JOIN top ON base.doc_id = top.doc_id),
-      q AS (SELECT doc_id, text,
-        CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE) AS nw,
-        CAST(len(regexp_extract_all(text,'\S')) AS DOUBLE) AS nc,
-        CAST(len(regexp_extract_all(text,'#|\.\.\.|…')) AS DOUBLE) AS sym,
-        CAST(len(regexp_extract_all(lower(text),'\S*[a-z]\S*')) AS DOUBLE) AS alpha,
-        (CASE WHEN len(regexp_extract_all(lower(text),'\bthe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bbe\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bto\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bof\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\band\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bthat\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bhave\b'))>0 THEN 1 ELSE 0 END) + (CASE WHEN len(regexp_extract_all(lower(text),'\bwith\b'))>0 THEN 1 ELSE 0 END) AS st
-      FROM documents),
-      gq AS (SELECT doc_id,
-        CASE WHEN text IS NULL OR nw < 50 OR nw > 100000 THEN 'word_count'
-             WHEN nc/nw < 3.0 OR nc/nw > 10.0 THEN 'mean_word_length'
-             WHEN sym/nw >= 0.1 THEN 'symbol_ratio'
-             WHEN alpha/nw <= 0.8 THEN 'alpha_fraction'
-             WHEN st < 2 THEN 'stopwords' END AS g_reason
-      FROM q)
-      SELECT gq.doc_id,
+    Q("t48_massivetext_filter", Some(s"""
+      WITH $oRepCtes,
+      rep AS (SELECT rbase.doc_id,
+        CASE WHEN dup_word_frac > 0.30 THEN 'dup_word_frac'
+             WHEN dup_2gram_frac > 0.20 THEN 'dup_2gram_frac'
+             WHEN dup_3gram_frac > 0.18 THEN 'dup_3gram_frac'
+             WHEN COALESCE(rtop.max_2gram_frac, 0.0) > 0.20 THEN 'max_2gram_frac' END AS r_reason
+        FROM rbase LEFT JOIN rtop ON rbase.doc_id = rtop.doc_id),
+      $oGopherCtes
+      SELECT gr.doc_id,
              COALESCE(g_reason, r_reason) IS NULL AS keep,
              COALESCE(g_reason, r_reason) AS fail_reason
-      FROM gq JOIN rep ON gq.doc_id = rep.doc_id""")) { (s, dir) =>
+      FROM gr JOIN rep ON gr.doc_id = rep.doc_id""")) { (s, dir) =>
       TextOps.massiveTextFilter(tbl(s, dir, "documents"), "doc_id", "text")
     }
   )

@@ -819,19 +819,51 @@ class PipelineSpec extends SparkSpec {
     // 60 near-unique words with exactly two distinct stopwords: passes
     // the quality rules AND the word-level repetition gates
     val clean = "the and " + (1 to 58).map(i => s"word$i").mkString(" ")
+    // a repeated PAIR amid unique filler: dup_word_frac stays under 0.30
+    // while dup_2gram_frac crosses 0.20 — isolates the second gate
+    val pairy = "the and " + (1 to 100).map(i => s"filler$i").mkString(" ") +
+      " " + Seq.fill(20)("px py").mkString(" ")
     val docs = Seq(
       (1L, clean),                                               // keeps
       (2L, "short"),                                             // quality: word_count
       (3L, "the and " + Seq.fill(60)("loop").mkString(" ")),     // dup_word_frac
-      (4L, "the and " + (1 to 40).map(_ => "alpha beta").mkString(" ")) // dup_2gram_frac
+      (4L, pairy)                                                // dup_2gram_frac
     ).toDF("doc_id", "text")
     val got = TextOps.massiveTextFilter(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
     assert(got(1L) == ((true, None)))
     assert(got(2L) == ((false, Some("word_count"))), "quality reasons take precedence")
     assert(got(3L) == ((false, Some("dup_word_frac"))))
-    assert(got(4L) == ((false, Some("dup_word_frac"))) ||
-      got(4L) == ((false, Some("dup_2gram_frac"))), s"repetition gate must fire: ${got(4L)}")
+    assert(got(4L) == ((false, Some("dup_2gram_frac"))),
+      s"repeated-pair doc must fail on the 2-gram gate specifically: ${got(4L)}")
+
+    // WIRING cross-check: for every doc, the composite's reason equals the
+    // first breached rule recomputed from repetitionStats' own numbers —
+    // a copy-pasted column name or swapped threshold in any branch fails
+    val stats = TextOps.repetitionStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val gopher = TextOps.gopherFilter(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val st = stats(id)
+      val expected = gopher(id).orElse {
+        if (st.getAs[Double]("dup_word_frac") > 0.30) Some("dup_word_frac")
+        else if (st.getAs[Double]("dup_2gram_frac") > 0.20) Some("dup_2gram_frac")
+        else if (st.getAs[Double]("dup_3gram_frac") > 0.18) Some("dup_3gram_frac")
+        else if (st.getAs[Double]("max_2gram_frac") > 0.20) Some("max_2gram_frac")
+        else None
+      }
+      assert(got(id)._2 == expected, s"doc $id: wired reason ${got(id)._2} != $expected")
+    }
+
+    // standalone repetitionFilter fails no-text closed (composite covers
+    // it via word_count; alone it must not admit a null/empty doc)
+    val rf = TextOps.repetitionFilter(
+      Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, clean)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(rf(1L) == ((false, Some("no_text"))) && rf(2L) == ((false, Some("no_text"))))
+    assert(rf(3L)._1, "clean doc passes the standalone repetition gate")
   }
 
   test("span removal property: engine equals the in-memory reference on random corpora") {
