@@ -275,13 +275,15 @@ object TextOps {
     * toward the ≥2-distinct presence test. */
   def gopherReason(t: Column, minWords: Int = 50,
       maxWords: Int = 100000): Column = {
-    val nWords = tokenCount(t).cast("double")
+    // one tokenization serves the word count AND the stopword test
+    // (lowercasing cannot change whitespace, so size(tokens) ≡ tokenCount)
+    val tk = tokens(t)
+    val nWords = size(tk).cast("double")
     val meanLen = matchCount(t, "\\S").cast("double") / nWords
     val symbols = matchCount(t, "#|\\.\\.\\.|…").cast("double")
     val alphaWords = matchCount(lower(t), "\\S*[a-z]\\S*").cast("double")
     // "at least two of the following words" = two DISTINCT stopwords
     // present, not two occurrences of one
-    val tk = tokens(t)
     val stops = Stopwords8.map(w => array_contains(tk, w).cast("int")).reduce(_ + _)
     // NULL text fails closed (word_count), like the empty string — a
     // quality gate must never admit a document with no text
@@ -315,7 +317,12 @@ object TextOps {
     * (same invariant as [[gopherReason]]'s word_count). */
   private def repetitionReason(maxDupWordFrac: Double, maxDup2GramFrac: Double,
       maxDup3GramFrac: Double, maxTop2GramFrac: Double): Column =
-    when(col("n_tokens").isNull || col("n_tokens") === 0, "no_text")
+    // null ids FAIL CLOSED: per-doc aggregation (the top-2-gram share)
+    // cannot be computed for a null key — all null-id rows pool into one
+    // group and the left join hands them a fabricated 0.0 — so a verdict
+    // operator must reject, not silently fail-open the max_2gram gate
+    when(col("doc_id").isNull, "no_id")
+      .when(col("n_tokens").isNull || col("n_tokens") === 0, "no_text")
       .when(col("dup_word_frac") > maxDupWordFrac, "dup_word_frac")
       .when(col("dup_2gram_frac") > maxDup2GramFrac, "dup_2gram_frac")
       .when(col("dup_3gram_frac") > maxDup3GramFrac, "dup_3gram_frac")

@@ -1249,7 +1249,8 @@ object PipelineQueries {
     Q("t48_massivetext_filter", Some(s"""
       WITH $oRepCtes,
       rep AS (SELECT rbase.doc_id,
-        CASE WHEN dup_word_frac > 0.30 THEN 'dup_word_frac'
+        CASE WHEN rbase.doc_id IS NULL THEN 'no_id'
+             WHEN dup_word_frac > 0.30 THEN 'dup_word_frac'
              WHEN dup_2gram_frac > 0.20 THEN 'dup_2gram_frac'
              WHEN dup_3gram_frac > 0.18 THEN 'dup_3gram_frac'
              WHEN COALESCE(rtop.max_2gram_frac, 0.0) > 0.20 THEN 'max_2gram_frac' END AS r_reason
@@ -1258,7 +1259,7 @@ object PipelineQueries {
       SELECT gr.doc_id,
              COALESCE(g_reason, r_reason) IS NULL AS keep,
              COALESCE(g_reason, r_reason) AS fail_reason
-      FROM gr JOIN rep ON gr.doc_id = rep.doc_id""")) { (s, dir) =>
+      FROM gr LEFT JOIN rep ON gr.doc_id = rep.doc_id""")) { (s, dir) =>
       TextOps.massiveTextFilter(tbl(s, dir, "documents"), "doc_id", "text")
     }
   )
