@@ -73,12 +73,19 @@ object Iceberg {
       schema: StructType,
       fieldIds: Map[String, Int], // top-level name -> iceberg field id
       lastColumnId: Int,
-      partitionCols: Seq[String], // identity-transform source names
+      /** Full default partition spec — identity AND transform fields
+        * (bucket[n]/truncate[w]/year/month/day/hour/void). */
+      specFields: Seq[IceSpecField],
       specId: Int,
       snapshots: Seq[SnapshotMeta],
       currentSnapshotId: Option[Long],
       lastSequenceNumber: Long,
-      version: Int) // metadata file version (vN.metadata.json)
+      version: Int) { // metadata file version (vN.metadata.json)
+    /** identity-transform source names (the legacy partition surface). */
+    def partitionCols: Seq[String] = specFields.collect {
+      case IceSpecField(_, src, _, IceTransform.IdentityT) => src
+    }
+  }
 
   final case class SnapshotMeta(
       snapshotId: Long, timestampMs: Long, sequenceNumber: Long,
@@ -120,15 +127,15 @@ object Iceberg {
       } else root.get("schema")
     val (schema, ids) = schemaFromJson(schemaNode)
 
-    val (specId, partitionCols): (Int, Seq[String]) =
+    val (specId, specFs): (Int, Seq[IceSpecField]) =
       if (root.has("partition-specs")) {
         val cur = root.get("default-spec-id").asInt()
         val spec = root.get("partition-specs").elements().asScala
           .find(_.get("spec-id").asInt() == cur)
           .getOrElse(throw new IllegalArgumentException(s"default-spec-id $cur not found"))
-        (cur, specFields(spec.get("fields"), ids))
+        (cur, parseSpecFields(spec.get("fields"), ids))
       } else if (root.has("partition-spec"))
-        (0, specFields(root.get("partition-spec"), ids))
+        (0, parseSpecFields(root.get("partition-spec"), ids))
       else (0, Nil)
 
     val snaps = Option(root.get("snapshots")).toSeq
@@ -147,19 +154,27 @@ object Iceberg {
       Option(root.get("table-uuid")).map(_.asText()).getOrElse(""),
       schema, ids,
       Option(root.get("last-column-id")).map(_.asInt()).getOrElse(ids.values.maxOption.getOrElse(0)),
-      partitionCols, specId, snaps,
+      specFs, specId, snaps,
       Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
       Option(root.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       version)
   }
 
-  /** identity-transform fields only; any other transform is allowed in the
-    * metadata but yields no prunable column here. */
-  private def specFields(fields: JsonNode, ids: Map[String, Int]): Seq[String] = {
+  /** Full spec-field parse: every transform is modeled ([[IceTransform]]);
+    * an unrecognized transform string stays opaque (readable, unprunable,
+    * unwritable). A source id absent from the CURRENT schema (dropped
+    * column) yields no spec field. */
+  private def parseSpecFields(fields: JsonNode, ids: Map[String, Int]): Seq[IceSpecField] = {
     val byId = ids.map(_.swap)
-    fields.elements().asScala.toSeq.flatMap { f =>
-      val transform = f.get("transform").asText()
-      if (transform == "identity") byId.get(f.get("source-id").asInt()) else None
+    fields.elements().asScala.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      byId.get(f.get("source-id").asInt()).map { src =>
+        val tr = IceTransform.parse(f.get("transform").asText())
+        IceSpecField(
+          Option(f.get("name")).map(_.asText()).getOrElse(tr.fieldName(src)),
+          src,
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(1000 + i),
+          tr)
+      }
     }
   }
 
@@ -216,16 +231,20 @@ object Iceberg {
     * the full entry set driver-side. Delete entries (content != 0) are
     * never pruned — a skipped delete file would resurrect rows. */
   def fileEntries(spark: SparkSession, meta: TableMeta, snap: SnapshotMeta,
-      statFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Seq[FileEntry] = {
+      statFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      partPreds: Seq[IcebergPartPrune.Pred] = Nil): Seq[FileEntry] = {
     val manifests = readManifestList(resolvePath(snap.manifestList, meta.location))
     // capture only serializable, entry-local state (not TableMeta)
     val schema = meta.schema
     val idToName = meta.fieldIds.map(_.swap)
     val fs = statFilters
+    val pp = partPreds
     def keepAndStrip(entries: Seq[FileEntry]): Seq[FileEntry] =
-      if (fs.isEmpty) entries
+      if (fs.isEmpty && pp.isEmpty) entries
       else entries.flatMap { e =>
         if (e.content != 0) Some(e)
+        else if (!IcebergPartPrune.keep(pp, e.partition)) None
+        else if (fs.isEmpty) Some(e)
         else {
           val st = entryColStats(e, idToName, schema)
           val keep = st.isEmpty ||
@@ -415,10 +434,12 @@ object Iceberg {
     val meta = loadMeta(table)
     val snap = pickSnapshot(meta, snapshotId, asOfTimestampMs).getOrElse(
       return emptyFrame(spark, meta.schema))
-    // bounds-based data skipping runs inside the manifest readers (and in
-    // executors past the distribution threshold) — survivors only
+    // bounds-based data skipping AND transform-derived partition pruning
+    // run inside the manifest readers (and in executors past the
+    // distribution threshold) — survivors only
     val statFilters = dataFilter.map(graft.catalog.StatsSkip.translate).getOrElse(Nil)
-    val entries = fileEntries(spark, meta, snap, statFilters)
+    val partPreds = IcebergPartPrune.derive(statFilters, meta.specFields, meta.schema)
+    val entries = fileEntries(spark, meta, snap, statFilters, partPreds)
 
     require(partitionFilter.isEmpty || meta.partitionCols.nonEmpty,
       s"partitionFilter given but $table is unpartitioned — the filter would " +
@@ -553,10 +574,37 @@ object Iceberg {
   // --------------------------------------------------------------- write
 
   /** Create an empty v2 table. Field ids are assigned 1..n in schema order
-    * (nested fields get ids after all top-level ones, depth-first). */
-  def createTable(table: String, schema: StructType, partitionCols: Seq[String] = Nil): TableMeta = {
+    * (nested fields get ids after all top-level ones, depth-first).
+    *
+    * `partitionCols` are identity-partition sources; `partitionSpec` adds
+    * non-identity (source, transform) pairs — `"bucket[4]"`,
+    * `"truncate[10]"`, `"year" | "month" | "day" | "hour"`, `"void"` —
+    * with spec-default field names (`key_bucket`, `ts_day`, …). Transforms
+    * are validated against the source type here, before any metadata is
+    * written. */
+  def createTable(table: String, schema: StructType, partitionCols: Seq[String] = Nil,
+      partitionSpec: Seq[(String, String)] = Nil): TableMeta = {
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition cols $partitionCols not all in schema")
+    val transformFields = partitionSpec.map { case (src, trStr) =>
+      require(schema.fieldNames.contains(src), s"partition source $src not in schema")
+      val tr = IceTransform.parse(trStr)
+      tr match {
+        case IceTransform.UnknownT(raw) =>
+          throw new IllegalArgumentException(s"unknown partition transform '$raw'")
+        case IceTransform.IdentityT => // allowed; joins the identity family
+        case t =>
+          // fail fast on transform/type mismatches (hour over date, bucket
+          // over double, …) — column() performs the validation
+          t.column(col(src), schema(src).dataType)
+      }
+      (src, tr)
+    }
+    val allSpecs: Seq[(String, String, IceTransform)] =
+      partitionCols.map(c => (c, c, IceTransform.IdentityT: IceTransform)) ++
+        transformFields.map { case (src, tr) => (tr.fieldName(src), src, tr) }
+    require(allSpecs.map(_._1).distinct.size == allSpecs.size,
+      s"duplicate partition field names in ${allSpecs.map(_._1)}")
     val dir = metaDir(table)
     require(!Files.exists(dir.resolve("version-hint.text")), s"Iceberg table exists: $table")
     Files.createDirectories(dir)
@@ -574,10 +622,10 @@ object Iceberg {
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
     val specFieldsArr = mapper.createArrayNode()
-    partitionCols.zipWithIndex.foreach { case (c, i) =>
+    allSpecs.zipWithIndex.foreach { case ((name, src, tr), i) =>
       val f = mapper.createObjectNode()
-      f.put("name", c); f.put("transform", "identity")
-      f.put("source-id", topIds(c)); f.put("field-id", 1000 + i)
+      f.put("name", name); f.put("transform", tr.json)
+      f.put("source-id", topIds(src)); f.put("field-id", 1000 + i)
       specFieldsArr.add(f)
     }
     spec.set("fields", specFieldsArr)
@@ -686,21 +734,27 @@ object Iceberg {
          else lit(null).cast(f.dataType))
           .as(f.name, fieldIdMeta(meta.fieldIds(f.name)))
       }: _*)
-      val aliased = meta.partitionCols.foldLeft(base)(
-        (d, c) => d.withColumn(s"_p_$c", col(c)))
+      // each spec field becomes a computed partition column (identity: the
+      // source itself; bucket/time/truncate: the spec-exact transform Column)
+      val aliased = meta.specFields.foldLeft(base)((d, sf) =>
+        d.withColumn(s"_p_${sf.name}",
+          sf.transform.column(col(sf.source), meta.schema(sf.source).dataType)))
       // Iceberg FORBIDS int96 timestamps (spec: timestamps are int64 micros)
       InteropUtil.withMicrosTimestamps(df.sparkSession) {
         val w = aliased.write.mode("overwrite")
-        (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols.map("_p_" + _): _*)
+        (if (meta.specFields.nonEmpty)
+          w.partitionBy(meta.specFields.map(sf => s"_p_${sf.name}"): _*)
          else w).parquet(staging.toString)
       }
       InteropUtil.moveStagedParquet(staging, dataDir)
     } finally InteropUtil.deleteRecursively(staging)
-    // per-file partition values (identity): from the aliased hive dirs
+    // per-file partition tuples: from the aliased hive dirs, keyed by spec
+    // FIELD name (transform values are the stringified transform results)
+    val specNames = meta.specFields.map(_.name).toSet
     val files = written.map { case (rel, size) =>
       val pv = rel.split('/').dropRight(1).flatMap { seg =>
         seg.split("=", 2) match {
-          case Array(k, v) if k.startsWith("_p_") && meta.partitionCols.contains(k.drop(3)) =>
+          case Array(k, v) if k.startsWith("_p_") && specNames.contains(k.drop(3)) =>
             // un-hive-escape: the manifest must carry the REAL value or
             // partition pruning silently drops matching rows
             Some(k.drop(3) -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
@@ -876,18 +930,41 @@ object Iceberg {
     val footerInfo = InteropUtil.parquetFooterStats(spark, files.map(_.absPath))
     val rowCounts = footerInfo.map { case (p, (n, _)) => p -> n }
 
-    // partition record schema for identity cols (stringified values ride
-    // as nullable strings in OUR manifests; readers stringify anyway)
+    // partition record schema: identity values ride as nullable strings
+    // (readers stringify anyway); transform results ride TYPED (int/long),
+    // the shape foreign Iceberg writers produce. `day` carries the spec's
+    // `date` logical type annotation.
     val partSchema: AvroSchema = {
-      val fields = meta.partitionCols.zipWithIndex.map { case (c, i) =>
-        val f = new AvroSchema.Field(c, nullableString, null, AvroSchema.Field.NULL_DEFAULT_VALUE)
-        f.addProp("field-id", 1000 + i: Integer)
+      val fields = meta.specFields.map { sf =>
+        val srcType = meta.schema.fields.find(_.name == sf.source)
+          .map(_.dataType).getOrElse(StringType)
+        val inner = sf.transform.avroKind(srcType) match {
+          case "int" =>
+            val s = AvroSchema.create(AvroSchema.Type.INT)
+            if (sf.transform == IceTransform.DayT) s.addProp("logicalType", "date")
+            s
+          case "long" => AvroSchema.create(AvroSchema.Type.LONG)
+          case _ => AvroSchema.create(AvroSchema.Type.STRING)
+        }
+        val f = new AvroSchema.Field(sf.name,
+          AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), inner),
+          null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+        f.addProp("field-id", sf.fieldId: Integer)
         f
       }
       val rec = AvroSchema.createRecord("r102", null, "iceberg", false)
       rec.setFields(java.util.Arrays.asList(fields: _*))
       rec
     }
+    /** stringified partition value -> the field's typed avro form */
+    def typedPartValue(field: String, v: String): AnyRef =
+      if (v == null) null
+      else partSchema.getField(field).schema().getTypes.asScala
+        .find(_.getType != AvroSchema.Type.NULL).map(_.getType) match {
+        case Some(AvroSchema.Type.INT) => Integer.valueOf(v)
+        case Some(AvroSchema.Type.LONG) => java.lang.Long.valueOf(v)
+        case _ => v
+      }
 
     // manifest
     val manifestPath = dir.resolve(s"$commitUuid-m0.avro")
@@ -910,7 +987,7 @@ object Iceberg {
         d.put("file_format", "PARQUET")
         val p = new GenericData.Record(partSchema)
         f.partition.foreach { case (k, v) =>
-          if (partSchema.getField(k) != null) p.put(k, v)
+          if (partSchema.getField(k) != null) p.put(k, typedPartValue(k, v))
         }
         d.put("partition", p)
         d.put("record_count", rowCounts.getOrElse(f.absPath, 0L))

@@ -1467,6 +1467,43 @@ object CatalogQueries {
       require(d2.properties("copied_by_reference").toInt == d1.entries.size,
         "sorted base must be copied by reference on recompact")
       cat.readTable("q.o").select("o_orderkey", "o_totalprice").distinct()
+    },
+
+    // Iceberg non-identity partition transforms (reference
+    // storage/model/transform.py:32-41 bucketing strategies, :251-304
+    // truncate/time families; Iceberg spec Appendix B murmur3 hashing):
+    // Graft WRITES a bucket[4](user_id) + day(ts) partitioned Iceberg
+    // table and the selective read derives partition predicates from the
+    // data predicates (key IN → bucket ids; ts range → inclusive day
+    // range), pruning manifest entries before any data file is opened.
+    // Pruning is not observable through the row compare, so the builder
+    // asserts the physical contract (same pattern as c77/c79).
+    Q("c80_iceberg_transform_pruning", Some("""
+      SELECT event_id, ts, user_id, event_type FROM events
+      WHERE user_id IN (3, 7) AND ts >= TIMESTAMP '2024-01-10 00:00:00'""")) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_c80").resolve("tbl").toString
+      val ev = tbl(s, dir, "events").select("event_id", "ts", "user_id", "event_type")
+      graft.interop.Iceberg.createTable(t, ev.schema,
+        partitionSpec = Seq("user_id" -> "bucket[4]", "ts" -> "day"))
+      graft.interop.Iceberg.append(ev, t)
+      val filter = col("user_id").isin(3L, 7L) &&
+        col("ts") >= to_timestamp(lit("2024-01-10 00:00:00"))
+      // physical claim: transform-derived predicates prune manifest entries
+      val meta = graft.interop.Iceberg.loadMeta(t)
+      val entries = graft.interop.Iceberg.fileEntries(s, meta, meta.snapshots.head)
+      val preds = graft.interop.IcebergPartPrune.derive(
+        graft.catalog.StatsSkip.translate(filter), meta.specFields, meta.schema)
+      require(preds.nonEmpty, "bucket+day predicates must derive from the data filter")
+      val kept = entries.count(e => graft.interop.IcebergPartPrune.keep(preds, e.partition))
+      require(kept > 0 && kept < entries.size,
+        s"partition pruning must drop files ($kept of ${entries.size} kept)")
+      val buckets = Set(3L, 7L).map(k =>
+        graft.interop.IcebergHash.bucketLong(k, 4).toString)
+      require(entries.filter(e =>
+        graft.interop.IcebergPartPrune.keep(preds, e.partition))
+        .forall(e => buckets.contains(e.partition("user_id_bucket"))),
+        "a kept file outside the derived buckets")
+      graft.interop.Iceberg.read(s, t, dataFilter = Some(filter))
     }
   )
 }

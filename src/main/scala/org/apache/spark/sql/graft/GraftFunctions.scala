@@ -39,6 +39,10 @@ object GraftFunctions {
     * the sql package (StatsSkip rowFilter translation). */
   def expressionOf(col: Column): Expression = e(col)
 
+  /** Package bridge: catalyst Expression → Column for operators outside the
+    * sql package (the Iceberg transform kernels' StaticInvoke columns). */
+  def columnOf(expr: Expression): Column = c(expr)
+
   /** Package bridge: catalyst predicate → data-source Filter (protected[sql]
     * in DataSourceStrategy) for the stats-pruning DSv2 scan builder. */
   def toSourceFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.interop.Iceberg
+import graft.interop.{IceSpecField, IceTransform, Iceberg, IcebergHash, IcebergPartPrune}
 import graft.operators.Converter
 
 /** Iceberg v2 binding: metadata/manifest roundtrips, snapshot reads, time
@@ -142,6 +142,213 @@ class IcebergSpec extends SparkSpec {
     finally spark.conf.set(key, prev)
     assert(Iceberg.read(spark, t2).orderBy("n_nationkey").collect().toSeq ==
       nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("iceberg transforms: murmur3 single-value hashing matches the spec's Appendix B vectors") {
+    // Iceberg spec, Appendix B "32-bit Hash Requirements" — published test
+    // values (hashInt/hashLong promote int to the 8-byte little-endian form)
+    assert(IcebergHash.hashLong(34L) == 2017239379)
+    assert(IcebergHash.hashLong(17486L) == -653330422) // date 2017-11-16
+    assert(IcebergHash.hashLong(81068000000L) == -662762989) // time 22:31:08
+    assert(IcebergHash.hashLong(1510871468000000L) == -2047944441) // ts 2017-11-16T22:31:08
+    assert(IcebergHash.bucketRawString("iceberg", Int.MaxValue) ==
+      (1210000089 & Int.MaxValue) % Int.MaxValue)
+    assert(IcebergHash.murmur3("iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(IcebergHash.murmur3(Array[Byte](0, 1, 2, 3)) == -188683207)
+    assert(IcebergHash.bucketJavaDecimal(new java.math.BigDecimal("14.20"), Int.MaxValue) ==
+      ((-500754589 & Int.MaxValue) % Int.MaxValue))
+    assert(IcebergHash.murmur3(new java.math.BigDecimal("14.20").unscaledValue.toByteArray) ==
+      -500754589)
+    // independent cross-check: scala's murmur3 x86_32 over bytes, seed 0
+    val rnd = new scala.util.Random(7)
+    (0 until 64).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(32)); rnd.nextBytes(b)
+      assert(IcebergHash.murmur3(b) == scala.util.hashing.MurmurHash3.bytesHash(b, 0))
+    }
+  }
+
+  test("iceberg transforms: write-path Column equals driver eval across source types") {
+    val ts1 = java.sql.Timestamp.valueOf("2017-11-16 22:31:08.000123")
+    val df = Seq(
+      (34, 34L, "iceberg", BigDecimal("14.20").setScale(2),
+        java.sql.Date.valueOf("2017-11-16"), ts1),
+      (-7, -7L, "zz", BigDecimal("-0.01").setScale(2),
+        java.sql.Date.valueOf("1969-12-31"), java.sql.Timestamp.valueOf("1969-12-31 23:59:59"))
+    ).toDF("i", "l", "s", "dec", "d", "ts")
+    val cases: Seq[(String, IceTransform)] = Seq(
+      "i" -> IceTransform.BucketT(16), "l" -> IceTransform.BucketT(16),
+      "s" -> IceTransform.BucketT(16), "dec" -> IceTransform.BucketT(16),
+      "d" -> IceTransform.BucketT(16), "ts" -> IceTransform.BucketT(16),
+      "i" -> IceTransform.TruncateT(10), "l" -> IceTransform.TruncateT(10),
+      "s" -> IceTransform.TruncateT(1),
+      "d" -> IceTransform.YearT, "ts" -> IceTransform.YearT,
+      "d" -> IceTransform.MonthT, "ts" -> IceTransform.MonthT,
+      "d" -> IceTransform.DayT, "ts" -> IceTransform.DayT,
+      "ts" -> IceTransform.HourT)
+    cases.foreach { case (c, tr) =>
+      val srcType = df.schema(c).dataType
+      val viaColumn = df.select(tr.column(col(c), srcType)).collect().map(_.get(0)).toSeq
+      val viaEval = df.select(col(c)).collect().map(r => tr.eval(srcType, r.get(0)).get)
+      assert(viaColumn.map(String.valueOf(_)) == viaEval.map(String.valueOf(_)).toSeq,
+        s"column != eval for $c ${tr.json}")
+    }
+    // negative-int truncate is the floor multiple (spec: -1 trunc 10 = -10)
+    assert(IceTransform.TruncateT(10).eval(IntegerType, Int.box(-1)).get == -10)
+    // hour/day over pre-epoch timestamps floor toward -inf
+    assert(IceTransform.DayT.eval(
+      TimestampType, java.sql.Timestamp.valueOf("1969-12-31 23:59:59")).get == -1)
+    assert(IceTransform.HourT.eval(
+      TimestampType, java.sql.Timestamp.valueOf("1969-12-31 23:59:59")).get == -1)
+  }
+
+  test("iceberg: bucket+day partitioned write, spec-correct metadata, derived pruning") {
+    val t = tmpDir("ice-transform") + "/tbl"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type")
+    Iceberg.createTable(t, ev.schema,
+      partitionSpec = Seq("user_id" -> "bucket[4]", "ts" -> "day"))
+    Iceberg.append(ev, t)
+
+    // metadata carries the spec-exact transform JSON + default field names
+    val meta = Iceberg.loadMeta(t)
+    assert(meta.specFields.map(f => (f.name, f.transform.json)) ==
+      Seq(("user_id_bucket", "bucket[4]"), ("ts_day", "day")))
+
+    // full read is exact
+    val back = Iceberg.read(spark, t)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      ev.orderBy("event_id").collect().toSeq)
+
+    // manifest partition tuples carry the transform VALUES
+    val entries = Iceberg.fileEntries(spark, meta, meta.snapshots.head)
+    assert(entries.forall(e =>
+      e.partition.contains("user_id_bucket") && e.partition.contains("ts_day")))
+    val key = ev.select("user_id").as[Long].head()
+    val wantBucket = IcebergHash.bucketLong(key, 4).toString
+
+    // derived pruning: user_id = key reads ONLY that bucket's files
+    val preds = IcebergPartPrune.derive(
+      graft.catalog.StatsSkip.translate(col("user_id") === key),
+      meta.specFields, meta.schema)
+    assert(preds.nonEmpty)
+    val kept = entries.filter(e => IcebergPartPrune.keep(preds, e.partition))
+    assert(kept.nonEmpty && kept.size < entries.size)
+    assert(kept.forall(_.partition("user_id_bucket") == wantBucket))
+
+    // physical proof: delete every other-bucket file; the filtered read
+    // must not open them and must still be row-exact
+    entries.filterNot(e => kept.exists(_.path == e.path))
+      .foreach(e => java.nio.file.Files.delete(java.nio.file.Paths.get(e.path)))
+    val got = Iceberg.read(spark, t, dataFilter = Some(col("user_id") === key))
+    assert(got.orderBy("event_id").collect().toSeq ==
+      ev.where($"user_id" === key).orderBy("event_id").collect().toSeq)
+  }
+
+  test("iceberg: day-range predicates prune inclusively; null/unknown fail open") {
+    import IcebergPartPrune._
+    val spec = Seq(
+      IceSpecField("ts_day", "ts", 1000, IceTransform.DayT),
+      IceSpecField("k_bucket", "k", 1001, IceTransform.BucketT(8)))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", LongType)))
+    val d0 = java.sql.Timestamp.valueOf("2024-03-05 10:00:00") // day 19787
+    val day0 = IceTransform.DayT.eval(TimestampType, d0).get.toString.toInt
+
+    // ts > X derives an INCLUSIVE lower bound (rows later the same day)
+    val gt = derive(Seq(org.apache.spark.sql.sources.GreaterThan("ts", d0)), spec, schema)
+    assert(gt == Seq(Range("ts_day", Some(day0.toLong), None)))
+    assert(keep(gt, Map("ts_day" -> day0.toString)))           // same day kept
+    assert(!keep(gt, Map("ts_day" -> (day0 - 1).toString)))    // older day pruned
+    assert(keep(gt, Map("other" -> "1")))                      // absent field: open
+    assert(!keep(gt, Map("ts_day" -> null)))                   // all-null source: no match
+
+    // OR across the same field unions; bucket ranges never derive
+    val or = derive(Seq(org.apache.spark.sql.sources.Or(
+      org.apache.spark.sql.sources.EqualTo("k", 1L),
+      org.apache.spark.sql.sources.EqualTo("k", 9L))), spec, schema)
+    assert(or.size == 1)
+    val want = Set(IcebergHash.bucketLong(1L, 8), IcebergHash.bucketLong(9L, 8)).map(_.toString)
+    assert(or.head == EqIn("k_bucket", want, matchNull = false))
+    assert(derive(Seq(org.apache.spark.sql.sources.GreaterThan("k", 5L)), spec, schema).isEmpty)
+
+    // IN with a null literal drops it (SQL IN never matches null)
+    val in = derive(Seq(org.apache.spark.sql.sources.In("k", Array(2L, null))), spec, schema)
+    assert(in == Seq(EqIn("k_bucket",
+      Set(IcebergHash.bucketLong(2L, 8).toString), matchNull = false)))
+  }
+
+  test("iceberg: foreign transform spellings parse; unknown transforms read but refuse writes") {
+    val t = tmpDir("ice-foreign-tr") + "/tbl"
+    val ev = spark.read.parquet(s"$sf/events.parquet").select("event_id", "ts", "user_id")
+    Iceberg.createTable(t, ev.schema, partitionSpec = Seq("ts" -> "day"))
+    Iceberg.append(ev, t)
+
+    // foreign spelling: rewrite the spec to the pluralized "days" form some
+    // writers emit, with a custom field name — parse + pruning must hold
+    val metaDir = java.nio.file.Paths.get(t, "metadata")
+    val v = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(
+      metaDir.resolve(s"v$v.metadata.json"))).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    import scala.jdk.CollectionConverters._
+    root.get("partition-specs").elements().asScala.foreach { s =>
+      s.get("fields").elements().asScala.foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode =>
+          f.put("transform", "days") // pluralized foreign spelling
+        case _ =>
+      }
+    }
+    java.nio.file.Files.write(metaDir.resolve(s"v$v.metadata.json"), om.writeValueAsBytes(root))
+    val meta = Iceberg.loadMeta(t)
+    assert(meta.specFields.map(_.transform) == Seq(IceTransform.DayT))
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(Iceberg.read(spark, t, dataFilter = Some(col("ts") >= lit(lo))).count() ==
+      ev.where($"ts" >= lit(lo)).count())
+
+    // unknown transform: table still reads (fail open), writes refuse
+    root.get("partition-specs").elements().asScala.foreach { s =>
+      s.get("fields").elements().asScala.foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode =>
+          f.put("transform", "zorder17")
+        case _ =>
+      }
+    }
+    java.nio.file.Files.write(metaDir.resolve(s"v$v.metadata.json"), om.writeValueAsBytes(root))
+    val meta2 = Iceberg.loadMeta(t)
+    assert(meta2.specFields.head.transform == IceTransform.UnknownT("zorder17"))
+    assert(Iceberg.read(spark, t).count() == ev.count())
+    val e = intercept[UnsupportedOperationException](Iceberg.append(ev.limit(1), t))
+    assert(e.getMessage.contains("zorder17"))
+    // createTable refuses unknown transforms up front
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.createTable(tmpDir("ice-bad") + "/tbl", ev.schema,
+        partitionSpec = Seq("ts" -> "zorder17")))
+    assert(e2.getMessage.contains("zorder17"))
+    // and transform/type mismatches (hour over a long) fail before metadata
+    intercept[UnsupportedOperationException](
+      Iceberg.createTable(tmpDir("ice-bad2") + "/tbl", ev.schema,
+        partitionSpec = Seq("user_id" -> "hour")))
+  }
+
+  test("iceberg: truncate + void transforms roundtrip; truncate range-prunes") {
+    val t = tmpDir("ice-trunc") + "/tbl"
+    val n = nation
+    Iceberg.createTable(t, n.schema,
+      partitionSpec = Seq("n_nationkey" -> "truncate[10]", "n_name" -> "void"))
+    Iceberg.append(n, t)
+    val meta = Iceberg.loadMeta(t)
+    assert(meta.specFields.map(_.transform.json).toSet == Set("truncate[10]", "void"))
+    assert(Iceberg.read(spark, t).orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    // truncate is order-preserving: n_nationkey >= 20 prunes the 0/10 slabs
+    val entries = Iceberg.fileEntries(spark, meta, meta.snapshots.head)
+    val preds = IcebergPartPrune.derive(
+      graft.catalog.StatsSkip.translate(col("n_nationkey") >= 20),
+      meta.specFields, meta.schema)
+    val kept = entries.filter(e => IcebergPartPrune.keep(preds, e.partition))
+    assert(kept.nonEmpty && kept.size < entries.size)
+    assert(kept.forall(_.partition("n_nationkey_trunc").toInt >= 20))
   }
 
   test("iceberg: nested types roundtrip through schema JSON") {
