@@ -66,31 +66,41 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runsLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def attempt(name: String)(body: => Double): Unit =
       try results(name) = body
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
       }
-    // Min of two runs per query: the steady-state number. A single-shot
+    // Min of repeated runs per query: the steady-state number. A single-shot
     // measurement on a shared machine mixes in scheduler noise and
     // stragglers (the raw-parquet floor anchor alone varied 0.8-2.8 s
     // across identical runs); the min is the reproducible cost of the
-    // plan, which is what a scale judgment needs. A query missing from the
-    // registry or failing at analysis becomes an "errors" entry rather
-    // than crashing the whole run (registry/testdata drift resilience).
+    // plan, which is what a scale judgment needs. Two runs by default, a
+    // THIRD when the first two disagree >30% (a loaded co-tenant can hit
+    // both of two back-to-back runs — round 8's artifact showed exactly
+    // that, 15.4 s vs a 3.2 s quiet rerun). Every raw run value is emitted
+    // in the JSON "runs" field so a loaded artifact is self-diagnosing
+    // rather than silently wrong. Stateful bodies build their own temp
+    // dirs, so repeated runs stay independent.
+    def measured(name: String)(body: => Unit): Double = {
+      val rs = scala.collection.mutable.ArrayBuffer(time(body), time(body))
+      if (rs.max / rs.min > 1.3) rs += time(body)
+      runsLog(name) = rs.toSeq
+      rs.min
+    }
+    // A query missing from the registry or failing at analysis becomes an
+    // "errors" entry rather than crashing the whole run (registry/testdata
+    // drift resilience).
     headline.foreach { name =>
       if (!SparkEntry.queries.contains(name)) errors(name) = "not registered in SparkEntry.queries"
-      else attempt(name)((1 to 2).map(_ => time(SparkEntry.queries(name)(spark, sfDir).count())).min)
+      else attempt(name)(measured(name)(SparkEntry.queries(name)(spark, sfDir).count()))
     }
 
     // BASELINE.md pipeline: bulk write (auto-compacts) → 1% upsert
     // (bucket-pruned compaction) → delete slice → full read.
-    // The stateful pipeline + floor anchor run twice as well (independent
-    // temp dirs), reported as the min of the two.
-    def timeMin2(body: => Unit): Double = Seq(time(body), time(body)).min
-
-    attempt("pipeline_write_compact_read")(timeMin2 {
+    attempt("pipeline_write_compact_read")(measured("pipeline_write_compact_read") {
       val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench").toString)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -112,7 +122,7 @@ object Bench {
     })
 
     // Anchor: the same data through bare Spark parquet write + read.
-    attempt("baseline_raw_spark")(timeMin2 {
+    attempt("baseline_raw_spark")(measured("baseline_raw_spark") {
       val out = Files.createTempDirectory("graft_bench_raw").toString
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -123,8 +133,9 @@ object Bench {
     // ---- 10x scaled entries. sf0.1 is small enough that per-job overhead
     // dominates; these rerun the two heaviest paths at 10x the volume
     // (deterministic synthetic derivation, prep unmeasured) so the round
-    // numbers expose scaling behavior, not constants. Single-shot timing:
-    // at this length the run amortizes its own scheduler noise.
+    // numbers expose scaling behavior, not constants. Same min-of-runs
+    // policy as everything else: length amortizes scheduler jitter but not
+    // a co-tenant load spike, and round 8's artifact proved the latter.
     locally {
       val scaleDir = Files.createTempDirectory("graft_bench_10x").toString
       // Corpus: each doc yields v=0 (original), v=1 (every 10th word
@@ -149,17 +160,17 @@ object Bench {
         .write.mode("overwrite").parquet(s"$scaleDir/lineitem10x")
 
       val docs10 = spark.read.parquet(s"$scaleDir/documents10x")
-      attempt("t04_minhash_neardup_10x")(time {
+      attempt("t04_minhash_neardup_10x")(measured("t04_minhash_neardup_10x") {
         graft.operators.Dedup.minhashPairs(docs10, "doc_id", "text",
           bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
           maxBucketWidth = Some(64)).count()
       })
-      attempt("t41_span_removal_10x")(time {
+      attempt("t41_span_removal_10x")(measured("t41_span_removal_10x") {
         graft.operators.Dedup.removeDuplicateSpans(docs10, "doc_id", "text",
           k = 8).count()
       })
       val li10 = spark.read.parquet(s"$scaleDir/lineitem10x")
-      attempt("pipeline_10x")(time {
+      attempt("pipeline_10x")(measured("pipeline_10x") {
         val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench10").toString)
         cat.createTable("bench.li10", StructType(Seq(
           FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
@@ -180,7 +191,7 @@ object Bench {
       // 10x raw floor: anchors how much of pipeline_10x is irreducible
       // parquet write+read (the fixed ACID/commit costs amortize with
       // scale — the pipeline/floor ratio should SHRINK vs the 1x pair).
-      attempt("baseline_raw_spark_10x")(time {
+      attempt("baseline_raw_spark_10x")(measured("baseline_raw_spark_10x") {
         val out = Files.createTempDirectory("graft_bench_raw10").toString
         li10.write.mode("overwrite").parquet(s"$out/li")
         spark.read.parquet(s"$out/li").count()
@@ -216,7 +227,7 @@ object Bench {
       planCounts("skip_read_files") = cat.readTable("bench.skip",
         ReadOptions(rowFilter = Some(col("l_orderkey") >= lo && col("l_orderkey") < hi)))
         .inputFiles.length.toLong
-      attempt("skip_read")(timeMin2 {
+      attempt("skip_read")(measured("skip_read") {
         cat.readTable("bench.skip",
           ReadOptions(rowFilter = Some(col("l_orderkey") >= lo && col("l_orderkey") < hi)))
           .agg(sum("l_quantity")).head()
@@ -225,7 +236,7 @@ object Bench {
         .option("table", "bench.skip").load()
       planCounts("agg_meta_files") =
         t.agg(count(lit(1)), min("l_orderkey")).inputFiles.length.toLong
-      attempt("agg_meta")(timeMin2 {
+      attempt("agg_meta")(measured("agg_meta") {
         t.agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
           max("l_orderkey").as("mx")).head()
       })
@@ -243,8 +254,16 @@ object Bench {
       if (planCounts.isEmpty) ""
       else planCounts.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","plan":{""", ",", "}")
+    // per-entry raw run values: queries carries the min (the plan's
+    // steady-state cost); runs lets a reader see WHEN an artifact was
+    // produced under load (all runs inflated) vs clean (runs agree)
+    val runsJson =
+      if (runsLog.isEmpty) ""
+      else runsLog.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString(""","runs":{""", ",", "}")
     val total = results.values.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Machine-clean copy: sbt prefixes stdout with [info], so the driver's
     // JSON extractor can fall back to this file.
