@@ -379,8 +379,20 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         }
     }
     if (targets.isEmpty) throw new TableNotFound(table)
-    val toDelete: Seq[String] =
+    // Above the planning gate the purge NEVER materializes the file list on
+    // the driver: only the (small) metafile path list is captured before the
+    // commit; entry paths stream inside executor tasks afterwards. Below it,
+    // the parsed path (no job launch for a small table).
+    val purgeManifests: Seq[String] =
       if (!purge) Nil
+      else targets.flatMap { case (tv, _) =>
+        store.visibleRevisionPaths(deltaDir(tv), None, None).map(_._2.toString)
+      }
+    val purgeBytes = purgeManifests.iterator.map(p =>
+      try Files.size(Paths.get(p)) catch { case _: Exception => 0L }).sum
+    val streamedPurge = purge && purgeBytes > ManifestPlanner.gateBytes(spark)
+    val toDelete: Seq[String] =
+      if (!purge || streamedPurge) Nil
       else targets.flatMap { case (tv, _) =>
         visibleDeltas(tv, None, None).flatMap(_._2.entries).map(_.path)
       }.distinct
@@ -391,7 +403,32 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // run as a Spark job (a purged table can reference 10^5+ files — a
     // serial driver loop would stall for minutes; same split as
     // fileRowCounts). Driver loop below it: no job-scheduling latency.
-    if (toDelete.size < 64)
+    if (streamedPurge) {
+      // metafiles stay on disk after the drop (it is a meta tombstone), so
+      // executors stream each manifest's entries and delete its files; the
+      // distinct shuffle dedupes cross-delta references without any
+      // driver-side set. Paths-only, one metafile per task.
+      val slices = math.min(math.max(purgeManifests.size, 1),
+        spark.sparkContext.defaultParallelism * 2)
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      spark.sparkContext.parallelize(purgeManifests, slices)
+        .flatMap { mp =>
+          val b = Seq.newBuilder[String]
+          ManifestPlanner.foreachEntry(Paths.get(mp))(e => b += e.path)
+          b.result()
+        }
+        .distinct()
+        .foreachPartition { it =>
+          val conf = confBc.value.value
+          it.foreach { s =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(s)
+              p.getFileSystem(conf).delete(p, false)
+            } catch { case _: Exception => () }
+          }
+        }
+    } else if (toDelete.size < 64)
       toDelete.foreach(p => try Files.deleteIfExists(Paths.get(p)) catch { case _: Exception => () })
     else {
       val slices = math.min(toDelete.size, spark.sparkContext.defaultParallelism * 2)
@@ -1710,6 +1747,31 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         Dsv2Plan(meta, t, kept.map(_._2), provider, gated = true,
           () => ManifestPlanner.summarizeDistributed(spark, activeFiles, schema))
     }
+  }
+
+  /** Maintenance-facing (compaction/purge) view of the effective deltas:
+    * each delta paired with its metafile path, plus `streamed`. Below the
+    * planning gate the deltas carry their parsed entries (status quo — no
+    * second parse for small tables) and `streamed` is false. Above it the
+    * deltas are entry-less SKELETONS and `streamed` is true: the caller
+    * must access entries by re-streaming the metafile
+    * ([[ManifestPlanner.foreachEntry]]) — per-entry, full stats preserved,
+    * O(1) heap — instead of holding a 10^7-entry list on the driver. */
+  private[catalog] def effectiveDeltasForMaintenance(t0: TableHandle)
+      : (Seq[(DeltaMeta, Path)], Boolean) = {
+    val t = resolveVersion(t0, None, None)
+    val files = store.visibleRevisionPaths(deltaDir(t), None, None)
+    val totalBytes = files.iterator.map { case (_, p) =>
+      try Files.size(p) catch { case _: Exception => 0L } }.sum
+    val streamed = totalBytes > ManifestPlanner.gateBytes(spark)
+    val all: Seq[(DeltaMeta, Path)] =
+      if (streamed) files.map { case (_, p) => (ManifestPlanner.skeleton(p), p) }
+      else files.map { case (_, p) =>
+        (Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta]), p)
+      }
+    val lastReplace = all.zipWithIndex
+      .filter(_._1._1.properties.get("replace").contains("true")).map(_._2).lastOption
+    (lastReplace match { case Some(i) => all.drop(i); case None => all }, streamed)
   }
 
   /** Visible deltas after the last REPLACE marker, ascending stream position.

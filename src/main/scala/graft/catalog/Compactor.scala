@@ -89,7 +89,24 @@ object Compactor {
     val scheme = cat.partitionSchemeOf(meta)
     val sortScheme = cat.sortSchemeOf(meta)
     val ct = cat.contentTypeOf(meta)
-    val deltas = cat.effectiveDeltas(t, None)
+    // Above the planning gate the deltas are entry-less skeletons and
+    // entry access streams from the metafiles (ManifestPlanner
+    // .foreachEntry) — the driver holds per-entry state, never a
+    // 10^7-entry base list. Below it, parsed entries as before.
+    val (deltaPairs, streamedEntries) = cat.effectiveDeltasForMaintenance(t)
+    val deltas = deltaPairs.map(_._1)
+    val metafileOf: Map[Long, java.nio.file.Path] =
+      deltaPairs.map { case (d, p) => d.streamPosition -> p }.toMap
+    def foreachEntryOf(d: DeltaMeta)(f: ManifestEntry => Unit): Unit =
+      if (!streamedEntries) d.entries.foreach(f)
+      else ManifestPlanner.foreachEntry(metafileOf(d.streamPosition))(f)
+    // Paths of files being REWRITTEN — proportional to the compaction's
+    // actual work (Spark's load(paths) API needs the list either way).
+    def entryPathsOf(ds: Seq[DeltaMeta]): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      ds.foreach(d => foreachEntryOf(d)(e => b += e.path))
+      b.result()
+    }
     val (base, pending) = MergeRead.activeDeltas(deltas)
     // A rename leaves committed files under the OLD physical column name
     // (reads alias them); compaction is the operation that rewrites the
@@ -131,15 +148,21 @@ object Compactor {
       def zScan(paths: Seq[String]) = spark.read.schema(schema)
         .format(ct.format).options(ct.readOptions).load(paths: _*)
 
-      val delta: DeltaMeta =
+      // Each branch produces the copied-by-reference entry STREAM (pushed
+      // straight from source metafiles on the gated path — never resident),
+      // the newly-written entries (count = files written, always small),
+      // and the delta properties. The stage at the bottom writes
+      // ref-entries-then-new in one pass.
+      type RefStream = (ManifestEntry => Unit) => Unit
+      val (refStream, newEntriesOut, props): (RefStream, Seq[ManifestEntry], Map[String, String]) =
         if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty && sortScheme.isEmpty) {
           // Append-only table, no declared clustering: compaction is pure
           // manifest folding — zero data movement (every file is copied by
           // reference).
-          val entries = (base.toSeq ++ pending).flatMap(_.entries)
           val records = (base.toSeq ++ pending)
             .map(_.properties.getOrElse("record_count", "0").toLong).sum
-          DeltaMeta(rev, DeltaType.Add.name, entries, txn.txnId, maxPos,
+          (emit => (base.toSeq ++ pending).foreach(d => foreachEntryOf(d)(emit)),
+            Nil,
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> records.toString))
         } else if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty) {
@@ -155,8 +178,7 @@ object Compactor {
             if (base.exists(_.properties.get("sorted").contains(sTag)))
               (base.toSeq, pending)
             else (Nil, base.toSeq ++ pending)
-          val refEntries = refDeltas.flatMap(_.entries)
-          val paths = rewriteDeltas.flatMap(_.entries).map(_.path)
+          val paths = entryPathsOf(rewriteDeltas)
           val maxRec = meta.properties.get("compaction.max_records_per_file")
             .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
           val (newEntries, written) = if (paths.isEmpty) (Nil, 0L) else {
@@ -171,12 +193,17 @@ object Compactor {
               writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
             (e, w)
           }
-          val refRecords = refEntries.map(e => math.max(0L, e.recordCount)).sum
-          DeltaMeta(rev, DeltaType.Add.name, refEntries ++ newEntries, txn.txnId, maxPos,
+          // one streaming pass for the copied-by-reference counts
+          var refRecords = 0L; var refCount = 0L
+          refDeltas.foreach(d => foreachEntryOf(d) { e =>
+            refCount += 1; refRecords += math.max(0L, e.recordCount)
+          })
+          (emit => refDeltas.foreach(d => foreachEntryOf(d)(emit)),
+            newEntries,
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> (written + refRecords).toString,
               "sorted" -> sTag,
-              "copied_by_reference" -> refEntries.size.toString))
+              "copied_by_reference" -> refCount.toString))
         } else if (mergeKeys.isEmpty && !anyStale) {
           // Append-only + z-order: INCREMENTAL recluster. A base already
           // z-ordered on the same columns is copied by reference (its files
@@ -188,14 +215,22 @@ object Compactor {
             if (base.exists(_.properties.get("zordered").contains(zTag)))
               (base.toSeq, pending)
             else (Nil, base.toSeq ++ pending)
-          val refEntries = refDeltas.flatMap(_.entries)
-          val paths = rewriteDeltas.flatMap(_.entries).map(_.path)
+          // The z-bounds scan needs every active PATH (a Spark load() API
+          // constraint) — paths only, not full entries; counts ride along.
+          val refPathsB = Seq.newBuilder[String]
+          var refRecords = 0L; var refCount = 0L
+          refDeltas.foreach(d => foreachEntryOf(d) { e =>
+            refPathsB += e.path; refCount += 1
+            refRecords += math.max(0L, e.recordCount)
+          })
+          val refPaths = refPathsB.result()
+          val paths = entryPathsOf(rewriteDeltas)
           val maxRec = meta.properties.get("compaction.max_records_per_file")
             .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
           val (newEntries, written) = if (paths.isEmpty) (Nil, 0L) else {
             // Bounds over ALL active data (ref + rewrite) so bin edges stay
             // stable as the table grows.
-            val allPaths = refEntries.map(_.path) ++ paths
+            val allPaths = refPaths ++ paths
             val z = ZOrder.zvalue(schema, ZOrder.bounds(zScan(allPaths), schema, zCols.get))
             val scan = MergeRead.scanWithLineage(spark, schema, deltas, paths, ct)
             val resolved = MergeRead.applyPastDefaults(scan, schema)
@@ -208,31 +243,43 @@ object Compactor {
               writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
             (e, w)
           }
-          val refRecords = refEntries.map(e => math.max(0L, e.recordCount)).sum
-          DeltaMeta(rev, DeltaType.Add.name, refEntries ++ newEntries, txn.txnId, maxPos,
+          (emit => refDeltas.foreach(d => foreachEntryOf(d)(emit)),
+            newEntries,
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> (written + refRecords).toString,
               "zordered" -> zTag,
-              "copied_by_reference" -> refEntries.size.toString))
+              "copied_by_reference" -> refCount.toString))
         } else {
           // Copy-by-reference: find buckets touched by incremental rows. Only
           // valid when the base was bucketed with the same bucket count —
           // and never when the base's files predate a rename (every file
           // must be rewritten under the current column names).
           val baseBucketed = base.exists(_.properties.get("num_buckets").contains(numBuckets.toString))
+          val pendingPaths = entryPathsOf(pending)
           val touched: Set[Int] =
             if (!baseBucketed || baseStale || needsRecluster) (0 until numBuckets).toSet
             else MergeRead.touchedBuckets(spark, schema, mergeKeys, numBuckets,
-              pending.flatMap(_.entries).map(_.path), ct, pending)
+              pendingPaths, ct, pending)
 
-          val (untouchedEntries, baseToRead) = base.map { b =>
-            if (!baseBucketed) (Seq.empty[ManifestEntry], b.entries)
-            else b.entries.partition(e =>
-              MergeRead.bucketOfPath(e.path).exists(bk => !touched.contains(bk)))
-          }.getOrElse((Nil, Nil))
-
-          val toRead = base.map(b => Seq(b.copy(entries = baseToRead))).getOrElse(Nil) ++ pending
-          val paths = toRead.flatMap(_.entries).map(_.path)
+          // Untouched buckets copy by reference (streamed + counted, never
+          // held as a list); touched buckets contribute read PATHS —
+          // proportional to the round's actual rewrite work.
+          def isUntouched(e: ManifestEntry): Boolean = baseBucketed &&
+            MergeRead.bucketOfPath(e.path).exists(bk => !touched.contains(bk))
+          var untouchedRecords = 0L; var untouchedCount = 0L
+          val baseToReadB = Seq.newBuilder[String]
+          // z-order bin edges need the untouched PATHS too (bounds scan all
+          // active data so edges stay stable) — collected only under z-order
+          val untouchedPathsB =
+            if (zCols.isDefined) Some(Seq.newBuilder[String]) else None
+          base.foreach(b => foreachEntryOf(b) { e =>
+            if (isUntouched(e)) {
+              untouchedCount += 1
+              untouchedRecords += math.max(0L, e.recordCount)
+              untouchedPathsB.foreach(_ += e.path)
+            } else baseToReadB += e.path
+          })
+          val paths = baseToReadB.result() ++ pendingPaths
           val maxRec = meta.properties.get("compaction.max_records_per_file")
             .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
 
@@ -254,34 +301,50 @@ object Compactor {
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,
               numBuckets, maxRec, estimatedRecords = Some(
-                toRead.map(d => math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum),
+                (base.toSeq ++ pending).map(d =>
+                  math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum),
               encoding = cat.contentEncodingOf(meta),
               // Keyed tables z-sort within each bucket slice: files stay
               // bucket-aligned for merge pruning AND tight in value space.
               // bounds over ALL active files (incl. untouched copy-by-ref
               // buckets) so bin edges stay stable across incremental rounds
               zorder = zCols.map(zc => ZOrder.zvalue(schema, ZOrder.bounds(
-                zScan(paths ++ untouchedEntries.map(_.path)), schema, zc))),
+                zScan(paths ++ untouchedPathsB.map(_.result()).getOrElse(Nil)), schema, zc))),
               writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
           } else {
             Files.createDirectories(Paths.get(
               cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
             (Nil, 0L, null)
           }
-          val untouchedRecords = untouchedEntries.map(e => math.max(0L, e.recordCount)).sum
-          DeltaMeta(rev, DeltaType.Add.name, untouchedEntries ++ newEntries, txn.txnId, maxPos,
+          (emit => base.foreach(b => foreachEntryOf(b)(e => if (isUntouched(e)) emit(e))),
+            newEntries,
             Map(
               "written_columns" -> schema.fieldNames.mkString(","),
               "num_buckets" -> numBuckets.toString,
               "record_count" -> (written + untouchedRecords).toString,
-              "copied_by_reference" -> untouchedEntries.size.toString) ++
+              "copied_by_reference" -> untouchedCount.toString) ++
               // stamp the clustering or the next keyless compact would
               // needlessly full-recluster a base this branch just z-sorted
               // (post-rename rewrite path)
               zCols.map(zc => "zordered" -> zc.mkString(",")).toMap)
         }
 
-      txn.stage(dir, rev, "delta", Json.write(delta), s"COMPACT $t@$rev")
+      val delta = DeltaMeta(rev, DeltaType.Add.name, Nil, txn.txnId, maxPos, props)
+      if (!streamedEntries) {
+        // small-manifest path: identical bytes to the pre-streaming writer
+        val refs = Seq.newBuilder[ManifestEntry]
+        refStream(e => refs += e)
+        txn.stage(dir, rev, "delta",
+          Json.write(delta.copy(entries = refs.result() ++ newEntriesOut)),
+          s"COMPACT $t@$rev")
+      } else
+        // gated path: copied-by-reference entries flow source-metafile →
+        // staged file without ever being resident on the driver
+        txn.stageStreaming(dir, rev, "delta", s"COMPACT $t@$rev") { out =>
+          Json.writeDeltaStreaming(out, delta, emit => {
+            refStream(emit); newEntriesOut.foreach(emit)
+          })
+        }
       txn.seal()
     } catch {
       case e: Throwable => if (!txn.isSealed) txn.abort(); throw e

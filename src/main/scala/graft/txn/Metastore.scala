@@ -40,6 +40,30 @@ object Json {
   }
   def write(v: Any): String = mapper.writeValueAsString(v)
   def read[T](s: String, cls: Class[T]): T = mapper.readValue(s, cls)
+
+  /** Stream-write a DeltaMeta whose entry set is too large to hold on the
+    * driver: scalar fields come from `delta` (its own `entries` are
+    * IGNORED), entries are emitted one at a time by the caller's push
+    * stream — O(1) heap however many entries. Field order and per-entry
+    * encoding match [[write]] exactly, so readers (full parse, skeleton
+    * parse, foreachEntry) cannot tell which writer produced a metafile. */
+  def writeDeltaStreaming(out: java.io.OutputStream, delta: DeltaMeta,
+      forEachEntry: (ManifestEntry => Unit) => Unit): Unit = {
+    val g = mapper.getFactory.createGenerator(out)
+    g.writeStartObject()
+    g.writeNumberField("streamPosition", delta.streamPosition)
+    g.writeStringField("deltaType", delta.deltaType)
+    g.writeFieldName("entries")
+    g.writeStartArray()
+    forEachEntry(e => mapper.writeValue(g, e))
+    g.writeEndArray()
+    g.writeStringField("txnId", delta.txnId)
+    g.writeNumberField("compactedUpTo", delta.compactedUpTo)
+    g.writeFieldName("properties")
+    mapper.writeValue(g, delta.properties)
+    g.writeEndObject()
+    g.flush()
+  }
 }
 
 /** A single committed transaction record. */
@@ -153,6 +177,24 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     // long staged-write or interactive txn is never fenced by a contender
     // mid-flight merely for being older than claimFenceMillis. Callers
     // that stage nothing for long stretches can still heartbeat() manually.
+    touchLease()
+  }
+
+  /** [[stage]] for revisions too large to build as one in-memory string
+    * (a compaction delta copying 10^7 entries by reference): the caller
+    * writes the content straight to the staged file's stream. The
+    * StagedWrite records no content — [[Metastore.pauseTransaction]]
+    * re-reads it from disk (the file exists from this moment on). Same
+    * visibility/lease semantics as stage(). */
+  def stageStreaming(dir: Path, rev: Long, suffix: String, op: String)
+      (write: java.io.OutputStream => Unit): Unit = {
+    require(!sealed_, s"txn $txnId already sealed")
+    Files.createDirectories(dir)
+    val name = f"$rev%020d__${txnId}__$suffix.json"
+    val out = Files.newOutputStream(dir.resolve(name))
+    try write(out) finally out.close()
+    staged += StagedWrite(dir, rev, name, null)
+    ops += op
     touchLease()
   }
 
@@ -368,7 +410,12 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
   def pause(): Unit = {
     require(!sealed_, s"txn $txnId already sealed")
     val rec = PausedTxn(txnId, startTimeMillis, commitMessage, ops.toSeq,
-      staged.map(sw => PausedStage(sw.dir.toString, sw.rev, sw.fileName, sw.content)).toSeq)
+      staged.map(sw => PausedStage(sw.dir.toString, sw.rev, sw.fileName,
+        // streamed stages record no content — re-read it from the staged
+        // file (written at stage time, still on disk while unsealed)
+        Option(sw.content).getOrElse(
+          new String(Files.readAllBytes(sw.dir.resolve(sw.fileName)),
+            StandardCharsets.UTF_8)))).toSeq)
     Files.createDirectories(store.pausedDir)
     Files.write(store.pausedDir.resolve(s"$txnId.json"),
       Json.write(rec).getBytes(StandardCharsets.UTF_8))

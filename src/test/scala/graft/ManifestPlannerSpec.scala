@@ -153,6 +153,170 @@ class ManifestPlannerSpec extends SparkSpec {
     } finally spark.conf.unset(ManifestPlanner.GateConfKey)
   }
 
+  test("streaming delta writer emits the exact bytes of the in-memory writer") {
+    val entries = Seq(
+      graft.txn.ManifestEntry("/a/d000001__t/_g_bucket=0/p1.parquet", 10L, 5L,
+        Map("k" -> graft.txn.ColStat("1", "9", 0L)), 40L),
+      graft.txn.ManifestEntry("/a/d000001__t/_g_bucket=1/p2.parquet", 20L, 7L, null, -1L))
+    val d = DeltaMeta(3L, "ADD", entries, "txn-x", 2L, Map("record_count" -> "12"))
+    val bos = new java.io.ByteArrayOutputStream()
+    Json.writeDeltaStreaming(bos, d.copy(entries = Nil), emit => entries.foreach(emit))
+    assert(bos.toString("UTF-8") == Json.write(d),
+      "streamed and in-memory delta JSON must be byte-identical")
+  }
+
+  test("gated compaction streams entries: same result as the driver path") {
+    // two identical keyed tables, compacted under each materialization
+    // strategy — rows, copy-by-reference accounting, and the entry SET of
+    // the compaction delta must agree
+    def build(tag: String): (GraftCatalog, java.nio.file.Path) = {
+      val cat = new GraftCatalog(spark, tmpDir(tag))
+      cat.createTable("m.c", StructType(Seq(
+        FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", StringType))),
+        properties = Map("compaction.auto" -> "false",
+          "write.max_records_per_file" -> "200"))
+      val df = spark.range(0, 2000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      cat.writeToTable(df, "m.c", WriteMode.Merge)
+      cat.compact("m.c") // bucketed base
+      // trickle upsert touching a few buckets, then the compaction under test
+      cat.writeToTable(Seq((1L, "upd1"), (2L, "upd2")).toDF("k", "v"), "m.c", WriteMode.Merge)
+      cat.compact("m.c")
+      (cat, cat.root.resolve("ns/m/c/deltas"))
+    }
+    val (catA, dirA) = build("mp-cmp-driver")
+    spark.conf.set(ManifestPlanner.GateConfKey, "1")
+    val (catB, dirB) = try build("mp-cmp-gated")
+    finally spark.conf.unset(ManifestPlanner.GateConfKey)
+    def lastDelta(cat: GraftCatalog): DeltaMeta = cat.deltaLog("m.c").last
+    val (da, db) = (lastDelta(catA), lastDelta(catB))
+    assert(da.properties.filterNot(_._1 == "written_columns") ==
+      db.properties.filterNot(_._1 == "written_columns"))
+    assert(da.properties("copied_by_reference").toInt > 0,
+      "the trickle compact must copy untouched buckets by reference")
+    // entry sets equal up to the path's non-deterministic parts (temp
+    // root, txn id in the delta dir, part-file uuid) — rev + bucket +
+    // size + rows + stats identify each file's content
+    def norm(es: Seq[graft.txn.ManifestEntry]) = es.map(e => (
+      "/d(\\d+)__".r.findAllMatchIn(e.path).toSeq.last.group(1),
+      MergeRead.bucketOfPath(e.path),
+      e.sizeBytes, e.recordCount, e.colStats, e.uncompressedBytes)).toSet
+    assert(norm(da.entries) == norm(db.entries))
+    assert(catA.readTable("m.c").orderBy("k").collect().toSeq ==
+      catB.readTable("m.c").orderBy("k").collect().toSeq)
+    assert(catB.readTable("m.c").where(col("k") === 1L).select("v")
+      .collect().head.getString(0) == "upd1")
+  }
+
+  test("10^6-entry base: gated compaction never materializes the entry list") {
+    // A real bucketed base whose metafile is rewritten with a million fake
+    // copy-by-reference entries in buckets the pending upsert does not
+    // touch. The gated compact must stream them source→staged metafile
+    // (per-entry, stats preserved) and rewrite ONLY the touched bucket's
+    // real files. Fake stats are disjoint from every later filter, so the
+    // gated read plans around them too.
+    val cat = new GraftCatalog(spark, tmpDir("mp-million"))
+    cat.createTable("m.b", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))),
+      properties = Map("compaction.auto" -> "false"))
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    cat.writeToTable(df, "m.b", WriteMode.Merge)
+    cat.compact("m.b")
+    val dir = cat.root.resolve("ns/m/b/deltas")
+    val baseFile = cat.store.visibleRevisionPaths(dir, None, None).last._2
+    val base = Json.read(new String(
+      java.nio.file.Files.readAllBytes(baseFile), "UTF-8"), classOf[DeltaMeta])
+    assert(base.properties("num_buckets") == "8")
+    // pick an upsert key and keep fakes out of its bucket
+    val key = 1L
+    val keyBucket = spark.range(1).select(
+      pmod(hash(lit(key)), lit(8))).collect().head.getInt(0)
+    val fakeBuckets = (0 until 8).filterNot(_ == keyBucket)
+    val nFake = 1000000
+    // stream-write the inflated base metafile (the test itself must not
+    // hold a million-entry list either)
+    val out = java.nio.file.Files.newOutputStream(baseFile)
+    try Json.writeDeltaStreaming(out, base.copy(entries = Nil), emit => {
+      base.entries.foreach(emit)
+      var i = 0
+      while (i < nFake) {
+        val b = fakeBuckets(i % fakeBuckets.size)
+        emit(graft.txn.ManifestEntry(
+          s"${cat.root}/ns/m/b/data/d000002__fake/_g_bucket=$b/part-$i.parquet",
+          128L, 10L,
+          Map("k" -> graft.txn.ColStat((2000000000L + i).toString,
+            (2000000000L + i).toString, 0L)), 512L))
+        i += 1
+      }
+    }) finally out.close()
+    cat.writeToTable(Seq((key, "updated")).toDF("k", "v"), "m.b", WriteMode.Merge)
+    val realUntouched = base.entries.count(e =>
+      MergeRead.bucketOfPath(e.path).exists(_ != keyBucket))
+    spark.conf.set(ManifestPlanner.GateConfKey, "1")
+    try {
+      cat.compact("m.b")
+      val newFile = cat.store.visibleRevisionPaths(dir, None, None).last._2
+      val sk = ManifestPlanner.skeleton(newFile)
+      assert(sk.properties("copied_by_reference").toInt == nFake + realUntouched,
+        s"every fake entry must ride by reference (${sk.properties})")
+      var total = 0L
+      var fakesSeen = 0L
+      ManifestPlanner.foreachEntry(newFile) { e =>
+        total += 1
+        if (e.path.contains("__fake/")) {
+          fakesSeen += 1
+          assert(e.stats != null, "copy-by-reference must preserve entry stats")
+        }
+      }
+      assert(fakesSeen == nFake, s"expected $nFake streamed fakes, saw $fakesSeen")
+      assert(total > fakesSeen, "the touched bucket must contribute rewritten entries")
+      // gated read: fake stats are disjoint, so the updated row reads back
+      // without opening any fake file
+      val got = cat.readTable("m.b", ReadOptions(rowFilter = Some(col("k") === key)))
+      assert(got.select("v").collect().map(_.getString(0)).toSeq == Seq("updated"))
+    } finally spark.conf.unset(ManifestPlanner.GateConfKey)
+  }
+
+  test("gated purge deletes files via a streaming distributed job") {
+    val root = tmpDir("mp-purge")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("m.p", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("write.max_records_per_file" -> "100",
+        "compaction.auto" -> "false"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")).orderBy("k").coalesce(1), "m.p")
+    val files = cat.readTable("m.p").inputFiles.map(_.stripPrefix("file:"))
+    assert(files.length == 10)
+    spark.conf.set(ManifestPlanner.GateConfKey, "1")
+    try cat.dropTable("m.p", purge = true)
+    finally spark.conf.unset(ManifestPlanner.GateConfKey)
+    files.foreach(f => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+      s"purged file still exists: $f"))
+  }
+
+  test("streamed stage survives pause/resume (content re-read from disk)") {
+    val cat = new GraftCatalog(spark, tmpDir("mp-pause"))
+    val store = cat.store
+    val txn = store.newTransaction("stream-stage pause")
+    val dir = cat.root.resolve("ns/m/x/deltas")
+    val d = DeltaMeta(1L, "ADD", Nil, txn.txnId, -1L, Map("record_count" -> "0"))
+    txn.stageStreaming(dir, 1L, "delta", "TEST")(out =>
+      Json.writeDeltaStreaming(out, d, _ => ()))
+    txn.pause()
+    val resumed = store.resumeTransaction(txn.txnId)
+    resumed.seal()
+    val visible = store.visibleRevisionPaths(dir, None, None)
+    assert(visible.size == 1)
+    val back = Json.read(new String(
+      java.nio.file.Files.readAllBytes(visible.head._2), "UTF-8"), classOf[DeltaMeta])
+    assert(back.streamPosition == 1L && back.properties("record_count") == "0")
+  }
+
   test("gated prune under unresolved merges restricts to merge-key filters") {
     // A VALUE-column filter must not prune files at planning while an
     // unresolved upsert is pending: the pruned base file could hold the
