@@ -161,11 +161,24 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   private def probeActiveVersion(t0: TableHandle, asOf: Option[Long],
       within: Option[Transaction]): Option[(Long, TableMeta)] = {
     if (t0.version.isDefined || !Files.isDirectory(versionsDir(t0))) return None
-    versionIds(t0).reverseIterator.map { v =>
-      (v, currentMeta(t0.copy(version = Some(v)), asOf, within))
-    }.collectFirst {
-      case (v, Some(m)) if !m.dropped && m.lifecycleState == Lifecycle.Active => (v, m)
+    // Live-but-inactive versions with NO active one must fail HERE with the
+    // one intended error: the unpinned-v1 fallback would otherwise surface
+    // three different errors for the same condition (TableNotFound on read,
+    // TableAlreadyExists on write, exists=true) when v1 is dead. The
+    // remedies (alterTableLifecycle, pinned 'ns.t@vN' handles) resolve
+    // without this probe, so they stay reachable.
+    var inactive: Option[String] = None
+    versionIds(t0).reverseIterator.foreach { v =>
+      currentMeta(t0.copy(version = Some(v)), asOf, within) match {
+        case Some(m) if !m.dropped && m.lifecycleState == Lifecycle.Active =>
+          return Some((v, m))
+        case Some(m) if !m.dropped =>
+          if (inactive.isEmpty) inactive = Some(s"v$v is ${m.lifecycleState}")
+        case _ =>
+      }
     }
+    inactive.foreach(st => throw new NoActiveTableVersion(t0.toString, st))
+    None
   }
 
   private def resolveVersion(t0: TableHandle, asOf: Option[Long],
@@ -1962,10 +1975,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
 /** Hidden column names used by the merge machinery. */
 object Hidden {
   val Pos = "_g_pos"        // stream position (long)
+  val EffPos = "_g_effpos"  // recency rank: compactedUpTo for folded deltas
   val Dt = "_g_dt"          // delta type (string)
   val File = "_g_file"      // source file path (for intra-delta ordering)
   val Row = "_g_row"        // row index within file
   val Present = "_g_present" // columns physically present in this delta
   val Bucket = "_g_bucket"  // compaction hash bucket (also physical layout)
-  val all = Seq(Pos, Dt, File, Row, Present, Bucket)
+  val all = Seq(Pos, EffPos, Dt, File, Row, Present, Bucket)
 }

@@ -80,7 +80,54 @@ object Compactor {
     s"${k.field}:${if (k.ascending) "asc" else "desc"}:" +
       s"${if (k.nullsFirst) "nf" else "nl"}:${k.transform.name}").mkString(",")
 
+  /** Multi-round input valve (reference `num_rounds`,
+    * compaction_session.py:73-76 + uniform delta batching,
+    * delta_annotated.py): when `compaction.max_input_bytes` is set and the
+    * pending on-disk bytes exceed it, compact in sequential sub-rounds —
+    * each folds base + one pending CHUNK, commits, and advances the
+    * watermark, so no single round's shuffle input exceeds the valve and a
+    * crash between rounds loses only uncommitted work. Copy-by-reference
+    * composes across rounds (round k's output is round k+1's base).
+    * Default off: Spark's spillable shuffle handles over-memory inputs
+    * correctly, so the valve is a pressure-relief knob for pathological
+    * backlogs (a 64-million-file bootstrap), not the steady state. */
   def compact(cat: GraftCatalog, table: String, numBuckets: Int = 8): Unit = {
+    val valve = cat.getTableMeta(table).properties
+      .get("compaction.max_input_bytes").map(_.toLong)
+    valve match {
+      case None => compactOnce(cat, table, numBuckets, None)
+      case Some(v) =>
+        require(v > 0, s"compaction.max_input_bytes must be positive, got $v")
+        val t = cat.handleOf(table)
+        val (pairs, streamed) = cat.effectiveDeltasForMaintenance(t)
+        val (_, pending) = MergeRead.activeDeltas(pairs.map(_._1))
+        val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
+        def bytesOf(d: DeltaMeta): Long =
+          if (!streamed) d.totalBytes
+          else {
+            var b = 0L
+            ManifestPlanner.foreachEntry(pathOf(d.streamPosition))(e =>
+              b += math.max(0L, e.sizeBytes))
+            b
+          }
+        // chunk END positions: ascending, close a chunk when adding the
+        // next delta would exceed the valve (a single over-valve delta
+        // still forms its own round — deltas never split)
+        val ends = scala.collection.mutable.ArrayBuffer[Long]()
+        var acc = 0L; var last = -1L
+        pending.sortBy(_.streamPosition).foreach { d =>
+          val b = bytesOf(d)
+          if (last >= 0 && acc + b > v) { ends += last; acc = 0L }
+          acc += b; last = d.streamPosition
+        }
+        if (last >= 0) ends += last
+        if (ends.size <= 1) compactOnce(cat, table, numBuckets, None)
+        else ends.foreach(end => compactOnce(cat, table, numBuckets, Some(end)))
+    }
+  }
+
+  private def compactOnce(cat: GraftCatalog, table: String, numBuckets: Int,
+      upTo: Option[Long]): Unit = {
     val spark = cat.spark
     val t = cat.handleOf(table)
     val meta = cat.getTableMeta(table)
@@ -107,7 +154,10 @@ object Compactor {
       ds.foreach(d => foreachEntryOf(d)(e => b += e.path))
       b.result()
     }
-    val (base, pending) = MergeRead.activeDeltas(deltas)
+    val (base, pending0) = MergeRead.activeDeltas(deltas)
+    // valve sub-round: fold only the pending chunk up to `upTo`; later
+    // deltas stay pending and the watermark advances to the chunk end
+    val pending = upTo.map(u => pending0.filter(_.streamPosition <= u)).getOrElse(pending0)
     // A rename leaves committed files under the OLD physical column name
     // (reads alias them); compaction is the operation that rewrites the
     // data under the current names, so a stale base compacts even with
@@ -137,7 +187,14 @@ object Compactor {
       ZOrder.columnsOf(meta.properties).isEmpty && !sortScheme.isEmpty &&
       base.exists(!_.properties.get("sorted").contains(sortTag(sortScheme)))
     if (pending.isEmpty && !baseStale && !needsRecluster && !needsResort) return
-    val maxPos = (pending.map(_.streamPosition) ++ base.map(_.streamPosition)).max
+    // Watermark = highest FOLDED position. With pending, that is the
+    // pending (chunk) max — the base's own revision can be HIGHER than a
+    // valve chunk's positions (it committed after them), and stamping it
+    // would silently skip every later chunk. Pending-empty rewrites
+    // (stale/recluster/resort) supersede the base at its own position.
+    val maxPos =
+      if (pending.nonEmpty) pending.map(_.streamPosition).max
+      else base.map(_.streamPosition).max
 
     val txn = cat.store.newTransaction(s"compact $t up to $maxPos")
     try {

@@ -356,11 +356,18 @@ object MergeRead {
     import spark.implicits._
     val renames = renameMapOf(schema)
     def tr(c: String): String = renames.getOrElse(c, c)
+    // EffPos = the position a row RANKS at in last-writer-wins resolution.
+    // A compacted/bulk delta's rows represent data as of its watermark
+    // (compactedUpTo), NOT its own commit revision — the revision is
+    // always newer than concurrently-pending writes and newer than later
+    // valve chunks, so ranking by it would let a stale base row shadow a
+    // genuinely newer pending row. Plain deltas rank at their position.
     val lineageDf = broadcast(lineage.map { d =>
       val present = d.properties.get("written_columns")
         .map(_.split(",").toSeq.map(tr)).getOrElse(schema.fieldNames.toSeq)
-      (d.streamPosition, d.deltaType, present)
-    }.toDF(Pos, Dt, Present))
+      (d.streamPosition, d.deltaType, present,
+        if (d.compactedUpTo >= 0) d.compactedUpTo else d.streamPosition)
+    }.toDF(Pos, Dt, Present, EffPos))
     val posExpr = element_at(
       regexp_extract_all(col("_metadata.file_path"), lit("/d(\\d+)(?:__[^/]*)?/"), lit(1)), -1)
       .cast(LongType)
@@ -419,7 +426,7 @@ object MergeRead {
     val partExprs = scheme.keys.map(k =>
       k.column(col(k.field), fieldType.getOrElse(k.field, StringType)))
     val winKeys: Seq[Column] = partExprs ++ mergeKeys.map(col)
-    val recency = Seq(col(Pos).desc, col(File).desc, col(Row).desc)
+    val recency = Seq(col(EffPos).desc, col(File).desc, col(Row).desc)
     val w = Window.partitionBy(winKeys: _*).orderBy(recency: _*)
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
 
@@ -448,7 +455,7 @@ object MergeRead {
       // partial combine, which the window cannot do.
       val payload = struct(
         (schema.fieldNames.map(col) ++ Seq(col(Dt), col(File), col(Present))).toIndexedSeq: _*)
-      val recencyKey = struct(col(Pos), col(File), col(Row))
+      val recencyKey = struct(col(EffPos), col(File), col(Row))
       scan.groupBy(winKeys: _*)
         .agg(max_by(payload, recencyKey).as("_g_w"))
         .where(col(s"_g_w.$Dt") =!= DeltaType.Delete.name)
@@ -479,7 +486,7 @@ object MergeRead {
       val ranked = scan.withColumn("_g_tomb",
         coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
       val live = !isDelete && col("_g_tomb") === 0L
-      val recencyKey = struct(col(Pos), col(File), col(Row))
+      val recencyKey = struct(col(EffPos), col(File), col(Row))
       val groupKeys = partExprs.zipWithIndex.map { case (e, i) => e.as(s"_g_pk$i") } ++
         mergeKeys.map(col)
       val dataCols = schema.fields.filterNot(f => mergeKeys.contains(f.name))

@@ -68,6 +68,49 @@ class MergePropertySpec extends SparkSpec {
     }
   }
 
+  /** All ops written pending, then ONE compact() call; the valve property
+    * decides whether it runs as a single round or chunked sub-rounds. */
+  private def runValved(ops: List[Op], valve: Option[Long])
+      : (Map[Option[Int], Int], Int) = {
+    val cat = new GraftCatalog(spark, tmpDir("graft-prop-v"))
+    cat.createTable("p.v", StructType(Seq(
+      FieldMeta.field("k", IntegerType, mergeKey = true),
+      FieldMeta.field("v", IntegerType))),
+      properties = Map("read_optimization" -> "NONE") ++
+        valve.map("compaction.max_input_bytes" -> _.toString))
+    ops.foreach { op =>
+      val df = op.rows.zipWithIndex.map { case ((k, v), ord) => (k, v, ord) }
+        .toDF("k", "v", "_ord").repartition(1).sortWithinPartitions("_ord").drop("_ord")
+      if (op.isDelete) cat.writeToTable(df.select("k"), "p.v", WriteMode.Delete)
+      else cat.writeToTable(df, "p.v", WriteMode.Merge)
+    }
+    cat.compact("p.v", numBuckets = 4)
+    val state = cat.readTable("p.v").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getInt(1)).toMap
+    (state, cat.deltaLog("p.v").count(_.compactedUpTo >= 0))
+  }
+
+  test("multi-round compaction valve: chunked sub-rounds equal the single round") {
+    val params = Gen.Parameters.default
+    (0 until 4).foreach { trial =>
+      val ops = Gen.listOfN(6, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(3000L + trial))
+      val expected = model(ops)
+      val (single, roundsSingle) = runValved(ops, valve = None)
+      assert(single == expected, s"trial $trial single: $single != $expected\nops=$ops")
+      assert(roundsSingle == 1, s"no valve must compact once, got $roundsSingle")
+      // a 1-byte valve forces every pending delta into its own sub-round
+      val (chunked, roundsChunked) = runValved(ops, valve = Some(1L))
+      assert(chunked == expected, s"trial $trial chunked: $chunked != $expected\nops=$ops")
+      assert(roundsChunked == ops.size,
+        s"1-byte valve must compact per delta (${roundsChunked} vs ${ops.size})")
+      // a mid-sized valve groups several deltas per round, still exact
+      val (mid, roundsMid) = runValved(ops, valve = Some(6000L))
+      assert(mid == expected, s"trial $trial mid-valve: $mid != $expected\nops=$ops")
+      assert(roundsMid >= 1 && roundsMid <= ops.size)
+    }
+  }
+
   /** Same engine run, read through a rowFilter (exercises the stats-skip
     * safe-filter rule under merge-on-read AND the read-optimized prune). */
   private def runFiltered(ops: List[Op], compactEvery: Option[Int],
