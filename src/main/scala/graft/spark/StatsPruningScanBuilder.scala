@@ -58,6 +58,11 @@ final class StatsPruningScanBuilder(
   private var entriesOpt: Option[Seq[ManifestEntry]] = None
   private var delegateOpt: Option[ScanBuilder] = None
   private var requiredSchema: Option[StructType] = None
+  /** Filters the deferred provider pruned with at materialization. Deferred
+    * survivors come back stats-STRIPPED, so an in-process re-prune against
+    * a LATER, stronger filter set is a no-op — such a re-push must go back
+    * through the provider (it re-derives from the same visible file set). */
+  private var materializedWith: Option[Set[org.apache.spark.sql.sources.Filter]] = None
   private var filtersPushed: Boolean = false
   private var delegateAggPushed: Boolean = false
   private var manifestAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
@@ -69,6 +74,7 @@ final class StatsPruningScanBuilder(
     val es = provider(fs, limit)
     if (deferredPath && (fs.nonEmpty || limit.isDefined))
       StatsPruningScanBuilder.recordDeferred(tag, es.size)
+    materializedWith = Some(fs.toSet)
     entriesOpt = Some(es)
     delegateOpt = Some(mkDelegate(es.map(_.path)))
     requiredSchema.foreach(s =>
@@ -99,6 +105,12 @@ final class StatsPruningScanBuilder(
     // deferred path: hand the filters to the provider so pruning happens
     // BEFORE any entry materializes on the driver
     if (entriesOpt.isEmpty) materialize(translated, None)
+    // deferred RE-push with filters beyond the materializing set: the held
+    // survivors are stats-stripped (unprunable in-process), so go back
+    // through the provider for the full-set distributed prune
+    else if (deferredPath && translated.nonEmpty &&
+        materializedWith.exists(m => !translated.toSet.subsetOf(m)))
+      materialize((materializedWith.get ++ translated).toSeq, None)
     val kept = StatsSkip.prune(entries, translated, schema)
     if (kept.size < entries.size) rebuild(kept)
     delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)

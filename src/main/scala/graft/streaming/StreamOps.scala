@@ -155,6 +155,15 @@ object StreamOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            // A checkpoint written under a LONGER steps list can recover
+            // nextStep beyond this run's list; steps(s.nextStep) would then
+            // IndexOutOfBounds in a crash loop with no hint of the cause.
+            if (s.nextStep >= steps.length)
+              throw new IllegalStateException(
+                s"recovered funnel state for user $userId has nextStep=" +
+                  s"${s.nextStep} but only ${steps.length} steps are " +
+                  "configured — the steps list changed across a restart; " +
+                  "restart with the original list or a fresh checkpoint")
             val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
             // FULL microsecond precision: Timestamp.getTime is millis-only,
             // and the batch funnel (oracle-checked at epoch_us) orders and

@@ -114,6 +114,14 @@ class GraftStreamSink(
     val batch = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(data.queryExecution.toRdd, data.schema)
     if (!exists) {
+      // A version-pinned target that does not exist can never bootstrap
+      // here (createTable takes bare names and would reject it with no
+      // streaming context) — fail with the remedy spelled out.
+      if (graft.catalog.TableHandle.parse(table).version.isDefined)
+        throw new IllegalArgumentException(
+          s"stream sink targets pinned version '$table', which does not " +
+            "exist — create the version first (createTableVersion) or use " +
+            "the bare table name to let the sink create v1")
       // First batch creates the table; the marker property rides the same
       // transaction via createTable's property map.
       val tx = cat.transaction(s"stream batch $batchId -> $table (create)")

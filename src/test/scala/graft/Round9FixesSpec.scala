@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/** Round-9 advisory fixes: one consistent NoActiveTableVersion error for
+  * unpinned access to a no-active-version table, a remediable stream-sink
+  * error for pinned-nonexistent targets, and a named failure (not an
+  * IndexOutOfBounds crash loop) when a funnel's steps list shrinks across
+  * a checkpoint restart. */
+class Round9FixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unpinned access with live-but-inactive versions fails with ONE error everywhere") {
+    val cat = new GraftCatalog(spark, tmpDir("r9-noactive"))
+    val schema = StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false),
+      FieldMeta.field("v", StringType)))
+    cat.createTable("ns.t", schema)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.t")
+    // v2 staging version, then v1 deleted: live versions exist, none ACTIVE
+    cat.createTableVersion("ns.t", lifecycle = Lifecycle.Created)
+    cat.dropTable("ns.t@v1")
+    // the table still EXISTS (a live version) — but default access must
+    // fail with the lifecycle error, not TableNotFound/TableAlreadyExists
+    assert(cat.tableExists("ns.t"))
+    val e1 = intercept[NoActiveTableVersion](cat.readTable("ns.t"))
+    assert(e1.getMessage.contains("ACTIVE"))
+    intercept[NoActiveTableVersion](cat.getTableMeta("ns.t"))
+    intercept[NoActiveTableVersion](
+      cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), "ns.t"))
+    // remedies keep working: pin the staging version, or activate it
+    cat.writeToTable(Seq((2L, "b")).toDF("id", "v"), "ns.t@v2")
+    assert(cat.readTable("ns.t@v2").count() == 1)
+    cat.alterTableLifecycle("ns.t@v2", Lifecycle.Active)
+    assert(cat.readTable("ns.t").count() == 1)
+    assert(cat.getTableMeta("ns.t").lifecycleState == Lifecycle.Active)
+  }
+
+  test("stream sink on a pinned nonexistent version fails with the remedy named") {
+    val root = tmpDir("r9-pinsink")
+    val sink = new org.apache.spark.sql.graft.GraftStreamSink(
+      spark.sqlContext, root, "ns.pnx@v2", WriteMode.Auto, "r9ck")
+    val e = intercept[IllegalArgumentException](
+      sink.addBatch(0, Seq((1L, "a")).toDF("id", "v")))
+    assert(e.getMessage.contains("createTableVersion") &&
+      e.getMessage.contains("ns.pnx@v2"),
+      s"expected the pinned-nonexistent remedy, got: ${e.getMessage}")
+    // the bare name still bootstraps v1 as before
+    val ok = new org.apache.spark.sql.graft.GraftStreamSink(
+      spark.sqlContext, root, "ns.pnx", WriteMode.Auto, "r9ck2")
+    ok.addBatch(0, Seq((1L, "a")).toDF("id", "v"))
+    assert(new GraftCatalog(spark, root).readTable("ns.pnx").count() == 1)
+  }
+
+  test("funnel restart with a shorter steps list fails named, not IndexOutOfBounds") {
+    import graft.streaming.StreamOps
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    // a RECOVERABLE source (the graft stream source) — MemoryStream cannot
+    // replay across a restart, and the memory sink refuses recovery
+    val root = tmpDir("r9-funnel-root")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("ns.ev", StructType(Seq(
+      FieldMeta.field("user_id", LongType, nullable = false),
+      FieldMeta.field("ts", TimestampType, nullable = false),
+      FieldMeta.field("event_type", StringType, nullable = false))))
+    cat.writeToTable(Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:01:00"), "click")).toDF("user_id", "ts", "event_type"),
+      "ns.ev", WriteMode.Append)
+    val ck = tmpDir("r9-funnel-ck")
+    def start(steps: Seq[String]) = StreamOps.funnelStream(spark,
+      spark.readStream.format("graft").option("root", root).option("table", "ns.ev")
+        .load().as[StreamOps.Event],
+      steps)
+      .writeStream.outputMode("append")
+      // the batch MUST materialize or the stateful operator never runs
+      // (state-store commit validation fails with zero commits)
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[StreamOps.FunnelHit], _: Long) => {
+        ds.collect(); ()
+      })
+      .option("checkpointLocation", ck).start()
+    // advance user 1 to nextStep = 2 (view + click consumed), checkpoint it
+    val q1 = start(Seq("view", "click", "purchase"))
+    try q1.processAllAvailable() finally q1.stop()
+    // restart the SAME checkpoint with ONE step: recovered nextStep=2 is
+    // out of range — must fail with the steps-changed message
+    cat.writeToTable(Seq((1L, t("2024-01-01 10:02:00"), "view"))
+      .toDF("user_id", "ts", "event_type"), "ns.ev", WriteMode.Append)
+    val q2 = start(Seq("view"))
+    try {
+      val e = intercept[Exception](q2.processAllAvailable())
+      def causes(t0: Throwable): Seq[Throwable] =
+        if (t0 == null) Nil else t0 +: causes(t0.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("steps list changed"))),
+        s"expected the steps-changed failure, got: $e")
+    } finally q2.stop()
+  }
+}
