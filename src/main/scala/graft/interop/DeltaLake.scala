@@ -124,15 +124,29 @@ object DeltaLake {
       case fs if fs.nonEmpty && active.columns.contains("stats") =>
         val fieldMap = dataFields.map(f =>
           (f.name, physicalName(f), stripFieldMeta(f.dataType))).toSeq
-        val logical = StructType(dataFields.map(f =>
-          StructField(f.name, stripFieldMeta(f.dataType), f.nullable)))
-        val keepU = udf((stats: String) =>
-          stats == null || (DeltaStats.parse(stats, fieldMap) match {
-            case Some((rows, st)) =>
-              fs.forall(fl => graft.catalog.StatsSkip.keep(fl, logical, st, rows))
-            case None => true
-          }))
-        active.where(keepU(col("stats")))
+        // common path: codegen'd from_json + Column predicates (semantics
+        // property-tested ≡ the UDF); the interpreted row-at-a-time UDF
+        // survives only for the residual decimal/timestamp-filter cases
+        DeltaStatsColumn.build(fs, fieldMap) match {
+          case Some((pSchema, mkKeep)) =>
+            val parsedCol = "_g_stats_parsed"
+            active
+              .withColumn(parsedCol,
+                from_json(col("stats"), pSchema, Map("dateFormat" -> "yyyy-MM-dd")))
+              .where(col("stats").isNull || col(parsedCol).isNull ||
+                mkKeep(col(parsedCol)))
+              .drop(parsedCol)
+          case None =>
+            val logical = StructType(dataFields.map(f =>
+              StructField(f.name, stripFieldMeta(f.dataType), f.nullable)))
+            val keepU = udf((stats: String) =>
+              stats == null || (DeltaStats.parse(stats, fieldMap) match {
+                case Some((rows, st)) =>
+                  fs.forall(fl => graft.catalog.StatsSkip.keep(fl, logical, st, rows))
+                case None => true
+              }))
+            active.where(keepU(col("stats")))
+        }
       case _ => active
     }
     val activeRows = pruned.select(col("path"), col("deletionVector")).collect().toSeq

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.interop.{DeltaLake, DeltaStats}
+import graft.interop.{DeltaLake, DeltaStats, DeltaStatsColumn}
 import graft.txn.ColStat
 
 /** Delta per-file stats: write-side add.stats, read-side data skipping,
@@ -67,5 +67,95 @@ class DeltaStatsSpec extends SparkSpec {
       """{"numRecords":5,"minValues":{"x":1},"maxValues":{},"nullCount":{"x":2}}""",
       Seq(("x", "x", LongType)))
     assert(st2("x") == ColStat(null, null, 2))
+  }
+
+  test("Column-level stats skipping is equivalent to the UDF over randomized stats") {
+    import org.apache.spark.sql.sources
+    val fields: Seq[(String, String, DataType)] = Seq(
+      ("id", "p_id", LongType), ("name", "p_name", StringType),
+      ("d", "p_d", DateType), ("f", "p_f", DoubleType))
+    val logical = StructType(fields.map { case (l, _, dt) => StructField(l, dt) })
+    val rnd = new scala.util.Random(11)
+    def maybe[T](v: => T): Option[T] = if (rnd.nextBoolean()) Some(v) else None
+    // randomized foreign stats JSON: bounds/null-counts independently
+    // present, occasional garbage values, occasional null stats string
+    def statsJson(): String = {
+      if (rnd.nextInt(10) == 0) return null
+      val ids = (rnd.nextInt(20), rnd.nextInt(20))
+      val names = (s"s${rnd.nextInt(5)}", s"s${rnd.nextInt(5) + 5}")
+      val days = (rnd.nextInt(20) + 1, rnd.nextInt(8) + 21)
+      def kv(k: String, v: Option[String]) = v.map(x => s""""$k":$x""")
+      def obj(k: String, vs: Seq[Option[String]]) = {
+        val inner = vs.flatten
+        if (inner.isEmpty) None else Some(s""""$k":{${inner.mkString(",")}}""")
+      }
+      val mins = obj("minValues", Seq(
+        kv("p_id", maybe(math.min(ids._1, ids._2).toString)),
+        kv("p_name", maybe("\"" + (if (names._1 < names._2) names._1 else names._2) + "\"")),
+        kv("p_d", maybe(f""""2024-01-${math.min(days._1, days._2)}%02d"""")),
+        kv("p_f", maybe("0.5"))))
+      val maxs = obj("maxValues", Seq(
+        kv("p_id", maybe(math.max(ids._1, ids._2).toString)),
+        kv("p_name", maybe("\"" + (if (names._1 < names._2) names._2 else names._1) + "\"")),
+        kv("p_d", maybe(f""""2024-01-${math.max(days._1, days._2)}%02d"""")),
+        kv("p_f", maybe("9.5"))))
+      val nulls = obj("nullCount", Seq(
+        kv("p_id", maybe(rnd.nextInt(12).toString)),
+        kv("p_name", maybe(rnd.nextInt(12).toString)),
+        kv("p_d", maybe(rnd.nextInt(12).toString)),
+        kv("p_f", maybe(rnd.nextInt(12).toString))))
+      val rows = maybe(s""""numRecords":${rnd.nextInt(12)}""")
+      s"{${(Seq(rows) ++ Seq(mins, maxs, nulls)).flatten.mkString(",")}}"
+    }
+    val filterSets: Seq[Seq[sources.Filter]] = Seq(
+      Seq(sources.EqualTo("id", 7L)),
+      Seq(sources.GreaterThan("id", 10L), sources.LessThanOrEqual("id", 15L)),
+      Seq(sources.In("id", Array(3L, 8L, 19L))),
+      Seq(sources.IsNull("name")),
+      Seq(sources.IsNotNull("name")),
+      Seq(sources.StringStartsWith("name", "s3")),
+      Seq(sources.Or(sources.EqualTo("id", 2L), sources.LessThan("name", "s2"))),
+      Seq(sources.GreaterThanOrEqual("d", java.sql.Date.valueOf("2024-01-15"))),
+      Seq(sources.EqualTo("f", 1.5), sources.IsNotNull("f")), // float bounds distrusted
+      Seq(sources.And(sources.IsNotNull("id"), sources.EqualTo("d",
+        java.sql.Date.valueOf("2024-01-22")))))
+    val statsRows = (0 until 200).map(i => (i, statsJson()))
+    val df = statsRows.toDF("i", "stats")
+    filterSets.foreach { fs =>
+      // UDF verdicts (the reference semantics)
+      val udfKept = statsRows.collect { case (i, s)
+        if s == null || (DeltaStats.parse(s, fields) match {
+          case Some((rows, st)) =>
+            fs.forall(fl => graft.catalog.StatsSkip.keep(fl, logical, st, rows))
+          case None => true
+        }) => i
+      }.toSet
+      val Some((pSchema, mkKeep)) = DeltaStatsColumn.build(fs, fields)
+      val colKept = df
+        .withColumn("_p", from_json(col("stats"), pSchema, Map("dateFormat" -> "yyyy-MM-dd")))
+        .where(col("stats").isNull || col("_p").isNull || mkKeep(col("_p")))
+        .select("i").as[Int].collect().toSet
+      assert(colKept == udfKept,
+        s"filters=$fs\nonlyCol=${(colKept -- udfKept).toSeq.sorted.take(5).map(statsRows)}" +
+          s"\nonlyUdf=${(udfKept -- colKept).toSeq.sorted.take(5).map(statsRows)}")
+    }
+    // residual cases fall back: decimal / timestamp filters decline
+    assert(DeltaStatsColumn.build(Seq(sources.EqualTo("dec", BigDecimal(1))),
+      Seq(("dec", "dec", DecimalType(10, 2)))).isEmpty)
+    assert(DeltaStatsColumn.build(Seq(sources.GreaterThan("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      Seq(("ts", "ts", TimestampType))).isEmpty)
+  }
+
+  test("delta read plans no stats UDF on the supported filter path") {
+    val t = tmpDir("ds-col") + "/tbl"
+    val df = spark.range(0, 1000).select(col("id"),
+      concat(lit("n"), col("id")).as("name"))
+    DeltaLake.write(df.where(col("id") < 500).orderBy("id").coalesce(1), t)
+    DeltaLake.write(df.where(col("id") >= 500).orderBy("id").coalesce(1), t)
+    val got = DeltaLake.read(spark, t, dataFilter = Some(col("id") === 7L))
+    assert(got.select("id").as[Long].collect().toSeq == Seq(7L))
+    // the skip actually happened: only the first file is planned
+    assert(got.inputFiles.length == 1, s"expected 1 file, got ${got.inputFiles.length}")
   }
 }
