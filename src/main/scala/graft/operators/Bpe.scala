@@ -116,6 +116,39 @@ object Bpe {
     merges.result()
   }
 
+  /** Segment one document under broadcast ranks — the ONE apply loop both
+    * [[applyBpe]] and [[tokenCountColumn]] run (no drift between the
+    * token-surface and count-only forms). Lowercases EXACTLY as training
+    * did (Spark lower() = UTF8String.toLowerCase: ASCII fast path for
+    * full-ASCII strings, default-locale String.toLowerCase otherwise) — a
+    * blanket Locale.ROOT would diverge on non-ASCII text under tr/az JVM
+    * locales, a blanket default-locale on ASCII "I". */
+  private[operators] def segment(rk: Map[(String, String), Int], text: String): Seq[String] = {
+    val words = Option(text)
+      .map { t =>
+        val lowered =
+          if (t.forall(_ < 0x80)) t.toLowerCase(java.util.Locale.ROOT)
+          else t.toLowerCase()
+        lowered.split("\\s+").toSeq.filter(_.nonEmpty)
+      }
+      .getOrElse(Nil)
+    words.flatMap { w =>
+      var symbols: Seq[String] = w.map(_.toString) :+ EndOfWord
+      var continue = true
+      while (continue && symbols.length > 1) {
+        // lowest-rank adjacent pair present in this word
+        val cand = symbols.zip(symbols.tail)
+          .flatMap(p => rk.get(p).map(r => (r, p)))
+        if (cand.isEmpty) continue = false
+        else {
+          val (_, (a, b)) = cand.minBy(_._1)
+          symbols = mergeOnce(symbols, a, b)
+        }
+      }
+      symbols
+    }
+  }
+
   /** Per-document BPE segmentation under a trained merge list: one row per
     * doc with the subword array and its length. Ranks broadcast; each word
     * merges greedily lowest-rank-first (standard apply order). Map-only. */
@@ -123,41 +156,23 @@ object Bpe {
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ranks = merges.zipWithIndex.toMap
-    val ranksBc = spark.sparkContext.broadcast(ranks)
-    val segmented = df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
+    val ranksBc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
       .as[(Long, String)].map { case (id, text) =>
-        val rk = ranksBc.value
-        // lowercase EXACTLY as training did (Spark lower() =
-        // UTF8String.toLowerCase: ASCII fast path for full-ASCII strings,
-        // default-locale String.toLowerCase otherwise) — a blanket
-        // Locale.ROOT would diverge on non-ASCII text under tr/az JVM
-        // locales, a blanket default-locale on ASCII "I"
-        val words = Option(text)
-          .map { t =>
-            val lowered =
-              if (t.forall(_ < 0x80)) t.toLowerCase(java.util.Locale.ROOT)
-              else t.toLowerCase()
-            lowered.split("\\s+").toSeq.filter(_.nonEmpty)
-          }
-          .getOrElse(Nil)
-        val toks = words.flatMap { w =>
-          var symbols: Seq[String] = w.map(_.toString) :+ EndOfWord
-          var continue = true
-          while (continue && symbols.length > 1) {
-            // lowest-rank adjacent pair present in this word
-            val cand = symbols.zip(symbols.tail)
-              .flatMap(p => rk.get(p).map(r => (r, p)))
-            if (cand.isEmpty) continue = false
-            else {
-              val (_, (a, b)) = cand.minBy(_._1)
-              symbols = mergeOnce(symbols, a, b)
-            }
-          }
-          symbols
-        }
+        val toks = segment(ranksBc.value, text)
         (id, toks, toks.length.toLong)
       }
-    segmented.toDF("doc_id", "bpe_tokens", "n_bpe")
+      .toDF("doc_id", "bpe_tokens", "n_bpe")
+  }
+
+  /** TRAINED-tokenizer token count as a COLUMN op — the per-row count the
+    * corpus-mixing budget consumes (TextOps.sampleToTokenBudgetBy), without
+    * materializing the subword arrays. The BPE apply loop is inherently
+    * imperative (the mapPartitions/UDF tier of the custom-op preference
+    * order); ranks ride one broadcast, the count never shuffles. */
+  def tokenCountColumn(spark: SparkSession, merges: Seq[(String, String)])
+      (text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ranksBc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    udf((t: String) => segment(ranksBc.value, t).length.toLong).apply(text)
   }
 }

@@ -216,12 +216,23 @@ object TextOps {
     * corpus-scale op). */
   def sampleToTokenBudget(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budgets: Map[String, Long],
+      buckets: Int = 10000): DataFrame =
+    sampleToTokenBudgetBy(df, idCol, tokenCount(col(textCol)), sourceCol, budgets, buckets)
+
+  /** [[sampleToTokenBudget]] over an ARBITRARY per-row token-count Column —
+    * the budget currency is a parameter, so mixing can budget on TRAINED
+    * tokenizer counts ([[Bpe.tokenCountColumn]] — what a pretraining token
+    * budget actually means) instead of whitespace words. Same shape:
+    * one map-side-combinable aggregate to #sources rows, then a map-only
+    * deterministic id-hash filter. */
+  def sampleToTokenBudgetBy(df: DataFrame, idCol: String, countCol: Column,
+      sourceCol: String, budgets: Map[String, Long],
       buckets: Int = 10000): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
     // coalesce: a source whose every text is NULL sums to null, and the
     // mixing job must treat it as zero available tokens, not crash
     val toks = df.groupBy(col(sourceCol))
-      .agg(sum(coalesce(tokenCount(col(textCol)), lit(0L))).as("t"))
+      .agg(sum(coalesce(countCol, lit(0L))).as("t"))
       .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val thresholds: Map[String, Int] = budgets.flatMap { case (src, budget) =>
       toks.get(src).map { avail =>

@@ -1261,6 +1261,46 @@ object PipelineQueries {
              COALESCE(g_reason, r_reason) AS fail_reason
       FROM gr LEFT JOIN rep ON gr.doc_id = rep.doc_id""")) { (s, dir) =>
       TextOps.massiveTextFilter(tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Corpus mixing budgeted on TRAINED-TOKENIZER counts (Bpe
+    // .tokenCountColumn → sampleToTokenBudgetBy) — what a pretraining
+    // token budget actually means; t30 is the whitespace-word variant.
+    // The merge list is fixed at [(a,b), (ab,c)] so DuckDB can recompute
+    // the BPE count symbolically: per word, len+1 symbols minus one per
+    // merge application, where a single left-to-right replace() pass
+    // counts exactly the non-overlapping applications ("ab"/"abc" have
+    // distinct characters, so occurrences cannot overlap and every
+    // original "abc" becomes an (ab,c) adjacency). Bucket recipe = t30's.
+    Q("t49_bpe_token_budget", Some("""
+      WITH words AS (
+        SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        FROM documents),
+      bpe AS (
+        SELECT doc_id, source,
+               CAST(sum(len(w) + 1
+                 - (len(w) - len(replace(w, 'ab', ''))) // 2
+                 - (len(w) - len(replace(w, 'abc', ''))) // 3) AS BIGINT) AS n_bpe
+        FROM words GROUP BY doc_id, source),
+      toks AS (SELECT source, CAST(sum(n_bpe) AS DOUBLE) AS t FROM bpe GROUP BY source),
+      thr AS (SELECT source,
+                CAST(round(least(1.0, CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 9000
+                                        WHEN 'src2' THEN 1500 END / t) * 10000, 0) AS BIGINT) AS cut
+              FROM toks WHERE source IN ('src0','src1','src2')),
+      h AS (SELECT doc_id, source, n_bpe, md5(CAST(doc_id AS VARCHAR)) AS hx FROM bpe),
+      v AS (SELECT doc_id, source, n_bpe,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CAST(strpos('0123456789abcdef', substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+                  * (CAST(1 AS BIGINT) << CAST((7 - i) * 4 AS INT)))) AS BIGINT) % 10000 AS bucket
+            FROM h)
+      SELECT v.doc_id, v.source, v.n_bpe FROM v JOIN thr ON v.source = thr.source
+      WHERE v.bucket < thr.cut""")) { (s, dir) =>
+      val merges = Seq(("a", "b"), ("ab", "c"))
+      val cnt = Bpe.tokenCountColumn(s, merges)(col("text"))
+      TextOps.sampleToTokenBudgetBy(tbl(s, dir, "documents"),
+        "doc_id", cnt, "source",
+        Map("src0" -> 2000L, "src1" -> 9000L, "src2" -> 1500L))
+        .select(col("doc_id"), col("source"), cnt.as("n_bpe"))
     }
   )
 }

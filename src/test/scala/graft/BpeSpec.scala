@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Bpe
+import graft.operators.{Bpe, TextOps}
 
 /** BPE tokenizer training (Sennrich et al. 2016): the paper's classic
   * example corpus must reproduce the known merge sequence, and application
@@ -47,5 +47,34 @@ class BpeSpec extends SparkSpec {
     assert(merges.length == 10)
     val out = Bpe.applyBpe(docs.limit(20), "doc_id", "text", merges)
     assert(out.count() == 20 && out.where($"n_bpe" <= 0).count() == 0)
+  }
+
+  test("trained-tokenizer counts drive the corpus-mixing token budget") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 20, minFreq = 2)
+    // the count COLUMN agrees with applyBpe's n_bpe row for row
+    val cnt = Bpe.tokenCountColumn(spark, merges)(col("text"))
+    val viaColumn = docs.select(col("doc_id").cast("long"), cnt.as("n"))
+      .as[(Long, Long)].collect().toMap
+    val viaApply = Bpe.applyBpe(docs, "doc_id", "text", merges)
+      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    assert(viaColumn == viaApply)
+    // budget on BPE counts: realized tokens track the budget, selection is
+    // the deterministic id-hash subset (reproducible across runs)
+    val total = viaColumn.values.sum
+    val sources = docs.select("source").distinct().as[String].collect().toSeq
+    // ~quarter of each source's tokens (sources are near-uniform here)
+    val budgets = sources.map(_ -> total / (4L * sources.size)).toMap
+    val kept = TextOps.sampleToTokenBudgetBy(docs, "doc_id", cnt, "source", budgets)
+    val kept2 = TextOps.sampleToTokenBudgetBy(docs, "doc_id", cnt, "source", budgets)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids == kept2.select("doc_id").as[Long].collect().toSet, "mix must be deterministic")
+    assert(ids.nonEmpty && ids.size < viaColumn.size, "budget must subsample")
+    // whole-document selection tracks the fraction in expectation — loose band
+    val realized = kept.select(sum(cnt)).as[Long].head()
+    val want = total / 4.0
+    assert(realized > want * 0.5 && realized < want * 1.8,
+      s"realized $realized vs target ~$want")
   }
 }
