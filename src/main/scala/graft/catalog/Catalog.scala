@@ -785,6 +785,90 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       .getOrElse(cols))))
   }
 
+  /**
+   * Rivulet-style ZIPPER read (reference experimental rivulet,
+   * reader/dataset_reader.py:41-65 + dataset.py field groups): each named
+   * column GROUP resolves its own merge-on-read independently — only the
+   * deltas that physically wrote one of the group's columns (plus deletes,
+   * which tombstone every group) participate — and the resolved groups zip
+   * into full rows by a null-safe merge-key FULL OUTER join (a key written
+   * in one group surfaces with the other groups' fields null, exactly the
+   * reference's zipper semantics).
+   *
+   * Row-equivalent to readTable over the same columns; the win is PLAN
+   * shape at scale: each group's resolve shuffle carries only that group's
+   * bytes — a trickle of text-group upserts never re-shuffles the media
+   * group's blobs through the LSM fold — and a group with no pending
+   * deltas reads scan-only. Requested groups must be disjoint on non-key
+   * fields (rivulet field groups are disjoint by construction).
+   */
+  def readZipped(table: String, groups: Seq[String] = Nil,
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    val parsed = thRaw(table)
+    val (t, meta0) = resolveVersionMeta(parsed, opts.asOf, opts.txn)
+    val meta = meta0.filter(!_.dropped).getOrElse(throw new TableNotFound(table))
+    if (parsed.version.isEmpty && meta.lifecycleState != Lifecycle.Active)
+      throw new NoActiveTableVersion(table, meta.lifecycleState)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val keys = FieldMeta.mergeKeys(schema)
+    require(keys.nonEmpty, s"zipper read needs merge keys on $table")
+    val subs = meta.properties.collect {
+      case (k, v) if k.startsWith("subschema.") =>
+        k.stripPrefix("subschema.") -> v.split(",").toSeq
+    }
+    val gs = if (groups.nonEmpty) groups else subs.keys.toSeq.sorted
+    require(gs.nonEmpty, s"$table declares no subschemas to zip")
+    gs.foreach(g => require(subs.contains(g),
+      s"no subschema $g on $table (have: ${subs.keys.mkString(",")})"))
+    val nonKey = gs.map(g => g -> subs(g).filterNot(keys.contains)).toMap
+    require(gs.combinations(2).forall { case Seq(x, y) =>
+      nonKey(x).toSet.intersect(nonKey(y).toSet).isEmpty
+    }, s"zipped groups must be disjoint on non-key fields: $gs")
+    val scheme = partitionSchemeOf(meta)
+    // group frames plan without the caller's filters/projection — those
+    // may span groups and apply to the ZIPPED rows below
+    val zipOpts = opts.copy(columns = None, rowFilter = None, limit = None,
+      partitionFilter = None, withFilePath = false)
+    val deltas = plannedDeltas(t, zipOpts, schema, scheme, keys)
+    val renames = MergeRead.renameMapOf(schema)
+    def writtenOf(d: DeltaMeta): Option[Set[String]] =
+      d.properties.get("written_columns")
+        .map(_.split(",").toSet.map((c: String) => renames.getOrElse(c, c)))
+    val ct = contentTypeOf(meta)
+    val frames: Seq[(Seq[String], DataFrame)] = gs.map { g =>
+      val fields = nonKey(g)
+      val fieldSet = fields.toSet
+      // deletes tombstone every group; a keys-only delta asserts row
+      // existence in every group; otherwise only writers of the group's
+      // columns participate (the zip reintroduces other groups' keys)
+      val part = deltas.filter(d => d.typed == DeltaType.Delete ||
+        writtenOf(d).forall(w =>
+          (w intersect fieldSet).nonEmpty || (w -- keys).isEmpty))
+      val df = MergeRead.plan(spark, schema, scheme, keys, part, zipOpts,
+        dataDir(t).toString, ct)
+        .select((keys ++ fields).map(col).toIndexedSeq: _*)
+      (fields, df)
+    }
+    val zipped = frames.reduceLeft[(Seq[String], DataFrame)] {
+      case ((fa, a0), (fb, b0)) =>
+        val (a, b) = (a0.alias("_zl"), b0.alias("_zr"))
+        val cond = keys.map(k => col(s"_zl.$k") <=> col(s"_zr.$k")).reduce(_ && _)
+        val out = a.join(b, cond, "full_outer").select(
+          (keys.map(k => coalesce(col(s"_zl.$k"), col(s"_zr.$k")).as(k)) ++
+            fa.map(f => col(s"_zl.$f")) ++ fb.map(f => col(s"_zr.$f"))).toIndexedSeq: _*)
+        (fa ++ fb, out)
+    }._2
+    val ordered = schema.fieldNames.filter(zipped.columns.contains).toSeq
+    val base = zipped.select(ordered.map(col): _*)
+    val filtered = (opts.partitionFilter.toSeq ++ opts.rowFilter.toSeq)
+      .foldLeft(base)((d, p) => d.where(p))
+    val projected = opts.columns match {
+      case Some(cs) => filtered.select(cs.map(col): _*)
+      case None => filtered
+    }
+    opts.limit.fold(projected)(projected.limit)
+  }
+
   // ------------------------------------------------------------ write path
   /**
    * Write a DataFrame to a table — reference write_to_table

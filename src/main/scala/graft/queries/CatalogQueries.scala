@@ -1504,6 +1504,58 @@ object CatalogQueries {
         .forall(e => buckets.contains(e.partition("user_id_bucket"))),
         "a kept file outside the derived buckets")
       graft.interop.Iceberg.read(s, t, dataFilter = Some(filter))
+    },
+
+    // Rivulet-style zipper read (reference experimental rivulet,
+    // reader/dataset_reader.py:41-65): meta and body column GROUPS written
+    // as independent partial upserts, resolved per group, zipped by merge
+    // key with FULL OUTER semantics — keys written in only one group
+    // surface with the other group's fields null. The builder asserts the
+    // physical contract (a body-group read never scans meta-only deltas);
+    // the oracle recomputes the field-wise last-writer terminal state.
+    Q("c81_zipper_read", Some("""
+      WITH upd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+               source,
+               CASE WHEN doc_id % 4 = 0 THEN 'B:' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0)
+      SELECT * FROM upd
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, 'new' AS lang,
+             CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS text
+      FROM documents""")) { (s, dir) =>
+      val cat = newCat(s, "c81")
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "source", "text")
+      cat.createTable("q.z", StructType(Seq(
+        FieldMeta.field("doc_id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("lang", StringType),
+        FieldMeta.field("source", StringType),
+        FieldMeta.field("text", StringType))), properties = MoR)
+      cat.setSubschema("q.z", "meta", Seq("doc_id", "lang", "source"))
+      cat.setSubschema("q.z", "body", Seq("doc_id", "text"))
+      cat.writeToTable(d, "q.z", WriteMode.Merge) // base writes both groups
+      cat.writeToTable(d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("xx").as("lang")), "q.z", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), concat(lit("B:"), col("text")).as("text")),
+        "q.z", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 7 === 0).select("doc_id"),
+        "q.z", WriteMode.Delete)
+      // meta-ONLY keys: the zip must surface them with null body fields
+      cat.writeToTable(d.select((col("doc_id") + 100000L).as("doc_id"),
+        lit("new").as("lang")), "q.z", WriteMode.Merge)
+      // physical claim: a body-group read plans around meta-only deltas
+      def norm(p: String) = p.replaceFirst("^file:/+", "/")
+      val metaOnly = cat.deltaLog("q.z")
+        .filter(dm => dm.properties.get("written_columns")
+          .exists(w => !w.split(",").contains("text") && dm.deltaType != "DELETE"))
+        .flatMap(_.entries.map(e => norm(e.path))).toSet
+      require(metaOnly.nonEmpty, "expected meta-only deltas")
+      val bodyFiles = cat.readZipped("q.z", Seq("body")).inputFiles.map(norm).toSet
+      require(bodyFiles.nonEmpty && metaOnly.forall(p => !bodyFiles.contains(p)),
+        "body-group zip must not scan meta-only delta files")
+      cat.readZipped("q.z")
     }
   )
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.catalog._
+import graft.model._
+
+/** Rivulet-style zipper read: per-group merge-on-read zipped by merge key.
+  * Must be ROW-EQUIVALENT to the plain read over the same columns on any
+  * interleaving of full/partial/delete writes, while never scanning a
+  * group-foreign delta's files. */
+class ZipperSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    FieldMeta.field("k", IntegerType, nullable = false, mergeKey = true),
+    FieldMeta.field("a", IntegerType),
+    FieldMeta.field("b", IntegerType),
+    FieldMeta.field("t", StringType)))
+
+  private def newTable(tag: String): GraftCatalog = {
+    val cat = new GraftCatalog(spark, tmpDir(tag))
+    cat.createTable("z.t", schema, properties = Map("read_optimization" -> "NONE"))
+    cat.setSubschema("z.t", "nums", Seq("k", "a", "b"))
+    cat.setSubschema("z.t", "text", Seq("k", "t"))
+    cat
+  }
+
+  private def rows(cat: GraftCatalog, df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "a", "b", "t").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
+
+  test("zipper equals the plain read over random full/partial/delete interleavings") {
+    // op: 0 = full row write, 1 = nums-group partial, 2 = text-group
+    // partial, 3 = delete
+    val genOp = for {
+      kind <- Gen.choose(0, 3)
+      n <- Gen.choose(1, 5)
+      ks <- Gen.listOfN(n, Gen.choose(0, 9))
+    } yield (kind, ks.distinct)
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { trial =>
+      val ops = Gen.listOfN(6, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(4000L + trial))
+      val cat = newTable(s"zip-$trial")
+      ops.zipWithIndex.foreach { case ((kind, ks), i) =>
+        val base = ks.map(k => (k, k * 10 + i, k * 100 + i, s"t$k-$i")).toDF("k", "a", "b", "t")
+        kind match {
+          case 0 => cat.writeToTable(base, "z.t", WriteMode.Merge)
+          case 1 => cat.writeToTable(base.select("k", "a", "b"), "z.t", WriteMode.Merge)
+          case 2 => cat.writeToTable(base.select("k", "t"), "z.t", WriteMode.Merge)
+          case 3 => cat.writeToTable(base.select("k"), "z.t", WriteMode.Delete)
+        }
+      }
+      val plain = rows(cat, cat.readTable("z.t"))
+      val zipped = rows(cat, cat.readZipped("z.t"))
+      assert(zipped == plain, s"trial $trial\nops=$ops\nzip=$zipped\nplain=$plain")
+      // and after compaction (single resolved base participates everywhere)
+      cat.compact("z.t", numBuckets = 4)
+      assert(rows(cat, cat.readZipped("z.t")) == plain, s"trial $trial post-compact")
+    }
+  }
+
+  test("group reads scan only their own deltas; zip surfaces group-only keys") {
+    val cat = newTable("zip-prune")
+    cat.writeToTable(Seq((1, 10, 100, "x")).toDF("k", "a", "b", "t"), "z.t", WriteMode.Merge)
+    cat.writeToTable(Seq((1, 11), (2, 12)).toDF("k", "a").withColumn("b", col("a") * 10),
+      "z.t", WriteMode.Merge) // nums-only, introduces key 2
+    cat.writeToTable(Seq((3, "only-text")).toDF("k", "t"), "z.t", WriteMode.Merge)
+    def norm(p: String) = p.replaceFirst("^file:/+", "/")
+    val numsOnly = cat.deltaLog("z.t").filter(_.properties.get("written_columns")
+      .exists(w => !w.split(",").contains("t"))).flatMap(_.entries.map(e => norm(e.path))).toSet
+    assert(numsOnly.nonEmpty)
+    val textFiles = cat.readZipped("z.t", Seq("text")).inputFiles.map(norm).toSet
+    assert(textFiles.nonEmpty && numsOnly.forall(p => !textFiles.contains(p)),
+      "text-group zip must not scan nums-only delta files")
+    // full-outer semantics: key 2 has null text, key 3 has null nums
+    assert(rows(cat, cat.readZipped("z.t")) == Set(
+      (1, Some(11), Some(110), Some("x")),
+      (2, Some(12), Some(120), None),
+      (3, None, None, Some("only-text"))))
+    // caller's filters/projection/limit apply to ZIPPED rows
+    val f = cat.readZipped("z.t",
+      opts = ReadOptions(rowFilter = Some(col("t").isNotNull && col("a").isNotNull)))
+    assert(f.select("k").as[Int].collect().toSeq == Seq(1))
+    assert(cat.readZipped("z.t", opts = ReadOptions(columns = Some(Seq("k", "t"))))
+      .columns.toSeq == Seq("k", "t"))
+    assert(cat.readZipped("z.t", opts = ReadOptions(limit = Some(2))).count() == 2)
+  }
+
+  test("zipper refusals: overlapping groups, unknown group, keyless table") {
+    val cat = newTable("zip-refuse")
+    cat.writeToTable(Seq((1, 1, 1, "x")).toDF("k", "a", "b", "t"), "z.t", WriteMode.Merge)
+    cat.setSubschema("z.t", "numsplus", Seq("k", "a", "t"))
+    intercept[IllegalArgumentException](
+      cat.readZipped("z.t", Seq("nums", "numsplus", "text")).count())
+    intercept[IllegalArgumentException](cat.readZipped("z.t", Seq("nope")))
+    val keyless = new GraftCatalog(spark, tmpDir("zip-keyless"))
+    keyless.createTable("z.k", StructType(Seq(
+      FieldMeta.field("x", IntegerType), FieldMeta.field("y", IntegerType))))
+    keyless.setSubschema("z.k", "g", Seq("x"))
+    intercept[IllegalArgumentException](keyless.readZipped("z.k"))
+  }
+}
