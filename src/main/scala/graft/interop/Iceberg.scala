@@ -442,8 +442,9 @@ object Iceberg {
     val entries = fileEntries(spark, meta, snap, statFilters, partPreds)
 
     require(partitionFilter.isEmpty || meta.partitionCols.nonEmpty,
-      s"partitionFilter given but $table is unpartitioned — the filter would " +
-        "be silently dropped; filter the returned DataFrame instead")
+      s"partitionFilter given but $table has no identity partition fields — " +
+        "the filter would be silently dropped; transform-partitioned fields " +
+        "(bucket/day/…) prune via dataFilter derivation instead")
     var dataFiles = entries.filter(_.content == 0)
     partitionFilter.foreach { pred =>
       // evaluate the predicate once per distinct partition tuple via a tiny
