@@ -180,6 +180,20 @@ object Transform {
       when(c.isNull, lit(0)).otherwise(m3.cast(IntegerType))
     }
   }
+  /** Iceberg-STRATEGY murmur3 bucketing (reference BucketingStrategy.ICEBERG,
+    * transform.py:32-41) — the spec-exact single-value hash the Iceberg
+    * interop binding writes (graft.interop.IcebergHash, Appendix B
+    * vector-tested), so a graft table partitioned this way carries bucket
+    * assignments an Iceberg engine reproduces bit-for-bit. Unlike [[Bucket]]
+    * /[[BucketSha1]] (reference DEFAULT strategy: nulls → bucket 0), a null
+    * source transforms to NULL — Iceberg semantics. */
+  final case class BucketIceberg(n: Int) extends Transform {
+    require(n > 0, s"bucket_iceberg[$n]: n must be positive")
+    val name = s"bucket_iceberg[$n]"
+    def apply(c: Column): Column = apply(c, StringType)
+    override def apply(c: Column, dt: DataType): Column =
+      graft.interop.IceTransform.BucketT(n).column(c, dt)
+  }
   /** Truncate per the Iceberg spec (reference transform.py:157-250):
     * numerics truncate to `v - (((v % W) + W) % W)` (== pmod), strings to the
     * first W characters. The untyped overload assumes string input. */
@@ -216,6 +230,7 @@ object Transform {
     case "hour" => Hour
     case "void" => Void
     case b if b.startsWith("bucket_sha1[") => BucketSha1(b.stripPrefix("bucket_sha1[").stripSuffix("]").toInt)
+    case b if b.startsWith("bucket_iceberg[") => BucketIceberg(b.stripPrefix("bucket_iceberg[").stripSuffix("]").toInt)
     case b if b.startsWith("bucket[") => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
     case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
     case other => throw new IllegalArgumentException(s"unknown transform $other")

@@ -1556,6 +1556,32 @@ object CatalogQueries {
       require(bodyFiles.nonEmpty && metaOnly.forall(p => !bodyFiles.contains(p)),
         "body-group zip must not scan meta-only delta files")
       cat.readZipped("q.z")
+    },
+
+    // Iceberg-STRATEGY murmur3 bucketing on a GRAFT partition scheme
+    // (reference BucketingStrategy.ICEBERG, transform.py:32-41; the DEFAULT
+    // sha1 strategy is c55): bucket assignment is the spec hash an Iceberg
+    // engine reproduces, and a partitionValues read prunes to the one
+    // bucket directory (builder-asserted — DuckDB has no murmur3, so the
+    // oracle checks the ROW semantics, the require the physical pruning).
+    Q("c82_bucket_iceberg_scheme", Some("""
+      SELECT event_id, ts, user_id, event_type FROM events WHERE user_id = 3""")) { (s, dir) =>
+      val cat = newCat(s, "c82")
+      val ev = tbl(s, dir, "events").select("event_id", "ts", "user_id", "event_type")
+      val pk = PartitionKey("user_id", Transform.BucketIceberg(4))
+      cat.createTable("q.e", ev.schema, partitionScheme = PartitionScheme(Seq(pk)))
+      cat.writeToTable(ev, "q.e", WriteMode.Add)
+      val bucket = graft.interop.IcebergHash.bucketLong(3L, 4)
+      val pruned = cat.readTable("q.e", ReadOptions(
+        partitionValues = Some(Map("user_id" -> bucket.toString)),
+        rowFilter = Some(col("user_id") === 3L)))
+      val seg = s"${pk.partitionColumnName}=$bucket"
+      val files = pruned.inputFiles
+      require(files.nonEmpty && files.forall(_.contains(seg)),
+        s"pruned read must plan only $seg files")
+      require(files.length < cat.readTable("q.e").inputFiles.length,
+        "bucket pruning must drop files")
+      pruned
     }
   )
 }

@@ -55,6 +55,26 @@ class Round9FixesSpec extends SparkSpec {
     assert(new GraftCatalog(spark, root).readTable("ns.pnx").count() == 1)
   }
 
+  test("BucketIceberg partition transform: spec murmur3, null-to-null, name roundtrip") {
+    import org.apache.spark.sql.functions._
+    // spec Appendix B vector through the full Transform surface
+    val t = Transform.BucketIceberg(16)
+    val got = Seq(Some(34L), None).toDF("k")
+      .select(t(col("k"), LongType).as("b")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got(0).contains(graft.interop.IcebergHash.bucketLong(34L, 16)))
+    assert(got(1).isEmpty, "iceberg strategy: null transforms to null (not bucket 0)")
+    // the DEFAULT (sha1) strategy keeps its null-to-bucket-0 contract
+    val sha = Seq(Option.empty[Long]).toDF("k")
+      .select(Transform.BucketSha1(16)(col("k")).as("b")).collect().head.getInt(0)
+    assert(sha == 0)
+    assert(Transform.fromName("bucket_iceberg[16]") == t)
+    // string + date sources hash per spec too (shared IceTransform kernel)
+    val s = Seq("iceberg").toDF("k")
+      .select(t(col("k"), StringType)).collect().head.getInt(0)
+    assert(s == graft.interop.IcebergHash.bucketRawString("iceberg", 16))
+  }
+
   test("funnel restart with a shorter steps list fails named, not IndexOutOfBounds") {
     import graft.streaming.StreamOps
     def t(d: String) = java.sql.Timestamp.valueOf(d)
