@@ -244,6 +244,84 @@ object Bench {
       errors("skip_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
     }
 
+    // ---- round-9 read paths, same machine-checkable pattern.
+    // (a) Iceberg transform pruning: a bucket[4]+day-partitioned foreign-
+    //     format table, selectively read — the derived partition predicates
+    //     must prune the manifest before any data file opens.
+    try {
+      val t = Files.createTempDirectory("graft_bench_icet").resolve("tbl").toString
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type")
+      graft.interop.Iceberg.createTable(t, ev.schema,
+        partitionSpec = Seq("user_id" -> "bucket[4]", "ts" -> "day"))
+      graft.interop.Iceberg.append(ev, t)
+      val filter = col("user_id") === 3L &&
+        col("ts") >= to_timestamp(lit("2024-01-20 00:00:00"))
+      val meta = graft.interop.Iceberg.loadMeta(t)
+      val entries = graft.interop.Iceberg.fileEntries(spark, meta, meta.snapshots.head)
+      val preds = graft.interop.IcebergPartPrune.derive(
+        graft.catalog.StatsSkip.translate(filter), meta.specFields, meta.schema)
+      planCounts("iceberg_prune_total_files") = entries.size.toLong
+      planCounts("iceberg_prune_files") =
+        entries.count(e => graft.interop.IcebergPartPrune.keep(preds, e.partition)).toLong
+      attempt("iceberg_transform_prune")(measured("iceberg_transform_prune") {
+        graft.interop.Iceberg.read(spark, t, dataFilter = Some(filter)).count()
+      })
+    } catch { case e: Throwable =>
+      errors("iceberg_prune_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+    }
+    // (b) Zipper read: two column groups written as independent partial
+    //     upserts, zipped by merge key; a single-group read must plan NO
+    //     files of the other group's deltas (the plan counts are the
+    //     claim). The FULL zip is expected ~1.3x the plain read at this
+    //     scale — it pays a merge-key join the plain resolve folds into
+    //     one aggregate; the zipper's win is group-restricted access and
+    //     not re-shuffling a heavy group through another group's trickle,
+    //     neither of which a narrow all-numeric benchmark table exhibits.
+    try {
+      val root = Files.createTempDirectory("graft_bench_zip").toString
+      val cat = new GraftCatalog(spark, root)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      cat.createTable("bench.zip", StructType(Seq(
+        FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("l_quantity", DoubleType),
+        FieldMeta.field("l_extendedprice", DoubleType),
+        FieldMeta.field("l_returnflag", StringType))),
+        properties = Map("read_optimization" -> "NONE"))
+      cat.setSubschema("bench.zip", "nums",
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      cat.setSubschema("bench.zip", "flag",
+        Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+      cat.writeToTable(li, "bench.zip", WriteMode.Merge)
+      // independent per-group trickles (1% each)
+      cat.writeToTable(li.where(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + 1).as("l_quantity"),
+          col("l_extendedprice")), "bench.zip", WriteMode.Merge)
+      cat.writeToTable(li.where(col("l_orderkey") % 101 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), lit("Z").as("l_returnflag")),
+        "bench.zip", WriteMode.Merge)
+      def norm(p: String) = p.replaceFirst("^file:/+", "/")
+      val numsOnly = cat.deltaLog("bench.zip")
+        .filter(_.properties.get("written_columns")
+          .exists(w => !w.split(",").contains("l_returnflag")))
+        .flatMap(_.entries.map(e => norm(e.path))).toSet
+      val flagFiles = cat.readZipped("bench.zip", Seq("flag")).inputFiles.map(norm)
+      planCounts("zipper_flag_files") = flagFiles.length.toLong
+      planCounts("zipper_flag_foreign_files") =
+        flagFiles.count(numsOnly.contains).toLong // must stay 0
+      attempt("zipper_read")(measured("zipper_read") {
+        cat.readZipped("bench.zip").agg(sum("l_quantity"), count(lit(1))).head()
+      })
+      attempt("zipper_read_plain")(measured("zipper_read_plain") {
+        cat.readTable("bench.zip").agg(sum("l_quantity"), count(lit(1))).head()
+      })
+    } catch { case e: Throwable =>
+      errors("zipper_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson =
