@@ -804,6 +804,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
    */
   def readZipped(table: String, groups: Seq[String] = Nil,
       opts: ReadOptions = ReadOptions()): DataFrame = {
+    require(!opts.withFilePath,
+      "withFilePath is undefined for a zipped read (a row spans one file " +
+        "per group) — read the groups individually via readSubschema")
     val parsed = thRaw(table)
     val (t, meta0) = resolveVersionMeta(parsed, opts.asOf, opts.txn)
     val meta = meta0.filter(!_.dropped).getOrElse(throw new TableNotFound(table))
@@ -835,15 +838,25 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       d.properties.get("written_columns")
         .map(_.split(",").toSet.map((c: String) => renames.getOrElse(c, c)))
     val ct = contentTypeOf(meta)
+    // non-key fields of every DECLARED group (requested or not): a delta
+    // whose non-key writes fall entirely outside ALL declared groups
+    // (keys-only writes included) participates in EVERY frame — its keys
+    // must still surface, or a row introduced by such a write would
+    // silently vanish from the zip. A delta that wrote an UNREQUESTED
+    // group stays excluded: a partial zip reads "rows present in the
+    // requested groups" (request every group for the full key set).
+    val declaredFields = subs.values.flatten.filterNot(keys.contains).toSet
     val frames: Seq[(Seq[String], DataFrame)] = gs.map { g =>
       val fields = nonKey(g)
       val fieldSet = fields.toSet
-      // deletes tombstone every group; a keys-only delta asserts row
-      // existence in every group; otherwise only writers of the group's
-      // columns participate (the zip reintroduces other groups' keys)
+      // deletes tombstone every group; otherwise only writers of the
+      // group's columns (or of no declared group) participate — the zip
+      // reintroduces other requested groups' keys via the full-outer join
       val part = deltas.filter(d => d.typed == DeltaType.Delete ||
-        writtenOf(d).forall(w =>
-          (w intersect fieldSet).nonEmpty || (w -- keys).isEmpty))
+        writtenOf(d).forall { w =>
+          val nk = w -- keys
+          (nk intersect fieldSet).nonEmpty || (nk intersect declaredFields).isEmpty
+        })
       val df = MergeRead.plan(spark, schema, scheme, keys, part, zipOpts,
         dataDir(t).toString, ct)
         .select((keys ++ fields).map(col).toIndexedSeq: _*)
@@ -1141,6 +1154,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           "written_columns" -> targetSchema.fieldNames.mkString(","),
           "num_buckets" -> numBuckets.toString,
           "record_count" -> written.toString,
+          "total_bytes" -> entries.map(_.sizeBytes).sum.toString,
           "copied_by_reference" -> "0",
           "bulk_load" -> "true",
           "column_stats" -> statsJsonFrom(bulkStatFields, mObs))
@@ -1181,7 +1195,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         "column_stats" -> statsJson) ++
         (if (replace) Map("replace" -> "true") else Map.empty) ++
         (if (deltaType == DeltaType.Chrono) Map("chrono_millis" -> System.currentTimeMillis.toString) else Map.empty) ++
-        Map("record_count" -> n.toString)
+        Map("record_count" -> n.toString,
+          // on-disk bytes, so maintenance (the compaction valve) can size
+          // its input without re-streaming the manifest
+          "total_bytes" -> entries.map(_.sizeBytes).sum.toString)
       val d = DeltaMeta(pos, deltaType.name, entries, tx.txnId, -1L, props)
       tx.stage(dir, rev, "delta", Json.write(d), s"CREATE delta/$t/$rev")
       pos

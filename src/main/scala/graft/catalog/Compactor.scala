@@ -103,12 +103,16 @@ object Compactor {
         val (_, pending) = MergeRead.activeDeltas(pairs.map(_._1))
         val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
         def bytesOf(d: DeltaMeta): Long =
-          if (!streamed) d.totalBytes
-          else {
-            var b = 0L
-            ManifestPlanner.foreachEntry(pathOf(d.streamPosition))(e =>
-              b += math.max(0L, e.sizeBytes))
-            b
+          // stamped at commit since round 9 — the common case never
+          // re-streams a metafile just to size it
+          d.properties.get("total_bytes").flatMap(_.toLongOption) getOrElse {
+            if (!streamed) d.totalBytes
+            else {
+              var b = 0L
+              ManifestPlanner.foreachEntry(pathOf(d.streamPosition))(e =>
+                b += math.max(0L, e.sizeBytes))
+              b
+            }
           }
         // chunk END positions: ascending, close a chunk when adding the
         // next delta would exceed the valve (a single over-valve delta
@@ -218,10 +222,15 @@ object Compactor {
           // reference).
           val records = (base.toSeq ++ pending)
             .map(_.properties.getOrElse("record_count", "0").toLong).sum
+          val srcBytes = (base.toSeq ++ pending).map(_.properties.get("total_bytes"))
+          val bytesProp =
+            if (srcBytes.forall(_.isDefined))
+              Map("total_bytes" -> srcBytes.flatten.map(_.toLong).sum.toString)
+            else Map.empty[String, String]
           (emit => (base.toSeq ++ pending).foreach(d => foreachEntryOf(d)(emit)),
             Nil,
             Map("written_columns" -> schema.fieldNames.mkString(","),
-              "record_count" -> records.toString))
+              "record_count" -> records.toString) ++ bytesProp)
         } else if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty) {
           // Append-only + declared SORT scheme: a pure manifest fold would
           // silently never apply the scheme (appends land unsorted and
@@ -251,14 +260,17 @@ object Compactor {
             (e, w)
           }
           // one streaming pass for the copied-by-reference counts
-          var refRecords = 0L; var refCount = 0L
+          var refRecords = 0L; var refCount = 0L; var refBytes = 0L
           refDeltas.foreach(d => foreachEntryOf(d) { e =>
             refCount += 1; refRecords += math.max(0L, e.recordCount)
+            refBytes += math.max(0L, e.sizeBytes)
           })
           (emit => refDeltas.foreach(d => foreachEntryOf(d)(emit)),
             newEntries,
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> (written + refRecords).toString,
+              "total_bytes" ->
+                (refBytes + newEntries.map(_.sizeBytes).sum).toString,
               "sorted" -> sTag,
               "copied_by_reference" -> refCount.toString))
         } else if (mergeKeys.isEmpty && !anyStale) {
@@ -275,10 +287,11 @@ object Compactor {
           // The z-bounds scan needs every active PATH (a Spark load() API
           // constraint) — paths only, not full entries; counts ride along.
           val refPathsB = Seq.newBuilder[String]
-          var refRecords = 0L; var refCount = 0L
+          var refRecords = 0L; var refCount = 0L; var refBytes = 0L
           refDeltas.foreach(d => foreachEntryOf(d) { e =>
             refPathsB += e.path; refCount += 1
             refRecords += math.max(0L, e.recordCount)
+            refBytes += math.max(0L, e.sizeBytes)
           })
           val refPaths = refPathsB.result()
           val paths = entryPathsOf(rewriteDeltas)
@@ -304,6 +317,8 @@ object Compactor {
             newEntries,
             Map("written_columns" -> schema.fieldNames.mkString(","),
               "record_count" -> (written + refRecords).toString,
+              "total_bytes" ->
+                (refBytes + newEntries.map(_.sizeBytes).sum).toString,
               "zordered" -> zTag,
               "copied_by_reference" -> refCount.toString))
         } else {
@@ -324,6 +339,7 @@ object Compactor {
           def isUntouched(e: ManifestEntry): Boolean = baseBucketed &&
             MergeRead.bucketOfPath(e.path).exists(bk => !touched.contains(bk))
           var untouchedRecords = 0L; var untouchedCount = 0L
+          var untouchedBytes = 0L
           val baseToReadB = Seq.newBuilder[String]
           // z-order bin edges need the untouched PATHS too (bounds scan all
           // active data so edges stay stable) — collected only under z-order
@@ -333,6 +349,7 @@ object Compactor {
             if (isUntouched(e)) {
               untouchedCount += 1
               untouchedRecords += math.max(0L, e.recordCount)
+              untouchedBytes += math.max(0L, e.sizeBytes)
               untouchedPathsB.foreach(_ += e.path)
             } else baseToReadB += e.path
           })
@@ -379,6 +396,8 @@ object Compactor {
               "written_columns" -> schema.fieldNames.mkString(","),
               "num_buckets" -> numBuckets.toString,
               "record_count" -> (written + untouchedRecords).toString,
+              "total_bytes" ->
+                (untouchedBytes + newEntries.map(_.sizeBytes).sum).toString,
               "copied_by_reference" -> untouchedCount.toString) ++
               // stamp the clustering or the next keyless compact would
               // needlessly full-recluster a base this branch just z-sorted

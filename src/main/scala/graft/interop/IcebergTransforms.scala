@@ -246,8 +246,13 @@ object IceTransform {
     val json = s"truncate[$w]"
     val suffix: Option[String] = Some("trunc")
     def column(src: Column, srcType: DataType): Column = srcType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        (src - pmod(src, lit(w))).cast(srcType) // pmod → floor multiple, negatives included
+      case ByteType | ShortType | IntegerType =>
+        // result stays INT (matching eval and the int-typed avro tuple):
+        // a width past the narrow type's range must not overflow the cast
+        // back (ANSI throw / legacy wraparound ≠ the derived predicate)
+        val i = src.cast(IntegerType)
+        i - pmod(i, lit(w)) // pmod → floor multiple, negatives included
+      case LongType => src - pmod(src, lit(w.toLong))
       case StringType => substring(src, 1, w)
       case other => throw new UnsupportedOperationException(s"iceberg truncate over $other")
     }
@@ -262,7 +267,12 @@ object IceTransform {
       case l: java.lang.Long => Some(l.longValue - Math.floorMod(l.longValue, w.toLong))
       case s: java.lang.Short => Some(s.intValue - Math.floorMod(s.intValue, w))
       case b: java.lang.Byte => Some(b.intValue - Math.floorMod(b.intValue, w))
-      case s: String => Some(s.substring(0, math.min(w, s.length)))
+      case s: String =>
+        // CODE POINTS, like Spark's substring and the Iceberg spec — a
+        // UTF-16-unit cut would split surrogate pairs and derive a
+        // partition value the writer never produced (silent mis-prune)
+        Some(if (s.codePointCount(0, s.length) <= w) s
+             else s.substring(0, s.offsetByCodePoints(0, w)))
       case _ => None
     }
     override def monotonicLong(srcType: DataType): Boolean = srcType match {

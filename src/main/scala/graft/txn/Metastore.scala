@@ -152,6 +152,11 @@ final case class PausedTxn(txnId: String, startTimeMillis: Long, commitMessage: 
 /** Handle to one staged revision write (published at seal time). */
 private[txn] final case class StagedWrite(dir: Path, rev: Long, fileName: String, content: String)
 
+object Transaction {
+  /** Largest stream-staged revision pause() will inline into its record. */
+  val MaxPausedStageBytes: Long = 64L * 1024 * 1024
+}
+
 /**
  * A catalog-level transaction. Stage metafile revisions via the metastore,
  * then `seal()` (atomic publish) or `abort()`.
@@ -412,10 +417,18 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     val rec = PausedTxn(txnId, startTimeMillis, commitMessage, ops.toSeq,
       staged.map(sw => PausedStage(sw.dir.toString, sw.rev, sw.fileName,
         // streamed stages record no content — re-read it from the staged
-        // file (written at stage time, still on disk while unsealed)
-        Option(sw.content).getOrElse(
-          new String(Files.readAllBytes(sw.dir.resolve(sw.fileName)),
-            StandardCharsets.UTF_8)))).toSeq)
+        // file (written at stage time, still on disk while unsealed).
+        // Bounded: a stream-staged GIANT revision (the reason streaming
+        // stages exist) must not be inflated into one pause-record string.
+        Option(sw.content).getOrElse {
+          val f = sw.dir.resolve(sw.fileName)
+          val sz = Files.size(f)
+          require(sz <= Transaction.MaxPausedStageBytes,
+            s"staged revision ${sw.fileName} is $sz bytes — too large to " +
+              "inline in a pause record; seal or abort this transaction " +
+              "instead of pausing it")
+          new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        })).toSeq)
     Files.createDirectories(store.pausedDir)
     Files.write(store.pausedDir.resolve(s"$txnId.json"),
       Json.write(rec).getBytes(StandardCharsets.UTF_8))

@@ -194,6 +194,23 @@ class IcebergSpec extends SparkSpec {
     }
     // negative-int truncate is the floor multiple (spec: -1 trunc 10 = -10)
     assert(IceTransform.TruncateT(10).eval(IntegerType, Int.box(-1)).get == -10)
+    // supplementary characters truncate by CODE POINTS on both surfaces —
+    // a UTF-16-unit cut would derive a partition value the writer never
+    // produced (silent mis-prune on emoji-bearing keys)
+    val emoji = "😀xyz"
+    val viaColS = Seq(Tuple1(emoji)).toDF("s")
+      .select(IceTransform.TruncateT(2).column(col("s"), StringType))
+      .head.getString(0)
+    assert(viaColS == "😀x")
+    assert(IceTransform.TruncateT(2).eval(StringType, emoji).get == viaColS)
+    // narrow ints: truncate result stays INT (a width past the type's
+    // range must not overflow the cast back under ANSI)
+    val b = java.lang.Byte.valueOf((-128).toByte)
+    val viaColB = Seq(Tuple1(b.byteValue)).toDF("b")
+      .select(IceTransform.TruncateT(100).column(col("b"), ByteType))
+      .head.getInt(0)
+    assert(viaColB == -200)
+    assert(IceTransform.TruncateT(100).eval(ByteType, b).get == -200)
     // hour/day over pre-epoch timestamps floor toward -inf
     assert(IceTransform.DayT.eval(
       TimestampType, java.sql.Timestamp.valueOf("1969-12-31 23:59:59")).get == -1)

@@ -299,6 +299,31 @@ class ManifestPlannerSpec extends SparkSpec {
       s"purged file still exists: $f"))
   }
 
+  test("writes stamp total_bytes; pause refuses oversized streamed stages") {
+    val cat = new GraftCatalog(spark, tmpDir("mp-bytes"))
+    cat.createTable("m.w", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      properties = Map("compaction.auto" -> "false"))
+    cat.writeToTable(spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")), "m.w")
+    val d = cat.deltaLog("m.w").last
+    assert(d.properties("total_bytes").toLong == d.entries.map(_.sizeBytes).sum,
+      "commit must stamp on-disk bytes for the compaction valve")
+    // a stream-staged GIANT revision cannot be inlined into a pause record
+    val txn = cat.store.newTransaction("big-stage pause")
+    val dir = cat.root.resolve("ns/m/w/deltas")
+    txn.stageStreaming(dir, 99L, "delta", "TEST") { out =>
+      val block = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(block, ' '.toByte)
+      out.write('{'); out.write('}')
+      (0 until 70).foreach(_ => out.write(block)) // 70 MB of padding
+    }
+    val e = intercept[IllegalArgumentException](txn.pause())
+    assert(e.getMessage.contains("too large"))
+    txn.abort()
+  }
+
   test("streamed stage survives pause/resume (content re-read from disk)") {
     val cat = new GraftCatalog(spark, tmpDir("mp-pause"))
     val store = cat.store

@@ -93,6 +93,35 @@ class ZipperSpec extends SparkSpec {
     assert(cat.readZipped("z.t", opts = ReadOptions(limit = Some(2))).count() == 2)
   }
 
+  test("a delta writing only UNCOVERED columns still surfaces its keys") {
+    // schema has a column no declared group covers; a write touching only
+    // (keys, uncovered) must not vanish from the zip — it participates in
+    // every group so its keys survive the full-outer join
+    val cat = new GraftCatalog(spark, tmpDir("zip-uncov"))
+    cat.createTable("z.u", StructType(Seq(
+      FieldMeta.field("k", IntegerType, nullable = false, mergeKey = true),
+      FieldMeta.field("a", IntegerType),
+      FieldMeta.field("t", StringType),
+      FieldMeta.field("u", IntegerType))), // covered by NO group
+      properties = Map("read_optimization" -> "NONE"))
+    cat.setSubschema("z.u", "nums", Seq("k", "a"))
+    cat.setSubschema("z.u", "text", Seq("k", "t"))
+    cat.writeToTable(Seq((1, 10, "x", 5)).toDF("k", "a", "t", "u"), "z.u", WriteMode.Merge)
+    cat.writeToTable(Seq((9, 99)).toDF("k", "u"), "z.u", WriteMode.Merge) // uncovered-only
+    val zipped = cat.readZipped("z.u").select("k", "a", "t").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    assert(zipped == Set((1, Some(10), Some("x")), (9, None, None)),
+      s"uncovered-writer key must survive the zip: $zipped")
+    // matches the plain read over the same columns
+    val plain = cat.readTable("z.u").select("k", "a", "t").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    assert(zipped == plain)
+  }
+
   test("zipper refusals: overlapping groups, unknown group, keyless table") {
     val cat = newTable("zip-refuse")
     cat.writeToTable(Seq((1, 1, 1, "x")).toDF("k", "a", "b", "t"), "z.t", WriteMode.Merge)
@@ -100,6 +129,9 @@ class ZipperSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       cat.readZipped("z.t", Seq("nums", "numsplus", "text")).count())
     intercept[IllegalArgumentException](cat.readZipped("z.t", Seq("nope")))
+    // withFilePath is undefined across a zip (one file per group per row)
+    intercept[IllegalArgumentException](
+      cat.readZipped("z.t", opts = ReadOptions(withFilePath = true)))
     val keyless = new GraftCatalog(spark, tmpDir("zip-keyless"))
     keyless.createTable("z.k", StructType(Seq(
       FieldMeta.field("x", IntegerType), FieldMeta.field("y", IntegerType))))
