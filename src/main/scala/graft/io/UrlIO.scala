@@ -117,8 +117,19 @@ object UrlIO {
               java.nio.file.Paths.get(path, "metadata", "version-hint.text"))
             require(!exists || saveMode == "append",
               s"iceberg:// write to an existing table supports append, not $saveMode")
+            // ?partitionSpec=col:bucket[4],ts:day — non-identity transform
+            // fields alongside the identity partitionBy list
+            val spec = opts.get("partitionSpec").toSeq.flatMap(_.split(','))
+              .filter(_.nonEmpty).map { kv =>
+                kv.split(":", 2) match {
+                  case Array(src, tr) => (src, tr)
+                  case _ => throw new IllegalArgumentException(
+                    s"partitionSpec entry '$kv' is not col:transform")
+                }
+              }
             if (!exists)
-              graft.interop.Iceberg.createTable(path, df.schema, partitionCols = partitionBy)
+              graft.interop.Iceberg.createTable(path, df.schema,
+                partitionCols = partitionBy, partitionSpec = spec)
             graft.interop.Iceberg.append(df, path)
           case "hudi" =>
             graft.interop.Hudi.write(df, path, saveMode, partitionBy = partitionBy)

@@ -156,6 +156,19 @@ class InteropSpec extends SparkSpec {
       .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
       .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
 
+    // transform partitioning through the URL surface: spec-exact murmur3
+    // buckets in the exported table's manifests
+    val itb = tmpDir("export-ice-bucket") + "/t"
+    G.copy(spark, "graft://exp/ns.nation", s"iceberg://$itb?partitionSpec=n_nationkey:bucket[4]")
+    assert(graft.io.UrlIO.read(spark, s"iceberg://$itb")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      .collect().toSeq == nation.orderBy("n_nationkey").collect().toSeq)
+    val bm = graft.interop.Iceberg.loadMeta(itb)
+    assert(bm.specFields.map(_.transform.json) == Seq("bucket[4]"))
+    val bEntries = graft.interop.Iceberg.fileEntries(spark, bm, bm.snapshots.head)
+    assert(bEntries.forall(e => e.partition.get("n_nationkey_bucket").exists(v =>
+      (0 until 4).map(_.toString).contains(v))))
+
     val ht = tmpDir("export-hive") + "/t"
     G.copy(spark, "graft://exp/ns.nation", s"hive://$ht?partitionBy=n_regionkey")
     assert(graft.io.UrlIO.read(spark, s"hive://$ht")
