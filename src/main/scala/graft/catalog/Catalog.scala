@@ -662,6 +662,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       newSchema: Option[StructType] = None,
       setProperties: Map[String, String] = Map.empty,
       sortScheme: Option[SortScheme] = None,
+      /** Replace the PARTITION scheme — parity-plus: the reference raises
+        * NotImplementedError here (impl.py:1778-1780). Safe on mixed
+        * layouts: old files keep their directories and a missing segment
+        * never prunes (prunePaths/matchesSegs keep the file), resolve
+        * scope derives from row VALUES under the current scheme, and the
+        * next compaction/repartition re-lays touched data out under the
+        * new scheme. Caveats: `partitionValues` reads return a SUPERSET
+        * over not-yet-relaid files (use rowFilter for exactness or
+        * repartitionTable for a full re-layout), and on a KEYED table the
+        * merge scope changes with the scheme — requires
+        * allowIncompatibleChanges. */
+      partitionScheme: Option[PartitionScheme] = None,
       removeFields: Seq[String] = Nil,
       renameFields: Map[String, String] = Map.empty,
       allowIncompatibleChanges: Boolean = false,
@@ -731,9 +743,23 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       if (newlyRetired.isEmpty) props0
       else props0 + ("retired_columns" ->
         (priorNames ++ newlyRetired).toSeq.sorted.mkString(","))
+    partitionScheme.foreach { ps =>
+      ps.keys.foreach(k => require(evolved.fieldNames.contains(k.field),
+        s"partition field ${k.field} not in the schema of $t"))
+      // resolve's merge scope = (partition values, merge keys): rows
+      // distinct under the old scheme may collapse by recency under the
+      // new one — a data-dependent semantic change the caller must own
+      if (FieldMeta.mergeKeys(cur).nonEmpty && !allowIncompatibleChanges)
+        throw new SchemaCompatibilityError(
+          s"changing the partition scheme of keyed table $t changes the " +
+            "merge scope (rows are distinct per partition values + merge " +
+            "key); pass allowIncompatibleChanges=true to accept")
+    }
     val updated = m.copy(
       schemaJson = evolved.json,
       properties = props,
+      partitionKeys = partitionScheme.map(_.keys.map(k =>
+        Seq(k.field, k.transform.name))).getOrElse(m.partitionKeys),
       sortKeys = sortScheme.map(ss => ss.keys.map(k =>
         Seq(k.field, k.ascending.toString, k.nullsFirst.toString, k.transform.name)))
         .getOrElse(m.sortKeys))

@@ -1582,6 +1582,29 @@ object CatalogQueries {
       require(files.length < cat.readTable("q.e").inputFiles.length,
         "bucket pruning must drop files")
       pruned
+    },
+
+    // Partition-scheme UPDATE via alter_table — parity-plus: the reference
+    // raises NotImplementedError here (impl.py:1778-1780). Old files keep
+    // their layout (a missing segment never prunes), new writes land under
+    // the new scheme, and the full read stays exact across the mixed
+    // layout. The builder asserts the physical halves.
+    Q("c83_alter_partition_scheme", Some("""
+      SELECT doc_id, lang, source, text FROM documents""")) { (s, dir) =>
+      val cat = newCat(s, "c83")
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "source", "text")
+      cat.createTable("q.d", d.schema,
+        partitionScheme = PartitionScheme(Seq(PartitionKey("lang", Transform.Identity))))
+      cat.writeToTable(d.where(col("doc_id") % 2 === 0), "q.d", WriteMode.Add)
+      cat.alterTable("q.d", partitionScheme =
+        Some(PartitionScheme(Seq(PartitionKey("source", Transform.Identity)))))
+      cat.writeToTable(d.where(col("doc_id") % 2 === 1), "q.d", WriteMode.Add)
+      val log = cat.deltaLog("q.d")
+      require(log.head.entries.forall(_.path.contains("_g_p_lang_identity=")),
+        "pre-alter files must keep the old layout")
+      require(log.last.entries.forall(_.path.contains("_g_p_source_identity=")),
+        "post-alter files must carry the new layout")
+      cat.readTable("q.d")
     }
   )
 }

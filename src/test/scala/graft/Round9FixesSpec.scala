@@ -55,6 +55,48 @@ class Round9FixesSpec extends SparkSpec {
     assert(new GraftCatalog(spark, root).readTable("ns.pnx").count() == 1)
   }
 
+  test("alter partition scheme: mixed layouts read exactly; keyed tables need the flag") {
+    import org.apache.spark.sql.functions._
+    val cat = new GraftCatalog(spark, tmpDir("r9-alterps"))
+    cat.createTable("ns.p", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false),
+      FieldMeta.field("r", IntegerType),
+      FieldMeta.field("v", StringType))),
+      partitionScheme = PartitionScheme(Seq(PartitionKey("r", Transform.Identity))))
+    val a = (0L until 10L).map(i => (i, (i % 3).toInt, s"a$i")).toDF("k", "r", "v")
+    val b = (10L until 20L).map(i => (i, (i % 3).toInt, s"b$i")).toDF("k", "r", "v")
+    cat.writeToTable(a, "ns.p", WriteMode.Add)
+    cat.alterTable("ns.p", partitionScheme =
+      Some(PartitionScheme(Seq(PartitionKey("k", Transform.BucketIceberg(2))))))
+    cat.writeToTable(b, "ns.p", WriteMode.Add)
+    // full read is exact across the mixed layout
+    assert(cat.readTable("ns.p").count() == 20)
+    // value-based partitionFilter stays exact on BOTH layouts
+    assert(cat.readTable("ns.p",
+      ReadOptions(partitionFilter = Some(col("r") === 1))).count() ==
+      a.union(b).where(col("r") === 1).count())
+    // partitionValues prunes new-layout files and keeps old ones (superset
+    // by design until re-layout)
+    val bucketOf5 = graft.interop.IcebergHash.bucketLong(15L, 2)
+    val pv = cat.readTable("ns.p", ReadOptions(
+      partitionValues = Some(Map("k" -> bucketOf5.toString))))
+    assert(pv.where(col("k") === 15L).count() == 1)
+    // a KEYED table refuses the scheme change without the flag (merge
+    // scope changes), accepts with it
+    val keyed = new GraftCatalog(spark, tmpDir("r9-alterps-k"))
+    keyed.createTable("ns.m", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("r", IntegerType))),
+      partitionScheme = PartitionScheme(Seq(PartitionKey("r", Transform.Identity))))
+    intercept[SchemaCompatibilityError](keyed.alterTable("ns.m", partitionScheme =
+      Some(PartitionScheme(Nil))))
+    keyed.alterTable("ns.m", partitionScheme = Some(PartitionScheme(Nil)),
+      allowIncompatibleChanges = true)
+    // unknown partition field refuses
+    intercept[IllegalArgumentException](cat.alterTable("ns.p", partitionScheme =
+      Some(PartitionScheme(Seq(PartitionKey("nope", Transform.Identity))))))
+  }
+
   test("BucketIceberg partition transform: spec murmur3, null-to-null, name roundtrip") {
     import org.apache.spark.sql.functions._
     // spec Appendix B vector through the full Transform surface
