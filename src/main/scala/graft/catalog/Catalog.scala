@@ -744,8 +744,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       else props0 + ("retired_columns" ->
         (priorNames ++ newlyRetired).toSeq.sorted.mkString(","))
     partitionScheme.foreach { ps =>
-      ps.keys.foreach(k => require(evolved.fieldNames.contains(k.field),
-        s"partition field ${k.field} not in the schema of $t"))
+      ps.keys.foreach { k =>
+        require(evolved.fieldNames.contains(k.field),
+          s"partition field ${k.field} not in the schema of $t")
+        // fail fast on transform/type mismatches (bucket_iceberg over a
+        // double, hour over a long, …): a staged-but-unwritable scheme
+        // would brick every subsequent write to a live table
+        k.transform(col(k.field), evolved(k.field).dataType)
+      }
+      require(ps.keys.map(_.partitionColumnName).distinct.size == ps.keys.size,
+        s"duplicate partition keys in ${ps.keys.map(k => (k.field, k.transform.name))}")
       // resolve's merge scope = (partition values, merge keys): rows
       // distinct under the old scheme may collapse by recency under the
       // new one — a data-dependent semantic change the caller must own
@@ -1181,6 +1189,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           "num_buckets" -> numBuckets.toString,
           "record_count" -> written.toString,
           "total_bytes" -> entries.map(_.sizeBytes).sum.toString,
+          "partition_scheme" -> scheme.keys.map(k =>
+            s"${k.field}:${k.transform.name}").mkString(","),
           "copied_by_reference" -> "0",
           "bulk_load" -> "true",
           "column_stats" -> statsJsonFrom(bulkStatFields, mObs))
@@ -1224,7 +1234,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         Map("record_count" -> n.toString,
           // on-disk bytes, so maintenance (the compaction valve) can size
           // its input without re-streaming the manifest
-          "total_bytes" -> entries.map(_.sizeBytes).sum.toString)
+          "total_bytes" -> entries.map(_.sizeBytes).sum.toString,
+          // the layout this delta was WRITTEN under — compaction's
+          // relayout gate compares it against the current scheme
+          "partition_scheme" -> scheme.keys.map(k =>
+            s"${k.field}:${k.transform.name}").mkString(","))
       val d = DeltaMeta(pos, deltaType.name, entries, tx.txnId, -1L, props)
       tx.stage(dir, rev, "delta", Json.write(d), s"CREATE delta/$t/$rev")
       pos
@@ -1245,6 +1259,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val mergeKeys = FieldMeta.mergeKeys(schema)
     val scheme = partitionSchemeOf(meta)
+    // a partitionValues key outside the CURRENT scheme would silently prune
+    // nothing (full-table read) — reachable since alterTable can change the
+    // scheme; fail fast with the remedy instead
+    opts.partitionValues.foreach(_.keys.foreach(k =>
+      require(scheme.keys.exists(_.field == k),
+        s"partitionValues references '$k', which is not a partition field of " +
+          s"$table (current scheme: ${scheme.keys.map(_.field).mkString(",")}) — " +
+          "use rowFilter for value predicates on non-partition fields")))
     val deltas = plannedDeltas(t, opts, schema, scheme, mergeKeys)
 
     val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts,

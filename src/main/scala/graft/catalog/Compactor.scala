@@ -190,7 +190,23 @@ object Compactor {
     val needsResort = mergeKeys.isEmpty &&
       ZOrder.columnsOf(meta.properties).isEmpty && !sortScheme.isEmpty &&
       base.exists(!_.properties.get("sorted").contains(sortTag(sortScheme)))
-    if (pending.isEmpty && !baseStale && !needsRecluster && !needsResort) return
+    // Partition-scheme analog (alterTable can change the scheme since
+    // round 9): a base not stamped under the CURRENT scheme tag must
+    // rewrite, or "alter scheme, run compact" would be the exact silent
+    // manifest-fold no-op the sort branch exists to prevent, and
+    // partitionValues pruning on the new scheme would stay a full-table
+    // superset forever. Keyed tables included (their untouched
+    // copy-by-reference buckets would otherwise keep the old layout).
+    val schemeTag = scheme.keys.map(k => s"${k.field}:${k.transform.name}").mkString(",")
+    def oldLayout(d: DeltaMeta): Boolean =
+      !d.properties.get("partition_scheme").contains(schemeTag)
+    val needsRelayout = !scheme.isEmpty && base.exists(oldLayout)
+    // the pure-fold branch copies PENDING files by reference too — an
+    // old-layout pending delta must force the rewrite path, like anyStale
+    val anyOldLayout = !scheme.isEmpty &&
+      (needsRelayout || pending.exists(oldLayout))
+    if (pending.isEmpty && !baseStale && !needsRecluster && !needsResort &&
+      !needsRelayout) return
     // Watermark = highest FOLDED position. With pending, that is the
     // pending (chunk) max — the base's own revision can be HIGHER than a
     // valve chunk's positions (it committed after them), and stamping it
@@ -216,7 +232,8 @@ object Compactor {
       // ref-entries-then-new in one pass.
       type RefStream = (ManifestEntry => Unit) => Unit
       val (refStream, newEntriesOut, props): (RefStream, Seq[ManifestEntry], Map[String, String]) =
-        if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty && sortScheme.isEmpty) {
+        if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty && sortScheme.isEmpty &&
+            !anyOldLayout) {
           // Append-only table, no declared clustering: compaction is pure
           // manifest folding — zero data movement (every file is copied by
           // reference).
@@ -230,7 +247,8 @@ object Compactor {
           (emit => (base.toSeq ++ pending).foreach(d => foreachEntryOf(d)(emit)),
             Nil,
             Map("written_columns" -> schema.fieldNames.mkString(","),
-              "record_count" -> records.toString) ++ bytesProp)
+              "record_count" -> records.toString,
+              "partition_scheme" -> schemeTag) ++ bytesProp)
         } else if (mergeKeys.isEmpty && !anyStale && zCols.isEmpty) {
           // Append-only + declared SORT scheme: a pure manifest fold would
           // silently never apply the scheme (appends land unsorted and
@@ -241,7 +259,7 @@ object Compactor {
           // (plus a base sorted under a different scheme) rewrites.
           val sTag = sortTag(sortScheme)
           val (refDeltas, rewriteDeltas) =
-            if (base.exists(_.properties.get("sorted").contains(sTag)))
+            if (!needsRelayout && base.exists(_.properties.get("sorted").contains(sTag)))
               (base.toSeq, pending)
             else (Nil, base.toSeq ++ pending)
           val paths = entryPathsOf(rewriteDeltas)
@@ -272,6 +290,7 @@ object Compactor {
               "total_bytes" ->
                 (refBytes + newEntries.map(_.sizeBytes).sum).toString,
               "sorted" -> sTag,
+              "partition_scheme" -> schemeTag,
               "copied_by_reference" -> refCount.toString))
         } else if (mergeKeys.isEmpty && !anyStale) {
           // Append-only + z-order: INCREMENTAL recluster. A base already
@@ -281,7 +300,7 @@ object Compactor {
           // column list) reclusters everything once.
           val zTag = zCols.get.mkString(",")
           val (refDeltas, rewriteDeltas) =
-            if (base.exists(_.properties.get("zordered").contains(zTag)))
+            if (!needsRelayout && base.exists(_.properties.get("zordered").contains(zTag)))
               (base.toSeq, pending)
             else (Nil, base.toSeq ++ pending)
           // The z-bounds scan needs every active PATH (a Spark load() API
@@ -320,6 +339,7 @@ object Compactor {
               "total_bytes" ->
                 (refBytes + newEntries.map(_.sizeBytes).sum).toString,
               "zordered" -> zTag,
+              "partition_scheme" -> schemeTag,
               "copied_by_reference" -> refCount.toString))
         } else {
           // Copy-by-reference: find buckets touched by incremental rows. Only
@@ -329,7 +349,8 @@ object Compactor {
           val baseBucketed = base.exists(_.properties.get("num_buckets").contains(numBuckets.toString))
           val pendingPaths = entryPathsOf(pending)
           val touched: Set[Int] =
-            if (!baseBucketed || baseStale || needsRecluster) (0 until numBuckets).toSet
+            if (!baseBucketed || baseStale || needsRecluster || needsRelayout)
+              (0 until numBuckets).toSet
             else MergeRead.touchedBuckets(spark, schema, mergeKeys, numBuckets,
               pendingPaths, ct, pending)
 
@@ -398,6 +419,7 @@ object Compactor {
               "record_count" -> (written + untouchedRecords).toString,
               "total_bytes" ->
                 (untouchedBytes + newEntries.map(_.sizeBytes).sum).toString,
+              "partition_scheme" -> schemeTag,
               "copied_by_reference" -> untouchedCount.toString) ++
               // stamp the clustering or the next keyless compact would
               // needlessly full-recluster a base this branch just z-sorted

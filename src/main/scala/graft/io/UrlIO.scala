@@ -127,6 +127,13 @@ object UrlIO {
                     s"partitionSpec entry '$kv' is not col:transform")
                 }
               }
+            // partitioning options only apply at CREATION — silently
+            // appending under a different existing spec would drop the
+            // caller's requested bucketing without a trace
+            require(!exists || (spec.isEmpty && partitionBy.isEmpty),
+              "iceberg:// append to an existing table cannot change its " +
+                "partitioning; drop partitionBy/partitionSpec (the table's " +
+                "own spec applies)")
             if (!exists)
               graft.interop.Iceberg.createTable(path, df.schema,
                 partitionCols = partitionBy, partitionSpec = spec)

@@ -61,10 +61,11 @@ class Round9FixesSpec extends SparkSpec {
     cat.createTable("ns.p", StructType(Seq(
       FieldMeta.field("k", LongType, nullable = false),
       FieldMeta.field("r", IntegerType),
-      FieldMeta.field("v", StringType))),
+      FieldMeta.field("v", StringType),
+      FieldMeta.field("d", DoubleType))),
       partitionScheme = PartitionScheme(Seq(PartitionKey("r", Transform.Identity))))
-    val a = (0L until 10L).map(i => (i, (i % 3).toInt, s"a$i")).toDF("k", "r", "v")
-    val b = (10L until 20L).map(i => (i, (i % 3).toInt, s"b$i")).toDF("k", "r", "v")
+    val a = (0L until 10L).map(i => (i, (i % 3).toInt, s"a$i", i * 0.5)).toDF("k", "r", "v", "d")
+    val b = (10L until 20L).map(i => (i, (i % 3).toInt, s"b$i", i * 0.5)).toDF("k", "r", "v", "d")
     cat.writeToTable(a, "ns.p", WriteMode.Add)
     cat.alterTable("ns.p", partitionScheme =
       Some(PartitionScheme(Seq(PartitionKey("k", Transform.BucketIceberg(2))))))
@@ -81,6 +82,28 @@ class Round9FixesSpec extends SparkSpec {
     val pv = cat.readTable("ns.p", ReadOptions(
       partitionValues = Some(Map("k" -> bucketOf5.toString))))
     assert(pv.where(col("k") === 15L).count() == 1)
+    // compact() after the alter RE-LAYS the table out under the new
+    // scheme (the fold no-op would leave partitionValues a superset
+    // forever) — every post-compact file carries the new segment and the
+    // partitionValues read is exact again
+    cat.compact("ns.p")
+    val entries = cat.deltaLog("ns.p").last.entries
+    assert(entries.nonEmpty && entries.forall(
+      _.path.contains("_g_p_k_bucket_iceberg_2_=")),
+      s"relayout must land every file under the new scheme: ${entries.map(_.path)}")
+    val pv2 = cat.readTable("ns.p", ReadOptions(
+      partitionValues = Some(Map("k" -> bucketOf5.toString))))
+    assert(pv2.collect().forall(r =>
+      graft.interop.IcebergHash.bucketLong(r.getLong(0), 2) == bucketOf5),
+      "post-relayout partitionValues read must be exact")
+    // a second compact copies the re-laid base by reference (tags match,
+    // so the pure manifest fold returns — zero rewrites)
+    val relaidPaths = entries.map(_.path).toSet
+    cat.writeToTable(Seq((100L, 1, "x", 0.5)).toDF("k", "r", "v", "d"), "ns.p", WriteMode.Add)
+    cat.compact("ns.p")
+    val after = cat.deltaLog("ns.p").last.entries.map(_.path).toSet
+    assert(relaidPaths.subsetOf(after),
+      "matching scheme tag must restore the zero-rewrite fold")
     // a KEYED table refuses the scheme change without the flag (merge
     // scope changes), accepts with it
     val keyed = new GraftCatalog(spark, tmpDir("r9-alterps-k"))
@@ -92,9 +115,19 @@ class Round9FixesSpec extends SparkSpec {
       Some(PartitionScheme(Nil))))
     keyed.alterTable("ns.m", partitionScheme = Some(PartitionScheme(Nil)),
       allowIncompatibleChanges = true)
-    // unknown partition field refuses
+    // unknown partition field / unwritable transform / duplicate keys refuse
     intercept[IllegalArgumentException](cat.alterTable("ns.p", partitionScheme =
       Some(PartitionScheme(Seq(PartitionKey("nope", Transform.Identity))))))
+    intercept[UnsupportedOperationException](cat.alterTable("ns.p", partitionScheme =
+      Some(PartitionScheme(Seq(PartitionKey("d", Transform.BucketIceberg(4))))))) // over double
+    intercept[IllegalArgumentException](cat.alterTable("ns.p", partitionScheme =
+      Some(PartitionScheme(Seq(PartitionKey("r", Transform.Identity),
+        PartitionKey("r", Transform.Identity))))))
+    // partitionValues on a NON-scheme field fails fast (it would silently
+    // prune nothing)
+    val e = intercept[IllegalArgumentException](cat.readTable("ns.p",
+      ReadOptions(partitionValues = Some(Map("r" -> "1")))).count())
+    assert(e.getMessage.contains("not a partition field"))
   }
 
   test("BucketIceberg partition transform: spec murmur3, null-to-null, name roundtrip") {
