@@ -294,6 +294,71 @@ class IcebergSpec extends SparkSpec {
       Set(IcebergHash.bucketLong(2L, 8).toString), matchNull = false)))
   }
 
+  test("property: derived partition predicates never prune a file holding a matching row") {
+    // Soundness fuzz for the fail-open contract: random files (rows sharing
+    // one partition cell), random filter conjuncts; every file containing a
+    // row Spark says matches must survive IcebergPartPrune.keep. Spark
+    // itself is the row-level oracle (the same Column the read applies).
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.Column
+    val spec = Seq(
+      IceSpecField("k_bucket", "k", 1000, IceTransform.BucketT(4)),
+      IceSpecField("ts_day", "ts", 1001, IceTransform.DayT),
+      IceSpecField("s_trunc", "s", 1002, IceTransform.TruncateT(2)))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType), StructField("s", StringType)))
+    val rnd = new scala.util.Random(23)
+    def ts(day: Int, min: Int) = new java.sql.Timestamp(
+      (19700L + day) * 86400000L + min * 60000L)
+    // 60 files × up to 3 rows, all rows of a file inside one partition cell
+    val files: Seq[(Int, Seq[(Long, java.sql.Timestamp, String)])] =
+      (0 until 60).map { fid =>
+        val k = rnd.nextInt(40).toLong
+        val day = rnd.nextInt(15)
+        val s2 = s"${('a' + rnd.nextInt(3)).toChar}${('a' + rnd.nextInt(3)).toChar}"
+        val rows = (0 to rnd.nextInt(2)).map(i =>
+          (k, ts(day, rnd.nextInt(1440)), s2 + ("x" * rnd.nextInt(3))))
+        (fid, rows)
+      }
+    val tuples: Map[Int, Map[String, String]] = files.map { case (fid, rows) =>
+      val (k, t0, s0) = rows.head
+      fid -> Map(
+        "k_bucket" -> IceTransform.BucketT(4).eval(LongType, Long.box(k)).get.toString,
+        "ts_day" -> IceTransform.DayT.eval(TimestampType, t0).get.toString,
+        "s_trunc" -> IceTransform.TruncateT(2).eval(StringType, s0).get.toString)
+    }.toMap
+    val df = files.flatMap { case (fid, rows) =>
+      rows.map(r => (fid, r._1, r._2, r._3)) }.toDF("fid", "k", "ts", "s")
+    // paired (pushdown Filter, row-level Column) generators
+    def genConj(): (sources.Filter, Column) = rnd.nextInt(7) match {
+      case 0 => val v = rnd.nextInt(40).toLong
+        (sources.EqualTo("k", v), col("k") === v)
+      case 1 => val vs = Array.fill(3)(rnd.nextInt(40).toLong)
+        (sources.In("k", vs.map(_.asInstanceOf[Any])), col("k").isin(vs: _*))
+      case 2 => val t0 = ts(rnd.nextInt(15), rnd.nextInt(1440))
+        (sources.GreaterThan("ts", t0), col("ts") > lit(t0))
+      case 3 => val t0 = ts(rnd.nextInt(15), rnd.nextInt(1440))
+        (sources.LessThanOrEqual("ts", t0), col("ts") <= lit(t0))
+      case 4 => val v = s"${('a' + rnd.nextInt(3)).toChar}${('a' + rnd.nextInt(3)).toChar}x"
+        (sources.EqualTo("s", v), col("s") === v)
+      case 5 => (sources.IsNotNull("k"), col("k").isNotNull)
+      case 6 =>
+        val (f1, c1) = genConj(); val (f2, c2) = genConj()
+        (sources.Or(f1, f2), c1 || c2)
+    }
+    (0 until 25).foreach { trial =>
+      val conj = (0 to rnd.nextInt(2)).map(_ => genConj())
+      val filters = conj.map(_._1)
+      val pred = conj.map(_._2).reduce(_ && _)
+      val preds = IcebergPartPrune.derive(filters, spec, schema)
+      val kept = files.map(_._1).filter(f => IcebergPartPrune.keep(preds, tuples(f))).toSet
+      val matching = df.where(pred).select("fid").distinct().as[Int].collect().toSet
+      assert(matching.subsetOf(kept),
+        s"trial $trial pruned a matching file: filters=$filters " +
+          s"lost=${(matching -- kept).map(tuples)}")
+    }
+  }
+
   test("iceberg: foreign transform spellings parse; unknown transforms read but refuse writes") {
     val t = tmpDir("ice-foreign-tr") + "/tbl"
     val ev = spark.read.parquet(s"$sf/events.parquet").select("event_id", "ts", "user_id")
