@@ -862,9 +862,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       nonKey(x).toSet.intersect(nonKey(y).toSet).isEmpty
     }, s"zipped groups must be disjoint on non-key fields: $gs")
     val scheme = partitionSchemeOf(meta)
-    // group frames plan without the caller's filters/projection — those
-    // may span groups and apply to the ZIPPED rows below
-    val zipOpts = opts.copy(columns = None, rowFilter = None, limit = None,
+    // Key-only conjuncts of the caller's filters push into EVERY group's
+    // plan: the zip joins groups by null-safe merge-key equality, so a
+    // predicate referencing only merge keys selects the same rows in each
+    // group's frame — pushed, it prunes each group's manifest (StatsSkip
+    // key-only rule, distributed above the gate) and filters each frame
+    // BEFORE its resolve shuffle and the zip joins. Cross-group conjuncts
+    // stay post-zip (a group-B field is not evaluable in group A's frame);
+    // projection/limit likewise apply to the ZIPPED rows below.
+    val (keyFilter, residualFilter) = StatsSkip.splitKeyConjuncts(
+      opts.partitionFilter.toSeq ++ opts.rowFilter.toSeq, keys.toSet)
+    val zipOpts = opts.copy(columns = None, rowFilter = keyFilter, limit = None,
       partitionFilter = None, withFilePath = false)
     val deltas = plannedDeltas(t, zipOpts, schema, scheme, keys)
     val renames = MergeRead.renameMapOf(schema)
@@ -891,8 +899,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           val nk = w -- keys
           (nk intersect fieldSet).nonEmpty || (nk intersect declaredFields).isEmpty
         })
-      val df = MergeRead.plan(spark, schema, scheme, keys, part, zipOpts,
+      val planned = MergeRead.plan(spark, schema, scheme, keys, part, zipOpts,
         dataDir(t).toString, ct)
+      // stats pruning above is conservative — the pushed key predicate
+      // still evaluates row-level here, shrinking every zip-join input;
+      // filtering per-frame ≡ filtering post-zip for key-only predicates
+      // (null-safe key join + key coalesce preserve the key values).
+      val df = keyFilter.fold(planned)(planned.where)
         .select((keys ++ fields).map(col).toIndexedSeq: _*)
       (fields, df)
     }
@@ -907,8 +920,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     }._2
     val ordered = schema.fieldNames.filter(zipped.columns.contains).toSeq
     val base = zipped.select(ordered.map(col): _*)
-    val filtered = (opts.partitionFilter.toSeq ++ opts.rowFilter.toSeq)
-      .foldLeft(base)((d, p) => d.where(p))
+    // key-only conjuncts already held per-frame; only the residual remains
+    val filtered = residualFilter.toSeq.foldLeft(base)((d, p) => d.where(p))
     val projected = opts.columns match {
       case Some(cs) => filtered.select(cs.map(col): _*)
       case None => filtered

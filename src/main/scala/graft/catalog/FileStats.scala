@@ -502,6 +502,32 @@ object StatsSkip {
     splitConjuncts(org.apache.spark.sql.graft.GraftFunctions.expressionOf(c))
       .flatMap(translateOne(_))
 
+  /** Split predicates' AND-conjuncts into (key-only, rest). A conjunct
+    * whose every column reference is a merge key selects the same rows in
+    * every merge-key-equal frame — the zipper read pushes such conjuncts
+    * into each column group's plan (manifest stats prune + pre-join row
+    * filter) while everything else waits for the zipped row. Conservative:
+    * a conjunct with a qualified name, lambda variable, or subquery lands
+    * in `rest` (correct either way — `rest` is evaluated over full rows). */
+  def splitKeyConjuncts(preds: Seq[Column], keys: Set[String])
+      : (Option[Column], Option[Column]) = {
+    import org.apache.spark.sql.graft.GraftFunctions.{expressionOf, columnOf}
+    val conjuncts = preds.flatMap(c => splitConjuncts(expressionOf(c)))
+    def keyOnly(e: ce.Expression): Boolean = {
+      if (e.exists(_.isInstanceOf[ce.PlanExpression[_]])) return false
+      val refs = e.collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          if (u.nameParts.size == 1) Some(u.nameParts.head) else None
+        case a: ce.Attribute => Some(a.name)
+      }
+      refs.forall(_.exists(keys.contains))
+    }
+    val (key, rest) = conjuncts.partition(keyOnly)
+    def and(es: Seq[ce.Expression]): Option[Column] =
+      es.reduceOption(ce.And.apply).map(columnOf)
+    (and(key), and(rest))
+  }
+
   /** Pre-analysis Column trees arrive as UnresolvedFunction nodes ('and,
     * '`>`, 'in, …), not typed comparisons — match both shapes. */
   private object UF {

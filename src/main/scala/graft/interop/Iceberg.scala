@@ -232,43 +232,60 @@ object Iceberg {
     * never pruned — a skipped delete file would resurrect rows. */
   def fileEntries(spark: SparkSession, meta: TableMeta, snap: SnapshotMeta,
       statFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-      partPreds: Seq[IcebergPartPrune.Pred] = Nil): Seq[FileEntry] = {
-    val manifests = readManifestList(resolvePath(snap.manifestList, meta.location))
+      partPreds: Seq[IcebergPartPrune.Pred] = Nil): Seq[FileEntry] =
+    fileEntriesOf(spark, meta,
+      readManifestList(resolvePath(snap.manifestList, meta.location)),
+      statFilters, partPreds)
+
+  private def fileEntriesOf(spark: SparkSession, meta: TableMeta,
+      manifests: Seq[(String, Long)],
+      statFilters: Seq[org.apache.spark.sql.sources.Filter],
+      partPreds: Seq[IcebergPartPrune.Pred]): Seq[FileEntry] = {
     // capture only serializable, entry-local state (not TableMeta)
     val schema = meta.schema
     val idToName = meta.fieldIds.map(_.swap)
     val fs = statFilters
     val pp = partPreds
-    def keepAndStrip(entries: Seq[FileEntry]): Seq[FileEntry] =
-      if (fs.isEmpty && pp.isEmpty) entries
-      else entries.flatMap { e =>
-        if (e.content != 0) Some(e)
-        else if (!IcebergPartPrune.keep(pp, e.partition)) None
-        else if (fs.isEmpty) Some(e)
-        else {
-          val st = entryColStats(e, idToName, schema)
-          val keep = st.isEmpty ||
-            fs.forall(f => graft.catalog.StatsSkip.keep(f, schema, st, e.recordCount))
-          if (!keep) None
-          else Some(e.copy(lowerBounds = Map.empty, upperBounds = Map.empty,
-            nullCounts = Map.empty, nanCounts = Map.empty))
-        }
-      }
     val lists: Seq[Seq[FileEntry]] =
       if (manifests.size <= 16)
         manifests.map { case (mPath, mSeq) =>
-          keepAndStrip(readManifest(resolvePath(mPath, meta.location), mSeq))
+          keepAndStrip(readManifest(resolvePath(mPath, meta.location), mSeq),
+            fs, pp, idToName, schema)
         }
       else {
         val loc = meta.location
         spark.sparkContext
           .parallelize(manifests, math.min(manifests.size, 64).toInt)
           .map { case (mPath, mSeq) =>
-            keepAndStrip(readManifest(resolvePath(mPath, loc), mSeq)) }
+            keepAndStrip(readManifest(resolvePath(mPath, loc), mSeq),
+              fs, pp, idToName, schema) }
           .collect().toSeq
       }
     lists.flatten.filter(_.status != 2)
   }
+
+  /** Manifest-entry keep/strip kernel, shared by the driver, the
+    * distributed fileEntries branch, and the gated planner — survivors of
+    * the derived-partition + bounds prunes, with served bounds maps
+    * stripped. Delete entries (content != 0) are never pruned. */
+  private def keepAndStrip(entries: Seq[FileEntry],
+      fs: Seq[org.apache.spark.sql.sources.Filter],
+      pp: Seq[IcebergPartPrune.Pred],
+      idToName: Map[Int, String], schema: StructType): Seq[FileEntry] =
+    if (fs.isEmpty && pp.isEmpty) entries
+    else entries.flatMap { e =>
+      if (e.content != 0) Some(e)
+      else if (!IcebergPartPrune.keep(pp, e.partition)) None
+      else if (fs.isEmpty) Some(e)
+      else {
+        val st = entryColStats(e, idToName, schema)
+        val keep = st.isEmpty ||
+          fs.forall(f => graft.catalog.StatsSkip.keep(f, schema, st, e.recordCount))
+        if (!keep) None
+        else Some(e.copy(lowerBounds = Map.empty, upperBounds = Map.empty,
+          nullCounts = Map.empty, nanCounts = Map.empty))
+      }
+    }
 
   /** (manifest_path, sequence_number) pairs from a manifest-list avro. */
   private def readManifestList(path: String): Seq[(String, Long)] = {
@@ -421,6 +438,64 @@ object Iceberg {
     else Paths.get(location).resolve(stripped).toString
   }
 
+  /** Default foreign-planning gate: ~64 MB of manifest avro — roughly the
+    * scale where a surviving-entry list starts to matter on a driver heap
+    * (10^6+ entries). Same role as the native ManifestPlanner's size gate
+    * (c77); callers (and tests) pass a lower value to force the gated
+    * path. */
+  val DefaultPlanGateManifestBytes: Long = 64L << 20
+
+  /** Distributed (gated) foreign-Iceberg planner: manifests stream through
+    * an executor job where the derived-partition + bounds prunes AND the
+    * caller's identity partitionFilter all evaluate; the driver gets back
+    * (1) the delete entries — bounded by the table's live delete-file
+    * count, needed whole for delete application — and (2) ONLY the
+    * post-prune surviving data-file (path, sequenceNumber) pairs. Nothing
+    * proportional to the pre-prune entry count ever materializes
+    * driver-side, which is what removes the 10^7-entry ceiling the
+    * driver-side path (and pyiceberg, reference parity) has. */
+  private def gatedPlan(spark: SparkSession, meta: TableMeta,
+      manifests: Seq[(String, Long)],
+      statFilters: Seq[org.apache.spark.sql.sources.Filter],
+      partPreds: Seq[IcebergPartPrune.Pred],
+      partitionFilter: Option[Column])
+      : (Seq[FileEntry], Seq[FileEntry], Seq[(String, Long)]) = {
+    val loc = meta.location
+    val schema = meta.schema
+    val idToName = meta.fieldIds.map(_.swap)
+    val fs = statFilters
+    val pp = partPreds
+    val partCols = meta.partitionCols
+    val entryRdd = spark.sparkContext
+      .parallelize(manifests, math.min(math.max(manifests.size, 1), 64).toInt)
+      .flatMap { case (mPath, mSeq) =>
+        keepAndStrip(readManifest(resolvePath(mPath, loc), mSeq),
+          fs, pp, idToName, schema).filter(_.status != 2)
+      }
+      // two actions below (deletes collect + survivor collect) — cache the
+      // stripped survivors rather than re-reading every manifest avro
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val deletes = entryRdd.filter(_.content != 0).collect().toSeq
+      import spark.implicits._
+      val pvDf = entryRdd.filter(_.content == 0)
+        .map(e => (e.path, e.sequenceNumber, e.format,
+          partCols.map(c => e.partition.getOrElse(c, null))))
+        .toDF("path", "_g_seq", "format", "pv")
+      val typed = partCols.zipWithIndex.foldLeft(pvDf) { case (df, (c, i)) =>
+        df.withColumn(c, element_at(col("pv"), i + 1).cast(schema(c).dataType))
+      }
+      val kept = partitionFilter.foldLeft(typed)((d, p) => d.where(p))
+      val survivors = kept.select("path", "_g_seq", "format")
+        .as[(String, Long, String)].collect().toSeq
+      val badFormats = survivors.map(_._3).filterNot(_.equalsIgnoreCase("PARQUET")).distinct
+      require(badFormats.isEmpty,
+        s"only PARQUET data files supported, saw $badFormats")
+      (deletes.filter(_.content == 1), deletes.filter(_.content == 2),
+        survivors.map(t => (t._1, t._2)))
+    } finally entryRdd.unpersist(blocking = false)
+  }
+
   /** Snapshot read with position + equality deletes applied and partition
     * pruning against manifest partition values. */
   def read(
@@ -430,7 +505,17 @@ object Iceberg {
       /** Row predicate: applied to the result AND evaluated against each
         * manifest entry's column bounds to skip data files at planning.
         * Delete files are never skipped (they must keep masking). */
-      dataFilter: Option[Column] = None): DataFrame = {
+      dataFilter: Option[Column] = None,
+      /** Planning gate: when the snapshot's manifest avros total more
+        * bytes than this, the survivor set stays in a Spark job end-to-end
+        * — derived-partition + bounds prunes AND the identity
+        * partitionFilter evaluate executor-side, and the driver
+        * materializes only the post-prune (path, sequence) list plus the
+        * delete entries (bounded by the table's live delete-file count).
+        * That is the same boundary the native ManifestPlanner accepts:
+        * Spark's scan needs the surviving path list. Below the gate the
+        * driver path is cheaper (no job launch). */
+      planGateManifestBytes: Long = DefaultPlanGateManifestBytes): DataFrame = {
     val meta = loadMeta(table)
     val snap = pickSnapshot(meta, snapshotId, asOfTimestampMs).getOrElse(
       return emptyFrame(spark, meta.schema))
@@ -439,38 +524,48 @@ object Iceberg {
     // distribution threshold) — survivors only
     val statFilters = dataFilter.map(graft.catalog.StatsSkip.translate).getOrElse(Nil)
     val partPreds = IcebergPartPrune.derive(statFilters, meta.specFields, meta.schema)
-    val entries = fileEntries(spark, meta, snap, statFilters, partPreds)
-
     require(partitionFilter.isEmpty || meta.partitionCols.nonEmpty,
       s"partitionFilter given but $table has no identity partition fields — " +
         "the filter would be silently dropped; transform-partitioned fields " +
         "(bucket/day/…) prune via dataFilter derivation instead")
-    var dataFiles = entries.filter(_.content == 0)
-    partitionFilter.foreach { pred =>
-      // evaluate the predicate once per distinct partition tuple via a tiny
-      // local frame — no data file is opened for pruned partitions
-      if (dataFiles.nonEmpty) {
-        import spark.implicits._
-        val pvDf = dataFiles.map(e =>
-          (e.path, meta.partitionCols.map(c => e.partition.getOrElse(c, null))))
-          .toDF("path", "pv")
-        val typed = meta.partitionCols.zipWithIndex.foldLeft(pvDf) { case (df, (c, i)) =>
-          df.withColumn(c, element_at(col("pv"), i + 1).cast(meta.schema(c).dataType))
+
+    val manifests = readManifestList(resolvePath(snap.manifestList, meta.location))
+    val manifestBytes = manifests.map { case (p, _) =>
+      val f = new java.io.File(resolvePath(p, meta.location))
+      if (f.exists) f.length else 0L
+    }.sum
+    val (posDeletes, eqDeletes, dataFiles: Seq[(String, Long)]) =
+      if (manifestBytes > planGateManifestBytes)
+        gatedPlan(spark, meta, manifests, statFilters, partPreds, partitionFilter)
+      else {
+        val entries = fileEntriesOf(spark, meta, manifests, statFilters, partPreds)
+        var data = entries.filter(_.content == 0)
+        partitionFilter.foreach { pred =>
+          // evaluate the predicate once per distinct partition tuple via a
+          // tiny local frame — no data file is opened for pruned partitions
+          if (data.nonEmpty) {
+            import spark.implicits._
+            val pvDf = data.map(e =>
+              (e.path, meta.partitionCols.map(c => e.partition.getOrElse(c, null))))
+              .toDF("path", "pv")
+            val typed = meta.partitionCols.zipWithIndex.foldLeft(pvDf) { case (df, (c, i)) =>
+              df.withColumn(c, element_at(col("pv"), i + 1).cast(meta.schema(c).dataType))
+            }
+            val keep = typed.where(pred).select("path").as[String].collect().toSet
+            data = data.filter(e => keep.contains(e.path))
+          }
         }
-        val keep = typed.where(pred).select("path").as[String].collect().toSet
-        dataFiles = dataFiles.filter(e => keep.contains(e.path))
+        require(data.forall(_.format.equalsIgnoreCase("PARQUET")),
+          s"only PARQUET data files supported, saw ${data.map(_.format).distinct}")
+        (entries.filter(_.content == 1), entries.filter(_.content == 2),
+          data.map(e => (e.path, e.sequenceNumber)))
       }
-    }
-    // (bounds-based data skipping already happened inside fileEntries)
+    // (bounds-based data skipping already happened inside the planners)
     if (dataFiles.isEmpty) return emptyFrame(spark, meta.schema)
 
-    val paths = dataFiles.map(e => resolvePath(e.path, meta.location))
-    require(dataFiles.forall(_.format.equalsIgnoreCase("PARQUET")),
-      s"only PARQUET data files supported, saw ${dataFiles.map(_.format).distinct}")
+    val paths = dataFiles.map(t => resolvePath(t._1, meta.location))
     var df = readDataFilesById(spark, meta, paths)
 
-    val posDeletes = entries.filter(_.content == 1)
-    val eqDeletes = entries.filter(_.content == 2)
     if (posDeletes.nonEmpty || eqDeletes.nonEmpty) {
       if (posDeletes.nonEmpty) {
         val del = spark.read
@@ -484,7 +579,7 @@ object Iceberg {
         // per equality-id set: delete rows of data files whose data sequence
         // number is STRICTLY below the delete file's sequence number
         val idToName = meta.fieldIds.map(_.swap)
-        val seqMap = dataFiles.map(e => (resolvePath(e.path, meta.location), e.sequenceNumber))
+        val seqMap = dataFiles.map(t => (resolvePath(t._1, meta.location), t._2))
         import spark.implicits._
         val seqDf = broadcast(seqMap.toDF("_g_spath", "_g_seq")
           .select(normPath(col("_g_spath")).as("_g_path"), col("_g_seq")))

@@ -88,6 +88,46 @@ class IcebergSpec extends SparkSpec {
     assert(back == expect)
   }
 
+  test("iceberg: gated (distributed) planning equals driver planning") {
+    // identity-partitioned table with pos + eq deletes across sequences —
+    // every planner responsibility exercised: derived/bounds prunes,
+    // identity partitionFilter, delete collection, sequence pairing. The
+    // gated path (planGateManifestBytes = 0 forces it) must agree with the
+    // driver path on every read shape.
+    val t = tmpDir("ice-gate") + "/tbl"
+    Iceberg.createTable(t, nation.schema, partitionCols = Seq("n_regionkey"))
+    Iceberg.append(nation.where($"n_nationkey" < 15), t) // seq 1
+    Iceberg.commitEqualityDeletes(spark, t,
+      Seq(3, 7, 20).toDF("n_nationkey"), Seq("n_nationkey")) // seq 2
+    Iceberg.append(nation.where($"n_nationkey" >= 15), t) // seq 3
+    val meta = Iceberg.loadMeta(t)
+    val dataFiles = Iceberg.fileEntries(spark, meta, meta.snapshots.last)
+      .filter(_.content == 0).map(_.path)
+    val pos = Converter.equalityToPositionDeletes(
+      spark, dataFiles, nation.schema, Seq(11).toDF("n_nationkey"), Seq("n_nationkey"))
+      .select(regexp_replace(col("file_path"), "^file:/+", "/").as("file_path"), col("pos"))
+    Iceberg.commitPositionDeletes(spark, t, pos)
+    val shapes: Seq[(Option[org.apache.spark.sql.Column], Option[org.apache.spark.sql.Column])] =
+      Seq(
+        (None, None),
+        (Some($"n_regionkey" === 2), None),
+        (None, Some($"n_nationkey" >= 5 && $"n_name".isNotNull)),
+        (Some($"n_regionkey".isin(0, 2)), Some($"n_nationkey" < 18)))
+    shapes.foreach { case (pf, df0) =>
+      val driver = Iceberg.read(spark, t, partitionFilter = pf, dataFilter = df0)
+        .orderBy("n_nationkey").collect().toSeq
+      val gated = Iceberg.read(spark, t, partitionFilter = pf, dataFilter = df0,
+        planGateManifestBytes = 0L).orderBy("n_nationkey").collect().toSeq
+      assert(gated == driver, s"gated plan diverged for pf=$pf df=$df0")
+      assert(driver.nonEmpty)
+    }
+    // time travel through the gate too
+    val first = Iceberg.loadMeta(t).snapshots.head.snapshotId
+    assert(Iceberg.read(spark, t, snapshotId = Some(first),
+      planGateManifestBytes = 0L).count() ==
+      Iceberg.read(spark, t, snapshotId = Some(first)).count())
+  }
+
   test("iceberg: concurrent metadata version commit is a conflict") {
     val t = tmpDir("ice-race") + "/tbl"
     Iceberg.createTable(t, nation.schema)

@@ -60,6 +60,11 @@ class ZipperSpec extends SparkSpec {
       val plain = rows(cat, cat.readTable("z.t"))
       val zipped = rows(cat, cat.readZipped("z.t"))
       assert(zipped == plain, s"trial $trial\nops=$ops\nzip=$zipped\nplain=$plain")
+      // pushed key-only filter: per-frame evaluation must equal the plain
+      // filtered read on every interleaving (deletes, partials, full-outer)
+      val kf = ReadOptions(rowFilter = Some(col("k") <= 4))
+      assert(rows(cat, cat.readZipped("z.t", opts = kf)) ==
+        rows(cat, cat.readTable("z.t", kf)), s"trial $trial key-filter push")
       // and after compaction (single resolved base participates everywhere)
       cat.compact("z.t", numBuckets = 4)
       assert(rows(cat, cat.readZipped("z.t")) == plain, s"trial $trial post-compact")
@@ -91,6 +96,39 @@ class ZipperSpec extends SparkSpec {
     assert(cat.readZipped("z.t", opts = ReadOptions(columns = Some(Seq("k", "t"))))
       .columns.toSeq == Seq("k", "t"))
     assert(cat.readZipped("z.t", opts = ReadOptions(limit = Some(2))).count() == 2)
+  }
+
+  test("key-only filter conjuncts push into each group's plan") {
+    val cat = new GraftCatalog(spark, tmpDir("zip-push"))
+    // truncate[2] on the key clusters each partition's files to a tight
+    // key range, so per-file stats make the pushed predicate's prune
+    // observable in inputFiles
+    cat.createTable("z.p", schema,
+      partitionScheme = PartitionScheme(Seq(PartitionKey("k", Transform.Truncate(2)))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.setSubschema("z.p", "nums", Seq("k", "a", "b"))
+    cat.setSubschema("z.p", "text", Seq("k", "t"))
+    cat.writeToTable((0 until 8).map(k => (k, k * 10, k * 100, s"t$k"))
+      .toDF("k", "a", "b", "t"), "z.p", WriteMode.Merge)
+    cat.writeToTable(Seq((1, 11, 110), (5, 51, 510)).toDF("k", "a", "b"),
+      "z.p", WriteMode.Merge) // nums trickle, two partitions
+    cat.writeToTable(Seq((2, "zz")).toDF("k", "t"), "z.p", WriteMode.Merge)
+    val all = cat.readZipped("z.p").inputFiles.length
+    val kOpts = ReadOptions(rowFilter = Some(col("k") === 1 && col("t").isNotNull))
+    val pruned = cat.readZipped("z.p", opts = kOpts).inputFiles.length
+    assert(pruned < all, s"pushed key conjunct must prune per-group files ($pruned vs $all)")
+    // the text trickle (k=2) and k>=2 partitions must all be out of plan
+    assert(pruned <= 2, s"k=1 zip should plan at most the two k∈{0,1} files, got $pruned")
+    // mixed key + residual conjuncts: result equals the plain filtered read
+    val zf = cat.readZipped("z.p", opts = kOpts)
+    assert(rows(cat, zf) == rows(cat, cat.readTable("z.p", kOpts)))
+    assert(rows(cat, zf) == Set((1, Some(11), Some(110), Some("t1"))))
+    // a key filter alone on the single-group read stays group-pruned AND
+    // row-correct
+    val one = cat.readZipped("z.p", Seq("text"),
+      ReadOptions(rowFilter = Some(col("k") === 2)))
+    assert(one.select("k", "t").collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((2, "zz")))
   }
 
   test("a delta writing only UNCOVERED columns still surfaces its keys") {
