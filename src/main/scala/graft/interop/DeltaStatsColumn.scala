@@ -22,28 +22,56 @@ import graft.catalog.StatCodec
  *
  * Residual cases stay on the UDF (`build` returns None): filters over
  * DECIMAL columns (canonical-string compare vs JSON decimal re-parse can
- * disagree on precision) and TIMESTAMP columns (foreign writers use several
- * spellings that DeltaStats.parseTs normalizes; from_json's parser is not
- * guaranteed spelling-identical). Float/double columns are supported —
- * their BOUNDS are distrusted by both paths (protocol NaN exclusion), so
- * only their null counts participate.
+ * disagree on precision). Float/double columns are supported — their
+ * BOUNDS are distrusted by both paths (protocol NaN exclusion), so only
+ * their null counts participate. TIMESTAMP columns (round-10) parse their
+ * bound spellings as STRINGS and normalize to epoch micros via
+ * [[tsMicros]] — the common foreign-Delta case (a time-range filter over
+ * a big table) stays fully codegen'd.
  */
 object DeltaStatsColumn {
 
   /** Bound types whose native Column comparison matches the canonical
-    * StatCodec compare exactly. */
+    * StatCodec compare exactly (timestamps via tsMicros normalization). */
   private def boundsComparable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case StringType | DateType | BooleanType => true
+    case TimestampType | TimestampNTZType => true
     case _ => false
   }
 
-  /** Types whose stats may participate at all on this path. Decimal and
-    * timestamps force the UDF fallback when a filter touches them. */
+  /** Types whose stats may participate at all on this path. Decimal
+    * forces the UDF fallback when a filter touches it. */
   private def supported(dt: DataType): Boolean = dt match {
     case _: DecimalType => false
-    case TimestampType | TimestampNTZType => false
     case _ => true
+  }
+
+  /** from_json field type for a bound column: timestamp spellings parse
+    * as STRING (foreign writers disagree; from_json's own timestamp
+    * parser is session-zone-dependent) and normalize in [[tsMicros]];
+    * everything else parses natively. */
+  private def parsedType(dt: DataType): DataType = dt match {
+    case TimestampType | TimestampNTZType => StringType
+    case other => other
+  }
+
+  /** Vectorized mirror of DeltaStats.parseTs: a spelling carrying an
+    * explicit UTC offset ("…Z", "…+02:00") parses as the instant it
+    * names; a zone-less spelling is pinned to UTC by appending `Z` —
+    * WITHOUT that, the string→timestamp cast would read it in the
+    * SESSION zone and skips would shift by the UTC offset. Unparseable →
+    * null → unknown-keep, the same conservative direction as the row
+    * path. (The cast accepts a few spellings parseTs refuses — e.g.
+    * date-only — each parsed to its correct instant, so this path may
+    * prune strictly MORE files, never differently-valued bounds; and
+    * >6-digit fractions the cast refuses fall back to keep.) */
+  private def tsMicros(c: Column): Column = {
+    val t = trim(c)
+    val hasZone = t.rlike("(Z|[+-]\\d{2}:\\d{2})$")
+    // try_: unparseable → null (ANSI cast would THROW planning off a
+    // single foreign garbage stat)
+    unix_micros(try_to_timestamp(when(hasZone, t).otherwise(concat(t, lit("Z")))))
   }
 
   private def refsOf(f: sources.Filter): Seq[String] = f.references.toSeq
@@ -82,7 +110,7 @@ object DeltaStatsColumn {
     // parse schema over the REFERENCED columns only
     val referenced = filters.flatMap(refsOf).distinct.flatMap(resolve).distinct
     val boundFields = referenced.collect {
-      case (_, phys, dt) if boundsComparable(dt) => StructField(phys, dt)
+      case (_, phys, dt) if boundsComparable(dt) => StructField(phys, parsedType(dt))
     }
     val ncFields = referenced.map { case (_, phys, _) => StructField(phys, LongType) }
     val schema = StructType(
@@ -99,10 +127,14 @@ object DeltaStatsColumn {
       // per-column accessors (null = unknown everywhere)
       def nc(phys: String): Column =
         if (ncFields.nonEmpty) p("nullCount")(phys) else lit(null).cast(LongType)
-      def rawMin(phys: String, dt: DataType): Column =
-        if (boundsComparable(dt)) p("minValues")(phys) else lit(null).cast(LongType)
-      def rawMax(phys: String, dt: DataType): Column =
-        if (boundsComparable(dt)) p("maxValues")(phys) else lit(null).cast(LongType)
+      def rawBound(side: String, phys: String, dt: DataType): Column =
+        if (!boundsComparable(dt)) lit(null).cast(LongType)
+        else dt match {
+          case TimestampType | TimestampNTZType => tsMicros(p(side)(phys))
+          case _ => p(side)(phys)
+        }
+      def rawMin(phys: String, dt: DataType): Column = rawBound("minValues", phys, dt)
+      def rawMax(phys: String, dt: DataType): Column = rawBound("maxValues", phys, dt)
       // one-sided rule (DeltaStats.parse): exactly one parsed bound drops
       // BOTH (a bound missing because parsing failed must not masquerade
       // as one-sided-unbounded)
@@ -126,10 +158,22 @@ object DeltaStatsColumn {
         (resolve(attr), Option(v)) match {
           case (Some((_, phys, dt)), Some(value)) if boundsComparable(dt) &&
               StatCodec.render(dt, value).isDefined =>
-            val l = lit(value).cast(dt)
-            when(allNull(phys, dt), false)
-              .when(effMin(phys, dt).isNull || effMax(phys, dt).isNull, true)
-              .otherwise(dec(effMin(phys, dt), effMax(phys, dt), l))
+            // literal side: timestamps compare as epoch micros to match
+            // the tsMicros-normalized bounds (canonical → micros is the
+            // exact same mapping the row path's Str compare encodes)
+            val lOpt: Option[Column] = dt match {
+              case TimestampType | TimestampNTZType =>
+                StatCodec.render(dt, value)
+                  .flatMap(StatCodec.parseCanonicalMicros).map(lit(_))
+              case _ => Some(lit(value).cast(dt))
+            }
+            lOpt match {
+              case Some(l) =>
+                when(allNull(phys, dt), false)
+                  .when(effMin(phys, dt).isNull || effMax(phys, dt).isNull, true)
+                  .otherwise(dec(effMin(phys, dt), effMax(phys, dt), l))
+              case None => lit(true)
+            }
           case _ => lit(true) // unresolvable / unrenderable / no bounds: keep
         }
 

@@ -73,7 +73,8 @@ class DeltaStatsSpec extends SparkSpec {
     import org.apache.spark.sql.sources
     val fields: Seq[(String, String, DataType)] = Seq(
       ("id", "p_id", LongType), ("name", "p_name", StringType),
-      ("d", "p_d", DateType), ("f", "p_f", DoubleType))
+      ("d", "p_d", DateType), ("f", "p_f", DoubleType),
+      ("ts", "p_ts", TimestampType))
     val logical = StructType(fields.map { case (l, _, dt) => StructField(l, dt) })
     val rnd = new scala.util.Random(11)
     def maybe[T](v: => T): Option[T] = if (rnd.nextBoolean()) Some(v) else None
@@ -84,6 +85,18 @@ class DeltaStatsSpec extends SparkSpec {
       val ids = (rnd.nextInt(20), rnd.nextInt(20))
       val names = (s"s${rnd.nextInt(5)}", s"s${rnd.nextInt(5) + 5}")
       val days = (rnd.nextInt(20) + 1, rnd.nextInt(8) + 21)
+      // the foreign timestamp spelling matrix — every spelling BOTH
+      // normalizers parse (plus garbage neither does); offsets convert
+      def tsSpelling(day: Int): String = {
+        val base = f"2024-02-$day%02dT${rnd.nextInt(24)}%02d:30:00"
+        rnd.nextInt(5) match {
+          case 0 => "\"" + base + "Z\""
+          case 1 => "\"" + base.replace('T', ' ') + "\"" // zone-less → UTC
+          case 2 => "\"" + base + ".250000Z\""
+          case 3 => "\"" + base + "+02:00\""
+          case _ => "\"not-a-timestamp\""
+        }
+      }
       def kv(k: String, v: Option[String]) = v.map(x => s""""$k":$x""")
       def obj(k: String, vs: Seq[Option[String]]) = {
         val inner = vs.flatten
@@ -93,17 +106,20 @@ class DeltaStatsSpec extends SparkSpec {
         kv("p_id", maybe(math.min(ids._1, ids._2).toString)),
         kv("p_name", maybe("\"" + (if (names._1 < names._2) names._1 else names._2) + "\"")),
         kv("p_d", maybe(f""""2024-01-${math.min(days._1, days._2)}%02d"""")),
-        kv("p_f", maybe("0.5"))))
+        kv("p_f", maybe("0.5")),
+        kv("p_ts", maybe(tsSpelling(rnd.nextInt(14) + 1)))))
       val maxs = obj("maxValues", Seq(
         kv("p_id", maybe(math.max(ids._1, ids._2).toString)),
         kv("p_name", maybe("\"" + (if (names._1 < names._2) names._2 else names._1) + "\"")),
         kv("p_d", maybe(f""""2024-01-${math.max(days._1, days._2)}%02d"""")),
-        kv("p_f", maybe("9.5"))))
+        kv("p_f", maybe("9.5")),
+        kv("p_ts", maybe(tsSpelling(rnd.nextInt(14) + 15)))))
       val nulls = obj("nullCount", Seq(
         kv("p_id", maybe(rnd.nextInt(12).toString)),
         kv("p_name", maybe(rnd.nextInt(12).toString)),
         kv("p_d", maybe(rnd.nextInt(12).toString)),
-        kv("p_f", maybe(rnd.nextInt(12).toString))))
+        kv("p_f", maybe(rnd.nextInt(12).toString)),
+        kv("p_ts", maybe(rnd.nextInt(12).toString))))
       val rows = maybe(s""""numRecords":${rnd.nextInt(12)}""")
       s"{${(Seq(rows) ++ Seq(mins, maxs, nulls)).flatten.mkString(",")}}"
     }
@@ -118,7 +134,15 @@ class DeltaStatsSpec extends SparkSpec {
       Seq(sources.GreaterThanOrEqual("d", java.sql.Date.valueOf("2024-01-15"))),
       Seq(sources.EqualTo("f", 1.5), sources.IsNotNull("f")), // float bounds distrusted
       Seq(sources.And(sources.IsNotNull("id"), sources.EqualTo("d",
-        java.sql.Date.valueOf("2024-01-22")))))
+        java.sql.Date.valueOf("2024-01-22")))),
+      // the timestamp-vectorization cases (round-10): range, point, null
+      Seq(sources.GreaterThan("ts", java.sql.Timestamp.valueOf("2024-02-10 00:00:00"))),
+      Seq(sources.GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-05 06:00:00")),
+        sources.LessThan("ts", java.sql.Timestamp.valueOf("2024-02-20 18:00:00"))),
+      Seq(sources.EqualTo("ts", java.sql.Timestamp.valueOf("2024-02-07 09:30:00"))),
+      Seq(sources.IsNotNull("ts")),
+      Seq(sources.Or(sources.IsNull("ts"),
+        sources.LessThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-03 00:00:00")))))
     val statsRows = (0 until 200).map(i => (i, statsJson()))
     val df = statsRows.toDF("i", "stats")
     filterSets.foreach { fs =>
@@ -139,12 +163,13 @@ class DeltaStatsSpec extends SparkSpec {
         s"filters=$fs\nonlyCol=${(colKept -- udfKept).toSeq.sorted.take(5).map(statsRows)}" +
           s"\nonlyUdf=${(udfKept -- colKept).toSeq.sorted.take(5).map(statsRows)}")
     }
-    // residual cases fall back: decimal / timestamp filters decline
+    // residual case falls back: decimal filters decline; timestamps stay
+    // on the Column path (round-10 vectorization)
     assert(DeltaStatsColumn.build(Seq(sources.EqualTo("dec", BigDecimal(1))),
       Seq(("dec", "dec", DecimalType(10, 2)))).isEmpty)
     assert(DeltaStatsColumn.build(Seq(sources.GreaterThan("ts",
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
-      Seq(("ts", "ts", TimestampType))).isEmpty)
+      Seq(("ts", "ts", TimestampType))).isDefined)
   }
 
   test("delta read plans no stats UDF on the supported filter path") {
@@ -157,5 +182,17 @@ class DeltaStatsSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSeq == Seq(7L))
     // the skip actually happened: only the first file is planned
     assert(got.inputFiles.length == 1, s"expected 1 file, got ${got.inputFiles.length}")
+    // timestamp filters ride the same Column path now (round-10): a
+    // time-range read over time-clustered files plans only the hit file
+    val t2 = tmpDir("ds-colts") + "/tbl"
+    val tsDf = spark.range(0, 1000).select(col("id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 3600).as("ts"))
+    DeltaLake.write(tsDf.where(col("id") < 500).orderBy("id").coalesce(1), t2)
+    DeltaLake.write(tsDf.where(col("id") >= 500).orderBy("id").coalesce(1), t2)
+    val cut = new java.sql.Timestamp((1700000000L + 700 * 3600) * 1000L)
+    val got2 = DeltaLake.read(spark, t2, dataFilter = Some(col("ts") > lit(cut)))
+    assert(got2.count() == 299, s"expected 299 rows, got ${got2.count()}")
+    assert(got2.inputFiles.length == 1,
+      s"ts skip expected 1 file, got ${got2.inputFiles.length}")
   }
 }
