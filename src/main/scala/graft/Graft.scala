@@ -46,8 +46,10 @@ object Graft {
     * graft_simhash, graft_lang, graft_hash_bucket) in a live session —
     * the runtime path; `spark.sql.extensions=graft.spark.GraftSparkExtensions`
     * injects the same set at session build. */
-  def registerFunctions(spark: SparkSession): Unit =
+  def registerFunctions(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    org.apache.spark.sql.graft.GraftFunctions.registerTable(spark)
+  }
 
   // ------------------------------------------------- URL-addressed dataset ops
   def get(spark: SparkSession, url: String): DataFrame = io.UrlIO.read(spark, url)

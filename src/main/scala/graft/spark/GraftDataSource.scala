@@ -459,6 +459,7 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GraftDmlStrategy)
     org.apache.spark.sql.graft.GraftFunctions.injectable.foreach(ext.injectFunction)
+    org.apache.spark.sql.graft.GraftFunctions.tableInjectable.foreach(ext.injectTableFunction)
   }
 }
 
@@ -481,6 +482,9 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNam
     val exp = SparkSession.active.experimental
     if (!exp.extraStrategies.contains(org.apache.spark.sql.graft.GraftDmlStrategy))
       exp.extraStrategies = exp.extraStrategies :+ org.apache.spark.sql.graft.GraftDmlStrategy
+    // The zipper TVF rides the same opt-in (extension injection only works
+    // at session build; a live session registers directly).
+    org.apache.spark.sql.graft.GraftFunctions.registerTable(SparkSession.active)
   }
   override def name(): String = catalogName
 

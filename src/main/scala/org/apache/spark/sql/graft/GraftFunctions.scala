@@ -92,4 +92,61 @@ object GraftFunctions {
     all.map { case (name, arity, b) =>
       (FunctionIdentifier(name), info(name), checkedBuilder(name, arity, b))
     }
+
+  // ------------------------------------------------- table-valued functions
+
+  /** SQL surface for the zipper read (round-10):
+    * {{{
+    *   SELECT * FROM graft_read_zipped('<root>', 'ns.t')                 -- all groups
+    *   SELECT * FROM graft_read_zipped('<root>', 'ns.t', 'nums,text')    -- subset
+    *   SELECT * FROM graft_read_zipped('<root>', 'ns.t', '', 'k = 5')    -- pushed filter
+    * }}}
+    * The 4th argument is a SQL predicate string handed to
+    * `ReadOptions.rowFilter`, so key-only conjuncts push into each column
+    * group's plan (manifest prune + pre-join filter) — a WHERE clause
+    * outside the TVF cannot reach through the zip's full-outer joins.
+    * Arguments must be foldable strings (resolved at analysis time). */
+  private def readZippedPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.lengthIs >= 2 && args.lengthIs <= 4,
+      s"graft_read_zipped(root, table[, groups[, where]]) — got ${args.length} argument(s)")
+    def str(i: Int, what: String): String = {
+      val e = args(i)
+      require(e.foldable &&
+        e.dataType == org.apache.spark.sql.types.StringType,
+        s"graft_read_zipped: $what must be a string literal")
+      val v = e.eval()
+      require(v != null, s"graft_read_zipped: $what must not be null")
+      v.toString
+    }
+    val spark = SparkSession.active
+    val root = str(0, "root")
+    val table = str(1, "table")
+    val groups =
+      if (args.lengthIs >= 3)
+        str(2, "groups").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else Nil
+    val rowFilter =
+      if (args.lengthIs >= 4)
+        Some(c(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.sqlParser.parseExpression(str(3, "where"))))
+      else None
+    new graft.catalog.GraftCatalog(spark, root)
+      .readZipped(table, groups, graft.catalog.ReadOptions(rowFilter = rowFilter))
+      .queryExecution.analyzed
+  }
+
+  /** Extension-injection descriptor for SparkSessionExtensions
+    * (`injectTableFunction`). */
+  def tableInjectable: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq((FunctionIdentifier("graft_read_zipped"), info("graft_read_zipped"),
+      readZippedPlan _))
+
+  /** Register the TVF into a live session. Idempotent. */
+  def registerTable(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+    registry.createOrReplaceTempFunction("graft_read_zipped", readZippedPlan _, "built-in")
+  }
 }

@@ -248,6 +248,49 @@ class Dsv2Spec extends SparkSpec {
     assert(!cat.namespaceExists("wk"))
   }
 
+  test("SQL graft_read_zipped TVF equals readZipped, with pushed key filters") {
+    val root = tmpDir("graft-dsv2z")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("ns.z", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("k", org.apache.spark.sql.types.IntegerType,
+        nullable = false, mergeKey = true),
+      FieldMeta.field("a", org.apache.spark.sql.types.IntegerType),
+      FieldMeta.field("t", org.apache.spark.sql.types.StringType))),
+      partitionScheme = PartitionScheme(Seq(PartitionKey("k", Transform.Truncate(2)))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.setSubschema("ns.z", "nums", Seq("k", "a"))
+    cat.setSubschema("ns.z", "text", Seq("k", "t"))
+    cat.writeToTable((0 until 8).map(k => (k, k * 10, s"t$k")).toDF("k", "a", "t"),
+      "ns.z", WriteMode.Merge)
+    cat.writeToTable(Seq((1, 11), (5, 51)).toDF("k", "a"), "ns.z", WriteMode.Merge)
+    cat.writeToTable(Seq((2, "zz")).toDF("k", "t"), "ns.z", WriteMode.Merge)
+    Graft.registerFunctions(spark) // the runtime registration path
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_read_zipped('$root', 'ns.z') ORDER BY k")
+    val viaApi = cat.readZipped("ns.z").orderBy("k")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    // group subset + pushed key filter: strictly fewer files than full zip
+    val full = spark.sql(
+      s"SELECT * FROM graft_read_zipped('$root', 'ns.z')").inputFiles.length
+    val sel = spark.sql(
+      s"SELECT * FROM graft_read_zipped('$root', 'ns.z', '', 'k = 1')")
+    assert(sel.inputFiles.length < full,
+      s"TVF filter must push (${sel.inputFiles.length} vs $full)")
+    assert(sel.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 11, "t1")))
+    val one = spark.sql(
+      s"SELECT * FROM graft_read_zipped('$root', 'ns.z', 'text', 'k = 2')")
+    assert(one.columns.toSeq == Seq("k", "t") &&
+      one.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "zz")))
+    // catalog initialization also registers the TVF (SQL-only sessions)
+    spark.conf.set("spark.sql.catalog.graftz", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftz.root", root)
+    spark.sql("SHOW TABLES IN graftz.ns").collect() // touch → initialize
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_read_zipped('$root', 'ns.z')")
+      .head().getLong(0) == 8L)
+  }
+
   test("DSv2 reads non-parquet content types through the matching file table") {
     val root = tmpDir("graft-dsv2c")
     val cat = new GraftCatalog(spark, root)
