@@ -156,6 +156,7 @@ object Bench {
     // numbers expose scaling behavior, not constants. Same min-of-runs
     // policy as everything else: length amortizes scheduler jitter but not
     // a co-tenant load spike, and round 8's artifact proved the latter.
+    var lineitem10xPath: Option[String] = None
     locally {
       val scaleDir = Files.createTempDirectory("graft_bench_10x").toString
       // Corpus: each doc yields v=0 (original), v=1 (every 10th word
@@ -189,6 +190,7 @@ object Bench {
         graft.operators.Dedup.removeDuplicateSpans(docs10, "doc_id", "text",
           k = 8).count()
       })
+      lineitem10xPath = Some(s"$scaleDir/lineitem10x")
       val li10 = spark.read.parquet(s"$scaleDir/lineitem10x")
       attempt("pipeline_10x")(measured("pipeline_10x") {
         val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench10").toString)
@@ -287,6 +289,24 @@ object Bench {
       attempt("iceberg_transform_prune")(measured("iceberg_transform_prune") {
         graft.interop.Iceberg.read(spark, t, dataFilter = Some(filter)).count()
       })
+      // 10x manifest scale (round-10 scaling point): nine more appends of
+      // the same frame → 10x snapshots/manifest entries. The filtered read
+      // must prune the 10x manifest the same fraction; the GATED planner
+      // (forced) must agree while keeping only survivors driver-side.
+      (1 until 10).foreach(_ => graft.interop.Iceberg.append(ev, t))
+      val meta10 = graft.interop.Iceberg.loadMeta(t)
+      val entries10 = graft.interop.Iceberg.fileEntries(spark, meta10,
+        meta10.snapshots.last)
+      planCounts("iceberg_prune_total_files_10x") = entries10.size.toLong
+      planCounts("iceberg_prune_files_10x") =
+        entries10.count(e => graft.interop.IcebergPartPrune.keep(preds, e.partition)).toLong
+      attempt("iceberg_transform_prune_10x")(measured("iceberg_transform_prune_10x") {
+        graft.interop.Iceberg.read(spark, t, dataFilter = Some(filter)).count()
+      })
+      attempt("iceberg_gated_plan_10x")(measured("iceberg_gated_plan_10x") {
+        graft.interop.Iceberg.read(spark, t, dataFilter = Some(filter),
+          planGateManifestBytes = 0L).count()
+      })
     } catch { case e: Throwable =>
       errors("iceberg_prune_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
     }
@@ -383,6 +403,35 @@ object Bench {
         cat2.readZipped("bench.zipf", opts = zf)
           .agg(sum("l_quantity"), count(lit(1))).head()
       })
+      // (d) 10x scaling point for the zipper (round-10): same fixture
+      //     shape at 10x the rows — the ratio vs zipper_read tracks
+      //     whether the per-group resolve + zip joins scale linearly.
+      lineitem10xPath.foreach { p10 =>
+        val li10 = spark.read.parquet(p10)
+        val cat3 = new GraftCatalog(spark, Files.createTempDirectory("graft_bench_zip10").toString)
+        cat3.createTable("bench.zip10", StructType(Seq(
+          FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
+          FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
+          FieldMeta.field("l_quantity", DoubleType),
+          FieldMeta.field("l_extendedprice", DoubleType),
+          FieldMeta.field("l_returnflag", StringType))),
+          properties = Map("read_optimization" -> "NONE"))
+        cat3.setSubschema("bench.zip10", "nums",
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+        cat3.setSubschema("bench.zip10", "flag",
+          Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        cat3.writeToTable(li10, "bench.zip10", WriteMode.Merge)
+        cat3.writeToTable(li10.where(col("l_orderkey") % 100 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") + 1).as("l_quantity"), col("l_extendedprice")),
+          "bench.zip10", WriteMode.Merge)
+        cat3.writeToTable(li10.where(col("l_orderkey") % 101 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), lit("Z").as("l_returnflag")),
+          "bench.zip10", WriteMode.Merge)
+        attempt("zipper_read_10x")(measured("zipper_read_10x") {
+          cat3.readZipped("bench.zip10").agg(sum("l_quantity"), count(lit(1))).head()
+        })
+      }
     } catch { case e: Throwable =>
       errors("zipper_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
     }

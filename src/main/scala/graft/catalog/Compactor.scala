@@ -126,9 +126,21 @@ object Compactor {
         }
         if (last >= 0) ends += last
         if (ends.size <= 1) compactOnce(cat, table, numBuckets, None)
-        else ends.foreach(end => compactOnce(cat, table, numBuckets, Some(end)))
+        else ends.zipWithIndex.foreach { case (end, i) =>
+          compactOnce(cat, table, numBuckets, Some(end))
+          // each sub-round is COMMITTED before this point — a crash here
+          // (ConcurrencySpec fault injection) loses no committed progress
+          // and the next compact() invocation resumes from the advanced
+          // watermark
+          afterSubRound(i)
+        }
     }
   }
+
+  /** Test seam: runs after each committed valve sub-round, before the next
+    * starts. A test that throws here simulates a driver crash between
+    * sub-rounds; production no-op. */
+  private[graft] var afterSubRound: Int => Unit = _ => ()
 
   private def compactOnce(cat: GraftCatalog, table: String, numBuckets: Int,
       upTo: Option[Long]): Unit = {

@@ -111,6 +111,52 @@ class MergePropertySpec extends SparkSpec {
     }
   }
 
+  test("valve crash between sub-rounds: committed progress survives, re-invocation converges") {
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { trial =>
+      val ops = Gen.listOfN(6, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(9000L + trial))
+      val expected = model(ops)
+      val cat = new GraftCatalog(spark, tmpDir(s"graft-prop-crash-$trial"))
+      cat.createTable("p.c", StructType(Seq(
+        FieldMeta.field("k", IntegerType, mergeKey = true),
+        FieldMeta.field("v", IntegerType))),
+        properties = Map("read_optimization" -> "NONE",
+          "compaction.max_input_bytes" -> "1")) // one sub-round per delta
+      ops.foreach { op =>
+        val df = op.rows.zipWithIndex.map { case ((k, v), ord) => (k, v, ord) }
+          .toDF("k", "v", "_ord").repartition(1).sortWithinPartitions("_ord").drop("_ord")
+        if (op.isDelete) cat.writeToTable(df.select("k"), "p.c", WriteMode.Delete)
+        else cat.writeToTable(df, "p.c", WriteMode.Merge)
+      }
+      // crash after the (trial+1)-th committed sub-round
+      val crashAfter = trial
+      Compactor.afterSubRound = i =>
+        if (i == crashAfter) throw new RuntimeException("injected crash")
+      val e = try intercept[RuntimeException](cat.compact("p.c", numBuckets = 4))
+      finally Compactor.afterSubRound = _ => ()
+      assert(e.getMessage == "injected crash")
+      // committed progress held: exactly crashAfter+1 compacted rounds, and
+      // a read mid-recovery is already correct (merge-on-read over the rest)
+      val mid = cat.readTable("p.c").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getInt(1)).toMap
+      assert(mid == expected, s"trial $trial mid-crash read: $mid != $expected\nops=$ops")
+      val committed = cat.deltaLog("p.c").count(_.compactedUpTo >= 0)
+      assert(committed == crashAfter + 1,
+        s"trial $trial: expected ${crashAfter + 1} committed rounds, got $committed")
+      // the NEXT invocation converges to the fully-compacted state
+      cat.compact("p.c", numBuckets = 4)
+      val after = cat.readTable("p.c").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getInt(1)).toMap
+      assert(after == expected, s"trial $trial post-recovery: $after != $expected\nops=$ops")
+      // everything pending got folded — nothing left beyond the watermark
+      val deltas = cat.deltaLog("p.c")
+      val wm = deltas.filter(_.compactedUpTo >= 0).map(_.compactedUpTo).max
+      assert(deltas.filter(_.compactedUpTo < 0).forall(_.streamPosition <= wm),
+        s"trial $trial: pending deltas beyond watermark after recovery")
+    }
+  }
+
   /** Same engine run, read through a rowFilter (exercises the stats-skip
     * safe-filter rule under merge-on-read AND the read-optimized prune). */
   private def runFiltered(ops: List[Op], compactEvery: Option[Int],
