@@ -20,40 +20,56 @@ import graft.catalog.StatCodec
  * nulls it and every null reads as "unknown → keep" — conservative in the
  * same direction as the UDF, never a wrongly-dropped file.
  *
- * Residual cases stay on the UDF (`build` returns None): filters over
- * DECIMAL columns (canonical-string compare vs JSON decimal re-parse can
- * disagree on precision). Float/double columns are supported — their
- * BOUNDS are distrusted by both paths (protocol NaN exclusion), so only
- * their null counts participate. TIMESTAMP columns (round-10) parse their
- * bound spellings as STRINGS and normalize to epoch micros via
- * [[tsMicros]] — the common foreign-Delta case (a time-range filter over
- * a big table) stays fully codegen'd.
+ * Float/double columns are supported — their BOUNDS are distrusted by
+ * both paths (protocol NaN exclusion), so only their null counts
+ * participate. TIMESTAMP columns (round-10) parse their bound spellings
+ * as STRINGS and normalize to epoch micros via [[tsMicros]] — the common
+ * foreign-Delta case (a time-range filter over a big table) stays fully
+ * codegen'd. DECIMAL columns (round-10) parse as strings and participate
+ * only when VALUE-EXACT in the declared (precision, scale) — a foreign
+ * bound that would need rounding reads as unknown-keep instead (a
+ * rounded max could prune a file whose rows match), so this path prunes
+ * a subset of what the row path's arbitrary-precision compare prunes,
+ * never differently.
  */
 object DeltaStatsColumn {
 
   /** Bound types whose native Column comparison matches the canonical
-    * StatCodec compare exactly (timestamps via tsMicros normalization). */
+    * StatCodec compare exactly (timestamps via tsMicros normalization,
+    * decimals via the decExact value-exact parse). */
   private def boundsComparable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case StringType | DateType | BooleanType => true
     case TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
     case _ => false
   }
 
-  /** Types whose stats may participate at all on this path. Decimal
-    * forces the UDF fallback when a filter touches it. */
-  private def supported(dt: DataType): Boolean = dt match {
-    case _: DecimalType => false
-    case _ => true
-  }
+  /** Types whose stats may participate at all on this path. Everything
+    * currently rides the Column path; the UDF fallback (build → None)
+    * stays as the escape hatch for future residuals. */
+  private def supported(dt: DataType): Boolean = true
 
-  /** from_json field type for a bound column: timestamp spellings parse
-    * as STRING (foreign writers disagree; from_json's own timestamp
-    * parser is session-zone-dependent) and normalize in [[tsMicros]];
-    * everything else parses natively. */
+  /** from_json field type for a bound column: timestamp and decimal
+    * spellings parse as STRING (foreign writers disagree; from_json's
+    * timestamp parser is session-zone-dependent, its decimal parser's
+    * rounding is not value-exact) and normalize in [[tsMicros]] /
+    * [[decExact]]; everything else parses natively. */
   private def parsedType(dt: DataType): DataType = dt match {
     case TimestampType | TimestampNTZType => StringType
+    case _: DecimalType => StringType
     case other => other
+  }
+
+  /** Value-exact decimal bound: the spelling cast into the column's
+    * (precision, scale), kept ONLY if the round-trip through a wide
+    * decimal proves no rounding happened; otherwise null → unknown-keep.
+    * (Spellings outside DecimalType(38,18) also read unknown.) */
+  private def decExact(c: Column, dt: DecimalType): Column = {
+    val wide = DecimalType(38, 18)
+    val t = trim(c)
+    val parsed = t.try_cast(dt)
+    when(parsed.try_cast(wide) === t.try_cast(wide), parsed)
   }
 
   /** Vectorized mirror of DeltaStats.parseTs: a spelling carrying an
@@ -131,6 +147,7 @@ object DeltaStatsColumn {
         if (!boundsComparable(dt)) lit(null).cast(LongType)
         else dt match {
           case TimestampType | TimestampNTZType => tsMicros(p(side)(phys))
+          case d: DecimalType => decExact(p(side)(phys), d)
           case _ => p(side)(phys)
         }
       def rawMin(phys: String, dt: DataType): Column = rawBound("minValues", phys, dt)
@@ -165,6 +182,18 @@ object DeltaStatsColumn {
               case TimestampType | TimestampNTZType =>
                 StatCodec.render(dt, value)
                   .flatMap(StatCodec.parseCanonicalMicros).map(lit(_))
+              case d: DecimalType =>
+                // exact-fit literals only: a literal needing rounding into
+                // (p,s) would compare against a DIFFERENT value than the
+                // row path's arbitrary-precision compare uses
+                StatCodec.render(dt, value).flatMap { s =>
+                  val bd = new java.math.BigDecimal(s)
+                  val dec = org.apache.spark.sql.types.Decimal(bd)
+                  if (dec.changePrecision(d.precision, d.scale) &&
+                      dec.toJavaBigDecimal.compareTo(bd) == 0)
+                    Some(lit(dec.toJavaBigDecimal).cast(d))
+                  else None
+                }
               case _ => Some(lit(value).cast(dt))
             }
             lOpt match {

@@ -482,10 +482,10 @@ object Iceberg {
         .map(e => (e.path, e.sequenceNumber, e.format,
           partCols.map(c => e.partition.getOrElse(c, null))))
         .toDF("path", "_g_seq", "format", "pv")
-      val typed = partCols.zipWithIndex.foldLeft(pvDf) { case (df, (c, i)) =>
-        df.withColumn(c, element_at(col("pv"), i + 1).cast(schema(c).dataType))
+      val kept = partitionFilter match {
+        case Some(pred) => prunePartitionDf(pvDf, partCols, schema, pred)
+        case None => pvDf
       }
-      val kept = partitionFilter.foldLeft(typed)((d, p) => d.where(p))
       val survivors = kept.select("path", "_g_seq", "format")
         .as[(String, Long, String)].collect().toSeq
       val badFormats = survivors.map(_._3).filterNot(_.equalsIgnoreCase("PARQUET")).distinct
@@ -494,6 +494,51 @@ object Iceberg {
       (deletes.filter(_.content == 1), deletes.filter(_.content == 2),
         survivors.map(t => (t._1, t._2)))
     } finally entryRdd.unpersist(blocking = false)
+  }
+
+  /** Typed identity-partition pruning, shared by the driver and gated
+    * planners. `pvDf` carries a `pv` array of the spec-source columns'
+    * STRINGIFIED manifest partition values; each decodes via
+    * [[decodePartValue]] — accepting our own writer's hive-dir rendering
+    * AND the Iceberg spec's raw integral encodings (date = days from
+    * epoch, timestamp = micros), since a foreign manifest's avro values
+    * stringify to the latter — and the caller's predicate evaluates per
+    * file. FAIL-OPEN: a non-null spelling that decodes to null KEEPS the
+    * file (an unknown foreign rendering must never prune a matching row),
+    * while a genuinely-null partition value (hive default dir / avro
+    * null) evaluates as SQL NULL through the predicate, exactly like the
+    * rows it describes would. */
+  private[graft] def prunePartitionDf(pvDf: DataFrame, partCols: Seq[String],
+      schema: StructType, pred: Column): DataFrame = {
+    val typed = partCols.zipWithIndex.foldLeft(pvDf) { case (df, (c, i)) =>
+      df.withColumn(s"_g_raw_$c", element_at(col("pv"), i + 1))
+        .withColumn(c, decodePartValue(element_at(col("pv"), i + 1), schema(c).dataType))
+    }
+    val undecodable = partCols.map(c => col(s"_g_raw_$c").isNotNull && col(c).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    typed.where(pred || undecodable)
+  }
+
+  /** One manifest partition-value spelling → typed value; null = cannot
+    * decode (the caller keeps such files). A PURE-DIGIT spelling is the
+    * spec's raw integral encoding (date = days from epoch, timestamp =
+    * epoch micros) and NEVER a date/timestamp literal — Spark's cast
+    * would otherwise read "19729" as year 19729. try_cast throughout —
+    * an ANSI cast would THROW planning off a single foreign spelling. */
+  private[graft] def decodePartValue(c: Column, dt: DataType): Column = {
+    val isIntegral = c.rlike("^-?[0-9]+$")
+    dt match {
+      case DateType =>
+        when(isIntegral, date_add(to_date(lit("1970-01-01")), c.try_cast(IntegerType)))
+          .otherwise(c.try_cast(DateType))
+      case TimestampType =>
+        when(isIntegral, timestamp_micros(c.try_cast(LongType)))
+          .otherwise(c.try_cast(TimestampType))
+      case TimestampNTZType =>
+        when(isIntegral, timestamp_micros(c.try_cast(LongType)).try_cast(TimestampNTZType))
+          .otherwise(c.try_cast(TimestampNTZType))
+      case other => c.try_cast(other)
+    }
   }
 
   /** Snapshot read with position + equality deletes applied and partition
@@ -548,10 +593,8 @@ object Iceberg {
             val pvDf = data.map(e =>
               (e.path, meta.partitionCols.map(c => e.partition.getOrElse(c, null))))
               .toDF("path", "pv")
-            val typed = meta.partitionCols.zipWithIndex.foldLeft(pvDf) { case (df, (c, i)) =>
-              df.withColumn(c, element_at(col("pv"), i + 1).cast(meta.schema(c).dataType))
-            }
-            val keep = typed.where(pred).select("path").as[String].collect().toSet
+            val keep = prunePartitionDf(pvDf, meta.partitionCols, meta.schema, pred)
+              .select("path").as[String].collect().toSet
             data = data.filter(e => keep.contains(e.path))
           }
         }

@@ -74,7 +74,7 @@ class DeltaStatsSpec extends SparkSpec {
     val fields: Seq[(String, String, DataType)] = Seq(
       ("id", "p_id", LongType), ("name", "p_name", StringType),
       ("d", "p_d", DateType), ("f", "p_f", DoubleType),
-      ("ts", "p_ts", TimestampType))
+      ("ts", "p_ts", TimestampType), ("dec", "p_dec", DecimalType(10, 2)))
     val logical = StructType(fields.map { case (l, _, dt) => StructField(l, dt) })
     val rnd = new scala.util.Random(11)
     def maybe[T](v: => T): Option[T] = if (rnd.nextBoolean()) Some(v) else None
@@ -107,19 +107,24 @@ class DeltaStatsSpec extends SparkSpec {
         kv("p_name", maybe("\"" + (if (names._1 < names._2) names._1 else names._2) + "\"")),
         kv("p_d", maybe(f""""2024-01-${math.min(days._1, days._2)}%02d"""")),
         kv("p_f", maybe("0.5")),
-        kv("p_ts", maybe(tsSpelling(rnd.nextInt(14) + 1)))))
+        kv("p_ts", maybe(tsSpelling(rnd.nextInt(14) + 1))),
+        // exact-fit (10,2) spellings only: out-of-fit bounds read unknown
+        // on the Column path BY DESIGN (separate soundness leg below)
+        kv("p_dec", maybe(f"${rnd.nextInt(40)}%d.${rnd.nextInt(100)}%02d"))))
       val maxs = obj("maxValues", Seq(
         kv("p_id", maybe(math.max(ids._1, ids._2).toString)),
         kv("p_name", maybe("\"" + (if (names._1 < names._2) names._2 else names._1) + "\"")),
         kv("p_d", maybe(f""""2024-01-${math.max(days._1, days._2)}%02d"""")),
         kv("p_f", maybe("9.5")),
-        kv("p_ts", maybe(tsSpelling(rnd.nextInt(14) + 15)))))
+        kv("p_ts", maybe(tsSpelling(rnd.nextInt(14) + 15))),
+        kv("p_dec", maybe(f"${rnd.nextInt(40) + 40}%d.${rnd.nextInt(100)}%02d"))))
       val nulls = obj("nullCount", Seq(
         kv("p_id", maybe(rnd.nextInt(12).toString)),
         kv("p_name", maybe(rnd.nextInt(12).toString)),
         kv("p_d", maybe(rnd.nextInt(12).toString)),
         kv("p_f", maybe(rnd.nextInt(12).toString)),
-        kv("p_ts", maybe(rnd.nextInt(12).toString))))
+        kv("p_ts", maybe(rnd.nextInt(12).toString)),
+        kv("p_dec", maybe(rnd.nextInt(12).toString))))
       val rows = maybe(s""""numRecords":${rnd.nextInt(12)}""")
       s"{${(Seq(rows) ++ Seq(mins, maxs, nulls)).flatten.mkString(",")}}"
     }
@@ -142,7 +147,12 @@ class DeltaStatsSpec extends SparkSpec {
       Seq(sources.EqualTo("ts", java.sql.Timestamp.valueOf("2024-02-07 09:30:00"))),
       Seq(sources.IsNotNull("ts")),
       Seq(sources.Or(sources.IsNull("ts"),
-        sources.LessThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-03 00:00:00")))))
+        sources.LessThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-03 00:00:00")))),
+      // decimal (round-10): exact-fit literals compare natively
+      Seq(sources.GreaterThan("dec", new java.math.BigDecimal("25.50"))),
+      Seq(sources.EqualTo("dec", new java.math.BigDecimal("13.07"))),
+      Seq(sources.LessThan("dec", new java.math.BigDecimal("60.00")),
+        sources.IsNotNull("dec")))
     val statsRows = (0 until 200).map(i => (i, statsJson()))
     val df = statsRows.toDF("i", "stats")
     filterSets.foreach { fs =>
@@ -163,13 +173,47 @@ class DeltaStatsSpec extends SparkSpec {
         s"filters=$fs\nonlyCol=${(colKept -- udfKept).toSeq.sorted.take(5).map(statsRows)}" +
           s"\nonlyUdf=${(udfKept -- colKept).toSeq.sorted.take(5).map(statsRows)}")
     }
-    // residual case falls back: decimal filters decline; timestamps stay
-    // on the Column path (round-10 vectorization)
+    // round-10: decimal and timestamp filters both stay on the Column path
     assert(DeltaStatsColumn.build(Seq(sources.EqualTo("dec", BigDecimal(1))),
-      Seq(("dec", "dec", DecimalType(10, 2)))).isEmpty)
+      Seq(("dec", "dec", DecimalType(10, 2)))).isDefined)
     assert(DeltaStatsColumn.build(Seq(sources.GreaterThan("ts",
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
       Seq(("ts", "ts", TimestampType))).isDefined)
+
+    // Out-of-fit decimal soundness: bounds/literals needing rounding into
+    // (10,2) read UNKNOWN on the Column path (keep), while the UDF's
+    // arbitrary-precision compare may prune — the Column verdicts must be
+    // a SUPERSET of the UDF's, never a differently-pruned set.
+    val decFields = Seq(("dec", "p_dec", DecimalType(10, 2): DataType))
+    val decLogical = StructType(Seq(StructField("dec", DecimalType(10, 2))))
+    val oddStats = Seq(
+      """{"numRecords":10,"minValues":{"p_dec":1.005},"maxValues":{"p_dec":2.005},"nullCount":{"p_dec":0}}""",
+      """{"numRecords":10,"minValues":{"p_dec":1.00},"maxValues":{"p_dec":2.00},"nullCount":{"p_dec":0}}""",
+      """{"numRecords":10,"minValues":{"p_dec":99999999999.00},"maxValues":{"p_dec":99999999999.50},"nullCount":{"p_dec":0}}""",
+      """{"numRecords":10,"minValues":{"p_dec":5.25},"maxValues":{"p_dec":5.75},"nullCount":{"p_dec":0}}""")
+    val oddFilters: Seq[Seq[sources.Filter]] = Seq(
+      Seq(sources.GreaterThan("dec", new java.math.BigDecimal("2.0049"))), // out-of-fit literal
+      Seq(sources.GreaterThan("dec", new java.math.BigDecimal("3.00"))),
+      Seq(sources.LessThan("dec", new java.math.BigDecimal("1.00"))),
+      Seq(sources.EqualTo("dec", new java.math.BigDecimal("5.50"))))
+    val oddDf = oddStats.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "stats")
+    oddFilters.foreach { fs =>
+      val udfKept = oddStats.zipWithIndex.filter { case (s, _) =>
+        DeltaStats.parse(s, decFields) match {
+          case Some((rows, st)) =>
+            fs.forall(fl => graft.catalog.StatsSkip.keep(fl, decLogical, st, rows))
+          case None => true
+        }
+      }.map(_._2).toSet
+      val Some((pSchema, mkKeep)) = DeltaStatsColumn.build(fs, decFields)
+      val colKept = oddDf
+        .withColumn("_p", from_json(col("stats"), pSchema))
+        .where(col("stats").isNull || col("_p").isNull || mkKeep(col("_p")))
+        .select("i").as[Int].collect().toSet
+      assert(udfKept.subsetOf(colKept),
+        s"Column path pruned a file the UDF keeps: fs=$fs col=$colKept udf=$udfKept")
+      // and on exact-fit stats with exact-fit literals it prunes identically
+    }
   }
 
   test("delta read plans no stats UDF on the supported filter path") {

@@ -128,6 +128,86 @@ class IcebergSpec extends SparkSpec {
       Iceberg.read(spark, t, snapshotId = Some(first)).count())
   }
 
+  test("property: identity partition spellings (hive, raw-integral, garbage) never prune a matching file") {
+    // The manifest carries STRINGIFIED partition values: our writer's
+    // hive-dir rendering, a foreign manifest's avro stringification (date
+    // = days from epoch, timestamp = micros), or something unknown. The
+    // prune must be exact on decodable spellings and FAIL-OPEN on
+    // undecodable ones.
+    import java.time.{LocalDate, Instant}
+    val rnd = new scala.util.Random(77)
+    val pSchema = StructType(Seq(
+      StructField("i", IntegerType), StructField("s", StringType),
+      StructField("d", DateType), StructField("t", TimestampType)))
+    val partCols = Seq("i", "s", "d", "t")
+    val epoch = LocalDate.of(1970, 1, 1)
+    case class F(path: String, i: Option[Int], s: Option[String],
+        d: Option[LocalDate], t: Option[Long], // t = epoch micros
+        spell: Seq[String], undecodable: Boolean)
+    val files = (0 until 120).map { n =>
+      val i = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5))
+      val s = if (rnd.nextInt(10) == 0) None else Some(s"g${rnd.nextInt(3)}")
+      val d = if (rnd.nextInt(10) == 0) None else Some(LocalDate.of(2024, 1, rnd.nextInt(28) + 1))
+      val t = if (rnd.nextInt(10) == 0) None
+        else Some(Instant.parse(f"2024-01-${rnd.nextInt(28) + 1}%02dT${rnd.nextInt(24)}%02d:00:00Z")
+          .getEpochSecond * 1000000L)
+      var garbled = false
+      def g[T](v: Option[T])(spellings: T => Seq[String]): String = v match {
+        case None => null
+        case Some(x) =>
+          val all = spellings(x) :+ "un-spellable!"
+          val pick = all(rnd.nextInt(all.size))
+          if (pick == "un-spellable!") garbled = true
+          pick
+      }
+      val spell = Seq(
+        g(i)(v => Seq(v.toString)),
+        s.orNull, // strings pass through (no garbage form: any string IS a value)
+        g(d)(v => Seq(v.toString, java.time.temporal.ChronoUnit.DAYS.between(epoch, v).toString)),
+        g(t)(v => Seq(Instant.ofEpochSecond(v / 1000000L).toString, v.toString)))
+      F(s"f$n", i, s, d, t, spell, garbled)
+    }
+    import spark.implicits._
+    val pvDf = files.map(f => (f.path, f.spell)).toDF("path", "pv")
+    val cutD = LocalDate.of(2024, 1, 15)
+    val cutT = Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000L
+    val preds: Seq[(org.apache.spark.sql.Column, F => Boolean)] = Seq(
+      (col("i") === 2, f => f.i.contains(2)),
+      (col("s").isin("g0", "g2"), f => f.s.exists(Set("g0", "g2"))),
+      (col("d") >= java.sql.Date.valueOf(cutD), f => f.d.exists(!_.isBefore(cutD))),
+      (col("t") < new java.sql.Timestamp(cutT / 1000L), f => f.t.exists(_ < cutT)),
+      (col("d").isNull, f => f.d.isEmpty),
+      (col("i") === 1 && col("d") < java.sql.Date.valueOf(cutD),
+        f => f.i.contains(1) && f.d.exists(_.isBefore(cutD))))
+    preds.foreach { case (pred, model) =>
+      val kept = Iceberg.prunePartitionDf(pvDf, partCols, pSchema, pred)
+        .select("path").as[String].collect().toSet
+      files.foreach { f =>
+        val expectKeep = f.undecodable || model(f)
+        if (expectKeep) assert(kept.contains(f.path),
+          s"pruned a matching/undecodable file: $f under $pred")
+        else assert(!kept.contains(f.path),
+          s"kept a provably non-matching file: $f under $pred")
+      }
+    }
+  }
+
+  test("iceberg: date-identity partition filter prunes through both planners") {
+    val t = tmpDir("ice-datepart") + "/tbl"
+    val df0 = (1 to 20).map(n => (n, java.sql.Date.valueOf(f"2024-03-${(n % 10) + 1}%02d")))
+      .toDF("id", "day")
+    Iceberg.createTable(t, df0.schema, partitionCols = Seq("day"))
+    Iceberg.append(df0, t)
+    val pf = col("day") === java.sql.Date.valueOf("2024-03-05")
+    val expect = df0.where(pf).select("id").as[Int].collect().toSet
+    val drv = Iceberg.read(spark, t, partitionFilter = Some(pf))
+    assert(drv.select("id").as[Int].collect().toSet == expect)
+    assert(drv.inputFiles.length < Iceberg.read(spark, t).inputFiles.length)
+    val gated = Iceberg.read(spark, t, partitionFilter = Some(pf),
+      planGateManifestBytes = 0L)
+    assert(gated.select("id").as[Int].collect().toSet == expect)
+  }
+
   test("iceberg: concurrent metadata version commit is a conflict") {
     val t = tmpDir("ice-race") + "/tbl"
     Iceberg.createTable(t, nation.schema)
