@@ -1605,6 +1605,105 @@ object CatalogQueries {
       require(log.last.entries.forall(_.path.contains("_g_p_source_identity=")),
         "post-alter files must carry the new layout")
       cat.readTable("q.d")
+    },
+
+    // Zipper read with MIXED filters (round-10): the merge-KEY conjunct
+    // pushes into every group's plan (manifest prune on a key-truncate
+    // partitioned layout + pre-join row filter — builder-asserted fewer
+    // planned files), the cross-group conjunct evaluates post-zip. The
+    // oracle recomputes the filtered field-wise terminal state.
+    Q("c84_zipper_filtered", Some("""
+      WITH upd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+               source,
+               CASE WHEN doc_id % 4 = 0 THEN 'B:' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0)
+      SELECT * FROM upd WHERE doc_id < 300 AND lang IS NOT NULL""")) { (s, dir) =>
+      val cat = newCat(s, "c84")
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "source", "text")
+      cat.createTable("q.zf", StructType(Seq(
+        FieldMeta.field("doc_id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("lang", StringType),
+        FieldMeta.field("source", StringType),
+        FieldMeta.field("text", StringType))),
+        partitionScheme = PartitionScheme(Seq(
+          PartitionKey("doc_id", Transform.Truncate(128)))),
+        properties = MoR)
+      cat.setSubschema("q.zf", "meta", Seq("doc_id", "lang", "source"))
+      cat.setSubschema("q.zf", "body", Seq("doc_id", "text"))
+      cat.writeToTable(d, "q.zf", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("xx").as("lang")), "q.zf", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), concat(lit("B:"), col("text")).as("text")),
+        "q.zf", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 7 === 0).select("doc_id"),
+        "q.zf", WriteMode.Delete)
+      val opts = ReadOptions(rowFilter =
+        Some(col("doc_id") < 300L && col("lang").isNotNull))
+      val filtered = cat.readZipped("q.zf", opts = opts)
+      // physical claim: the pushed key conjunct prunes each group's plan
+      require(filtered.inputFiles.length < cat.readZipped("q.zf").inputFiles.length,
+        "key-filtered zip must plan fewer files than the unfiltered zip")
+      filtered
+    },
+
+    // The SQL surface of the zipper (round-10): graft_read_zipped TVF with
+    // the pushed-filter argument — SQL users reach the same per-group
+    // merge-on-read plan, same oracle as the Scala API leg.
+    Q("c85_zipper_sql", Some("""
+      WITH upd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+               source,
+               CASE WHEN doc_id % 4 = 0 THEN 'B:' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0)
+      SELECT doc_id, lang, source FROM upd WHERE doc_id < 300""")) { (s, dir) =>
+      val root = Files.createTempDirectory("graft_c85").toString
+      val cat = new GraftCatalog(s, root)
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "source", "text")
+      cat.createTable("q.zs", StructType(Seq(
+        FieldMeta.field("doc_id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("lang", StringType),
+        FieldMeta.field("source", StringType),
+        FieldMeta.field("text", StringType))), properties = MoR)
+      cat.setSubschema("q.zs", "meta", Seq("doc_id", "lang", "source"))
+      cat.setSubschema("q.zs", "body", Seq("doc_id", "text"))
+      cat.writeToTable(d, "q.zs", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("xx").as("lang")), "q.zs", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 7 === 0).select("doc_id"),
+        "q.zs", WriteMode.Delete)
+      graft.Graft.registerFunctions(s)
+      s.sql(s"SELECT * FROM graft_read_zipped('$root', 'q.zs', 'meta', 'doc_id < 300')")
+    },
+
+    // SQL merge-on-read via the graft_read TVF (round-10): the DSv2
+    // relation refuses unresolved-merge tables ("compact() first"); this
+    // surface routes SQL readers through readTable's LSM fold, filter
+    // pushed into manifest pruning. Oracle recomputes last-writer-wins
+    // over the upsert + delete interleaving.
+    Q("c86_sql_mor_read", Some("""
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'upd' ELSE n_name END AS n_name,
+             n_regionkey
+      FROM nation WHERE n_nationkey % 5 <> 0 AND n_regionkey < 3""")) { (s, dir) =>
+      val root = Files.createTempDirectory("graft_c86").toString
+      val cat = new GraftCatalog(s, root)
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      cat.createTable("q.m", StructType(Seq(
+        FieldMeta.field("n_nationkey", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("n_name", StringType),
+        FieldMeta.field("n_regionkey", IntegerType))), properties = MoR)
+      cat.writeToTable(n, "q.m", WriteMode.Merge)
+      cat.writeToTable(n.where(col("n_nationkey") % 3 === 0)
+        .select(col("n_nationkey"), lit("upd").as("n_name"), col("n_regionkey")),
+        "q.m", WriteMode.Merge)
+      cat.writeToTable(n.where(col("n_nationkey") % 5 === 0).select("n_nationkey"),
+        "q.m", WriteMode.Delete)
+      graft.Graft.registerFunctions(s)
+      s.sql(s"SELECT * FROM graft_read('$root', 'q.m', 'n_regionkey < 3')")
     }
   )
 }

@@ -136,17 +136,70 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
-  /** Extension-injection descriptor for SparkSessionExtensions
+  /** SQL surface for the full merge-on-read read path (round-10):
+    * {{{
+    *   SELECT * FROM graft_read('<root>', 'ns.t')
+    *   SELECT * FROM graft_read('<root>', 'ns.t', 'k = 5')        -- pushed filter
+    *   SELECT * FROM graft_read('<root>', 'ns.t', '', 1700000000000) -- asOf txn millis
+    * }}}
+    * The DSv2 relation (`SELECT … FROM graft.ns.t`) deliberately refuses
+    * tables with unresolved merge deltas / unmaterialized defaults /
+    * stale renames ("compact() first") because a file-scan delegate
+    * cannot express the LSM fold; this TVF routes SQL readers through
+    * `GraftCatalog.readTable`, which can. The filter string reaches
+    * `ReadOptions.rowFilter`, so manifest stats pruning and the merge
+    * key-only prune rule apply exactly as in the Scala API. */
+  private def readTablePlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.lengthIs >= 2 && args.lengthIs <= 4,
+      s"graft_read(root, table[, where[, asOf]]) — got ${args.length} argument(s)")
+    val spark = SparkSession.active
+    val root = strArg(args, 0, "graft_read", "root")
+    val table = strArg(args, 1, "graft_read", "table")
+    val rowFilter =
+      if (args.lengthIs >= 3) Some(strArg(args, 2, "graft_read", "where")).filter(_.nonEmpty)
+        .map(w => c(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.sqlParser.parseExpression(w)))
+      else None
+    val asOf =
+      if (args.lengthIs >= 4) {
+        val e = args(3)
+        require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+          "graft_read: asOf must be an integer literal (committed txn time millis, " +
+            "same semantics as ReadOptions.asOf / SQL TIMESTAMP AS OF)")
+        Option(e.eval()).map(_.toString.toLong)
+      } else None
+    new graft.catalog.GraftCatalog(spark, root)
+      .readTable(table, graft.catalog.ReadOptions(rowFilter = rowFilter, asOf = asOf))
+      .queryExecution.analyzed
+  }
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String, what: String): String = {
+    val e = args(i)
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
+      s"$fn: $what must be a string literal")
+    val v = e.eval()
+    require(v != null, s"$fn: $what must not be null")
+    v.toString
+  }
+
+  private def tableFns
+      : Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq("graft_read_zipped" -> (readZippedPlan _),
+      "graft_read" -> (readTablePlan _))
+
+  /** Extension-injection descriptors for SparkSessionExtensions
     * (`injectTableFunction`). */
   def tableInjectable: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
-    Seq((FunctionIdentifier("graft_read_zipped"), info("graft_read_zipped"),
-      readZippedPlan _))
+    tableFns.map { case (name, b) => (FunctionIdentifier(name), info(name), b) }
 
-  /** Register the TVF into a live session. Idempotent. */
+  /** Register the TVFs into a live session. Idempotent. */
   def registerTable(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.tableFunctionRegistry
-    registry.createOrReplaceTempFunction("graft_read_zipped", readZippedPlan _, "built-in")
+    tableFns.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

@@ -291,6 +291,38 @@ class Dsv2Spec extends SparkSpec {
       .head().getLong(0) == 8L)
   }
 
+  test("SQL graft_read TVF serves merge-on-read tables the DSv2 relation refuses") {
+    val root = tmpDir("graft-dsv2m")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("ns.m", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("k", org.apache.spark.sql.types.IntegerType,
+        nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable((1 to 10).map(k => (k, s"a$k")).toDF("k", "v"),
+      "ns.m", WriteMode.Merge)
+    val t1 = cat.store.history().head.endTimeMillis // after the first write
+    cat.writeToTable(Seq((3, "B3"), (7, "B7")).toDF("k", "v"), "ns.m", WriteMode.Merge)
+    cat.writeToTable(Seq(5).toDF("k"), "ns.m", WriteMode.Delete)
+    Graft.registerFunctions(spark)
+    // the DSv2 relation refuses (unresolved merges)…
+    spark.conf.set("spark.sql.catalog.graftm", classOf[graft.spark.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftm.root", root)
+    val e = intercept[Exception](spark.sql("SELECT * FROM graftm.ns.m").collect())
+    assert(e.getMessage.contains("compact() first"))
+    // …the TVF serves the resolved state
+    val got = spark.sql(s"SELECT * FROM graft_read('$root', 'ns.m')")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val expect = (1 to 10).filter(_ != 5)
+      .map(k => (k, if (k == 3 || k == 7) s"B$k" else s"a$k")).toSet
+    assert(got == expect)
+    // pushed filter + asOf through the TVF
+    assert(spark.sql(s"SELECT * FROM graft_read('$root', 'ns.m', 'k = 3')")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "B3")))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_read('$root', 'ns.m', '', $t1)")
+      .head().getLong(0) == 10L)
+  }
+
   test("DSv2 reads non-parquet content types through the matching file table") {
     val root = tmpDir("graft-dsv2c")
     val cat = new GraftCatalog(spark, root)
