@@ -515,18 +515,44 @@ object StatsSkip {
     val conjuncts = preds.flatMap(c => splitConjuncts(expressionOf(c)))
     def keyOnly(e: ce.Expression): Boolean = {
       if (e.exists(_.isInstanceOf[ce.PlanExpression[_]])) return false
+      // A pushed conjunct evaluates once per GROUP frame; a nondeterministic
+      // one (rand() < 0.5) would let groups disagree on which keys survive
+      // and the full-outer zip would emit corrupt partial rows. Resolved
+      // trees expose `deterministic`; pre-analysis trees arrive as
+      // UnresolvedFunction (deterministic defaults true), so reject known
+      // nondeterministic names by spelling too.
+      if (!e.deterministic) return false
+      if (e.exists {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.size == 1 =>
+          nondeterministicFnNames.contains(
+            f.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+        case _ => false
+      }) return false
       val refs = e.collect {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           if (u.nameParts.size == 1) Some(u.nameParts.head) else None
         case a: ce.Attribute => Some(a.name)
       }
-      refs.forall(_.exists(keys.contains))
+      // refs.nonEmpty: a reference-free conjunct (lit(true), rand() < 0.5
+      // behind an alias, current_date() comparisons) passes the forall
+      // vacuously but gains nothing from the push — route it to the
+      // residual where it evaluates exactly once per zipped row.
+      refs.nonEmpty && refs.forall(_.exists(keys.contains))
     }
     val (key, rest) = conjuncts.partition(keyOnly)
     def and(es: Seq[ce.Expression]): Option[Column] =
       es.reduceOption(ce.And.apply).map(columnOf)
     (and(key), and(rest))
   }
+
+  /** Builtin function names whose results vary per evaluation — a
+    * pre-analysis UnresolvedFunction carrying one of these must never be
+    * pushed into a per-group plan (see [[splitKeyConjuncts]]). */
+  private val nondeterministicFnNames: Set[String] = Set(
+    "rand", "randn", "random", "uuid", "shuffle", "randstr",
+    "monotonically_increasing_id", "spark_partition_id",
+    "input_file_name", "input_file_block_start", "input_file_block_length")
 
   /** Pre-analysis Column trees arrive as UnresolvedFunction nodes ('and,
     * '`>`, 'in, …), not typed comparisons — match both shapes. */

@@ -535,8 +535,26 @@ object Iceberg {
         when(isIntegral, timestamp_micros(c.try_cast(LongType)))
           .otherwise(c.try_cast(TimestampType))
       case TimestampNTZType =>
-        when(isIntegral, timestamp_micros(c.try_cast(LongType)).try_cast(TimestampNTZType))
-          .otherwise(c.try_cast(TimestampNTZType))
+        // Iceberg NTZ partition micros are ZONE-LESS wall-clock micros.
+        // timestamp_micros builds an instant and TimestampType→NTZ casts
+        // render it in the SESSION zone — in any non-UTC session the value
+        // would shift by the zone offset and an identity partitionFilter
+        // could silently prune matching files. Build the wall-clock from
+        // pure integer arithmetic instead (exact, zone-free; `div` is
+        // Spark's IntegralDivide, exact on the already-remainder-free
+        // numerator): days + micros-of-day → y/m/d/h/min/sec.
+        when(isIntegral, {
+          val us = c.try_cast(LongType)
+          val dayUs = lit(86400000000L)
+          val rem = pmod(us, dayUs)
+          val dayNum = call_function("div", us - rem, dayUs)
+          val d = date_add(to_date(lit("1970-01-01")), dayNum.try_cast(IntegerType))
+          val h = call_function("div", rem, lit(3600000000L)).cast(IntegerType)
+          val mi = pmod(call_function("div", rem, lit(60000000L)), lit(60L)).cast(IntegerType)
+          val secs = (pmod(rem, lit(60000000L)).cast(DecimalType(16, 6)) / lit(1000000L))
+            .cast(DecimalType(16, 6))
+          try_make_timestamp_ntz(year(d), month(d), dayofmonth(d), h, mi, secs)
+        }).otherwise(c.try_cast(TimestampNTZType))
       case other => c.try_cast(other)
     }
   }

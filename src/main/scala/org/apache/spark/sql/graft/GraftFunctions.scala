@@ -100,25 +100,21 @@ object GraftFunctions {
     *   SELECT * FROM graft_read_zipped('<root>', 'ns.t')                 -- all groups
     *   SELECT * FROM graft_read_zipped('<root>', 'ns.t', 'nums,text')    -- subset
     *   SELECT * FROM graft_read_zipped('<root>', 'ns.t', '', 'k = 5')    -- pushed filter
+    *   SELECT * FROM graft_read_zipped('<root>', 'ns.t', '', '', 1700000000000) -- asOf
     * }}}
     * The 4th argument is a SQL predicate string handed to
     * `ReadOptions.rowFilter`, so key-only conjuncts push into each column
     * group's plan (manifest prune + pre-join filter) — a WHERE clause
     * outside the TVF cannot reach through the zip's full-outer joins.
-    * Arguments must be foldable strings (resolved at analysis time). */
+    * `''` means no filter (mirrors graft_read — needed to reach the asOf
+    * argument). The 5th is `ReadOptions.asOf` committed-txn millis, the
+    * same time-travel `readZipped` honors in the Scala API.
+    * Arguments must be foldable (resolved at analysis time). */
   private def readZippedPlan(args: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(args.lengthIs >= 2 && args.lengthIs <= 4,
-      s"graft_read_zipped(root, table[, groups[, where]]) — got ${args.length} argument(s)")
-    def str(i: Int, what: String): String = {
-      val e = args(i)
-      require(e.foldable &&
-        e.dataType == org.apache.spark.sql.types.StringType,
-        s"graft_read_zipped: $what must be a string literal")
-      val v = e.eval()
-      require(v != null, s"graft_read_zipped: $what must not be null")
-      v.toString
-    }
+    require(args.lengthIs >= 2 && args.lengthIs <= 5,
+      s"graft_read_zipped(root, table[, groups[, where[, asOf]]]) — got ${args.length} argument(s)")
+    def str(i: Int, what: String): String = strArg(args, i, "graft_read_zipped", what)
     val spark = SparkSession.active
     val root = str(0, "root")
     val table = str(1, "table")
@@ -127,12 +123,21 @@ object GraftFunctions {
         str(2, "groups").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else Nil
     val rowFilter =
-      if (args.lengthIs >= 4)
-        Some(c(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-          .sessionState.sqlParser.parseExpression(str(3, "where"))))
+      if (args.lengthIs >= 4) Some(str(3, "where")).filter(_.nonEmpty)
+        .map(w => c(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.sqlParser.parseExpression(w)))
       else None
+    val asOf =
+      if (args.lengthIs >= 5) {
+        val e = args(4)
+        require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+          "graft_read_zipped: asOf must be an integer literal (committed txn time millis, " +
+            "same semantics as ReadOptions.asOf)")
+        Option(e.eval()).map(_.toString.toLong)
+      } else None
     new graft.catalog.GraftCatalog(spark, root)
-      .readZipped(table, groups, graft.catalog.ReadOptions(rowFilter = rowFilter))
+      .readZipped(table, groups,
+        graft.catalog.ReadOptions(rowFilter = rowFilter, asOf = asOf))
       .queryExecution.analyzed
   }
 

@@ -262,6 +262,7 @@ class Dsv2Spec extends SparkSpec {
     cat.setSubschema("ns.z", "text", Seq("k", "t"))
     cat.writeToTable((0 until 8).map(k => (k, k * 10, s"t$k")).toDF("k", "a", "t"),
       "ns.z", WriteMode.Merge)
+    val t1 = cat.store.history().head.endTimeMillis // after the bulk load
     cat.writeToTable(Seq((1, 11), (5, 51)).toDF("k", "a"), "ns.z", WriteMode.Merge)
     cat.writeToTable(Seq((2, "zz")).toDF("k", "t"), "ns.z", WriteMode.Merge)
     Graft.registerFunctions(spark) // the runtime registration path
@@ -289,6 +290,19 @@ class Dsv2Spec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM graft_read_zipped('$root', 'ns.z')")
       .head().getLong(0) == 8L)
+    // round-11: '' where means "no filter" (mirrors graft_read — needed to
+    // reach the asOf argument) …
+    assert(spark.sql(s"SELECT * FROM graft_read_zipped('$root', 'ns.z', '', '')")
+      .count() == 8L)
+    // … and the 5th arg time-travels the zip: at the bulk-load txn the
+    // trickles (a=11, t=zz) must not be visible, and the TVF must equal
+    // the Scala readZipped(asOf) exactly.
+    val asOfSql = spark.sql(
+      s"SELECT * FROM graft_read_zipped('$root', 'ns.z', '', '', $t1) ORDER BY k")
+    val asOfApi = cat.readZipped("ns.z", Nil, ReadOptions(asOf = Some(t1))).orderBy("k")
+    assert(asOfSql.collect().toSeq == asOfApi.collect().toSeq)
+    assert(asOfSql.where("a = 11 OR t = 'zz'").isEmpty,
+      "asOf zip must serve the pre-trickle state")
   }
 
   test("SQL graft_read TVF serves merge-on-read tables the DSv2 relation refuses") {

@@ -192,6 +192,51 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("NTZ raw-micros partition values decode zone-free in non-UTC sessions") {
+    // Iceberg NTZ partition micros are ZONE-LESS wall-clock micros; the
+    // round-10 decode went through TimestampType → NTZ cast, which renders
+    // in the SESSION zone — in a non-UTC session an identity
+    // partitionFilter on an NTZ column silently pruned matching files
+    // (advisor finding, round 11). The decode must yield the same
+    // wall-clock in every session zone, including negative micros.
+    import java.time.LocalDateTime
+    import spark.implicits._
+    val pSchema = StructType(Seq(StructField("t", TimestampNTZType)))
+    val micros = Seq(
+      0L,                                     // 1970-01-01T00:00:00
+      -1L,                                    // 1969-12-31T23:59:59.999999
+      1705276800000000L,                      // 2024-01-15T00:00:00
+      1705276800000000L + 3661000001L,        // 2024-01-15T01:01:01.000001
+      1735689600000000L)                      // 2025-01-01T00:00:00
+    def wallClock(us: Long): LocalDateTime = {
+      val s = Math.floorDiv(us, 1000000L); val f = Math.floorMod(us, 1000000L)
+      LocalDateTime.ofEpochSecond(s, f.toInt * 1000, java.time.ZoneOffset.UTC)
+    }
+    val pvDf = micros.zipWithIndex.map { case (us, i) => (s"f$i", Seq(us.toString)) }
+      .toDF("path", "pv")
+    val cut = LocalDateTime.of(2024, 1, 15, 0, 0)
+    val preds: Seq[(org.apache.spark.sql.Column, Long => Boolean)] = Seq(
+      (col("t") >= lit(cut), us => !wallClock(us).isBefore(cut)),
+      (col("t") === lit(wallClock(micros(3))), us => us == micros(3)),
+      (col("t") < lit(LocalDateTime.of(1970, 1, 1, 0, 0)), us => us < 0L))
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (zone <- Seq("UTC", "America/Los_Angeles", "Asia/Kolkata", "Pacific/Kiritimati")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        preds.foreach { case (pred, model) =>
+          val kept = Iceberg.prunePartitionDf(pvDf, Seq("t"), pSchema, pred)
+            .select("path").as[String].collect().toSet
+          val expect = micros.zipWithIndex.collect { case (us, i) if model(us) => s"f$i" }.toSet
+          assert(kept == expect, s"zone=$zone pred=$pred: got $kept want $expect")
+        }
+        // wall-clock literal spelling decodes zone-free too
+        val litDf = Seq(("g0", Seq("2024-01-15T01:01:01.000001"))).toDF("path", "pv")
+        assert(Iceberg.prunePartitionDf(litDf, Seq("t"), pSchema,
+          col("t") === lit(wallClock(micros(3)))).count() == 1, s"zone=$zone literal spelling")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
   test("iceberg: date-identity partition filter prunes through both planners") {
     val t = tmpDir("ice-datepart") + "/tbl"
     val df0 = (1 to 20).map(n => (n, java.sql.Date.valueOf(f"2024-03-${(n % 10) + 1}%02d")))

@@ -131,6 +131,42 @@ class ZipperSpec extends SparkSpec {
       Set((2, "zz")))
   }
 
+  test("nondeterministic / reference-free conjuncts never push into group plans") {
+    // A pushed conjunct evaluates once per GROUP frame; rand() pushed into
+    // two groups would let them disagree on surviving keys and the
+    // full-outer zip would emit corrupt partial rows (round-11 fix).
+    val keys = Set("k")
+    def split(c: org.apache.spark.sql.Column) = StatsSkip.splitKeyConjuncts(Seq(c), keys)
+    // resolved Rand via the Column API (deterministic=false)
+    val (k1, r1) = split(col("k") === 1 && rand() < lit(2.0))
+    assert(k1.isDefined && r1.isDefined, "key conjunct pushes, rand() stays residual")
+    // pre-analysis UnresolvedFunction spelled "rand"
+    val (k2, r2) = split(expr("k = 1 AND rand() < 2.0"))
+    assert(k2.isDefined && r2.isDefined)
+    // reference-free deterministic conjunct: residual (vacuous forall fix)
+    val (k3, r3) = split(lit(true))
+    assert(k3.isEmpty && r3.isDefined)
+    // a key-referencing conjunct CONTAINING a nondeterministic call: residual
+    val (k4, r4) = split(col("k") < rand() * 100)
+    assert(k4.isEmpty && r4.isDefined)
+
+    // behavior: under a nondeterministic filter, every zipped row must be a
+    // complete row of the plain unfiltered read — per-group evaluation
+    // would surface rows with spuriously-nulled group fields.
+    val cat = newTable("zip-nondet")
+    cat.writeToTable((0 until 10).map(k => (k, k, k * 10, s"t$k")).toDF("k", "a", "b", "t"),
+      "z.t", WriteMode.Merge)
+    cat.writeToTable(Seq((3, 33, 330)).toDF("k", "a", "b"), "z.t", WriteMode.Merge)
+    cat.writeToTable(Seq((7, "seven")).toDF("k", "t"), "z.t", WriteMode.Merge)
+    val plainAll = rows(cat, cat.readTable("z.t"))
+    (0 until 5).foreach { trial =>
+      val got = rows(cat, cat.readZipped("z.t",
+        opts = ReadOptions(rowFilter = Some(expr("rand() < 0.5")))))
+      assert(got.subsetOf(plainAll),
+        s"trial $trial: nondeterministic filter corrupted zipped rows: ${got.diff(plainAll)}")
+    }
+  }
+
   test("a delta writing only UNCOVERED columns still surfaces its keys") {
     // schema has a column no declared group covers; a write touching only
     // (keys, uncovered) must not vanish from the zip — it participates in
