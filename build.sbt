@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // variance); the image has 128 GiB, so give the single-JVM "cluster" a
   // realistic per-core share.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Round-11 (t41_span_removal_10x variance): under default G1, identical
+  // back-to-back runs of the allocation-heavy span-hash stream swung
+  // 4.5-19 s (one bench artifact hit 41 s) — zero spill, stage count
+  // constant, the excursions land exactly when a G1 concurrent cycle's
+  // mark threads compete with 32 task threads on the grown heap.
+  // ParallelGC (throughput collector; batch workload, nobody cares about
+  // pause times here) measured 3.1-5.7 s across the same 5-run probe.
+  "-XX:+UseParallelGC",
 )

@@ -35,15 +35,58 @@ object Bench {
     "t38_pca_project", "t40_curation_pipeline", "t41_span_removal",
     "t44_corpus_shuffle", "t46_semantic_join")
 
-  /** Quiet-machine historical upper bounds (seconds) for entries whose
-    * rounds showed load-driven elevation that two agreeing runs could not
-    * rule out (r9 verdict: t15 2.70 vs band 1.56-2.05, t40 4.01 vs band
-    * 2.75-3.68). Advisory only — drives extra retries, never a failure. */
+  /** Quiet-machine historical upper bounds (seconds), one per registry
+    * entry with recorded history (round-11: full coverage — the r10
+    * artifact shipped four entries 2-4.3x elevated with agreeing runs and
+    * no band to trigger the exonerating retries). Each value is the max of
+    * recent quiet rounds' per-round minimums (BENCH_r07-r10 "runs" fields,
+    * load-flagged values excluded) plus ~15-25% headroom; the retry
+    * triggers at the band value itself (no extra slack factor — the
+    * headroom lives HERE, so the recorded bands and the trigger agree).
+    * Advisory only — drives extra retries, never a failure. A false
+    * trigger costs two extra runs; a missing band costs a round of
+    * unexonerated `weak` marks, so bands are deliberately tight. */
   private val quietBandUpper: Map[String, Double] = Map(
-    "t15_neardup_clusters" -> 2.1,
-    "t40_curation_pipeline" -> 3.7,
-    "pipeline_write_compact_read" -> 3.4,
-    "q05_region_revenue" -> 0.65)
+    "q01_pricing_summary" -> 0.35,
+    "q03_join_topk" -> 1.40,
+    "q05_region_revenue" -> 0.75,
+    "q07_topk_orders" -> 0.25,
+    "q12_events_sessionize" -> 0.33,
+    "q16_asof_join" -> 0.31,
+    "t01_text_stats" -> 0.22,
+    "t02_exact_dedup" -> 0.55,
+    "t04_minhash_neardup" -> 2.40,
+    "t06_ann_brute" -> 0.48,
+    "t07_ann_lsh" -> 1.05,
+    "t10_ann_ivf" -> 0.78,
+    "t11_semantic_dedup" -> 1.20,
+    "t15_neardup_clusters" -> 2.20,
+    "t31_quality_score" -> 0.65,
+    "t32_dsir_weights" -> 1.65,
+    "t33_crosscorpus_join" -> 2.00,
+    "t34_bm25_topk" -> 1.70,
+    "t35_chunk_documents" -> 0.38,
+    "t36_lm_perplexity" -> 1.25,
+    "t38_pca_project" -> 0.30,
+    "t40_curation_pipeline" -> 3.70,
+    "t41_span_removal" -> 1.35,
+    "t44_corpus_shuffle" -> 0.25,
+    "t46_semantic_join" -> 0.80,
+    "t04_minhash_neardup_10x" -> 7.60,
+    "t41_span_removal_10x" -> 4.00,
+    "pipeline_write_compact_read" -> 3.40,
+    "pipeline_10x" -> 12.00,
+    "baseline_raw_spark" -> 0.90,
+    "baseline_raw_spark_10x" -> 3.20,
+    "skip_read" -> 0.25,
+    "agg_meta" -> 0.05,
+    "iceberg_transform_prune" -> 0.25,
+    "iceberg_transform_prune_10x" -> 1.30,
+    "iceberg_gated_plan_10x" -> 1.30,
+    "zipper_read" -> 3.80,
+    "zipper_read_plain" -> 3.00,
+    "zipper_read_filtered" -> 1.70,
+    "zipper_read_10x" -> 11.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,7 +148,7 @@ object Bench {
       // elevated through four runs; a load spike usually doesn't.
       quietBandUpper.get(name).foreach { band =>
         var extra = 0
-        while (rs.min > band * 1.2 && extra < 2) { rs += time(body); extra += 1 }
+        while (rs.min > band && extra < 2) { rs += time(body); extra += 1 }
       }
       runsLog(name) = rs.toSeq
       rs.min
@@ -140,6 +183,38 @@ object Bench {
         "bench.li", WriteMode.Delete)
       cat.readTable("bench.li").count()
     })
+
+    // ---- SQL TVF surface cost (round-11): the graft_read merge-on-read
+    // TVF resolves through the catalog's analyzed plan, so SQL users must
+    // pay ~0 over the Scala readTable on the same unresolved-delta table.
+    // Prep (table build, one bulk merge + one 1% trickle) is unmeasured.
+    try {
+      val root = Files.createTempDirectory("graft_bench_sql").toString
+      val cat = new GraftCatalog(spark, root)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      cat.createTable("bench.sqlmor", StructType(Seq(
+        FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
+        FieldMeta.field("l_quantity", DoubleType),
+        FieldMeta.field("l_extendedprice", DoubleType),
+        FieldMeta.field("l_returnflag", StringType))),
+        properties = Map("read_optimization" -> "NONE"))
+      cat.writeToTable(li, "bench.sqlmor", WriteMode.Merge)
+      cat.writeToTable(li.where(col("l_orderkey") % 100 === 0)
+        .withColumn("l_extendedprice", col("l_extendedprice") * 1.1),
+        "bench.sqlmor", WriteMode.Merge)
+      Graft.registerFunctions(spark)
+      attempt("mor_read_scala")(measured("mor_read_scala") {
+        cat.readTable("bench.sqlmor").agg(sum("l_quantity"), count(lit(1))).head()
+      })
+      attempt("mor_read_sql")(measured("mor_read_sql") {
+        spark.sql("SELECT sum(l_quantity) AS s, count(1) AS n " +
+          s"FROM graft_read('$root', 'bench.sqlmor')").head()
+      })
+    } catch { case e: Throwable =>
+      errors("sql_mor_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+    }
 
     // Anchor: the same data through bare Spark parquet write + read.
     attempt("baseline_raw_spark")(measured("baseline_raw_spark") {
