@@ -378,4 +378,95 @@ class ConcurrencySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(decision))
     assert(ms.isTxnFailed(t.txnId))
   }
+
+  test("torture: writers + compactor race with injected conditional-put crashes, convergence to the model") {
+    // Round-11 MVCC torture (the valve crash test's pattern applied to the
+    // commit seam): four writers and a background compactor race on one
+    // table through a ConditionalPutCommitStore whose post-decision window
+    // CRASHES on a schedule — the exact window where a winner dies holding
+    // the decision object and helpers/janitor must complete or fence the
+    // transition. Ops are idempotent (each writer owns its key range,
+    // retried merges re-write identical content), so the final table state
+    // is order-independent and must equal the model no matter which
+    // interleaving or crash schedule the race takes.
+    class CrashStore(crashEvery: Int, maxCrashes: Int)
+        extends graft.txn.ConditionalPutCommitStore {
+      val calls = new java.util.concurrent.atomic.AtomicInteger
+      val crashes = new java.util.concurrent.atomic.AtomicInteger
+      @volatile var armed = false
+      override protected def afterDecisionHook(): Unit = {
+        if (armed && calls.incrementAndGet() % crashEvery == 0 &&
+          crashes.incrementAndGet() <= maxCrashes)
+          throw new RuntimeException("injected cput crash")
+      }
+    }
+    val store = new CrashStore(crashEvery = 4, maxCrashes = 12)
+    val cat = new GraftCatalog(spark, tmpDir("graft-torture"), commitStore = store)
+    cat.store.claimFenceMillis = 500L // crashed claim holders fence fast
+    cat.createTable("c.z", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("k", org.apache.spark.sql.types.IntegerType,
+        nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.IntegerType))),
+      properties = Map("read_optimization" -> "NONE"))
+    store.armed = true
+    val writers = 4; val opsPer = 4
+    val pool = Executors.newFixedThreadPool(writers + 1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    @volatile var writersDone = false
+    val rnd = new java.util.concurrent.atomic.AtomicLong(0xC0FFEE)
+    def retry(what: String)(body: => Unit): Unit = {
+      var attempts = 0
+      var ok = false
+      while (!ok) {
+        attempts += 1
+        try { body; ok = true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            assert(attempts < 300, s"$what did not converge after 300 attempts: $e")
+            Thread.sleep((rnd.incrementAndGet() * 2654435761L % 37).abs)
+        }
+      }
+    }
+    try {
+      val fw = (1 to writers).map { w =>
+        Future {
+          (0 until opsPer).foreach { i =>
+            retry(s"writer $w merge $i") {
+              cat.writeToTable(Seq((w * 100 + i, w * 1000 + i)).toDF("k", "v"),
+                "c.z", WriteMode.Merge)
+            }
+          }
+          retry(s"writer $w delete")(
+            cat.writeToTable(Seq(w * 100).toDF("k"), "c.z", WriteMode.Delete))
+        }
+      }
+      val fc = Future { // background compactor: conflicts and crashes are expected
+        while (!writersDone) {
+          try cat.compact("c.z", numBuckets = 2)
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(25)
+        }
+      }
+      Await.result(Future.sequence(fw), 5.minutes)
+      writersDone = true
+      Await.result(fc, 1.minute)
+    } finally pool.shutdown()
+    store.armed = false
+    // sweep crash debris: first pass completes/fences orphaned moves, the
+    // second sweeps the sealing records those completions surfaced
+    cat.store.janitor(timeoutMillis = 0)
+    cat.store.janitor(timeoutMillis = 0)
+    val expected = (for (w <- 1 to writers; i <- 1 until opsPer)
+      yield (w * 100 + i) -> (w * 1000 + i)).toMap
+    val got = cat.readTable("c.z").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == expected, s"diverged: extra=${got.toSet -- expected.toSet} " +
+      s"missing=${expected.toSet -- got.toSet} (crashes=${store.crashes.get})")
+    // a final compaction over the crash-scarred log still converges
+    retry("final compact")(cat.compact("c.z", numBuckets = 2))
+    val compacted = cat.readTable("c.z").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(compacted == expected, s"post-compact diverged: $compacted")
+    assert(store.crashes.get >= 3,
+      s"torture must actually crash the commit path (got ${store.crashes.get}; " +
+        "lower crashEvery if commit volume shrank)")
+  }
 }

@@ -951,6 +951,77 @@ class InteropSpec extends SparkSpec {
     assert(Hudi.partValues("", Seq("k")) == Seq(null))
   }
 
+  test("hudi: fabricated 140k-slice timeline — distributed replay engages, prune bounds the driver list, gated == driver") {
+    // Round-11 gate-parity sweep (IcebergSpec's gated≡driver pattern at
+    // manifest scale): 70 fabricated commit instants × 10 partitions × 200
+    // slices each. Planning-only — no data file ever opens — so the test
+    // proves the timeline-replay boundary: the DataFrame replay engages at
+    // the REAL threshold (no var forcing), an in-job partition prune means
+    // only surviving slices materialize driver-side, a replacecommit's
+    // group death applies in both planners, and the two planners agree
+    // slice-for-slice.
+    import graft.interop.Hudi
+    import com.fasterxml.jackson.databind.JsonNode
+    val t = tmpDir("hudi-many")
+    Hudi.write(Seq((0L, "seed", "p0")).toDF("id", "v", "part"), t, partitionBy = Seq("part"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hoodie = java.nio.file.Paths.get(t, ".hoodie")
+    val nInstants = 70; val partsN = 10; val perPart = 200
+    (0 until nInstants).foreach { i =>
+      val meta = om.createObjectNode()
+      val ptws = om.createObjectNode()
+      (0 until partsN).foreach { p =>
+        val arr = om.createArrayNode()
+        (0 until perPart).foreach { j =>
+          val st = om.createObjectNode()
+          val fid = f"g$i%03d-$p-$j"
+          st.put("fileId", fid)
+          st.put("path", s"part=p$p/${fid}_0-0_fab.parquet")
+          arr.add(st)
+        }
+        ptws.set[JsonNode](s"part=p$p", arr)
+      }
+      meta.set[JsonNode]("partitionToWriteStats", ptws)
+      java.nio.file.Files.write(hoodie.resolve(f"20270101$i%09d.commit"),
+        om.writeValueAsBytes(meta))
+    }
+    // one replacecommit kills commit 0's part=p3 file groups
+    locally {
+      val rc = om.createObjectNode()
+      rc.set[JsonNode]("partitionToWriteStats", om.createObjectNode())
+      val ptr = om.createObjectNode(); val arr = om.createArrayNode()
+      (0 until perPart).foreach(j => arr.add(s"g000-3-$j"))
+      ptr.set[JsonNode]("part=p3", arr)
+      rc.set[JsonNode]("partitionToReplaceFileIds", ptr)
+      java.nio.file.Files.write(hoodie.resolve("20270102000000000.replacecommit"),
+        om.writeValueAsBytes(rc))
+    }
+    assert(Hudi.DistributedReplayThreshold <= nInstants,
+      "fixture must exceed the real threshold so the distributed branch engages unforced")
+    val fabricated = nInstants * partsN * perPart
+    val snap = Hudi.snapshot(spark, t)
+    assert(snap.slices.size == 1 + fabricated - perPart, // seed + fabricated − replaced
+      s"live slice count: ${snap.slices.size}")
+    // selective prune: ONLY survivors materialize on the driver
+    val snapP = Hudi.snapshot(spark, t, partitionFilter = Some(col("part") === "p3"))
+    assert(snapP.slices.size == (nInstants - 1) * perPart &&
+      snapP.slices.forall(_.partitionPath == "part=p3"),
+      s"pruned snapshot: ${snapP.slices.size}")
+    // gated == driver, slice for slice
+    val prev = Hudi.DistributedReplayThreshold
+    try {
+      Hudi.DistributedReplayThreshold = Int.MaxValue // force the driver loop
+      val drvP = Hudi.snapshot(spark, t, partitionFilter = Some(col("part") === "p3"))
+      assert(drvP.slices.map(s => (s.partitionPath, s.fileId, s.relPath, s.instant)) ==
+        snapP.slices.map(s => (s.partitionPath, s.fileId, s.relPath, s.instant)),
+        "driver and distributed planners must agree on the pruned slice set")
+      val drvAll = Hudi.snapshot(spark, t)
+      assert(drvAll.slices.map(s => (s.partitionPath, s.fileId)) ==
+        snap.slices.map(s => (s.partitionPath, s.fileId)),
+        "driver and distributed planners must agree on the full slice set")
+    } finally Hudi.DistributedReplayThreshold = prev
+  }
+
   test("lifecycle: delta vacuum, iceberg expireSnapshots, hudi clean reclaim storage") {
     // delta vacuum: files orphaned by an overwrite go; live + DV files stay
     val t = tmpDir("delta-vac")
