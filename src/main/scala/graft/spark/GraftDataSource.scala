@@ -433,14 +433,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   // capability-less placeholder instead of an exception. Batch reads of a
   // missing table still fail crisply (no BATCH_READ capability → analysis
   // error naming the table).
+  private def zipGroups(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("zip")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    try resolve(options, refresh = true).schema
-    catch { case _: graft.catalog.TableNotFound => new StructType() }
+    try {
+      if (options.containsKey("zip"))
+        // zipped read (round-11): schema is the selected groups' zip
+        new GraftCatalog(SparkSession.active, options.get("root"))
+          .readZipped(options.get("table"), zipGroups(options),
+            graft.catalog.ReadOptions(
+              asOf = Option(options.get("asOf")).map(_.toLong))).schema
+      else resolve(options, refresh = true).schema
+    } catch { case _: graft.catalog.TableNotFound => new StructType() }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    try GraftDsv2.table(resolve(new CaseInsensitiveStringMap(properties), refresh = false))
-    catch {
+    try {
+      val opts = new CaseInsensitiveStringMap(properties)
+      if (opts.containsKey("zip"))
+        new GraftZippedTable(opts.get("root"), opts.get("table"),
+          zipGroups(opts), Option(opts.get("asOf")).map(_.toLong), schema)
+      else GraftDsv2.table(resolve(opts, refresh = false))
+    } catch {
       case _: graft.catalog.TableNotFound =>
         val name = s"graft.${properties.get("table")} (not found)"
         new Table {
@@ -448,6 +464,98 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           override def schema(): StructType = new StructType()
           override def capabilities(): util.Set[TableCapability] =
             util.Collections.emptySet()
+        }
+    }
+}
+
+/** Round-11 stretch: `spark.read.format("graft").option("zip", "nums,flag")`
+  * — the zipper read for DataFrameReader users (SQL has the
+  * `graft_read_zipped` TVF; Scala has `readZipped`). The zip is a
+  * multi-frame join plan no file-scan Table can express, so this Table's
+  * scan goes through Spark's V1Scan compatibility shim (the JDBC source's
+  * mechanism): filter and column pushdown land in `ReadOptions` — key-only
+  * conjuncts therefore still prune each column group's manifest, exactly
+  * as in the Scala API — and the relation hands Spark the zipped plan's
+  * own InternalRow RDD (`needConversion = false`), so no row re-encoding
+  * happens at the bridge. Every filter is also reported back as
+  * post-scan residual: the pushed copy only PRUNES, Spark keeps the
+  * authoritative evaluation (idempotent, and immune to translation
+  * drift). Read-only: no write capabilities, so INSERT fails crisply. */
+final class GraftZippedTable(root: String, table: String, groups: Seq[String],
+    asOf: Option[Long], zipSchema: StructType)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.{sources => f}
+
+  override def name(): String = s"graft.$table (zipped ${if (groups.isEmpty) "*" else groups.mkString(",")})"
+  override def schema(): StructType = zipSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** sources.Filter → Column, for the shapes ReadOptions.rowFilter can
+    * use; None = not translatable (stays residual-only, still correct). */
+  private def toColumn(flt: f.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def c(a: String) = col(s"`$a`")
+    flt match {
+      case f.EqualTo(a, v) => Some(c(a) === lit(v))
+      case f.EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case f.GreaterThan(a, v) => Some(c(a) > lit(v))
+      case f.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case f.LessThan(a, v) => Some(c(a) < lit(v))
+      case f.LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case f.In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case f.IsNull(a) => Some(c(a).isNull)
+      case f.IsNotNull(a) => Some(c(a).isNotNull)
+      case f.StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case f.StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case f.StringContains(a, v) => Some(c(a).contains(v))
+      case f.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case f.Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case f.Not(x) => toColumn(x).map(!_)
+      case _ => None
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pushed: Array[f.Filter] = Array.empty
+      private var required: StructType = zipSchema
+
+      override def pushFilters(filters: Array[f.Filter]): Array[f.Filter] = {
+        pushed = filters.filter(toColumn(_).isDefined)
+        filters // everything stays residual — the push only prunes
+      }
+      override def pushedFilters(): Array[f.Filter] = pushed
+      override def pruneColumns(s: StructType): Unit = required = s
+
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          private val cond = pushed.flatMap(toColumn(_)).reduceOption(_ && _)
+          private val req = required
+          override def readSchema(): StructType = req
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              ctx: org.apache.spark.sql.SQLContext): T =
+            (new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+              override def schema: StructType = req
+              // rows are the zipped plan's own InternalRows — no conversion
+              override def needConversion: Boolean = false
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                val cat = new GraftCatalog(ctx.sparkSession, root)
+                val base = cat.readZipped(table, groups, graft.catalog.ReadOptions(
+                  rowFilter = cond, asOf = asOf,
+                  columns = Option(req.fieldNames.toSeq).filter(_.nonEmpty)))
+                val projected =
+                  if (req.isEmpty) base.select() // count(*)-style empty projection
+                  else base
+                projected.queryExecution.toRdd
+                  .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+              }
+            }).asInstanceOf[T]
         }
     }
 }

@@ -303,6 +303,30 @@ class Dsv2Spec extends SparkSpec {
     assert(asOfSql.collect().toSeq == asOfApi.collect().toSeq)
     assert(asOfSql.where("a = 11 OR t = 'zz'").isEmpty,
       "asOf zip must serve the pre-trickle state")
+
+    // round-11 stretch: DataFrameReader surface — option("zip", ...) ≡ readZipped
+    def rd(extra: (String, String)*) = {
+      val b = spark.read.format("graft").option("root", root).option("table", "ns.z")
+      extra.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    val viaZipOpt = rd("zip" -> "").orderBy("k")
+    assert(viaZipOpt.collect().toSeq == cat.readZipped("ns.z").orderBy("k").collect().toSeq)
+    // group subset: schema narrows to the group's columns
+    val oneGroup = rd("zip" -> "text")
+    assert(oneGroup.columns.toSeq == Seq("k", "t"))
+    assert(oneGroup.orderBy("k").collect().toSeq ==
+      cat.readZipped("ns.z", Seq("text")).orderBy("k").collect().toSeq)
+    // filters + projection flow through the V1Scan bridge
+    assert(rd("zip" -> "").where("k = 1").select("a").collect().map(_.getInt(0)).toSeq ==
+      Seq(11))
+    assert(rd("zip" -> "").where("k >= 6").count() == 2L)
+    // asOf option time-travels the zipped reader too
+    assert(rd("zip" -> "", "asOf" -> t1.toString).where("a = 11 OR t = 'zz'").isEmpty)
+    // read-only: writes are refused at analysis (no write capability)
+    val we = intercept[Exception](Seq((9, 90, "x")).toDF("k", "a", "t")
+      .write.format("graft").option("root", root).option("table", "ns.z")
+      .option("zip", "").mode("append").save())
+    assert(we != null)
   }
 
   test("SQL graft_read TVF serves merge-on-read tables the DSv2 relation refuses") {
