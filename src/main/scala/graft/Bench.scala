@@ -74,6 +74,8 @@ object Bench {
     "t46_semantic_join" -> 0.80,
     "t04_minhash_neardup_10x" -> 7.60,
     "t41_span_removal_10x" -> 4.00,
+    "mor_read_scala" -> 3.40,
+    "mor_read_sql" -> 3.40,
     "pipeline_write_compact_read" -> 3.40,
     "pipeline_10x" -> 12.00,
     "baseline_raw_spark" -> 0.90,

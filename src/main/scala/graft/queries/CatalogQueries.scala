@@ -1704,6 +1704,42 @@ object CatalogQueries {
         "q.m", WriteMode.Delete)
       graft.Graft.registerFunctions(s)
       s.sql(s"SELECT * FROM graft_read('$root', 'q.m', 'n_regionkey < 3')")
+    },
+
+    // Time travel through the ZIPPED surfaces (round-11): the
+    // graft_read_zipped TVF's 5th argument and the DataFrameReader's
+    // option("zip") + asOf must both serve the pre-trickle zip at a
+    // committed txn — the oracle is the bulk-load state, so any leakage
+    // of the later per-group trickles or the delete hash-mismatches.
+    // Builder asserts reader ≡ TVF row-for-row.
+    Q("c87_zipper_asof", Some("""
+      SELECT doc_id, lang, source FROM documents""")) { (s, dir) =>
+      val root = Files.createTempDirectory("graft_c87").toString
+      val cat = new GraftCatalog(s, root)
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "source", "text")
+      cat.createTable("q.za", StructType(Seq(
+        FieldMeta.field("doc_id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("lang", StringType),
+        FieldMeta.field("source", StringType),
+        FieldMeta.field("text", StringType))), properties = MoR)
+      cat.setSubschema("q.za", "meta", Seq("doc_id", "lang", "source"))
+      cat.setSubschema("q.za", "body", Seq("doc_id", "text"))
+      cat.writeToTable(d, "q.za", WriteMode.Merge)
+      val t1 = cat.store.history().head.endTimeMillis
+      cat.writeToTable(d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("xx").as("lang")), "q.za", WriteMode.Merge)
+      cat.writeToTable(d.where(col("doc_id") % 7 === 0).select("doc_id"),
+        "q.za", WriteMode.Delete)
+      graft.Graft.registerFunctions(s)
+      val viaTvf = s.sql(
+        s"SELECT * FROM graft_read_zipped('$root', 'q.za', 'meta', '', $t1)")
+      val viaReader = s.read.format("graft").option("root", root)
+        .option("table", "q.za").option("zip", "meta").option("asOf", t1.toString)
+        .load()
+      require(viaReader.orderBy("doc_id").collect().toSeq ==
+        viaTvf.orderBy("doc_id").collect().toSeq,
+        "DataFrameReader zip+asOf must equal the TVF asOf read")
+      viaTvf
     }
   )
 }
