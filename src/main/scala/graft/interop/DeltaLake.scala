@@ -105,12 +105,20 @@ object DeltaLake {
     val active = partitionFilter match {
       case Some(pred) =>
         // prune on the serialized partition values BEFORE touching data;
-        // values surface under LOGICAL names so the caller's pred matches
+        // values surface under LOGICAL names so the caller's pred matches.
+        // FAIL-OPEN (round-11, same rule as the Iceberg binding): try_cast —
+        // a foreign spelling must never THROW planning off (ANSI cast
+        // would) — and a non-null spelling that decodes to null KEEPS the
+        // file; a genuinely-absent value evaluates as SQL NULL, like the
+        // rows it describes would.
         val parts = partCols.map { case (log, phys, dt) =>
-          element_at(col("partitionValues"), phys).cast(dt).as(log)
+          element_at(col("partitionValues"), phys).try_cast(dt).as(log)
         }
+        val undecodable = partCols.map { case (log, phys, _) =>
+          element_at(col("partitionValues"), phys).isNotNull && col(log).isNull
+        }.reduceOption(_ || _).getOrElse(lit(false))
         snap.files.select((col("path") +: col("deletionVector") +: col("stats") +: parts): _*)
-          .where(pred)
+          .where(pred || undecodable)
       case None => snap.files
     }
     // Data skipping over the log's per-file stats, evaluated INSIDE the
@@ -169,7 +177,9 @@ object DeltaLake {
           broadcast(pv.withColumnRenamed("path", "_g_path")
             .withColumn("_g_path", normPath(col("_g_path")))), Seq("_g_path"))
         partCols.foldLeft(joined) { case (df, (log, phys, dt)) =>
-          df.withColumn(log, element_at(col("partitionValues"), phys).cast(dt))
+          // try_cast: an undecodable foreign spelling surfaces as a null
+          // partition value instead of failing the whole read (ANSI cast)
+          df.withColumn(log, element_at(col("partitionValues"), phys).try_cast(dt))
         }.drop("_g_path", "partitionValues")
       }
     // physical -> logical: positional struct cast renames nested fields too
@@ -530,8 +540,12 @@ object DeltaLake {
     val parts = snap.partitionColumns.map { pc =>
       val f = snap.schema.fields.find(f => f.name == pc || physicalName(f) == pc)
         .getOrElse(throw new IllegalArgumentException(s"partition column $pc not in table schema"))
+      // try_cast, and deliberately NOT fail-open here: deleting is
+      // destructive, so an undecodable partition value evaluates as SQL
+      // NULL through `pred` and is never deleted (fail-SAFE), while a
+      // garbage spelling elsewhere in the log can't throw the op off
       element_at(col("partitionValues"), physicalName(f))
-        .cast(stripFieldMeta(f.dataType)).as(f.name)
+        .try_cast(stripFieldMeta(f.dataType)).as(f.name)
     }
     val doomed = snap.files
       .select((col("path") +: col("partitionValues") +: col("deletionVector") +: parts): _*)

@@ -177,12 +177,21 @@ object Hudi {
       case Some((pf, pred, schema)) if slices.nonEmpty && pf.nonEmpty =>
         import spark.implicits._
         val rows = slices.zipWithIndex.map { case (s, i) => (i, partValues(s.partitionPath, pf)) }
+        // FAIL-OPEN typed decode (round-11, Iceberg-binding rule): try_cast
+        // never throws planning off a foreign path spelling, and a non-null
+        // spelling that decodes to null KEEPS the slice — an unknown
+        // rendering must never prune matching rows. A genuinely-missing
+        // segment stays SQL NULL through `pred`.
         val cols = pf.zipWithIndex.map { case (f, i) =>
           val c = col("_2")(i)
-          schema.flatMap(sc => sc.fields.find(_.name == f)).map(sf => c.cast(sf.dataType))
+          schema.flatMap(sc => sc.fields.find(_.name == f)).map(sf => c.try_cast(sf.dataType))
             .getOrElse(c).as(f)
         }
-        val kept = rows.toDF("_1", "_2").select((col("_1") +: cols): _*).where(pred)
+        val undecodable = pf.zipWithIndex.map { case (f, i) =>
+          col("_2")(i).isNotNull && col(f).isNull
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        val kept = rows.toDF("_1", "_2").select((col("_1") +: cols): _*)
+          .where(pred || undecodable)
           .select("_1").as[Int].collect().toSet
         slices.zipWithIndex.collect { case (s, i) if kept(i) => s }
       case _ => slices
@@ -312,12 +321,17 @@ object Hudi {
         val pvU = udf((p: String) => partValues(p, pf))
         df => {
           val withPv = df.withColumn("_g_pv", pvU(col("p")))
+          // same FAIL-OPEN decode as pruneSlicesLocal (the local pass is
+          // the authority; the in-job prune must never be stricter)
           val typed = pf.zipWithIndex.foldLeft(withPv) { case (d, (f, i)) =>
             val c = col("_g_pv")(i)
             d.withColumn(f, schema.flatMap(sc => sc.fields.find(_.name == f))
-              .map(sf => c.cast(sf.dataType)).getOrElse(c))
+              .map(sf => c.try_cast(sf.dataType)).getOrElse(c))
           }
-          typed.where(pred).drop("_g_pv" +: pf: _*)
+          val undecodable = pf.zipWithIndex.map { case (f, i) =>
+            col("_g_pv")(i).isNotNull && col(f).isNull
+          }.reduceOption(_ || _).getOrElse(lit(false))
+          typed.where(pred || undecodable).drop("_g_pv" +: pf: _*)
         }
       case _ => identity
     }

@@ -1022,6 +1022,66 @@ class InteropSpec extends SparkSpec {
     } finally Hudi.DistributedReplayThreshold = prev
   }
 
+  test("delta/hudi: undecodable foreign partition spellings fail OPEN on reads, fail SAFE on deletes") {
+    // Round-11 parity sweep: the Iceberg binding's fail-open rule (r10)
+    // applied to the other two bindings. A foreign writer's partition
+    // spelling we cannot decode must (a) never THROW planning off (ANSI
+    // cast would), (b) KEEP the file on filtered reads (unknown rendering
+    // must not prune matching rows), and (c) never be DELETED by a
+    // metadata-only partition delete (destructive ops fail safe).
+    val t = tmpDir("delta-failopen")
+    DeltaLake.write(nation, t, partitionBy = Seq("n_regionkey"))
+    // garble region 4's add.partitionValues in the log
+    val log = java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.json")
+    val edited = new String(java.nio.file.Files.readAllBytes(log), "UTF-8")
+      .replace("""{"n_regionkey":"4"}""", """{"n_regionkey":"oops"}""")
+    assert(edited.contains("oops"), "fixture: expected a region-4 partition value to garble")
+    java.nio.file.Files.write(log, edited.getBytes("UTF-8"))
+    val r2 = nation.where($"n_regionkey" === 2).count()
+    val r4 = nation.where($"n_regionkey" === 4).count()
+    val pruned = DeltaLake.read(spark, t, partitionFilter = Some(col("n_regionkey") === 2))
+    // matching partition intact; garbled file kept, its rows surfacing with
+    // a NULL partition value (try_cast of "oops")
+    assert(pruned.where($"n_regionkey" === 2).count() == r2)
+    assert(pruned.where($"n_regionkey".isNull).count() == r4,
+      "undecodable partition file must stay in plan (fail-open)")
+    assert(pruned.count() == r2 + r4)
+    // destructive direction: partition delete never touches the garbled file
+    DeltaLake.deletePartitions(spark, t, col("n_regionkey") === 2)
+    val after = DeltaLake.read(spark, t)
+    assert(after.where($"n_regionkey" === 2).count() == 0)
+    assert(after.where($"n_regionkey".isNull).count() == r4,
+      "undecodable partition must survive deletePartitions (fail-safe)")
+
+    // Hudi: fabricated foreign slices under an INT partition field — one
+    // decodable non-matching (pruned), one garbage (kept), both planners
+    import graft.interop.Hudi
+    import com.fasterxml.jackson.databind.JsonNode
+    val ht = tmpDir("hudi-failopen")
+    Hudi.write(Seq((1L, "a", 5)).toDF("id", "v", "part"), ht, partitionBy = Seq("part"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.createObjectNode(); val ptws = om.createObjectNode()
+    for (p <- Seq("7", "oops")) {
+      val arr = om.createArrayNode(); val st = om.createObjectNode()
+      st.put("fileId", s"g-$p"); st.put("path", s"part=$p/g-${p}_0-0_fab.parquet")
+      arr.add(st); ptws.set[JsonNode](s"part=$p", arr)
+    }
+    meta.set[JsonNode]("partitionToWriteStats", ptws)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ht, ".hoodie", "20270101000000000.commit"),
+      om.writeValueAsBytes(meta))
+    def partsOf(snap: Hudi.Snapshot) = snap.slices.map(_.partitionPath).toSet
+    val drv = Hudi.snapshot(spark, ht, partitionFilter = Some(col("part") === 5))
+    assert(partsOf(drv) == Set("part=5", "part=oops"),
+      s"driver prune must keep match + undecodable, drop part=7: ${partsOf(drv)}")
+    val prev = Hudi.DistributedReplayThreshold
+    try {
+      Hudi.DistributedReplayThreshold = 1
+      val dist = Hudi.snapshot(spark, ht, partitionFilter = Some(col("part") === 5))
+      assert(partsOf(dist) == partsOf(drv), "in-job prune must agree with the driver prune")
+    } finally Hudi.DistributedReplayThreshold = prev
+  }
+
   test("lifecycle: delta vacuum, iceberg expireSnapshots, hudi clean reclaim storage") {
     // delta vacuum: files orphaned by an overwrite go; live + DV files stay
     val t = tmpDir("delta-vac")
