@@ -168,7 +168,7 @@ object IceTransform {
 
   /** UTC wall-clock (NTZ) view of a timestamp column — `Cast` with a PINNED
     * "UTC" zone, so the session timezone never leaks into partition values. */
-  private[interop] def utcWallClock(src: Column, srcType: DataType): Column = srcType match {
+  private[graft] def utcWallClock(src: Column, srcType: DataType): Column = srcType match {
     case TimestampType =>
       GraftFunctions.columnOf(
         Cast(GraftFunctions.expressionOf(src), TimestampNTZType, Some("UTC")))

@@ -206,17 +206,33 @@ object Transform {
       case _ => substring(c.cast(StringType), 1, width)
     }
   }
+  /** Time transforms evaluate over the UTC wall-clock of an instant column
+    * (round-11): `year()` et al. are SESSION-zone functions, and a derived
+    * partition value that depends on the writer session's zone would make
+    * sessions (or mixed-zone cluster jobs) disagree on a row's partition —
+    * same rule as the Iceberg spec's UTC-based transforms, and a no-op in
+    * the UTC sessions every Graft entry point pins. NTZ/date inputs are
+    * zone-free already; the untyped overload (no type info) keeps the
+    * session function. */
+  private def utcPinned(c: Column, dt: DataType)(f: Column => Column): Column = dt match {
+    case TimestampType => f(graft.interop.IceTransform.utcWallClock(c, dt))
+    case _ => f(c)
+  }
   case object Year extends Transform {
     val name = "year"; def apply(c: Column): Column = year(c)
+    override def apply(c: Column, dt: DataType): Column = utcPinned(c, dt)(year)
   }
   case object Month extends Transform {
     val name = "month"; def apply(c: Column): Column = month(c)
+    override def apply(c: Column, dt: DataType): Column = utcPinned(c, dt)(month)
   }
   case object Day extends Transform {
     val name = "day"; def apply(c: Column): Column = dayofmonth(c)
+    override def apply(c: Column, dt: DataType): Column = utcPinned(c, dt)(dayofmonth)
   }
   case object Hour extends Transform {
     val name = "hour"; def apply(c: Column): Column = hour(c)
+    override def apply(c: Column, dt: DataType): Column = utcPinned(c, dt)(hour)
   }
   case object Void extends Transform {
     val name = "void"; def apply(c: Column): Column = lit(null)

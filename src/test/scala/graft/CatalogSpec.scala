@@ -220,4 +220,31 @@ class CatalogSpec extends SparkSpec {
       cat.writeToTable(Seq((1L, "a", 1L)).toDF("id", "name", "age"), "d.mk", WriteMode.Append)
     }
   }
+
+  test("time partition transforms derive UTC values in any session zone (round-11)") {
+    // year()/month()/day()/hour() are SESSION-zone functions; the derived
+    // partition value must not depend on the writer session's zone or
+    // mixed-zone sessions would file the same row under different
+    // partitions. Instant 2023-12-31T23:30:00Z is year 2024 / hour 5 in
+    // Asia/Kolkata — the layout must still say the UTC rendering.
+    val inst = java.time.Instant.parse("2023-12-31T23:30:00Z")
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val cat = newCatalog()
+      cat.createTable("z.t", StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false),
+        FieldMeta.field("ts", TimestampType))),
+        partitionScheme = PartitionScheme(Seq(
+          PartitionKey("ts", Transform.Year), PartitionKey("ts", Transform.Hour))))
+      cat.writeToTable(Seq((1L, java.sql.Timestamp.from(inst))).toDF("id", "ts"),
+        "z.t", WriteMode.Add)
+      val paths = cat.deltaLog("z.t").flatMap(_.entries.map(_.path))
+      assert(paths.nonEmpty && paths.forall(p =>
+        p.contains("_g_p_ts_year=2023") && p.contains("_g_p_ts_hour=23")),
+        s"derived values must be UTC-pinned, got $paths")
+      // and the read returns the instant intact
+      assert(cat.readTable("z.t").select("ts").head().getTimestamp(0).toInstant == inst)
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
 }

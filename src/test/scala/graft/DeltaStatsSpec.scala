@@ -45,6 +45,35 @@ class DeltaStatsSpec extends SparkSpec {
     assert(after.inputFiles.length <= 2)
   }
 
+  test("timestamp stats skip is session-zone-invariant (round-11 guard)") {
+    // The vectorized ts skip pins zone-less bound spellings to UTC
+    // (tsMicros appends Z); this leg guards that claim by running the same
+    // instant-range read under four session zones — the planned file set
+    // and row count must not move. Uses an INSTANT literal (lit of
+    // java.time.Instant), which names the same moment in every zone;
+    // a string-literal cast would itself be session-zoned (user-side
+    // semantics, not skip machinery).
+    val table = tmpDir("delta-stats-zone") + "/t"
+    val df = spark.range(0, 1000).select(col("id"),
+        timestamp_micros(col("id") * 1000000L).as("ts"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    DeltaLake.write(df, table)
+    val cut = java.time.Instant.ofEpochSecond(120L)
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val results = Seq("UTC", "America/Los_Angeles", "Asia/Kolkata", "Pacific/Kiritimati")
+        .map { z =>
+          spark.conf.set("spark.sql.session.timeZone", z)
+          val r = DeltaLake.read(spark, table, dataFilter = Some(col("ts") < lit(cut)))
+          (z, r.count(), r.inputFiles.length)
+        }
+      results.foreach { case (z, n, files) =>
+        assert(n == 120L, s"zone $z: count $n")
+        assert(files <= 2, s"zone $z: skip lost ($files/4 files planned)")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
   test("foreign-writer stats JSON parses into canonical ColStats") {
     // delta-spark style: ISO-T timestamps, typed JSON numbers
     val json = """{"numRecords":42,
