@@ -525,21 +525,30 @@ object Bench {
         .mkString(""","plan":{""", ",", "}")
     // per-entry raw run values: queries carries the min (the plan's
     // steady-state cost); runs lets a reader see WHEN an artifact was
-    // produced under load (all runs inflated) vs clean (runs agree)
-    val runsJson =
-      if (runsLog.isEmpty) ""
-      else runsLog.map { case (k, vs) =>
+    // produced under load (all runs inflated) vs clean (runs agree).
+    // The PRINTED line keeps runs only where they carry diagnostic value
+    // (out-of-band min, or >15% spread) — the driver's artifact capture
+    // truncates long stdout lines (r9/r10 verdicts reconstructed medians
+    // from the tail), so the printed line stays small on a quiet machine;
+    // the COMPLETE runs map always lands in target/bench.json.
+    def runsJsonOf(m: collection.Map[String, Seq[Double]]): String =
+      if (m.isEmpty) ""
+      else m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
       }.mkString(""","runs":{""", ",", "}")
+    val interesting = runsLog.filter { case (k, vs) =>
+      vs.max / vs.min > 1.15 || quietBandUpper.get(k).forall(b => vs.min > b)
+    }
     val total = results.values.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$runsJson,"sf":"$sfDir"}"""
-    println(line)
-    // Machine-clean copy: sbt prefixes stdout with [info], so the driver's
-    // JSON extractor can fall back to this file.
+    def lineOf(runsJson: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$runsJson,"sf":"$sfDir"}"""
+    println(lineOf(runsJsonOf(interesting)))
+    // Machine-clean FULL copy: sbt prefixes stdout with [info] and the
+    // driver's capture truncates; this file carries every raw run.
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       Files.createDirectories(out.getParent)
-      Files.write(out, line.getBytes("UTF-8"))
+      Files.write(out, lineOf(runsJsonOf(runsLog)).getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }
