@@ -912,7 +912,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val zipped = frames.reduceLeft[(Seq[String], DataFrame)] {
       case ((fa, a0), (fb, b0)) =>
         val (a, b) = (a0.alias("_zl"), b0.alias("_zr"))
-        val cond = keys.map(k => col(s"_zl.$k") <=> col(s"_zr.$k")).reduce(_ && _)
+        // NON-NULLABLE keys join with plain equality: `<=>` would be
+        // correct but Spark partitions a null-safe join on
+        // (coalesce(k, 0), isnull(k)) — a DIFFERENT expression than the
+        // resolve aggregate's hash(k) output partitioning, forcing one
+        // extra full-data shuffle per zip side. With the schema
+        // guaranteeing no null keys, `===` ≡ `<=>` and the join reuses
+        // the resolve's partitioning. Nullable keys keep the null-safe
+        // form (null merge keys are legal data — c09).
+        val cond = keys.map { k =>
+          if (schema(k).nullable) col(s"_zl.$k") <=> col(s"_zr.$k")
+          else col(s"_zl.$k") === col(s"_zr.$k")
+        }.reduce(_ && _)
         val out = a.join(b, cond, "full_outer").select(
           (keys.map(k => coalesce(col(s"_zl.$k"), col(s"_zr.$k")).as(k)) ++
             fa.map(f => col(s"_zl.$f")) ++ fb.map(f => col(s"_zr.$f"))).toIndexedSeq: _*)

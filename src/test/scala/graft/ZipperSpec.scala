@@ -131,6 +131,45 @@ class ZipperSpec extends SparkSpec {
       Set((2, "zz")))
   }
 
+  test("nullable merge keys zip null-safely; non-nullable keys reuse the resolve partitioning") {
+    // Round-11: non-nullable keys zip with plain equality so the full-outer
+    // join reuses each resolve's hash(k) partitioning (one shuffle per
+    // group saved); NULLABLE keys must keep the null-safe join — a null
+    // key row present in both groups is ONE zipped row, not two.
+    val cat = new GraftCatalog(spark, tmpDir("zip-nullkey"))
+    cat.createTable("z.n", StructType(Seq(
+      FieldMeta.field("k", IntegerType, nullable = true, mergeKey = true),
+      FieldMeta.field("a", IntegerType),
+      FieldMeta.field("t", StringType))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.setSubschema("z.n", "nums", Seq("k", "a"))
+    cat.setSubschema("z.n", "text", Seq("k", "t"))
+    cat.writeToTable(Seq((Some(1), 10, "x"), (None, 20, "nullkey"))
+      .toDF("k", "a", "t"), "z.n", WriteMode.Merge)
+    cat.writeToTable(Seq((Option.empty[Int], 21)).toDF("k", "a"), "z.n", WriteMode.Merge)
+    cat.writeToTable(Seq((Option.empty[Int], "NK2")).toDF("k", "t"), "z.n", WriteMode.Merge)
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "a", "t").collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    val plain = rows3(cat.readTable("z.n"))
+    val zipped = rows3(cat.readZipped("z.n"))
+    assert(zipped == plain, s"null-key zip diverged: $zipped vs $plain")
+    assert(zipped == Set(
+      (Some(1), Some(10), Some("x")),
+      (None, Some(21), Some("NK2"))), s"got $zipped")
+    // and the equi-join fast path's plan claim: a NON-nullable-key table's
+    // zip plans no null-safe (coalesce/isnull) join keys
+    val cat2 = newTable("zip-eqplan")
+    cat2.writeToTable(Seq((1, 10, 100, "x")).toDF("k", "a", "b", "t"),
+      "z.t", WriteMode.Merge)
+    val plan = cat2.readZipped("z.t").queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(l => !l.contains("coalesce")),
+      s"non-nullable keys must equi-join (partitioning reuse): $joinLines")
+  }
+
   test("nondeterministic / reference-free conjuncts never push into group plans") {
     // A pushed conjunct evaluates once per GROUP frame; rand() pushed into
     // two groups would let them disagree on surviving keys and the
