@@ -131,6 +131,61 @@ class ZipperSpec extends SparkSpec {
       Set((2, "zz")))
   }
 
+  test("property: splitKeyConjuncts — key∧residual ≡ original, key side references only keys") {
+    // Random predicate trees over key column k and non-key columns a/t
+    // (nondeterministic leaves are covered by the dedicated test above —
+    // they can't participate in a semantic-equality check). Two
+    // properties: (1) the split
+    // never changes semantics — (key AND residual) selects exactly the
+    // rows the original conjunction selects on random data; (2) the key
+    // side references ONLY merge keys and only deterministic expressions
+    // (pushing it per-group is the zipper's soundness condition).
+    val rnd = new scala.util.Random(20260815L)
+    val keys = Set("k")
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
+      case 0 => col("k") > lit(rnd.nextInt(10))
+      case 1 => col("k") === lit(rnd.nextInt(10))
+      case 2 => col("a") < lit(rnd.nextInt(100))
+      case 3 => col("t").isNotNull
+      case 4 => col("k").isin(rnd.nextInt(10), rnd.nextInt(10))
+      case 5 => expr(s"k % ${rnd.nextInt(3) + 2} = 0")
+      case 6 => lit(rnd.nextBoolean())
+      case 7 => col("a") + col("k") > lit(rnd.nextInt(50)) // mixed refs → residual
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => tree(depth - 1) && tree(depth - 1)
+        case 1 => tree(depth - 1) || tree(depth - 1)
+        case 2 => !tree(depth - 1)
+      }
+    val data = (0 until 60).map { i =>
+      (i % 12, if (i % 5 == 0) None else Some(i * 3 % 97),
+        if (i % 7 == 0) None else Some(s"t$i"))
+    }.toDF("k", "a", "t")
+    data.createOrReplaceTempView("skc_rows")
+    (0 until 60).foreach { trial =>
+      val pred = tree(rnd.nextInt(3) + 1)
+      val (key, residual) = StatsSkip.splitKeyConjuncts(Seq(pred), keys)
+      val recombined = (key.toSeq ++ residual.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      val want = data.where(pred).select("k", "a", "t").collect().toSeq
+        .map(_.toSeq).sortBy(_.toString)
+      val got = data.where(recombined).select("k", "a", "t").collect().toSeq
+        .map(_.toSeq).sortBy(_.toString)
+      assert(got == want, s"trial $trial: split changed semantics for $pred")
+      key.foreach { kc =>
+        val e = org.apache.spark.sql.graft.GraftFunctions.expressionOf(kc)
+        val refs = e.collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+        }
+        assert(refs.nonEmpty && refs.forall(keys.contains),
+          s"trial $trial: key side leaked non-key refs $refs in $kc")
+        assert(e.deterministic, s"trial $trial: nondeterministic key side $kc")
+      }
+    }
+  }
+
   test("nullable merge keys zip null-safely; non-nullable keys reuse the resolve partitioning") {
     // Round-11: non-nullable keys zip with plain equality so the full-outer
     // join reuses each resolve's hash(k) partitioning (one shuffle per
