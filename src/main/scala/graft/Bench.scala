@@ -73,6 +73,9 @@ object Bench {
     "t44_corpus_shuffle" -> 0.25,
     "t46_semantic_join" -> 0.80,
     "t04_minhash_neardup_10x" -> 7.60,
+    "t06_ann_brute_10x" -> 0.65,
+    "t10_ann_ivf_10x" -> 1.05,
+    "t11_semantic_dedup_10x" -> 6.00,
     "t41_span_removal_10x" -> 4.00,
     "mor_read_scala" -> 3.40,
     "mor_read_sql" -> 3.40,
