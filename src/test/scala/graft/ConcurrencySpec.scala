@@ -469,4 +469,79 @@ class ConcurrencySpec extends SparkSpec {
       s"torture must actually crash the commit path (got ${store.crashes.get}; " +
         "lower crashEvery if commit volume shrank)")
   }
+
+  test("concurrent schema alter races writers and a compactor; both schema outcomes exact") {
+    // A mid-race ALTER (add column with past-default) must serialize
+    // through MVCC against merges and compaction: whichever order commits
+    // win, the final table carries every writer row with its value, and
+    // the added column reads the default on every row no writer populated.
+    val cat = new GraftCatalog(spark, tmpDir("graft-alter-race"))
+    cat.createTable("c.a", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("k", org.apache.spark.sql.types.IntegerType,
+        nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.IntegerType))),
+      properties = Map("read_optimization" -> "NONE"))
+    val writers = 4; val opsPer = 4
+    val pool = Executors.newFixedThreadPool(writers + 2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    @volatile var writersDone = false
+    def retry(what: String)(body: => Unit): Unit = {
+      var attempts = 0; var ok = false
+      while (!ok) {
+        attempts += 1
+        try { body; ok = true }
+        catch { case scala.util.control.NonFatal(e) =>
+          assert(attempts < 300, s"$what did not converge: $e")
+          Thread.sleep((attempts % 23).toLong)
+        }
+      }
+    }
+    try {
+      val fw = (1 to writers).map { w =>
+        Future {
+          (0 until opsPer).foreach { i =>
+            retry(s"w$w m$i")(cat.writeToTable(
+              Seq((w * 100 + i, w * 1000 + i)).toDF("k", "v"), "c.a", WriteMode.Merge))
+          }
+        }
+      }
+      val fa = Future { // the mid-race alter: add `d` with past-default 7
+        Thread.sleep(40)
+        retry("alter")(cat.alterTable("c.a", newSchema = Some(
+          org.apache.spark.sql.types.StructType(Seq(
+            FieldMeta.field("k", org.apache.spark.sql.types.IntegerType,
+              nullable = false, mergeKey = true),
+            FieldMeta.field("v", org.apache.spark.sql.types.IntegerType),
+            FieldMeta.field("d", org.apache.spark.sql.types.IntegerType,
+              pastDefault = Some("7")))))))
+      }
+      val fc = Future {
+        while (!writersDone) {
+          try cat.compact("c.a", numBuckets = 2)
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(20)
+        }
+      }
+      Await.result(Future.sequence(fw :+ fa), 5.minutes)
+      writersDone = true
+      Await.result(fc, 1.minute)
+    } finally pool.shutdown()
+    val expected = (for (w <- 1 to writers; i <- 0 until opsPer)
+      yield (w * 100 + i) -> (w * 1000 + i)).toMap
+    def stateOf(df: org.apache.spark.sql.DataFrame) = {
+      assert(df.columns.toSeq == Seq("k", "v", "d"), s"schema: ${df.columns.toSeq}")
+      df.collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    }
+    val rows = stateOf(cat.readTable("c.a"))
+    assert(rows.map(r => r._1 -> r._2).toMap == expected,
+      s"writer rows diverged: ${rows.toSeq.sortBy(_._1)}")
+    assert(rows.forall(_._3.contains(7)),
+      s"past-default must cover every row: ${rows.filterNot(_._3.contains(7)).toSeq}")
+    // and a final compaction materializes the same state
+    retry("final compact")(cat.compact("c.a", numBuckets = 2))
+    val compacted = stateOf(cat.readTable("c.a"))
+    assert(compacted.map(r => r._1 -> r._2).toMap == expected &&
+      compacted.forall(_._3.contains(7)), "post-compact diverged")
+  }
 }
