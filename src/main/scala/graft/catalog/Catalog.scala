@@ -1066,7 +1066,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val (targetSchema, evolved) =
       if (deltaType == DeltaType.Delete) (cur, false)
       else {
-        val unified = TypePromotion.unify(cur, dfIn.schema)
+        // widenNullability=false: a write never relaxes a declared NOT
+        // NULL (values are enforced below); only alterTable may.
+        val unified = TypePromotion.unify(cur, dfIn.schema, widenNullability = false)
         if (unified == cur) (cur, false)
         else evoMode match {
           case SchemaEvolutionMode.Auto => (unified, true)
@@ -1130,10 +1132,23 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // backfill nulls/defaults from the latest schema).
     val present = futureFilled.columns.toSet
     val inTypes = futureFilled.schema.fields.map(f => f.name -> f.dataType).toMap
+    val inNullable = futureFilled.schema.fields.map(f => f.name -> f.nullable).toMap
     val coerced = futureFilled.select(targetSchema.fields.filter(f => present(f.name)).map { f =>
       // conform, not cast: an evolved nested struct needs its field set
       // rebuilt by name (cast cannot add struct fields).
-      TypePromotion.conform(col(f.name), inTypes(f.name), f.dataType).as(f.name, f.metadata)
+      val c = TypePromotion.conform(col(f.name), inTypes(f.name), f.dataType)
+      // Declared NOT NULL is enforced at write time (round-11): the
+      // declaration no longer widens to match a nullable-typed frame, so
+      // an actual null VALUE must fail loudly here instead of landing in
+      // a column the planner treats as non-null. Codegen'd branch; only
+      // added when the incoming frame is nullable-typed.
+      val guarded =
+        if (!f.nullable && inNullable.getOrElse(f.name, true))
+          when(c.isNull, raise_error(lit(
+            s"null value written to non-nullable column ${f.name} of $t"))
+            .cast(f.dataType)).otherwise(c)
+        else c
+      guarded.as(f.name, f.metadata)
     }.toIndexedSeq: _*)
 
     // Bulk-load fast path: the FIRST merge write to an empty table under

@@ -453,13 +453,23 @@ object MergeRead {
       // cores) max_by ties window row_number (0.40 s both) and beats
       // hash-max + self-join (0.84 s); the aggregate form is kept for the
       // partial combine, which the window cannot do.
+      // Key columns come from the GROUPING attributes, not the winner
+      // struct (they are equal within a group by definition, but Spark
+      // cannot prove a struct-extract equals its grouping key, and
+      // re-deriving them would discard the aggregate's hash(keys) output
+      // partitioning — costing every downstream merge-key join/agg, e.g.
+      // each zipper side, one avoidable full-data exchange).
       val payload = struct(
-        (schema.fieldNames.map(col) ++ Seq(col(Dt), col(File), col(Present))).toIndexedSeq: _*)
+        (schema.fieldNames.filterNot(mergeKeys.contains).map(col) ++
+          Seq(col(Dt), col(File), col(Present))).toIndexedSeq: _*)
       val recencyKey = struct(col(EffPos), col(File), col(Row))
       scan.groupBy(winKeys: _*)
         .agg(max_by(payload, recencyKey).as("_g_w"))
         .where(col(s"_g_w.$Dt") =!= DeltaType.Delete.name)
-        .select(col("_g_w.*"))
+        .select(schema.fieldNames.map { f =>
+          if (mergeKeys.contains(f)) col(f) else col(s"_g_w.$f")
+        }.toIndexedSeq ++ Seq(col(s"_g_w.$Dt"), col(s"_g_w.$File"),
+          col(s"_g_w.$Present")): _*)
     } else if (allComplete) {
       val ranked = scan
         .withColumn("_g_rn", row_number().over(w))

@@ -442,8 +442,19 @@ object TypePromotion {
   }
 
   /** Unify a target (table) schema with an incoming write schema.
-    * New fields are appended; existing fields widen per the lattice. */
-  def unify(table: StructType, incoming: StructType): StructType = {
+    * New fields are appended; existing fields widen per the lattice.
+    *
+    * `widenNullability` (round-11): a declared NOT NULL is a CONTRACT —
+    * an incoming frame being merely *typed* nullable (every parquet read
+    * is) must not silently erase it, so the WRITE path passes false and
+    * enforces values instead (write-time null check); only an explicit
+    * `alterTable(newSchema)` may relax the declaration (passes true).
+    * Before this, the first parquet-sourced write flipped declared
+    * non-nullable merge keys to nullable — quietly voiding the contract
+    * (and every plan optimization keyed on it, e.g. the zipper's
+    * partitioning-reusing equi-join). */
+  def unify(table: StructType, incoming: StructType,
+      widenNullability: Boolean = true): StructType = {
     val tableNames = table.fieldNames.toSet
     val widened = table.fields.map { tf =>
       incoming.fields.find(_.name == tf.name) match {
@@ -451,7 +462,8 @@ object TypePromotion {
           val dt = promote(tf.dataType, inf.dataType).getOrElse(
             throw new IllegalArgumentException(
               s"incompatible schema change for ${tf.name}: ${tf.dataType} vs ${inf.dataType}"))
-          tf.copy(dataType = dt, nullable = tf.nullable || inf.nullable)
+          tf.copy(dataType = dt,
+            nullable = if (widenNullability) tf.nullable || inf.nullable else tf.nullable)
         case None => tf
       }
     }

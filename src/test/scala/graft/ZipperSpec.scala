@@ -215,14 +215,35 @@ class ZipperSpec extends SparkSpec {
       (Some(1), Some(10), Some("x")),
       (None, Some(21), Some("NK2"))), s"got $zipped")
     // and the equi-join fast path's plan claim: a NON-nullable-key table's
-    // zip plans no null-safe (coalesce/isnull) join keys
+    // zip plans no null-safe (coalesce/isnull) join keys — through a
+    // PARQUET round-trip, because every parquet read is nullable-TYPED and
+    // the write must not let that widen the declared key contract (the
+    // 30x probe caught exactly this: unify flipped the keys nullable and
+    // the equi-join fix silently stopped applying)
     val cat2 = newTable("zip-eqplan")
-    cat2.writeToTable(Seq((1, 10, 100, "x")).toDF("k", "a", "b", "t"),
-      "z.t", WriteMode.Merge)
+    val srcDir = tmpDir("zip-eqplan-src")
+    Seq((1, 10, 100, "x"), (2, 20, 200, "y")).toDF("k", "a", "b", "t")
+      .write.parquet(s"$srcDir/d")
+    val viaParquet = spark.read.parquet(s"$srcDir/d") // all columns nullable-typed
+    assert(viaParquet.schema.forall(_.nullable))
+    cat2.writeToTable(viaParquet, "z.t", WriteMode.Merge)
+    cat2.writeToTable(Seq((1, 11, 110)).toDF("k", "a", "b"), "z.t", WriteMode.Merge)
     val plan = cat2.readZipped("z.t").queryExecution.executedPlan.toString
     val joinLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
     assert(joinLines.nonEmpty && joinLines.forall(l => !l.contains("coalesce")),
-      s"non-nullable keys must equi-join (partitioning reuse): $joinLines")
+      s"non-nullable keys must equi-join after a parquet-typed write: $joinLines")
+    // the contract that makes this sound: an actual null VALUE into a
+    // declared non-nullable column fails the write loudly
+    val err = intercept[Exception] {
+      cat2.writeToTable(Seq((Some(3), None: Option[Int], Some(1), Some("z")))
+        .toDF("k", "a", "b", "t")
+        .select(when(col("k") === 999, col("k")).as("k"), col("a"), col("b"), col("t")),
+        "z.t", WriteMode.Merge)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(err).exists(_.contains("non-nullable")),
+      s"null key write must name the contract: ${msgs(err)}")
   }
 
   test("nondeterministic / reference-free conjuncts never push into group plans") {
