@@ -66,8 +66,15 @@ class ZipperSpec extends SparkSpec {
       assert(rows(cat, cat.readZipped("z.t", opts = kf)) ==
         rows(cat, cat.readTable("z.t", kf)), s"trial $trial key-filter push")
       // and after compaction (single resolved base participates everywhere)
+      val tMid = cat.store.history().head.endTimeMillis // pre-compaction txn
       cat.compact("z.t", numBuckets = 4)
       assert(rows(cat, cat.readZipped("z.t")) == plain, s"trial $trial post-compact")
+      // time travel ACROSS the compaction boundary: a zipped read asOf a
+      // pre-compaction txn must reconstruct that snapshot from the
+      // uncompacted deltas, exactly like the plain asOf read (round-11)
+      val asOf = ReadOptions(asOf = Some(tMid))
+      assert(rows(cat, cat.readZipped("z.t", opts = asOf)) ==
+        rows(cat, cat.readTable("z.t", asOf)), s"trial $trial asOf-across-compaction")
     }
   }
 
