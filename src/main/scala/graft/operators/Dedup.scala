@@ -407,6 +407,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Inverted-index n-gram Jaccard near-dup pairs: candidates are pairs that
+   * share at least one RARE character-K-gram (document frequency in
+   * [2, maxDf]), then an exact shingle-set Jaccard verify keeps pairs at
+   * ≥ threshold. The deterministic sibling of [[minhashPairs]]
+   * (reference: deltacat's content-defined dedupe family): recall is exact
+   * for any pair sharing a rare shingle — no signature/banding probability —
+   * at the cost of a heavier posting-list join, so it suits corpora where
+   * near-dups share distinctive substrings.
+   *
+   * Scale shape: document frequencies aggregate with map-side partial
+   * counts (a full groupBy on the shingle key — the one unavoidable
+   * shuffle); common shingles are DISCARDED by the df ≤ maxDf filter
+   * *before* any posting list materializes, so the self-join fans out at
+   * most maxDf·(maxDf−1)/2 pairs per surviving shingle — the same capped
+   * bucketed-equi-join shape as the LSH band join. No collect, no
+   * cross join; verify re-joins pairs to the shingle-set table by id.
+   */
+  def rareShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, maxDf: Int = 5, threshold: Double = 0.5): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be ≥ 2 (got $maxDf): a shingle seen " +
+      "once generates no pairs and the cap bounds join fanout")
+    // Project the shingle array once, THEN explode_outer (see signaturesOf:
+    // plain explode's InferFiltersFromGenerate would re-run the shingle
+    // lambda interpreted on the scan side; an inline generator expression
+    // would too). A null-text row explodes to sh=null, which no equi-join
+    // can match — it drops out for free.
+    val sh = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("shs"))
+      .select(col("id"), explode_outer(col("shs")).as("sh"))
+    // df-filter FIRST (partial-agg count), then keep only rare postings.
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf)).select("sh")
+    val posting = sh.join(rare, Seq("sh"))
+    val cand = posting.as("a")
+      .join(posting.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    ngramJaccard(cand, df, idCol, textCol, shingleK)
+      .where(col("jaccard") >= threshold)
+  }
+
   /** See [[Par.materialize]]: eager, lineage-cutting, checkpoint-reliable
     * when a checkpoint dir is configured. */
   private def materialize(d: DataFrame): DataFrame = Par.materialize(d)

@@ -1301,6 +1301,39 @@ object PipelineQueries {
         "doc_id", cnt, "source",
         Map("src0" -> 2000L, "src1" -> 9000L, "src2" -> 1500L))
         .select(col("doc_id"), col("source"), cnt.as("n_bpe"))
+    },
+
+    // Inverted-index n-gram Jaccard dedup: candidate pairs share a RARE
+    // char-5-gram (document frequency in [2,5] — common shingles are
+    // discarded before any posting list forms), exact shingle-set Jaccard
+    // verify at ≥ 0.5. Deterministic recall for pairs sharing a distinctive
+    // substring — the exact sibling of t04's probabilistic MinHash front
+    // end. The oracle replays the same blocking + verify with DuckDB list
+    // functions.
+    Q("t50_ngram_jaccard", Some("""
+      WITH sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(length(text) - 4, 1) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+        FROM documents),
+      sh AS (SELECT doc_id, unnest(s) AS sh FROM sets),
+      rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 5),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN rare r ON a.sh = r.sh JOIN sh b ON b.sh = r.sh
+        WHERE a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+               AS jaccard
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.id_a
+      JOIN sets sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+            >= 0.5""")) { (s, dir) =>
+      Dedup.rareShinglePairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleK = 5, maxDf = 5, threshold = 0.5)
     }
   )
 }

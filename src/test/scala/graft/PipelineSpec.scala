@@ -100,6 +100,26 @@ class PipelineSpec extends SparkSpec {
     assert(found.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("rare-shingle blocking finds planted near-dups deterministically; common shingles pruned") {
+    val base = "zqxj wvkp mlgh rtyu base document with plenty of distinctive shared text here"
+    val near = base.replace("here", "now!")
+    // 30 copies of a boilerplate doc: every shingle it contributes has
+    // df ≥ 30 > maxDf, so boilerplate forms NO candidate pairs at all.
+    val boiler = (100L until 130L).map(i => (i, "common common common common common"))
+    val docs = (Seq((1L, base), (2L, near)) ++ boiler).toDF("doc_id", "text")
+    val pairs = Dedup.rareShinglePairs(docs, "doc_id", "text",
+      shingleK = 5, maxDf = 5, threshold = 0.5)
+    assertNoCartesian(pairs)
+    val rows = pairs.collect()
+    assert(rows.length == 1, s"expected only the planted pair, got ${rows.toSeq}")
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
+    assert(rows.head.getAs[Double]("jaccard") > 0.8)
+    // Verify values agree with the standalone exact-jaccard helper.
+    val j = Dedup.ngramJaccard(Seq((1L, 2L)).toDF("id_a", "id_b"),
+      docs, "doc_id", "text", shingleK = 5).head().getAs[Double]("jaccard")
+    assert(math.abs(j - rows.head.getAs[Double]("jaccard")) < 1e-12)
+  }
+
   test("minhash pairs agree with exact n-gram jaccard") {
     val docs = spark.read.parquet(s"$sfd/documents.parquet").limit(100)
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6).limit(20)
