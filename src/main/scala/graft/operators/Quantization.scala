@@ -42,6 +42,35 @@ object Quantization {
     * codebookLit). */
   private def cbLit(cb: Array[Array[Double]]): Column = typedLit(cb.map(_.toSeq).toSeq)
 
+  /**
+   * Per-vector symmetric int8 scalar quantization — the embedding STORAGE
+   * step (4× smaller than float32; the standard vector-store layout):
+   * scale = max|x| / 127, q_i = round(x_i / max|x| · 127) ∈ [−127, 127],
+   * reconstruction x̂_i = q_i · scale. An all-zero vector quantizes to all
+   * zeros with scale 0 (no NaN leaks from the 0/0).
+   *
+   * Returns EXPLODED rows (id, pos 1-based, q, scale) rather than an
+   * array column, one row per element — map-only (posexplode, no shuffle,
+   * no collect), so it pipelines into a columnar write at any corpus size.
+   * Math is all-double with IEEE-exact steps (float→double widening,
+   * max, one divide, one multiply, round-half-away-from-zero), so any
+   * engine replaying the formula reproduces q bit-for-bit.
+   */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // maxabs projected as an attribute FIRST — inline inside the per-element
+    // expression it would re-evaluate per element (lambda subexpr rule).
+    df.select(col(idCol), asDouble(col(vecCol)).as("_e"))
+      .withColumn("_ma", array_max(transform(col("_e"), x => abs(x))))
+      .select(col(idCol), col("_ma"), posexplode(col("_e")).as(Seq("_p", "_x")))
+      .select(
+        col(idCol),
+        (col("_p") + 1).cast(IntegerType).as("pos"),
+        when(col("_ma") === 0d, 0)
+          .otherwise(round(col("_x") / col("_ma") * 127d))
+          .cast(IntegerType).as("q"),
+        when(col("_ma") === 0d, 0d).otherwise(col("_ma") / 127d).as("scale"))
+  }
+
   private val ScoreStruct = StructType(Seq(
     StructField("s", DoubleType), StructField("negi", IntegerType)))
 

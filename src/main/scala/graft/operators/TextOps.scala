@@ -244,6 +244,41 @@ object TextOps {
       coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0)))
   }
 
+  /** Temperature-based corpus mixing (the UniMax/mT5 sampling family):
+    * per-source budgets DERIVE from the corpus itself as
+    * p_s ∝ tokens_s^(1/T) — T=1 is proportional sampling (every source
+    * keeps the same fraction), larger T flattens toward uniform, boosting
+    * low-resource sources — then rows keep by the same deterministic
+    * id-hash contract as [[sampleToTokenBudgetBy]]. One metadata-sized
+    * aggregate (#sources rows) plus a map-only broadcast filter; no joins.
+    *
+    * Reproducibility: sources fold in LEXICOGRAPHIC order when summing the
+    * normalizer (float addition is order-sensitive), and T=2 computes
+    * weights via `sqrt` (IEEE correctly-rounded, unlike `pow`'s ≤1-ulp
+    * license) — so an external engine replaying the formula lands on
+    * bit-identical thresholds. */
+  def sampleToTemperatureMix(df: DataFrame, idCol: String, countCol: Column,
+      sourceCol: String, totalBudget: Long, temperature: Double = 2.0,
+      buckets: Int = 10000): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    require(temperature > 0, "temperature must be > 0")
+    def weight(t: Long): Double =
+      if (temperature == 2.0) math.sqrt(t.toDouble)
+      else math.pow(t.toDouble, 1.0 / temperature)
+    val toks = df.groupBy(col(sourceCol))
+      .agg(sum(coalesce(countCol, lit(0L))).as("t"))
+      .collect()
+      .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) => r.getString(0) -> r.getLong(1) }
+      .filter(_._2 > 0L).sortBy(_._1)
+    val z = toks.map { case (_, t) => weight(t) }.foldLeft(0.0)(_ + _)
+    val thresholds: Map[String, Int] = toks.map { case (src, t) =>
+      val frac = math.min(1.0, totalBudget.toDouble * weight(t) / z / t.toDouble)
+      src -> math.round(frac * buckets).toInt
+    }.toMap
+    df.where(hashBucket(col(idCol), buckets) <
+      coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0)))
+  }
+
   /** Deterministic global corpus SHUFFLE + sharding — the step between
     * curation and training: documents must reach the trainer in a
     * pseudo-random order decorrelated from ingest order (source runs,

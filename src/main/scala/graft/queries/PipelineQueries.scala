@@ -1334,6 +1334,54 @@ object PipelineQueries {
             >= 0.5""")) { (s, dir) =>
       Dedup.rareShinglePairs(tbl(s, dir, "documents"), "doc_id", "text",
         shingleK = 5, maxDf = 5, threshold = 0.5)
+    },
+
+    // Temperature-based source mixing (UniMax/mT5 family): per-source
+    // budgets derive from the corpus as p_s ∝ sqrt(tokens_s) (T=2), then
+    // the deterministic id-hash keep filter. The oracle replays the
+    // threshold math symbolically: sqrt weights, normalizer summed in
+    // lexicographic source order (float addition is order-sensitive),
+    // t30's md5-prefix bucket recipe.
+    Q("t51_temperature_mix", Some("""
+      WITH toks AS (SELECT source, CAST(sum(len(regexp_extract_all(text,'\S+'))) AS BIGINT) AS t
+                    FROM documents GROUP BY source),
+      pos AS (SELECT source, CAST(t AS DOUBLE) AS t, sqrt(CAST(t AS DOUBLE)) AS w
+              FROM toks WHERE t > 0),
+      z AS (SELECT list_sum(list(w ORDER BY source)) AS z FROM pos),
+      thr AS (SELECT source,
+                CAST(round(least(1.0, 6000.0 * w / (SELECT z FROM z) / t) * 10000, 0) AS BIGINT) AS cut
+              FROM pos),
+      h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      v AS (SELECT doc_id, source,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CAST(strpos('0123456789abcdef', substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+                  * (CAST(1 AS BIGINT) << CAST((7 - i) * 4 AS INT)))) AS BIGINT) % 10000 AS bucket
+            FROM h)
+      SELECT v.doc_id, v.source FROM v JOIN thr ON v.source = thr.source
+      WHERE v.bucket < thr.cut""")) { (s, dir) =>
+      val d = tbl(s, dir, "documents")
+      TextOps.sampleToTemperatureMix(d, "doc_id",
+        size(TextOps.tokens(col("text"))).cast(LongType), "source",
+        totalBudget = 6000L, temperature = 2.0)
+        .select("doc_id", "source")
+    },
+
+    // Per-vector symmetric int8 scalar quantization of the embedding
+    // corpus (the 4x storage layout of vector stores), exploded to
+    // (id, pos, q, scale) rows. All-double IEEE-exact math, so the oracle
+    // reproduces q bit-for-bit with list lambdas.
+    Q("t52_int8_quantize", Some("""
+      WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+      mm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM m),
+      u AS (SELECT vec_id, ma,
+              unnest(list_transform(e, (x, i) -> {'pos': i, 'x': x})) AS t
+            FROM mm)
+      SELECT vec_id, CAST(t.pos AS INTEGER) AS pos,
+             CAST(CASE WHEN ma = 0 THEN 0 ELSE round(t.x / ma * 127, 0) END AS INTEGER) AS q,
+             CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127 END AS scale
+      FROM u""")) { (s, dir) =>
+      Quantization.int8Quantize(tbl(s, dir, "embeddings"), "vec_id", "embedding")
     }
   )
 }

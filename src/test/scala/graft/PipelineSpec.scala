@@ -100,6 +100,45 @@ class PipelineSpec extends SparkSpec {
     assert(found.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("temperature mixing: low-resource sources keep a higher fraction; budget monotone; deterministic") {
+    val docs = spark.read.parquet(s"$sfd/documents.parquet")
+    val cnt = size(TextOps.tokens(col("text"))).cast("long")
+    val toks = docs.groupBy("source").agg(sum(cnt).as("t"))
+      .as[(String, Long)].collect().toMap
+    val (loSrc, hiSrc) = (toks.minBy(_._2)._1, toks.maxBy(_._2)._1)
+    assert(toks(loSrc) < toks(hiSrc), "fixture should have skewed sources")
+
+    val budget = toks.values.sum / 4
+    val mixed = TextOps.sampleToTemperatureMix(docs, "doc_id", cnt, "source", budget, 2.0)
+    val ids = mixed.select("doc_id").as[Long].collect().toSet
+    assert(ids == TextOps.sampleToTemperatureMix(docs, "doc_id", cnt, "source", budget, 2.0)
+      .select("doc_id").as[Long].collect().toSet, "mix must be deterministic")
+
+    // T=2 boosts low-resource sources: on a 90:1 skewed synthetic corpus
+    // (900 vs 10 docs, 10 tokens each) the small source's derived budget
+    // exceeds its size — it keeps EVERYTHING (deterministic, no hash
+    // noise) — while the big source subsamples to ~sqrt-flattened share.
+    val skewed = ((0 until 900).map(i => (i.toLong, "ten little token words here pad pad pad pad pad", "big")) ++
+      (1000 until 1010).map(i => (i.toLong, "ten little token words here pad pad pad pad pad", "small")))
+      .toDF("doc_id", "text", "source")
+    val sk = TextOps.sampleToTemperatureMix(skewed, "doc_id", cnt, "source", 2000L, 2.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    assert(sk("small") == 10L, s"T=2 must keep all of the tiny source: $sk")
+    assert(sk("big") > 90L && sk("big") < 320L,
+      s"big source must subsample to ~20% under T=2: $sk")
+
+    // Budget monotonicity: a bigger budget only raises thresholds, so the
+    // kept set grows (the id-hash contract makes selections nested).
+    val more = TextOps.sampleToTemperatureMix(docs, "doc_id", cnt, "source", budget * 2, 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(more), "bigger budget must keep a superset")
+
+    // Budget >= corpus: every doc with a positive-token source is kept.
+    val all = TextOps.sampleToTemperatureMix(docs, "doc_id", cnt, "source",
+      toks.values.sum * 2, 2.0).count()
+    assert(all == docs.count())
+  }
+
   test("rare-shingle blocking finds planted near-dups deterministically; common shingles pruned") {
     val base = "zqxj wvkp mlgh rtyu base document with plenty of distinctive shared text here"
     val near = base.replace("here", "now!")

@@ -12,6 +12,30 @@ class QuantizationSpec extends SparkSpec {
 
   private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("int8Quantize: known vectors, zero-vector guard, reconstruction bound") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Quantization.int8Quantize(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    // ma=1.0: round(63.5)=64 (ties away from zero), -127, round(31.75)=32.
+    assert(q(1L -> 1) == (64, 1.0 / 127))
+    assert(q(1L -> 2) == (-127, 1.0 / 127))
+    assert(q(1L -> 3) == (32, 1.0 / 127))
+    // Zero vector: all-zero codes, scale 0, no NaN.
+    (1 to 3).foreach(p => assert(q(2L -> p) == (0, 0.0)))
+
+    // Corpus-wide reconstruction bound: |x - q*scale| <= scale/2 + eps.
+    val joined = Quantization.int8Quantize(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("p0", "x")))
+        .withColumn("pos", (col("p0") + 1).cast("int")), Seq("vec_id", "pos"))
+      .select(max(abs(col("x") - col("q") * col("scale")) - col("scale") / 2))
+      .head().getDouble(0)
+    assert(joined <= 1e-12, s"reconstruction error above scale/2: $joined")
+  }
+
   test("encodePQ emits m codes in [0,k) and is deterministic") {
     val cb = Quantization.trainPQ(emb, "vec_id", "embedding", m = 8, k = 16)
     assert(cb.size == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
