@@ -179,6 +179,42 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  /** SQL observability surface (round-11): the catalog's metadata views,
+    * reachable without Scala — completes TVF symmetry with `historyDF` /
+    * `manifestTable`:
+    * {{{
+    *   SELECT * FROM graft_history('<root>')                    -- txn log
+    *   SELECT * FROM graft_manifest('<root>', 'ns.t')           -- file layout
+    *   SELECT * FROM graft_manifest('<root>', 'ns.t', 1700000000000) -- asOf
+    * }}}
+    * Both are metadata-sized LocalRelations (txn records / manifest
+    * entries), never data scans — safe to query on any table size. */
+  private def historyPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.lengthIs == 1,
+      s"graft_history(root) — got ${args.length} argument(s)")
+    new graft.catalog.GraftCatalog(SparkSession.active,
+      strArg(args, 0, "graft_history", "root"))
+      .historyDF().queryExecution.analyzed
+  }
+
+  private def manifestPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.lengthIs >= 2 && args.lengthIs <= 3,
+      s"graft_manifest(root, table[, asOf]) — got ${args.length} argument(s)")
+    val asOf =
+      if (args.lengthIs >= 3) {
+        val e = args(2)
+        require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+          "graft_manifest: asOf must be an integer literal (committed txn time millis)")
+        Option(e.eval()).map(_.toString.toLong)
+      } else None
+    new graft.catalog.GraftCatalog(SparkSession.active,
+      strArg(args, 0, "graft_manifest", "root"))
+      .manifestTable(strArg(args, 1, "graft_manifest", "table"), asOf)
+      .queryExecution.analyzed
+  }
+
   private def strArg(args: Seq[Expression], i: Int, fn: String, what: String): String = {
     val e = args(i)
     require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
@@ -191,7 +227,9 @@ object GraftFunctions {
   private def tableFns
       : Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
     Seq("graft_read_zipped" -> (readZippedPlan _),
-      "graft_read" -> (readTablePlan _))
+      "graft_read" -> (readTablePlan _),
+      "graft_history" -> (historyPlan _),
+      "graft_manifest" -> (manifestPlan _))
 
   /** Extension-injection descriptors for SparkSessionExtensions
     * (`injectTableFunction`). */

@@ -361,6 +361,35 @@ class Dsv2Spec extends SparkSpec {
       .head().getLong(0) == 10L)
   }
 
+  test("SQL graft_history / graft_manifest TVFs equal the Scala metadata views") {
+    val root = tmpDir("graft-dsv2h")
+    val cat = new GraftCatalog(spark, root)
+    cat.createTable("ns.h", org.apache.spark.sql.types.StructType(Seq(
+      FieldMeta.field("k", org.apache.spark.sql.types.IntegerType,
+        nullable = false, mergeKey = true),
+      FieldMeta.field("v", org.apache.spark.sql.types.StringType))))
+    cat.writeToTable((1 to 6).map(k => (k, s"a$k")).toDF("k", "v"), "ns.h", WriteMode.Merge)
+    val t1 = cat.store.history().head.endTimeMillis
+    cat.writeToTable(Seq((2, "B2")).toDF("k", "v"), "ns.h", WriteMode.Merge)
+    Graft.registerFunctions(spark)
+
+    val histSql = spark.sql(s"SELECT * FROM graft_history('$root')")
+      .collect().map(_.toSeq).toSet
+    assert(histSql == cat.historyDF().collect().map(_.toSeq).toSet && histSql.nonEmpty)
+
+    val mfSql = spark.sql(s"SELECT * FROM graft_manifest('$root', 'ns.h')")
+      .collect().map(_.toSeq).toSet
+    assert(mfSql == cat.manifestTable("ns.h").collect().map(_.toSeq).toSet && mfSql.nonEmpty)
+    // asOf leg: the historical manifest is the TVF's 3rd argument.
+    val mfOld = spark.sql(s"SELECT * FROM graft_manifest('$root', 'ns.h', $t1)")
+      .collect().map(_.toSeq).toSet
+    assert(mfOld == cat.manifestTable("ns.h", Some(t1)).collect().map(_.toSeq).toSet)
+    assert(mfOld != mfSql, "second write must change the manifest")
+    // metadata views aggregate in plain SQL
+    assert(spark.sql(
+      s"SELECT sum(size_bytes) FROM graft_manifest('$root', 'ns.h')").head().getLong(0) > 0)
+  }
+
   test("DSv2 reads non-parquet content types through the matching file table") {
     val root = tmpDir("graft-dsv2c")
     val cat = new GraftCatalog(spark, root)
