@@ -33,7 +33,11 @@ object Bench {
     "t31_quality_score", "t32_dsir_weights", "t33_crosscorpus_join",
     "t34_bm25_topk", "t35_chunk_documents", "t36_lm_perplexity",
     "t38_pca_project", "t40_curation_pipeline", "t41_span_removal",
-    "t44_corpus_shuffle", "t46_semantic_join")
+    "t44_corpus_shuffle", "t46_semantic_join",
+    // round-11 late additions: the posting-list dedup join (t50) and the
+    // two map-only mixers (t51/t52) — first measurements, bands seed next
+    // round from these
+    "t50_ngram_jaccard", "t51_temperature_mix", "t52_int8_quantize")
 
   /** Quiet-machine historical upper bounds (seconds), one per registry
     * entry with recorded history (round-11: full coverage — the r10
