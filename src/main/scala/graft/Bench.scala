@@ -274,6 +274,18 @@ object Bench {
         graft.operators.Dedup.removeDuplicateSpans(docs10, "doc_id", "text",
           k = 8).count()
       })
+      // Posting-list dedup at 10x. The knob lesson (sibling of IVF's
+      // sqrt-nlist): maxDf must EXCEED the corpus's duplication
+      // multiplicity — here every doc has 10 variants, so a rare shingle
+      // shared by a true near-dup pair ALSO appears in up to 10 sibling
+      // variants; maxDf=5 blocks those postings and recall collapses
+      // (measured: 2 pairs vs 106). maxDf=12 restores recall at ~20% extra
+      // join cost; the candidate join stays bounded at maxDf²/2 per
+      // surviving shingle either way.
+      attempt("t50_ngram_jaccard_10x")(measured("t50_ngram_jaccard_10x") {
+        graft.operators.Dedup.rareShinglePairs(docs10, "doc_id", "text",
+          shingleK = 5, maxDf = 12, threshold = 0.5).count()
+      })
       lineitem10xPath = Some(s"$scaleDir/lineitem10x")
       val li10 = spark.read.parquet(s"$scaleDir/lineitem10x")
       attempt("pipeline_10x")(measured("pipeline_10x") {
