@@ -114,6 +114,21 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   val store = new Metastore(root,
     Option(commitStore).getOrElse(CommitStore.fromConf(spark)))
 
+  // Storage-partitioned merge (MergeRead.partitionedMerge): the catalog's
+  // compacted bases expose their bucket layout as KeyGroupedPartitioning;
+  // these planner flags let merge-key joins USE it — the pending side
+  // shuffles into the layout, the base side never shuffles. They are
+  // correctness-neutral Spark optimizations (they only take effect for
+  // scans that report a partitioning), set here so catalog reads benefit
+  // without per-session ceremony. graft.merge.partitioned.enabled=false
+  // opts out of both the merge path and this conf touch.
+  if (spark.conf.get("graft.merge.partitioned.enabled", "true").toBoolean) {
+    Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      .foreach(k => spark.conf.set(k, "true"))
+  }
+
   import Hidden._
 
   // ---------------------------------------------------------------- layout

@@ -114,7 +114,20 @@ object MergeRead {
         // scan+collect job of its own.
         sparseMerge(spark, schema, scheme, mergeKeys, deltas,
           basePaths, pending, pendingPaths, contentType).select(normCols: _*)
-      } else numBuckets match {
+      } else (if (partitionedEligible(spark, schema, base, basePaths, pending,
+            pendingPaths, numBuckets, contentType, opts))
+          // Storage-partitioned dense merge (see partitionedMerge): the
+          // sparse split at non-broadcastable pending sizes — the key joins
+          // shuffle pending INTO the base's bucket layout, the base never
+          // shuffles. Skips bucket discovery for the same reason the
+          // sparse path does: the row-level anti-join is a strictly finer
+          // prune. None (layout drift) falls through to the dense paths.
+          partitionedMerge(spark, schema, scheme, mergeKeys, deltas, basePaths,
+            pending, pendingPaths, contentType, numBuckets.get)
+            .map(_.select(normCols: _*))
+        else None) match {
+        case Some(spj) => spj
+        case None => numBuckets match {
         case Some(n) if basePaths.nonEmpty =>
           // Bucket-pruned merge: only base buckets touched by pending keys
           // join the merge shuffle; untouched buckets are scan-only
@@ -132,6 +145,7 @@ object MergeRead {
         case _ =>
           resolveScan(spark, schema, scheme, mergeKeys, deltas,
             basePaths ++ pendingPaths, contentType).select(normCols: _*)
+        }
       }
     val out = applyPastDefaults(resolved, schema)
     if (opts.withFilePath) out.withColumn("_file_path", col(File)) else out
@@ -269,6 +283,111 @@ object MergeRead {
     pass.select(normCols: _*).unionByName(
       resolve(contested, schema, scheme, mergeKeys,
         referencedDeltas(deltas, basePaths ++ pendingPaths)).select(normCols: _*))
+  }
+
+  /** Guardrails for the storage-partitioned dense merge: pending must be
+    * known-counted and a meaningful fraction of the base must be
+    * UNCONTESTED (the anti-join pass side) for the double base scan to
+    * beat the dense shuffle. Tunable via
+    * `graft.merge.partitioned.minBaseRatio` (default 2: pending ≤ half
+    * the base). `graft.merge.partitioned.enabled=false` disables the path
+    * AND stops the catalog from enabling the v2 bucketing planner flags. */
+  private val PartitionedMinBaseRatio = 2L
+
+  /** Should the dense merge read take the storage-partitioned path?
+    * Everything the [[partitionedMerge]] plan relies on must hold:
+    * parquet base with a bucket layout, full-column base delta, no
+    * renamed fields (the KGP scan reads physical names directly), no
+    * per-row file-path demand (the pass side synthesizes a sentinel), and
+    * the pending:base ratio in the dense-but-not-overwhelming band where
+    * shuffling only pending wins. */
+  private def partitionedEligible(
+      spark: SparkSession, schema: StructType, base: Option[DeltaMeta],
+      basePaths: Seq[String], pending: Seq[DeltaMeta], pendingPaths: Seq[String],
+      numBuckets: Option[Int], ct: ContentType, opts: ReadOptions): Boolean = {
+    def knownRows(entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
+      if (entries.isEmpty || entries.exists(_.recordCount < 0)) None
+      else Some(entries.map(_.recordCount).sum)
+    val minRatio = spark.conf
+      .get("graft.merge.partitioned.minBaseRatio", PartitionedMinBaseRatio.toString).toLong
+    val fullCols = schema.fieldNames.toSet
+    lazy val baseFull = base.exists(d =>
+      d.properties.get("written_columns").forall(_.split(",").toSet == fullCols))
+    val basePathSet = basePaths.toSet
+    lazy val baseRows = base.map(_.entries.filter(e => basePathSet(e.path))).flatMap(knownRows)
+    lazy val pendingRows = knownRows(pending.flatMap(_.entries))
+    val verdict = spark.conf.get("graft.merge.partitioned.enabled", "true").toBoolean &&
+      ct == ContentType.Parquet && numBuckets.exists(_ > 0) &&
+      base.isDefined && basePaths.nonEmpty && pendingPaths.nonEmpty &&
+      !opts.withFilePath && renameMapOf(schema).isEmpty && baseFull &&
+      (for { b <- baseRows; p <- pendingRows }
+        yield p * minRatio <= b).getOrElse(false)
+    if (spark.conf.get("graft.merge.partitioned.debug", "false").toBoolean)
+      // scalastyle:off println
+      System.err.println(s"[partitionedEligible] verdict=$verdict ct=$ct " +
+        s"numBuckets=$numBuckets base=${base.isDefined} baseFull=$baseFull " +
+        s"baseRows=$baseRows pendingRows=$pendingRows " +
+        s"renames=${renameMapOf(schema)} withFilePath=${opts.withFilePath}")
+      // scalastyle:on println
+    verdict
+  }
+
+  /**
+   * Storage-partitioned dense merge: the regime between [[sparseMerge]]
+   * (pending broadcastable) and the full shuffle resolve (pending ≈ base).
+   * The SAME uncontested/contested split as the sparse path — a key
+   * anti-join passes untouched base rows through scan-only, a semi-join +
+   * the pending scan feed the full resolve — but the key set is too big to
+   * broadcast, so both joins run as storage-partitioned joins against the
+   * base's OWN bucket layout ([[BucketedBase.frame]] exposes
+   * `_g_bucket=N` as KeyGroupedPartitioning): the pending keys shuffle
+   * INTO the layout and the base never shuffles, at any pending size. At
+   * 100 TB this bounds every merge-on-read's shuffle volume by
+   * O(|pending|) in ALL regimes, not just the broadcastable one.
+   *
+   * Soundness is the sparse argument verbatim (a compacted base is
+   * resolved: exactly one live row per key, no tombstones, so a key absent
+   * from pending cannot change); merge_order / partial upserts / deletes
+   * all land on the contested side's full resolve. Null-keyed base rows
+   * cannot equi-join, so they are routed to the contested side explicitly
+   * (a null-keyed pending equality-delete must still tombstone them).
+   * The base lineage columns are per-delta CONSTANTS (one base delta), so
+   * the KGP scan needs no `_metadata` support; `File` is a sentinel, which
+   * is why `withFilePath` reads are ineligible. Falls back to None (dense
+   * resolve) if any base file lacks a bucket id — layout drift never
+   * produces a wrong plan, only a slower one.
+   */
+  private def partitionedMerge(
+      spark: SparkSession, schema: StructType, scheme: PartitionScheme,
+      mergeKeys: Seq[String], deltas: Seq[DeltaMeta], basePaths: Seq[String],
+      pending: Seq[DeltaMeta], pendingPaths: Seq[String],
+      ct: ContentType, numBuckets: Int): Option[DataFrame] = {
+    val base = activeDeltas(deltas)._1.getOrElse(return None)
+    org.apache.spark.sql.graft.BucketedBase.frame(
+      spark, schema, mergeKeys, numBuckets, basePaths, bucketOfPath, ct.readOptions)
+      .map { raw =>
+        val eff = if (base.compactedUpTo >= 0) base.compactedUpTo else base.streamPosition
+        val baseScan = raw
+          .withColumn(Pos, lit(base.streamPosition))
+          .withColumn(Dt, lit(base.deltaType))
+          .withColumn(EffPos, lit(eff))
+          .withColumn(File, lit("graft://partitioned-base"))
+          .withColumn(Row, lit(0L))
+          .withColumn(Present, typedLit(schema.fieldNames.toSeq))
+        val pk = pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, pending)
+          .select(mergeKeys.map(k => col(k).as(s"_g_pk_$k")): _*)
+          .distinct()
+        val eqCond = mergeKeys.map(k => col(k) === col(s"_g_pk_$k")).reduce(_ && _)
+        val anyKeyNull = mergeKeys.map(col(_).isNull).reduce(_ || _)
+        val pass = baseScan.where(!anyKeyNull).join(pk, eqCond, "left_anti")
+        val contested = baseScan.where(!anyKeyNull).join(pk, eqCond, "left_semi")
+          .unionByName(baseScan.where(anyKeyNull))
+          .unionByName(scanWithLineage(spark, schema, deltas, pendingPaths, ct))
+        val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
+        pass.select(normCols: _*).unionByName(
+          resolve(contested, schema, scheme, mergeKeys,
+            referencedDeltas(deltas, basePaths ++ pendingPaths)).select(normCols: _*))
+      }
   }
 
   /** Bucket id encoded in a compacted file's `_g_bucket=N` path segment. */

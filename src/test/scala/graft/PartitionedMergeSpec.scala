@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/** Storage-partitioned dense merge (MergeRead.partitionedMerge): pending too
+  * big to broadcast reads via key joins that shuffle pending INTO the
+  * compacted base's bucket layout (KeyGroupedPartitioning) — the base never
+  * shuffles, at any pending size. Must be plan-visible AND row-identical to
+  * the dense shuffle resolve. */
+class PartitionedMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(cat: GraftCatalog, name: String, buckets: Int = 4): Unit =
+    cat.createTable(name, StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))),
+      // NONE: writes stay merge-on-read so the read path, not the write
+      // valve, is under test; compact() builds the bucketed base explicitly.
+      properties = Map("read_optimization" -> "NONE",
+        "compaction.num_buckets" -> buckets.toString))
+
+  /** The PASS (anti-join) side carries the bulk of the base and must reach
+    * the output with NO shuffle above it — that is the whole point of the
+    * path. The contested (semi) side's base rows legitimately re-shuffle:
+    * they are O(pending) and enter the full resolve. So: at least one
+    * KeyGrouped BatchScan must sit under zero ShuffleExchange ancestors. */
+  private def assertPassSideNeverShuffles(plan: SparkPlan): Unit = {
+    def stripped(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val root = stripped(plan)
+    val all = root.collect { case b: BatchScanExec => b }
+    assert(all.nonEmpty,
+      s"expected the KeyGrouped BatchScan in:\n${plan.toString.take(2000)}")
+    // Identity, not case-class equality: the anti- and semi-side scans are
+    // EQUAL BatchScanExec values; only `eq` tells them apart.
+    val underShuffle = root.collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.collect { case b: BatchScanExec => b })
+    assert(all.exists(b => !underShuffle.exists(_ eq b)),
+      "the pass-side base scan must reach the output without a shuffle:\n" +
+        plan.toString.take(2500))
+  }
+
+  test("dense-band upsert+delete takes the storage-partitioned path; base side never shuffles") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj"))
+    mkTable(cat, "ns.t")
+    cat.writeToTable(spark.range(20000)
+      .select($"id", ($"id" % 7).cast("string").as("v")).toDF(), "ns.t", WriteMode.Merge)
+    cat.compact("ns.t")
+    // ~25% pending: over the sparse ratio (8x), inside the partitioned band (2x).
+    cat.writeToTable(spark.range(20000).where($"id" % 4 === 0)
+      .select($"id", lit("upd").as("v")).toDF(), "ns.t", WriteMode.Merge)
+    cat.writeToTable(spark.range(20000).select($"id")
+      .where($"id" % 997 === 0).toDF(), "ns.t", WriteMode.Delete)
+
+    val spj = cat.readTable("ns.t")
+    val plan = spj.queryExecution.executedPlan
+    assert(plan.toString.contains("_g_pk_id"), "key-split join expected")
+    assertPassSideNeverShuffles(plan)
+    val got = spj.as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    spark.conf.set("graft.merge.partitioned.enabled", "false")
+    try {
+      val dense = cat.readTable("ns.t")
+      assert(!dense.queryExecution.executedPlan.toString.contains("BatchScan"))
+      assert(got == dense.as[(Long, String)].collect().sortBy(_._1).toSeq,
+        "partitioned and dense merge reads must be identical")
+    } finally spark.conf.unset("graft.merge.partitioned.enabled")
+
+    val byId = got.toMap
+    assert(byId(4L) == "upd" && byId(3L) == "3")
+    assert(!byId.contains(997L) && !byId.contains(0L)) // 0: upd then deleted
+    assert(got.size == 20000 - 21) // multiples of 997 in [0, 20000): 0..19940
+  }
+
+  test("randomized dense sequences incl. partial upserts: partitioned read ≡ dense read") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 0 until 3) {
+      val cat = new GraftCatalog(spark, tmpDir(s"graft-spj-prop$round"))
+      cat.createTable("ns.p", StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", StringType),
+        FieldMeta.field("n", LongType))),
+        properties = Map("read_optimization" -> "NONE",
+          "compaction.num_buckets" -> "4"))
+      val n = 3000 + rnd.nextInt(2000)
+      cat.writeToTable(spark.range(n)
+        .select($"id", ($"id" % 13).cast("string").as("v"), ($"id" * 2).as("n")).toDF(),
+        "ns.p", WriteMode.Merge)
+      cat.compact("ns.p")
+      // Dense-band pending: each delta touches ~10-20% of the base; a
+      // partial upsert (v only) exercises the contested resolve's
+      // field-wise path through the partitioned split.
+      for (i <- 0 to rnd.nextInt(3)) {
+        val m = 4 + rnd.nextInt(6)
+        rnd.nextInt(3) match {
+          case 0 => cat.writeToTable(spark.range(n + 100).where($"id" % m === 0)
+            .select($"id", lit(s"u$round-$i").as("v"), lit(-1L).as("n")).toDF(),
+            "ns.p", WriteMode.Merge)
+          case 1 => cat.writeToTable(spark.range(n).where($"id" % m === 1)
+            .select($"id", lit(s"p$round-$i").as("v")).toDF(), // partial: no n
+            "ns.p", WriteMode.Merge)
+          case 2 => cat.writeToTable(spark.range(n).select($"id")
+            .where($"id" % (m * 7) === 2).toDF(), "ns.p", WriteMode.Delete)
+        }
+      }
+      val spjRead = cat.readTable("ns.p")
+      val engaged = spjRead.queryExecution.executedPlan.toString.contains("BatchScan")
+      val spj = spjRead.as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      spark.conf.set("graft.merge.partitioned.enabled", "false")
+      val dense =
+        try cat.readTable("ns.p").as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+        finally spark.conf.unset("graft.merge.partitioned.enabled")
+      assert(spj == dense, s"round $round: partitioned and dense reads diverged " +
+        s"(spj=${spj.size} rows, dense=${dense.size} rows, engaged=$engaged)")
+      assert(engaged || spj == dense, s"round $round vacuous")
+    }
+  }
+
+  test("null-keyed base rows route to the contested side and can be tombstoned") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj-null"))
+    cat.createTable("ns.n", StructType(Seq(
+      FieldMeta.field("a", StringType, nullable = true, mergeKey = true),
+      FieldMeta.field("b", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))),
+      properties = Map("read_optimization" -> "NONE",
+        "compaction.num_buckets" -> "4"))
+    val base = spark.range(4000)
+      .select(when($"id" === 0, lit(null)).otherwise(concat(lit("k"), $"id")).as("a"),
+        $"id".as("b"), lit("x").as("v"))
+    cat.writeToTable(base.toDF(), "ns.n", WriteMode.Merge)
+    cat.compact("ns.n")
+    // Dense-band pending (25%) + the null-keyed delete.
+    cat.writeToTable(spark.range(4000).where($"id" % 4 === 1)
+      .select(concat(lit("k"), $"id").as("a"), $"id".as("b"), lit("u").as("v")).toDF(),
+      "ns.n", WriteMode.Merge)
+    cat.writeToTable(Seq((Option.empty[String], 0L), (Some("k7"), 7L)).toDF("a", "b"),
+      "ns.n", WriteMode.Delete)
+    val read = cat.readTable("ns.n")
+    assert(read.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "dense-band read should take the partitioned path")
+    assert(read.count() == 3998)
+    assert(read.where($"a".isNull).count() == 0,
+      "null-keyed row must be deleted — it cannot equi-join, so it must " +
+        "have been routed to the contested resolve")
+    assert(read.where($"b" === 7L).count() == 0)
+    assert(read.where($"b" === 5L).head().getString(2) == "u")
+  }
+
+  test("conf gates: ratio flips the path; withFilePath and disabled are ineligible") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj-conf"))
+    mkTable(cat, "ns.c")
+    cat.writeToTable(spark.range(10000)
+      .select($"id", ($"id" % 7).cast("string").as("v")).toDF(), "ns.c", WriteMode.Merge)
+    cat.compact("ns.c")
+    cat.writeToTable(spark.range(10000).where($"id" % 4 === 0)
+      .select($"id", lit("u").as("v")).toDF(), "ns.c", WriteMode.Merge)
+    def planOf(opts: ReadOptions = ReadOptions()) =
+      cat.readTable("ns.c", opts).queryExecution.executedPlan.toString
+    assert(planOf().contains("BatchScan"), "25% pending should take the partitioned path")
+    // pending*8 > base → raise minBaseRatio so even 25% is "too dense"
+    spark.conf.set("graft.merge.partitioned.minBaseRatio", "8")
+    try assert(!planOf().contains("BatchScan"))
+    finally spark.conf.unset("graft.merge.partitioned.minBaseRatio")
+    // per-row file paths need real _metadata — the partitioned path bows out
+    assert(!planOf(ReadOptions(withFilePath = true)).contains("BatchScan"))
+    val withPath = cat.readTable("ns.c", ReadOptions(withFilePath = true))
+    assert(withPath.where(col("_file_path").contains("partitioned-base")).count() == 0)
+    spark.conf.set("graft.merge.partitioned.enabled", "false")
+    try assert(!planOf().contains("BatchScan"))
+    finally spark.conf.unset("graft.merge.partitioned.enabled")
+  }
+}

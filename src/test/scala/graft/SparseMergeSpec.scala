@@ -39,13 +39,20 @@ class SparseMergeSpec extends SparkSpec {
       s"sparse merge read should broadcast the pending key set; got:\n${plan.take(2000)}")
     val got = sparse.as[(Long, String)].collect().sortBy(_._1).toSeq
 
+    // Disable BOTH cheaper regimes: with sparse off, the storage-
+    // partitioned band (ratio ≥ 2) would otherwise catch this read — the
+    // dense shuffle resolve is the ladder's last rung now.
     spark.conf.set("graft.merge.sparse.enabled", "false")
+    spark.conf.set("graft.merge.partitioned.enabled", "false")
     try {
       val dense = cat.readTable("ns.t")
       assert(!dense.queryExecution.executedPlan.toString.contains("_g_pk_id"))
       assert(got == dense.as[(Long, String)].collect().sortBy(_._1).toSeq,
         "sparse and dense merge reads must be identical")
-    } finally spark.conf.unset("graft.merge.sparse.enabled")
+    } finally {
+      spark.conf.unset("graft.merge.sparse.enabled")
+      spark.conf.unset("graft.merge.partitioned.enabled")
+    }
 
     // Semantics spot checks: updates win, insert present, deletes gone.
     val byId = got.toMap
@@ -65,17 +72,26 @@ class SparseMergeSpec extends SparkSpec {
     def planOf() = cat.readTable("ns.c").queryExecution.executedPlan.toString
     // defaults: 100 pending vs 10000 base (ratio 100, cap 4M) → sparse
     assert(planOf().contains("_g_pk_id"), "default thresholds should take the sparse path")
-    // base must be ≥ 200× pending → only 100× here → dense
+    // base must be ≥ 200× pending → only 100× here → next rung down is the
+    // STORAGE-PARTITIONED split (same key-split markers, KeyGrouped
+    // BatchScan); with that band disabled too, the dense shuffle resolve.
     spark.conf.set("graft.merge.sparse.minBaseRatio", "200")
-    try assert(!planOf().contains("_g_pk_id"),
-      "raised minBaseRatio must fall back to the dense resolve")
-    finally spark.conf.unset("graft.merge.sparse.minBaseRatio")
-    // pending no longer broadcastable under a 50-row cap → dense
+    try {
+      assert(planOf().contains("BatchScan"),
+        "raised sparse ratio must fall to the storage-partitioned band")
+      spark.conf.set("graft.merge.partitioned.enabled", "false")
+      try assert(!planOf().contains("_g_pk_id") && !planOf().contains("BatchScan"),
+        "with both bands off, the dense resolve remains")
+      finally spark.conf.unset("graft.merge.partitioned.enabled")
+    } finally spark.conf.unset("graft.merge.sparse.minBaseRatio")
+    // pending no longer broadcastable under a 50-row cap → same ladder
     spark.conf.set("graft.merge.sparse.maxPendingRows", "50")
-    try assert(!planOf().contains("_g_pk_id"),
-      "lowered maxPendingRows must fall back to the dense resolve")
+    try assert(planOf().contains("BatchScan"),
+      "lowered maxPendingRows must fall to the storage-partitioned band")
     finally spark.conf.unset("graft.merge.sparse.maxPendingRows")
-    assert(planOf().contains("_g_pk_id"), "unsetting restores the sparse path")
+    val restored = planOf()
+    assert(restored.contains("_g_pk_id") && !restored.contains("BatchScan"),
+      "unsetting restores the broadcast sparse path")
   }
 
   test("randomized upsert/delete sequences: sparse read ≡ dense read") {
