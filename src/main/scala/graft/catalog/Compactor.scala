@@ -386,7 +386,8 @@ object Compactor {
               untouchedPathsB.foreach(_ += e.path)
             } else baseToReadB += e.path
           })
-          val paths = baseToReadB.result() ++ pendingPaths
+          val touchedBasePaths = baseToReadB.result()
+          val paths = touchedBasePaths ++ pendingPaths
           val maxRec = meta.properties.get("compaction.max_records_per_file")
             .map(_.toLong).getOrElse(DefaultMaxRecordsPerFile)
 
@@ -401,9 +402,32 @@ object Compactor {
             // Keyless tables (append-only rewrite after a rename) have no
             // merge semantics — resolve would collapse everything into one
             // group; every scanned row is live as-is.
+            // Keyed tables reuse the READ path's merge regime ladder for the
+            // resolve HALF of compaction (materialize's bucket/slice shuffle
+            // stays — its parallelism decoupling is load-bearing at 100 TB):
+            // a sparse/partitioned split means touched-but-uncontested base
+            // rows skip the resolve shuffle entirely — compaction's shuffle
+            // volume drops from 2x touched-base to 1x touched-base +
+            // O(pending). The split MUST use the base's RECORDED bucket
+            // count (the layout's n), never the compaction target — a
+            // recluster changes the target while files still live in the
+            // old layout, and a mismatched n would put keys in the wrong
+            // KeyGrouped partitions (wrong join results, silently).
+            val layoutBuckets = base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
             val merged =
               if (mergeKeys.isEmpty) scan
-              else MergeRead.resolve(scan, schema, scheme, mergeKeys, active)
+              else if (MergeRead.sparseEligible(spark, base, touchedBasePaths,
+                  pending, pendingPaths))
+                MergeRead.sparseMerge(spark, schema, scheme, mergeKeys, deltas,
+                  touchedBasePaths, pending, pendingPaths, ct)
+              else (if (MergeRead.partitionedEligible(spark, schema, base,
+                    touchedBasePaths, pending, pendingPaths, layoutBuckets, ct,
+                    ReadOptions()))
+                  MergeRead.partitionedMerge(spark, schema, scheme, mergeKeys,
+                    deltas, touchedBasePaths, pending, pendingPaths, ct,
+                    layoutBuckets.get)
+                else None)
+                .getOrElse(MergeRead.resolve(scan, schema, scheme, mergeKeys, active))
             val resolved = MergeRead.applyPastDefaults(merged, schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,
@@ -495,7 +519,17 @@ object Compactor {
     // declared sort keys, so each emitted file covers a tight
     // hyper-rectangle and footer-stats skipping works on every clustered
     // column (ZOrder doc).
-    val sortCols = col(Bucket) +: (zorder.map(_.asc).toSeq ++ sortScheme.keys.map(_.toColumn))
+    // Merge keys as the FINAL tie-break make each emitted file's row order
+    // (and therefore its bytes) a pure function of its row SET: the merge
+    // regime ladder feeds materialize from different upstream shapes
+    // (resolve aggregate vs pass∪contested union), and without a total
+    // order the same logical compaction could emit different bytes per
+    // regime — gated≡driver byte-equality tests, retries, and dedup-able
+    // object-store puts all want determinism here. Declared orders
+    // (z-value, sort scheme) keep precedence; keys only break their ties.
+    val sortCols = col(Bucket) +: (zorder.map(_.asc).toSeq ++
+      sortScheme.keys.map(_.toColumn) ++
+      mergeKeys.filterNot(k => sortScheme.keys.exists(_.field == k)).map(col(_).asc))
     val partCols = cat.addDerivedPartitionColumns(bucketed, scheme)
     val partNames = scheme.keys.map(_.partitionColumnName)
       .filter(partCols.columns.contains)

@@ -45,6 +45,13 @@ object MergeRead {
 
   import Hidden._
 
+  /** Test/bench observability: which split regime the most recent
+    * sparse/partitioned merge construction took ("sparse" |
+    * "partitioned"). Volatile last-write-wins — for sequenced plan
+    * assertions (e.g. "this compaction used the partitioned split"), not
+    * concurrent metrics. */
+  @volatile private[graft] var lastSplitRegime: String = ""
+
   /** Pick the active delta set: latest compacted base + deltas beyond its
     * watermark. */
   def activeDeltas(deltas: Seq[DeltaMeta]): (Option[DeltaMeta], Seq[DeltaMeta]) = {
@@ -225,7 +232,7 @@ object MergeRead {
     * base — the trickle regime where [[sparseMerge]] beats the dense
     * shuffle resolve. Disable via spark.conf
     * `graft.merge.sparse.enabled=false`. */
-  private def sparseEligible(
+  private[catalog] def sparseEligible(
       spark: SparkSession, base: Option[DeltaMeta], basePaths: Seq[String],
       pending: Seq[DeltaMeta], pendingPaths: Seq[String]): Boolean = {
     def knownRows(entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
@@ -263,11 +270,12 @@ object MergeRead {
    * which take the full resolve path). Null-safe key equality (`<=>`)
    * keeps null-keyed equality deletes on the contested side.
    */
-  private def sparseMerge(
+  private[catalog] def sparseMerge(
       spark: SparkSession, schema: StructType, scheme: PartitionScheme,
       mergeKeys: Seq[String], deltas: Seq[DeltaMeta], basePaths: Seq[String],
       pending: Seq[DeltaMeta], pendingPaths: Seq[String],
       ct: ContentType): DataFrame = {
+    lastSplitRegime = "sparse"
     val pk = broadcast(
       pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, pending)
         .select(mergeKeys.map(k => col(k).as(s"_g_pk_$k")): _*)
@@ -301,7 +309,7 @@ object MergeRead {
     * per-row file-path demand (the pass side synthesizes a sentinel), and
     * the pending:base ratio in the dense-but-not-overwhelming band where
     * shuffling only pending wins. */
-  private def partitionedEligible(
+  private[catalog] def partitionedEligible(
       spark: SparkSession, schema: StructType, base: Option[DeltaMeta],
       basePaths: Seq[String], pending: Seq[DeltaMeta], pendingPaths: Seq[String],
       numBuckets: Option[Int], ct: ContentType, opts: ReadOptions): Boolean = {
@@ -357,7 +365,7 @@ object MergeRead {
    * resolve) if any base file lacks a bucket id — layout drift never
    * produces a wrong plan, only a slower one.
    */
-  private def partitionedMerge(
+  private[catalog] def partitionedMerge(
       spark: SparkSession, schema: StructType, scheme: PartitionScheme,
       mergeKeys: Seq[String], deltas: Seq[DeltaMeta], basePaths: Seq[String],
       pending: Seq[DeltaMeta], pendingPaths: Seq[String],
@@ -366,6 +374,7 @@ object MergeRead {
     org.apache.spark.sql.graft.BucketedBase.frame(
       spark, schema, mergeKeys, numBuckets, basePaths, bucketOfPath, ct.readOptions)
       .map { raw =>
+        lastSplitRegime = "partitioned"
         val eff = if (base.compactedUpTo >= 0) base.compactedUpTo else base.streamPosition
         val baseScan = raw
           .withColumn(Pos, lit(base.streamPosition))

@@ -156,6 +156,35 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(read.where($"b" === 5L).head().getString(2) == "u")
   }
 
+  test("compaction reuses the split ladder: dense-band compact takes the partitioned regime") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj-compact"))
+    mkTable(cat, "ns.k")
+    cat.writeToTable(spark.range(20000)
+      .select($"id", ($"id" % 7).cast("string").as("v")).toDF(), "ns.k", WriteMode.Merge)
+    cat.compact("ns.k")
+    cat.writeToTable(spark.range(20000).where($"id" % 4 === 0)
+      .select($"id", lit("upd").as("v")).toDF(), "ns.k", WriteMode.Merge)
+    cat.writeToTable(spark.range(20000).select($"id")
+      .where($"id" % 997 === 0).toDF(), "ns.k", WriteMode.Delete)
+
+    MergeRead.lastSplitRegime = ""
+    cat.compact("ns.k")
+    assert(MergeRead.lastSplitRegime == "partitioned",
+      "a dense-band compaction must resolve via the storage-partitioned split")
+    // The compacted state must be exactly the dense resolve's answer.
+    val got = cat.readTable("ns.k").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val byId = got.toMap
+    assert(got.size == 20000 - 21 && byId(4L) == "upd" && !byId.contains(997L))
+
+    // Trickle after the recompact: the compactor's ladder picks SPARSE.
+    cat.writeToTable(Seq((7L, "t7")).toDF("id", "v"), "ns.k", WriteMode.Merge)
+    MergeRead.lastSplitRegime = ""
+    cat.compact("ns.k")
+    assert(MergeRead.lastSplitRegime == "sparse",
+      "a trickle compaction must resolve via the broadcast sparse split")
+    assert(cat.readTable("ns.k").where($"id" === 7L).head().getString(1) == "t7")
+  }
+
   test("conf gates: ratio flips the path; withFilePath and disabled are ineligible") {
     val cat = new GraftCatalog(spark, tmpDir("graft-spj-conf"))
     mkTable(cat, "ns.c")
