@@ -93,7 +93,16 @@ final case class ReadOptions(
       * WITHIN an open transaction sees that txn's staged metadata and
       * deltas on top of the committed snapshot; every other reader sees
       * neither until seal. */
-    txn: Option[graft.txn.Transaction] = None)
+    txn: Option[graft.txn.Transaction] = None,
+    /** Internal planner hint: force the dense resolve AGGREGATE even when
+      * the sparse/partitioned split would be eligible. A split's
+      * pass∪contested union reports UnknownPartitioning, so a consumer
+      * that immediately joins/aggregates on the merge keys (the zipper's
+      * full-outer zip) would re-shuffle the full group anyway — the dense
+      * aggregate's hash(keys) output partitioning makes that join
+      * exchange-free, which beats avoiding the resolve shuffle only to
+      * pay it back at the zip. */
+    denseResolve: Boolean = false)
 
 class TableAlreadyExists(t: String) extends RuntimeException(s"table $t already exists")
 class TableNotFound(t: String) extends RuntimeException(s"table $t not found")
@@ -888,7 +897,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val (keyFilter, residualFilter) = StatsSkip.splitKeyConjuncts(
       opts.partitionFilter.toSeq ++ opts.rowFilter.toSeq, keys.toSet)
     val zipOpts = opts.copy(columns = None, rowFilter = keyFilter, limit = None,
-      partitionFilter = None, withFilePath = false)
+      partitionFilter = None, withFilePath = false,
+      // group plans feed straight into the key-equality zip: the dense
+      // aggregate's hash(keys) partitioning keeps that join exchange-free
+      denseResolve = true)
     val deltas = plannedDeltas(t, zipOpts, schema, scheme, keys)
     val renames = MergeRead.renameMapOf(schema)
     def writtenOf(d: DeltaMeta): Option[Set[String]] =

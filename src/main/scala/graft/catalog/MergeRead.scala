@@ -114,14 +114,16 @@ object MergeRead {
         scanWithLineage(spark, schema, deltas, basePaths ++ pendingPaths, contentType)
           .where(col(Dt) =!= DeltaType.Delete.name)
           .select(normCols: _*)
-      } else if (sparseEligible(spark, base, basePaths, pending, pendingPaths)) {
+      } else if (!opts.denseResolve &&
+          sparseEligible(spark, base, basePaths, pending, pendingPaths)) {
         // Sparse-eligible reads skip bucket discovery outright: the
         // broadcast key anti-join is a strictly finer (row-level) prune
         // than the bucket-level one, and touchedBuckets costs a full
         // scan+collect job of its own.
         sparseMerge(spark, schema, scheme, mergeKeys, deltas,
           basePaths, pending, pendingPaths, contentType).select(normCols: _*)
-      } else (if (partitionedEligible(spark, schema, base, basePaths, pending,
+      } else (if (!opts.denseResolve &&
+            partitionedEligible(spark, schema, base, basePaths, pending,
             pendingPaths, numBuckets, contentType, opts))
           // Storage-partitioned dense merge (see partitionedMerge): the
           // sparse split at non-broadcastable pending sizes — the key joins
