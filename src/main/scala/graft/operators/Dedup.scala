@@ -450,6 +450,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /**
+   * Asymmetric shingle CONTAINMENT pairs: containment(A in B) =
+   * |shingles(A) ∩ shingles(B)| / |shingles(A)| — the subset-duplicate
+   * detector (a short document quoted verbatim inside a longer one).
+   * Symmetric Jaccard structurally misses these: |A∩B|/|A∪B| ≤ |A|/|B|,
+   * so a tweet inside a long article can never clear a Jaccard threshold
+   * no matter how exact the copy. Candidates come from the same
+   * df-capped rare-shingle blocking as [[rareShinglePairs]] (a contained
+   * copy shares ALL of the inner doc's shingles, rare ones included);
+   * each candidate pair emits each direction that clears the threshold.
+   * Returns (id_inner, id_outer, containment): the inner doc's shingles
+   * are covered `containment`-fraction by the outer doc's.
+   */
+  def shingleContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, maxDf: Int = 5, threshold: Double = 0.8): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be ≥ 2 (got $maxDf)")
+    val sh = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("shs"))
+      .select(col("id"), explode_outer(col("shs")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf)).select("sh")
+    val posting = sh.join(rare, Seq("sh"))
+    val cand = posting.as("a")
+      .join(posting.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = Par.widen(df).select(col(idCol).as("id"),
+      TextOps.shingles(textCol, shingleK).as("sh"))
+    val scored = cand
+      .join(sets.withColumnRenamed("sh", "sh_a"), cand("id_a") === sets("id")).drop("id")
+      .join(sets.withColumnRenamed("sh", "sh_b"), cand("id_b") === sets("id")).drop("id")
+      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("c_ab", col("_inter") / size(col("sh_a")).cast(DoubleType))
+      .withColumn("c_ba", col("_inter") / size(col("sh_b")).cast(DoubleType))
+    scored.where(col("c_ab") >= threshold)
+      .select(col("id_a").as("id_inner"), col("id_b").as("id_outer"),
+        col("c_ab").as("containment"))
+      .unionByName(scored.where(col("c_ba") >= threshold)
+        .select(col("id_b").as("id_inner"), col("id_a").as("id_outer"),
+          col("c_ba").as("containment")))
+  }
+
   /** See [[Par.materialize]]: eager, lineage-cutting, checkpoint-reliable
     * when a checkpoint dir is configured. */
   private def materialize(d: DataFrame): DataFrame = Par.materialize(d)

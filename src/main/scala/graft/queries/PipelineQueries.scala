@@ -1382,6 +1382,40 @@ object PipelineQueries {
              CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127 END AS scale
       FROM u""")) { (s, dir) =>
       Quantization.int8Quantize(tbl(s, dir, "embeddings"), "vec_id", "embedding")
+    },
+
+    // Asymmetric shingle containment (subset-duplicate detection — a short
+    // doc quoted inside a longer one clears containment but never Jaccard):
+    // rare-shingle blocking, |A∩B|/|A| per direction at ≥ 0.5. The oracle
+    // replays blocking + both directions with list functions.
+    Q("t53_containment", Some("""
+      WITH sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(length(text) - 4, 1) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+        FROM documents),
+      sh AS (SELECT doc_id, unnest(s) AS sh FROM sets),
+      rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 5),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN rare r ON a.sh = r.sh JOIN sh b ON b.sh = r.sh
+        WHERE a.doc_id < b.doc_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / CAST(len(sa.s) AS DOUBLE) AS c_ab,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / CAST(len(sb.s) AS DOUBLE) AS c_ba
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_a
+        JOIN sets sb ON sb.doc_id = c.id_b)
+      SELECT id_a AS id_inner, id_b AS id_outer, c_ab AS containment
+      FROM scored WHERE c_ab >= 0.5
+      UNION ALL
+      SELECT id_b AS id_inner, id_a AS id_outer, c_ba AS containment
+      FROM scored WHERE c_ba >= 0.5""")) { (s, dir) =>
+      Dedup.shingleContainmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleK = 5, maxDf = 5, threshold = 0.5)
     }
   )
 }

@@ -159,6 +159,27 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(j - rows.head.getAs[Double]("jaccard")) < 1e-12)
   }
 
+  test("containment finds a verbatim-quoted doc that Jaccard misses; direction is right") {
+    val inner = "zxqvw kjpml unique quoted passage with distinctive tokens qqfhg"
+    val outer = (0 until 12).map(i => s"framing sentence number$i talks about topic$i")
+      .mkString(" ") + " " + inner + " " +
+      (12 until 24).map(i => s"trailing commentary item$i regarding subject$i").mkString(" ")
+    val docs = (Seq((1L, inner), (2L, outer)) ++
+      (10L until 40L).map(i => (i, "filler common common filler text body")))
+      .toDF("doc_id", "text")
+    val got = Dedup.shingleContainmentPairs(docs, "doc_id", "text",
+      shingleK = 5, maxDf = 5, threshold = 0.8)
+    assertNoCartesian(got)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Every 5-gram of the inner doc is a 5-gram of the outer doc: exact 1.0,
+    // one direction only (the outer doc is NOT contained in the inner).
+    assert(rows.toSeq == Seq((1L, 2L, 1.0)), s"got ${rows.toSeq}")
+    // Jaccard on the same pair is diluted far below any dedup threshold.
+    val j = Dedup.ngramJaccard(Seq((1L, 2L)).toDF("id_a", "id_b"),
+      docs, "doc_id", "text", shingleK = 5).head().getAs[Double]("jaccard")
+    assert(j < 0.3, s"jaccard should be diluted: $j")
+  }
+
   test("minhash pairs agree with exact n-gram jaccard") {
     val docs = spark.read.parquet(s"$sfd/documents.parquet").limit(100)
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6).limit(20)
