@@ -156,6 +156,32 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(read.where($"b" === 5L).head().getString(2) == "u")
   }
 
+  test("split files (tiny maxPartitionBytes): per-bucket regrouping keeps every row-group split") {
+    // The 100 TB shape: one bucket = MANY scan splits. The KeyGrouped scan
+    // regroups the delegate's planned splits by bucket directory; a split
+    // lost or double-grouped would corrupt counts or join results.
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj-splits"))
+    mkTable(cat, "ns.s")
+    cat.writeToTable(spark.range(20000)
+      .select($"id", concat(lit("padpadpadpad-"), $"id").as("v")).toDF(),
+      "ns.s", WriteMode.Merge)
+    cat.compact("ns.s")
+    cat.writeToTable(spark.range(20000).where($"id" % 4 === 0)
+      .select($"id", lit("upd").as("v")).toDF(), "ns.s", WriteMode.Merge)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384") // force many splits
+    try {
+      val spj = cat.readTable("ns.s")
+      assert(spj.queryExecution.executedPlan.toString.contains("BatchScan"))
+      val got = spj.as[(Long, String)].collect().sortBy(_._1).toSeq
+      spark.conf.set("graft.merge.partitioned.enabled", "false")
+      val dense =
+        try cat.readTable("ns.s").as[(Long, String)].collect().sortBy(_._1).toSeq
+        finally spark.conf.unset("graft.merge.partitioned.enabled")
+      assert(got == dense && got.size == 20000,
+        s"split regrouping diverged: spj=${got.size} dense=${dense.size}")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("compaction reuses the split ladder: dense-band compact takes the partitioned regime") {
     val cat = new GraftCatalog(spark, tmpDir("graft-spj-compact"))
     mkTable(cat, "ns.k")
