@@ -45,6 +45,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * Reader, pushdown, vectorization: delegated untouched to Spark's own
  * `ParquetTable` scan (the same delegate the DSv2 table uses); this class
  * only REGROUPS its planned splits by bucket directory.
+ *
+ * Parallelism: deliberately ONE partition per bucket — duplicate partition
+ * keys would make an exchange-free aggregate over the scan wrong unless
+ * Spark re-groups them, and relying on that grouping is fragile across
+ * versions. Scan parallelism therefore equals the bucket count; that is
+ * the right trade because `Compactor.suggestBuckets` scales buckets with
+ * data volume (a 100 TB table has thousands), while the joins this scan
+ * feeds are bounded by the pending side anyway. Skewed buckets at extreme
+ * scale are the storage layout's own skew (salting/recluster territory),
+ * not a scan-shape problem.
  */
 object BucketedBase {
 
