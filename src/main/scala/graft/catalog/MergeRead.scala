@@ -623,8 +623,16 @@ object MergeRead {
       // recency tuple among surviving rows that physically carried it.
       // (merge_order is only honored on the complete-rows path — partial
       // upserts + merge_order is undefined in the reference too.)
-      val ranked = scan.withColumn("_g_tomb",
-        coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
+      // Tombstone masking needs a WINDOW pass (exchange + per-key sort)
+      // before the aggregate — but only when a DELETE delta is actually in
+      // the lineage. A delete-free lineage (the zipper's column-group
+      // trickle shape) has a constant-0 mask: skip the window outright and
+      // the plan is the bare aggregate, one whole sort cheaper.
+      val hasDeletes = lineage.exists(_.typed == DeltaType.Delete)
+      val ranked =
+        if (hasDeletes) scan.withColumn("_g_tomb",
+          coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
+        else scan.withColumn("_g_tomb", lit(0L))
       val live = !isDelete && col("_g_tomb") === 0L
       val recencyKey = struct(col(EffPos), col(File), col(Row))
       val groupKeys = partExprs.zipWithIndex.map { case (e, i) => e.as(s"_g_pk$i") } ++
