@@ -123,20 +123,15 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   val store = new Metastore(root,
     Option(commitStore).getOrElse(CommitStore.fromConf(spark)))
 
-  // Storage-partitioned merge (MergeRead.partitionedMerge): the catalog's
-  // compacted bases expose their bucket layout as KeyGroupedPartitioning;
-  // these planner flags let merge-key joins USE it — the pending side
-  // shuffles into the layout, the base side never shuffles. They are
-  // correctness-neutral Spark optimizations (they only take effect for
-  // scans that report a partitioning), set here so catalog reads benefit
-  // without per-session ceremony. graft.merge.partitioned.enabled=false
-  // opts out of both the merge path and this conf touch.
-  if (spark.conf.get("graft.merge.partitioned.enabled", "true").toBoolean) {
-    Seq("spark.sql.sources.v2.bucketing.enabled",
-      "spark.sql.sources.v2.bucketing.shuffle.enabled",
-      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
-      .foreach(k => spark.conf.set(k, "true"))
-  }
+  // Storage-partitioned merge planner flags
+  // (spark.sql.sources.v2.bucketing.*) are set by MergeRead.partitionedMerge
+  // at the moment a read actually CHOOSES the partitioned path — not here.
+  // Constructing a catalog (including the per-call catalogs the
+  // graft_history/graft_manifest TVFs build during SQL analysis) must not
+  // mutate session-global planning confs as a side effect: the flags change
+  // plan shapes for unrelated V2 sources (e.g. Iceberg tables) in the same
+  // session, and a ctor-time set could never be correctly reverted when
+  // graft.merge.partitioned.enabled is later flipped off.
 
   import Hidden._
 

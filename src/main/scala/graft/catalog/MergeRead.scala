@@ -325,7 +325,13 @@ object MergeRead {
       d.properties.get("written_columns").forall(_.split(",").toSet == fullCols))
     val basePathSet = basePaths.toSet
     lazy val baseRows = base.map(_.entries.filter(e => basePathSet(e.path))).flatMap(knownRows)
-    lazy val pendingRows = knownRows(pending.flatMap(_.entries))
+    // Mirror the base-side filter: under a partition-pruned read only the
+    // pending entries whose files survive the prune join the merge, so
+    // counting ALL pending entries would overstate the pending:base ratio
+    // and wrongly deny the partitioned path (perf heuristic, not
+    // correctness — but the deny costs the full dense shuffle).
+    val pendingPathSet = pendingPaths.toSet
+    lazy val pendingRows = knownRows(pending.flatMap(_.entries).filter(e => pendingPathSet(e.path)))
     val verdict = spark.conf.get("graft.merge.partitioned.enabled", "true").toBoolean &&
       ct == ContentType.Parquet && numBuckets.exists(_ > 0) &&
       base.isDefined && basePaths.nonEmpty && pendingPaths.nonEmpty &&
@@ -377,6 +383,20 @@ object MergeRead {
       spark, schema, mergeKeys, numBuckets, basePaths, bucketOfPath, ct.readOptions)
       .map { raw =>
         lastSplitRegime = "partitioned"
+        // The planner flags that let the merge-key joins USE the scan's
+        // KeyGroupedPartitioning (pending shuffles into the layout, the
+        // base never shuffles). Set HERE — the moment a read actually
+        // chooses the partitioned path — never at catalog construction:
+        // TVF-built catalogs during SQL analysis must not flip
+        // session-global planning confs for unrelated V2 sources. The
+        // flags are correctness-neutral Spark optimizations and remain
+        // set for the session once a partitioned read has planned
+        // (documented session-wide effect; disable the path via
+        // graft.merge.partitioned.enabled=false to avoid the touch).
+        Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.shuffle.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+          .foreach(k => spark.conf.set(k, "true"))
         val eff = if (base.compactedUpTo >= 0) base.compactedUpTo else base.streamPosition
         val baseScan = raw
           .withColumn(Pos, lit(base.streamPosition))

@@ -229,19 +229,23 @@ object TextOps {
       sourceCol: String, budgets: Map[String, Long],
       buckets: Int = 10000): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    // The budgets/thresholds maps are String-keyed, so a non-string source
+    // column (int source ids are common) is cast — both in the aggregate
+    // and the lookup, so the two sides always agree on the key text.
+    val src = col(sourceCol).cast(StringType)
     // coalesce: a source whose every text is NULL sums to null, and the
     // mixing job must treat it as zero available tokens, not crash
-    val toks = df.groupBy(col(sourceCol))
+    val toks = df.groupBy(src.as("s"))
       .agg(sum(coalesce(countCol, lit(0L))).as("t"))
       .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
-    val thresholds: Map[String, Int] = budgets.flatMap { case (src, budget) =>
-      toks.get(src).map { avail =>
+    val thresholds: Map[String, Int] = budgets.flatMap { case (s, budget) =>
+      toks.get(s).map { avail =>
         val frac = if (avail <= 0) 0.0 else math.min(1.0, budget.toDouble / avail)
-        src -> math.round(frac * buckets).toInt
+        s -> math.round(frac * buckets).toInt
       }
     }
     df.where(hashBucket(col(idCol), buckets) <
-      coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0)))
+      coalesce(element_at(typedLit(thresholds), src), lit(0)))
   }
 
   /** Temperature-based corpus mixing (the UniMax/mT5 sampling family):
@@ -265,18 +269,22 @@ object TextOps {
     def weight(t: Long): Double =
       if (temperature == 2.0) math.sqrt(t.toDouble)
       else math.pow(t.toDouble, 1.0 / temperature)
-    val toks = df.groupBy(col(sourceCol))
+    // String-keyed thresholds map → cast the source column on BOTH sides
+    // (aggregate + lookup); int/date source ids otherwise ClassCastException
+    // at getString and never match the element_at key.
+    val src = col(sourceCol).cast(StringType)
+    val toks = df.groupBy(src.as("s"))
       .agg(sum(coalesce(countCol, lit(0L))).as("t"))
       .collect()
       .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) => r.getString(0) -> r.getLong(1) }
       .filter(_._2 > 0L).sortBy(_._1)
     val z = toks.map { case (_, t) => weight(t) }.foldLeft(0.0)(_ + _)
-    val thresholds: Map[String, Int] = toks.map { case (src, t) =>
+    val thresholds: Map[String, Int] = toks.map { case (s, t) =>
       val frac = math.min(1.0, totalBudget.toDouble * weight(t) / z / t.toDouble)
-      src -> math.round(frac * buckets).toInt
+      s -> math.round(frac * buckets).toInt
     }.toMap
     df.where(hashBucket(col(idCol), buckets) <
-      coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0)))
+      coalesce(element_at(typedLit(thresholds), src), lit(0)))
   }
 
   /** Deterministic global corpus SHUFFLE + sharding — the step between

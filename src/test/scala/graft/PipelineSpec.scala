@@ -137,6 +137,21 @@ class PipelineSpec extends SparkSpec {
     val all = TextOps.sampleToTemperatureMix(docs, "doc_id", cnt, "source",
       toks.values.sum * 2, 2.0).count()
     assert(all == docs.count())
+
+    // Non-string source columns (int source ids are common) must work:
+    // the thresholds map is String-keyed, so both the aggregate and the
+    // lookup cast — and they must agree on the key text.
+    val intSrc = skewed.withColumn("source",
+      when($"source" === "big", lit(1)).otherwise(lit(2)))
+    val skInt = TextOps.sampleToTemperatureMix(intSrc, "doc_id", cnt, "source", 2000L, 2.0)
+      .groupBy("source").count().as[(Int, Long)].collect().toMap.withDefaultValue(0L)
+    assert(skInt(2) == 10L && skInt(1) == sk("big"),
+      s"int-typed source must mix identically to its string twin: $skInt vs $sk")
+    val budInt = TextOps.sampleToTokenBudgetBy(intSrc, "doc_id", cnt, "source",
+      Map("2" -> 1000000L)).groupBy("source").count()
+      .as[(Int, Long)].collect().toMap.withDefaultValue(0L)
+    assert(budInt(2) == 10L && budInt(1) == 0L,
+      s"budget mixer must match int sources against string budget keys: $budInt")
   }
 
   test("rare-shingle blocking finds planted near-dups deterministically; common shingles pruned") {
