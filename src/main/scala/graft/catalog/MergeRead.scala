@@ -132,7 +132,7 @@ object MergeRead {
           // sparse path does: the row-level anti-join is a strictly finer
           // prune. None (layout drift) falls through to the dense paths.
           partitionedMerge(spark, schema, scheme, mergeKeys, deltas, basePaths,
-            pending, pendingPaths, contentType, numBuckets.get)
+            pending, pendingPaths, contentType, numBuckets.get, statFilters)
             .map(_.select(normCols: _*))
         else None) match {
         case Some(spj) => spj
@@ -377,10 +377,18 @@ object MergeRead {
       spark: SparkSession, schema: StructType, scheme: PartitionScheme,
       mergeKeys: Seq[String], deltas: Seq[DeltaMeta], basePaths: Seq[String],
       pending: Seq[DeltaMeta], pendingPaths: Seq[String],
-      ct: ContentType, numBuckets: Int): Option[DataFrame] = {
+      ct: ContentType, numBuckets: Int,
+      /** Merge-key-safe translated predicates (MergeRead.plan's
+        * statFilters): pushed into the base's delegate parquet scan so the
+        * partitioned path keeps the row-group pruning the dense path's
+        * DataFrame reader gets from Catalyst. Key-only predicates drop all
+        * versions of a key consistently, so pushing below the resolve is
+        * semantics-preserving; the full filter re-applies above anyway. */
+      safeFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Option[DataFrame] = {
     val base = activeDeltas(deltas)._1.getOrElse(return None)
     org.apache.spark.sql.graft.BucketedBase.frame(
-      spark, schema, mergeKeys, numBuckets, basePaths, bucketOfPath, ct.readOptions)
+      spark, schema, mergeKeys, numBuckets, basePaths, bucketOfPath, ct.readOptions,
+      pushFilters = safeFilters)
       .map { raw =>
         lastSplitRegime = "partitioned"
         // The planner flags that let the merge-key joins USE the scan's

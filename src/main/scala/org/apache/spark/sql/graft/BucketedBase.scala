@@ -9,7 +9,10 @@ import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.catalog.functions.ScalarFunction
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => CNot, Or => COr, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
@@ -42,9 +45,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *    round-trip, no dependence on analyzer rules for a scan the catalog
  *    itself authored.
  *
- * Reader, pushdown, vectorization: delegated untouched to Spark's own
+ * Reader and vectorization: delegated untouched to Spark's own
  * `ParquetTable` scan (the same delegate the DSv2 table uses); this class
- * only REGROUPS its planned splits by bucket directory.
+ * only REGROUPS its planned splits by bucket directory. Filter pushdown is
+ * NOT automatic here: the relation is a pre-bound `DataSourceV2ScanRelation`,
+ * so `V2ScanRelationPushDown` never runs against it — predicates applied
+ * above the merge would stop at the scan boundary. `frame` therefore
+ * accepts the caller's already-translated safe filters and pushes them into
+ * the delegate's `ScanBuilder` itself (the same
+ * `FileScanBuilder.pushFilters` seam the rule would have used), restoring
+ * parquet row-group/footer pruning; anything unconvertible is skipped —
+ * the push is advisory and the engine re-applies the full predicate above.
  *
  * Parallelism: deliberately ONE partition per bucket — duplicate partition
  * keys would make an exchange-free aggregate over the scan wrong unless
@@ -115,11 +126,74 @@ object BucketedBase {
         "GraftBucketedBase is planned directly; use BucketedBase.frame")
   }
 
+  /** External-value class accepted for a column's pushed literal — a
+    * mismatched runtime class would make `ParquetFilters` throw or build a
+    * mis-typed row-group predicate, so mismatches skip the conjunct. */
+  private def litClassOk(dt: DataType, v: Any): Boolean = v match {
+    case null => true
+    case _: java.lang.Integer => dt == IntegerType
+    case _: java.lang.Long => dt == org.apache.spark.sql.types.LongType
+    case _: java.lang.Short => dt == org.apache.spark.sql.types.ShortType
+    case _: java.lang.Byte => dt == org.apache.spark.sql.types.ByteType
+    case _: java.lang.Double => dt == org.apache.spark.sql.types.DoubleType
+    case _: java.lang.Float => dt == org.apache.spark.sql.types.FloatType
+    case _: java.lang.Boolean => dt == org.apache.spark.sql.types.BooleanType
+    case _: String => dt == org.apache.spark.sql.types.StringType
+    case _: java.math.BigDecimal | _: scala.math.BigDecimal =>
+      dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    case _: java.sql.Date | _: java.time.LocalDate =>
+      dt == org.apache.spark.sql.types.DateType
+    case _: java.sql.Timestamp | _: java.time.Instant =>
+      dt == org.apache.spark.sql.types.TimestampType
+    case _: Array[Byte] => dt == org.apache.spark.sql.types.BinaryType
+    case _ => false
+  }
+
+  /** Rebuild a translated source filter as a catalyst predicate over
+    * `attrs` — exactly the shapes `StatsSkip.translate` emits. None =
+    * unconvertible (unknown attr, class-mismatched literal, unsupported
+    * node); the caller drops it, which is always safe because the full
+    * predicate re-applies above the merge. */
+  private def filterToExpr(f: sources.Filter, attrs: Map[String, Attribute])
+      : Option[Expression] = {
+    def attr(n: String): Option[Attribute] = attrs.get(n)
+      .orElse(attrs.collectFirst { case (k, a) if k.equalsIgnoreCase(n) => a })
+    def typed(n: String, v: Any): Option[(Attribute, Expression)] =
+      attr(n).filter(a => litClassOk(a.dataType, v))
+        .map(a => a -> org.apache.spark.sql.catalyst.expressions.Literal.create(v, a.dataType))
+    f match {
+      case sources.And(l, r) =>
+        for { le <- filterToExpr(l, attrs); re <- filterToExpr(r, attrs) } yield CAnd(le, re)
+      case sources.Or(l, r) =>
+        for { le <- filterToExpr(l, attrs); re <- filterToExpr(r, attrs) } yield COr(le, re)
+      case sources.Not(c) => filterToExpr(c, attrs).map(CNot)
+      case sources.EqualTo(n, v) => typed(n, v).map { case (a, l) => EqualTo(a, l) }
+      case sources.EqualNullSafe(n, v) => typed(n, v).map { case (a, l) => EqualNullSafe(a, l) }
+      case sources.GreaterThan(n, v) => typed(n, v).map { case (a, l) => GreaterThan(a, l) }
+      case sources.GreaterThanOrEqual(n, v) => typed(n, v).map { case (a, l) => GreaterThanOrEqual(a, l) }
+      case sources.LessThan(n, v) => typed(n, v).map { case (a, l) => LessThan(a, l) }
+      case sources.LessThanOrEqual(n, v) => typed(n, v).map { case (a, l) => LessThanOrEqual(a, l) }
+      case sources.In(n, vs) if vs != null && vs.nonEmpty =>
+        attr(n).filter(a => vs.forall(v => litClassOk(a.dataType, v))).map(a =>
+          In(a, vs.toSeq.map(v =>
+            org.apache.spark.sql.catalyst.expressions.Literal.create(v, a.dataType))))
+      case sources.IsNull(n) => attr(n).map(IsNull)
+      case sources.IsNotNull(n) => attr(n).map(IsNotNull)
+      case sources.StringStartsWith(n, p) if p != null =>
+        typed(n, p).map { case (a, l) => StartsWith(a, l) }
+      case _ => None
+    }
+  }
+
   /**
    * DataFrame over the base files with bucket-aligned output partitioning.
    * Returns None when the layout can't be trusted: a file without a
    * `_g_bucket=N` segment, or an empty file list. `bucketOf` is the
    * catalog's path→bucket parser (single source of truth for the layout).
+   * `pushFilters`: already-SAFE translated predicates (the caller owns the
+   * merge-semantics argument — under unresolved merges only merge-key
+   * conjuncts qualify, and key predicates drop every version of a key
+   * consistently) pushed into the delegate scan for row-group pruning.
    */
   def frame(
       spark: SparkSession,
@@ -128,13 +202,22 @@ object BucketedBase {
       numBuckets: Int,
       paths: Seq[String],
       bucketOf: String => Option[Int],
-      extraOptions: Map[String, String] = Map.empty): Option[DataFrame] = {
+      extraOptions: Map[String, String] = Map.empty,
+      pushFilters: Seq[sources.Filter] = Nil): Option[DataFrame] = {
     if (paths.isEmpty || mergeKeys.isEmpty || numBuckets <= 0) return None
     val opts = new CaseInsensitiveStringMap(
       (extraOptions ++ Map("recursiveFileLookup" -> "true")).asJava)
-    val delegate = ParquetTable("graft_bucketed_base", spark, opts, paths,
+    val builder = ParquetTable("graft_bucketed_base", spark, opts, paths,
       Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(opts).build()
+      .newScanBuilder(opts)
+    if (pushFilters.nonEmpty) builder match {
+      case fsb: FileScanBuilder =>
+        val attrMap = DataTypeUtils.toAttributes(schema).map(a => a.name -> (a: Attribute)).toMap
+        val exprs = pushFilters.flatMap(filterToExpr(_, attrMap))
+        if (exprs.nonEmpty) fsb.pushFilters(exprs)
+      case _ => () // non-file builder: skip the advisory push
+    }
+    val delegate = builder.build()
     // Regroup the delegate's planned splits by bucket directory. Splits of
     // one file always share a bucket (the id is a path property).
     val splits = delegate.toBatch.planInputPartitions().flatMap {
