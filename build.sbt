@@ -38,5 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // mark threads compete with 32 task threads on the grown heap.
   // ParallelGC (throughput collector; batch workload, nobody cares about
   // pause times here) measured 3.1-5.7 s across the same 5-run probe.
-  "-XX:+UseParallelGC",
-)
+  // Round-12: selectable via SPARK_GRAFT_GC for controlled collector
+  // matrices (parallel | g1 | g1conc4); the default stays ParallelGC.
+) ++ (sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") match {
+  case "g1" => Seq("-XX:+UseG1GC")
+  case "g1conc4" => Seq("-XX:+UseG1GC", "-XX:ConcGCThreads=4")
+  case _ => Seq("-XX:+UseParallelGC")
+})

@@ -1,0 +1,65 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/**
+ * Per-run task-metric probe for graft.Bench: cumulative sums of the four
+ * signals that attribute an elevated wall time WITHOUT a rerun —
+ *
+ *  - jvmGCTime: a GC excursion shows gc ≈ the wall inflation
+ *    (the t41/zipper attribution pattern: task GC 22 s vs 1.9 s on
+ *    matched runs);
+ *  - executorRunTime vs executorCpuTime: co-tenant CPU steal shows task
+ *    wall (runTime) inflated while actual CPU burned stays flat — the
+ *    load signature that exonerated four round-10 entries, previously
+ *    provable only by a hand-run listener in BENCH_NOTES;
+ *  - shuffle read/write bytes: a plan regression moves these; a noisy
+ *    machine doesn't.
+ *
+ * The bench snapshots the sums around each measured run and emits the
+ * deltas next to the raw run seconds, so the OFFICIAL artifact is
+ * self-attributing. Lives under org.apache.spark.sql because draining
+ * the async listener bus between snapshot points needs the
+ * private[spark] LiveListenerBus.waitUntilEmpty seam.
+ */
+final class BenchProbe extends SparkListener {
+  private var gcMs = 0L
+  private var runMs = 0L
+  private var cpuNs = 0L
+  private var shReadB = 0L
+  private var shWriteB = 0L
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) synchronized {
+      gcMs += m.jvmGCTime
+      runMs += m.executorRunTime
+      cpuNs += m.executorCpuTime
+      shReadB += m.shuffleReadMetrics.totalBytesRead
+      shWriteB += m.shuffleWriteMetrics.bytesWritten
+    }
+  }
+
+  /** (gc seconds, task-wall seconds, task-cpu seconds, shuffle-read MB,
+    * shuffle-write MB) — cumulative since registration. */
+  def snapshot(): BenchProbe.Snap = synchronized {
+    BenchProbe.Snap(gcMs / 1e3, runMs / 1e3, cpuNs / 1e9,
+      shReadB / 1048576.0, shWriteB / 1048576.0)
+  }
+}
+
+object BenchProbe {
+  final case class Snap(gcS: Double, rtS: Double, cpuS: Double,
+      srMb: Double, swMb: Double) {
+    def -(o: Snap): Snap =
+      Snap(gcS - o.gcS, rtS - o.rtS, cpuS - o.cpuS, srMb - o.srMb, swMb - o.swMb)
+  }
+
+  /** Block until queued listener events are delivered, so snapshot deltas
+    * bracket exactly the tasks of one measured run (the bus is async).
+    * Best-effort: on bus-timeout the snapshot is merely a bit stale. */
+  def drain(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: Throwable => () }
+}
