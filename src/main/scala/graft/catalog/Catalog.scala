@@ -1348,16 +1348,35 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   }
 
   /** Schemaless read: the manifest as a table (path, size, records, delta
-    * type, stream position) — reference catalog/main/impl.py:1408-1439. */
+    * type, stream position) — reference catalog/main/impl.py:1408-1439.
+    * `bucket` (round-12): the file's `_g_bucket=N` layout id, null for
+    * un-bucketed files — `SELECT bucket, sum(size_bytes) FROM
+    * graft_manifest(...) GROUP BY 1` is the SQL-surface skew probe for
+    * the one-partition-per-bucket partitioned merge. */
   def manifestTable(table: String, asOf: Option[Long] = None): DataFrame = {
     val t = resolveVersion(thRaw(table), asOf, None) // asOf-consistent version
     val rows = effectiveDeltas(t, asOf).flatMap { d =>
       d.entries.map(e => (e.path, e.sizeBytes, d.properties.getOrElse("record_count", "-1").toLong,
-        d.deltaType, d.streamPosition))
+        d.deltaType, d.streamPosition, MergeRead.bucketOfPath(e.path)))
     }
     import spark.implicits._
-    rows.toDF("path", "size_bytes", "delta_record_count", "delta_type", "stream_position")
+    rows.toDF("path", "size_bytes", "delta_record_count", "delta_type",
+      "stream_position", "bucket")
   }
+
+  /** Bucket-layout health of the table's compacted base from manifest
+    * metadata alone (Compactor.reclusterAdvice): per-bucket byte/row
+    * footprints, hottest-bucket skew vs the declared layout, and whether
+    * a recluster is advised. None = no compacted bucketed base. A hot
+    * bucket bounds every partitioned-merge stage (one scan partition per
+    * bucket), so operators watching this at scale recluster BEFORE the
+    * skew lands in read walls. */
+  def reclusterAdvice(table: String): Option[Compactor.ReclusterAdvice] =
+    for {
+      base <- MergeRead.activeDeltas(deltaLog(table))._1
+      n <- base.properties.get("num_buckets").map(_.toInt)
+      advice <- Compactor.reclusterAdvice(base.entries, n, MergeRead.bucketOfPath)
+    } yield advice
 
   /** Read the data files listed in a manifest table — from_manifest_table. */
   def fromManifestTable(manifest: DataFrame, contentType: ContentType = ContentType.Parquet): DataFrame = {

@@ -72,6 +72,69 @@ object Compactor {
   def suggestBucketsFromMemory(memBytes: Double): Int =
     suggest(memBytes, TargetBucketMemoryBytes)
 
+  /** Hottest-bucket : mean-bucket byte ratio above which a recluster is
+    * advised. The partitioned merge scans ONE partition per bucket
+    * (BucketedBase doc: duplicate partition keys would corrupt
+    * exchange-free plans), so the hottest bucket bounds every stage that
+    * touches the base — at 4× mean the scan/merge wall is ≥4× a balanced
+    * layout's and salting/recluster beats riding it out. */
+  val SkewThreshold: Double = 4.0
+
+  /** One bucket's manifest-stat footprint (metadata only). */
+  final case class BucketStat(bucket: Int, bytes: Long, records: Long, files: Int)
+
+  /** Layout-health verdict for a compacted bucketed base. `reasons` is
+    * machine-readable: "skew" (hottest ≥ SkewThreshold × mean — includes
+    * holes: mean is over the DECLARED bucket count, so empty buckets pull
+    * it down exactly as they idle their scan slot), "bucket_overflow"
+    * (hottest bucket exceeds 4× TargetBucketBytes — its sorted write task
+    * and scan split no longer fit the task-memory budget the layout was
+    * sized for), "undersized_layout" (stats-suggested count outgrew the
+    * recorded layout by >2×: the table grew; recompacting to more buckets
+    * restores per-task bounds). */
+  final case class ReclusterAdvice(
+      numBuckets: Int, populated: Int, totalBytes: Long, totalRecords: Long,
+      hottest: BucketStat, skew: Double, suggestedBuckets: Int,
+      reasons: Seq[String]) {
+    def recommended: Boolean = reasons.nonEmpty
+  }
+
+  /** Per-bucket stats + recluster recommendation from MANIFEST METADATA
+    * alone (no file opens, no jobs — safe at any table size; the 100 TB
+    * observability story for the one-partition-per-bucket trade).
+    * None = the entries don't carry a trustworthy bucket layout (an
+    * un-bucketed path, or no entries). `bucketOf` is the catalog's
+    * path→bucket parser, the same single source of truth the partitioned
+    * read trusts. */
+  def reclusterAdvice(entries: Seq[graft.txn.ManifestEntry], numBuckets: Int,
+      bucketOf: String => Option[Int],
+      skewThreshold: Double = SkewThreshold): Option[ReclusterAdvice] = {
+    if (entries.isEmpty || numBuckets <= 0) return None
+    val per = scala.collection.mutable.HashMap[Int, (Long, Long, Int)]()
+    entries.foreach { e =>
+      bucketOf(e.path) match {
+        case Some(b) if b >= 0 && b < numBuckets =>
+          val (by, rc, n) = per.getOrElse(b, (0L, 0L, 0))
+          per.update(b, (by + math.max(0L, e.sizeBytes),
+            rc + math.max(0L, e.recordCount), n + 1))
+        case _ => return None
+      }
+    }
+    val stats = per.toSeq.map { case (b, (by, rc, n)) => BucketStat(b, by, rc, n) }
+    val totalBytes = stats.map(_.bytes).sum
+    val totalRecords = stats.map(_.records).sum
+    val hottest = stats.maxBy(_.bytes)
+    val mean = totalBytes.toDouble / numBuckets
+    val skew = if (mean > 0) hottest.bytes / mean else 1.0
+    val suggested = suggestBuckets(totalBytes)
+    val reasons = Seq(
+      if (skew >= skewThreshold) Some("skew") else None,
+      if (hottest.bytes > 4L * TargetBucketBytes) Some("bucket_overflow") else None,
+      if (suggested > 2 * numBuckets) Some("undersized_layout") else None).flatten
+    Some(ReclusterAdvice(numBuckets, stats.size, totalBytes, totalRecords,
+      hottest, skew, suggested, reasons))
+  }
+
   /** Full layout tag of a sort scheme — EVERY SortKey field affects the
     * physical order (direction, null placement, transform), so the
     * copy-by-reference check must compare them all; a tag that dropped

@@ -269,4 +269,54 @@ class PartitionedMergeSpec extends SparkSpec {
     try assert(!planOf().contains("BatchScan"))
     finally spark.conf.unset("graft.merge.partitioned.enabled")
   }
+
+  test("bucket-skew observability: hot bucket fires the recluster advisor; balanced stays quiet") {
+    // Hot layout over 16 buckets: keep EVERY id landing in the
+    // writer-kernel's bucket 0 plus a 1-in-13 sample of the rest —
+    // bucket 0 ends up ~13x the mean. Bucket membership computed with
+    // the SAME kernel the writer uses (pmod(hash(id), 16)), so the
+    // plant is deterministic. (With n buckets, skew maxes at n — a
+    // 4-bucket layout can never exceed the 4.0 threshold.)
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj-skew"))
+    mkTable(cat, "ns.hot", buckets = 16)
+    val ids = spark.range(40000)
+      .withColumn("b", pmod(hash($"id"), lit(16)))
+      .where($"b" === 0 || $"id" % 13 === 0)
+    cat.writeToTable(ids.select($"id",
+      concat(lit("pad-pad-pad-"), $"id").as("v")).toDF(), "ns.hot", WriteMode.Merge)
+    cat.compact("ns.hot")
+
+    val advice = cat.reclusterAdvice("ns.hot")
+      .getOrElse(fail("compacted bucketed base must yield advice"))
+    assert(advice.numBuckets == 16 && advice.populated == 16)
+    assert(advice.hottest.bucket == 0, s"hot bucket misidentified: $advice")
+    assert(advice.skew >= Compactor.SkewThreshold && advice.reasons.contains("skew"),
+      s"planted skew must fire the advisor: $advice")
+    assert(advice.recommended)
+    // The SQL-surface probe agrees: per-bucket bytes from the manifest
+    // view (bucket is null for un-bucketed pre-compaction files).
+    val perBucket = cat.manifestTable("ns.hot")
+      .where($"bucket".isNotNull)
+      .groupBy("bucket").agg(sum("size_bytes").as("b"))
+      .as[(Int, Long)].collect().toMap
+    assert(perBucket.keySet == (0 until 16).toSet)
+    assert(perBucket(0) > 4L * (perBucket.values.sum - perBucket(0)) / 15,
+      s"manifest view must show the hot bucket: $perBucket")
+
+    // Balanced layout: same volume spread uniformly — advisor stays quiet.
+    val cat2 = new GraftCatalog(spark, tmpDir("graft-spj-skew-b"))
+    mkTable(cat2, "ns.bal")
+    cat2.writeToTable(spark.range(20000).select($"id",
+      concat(lit("pad-pad-pad-"), $"id").as("v")).toDF(), "ns.bal", WriteMode.Merge)
+    cat2.compact("ns.bal")
+    val balanced = cat2.reclusterAdvice("ns.bal")
+      .getOrElse(fail("compacted bucketed base must yield advice"))
+    assert(!balanced.recommended && balanced.skew < 2.0,
+      s"uniform layout must not fire the advisor: $balanced")
+    // Un-compacted table: no bucketed base, no advice.
+    val cat3 = new GraftCatalog(spark, tmpDir("graft-spj-skew-n"))
+    mkTable(cat3, "ns.none")
+    cat3.writeToTable(Seq((1L, "x")).toDF("id", "v"), "ns.none", WriteMode.Merge)
+    assert(cat3.reclusterAdvice("ns.none").isEmpty)
+  }
 }
