@@ -94,14 +94,20 @@ final case class ReadOptions(
       * deltas on top of the committed snapshot; every other reader sees
       * neither until seal. */
     txn: Option[graft.txn.Transaction] = None,
-    /** Internal planner hint: force the dense resolve AGGREGATE even when
-      * the sparse/partitioned split would be eligible. A split's
-      * pass∪contested union reports UnknownPartitioning, so a consumer
-      * that immediately joins/aggregates on the merge keys (the zipper's
-      * full-outer zip) would re-shuffle the full group anyway — the dense
-      * aggregate's hash(keys) output partitioning makes that join
-      * exchange-free, which beats avoiding the resolve shuffle only to
-      * pay it back at the zip. */
+    /** Force the dense resolve AGGREGATE even when the sparse/partitioned
+      * split would be eligible. Cookbook rule: **pin this when the very
+      * next thing you do with the read is join or aggregate on the merge
+      * keys** (`readTable(t).groupBy(mergeKeys)…`, a keyed self-join).
+      * A split's pass∪contested union reports UnknownPartitioning, so the
+      * downstream keyed operator re-shuffles the FULL merged output; the
+      * dense resolve's output is hash(mergeKeys)-partitioned, which makes
+      * that operator exchange-free — avoiding the resolve shuffle only to
+      * pay it back (bigger: post-merge width) downstream is a net loss.
+      * The engine pins it for its own keyed consumer (the zipper's
+      * full-outer zip); it cannot see YOUR downstream plan, hence the
+      * knob. Scans, filters, and non-key aggregates should leave it off —
+      * the split regimes bound shuffle volume by O(pending) there.
+      * Plan-asserted in PartitionedMergeSpec ("downstream groupBy"). */
     denseResolve: Boolean = false)
 
 class TableAlreadyExists(t: String) extends RuntimeException(s"table $t already exists")

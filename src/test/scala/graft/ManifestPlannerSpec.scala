@@ -280,6 +280,71 @@ class ManifestPlannerSpec extends SparkSpec {
     } finally spark.conf.unset(ManifestPlanner.GateConfKey)
   }
 
+  test("10^6-entry base: gated ZIPPED read plans per-group without materializing the entry list") {
+    // Round-12 stretch (verdict ask #8): the flat read has the 10^7-entry
+    // proof; the zipper builds G group frames over the SAME planned delta
+    // list, so gated planning must compose — a key-filtered zipped read
+    // over a million-entry base must prune distributedly (one planning
+    // pass shared by all groups), open no fake file, and zip correctly.
+    val cat = new GraftCatalog(spark, tmpDir("mp-million-zip"))
+    cat.createTable("m.z", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("a", LongType),
+      FieldMeta.field("t", StringType))),
+      properties = Map("compaction.auto" -> "false"))
+    cat.setSubschema("m.z", "nums", Seq("k", "a"))
+    cat.setSubschema("m.z", "text", Seq("k", "t"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 2).as("a"), concat(lit("t"), col("id")).as("t")).toDF(),
+      "m.z", WriteMode.Merge)
+    cat.compact("m.z")
+    val dir = cat.root.resolve("ns/m/z/deltas")
+    val baseFile = cat.store.visibleRevisionPaths(dir, None, None).last._2
+    val base = Json.read(new String(
+      java.nio.file.Files.readAllBytes(baseFile), "UTF-8"), classOf[DeltaMeta])
+    val nBuckets = base.properties("num_buckets").toInt
+    val nFake = 1000000
+    val out = java.nio.file.Files.newOutputStream(baseFile)
+    try Json.writeDeltaStreaming(out, base.copy(entries = Nil), emit => {
+      base.entries.foreach(emit)
+      var i = 0
+      while (i < nFake) {
+        emit(graft.txn.ManifestEntry(
+          s"${cat.root}/ns/m/z/data/d000002__fake/_g_bucket=${i % nBuckets}/part-$i.parquet",
+          128L, 10L,
+          Map("k" -> graft.txn.ColStat((2000000000L + i).toString,
+            (2000000000L + i).toString, 0L)), 512L))
+        i += 1
+      }
+    }) finally out.close()
+    // group-scoped pending on BOTH groups: the zip must resolve each
+    // group's trickle against the inflated base
+    cat.writeToTable(Seq((7L, 777L)).toDF("k", "a"), "m.z", WriteMode.Merge)
+    cat.writeToTable(Seq((7L, "updated")).toDF("k", "t"), "m.z", WriteMode.Merge)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.conf.set(ManifestPlanner.GateConfKey, "1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val zipped = cat.readZipped("m.z",
+        opts = ReadOptions(rowFilter = Some(col("k") === 7L)))
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(jobs >= 1, "gated zip planning must run as a Spark job")
+      assert(!zipped.inputFiles.exists(_.contains("__fake/")),
+        "the key filter must prune every fake entry at planning time")
+      assert(zipped.select("k", "a", "t").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+        Seq((7L, 777L, "updated")),
+        "zip over the inflated base must resolve both group trickles")
+    } finally {
+      spark.conf.unset(ManifestPlanner.GateConfKey)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("gated purge deletes files via a streaming distributed job") {
     val root = tmpDir("mp-purge")
     val cat = new GraftCatalog(spark, root)

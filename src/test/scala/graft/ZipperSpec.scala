@@ -253,6 +253,49 @@ class ZipperSpec extends SparkSpec {
       s"null key write must name the contract: ${msgs(err)}")
   }
 
+  test("zipped read over a dense-partitioned-band table: groups pin the dense resolve, rows equal the plain read") {
+    // Round-12 (verdict ask #6): the zipper pins ReadOptions.denseResolve
+    // so each group's resolve output stays hash(k)-partitioned for the
+    // zip join. That pin must HOLD when the table sits inside the
+    // storage-partitioned regime's eligibility band — one group dense-band
+    // (25% partial upserts), the other a trickle (sparse-eligible) — i.e.
+    // the zipped plan must contain NO KeyGrouped BatchScan even though an
+    // unpinned plain read of the same table engages the partitioned path.
+    val cat = newTable("zip-spj")
+    val n = 20000
+    cat.writeToTable(spark.range(n).select($"id".cast("int").as("k"),
+      ($"id" * 10).cast("int").as("a"), ($"id" * 100).cast("int").as("b"),
+      concat(lit("t"), $"id").as("t")).toDF(), "z.t", WriteMode.Merge)
+    cat.compact("z.t", numBuckets = 4)
+    // nums group: dense-band pending (25% of keys, partial columns k,a,b)
+    cat.writeToTable(spark.range(n).where($"id" % 4 === 0)
+      .select($"id".cast("int").as("k"), lit(-1).as("a"), lit(-2).as("b")).toDF(),
+      "z.t", WriteMode.Merge)
+    // text group: trickle pending (sparse-eligible on its own)
+    cat.writeToTable(Seq((7, "zipped-7")).toDF("k", "t"), "z.t", WriteMode.Merge)
+
+    // Eligibility really holds on this table: the unpinned plain read
+    // takes the partitioned path (KeyGrouped BatchScan in the plan).
+    val unpinned = cat.readTable("z.t")
+    assert(unpinned.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "precondition: the table must sit in the dense-partitioned band")
+    // The zipped read's group plans pin denseResolve — no SPJ scan
+    // anywhere, the group resolves keep hash(k) for the zip join.
+    val zipped = cat.readZipped("z.t")
+    assert(!zipped.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "zipper group plans must pin the dense resolve under SPJ eligibility:\n" +
+        zipped.queryExecution.executedPlan.toString.take(2500))
+    // Row-equal to the plain read under BOTH resolve strategies.
+    val z = rows(cat, zipped)
+    assert(z == rows(cat, unpinned), "zip vs partitioned plain read diverged")
+    assert(z == rows(cat, cat.readTable("z.t", ReadOptions(denseResolve = true))),
+      "zip vs dense plain read diverged")
+    assert(z.size == n)
+    val upd = z.find(_._1 == 8).get
+    assert(upd == ((8, Some(-1), Some(-2), Some("t8"))), s"got $upd")
+    assert(z.find(_._1 == 7).get._4.contains("zipped-7"))
+  }
+
   test("nondeterministic / reference-free conjuncts never push into group plans") {
     // A pushed conjunct evaluates once per GROUP frame; rand() pushed into
     // two groups would let them disagree on surviving keys and the
