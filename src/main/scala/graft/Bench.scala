@@ -210,6 +210,21 @@ object Bench {
       runsLog(name) = rs.toSeq
       rs.min
     }
+    // Steady-state variant for the 10x/30x entries: ONE unmeasured warm
+    // pass of the exact body before the measured runs. The round-12 GC
+    // matrix showed the first runs of a 10x entry on a fresh 32 GB heap
+    // decay monotonically (t04_10x: 30.3→20.7→12.8→9.4→8.0→5.8 s, task GC
+    // 89→10 s, shuffle bytes constant) — heap expansion + page cache, not
+    // plan cost. Two rounds of `weak` marks (r10 ×4, r11 ×2) were this
+    // transient caught at run 2-4. The minimum we track is the
+    // steady-state plan cost (BENCH_NOTES methodology); the warm pass
+    // moves the measured runs onto it instead of hoping retries get there.
+    // Scoped to the scaled entries: the 1x entries share shapes and heap
+    // with earlier blocks and are already effectively warm.
+    def measuredWarm(name: String)(body: => Unit): Double = {
+      body
+      measured(name)(body)
+    }
     // A query missing from the registry or failing at analysis becomes an
     // "errors" entry rather than crashing the whole run (registry/testdata
     // drift resilience).
@@ -374,12 +389,12 @@ object Bench {
       if (wantDocs10x) {
         writeDocsNx(10, s"$scaleDir/documents10x")
         val docs10 = spark.read.parquet(s"$scaleDir/documents10x")
-        attempt("t04_minhash_neardup_10x")(measured("t04_minhash_neardup_10x") {
+        attempt("t04_minhash_neardup_10x")(measuredWarm("t04_minhash_neardup_10x") {
           graft.operators.Dedup.minhashPairs(docs10, "doc_id", "text",
             bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
             maxBucketWidth = Some(64)).count()
         })
-        attempt("t41_span_removal_10x")(measured("t41_span_removal_10x") {
+        attempt("t41_span_removal_10x")(measuredWarm("t41_span_removal_10x") {
           graft.operators.Dedup.removeDuplicateSpans(docs10, "doc_id", "text",
             k = 8).count()
         })
@@ -391,7 +406,7 @@ object Bench {
         // (measured: 2 pairs vs 106). maxDf=12 restores recall at ~20% extra
         // join cost; the candidate join stays bounded at maxDf²/2 per
         // surviving shingle either way.
-        attempt("t50_ngram_jaccard_10x")(measured("t50_ngram_jaccard_10x") {
+        attempt("t50_ngram_jaccard_10x")(measuredWarm("t50_ngram_jaccard_10x") {
           graft.operators.Dedup.rareShinglePairs(docs10, "doc_id", "text",
             shingleK = 5, maxDf = 12, threshold = 0.5).count()
         })
@@ -402,7 +417,7 @@ object Bench {
         if (want("t04_minhash_neardup_30x")) {
           writeDocsNx(30, s"$scaleDir/documents30x")
           val docs30 = spark.read.parquet(s"$scaleDir/documents30x")
-          attempt("t04_minhash_neardup_30x")(measured("t04_minhash_neardup_30x") {
+          attempt("t04_minhash_neardup_30x")(measuredWarm("t04_minhash_neardup_30x") {
             graft.operators.Dedup.minhashPairs(docs30, "doc_id", "text",
               bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
               maxBucketWidth = Some(64)).count()
@@ -413,13 +428,13 @@ object Bench {
         writeLiNx(10, s"$scaleDir/lineitem10x")
         lineitem10xPath = Some(s"$scaleDir/lineitem10x")
         val li10 = spark.read.parquet(s"$scaleDir/lineitem10x")
-        attempt("pipeline_10x")(measured("pipeline_10x") {
+        attempt("pipeline_10x")(measuredWarm("pipeline_10x") {
           pipelineBody(li10, "bench.li10")
         })
         // 10x raw floor: anchors how much of pipeline_10x is irreducible
         // parquet write+read (the fixed ACID/commit costs amortize with
         // scale — the pipeline/floor ratio should SHRINK vs the 1x pair).
-        attempt("baseline_raw_spark_10x")(measured("baseline_raw_spark_10x") {
+        attempt("baseline_raw_spark_10x")(measuredWarm("baseline_raw_spark_10x") {
           val out = Files.createTempDirectory("graft_bench_raw10").toString
           li10.write.mode("overwrite").parquet(s"$out/li")
           spark.read.parquet(s"$out/li").count()
@@ -431,7 +446,7 @@ object Bench {
         if (want("pipeline_30x")) {
           writeLiNx(30, s"$scaleDir/lineitem30x")
           val li30 = spark.read.parquet(s"$scaleDir/lineitem30x")
-          attempt("pipeline_30x")(measured("pipeline_30x") {
+          attempt("pipeline_30x")(measuredWarm("pipeline_30x") {
             pipelineBody(li30, "bench.li30")
           })
         }
@@ -458,11 +473,11 @@ object Bench {
       val emb10 = spark.read.parquet(s"$scaleDir/embeddings10x")
       // the 20 original (v=0) query vectors, same ids as the 1x entries
       val q10 = emb10.where(col("vec_id") % 10 === 0 && col("vec_id") < 200)
-      attempt("t06_ann_brute_10x")(measured("t06_ann_brute_10x") {
+      attempt("t06_ann_brute_10x")(measuredWarm("t06_ann_brute_10x") {
         graft.operators.Similarity.bruteForceTopK(
           emb10, q10, "vec_id", "embedding", 5).count()
       })
-      attempt("t10_ann_ivf_10x")(measured("t10_ann_ivf_10x") {
+      attempt("t10_ann_ivf_10x")(measuredWarm("t10_ann_ivf_10x") {
         val cents = graft.operators.Similarity.trainCentroids(
           emb10, "vec_id", "embedding", nlist = 16, iters = 0)
         graft.operators.Similarity.ivfTopK(emb10, q10, "vec_id", "embedding",
@@ -472,7 +487,7 @@ object Bench {
       // term against the n^2/nlist intra-cluster pair term — total work
       // scales n^1.5, the correct complexity for exact blocked pairwise
       // dedup (nlist=640 was measured 12.8 s: assignment alone grew 100x)
-      attempt("t11_semantic_dedup_10x")(measured("t11_semantic_dedup_10x") {
+      attempt("t11_semantic_dedup_10x")(measuredWarm("t11_semantic_dedup_10x") {
         val cents = graft.operators.Similarity.trainCentroids(
           emb10, "vec_id", "embedding", nlist = 200, iters = 0)
         graft.operators.Similarity.semanticNearDupPairs(emb10, "vec_id", "embedding",
@@ -692,7 +707,7 @@ object Bench {
         cat3.writeToTable(li10.where(col("l_orderkey") % 101 === 0)
           .select(col("l_orderkey"), col("l_linenumber"), lit("Z").as("l_returnflag")),
           "bench.zip10", WriteMode.Merge)
-        attempt("zipper_read_10x")(measured("zipper_read_10x") {
+        attempt("zipper_read_10x")(measuredWarm("zipper_read_10x") {
           cat3.readZipped("bench.zip10").agg(sum("l_quantity"), count(lit(1))).head()
         })
       }
@@ -725,15 +740,18 @@ object Bench {
       }.mkString(""","runs":{""", ",", "}")
     // Per-run self-attribution (round-12): the i-th evidence object pairs
     // with the i-th raw run. gc/rt/cpu are SUMMED TASK seconds (32 task
-    // threads, so rt ≈ 32× wall when saturated); sr/sw are shuffle MB.
-    // Read: an elevated run whose gc tracks the inflation = GC excursion;
-    // rt inflated with cpu flat = co-tenant CPU steal; sr/sw moved = a
-    // real plan change, investigate.
+    // threads, so rt ≈ 32× wall when saturated); sr/sw are shuffle MB;
+    // jgc is the WHOLE-JVM GC delta — local[32] is one JVM, so jgc−gc is
+    // GC outside task execution (driver planning/commit pauses), the
+    // signal a latency-bound entry (task time ≪ wall×cores) needs.
+    // Read: an elevated run whose gc (or jgc) tracks the inflation = GC
+    // excursion; rt inflated with cpu flat = co-tenant CPU steal; sr/sw
+    // moved = a real plan change, investigate.
     def evJsonOf(m: collection.Map[String, Seq[org.apache.spark.sql.graft.BenchProbe.Snap]]): String =
       if (m.isEmpty) ""
       else m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(e =>
-          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f}""")
+          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f,"jgc":${e.jvmGcS}%.1f}""")
           .mkString("[", ",", "]")
       }.mkString(""","evidence":{""", ",", "}")
     val interesting = runsLog.filter { case (k, vs) =>

@@ -42,19 +42,33 @@ final class BenchProbe extends SparkListener {
   }
 
   /** (gc seconds, task-wall seconds, task-cpu seconds, shuffle-read MB,
-    * shuffle-write MB) — cumulative since registration. */
+    * shuffle-write MB, whole-JVM GC seconds) — cumulative since
+    * registration (jvmGcS: since JVM start). */
   def snapshot(): BenchProbe.Snap = synchronized {
     BenchProbe.Snap(gcMs / 1e3, runMs / 1e3, cpuNs / 1e9,
-      shReadB / 1048576.0, shWriteB / 1048576.0)
+      shReadB / 1048576.0, shWriteB / 1048576.0, BenchProbe.jvmGcSeconds())
   }
 }
 
 object BenchProbe {
   final case class Snap(gcS: Double, rtS: Double, cpuS: Double,
-      srMb: Double, swMb: Double) {
+      srMb: Double, swMb: Double, jvmGcS: Double = 0.0) {
     def -(o: Snap): Snap =
-      Snap(gcS - o.gcS, rtS - o.rtS, cpuS - o.cpuS, srMb - o.srMb, swMb - o.swMb)
+      Snap(gcS - o.gcS, rtS - o.rtS, cpuS - o.cpuS, srMb - o.srMb,
+        swMb - o.swMb, jvmGcS - o.jvmGcS)
   }
+
+  /** Whole-JVM cumulative GC seconds (all collectors). local[32] is ONE
+    * JVM, so `jvmGcS − gcS` (delta-to-delta) is the GC that ran OUTSIDE
+    * task execution — driver planning/commit pauses, invisible to task
+    * metrics. The round-12 matrix showed zipper_read_10x's best runs with
+    * task GC ≈ 2 s while the entry stayed elevated and task time covered
+    * only ~12% of wall×cores: a latency-bound entry needs this signal to
+    * tell a collector trade from co-tenant load. */
+  def jvmGcSeconds(): Double =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
 
   /** Block until queued listener events are delivered, so snapshot deltas
     * bracket exactly the tasks of one measured run (the bus is async).
