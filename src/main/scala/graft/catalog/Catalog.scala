@@ -1284,9 +1284,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         .options(bloomOptionsOf(meta))
         // ≤N-record file slicing (reference _write_table_slices,
         // storage/main/impl.py:2578-2618) via Spark's native option.
+        // Default is tighter than compaction's: pending files must stay
+        // SPLITTABLE for merge-on-read (see WriteMaxRecordsPerFile).
         .option("maxRecordsPerFile", meta.properties
           .getOrElse("write.max_records_per_file",
-            Compactor.DefaultMaxRecordsPerFile.toString).toLong)
+            Compactor.WriteMaxRecordsPerFile.toString).toLong)
       val partCols = scheme.keys.map(_.partitionColumnName).filter(withPart.columns.contains)
       withMicrosTimestamps {
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).save(out)

@@ -37,6 +37,18 @@ object Compactor {
 
   val DefaultMaxRecordsPerFile = 4000000L
 
+  /** Write-path (pending-delta) file slicing default — deliberately 4×
+    * tighter than compaction's. A merge write inherits the INPUT's
+    * partitioning, so one skewed input partition becomes one fat file; a
+    * 4M-row narrow file is ~100 MB = a single parquet row group = ONE
+    * read split, and that file is the merge-on-read scan's straggler task
+    * until the next compaction (measured: 10-17 s of a 15 s zipper read).
+    * 1M-row pending files (~25-50 MB narrow) keep MoR scans parallel;
+    * compacted bases keep the larger slices (their layout is balanced by
+    * the bucket×slice repartition, so splittability is already ensured
+    * by file count). */
+  val WriteMaxRecordsPerFile = 1000000L
+
   /** ~on-disk bytes one compaction bucket should own. One bucket = one
     * sorted write task (plus record-slice fan-out), so this bounds task
     * input at roughly 1 GiB in-memory under the reference's ~4x

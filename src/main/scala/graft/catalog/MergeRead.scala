@@ -52,6 +52,11 @@ object MergeRead {
     * concurrent metrics. */
   @volatile private[graft] var lastSplitRegime: String = ""
 
+  /** Above this many deltas in one scan, lineage columns switch from
+    * per-delta literal scans (zero per-row cost) to the per-row path
+    * extraction + broadcast join (plan-size-bounded for huge backlogs). */
+  val LineageLiteralConfKey = "graft.merge.lineage.literal.maxDeltas"
+
   /** Pick the active delta set: latest compacted base + deltas beyond its
     * watermark. */
   def activeDeltas(deltas: Seq[DeltaMeta]): (Option[DeltaMeta], Seq[DeltaMeta]) = {
@@ -545,18 +550,54 @@ object MergeRead {
       d.streamPosition -> d.properties.get("written_columns")
         .map(_.split(",").toSet.map(tr)).getOrElse(schema.fieldNames.toSet)).toMap
     val fullSet = schema.fieldNames.toSet
-    val groups: Seq[(Set[String], Seq[String])] =
-      if (!positional) Seq(fullSet -> paths)
-      else paths.groupBy(p => revOfPath(p).flatMap(writtenByPos.get).getOrElse(fullSet)).toSeq
-    val scans = groups.map { case (written, groupPaths) =>
-      // _metadata must be dereferenced while the scan relation is in scope.
-      readWrittenSubset(spark, schema, written, groupPaths, ct)
-        .select((schema.fieldNames.map(col) :+ posExpr.as(Pos) :+
-          col("_metadata.file_path").as(File) :+ rowIdx.as(Row)).toIndexedSeq: _*)
+    // Constant-folded lineage: a file's delta position is a function of
+    // its PATH, not its rows — evaluating the position regexp per ROW was
+    // the measured hot loop of the merge-on-read scan (3-4 µs/row of
+    // backtracking on every row of every file; at 6M rows × 2 zipper
+    // frames it was ~40 task-seconds, the whole map side). When the delta
+    // count is small (the common post-compaction shape), scan each delta's
+    // files separately and attach its position/type/presence as LITERALS —
+    // zero per-row work, and the broadcast lineage join disappears too.
+    // Above the threshold (or on any unparseable path) fall back to the
+    // per-row extraction + O(#deltas) broadcast join, which stays
+    // plan-size-bounded for thousand-delta backlogs and keeps the loud
+    // lineage-missing contract.
+    val maxLiteral = spark.conf.getOption(LineageLiteralConfKey)
+      .map(_.toInt).getOrElse(64)
+    val byRev: Seq[(Long, Seq[String])] =
+      paths.flatMap(p => revOfPath(p).map(_ -> p))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val lineageByPos = lineage.map(d => d.streamPosition -> d).toMap
+    if (lineage.size <= maxLiteral && byRev.map(_._2.size).sum == paths.size &&
+        byRev.forall { case (rev, _) => lineageByPos.contains(rev) }) {
+      val scans = byRev.map { case (rev, groupPaths) =>
+        val d = lineageByPos(rev)
+        val present = d.properties.get("written_columns")
+          .map(_.split(",").toSeq.map(tr)).getOrElse(schema.fieldNames.toSeq)
+        val written = if (positional) writtenByPos(rev) else fullSet
+        readWrittenSubset(spark, schema, written, groupPaths, ct)
+          .select((schema.fieldNames.map(col) :+
+            lit(rev).as(Pos) :+
+            col("_metadata.file_path").as(File) :+ rowIdx.as(Row) :+
+            lit(d.deltaType).as(Dt) :+ typedlit(present).as(Present) :+
+            lit(if (d.compactedUpTo >= 0) d.compactedUpTo else d.streamPosition)
+              .as(EffPos)).toIndexedSeq: _*)
+      }
+      scans.reduce(_ unionByName _)
+    } else {
+      val groups: Seq[(Set[String], Seq[String])] =
+        if (!positional) Seq(fullSet -> paths)
+        else paths.groupBy(p => revOfPath(p).flatMap(writtenByPos.get).getOrElse(fullSet)).toSeq
+      val scans = groups.map { case (written, groupPaths) =>
+        // _metadata must be dereferenced while the scan relation is in scope.
+        readWrittenSubset(spark, schema, written, groupPaths, ct)
+          .select((schema.fieldNames.map(col) :+ posExpr.as(Pos) :+
+            col("_metadata.file_path").as(File) :+ rowIdx.as(Row)).toIndexedSeq: _*)
+      }
+      scans.reduce(_ unionByName _)
+        .join(lineageDf, Seq(Pos), "left")
+        .withColumn(Dt, assertNotNull(col(Dt), "delta lineage missing for file position"))
     }
-    scans.reduce(_ unionByName _)
-      .join(lineageDf, Seq(Pos), "left")
-      .withColumn(Dt, assertNotNull(col(Dt), "delta lineage missing for file position"))
   }
 
   private def assertNotNull(c: Column, msg: String): Column =
