@@ -79,12 +79,12 @@ object Bench {
     "t04_minhash_neardup_10x" -> 7.60,
     "t06_ann_brute_10x" -> 0.65,
     "t10_ann_ivf_10x" -> 1.05,
-    "t11_semantic_dedup_10x" -> 6.00,
+    "t11_semantic_dedup_10x" -> 4.80,
     "t41_span_removal_10x" -> 4.00,
-    "mor_read_scala" -> 3.40,
-    "mor_read_sql" -> 3.40,
-    "pipeline_write_compact_read" -> 3.40,
-    "pipeline_10x" -> 12.00,
+    "mor_read_scala" -> 2.30,
+    "mor_read_sql" -> 2.20,
+    "pipeline_write_compact_read" -> 3.30,
+    "pipeline_10x" -> 9.00,
     "baseline_raw_spark" -> 0.90,
     "baseline_raw_spark_10x" -> 3.20,
     "skip_read" -> 0.25,
@@ -92,26 +92,28 @@ object Bench {
     "iceberg_transform_prune" -> 0.25,
     "iceberg_transform_prune_10x" -> 1.30,
     "iceberg_gated_plan_10x" -> 1.30,
-    "zipper_read" -> 3.80,
-    "zipper_read_plain" -> 3.00,
-    "zipper_read_filtered" -> 1.70,
-    // 13.0, was 11.0: the ParallelGC switch (t41 variance fix) costs the
-    // allocation-heavy zipper 10x resolve ~1.5-2 s of cumulative GC
-    // (instrumented: 22 s task-GC under ParallelGC vs 1.9 s under G1 on
-    // matched runs; wall 12.1 vs 10.7). Accepted trade — BENCH_NOTES
-    // "zipper_read_10x GC attribution".
-    "zipper_read_10x" -> 13.00,
+    // Round-12 re-bands: the per-row lineage regexp in the merge-on-read
+    // scan was constant-folded into per-delta literal scans and pending
+    // files now slice at 1M records (splittable) — the zipper family and
+    // MoR reads dropped 2-4×. zipper_read_10x 14.9→3.66 s quiet; the r11
+    // GC-trade band (13.0) is obsolete — the GC matrix showed the entry
+    // collector-independent, and the cost was the regexp straggler task.
+    "zipper_read" -> 1.80,
+    "zipper_read_plain" -> 1.75,
+    "zipper_read_filtered" -> 1.15,
+    "zipper_read_10x" -> 4.60,
     "mor_dense_partitioned" -> 1.30,
     "mor_dense_legacy" -> 1.20,
     "t50_ngram_jaccard" -> 1.30,
     "t50_ngram_jaccard_10x" -> 9.00,
     "t51_temperature_mix" -> 0.40,
     "t52_int8_quantize" -> 0.20,
-    // round-12 promotions of the r11 one-off 30x probes: t04 band from the
-    // probe's 23.6 s quiet wall (+~10%). pipeline_30x gets its band from
-    // this round's quiet first measurement (no band = runs always printed,
-    // the right default for a first-time entry).
-    "t04_minhash_neardup_30x" -> 26.00)
+    // round-12 promotions of the r11 one-off 30x probes, re-banded from
+    // this round's quiet warm-pass measurements (t04_30x 14.2 s — the
+    // lineage/docs fixture gains carry to 30x; pipeline_30x 21.3 s, linear
+    // vs pipeline_10x 7.5 s).
+    "t04_minhash_neardup_30x" -> 18.00,
+    "pipeline_30x" -> 25.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
