@@ -279,12 +279,23 @@ object Dedup {
     sigs.count()
     val buckets = capBuckets(bucketsOf(sigs, bands, rowsPerBand), maxBucketWidth)
     // Same-bucket candidate pairs (id_a < id_b), deduped across bands.
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val cand = a.join(b, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // With a width cap the bucket frame arrives hash(band,bucket)-
+    // partitioned from capBuckets' semi-join and every bucket holds ≤ w
+    // ids, so the exchange-free bounded aggregation replaces the bucket
+    // SELF-join (which re-shuffled the buckets twice more — the same
+    // shape, and fix, as the rare-shingle posting join). Uncapped
+    // (exhaustive) mode keeps the join: bucket widths are unbounded there
+    // and a join handles a degenerate mega-bucket without a mega-array.
+    val cand = maxBucketWidth match {
+      case Some(_) => candidatePairsOf(buckets, Seq("band", "bucket"))
+      case None =>
+        val a = buckets.as("a")
+        val b = buckets.as("b")
+        a.join(b, col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+    }
     val est = estPrefilter(cand, "id_a", "id_b", sigs, sigs, numHashes, threshold)
     sigs.unpersist(blocking = false)
     exactVerify(est, "id_a", "id_b", shingled, shingled, threshold)
@@ -456,8 +467,10 @@ object Dedup {
     * so a list holds ≤ maxDf ids. Pair fan-out per shingle is the same
     * df²/2 bound as before, produced by two tiny generators over the
     * ≤-maxDf arrays (array_sort gives the id_a < id_b orientation). */
-  private def candidatePairsOf(posting: DataFrame): DataFrame =
-    posting.groupBy("sh").agg(array_sort(collect_list(col("id"))).as("ids"))
+  private def candidatePairsOf(posting: DataFrame,
+      bucketKeys: Seq[String] = Seq("sh")): DataFrame =
+    posting.groupBy(bucketKeys.map(col): _*)
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
       .select(col("ids"), posexplode(col("ids")))
       .select(col("col").as("id_a"),
         explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("id_b"))
@@ -965,13 +978,39 @@ object Dedup {
           .select(col("chunk"), col("val"))
         allChunks.join(widths, Seq("chunk", "val"), "left_semi")
     }
-    val a = chunks.as("a")
-    val b = chunks.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh64").as("h_a"), col("b.sh64").as("h_b"))
-      .distinct()
+    val pairs = maxBucketWidth match {
+      case Some(_) =>
+        // Width-capped: same exchange-free bounded aggregation as the
+        // minhash/rare-shingle generators (≤ w payloads per chunk bucket,
+        // partitioning reused from the cap's semi-join). The payload
+        // struct's element type is PINNED via cast — struct field names
+        // do not reliably survive array_sort (they can decay to col1/
+        // col2), and the explode below dereferences them by name.
+        val pt = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", chunks.schema("id").dataType),
+          org.apache.spark.sql.types.StructField("sh64",
+            org.apache.spark.sql.types.LongType)))
+        chunks
+          .groupBy("chunk", "val")
+          .agg(array_sort(collect_list(struct(col("id"), col("sh64"))))
+            .cast(org.apache.spark.sql.types.ArrayType(pt)).as("ps"))
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("pa"),
+            explode(slice(col("ps"), col("pos") + lit(2), size(col("ps")))).as("pb"))
+          .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+            col("pa.sh64").as("h_a"), col("pb.sh64").as("h_b"))
+          .where(col("id_a") =!= col("id_b"))
+          .distinct()
+      case None =>
+        val a = chunks.as("a")
+        val b = chunks.as("b")
+        a.join(b, col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.sh64").as("h_a"), col("b.sh64").as("h_b"))
+          .distinct()
+    }
+    pairs
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
