@@ -460,12 +460,6 @@ object MergeRead {
   private def revOfPath(p: String): Option[Long] =
     DirRev.findAllMatchIn(p).toSeq.lastOption.map(_.group(1).toLong)
 
-  /** One scan over all active files, with per-row lineage columns: stream
-    * position (last `/d<digits>/` segment of the file path — see
-    * referencedDeltas), then delta type + column-presence via a broadcast
-    * join against the O(#deltas) lineage frame (never a Catalyst literal).
-    * A row whose position misses the lineage is a corruption bug and fails
-    * loudly rather than silently dropping. */
   /** oldName -> newName for every renamed field of the schema — used to
     * translate historical written_columns and to read old physical files
     * (which carry the prior column name) under the new name. Public: the

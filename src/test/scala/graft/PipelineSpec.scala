@@ -459,6 +459,39 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("pair generators: capped aggregation path ≡ uncapped self-join path when no bucket exceeds the cap") {
+    // Round-12: the width-capped generators switched from a bucket
+    // SELF-join to an exchange-free bounded aggregation (groupBy +
+    // array_sort(collect_list)); the uncapped path keeps the join. A cap
+    // no bucket reaches must therefore change NOTHING — same pair sets,
+    // both orientations and scores — for minhash AND simhash, on a corpus
+    // with planted near-dups and unrelated filler.
+    val docs = ((1L to 60L).map(i =>
+      (i, s"completely unrelated filler document number $i about topic ${i % 7} " +
+        s"with extra words ${i * 31} and ${i * 17}")) ++ Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (103L, "an entirely different pair of texts that match each other very closely indeed"),
+      (104L, "an entirely different pair of texts that match each other very closely indeed")))
+      .toDF("doc_id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhCap = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+      wordGrams = Some(2), maxBucketWidth = Some(1000))
+    val mhJoin = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+      wordGrams = Some(2), maxBucketWidth = None)
+    assert(key(mhCap.select("id_a", "id_b").collect()) ==
+      key(mhJoin.select("id_a", "id_b").collect()),
+      "minhash: aggregation-path pairs diverged from self-join pairs")
+    assert(key(mhCap.select("id_a", "id_b").collect()).contains((101L, 102L)))
+    val shCap = Dedup.simhashPairs(docs, "doc_id", "text", maxBucketWidth = Some(1000))
+    val shJoin = Dedup.simhashPairs(docs, "doc_id", "text", maxBucketWidth = None)
+    assert(key(shCap.select("id_a", "id_b").collect()) ==
+      key(shJoin.select("id_a", "id_b").collect()),
+      "simhash: aggregation-path pairs diverged from self-join pairs")
+    assert(key(shCap.select("id_a", "id_b").collect()).contains((103L, 104L)))
+  }
+
   test("LSH ANN recall vs brute force; candidate generation is an equi-join") {
     val emb = spark.read.parquet(s"$sfd/embeddings.parquet")
     val queries = emb.where($"vec_id" < 10)
