@@ -83,6 +83,7 @@ object Bench {
     "t41_span_removal_10x" -> 4.00,
     "mor_read_scala" -> 2.30,
     "mor_read_sql" -> 2.20,
+    "mor_trickle_read" -> 2.70, // 22-delta literal-lineage union (round-12)
     "pipeline_write_compact_read" -> 3.30,
     "pipeline_10x" -> 9.00,
     "baseline_raw_spark" -> 0.90,
@@ -285,6 +286,19 @@ object Bench {
       attempt("mor_read_sql")(measured("mor_read_sql") {
         spark.sql("SELECT sum(l_quantity) AS s, count(1) AS n " +
           s"FROM graft_read('$root', 'bench.sqlmor')").head()
+      })
+      // Trickle shape (round-12): 20 more small uncompacted deltas — the
+      // write-heavy steady state between compactions, and the shape that
+      // exercises the per-delta LITERAL lineage union (22 deltas ≤ the 64
+      // threshold). A regression in many-delta planning or the literal
+      // scans' union shows up here, not in the 2-delta entries above.
+      (1 to 20).foreach { i =>
+        cat.writeToTable(li.where(col("l_orderkey") % 400 === i)
+          .withColumn("l_quantity", col("l_quantity") + i),
+          "bench.sqlmor", WriteMode.Merge)
+      }
+      attempt("mor_trickle_read")(measured("mor_trickle_read") {
+        cat.readTable("bench.sqlmor").agg(sum("l_quantity"), count(lit(1))).head()
       })
     } catch { case e: Throwable =>
       errors("sql_mor_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)

@@ -68,6 +68,31 @@ class MergePropertySpec extends SparkSpec {
     }
   }
 
+  test("lineage paths: per-delta literal scans equal the regexp+join fallback on random op sequences") {
+    // Round-12: scanWithLineage has two lineage attachments — per-delta
+    // LITERAL scans (≤ maxDeltas, zero per-row work) and the per-row path
+    // regexp + broadcast-join fallback. Same randomized sequences, both
+    // paths, MoR and compacted, must all equal the in-memory model.
+    // Forcing the conf to 0 routes EVERY read through the fallback.
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { trial =>
+      val ops = Gen.listOfN(5, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(7000L + trial))
+      val expected = model(ops)
+      val literal = runEngine(ops, compactEvery = None)
+      assert(literal == expected, s"trial $trial literal path: $literal != $expected\nops=$ops")
+      spark.conf.set(graft.catalog.MergeRead.LineageLiteralConfKey, "0")
+      try {
+        val fallback = runEngine(ops, compactEvery = None)
+        assert(fallback == expected,
+          s"trial $trial fallback path: $fallback != $expected\nops=$ops")
+        val fallbackCompacted = runEngine(ops, compactEvery = Some(2))
+        assert(fallbackCompacted == expected,
+          s"trial $trial fallback compacted: $fallbackCompacted != $expected\nops=$ops")
+      } finally spark.conf.unset(graft.catalog.MergeRead.LineageLiteralConfKey)
+    }
+  }
+
   /** All ops written pending, then ONE compact() call; the valve property
     * decides whether it runs as a single round or chunked sub-rounds. */
   private def runValved(ops: List[Op], valve: Option[Long])
