@@ -105,8 +105,8 @@ object Bench {
     "zipper_read_10x" -> 4.60,
     "mor_dense_partitioned" -> 1.30,
     "mor_dense_legacy" -> 1.20,
-    "t50_ngram_jaccard" -> 1.30,
-    "t50_ngram_jaccard_10x" -> 9.00,
+    "t50_ngram_jaccard" -> 1.45, // +persist constant (round-12)
+    "t50_ngram_jaccard_10x" -> 5.60, // shared shingling pass (round-12)
     "t51_temperature_mix" -> 0.40,
     "t52_int8_quantize" -> 0.20,
     // round-12 promotions of the r11 one-off 30x probes, re-banded from

@@ -406,17 +406,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3): DataFrame = {
-    val sh = Par.widen(df).select(col(idCol).as("id"),
-      TextOps.shingles(textCol, shingleK).as("sh"))
+      shingleK: Int = 3): DataFrame =
+    jaccardFromSets(pairs, Par.widen(df).select(col(idCol).as("id"),
+      TextOps.shingles(textCol, shingleK).as("sh")))
+
+  /** [[ngramJaccard]] over a PRE-BUILT (id, sh) shingle-set frame — lets a
+    * caller that already shingled the corpus (and persisted it) verify
+    * without a fresh shingling pass. */
+  private def jaccardFromSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("sh", "sh_a"), pairs("id_a") === sh("id")).drop("id")
-      .join(sh.withColumnRenamed("sh", "sh_b"), pairs("id_b") === sh("id")).drop("id")
+      .join(sets.withColumnRenamed("sh", "sh_a"), pairs("id_a") === sets("id")).drop("id")
+      .join(sets.withColumnRenamed("sh", "sh_b"), pairs("id_b") === sets("id")).drop("id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .select("id_a", "id_b", "jaccard")
-  }
 
   /**
    * Inverted-index n-gram Jaccard near-dup pairs: candidates are pairs that
@@ -445,16 +449,26 @@ object Dedup {
     // lambda interpreted on the scan side; an inline generator expression
     // would too). A null-text row explodes to sh=null, which no equi-join
     // can match — it drops out for free.
-    val sh = Par.widen(df)
-      .select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("shs"))
-      .select(col("id"), explode_outer(col("shs")).as("sh"))
+    // The corpus is shingled ONCE and persisted: the set frame feeds the
+    // df-count, the posting join AND the two exact-verify joins — four
+    // consumers whose subtrees Catalyst does not share, so without the
+    // persist the interpreted shingle lambda re-ran per consumer
+    // (profiled: 3 of t50_10x's 4 ~40-task-second stages were repeated
+    // shingling). Same pattern as minhashPairs' persisted signatures.
+    val sets = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
+    val sh = sets.select(col("id"), explode_outer(col("sh")).as("sh"))
     // df-filter FIRST (partial-agg count), then keep only rare postings.
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf)).select("sh")
     val posting = sh.join(rare, Seq("sh"))
     val cand = candidatePairsOf(posting)
-    ngramJaccard(cand, df, idCol, textCol, shingleK)
-      .where(col("jaccard") >= threshold)
+    val res = materialize(jaccardFromSets(cand, sets)
+      .where(col("jaccard") >= threshold))
+    sets.unpersist(blocking = false)
+    res
   }
 
   /** Unordered candidate id pairs (id_a < id_b) from a df-capped posting
@@ -493,27 +507,31 @@ object Dedup {
   def shingleContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, maxDf: Int = 5, threshold: Double = 0.8): DataFrame = {
     require(maxDf >= 2, s"maxDf must be ≥ 2 (got $maxDf)")
-    val sh = Par.widen(df)
-      .select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("shs"))
-      .select(col("id"), explode_outer(col("shs")).as("sh"))
+    // One persisted shingling pass for all four consumers (see
+    // rareShinglePairs).
+    val sets = Par.widen(df)
+      .select(col(idCol).as("id"), TextOps.shingles(textCol, shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
+    val sh = sets.select(col("id"), explode_outer(col("sh")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf)).select("sh")
     val posting = sh.join(rare, Seq("sh"))
     val cand = candidatePairsOf(posting)
-    val sets = Par.widen(df).select(col(idCol).as("id"),
-      TextOps.shingles(textCol, shingleK).as("sh"))
     val scored = cand
       .join(sets.withColumnRenamed("sh", "sh_a"), cand("id_a") === sets("id")).drop("id")
       .join(sets.withColumnRenamed("sh", "sh_b"), cand("id_b") === sets("id")).drop("id")
       .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("c_ab", col("_inter") / size(col("sh_a")).cast(DoubleType))
       .withColumn("c_ba", col("_inter") / size(col("sh_b")).cast(DoubleType))
-    scored.where(col("c_ab") >= threshold)
+    val res = materialize(scored.where(col("c_ab") >= threshold)
       .select(col("id_a").as("id_inner"), col("id_b").as("id_outer"),
         col("c_ab").as("containment"))
       .unionByName(scored.where(col("c_ba") >= threshold)
         .select(col("id_b").as("id_inner"), col("id_a").as("id_outer"),
-          col("c_ba").as("containment")))
+          col("c_ba").as("containment"))))
+    sets.unpersist(blocking = false)
+    res
   }
 
   /** See [[Par.materialize]]: eager, lineage-cutting, checkpoint-reliable
