@@ -76,7 +76,7 @@ object Bench {
     "t41_span_removal" -> 1.35,
     "t44_corpus_shuffle" -> 0.25,
     "t46_semantic_join" -> 0.80,
-    "t04_minhash_neardup_10x" -> 6.50,
+    "t04_minhash_neardup_10x" -> 4.20, // shared shingling (round-12)
     "t06_ann_brute_10x" -> 0.65,
     "t10_ann_ivf_10x" -> 1.05,
     "t11_semantic_dedup_10x" -> 4.80,
@@ -113,7 +113,7 @@ object Bench {
     // this round's quiet warm-pass measurements (t04_30x 14.2 s — the
     // lineage/docs fixture gains carry to 30x; pipeline_30x 21.3 s, linear
     // vs pipeline_10x 7.5 s).
-    "t04_minhash_neardup_30x" -> 13.00,
+    "t04_minhash_neardup_30x" -> 7.00, // shared shingling (round-12)
     "pipeline_30x" -> 25.00)
 
   def main(args: Array[String]): Unit = {

@@ -269,7 +269,11 @@ object Dedup {
         * the standard LSH guard at corpus scale. None = exhaustive. */
       maxBucketWidth: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // The shingle-set frame is persisted too: it feeds the signature build
+    // AND both exact-verify joins (three consumers, no subtree sharing
+    // across joins) — same repeated-shingling finding as rareShinglePairs.
     val shingled = shingledOf(df, idCol, textCol, shingleK, wordGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (id, sig) is persisted and materialized ONCE: the signature feeds the
     // band buckets AND the pair-wise estimate join, and Catalyst does not
     // share subtrees across joins — without the persist it would be
@@ -298,7 +302,9 @@ object Dedup {
     }
     val est = estPrefilter(cand, "id_a", "id_b", sigs, sigs, numHashes, threshold)
     sigs.unpersist(blocking = false)
-    exactVerify(est, "id_a", "id_b", shingled, shingled, threshold)
+    val res = materialize(exactVerify(est, "id_a", "id_b", shingled, shingled, threshold))
+    shingled.unpersist(blocking = false)
+    res
   }
 
   /**
