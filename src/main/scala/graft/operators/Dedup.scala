@@ -332,7 +332,10 @@ object Dedup {
       threshold: Double = 0.7, wordGrams: Option[Int] = None,
       maxBucketWidth: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Persisted: feeds the signature build and the exact verify (no
+    // subtree sharing across joins — the repeated-shingling finding).
     val newShingled = shingledOf(incoming, idCol, textCol, shingleK, wordGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSigs = signaturesOf(newShingled, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newSigs.count()
@@ -363,7 +366,10 @@ object Dedup {
     val candCorpusText = corpusText.join(
       est.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val corpusShingled = shingledOf(candCorpusText, idCol, textCol, shingleK, wordGrams)
-    exactVerify(est, "id_new", "id_corpus", newShingled, corpusShingled, threshold)
+    val res = materialize(
+      exactVerify(est, "id_new", "id_corpus", newShingled, corpusShingled, threshold))
+    newShingled.unpersist(blocking = false)
+    res
   }
 
   /**
@@ -389,8 +395,12 @@ object Dedup {
       threshold: Double = 0.7, wordGrams: Option[Int] = None,
       maxBucketWidth: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Both sides persisted: each feeds its signature build and the exact
+    // verify (no subtree sharing across joins).
     val leftShingled = shingledOf(left, idCol, textCol, shingleK, wordGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rightShingled = shingledOf(right, idCol, textCol, shingleK, wordGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val leftSigs = signaturesOf(leftShingled, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rightSigs = signaturesOf(rightShingled, numHashes)
@@ -407,7 +417,11 @@ object Dedup {
     val est = estPrefilter(cand, "id_left", "id_right", leftSigs, rightSigs,
       numHashes, threshold)
     leftSigs.unpersist(blocking = false); rightSigs.unpersist(blocking = false)
-    exactVerify(est, "id_left", "id_right", leftShingled, rightShingled, threshold)
+    val res = materialize(
+      exactVerify(est, "id_left", "id_right", leftShingled, rightShingled, threshold))
+    leftShingled.unpersist(blocking = false)
+    rightShingled.unpersist(blocking = false)
+    res
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */
