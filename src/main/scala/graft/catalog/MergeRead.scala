@@ -557,12 +557,23 @@ object MergeRead {
     // plan-size-bounded for thousand-delta backlogs and keeps the loud
     // lineage-missing contract.
     val maxLiteral = spark.conf.getOption(LineageLiteralConfKey)
-      .map(_.toInt).getOrElse(64)
+      .map { v =>
+        try v.trim.toInt
+        catch { case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$LineageLiteralConfKey must be an integer, got '$v'", e) }
+      }.getOrElse(64)
     val byRev: Seq[(Long, Seq[String])] =
       paths.flatMap(p => revOfPath(p).map(_ -> p))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     val lineageByPos = lineage.map(d => d.streamPosition -> d).toMap
-    if (lineage.size <= maxLiteral && byRev.map(_._2.size).sum == paths.size &&
+    // Gate on byRev.size — the number of per-revision scan relations this
+    // read actually builds (what bounds plan size) — not the table's total
+    // active-delta count: a pruned read touching 2 deltas of a 100-delta
+    // backlog still deserves the literal path. byRev.nonEmpty keeps the
+    // empty-path case (schema-only loads of name-matched formats) on the
+    // single-group fallback, which tolerates an empty path list.
+    if (byRev.nonEmpty && byRev.size <= maxLiteral &&
+        byRev.map(_._2.size).sum == paths.size &&
         byRev.forall { case (rev, _) => lineageByPos.contains(rev) }) {
       val scans = byRev.map { case (rev, groupPaths) =>
         val d = lineageByPos(rev)

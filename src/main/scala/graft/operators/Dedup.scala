@@ -12,6 +12,19 @@ import org.apache.spark.sql.types._
  * all-pairs cross join. At 100 TB the band/bucket join shuffles only
  * same-bucket rows; the verify step re-joins the candidate PAIRS back to the
  * (id → features) table, which is a key-partitioned shuffle as well.
+ *
+ * ==Execution semantics==
+ * The pair-producing operators (`minhashPairs`, `minhashJoin`,
+ * `incrementalNearDupPairs`, `rareShinglePairs`,
+ * `shingleContainmentPairs`, `simhashPairs`, `connectedComponents`) return
+ * EAGERLY MATERIALIZED frames: the pair computation runs at call time (so
+ * intermediate persisted shingle/signature frames can be freed
+ * deterministically before returning, and self-joins downstream never
+ * recompute the pipeline). The materialization is a reliable `checkpoint`
+ * when `SparkContext.setCheckpointDir` is configured; otherwise it falls
+ * back to `localCheckpoint`, whose blocks do NOT survive executor loss —
+ * on a multi-executor cluster (dynamic allocation, spot nodes) set a
+ * checkpoint directory before calling these operators.
  */
 object Dedup {
 
