@@ -59,12 +59,15 @@ object Bench {
     "q16_asof_join" -> 0.31,
     "t01_text_stats" -> 0.22,
     "t02_exact_dedup" -> 0.55,
-    "t04_minhash_neardup" -> 2.40,
+    // +persist constant at 1× (round-13 re-band, f37b020's measurement:
+    // the shared-shingle persist costs ~+12% at 1× and buys −36-52% at
+    // 10×/30× — same documented trade as t50's band; quiet HEAD min 1.63)
+    "t04_minhash_neardup" -> 2.75,
     "t06_ann_brute" -> 0.48,
     "t07_ann_lsh" -> 1.05,
     "t10_ann_ivf" -> 0.78,
     "t11_semantic_dedup" -> 1.20,
-    "t15_neardup_clusters" -> 2.20,
+    "t15_neardup_clusters" -> 2.50, // +persist constant at 1× (round-13, see t04)
     "t31_quality_score" -> 0.65,
     "t32_dsir_weights" -> 1.65,
     "t33_crosscorpus_join" -> 2.00,
@@ -114,7 +117,15 @@ object Bench {
     // lineage/docs fixture gains carry to 30x; pipeline_30x 21.3 s, linear
     // vs pipeline_10x 7.5 s).
     "t04_minhash_neardup_30x" -> 7.00, // shared shingling (round-12)
-    "pipeline_30x" -> 25.00)
+    "pipeline_30x" -> 25.00,
+    // round-13 additions: the lineage-FALLBACK read (82 deltas > the
+    // 64-delta literal threshold — trickle + the per-row regexp/join
+    // constant, measured +0.74 s over mor_trickle_read at sf0.1), the
+    // 30x zipper point (2.6× the 10x for 3× the data), and the 30x raw
+    // floor anchoring the 30x graded ratio same-run/same-machine.
+    "mor_backlog_read" -> 3.40,
+    "zipper_read_30x" -> 9.00,
+    "baseline_raw_spark_30x" -> 8.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -263,7 +274,8 @@ object Bench {
     // TVF resolves through the catalog's analyzed plan, so SQL users must
     // pay ~0 over the Scala readTable on the same unresolved-delta table.
     // Prep (table build, one bulk merge + one 1% trickle) is unmeasured.
-    if (Seq("mor_read_scala", "mor_read_sql").exists(want)) try {
+    if (Seq("mor_read_scala", "mor_read_sql", "mor_trickle_read",
+        "mor_backlog_read").exists(want)) try {
       val root = Files.createTempDirectory("graft_bench_sql").toString
       val cat = new GraftCatalog(spark, root)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -300,6 +312,24 @@ object Bench {
       attempt("mor_trickle_read")(measured("mor_trickle_read") {
         cat.readTable("bench.sqlmor").agg(sum("l_quantity"), count(lit(1))).head()
       })
+      // Backlog shape (round-13): 60 MORE trickle deltas → 82 active, past
+      // the 64-delta literal-lineage threshold, so this read exercises the
+      // OTHER lineage path — per-row regexp position extraction + the
+      // O(#deltas) broadcast join — that serves thousand-delta backlogs at
+      // scale. Until now that path had only a randomized equivalence test;
+      // this gives it a tracked number (the equivalence says it's RIGHT,
+      // this says it stays CHEAP). Expected ≈ mor_trickle_read + the
+      // ~3-4 µs/row regexp constant over ~6M base rows.
+      if (want("mor_backlog_read")) {
+        (21 to 80).foreach { i =>
+          cat.writeToTable(li.where(col("l_orderkey") % 400 === i)
+            .withColumn("l_quantity", col("l_quantity") + i),
+            "bench.sqlmor", WriteMode.Merge)
+        }
+        attempt("mor_backlog_read")(measured("mor_backlog_read") {
+          cat.readTable("bench.sqlmor").agg(sum("l_quantity"), count(lit(1))).head()
+        })
+      }
     } catch { case e: Throwable =>
       errors("sql_mor_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
     }
@@ -355,10 +385,13 @@ object Bench {
     // policy as everything else: length amortizes scheduler jitter but not
     // a co-tenant load spike, and round 8's artifact proved the latter.
     var lineitem10xPath: Option[String] = None
+    var lineitem30xPath: Option[String] = None
     val wantDocs10x = Seq("t04_minhash_neardup_10x", "t41_span_removal_10x",
       "t50_ngram_jaccard_10x", "t04_minhash_neardup_30x").exists(want)
-    val wantLi10x = Seq("pipeline_10x", "baseline_raw_spark_10x",
-      "zipper_read_10x", "pipeline_30x").exists(want)
+    val wantLi30x = Seq("pipeline_30x", "baseline_raw_spark_30x",
+      "zipper_read_30x").exists(want)
+    val wantLi10x = wantLi30x || Seq("pipeline_10x", "baseline_raw_spark_10x",
+      "zipper_read_10x").exists(want)
     if (wantDocs10x || wantLi10x) locally {
       val scaleDir = Files.createTempDirectory("graft_bench_10x").toString
       // Corpus: each doc yields v=0 (original), v=1 (every 10th word
@@ -459,12 +492,25 @@ object Bench {
         // commit constant fully amortized (3.3x flat vs floor); the 30x
         // point tracks that the full write→compact→merge→delete→read loop
         // stays LINEAR in data volume across a second scale step.
-        if (want("pipeline_30x")) {
+        if (wantLi30x) {
           writeLiNx(30, s"$scaleDir/lineitem30x")
-          val li30 = spark.read.parquet(s"$scaleDir/lineitem30x")
+          lineitem30xPath = Some(s"$scaleDir/lineitem30x")
+        }
+        lineitem30xPath.foreach { p30 =>
+          val li30 = spark.read.parquet(p30)
           attempt("pipeline_30x")(measuredWarm("pipeline_30x") {
             pipelineBody(li30, "bench.li30")
           })
+          // 30x raw floor (round-13): until now the 30x ratio had no
+          // anchor — the cert borrowed the 10x floor scaled ×3. A floor
+          // entry per scale point keeps every graded ratio same-run,
+          // same-machine, band-checked (see "ratios" in the artifact).
+          if (want("baseline_raw_spark_30x"))
+            attempt("baseline_raw_spark_30x")(measuredWarm("baseline_raw_spark_30x") {
+              val out = Files.createTempDirectory("graft_bench_raw30").toString
+              li30.write.mode("overwrite").parquet(s"$out/li")
+              spark.read.parquet(s"$out/li").count()
+            })
         }
       }
     }
@@ -613,7 +659,7 @@ object Bench {
     //     not re-shuffling a heavy group through another group's trickle,
     //     neither of which a narrow all-numeric benchmark table exhibits.
     if (Seq("zipper_read", "zipper_read_plain", "zipper_read_filtered",
-        "zipper_read_10x").exists(want)) try {
+        "zipper_read_10x", "zipper_read_30x").exists(want)) try {
       val root = Files.createTempDirectory("graft_bench_zip").toString
       val cat = new GraftCatalog(spark, root)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -727,6 +773,37 @@ object Bench {
           cat3.readZipped("bench.zip10").agg(sum("l_quantity"), count(lit(1))).head()
         })
       }
+      // (e) 30x scaling point (round-13): the zipper is the most expensive
+      //     composed read surface (two per-group LSM resolves + a
+      //     merge-key zip join) and after the r12 lineage fold its 10x
+      //     dropped 5× — the 30x point tracks that the drop holds a second
+      //     scale step (linear-ish vs zipper_read_10x, same fixture shape).
+      if (want("zipper_read_30x")) lineitem30xPath.foreach { p30 =>
+        val li30 = spark.read.parquet(p30)
+        val cat4 = new GraftCatalog(spark, Files.createTempDirectory("graft_bench_zip30").toString)
+        cat4.createTable("bench.zip30", StructType(Seq(
+          FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
+          FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
+          FieldMeta.field("l_quantity", DoubleType),
+          FieldMeta.field("l_extendedprice", DoubleType),
+          FieldMeta.field("l_returnflag", StringType))),
+          properties = Map("read_optimization" -> "NONE"))
+        cat4.setSubschema("bench.zip30", "nums",
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+        cat4.setSubschema("bench.zip30", "flag",
+          Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        cat4.writeToTable(li30, "bench.zip30", WriteMode.Merge)
+        cat4.writeToTable(li30.where(col("l_orderkey") % 100 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") + 1).as("l_quantity"), col("l_extendedprice")),
+          "bench.zip30", WriteMode.Merge)
+        cat4.writeToTable(li30.where(col("l_orderkey") % 101 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), lit("Z").as("l_returnflag")),
+          "bench.zip30", WriteMode.Merge)
+        attempt("zipper_read_30x")(measuredWarm("zipper_read_30x") {
+          cat4.readZipped("bench.zip30").agg(sum("l_quantity"), count(lit(1))).head()
+        })
+      }
     } catch { case e: Throwable =>
       errors("zipper_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
     }
@@ -763,11 +840,20 @@ object Bench {
     // Read: an elevated run whose gc (or jgc) tracks the inflation = GC
     // excursion; rt inflated with cpu flat = co-tenant CPU steal; sr/sw
     // moved = a real plan change, investigate.
+    // Round-13 addition — the load witness the r12 t35 postmortem lacked:
+    // pcpu is this whole PROCESS's CPU delta (tasks + driver + JIT + GC
+    // threads) and ocpu is the rest of the MACHINE's busy CPU over the
+    // same window (/proc/stat). Task cpu-seconds are NOT load-invariant
+    // on a 32-thread SMT box — hyperthread contention and JIT starvation
+    // inflate cpu too, mimicking a real regression (r12's t35: 4 agreeing
+    // runs, gc 0, rt≈cpu≈5 task-s, yet 0.16 s quiet at the same commit) —
+    // so "cpu elevated AND ocpu ≈ 0" is the only pairing that indicts the
+    // plan; "cpu elevated, ocpu large" exonerates as co-tenant load.
     def evJsonOf(m: collection.Map[String, Seq[org.apache.spark.sql.graft.BenchProbe.Snap]]): String =
       if (m.isEmpty) ""
       else m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(e =>
-          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f,"jgc":${e.jvmGcS}%.1f}""")
+          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f,"jgc":${e.jvmGcS}%.1f,"pcpu":${e.procCpuS}%.1f,"ocpu":${math.max(0.0, e.otherCpuS)}%.1f}""")
           .mkString("[", ",", "]")
       }.mkString(""","evidence":{""", ",", "}")
     val interesting = runsLog.filter { case (k, vs) =>
@@ -775,8 +861,45 @@ object Bench {
     }
     val interestingEv = evLog.filter { case (k, _) => interesting.contains(k) }
     val total = results.values.sum
+    // Per-entry band verdict IN the artifact (round-13): the certification
+    // is DERIVED from the closing artifact itself, never hand-written from
+    // an earlier run (r12's cert said 54/54 in band while the closing
+    // artifact was 50/54). "in"/"over" per banded entry; band values ride
+    // along so a reader needs no source access. tools/benchcert.py renders
+    // the BENCH_NOTES certification text from these fields.
+    val bandStatus: Seq[(String, String)] = results.toSeq.map { case (k, v) =>
+      k -> quietBandUpper.get(k).map(b => if (v <= b) "in" else "over").getOrElse("none")
+    }
+    val nBanded = bandStatus.count(_._2 != "none")
+    val nIn = bandStatus.count(_._2 == "in")
+    val overs = bandStatus.collect { case (k, "over") => k }
+    val bandJson = {
+      val bs = results.keys.toSeq.flatMap(k =>
+        quietBandUpper.get(k).map(b => "\"" + k + "\":" + f"$b%.2f"))
+      val st = bandStatus.map { case (k, s) => "\"" + k + "\":\"" + s + "\"" }
+      s""","bands":${bs.mkString("{", ",", "}")}""" +
+        s""","band_status":${st.mkString("{", ",", "}")}""" +
+        s""","band_summary":"$nIn/$nBanded in band""" +
+        (if (overs.isEmpty) "\"" else overs.mkString("; over: ", ",", "\""))
+    }
+    // Graded pipeline/floor ratios, self-labeling (round-13): a ratio
+    // computed from an over-band floor is UNTRUSTED — an inflated floor
+    // flatters it (r12: closing floor_10x 4.83 s vs its 3.20 band made the
+    // naive pipeline_10x/floor read 1.5× where the quiet value was ~2.9×).
+    val ratioJson = {
+      val rs = Seq(
+        ("pipeline_write_compact_read", "baseline_raw_spark"),
+        ("pipeline_10x", "baseline_raw_spark_10x"),
+        ("pipeline_30x", "baseline_raw_spark_30x")).flatMap { case (p, f) =>
+        for (pv <- results.get(p); fv <- results.get(f)) yield {
+          val ok = quietBandUpper.get(f).forall(fv <= _)
+          f""""${p}_over_floor":{"x":${pv / fv}%.2f,"floor_in_band":$ok}"""
+        }
+      }
+      if (rs.isEmpty) "" else rs.mkString(""","ratios":{""", ",", "}")
+    }
     def lineOf(runsJson: String, evJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$runsJson$evJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$bandJson$ratioJson$runsJson$evJson,"sf":"$sfDir"}"""
     println(lineOf(runsJsonOf(interesting), evJsonOf(interestingEv)))
     // Machine-clean FULL copy: sbt prefixes stdout with [info] and the
     // driver's capture truncates; this file carries every raw run.

@@ -42,20 +42,25 @@ final class BenchProbe extends SparkListener {
   }
 
   /** (gc seconds, task-wall seconds, task-cpu seconds, shuffle-read MB,
-    * shuffle-write MB, whole-JVM GC seconds) — cumulative since
-    * registration (jvmGcS: since JVM start). */
+    * shuffle-write MB, whole-JVM GC seconds, process CPU s, other-process
+    * machine CPU s) — cumulative since registration (jvmGcS/procCpuS/
+    * machine counters: since JVM/boot). */
   def snapshot(): BenchProbe.Snap = synchronized {
+    val pc = BenchProbe.processCpuSeconds()
     BenchProbe.Snap(gcMs / 1e3, runMs / 1e3, cpuNs / 1e9,
-      shReadB / 1048576.0, shWriteB / 1048576.0, BenchProbe.jvmGcSeconds())
+      shReadB / 1048576.0, shWriteB / 1048576.0, BenchProbe.jvmGcSeconds(),
+      pc, math.max(0.0, BenchProbe.machineBusyCpuSeconds() - pc))
   }
 }
 
 object BenchProbe {
   final case class Snap(gcS: Double, rtS: Double, cpuS: Double,
-      srMb: Double, swMb: Double, jvmGcS: Double = 0.0) {
+      srMb: Double, swMb: Double, jvmGcS: Double = 0.0,
+      procCpuS: Double = 0.0, otherCpuS: Double = 0.0) {
     def -(o: Snap): Snap =
       Snap(gcS - o.gcS, rtS - o.rtS, cpuS - o.cpuS, srMb - o.srMb,
-        swMb - o.swMb, jvmGcS - o.jvmGcS)
+        swMb - o.swMb, jvmGcS - o.jvmGcS, procCpuS - o.procCpuS,
+        otherCpuS - o.otherCpuS)
   }
 
   /** Whole-JVM cumulative GC seconds (all collectors). local[32] is ONE
@@ -69,6 +74,36 @@ object BenchProbe {
     scala.jdk.CollectionConverters.ListHasAsScala(
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+
+  /** This JVM's cumulative CPU seconds (all threads: tasks, driver, JIT,
+    * GC). Delta per run minus the task-cpu delta = CPU burned OUTSIDE task
+    * bodies (planning, commit, JIT compilation). */
+  def processCpuSeconds(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        math.max(0L, os.getProcessCpuTime) / 1e9
+      case _ => 0.0
+    }
+
+  /** WHOLE-MACHINE busy CPU seconds since boot (user+nice+system+irq+
+    * softirq+steal from /proc/stat, USER_HZ=100). The load witness the
+    * round-12 t35 postmortem was missing: task cpu-seconds are NOT
+    * load-invariant on an SMT box (hyperthread contention, LLC pollution,
+    * and JIT starvation all inflate cpu, mimicking a real plan
+    * regression), but `other = machine − process` is direct evidence of a
+    * co-tenant — a quiet run has other ≈ 0, a loaded one shows the
+    * competing burn. Linux-only; returns 0 (⇒ other=0, neutral) elsewhere. */
+  def machineBusyCpuSeconds(): Double =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      val busy = f(0) + f(1) + f(2) +
+        (if (f.length > 5) f(5) else 0L) + (if (f.length > 6) f(6) else 0L) +
+        (if (f.length > 7) f(7) else 0L)
+      busy / 100.0
+    } catch { case _: Throwable => 0.0 }
 
   /** Block until queued listener events are delivered, so snapshot deltas
     * bracket exactly the tasks of one measured run (the bus is async).

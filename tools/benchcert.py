@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Render the bench certification FROM a closing artifact (round-13).
+
+The only trustworthy in-band claim is one DERIVED from the artifact it
+certifies: round 12 shipped a hand-written "54/54 in band" sentence from
+an earlier run while the official closing artifact was 50/54. This script
+reads the artifact's own band_status / bands / ratios / evidence fields
+(emitted by graft.Bench since round 13) and prints the certification
+text that BENCH_NOTES embeds verbatim.
+
+usage: tools/benchcert.py [artifact.json]   (default target/bench.json)
+"""
+import json
+import sys
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
+    d = json.load(open(path))
+    q = d.get("queries", {})
+    status = d.get("band_status", {})
+    bands = d.get("bands", {})
+    runs = d.get("runs", {})
+    ev = d.get("evidence", {})
+    if not status:
+        print(f"UNCERTIFIABLE: {path} carries no band_status field "
+              "(pre-round-13 artifact?)")
+        return 2
+
+    banded = [k for k, s in status.items() if s != "none"]
+    n_in = sum(1 for k in banded if status[k] == "in")
+    overs = [k for k in banded if status[k] == "over"]
+    unbanded = [k for k, s in status.items() if s == "none"]
+
+    print(f"CERTIFICATION (derived from {path}, sf={d.get('sf')}):")
+    print(f"  {len(q)} entries measured; {n_in}/{len(banded)} banded "
+          f"entries inside their quiet-machine bands"
+          + ("." if not overs else f"; {len(overs)} over:"))
+    for k in overs:
+        line = f"    {k}: min={q[k]:.3f} band={bands.get(k)}"
+        if k in runs:
+            line += f" runs={runs[k]}"
+        # self-attribution: evidence of the minimum run, if carried
+        if k in ev and k in runs and ev[k]:
+            i = min(range(len(runs[k])), key=lambda j: runs[k][j])
+            if i < len(ev[k]):
+                e = ev[k][i]
+                line += (f" [min-run evidence: gc={e.get('gc')} "
+                         f"cpu={e.get('cpu')} ocpu={e.get('ocpu', '?')}]")
+                if isinstance(e.get("ocpu"), (int, float)) and e["ocpu"] > 2.0:
+                    line += " — co-tenant CPU present; rerun quiet before trusting"
+        print(line)
+    if unbanded:
+        print(f"  unbanded (first measurement, band seeds next round): "
+              f"{', '.join(sorted(unbanded))}")
+    for name, r in d.get("ratios", {}).items():
+        trust = "trusted" if r.get("floor_in_band") else \
+            "UNTRUSTED (floor over band — do not grade on this number)"
+        print(f"  ratio {name}: {r.get('x')}x [{trust}]")
+    if d.get("errors"):
+        print(f"  errors: {sorted(d['errors'])}")
+        return 1
+    return 0 if not overs else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
