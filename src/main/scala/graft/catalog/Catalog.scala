@@ -1843,7 +1843,44 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       pending.size >= maxDeltas ||
       pending.map(_.entries.size).sum >= maxFiles ||
       pendingRecords >= maxRecords
-    if (trigger && pending.nonEmpty) { compact(table); true } else false
+    if (trigger && pending.nonEmpty) { compact(table, reclusterBucketsFor(meta, table)); true }
+    else false
+  }
+
+  /** Advice→action (reference: compaction as table-health policy,
+    * types/tables.py:652-660): when write-triggered compaction fires AND
+    * the layout advisor recommends a recluster, recompact at the advised
+    * bucket count instead of re-materializing the stale layout. Without
+    * this, `compact(table)` keeps the base's RECORDED count forever (by
+    * design — ad-hoc compaction must not silently discard copy-by-
+    * reference), so a table that grew 100× kept its bootstrap-sized
+    * buckets until an operator hand-plumbed a new count. Reasons are
+    * gated independently: `undersized_layout` acts by DEFAULT (the table
+    * outgrew the layout >2× — recompacting to more buckets restores the
+    * per-task bounds the layout was sized for; the full rewrite was
+    * already bought by the trigger), `skew` is OPT-IN
+    * (`compaction.recluster.on_skew`) because hash-bucket skew is usually
+    * a hot KEY, which more buckets may not spread — that one needs an
+    * operator's judgment (salting, key redesign). Returns 0 (= keep the
+    * recorded layout) when no advice applies. Note the bucket-count
+    * change invalidates copy-by-reference for that round by construction
+    * — the copy-by-ref gate keys on the recorded count matching the
+    * requested one — and the next compacted base records the NEW count,
+    * which partitioned reads then trust. */
+  private def reclusterBucketsFor(meta: TableMeta, table: String): Int = {
+    val p = meta.properties
+    val onUndersized = p.getOrElse("compaction.recluster.auto", "true").toBoolean
+    val onSkew = p.getOrElse("compaction.recluster.on_skew", "false").toBoolean
+    if (!onUndersized && !onSkew) return 0
+    reclusterAdvice(table) match {
+      case Some(a) if (onUndersized && a.reasons.contains("undersized_layout")) ||
+          (onSkew && a.reasons.contains("skew")) =>
+        // never shrink below the recorded layout on an auto path: a skew-
+        // only recluster keeps at least the current count (rebalancing at
+        // the same width), an undersized one grows to the suggestion
+        math.max(a.suggestedBuckets, a.numBuckets)
+      case _ => 0
+    }
   }
 
   // -------------------------------------------------------------- internals

@@ -495,4 +495,82 @@ class PartitionedMergeSpec extends SparkSpec {
     cat3.writeToTable(Seq((1L, "x")).toDF("id", "v"), "ns.none", WriteMode.Merge)
     assert(cat3.reclusterAdvice("ns.none").isEmpty)
   }
+
+  test("advice→action: auto-compaction re-buckets an undersized layout; copy-by-ref invalidated; partitioned read trusts the new count") {
+    // Undersized by construction: a 2-bucket recorded layout gets
+    // suggestBuckets' floor of 8 > 2×2, so `undersized_layout` fires —
+    // the small-fixture analog of a table that outgrew its bootstrap
+    // layout. Trigger starts unreachable so the recluster moment is
+    // explicit, then drops to 1 delta for the write that should act.
+    def mk(root: String, name: String, props: Map[String, String]) = {
+      val c = new GraftCatalog(spark, tmpDir(root))
+      c.createTable(name, StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", StringType))),
+        properties = Map("read_optimization" -> "NONE",
+          "compaction.num_buckets" -> "2",
+          "compaction.trigger.deltas" -> "1000") ++ props)
+      c.writeToTable(spark.range(20000)
+        .select($"id", ($"id" % 7).cast("string").as("v")).toDF(), name, WriteMode.Merge)
+      c.compact(name)
+      c
+    }
+    def base(c: GraftCatalog, name: String) =
+      MergeRead.activeDeltas(c.deltaLog(name))._1.getOrElse(fail(s"no base on $name"))
+    def baseBuckets(c: GraftCatalog, name: String): Int =
+      base(c, name).properties("num_buckets").toInt
+
+    val cat = mk("graft-spj-grow", "ns.g", Map.empty)
+    assert(baseBuckets(cat, "ns.g") == 2)
+    val advice = cat.reclusterAdvice("ns.g").getOrElse(fail("advice expected"))
+    assert(advice.reasons.contains("undersized_layout") && advice.suggestedBuckets >= 8,
+      s"fixture must present an undersized layout: $advice")
+    val oldPaths = base(cat, "ns.g").entries.map(_.path).toSet
+    assert(oldPaths.nonEmpty)
+
+    // Ad-hoc compact (no pending work via trigger yet) keeps the recorded
+    // layout — the advice must NOT leak into explicit compact() calls.
+    cat.writeToTable(spark.range(64).select($"id", lit("p0").as("v")).toDF(),
+      "ns.g", WriteMode.Merge)
+    cat.compact("ns.g")
+    assert(baseBuckets(cat, "ns.g") == 2,
+      "explicit compact() must keep the recorded layout (copy-by-ref contract)")
+
+    // Now the write-triggered path: trigger drops to 1 pending delta, the
+    // next write fires maybeAutoCompact, which consults the advisor and
+    // recompacts at the suggested count.
+    cat.alterTable("ns.g", setProperties = Map("compaction.trigger.deltas" -> "1"))
+    cat.writeToTable(spark.range(20000).where($"id" % 4 === 0)
+      .select($"id", lit("upd").as("v")).toDF(), "ns.g", WriteMode.Merge)
+    assert(baseBuckets(cat, "ns.g") == advice.suggestedBuckets,
+      "auto-compaction must act on undersized_layout advice")
+    // The count change invalidates copy-by-reference by construction: no
+    // old-layout file may survive into the re-bucketed base.
+    val newEntries = base(cat, "ns.g").entries.map(_.path)
+    assert(newEntries.nonEmpty && !newEntries.exists(oldPaths.contains),
+      "bucket-count change must invalidate copy-by-reference")
+    // The partitioned merge trusts the NEW recorded count: a dense pending
+    // band reads via the KeyGrouped scan and matches the dense resolve.
+    cat.alterTable("ns.g", setProperties = Map("compaction.trigger.deltas" -> "1000"))
+    cat.writeToTable(spark.range(20000).where($"id" % 4 === 1)
+      .select($"id", lit("upd2").as("v")).toDF(), "ns.g", WriteMode.Merge)
+    val spj = cat.readTable("ns.g")
+    assert(spj.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "post-recluster dense band must still engage the partitioned path")
+    val got = spj.as[(Long, String)].collect().sortBy(_._1).toSeq
+    spark.conf.set("graft.merge.partitioned.enabled", "false")
+    try assert(got == cat.readTable("ns.g").as[(Long, String)].collect().sortBy(_._1).toSeq,
+      "partitioned and dense reads must agree on the re-bucketed layout")
+    finally spark.conf.unset("graft.merge.partitioned.enabled")
+    assert(got.size == 20000 && got.toMap.apply(4L) == "upd" && got.toMap.apply(5L) == "upd2")
+
+    // Opt-out: compaction.recluster.auto=false keeps the stale layout.
+    val cat2 = mk("graft-spj-grow-off", "ns.goff",
+      Map("compaction.recluster.auto" -> "false"))
+    cat2.alterTable("ns.goff", setProperties = Map("compaction.trigger.deltas" -> "1"))
+    cat2.writeToTable(spark.range(64).select($"id", lit("q").as("v")).toDF(),
+      "ns.goff", WriteMode.Merge)
+    assert(baseBuckets(cat2, "ns.goff") == 2,
+      "recluster.auto=false must keep the recorded layout")
+  }
 }
