@@ -214,7 +214,17 @@ final case class GraftMergeCommand(gt: GraftTable, merge: MergeIntoTable)
     }
 
     val cat = new GraftCatalog(session, gt.catalogRoot)
-    def targetKeys: DataFrame = cat.readTable(gt.tableRef).select(keys.head, keys.tail: _*)
+    // Keyed-consumer pin (the ReadOptions.denseResolve cookbook rule,
+    // applied to the engine's OWN surface): this frame's immediate
+    // downstream is a merge-key semi/anti join, so force the dense
+    // resolve — its output is hash(mergeKeys)-partitioned and the join
+    // reuses it, shuffling only the (small) MERGE source; the
+    // partitioned-union read would report UnknownPartitioning and
+    // re-shuffle the ENTIRE target key set instead. Same pin the zipper
+    // applies ahead of its key-equality zip join. Plan-asserted in
+    // Dsv2Spec ("MERGE INTO ... pins the dense resolve").
+    def targetKeys: DataFrame = cat.readTable(gt.tableRef,
+      graft.catalog.ReadOptions(denseResolve = true)).select(keys.head, keys.tail: _*)
 
     (merge.matchedActions, merge.notMatchedActions) match {
       // WHEN MATCHED THEN DELETE (alone): equality-delete the source keys.
