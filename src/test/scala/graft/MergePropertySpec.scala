@@ -93,6 +93,43 @@ class MergePropertySpec extends SparkSpec {
     }
   }
 
+  test("literal-lineage gate counts scanned revisions, not the total backlog") {
+    // Round-13 (r12 advice): the gate is byRev.size — the number of
+    // per-revision scan relations this read actually builds, which is what
+    // bounds plan size — not the table's total active-delta count. A
+    // partition-pruned read touching 1 delta of a 3-delta backlog must
+    // take the literal path even when maxDeltas < the backlog; observable
+    // as the absence of the per-row position regexp from the plan.
+    def usesPosRegexp(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.RegExpExtractAll => true
+        case _ => false
+      }))
+    val cat = new GraftCatalog(spark, tmpDir("graft-prop-gate"))
+    cat.createTable("p.g", StructType(Seq(
+      FieldMeta.field("k", IntegerType, mergeKey = true),
+      FieldMeta.field("p", IntegerType),
+      FieldMeta.field("v", IntegerType))),
+      partitionScheme = PartitionScheme(Seq(PartitionKey("p", Transform.Identity))),
+      properties = Map("read_optimization" -> "NONE"))
+    (1 to 3).foreach(i => cat.writeToTable(
+      Seq((i, i, i * 10)).toDF("k", "p", "v"), "p.g", WriteMode.Merge))
+    spark.conf.set(MergeRead.LineageLiteralConfKey, "2")
+    try {
+      val pruned = cat.readTable("p.g",
+        ReadOptions(partitionValues = Some(Map("p" -> "2"))))
+      assert(!usesPosRegexp(pruned),
+        "a pruned read scanning 1 revision (≤ 2) must take the literal path")
+      assert(pruned.select("k", "p", "v").as[(Int, Int, Int)].collect().toSeq ==
+        Seq((2, 2, 20)))
+      val full = cat.readTable("p.g")
+      assert(usesPosRegexp(full),
+        "an unpruned read scanning 3 revisions (> 2) must take the regexp fallback")
+      assert(full.select("k", "p", "v").as[(Int, Int, Int)].collect().sortBy(_._1).toSeq ==
+        Seq((1, 1, 10), (2, 2, 20), (3, 3, 30)))
+    } finally spark.conf.unset(MergeRead.LineageLiteralConfKey)
+  }
+
   /** All ops written pending, then ONE compact() call; the valve property
     * decides whether it runs as a single round or chunked sub-rounds. */
   private def runValved(ops: List[Op], valve: Option[Long])
