@@ -525,8 +525,21 @@ object MergeRead {
       (d.streamPosition, d.deltaType, present,
         if (d.compactedUpTo >= 0) d.compactedUpTo else d.streamPosition)
     }.toDF(Pos, Dt, Present, EffPos))
-    val posExpr = element_at(
-      regexp_extract_all(col("_metadata.file_path"), lit("/d(\\d+)(?:__[^/]*)?/"), lit(1)), -1)
+    // Fallback position extraction (>maxDeltas backlogs): three anchored
+    // substring scans instead of a backtracking regexp over the whole
+    // path (measured ~1 µs/row saved at 6M rows — the regexp was still
+    // ~1/3 of mor_backlog_read's cost after the r12 literal fold). Every
+    // delta dir is `<table>/data/d<rev>__<txnId>/…` (the four commit
+    // sites in Catalog/Compactor), partition dirs are single slash-free
+    // segments below it (Spark escapes '/' in partition values) and
+    // nothing after the delta dir can re-match, so "text after the LAST
+    // '/data/d', first path segment, before '__'" is the revision.
+    // A path without the anchor yields a non-numeric token → null after
+    // the cast → the same loud lineage-missing assert as the old
+    // no-regexp-match case. Driver-side revOfPath keeps the regexp (it
+    // runs per FILE, not per row).
+    val posExpr = substring_index(substring_index(substring_index(
+        col("_metadata.file_path"), "/data/d", -1), "/", 1), "__", 1)
       .cast(LongType)
     // _metadata.row_index exists only for parquet; other content types get
     // a constant (intra-file duplicate-key order is undefined for them).

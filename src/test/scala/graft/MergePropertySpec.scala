@@ -100,9 +100,12 @@ class MergePropertySpec extends SparkSpec {
     // partition-pruned read touching 1 delta of a 3-delta backlog must
     // take the literal path even when maxDeltas < the backlog; observable
     // as the absence of the per-row position regexp from the plan.
+    // the fallback derives Pos per row from _metadata.file_path (the
+    // anchored substring_index chain); the literal path attaches it as a
+    // per-relation literal and has no such expression anywhere
     def usesPosRegexp(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists {
-        case _: org.apache.spark.sql.catalyst.expressions.RegExpExtractAll => true
+        case _: org.apache.spark.sql.catalyst.expressions.SubstringIndex => true
         case _ => false
       }))
     val cat = new GraftCatalog(spark, tmpDir("graft-prop-gate"))
