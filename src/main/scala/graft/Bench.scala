@@ -386,12 +386,17 @@ object Bench {
     // a co-tenant load spike, and round 8's artifact proved the latter.
     var lineitem10xPath: Option[String] = None
     var lineitem30xPath: Option[String] = None
+    // 100x probe entries: NOT part of the official run (each costs a
+    // minute-plus and the 10x/30x points already band the scale curve) —
+    // SPARK_GRAFT_BENCH_XSCALE=100 turns them on for one-off two-decade
+    // scale evidence, recorded in BENCH_NOTES when taken.
+    val want100x = sys.env.get("SPARK_GRAFT_BENCH_XSCALE").contains("100")
     val wantDocs10x = Seq("t04_minhash_neardup_10x", "t41_span_removal_10x",
-      "t50_ngram_jaccard_10x", "t04_minhash_neardup_30x").exists(want)
+      "t50_ngram_jaccard_10x", "t04_minhash_neardup_30x").exists(want) || want100x
     val wantLi30x = Seq("pipeline_30x", "baseline_raw_spark_30x",
       "zipper_read_30x").exists(want)
-    val wantLi10x = wantLi30x || Seq("pipeline_10x", "baseline_raw_spark_10x",
-      "zipper_read_10x").exists(want)
+    val wantLi10x = wantLi30x || want100x || Seq("pipeline_10x",
+      "baseline_raw_spark_10x", "zipper_read_10x").exists(want)
     if (wantDocs10x || wantLi10x) locally {
       val scaleDir = Files.createTempDirectory("graft_bench_10x").toString
       // Corpus: each doc yields v=0 (original), v=1 (every 10th word
@@ -472,6 +477,19 @@ object Bench {
               maxBucketWidth = Some(64)).count()
           })
         }
+        // Two-decade probe (env-gated, never in the official run): the
+        // banded LSH dedup at 100x the corpus — planted-near-dup density
+        // and bucket caps must keep candidate work bounded across the
+        // full 1x→100x sweep.
+        if (want100x) {
+          writeDocsNx(100, s"$scaleDir/documents100x")
+          val docs100 = spark.read.parquet(s"$scaleDir/documents100x")
+          attempt("t04_minhash_neardup_100x")(measuredWarm("t04_minhash_neardup_100x") {
+            graft.operators.Dedup.minhashPairs(docs100, "doc_id", "text",
+              bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
+              maxBucketWidth = Some(64)).count()
+          })
+        }
       }
       if (wantLi10x) {
         writeLiNx(10, s"$scaleDir/lineitem10x")
@@ -511,6 +529,21 @@ object Bench {
               li30.write.mode("overwrite").parquet(s"$out/li")
               spark.read.parquet(s"$out/li").count()
             })
+        }
+        // Two-decade probe (env-gated): the ACID pipeline + its floor at
+        // 100x — the linearity claim across 1x→100x, ratio anchored
+        // same-run.
+        if (want100x) {
+          writeLiNx(100, s"$scaleDir/lineitem100x")
+          val li100 = spark.read.parquet(s"$scaleDir/lineitem100x")
+          attempt("pipeline_100x")(measuredWarm("pipeline_100x") {
+            pipelineBody(li100, "bench.li100")
+          })
+          attempt("baseline_raw_spark_100x")(measuredWarm("baseline_raw_spark_100x") {
+            val out = Files.createTempDirectory("graft_bench_raw100").toString
+            li100.write.mode("overwrite").parquet(s"$out/li")
+            spark.read.parquet(s"$out/li").count()
+          })
         }
       }
     }
