@@ -1740,6 +1740,45 @@ object CatalogQueries {
         viaTvf.orderBy("doc_id").collect().toSeq,
         "DataFrameReader zip+asOf must equal the TVF asOf read")
       viaTvf
+    },
+
+    // Advice→action recluster (round-13): a deliberately undersized
+    // 2-bucket layout (suggestBuckets' floor of 8 > 2×2 ⇒ the advisor
+    // reports undersized_layout) is grown past the compaction trigger by
+    // a trickle write; write-triggered auto-compaction consults the
+    // advisor and recompacts at the suggested count. Structural effects
+    // (new recorded bucket count, zero copy-by-reference survivors from
+    // the old layout) are required in-query; the terminal ROWS are the
+    // oracle check — the recluster must be invisible to readers.
+    Q("c88_recluster_auto", Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 100 = 0 THEN 'moved' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer""")) { (s, dir) =>
+      val cat = newCat(s, "c88")
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      cat.createTable("q.rc", StructType(Seq(
+        FieldMeta.field("c_custkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("c_name", StringType),
+        FieldMeta.field("c_mktsegment", StringType))),
+        properties = MoR ++ Map("compaction.num_buckets" -> "2",
+          "compaction.trigger.deltas" -> "1000"))
+      cat.writeToTable(c, "q.rc", WriteMode.Merge)
+      cat.compact("q.rc")
+      def base = graft.catalog.MergeRead.activeDeltas(cat.deltaLog("q.rc"))._1
+        .getOrElse(sys.error("q.rc must have a compacted base"))
+      val advice = cat.reclusterAdvice("q.rc")
+        .getOrElse(sys.error("bucketed base must yield advice"))
+      require(advice.numBuckets == 2 && advice.reasons.contains("undersized_layout"),
+        s"fixture must present an undersized layout: $advice")
+      val oldPaths = base.entries.map(_.path).toSet
+      cat.alterTable("q.rc", setProperties = Map("compaction.trigger.deltas" -> "1"))
+      cat.writeToTable(c.where(col("c_custkey") % 100 === 0)
+        .withColumn("c_mktsegment", lit("moved")), "q.rc", WriteMode.Merge)
+      require(base.properties("num_buckets").toInt == advice.suggestedBuckets,
+        "auto-compaction must have re-bucketed at the advised count")
+      require(!base.entries.exists(e => oldPaths.contains(e.path)),
+        "a bucket-count change must invalidate copy-by-reference")
+      cat.readTable("q.rc")
     }
   )
 }
