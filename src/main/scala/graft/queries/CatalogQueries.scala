@@ -1779,6 +1779,38 @@ object CatalogQueries {
       require(!base.entries.exists(e => oldPaths.contains(e.path)),
         "a bucket-count change must invalidate copy-by-reference")
       cat.readTable("q.rc")
+    },
+
+    // The >maxDeltas lineage FALLBACK (per-row path-derived positions +
+    // the broadcast lineage join — the thousand-delta-backlog plan shape)
+    // under the oracle gate: the same upsert+delete LSM state as c04,
+    // planned with the literal threshold forced to 0 so every scan takes
+    // the fallback. Conf is planning-time: set around readTable, restored
+    // before returning (the returned plan keeps the fallback shape).
+    Q("c89_lineage_fallback", Some("""
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0""")) { (s, dir) =>
+      val cat = newCat(s, "c89")
+      cat.createTable("q.of", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("o_custkey", LongType),
+        FieldMeta.field("o_orderstatus", StringType),
+        FieldMeta.field("o_totalprice", DoubleType))), properties = MoR)
+      val base = tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      cat.writeToTable(base, "q.of", WriteMode.Merge)
+      cat.writeToTable(
+        base.where(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "q.of", WriteMode.Merge)
+      cat.writeToTable(
+        base.select("o_orderkey").where(col("o_orderkey") % 7 === 0),
+        "q.of", WriteMode.Delete)
+      s.conf.set(graft.catalog.MergeRead.LineageLiteralConfKey, "0")
+      try cat.readTable("q.of")
+      finally s.conf.unset(graft.catalog.MergeRead.LineageLiteralConfKey)
     }
   )
 }
