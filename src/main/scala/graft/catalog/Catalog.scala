@@ -1386,6 +1386,22 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       advice <- Compactor.reclusterAdvice(base.entries, n, MergeRead.bucketOfPath)
     } yield advice
 
+  /** [[reclusterAdvice]] as a one-row frame (empty when there is no
+    * compacted bucketed base) — the SQL observability shape behind the
+    * `graft_recluster_advice` TVF. Metadata-sized LocalRelation, never a
+    * data scan. */
+  def reclusterAdviceDF(table: String): DataFrame = {
+    import spark.implicits._
+    reclusterAdvice(table).toSeq.map(a =>
+      (a.numBuckets, a.populated, a.totalBytes, a.totalRecords,
+        a.hottest.bucket, a.hottest.bytes,
+        BigDecimal(a.skew).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        a.suggestedBuckets, a.reasons, a.recommended))
+      .toDF("num_buckets", "populated_buckets", "total_bytes", "total_records",
+        "hottest_bucket", "hottest_bytes", "skew", "suggested_buckets",
+        "reasons", "recommended")
+  }
+
   /** Read the data files listed in a manifest table — from_manifest_table. */
   def fromManifestTable(manifest: DataFrame, contentType: ContentType = ContentType.Parquet): DataFrame = {
     val paths = manifest.select("path").collect().map(_.getString(0))

@@ -215,6 +215,21 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  /** One-row layout-health verdict for a compacted bucketed base —
+    * `SELECT * FROM graft_recluster_advice('<root>', 'ns.t')` — the SQL
+    * route to the advisor write-triggered auto-compaction acts on
+    * (Catalog.reclusterAdviceDF). Empty when the table has no compacted
+    * bucketed base. Manifest metadata only, never a data scan. */
+  private def reclusterAdvicePlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.lengthIs == 2,
+      s"graft_recluster_advice(root, table) — got ${args.length} argument(s)")
+    new graft.catalog.GraftCatalog(SparkSession.active,
+      strArg(args, 0, "graft_recluster_advice", "root"))
+      .reclusterAdviceDF(strArg(args, 1, "graft_recluster_advice", "table"))
+      .queryExecution.analyzed
+  }
+
   private def strArg(args: Seq[Expression], i: Int, fn: String, what: String): String = {
     val e = args(i)
     require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
@@ -229,7 +244,8 @@ object GraftFunctions {
     Seq("graft_read_zipped" -> (readZippedPlan _),
       "graft_read" -> (readTablePlan _),
       "graft_history" -> (historyPlan _),
-      "graft_manifest" -> (manifestPlan _))
+      "graft_manifest" -> (manifestPlan _),
+      "graft_recluster_advice" -> (reclusterAdvicePlan _))
 
   /** Extension-injection descriptors for SparkSessionExtensions
     * (`injectTableFunction`). */

@@ -453,7 +453,8 @@ class PartitionedMergeSpec extends SparkSpec {
     // the SAME kernel the writer uses (pmod(hash(id), 16)), so the
     // plant is deterministic. (With n buckets, skew maxes at n — a
     // 4-bucket layout can never exceed the 4.0 threshold.)
-    val cat = new GraftCatalog(spark, tmpDir("graft-spj-skew"))
+    val skewRoot = tmpDir("graft-spj-skew")
+    val cat = new GraftCatalog(spark, skewRoot)
     mkTable(cat, "ns.hot", buckets = 16)
     val ids = spark.range(40000)
       .withColumn("b", pmod(hash($"id"), lit(16)))
@@ -478,6 +479,18 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(perBucket.keySet == (0 until 16).toSet)
     assert(perBucket(0) > 4L * (perBucket.values.sum - perBucket(0)) / 15,
       s"manifest view must show the hot bucket: $perBucket")
+    // SQL route to the same verdict (round-13): the TVF row must equal
+    // the Scala advice the auto-compaction path acts on.
+    graft.Graft.registerFunctions(spark)
+    val tvf = spark.sql(
+      s"SELECT * FROM graft_recluster_advice('$skewRoot', 'ns.hot')").collect()
+    assert(tvf.length == 1)
+    val r = tvf.head
+    assert(r.getAs[Int]("num_buckets") == advice.numBuckets &&
+      r.getAs[Int]("suggested_buckets") == advice.suggestedBuckets &&
+      r.getAs[Boolean]("recommended") == advice.recommended &&
+      r.getAs[scala.collection.Seq[String]]("reasons").toSeq == advice.reasons,
+      s"TVF advice must equal the Scala advice: $r vs $advice")
 
     // Balanced layout: same volume spread uniformly — advisor stays quiet.
     val cat2 = new GraftCatalog(spark, tmpDir("graft-spj-skew-b"))
