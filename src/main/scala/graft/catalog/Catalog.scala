@@ -1851,15 +1851,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // delta/file/record-count triggers still apply. Default: 5% of the
     // compacted base (amortizes the full-bucket rewrite ~20x); set the
     // property to 0 for reference parity (compact on every merge write).
-    val baseRecords = MergeRead.activeDeltas(all)._1
-      .map(_.properties.getOrElse("record_count", "0").toLong).getOrElse(0L)
+    val base = MergeRead.activeDeltas(all)._1
+    val baseRecords =
+      base.map(_.properties.getOrElse("record_count", "0").toLong).getOrElse(0L)
     val minPending = p.get("compaction.min_pending_records").map(_.toLong)
       .getOrElse(baseRecords / 20)
     val trigger = (levelMax && hasMerges && pendingRecords >= minPending) ||
       pending.size >= maxDeltas ||
       pending.map(_.entries.size).sum >= maxFiles ||
       pendingRecords >= maxRecords
-    if (trigger && pending.nonEmpty) { compact(table, reclusterBucketsFor(meta, table)); true }
+    if (trigger && pending.nonEmpty) { compact(table, reclusterBucketsFor(meta, base)); true }
     else false
   }
 
@@ -1882,13 +1883,20 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * change invalidates copy-by-reference for that round by construction
     * — the copy-by-ref gate keys on the recorded count matching the
     * requested one — and the next compacted base records the NEW count,
-    * which partitioned reads then trust. */
-  private def reclusterBucketsFor(meta: TableMeta, table: String): Int = {
+    * which partitioned reads then trust. Takes the caller's already-
+    * parsed base delta (maybeAutoCompact materialized the log for its
+    * triggers) so the advice adds ZERO metadata reads per trigger. */
+  private def reclusterBucketsFor(meta: TableMeta, base: Option[DeltaMeta]): Int = {
     val p = meta.properties
     val onUndersized = p.getOrElse("compaction.recluster.auto", "true").toBoolean
     val onSkew = p.getOrElse("compaction.recluster.on_skew", "false").toBoolean
     if (!onUndersized && !onSkew) return 0
-    reclusterAdvice(table) match {
+    val advice = for {
+      b <- base
+      n <- b.properties.get("num_buckets").map(_.toInt)
+      a <- Compactor.reclusterAdvice(b.entries, n, MergeRead.bucketOfPath)
+    } yield a
+    advice match {
       case Some(a) if (onUndersized && a.reasons.contains("undersized_layout")) ||
           (onSkew && a.reasons.contains("skew")) =>
         // never shrink below the recorded layout on an auto path: a skew-
