@@ -1256,6 +1256,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           "num_buckets" -> numBuckets.toString,
           "record_count" -> written.toString,
           "total_bytes" -> entries.map(_.sizeBytes).sum.toString,
+          // entry count, so maintenance triggers can run off skeleton
+          // metadata above the planning gate without parsing entries
+          "file_count" -> entries.size.toString,
           "partition_scheme" -> scheme.keys.map(k =>
             s"${k.field}:${k.transform.name}").mkString(","),
           "copied_by_reference" -> "0",
@@ -1304,6 +1307,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           // on-disk bytes, so maintenance (the compaction valve) can size
           // its input without re-streaming the manifest
           "total_bytes" -> entries.map(_.sizeBytes).sum.toString,
+          // entry count, for skeleton-based maintenance triggers
+          "file_count" -> entries.size.toString,
           // the layout this delta was WRITTEN under — compaction's
           // relayout gate compares it against the current scheme
           "partition_scheme" -> scheme.keys.map(k =>
@@ -1800,7 +1805,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val n = if (numBuckets > 0) numBuckets
     else {
       val t = th(table)
-      val all = effectiveDeltas(t, None)
+      // Maintenance-gated: above the planning gate the deltas are
+      // skeletons (properties only, entries never resident) — the
+      // recorded-count and table-property paths read properties either
+      // way, and the stats suggestion falls back to the commit-stamped
+      // total_bytes sums instead of entry stats, so resolving the bucket
+      // count never materializes a 10^7-entry log on the driver.
+      val (pairs, _) = effectiveDeltasForMaintenance(t)
+      val all = pairs.map(_._1)
       val (base, _) = MergeRead.activeDeltas(all)
       base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
         .orElse(getTableMeta(table).properties.get("compaction.num_buckets").map(_.toInt))
@@ -1814,7 +1826,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
             val est = ResourceEstimator.estimateEntryBytes(
               spark, schema, entries, ResourceEstimator.Params())
             Compactor.suggestBucketsFromMemory(est.map(_._2).sum)
-          } else Compactor.suggestBuckets(entries.map(_.sizeBytes).sum)
+          } else if (entries.nonEmpty) {
+            Compactor.suggestBuckets(entries.map(_.sizeBytes).sum)
+          } else {
+            // skeleton log (above the gate): size from stamped bytes
+            Compactor.suggestBuckets(all.flatMap(
+              _.properties.get("total_bytes").flatMap(_.toLongOption)).sum)
+          }
         }
     }
     Compactor.compact(this, table, n)
@@ -1832,7 +1850,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   def maybeAutoCompact(table: String): Boolean = {
     val t = th(table)
     val meta = getTableMeta(table)
-    val all = effectiveDeltas(t, None)
+    // Maintenance-gated metadata read: below the gate this is the plain
+    // fully-parsed log; above it deltas are SKELETONS (entries never
+    // materialize on the driver) and every trigger runs off the
+    // commit-stamped record_count / file_count properties — a trickle
+    // write to a 10^7-entry table must not pay an O(entries) parse just
+    // to decide "no compaction yet". Legacy deltas without file_count
+    // contribute 0 to the file trigger above the gate (the delta/record
+    // triggers still fire); everything this engine commits stamps it.
+    val (pairs, streamed) = effectiveDeltasForMaintenance(t)
+    val all = pairs.map(_._1)
+    val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
     val compactedUpTo = all.filter(_.compactedUpTo >= 0).map(_.compactedUpTo).foldLeft(-1L)(math.max)
     val pending = all.filter(d => d.compactedUpTo < 0 && d.streamPosition > compactedUpTo)
     val p = meta.properties
@@ -1856,12 +1884,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       base.map(_.properties.getOrElse("record_count", "0").toLong).getOrElse(0L)
     val minPending = p.get("compaction.min_pending_records").map(_.toLong)
       .getOrElse(baseRecords / 20)
+    def fileCountOf(d: DeltaMeta): Long =
+      d.properties.get("file_count").map(_.toLong).getOrElse(d.entries.size.toLong)
     val trigger = (levelMax && hasMerges && pendingRecords >= minPending) ||
       pending.size >= maxDeltas ||
-      pending.map(_.entries.size).sum >= maxFiles ||
+      pending.map(fileCountOf).sum >= maxFiles ||
       pendingRecords >= maxRecords
-    if (trigger && pending.nonEmpty) { compact(table, reclusterBucketsFor(meta, base)); true }
-    else false
+    if (trigger && pending.nonEmpty) {
+      compact(table, reclusterBucketsFor(meta, base,
+        base.flatMap(b => pathOf.get(b.streamPosition)), streamed))
+      true
+    } else false
   }
 
   /** Advice→action (reference: compaction as table-health policy,
@@ -1885,8 +1918,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * requested one — and the next compacted base records the NEW count,
     * which partitioned reads then trust. Takes the caller's already-
     * parsed base delta (maybeAutoCompact materialized the log for its
-    * triggers) so the advice adds ZERO metadata reads per trigger. */
-  private def reclusterBucketsFor(meta: TableMeta, base: Option[DeltaMeta]): Int = {
+    * triggers) so the advice adds ZERO metadata reads per trigger below
+    * the planning gate; above it (skeleton base, entries never resident)
+    * the advice aggregates per-bucket sums by STREAMING the base
+    * metafile once — O(1) memory, and only on the triggered-compaction
+    * path, which is about to stream that metafile anyway. */
+  private def reclusterBucketsFor(meta: TableMeta, base: Option[DeltaMeta],
+      basePath: Option[Path], streamed: Boolean): Int = {
     val p = meta.properties
     val onUndersized = p.getOrElse("compaction.recluster.auto", "true").toBoolean
     val onSkew = p.getOrElse("compaction.recluster.on_skew", "false").toBoolean
@@ -1894,7 +1932,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val advice = for {
       b <- base
       n <- b.properties.get("num_buckets").map(_.toInt)
-      a <- Compactor.reclusterAdvice(b.entries, n, MergeRead.bucketOfPath)
+      a <- if (!streamed) Compactor.reclusterAdvice(b.entries, n, MergeRead.bucketOfPath)
+        else basePath.flatMap(path =>
+          Compactor.reclusterAdviceOf(n, MergeRead.bucketOfPath)(
+            f => ManifestPlanner.foreachEntry(path)(f)))
     } yield a
     advice match {
       case Some(a) if (onUndersized && a.reasons.contains("undersized_layout")) ||

@@ -120,18 +120,30 @@ object Compactor {
     * read trusts. */
   def reclusterAdvice(entries: Seq[graft.txn.ManifestEntry], numBuckets: Int,
       bucketOf: String => Option[Int],
-      skewThreshold: Double = SkewThreshold): Option[ReclusterAdvice] = {
-    if (entries.isEmpty || numBuckets <= 0) return None
+      skewThreshold: Double = SkewThreshold): Option[ReclusterAdvice] =
+    reclusterAdviceOf(numBuckets, bucketOf, skewThreshold)(entries.foreach)
+
+  /** [[reclusterAdvice]] over a STREAMED entry source — O(1) memory, so a
+    * base above the manifest planning gate (whose entries never
+    * materialize on the driver) still yields advice: pass
+    * `ManifestPlanner.foreachEntry(metafile)`. One pass; per-bucket sums
+    * are the only state. */
+  def reclusterAdviceOf(numBuckets: Int, bucketOf: String => Option[Int],
+      skewThreshold: Double = SkewThreshold)(
+      forEach: (graft.txn.ManifestEntry => Unit) => Unit): Option[ReclusterAdvice] = {
+    if (numBuckets <= 0) return None
     val per = scala.collection.mutable.HashMap[Int, (Long, Long, Int)]()
-    entries.foreach { e =>
+    var untrusted = false
+    forEach { e =>
       bucketOf(e.path) match {
         case Some(b) if b >= 0 && b < numBuckets =>
           val (by, rc, n) = per.getOrElse(b, (0L, 0L, 0))
           per.update(b, (by + math.max(0L, e.sizeBytes),
             rc + math.max(0L, e.recordCount), n + 1))
-        case _ => return None
+        case _ => untrusted = true
       }
     }
+    if (untrusted || per.isEmpty) return None
     val stats = per.toSeq.map { case (b, (by, rc, n)) => BucketStat(b, by, rc, n) }
     val totalBytes = stats.map(_.bytes).sum
     val totalRecords = stats.map(_.records).sum

@@ -585,5 +585,21 @@ class PartitionedMergeSpec extends SparkSpec {
       "ns.goff", WriteMode.Merge)
     assert(baseBuckets(cat2, "ns.goff") == 2,
       "recluster.auto=false must keep the recorded layout")
+
+    // Above the manifest planning gate: maintenance reads skeleton deltas
+    // (entries never materialize), the triggers run off commit-stamped
+    // record/file counts, and the advice aggregates per-bucket sums by
+    // STREAMING the base metafile — same recluster outcome with the gate
+    // forced to 1 byte.
+    val cat3 = mk("graft-spj-grow-gate", "ns.ggate", Map.empty)
+    cat3.alterTable("ns.ggate", setProperties = Map("compaction.trigger.deltas" -> "1"))
+    spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+    try cat3.writeToTable(spark.range(20000).where($"id" % 4 === 0)
+      .select($"id", lit("upd").as("v")).toDF(), "ns.ggate", WriteMode.Merge)
+    finally spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
+    assert(baseBuckets(cat3, "ns.ggate") == 8,
+      "streamed (above-gate) advice must drive the same recluster")
+    val g = cat3.readTable("ns.ggate").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(g.size == 20000 && g.toMap.apply(4L) == "upd" && g.toMap.apply(3L) == "3")
   }
 }
