@@ -57,6 +57,15 @@ object MergeRead {
     * extraction + broadcast join (plan-size-bounded for huge backlogs). */
   val LineageLiteralConfKey = "graft.merge.lineage.literal.maxDeltas"
 
+  /** Session-wide dense-resolve pin — the SQL route to
+    * `ReadOptions.denseResolve` (a TVF reader has no options object):
+    * `SET graft.merge.denseResolve=true` before a
+    * `… FROM graft_read(…) GROUP BY <merge keys>` query makes the read's
+    * output hash(mergeKeys)-partitioned so the keyed aggregate/join adds
+    * no exchange (the split regimes would re-shuffle the full merged
+    * output). Same cookbook rule, session granularity. */
+  val DenseResolveConfKey = "graft.merge.denseResolve"
+
   /** Pick the active delta set: latest compacted base + deltas beyond its
     * watermark. */
   def activeDeltas(deltas: Seq[DeltaMeta]): (Option[DeltaMeta], Seq[DeltaMeta]) = {
@@ -114,12 +123,15 @@ object MergeRead {
     // union cleanly and downstream default-backfill / file-path work.
     val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
 
+    // options-level pin OR the session conf (the SQL surface's only route)
+    val denseResolve = opts.denseResolve ||
+      spark.conf.getOption(DenseResolveConfKey).exists(_.trim.equalsIgnoreCase("true"))
     val resolved: DataFrame =
       if (!needMerge) {
         scanWithLineage(spark, schema, deltas, basePaths ++ pendingPaths, contentType)
           .where(col(Dt) =!= DeltaType.Delete.name)
           .select(normCols: _*)
-      } else if (!opts.denseResolve &&
+      } else if (!denseResolve &&
           sparseEligible(spark, base, basePaths, pending, pendingPaths)) {
         // Sparse-eligible reads skip bucket discovery outright: the
         // broadcast key anti-join is a strictly finer (row-level) prune
@@ -127,7 +139,7 @@ object MergeRead {
         // scan+collect job of its own.
         sparseMerge(spark, schema, scheme, mergeKeys, deltas,
           basePaths, pending, pendingPaths, contentType).select(normCols: _*)
-      } else (if (!opts.denseResolve &&
+      } else (if (!denseResolve &&
             partitionedEligible(spark, schema, base, basePaths, pending,
             pendingPaths, numBuckets, contentType, opts))
           // Storage-partitioned dense merge (see partitionedMerge): the

@@ -499,5 +499,21 @@ class Dsv2Spec extends SparkSpec {
     assert(pinnedRows == keysOf(ReadOptions()).as[Long].collect().sorted.toSeq &&
       pinnedRows.size == 20000,
       "pinned and split target-key reads must be row-identical")
+
+    // SQL route to the same pin: a graft_read TVF reader has no
+    // ReadOptions, so `SET graft.merge.denseResolve=true` is its version
+    // of the cookbook rule — with the conf on, the same read plans the
+    // dense resolve (no KeyGrouped BatchScan), rows identical.
+    graft.Graft.registerFunctions(spark)
+    def tvf = spark.sql(s"SELECT id FROM graft_read('$root', 'ns.p')")
+    assert(tvf.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "conf off: the dense-band TVF read takes the partitioned path")
+    spark.conf.set(graft.catalog.MergeRead.DenseResolveConfKey, "true")
+    try {
+      assert(!tvf.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "conf on: the TVF read must pin the dense resolve")
+      assert(tvf.as[Long].collect().sorted.toSeq == pinnedRows,
+        "conf-pinned TVF read must be row-identical")
+    } finally spark.conf.unset(graft.catalog.MergeRead.DenseResolveConfKey)
   }
 }
