@@ -1384,12 +1384,22 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * bucket bounds every partitioned-merge stage (one scan partition per
     * bucket), so operators watching this at scale recluster BEFORE the
     * skew lands in read walls. */
-  def reclusterAdvice(table: String): Option[Compactor.ReclusterAdvice] =
+  def reclusterAdvice(table: String): Option[Compactor.ReclusterAdvice] = {
+    // Maintenance-gated like the trigger path: above the planning gate
+    // the base is a skeleton and the per-bucket sums stream off its
+    // metafile in O(1) memory — the health probe must stay safe to call
+    // on a 10^7-entry table (it exists FOR that table).
+    val (pairs, streamed) = effectiveDeltasForMaintenance(th(table))
     for {
-      base <- MergeRead.activeDeltas(deltaLog(table))._1
+      base <- MergeRead.activeDeltas(pairs.map(_._1))._1
       n <- base.properties.get("num_buckets").map(_.toInt)
-      advice <- Compactor.reclusterAdvice(base.entries, n, MergeRead.bucketOfPath)
+      advice <-
+        if (!streamed) Compactor.reclusterAdvice(base.entries, n, MergeRead.bucketOfPath)
+        else pairs.collectFirst { case (d, p) if d.streamPosition == base.streamPosition => p }
+          .flatMap(p => Compactor.reclusterAdviceOf(n, MergeRead.bucketOfPath)(
+            f => ManifestPlanner.foreachEntry(p)(f)))
     } yield advice
+  }
 
   /** [[reclusterAdvice]] as a one-row frame (empty when there is no
     * compacted bucketed base) — the SQL observability shape behind the

@@ -491,6 +491,12 @@ class PartitionedMergeSpec extends SparkSpec {
       r.getAs[Boolean]("recommended") == advice.recommended &&
       r.getAs[scala.collection.Seq[String]]("reasons").toSeq == advice.reasons,
       s"TVF advice must equal the Scala advice: $r vs $advice")
+    // Above the planning gate the same verdict streams off the skeleton
+    // base's metafile — identical advice with the gate forced to 1 byte.
+    spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+    try assert(cat.reclusterAdvice("ns.hot") == Some(advice),
+      "streamed (above-gate) advice must equal the in-memory advice")
+    finally spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
 
     // Balanced layout: same volume spread uniformly — advisor stays quiet.
     val cat2 = new GraftCatalog(spark, tmpDir("graft-spj-skew-b"))
