@@ -1367,14 +1367,44 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * graft_manifest(...) GROUP BY 1` is the SQL-surface skew probe for
     * the one-partition-per-bucket partitioned merge. */
   def manifestTable(table: String, asOf: Option[Long] = None): DataFrame = {
-    val t = resolveVersion(thRaw(table), asOf, None) // asOf-consistent version
-    val rows = effectiveDeltas(t, asOf).flatMap { d =>
-      d.entries.map(e => (e.path, e.sizeBytes, d.properties.getOrElse("record_count", "-1").toLong,
-        d.deltaType, d.streamPosition, MergeRead.bucketOfPath(e.path)))
-    }
     import spark.implicits._
-    rows.toDF("path", "size_bytes", "delta_record_count", "delta_type",
+    val cols = Seq("path", "size_bytes", "delta_record_count", "delta_type",
       "stream_position", "bucket")
+    val t = resolveVersion(thRaw(table), asOf, None) // asOf-consistent version
+    // Above the planning gate the manifest view goes DISTRIBUTED: deltas
+    // skeleton-parse on the driver (O(#deltas) heap) and each metafile's
+    // entries stream to rows inside one Spark task — the layout/skew
+    // probe for a 10^7-entry table must not materialize 10^7 entries on
+    // the driver to answer a GROUP BY bucket. Below the gate this is the
+    // plain in-memory view (no job launch for small tables).
+    val files = store.visibleRevisionPaths(deltaDir(t), asOf, None)
+    val totalBytes = files.iterator.map { case (_, p) =>
+      try Files.size(p) catch { case _: Exception => 0L } }.sum
+    if (totalBytes <= ManifestPlanner.gateBytes(spark)) {
+      val rows = effectiveDeltas(t, asOf).flatMap { d =>
+        d.entries.map(e => (e.path, e.sizeBytes, d.properties.getOrElse("record_count", "-1").toLong,
+          d.deltaType, d.streamPosition, MergeRead.bucketOfPath(e.path)))
+      }
+      rows.toDF(cols: _*)
+    } else {
+      val sk = files.map { case (_, p) => (ManifestPlanner.skeleton(p), p) }
+      val lastReplace = sk.zipWithIndex
+        .filter(_._1._1.properties.get("replace").contains("true")).map(_._2).lastOption
+      val kept = lastReplace match { case Some(i) => sk.drop(i); case None => sk }
+      val metaRows = kept.map { case (d, p) =>
+        (p.toString, d.properties.getOrElse("record_count", "-1").toLong,
+          d.deltaType, d.streamPosition)
+      }
+      val par = math.min(math.max(metaRows.size, 1),
+        spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(metaRows, par).flatMap {
+        case (path, rc, dt, pos) =>
+          val out = Seq.newBuilder[(String, Long, Long, String, Long, Option[Int])]
+          ManifestPlanner.foreachEntry(Paths.get(path))(e =>
+            out += ((e.path, e.sizeBytes, rc, dt, pos, MergeRead.bucketOfPath(e.path))))
+          out.result()
+      }.toDF(cols: _*)
+    }
   }
 
   /** Bucket-layout health of the table's compacted base from manifest

@@ -388,6 +388,16 @@ class Dsv2Spec extends SparkSpec {
     // metadata views aggregate in plain SQL
     assert(spark.sql(
       s"SELECT sum(size_bytes) FROM graft_manifest('$root', 'ns.h')").head().getLong(0) > 0)
+    // Above the planning gate the view goes distributed (skeleton deltas,
+    // entries streamed to rows inside tasks) — identical rows, current
+    // AND asOf, with the gate forced to 1 byte.
+    spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+    try {
+      assert(cat.manifestTable("ns.h").collect().map(_.toSeq).toSet == mfSql,
+        "distributed (above-gate) manifest view must equal the in-memory one")
+      assert(cat.manifestTable("ns.h", Some(t1)).collect().map(_.toSeq).toSet == mfOld,
+        "distributed asOf manifest view must equal the in-memory one")
+    } finally spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
   }
 
   test("DSv2 reads non-parquet content types through the matching file table") {
