@@ -1139,7 +1139,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // null/past_default for them — the field-wise tradeoff, documented.)
     val rowCreating = deltaType match {
       case DeltaType.Delete => false
-      case DeltaType.Upsert => effectiveDeltas(t, None).isEmpty
+      // emptiness = no visible delta metafiles at all (a REPLACE-cut log
+      // is empty iff the raw visible list is) — a path listing, never a
+      // per-write parse of the whole manifest log
+      case DeltaType.Upsert => store.visibleRevisionPaths(deltaDir(t), None, None).isEmpty
       case _ => true
     }
     val incoming = dfIn.columns.toSet
@@ -1187,7 +1190,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // bulk-ingest cost.)
     val bulkLoad = deltaType == DeltaType.Upsert && txn.isEmpty && mergeKeys.nonEmpty &&
       meta.properties.getOrElse("read_optimization", "MAX") == "MAX" &&
-      effectiveDeltas(t, None).isEmpty
+      store.visibleRevisionPaths(deltaDir(t), None, None).isEmpty
 
     inTxnRet(txn, s"write $deltaType to $t") { tx =>
       if (evolved) stageTableMeta(tx, t, meta.copy(schemaJson = targetSchema.json))
@@ -1642,7 +1645,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     if (etFields.isEmpty) return None
     val numeric = etFields.forall(_.dataType.isInstanceOf[NumericType])
     val names = etFields.map(_.name).toSet
-    val maxes = effectiveDeltas(th(table), None).flatMap { d =>
+    // maintenance-gated: stats live in properties, which skeletons carry,
+    // so the watermark never materializes entries above the planning gate
+    val maxes = effectiveDeltasForMaintenance(th(table))._1.map(_._1).flatMap { d =>
       d.properties.get("column_stats").toSeq.flatMap { json =>
         val m = Json.read(json, classOf[Map[String, Map[String, String]]])
         m.collect { case (c, st) if names(c) => st.get("max") }.flatten.filter(_ != null)
