@@ -1519,6 +1519,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * stream position — the incremental-consumption surface. */
   def deltaLog(table: String): Seq[DeltaMeta] = effectiveDeltas(th(table), None)
 
+  /** Metadata-only view of the active log: full metas below the planning
+    * gate, entry-less skeletons above it (types, positions, watermarks,
+    * properties always present). For consumers that never touch entries —
+    * safe to call per-statement on a 10^7-entry backlog. */
+  def deltaLogSkeleton(table: String): Seq[DeltaMeta] =
+    effectiveDeltasForMaintenance(th(table))._1.map(_._1)
+
   /** Per-partition high-watermark stream positions — reference
     * Partition.stream_position (storage/model/partition.py:53-78), where
     * each partition advances its own position so consumers can track

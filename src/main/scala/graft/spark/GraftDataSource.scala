@@ -136,7 +136,9 @@ object GraftDsv2 {
     * SELECT would fail with "compact() first". SQL-path writes therefore
     * force-resolve any pending merges the valve deferred. */
   def ensureReadOptimized(cat: GraftCatalog, table: String): Unit = {
-    val deltas = cat.effectiveDeltas(TableHandle.parse(table), None)
+    // skeleton view: runs after EVERY SQL DML statement, so it must not
+    // parse entries on a large backlog just to inspect delta types
+    val deltas = cat.deltaLogSkeleton(table)
     val (_, pending) = graft.catalog.MergeRead.activeDeltas(deltas)
     if (pending.exists(d => d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete))
       cat.compact(table)
