@@ -924,7 +924,9 @@ object Bench {
         ("pipeline_write_compact_read", "baseline_raw_spark"),
         ("pipeline_10x", "baseline_raw_spark_10x"),
         ("pipeline_30x", "baseline_raw_spark_30x")).flatMap { case (p, f) =>
-        for (pv <- results.get(p); fv <- results.get(f)) yield {
+        // fv guard: a ~0 s floor would emit bare Infinity/NaN, which is
+        // not strict JSON — drop the ratio rather than corrupt the artifact
+        for (pv <- results.get(p); fv <- results.get(f) if fv > 0.001) yield {
           val ok = quietBandUpper.get(f).forall(fv <= _)
           f""""${p}_over_floor":{"x":${pv / fv}%.2f,"floor_in_band":$ok}"""
         }

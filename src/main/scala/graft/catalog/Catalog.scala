@@ -1373,28 +1373,22 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     import spark.implicits._
     val cols = Seq("path", "size_bytes", "delta_record_count", "delta_type",
       "stream_position", "bucket")
-    val t = resolveVersion(thRaw(table), asOf, None) // asOf-consistent version
     // Above the planning gate the manifest view goes DISTRIBUTED: deltas
     // skeleton-parse on the driver (O(#deltas) heap) and each metafile's
-    // entries stream to rows inside one Spark task — the layout/skew
+    // entries stream LAZILY to rows inside Spark tasks — the layout/skew
     // probe for a 10^7-entry table must not materialize 10^7 entries on
-    // the driver to answer a GROUP BY bucket. Below the gate this is the
-    // plain in-memory view (no job launch for small tables).
-    val files = store.visibleRevisionPaths(deltaDir(t), asOf, None)
-    val totalBytes = files.iterator.map { case (_, p) =>
-      try Files.size(p) catch { case _: Exception => 0L } }.sum
-    if (totalBytes <= ManifestPlanner.gateBytes(spark)) {
-      val rows = effectiveDeltas(t, asOf).flatMap { d =>
+    // the driver OR in one task's heap to answer a GROUP BY bucket. Below
+    // the gate this is the plain in-memory view built from the metas the
+    // gate check already parsed (one listing, one read — no job launch).
+    val (pairs, streamed) = effectiveDeltasForMaintenance(thRaw(table), asOf)
+    if (!streamed) {
+      val rows = pairs.map(_._1).flatMap { d =>
         d.entries.map(e => (e.path, e.sizeBytes, d.properties.getOrElse("record_count", "-1").toLong,
           d.deltaType, d.streamPosition, MergeRead.bucketOfPath(e.path)))
       }
       rows.toDF(cols: _*)
     } else {
-      val sk = files.map { case (_, p) => (ManifestPlanner.skeleton(p), p) }
-      val lastReplace = sk.zipWithIndex
-        .filter(_._1._1.properties.get("replace").contains("true")).map(_._2).lastOption
-      val kept = lastReplace match { case Some(i) => sk.drop(i); case None => sk }
-      val metaRows = kept.map { case (d, p) =>
+      val metaRows = pairs.map { case (d, p) =>
         (p.toString, d.properties.getOrElse("record_count", "-1").toLong,
           d.deltaType, d.streamPosition)
       }
@@ -1402,10 +1396,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         spark.sparkContext.defaultParallelism * 2)
       spark.sparkContext.parallelize(metaRows, par).flatMap {
         case (path, rc, dt, pos) =>
-          val out = Seq.newBuilder[(String, Long, Long, String, Long, Option[Int])]
-          ManifestPlanner.foreachEntry(Paths.get(path))(e =>
-            out += ((e.path, e.sizeBytes, rc, dt, pos, MergeRead.bucketOfPath(e.path))))
-          out.result()
+          ManifestPlanner.entryIterator(Paths.get(path)).map(e =>
+            (e.path, e.sizeBytes, rc, dt, pos, MergeRead.bucketOfPath(e.path)))
       }.toDF(cols: _*)
     }
   }
@@ -1943,8 +1935,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       pending.map(fileCountOf).sum >= maxFiles ||
       pendingRecords >= maxRecords
     if (trigger && pending.nonEmpty) {
+      val pendingBytes = pending.flatMap(
+        _.properties.get("total_bytes").flatMap(_.toLongOption)).sum
       compact(table, reclusterBucketsFor(meta, base,
-        base.flatMap(b => pathOf.get(b.streamPosition)), streamed))
+        base.flatMap(b => pathOf.get(b.streamPosition)), streamed, pendingBytes))
       true
     } else false
   }
@@ -1976,10 +1970,24 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * metafile once — O(1) memory, and only on the triggered-compaction
     * path, which is about to stream that metafile anyway. */
   private def reclusterBucketsFor(meta: TableMeta, base: Option[DeltaMeta],
-      basePath: Option[Path], streamed: Boolean): Int = {
+      basePath: Option[Path], streamed: Boolean, pendingBytes: Long): Int = {
     val p = meta.properties
-    val onUndersized = p.getOrElse("compaction.recluster.auto", "true").toBoolean
-    val onSkew = p.getOrElse("compaction.recluster.on_skew", "false").toBoolean
+    // Tolerant boolean parse: this runs AFTER the triggering write has
+    // durably committed, so a property typo ("1", "yes") must not fail
+    // the caller's write — unparseable values keep the default, loudly.
+    def boolProp(key: String, default: Boolean): Boolean =
+      p.get(key).map(_.trim.toLowerCase) match {
+        case None => default
+        case Some("true") => true
+        case Some("false") => false
+        case Some(bad) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ignoring unparseable $key='$bad' on ${meta.namespace}.${meta.table} " +
+              s"(want true|false); using $default")
+          default
+      }
+    val onUndersized = boolProp("compaction.recluster.auto", default = true)
+    val onSkew = boolProp("compaction.recluster.on_skew", default = false)
     if (!onUndersized && !onSkew) return 0
     val advice = for {
       b <- base
@@ -1990,12 +1998,20 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
             f => ManifestPlanner.foreachEntry(path)(f)))
     } yield a
     advice match {
-      case Some(a) if (onUndersized && a.reasons.contains("undersized_layout")) ||
-          (onSkew && a.reasons.contains("skew")) =>
-        // never shrink below the recorded layout on an auto path: a skew-
-        // only recluster keeps at least the current count (rebalancing at
-        // the same width), an undersized one grows to the suggestion
-        math.max(a.suggestedBuckets, a.numBuckets)
+      case Some(a) =>
+        // Size the layout for what the triggered compaction is ABOUT to
+        // fold — base plus this trigger's pending bytes — not yesterday's
+        // base alone: a small bootstrap base with a big pending backlog
+        // would otherwise re-materialize undersized and pay a second full
+        // rewrite at the next trigger. Never shrink below the recorded
+        // layout on an auto path: a skew-only recluster keeps at least
+        // the current count (rebalancing at the same width).
+        val target = math.max(a.suggestedBuckets,
+          Compactor.suggestBuckets(a.totalBytes + math.max(0L, pendingBytes)))
+        val act = (onUndersized &&
+            (a.reasons.contains("undersized_layout") || target > 2 * a.numBuckets)) ||
+          (onSkew && a.reasons.contains("skew"))
+        if (act) math.max(target, a.numBuckets) else 0
       case _ => 0
     }
   }
@@ -2161,10 +2177,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * must access entries by re-streaming the metafile
     * ([[ManifestPlanner.foreachEntry]]) — per-entry, full stats preserved,
     * O(1) heap — instead of holding a 10^7-entry list on the driver. */
-  private[catalog] def effectiveDeltasForMaintenance(t0: TableHandle)
-      : (Seq[(DeltaMeta, Path)], Boolean) = {
-    val t = resolveVersion(t0, None, None)
-    val files = store.visibleRevisionPaths(deltaDir(t), None, None)
+  private[catalog] def effectiveDeltasForMaintenance(t0: TableHandle,
+      asOf: Option[Long] = None): (Seq[(DeltaMeta, Path)], Boolean) = {
+    val t = resolveVersion(t0, asOf, None)
+    val files = store.visibleRevisionPaths(deltaDir(t), asOf, None)
     val totalBytes = files.iterator.map { case (_, p) =>
       try Files.size(p) catch { case _: Exception => 0L } }.sum
     val streamed = totalBytes > ManifestPlanner.gateBytes(spark)

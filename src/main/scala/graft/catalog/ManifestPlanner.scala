@@ -81,6 +81,39 @@ object ManifestPlanner {
     } finally p.close()
   }
 
+  /** [[foreachEntry]] as a LAZY iterator — one entry resident at a time,
+    * so a consumer that maps entries to rows (the distributed manifest
+    * view) never holds a 10^7-entry metafile's list in task heap. The
+    * parser closes when the iterator is exhausted; a consumer that
+    * abandons it early leaks one parser (none do — Spark drains task
+    * iterators or kills the task). */
+  def entryIterator(file: Path): Iterator[ManifestEntry] = {
+    val p = Json.mapper.getFactory.createParser(file.toFile)
+    require(p.nextToken() == JsonToken.START_OBJECT, s"$file: not a JSON object")
+    // advance to the entries array, skipping other fields
+    var inEntries = false
+    while (!inEntries && p.nextToken() != JsonToken.END_OBJECT) {
+      val name = p.currentName()
+      p.nextToken()
+      if (name == "entries" && p.currentToken() == JsonToken.START_ARRAY) inEntries = true
+      else p.skipChildren()
+    }
+    if (!inEntries) { p.close(); Iterator.empty }
+    else new Iterator[ManifestEntry] {
+      private var nextTok = p.nextToken()
+      override def hasNext: Boolean = {
+        val more = nextTok != JsonToken.END_ARRAY && nextTok != null
+        if (!more && !p.isClosed) p.close()
+        more
+      }
+      override def next(): ManifestEntry = {
+        val e = Json.mapper.readValue(p, classOf[ManifestEntry])
+        nextTok = p.nextToken()
+        e
+      }
+    }
+  }
+
   /** Does `path` satisfy the hive-style partition-value segments? Same rule
     * as [[MergeRead.prunePaths]]: a missing segment keeps the file. */
   private[catalog] def matchesSegs(path: String, segs: Seq[(String, String)]): Boolean =

@@ -123,9 +123,15 @@ object MergeRead {
     // union cleanly and downstream default-backfill / file-path work.
     val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
 
-    // options-level pin OR the session conf (the SQL surface's only route)
+    // options-level pin OR the session conf (the SQL surface's only
+    // route); unparseable values fail loudly naming the key — a silently
+    // ignored "SET graft.merge.denseResolve=1" would leave the user's
+    // keyed aggregate re-shuffling the full merged output with no signal
     val denseResolve = opts.denseResolve ||
-      spark.conf.getOption(DenseResolveConfKey).exists(_.trim.equalsIgnoreCase("true"))
+      spark.conf.getOption(DenseResolveConfKey).exists { v =>
+        v.trim.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+          s"$DenseResolveConfKey must be true or false, got '$v'"))
+      }
     val resolved: DataFrame =
       if (!needMerge) {
         scanWithLineage(spark, schema, deltas, basePaths ++ pendingPaths, contentType)

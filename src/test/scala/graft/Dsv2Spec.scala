@@ -525,5 +525,13 @@ class Dsv2Spec extends SparkSpec {
       assert(tvf.as[Long].collect().sorted.toSeq == pinnedRows,
         "conf-pinned TVF read must be row-identical")
     } finally spark.conf.unset(graft.catalog.MergeRead.DenseResolveConfKey)
+    // unparseable values fail loudly naming the key (a silently ignored
+    // SET would leave the downstream aggregate re-shuffling with no signal)
+    spark.conf.set(graft.catalog.MergeRead.DenseResolveConfKey, "1")
+    try {
+      val e = intercept[Exception](cat.readTable("ns.p").count())
+      assert(e.getMessage.contains(graft.catalog.MergeRead.DenseResolveConfKey),
+        s"unexpected: ${e.getMessage}")
+    } finally spark.conf.unset(graft.catalog.MergeRead.DenseResolveConfKey)
   }
 }

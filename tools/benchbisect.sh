@@ -30,19 +30,25 @@ cat > "$PROBE" <<'EOF'
 #!/bin/bash
 set -u
 OUT=target/bisect_run.log
+# Skip (125) ONLY when the tree doesn't build — a commit where the bench
+# itself crashes/OOMs is BAD (the regression may manifest as a crash;
+# classifying it as skip would make git bisect skip every bad commit and
+# never name the culprit).
+sbt -batch compile > "$OUT" 2>&1 || exit 125
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 SPARK_GRAFT_BENCH_ONLY="$SPARK_GRAFT_BISECT_ENTRY" \
 SPARK_GRAFT_BENCH_RUNS=3 \
-  sbt -batch "runMain graft.Bench" > "$OUT" 2>&1 || exit 125
-grep -o '{"metric".*' "$OUT" | head -1 > target/bisect_line.json || exit 125
+  sbt -batch "runMain graft.Bench" > "$OUT" 2>&1 || exit 1
+grep -o '{"metric".*' "$OUT" | head -1 > target/bisect_line.json
 python3 - "$SPARK_GRAFT_BISECT_ENTRY" "$SPARK_GRAFT_BISECT_BAND" <<'PY'
 import json, sys
 try:
     d = json.load(open('target/bisect_line.json'))
-    v = d.get('queries', {}).get(sys.argv[1])
 except Exception:
-    sys.exit(125)
+    sys.exit(1)  # ran but emitted no artifact line: treat as bad, not skip
+v = d.get('queries', {}).get(sys.argv[1])
 if v is None:
+    # entry not registered at this commit (predates it): genuinely untestable
     sys.exit(125)
 print(f"bisect probe: {sys.argv[1]} min={v} band={sys.argv[2]}")
 sys.exit(0 if v <= float(sys.argv[2]) else 1)
