@@ -43,6 +43,12 @@ class ManifestPlannerSpec extends SparkSpec {
     val streamed = Seq.newBuilder[graft.txn.ManifestEntry]
     ManifestPlanner.foreachEntry(file)(streamed += _)
     assert(streamed.result() == full.entries)
+    // the lazy iterator (the distributed manifest view's per-task source)
+    // yields the identical sequence, and a partial take doesn't corrupt
+    // subsequent fresh iterations (each gets its own parser)
+    assert(ManifestPlanner.entryIterator(file).toSeq == full.entries)
+    assert(ManifestPlanner.entryIterator(file).take(3).toSeq == full.entries.take(3))
+    assert(ManifestPlanner.entryIterator(file).toSeq == full.entries)
   }
 
   test("gated read: same files as the driver path, pruning runs as a Spark job") {
