@@ -273,10 +273,119 @@ object ResourceEstimator {
     // widened columns
     val meta = cat.getTableMeta(table, asOf)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val deltas = cat.effectiveDeltas(cat.handleOf(table), asOf)
+    // Maintenance-gated: below the gate this is the in-memory estimator
+    // over fully-parsed entries; above it (the 10^7-entry tables this
+    // estimator exists to SIZE) the per-entry chain runs inside Spark
+    // tasks over lazily-streamed metafile entries — estimating a table
+    // must never require materializing its entry list on the driver.
+    val (pairs, streamed) = cat.effectiveDeltasForMaintenance(cat.handleOf(table), asOf)
+    val deltas = pairs.map(_._1)
     val (base, pending) = MergeRead.activeDeltas(deltas)
-    val entries = (base.toSeq ++ pending).flatMap(_.entries)
-    fromEntries(cat.spark, schema, entries, params)
+    val active = base.toSeq ++ pending
+    if (!streamed) fromEntries(cat.spark, schema, active.flatMap(_.entries), params)
+    else {
+      val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
+      estimateStreamed(cat.spark, schema,
+        active.flatMap(d => pathOf.get(d.streamPosition)), params)
+    }
+  }
+
+  /** [[estimate]] for a streamed (skeleton) log: identical per-entry chain
+    * semantics, distributed. The one GLOBAL step — file_sampling's
+    * observed inflation — is precomputed on the driver from the same
+    * prefix the in-memory algorithm samples (the first maxFilesToSample
+    * entries, in delta order, not resolved by the earlier pure steps);
+    * the distributed pass then resolves every entry with pure per-entry
+    * functions plus the broadcast (probes, inflation) pair. */
+  private def estimateStreamed(spark: SparkSession, schema: StructType,
+      files: Seq[java.nio.file.Path], params: Params): Estimate = {
+    val chain = params.method.chain
+    val preSampling = chain.takeWhile(_ != "file_sampling")
+    val hasSampling = chain.contains("file_sampling")
+    def pureStep(sc: StructType, e: ManifestEntry, step: String): Option[(Double, String)] =
+      step match {
+        case "content_type_meta" =>
+          contentTypeMeta(e, params.parquetToArrowInflation).map((_, step))
+        case "intelligent" =>
+          intelligentFromManifest(sc, e, params.parquetToArrowInflation).map((_, step))
+        case "previous_inflation" =>
+          Some((e.sizeBytes * params.previousInflation, step))
+        case _ => None
+      }
+    // driver-side sampling prefix: first maxFilesToSample entries the pure
+    // pre-sampling steps leave unresolved. foreachEntry drains each opened
+    // metafile fully (no parser leak); the over-read is bounded by one file.
+    val (probes, inflation) =
+      if (!hasSampling) (Map.empty[String, Double], params.previousInflation)
+      else {
+        val sampled = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
+        val fit = files.iterator
+        while (sampled.size < params.maxFilesToSample && fit.hasNext) {
+          ManifestPlanner.foreachEntry(fit.next()) { e =>
+            if (sampled.size < params.maxFilesToSample &&
+                preSampling.iterator.flatMap(pureStep(schema, e, _)).isEmpty)
+              sampled += e
+          }
+        }
+        val pr = sampleEstimates(spark, sampled.map(_.path).toSeq)
+        val probed = sampled.filter(e => pr.contains(e.path))
+        val sampleDisk = probed.map(_.sizeBytes.toDouble).sum
+        val sampleMem = probed.flatMap(e => pr.get(e.path)).sum
+        (pr, if (sampleDisk > 0) sampleMem / sampleDisk else params.previousInflation)
+      }
+    val samplingActive = hasSampling && probes.nonEmpty
+    val schemaJson = schema.json
+    val probesB = spark.sparkContext.broadcast(probes)
+    val par = math.min(math.max(files.size, 1), spark.sparkContext.defaultParallelism * 2)
+    // primitive copies so the task closure captures no SparkSession/Path
+    // scope (ClosureCleaner can't strip the enclosing method environment)
+    val chainArr = chain.toArray
+    val p2a = params.parquetToArrowInflation
+    val prevInfl = params.previousInflation
+    val methodName = params.method.toString
+    val obsInfl = inflation
+    val partials = spark.sparkContext.parallelize(files.map(_.toString), par)
+      .mapPartitions { it =>
+        val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        var mem = 0.0; var known = 0L; var unknownMem = 0.0
+        var disk = 0L; var n = 0L
+        val methods = scala.collection.mutable.HashMap[String, Int]()
+        it.foreach { f =>
+          ManifestPlanner.foreachEntry(java.nio.file.Paths.get(f)) { e =>
+            val resolved = chainArr.iterator.flatMap {
+              case "file_sampling" if samplingActive =>
+                Some((probesB.value.getOrElse(e.path, e.sizeBytes * obsInfl),
+                  "file_sampling"))
+              case "file_sampling" => None
+              case "content_type_meta" =>
+                contentTypeMeta(e, p2a).map((_, "content_type_meta"))
+              case "intelligent" =>
+                intelligentFromManifest(sc, e, p2a).map((_, "intelligent"))
+              case "previous_inflation" =>
+                Some((e.sizeBytes * prevInfl, "previous_inflation"))
+              case _ => None
+            }.nextOption().getOrElse(throw new IllegalArgumentException(
+              s"entries unresolvable by method $methodName: ${e.path} — " +
+                "use Default/DefaultV2 or supply the missing params"))
+            val (v, m) = resolved
+            mem += v
+            if (e.recordCount >= 0) known += e.recordCount else unknownMem += v
+            disk += e.sizeBytes; n += 1 // same (unclamped) sum as fromEntries
+            methods.update(m, methods.getOrElse(m, 0) + 1)
+          }
+        }
+        Iterator.single((mem, known, unknownMem, disk, n, methods.toMap))
+      }.collect()
+    val mem = partials.map(_._1).sum
+    val known = partials.map(_._2).sum
+    val unknownMem = partials.map(_._3).sum
+    val disk = partials.map(_._4).sum
+    val n = partials.map(_._5).sum
+    val methods = partials.flatMap(_._6).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+    val derived = params.averageRecordBytes.filter(_ > 0)
+      .map(a => (unknownMem / a).toLong).getOrElse(0L)
+    Estimate(mem, known + derived, disk, n.toInt, methods)
   }
 
   /** Estimate one DELTA (reference estimates per-delta for compaction

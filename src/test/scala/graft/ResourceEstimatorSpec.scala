@@ -118,4 +118,35 @@ class ResourceEstimatorSpec extends SparkSpec {
     assert(d1.records == 10 && d2.records == 90)
     assert(d1.memoryBytes > 0 && d2.memoryBytes > d1.memoryBytes)
   }
+
+  test("streamed (above-gate) estimate equals the in-memory estimate, every chain") {
+    // Above the planning gate estimate() resolves the per-entry chain in
+    // Spark tasks over lazily-streamed entries, with file_sampling's
+    // observed inflation precomputed from the SAME prefix the in-memory
+    // algorithm samples. Same table, gate forced to 1 byte → identical
+    // Estimate (memory up to distributed-summation float order).
+    val cat = newCatalog()
+    cat.createTable("re.g", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false),
+      FieldMeta.field("name", StringType))),
+      properties = Map("write.max_records_per_file" -> "100"))
+    cat.writeToTable((1L to 900L).map(i => (i, s"name-$i")).toDF("id", "name"), "re.g")
+    cat.writeToTable((901L to 1000L).map(i => (i, null: String)).toDF("id", "name"),
+      "re.g", WriteMode.Add)
+    for (m <- Seq(Method.Default, Method.DefaultV2, Method.PreviousInflation,
+        Method.Intelligent, Method.FileSampling)) {
+      val p = Params(method = m, maxFilesToSample = 3)
+      val inMem = cat.estimateResources("re.g", p)
+      spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+      val streamed =
+        try cat.estimateResources("re.g", p)
+        finally spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
+      assert(math.abs(streamed.memoryBytes - inMem.memoryBytes) <=
+        math.max(1e-6 * inMem.memoryBytes, 1e-6),
+        s"$m memory: ${streamed.memoryBytes} vs ${inMem.memoryBytes}")
+      assert((streamed.records, streamed.onDiskBytes, streamed.files, streamed.methodsUsed) ==
+        ((inMem.records, inMem.onDiskBytes, inMem.files, inMem.methodsUsed)),
+        s"$m: $streamed vs $inMem")
+    }
+  }
 }
