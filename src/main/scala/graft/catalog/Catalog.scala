@@ -1686,17 +1686,54 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   def tableInfo(table: String): DataFrame = {
     import spark.implicits._
     val meta = getTableMeta(table)
-    val deltas = effectiveDeltas(th(table), None)
+    // Maintenance-gated: above the gate the entry-derived aggregates
+    // (file count, bytes, stats coverage, DEFAULT-chain memory estimate)
+    // compute in ONE distributed pass over streamed metafile entries —
+    // DESCRIBE DETAIL on a 10^7-entry table must stay metadata-sized on
+    // the driver. Delta-level fields come from skeleton properties.
+    val (pairs, streamed) = effectiveDeltasForMaintenance(th(table))
+    val deltas = pairs.map(_._1)
     val (base, pending) = MergeRead.activeDeltas(deltas)
     val active = base.toSeq ++ pending
-    val entries = active.flatMap(_.entries)
     val unresolved = pending.count(d =>
       d.typed == DeltaType.Upsert || d.typed == DeltaType.Delete)
+    val (nFiles, sizeBytes, withStats, estMem) =
+      if (!streamed) {
+        val entries = active.flatMap(_.entries)
+        (entries.size.toLong, entries.map(_.sizeBytes).sum,
+          entries.count(_.stats != null).toLong,
+          // in-memory footprint estimate (ResourceEstimator DEFAULT chain —
+          // manifest metadata only, no file opens)
+          ResourceEstimator.estimateEntryBytes(spark,
+            DataType.fromJson(meta.schemaJson).asInstanceOf[StructType], entries,
+            ResourceEstimator.Params()).map(_._2).sum.toLong)
+      } else {
+        val pathOf = pairs.map { case (d, p) => d.streamPosition -> p.toString }.toMap
+        val files = active.flatMap(d => pathOf.get(d.streamPosition))
+        val p2a = ResourceEstimator.DefaultParquetToArrowInflation
+        val prev = ResourceEstimator.DefaultPreviousInflation
+        val par = math.min(math.max(files.size, 1), spark.sparkContext.defaultParallelism * 2)
+        val (n, by, st, em) = spark.sparkContext.parallelize(files, par)
+          .mapPartitions { it =>
+            var n = 0L; var by = 0L; var st = 0L; var em = 0.0
+            it.foreach(f => ManifestPlanner.foreachEntry(Paths.get(f)) { e =>
+              n += 1; by += e.sizeBytes
+              if (e.stats != null) st += 1
+              // Default chain: content_type_meta → previous_inflation
+              em += ResourceEstimator.contentTypeMeta(e, p2a)
+                .getOrElse(e.sizeBytes * prev)
+            })
+            Iterator.single((n, by, st, em))
+          }.collect().foldLeft((0L, 0L, 0L, 0.0)) { case ((a, b, c, d), (w, x, y, z)) =>
+            (a + w, b + x, c + y, d + z)
+          }
+        (n, by, st, em.toLong)
+      }
     Seq((
       table,
       meta.properties.getOrElse("content_type", "parquet"),
-      entries.size.toLong,
-      entries.map(_.sizeBytes).sum,
+      nFiles,
+      sizeBytes,
       // `num_rows` keeps its pre-r7 name/meaning (physical record count)
       // for existing consumers; `num_rows_physical` stays as the explicit
       // alias introduced alongside est_memory_bytes.
@@ -1707,12 +1744,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       meta.sortKeys.map(_.head).mkString(","),
       meta.partitionKeys.map(k => s"${k(0)}:${k(1)}").mkString(","),
       unresolved.toLong,
-      entries.count(_.stats != null).toLong,
-      // in-memory footprint estimate (ResourceEstimator DEFAULT chain —
-      // manifest metadata only, no file opens)
-      ResourceEstimator.estimateEntryBytes(spark,
-        DataType.fromJson(meta.schemaJson).asInstanceOf[StructType], entries,
-        ResourceEstimator.Params()).map(_._2).sum.toLong
+      withStats,
+      estMem
     )).toDF("table", "content_type", "num_files", "size_bytes", "num_rows",
       "num_rows_physical",
       "num_buckets", "zordered", "sort_keys", "partition_keys",
@@ -1723,15 +1756,28 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * data-skipping work (`DESCRIBE DETAIL` analog at file granularity). */
   def fileStatsTable(table: String): DataFrame = {
     import spark.implicits._
-    effectiveDeltas(th(table), None).flatMap { d =>
-      d.entries.flatMap { e =>
-        if (e.colStats.isEmpty)
-          Seq((d.streamPosition, e.path, e.recordCount, null: String, null: String, null: String, -1L))
-        else e.colStats.toSeq.map { case (c, st) =>
-          (d.streamPosition, e.path, e.recordCount, c, st.min, st.max, st.nulls)
-        }
+    val cols = Seq("stream_position", "path", "record_count", "column_name",
+      "min", "max", "null_count")
+    def rowsOf(pos: Long, e: graft.txn.ManifestEntry) =
+      if (e.colStats.isEmpty)
+        Seq((pos, e.path, e.recordCount, null: String, null: String, null: String, -1L))
+      else e.colStats.toSeq.map { case (c, st) =>
+        (pos, e.path, e.recordCount, c, st.min, st.max, st.nulls)
       }
-    }.toDF("stream_position", "path", "record_count", "column_name", "min", "max", "null_count")
+    // Maintenance-gated like manifestTable: the per-file skip-index view
+    // on a 10^7-entry table streams entries to rows inside Spark tasks.
+    val (pairs, streamed) = effectiveDeltasForMaintenance(th(table))
+    if (!streamed)
+      pairs.map(_._1).flatMap(d => d.entries.flatMap(e => rowsOf(d.streamPosition, e)))
+        .toDF(cols: _*)
+    else {
+      val metaRows = pairs.map { case (d, p) => (d.streamPosition, p.toString) }
+      val par = math.min(math.max(metaRows.size, 1),
+        spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(metaRows, par).flatMap { case (pos, path) =>
+        ManifestPlanner.entryIterator(Paths.get(path)).flatMap(e => rowsOf(pos, e))
+      }.toDF(cols: _*)
+    }
   }
 
   /** Backfill the per-file skip index for a table written BEFORE stats

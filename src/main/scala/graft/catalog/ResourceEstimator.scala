@@ -138,7 +138,7 @@ object ResourceEstimator {
 
   /** ContentTypeMeta: manifest-cached uncompressed size × inflation
     * (manifest.py:186-210). */
-  private def contentTypeMeta(e: ManifestEntry, inflation: Double): Option[Double] =
+  private[catalog] def contentTypeMeta(e: ManifestEntry, inflation: Double): Option[Double] =
     if (e.uncompressedBytes > 0) Some(e.uncompressedBytes * inflation) else None
 
   // ------------------------------------------------------------ sampling

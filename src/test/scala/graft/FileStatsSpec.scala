@@ -359,6 +359,17 @@ class FileStatsSpec extends SparkSpec {
     val r2 = cat.tableInfo("q.i").head()
     assert(r2.getAs[Long]("unresolved_merge_deltas") == 0)
     assert(r2.getAs[Long]("num_buckets") > 0)
+    // Above the planning gate both views compute distributed (streamed
+    // metafile entries inside tasks) — identical rows with the gate at 1.
+    val inMemFs = cat.fileStatsTable("q.i").collect().map(_.toSeq).toSet
+    spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+    try {
+      assert(cat.tableInfo("q.i").head().toSeq == r2.toSeq,
+        "distributed (above-gate) tableInfo must equal the in-memory one")
+      val gatedFs = cat.fileStatsTable("q.i").collect().map(_.toSeq).toSet
+      assert(gatedFs == inMemFs && gatedFs.nonEmpty,
+        "distributed (above-gate) fileStatsTable must equal the in-memory one")
+    } finally spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
   }
 
   test("stats survive the manifest JSON roundtrip and compaction refreshes them") {
