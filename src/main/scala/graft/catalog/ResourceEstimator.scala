@@ -290,6 +290,60 @@ object ResourceEstimator {
     }
   }
 
+  /** file_sampling's global context for a streamed log: (probes, observed
+    * inflation, samplingActive). The sampling prefix replicates the
+    * in-memory algorithm exactly — the first maxFilesToSample entries, in
+    * delta order, that the pure pre-sampling chain steps leave unresolved.
+    * foreachEntry drains each opened metafile fully (no parser leak); the
+    * over-read is bounded by one file. */
+  private def samplingContext(spark: SparkSession, schema: StructType,
+      files: Seq[java.nio.file.Path], params: Params)
+      : (Map[String, Double], Double, Boolean) = {
+    val chain = params.method.chain
+    val preSampling = chain.takeWhile(_ != "file_sampling")
+    val hasSampling = chain.contains("file_sampling")
+    if (!hasSampling) return (Map.empty, params.previousInflation, false)
+    def resolvedByPure(e: ManifestEntry): Boolean = preSampling.exists {
+      case "content_type_meta" => contentTypeMeta(e, params.parquetToArrowInflation).isDefined
+      case "intelligent" => intelligentFromManifest(schema, e, params.parquetToArrowInflation).isDefined
+      case "previous_inflation" => true
+      case _ => false
+    }
+    val sampled = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
+    val fit = files.iterator
+    while (sampled.size < params.maxFilesToSample && fit.hasNext) {
+      ManifestPlanner.foreachEntry(fit.next()) { e =>
+        if (sampled.size < params.maxFilesToSample && !resolvedByPure(e))
+          sampled += e
+      }
+    }
+    val pr = sampleEstimates(spark, sampled.map(_.path).toSeq)
+    val probed = sampled.filter(e => pr.contains(e.path))
+    val sampleDisk = probed.map(_.sizeBytes.toDouble).sum
+    val sampleMem = probed.flatMap(e => pr.get(e.path)).sum
+    (pr, if (sampleDisk > 0) sampleMem / sampleDisk else params.previousInflation,
+      pr.nonEmpty)
+  }
+
+  /** Per-entry chain resolver for the distributed passes — all-primitive
+    * arguments so task closures capture nothing but data. Replicates
+    * [[estimateEntryBytes]]'s first-match-wins order exactly; the
+    * file_sampling step uses the precomputed (probes, inflation) pair. */
+  private def resolveEntry(sc: StructType, e: ManifestEntry, chain: Array[String],
+      samplingActive: Boolean, probes: Map[String, Double], obsInfl: Double,
+      p2a: Double, prevInfl: Double, methodName: String): (Double, String) =
+    chain.iterator.flatMap {
+      case "file_sampling" if samplingActive =>
+        Some((probes.getOrElse(e.path, e.sizeBytes * obsInfl), "file_sampling"))
+      case "file_sampling" => None
+      case "content_type_meta" => contentTypeMeta(e, p2a).map((_, "content_type_meta"))
+      case "intelligent" => intelligentFromManifest(sc, e, p2a).map((_, "intelligent"))
+      case "previous_inflation" => Some((e.sizeBytes * prevInfl, "previous_inflation"))
+      case _ => None
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"entries unresolvable by method $methodName: ${e.path} — " +
+        "use Default/DefaultV2 or supply the missing params"))
+
   /** [[estimate]] for a streamed (skeleton) log: identical per-entry chain
     * semantics, distributed. The one GLOBAL step — file_sampling's
     * observed inflation — is precomputed on the driver from the same
@@ -300,40 +354,7 @@ object ResourceEstimator {
   private def estimateStreamed(spark: SparkSession, schema: StructType,
       files: Seq[java.nio.file.Path], params: Params): Estimate = {
     val chain = params.method.chain
-    val preSampling = chain.takeWhile(_ != "file_sampling")
-    val hasSampling = chain.contains("file_sampling")
-    def pureStep(sc: StructType, e: ManifestEntry, step: String): Option[(Double, String)] =
-      step match {
-        case "content_type_meta" =>
-          contentTypeMeta(e, params.parquetToArrowInflation).map((_, step))
-        case "intelligent" =>
-          intelligentFromManifest(sc, e, params.parquetToArrowInflation).map((_, step))
-        case "previous_inflation" =>
-          Some((e.sizeBytes * params.previousInflation, step))
-        case _ => None
-      }
-    // driver-side sampling prefix: first maxFilesToSample entries the pure
-    // pre-sampling steps leave unresolved. foreachEntry drains each opened
-    // metafile fully (no parser leak); the over-read is bounded by one file.
-    val (probes, inflation) =
-      if (!hasSampling) (Map.empty[String, Double], params.previousInflation)
-      else {
-        val sampled = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
-        val fit = files.iterator
-        while (sampled.size < params.maxFilesToSample && fit.hasNext) {
-          ManifestPlanner.foreachEntry(fit.next()) { e =>
-            if (sampled.size < params.maxFilesToSample &&
-                preSampling.iterator.flatMap(pureStep(schema, e, _)).isEmpty)
-              sampled += e
-          }
-        }
-        val pr = sampleEstimates(spark, sampled.map(_.path).toSeq)
-        val probed = sampled.filter(e => pr.contains(e.path))
-        val sampleDisk = probed.map(_.sizeBytes.toDouble).sum
-        val sampleMem = probed.flatMap(e => pr.get(e.path)).sum
-        (pr, if (sampleDisk > 0) sampleMem / sampleDisk else params.previousInflation)
-      }
-    val samplingActive = hasSampling && probes.nonEmpty
+    val (probes, inflation, samplingActive) = samplingContext(spark, schema, files, params)
     val schemaJson = schema.json
     val probesB = spark.sparkContext.broadcast(probes)
     val par = math.min(math.max(files.size, 1), spark.sparkContext.defaultParallelism * 2)
@@ -352,22 +373,8 @@ object ResourceEstimator {
         val methods = scala.collection.mutable.HashMap[String, Int]()
         it.foreach { f =>
           ManifestPlanner.foreachEntry(java.nio.file.Paths.get(f)) { e =>
-            val resolved = chainArr.iterator.flatMap {
-              case "file_sampling" if samplingActive =>
-                Some((probesB.value.getOrElse(e.path, e.sizeBytes * obsInfl),
-                  "file_sampling"))
-              case "file_sampling" => None
-              case "content_type_meta" =>
-                contentTypeMeta(e, p2a).map((_, "content_type_meta"))
-              case "intelligent" =>
-                intelligentFromManifest(sc, e, p2a).map((_, "intelligent"))
-              case "previous_inflation" =>
-                Some((e.sizeBytes * prevInfl, "previous_inflation"))
-              case _ => None
-            }.nextOption().getOrElse(throw new IllegalArgumentException(
-              s"entries unresolvable by method $methodName: ${e.path} — " +
-                "use Default/DefaultV2 or supply the missing params"))
-            val (v, m) = resolved
+            val (v, m) = resolveEntry(sc, e, chainArr, samplingActive,
+              probesB.value, obsInfl, p2a, prevInfl, methodName)
             mem += v
             if (e.recordCount >= 0) known += e.recordCount else unknownMem += v
             disk += e.sizeBytes; n += 1 // same (unclamped) sum as fromEntries
@@ -413,17 +420,48 @@ object ResourceEstimator {
       est.groupBy(_._3).map { case (m, xs) => m -> xs.size })
   }
 
-  /** Per-entry estimates as a DataFrame — the user-facing/oracle surface. */
+  /** Per-entry estimates as a DataFrame — the user-facing/oracle surface.
+    * Maintenance-gated like [[estimate]]: above the planning gate the
+    * rows stream from metafiles inside Spark tasks. */
   def entriesDF(cat: GraftCatalog, table: String, params: Params = Params()): DataFrame = {
     val meta = cat.getTableMeta(table)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val deltas = cat.effectiveDeltas(cat.handleOf(table), None)
-    val (base, pending) = MergeRead.activeDeltas(deltas)
-    val entries = (base.toSeq ++ pending).flatMap(_.entries)
-    val rows = estimateEntryBytes(cat.spark, schema, entries, params).map {
-      case (e, v, m) => (e.path, e.sizeBytes, e.recordCount, v, m)
-    }
     import cat.spark.implicits._
-    rows.toDF("path", "on_disk_bytes", "records", "est_memory_bytes", "method")
+    val cols = Seq("path", "on_disk_bytes", "records", "est_memory_bytes", "method")
+    val (pairs, streamed) = cat.effectiveDeltasForMaintenance(cat.handleOf(table))
+    val deltas = pairs.map(_._1)
+    val (base, pending) = MergeRead.activeDeltas(deltas)
+    val active = base.toSeq ++ pending
+    if (!streamed) {
+      val entries = active.flatMap(_.entries)
+      estimateEntryBytes(cat.spark, schema, entries, params).map {
+        case (e, v, m) => (e.path, e.sizeBytes, e.recordCount, v, m)
+      }.toDF(cols: _*)
+    } else {
+      val spark = cat.spark
+      val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
+      val files = active.flatMap(d => pathOf.get(d.streamPosition))
+      val (probes, inflation, samplingActive) =
+        samplingContext(spark, schema, files, params)
+      val schemaJson = schema.json
+      val chainArr = params.method.chain.toArray
+      val p2a = params.parquetToArrowInflation
+      val prevInfl = params.previousInflation
+      val methodName = params.method.toString
+      val obsInfl = inflation
+      val probesB = spark.sparkContext.broadcast(probes)
+      val par = math.min(math.max(files.size, 1),
+        spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(files.map(_.toString), par)
+        .mapPartitions { it =>
+          val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          it.flatMap(f => ManifestPlanner.entryIterator(java.nio.file.Paths.get(f))
+            .map { e =>
+              val (v, m) = resolveEntry(sc, e, chainArr, samplingActive,
+                probesB.value, obsInfl, p2a, prevInfl, methodName)
+              (e.path, e.sizeBytes, e.recordCount, v, m)
+            })
+        }.toDF(cols: _*)
+    }
   }
 }

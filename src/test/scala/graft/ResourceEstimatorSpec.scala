@@ -147,6 +147,17 @@ class ResourceEstimatorSpec extends SparkSpec {
       assert((streamed.records, streamed.onDiskBytes, streamed.files, streamed.methodsUsed) ==
         ((inMem.records, inMem.onDiskBytes, inMem.files, inMem.methodsUsed)),
         s"$m: $streamed vs $inMem")
+      // per-entry DF surface: identical rows (path → (bytes, records,
+      // estimate, method)) through both routes
+      def dfRows(gated: Boolean) = {
+        if (gated) spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+        try ResourceEstimator.entriesDF(cat, "re.g", p).collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+            math.round(r.getDouble(3) * 1e6), r.getString(4)))).toMap
+        finally if (gated) spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
+      }
+      assert(dfRows(gated = true) == dfRows(gated = false),
+        s"$m: entriesDF must be route-identical")
     }
   }
 }
