@@ -438,4 +438,64 @@ class ManifestPlannerSpec extends SparkSpec {
     try assert(q(cat) == Seq((5L, 9999L)), "gated prune must not serve a stale row")
     finally spark.conf.unset(ManifestPlanner.GateConfKey)
   }
+
+  test("10^6-entry base: metadata views, advisor, and estimator answer distributed") {
+    // Round-13: the observability/estimation surfaces at REAL above-gate
+    // scale — a ~200 MB metafile of 10^6 entries exceeds the DEFAULT gate
+    // (no conf forcing), so these calls exercise the streamed/distributed
+    // paths: skeleton deltas on the driver, entries only inside tasks.
+    val cat = new GraftCatalog(spark, tmpDir("mp-million-views"))
+    cat.createTable("m.v", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))),
+      properties = Map("compaction.auto" -> "false"))
+    cat.writeToTable(spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")), "m.v", WriteMode.Merge)
+    cat.compact("m.v")
+    val dir = cat.root.resolve("ns/m/v/deltas")
+    val baseFile = cat.store.visibleRevisionPaths(dir, None, None).last._2
+    val base = Json.read(new String(
+      java.nio.file.Files.readAllBytes(baseFile), "UTF-8"), classOf[DeltaMeta])
+    val nReal = base.entries.size
+    val nFake = 1000000
+    val out = java.nio.file.Files.newOutputStream(baseFile)
+    try Json.writeDeltaStreaming(out, base.copy(entries = Nil), emit => {
+      base.entries.foreach(emit)
+      var i = 0
+      while (i < nFake) {
+        emit(graft.txn.ManifestEntry(
+          s"${cat.root}/ns/m/v/data/d000002__fake/_g_bucket=${i % 8}/part-$i.parquet",
+          128L, 10L,
+          Map("k" -> graft.txn.ColStat((2000000000L + i).toString,
+            (2000000000L + i).toString, 0L)), 512L))
+        i += 1
+      }
+    }) finally out.close()
+    assert(java.nio.file.Files.size(baseFile) > ManifestPlanner.DefaultGateBytes,
+      "fixture must exceed the default gate")
+    // manifest view: distributed count + per-bucket aggregation
+    val mt = cat.manifestTable("m.v")
+    assert(mt.count() == nReal + nFake)
+    val perBucket = mt.groupBy("bucket").count()
+      .as[(Int, Long)].collect().toMap
+    assert(perBucket.values.sum == nReal + nFake && perBucket.keySet == (0 until 8).toSet)
+    // skip-index view: one row per (entry, colstat)
+    assert(cat.fileStatsTable("m.v").count() >= nFake)
+    // DESCRIBE DETAIL: entry aggregates from the task pass
+    val info = cat.tableInfo("m.v").head()
+    assert(info.getAs[Long]("num_files") == nReal + nFake)
+    assert(info.getAs[Long]("files_with_stats") == nReal + nFake)
+    assert(info.getAs[Long]("est_memory_bytes") >= nFake * 512L * 4)
+    // estimator: Default chain resolves every fake via cached uncompressed
+    val est = cat.estimateResources("m.v")
+    assert(est.files == nReal + nFake &&
+      est.methodsUsed.getOrElse("content_type_meta", 0) == nReal + nFake)
+    // layout advisor: per-bucket sums streamed off the metafile
+    val advice = cat.reclusterAdvice("m.v")
+      .getOrElse(fail("streamed advice expected"))
+    assert(advice.populated == 8 && advice.totalBytes >= nFake * 128L)
+    // 10^6 × 128 B is only ~128 MB — BYTES, not entry count, size a
+    // layout, so the balanced fixture is correctly healthy
+    assert(!advice.recommended && advice.skew < 1.1, s"balanced fixture: $advice")
+  }
 }
