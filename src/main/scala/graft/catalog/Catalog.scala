@@ -1710,18 +1710,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       } else {
         val pathOf = pairs.map { case (d, p) => d.streamPosition -> p.toString }.toMap
         val files = active.flatMap(d => pathOf.get(d.streamPosition))
-        val p2a = ResourceEstimator.DefaultParquetToArrowInflation
-        val prev = ResourceEstimator.DefaultPreviousInflation
+        val schemaJson = meta.schemaJson
         val par = math.min(math.max(files.size, 1), spark.sparkContext.defaultParallelism * 2)
         val (n, by, st, em) = spark.sparkContext.parallelize(files, par)
           .mapPartitions { it =>
+            val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
             var n = 0L; var by = 0L; var st = 0L; var em = 0.0
             it.foreach(f => ManifestPlanner.foreachEntry(Paths.get(f)) { e =>
               n += 1; by += e.sizeBytes
               if (e.stats != null) st += 1
-              // Default chain: content_type_meta → previous_inflation
-              em += ResourceEstimator.contentTypeMeta(e, p2a)
-                .getOrElse(e.sizeBytes * prev)
+              // the estimator's own Default chain — one source of truth
+              em += ResourceEstimator.defaultChainEstimate(sc, e)
             })
             Iterator.single((n, by, st, em))
           }.collect().foldLeft((0L, 0L, 0L, 0.0)) { case ((a, b, c, d), (w, x, y, z)) =>
@@ -1981,10 +1980,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       pending.map(fileCountOf).sum >= maxFiles ||
       pendingRecords >= maxRecords
     if (trigger && pending.nonEmpty) {
-      val pendingBytes = pending.flatMap(
-        _.properties.get("total_bytes").flatMap(_.toLongOption)).sum
+      // Only APPEND-type pending bytes count as growth for layout sizing:
+      // upsert bytes largely REPLACE base rows and delete bytes shrink
+      // them, so counting them would over-provision a bucket count the
+      // never-shrink auto path then keeps forever. Upsert-driven growth
+      // (genuinely new keys) sizes at the next trigger, once it is in the
+      // base the advisor measures.
+      val pendingGrowthBytes = pending
+        .filter(d => d.typed != DeltaType.Upsert && d.typed != DeltaType.Delete)
+        .flatMap(_.properties.get("total_bytes").flatMap(_.toLongOption)).sum
       compact(table, reclusterBucketsFor(meta, base,
-        base.flatMap(b => pathOf.get(b.streamPosition)), streamed, pendingBytes))
+        base.flatMap(b => pathOf.get(b.streamPosition)), streamed, pendingGrowthBytes))
       true
     } else false
   }

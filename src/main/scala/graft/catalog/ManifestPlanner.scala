@@ -84,34 +84,47 @@ object ManifestPlanner {
   /** [[foreachEntry]] as a LAZY iterator — one entry resident at a time,
     * so a consumer that maps entries to rows (the distributed manifest
     * view) never holds a 10^7-entry metafile's list in task heap. The
-    * parser closes when the iterator is exhausted; a consumer that
-    * abandons it early leaks one parser (none do — Spark drains task
-    * iterators or kills the task). */
+    * parser closes on exhaustion AND on task completion (a `.limit(n)`
+    * over the view abandons the iterator mid-array — Spark does not drain
+    * task iterators, so the task-completion hook is the real close). A
+    * truncated metafile (EOF before the array closes) THROWS, exactly as
+    * the full parse and foreachEntry do — a silently short row set from
+    * the one view an operator would use to inspect the corruption is the
+    * worst failure mode. */
   def entryIterator(file: Path): Iterator[ManifestEntry] = {
     val p = Json.mapper.getFactory.createParser(file.toFile)
-    require(p.nextToken() == JsonToken.START_OBJECT, s"$file: not a JSON object")
-    // advance to the entries array, skipping other fields
-    var inEntries = false
-    while (!inEntries && p.nextToken() != JsonToken.END_OBJECT) {
-      val name = p.currentName()
-      p.nextToken()
-      if (name == "entries" && p.currentToken() == JsonToken.START_ARRAY) inEntries = true
-      else p.skipChildren()
-    }
-    if (!inEntries) { p.close(); Iterator.empty }
-    else new Iterator[ManifestEntry] {
-      private var nextTok = p.nextToken()
-      override def hasNext: Boolean = {
-        val more = nextTok != JsonToken.END_ARRAY && nextTok != null
-        if (!more && !p.isClosed) p.close()
-        more
+    def closeQuietly(): Unit = try if (!p.isClosed) p.close() catch { case _: Exception => () }
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeQuietly()))
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT, s"$file: not a JSON object")
+      // advance to the entries array, skipping other fields
+      var inEntries = false
+      while (!inEntries && p.nextToken() != JsonToken.END_OBJECT) {
+        val name = p.currentName()
+        p.nextToken()
+        if (name == "entries" && p.currentToken() == JsonToken.START_ARRAY) inEntries = true
+        else p.skipChildren()
       }
-      override def next(): ManifestEntry = {
-        val e = Json.mapper.readValue(p, classOf[ManifestEntry])
-        nextTok = p.nextToken()
-        e
+      if (!inEntries) { p.close(); Iterator.empty }
+      else new Iterator[ManifestEntry] {
+        private var nextTok = p.nextToken()
+        override def hasNext: Boolean = {
+          if (nextTok == null) { // EOF before END_ARRAY: truncated file
+            closeQuietly()
+            throw new IllegalStateException(s"$file: truncated entries array")
+          }
+          val more = nextTok != JsonToken.END_ARRAY
+          if (!more) closeQuietly()
+          more
+        }
+        override def next(): ManifestEntry = {
+          val e = Json.mapper.readValue(p, classOf[ManifestEntry])
+          nextTok = p.nextToken()
+          e
+        }
       }
-    }
+    } catch { case t: Throwable => closeQuietly(); throw t }
   }
 
   /** Does `path` satisfy the hive-style partition-value segments? Same rule

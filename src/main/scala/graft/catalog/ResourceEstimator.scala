@@ -309,11 +309,22 @@ object ResourceEstimator {
       case "previous_inflation" => true
       case _ => false
     }
+    // Bounded prefix search: when the pure pre-sampling steps resolve
+    // (nearly) every entry, an unbounded search for unresolved ones would
+    // re-stream the WHOLE log on the driver — the cost this path exists
+    // to avoid. Cap the scan at ~2^20 entries: unresolved stragglers
+    // beyond the cap fall to previous_inflation instead of the sampled
+    // inflation (documented approximation; below the gate the in-memory
+    // algorithm is exact).
+    val scanCap = 1 << 20
+    var scanned = 0L
     val sampled = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
     val fit = files.iterator
-    while (sampled.size < params.maxFilesToSample && fit.hasNext) {
+    while (sampled.size < params.maxFilesToSample && scanned < scanCap && fit.hasNext) {
       ManifestPlanner.foreachEntry(fit.next()) { e =>
-        if (sampled.size < params.maxFilesToSample && !resolvedByPure(e))
+        scanned += 1
+        if (sampled.size < params.maxFilesToSample && scanned <= scanCap &&
+            !resolvedByPure(e))
           sampled += e
       }
     }
@@ -344,6 +355,41 @@ object ResourceEstimator {
       s"entries unresolvable by method $methodName: ${e.path} — " +
         "use Default/DefaultV2 or supply the missing params"))
 
+  /** Serializable bundle for a distributed chain-resolve pass — primitive
+    * and broadcast captures only, shared by [[estimateStreamed]] and the
+    * streamed [[entriesDF]] so the two stay one source of truth. */
+  private final case class StreamedCtx(
+      schemaJson: String, chain: Array[String], samplingActive: Boolean,
+      probes: org.apache.spark.broadcast.Broadcast[Map[String, Double]],
+      obsInfl: Double, p2a: Double, prevInfl: Double, methodName: String) {
+    def schemaOf(): StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def resolve(sc: StructType, e: ManifestEntry): (Double, String) =
+      resolveEntry(sc, e, chain, samplingActive, probes.value, obsInfl,
+        p2a, prevInfl, methodName)
+  }
+
+  private def streamedCtx(spark: SparkSession, schema: StructType,
+      files: Seq[java.nio.file.Path], params: Params): StreamedCtx = {
+    val (probes, inflation, samplingActive) =
+      samplingContext(spark, schema, files, params)
+    StreamedCtx(schema.json, params.method.chain.toArray, samplingActive,
+      spark.sparkContext.broadcast(probes), inflation,
+      params.parquetToArrowInflation, params.previousInflation,
+      params.method.toString)
+  }
+
+  private def parFor(spark: SparkSession, n: Int): Int =
+    math.min(math.max(n, 1), spark.sparkContext.defaultParallelism * 2)
+
+  /** Default-chain per-entry estimate with default params — the single
+    * source of truth for metadata views (tableInfo's streamed branch)
+    * that ride the estimator without a Params object. Serializable-safe
+    * for task closures (object method, primitive defaults). */
+  private[catalog] def defaultChainEstimate(sc: StructType, e: ManifestEntry): Double =
+    resolveEntry(sc, e, Method.Default.chain.toArray, samplingActive = false,
+      Map.empty, 0.0, DefaultParquetToArrowInflation, DefaultPreviousInflation,
+      Method.Default.toString)._1
+
   /** [[estimate]] for a streamed (skeleton) log: identical per-entry chain
     * semantics, distributed. The one GLOBAL step — file_sampling's
     * observed inflation — is precomputed on the driver from the same
@@ -353,28 +399,17 @@ object ResourceEstimator {
     * functions plus the broadcast (probes, inflation) pair. */
   private def estimateStreamed(spark: SparkSession, schema: StructType,
       files: Seq[java.nio.file.Path], params: Params): Estimate = {
-    val chain = params.method.chain
-    val (probes, inflation, samplingActive) = samplingContext(spark, schema, files, params)
-    val schemaJson = schema.json
-    val probesB = spark.sparkContext.broadcast(probes)
-    val par = math.min(math.max(files.size, 1), spark.sparkContext.defaultParallelism * 2)
-    // primitive copies so the task closure captures no SparkSession/Path
-    // scope (ClosureCleaner can't strip the enclosing method environment)
-    val chainArr = chain.toArray
-    val p2a = params.parquetToArrowInflation
-    val prevInfl = params.previousInflation
-    val methodName = params.method.toString
-    val obsInfl = inflation
+    val ctx = streamedCtx(spark, schema, files, params)
+    val par = parFor(spark, files.size)
     val partials = spark.sparkContext.parallelize(files.map(_.toString), par)
       .mapPartitions { it =>
-        val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val sc = ctx.schemaOf()
         var mem = 0.0; var known = 0L; var unknownMem = 0.0
         var disk = 0L; var n = 0L
         val methods = scala.collection.mutable.HashMap[String, Int]()
         it.foreach { f =>
           ManifestPlanner.foreachEntry(java.nio.file.Paths.get(f)) { e =>
-            val (v, m) = resolveEntry(sc, e, chainArr, samplingActive,
-              probesB.value, obsInfl, p2a, prevInfl, methodName)
+            val (v, m) = ctx.resolve(sc, e)
             mem += v
             if (e.recordCount >= 0) known += e.recordCount else unknownMem += v
             disk += e.sizeBytes; n += 1 // same (unclamped) sum as fromEntries
@@ -441,24 +476,13 @@ object ResourceEstimator {
       val spark = cat.spark
       val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
       val files = active.flatMap(d => pathOf.get(d.streamPosition))
-      val (probes, inflation, samplingActive) =
-        samplingContext(spark, schema, files, params)
-      val schemaJson = schema.json
-      val chainArr = params.method.chain.toArray
-      val p2a = params.parquetToArrowInflation
-      val prevInfl = params.previousInflation
-      val methodName = params.method.toString
-      val obsInfl = inflation
-      val probesB = spark.sparkContext.broadcast(probes)
-      val par = math.min(math.max(files.size, 1),
-        spark.sparkContext.defaultParallelism * 2)
-      spark.sparkContext.parallelize(files.map(_.toString), par)
+      val ctx = streamedCtx(spark, schema, files, params)
+      spark.sparkContext.parallelize(files.map(_.toString), parFor(spark, files.size))
         .mapPartitions { it =>
-          val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          val sc = ctx.schemaOf()
           it.flatMap(f => ManifestPlanner.entryIterator(java.nio.file.Paths.get(f))
             .map { e =>
-              val (v, m) = resolveEntry(sc, e, chainArr, samplingActive,
-                probesB.value, obsInfl, p2a, prevInfl, methodName)
+              val (v, m) = ctx.resolve(sc, e)
               (e.path, e.sizeBytes, e.recordCount, v, m)
             })
         }.toDF(cols: _*)
