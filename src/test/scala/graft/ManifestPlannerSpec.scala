@@ -49,6 +49,12 @@ class ManifestPlannerSpec extends SparkSpec {
     assert(ManifestPlanner.entryIterator(file).toSeq == full.entries)
     assert(ManifestPlanner.entryIterator(file).take(3).toSeq == full.entries.take(3))
     assert(ManifestPlanner.entryIterator(file).toSeq == full.entries)
+    // a TRUNCATED metafile (crash mid-write) must throw, not silently
+    // yield a short row set from the corruption-inspection view itself
+    val bytes = java.nio.file.Files.readAllBytes(file)
+    val cut = java.nio.file.Files.createTempFile("mp-trunc", ".json")
+    java.nio.file.Files.write(cut, bytes.take(bytes.length / 2))
+    intercept[Exception](ManifestPlanner.entryIterator(cut).toSeq)
   }
 
   test("gated read: same files as the driver path, pruning runs as a Spark job") {
