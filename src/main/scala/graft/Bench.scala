@@ -178,7 +178,9 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runsLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val evLog = scala.collection.mutable.LinkedHashMap[String, Seq[BenchProbe.Snap]]()
+    // evidence per run: task-metric delta + the fixed-work calibration
+    // (wall ms of BenchProbe.calibrateMs measured right before the run)
+    val evLog = scala.collection.mutable.LinkedHashMap[String, Seq[(BenchProbe.Snap, Double)]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def attempt(name: String)(body: => Double): Unit =
       if (want(name)) {
@@ -202,11 +204,12 @@ object Bench {
       // One measured run = wall seconds + the probe's task-metric delta,
       // bus-drained on both sides so the delta brackets exactly this run.
       def run(): Double = {
+        val cal = BenchProbe.calibrateMs()
         BenchProbe.drain(spark.sparkContext)
         val s0 = probe.snapshot()
         val t = time(body)
         BenchProbe.drain(spark.sparkContext)
-        evLog(name) = evLog.getOrElse(name, Vector.empty) :+ (probe.snapshot() - s0)
+        evLog(name) = evLog.getOrElse(name, Vector.empty) :+ ((probe.snapshot() - s0, cal))
         t
       }
       val rs = scala.collection.mutable.ArrayBuffer.fill(baseRuns)(run())
@@ -882,12 +885,19 @@ object Bench {
     // runs, gc 0, rt≈cpu≈5 task-s, yet 0.16 s quiet at the same commit) —
     // so "cpu elevated AND ocpu ≈ 0" is the only pairing that indicts the
     // plan; "cpu elevated, ocpu large" exonerates as co-tenant load.
-    def evJsonOf(m: collection.Map[String, Seq[org.apache.spark.sql.graft.BenchProbe.Snap]]): String =
+    // "cal" (round-13): wall ms of a fixed single-thread spin measured
+    // just before the run — the HOST-contention witness. A hypervisor
+    // noisy neighbor is invisible to every guest counter here (no PV
+    // steal accounting: gc 0, ocpu 0, yet cpu-seconds inflate ~2× — the
+    // r12-t35 signature, reproduced in this round's reruns); fixed work
+    // has no ambiguity, so cal ≫ its quiet ~25 ms baseline indicts the
+    // host even when ocpu ≈ 0.
+    def evJsonOf(m: collection.Map[String, Seq[(org.apache.spark.sql.graft.BenchProbe.Snap, Double)]]): String =
       if (m.isEmpty) ""
       else m.map { case (k, vs) =>
-        "\"" + k + "\":" + vs.map(e =>
-          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f,"jgc":${e.jvmGcS}%.1f,"pcpu":${e.procCpuS}%.1f,"ocpu":${math.max(0.0, e.otherCpuS)}%.1f}""")
-          .mkString("[", ",", "]")
+        "\"" + k + "\":" + vs.map { case (e, cal) =>
+          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f,"jgc":${e.jvmGcS}%.1f,"pcpu":${e.procCpuS}%.1f,"ocpu":${math.max(0.0, e.otherCpuS)}%.1f,"cal":$cal%.0f}"""
+        }.mkString("[", ",", "]")
       }.mkString(""","evidence":{""", ",", "}")
     val interesting = runsLog.filter { case (k, vs) =>
       vs.max / vs.min > 1.15 || quietBandUpper.get(k).forall(b => vs.min > b)

@@ -111,4 +111,25 @@ object BenchProbe {
   def drain(sc: SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty()
     catch { case _: Throwable => () }
+
+  /** HOST-contention witness: wall milliseconds of a FIXED single-thread
+    * spin (60M xorshift steps, ~25 ms quiet). A hypervisor-level noisy
+    * neighbor is invisible to every guest counter on this box — no PV
+    * steal accounting, so preempted vCPU time silently inflates guest
+    * cpu-seconds (gc 0, ocpu 0, cpu up ~2×: the r12-t35 and r13-rerun
+    * signature). Fixed work has no such ambiguity: its wall time inflates
+    * 1:1 with the slowdown, so `cal` ≫ its quiet baseline indicts the
+    * HOST even when ocpu ≈ 0. JIT-stable: same code path every call. */
+  def calibrateMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 88172645463325252L
+    var i = 0
+    while (i < 20000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    calSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
+  @volatile private var calSink: Long = 0L
 }

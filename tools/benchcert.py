@@ -46,9 +46,20 @@ def main() -> int:
             if i < len(ev[k]):
                 e = ev[k][i]
                 line += (f" [min-run evidence: gc={e.get('gc')} "
-                         f"cpu={e.get('cpu')} ocpu={e.get('ocpu', '?')}]")
+                         f"cpu={e.get('cpu')} ocpu={e.get('ocpu', '?')}"
+                         f" cal={e.get('cal', '?')}]")
                 if isinstance(e.get("ocpu"), (int, float)) and e["ocpu"] > 2.0:
                     line += " — co-tenant CPU present; rerun quiet before trusting"
+                # host-level contention: fixed-work calibration inflated vs
+                # the artifact-wide median (invisible to gc/ocpu — no PV
+                # steal accounting in this guest)
+                cals = [x.get("cal") for vs in ev.values() for x in vs
+                        if isinstance(x.get("cal"), (int, float))]
+                if cals and isinstance(e.get("cal"), (int, float)):
+                    med = sorted(cals)[len(cals) // 2]
+                    if med > 0 and e["cal"] > 1.5 * med:
+                        line += (f" — host contention (cal {e['cal']:.0f}ms vs"
+                                 f" median {med:.0f}ms); rerun quiet")
         print(line)
     if unbanded:
         print(f"  unbanded (first measurement, band seeds next round): "
