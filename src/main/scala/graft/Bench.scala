@@ -125,7 +125,11 @@ object Bench {
     // floor anchoring the 30x graded ratio same-run/same-machine.
     "mor_backlog_read" -> 3.40,
     "zipper_read_30x" -> 9.00,
-    "baseline_raw_spark_30x" -> 8.00)
+    // re-banded same round: first-day quiet minima ranged 6.4-8.1 s (the
+    // 8.00 seed came from two samples); floor entries get the same
+    // evidence-based re-band discipline as engine entries because an
+    // over-band floor un-trusts the graded ratio it anchors
+    "baseline_raw_spark_30x" -> 9.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
