@@ -131,6 +131,21 @@ object Bench {
     // over-band floor un-trusts the graded ratio it anchors
     "baseline_raw_spark_30x" -> 9.00)
 
+  /** Dimensionless scale-curve bands (round-14): absolute times drift with
+    * the host, but the RATIO of an entry's 30× point to its 1× point is
+    * computed same-run/same-machine and bends only when the plan does —
+    * a superlinear regression fails the artifact even when co-tenant load
+    * shifts every absolute number. Seeds from the round-13 closing
+    * artifact's quiet mins (pipeline 19.6/1.90 = 10.3× for 30× the data,
+    * pipeline_10x 6.90/1.90 = 3.6×, t04 5.47/2.03 = 2.7×) plus ~25-30%
+    * headroom — both numerator and denominator are per-entry mins, so the
+    * ratio carries noise from both sides. (name, numerator, denominator,
+    * quiet upper bound). */
+  private val ratioBands: Seq[(String, String, String, Double)] = Seq(
+    ("pipeline_10x_over_1x", "pipeline_10x", "pipeline_write_compact_read", 4.8),
+    ("pipeline_30x_over_1x", "pipeline_30x", "pipeline_write_compact_read", 13.0),
+    ("t04_30x_over_1x", "t04_minhash_neardup_30x", "t04_minhash_neardup", 3.6))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -179,6 +194,13 @@ object Bench {
     import org.apache.spark.sql.graft.BenchProbe
     val probe = new BenchProbe
     spark.sparkContext.addSparkListener(probe)
+    // Warm the calibration spin (round-13 advice): the first calibrateMs
+    // call runs before the spin loop is JIT-compiled, so its sample can
+    // read several × the quiet ~25-45 ms baseline — benchcert.py's
+    // cal > 1.5×-median heuristic would then mislabel a first-entry band
+    // breach as host contention. Three discarded calls compile the loop
+    // before the first measured sample.
+    (1 to 3).foreach(_ => BenchProbe.calibrateMs())
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runsLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
@@ -947,9 +969,52 @@ object Bench {
       }
       if (rs.isEmpty) "" else rs.mkString(""","ratios":{""", ",", "}")
     }
+    // Scale-curve ratio verdicts (round-14): each banded dimensionless
+    // ratio ships with its band and an in/over status, so a superlinear
+    // bend fails the artifact even when the host shifts absolute times.
+    val scaleJson = {
+      val rs = ratioBands.flatMap { case (nm, num, den, band) =>
+        for (nv <- results.get(num); dv <- results.get(den) if dv > 0.001) yield {
+          val x = nv / dv
+          f""""$nm":{"x":$x%.2f,"band":$band%.2f,"status":"${if (x <= band) "in" else "over"}"}"""
+        }
+      }
+      if (rs.isEmpty) "" else rs.mkString(""","scale_ratios":{""", ",", "}")
+    }
     def lineOf(runsJson: String, evJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$bandJson$ratioJson$runsJson$evJson,"sf":"$sfDir"}"""
-    println(lineOf(runsJsonOf(interesting), evJsonOf(interestingEv)))
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$bandJson$ratioJson$scaleJson$runsJson$evJson,"sf":"$sfDir"}"""
+    // Driver-parseable final line (round-14, verdict ask #1): the driver's
+    // artifact capture keeps only the last ~2 KB of stdout, so the full
+    // line (queries + bands + band_status + runs + evidence, 5-8 KB)
+    // recorded `"parsed": null` for three rounds running. stdout now
+    // carries ONLY a compact summary (per-entry min at 2 decimals, the
+    // band verdict, graded + scale ratios — no per-entry band map, no
+    // runs/evidence arrays, ≈1.8 KB); the COMPLETE artifact still lands in
+    // target/bench.json and is committed as BENCH_CLOSING_r{N}.json.
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    // Errors in the compact line are truncated hard (full text is in
+    // target/bench.json) — a 200-char message per failed entry would eat
+    // the capture window that the per-entry numbers need.
+    val errJsonCompact =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.take(60).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString(""","errors":{""", ",", "}")
+    val bandJson2 =
+      s""","band_summary":"$nIn/$nBanded in band""" +
+        (if (overs.isEmpty) "\"" else overs.mkString("; over: ", ",", "\""))
+    def compactOf(qjson: String): String =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qjson$errJsonCompact$bandJson2$ratioJson$scaleJson,"sf":"$sfDir"}"""
+    val compact = {
+      val full = compactOf(qsCompact)
+      // Degrade rather than overflow: if future entries push the summary
+      // past the capture window, drop the per-entry map (the band verdict
+      // and ratios still certify) — a parseable partial line beats an
+      // unparseable complete one.
+      if (full.length <= 1950) full else compactOf("{}")
+    }
+    println(compact)
     // Machine-clean FULL copy: sbt prefixes stdout with [info] and the
     // driver's capture truncates; this file carries every raw run.
     try {

@@ -134,15 +134,21 @@ object Compactor {
     if (numBuckets <= 0) return None
     val per = scala.collection.mutable.HashMap[Int, (Long, Long, Int)]()
     var untrusted = false
-    forEach { e =>
+    // One unattributable path invalidates the whole verdict, so stop the
+    // pass right there (round-13 advice) — on a large Seq-backed base the
+    // prior flag-at-the-end shape scanned every remaining entry for an
+    // answer already known to be None. A private control throw is the only
+    // break available through the forEach SAM; it never escapes.
+    object Unattributable extends scala.util.control.ControlThrowable
+    try forEach { e =>
       bucketOf(e.path) match {
         case Some(b) if b >= 0 && b < numBuckets =>
           val (by, rc, n) = per.getOrElse(b, (0L, 0L, 0))
           per.update(b, (by + math.max(0L, e.sizeBytes),
             rc + math.max(0L, e.recordCount), n + 1))
-        case _ => untrusted = true
+        case _ => untrusted = true; throw Unattributable
       }
-    }
+    } catch { case Unattributable => () }
     if (untrusted || per.isEmpty) return None
     val stats = per.toSeq.map { case (b, (by, rc, n)) => BucketStat(b, by, rc, n) }
     val totalBytes = stats.map(_.bytes).sum

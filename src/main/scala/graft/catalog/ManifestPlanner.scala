@@ -90,7 +90,11 @@ object ManifestPlanner {
     * truncated metafile (EOF before the array closes) THROWS, exactly as
     * the full parse and foreachEntry do — a silently short row set from
     * the one view an operator would use to inspect the corruption is the
-    * worst failure mode. */
+    * worst failure mode. A decode failure inside next() also closes the
+    * parser before rethrowing (round-13 advice). DRIVER-SIDE callers (no
+    * TaskContext, so no completion hook): drain the iterator or reach a
+    * throwing/exhausted state — an abandoned healthy prefix (e.g. an
+    * un-drained take(n)) holds the file handle until GC finalizes it. */
   def entryIterator(file: Path): Iterator[ManifestEntry] = {
     val p = Json.mapper.getFactory.createParser(file.toFile)
     def closeQuietly(): Unit = try if (!p.isClosed) p.close() catch { case _: Exception => () }
@@ -119,7 +123,13 @@ object ManifestPlanner {
           more
         }
         override def next(): ManifestEntry = {
-          val e = Json.mapper.readValue(p, classOf[ManifestEntry])
+          // A decode failure mid-entry must release the file handle even
+          // when no TaskContext is present (driver-side callers, e.g. a
+          // take(n) probe) — the task-completion hook is the only other
+          // close for an abandoned iterator, and off-task there isn't one.
+          val e =
+            try Json.mapper.readValue(p, classOf[ManifestEntry])
+            catch { case t: Throwable => closeQuietly(); throw t }
           nextTok = p.nextToken()
           e
         }

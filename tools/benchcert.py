@@ -68,10 +68,19 @@ def main() -> int:
         trust = "trusted" if r.get("floor_in_band") else \
             "UNTRUSTED (floor over band — do not grade on this number)"
         print(f"  ratio {name}: {r.get('x')}x [{trust}]")
+    # round-14: banded scale-curve ratios (dimensionless, load-resistant) —
+    # an "over" here means the plan bent superlinear, not that the host was
+    # busy, so it fails the certification like an absolute band breach.
+    scale_overs = []
+    for name, r in d.get("scale_ratios", {}).items():
+        st = r.get("status", "?")
+        print(f"  scale-ratio {name}: {r.get('x')}x (band {r.get('band')}) [{st}]")
+        if st == "over":
+            scale_overs.append(name)
     if d.get("errors"):
         print(f"  errors: {sorted(d['errors'])}")
         return 1
-    return 0 if not overs else 1
+    return 0 if not overs and not scale_overs else 1
 
 
 if __name__ == "__main__":
