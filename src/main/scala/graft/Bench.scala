@@ -144,7 +144,12 @@ object Bench {
   private val ratioBands: Seq[(String, String, String, Double)] = Seq(
     ("pipeline_10x_over_1x", "pipeline_10x", "pipeline_write_compact_read", 4.8),
     ("pipeline_30x_over_1x", "pipeline_30x", "pipeline_write_compact_read", 13.0),
-    ("t04_30x_over_1x", "t04_minhash_neardup_30x", "t04_minhash_neardup", 3.6))
+    ("t04_30x_over_1x", "t04_minhash_neardup_30x", "t04_minhash_neardup", 3.6),
+    // The hot-bucket carve-out's contract (round-14 verdict ask #2): a
+    // merge read over a pathologically skewed bucket layout must stay
+    // within 1.5× of the balanced control — same total rows, same pending
+    // fraction, same-run/same-machine.
+    ("hotbucket_over_balanced", "mor_hotbucket_read", "mor_balanced_read", 1.5))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -396,6 +401,70 @@ object Bench {
       finally spark.conf.unset("graft.merge.partitioned.enabled")
     } catch { case e: Throwable =>
       errors("spj_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+    }
+
+    // ---- Hot-bucket carve-out A/B (round-14, verdict ask #2): a bucket
+    // holding >half the table serializes the storage-partitioned read into
+    // one straggler task (one partition per bucket is the KGP contract);
+    // the carve-out routes that bucket through the dense resolve, whose
+    // full-merge-scope shuffle spreads it. Three entries, same read:
+    //   mor_hotbucket_read     planted hot bucket, carve-out ON
+    //   mor_hotbucket_nosplit  same table, carve-out OFF (the straggler)
+    //   mor_balanced_read      uniform control, same total rows
+    // The banded verdict is the RATIO hotbucket/balanced ≤ 1.5 (ratioBands)
+    // — the carve-out must hold a skewed table within 1.5× of a balanced
+    // one. Bucket heat is planted directly by key selection (ids whose
+    // murmur3 lands in bucket 0): the read-side mechanics are cause-blind,
+    // and the true power-law-KEY cause (one key across many partition
+    // values) is pinned by PartitionedMergeSpec — at bench volume it would
+    // need one partition DIRECTORY per row. Thresholds are conf-lowered to
+    // fixture scale (the production defaults, 8× mean + 4M rows, are the
+    // same mechanism at cluster volume).
+    if (Seq("mor_hotbucket_read", "mor_hotbucket_nosplit",
+        "mor_balanced_read").exists(want)) try {
+      import graft.catalog.MergeRead
+      def mkMerged(tag: String, ids: org.apache.spark.sql.DataFrame): GraftCatalog = {
+        val cat = new GraftCatalog(spark,
+          Files.createTempDirectory(s"graft_bench_hot_$tag").toString)
+        cat.createTable("bench.hot", StructType(Seq(
+          FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+          FieldMeta.field("q", DoubleType),
+          FieldMeta.field("v", StringType))),
+          properties = Map("read_optimization" -> "NONE",
+            "compaction.num_buckets" -> "8"))
+        val base = ids.select(col("id"), (col("id") * 0.5).as("q"),
+          concat(lit("pad-pad-pad-"), col("id")).as("v"))
+        cat.writeToTable(base, "bench.hot", WriteMode.Merge)
+        cat.compact("bench.hot")
+        // 20% pending: past the sparse band (8×), inside the partitioned one
+        cat.writeToTable(base.where(col("id") % 5 === 0)
+          .withColumn("q", col("q") * 1.1), "bench.hot", WriteMode.Merge)
+        cat
+      }
+      // ~400k keys in bucket 0 + ~350k spread over the other 7 (~50k each).
+      val hotIds = spark.range(3200000).where(pmod(hash(col("id")), lit(8)) === 0)
+        .unionByName(spark.range(3200000, 3600000)
+          .where(pmod(hash(col("id")), lit(8)) =!= 0))
+      val hotCat = mkMerged("skew", hotIds.toDF())
+      spark.conf.set(MergeRead.HotBucketFactorKey, "4")
+      spark.conf.set(MergeRead.HotBucketMinRowsKey, "200000")
+      try attempt("mor_hotbucket_read")(measured("mor_hotbucket_read") {
+        hotCat.readTable("bench.hot").agg(sum("q"), count(lit(1))).head()
+      }) finally {
+        spark.conf.unset(MergeRead.HotBucketFactorKey)
+        spark.conf.unset(MergeRead.HotBucketMinRowsKey)
+      }
+      // Carve-out off (default thresholds never fire at this volume): the
+      // hot bucket stays one KGP partition — the straggler the ratio buys out.
+      attempt("mor_hotbucket_nosplit")(measured("mor_hotbucket_nosplit") {
+        hotCat.readTable("bench.hot").agg(sum("q"), count(lit(1))).head()
+      })
+      val balCat = mkMerged("bal", spark.range(750000).toDF())
+      attempt("mor_balanced_read")(measured("mor_balanced_read") {
+        balCat.readTable("bench.hot").agg(sum("q"), count(lit(1))).head()
+      })
+    } catch { case e: Throwable =>
+      errors("hotbucket_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
     }
 
     // Anchor: the same data through bare Spark parquet write + read.

@@ -652,15 +652,25 @@ object Compactor {
       // which is the entire point of a declared sort scheme.
       case None if mergeKeys.isEmpty && !sortScheme.isEmpty =>
         partCols.repartitionByRange(parallelism, sortScheme.keys.map(_.toColumn): _*)
-      case _ => partCols
+      case _ =>
         // Salt the slice hash: pmod(hash(keys), slices) would be arithmetically
         // correlated with the bucket expression (both mod the same hash), so
         // gcd(numBuckets, slices) > 1 — the power-of-two norm — would collapse
         // the extra parallelism back to numBuckets partitions. Keyless tables
         // slice on all columns (merge keys alone would hash a constant).
-        .repartition(parallelism, col(Bucket),
-          pmod(hash(((if (mergeKeys.nonEmpty) mergeKeys
-            else schema.fieldNames.toSeq).map(col) :+ lit("_slice")): _*), lit(slices)))
+        // Keyed tables slice on (keys, partition values) — round-14: the
+        // merge scope is (partition values, keys), so a hot merge KEY's
+        // rows (one live row per partition value, ALL in one bucket at any
+        // bucket count) are distinct rows that under keys alone would hash
+        // to one slice, serializing the hot bucket's sorted write into a
+        // single task. Partition values spread them across slices; the
+        // slice stays a deterministic function of row values, so file
+        // bytes remain a pure function of the row set.
+        val sliceCols =
+          if (mergeKeys.nonEmpty) (mergeKeys ++ partNames).map(col)
+          else schema.fieldNames.toSeq.map(col)
+        partCols.repartition(parallelism, col(Bucket),
+          pmod(hash((sliceCols :+ lit("_slice")): _*), lit(slices)))
     }
     shaped
       .sortWithinPartitions(sortCols: _*)
@@ -713,11 +723,17 @@ object Compactor {
     val withB = df
       .withColumn(Row, monotonically_increasing_id())
       .withColumn(Bucket, pmod(hash(mergeKeys.map(col): _*), lit(numBuckets)))
-      .withColumn("_g_slice",
-        pmod(hash((mergeKeys.map(col) :+ lit("_slice")): _*), lit(slices)))
-    val partCols = cat.addDerivedPartitionColumns(withB, scheme)
+    val partCols0 = cat.addDerivedPartitionColumns(withB, scheme)
     val partNames = scheme.keys.map(_.partitionColumnName)
-      .filter(partCols.columns.contains)
+      .filter(partCols0.columns.contains)
+    // Slice on (keys, partition values), like materialize (round-14): a hot
+    // merge key's rows — distinct per partition value — spread across
+    // slices instead of serializing into one task. Run contiguity for the
+    // lag-dedupe below is preserved: the slice is a function of exactly the
+    // run key (partNames ++ mergeKeys), so all rows of one run still land
+    // in the same (bucket, slice) task.
+    val partCols = partCols0.withColumn("_g_slice",
+      pmod(hash(((mergeKeys ++ partNames).map(col) :+ lit("_slice")): _*), lit(slices)))
     // Merge scope = partition values + merge keys (identical keys in
     // different partitions are distinct rows) — both land in the same
     // (bucket, slice) task, so runs are contiguous under the window sort.

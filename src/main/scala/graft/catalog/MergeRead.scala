@@ -57,6 +57,50 @@ object MergeRead {
     * extraction + broadcast join (plan-size-bounded for huge backlogs). */
   val LineageLiteralConfKey = "graft.merge.lineage.literal.maxDeltas"
 
+  /** Hot-bucket carve-out knobs (round-14). The bucket id is
+    * `pmod(hash(mergeKeys), n)` — a function of the merge KEY alone — so a
+    * power-law key under a partition-scoped identity (one key value, many
+    * partition values, each a distinct live row) concentrates all its rows
+    * in ONE bucket at ANY bucket count: rebucketing cannot spread it, and
+    * the storage-partitioned scan's one-partition-per-bucket contract
+    * (BucketedBase doc) would serialize that bucket's scan and key joins
+    * into a single straggler task. Buckets whose manifest record counts
+    * exceed `max(minRows, factor × mean)` are cut out of the partitioned
+    * plan and resolved DENSELY — the dense shuffle hashes the full merge
+    * scope (partition values + keys), so the hot key spreads across the
+    * cluster. factor ≤ 0 disables the carve-out. */
+  val HotBucketFactorKey = "graft.merge.hotBucket.factor"
+  val HotBucketMinRowsKey = "graft.merge.hotBucket.minRows"
+  private val HotBucketFactorDefault = 8.0
+  private val HotBucketMinRowsDefault = 4L * 1000 * 1000
+
+  /** Buckets hot enough to leave the storage-partitioned plan, from
+    * MANIFEST METADATA only (no jobs, no file opens). Empty = no carve-out:
+    * detection distrusts itself on any unattributable path or unknown
+    * record count (same posture as reclusterAdviceOf). */
+  private[catalog] def hotBuckets(
+      spark: SparkSession, entries: Seq[graft.txn.ManifestEntry],
+      numBuckets: Int, bucketOf: String => Option[Int]): Set[Int] = {
+    def num[T](key: String, default: T, parse: String => Option[T]): T =
+      spark.conf.getOption(key).map(v => parse(v.trim).getOrElse(
+        throw new IllegalArgumentException(s"$key must be numeric, got '$v'")))
+        .getOrElse(default)
+    val factor = num(HotBucketFactorKey, HotBucketFactorDefault, _.toDoubleOption)
+    val minRows = num(HotBucketMinRowsKey, HotBucketMinRowsDefault, _.toLongOption)
+    if (factor <= 0 || numBuckets <= 0 || entries.isEmpty) return Set.empty
+    val per = scala.collection.mutable.HashMap[Int, Long]()
+    entries.foreach { e =>
+      if (e.recordCount < 0) return Set.empty
+      bucketOf(e.path) match {
+        case Some(b) if b >= 0 && b < numBuckets =>
+          per.update(b, per.getOrElse(b, 0L) + e.recordCount)
+        case _ => return Set.empty
+      }
+    }
+    val mean = per.values.sum.toDouble / numBuckets
+    per.collect { case (b, rc) if rc > minRows && rc > factor * mean => b }.toSet
+  }
+
   /** Session-wide dense-resolve pin — the SQL route to
     * `ReadOptions.denseResolve` (a TVF reader has no options object):
     * `SET graft.merge.denseResolve=true` before a
@@ -145,8 +189,23 @@ object MergeRead {
         // scan+collect job of its own.
         sparseMerge(spark, schema, scheme, mergeKeys, deltas,
           basePaths, pending, pendingPaths, contentType).select(normCols: _*)
-      } else (if (!denseResolve &&
-            partitionedEligible(spark, schema, base, basePaths, pending,
+      } else {
+        // Hot-bucket carve-out (round-14, see hotBuckets doc): hot buckets
+        // leave the storage-partitioned plan — their files resolve densely
+        // (shuffle on the full merge scope spreads the hot key) while cold
+        // buckets keep the exchange-free partitioned path. Each key's
+        // entire version set (base + pending, deletes included) lands
+        // wholly on one side because the bucket is a function of the key,
+        // so union(cold, hot) is exact.
+        val hotSet: Set[Int] =
+          if (denseResolve) Set.empty
+          else numBuckets.map(n => hotBuckets(spark, baseEntries, n, bucketOfPath))
+            .getOrElse(Set.empty)
+        val (hotBase, coldBase) =
+          if (hotSet.isEmpty) (Nil, basePaths)
+          else basePaths.partition(p => bucketOfPath(p).exists(hotSet.contains))
+        (if (!denseResolve && coldBase.nonEmpty &&
+            partitionedEligible(spark, schema, base, coldBase, pending,
             pendingPaths, numBuckets, contentType, opts))
           // Storage-partitioned dense merge (see partitionedMerge): the
           // sparse split at non-broadcastable pending sizes — the key joins
@@ -154,10 +213,31 @@ object MergeRead {
           // shuffles. Skips bucket discovery for the same reason the
           // sparse path does: the row-level anti-join is a strictly finer
           // prune. None (layout drift) falls through to the dense paths.
-          partitionedMerge(spark, schema, scheme, mergeKeys, deltas, basePaths,
-            pending, pendingPaths, contentType, numBuckets.get, statFilters)
-            .map(_.select(normCols: _*))
-        else None) match {
+          partitionedMerge(spark, schema, scheme, mergeKeys, deltas, coldBase,
+            pending, pendingPaths, contentType, numBuckets.get, statFilters,
+            excludeBuckets = hotSet)
+            .map { cold =>
+              val coldN = cold.select(normCols: _*)
+              if (hotSet.isEmpty) coldN
+              else {
+                val n = numBuckets.get
+                // Key-derived filter: keeps or drops ALL versions of a key
+                // consistently (the merge-key pushdown argument), so
+                // filtering BEFORE the resolve is semantics-preserving —
+                // and the hash() kernel is the writer's own, so base rows
+                // of hot buckets pass it trivially.
+                val bucketCol = pmod(hash(mergeKeys.map(col): _*), lit(n))
+                val hotScan = scanWithLineage(spark, schema, deltas,
+                  hotBase ++ pendingPaths, contentType)
+                  .where(bucketCol.isin(hotSet.toSeq: _*))
+                val hot = resolve(hotScan, schema, scheme, mergeKeys,
+                  referencedDeltas(deltas, hotBase ++ pendingPaths))
+                lastSplitRegime = "partitioned_hotsplit"
+                coldN.unionByName(hot.select(normCols: _*))
+              }
+            }
+        else None)
+      } match {
         case Some(spj) => spj
         case None => numBuckets match {
         case Some(n) if basePaths.nonEmpty =>
@@ -407,7 +487,14 @@ object MergeRead {
         * DataFrame reader gets from Catalyst. Key-only predicates drop all
         * versions of a key consistently, so pushing below the resolve is
         * semantics-preserving; the full filter re-applies above anyway. */
-      safeFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Option[DataFrame] = {
+      safeFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      /** Hot buckets carved out by the caller (plan's hot-bucket split):
+        * pending rows whose keys hash into these buckets belong to the
+        * dense hot-side resolve, so they are excluded from BOTH the key
+        * frame and the contested pending scan here — including them would
+        * double-count those keys in the union. basePaths must already
+        * exclude the hot buckets' files. */
+      excludeBuckets: Set[Int] = Set.empty): Option[DataFrame] = {
     val base = activeDeltas(deltas)._1.getOrElse(return None)
     org.apache.spark.sql.graft.BucketedBase.frame(
       spark, schema, mergeKeys, numBuckets, basePaths, bucketOfPath, ct.readOptions,
@@ -436,7 +523,11 @@ object MergeRead {
           .withColumn(File, lit("graft://partitioned-base"))
           .withColumn(Row, lit(0L))
           .withColumn(Present, typedLit(schema.fieldNames.toSeq))
-        val pk = pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, pending)
+        val notHot: DataFrame => DataFrame =
+          if (excludeBuckets.isEmpty) identity
+          else df => df.where(!pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
+            .isin(excludeBuckets.toSeq: _*))
+        val pk = notHot(pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, pending))
           .select(mergeKeys.map(k => col(k).as(s"_g_pk_$k")): _*)
           .distinct()
         val eqCond = mergeKeys.map(k => col(k) === col(s"_g_pk_$k")).reduce(_ && _)
@@ -444,7 +535,7 @@ object MergeRead {
         val pass = baseScan.where(!anyKeyNull).join(pk, eqCond, "left_anti")
         val contested = baseScan.where(!anyKeyNull).join(pk, eqCond, "left_semi")
           .unionByName(baseScan.where(anyKeyNull))
-          .unionByName(scanWithLineage(spark, schema, deltas, pendingPaths, ct))
+          .unionByName(notHot(scanWithLineage(spark, schema, deltas, pendingPaths, ct)))
         val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
         pass.select(normCols: _*).unionByName(
           resolve(contested, schema, scheme, mergeKeys,

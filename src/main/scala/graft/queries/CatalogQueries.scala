@@ -1811,6 +1811,78 @@ object CatalogQueries {
       s.conf.set(graft.catalog.MergeRead.LineageLiteralConfKey, "0")
       try cat.readTable("q.of")
       finally s.conf.unset(graft.catalog.MergeRead.LineageLiteralConfKey)
+    },
+
+    // Mixed ADD/CHRONO/MERGE interleaving on one keyed table (c90,
+    // round-14): pins the build's DOCUMENTED DEVIATION from the reference's
+    // reserved stream-position ranges (storage/main/impl.py:2788-2814 —
+    // APPEND partition counters < CHRONO epoch-ms ≤ UINT48_MAX < ADD
+    // UUID63, so there any ADD outranks any CHRONO regardless of commit
+    // order, and ADDs order RANDOMLY among themselves via uuid4). Here
+    // every delta type ranks on the ONE rev total order, so the merge
+    // winner for a key is its most recent WRITE regardless of delta type —
+    // strictly more deterministic than the reference's random-UUID ADD
+    // ordering. The oracle freezes that cross-type contract:
+    // U(rev4) > D(rev3 ADD) > C(rev2 CHRONO) > A(rev1 ADD) — note rev3's
+    // ADD beats rev2's CHRONO by commit order where the reference's ranges
+    // would ALSO rank it above, but rev2's CHRONO beats rev1's ADD here
+    // while the reference would invert them. APPEND is absent by design:
+    // both the reference (impl.py:555-576) and this build forbid APPEND on
+    // tables with merge keys, so no cross-type contract exists for it.
+    // SURVEY §7.4 #4 documents the deviation + this proof.
+    Q("c90_mixed_delta_ordering", Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                  WHEN o_orderkey % 5 = 0 THEN 'D'
+                  WHEN o_orderkey % 3 = 0 THEN 'C'
+                  ELSE 'A' END AS v
+      FROM orders""")) { (s, dir) =>
+      val cat = newCat(s, "c90")
+      cat.createTable("q.mx", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", StringType))), properties = MoR)
+      val keys = tbl(s, dir, "orders").select("o_orderkey")
+      cat.writeToTable(keys.withColumn("v", lit("A")), "q.mx", WriteMode.Add)
+      cat.writeToTable(keys.where(col("o_orderkey") % 3 === 0)
+        .withColumn("v", lit("C")), "q.mx", WriteMode.Chrono)
+      cat.writeToTable(keys.where(col("o_orderkey") % 5 === 0)
+        .withColumn("v", lit("D")), "q.mx", WriteMode.Add)
+      cat.writeToTable(keys.where(col("o_orderkey") % 7 === 0)
+        .withColumn("v", lit("U")), "q.mx", WriteMode.Merge)
+      cat.readTable("q.mx")
+    },
+
+    // Streaming exactly-once terminal state (c91, round-14): a graft→graft
+    // AvailableNow pipeline run as TWO separate activations over one
+    // checkpoint — the second must resume from the committed offsets (no
+    // replay of the first run's deltas, no loss of the new one), so the
+    // sink's terminal state is the source content EXACTLY once.
+    // Deterministic: micro-batch boundaries are delta boundaries, no
+    // wall-clock anywhere. (GraftStreamSource/GraftStreamSink; the
+    // ScalaTest-only fixture this promotes to a DuckDB-gated row.)
+    Q("c91_streaming_exactly_once", Some(
+      "SELECT n_nationkey, n_name FROM nation")) { (s, dir) =>
+      val root = Files.createTempDirectory("graft_c91").toString
+      val cat = new GraftCatalog(s, root)
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      cat.createTable("q.src", n.schema)
+      cat.writeToTable(n.where(col("n_nationkey") < 10), "q.src", WriteMode.Append)
+      cat.writeToTable(n.where(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+        "q.src", WriteMode.Append)
+      val ck = Files.createTempDirectory("graft_c91_ck").toString
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("root", root).option("table", "q.src").load()
+          .writeStream.format("graft")
+          .option("root", root).option("table", "q.sout")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      cat.writeToTable(n.where(col("n_nationkey") >= 20), "q.src", WriteMode.Append)
+      runOnce()
+      cat.readTable("q.sout")
     }
   )
 }

@@ -608,4 +608,84 @@ class PartitionedMergeSpec extends SparkSpec {
     val g = cat3.readTable("ns.ggate").as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(g.size == 20000 && g.toMap.apply(4L) == "upd" && g.toMap.apply(3L) == "3")
   }
+
+  test("planted power-law merge key: hot bucket leaves the partitioned plan, resolves densely, rows ≡ dense ≡ pure-partitioned") {
+    // The one skew rebucketing cannot fix (round-14, verdict ask #2): the
+    // bucket id is pmod(hash(id), n) — a function of the merge KEY alone —
+    // so under a partition-scoped identity (day, id) the key id=0, live in
+    // EVERY day partition, concentrates all its rows in one bucket at any
+    // bucket count. The read must carve that bucket out of the
+    // storage-partitioned plan (single-partition-per-bucket would
+    // serialize it) and resolve it densely, without changing a single row.
+    val days = 200L
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj-hotkey"))
+    cat.createTable("ns.hk", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("day", LongType, nullable = false),
+      FieldMeta.field("v", StringType))),
+      partitionScheme = PartitionScheme(Seq(PartitionKey("day", Transform.Identity))),
+      properties = Map("read_optimization" -> "NONE",
+        "compaction.num_buckets" -> "4"))
+    // Hot key id=0 in every day (200 rows, one bucket); cold ids 1..299
+    // one day each (~75 rows per bucket). Hot bucket ≥ 200 rows vs mean
+    // 125 — hot under (factor 1.2, minRows 100) for ANY cold-key hash
+    // distribution (200 > 1.2×125 = 150; no cold bucket can reach 150),
+    // standing in for the production defaults (8×, 4M rows) at test scale.
+    val hot = spark.range(days).select(lit(0L).as("id"), $"id".as("day"),
+      concat(lit("h"), $"id").as("v"))
+    val cold = spark.range(1, 300).select($"id", ($"id" % days).as("day"),
+      lit("c").as("v"))
+    cat.writeToTable(hot.unionByName(cold).toDF(), "ns.hk", WriteMode.Merge)
+    cat.compact("ns.hk")
+    // Pending in the partitioned band: 81 rows — >62 (past the sparse 8×
+    // ratio on the FULL base of 500) and ≤ half the cold base (coldBase ≥
+    // 180 under any hash distribution). Updates hit the hot key in 40
+    // days, 30 cold keys, and delete the hot key from days 190..199 plus
+    // cold id 7 — deletes must land on the correct side of the split too.
+    cat.writeToTable(spark.range(40).select(lit(0L).as("id"), $"id".as("day"),
+      lit("HUP").as("v")).toDF(), "ns.hk", WriteMode.Merge)
+    cat.writeToTable(spark.range(1, 31).select($"id", ($"id" % days).as("day"),
+      lit("CUP").as("v")).toDF(), "ns.hk", WriteMode.Merge)
+    cat.writeToTable(
+      spark.range(190, 200).select(lit(0L).as("id"), $"id".as("day"))
+        .unionByName(Seq((7L, 7L)).toDF("id", "day")).toDF(),
+      "ns.hk", WriteMode.Delete)
+
+    def rows(): Seq[(Long, Long, String)] =
+      cat.readTable("ns.hk").as[(Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    spark.conf.set(MergeRead.HotBucketFactorKey, "1.2")
+    spark.conf.set(MergeRead.HotBucketMinRowsKey, "100")
+    val (split, regime) = try {
+      MergeRead.lastSplitRegime = ""
+      val df = cat.readTable("ns.hk")
+      // The cold side must still be the exchange-free KeyGrouped scan.
+      assertPassSideNeverShuffles(df.queryExecution.executedPlan)
+      (rows(), MergeRead.lastSplitRegime)
+    } finally {
+      spark.conf.unset(MergeRead.HotBucketFactorKey)
+      spark.conf.unset(MergeRead.HotBucketMinRowsKey)
+    }
+    assert(regime == "partitioned_hotsplit",
+      s"planted hot bucket must engage the carve-out, planned '$regime'")
+    // Reference 1: the pure dense resolve (partitioned path disabled).
+    spark.conf.set("graft.merge.partitioned.enabled", "false")
+    val dense = try rows() finally spark.conf.unset("graft.merge.partitioned.enabled")
+    // Reference 2: the pure partitioned path (carve-out disabled) — the
+    // hot bucket stays in the KeyGrouped plan; slower shape, same rows.
+    MergeRead.lastSplitRegime = ""
+    val pureSpj = rows()
+    assert(MergeRead.lastSplitRegime == "partitioned",
+      "carve-out must be off at default thresholds on a test-sized table")
+    assert(split == dense, "hot-split read diverged from the dense resolve")
+    assert(split == pureSpj, "hot-split read diverged from the pure partitioned read")
+    // Semantic spot checks on the hot key's partition-scoped versions.
+    val hotRows = split.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    assert(hotRows.size == 190 && !hotRows.contains(195L),
+      "hot key must keep one row per remaining day")
+    assert(hotRows(10L) == "HUP" && hotRows(60L) == "h60",
+      s"hot key day-scoped upserts misapplied: ${hotRows.get(10L)}, ${hotRows.get(60L)}")
+    assert(!split.exists(_._1 == 7L) && split.filter(_._1 == 8L).head._3 == "CUP")
+    assert(split.size == 190 + 299 - 1 - 0) // 190 hot days + 299 cold - id 7
+  }
 }
