@@ -221,17 +221,38 @@ object MergeRead {
               if (hotSet.isEmpty) coldN
               else {
                 val n = numBuckets.get
-                // Key-derived filter: keeps or drops ALL versions of a key
-                // consistently (the merge-key pushdown argument), so
-                // filtering BEFORE the resolve is semantics-preserving —
-                // and the hash() kernel is the writer's own, so base rows
-                // of hot buckets pass it trivially.
-                val bucketCol = pmod(hash(mergeKeys.map(col): _*), lit(n))
-                val hotScan = scanWithLineage(spark, schema, deltas,
-                  hotBase ++ pendingPaths, contentType)
-                  .where(bucketCol.isin(hotSet.toSeq: _*))
-                val hot = resolve(hotScan, schema, scheme, mergeKeys,
-                  referencedDeltas(deltas, hotBase ++ pendingPaths))
+                // Hot side: the broadcast pass/contested split (sparseMerge
+                // restricted to the hot buckets) whenever the pending key
+                // set is broadcastable — the hot base then streams through
+                // parallel file splits with NO shuffle at all (shuffling
+                // the hot bucket's full contents through a dense resolve
+                // was measured 2.7× worse than leaving it a straggler).
+                // The global sparse gate failed only on the pending:base
+                // RATIO, which argues dense-vs-sparse for the whole read,
+                // not for this bucket. Un-broadcastable pending falls back
+                // to the dense resolve under a key-derived bucket filter —
+                // keeps/drops all versions of a key consistently, so
+                // filtering before the resolve is semantics-preserving.
+                val maxPendingRows = spark.conf.get(
+                  "graft.merge.sparse.maxPendingRows", SparseMaxPendingRows.toString).toLong
+                val pendingRows: Option[Long] = {
+                  val es = pending.flatMap(_.entries)
+                  if (es.isEmpty || es.exists(_.recordCount < 0)) None
+                  else Some(es.map(_.recordCount).sum)
+                }
+                val hot =
+                  if (pendingRows.exists(_ <= maxPendingRows))
+                    sparseMerge(spark, schema, scheme, mergeKeys, deltas,
+                      hotBase, pending, pendingPaths, contentType,
+                      onlyBuckets = hotSet, numBuckets = n)
+                  else {
+                    val bucketCol = pmod(hash(mergeKeys.map(col): _*), lit(n))
+                    val hotScan = scanWithLineage(spark, schema, deltas,
+                      hotBase ++ pendingPaths, contentType)
+                      .where(bucketCol.isin(hotSet.toSeq: _*))
+                    resolve(hotScan, schema, scheme, mergeKeys,
+                      referencedDeltas(deltas, hotBase ++ pendingPaths))
+                  }
                 lastSplitRegime = "partitioned_hotsplit"
                 coldN.unionByName(hot.select(normCols: _*))
               }
@@ -379,17 +400,29 @@ object MergeRead {
       spark: SparkSession, schema: StructType, scheme: PartitionScheme,
       mergeKeys: Seq[String], deltas: Seq[DeltaMeta], basePaths: Seq[String],
       pending: Seq[DeltaMeta], pendingPaths: Seq[String],
-      ct: ContentType): DataFrame = {
+      ct: ContentType,
+      /** Hot-side reuse (plan's hot-bucket carve-out): restrict the merge
+        * to keys hashing into these buckets. basePaths must already be
+        * the hot buckets' files; the pending key set and contested pending
+        * scan are filtered here so each key's whole version set stays on
+        * one side of the split. Empty = unrestricted (the classic sparse
+        * trickle read). */
+      onlyBuckets: Set[Int] = Set.empty,
+      numBuckets: Int = 0): DataFrame = {
     lastSplitRegime = "sparse"
+    val inBuckets: DataFrame => DataFrame =
+      if (onlyBuckets.isEmpty) identity
+      else df => df.where(pmod(hash(mergeKeys.map(col): _*), lit(numBuckets))
+        .isin(onlyBuckets.toSeq: _*))
     val pk = broadcast(
-      pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, pending)
+      inBuckets(pendingKeyFrame(spark, schema, mergeKeys, pendingPaths, ct, pending))
         .select(mergeKeys.map(k => col(k).as(s"_g_pk_$k")): _*)
         .distinct())
     val cond = mergeKeys.map(k => col(k) <=> col(s"_g_pk_$k")).reduce(_ && _)
     val baseScan = scanWithLineage(spark, schema, deltas, basePaths, ct)
     val pass = baseScan.join(pk, cond, "left_anti")
     val contested = baseScan.join(pk, cond, "left_semi")
-      .unionByName(scanWithLineage(spark, schema, deltas, pendingPaths, ct))
+      .unionByName(inBuckets(scanWithLineage(spark, schema, deltas, pendingPaths, ct)))
     // Both sides normalize to (schema, Present, File): resolve's branches
     // drop the per-row recency columns the raw scan still carries.
     val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
