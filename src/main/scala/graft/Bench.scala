@@ -129,7 +129,15 @@ object Bench {
     // 8.00 seed came from two samples); floor entries get the same
     // evidence-based re-band discipline as engine entries because an
     // over-band floor un-trusts the graded ratio it anchors
-    "baseline_raw_spark_30x" -> 9.00)
+    "baseline_raw_spark_30x" -> 9.00,
+    // round-14 seeds from build-day quiet mins (hot-bucket A/B at the k=4
+    // crossover fixture: 4.09 / 5.02 / 2.85 s, single quiet session each,
+    // ~28% headroom; the banded CONTRACT for the mitigation is the
+    // hotbucket_over_balanced scale ratio — these absolute bands just
+    // catch drift in the fixture itself)
+    "mor_hotbucket_read" -> 5.20,
+    "mor_hotbucket_nosplit" -> 6.50,
+    "mor_balanced_read" -> 3.60)
 
   /** Dimensionless scale-curve bands (round-14): absolute times drift with
     * the host, but the RATIO of an entry's 30× point to its 1× point is
@@ -363,6 +371,34 @@ object Bench {
         attempt("mor_backlog_read")(measured("mor_backlog_read") {
           cat.readTable("bench.sqlmor").agg(sum("l_quantity"), count(lit(1))).head()
         })
+        // 1000-delta backlog probe (round-14, env-gated one-off like
+        // XSCALE — each probe write is a full commit, so ~900 extra writes
+        // cost minutes and stay out of the official run): the >64-delta
+        // lineage FALLBACK's design scale is thousands of deltas; this
+        // proves analysis/planning time and wall time stay bounded there.
+        // `backlog_N_analysis` times plan construction alone (the
+        // plan-size risk: ~N scan relations under the fallback's single
+        // union is gone — it builds ONE scan + an O(N) broadcast lineage
+        // join — but the metastore still lists N revisions per read).
+        // The auto-compaction delta trigger (default 100) must be lifted
+        // or the backlog silently folds at write #100.
+        sys.env.get("SPARK_GRAFT_BENCH_BACKLOG").map(_.toInt).filter(_ > 82).foreach { n =>
+          import spark.implicits._
+          cat.alterTable("bench.sqlmor",
+            setProperties = Map("compaction.trigger.deltas" -> "1000000"))
+          (81 to n).foreach { i =>
+            cat.writeToTable(Seq((1000000L + i, 1, i.toDouble, 1.0, "B"))
+              .toDF("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_returnflag"),
+              "bench.sqlmor", WriteMode.Merge)
+          }
+          val tAn0 = System.nanoTime()
+          cat.readTable("bench.sqlmor").queryExecution.executedPlan
+          results(s"backlog_${n}_analysis") = (System.nanoTime() - tAn0) / 1e9
+          attempt(s"backlog_${n}_read")(measuredWarm(s"backlog_${n}_read") {
+            cat.readTable("bench.sqlmor").agg(sum("l_quantity"), count(lit(1))).head()
+          })
+        }
       }
     } catch { case e: Throwable =>
       errors("sql_mor_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
