@@ -1151,15 +1151,43 @@ object Bench {
     val bandJson2 =
       s""","band_summary":"$nIn/$nBanded in band""" +
         (if (overs.isEmpty) "\"" else overs.mkString("; over: ", ",", "\""))
+    // Terse string forms of the ratio verdicts for the compact line: the
+    // object forms cost ~420 bytes, which pushed the 60-entry line past
+    // the capture window and degraded it to queries:{} — exactly the
+    // per-entry channel ask #1 exists to restore. "4.10xT" = ratio with
+    // floor trusted (F = floor over band, do not grade); "3.15<=4.8:in"
+    // = scale ratio vs its band. Full objects stay in target/bench.json.
+    val ratioJsonCompact = {
+      val rs = Seq(
+        ("pipeline", "pipeline_write_compact_read", "baseline_raw_spark"),
+        ("pipeline_10x", "pipeline_10x", "baseline_raw_spark_10x"),
+        ("pipeline_30x", "pipeline_30x", "baseline_raw_spark_30x")).flatMap {
+        case (nm, p, f) =>
+          for (pv <- results.get(p); fv <- results.get(f) if fv > 0.001) yield {
+            val t = if (quietBandUpper.get(f).forall(fv <= _)) "T" else "F"
+            f""""$nm":"${pv / fv}%.2fx$t""""
+          }
+      }
+      if (rs.isEmpty) "" else rs.mkString(""","ratios_over_floor":{""", ",", "}")
+    }
+    val scaleJsonCompact = {
+      val rs = ratioBands.flatMap { case (nm, num, den, band) =>
+        for (nv <- results.get(num); dv <- results.get(den) if dv > 0.001) yield {
+          val x = nv / dv
+          f""""$nm":"$x%.2f<=$band%.2g:${if (x <= band) "in" else "over"}""""
+        }
+      }
+      if (rs.isEmpty) "" else rs.mkString(""","scale_ratios":{""", ",", "}")
+    }
     def compactOf(qjson: String): String =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qjson$errJsonCompact$bandJson2$ratioJson$scaleJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qjson$errJsonCompact$bandJson2$ratioJsonCompact$scaleJsonCompact,"sf":"$sfDir"}"""
     val compact = {
       val full = compactOf(qsCompact)
       // Degrade rather than overflow: if future entries push the summary
       // past the capture window, drop the per-entry map (the band verdict
       // and ratios still certify) — a parseable partial line beats an
       // unparseable complete one.
-      if (full.length <= 1950) full else compactOf("{}")
+      if (full.length <= 2000) full else compactOf("{}")
     }
     println(compact)
     // Machine-clean FULL copy: sbt prefixes stdout with [info] and the

@@ -688,4 +688,81 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(!split.exists(_._1 == 7L) && split.filter(_._1 == 8L).head._3 == "CUP")
     assert(split.size == 190 + 299 - 1 - 0) // 190 hot days + 299 cold - id 7
   }
+
+  test("forced carve-out randomized equivalence: nullable keys, deletes, partial upserts through BOTH hot-side variants") {
+    // The carve-out's key-routing must hold on arbitrary tables, not just
+    // the planted power-law fixture: factor 1.001 + minRows 1 makes any
+    // bucket above the (noisy) mean hot — at least one bucket always
+    // stays cold (min ≤ mean by identity), so the split exercises a
+    // genuinely mixed plan with null-keyed rows, a null-keyed DELETE, and
+    // PARTIAL upserts landing on whichever side their key hashes to.
+    // Both hot-side variants run: the broadcast pass/contested split and
+    // (maxPendingRows=0) the bucket-filtered dense-resolve fallback.
+    val rnd = new scala.util.Random(20260817L)
+    var hotsplitRounds = 0
+    for (round <- 0 until 3) {
+      val cat = new GraftCatalog(spark, tmpDir(s"graft-spj-fh$round"))
+      cat.createTable("ns.f", StructType(Seq(
+        FieldMeta.field("a", StringType, nullable = true, mergeKey = true),
+        FieldMeta.field("b", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", StringType),
+        FieldMeta.field("w", LongType))),
+        properties = Map("read_optimization" -> "NONE",
+          "compaction.num_buckets" -> "4"))
+      val n = 4000 + rnd.nextInt(2000)
+      cat.writeToTable(spark.range(n)
+        .select(when($"id" % 500 === 0, lit(null))
+          .otherwise(concat(lit("k"), $"id")).as("a"),
+          $"id".as("b"), lit("x").as("v"), $"id".as("w")).toDF(),
+        "ns.f", WriteMode.Merge)
+      cat.compact("ns.f")
+      // ~17-20% pending keeps the read in the partitioned band: past the
+      // sparse 8× ratio on the full base, within 2× of the usual cold base.
+      val m = 5 + rnd.nextInt(2)
+      cat.writeToTable(spark.range(n).where($"id" % m === 1)
+        .select(concat(lit("k"), $"id").as("a"), $"id".as("b"),
+          lit(s"u$round").as("v")).toDF(), "ns.f", WriteMode.Merge) // partial: no w
+      cat.writeToTable(spark.range(n).where($"id" % 500 === 0)
+        .select(lit(null).cast("string").as("a"), $"id".as("b")).toDF(),
+        "ns.f", WriteMode.Delete)
+      def rows(c: GraftCatalog): Seq[(Option[String], Long, String, String)] =
+        c.readTable("ns.f").collect().map(r =>
+          (Option(r.getString(0)), r.getLong(1), r.getString(2),
+            Option(r.get(3)).map(_.toString).getOrElse("∅")))
+          .sortBy(t => (t._1.getOrElse(""), t._2)).toSeq
+      spark.conf.set("graft.merge.partitioned.enabled", "false")
+      spark.conf.set("graft.merge.sparse.enabled", "false")
+      val dense =
+        try rows(cat)
+        finally {
+          spark.conf.unset("graft.merge.partitioned.enabled")
+          spark.conf.unset("graft.merge.sparse.enabled")
+        }
+      assert(!dense.exists(_._1.isEmpty), "null-keyed rows must be tombstoned")
+      spark.conf.set(MergeRead.HotBucketFactorKey, "1.001")
+      spark.conf.set(MergeRead.HotBucketMinRowsKey, "1")
+      try {
+        MergeRead.lastSplitRegime = ""
+        val broadcastSide = rows(cat)
+        val engaged = MergeRead.lastSplitRegime == "partitioned_hotsplit"
+        if (engaged) hotsplitRounds += 1
+        assert(broadcastSide == dense,
+          s"round $round: forced carve-out (broadcast hot side, engaged=$engaged) diverged from dense")
+        // un-broadcastable pending → the bucket-filtered dense hot side
+        spark.conf.set("graft.merge.sparse.maxPendingRows", "0")
+        MergeRead.lastSplitRegime = ""
+        val denseSide =
+          try rows(cat)
+          finally spark.conf.unset("graft.merge.sparse.maxPendingRows")
+        assert(denseSide == dense,
+          s"round $round: forced carve-out (dense hot side) diverged from dense")
+      } finally {
+        spark.conf.unset(MergeRead.HotBucketFactorKey)
+        spark.conf.unset(MergeRead.HotBucketMinRowsKey)
+      }
+    }
+    assert(hotsplitRounds > 0,
+      "no round engaged the carve-out — the forced-threshold equivalence " +
+        "degraded to dense≡dense (eligibility or detection regression?)")
+  }
 }
