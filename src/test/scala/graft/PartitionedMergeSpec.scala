@@ -687,6 +687,27 @@ class PartitionedMergeSpec extends SparkSpec {
       s"hot key day-scoped upserts misapplied: ${hotRows.get(10L)}, ${hotRows.get(60L)}")
     assert(!split.exists(_._1 == 7L) && split.filter(_._1 == 8L).head._3 == "CUP")
     assert(split.size == 190 + 299 - 1 - 0) // 190 hot days + 299 cold - id 7
+    // Above the manifest planning gate the deltas re-materialize through
+    // the distributed prune STATS-STRIPPED — but record-counted
+    // (entry.copy(stats = null)), which is exactly what hot-bucket
+    // detection reads. Pin that the carve-out still engages on streamed
+    // skeleton metadata: a silent empty-detection here would turn the
+    // mitigation off at precisely the 10^7-entry scale it exists for.
+    spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+    spark.conf.set(MergeRead.HotBucketFactorKey, "1.2")
+    spark.conf.set(MergeRead.HotBucketMinRowsKey, "100")
+    try {
+      MergeRead.lastSplitRegime = ""
+      val gated = rows()
+      assert(MergeRead.lastSplitRegime == "partitioned_hotsplit",
+        "above-gate read must detect the hot bucket from streamed entries, " +
+          s"planned '${MergeRead.lastSplitRegime}'")
+      assert(gated == split, "above-gate hot-split read diverged")
+    } finally {
+      spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
+      spark.conf.unset(MergeRead.HotBucketFactorKey)
+      spark.conf.unset(MergeRead.HotBucketMinRowsKey)
+    }
   }
 
   test("forced carve-out randomized equivalence: nullable keys, deletes, partial upserts through BOTH hot-side variants") {
