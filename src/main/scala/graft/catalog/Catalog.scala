@@ -897,11 +897,22 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // projection/limit likewise apply to the ZIPPED rows below.
     val (keyFilter, residualFilter) = StatsSkip.splitKeyConjuncts(
       opts.partitionFilter.toSeq ++ opts.rowFilter.toSeq, keys.toSet)
+    // Side-plan pin: the dense aggregate's hash(keys) partitioning keeps
+    // the key-equality zip join exchange-free, at the cost of resolving
+    // every side densely (the max_by payload-struct buffers are the
+    // dominant task-GC at 30× — see BENCH_NOTES round-14 GC watch item).
+    // `graft.zipper.densePin=false` lets sides take their natural split
+    // regime (sparse/partitioned pass sides shuffle nothing) and pays the
+    // zip join's own exchanges instead — same shuffled volume, different
+    // allocation profile; measured at 30× the dense pin wins on wall time,
+    // which is why it stays the default.
+    val densePin = spark.conf.getOption("graft.zipper.densePin").forall { v =>
+      v.trim.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.zipper.densePin must be true or false, got '$v'"))
+    }
     val zipOpts = opts.copy(columns = None, rowFilter = keyFilter, limit = None,
       partitionFilter = None, withFilePath = false,
-      // group plans feed straight into the key-equality zip: the dense
-      // aggregate's hash(keys) partitioning keeps that join exchange-free
-      denseResolve = true)
+      denseResolve = densePin)
     val deltas = plannedDeltas(t, zipOpts, schema, scheme, keys)
     val renames = MergeRead.renameMapOf(schema)
     def writtenOf(d: DeltaMeta): Option[Set[String]] =
