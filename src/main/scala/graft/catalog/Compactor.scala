@@ -507,19 +507,29 @@ object Compactor {
             // old layout, and a mismatched n would put keys in the wrong
             // KeyGrouped partitions (wrong join results, silently).
             val layoutBuckets = base.flatMap(_.properties.get("num_buckets")).map(_.toInt)
+            // Hot-bucket carve-out applies to compaction's resolve half too
+            // (round-14): a hot bucket would straggle the partitioned
+            // split's single KeyGrouped partition during the rewrite
+            // exactly as it did at read. Detection streams the base
+            // metafile above the planning gate (O(1) memory, the recluster
+            // advisor's pattern); counts cover the FULL base — the mean is
+            // a layout property, not a property of this round's touched
+            // subset. Above the gate the split-regime ratios resolve from
+            // the commit-stamped record_count properties (MergeRead
+            // .deltaRows), so skeleton deltas no longer silently force the
+            // dense resolve at exactly the table size the splits exist for.
+            val hotSet = layoutBuckets.map(n =>
+              MergeRead.hotBucketsOf(spark, n, MergeRead.bucketOfPath)(f =>
+                base.foreach(b => foreachEntryOf(b)(f)))).getOrElse(Set.empty)
             val merged =
               if (mergeKeys.isEmpty) scan
               else if (MergeRead.sparseEligible(spark, base, touchedBasePaths,
                   pending, pendingPaths))
                 MergeRead.sparseMerge(spark, schema, scheme, mergeKeys, deltas,
                   touchedBasePaths, pending, pendingPaths, ct)
-              else (if (MergeRead.partitionedEligible(spark, schema, base,
-                    touchedBasePaths, pending, pendingPaths, layoutBuckets, ct,
-                    ReadOptions()))
-                  MergeRead.partitionedMerge(spark, schema, scheme, mergeKeys,
-                    deltas, touchedBasePaths, pending, pendingPaths, ct,
-                    layoutBuckets.get)
-                else None)
+              else MergeRead.partitionedWithCarveout(spark, schema, scheme,
+                  mergeKeys, deltas, touchedBasePaths, pending, pendingPaths,
+                  ct, layoutBuckets, hotSet, ReadOptions(), Nil)
                 .getOrElse(MergeRead.resolve(scan, schema, scheme, mergeKeys, active))
             val resolved = MergeRead.applyPastDefaults(merged, schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)

@@ -80,23 +80,37 @@ object MergeRead {
     * record count (same posture as reclusterAdviceOf). */
   private[catalog] def hotBuckets(
       spark: SparkSession, entries: Seq[graft.txn.ManifestEntry],
-      numBuckets: Int, bucketOf: String => Option[Int]): Set[Int] = {
+      numBuckets: Int, bucketOf: String => Option[Int]): Set[Int] =
+    if (entries.isEmpty) Set.empty
+    else hotBucketsOf(spark, numBuckets, bucketOf)(entries.foreach)
+
+  /** [[hotBuckets]] over a STREAMED entry source — O(1) memory, so
+    * compaction above the manifest planning gate (entries never resident
+    * on the driver) detects hot buckets by streaming the base metafile,
+    * the same pattern as reclusterAdviceOf. Stops at the first
+    * unattributable path or unknown count. */
+  private[catalog] def hotBucketsOf(spark: SparkSession, numBuckets: Int,
+      bucketOf: String => Option[Int])(
+      forEach: (graft.txn.ManifestEntry => Unit) => Unit): Set[Int] = {
     def num[T](key: String, default: T, parse: String => Option[T]): T =
       spark.conf.getOption(key).map(v => parse(v.trim).getOrElse(
         throw new IllegalArgumentException(s"$key must be numeric, got '$v'")))
         .getOrElse(default)
     val factor = num(HotBucketFactorKey, HotBucketFactorDefault, _.toDoubleOption)
     val minRows = num(HotBucketMinRowsKey, HotBucketMinRowsDefault, _.toLongOption)
-    if (factor <= 0 || numBuckets <= 0 || entries.isEmpty) return Set.empty
+    if (factor <= 0 || numBuckets <= 0) return Set.empty
     val per = scala.collection.mutable.HashMap[Int, Long]()
-    entries.foreach { e =>
-      if (e.recordCount < 0) return Set.empty
-      bucketOf(e.path) match {
-        case Some(b) if b >= 0 && b < numBuckets =>
-          per.update(b, per.getOrElse(b, 0L) + e.recordCount)
-        case _ => return Set.empty
+    var untrusted = false
+    object Untrusted extends scala.util.control.ControlThrowable
+    try forEach { e =>
+      val b = if (e.recordCount < 0) None
+        else bucketOf(e.path).filter(b => b >= 0 && b < numBuckets)
+      b match {
+        case Some(bk) => per.update(bk, per.getOrElse(bk, 0L) + e.recordCount)
+        case None => untrusted = true; throw Untrusted
       }
-    }
+    } catch { case Untrusted => () }
+    if (untrusted || per.isEmpty) return Set.empty
     val mean = per.values.sum.toDouble / numBuckets
     per.collect { case (b, rc) if rc > minRows && rc > factor * mean => b }.toSet
   }
@@ -189,76 +203,15 @@ object MergeRead {
         // scan+collect job of its own.
         sparseMerge(spark, schema, scheme, mergeKeys, deltas,
           basePaths, pending, pendingPaths, contentType).select(normCols: _*)
-      } else {
-        // Hot-bucket carve-out (round-14, see hotBuckets doc): hot buckets
-        // leave the storage-partitioned plan — their files resolve densely
-        // (shuffle on the full merge scope spreads the hot key) while cold
-        // buckets keep the exchange-free partitioned path. Each key's
-        // entire version set (base + pending, deletes included) lands
-        // wholly on one side because the bucket is a function of the key,
-        // so union(cold, hot) is exact.
-        val hotSet: Set[Int] =
-          if (denseResolve) Set.empty
-          else numBuckets.map(n => hotBuckets(spark, baseEntries, n, bucketOfPath))
-            .getOrElse(Set.empty)
-        val (hotBase, coldBase) =
-          if (hotSet.isEmpty) (Nil, basePaths)
-          else basePaths.partition(p => bucketOfPath(p).exists(hotSet.contains))
-        (if (!denseResolve && coldBase.nonEmpty &&
-            partitionedEligible(spark, schema, base, coldBase, pending,
-            pendingPaths, numBuckets, contentType, opts))
-          // Storage-partitioned dense merge (see partitionedMerge): the
-          // sparse split at non-broadcastable pending sizes — the key joins
-          // shuffle pending INTO the base's bucket layout, the base never
-          // shuffles. Skips bucket discovery for the same reason the
-          // sparse path does: the row-level anti-join is a strictly finer
-          // prune. None (layout drift) falls through to the dense paths.
-          partitionedMerge(spark, schema, scheme, mergeKeys, deltas, coldBase,
-            pending, pendingPaths, contentType, numBuckets.get, statFilters,
-            excludeBuckets = hotSet)
-            .map { cold =>
-              val coldN = cold.select(normCols: _*)
-              if (hotSet.isEmpty) coldN
-              else {
-                val n = numBuckets.get
-                // Hot side: the broadcast pass/contested split (sparseMerge
-                // restricted to the hot buckets) whenever the pending key
-                // set is broadcastable — the hot base then streams through
-                // parallel file splits with NO shuffle at all (shuffling
-                // the hot bucket's full contents through a dense resolve
-                // was measured 2.7× worse than leaving it a straggler).
-                // The global sparse gate failed only on the pending:base
-                // RATIO, which argues dense-vs-sparse for the whole read,
-                // not for this bucket. Un-broadcastable pending falls back
-                // to the dense resolve under a key-derived bucket filter —
-                // keeps/drops all versions of a key consistently, so
-                // filtering before the resolve is semantics-preserving.
-                val maxPendingRows = spark.conf.get(
-                  "graft.merge.sparse.maxPendingRows", SparseMaxPendingRows.toString).toLong
-                val pendingRows: Option[Long] = {
-                  val es = pending.flatMap(_.entries)
-                  if (es.isEmpty || es.exists(_.recordCount < 0)) None
-                  else Some(es.map(_.recordCount).sum)
-                }
-                val hot =
-                  if (pendingRows.exists(_ <= maxPendingRows))
-                    sparseMerge(spark, schema, scheme, mergeKeys, deltas,
-                      hotBase, pending, pendingPaths, contentType,
-                      onlyBuckets = hotSet, numBuckets = n)
-                  else {
-                    val bucketCol = pmod(hash(mergeKeys.map(col): _*), lit(n))
-                    val hotScan = scanWithLineage(spark, schema, deltas,
-                      hotBase ++ pendingPaths, contentType)
-                      .where(bucketCol.isin(hotSet.toSeq: _*))
-                    resolve(hotScan, schema, scheme, mergeKeys,
-                      referencedDeltas(deltas, hotBase ++ pendingPaths))
-                  }
-                lastSplitRegime = "partitioned_hotsplit"
-                coldN.unionByName(hot.select(normCols: _*))
-              }
-            }
-        else None)
-      } match {
+      } else (if (denseResolve) None
+        else {
+          val hotSet = numBuckets
+            .map(n => hotBuckets(spark, baseEntries, n, bucketOfPath))
+            .getOrElse(Set.empty[Int])
+          partitionedWithCarveout(spark, schema, scheme, mergeKeys, deltas,
+            basePaths, pending, pendingPaths, contentType, numBuckets, hotSet,
+            opts, statFilters)
+        }) match {
         case Some(spj) => spj
         case None => numBuckets match {
         case Some(n) if basePaths.nonEmpty =>
@@ -295,6 +248,77 @@ object MergeRead {
       ct: ContentType): DataFrame =
     resolve(scanWithLineage(spark, schema, deltas, paths, ct),
       schema, scheme, mergeKeys, referencedDeltas(deltas, paths))
+
+  /**
+   * The partitioned rung of the dense-band ladder WITH the hot-bucket
+   * carve-out — shared by the read path ([[plan]]) and compaction's
+   * resolve half (Compactor.compactOnce), so a hot bucket cannot straggle
+   * the rewrite either. Hot buckets (see [[hotBuckets]]) leave the
+   * storage-partitioned plan — each key's entire version set (base +
+   * pending, deletes included) lands wholly on one side because the
+   * bucket is a function of the key, so union(cold, hot) is exact:
+   *
+   *  - Cold buckets keep the exchange-free KeyGrouped path
+   *    ([[partitionedMerge]]): pending shuffles INTO the layout, the base
+   *    never shuffles.
+   *  - Hot buckets take the broadcast pass/contested split
+   *    ([[sparseMerge]] restricted to them) whenever the pending key set
+   *    is broadcastable — the hot base streams through parallel file
+   *    splits with NO shuffle (shuffling the hot bucket's full contents
+   *    through a dense resolve was measured 2.7× worse than leaving it a
+   *    straggler). The global sparse gate failed only on the pending:base
+   *    RATIO, which argues dense-vs-sparse for the whole read, not for
+   *    this bucket. Un-broadcastable pending falls back to the dense
+   *    resolve under a key-derived bucket filter — keeps/drops all
+   *    versions of a key consistently, so filtering before the resolve is
+   *    semantics-preserving.
+   *
+   * Returns frames in (schema, Present, File) column shape; None = no
+   * storage-partitioned plan engaged (layout drift, ineligible ratio, or
+   * no cold base) and the caller runs its dense resolve.
+   */
+  private[catalog] def partitionedWithCarveout(
+      spark: SparkSession, schema: StructType, scheme: PartitionScheme,
+      mergeKeys: Seq[String], deltas: Seq[DeltaMeta], basePaths: Seq[String],
+      pending: Seq[DeltaMeta], pendingPaths: Seq[String], ct: ContentType,
+      numBuckets: Option[Int], hotSet: Set[Int], opts: ReadOptions,
+      statFilters: Seq[org.apache.spark.sql.sources.Filter]): Option[DataFrame] = {
+    val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
+    val base = activeDeltas(deltas)._1
+    val (hotBase, coldBase) =
+      if (hotSet.isEmpty) (Nil, basePaths)
+      else basePaths.partition(p => bucketOfPath(p).exists(hotSet.contains))
+    if (coldBase.isEmpty || !partitionedEligible(spark, schema, base, coldBase,
+        pending, pendingPaths, numBuckets, ct, opts)) return None
+    partitionedMerge(spark, schema, scheme, mergeKeys, deltas, coldBase,
+      pending, pendingPaths, ct, numBuckets.get, statFilters,
+      excludeBuckets = hotSet)
+      .map { cold =>
+        val coldN = cold.select(normCols: _*)
+        if (hotSet.isEmpty) coldN
+        else {
+          val n = numBuckets.get
+          val maxPendingRows = spark.conf.get(
+            "graft.merge.sparse.maxPendingRows", SparseMaxPendingRows.toString).toLong
+          val pendingRows = pendingRowsOf(pending)
+          val hot =
+            if (pendingRows.exists(_ <= maxPendingRows))
+              sparseMerge(spark, schema, scheme, mergeKeys, deltas,
+                hotBase, pending, pendingPaths, ct,
+                onlyBuckets = hotSet, numBuckets = n)
+            else {
+              val bucketCol = pmod(hash(mergeKeys.map(col): _*), lit(n))
+              val hotScan = scanWithLineage(spark, schema, deltas,
+                hotBase ++ pendingPaths, ct)
+                .where(bucketCol.isin(hotSet.toSeq: _*))
+              resolve(hotScan, schema, scheme, mergeKeys,
+                referencedDeltas(deltas, hotBase ++ pendingPaths))
+            }
+          lastSplitRegime = "partitioned_hotsplit"
+          coldN.unionByName(hot.select(normCols: _*))
+        }
+      }
+  }
 
   /** The pending deltas' merge-key columns only — a metadata-sized scan
     * shared by bucket discovery and the sparse-merge key set. */
@@ -341,6 +365,27 @@ object MergeRead {
       .distinct().collect().map(_.getInt(0)).toSet
   }
 
+  /** Row count of one delta for the split-regime heuristics: summed entry
+    * counts when entries are resident, else the commit-stamped
+    * `record_count` property — so ABOVE the manifest planning gate (where
+    * compaction's deltas are entry-less skeletons) the sparse/partitioned
+    * eligibility ratios still resolve instead of silently denying every
+    * split at exactly the table size the splits exist for. For a BASE
+    * restricted to a touched-path subset the stamped count OVERSTATES
+    * (it covers the whole delta) — the safe direction for every use: the
+    * ratios are perf heuristics whose correctness does not depend on
+    * them, and overstating the base only admits a split a bit earlier. */
+  private def deltaRows(d: DeltaMeta, entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
+    if (entries.nonEmpty) {
+      if (entries.exists(_.recordCount < 0)) None
+      else Some(entries.map(_.recordCount).sum)
+    } else d.properties.get("record_count").flatMap(_.toLongOption)
+
+  private def pendingRowsOf(pending: Seq[DeltaMeta]): Option[Long] = {
+    val per = pending.map(d => deltaRows(d, d.entries))
+    if (pending.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
   /** Sparse-merge guardrail defaults: the pending key set must be
     * broadcastable (row cap) and small relative to the base (ratio), or the
     * dense shuffle resolve wins. Both are tunable per-session alongside
@@ -361,16 +406,14 @@ object MergeRead {
   private[catalog] def sparseEligible(
       spark: SparkSession, base: Option[DeltaMeta], basePaths: Seq[String],
       pending: Seq[DeltaMeta], pendingPaths: Seq[String]): Boolean = {
-    def knownRows(entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
-      if (entries.isEmpty || entries.exists(_.recordCount < 0)) None
-      else Some(entries.map(_.recordCount).sum)
     val maxPendingRows = spark.conf
       .get("graft.merge.sparse.maxPendingRows", SparseMaxPendingRows.toString).toLong
     val minBaseRatio = spark.conf
       .get("graft.merge.sparse.minBaseRatio", SparseMaxPendingRatio.toString).toLong
     val basePathSet = basePaths.toSet
-    val baseRows = base.map(_.entries.filter(e => basePathSet(e.path))).flatMap(knownRows)
-    val pendingRows = knownRows(pending.flatMap(_.entries))
+    val baseRows = base.flatMap(d =>
+      deltaRows(d, d.entries.filter(e => basePathSet(e.path))))
+    val pendingRows = pendingRowsOf(pending)
     spark.conf.get("graft.merge.sparse.enabled", "true").toBoolean &&
       base.isDefined && basePaths.nonEmpty && pendingPaths.nonEmpty &&
       (for { b <- baseRows; p <- pendingRows }
@@ -451,23 +494,34 @@ object MergeRead {
       spark: SparkSession, schema: StructType, base: Option[DeltaMeta],
       basePaths: Seq[String], pending: Seq[DeltaMeta], pendingPaths: Seq[String],
       numBuckets: Option[Int], ct: ContentType, opts: ReadOptions): Boolean = {
-    def knownRows(entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
-      if (entries.isEmpty || entries.exists(_.recordCount < 0)) None
-      else Some(entries.map(_.recordCount).sum)
     val minRatio = spark.conf
       .get("graft.merge.partitioned.minBaseRatio", PartitionedMinBaseRatio.toString).toLong
     val fullCols = schema.fieldNames.toSet
     lazy val baseFull = base.exists(d =>
       d.properties.get("written_columns").forall(_.split(",").toSet == fullCols))
     val basePathSet = basePaths.toSet
-    lazy val baseRows = base.map(_.entries.filter(e => basePathSet(e.path))).flatMap(knownRows)
+    lazy val baseRows = base.flatMap(d =>
+      deltaRows(d, d.entries.filter(e => basePathSet(e.path))))
     // Mirror the base-side filter: under a partition-pruned read only the
     // pending entries whose files survive the prune join the merge, so
     // counting ALL pending entries would overstate the pending:base ratio
     // and wrongly deny the partitioned path (perf heuristic, not
-    // correctness — but the deny costs the full dense shuffle).
+    // correctness — but the deny costs the full dense shuffle). Skeleton
+    // deltas (no entries resident) fall back to their stamped full count.
     val pendingPathSet = pendingPaths.toSet
-    lazy val pendingRows = knownRows(pending.flatMap(_.entries).filter(e => pendingPathSet(e.path)))
+    lazy val pendingRows = {
+      val per = pending.map { d =>
+        if (d.entries.nonEmpty) {
+          // resident entries: count only the surviving files — a delta
+          // pruned to nothing contributes 0, never its stamped full count
+          val kept = d.entries.filter(e => pendingPathSet(e.path))
+          if (kept.exists(_.recordCount < 0)) None
+          else Some(kept.map(_.recordCount).sum)
+        } else deltaRows(d, Nil)
+      }
+      if (pending.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+      else None
+    }
     val verdict = spark.conf.get("graft.merge.partitioned.enabled", "true").toBoolean &&
       ct == ContentType.Parquet && numBuckets.exists(_ > 0) &&
       base.isDefined && basePaths.nonEmpty && pendingPaths.nonEmpty &&

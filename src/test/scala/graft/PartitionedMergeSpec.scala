@@ -708,6 +708,29 @@ class PartitionedMergeSpec extends SparkSpec {
       spark.conf.unset(MergeRead.HotBucketFactorKey)
       spark.conf.unset(MergeRead.HotBucketMinRowsKey)
     }
+    // Compaction's resolve half shares the carve-out (round-14): the hot
+    // bucket must not straggle the REWRITE either. Run the fold ABOVE the
+    // planning gate on top — compaction's deltas are then entry-less
+    // skeletons, so this also pins that hot detection streams the base
+    // metafile and the split-regime ratios resolve from the commit-stamped
+    // record_count properties (either failing silently would force the
+    // dense resolve at exactly the scale the splits exist for). The
+    // compacted table must read back the exact same rows (now scan-only).
+    spark.conf.set(graft.catalog.ManifestPlanner.GateConfKey, "1")
+    spark.conf.set(MergeRead.HotBucketFactorKey, "1.2")
+    spark.conf.set(MergeRead.HotBucketMinRowsKey, "100")
+    try {
+      MergeRead.lastSplitRegime = ""
+      cat.compact("ns.hk")
+      assert(MergeRead.lastSplitRegime == "partitioned_hotsplit",
+        "above-gate compaction's resolve must engage the hot-bucket " +
+          s"carve-out, planned '${MergeRead.lastSplitRegime}'")
+    } finally {
+      spark.conf.unset(graft.catalog.ManifestPlanner.GateConfKey)
+      spark.conf.unset(MergeRead.HotBucketFactorKey)
+      spark.conf.unset(MergeRead.HotBucketMinRowsKey)
+    }
+    assert(rows() == split, "compacted table diverged from the hot-split read")
   }
 
   test("forced carve-out randomized equivalence: nullable keys, deletes, partial upserts through BOTH hot-side variants") {
