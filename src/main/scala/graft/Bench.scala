@@ -1095,7 +1095,10 @@ object Bench {
       if (m.isEmpty) ""
       else m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map { case (e, cal) =>
-          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f,"jgc":${e.jvmGcS}%.1f,"pcpu":${e.procCpuS}%.1f,"ocpu":${math.max(0.0, e.otherCpuS)}%.1f,"cal":$cal%.0f}"""
+          // "iow" (round-14): whole-machine iowait delta — the witness for
+          // rt ≫ cpu with ocpu ≈ 0 and cal quiet (disk-bound co-tenancy,
+          // invisible to a CPU spin; see BenchProbe.machineIoWaitSeconds).
+          f"""{"gc":${e.gcS}%.1f,"rt":${e.rtS}%.1f,"cpu":${e.cpuS}%.1f,"sr":${e.srMb}%.0f,"sw":${e.swMb}%.0f,"jgc":${e.jvmGcS}%.1f,"pcpu":${e.procCpuS}%.1f,"ocpu":${math.max(0.0, e.otherCpuS)}%.1f,"iow":${math.max(0.0, e.ioWaitS)}%.1f,"cal":$cal%.0f}"""
         }.mkString("[", ",", "]")
       }.mkString(""","evidence":{""", ",", "}")
     val interesting = runsLog.filter { case (k, vs) =>

@@ -49,18 +49,20 @@ final class BenchProbe extends SparkListener {
     val pc = BenchProbe.processCpuSeconds()
     BenchProbe.Snap(gcMs / 1e3, runMs / 1e3, cpuNs / 1e9,
       shReadB / 1048576.0, shWriteB / 1048576.0, BenchProbe.jvmGcSeconds(),
-      pc, math.max(0.0, BenchProbe.machineBusyCpuSeconds() - pc))
+      pc, math.max(0.0, BenchProbe.machineBusyCpuSeconds() - pc),
+      BenchProbe.machineIoWaitSeconds())
   }
 }
 
 object BenchProbe {
   final case class Snap(gcS: Double, rtS: Double, cpuS: Double,
       srMb: Double, swMb: Double, jvmGcS: Double = 0.0,
-      procCpuS: Double = 0.0, otherCpuS: Double = 0.0) {
+      procCpuS: Double = 0.0, otherCpuS: Double = 0.0,
+      ioWaitS: Double = 0.0) {
     def -(o: Snap): Snap =
       Snap(gcS - o.gcS, rtS - o.rtS, cpuS - o.cpuS, srMb - o.srMb,
         swMb - o.swMb, jvmGcS - o.jvmGcS, procCpuS - o.procCpuS,
-        otherCpuS - o.otherCpuS)
+        otherCpuS - o.otherCpuS, ioWaitS - o.ioWaitS)
   }
 
   /** Whole-JVM cumulative GC seconds (all collectors). local[32] is ONE
@@ -93,6 +95,24 @@ object BenchProbe {
     * regression), but `other = machine − process` is direct evidence of a
     * co-tenant — a quiet run has other ≈ 0, a loaded one shows the
     * competing burn. Linux-only; returns 0 (⇒ other=0, neutral) elsewhere. */
+  /** WHOLE-MACHINE iowait seconds since boot (/proc/stat field 5) — the
+    * witness for the one elevation signature nothing else sees: task wall
+    * (rt) inflated with cpu flat, ocpu ≈ 0, AND a quiet calibration spin
+    * (cal measures CPU contention; a saturated or throttled DISK never
+    * shows there). A round-14 full run breached t40 with exactly that
+    * shape across four agreeing runs while an isolated rerun minutes later
+    * sat back in band — storage contention was the only suspect left and
+    * had no number. iow ≫ quiet baseline on an elevated run = I/O-bound
+    * co-tenancy; iow flat with rt ≫ cpu = scheduler/lock waiting,
+    * investigate the plan. Linux-only; 0 elsewhere (neutral). */
+  def machineIoWaitSeconds(): Double =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length > 4) f(4) / 100.0 else 0.0
+    } catch { case _: Throwable => 0.0 }
+
   def machineBusyCpuSeconds(): Double =
     try {
       val line = java.nio.file.Files.readAllLines(

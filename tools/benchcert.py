@@ -47,9 +47,15 @@ def main() -> int:
                 e = ev[k][i]
                 line += (f" [min-run evidence: gc={e.get('gc')} "
                          f"cpu={e.get('cpu')} ocpu={e.get('ocpu', '?')}"
-                         f" cal={e.get('cal', '?')}]")
+                         f" iow={e.get('iow', '?')} cal={e.get('cal', '?')}]")
                 if isinstance(e.get("ocpu"), (int, float)) and e["ocpu"] > 2.0:
                     line += " — co-tenant CPU present; rerun quiet before trusting"
+                # disk-bound co-tenancy: task wall inflated with cpu flat,
+                # ocpu ~0 and a quiet cal (CPU spins never see a saturated
+                # disk) — iowait is the only witness for that shape
+                if isinstance(e.get("iow"), (int, float)) and e["iow"] > 2.0:
+                    line += (f" — machine iowait {e['iow']:.1f}s during the run;"
+                             " disk-bound co-tenancy, rerun quiet")
                 # host-level contention: fixed-work calibration inflated vs
                 # the artifact-wide median (invisible to gc/ocpu — no PV
                 # steal accounting in this guest)
