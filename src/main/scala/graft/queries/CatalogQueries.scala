@@ -1883,6 +1883,70 @@ object CatalogQueries {
       cat.writeToTable(n.where(col("n_nationkey") >= 20), "q.src", WriteMode.Append)
       runOnce()
       cat.readTable("q.sout")
+    },
+
+    // Hot-bucket carve-out terminal state (c92, round-14): a power-law
+    // merge key (id = -1 live in 400 day partitions — all its rows in ONE
+    // bucket at any bucket count, because the bucket id hashes the key
+    // alone) plus a uniform cold population, upserted and deleted on both
+    // sides of the split, read with the carve-out ENGAGED (thresholds at
+    // test scale; the regime is asserted, so a detection/eligibility
+    // regression fails loudly instead of silently passing via the dense
+    // plan). The DuckDB oracle reproduces the partition-scoped terminal
+    // state; the carve-out must not change a single row of it.
+    Q("c92_hot_bucket_carveout", Some("""
+      WITH days AS (SELECT DISTINCT o_orderkey % 400 AS day FROM orders),
+           cold AS (SELECT o_orderkey AS id, o_orderkey % 400 AS day
+                    FROM orders WHERE o_orderkey % 10 = 0)
+      SELECT CAST(-1 AS BIGINT) AS id, day,
+             CASE WHEN day % 2 = 0 THEN 'H' ELSE 'h' END AS v
+      FROM days WHERE day < 380
+      UNION ALL
+      SELECT id, day, CASE WHEN id % 90 = 0 THEN 'C' ELSE 'c' END AS v
+      FROM cold WHERE id % 97 <> 0""")) { (s, dir) =>
+      import graft.catalog.MergeRead
+      val cat = newCat(s, "c92")
+      cat.createTable("q.hb", StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("day", LongType, nullable = false),
+        FieldMeta.field("v", StringType))),
+        partitionScheme = PartitionScheme(Seq(PartitionKey("day", Transform.Identity))),
+        properties = MoR ++ Map("compaction.num_buckets" -> "4",
+          // the partitioned write's file fan-out must not trip the
+          // auto-compaction file trigger (it would fold the pending deltas
+          // and read the base scan-only — the bench A/B hit exactly this)
+          "compaction.trigger.files" -> "1000000"))
+      val o = tbl(s, dir, "orders").select("o_orderkey")
+      val hot = o.select(lit(-1L).as("id"), (col("o_orderkey") % 400).as("day"),
+        lit("h").as("v")).distinct()
+      val cold = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("id"), (col("o_orderkey") % 400).as("day"),
+          lit("c").as("v"))
+      cat.writeToTable(hot.unionByName(cold), "q.hb", WriteMode.Merge)
+      cat.compact("q.hb")
+      // pending past the sparse 8x band, inside the partitioned band on
+      // the COLD base: hot-key upserts on even days, cold upserts, and
+      // deletes landing on both sides of the split
+      cat.writeToTable(hot.where(col("day") % 2 === 0).withColumn("v", lit("H")),
+        "q.hb", WriteMode.Merge)
+      cat.writeToTable(cold.where(col("id") % 90 === 0).withColumn("v", lit("C")),
+        "q.hb", WriteMode.Merge)
+      cat.writeToTable(
+        hot.where(col("day") >= 380).select("id", "day")
+          .unionByName(cold.where(col("id") % 97 === 0).select("id", "day")),
+        "q.hb", WriteMode.Delete)
+      s.conf.set(MergeRead.HotBucketFactorKey, "1.2")
+      s.conf.set(MergeRead.HotBucketMinRowsKey, "100")
+      try {
+        MergeRead.lastSplitRegime = ""
+        val df = cat.readTable("q.hb")
+        require(MergeRead.lastSplitRegime == "partitioned_hotsplit",
+          s"c92 must engage the carve-out, planned '${MergeRead.lastSplitRegime}'")
+        df
+      } finally {
+        s.conf.unset(MergeRead.HotBucketFactorKey)
+        s.conf.unset(MergeRead.HotBucketMinRowsKey)
+      }
     }
   )
 }
