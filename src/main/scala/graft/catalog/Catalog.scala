@@ -2019,9 +2019,15 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * per-task bounds the layout was sized for; the full rewrite was
     * already bought by the trigger), `skew` is OPT-IN
     * (`compaction.recluster.on_skew`) because hash-bucket skew is usually
-    * a hot KEY, which more buckets may not spread — that one needs an
-    * operator's judgment (salting, key redesign). Returns 0 (= keep the
-    * recorded layout) when no advice applies. Note the bucket-count
+    * a hot KEY, which more buckets may not spread — rebucketing is the
+    * wrong tool there. The engine handles the hot-KEY case itself
+    * (round-14): reads and compaction carve hot buckets out of the
+    * storage-partitioned plan (MergeRead.hotBuckets/
+    * partitionedWithCarveout) and the bucketed write slices on
+    * (keys, partition values), so the opt-in stays for the residual
+    * multi-key-collision shape an operator may still want rebalanced.
+    * Returns 0 (= keep the recorded layout) when no advice applies.
+    * Note the bucket-count
     * change invalidates copy-by-reference for that round by construction
     * — the copy-by-ref gate keys on the recorded count matching the
     * requested one — and the next compacted base records the NEW count,

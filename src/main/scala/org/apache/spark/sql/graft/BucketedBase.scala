@@ -63,9 +63,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * versions. Scan parallelism therefore equals the bucket count; that is
  * the right trade because `Compactor.suggestBuckets` scales buckets with
  * data volume (a 100 TB table has thousands), while the joins this scan
- * feeds are bounded by the pending side anyway. Skewed buckets at extreme
- * scale are the storage layout's own skew (salting/recluster territory),
- * not a scan-shape problem.
+ * feeds are bounded by the pending side anyway. A bucket hot enough that
+ * its single partition would straggle never reaches this scan: the
+ * callers carve it out of the partitioned plan first
+ * (MergeRead.partitionedWithCarveout) and resolve it through the
+ * broadcast pass/contested split in ordinary parallel file splits.
  */
 object BucketedBase {
 
