@@ -263,7 +263,12 @@ object Bench {
         var extra = 0
         while (rs.min > band && extra < 2) { rs += run(); extra += 1 }
       }
-      runsLog(name) = rs.toSeq
+      // APPEND (don't replace): a re-measured entry (the ratio-aware
+      // retry) must keep runs and evidence arrays index-aligned — evLog
+      // accumulates per run, so replacing runs here would desynchronize
+      // them and benchcert's min-run evidence lookup would read another
+      // run's witnesses.
+      runsLog(name) = runsLog.getOrElse(name, Seq.empty) ++ rs
       rs.min
     }
     // Steady-state variant for the 10x/30x entries: ONE unmeasured warm
@@ -392,9 +397,14 @@ object Bench {
                 "l_extendedprice", "l_returnflag"),
               "bench.sqlmor", WriteMode.Merge)
           }
-          val tAn0 = System.nanoTime()
-          cat.readTable("bench.sqlmor").queryExecution.executedPlan
-          results(s"backlog_${n}_analysis") = (System.nanoTime() - tAn0) / 1e9
+          // attempt(): a plan-construction failure (the very risk this
+          // probes) must record against ITS name, not abort the block as a
+          // generic setup error — and the read below must still run.
+          attempt(s"backlog_${n}_analysis") {
+            val tAn0 = System.nanoTime()
+            cat.readTable("bench.sqlmor").queryExecution.executedPlan
+            (System.nanoTime() - tAn0) / 1e9
+          }
           attempt(s"backlog_${n}_read")(measuredWarm(s"backlog_${n}_read") {
             cat.readTable("bench.sqlmor").agg(sum("l_quantity"), count(lit(1))).head()
           })
@@ -1045,9 +1055,16 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // JSON-string-safe error text: escape backslash/quote AND flatten
+    // control characters (Spark analysis errors carry tabs and carriage
+    // returns before the first newline) — a raw control char inside a
+    // JSON string is invalid and would make the whole line unparseable on
+    // exactly the runs (errored ones) where parseability matters most.
+    def jsonSafe(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"").map(c => if (c < ' ') ' ' else c)
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + jsonSafe(v) + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val planJson =
       if (planCounts.isEmpty) ""
@@ -1175,7 +1192,9 @@ object Bench {
     val errJsonCompact =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.take(60).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        // take BEFORE escaping could strand a lone trailing backslash;
+        // jsonSafe after the cut keeps the string valid
+        "\"" + k + "\":\"" + jsonSafe(v.take(60)) + "\""
       }.mkString(""","errors":{""", ",", "}")
     val bandJson2 =
       s""","band_summary":"$nIn/$nBanded in band""" +

@@ -518,7 +518,11 @@ object Compactor {
             // the commit-stamped record_count properties (MergeRead
             // .deltaRows), so skeleton deltas no longer silently force the
             // dense resolve at exactly the table size the splits exist for.
-            val hotSet = layoutBuckets.map(n =>
+            // lazy: keyless tables and sparse-eligible rounds never use it,
+            // and the detection pass streams the FULL base metafile — at
+            // 10^7 entries that is real driver time to spend only when the
+            // partitioned rung actually runs
+            lazy val hotSet = layoutBuckets.map(n =>
               MergeRead.hotBucketsOf(spark, n, MergeRead.bucketOfPath)(f =>
                 base.foreach(b => foreachEntryOf(b)(f)))).getOrElse(Set.empty)
             val merged =

@@ -123,15 +123,17 @@ object ManifestPlanner {
           more
         }
         override def next(): ManifestEntry = {
-          // A decode failure mid-entry must release the file handle even
-          // when no TaskContext is present (driver-side callers, e.g. a
-          // take(n) probe) — the task-completion hook is the only other
-          // close for an abandoned iterator, and off-task there isn't one.
-          val e =
-            try Json.mapper.readValue(p, classOf[ManifestEntry])
-            catch { case t: Throwable => closeQuietly(); throw t }
-          nextTok = p.nextToken()
-          e
+          // A failure mid-entry (decode) OR between entries (a file
+          // truncated mid-token makes the trailing nextToken throw) must
+          // release the file handle even when no TaskContext is present
+          // (driver-side callers, e.g. a take(n) probe) — the
+          // task-completion hook is the only other close for an abandoned
+          // iterator, and off-task there isn't one.
+          try {
+            val e = Json.mapper.readValue(p, classOf[ManifestEntry])
+            nextTok = p.nextToken()
+            e
+          } catch { case t: Throwable => closeQuietly(); throw t }
         }
       }
     } catch { case t: Throwable => closeQuietly(); throw t }

@@ -288,7 +288,28 @@ object MergeRead {
     val (hotBase, coldBase) =
       if (hotSet.isEmpty) (Nil, basePaths)
       else basePaths.partition(p => bucketOfPath(p).exists(hotSet.contains))
-    if (coldBase.isEmpty || !partitionedEligible(spark, schema, base, coldBase,
+    val maxPendingRows = spark.conf.get(
+      "graft.merge.sparse.maxPendingRows", SparseMaxPendingRows.toString).toLong
+    lazy val pendingRows = pendingRowsOf(pending)
+    // Every populated bucket hot (possible only with a holey layout — the
+    // mean is over DECLARED buckets, so ≥factor×mean everywhere needs
+    // empties pulling it down): there is no cold side to key-group, but
+    // abandoning the split entirely would dense-shuffle the whole base.
+    // Take the broadcast pass/contested split over ALL base paths with
+    // UNFILTERED pending instead — pending keys hashing into the EMPTY
+    // buckets are genuinely new rows and a bucket filter would silently
+    // drop them. The global sparse RATIO is ignored deliberately: it
+    // arbitrates dense-vs-sparse for balanced layouts; here the
+    // alternative is shuffling a base that is by definition ≥ minRows ×
+    // populated-buckets rows.
+    if (coldBase.isEmpty) {
+      if (hotSet.isEmpty || !pendingRows.exists(_ <= maxPendingRows)) return None
+      val all = sparseMerge(spark, schema, scheme, mergeKeys, deltas,
+        basePaths, pending, pendingPaths, ct)
+      lastSplitRegime = "partitioned_hotsplit"
+      return Some(all.select(normCols: _*))
+    }
+    if (!partitionedEligible(spark, schema, base, coldBase,
         pending, pendingPaths, numBuckets, ct, opts)) return None
     partitionedMerge(spark, schema, scheme, mergeKeys, deltas, coldBase,
       pending, pendingPaths, ct, numBuckets.get, statFilters,
@@ -298,9 +319,6 @@ object MergeRead {
         if (hotSet.isEmpty) coldN
         else {
           val n = numBuckets.get
-          val maxPendingRows = spark.conf.get(
-            "graft.merge.sparse.maxPendingRows", SparseMaxPendingRows.toString).toLong
-          val pendingRows = pendingRowsOf(pending)
           val hot =
             if (pendingRows.exists(_ <= maxPendingRows))
               sparseMerge(spark, schema, scheme, mergeKeys, deltas,

@@ -95,6 +95,18 @@ object BenchProbe {
     * regression), but `other = machine − process` is direct evidence of a
     * co-tenant — a quiet run has other ≈ 0, a loaded one shows the
     * competing burn. Linux-only; returns 0 (⇒ other=0, neutral) elsewhere. */
+  def machineBusyCpuSeconds(): Double =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      val busy = f(0) + f(1) + f(2) +
+        (if (f.length > 5) f(5) else 0L) + (if (f.length > 6) f(6) else 0L) +
+        (if (f.length > 7) f(7) else 0L)
+      busy / 100.0
+    } catch { case _: Throwable => 0.0 }
+
   /** WHOLE-MACHINE iowait seconds since boot (/proc/stat field 5) — the
     * witness for the one elevation signature nothing else sees: task wall
     * (rt) inflated with cpu flat, ocpu ≈ 0, AND a quiet calibration spin
@@ -111,18 +123,6 @@ object BenchProbe {
         java.nio.file.Paths.get("/proc/stat")).get(0)
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
       if (f.length > 4) f(4) / 100.0 else 0.0
-    } catch { case _: Throwable => 0.0 }
-
-  def machineBusyCpuSeconds(): Double =
-    try {
-      val line = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/stat")).get(0)
-      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      // user nice system idle iowait irq softirq steal
-      val busy = f(0) + f(1) + f(2) +
-        (if (f.length > 5) f(5) else 0L) + (if (f.length > 6) f(6) else 0L) +
-        (if (f.length > 7) f(7) else 0L)
-      busy / 100.0
     } catch { case _: Throwable => 0.0 }
 
   /** Block until queued listener events are delivered, so snapshot deltas

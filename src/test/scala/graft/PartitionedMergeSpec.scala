@@ -809,4 +809,63 @@ class PartitionedMergeSpec extends SparkSpec {
       "no round engaged the carve-out — the forced-threshold equivalence " +
         "degraded to dense≡dense (eligibility or detection regression?)")
   }
+
+  test("holey layout: every populated bucket hot → hot-only broadcast split, new keys in empty buckets survive") {
+    // All keys hash to bucket 0 of 4 (a severely under-populated layout —
+    // the only way EVERY populated bucket can exceed factor×mean, since
+    // the mean is over declared buckets): there is no cold side to
+    // key-group, and the carve-out must take the broadcast pass/contested
+    // split over the whole base instead of abandoning the split for a full
+    // dense shuffle. Pending is deliberately UNFILTERED on that path: the
+    // new key below hashes into an EMPTY bucket, and a bucket filter would
+    // silently drop it.
+    import spark.implicits._
+    val cat = new GraftCatalog(spark, tmpDir("graft-spj-holey"))
+    cat.createTable("ns.h", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", StringType))),
+      properties = Map("read_optimization" -> "NONE",
+        "compaction.num_buckets" -> "4"))
+    val b0Ids = spark.range(40000)
+      .where(pmod(hash($"id"), lit(4)) === 0).limit(5000).cache()
+    cat.writeToTable(b0Ids.select($"id", lit("x").as("v")).toDF(),
+      "ns.h", WriteMode.Merge)
+    cat.compact("ns.h")
+    // pending in the partitioned band vs the FULL base: updates to ~1/6 of
+    // the hot keys, one brand-new key from a different (empty) bucket, and
+    // a delete
+    val newKey = (0L until 64L).find(i => {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+      Pmod(new Murmur3Hash(Seq(Literal(i))), Literal(4)).eval(null).asInstanceOf[Int] != 0
+    }).get
+    cat.writeToTable(b0Ids.where($"id" % 6 === 0)
+      .select($"id", lit("u").as("v"))
+      .unionByName(Seq((newKey, "new")).toDF("id", "v")).toDF(),
+      "ns.h", WriteMode.Merge)
+    cat.writeToTable(b0Ids.orderBy($"id").limit(1).select($"id").toDF(),
+      "ns.h", WriteMode.Delete)
+    def rows(): Seq[(Long, String)] =
+      cat.readTable("ns.h").as[(Long, String)].collect().sortBy(_._1).toSeq
+    spark.conf.set("graft.merge.partitioned.enabled", "false")
+    spark.conf.set("graft.merge.sparse.enabled", "false")
+    val dense = try rows() finally {
+      spark.conf.unset("graft.merge.partitioned.enabled")
+      spark.conf.unset("graft.merge.sparse.enabled")
+    }
+    spark.conf.set(MergeRead.HotBucketFactorKey, "1.2")
+    spark.conf.set(MergeRead.HotBucketMinRowsKey, "100")
+    try {
+      MergeRead.lastSplitRegime = ""
+      val got = rows()
+      assert(MergeRead.lastSplitRegime == "partitioned_hotsplit",
+        s"holey layout must take the hot-only split, planned '${MergeRead.lastSplitRegime}'")
+      assert(got == dense, "hot-only split diverged from dense")
+      assert(got.exists(r => r._1 == newKey && r._2 == "new"),
+        "the new key in an empty bucket must survive the hot-only split")
+    } finally {
+      spark.conf.unset(MergeRead.HotBucketFactorKey)
+      spark.conf.unset(MergeRead.HotBucketMinRowsKey)
+      b0Ids.unpersist()
+    }
+  }
 }

@@ -50,12 +50,18 @@ def main() -> int:
                          f" iow={e.get('iow', '?')} cal={e.get('cal', '?')}]")
                 if isinstance(e.get("ocpu"), (int, float)) and e["ocpu"] > 2.0:
                     line += " — co-tenant CPU present; rerun quiet before trusting"
-                # disk-bound co-tenancy: task wall inflated with cpu flat,
-                # ocpu ~0 and a quiet cal (CPU spins never see a saturated
-                # disk) — iowait is the only witness for that shape
+                # elevated machine iowait: the only witness for task wall
+                # inflated with cpu flat, ocpu ~0 and a quiet cal (CPU
+                # spins never see a saturated disk). NOT self-attributing —
+                # iow includes the bench's OWN I/O, so for write-heavy
+                # entries compare the entry's quiet-session iow baseline
+                # before exonerating (a real plan regression that writes
+                # more also waits more).
                 if isinstance(e.get("iow"), (int, float)) and e["iow"] > 2.0:
-                    line += (f" — machine iowait {e['iow']:.1f}s during the run;"
-                             " disk-bound co-tenancy, rerun quiet")
+                    line += (f" — machine iowait {e['iow']:.1f}s during the run"
+                             " (includes the bench's own I/O; vs this entry's"
+                             " quiet baseline, disk contention is the suspect"
+                             " — rerun quiet before trusting either way)")
                 # host-level contention: fixed-work calibration inflated vs
                 # the artifact-wide median (invisible to gc/ocpu — no PV
                 # steal accounting in this guest)
