@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseable bench channel (round-15): the driver captures stdout's
+// tail and json-parses the FINAL line. Two pieces of sbt framing defeated
+// that for four rounds: the logger prefixes forked run output with
+// "[info] ", and the command engine appends "[success] Total time: …"
+// after it. StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess drops the trailing banner, so the bench's compact JSON
+// summary is genuinely the last line of the capture.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
