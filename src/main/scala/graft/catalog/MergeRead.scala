@@ -205,8 +205,15 @@ object MergeRead {
           basePaths, pending, pendingPaths, contentType).select(normCols: _*)
       } else (if (denseResolve) None
         else {
+          // Detect from the UNPRUNED base entry set: hotBucketsOf's
+          // contract is that counts cover the full base (the mean is a
+          // layout property), and compaction's detection streams the full
+          // metafile — a stats/limit-pruned subset here could under- or
+          // over-detect and flap the regime between otherwise-identical
+          // reads (perf-only: the carve-out is row-exact for ANY hotSet,
+          // but a stable regime is what the thresholds were tuned on).
           val hotSet = numBuckets
-            .map(n => hotBuckets(spark, baseEntries, n, bucketOfPath))
+            .map(n => hotBuckets(spark, base.toSeq.flatMap(_.entries), n, bucketOfPath))
             .getOrElse(Set.empty[Int])
           partitionedWithCarveout(spark, schema, scheme, mergeKeys, deltas,
             basePaths, pending, pendingPaths, contentType, numBuckets, hotSet,
@@ -388,19 +395,28 @@ object MergeRead {
     * `record_count` property — so ABOVE the manifest planning gate (where
     * compaction's deltas are entry-less skeletons) the sparse/partitioned
     * eligibility ratios still resolve instead of silently denying every
-    * split at exactly the table size the splits exist for. For a BASE
-    * restricted to a touched-path subset the stamped count OVERSTATES
-    * (it covers the whole delta) — the safe direction for every use: the
-    * ratios are perf heuristics whose correctness does not depend on
-    * them, and overstating the base only admits a split a bit earlier. */
-  private def deltaRows(d: DeltaMeta, entries: Seq[graft.txn.ManifestEntry]): Option[Long] =
+    * split at exactly the table size the splits exist for.
+    *
+    * `hadResident` disambiguates the empty-entries case (round-15 advice):
+    * a delta whose RESIDENT entries were path-filtered to nothing truly
+    * contributes 0 rows — falling back to the stamped full count there
+    * would report a full-table count for a pruned-to-nothing subset
+    * (partitionedEligible's pending side already special-cased exactly
+    * this). Only a genuine skeleton (no entries were ever resident) reads
+    * the stamped property, which then OVERSTATES for a touched-path
+    * subset — the safe direction: the ratios are perf heuristics whose
+    * correctness does not depend on them, and overstating the base only
+    * admits a split a bit earlier. */
+  private def deltaRows(d: DeltaMeta, entries: Seq[graft.txn.ManifestEntry],
+      hadResident: Boolean): Option[Long] =
     if (entries.nonEmpty) {
       if (entries.exists(_.recordCount < 0)) None
       else Some(entries.map(_.recordCount).sum)
-    } else d.properties.get("record_count").flatMap(_.toLongOption)
+    } else if (hadResident) Some(0L)
+    else d.properties.get("record_count").flatMap(_.toLongOption)
 
   private def pendingRowsOf(pending: Seq[DeltaMeta]): Option[Long] = {
-    val per = pending.map(d => deltaRows(d, d.entries))
+    val per = pending.map(d => deltaRows(d, d.entries, d.entries.nonEmpty))
     if (pending.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum) else None
   }
 
@@ -430,7 +446,7 @@ object MergeRead {
       .get("graft.merge.sparse.minBaseRatio", SparseMaxPendingRatio.toString).toLong
     val basePathSet = basePaths.toSet
     val baseRows = base.flatMap(d =>
-      deltaRows(d, d.entries.filter(e => basePathSet(e.path))))
+      deltaRows(d, d.entries.filter(e => basePathSet(e.path)), d.entries.nonEmpty))
     val pendingRows = pendingRowsOf(pending)
     spark.conf.get("graft.merge.sparse.enabled", "true").toBoolean &&
       base.isDefined && basePaths.nonEmpty && pendingPaths.nonEmpty &&
@@ -519,7 +535,7 @@ object MergeRead {
       d.properties.get("written_columns").forall(_.split(",").toSet == fullCols))
     val basePathSet = basePaths.toSet
     lazy val baseRows = base.flatMap(d =>
-      deltaRows(d, d.entries.filter(e => basePathSet(e.path))))
+      deltaRows(d, d.entries.filter(e => basePathSet(e.path)), d.entries.nonEmpty))
     // Mirror the base-side filter: under a partition-pruned read only the
     // pending entries whose files survive the prune join the merge, so
     // counting ALL pending entries would overstate the pending:base ratio
@@ -528,15 +544,11 @@ object MergeRead {
     // deltas (no entries resident) fall back to their stamped full count.
     val pendingPathSet = pendingPaths.toSet
     lazy val pendingRows = {
-      val per = pending.map { d =>
-        if (d.entries.nonEmpty) {
-          // resident entries: count only the surviving files — a delta
-          // pruned to nothing contributes 0, never its stamped full count
-          val kept = d.entries.filter(e => pendingPathSet(e.path))
-          if (kept.exists(_.recordCount < 0)) None
-          else Some(kept.map(_.recordCount).sum)
-        } else deltaRows(d, Nil)
-      }
+      // resident entries: count only the surviving files — a delta pruned
+      // to nothing contributes 0 (deltaRows' hadResident signal), never
+      // its stamped full count; skeletons fall back to the stamped count.
+      val per = pending.map(d =>
+        deltaRows(d, d.entries.filter(e => pendingPathSet(e.path)), d.entries.nonEmpty))
       if (pending.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
       else None
     }

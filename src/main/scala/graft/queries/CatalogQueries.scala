@@ -1814,21 +1814,21 @@ object CatalogQueries {
     },
 
     // Mixed ADD/CHRONO/MERGE interleaving on one keyed table (c90,
-    // round-14): pins the build's DOCUMENTED DEVIATION from the reference's
-    // reserved stream-position ranges (storage/main/impl.py:2788-2814 —
-    // APPEND partition counters < CHRONO epoch-ms ≤ UINT48_MAX < ADD
-    // UUID63, so there any ADD outranks any CHRONO regardless of commit
-    // order, and ADDs order RANDOMLY among themselves via uuid4). Here
-    // every delta type ranks on the ONE rev total order, so the merge
-    // winner for a key is its most recent WRITE regardless of delta type —
-    // strictly more deterministic than the reference's random-UUID ADD
-    // ordering. The oracle freezes that cross-type contract:
-    // U(rev4) > D(rev3 ADD) > C(rev2 CHRONO) > A(rev1 ADD) — note rev3's
-    // ADD beats rev2's CHRONO by commit order where the reference's ranges
-    // would ALSO rank it above, but rev2's CHRONO beats rev1's ADD here
-    // while the reference would invert them. APPEND is absent by design:
-    // both the reference (impl.py:555-576) and this build forbid APPEND on
-    // tables with merge keys, so no cross-type contract exists for it.
+    // round-14; deviation record corrected round-15): the reference's
+    // catalog layer REFUSES APPEND (catalog/main/impl.py:564-568), ADD
+    // (:587-592) and CHRONO (:612-617) on tables with merge keys — only
+    // MERGE/DELETE write keyed tables there, so its reserved
+    // stream-position ranges (storage/main/impl.py:2788-2814: APPEND
+    // partition counters < CHRONO epoch-ms ≤ UINT48_MAX < ADD UUID63,
+    // ADDs ordered RANDOMLY among themselves via uuid4) never arbitrate a
+    // cross-type merge. The DOCUMENTED DEVIATION this oracle pins is
+    // therefore that this build ACCEPTS Add/Chrono on keyed tables at
+    // all, ranking every delta type on the ONE metastore rev total order:
+    // the merge winner for a key is its most recent COMMIT regardless of
+    // delta type — a deterministic contract for writes the reference
+    // rejects outright. The oracle freezes it:
+    // U(rev4) > D(rev3 ADD) > C(rev2 CHRONO) > A(rev1 ADD). APPEND stays
+    // absent by design: both builds forbid it on keyed tables.
     // SURVEY §7.4 #4 documents the deviation + this proof.
     Q("c90_mixed_delta_ordering", Some("""
       SELECT o_orderkey,
