@@ -1947,6 +1947,65 @@ object CatalogQueries {
         s.conf.unset(MergeRead.HotBucketFactorKey)
         s.conf.unset(MergeRead.HotBucketMinRowsKey)
       }
+    },
+
+    // Hot-bucket carve-out through COMPACTION (c93, round-15): c92 pins the
+    // READ regime; this pins the rewrite half — Compactor.compactOnce
+    // shares MergeRead.partitionedWithCarveout, so the same power-law
+    // fixture compacted with carve-out thresholds must (a) actually take
+    // the partitioned_hotsplit regime during the rewrite (asserted, so an
+    // eligibility/detection regression in the compaction path fails loudly
+    // instead of silently passing via the dense resolve) and (b) leave a
+    // base whose content hash-matches the oracle's terminal state. The
+    // post-compaction read is a plain base scan — every row it returns was
+    // materialized BY the carve-out plan.
+    Q("c93_hot_bucket_compaction", Some("""
+      WITH days AS (SELECT DISTINCT o_orderkey % 400 AS day FROM orders),
+           cold AS (SELECT o_orderkey AS id, o_orderkey % 400 AS day
+                    FROM orders WHERE o_orderkey % 10 = 0)
+      SELECT CAST(-1 AS BIGINT) AS id, day,
+             CASE WHEN day % 2 = 0 THEN 'H' ELSE 'h' END AS v
+      FROM days WHERE day < 380
+      UNION ALL
+      SELECT id, day, CASE WHEN id % 90 = 0 THEN 'C' ELSE 'c' END AS v
+      FROM cold WHERE id % 97 <> 0""")) { (s, dir) =>
+      import graft.catalog.MergeRead
+      val cat = newCat(s, "c93")
+      cat.createTable("q.hc", StructType(Seq(
+        FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("day", LongType, nullable = false),
+        FieldMeta.field("v", StringType))),
+        partitionScheme = PartitionScheme(Seq(PartitionKey("day", Transform.Identity))),
+        properties = MoR ++ Map("compaction.num_buckets" -> "4",
+          "compaction.trigger.files" -> "1000000"))
+      val o = tbl(s, dir, "orders").select("o_orderkey")
+      val hot = o.select(lit(-1L).as("id"), (col("o_orderkey") % 400).as("day"),
+        lit("h").as("v")).distinct()
+      val cold = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("id"), (col("o_orderkey") % 400).as("day"),
+          lit("c").as("v"))
+      cat.writeToTable(hot.unionByName(cold), "q.hc", WriteMode.Merge)
+      cat.compact("q.hc")
+      cat.writeToTable(hot.where(col("day") % 2 === 0).withColumn("v", lit("H")),
+        "q.hc", WriteMode.Merge)
+      cat.writeToTable(cold.where(col("id") % 90 === 0).withColumn("v", lit("C")),
+        "q.hc", WriteMode.Merge)
+      cat.writeToTable(
+        hot.where(col("day") >= 380).select("id", "day")
+          .unionByName(cold.where(col("id") % 97 === 0).select("id", "day")),
+        "q.hc", WriteMode.Delete)
+      s.conf.set(MergeRead.HotBucketFactorKey, "1.2")
+      s.conf.set(MergeRead.HotBucketMinRowsKey, "100")
+      try {
+        MergeRead.lastSplitRegime = ""
+        cat.compact("q.hc")
+        require(MergeRead.lastSplitRegime == "partitioned_hotsplit",
+          s"c93 compaction must engage the carve-out, planned '${MergeRead.lastSplitRegime}'")
+      } finally {
+        s.conf.unset(MergeRead.HotBucketFactorKey)
+        s.conf.unset(MergeRead.HotBucketMinRowsKey)
+      }
+      cat.readTable("q.hc")
     }
   )
 }
