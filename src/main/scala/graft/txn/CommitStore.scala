@@ -32,6 +32,16 @@ trait CommitStore {
     * `src` is gone once the transition completes. Loser destinations are
     * never created. */
   def claim(src: Path, dst: Path): Boolean
+
+  /** Cheap change token for a directory's DIRECT children, or None when
+    * the store has no reliable one: the caller must re-list to detect
+    * change. POSIX/HDFS expose a directory mtime that ticks on any direct
+    * add/remove (rename world); S3-semantics stores have no directories
+    * at all, so there is nothing cheaper than a LIST — the success-log
+    * reader bounds that LIST with epoch partitioning instead (round-15,
+    * the "dir-mtime cache key object stores don't honor" fix lives at
+    * this seam, not in the metastore). */
+  def dirToken(dir: Path): Option[Long]
 }
 
 object CommitStore {
@@ -72,6 +82,13 @@ object RenameCommitStore extends CommitStore {
         Files.deleteIfExists(src)
         false
     }
+
+  // nanos, not millis: coarse-granularity filesystems alias two changes
+  // inside one tick; nanos is the finest the API exposes
+  override def dirToken(dir: Path): Option[Long] =
+    try Some(Files.getLastModifiedTime(dir)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS))
+    catch { case _: Exception => None }
 }
 
 /**
@@ -107,6 +124,11 @@ class ConditionalPutCommitStore extends CommitStore {
       Files.write(path, content, StandardOpenOption.CREATE_NEW)
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** No token: object stores have no directory metadata, so any cached
+    * token would be exactly the unhonored dir-mtime key this seam exists
+    * to remove — callers fall back to a (epoch-bounded) LIST per read. */
+  override def dirToken(dir: Path): Option[Long] = None
 
   /** The per-source decision object naming the elected destination. */
   private[txn] def decisionKey(src: Path): Path =

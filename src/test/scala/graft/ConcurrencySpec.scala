@@ -359,10 +359,11 @@ class ConcurrencySpec extends SparkSpec {
     // object in success/, a directory the sealing-debris sweep must cover
     val t = ms.newTransaction("demoted post-publish")
     t.seal()
-    val src = ms.successDir.resolve(s"${t.txnId}.json")
-    assert(java.nio.file.Files.exists(src))
+    // round-15: success records live in epoch subdirs; the decision object
+    // is a SIBLING of the source, so the sweep must now cover epoch dirs
+    val src = ms.successPaths(t.txnId).find(java.nio.file.Files.exists(_)).get
     assert(ms.commitStore.claim(src, ms.failedDir.resolve(s"${t.txnId}.json")))
-    val decision = ms.successDir.resolve(s".${t.txnId}.json.moved")
+    val decision = src.resolveSibling(s".${t.txnId}.json.moved")
     assert(java.nio.file.Files.exists(decision))
     assert(ms.isTxnFailed(t.txnId))
     // fresh debris survives a sweep (it may still shield an in-flight claim)
