@@ -81,6 +81,29 @@ object ManifestPlanner {
     } finally p.close()
   }
 
+  /** [[entryIterator]]'s type: a lazy entry iterator whose file handle can
+    * be released explicitly. Task-side consumers rely on the completion
+    * hook; DRIVER-side consumers go through [[withEntryIterator]]. */
+  trait ClosingIterator[+T] extends Iterator[T] with AutoCloseable
+
+  private val emptyClosing: ClosingIterator[ManifestEntry] =
+    new ClosingIterator[ManifestEntry] {
+      override def hasNext: Boolean = false
+      override def next(): ManifestEntry = Iterator.empty.next()
+      override def close(): Unit = ()
+    }
+
+  /** Driver-side LOAN for [[entryIterator]] (round-15, verdict ask #6):
+    * off-task there is no completion hook, so an abandoned partial drain
+    * (an un-drained `take(n)`) held the file handle until GC finalized
+    * it. The loan closes on EVERY exit path — partial drains, throws,
+    * early returns. Task-side code may keep calling entryIterator
+    * directly; the task-completion hook is its close. */
+  def withEntryIterator[T](file: Path)(f: Iterator[ManifestEntry] => T): T = {
+    val it = entryIterator(file)
+    try f(it) finally it.close()
+  }
+
   /** [[foreachEntry]] as a LAZY iterator — one entry resident at a time,
     * so a consumer that maps entries to rows (the distributed manifest
     * view) never holds a 10^7-entry metafile's list in task heap. The
@@ -92,10 +115,9 @@ object ManifestPlanner {
     * the one view an operator would use to inspect the corruption is the
     * worst failure mode. A decode failure inside next() also closes the
     * parser before rethrowing (round-13 advice). DRIVER-SIDE callers (no
-    * TaskContext, so no completion hook): drain the iterator or reach a
-    * throwing/exhausted state — an abandoned healthy prefix (e.g. an
-    * un-drained take(n)) holds the file handle until GC finalizes it. */
-  def entryIterator(file: Path): Iterator[ManifestEntry] = {
+    * TaskContext, so no completion hook): use [[withEntryIterator]] — the
+    * loan is the guard the bare iterator cannot provide off-task. */
+  def entryIterator(file: Path): ClosingIterator[ManifestEntry] = {
     val p = Json.mapper.getFactory.createParser(file.toFile)
     def closeQuietly(): Unit = try if (!p.isClosed) p.close() catch { case _: Exception => () }
     Option(org.apache.spark.TaskContext.get()).foreach(
@@ -110,8 +132,9 @@ object ManifestPlanner {
         if (name == "entries" && p.currentToken() == JsonToken.START_ARRAY) inEntries = true
         else p.skipChildren()
       }
-      if (!inEntries) { p.close(); Iterator.empty }
-      else new Iterator[ManifestEntry] {
+      if (!inEntries) { p.close(); emptyClosing }
+      else new ClosingIterator[ManifestEntry] {
+        override def close(): Unit = closeQuietly()
         private var nextTok = p.nextToken()
         override def hasNext: Boolean = {
           if (nextTok == null) { // EOF before END_ARRAY: truncated file

@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -45,16 +47,31 @@ class ManifestPlannerSpec extends SparkSpec {
     assert(streamed.result() == full.entries)
     // the lazy iterator (the distributed manifest view's per-task source)
     // yields the identical sequence, and a partial take doesn't corrupt
-    // subsequent fresh iterations (each gets its own parser)
-    assert(ManifestPlanner.entryIterator(file).toSeq == full.entries)
-    assert(ManifestPlanner.entryIterator(file).take(3).toSeq == full.entries.take(3))
-    assert(ManifestPlanner.entryIterator(file).toSeq == full.entries)
+    // subsequent fresh iterations (each gets its own parser). Driver-side
+    // use goes through the LOAN (round-15): off-task there is no
+    // completion hook, and a bare partially-drained iterator held the
+    // file handle until GC.
+    def fdsFor(p: java.nio.file.Path): Int = {
+      val fdDir = java.nio.file.Paths.get("/proc/self/fd")
+      val s = java.nio.file.Files.list(fdDir)
+      try s.iterator().asScala.count { l =>
+        try java.nio.file.Files.readSymbolicLink(l).toString == p.toAbsolutePath.toString
+        catch { case _: Exception => false }
+      } finally s.close()
+    }
+    assert(ManifestPlanner.withEntryIterator(file)(_.toSeq) == full.entries)
+    // partial drain inside the loan: the handle is RELEASED on exit
+    assert(ManifestPlanner.withEntryIterator(file)(_.take(3).toSeq) == full.entries.take(3))
+    assert(fdsFor(file) == 0, "loan must close a partially-drained iterator's handle")
+    assert(ManifestPlanner.withEntryIterator(file)(_.toSeq) == full.entries)
     // a TRUNCATED metafile (crash mid-write) must throw, not silently
-    // yield a short row set from the corruption-inspection view itself
+    // yield a short row set from the corruption-inspection view itself —
+    // and the loan must release the handle on the throwing path too
     val bytes = java.nio.file.Files.readAllBytes(file)
     val cut = java.nio.file.Files.createTempFile("mp-trunc", ".json")
     java.nio.file.Files.write(cut, bytes.take(bytes.length / 2))
-    intercept[Exception](ManifestPlanner.entryIterator(cut).toSeq)
+    intercept[Exception](ManifestPlanner.withEntryIterator(cut)(_.toSeq))
+    assert(fdsFor(cut) == 0, "loan must close the handle when the drain throws")
   }
 
   test("gated read: same files as the driver path, pruning runs as a Spark job") {
