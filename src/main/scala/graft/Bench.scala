@@ -182,6 +182,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(name: String): Boolean = only.forall(_.contains(name))
     val baseRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // 100x probe entries: NOT part of the official run (each costs minutes
+    // and the 10x/30x points already band the scale curve) —
+    // SPARK_GRAFT_BENCH_XSCALE=100 turns them on for one-off two-decade
+    // scale evidence, recorded in BENCH_NOTES when taken.
+    val want100x = sys.env.get("SPARK_GRAFT_BENCH_XSCALE").contains("100")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -486,7 +491,7 @@ object Bench {
     // conf-lowered to fixture scale (the production defaults, 8x mean +
     // 4M rows, are the same mechanism at cluster volume).
     if (Seq("mor_hotbucket_read", "mor_hotbucket_nosplit",
-        "mor_balanced_read").exists(want)) try {
+        "mor_balanced_read").exists(want) || want100x) try {
       import graft.catalog.MergeRead
       val days = 8L
       def mkMerged(tag: String, base0: org.apache.spark.sql.DataFrame): GraftCatalog = {
@@ -589,6 +594,40 @@ object Bench {
           extra += 1
         }
       }
+      // Two-decade probe (round-15, verdict ask #5; env-gated like the
+      // other XSCALE points): the carve-out's crossover table stops at
+      // k=8 (10.2M hot rows) while the production thresholds (minRows 4M,
+      // factor 8) were designed for cluster volume — this reruns the
+      // split/nosplit/balanced A/B at k=50 (~64M rows in ONE bucket that
+      // no rebucketing can spread) so the "straggler grows linearly,
+      // carve-out cost stays ~flat" claim is checked at design scale.
+      // Results go to BENCH_NOTES when taken; never in the official run.
+      if (want100x) {
+        val k = sys.env.get("SPARK_GRAFT_BENCH_HOTSCALE_PROBE")
+          .map(_.toLong).getOrElse(50L)
+        val hotBaseK = spark.range(1280000 * k).where(bucketOf === 0)
+          .withColumn("day", explode(sequence(lit(0L), lit(days - 1))))
+          .unionByName(spark.range(1280000 * k, 2195000 * k)
+            .where(bucketOf =!= 0).withColumn("day", col("id") % days))
+        val hotCatK = mkMerged(s"skew${k}x", hotBaseK.toDF())
+        def hotReadK(): Unit = {
+          spark.conf.set(MergeRead.HotBucketFactorKey, "4")
+          try hotCatK.readTable("bench.hot").agg(sum("q"), count(lit(1))).head()
+          finally spark.conf.unset(MergeRead.HotBucketFactorKey)
+        }
+        attempt(s"mor_hotbucket_read_${k}x")(
+          measuredWarm(s"mor_hotbucket_read_${k}x")(hotReadK()))
+        attempt(s"mor_hotbucket_nosplit_${k}x")(
+          measuredWarm(s"mor_hotbucket_nosplit_${k}x") {
+            hotCatK.readTable("bench.hot").agg(sum("q"), count(lit(1))).head()
+          })
+        val balCatK = mkMerged(s"bal${k}x", spark.range(2080000 * k)
+          .withColumn("day", col("id") % days).toDF())
+        attempt(s"mor_balanced_read_${k}x")(
+          measuredWarm(s"mor_balanced_read_${k}x") {
+            balCatK.readTable("bench.hot").agg(sum("q"), count(lit(1))).head()
+          })
+      }
     } catch { case e: Throwable =>
       errors("hotbucket_setup") = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
     }
@@ -610,11 +649,6 @@ object Bench {
     // a co-tenant load spike, and round 8's artifact proved the latter.
     var lineitem10xPath: Option[String] = None
     var lineitem30xPath: Option[String] = None
-    // 100x probe entries: NOT part of the official run (each costs a
-    // minute-plus and the 10x/30x points already band the scale curve) —
-    // SPARK_GRAFT_BENCH_XSCALE=100 turns them on for one-off two-decade
-    // scale evidence, recorded in BENCH_NOTES when taken.
-    val want100x = sys.env.get("SPARK_GRAFT_BENCH_XSCALE").contains("100")
     val wantDocs10x = Seq("t04_minhash_neardup_10x", "t41_span_removal_10x",
       "t50_ngram_jaccard_10x", "t04_minhash_neardup_30x").exists(want) || want100x
     val wantLi30x = Seq("pipeline_30x", "baseline_raw_spark_30x",

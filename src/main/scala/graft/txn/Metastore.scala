@@ -569,6 +569,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   private var frozenEpochSet: Set[Long] = Set.empty
   private var active: Map[String, TxnRecord] = Map.empty // flat + writable epochs
   private var tokenState: Seq[(Path, Long)] = Nil
+  private var seenCkpts: Set[String] = Set.empty // cross-process fold detector
   /** Success-record file OPENS — the boundedness witness MetastoreScaleSpec
     * asserts on (a refresh after one commit must read ~1 record, not the
     * lifetime history). */
@@ -643,6 +644,13 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     val newTokens = scala.collection.mutable.ArrayBuffer[(Path, Option[Long])]()
     newTokens += successDir -> commitStore.dirToken(successDir)
     val (flatNames, epochDirs, ckpts) = successRootListing()
+    // A checkpoint fold by ANOTHER process moves flat records out of the
+    // active scope into a file the incremental pass never reloads — a
+    // changed checkpoint set forces the full (checkpoint + tail) pass.
+    // Names come from the root listing already in hand: zero extra I/O.
+    val ckptNames = ckpts.map(_.getFileName.toString).toSet
+    if (ckptNames != seenCkpts) needFullResync = true
+    seenCkpts = ckptNames
     var frozenChanged = false // forces the (rare) full txnCache rebuild
     if (needFullResync) {
       frozen = loadNewestCheckpoint(ckpts)

@@ -133,6 +133,25 @@ class MetastoreScaleSpec extends AnyFunSuite {
     assert(m2.contains(good) && !m2.contains(demoted))
   }
 
+  test("a checkpoint fold by ANOTHER process never hides records from a warm cache") {
+    val root = tmp("graft-msxproc")
+    val ms = new Metastore(root)
+    val now = System.currentTimeMillis()
+    // aged FLAT records: warm ms's cache holds them in its ACTIVE scope
+    val aged = (1 to 20).map(i =>
+      plant(ms, now - 5 * ms.SuccessEpochMillis + i, flat = true, f"xfold$i%03d"))
+    ms.invalidateTxnCache()
+    assert(aged.forall(ms.successfulTxns().contains))
+    // a SECOND process folds them into a checkpoint (flat files deleted)
+    val other = new Metastore(root)
+    assert(other.checkpointSuccessLog() == 20)
+    assert(aged.forall(id => !Files.exists(ms.successDir.resolve(s"$id.json"))))
+    // the warm instance's next refresh must see the changed checkpoint set
+    // and resync — NOT drop the records whose flat files vanished
+    val m = ms.successfulTxns()
+    assert(aged.forall(m.contains), "fold by another process hid records from a warm cache")
+  }
+
   test("MVCC conflict/visibility semantics unchanged: rapid seal-read interleave") {
     // the old dir-mtime cache caught cross-txn freshness; the token+diff
     // refresh must too — every committed txn visible immediately, every
