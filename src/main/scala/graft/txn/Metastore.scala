@@ -862,14 +862,27 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
       .map(r => r.txnId -> r).toMap
     if (cands.isEmpty) return 0
     val all = prev ++ cands
-    val name = f"_ckpt_${all.values.map(_.endTimeMillis).max}%020d.json"
-    val target = successDir.resolve(name)
-    if (!Files.exists(target))
-      commitStore.putIfAbsent(target,
-        Json.write(all.values.toArray).getBytes(StandardCharsets.UTF_8))
+    // Name = max folded endTime — but a LATE-arriving record older than a
+    // previous fold's max (a stale sealer's flat publish) would reproduce
+    // an existing name and put-if-absent would refuse forever; bump the
+    // stamp until either our put lands or an on-disk checkpoint already
+    // covers every candidate (a racer folded them).
+    var stamp = all.values.map(_.endTimeMillis).max
+    var target = successDir.resolve(f"_ckpt_$stamp%020d.json")
+    var onDisk = Map.empty[String, TxnRecord]
+    var settled = false
+    while (!settled) {
+      if (commitStore.putIfAbsent(target,
+          Json.write(all.values.toArray).getBytes(StandardCharsets.UTF_8))) {
+        onDisk = all; settled = true
+      } else {
+        val existing = loadNewestCheckpoint(Seq(target))
+        if (cands.keySet.subsetOf(existing.keySet)) { onDisk = existing; settled = true }
+        else { stamp += 1; target = successDir.resolve(f"_ckpt_$stamp%020d.json") }
+      }
+    }
     // fold step: delete ONLY files covered by the checkpoint on disk — a
     // lost putIfAbsent race deletes only what the winner's content covers
-    val onDisk = loadNewestCheckpoint(Seq(target))
     var foldedNew = 0
     candFiles.foreach { p =>
       val id = p.getFileName.toString.stripSuffix(".json")
@@ -880,7 +893,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     frozenDirs.foreach { case (_, d) =>
       try Files.delete(d) catch { case _: Exception => () } // non-empty: fine
     }
-    ckpts.filter(p => p.getFileName.toString < name && p != target)
+    ckpts.filter(p => p.getFileName.toString < target.getFileName.toString && p != target)
       .foreach(Files.deleteIfExists(_))
     // monotonic: folded ids stay terminal-probe-visible before the resync
     ckptIds = ckptIds ++ onDisk.keySet

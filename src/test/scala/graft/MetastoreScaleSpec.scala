@@ -133,6 +133,22 @@ class MetastoreScaleSpec extends AnyFunSuite {
     assert(m2.contains(good) && !m2.contains(demoted))
   }
 
+  test("a late-arriving record older than the last fold still gets folded") {
+    val ms = new Metastore(tmp("graft-mslate"))
+    val now = System.currentTimeMillis()
+    plant(ms, now - 5 * ms.SuccessEpochMillis, flat = true, "early000")
+    ms.invalidateTxnCache()
+    assert(ms.checkpointSuccessLog() == 1)
+    // a stale sealer publishes FLAT with an id OLDER than the fold's max
+    // endTime — the fold name would collide with the existing checkpoint
+    val late = plant(ms, now - 6 * ms.SuccessEpochMillis, flat = true, "late0000")
+    ms.invalidateTxnCache()
+    assert(ms.checkpointSuccessLog() == 1, "late-arriving aged record must fold")
+    assert(!Files.exists(ms.successDir.resolve(s"$late.json")))
+    val cold = new Metastore(ms.root)
+    assert(cold.successfulTxns().contains(late))
+  }
+
   test("a checkpoint fold by ANOTHER process never hides records from a warm cache") {
     val root = tmp("graft-msxproc")
     val ms = new Metastore(root)

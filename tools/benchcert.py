@@ -86,7 +86,10 @@ def main() -> int:
     scale_overs = []
     for name, r in d.get("scale_ratios", {}).items():
         st = r.get("status", "?")
-        print(f"  scale-ratio {name}: {r.get('x')}x (band {r.get('band')}) [{st}]")
+        # round-15: denominators are floored at a recorded quiet-range
+        # constant (den_floor) so a lucky-fast 1x sample can't inflate x
+        fl = f", den_floor {r['den_floor']}" if "den_floor" in r else ""
+        print(f"  scale-ratio {name}: {r.get('x')}x (band {r.get('band')}{fl}) [{st}]")
         if st == "over":
             scale_overs.append(name)
     if d.get("errors"):
