@@ -502,7 +502,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // positions must keep matching the data-file paths), so a destination
     // with prior-incarnation history would collide on revision numbers.
     live.foreach { case (v, _) =>
-      if (store.allVisible(deltaDir(nt.copy(version = Some(v))), None, None).nonEmpty)
+      // existence only — never parse metafile contents for a nonEmpty check
+      if (store.visibleRevisionPaths(deltaDir(nt.copy(version = Some(v))), None, None).nonEmpty)
         throw new IllegalArgumentException(
           s"cannot rename onto $nt: the name has prior table history")
     }
@@ -1334,6 +1335,86 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     }
   }
 
+  /** Bound the per-table delta LOG for long-lived tables (round-15): a
+    * table keeps one delta metafile per write forever, so its log listing
+    * grows O(lifetime writes) even though compaction folded the data long
+    * ago. trimHistory deletes the metafiles a compacted base has folded
+    * (stream position ≤ the base's watermark) once the base itself is
+    * older than `retentionMillis` — Delta-Lake-style log retention
+    * (public pattern: delta-io PROTOCOL checkpoints + metadata cleanup;
+    * the reference's janitor bounds its txn log dirs the same way)
+    * applied to the catalog's per-table log. DATA files are untouched:
+    * copy-by-reference means the base's manifest may still point into
+    * files first written by a folded delta.
+    *
+    * Metadata-only, idempotent, concurrent-reader-safe:
+    *  - current-time reads never open pre-watermark metafiles (the
+    *    planning walk stops at the base), so they cannot race the delete;
+    *  - the horizon (`history.trim.horizon.millis` = the base txn's
+    *    endTime, `history.trim.upto.position` = the watermark) COMMITS as
+    *    a table-property revision before any file is deleted; asOf reads
+    *    earlier than the horizon and CDC reads from an earlier position
+    *    fail loudly instead of resolving a partial history;
+    *  - full-lineage surfaces (maintenance, deltaLog) tolerate
+    *    vanished-after-listing metafiles — the active set is never
+    *    trimmed.
+    * Time travel / downloadDelta earlier than the horizon is FORFEITED —
+    * the standard retention trade. The gate `now − baseEnd ≥ retention`
+    * guarantees every asOf inside the retention window still resolves to
+    * the (untrimmed) newest base. Returns #metafiles removed. */
+  def trimHistory(table: String,
+      retentionMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+    val t = th(table)
+    val files = store.visibleRevisionPaths(deltaDir(t), None, None)
+    val suffix = planningVisible(t, None, None, skeletonOnly = true)
+    val base = MergeRead.activeDeltas(suffix.map(_._3))._1.getOrElse(return 0)
+    val w = base.compactedUpTo
+    val baseEnd = store.successfulTxns().get(base.txnId).map(_.endTimeMillis)
+      .getOrElse(return 0)
+    if (System.currentTimeMillis() - baseEnd < retentionMillis) return 0
+    // copy-by-reference: the base's manifest may reference files first
+    // written by folded deltas, and lineage keys on the path's revision —
+    // a referenced metafile is NEVER trimmed (it survives as the
+    // planning walk's lineage skeleton until a rewrite stops referencing
+    // it). Streaming keeps this O(1) heap above the planning gate.
+    val referenced = scala.collection.mutable.Set[Long]()
+    suffix.find(_._3.streamPosition == base.streamPosition).foreach { case (_, p, _) =>
+      graft.catalog.ManifestPlanner.foreachEntry(p)(e =>
+        MergeRead.revOfPath(e.path).foreach(referenced += _))
+    }
+    val victims = files.filter { case (rev, _) => rev <= w && !referenced.contains(rev) }
+    if (victims.isEmpty) return 0
+    // horizon first (readers fail fast from this commit on), then delete —
+    // a crash in between trims less than promised, never more
+    val tx = store.newTransaction(s"trim history $t up to $w")
+    try {
+      val m = getTableMeta(table)
+      stageTableMeta(tx, t, m.copy(properties = m.properties ++ Map(
+        "history.trim.horizon.millis" -> baseEnd.toString,
+        "history.trim.upto.position" -> w.toString)))
+      tx.seal()
+    } catch { case e: Throwable => tx.abort(); throw e }
+    var n = 0
+    victims.foreach { case (_, p) => if (Files.deleteIfExists(p)) n += 1 }
+    n
+  }
+
+  /** asOf floor after [[trimHistory]]: an earlier asOf could resolve an
+    * active set whose metafiles are gone — fail loudly, never read a
+    * partial history. Reads the CURRENT meta (the horizon property did
+    * not exist in the asOf-resolved revision, by construction). */
+  private def requireWithinRetention(t: TableHandle, asOf: Option[Long],
+      table: String): Unit =
+    if (asOf.isDefined)
+      for {
+        a <- asOf
+        m <- currentMeta(t, None, None)
+        h <- m.properties.get("history.trim.horizon.millis").flatMap(_.toLongOption)
+        if a < h
+      } throw new IllegalArgumentException(
+        s"asOf $a is earlier than $table's trimmed-history horizon $h: " +
+          "time travel beyond the retention window was forfeited by trimHistory")
+
   // ------------------------------------------------------------- read path
   def readTable(table: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     val parsed = thRaw(table)
@@ -1355,6 +1436,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         s"partitionValues references '$k', which is not a partition field of " +
           s"$table (current scheme: ${scheme.keys.map(_.field).mkString(",")}) — " +
           "use rowFilter for value predicates on non-partition fields")))
+    requireWithinRetention(t, opts.asOf, table)
     val deltas = plannedDeltas(t, opts, schema, scheme, mergeKeys)
 
     val df = MergeRead.plan(spark, schema, scheme, mergeKeys, deltas, opts,
@@ -1522,6 +1604,24 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * stream position — the incremental-consumption surface. */
   def deltaLog(table: String): Seq[DeltaMeta] = effectiveDeltas(th(table), None)
 
+  /** Visible deltas with streamPosition > afterPosition, entries parsed —
+    * the streaming source's per-trigger view. Revisions ARE stream
+    * positions, so the name filter bounds the parse to O(new deltas) per
+    * poll instead of the lifetime history (a 10-second trigger on a
+    * year-old table must not re-open every metafile ever written).
+    * REPLACE truncation is irrelevant here: a marker inside the range
+    * surfaces to the caller, and positions before `afterPosition` are the
+    * caller's own committed past. */
+  def deltasAfter(table: String, afterPosition: Long): Seq[DeltaMeta] = {
+    val t = th(table)
+    store.visibleRevisionPaths(deltaDir(t), None, None)
+      .filter(_._1 > afterPosition)
+      .flatMap { case (_, p) =>
+        try Some(Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta]))
+        catch { case _: java.nio.file.NoSuchFileException => None } // concurrent trim
+      }
+  }
+
   /** Metadata-only view of the active log: full metas below the planning
     * gate, entry-less skeletons above it (types, positions, watermarks,
     * properties always present). For consumers that never touch entries —
@@ -1583,6 +1683,13 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   def readChanges(table: String, afterPosition: Long = -1L): DataFrame = {
     val t = th(table)
     val meta = getTableMeta(table)
+    // CDC from a position before the trim horizon would silently MISS the
+    // trimmed deltas' changes — fail with the remedy instead
+    meta.properties.get("history.trim.upto.position").flatMap(_.toLongOption)
+      .filter(_ > afterPosition).foreach(w => throw new IllegalArgumentException(
+        s"readChanges(afterPosition=$afterPosition) on $table: deltas up to " +
+          s"position $w were trimmed by trimHistory — changes before it are " +
+          "gone; re-read the full table or resume from a position >= " + w))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     // Compacted snapshots re-reference already-delivered data and are
     // skipped — EXCEPT bulk-load deltas, which carry original rows that
@@ -2110,9 +2217,103 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
 
   private[catalog] def visibleDeltas(t: TableHandle, asOf: Option[Long],
       within: Option[Transaction]): Seq[(Long, DeltaMeta)] =
-    store.allVisible(deltaDir(t), asOf, within).map { case (rev, c) =>
-      (rev, Json.read(c, classOf[DeltaMeta]))
+    store.visibleRevisionPaths(deltaDir(t), asOf, within).flatMap { case (rev, p) =>
+      // vanished-after-listing = a concurrent trimHistory removed a folded
+      // pre-watermark metafile; the active set is never trimmed, so
+      // skipping is exact for every consumer of the full lineage
+      try Some((rev, Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta])))
+      catch { case _: java.nio.file.NoSuchFileException => None }
     }
+
+  /** Test observability: metafiles PARSED by the most recent
+    * [[planningVisible]] tail walk (volatile last-write-wins, the
+    * MergeRead.lastSplitRegime pattern). */
+  @volatile private[graft] var lastPlanningParses: Int = 0
+
+  /** Visible deltas sufficient to PLAN a read, parsed TAIL-FIRST — the
+    * per-read lifetime-history wall (round-15): a long-lived table keeps
+    * one delta metafile per write forever, and parsing ALL of them per
+    * read is O(lifetime writes) file opens at exactly the table age the
+    * catalog is designed for. The walk goes newest→oldest and stops once
+    * nothing beneath can join the active set:
+    *  - at a REPLACE marker (kept — everything beneath is dropped by
+    *    replace semantics anyway);
+    *  - once the newest compacted base is in hand, at the first revision
+    *    ≤ its watermark (revisions ARE stream positions — commitWrite
+    *    allocates pos = rev — so folded deltas sit wholly below it; an
+    *    unfolded pending BELOW the base file but ABOVE the watermark, the
+    *    valve shape, is still walked and kept).
+    * O(pending + 1) metafile parses per read. Equivalent to
+    * [[effectiveDeltas]] for planning because MergeRead.plan draws
+    * entries and lineage only from the active set, which lies wholly in
+    * the walked suffix; history-facing surfaces (deltaLog, downloadDelta,
+    * CDC, maintenance) keep the full-lineage read. `skeletonOnly` skips
+    * the entries arrays (the above-gate variant). */
+  private def planningVisible(t0: TableHandle, asOf: Option[Long],
+      within: Option[Transaction], skeletonOnly: Boolean): Seq[(Long, Path, DeltaMeta)] = {
+    val t = resolveVersion(t0, asOf, within)
+    val files = store.visibleRevisionPaths(deltaDir(t), asOf, within)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Path, DeltaMeta)]()
+    var watermark = -1L
+    var baseSeen = false
+    var parses = 0
+    val it = files.reverseIterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (rev, p) = it.next()
+      if (baseSeen && rev <= watermark) done = true
+      else {
+        val d =
+          if (skeletonOnly) ManifestPlanner.skeleton(p)
+          else Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta])
+        parses += 1
+        out += ((rev, p, d))
+        if (d.properties.get("replace").contains("true")) done = true
+        else if (!baseSeen && d.compactedUpTo >= 0) {
+          baseSeen = true
+          watermark = d.compactedUpTo
+        }
+      }
+    }
+    lastPlanningParses = parses
+    // LINEAGE COMPLETION: copy-by-reference keeps base manifest entries
+    // pointing at files FIRST WRITTEN by long-folded deltas, and lineage
+    // keys on the path's revision (MergeRead.scanWithLineage) — the
+    // referenced old deltas must ride along as entry-less skeletons
+    // (pos/type/written_columns/compactedUpTo are all planning needs from
+    // them). Bounded by the number of DISTINCT referenced revisions, which
+    // compaction rewrites keep shrinking — never the lifetime history.
+    val have = out.map(_._1).toSet
+    val needed = scala.collection.mutable.Set[Long]()
+    if (skeletonOnly) {
+      // entries are not resident: stream each active metafile's entry
+      // paths (O(1) heap) for the referenced-revision set
+      val (b, pend) = MergeRead.activeDeltas(out.map(_._3).toSeq)
+      val activePos = (b.toSeq ++ pend).map(_.streamPosition).toSet
+      out.foreach { case (_, p, d) =>
+        if (activePos.contains(d.streamPosition))
+          ManifestPlanner.foreachEntry(p)(e =>
+            MergeRead.revOfPath(e.path).filterNot(have).foreach(needed += _))
+      }
+    } else out.foreach { case (_, _, d) =>
+      d.entries.foreach(e =>
+        MergeRead.revOfPath(e.path).filterNot(have).foreach(needed += _))
+    }
+    if (needed.nonEmpty) {
+      val byRev = files.toMap
+      val extras = needed.toSeq.sorted.flatMap { rev =>
+        byRev.get(rev).flatMap { p =>
+          try Some((rev, p, ManifestPlanner.skeleton(p)))
+          catch { // trimmed-although-referenced (legacy): loud at read time
+            case _: java.io.FileNotFoundException => None
+            case _: java.nio.file.NoSuchFileException => None
+          }
+        }
+      }
+      lastPlanningParses = parses + extras.size
+      (extras ++ out).sortBy(_._1).toSeq
+    } else out.reverse.toSeq
+  }
 
   /** [[effectiveDeltas]] with the driver-metadata ceiling lifted for the
     * scan path: when the visible manifest JSON exceeds
@@ -2136,11 +2337,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val totalBytes = files.iterator.map { case (_, p) =>
       try Files.size(p) catch { case _: Exception => 0L } }.sum
     if (totalBytes <= ManifestPlanner.gateBytes(spark)) return None
-    val sk: Seq[(Long, Path, DeltaMeta)] =
-      files.map { case (rev, p) => (rev, p, ManifestPlanner.skeleton(p)) }
-    val lastReplace = sk.zipWithIndex
-      .filter(_._1._3.properties.get("replace").contains("true")).map(_._2).lastOption
-    val kept = lastReplace match { case Some(i) => sk.drop(i); case None => sk }
+    // tail-first: the planning suffix already ends at the last REPLACE
+    // marker (the walk stops there), and pre-watermark skeletons never
+    // parse — O(pending + 1) even at 10^6 lifetime writes
+    val kept: Seq[(Long, Path, DeltaMeta)] =
+      planningVisible(t, asOf, within, skeletonOnly = true)
     val (base, pending) = MergeRead.activeDeltas(kept.map(_._3))
     // Only ACTIVE deltas (latest compacted base + beyond-watermark pending)
     // contribute entries to the plan; the rest ride along as entry-less
@@ -2155,7 +2356,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   private def plannedDeltas(t: TableHandle, opts: ReadOptions, schema: StructType,
       scheme: PartitionScheme, mergeKeys: Seq[String]): Seq[DeltaMeta] = {
     val (kept, activeFiles) = skeletonPlan(t, opts.asOf, opts.txn) match {
-      case None => return effectiveDeltas(t, opts.asOf, opts.txn)
+      // below the gate: same tail-first walk, entries parsed inline —
+      // a compacted lifetime history costs O(pending + 1) opens, not
+      // O(lifetime writes)
+      case None => return planningVisible(t, opts.asOf, opts.txn,
+        skeletonOnly = false).map(_._3)
       case Some(x) => x
     }
     val (_, pending) = MergeRead.activeDeltas(kept.map(_._2))
@@ -2210,10 +2415,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   private[graft] def dsv2Plan(table: String, asOf: Option[Long]): Dsv2Plan = {
     val (t, meta0) = resolveVersionMeta(thRaw(table), asOf, None)
     val meta = meta0.filter(!_.dropped).getOrElse(throw new TableNotFound(table))
+    requireWithinRetention(t, asOf, table)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     skeletonPlan(t, asOf, None) match {
       case None =>
-        val deltas = effectiveDeltas(t, asOf)
+        val deltas = planningVisible(t, asOf, None, skeletonOnly = false).map(_._3)
         val (base, pending) = MergeRead.activeDeltas(deltas)
         val active = base.toSeq ++ pending
         Dsv2Plan(meta, t, deltas, (_, _) => active.flatMap(_.entries), gated = false,
@@ -2253,11 +2459,17 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val totalBytes = files.iterator.map { case (_, p) =>
       try Files.size(p) catch { case _: Exception => 0L } }.sum
     val streamed = totalBytes > ManifestPlanner.gateBytes(spark)
-    val all: Seq[(DeltaMeta, Path)] =
-      if (streamed) files.map { case (_, p) => (ManifestPlanner.skeleton(p), p) }
-      else files.map { case (_, p) =>
-        (Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta]), p)
+    val all: Seq[(DeltaMeta, Path)] = files.flatMap { case (_, p) =>
+      // vanished-after-listing = concurrent trimHistory of a folded
+      // pre-watermark metafile; the active set is never trimmed
+      try Some((
+        if (streamed) ManifestPlanner.skeleton(p)
+        else Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta]), p))
+      catch {
+        case e: java.io.FileNotFoundException => None
+        case e: java.nio.file.NoSuchFileException => None
       }
+    }
     val lastReplace = all.zipWithIndex
       .filter(_._1._1.properties.get("replace").contains("true")).map(_._2).lastOption
     (lastReplace match { case Some(i) => all.drop(i); case None => all }, streamed)

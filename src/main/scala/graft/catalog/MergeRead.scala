@@ -683,7 +683,7 @@ object MergeRead {
   }
 
   private val DirRev = "/d(\\d+)(?:__[^/]*)?/".r
-  private def revOfPath(p: String): Option[Long] =
+  private[catalog] def revOfPath(p: String): Option[Long] =
     DirRev.findAllMatchIn(p).toSeq.lastOption.map(_.group(1).toLong)
 
   /** oldName -> newName for every renamed field of the schema — used to

@@ -2006,6 +2006,47 @@ object CatalogQueries {
         s.conf.unset(MergeRead.HotBucketMinRowsKey)
       }
       cat.readTable("q.hc")
+    },
+
+    // History trim (c94, round-15): a long-lived table's delta log is
+    // bounded by trimHistory — folded pre-watermark metafiles deleted
+    // once the base outlives the retention window, horizon committed
+    // BEFORE any delete. The read after the trim is served by exactly the
+    // surviving base + pending metafiles and must hash-match the oracle's
+    // terminal state; the closure also requires the trim actually removed
+    // the folded log entries and that pre-horizon time travel fails
+    // loudly (a silent partial history is the failure mode this guards).
+    Q("c94_history_trim", Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+                  WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey % 7 <> 0""")) { (s, dir) =>
+      val cat = newCat(s, "c94")
+      cat.createTable("q.ht", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", DoubleType))), properties = MoR)
+      val base = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("v"))
+      val preTrim = System.currentTimeMillis()
+      cat.writeToTable(base, "q.ht", WriteMode.Merge)
+      cat.writeToTable(base.where(col("o_orderkey") % 3 === 0)
+        .withColumn("v", col("v") * 2), "q.ht", WriteMode.Merge)
+      cat.compact("q.ht")
+      // post-compaction pending survives the trim
+      cat.writeToTable(base.where(col("o_orderkey") % 5 === 0)
+        .withColumn("v", col("v") * 3), "q.ht", WriteMode.Merge)
+      cat.writeToTable(base.select("o_orderkey").where(col("o_orderkey") % 7 === 0),
+        "q.ht", WriteMode.Delete)
+      Thread.sleep(20) // the base must be older than the (zero) window
+      val removed = cat.trimHistory("q.ht", retentionMillis = 0L)
+      require(removed >= 2, s"c94 trim must remove the folded metafiles, removed $removed")
+      val loud = try { cat.readTable("q.ht",
+        ReadOptions(asOf = Some(preTrim))); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("trimmed-history horizon") }
+      require(loud, "c94: pre-horizon time travel must fail loudly after a trim")
+      cat.readTable("q.ht")
     }
   )
 }

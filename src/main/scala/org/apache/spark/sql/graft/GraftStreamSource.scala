@@ -233,7 +233,11 @@ class GraftStreamSource(
   private val skipFilters =
     rowFilter.map(graft.catalog.StatsSkip.translate).getOrElse(Nil)
 
-  private def visible(): Seq[graft.txn.DeltaMeta] = cat.deltaLog(pinnedTable)
+  /** Deltas past `after` only — O(new deltas) metafile parses per poll
+    * (round-15): a trigger-interval poll on a long-lived table must not
+    * re-parse its lifetime delta log (deltaLog did exactly that). */
+  private def visibleAfter(after: Long): Seq[graft.txn.DeltaMeta] =
+    cat.deltasAfter(pinnedTable, after)
 
   /** Highest position already OFFERED via getOffset (not necessarily
     * committed) — the admission cursor. getBatch fast-forwards it on
@@ -242,14 +246,15 @@ class GraftStreamSource(
   @volatile private var offeredHi: Long = -1L
 
   override def getOffset: Option[Offset] = {
-    val deltas = visible()
-    if (deltas.isEmpty) return None
-    val latest = deltas.map(_.streamPosition).max
+    // only deltas the admission cursor has not offered yet are parsed —
+    // the committed past never re-opens
+    val fresh0 = visibleAfter(offeredHi)
+    if (fresh0.isEmpty)
+      return if (offeredHi < 0) None else Some(VerOffset(offeredHi, pinnedVersion))
+    val latest = math.max(offeredHi, fresh0.map(_.streamPosition).max)
     if (maxDeltasPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
       return Some(VerOffset(latest, pinnedVersion))
-    val fresh = deltas.filter(_.streamPosition > offeredHi).sortBy(_.streamPosition)
-    if (fresh.isEmpty)
-      return if (offeredHi < 0) None else Some(VerOffset(offeredHi, pinnedVersion))
+    val fresh = fresh0.sortBy(_.streamPosition)
     val maxD = maxDeltasPerTrigger.getOrElse(Int.MaxValue)
     val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     var (nD, nF) = (0, 0)
@@ -324,7 +329,16 @@ class GraftStreamSource(
     // recovery fast-forward: a restart replays the last checkpointed batch
     // through getBatch before any getOffset — admission resumes past it
     if (hi > offeredHi) offeredHi = hi
-    val batch = visible().filter(d => d.streamPosition > lo && d.streamPosition <= hi)
+    // a history trim past this batch's floor would silently LOSE deltas —
+    // the same loud-failure contract as readChanges
+    cat.getTableMeta(pinnedTable).properties
+      .get("history.trim.upto.position").flatMap(_.toLongOption)
+      .filter(_ > lo).foreach(w => throw new IllegalStateException(
+        s"streaming checkpoint for $table resumes from position $lo but " +
+          s"deltas up to $w were trimmed by trimHistory — start a new " +
+          "checkpoint (full reprocess) or keep retention longer than the " +
+          "stream's maximum downtime"))
+    val batch = visibleAfter(lo).filter(_.streamPosition <= hi)
       // A compacted snapshot re-references already-streamed data: skip it —
       // except bulk-load deltas, whose rows appeared in no earlier delta.
       .filter(d => d.compactedUpTo < 0 || d.properties.get("bulk_load").contains("true"))

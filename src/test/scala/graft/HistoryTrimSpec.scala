@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.model._
+
+/**
+ * Round-15 lifetime-history wall: reads must parse O(pending + 1) delta
+ * metafiles however many writes the table has seen (the tail-first
+ * planning walk), and trimHistory must bound the log listing itself with
+ * Delta-style retention semantics — loud failures for time travel and CDC
+ * beyond the horizon, zero change to current-time reads.
+ */
+class HistoryTrimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(cat: GraftCatalog, name: String): Unit =
+    cat.createTable(name, StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", DoubleType))),
+      properties = Map("read_optimization" -> "NONE"))
+
+  test("reads parse O(pending + 1) metafiles, not the lifetime history") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-tailwalk"))
+    mkTable(cat, "h.t")
+    cat.writeToTable(spark.range(2000).select(col("id").as("k"),
+      (col("id") * 1.0).as("v")), "h.t", WriteMode.Merge)
+    (1 to 40).foreach { i =>
+      cat.writeToTable(Seq((i.toLong, i * 2.0)).toDF("k", "v"), "h.t", WriteMode.Merge)
+    }
+    cat.compact("h.t")
+    (1 to 3).foreach { i =>
+      cat.writeToTable(Seq((i.toLong, i * 3.0)).toDF("k", "v"), "h.t", WriteMode.Merge)
+    }
+    val n = cat.readTable("h.t").count()
+    assert(n == 2000)
+    // 42 lifetime writes; the walk parses pending(3) + base(1) and stops
+    // at the first revision at-or-under the watermark
+    assert(cat.lastPlanningParses <= 5,
+      s"planning parsed ${cat.lastPlanningParses} metafiles for 3 pending deltas")
+    // correctness of the walked read: upserted keys carry the newest value
+    val got = cat.readTable("h.t").where(col("k") <= 3 && col("k") >= 1)
+      .orderBy("k").collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(3.0, 6.0, 9.0))
+  }
+
+  test("valve shape: unfolded pending BELOW the base revision stays in the plan") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-valve-walk"))
+    cat.createTable("h.v", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", DoubleType))),
+      properties = Map("read_optimization" -> "NONE",
+        // ~1-byte valve: every compaction round folds ONE delta, so after
+        // compact() the newest base's watermark sits below later pending
+        // revisions committed before it
+        "compaction.max_input_bytes" -> "1"))
+    cat.writeToTable(spark.range(100).select(col("id").as("k"),
+      lit(1.0).as("v")), "h.v", WriteMode.Merge)
+    (1 to 4).foreach { i =>
+      cat.writeToTable(Seq((i.toLong, 100.0 + i)).toDF("k", "v"), "h.v", WriteMode.Merge)
+    }
+    cat.compact("h.v")
+    val rows = cat.readTable("h.v").where(col("k") >= 1 && col("k") <= 4)
+      .orderBy("k").collect().map(_.getDouble(1)).toSeq
+    assert(rows == Seq(101.0, 102.0, 103.0, 104.0),
+      s"valve-shape read lost an unfolded pending delta: $rows")
+  }
+
+  test("copy-by-reference: referenced metafiles survive the trim and ride as lineage skeletons") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-trim-ref"))
+    mkTable(cat, "h.c")
+    // rev1 bulk upsert → rev2 = first compacted BUCKETED base
+    cat.writeToTable(spark.range(8000).select(col("id").as("k"),
+      (col("id") * 1.0).as("v")), "h.c", WriteMode.Merge)
+    cat.compact("h.c")
+    // rev3 upserts ONLY keys hashing into bucket 0 → rev4 base rewrites
+    // bucket 0 and copies buckets 1-7 BY REFERENCE from rev2's files
+    cat.writeToTable(spark.range(8000)
+      .where(pmod(hash(col("id")), lit(8)) === 0)
+      .select(col("id").as("k"), lit(-5.0).as("v")), "h.c", WriteMode.Merge)
+    cat.compact("h.c")
+    val expected = cat.readTable("h.c").orderBy("k").collect().toSeq
+    Thread.sleep(50)
+    // rev1 (folded, rewritten) and rev3 (folded) trim; rev2 is REFERENCED
+    // by the new base's copied entries and must survive as lineage
+    val removed = cat.trimHistory("h.c", retentionMillis = 0L)
+    assert(removed == 2, s"expected the two unreferenced folded metafiles trimmed, got $removed")
+    assert(cat.readTable("h.c").orderBy("k").collect().toSeq == expected)
+    // the walk parsed base + the referenced lineage skeleton (no pending)
+    assert(cat.lastPlanningParses <= 3,
+      s"planning parsed ${cat.lastPlanningParses} metafiles post-trim")
+    // a later full rewrite drops the reference; the next trim reclaims it
+    cat.writeToTable(spark.range(8000).select(col("id").as("k"),
+      lit(9.0).as("v")), "h.c", WriteMode.Merge)
+    cat.compact("h.c")
+    Thread.sleep(50)
+    assert(cat.trimHistory("h.c", retentionMillis = 0L) >= 2)
+    assert(cat.readTable("h.c").agg(sum("v")).head().getDouble(0) == 8000 * 9.0)
+  }
+
+  test("trimHistory bounds the log; guards fire; current reads unchanged") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-trim"))
+    mkTable(cat, "h.r")
+    cat.writeToTable(spark.range(500).select(col("id").as("k"),
+      (col("id") * 1.0).as("v")), "h.r", WriteMode.Merge)
+    (1 to 10).foreach { i =>
+      cat.writeToTable(Seq((i.toLong, i * 2.0)).toDF("k", "v"), "h.r", WriteMode.Merge)
+    }
+    val beforeCompactMillis = System.currentTimeMillis()
+    Thread.sleep(5)
+    cat.compact("h.r")
+    cat.writeToTable(Seq((1L, 99.0)).toDF("k", "v"), "h.r", WriteMode.Merge)
+    val logBefore = cat.deltaLog("h.r").size
+    val expected = cat.readTable("h.r").orderBy("k").collect().toSeq
+
+    // retention window not elapsed: no-op
+    assert(cat.trimHistory("h.r", retentionMillis = 3600 * 1000L) == 0)
+    Thread.sleep(50)
+    val removed = cat.trimHistory("h.r", retentionMillis = 0L)
+    assert(removed == 11, s"expected the 11 folded metafiles trimmed, got $removed")
+    assert(cat.trimHistory("h.r", retentionMillis = 0L) == 0) // idempotent
+
+    // current-time read identical; lineage shrank to base + pending
+    assert(cat.readTable("h.r").orderBy("k").collect().toSeq == expected)
+    val logAfter = cat.deltaLog("h.r").size
+    assert(logAfter == 2 && logBefore == 13,
+      s"deltaLog $logBefore -> $logAfter (expected 13 -> 2)")
+
+    // time travel before the horizon fails LOUDLY (never a partial read)
+    val e = intercept[IllegalArgumentException](
+      cat.readTable("h.r", ReadOptions(asOf = Some(beforeCompactMillis))))
+    assert(e.getMessage.contains("trimmed-history horizon"))
+    // time travel at/after the horizon still works
+    assert(cat.readTable("h.r",
+      ReadOptions(asOf = Some(System.currentTimeMillis()))).count() == 500)
+
+    // CDC from a pre-horizon position fails with the remedy; from the
+    // watermark on it serves the remaining pending delta
+    val w = cat.getTableMeta("h.r").properties("history.trim.upto.position").toLong
+    val c = intercept[IllegalArgumentException](cat.readChanges("h.r", afterPosition = 0L))
+    assert(c.getMessage.contains("trimHistory"))
+    assert(cat.readChanges("h.r", afterPosition = w).count() >= 1)
+
+    // downloadDelta of a trimmed position: loud, names the position
+    val d = intercept[IllegalArgumentException](cat.downloadDelta("h.r", 1L))
+    assert(d.getMessage.contains("position"))
+
+    // the table keeps working: write + compact + trim again (horizon ratchets)
+    cat.writeToTable(Seq((2L, 77.0)).toDF("k", "v"), "h.r", WriteMode.Merge)
+    cat.compact("h.r")
+    Thread.sleep(50)
+    assert(cat.trimHistory("h.r", retentionMillis = 0L) >= 2)
+    val after = cat.readTable("h.r").where(col("k").isin(1, 2)).orderBy("k")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(after == Seq(99.0, 77.0))
+  }
+}
