@@ -2334,9 +2334,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       within: Option[Transaction])
       : Option[(Seq[(Long, DeltaMeta)], Seq[(Long, String)])] = {
     val files = store.visibleRevisionPaths(deltaDir(t), asOf, within)
-    val totalBytes = files.iterator.map { case (_, p) =>
-      try Files.size(p) catch { case _: Exception => 0L } }.sum
-    if (totalBytes <= ManifestPlanner.gateBytes(spark)) return None
+    // short-circuit the gate sum: a 10^6-file history must not pay 10^6
+    // stat calls just to learn it is (obviously) over the 16 MB gate
+    val gate = ManifestPlanner.gateBytes(spark)
+    var totalBytes = 0L
+    val szIt = files.iterator
+    while (szIt.hasNext && totalBytes <= gate) {
+      val (_, p) = szIt.next()
+      totalBytes += (try Files.size(p) catch { case _: Exception => 0L })
+    }
+    if (totalBytes <= gate) return None
     // tail-first: the planning suffix already ends at the last REPLACE
     // marker (the walk stops there), and pre-watermark skeletons never
     // parse — O(pending + 1) even at 10^6 lifetime writes
@@ -2456,9 +2463,15 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       asOf: Option[Long] = None): (Seq[(DeltaMeta, Path)], Boolean) = {
     val t = resolveVersion(t0, asOf, None)
     val files = store.visibleRevisionPaths(deltaDir(t), asOf, None)
-    val totalBytes = files.iterator.map { case (_, p) =>
-      try Files.size(p) catch { case _: Exception => 0L } }.sum
-    val streamed = totalBytes > ManifestPlanner.gateBytes(spark)
+    // short-circuit like skeletonPlan: stop stat-ing once over the gate
+    val gate = ManifestPlanner.gateBytes(spark)
+    var totalBytes = 0L
+    val szIt = files.iterator
+    while (szIt.hasNext && totalBytes <= gate) {
+      val (_, p) = szIt.next()
+      totalBytes += (try Files.size(p) catch { case _: Exception => 0L })
+    }
+    val streamed = totalBytes > gate
     val all: Seq[(DeltaMeta, Path)] = files.flatMap { case (_, p) =>
       // vanished-after-listing = concurrent trimHistory of a folded
       // pre-watermark metafile; the active set is never trimmed

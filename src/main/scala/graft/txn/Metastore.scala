@@ -753,11 +753,22 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     finally s.close()
   }
 
+  /** Per-listing visibility predicate: snapshots [[successfulTxns]] ONCE —
+    * routing every file through [[isVisible]] re-enters the (cheap but not
+    * free) token fast path per file, which at 10^5 revision files is
+    * 10^5 × 3 directory stats per listing. Same semantics, one snapshot. */
+  private def visibleIn(asOf: Option[Long], within: Option[Transaction]): String => Boolean = {
+    val m = successfulTxns()
+    tid => within.exists(t => t.txnId == tid && !t.isSealed) ||
+      m.get(tid).exists(rec => asOf.forall(rec.endTimeMillis <= _))
+  }
+
   /** Latest visible revision content in `dir`, with its revision number. */
   def latestVisible(dir: Path, asOf: Option[Long], within: Option[Transaction]): Option[(Long, String)] = {
+    val vis = visibleIn(asOf, within)
     val candidates = listRevisionFiles(dir).flatMap { p =>
       val (rev, tid) = parseRevisionName(p.getFileName.toString)
-      if (isVisible(tid, asOf, within)) Some((rev, p)) else None
+      if (vis(tid)) Some((rev, p)) else None
     }
     if (candidates.isEmpty) None
     else {
@@ -768,20 +779,24 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
 
   /** Visible revision FILES (revision + path, content unread) — lets the
     * scan planner size-gate manifest parsing before reading a byte. */
-  def visibleRevisionPaths(dir: Path, asOf: Option[Long], within: Option[Transaction]): Seq[(Long, Path)] =
+  def visibleRevisionPaths(dir: Path, asOf: Option[Long], within: Option[Transaction]): Seq[(Long, Path)] = {
+    val vis = visibleIn(asOf, within)
     listRevisionFiles(dir).flatMap { p =>
       val (rev, tid) = parseRevisionName(p.getFileName.toString)
-      if (isVisible(tid, asOf, within)) Some((rev, p)) else None
+      if (vis(tid)) Some((rev, p)) else None
     }.sortBy(_._1)
+  }
 
   /** All visible revision contents in `dir` (e.g. all deltas), ascending by rev. */
-  def allVisible(dir: Path, asOf: Option[Long], within: Option[Transaction]): Seq[(Long, String)] =
+  def allVisible(dir: Path, asOf: Option[Long], within: Option[Transaction]): Seq[(Long, String)] = {
+    val vis = visibleIn(asOf, within)
     listRevisionFiles(dir).flatMap { p =>
       val (rev, tid) = parseRevisionName(p.getFileName.toString)
-      if (isVisible(tid, asOf, within))
+      if (vis(tid))
         Some((rev, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
       else None
     }.sortBy(_._1)
+  }
 
   /**
    * Janitor — reference compute/janitor.py:1-228: fail running transactions
