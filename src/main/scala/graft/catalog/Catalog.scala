@@ -1642,7 +1642,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val t = th(table)
     val meta = getTableMeta(table)
     val scheme = partitionSchemeOf(meta)
-    val deltas = effectiveDeltas(t, None)
+    // Maintenance-gated (round-15): per-partition watermarks fold one
+    // entry at a time — O(#partitions) driver state. Above the gate
+    // entries stream off the metafiles; a 10^7-entry table never holds an
+    // entry list on the driver for this metadata view.
+    val (pairs, streamed) = effectiveDeltasForMaintenance(t)
+    val deltas = pairs.map(_._1)
     if (scheme.keys.isEmpty) {
       val pos = if (deltas.isEmpty) -1L else deltas.map(_.streamPosition).max
       return Seq(pos).toDF("stream_position")
@@ -1658,19 +1663,29 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         if (end < 0) rest else rest.substring(0, end)
       }
     }
-    val rows = deltas.flatMap(d => d.entries.map(e =>
-      (names.map(n => valueOf(e.path, n)), d.streamPosition)))
+    val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
+    def foreachEntryOf(d: DeltaMeta)(f: graft.txn.ManifestEntry => Unit): Unit =
+      if (!streamed) d.entries.foreach(f)
+      else ManifestPlanner.foreachEntry(pathOf(d.streamPosition))(f)
     // Deltas whose files carry no partition directories (key-only DELETE
     // deltas, zero-entry markers like REPLACE) cannot be attributed to
     // specific partitions — they may touch ANY partition, so they advance
     // every partition's watermark (an under-advanced watermark would hide
     // deletes from incremental consumers; over-advancing is safe).
-    val (attributed, unattributed) = rows.partition(_._1.forall(_ != null))
-    val floor = (deltas.filter(_.entries.isEmpty).map(_.streamPosition) ++
-      unattributed.map(_._2)).foldLeft(-1L)(math.max)
-    val grouped = attributed.groupBy(_._1).map { case (vals, vs) =>
-      (vals, math.max(floor, vs.map(_._2).max))
-    }.toSeq
+    val perPart = scala.collection.mutable.HashMap[Seq[String], Long]()
+    var floor = -1L
+    deltas.foreach { d =>
+      var any = false
+      foreachEntryOf(d) { e =>
+        any = true
+        val vals = names.map(n => valueOf(e.path, n))
+        if (vals.forall(_ != null))
+          perPart.update(vals, math.max(perPart.getOrElse(vals, -1L), d.streamPosition))
+        else floor = math.max(floor, d.streamPosition)
+      }
+      if (!any) floor = math.max(floor, d.streamPosition)
+    }
+    val grouped = perPart.toSeq.map { case (vals, p) => (vals, math.max(floor, p)) }
     val df = grouped.toDF("_vals", "stream_position")
     names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
       d.withColumn(n, col("_vals").getItem(i))
