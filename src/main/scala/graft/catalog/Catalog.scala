@@ -1542,12 +1542,25 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       .load(paths.toIndexedSeq: _*)
   }
 
+  /** Locate ONE visible post-replace delta by position, gate-safe: above
+    * the manifest gate the search runs over skeletons (O(1) heap per
+    * metafile) and only the MATCH is fully parsed — deltaLog.find would
+    * materialize every delta's entry list on the driver just to discard
+    * all but one. */
+  private def deltaAt(table: String, streamPosition: Long): Option[DeltaMeta] = {
+    val (pairs, streamed) = effectiveDeltasForMaintenance(th(table))
+    pairs.find(_._1.streamPosition == streamPosition).map { case (d, p) =>
+      if (!streamed) d
+      else Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta])
+    }
+  }
+
   /** Read ONE delta's files as a DataFrame, in manifest order — reference
     * download_delta (storage/main/impl.py:947-1085). */
   def downloadDelta(table: String, streamPosition: Long): DataFrame = {
     val meta = getTableMeta(table)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val d = deltaLog(table).find(_.streamPosition == streamPosition).getOrElse(
+    val d = deltaAt(table, streamPosition).getOrElse(
       throw new IllegalArgumentException(s"no delta at position $streamPosition in $table"))
     val ct = contentTypeOf(meta)
     if (d.entries.isEmpty)
@@ -1562,7 +1575,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   def downloadDeltaManifestEntry(table: String, streamPosition: Long, entryIndex: Int): DataFrame = {
     val meta = getTableMeta(table)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val d = deltaLog(table).find(_.streamPosition == streamPosition).getOrElse(
+    val d = deltaAt(table, streamPosition).getOrElse(
       throw new IllegalArgumentException(s"no delta at position $streamPosition in $table"))
     require(entryIndex >= 0 && entryIndex < d.entries.size,
       s"entry $entryIndex out of range (0..${d.entries.size - 1})")
@@ -2007,11 +2020,15 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   def versionAsOf(table: String, version: Long): Long = {
     val t = th(table)
     getTableMeta(table)
-    val d = visibleDeltas(t, None, None).map(_._2).find(_.streamPosition == version)
+    // the revision NAME carries the txn id — a name lookup, zero metafile
+    // parses (the full parse here cost O(lifetime entries) per VERSION AS OF)
+    val tid = store.visibleRevisionPaths(deltaDir(t), None, None)
+      .collectFirst { case (rev, p) if rev == version =>
+        graft.txn.Metastore.parseRevisionName(p.getFileName.toString)._2 }
       .getOrElse(throw new IllegalArgumentException(
         s"no version (delta stream position) $version of $table"))
-    store.successfulTxns().getOrElse(d.txnId, throw new IllegalStateException(
-      s"delta $version of $table has no committed transaction record (${d.txnId})"))
+    store.successfulTxns().getOrElse(tid, throw new IllegalStateException(
+      s"delta $version of $table has no committed transaction record ($tid)"))
       .endTimeMillis
   }
 

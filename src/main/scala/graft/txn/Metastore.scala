@@ -462,7 +462,7 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
 }
 
 object Metastore {
-  private[txn] def parseRevisionName(name: String): (Long, String) = {
+  private[graft] def parseRevisionName(name: String): (Long, String) = {
     val base = name.stripSuffix(".json")
     val parts = base.split("__", 3)
     (parts(0).toLong, parts(1))
