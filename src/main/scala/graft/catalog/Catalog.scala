@@ -2141,6 +2141,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         .flatMap(_.properties.get("total_bytes").flatMap(_.toLongOption)).sum
       compact(table, reclusterBucketsFor(meta, base,
         base.flatMap(b => pathOf.get(b.streamPosition)), streamed, pendingGrowthBytes))
+      // Property-gated log retention rides the same maintenance moment
+      // (round-15): once a table declares `history.retention.millis`, the
+      // delta log self-bounds — folded metafiles older than the window
+      // trim right after the compaction that folded them ages out. Absent
+      // property = never trim automatically (time travel keeps the full
+      // history; trimHistory stays the explicit API).
+      p.get("history.retention.millis").flatMap(_.toLongOption)
+        .foreach(ret => trimHistory(table, ret))
       true
     } else false
   }

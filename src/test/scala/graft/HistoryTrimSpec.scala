@@ -100,6 +100,29 @@ class HistoryTrimSpec extends SparkSpec {
     assert(cat.readTable("h.c").agg(sum("v")).head().getDouble(0) == 8000 * 9.0)
   }
 
+  test("history.retention.millis: the log self-bounds at write-triggered compaction") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-autotrim"))
+    cat.createTable("h.a", StructType(Seq(
+      FieldMeta.field("k", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", DoubleType))),
+      properties = Map(
+        "compaction.trigger.deltas" -> "5",
+        "compaction.min_pending_records" -> "0",
+        "history.retention.millis" -> "0"))
+    cat.writeToTable(spark.range(1000).select(col("id").as("k"),
+      (col("id") * 1.0).as("v")), "h.a", WriteMode.Merge)
+    (1 to 12).foreach { i =>
+      cat.writeToTable(Seq((i.toLong, i * 2.0)).toDF("k", "v"), "h.a", WriteMode.Merge)
+      Thread.sleep(2) // retention 0 still needs base endTime < now
+    }
+    // several auto-compactions fired; retention 0 trims each time — the
+    // surviving log is base + post-watermark pending (+ referenced lineage)
+    val log = cat.deltaLog("h.a").size
+    assert(log <= 7, s"auto-trim left $log metafiles for 13 lifetime writes")
+    assert(cat.readTable("h.a").count() == 1000)
+    assert(cat.readTable("h.a").where(col("k") === 12).head().getDouble(1) == 24.0)
+  }
+
   test("trimHistory bounds the log; guards fire; current reads unchanged") {
     val cat = new GraftCatalog(spark, tmpDir("graft-trim"))
     mkTable(cat, "h.r")
