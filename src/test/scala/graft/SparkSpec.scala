@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -23,8 +25,33 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private val createdTmp = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+
+  def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    createdTmp.synchronized { createdTmp += p }
+    p.toString
+  }
+
+  /** Suite fixtures delete on completion: a full run otherwise leaves
+    * ~30 GB of temp tables behind (the million-entry manifest fixtures
+    * alone are 0.4 GB each), and accumulated runs filled the disk
+    * mid-round-15. Best-effort — a failing suite keeps its dirs for
+    * inspection only if the JVM dies before afterAll. */
+  override def afterAll(): Unit = {
+    createdTmp.synchronized {
+      createdTmp.foreach { d =>
+        try {
+          val walk = java.nio.file.Files.walk(d)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case _: Exception => () }
+      }
+      createdTmp.clear()
+    }
+    super.afterAll()
+  }
 
   def sf: String = "/root/testdata/sf0.001"
 }
