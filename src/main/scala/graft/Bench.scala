@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -214,6 +216,16 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // Fixture dirs are tracked and deleted after the summary prints: one
+    // official run builds ~10-20 GB of scaled tables, and accumulated
+    // rounds filled the disk mid-round-15 (a 50x probe died on ENOSPC).
+    val benchTmpDirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    def benchTmp(prefix: String): java.nio.file.Path = {
+      val p = Files.createTempDirectory(prefix)
+      benchTmpDirs.synchronized { benchTmpDirs += p }
+      p
+    }
+
     // Self-attribution probe (round-12): every measured run carries its
     // task-metric deltas (GC s, task wall s, task CPU s, shuffle MB) in
     // the artifact, so an out-of-band entry is diagnosable from the
@@ -314,7 +326,7 @@ object Bench {
     // BASELINE.md pipeline: bulk write (auto-compacts) → 1% upsert
     // (bucket-pruned compaction) → delete slice → full read.
     attempt("pipeline_write_compact_read")(measured("pipeline_write_compact_read") {
-      val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench").toString)
+      val cat = new GraftCatalog(spark, benchTmp("graft_bench").toString)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
       cat.createTable("bench.li", StructType(Seq(
@@ -340,7 +352,7 @@ object Bench {
     // Prep (table build, one bulk merge + one 1% trickle) is unmeasured.
     if (Seq("mor_read_scala", "mor_read_sql", "mor_trickle_read",
         "mor_backlog_read").exists(want)) try {
-      val root = Files.createTempDirectory("graft_bench_sql").toString
+      val root = benchTmp("graft_bench_sql").toString
       val cat = new GraftCatalog(spark, root)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -438,7 +450,7 @@ object Bench {
     // rows), while the legacy path shuffles base+pending. Same table,
     // same read, conf-flipped.
     if (Seq("mor_dense_partitioned", "mor_dense_legacy").exists(want)) try {
-      val root = Files.createTempDirectory("graft_bench_spj").toString
+      val root = benchTmp("graft_bench_spj").toString
       val cat = new GraftCatalog(spark, root)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -496,7 +508,7 @@ object Bench {
       val days = 8L
       def mkMerged(tag: String, base0: org.apache.spark.sql.DataFrame): GraftCatalog = {
         val cat = new GraftCatalog(spark,
-          Files.createTempDirectory(s"graft_bench_hot_$tag").toString)
+          benchTmp(s"graft_bench_hot_$tag").toString)
         cat.createTable("bench.hot", StructType(Seq(
           FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
           FieldMeta.field("day", LongType, nullable = false),
@@ -634,7 +646,7 @@ object Bench {
 
     // Anchor: the same data through bare Spark parquet write + read.
     attempt("baseline_raw_spark")(measured("baseline_raw_spark") {
-      val out = Files.createTempDirectory("graft_bench_raw").toString
+      val out = benchTmp("graft_bench_raw").toString
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
         .write.mode("overwrite").parquet(s"$out/li")
@@ -656,7 +668,7 @@ object Bench {
     val wantLi10x = wantLi30x || want100x || Seq("pipeline_10x",
       "baseline_raw_spark_10x", "zipper_read_10x").exists(want)
     if (wantDocs10x || wantLi10x) locally {
-      val scaleDir = Files.createTempDirectory("graft_bench_10x").toString
+      val scaleDir = benchTmp("graft_bench_10x").toString
       // Corpus: each doc yields v=0 (original), v=1 (every 10th word
       // salted — a planted near-dup), v=2..9 (every 2nd word salted —
       // distinct). Deterministic: salts hash (doc_id, v, position).
@@ -680,7 +692,7 @@ object Bench {
             col("l_linenumber"), col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
           .write.mode("overwrite").parquet(out)
       def pipelineBody(li: org.apache.spark.sql.DataFrame, tbl: String): Unit = {
-        val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_bench10").toString)
+        val cat = new GraftCatalog(spark, benchTmp("graft_bench10").toString)
         cat.createTable(tbl, StructType(Seq(
           FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
           FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
@@ -760,7 +772,7 @@ object Bench {
         // parquet write+read (the fixed ACID/commit costs amortize with
         // scale — the pipeline/floor ratio should SHRINK vs the 1x pair).
         attempt("baseline_raw_spark_10x")(measuredWarm("baseline_raw_spark_10x") {
-          val out = Files.createTempDirectory("graft_bench_raw10").toString
+          val out = benchTmp("graft_bench_raw10").toString
           li10.write.mode("overwrite").parquet(s"$out/li")
           spark.read.parquet(s"$out/li").count()
         })
@@ -783,7 +795,7 @@ object Bench {
           // same-machine, band-checked (see "ratios" in the artifact).
           if (want("baseline_raw_spark_30x"))
             attempt("baseline_raw_spark_30x")(measuredWarm("baseline_raw_spark_30x") {
-              val out = Files.createTempDirectory("graft_bench_raw30").toString
+              val out = benchTmp("graft_bench_raw30").toString
               li30.write.mode("overwrite").parquet(s"$out/li")
               spark.read.parquet(s"$out/li").count()
             })
@@ -798,7 +810,7 @@ object Bench {
             pipelineBody(li100, "bench.li100")
           })
           attempt("baseline_raw_spark_100x")(measuredWarm("baseline_raw_spark_100x") {
-            val out = Files.createTempDirectory("graft_bench_raw100").toString
+            val out = benchTmp("graft_bench_raw100").toString
             li100.write.mode("overwrite").parquet(s"$out/li")
             spark.read.parquet(s"$out/li").count()
           })
@@ -815,7 +827,7 @@ object Bench {
     // hash-jittered copies (±0.005 per dim — cluster structure preserved).
     if (Seq("t06_ann_brute_10x", "t10_ann_ivf_10x", "t11_semantic_dedup_10x")
         .exists(want)) try {
-      val scaleDir = Files.createTempDirectory("graft_bench_emb10").toString
+      val scaleDir = benchTmp("graft_bench_emb10").toString
       spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
         .withColumn("v", explode(sequence(lit(0), lit(9))))
         .select((col("vec_id") * 10 + col("v")).as("vec_id"),
@@ -858,7 +870,7 @@ object Bench {
     // machine-checkable, not just a BENCH_NOTES sentence.
     val planCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     if (Seq("skip_read", "agg_meta").exists(want)) try {
-      val root = Files.createTempDirectory("graft_bench_skip").toString
+      val root = benchTmp("graft_bench_skip").toString
       val cat = new GraftCatalog(spark, root)
       cat.createTable("bench.skip", StructType(Seq(
         FieldMeta.field("l_orderkey", LongType, nullable = false),
@@ -902,7 +914,7 @@ object Bench {
     //     must prune the manifest before any data file opens.
     if (Seq("iceberg_transform_prune", "iceberg_transform_prune_10x",
         "iceberg_gated_plan_10x").exists(want)) try {
-      val t = Files.createTempDirectory("graft_bench_icet").resolve("tbl").toString
+      val t = benchTmp("graft_bench_icet").resolve("tbl").toString
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
         .select("event_id", "ts", "user_id", "event_type")
       graft.interop.Iceberg.createTable(t, ev.schema,
@@ -951,7 +963,7 @@ object Bench {
     //     neither of which a narrow all-numeric benchmark table exhibits.
     if (Seq("zipper_read", "zipper_read_plain", "zipper_read_filtered",
         "zipper_read_10x", "zipper_read_30x").exists(want)) try {
-      val root = Files.createTempDirectory("graft_bench_zip").toString
+      val root = benchTmp("graft_bench_zip").toString
       val cat = new GraftCatalog(spark, root)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -996,7 +1008,7 @@ object Bench {
       //     the pushed key-only conjunct prunes each group's manifest
       //     (truncate partitioning gives every file a tight key range, so
       //     footer stats make the prune observable in inputFiles).
-      val cat2 = new GraftCatalog(spark, Files.createTempDirectory("graft_bench_zipf").toString)
+      val cat2 = new GraftCatalog(spark, benchTmp("graft_bench_zipf").toString)
       // truncate width ~1/8 of the keyspace at ANY sf, so the filtered
       // range below always selects a real, strict subset of partitions
       val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
@@ -1040,7 +1052,7 @@ object Bench {
       //     whether the per-group resolve + zip joins scale linearly.
       lineitem10xPath.foreach { p10 =>
         val li10 = spark.read.parquet(p10)
-        val cat3 = new GraftCatalog(spark, Files.createTempDirectory("graft_bench_zip10").toString)
+        val cat3 = new GraftCatalog(spark, benchTmp("graft_bench_zip10").toString)
         cat3.createTable("bench.zip10", StructType(Seq(
           FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
           FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
@@ -1071,7 +1083,7 @@ object Bench {
       //     scale step (linear-ish vs zipper_read_10x, same fixture shape).
       if (want("zipper_read_30x")) lineitem30xPath.foreach { p30 =>
         val li30 = spark.read.parquet(p30)
-        val cat4 = new GraftCatalog(spark, Files.createTempDirectory("graft_bench_zip30").toString)
+        val cat4 = new GraftCatalog(spark, benchTmp("graft_bench_zip30").toString)
         cat4.createTable("bench.zip30", StructType(Seq(
           FieldMeta.field("l_orderkey", LongType, nullable = false, mergeKey = true),
           FieldMeta.field("l_linenumber", IntegerType, nullable = false, mergeKey = true),
@@ -1299,6 +1311,13 @@ object Bench {
     // (build.sbt's StdoutOutput + showSuccess=false strip sbt's own
     // framing around it).
     spark.stop()
+    benchTmpDirs.foreach { d =>
+      try {
+        val walk = Files.walk(d)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case _: Exception => () } // best-effort; never block the summary
+    }
     println(compact)
     System.out.flush()
   }
