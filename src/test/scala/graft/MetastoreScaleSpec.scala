@@ -50,6 +50,24 @@ class MetastoreScaleSpec extends AnyFunSuite {
     assert(ms.successRecordReads.get() == q0)
   }
 
+  test("object store (conditional put): no dir token, reads still O(new records)") {
+    // the conditional-put store returns no dirToken, so every refresh
+    // re-LISTS (bounded by epoch partitioning) — but record READS must
+    // still be O(new), or object-store catalogs regress to the wall
+    val ms = new Metastore(tmp("graft-mscp"), new ConditionalPutCommitStore)
+    (1 to 200).foreach(i => ms.newTransaction(s"w$i").seal())
+    assert(ms.successfulTxns().size == 200)
+    val before = ms.successRecordReads.get()
+    ms.newTransaction("one more").seal()
+    assert(ms.successfulTxns().size == 201)
+    val delta = ms.successRecordReads.get() - before
+    assert(delta <= 10, s"conditional-put store read $delta records for 1 new commit")
+    // quiescent calls re-list but read nothing
+    val q0 = ms.successRecordReads.get()
+    (1 to 5).foreach(_ => ms.successfulTxns())
+    assert(ms.successRecordReads.get() == q0)
+  }
+
   test("epoch, flat-legacy, and checkpointed records are all visible; probes agree") {
     val ms = new Metastore(tmp("graft-msvis"))
     val now = System.currentTimeMillis()
