@@ -1399,6 +1399,60 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     n
   }
 
+  /** Reclaim DATA files forfeited by [[trimHistory]] — Delta-VACUUM
+    * semantics for the native catalog: without it a daily-compacting
+    * table's storage grows by every superseded base generation forever
+    * (the real 100 TB wall trimHistory's metadata fix exposes). The rule
+    * is sound WITHOUT age heuristics because the trim horizon is already
+    * a committed semantic fence (reads earlier than it fail loudly):
+    * only files under delta dirs with revision ≤ the trimmed
+    * `history.trim.upto.position` are candidates, and a candidate
+    * survives if ANY retained visible metafile still references its path
+    * (copy-by-reference files the surviving base points into). The
+    * referenced set streams off the retained metafiles — post-trim that
+    * is O(active + referenced) entries, never the lifetime history.
+    * In-flight writers cannot collide: a running txn stages at
+    * nextRevision > the newest base revision > the watermark. Returns
+    * #files deleted; 0 until a trim has committed a horizon. */
+  def vacuumTable(table: String): Long = {
+    val t = th(table)
+    val meta = getTableMeta(table)
+    val w = meta.properties.get("history.trim.upto.position").flatMap(_.toLongOption)
+      .getOrElse(return 0L)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val (pairs, streamed) = effectiveDeltasForMaintenance(t)
+    val referenced = scala.collection.mutable.HashSet[String]()
+    pairs.foreach { case (d, p) =>
+      if (!streamed) d.entries.foreach(e => referenced += norm(e.path))
+      else ManifestPlanner.foreachEntry(p)(e => referenced += norm(e.path))
+    }
+    val dd = dataDir(t)
+    if (!Files.exists(dd)) return 0L
+    var removed = 0L
+    val s = Files.list(dd)
+    val dirs = try s.iterator().asScala.toList finally s.close()
+    dirs.foreach { dir =>
+      val n = dir.getFileName.toString
+      val rev = if (n.startsWith("d") && n.contains("__"))
+        n.stripPrefix("d").takeWhile(_.isDigit) else ""
+      if (rev.nonEmpty && rev.toLong <= w && Files.isDirectory(dir)) {
+        val walk = Files.walk(dir)
+        val all = try walk.iterator().asScala.toList finally walk.close()
+        // deepest-first: unreferenced files go, then dirs that emptied out
+        // (a dir holding surviving copy-by-reference files stays)
+        all.reverse.foreach { f =>
+          if (Files.isRegularFile(f)) {
+            if (!referenced.contains(norm(f.toString)) && Files.deleteIfExists(f))
+              removed += 1
+          } else if (Files.isDirectory(f)) {
+            try Files.delete(f) catch { case _: Exception => () } // non-empty: keep
+          }
+        }
+      }
+    }
+    removed
+  }
+
   /** asOf floor after [[trimHistory]]: an earlier asOf could resolve an
     * active set whose metafiles are gone — fail loudly, never read a
     * partial history. Reads the CURRENT meta (the horizon property did
@@ -2148,7 +2202,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       // property = never trim automatically (time travel keeps the full
       // history; trimHistory stays the explicit API).
       p.get("history.retention.millis").flatMap(_.toLongOption)
-        .foreach(ret => trimHistory(table, ret))
+        .foreach { ret =>
+          // vacuum only when the trim actually forfeited metafiles — the
+          // referenced-set stream is O(retained entries) and must not run
+          // on every compaction of a table with nothing to reclaim
+          if (trimHistory(table, ret) > 0) vacuumTable(table)
+        }
       true
     } else false
   }

@@ -2047,6 +2047,39 @@ object CatalogQueries {
           e.getMessage.contains("trimmed-history horizon") }
       require(loud, "c94: pre-horizon time travel must fail loudly after a trim")
       cat.readTable("q.ht")
+    },
+
+    // Data-file vacuum (c95, round-15): after trimHistory forfeits the
+    // pre-horizon metafiles, vacuumTable reclaims the data files no
+    // retained metafile references. Two compaction generations make the
+    // first base's files reclaimable; the closure requires the vacuum
+    // actually deleted something AND the read after it hash-matches the
+    // oracle — a wrongly-deleted live file fails the row loudly
+    // (FileNotFoundException), a missed reclaim fails the require. The
+    // copy-by-reference SURVIVAL side (referenced old files must outlive
+    // the vacuum) is pinned by HistoryTrimSpec's bucket-restricted leg.
+    Q("c95_vacuum", Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS v
+      FROM orders""")) { (s, dir) =>
+      val cat = newCat(s, "c95")
+      cat.createTable("q.vc", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", DoubleType))), properties = MoR)
+      val base = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("v"))
+      cat.writeToTable(base, "q.vc", WriteMode.Merge)
+      cat.compact("q.vc")
+      cat.writeToTable(base.where(col("o_orderkey") % 2 === 0)
+        .withColumn("v", col("v") * 2), "q.vc", WriteMode.Merge)
+      cat.compact("q.vc")
+      Thread.sleep(20)
+      require(cat.trimHistory("q.vc", retentionMillis = 0L) >= 2,
+        "c95 trim must forfeit the folded metafiles")
+      val removed = cat.vacuumTable("q.vc")
+      require(removed >= 1, s"c95 vacuum must reclaim forfeited files, removed $removed")
+      cat.readTable("q.vc")
     }
   )
 }

@@ -100,6 +100,39 @@ class HistoryTrimSpec extends SparkSpec {
     assert(cat.readTable("h.c").agg(sum("v")).head().getDouble(0) == 8000 * 9.0)
   }
 
+  test("vacuumTable reclaims forfeited data files, never referenced or pre-horizon ones") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-vacuum"))
+    mkTable(cat, "h.g")
+    cat.writeToTable(spark.range(8000).select(col("id").as("k"),
+      (col("id") * 1.0).as("v")), "h.g", WriteMode.Merge)
+    cat.compact("h.g") // bucketed base (rev2)
+    // bucket-0-only upsert → rev4 base copies buckets 1-7 by reference
+    cat.writeToTable(spark.range(8000)
+      .where(pmod(hash(col("id")), lit(8)) === 0)
+      .select(col("id").as("k"), lit(-5.0).as("v")), "h.g", WriteMode.Merge)
+    cat.compact("h.g")
+    val expected = cat.readTable("h.g").orderBy("k").collect().toSeq
+    // no horizon yet: vacuum is a no-op by contract
+    assert(cat.vacuumTable("h.g") == 0L)
+    Thread.sleep(50)
+    assert(cat.trimHistory("h.g", retentionMillis = 0L) == 2)
+    val removed = cat.vacuumTable("h.g")
+    // rev1's bulk files and rev2's REWRITTEN bucket-0 file are forfeited;
+    // rev2's copy-by-referenced buckets 1-7 files must survive
+    assert(removed >= 1, s"vacuum reclaimed nothing")
+    assert(cat.readTable("h.g").orderBy("k").collect().toSeq == expected)
+    // idempotent
+    assert(cat.vacuumTable("h.g") == 0L)
+    // a full rewrite + trim forfeits the old referenced files too
+    cat.writeToTable(spark.range(8000).select(col("id").as("k"), lit(9.0).as("v")),
+      "h.g", WriteMode.Merge)
+    cat.compact("h.g")
+    Thread.sleep(50)
+    assert(cat.trimHistory("h.g", retentionMillis = 0L) >= 2)
+    assert(cat.vacuumTable("h.g") >= 1)
+    assert(cat.readTable("h.g").agg(sum("v")).head().getDouble(0) == 8000 * 9.0)
+  }
+
   test("history.retention.millis: the log self-bounds at write-triggered compaction") {
     val cat = new GraftCatalog(spark, tmpDir("graft-autotrim"))
     cat.createTable("h.a", StructType(Seq(
