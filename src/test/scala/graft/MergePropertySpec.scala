@@ -259,4 +259,39 @@ class MergePropertySpec extends SparkSpec {
       assert(gk == ek, s"trial $trial key-filter MoR: $gk != $ek\nops=$ops")
     }
   }
+
+  test("trim + vacuum after every compaction: terminal state still equals the model") {
+    // Round-15: trimHistory deletes folded metafiles and vacuumTable
+    // deletes the data files they forfeited — interleaved with random
+    // upsert/delete sequences (null keys included), the surviving
+    // base + pending + referenced-lineage skeletons must still resolve to
+    // the exact model state. A wrongly-trimmed referenced metafile or a
+    // wrongly-vacuumed live data file fails loudly (lineage-missing /
+    // FileNotFound), a recency corruption fails the equality.
+    val params = Gen.Parameters.default
+    (0 until 4).foreach { trial =>
+      val ops = Gen.listOfN(6, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(15000L + trial))
+      val expected = model(ops)
+      val cat = new GraftCatalog(spark, tmpDir("graft-prop-trim"))
+      cat.createTable("p.tv", StructType(Seq(
+        FieldMeta.field("k", IntegerType, mergeKey = true),
+        FieldMeta.field("v", IntegerType))), properties = Map("read_optimization" -> "NONE"))
+      ops.zipWithIndex.foreach { case (op, i) =>
+        val df = op.rows.zipWithIndex.map { case ((k, v), ord) => (k, v, ord) }
+          .toDF("k", "v", "_ord").repartition(1).sortWithinPartitions("_ord").drop("_ord")
+        if (op.isDelete) cat.writeToTable(df.select("k"), "p.tv", WriteMode.Delete)
+        else cat.writeToTable(df, "p.tv", WriteMode.Merge)
+        if ((i + 1) % 2 == 0) {
+          cat.compact("p.tv", numBuckets = 4)
+          Thread.sleep(3) // retention 0 still needs base endTime < now
+          cat.trimHistory("p.tv", retentionMillis = 0L)
+          cat.vacuumTable("p.tv")
+        }
+      }
+      val got = cat.readTable("p.tv").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getInt(1)).toMap
+      assert(got == expected, s"trial $trial trim+vacuum: $got != $expected\nops=$ops")
+    }
+  }
 }
