@@ -205,13 +205,17 @@ object MergeRead {
           basePaths, pending, pendingPaths, contentType).select(normCols: _*)
       } else (if (denseResolve) None
         else {
-          // Detect from the UNPRUNED base entry set: hotBucketsOf's
-          // contract is that counts cover the full base (the mean is a
-          // layout property), and compaction's detection streams the full
-          // metafile — a stats/limit-pruned subset here could under- or
-          // over-detect and flap the regime between otherwise-identical
-          // reads (perf-only: the carve-out is row-exact for ANY hotSet,
-          // but a stable regime is what the thresholds were tuned on).
+          // Detect from the base's resident entry set, NOT the
+          // stats/limit-pruned one built above: below the planning gate
+          // `base.entries` is the full manifest, so counts cover the whole
+          // base (the mean is a layout property — compaction's detection
+          // streams the full metafile for the same reason). ABOVE the gate
+          // the entries are the distributed prune's survivors (plannedDeltas
+          // re-materializes pruned entries), so a gated selective read still
+          // detects from a filtered subset and the regime can differ between
+          // otherwise-identical reads. Perf-only either way: the carve-out
+          // is row-exact for ANY hotSet; a pruned subset under-counts, which
+          // errs toward the partitioned (no-carve-out) regime.
           val hotSet = numBuckets
             .map(n => hotBuckets(spark, base.toSeq.flatMap(_.entries), n, bucketOfPath))
             .getOrElse(Set.empty[Int])

@@ -527,23 +527,45 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   //    epoch-bounded LIST per refresh is the floor).
 
   /** One success-log epoch (1 day of commit timestamps). Shapes directory
-    * fan-out only (≤366 dirs/year before the janitor folds them). */
-  private[graft] val SuccessEpochMillis: Long = 24L * 3600 * 1000
+    * fan-out only (≤366 dirs/year before the janitor folds them).
+    * Tunable var (claimFenceMillis-style) so specs can exercise the
+    * freeze-boundary protocol without day-long sleeps. */
+  @volatile private[graft] var SuccessEpochMillis: Long = 24L * 3600 * 1000
   /** Epochs accept publishes this many epochs past their start — covers
     * any txn a default-24h janitor timeout would still admit. */
   private[graft] val FreezeLagEpochs: Long = 2L
+  /** Freeze-boundary safety margin (writer AND reader side). The publish
+    * rule and the freeze rule both consult wall clocks, so without a
+    * margin a publisher that decided "epoch e is writable" moments before
+    * the boundary can land its record AFTER a skewed/faster reader froze
+    * e — and that reader never relists a frozen epoch, so the committed
+    * record would stay invisible to it until the next full resync.
+    * Writers route a record into its epoch dir only while the boundary is
+    * ≥ this margin away (inside the margin they publish FLAT — always
+    * relisted, folded later by the checkpoint, so only boundedness is
+    * traded); readers freeze an epoch only once the boundary is ≥ this
+    * margin PAST. Swallowing the race now needs publish latency plus
+    * cross-host clock skew to exceed BOTH margins combined (2 h). */
+  @volatile private[graft] var FreezeMarginMillis: Long = 3600L * 1000
+
+  /** Reader-side freeze rule: read-once-never-relist only this far past
+    * the boundary (see [[FreezeMarginMillis]]). */
+  private[graft] def epochFrozen(e: Long): Boolean =
+    System.currentTimeMillis() >=
+      (e + FreezeLagEpochs) * SuccessEpochMillis + FreezeMarginMillis
 
   private[txn] def epochOf(txnId: String): Option[Long] = {
     val p = txnId.take(20)
     if (p.length == 20 && p.forall(_.isDigit)) Some(p.toLong / SuccessEpochMillis)
     else None // non-conforming id (tests, foreign tools): flat record
   }
-  private def nowEpoch: Long = System.currentTimeMillis() / SuccessEpochMillis
 
-  /** Where txnId's success record publishes NOW. */
+  /** Where txnId's success record publishes NOW (writer half of the
+    * freeze-margin rule — see [[FreezeMarginMillis]]). */
   private[graft] def successPublishPath(txnId: String): Path =
     epochOf(txnId) match {
-      case Some(e) if nowEpoch - e < FreezeLagEpochs =>
+      case Some(e) if System.currentTimeMillis() <
+          (e + FreezeLagEpochs) * SuccessEpochMillis - FreezeMarginMillis =>
         successDir.resolve(s"e$e").resolve(s"$txnId.json")
       case _ => successDir.resolve(s"$txnId.json")
     }
@@ -556,13 +578,20 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   /** Terminal probe for the seal/janitor hot loops: ≤2 existence checks +
     * the cached checkpoint id set (checkpointed ids are ancient and
     * success is monotonic, so consulting the cache is sound — a live
-    * contender is never checkpoint-only). */
+    * contender is never checkpoint-only). On a COLD instance the set is
+    * loaded on first miss: an empty never-populated cache would report
+    * folded (checkpoint-only) txns as non-terminal, leaving their claim
+    * markers unreclaimed and timing out lock acquisition spuriously. */
   private[txn] def successRecordExists(txnId: String): Boolean =
-    successPaths(txnId).exists(Files.exists(_)) || ckptIds.contains(txnId)
+    successPaths(txnId).exists(Files.exists(_)) || {
+      if (!ckptLoaded) successfulTxns()
+      ckptIds.contains(txnId)
+    }
 
   // ---- txn visibility ------------------------------------------------------
   @volatile private var txnCache: Map[String, TxnRecord] = Map.empty
   @volatile private var ckptIds: Set[String] = Set.empty
+  @volatile private var ckptLoaded = false // has any refresh populated ckptIds?
   // all below guarded by `synchronized`
   private var needFullResync = true
   private var frozen: Map[String, TxnRecord] = Map.empty // checkpoint + frozen epochs
@@ -600,14 +629,23 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
         classOf[TxnRecord]))
     } catch { case _: java.io.IOException => None } // demoted/folded mid-refresh
 
-  /** Newest readable checkpoint's records (newest-first fallback: a
-    * concurrent janitor may retire the one we just listed). */
-  private def loadNewestCheckpoint(ckpts: Seq[Path]): Map[String, TxnRecord] =
-    ckpts.sortBy(_.getFileName.toString).reverseIterator.flatMap { p =>
-      try Some(Json.mapper.readValue(p.toFile, classOf[Array[TxnRecord]])
-        .map(r => r.txnId -> r).toMap)
-      catch { case _: java.io.IOException => None }
-    }.nextOption().getOrElse(Map.empty)
+  private def readCheckpoint(p: Path): Option[Map[String, TxnRecord]] =
+    try Some(Json.mapper.readValue(p.toFile, classOf[Array[TxnRecord]])
+      .map(r => r.txnId -> r).toMap)
+    catch { case _: java.io.IOException => None }
+
+  /** Union of EVERY readable checkpoint's records, newest winning a
+    * (theoretical) id collision. Reading all of them — not just the
+    * newest — keeps committed txns visible through the transient
+    * multi-checkpoint states a racing fold can leave behind: an older
+    * checkpoint holding records the newest lacks is never retired (see
+    * the subset guard in [[checkpointSuccessLog]]), so the union is the
+    * authoritative folded set. Steady state has exactly one checkpoint,
+    * so this costs one read. */
+  private def loadCheckpoints(ckpts: Seq[Path]): Map[String, TxnRecord] =
+    ckpts.sortBy(_.getFileName.toString)
+      .foldLeft(Map.empty[String, TxnRecord])((acc, p) =>
+        readCheckpoint(p).map(acc ++ _).getOrElse(acc))
 
   /** One listing of success/ itself: legacy-flat record ids, epoch dirs
     * (number + path), checkpoint files. */
@@ -653,17 +691,17 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     seenCkpts = ckptNames
     var frozenChanged = false // forces the (rare) full txnCache rebuild
     if (needFullResync) {
-      frozen = loadNewestCheckpoint(ckpts)
+      frozen = loadCheckpoints(ckpts)
       ckptIds = frozen.keySet
       frozenEpochSet = Set.empty
       active = Map.empty
       needFullResync = false
       frozenChanged = true
     }
-    val now = nowEpoch
+    ckptLoaded = true
     val (toFreeze, activeDirs) = epochDirs
       .filterNot { case (e, _) => frozenEpochSet(e) }
-      .partition { case (e, _) => now - e >= FreezeLagEpochs }
+      .partition { case (e, _) => epochFrozen(e) }
     // newly-frozen epochs: read fully ONCE into the frozen map, then never
     // relist (their records leave `active` via the live-set filter below)
     toFreeze.foreach { case (e, dir) =>
@@ -862,38 +900,53 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     * only after the new one exists. Returns #records newly folded. */
   def checkpointSuccessLog(): Int = synchronized {
     val (flatNames, epochDirs, ckpts) = successRootListing()
-    val prev = loadNewestCheckpoint(ckpts)
-    val now = nowEpoch
-    val frozenDirs = epochDirs.filter { case (e, _) => now - e >= FreezeLagEpochs }
+    val prev = loadCheckpoints(ckpts)
+    val frozenDirs = epochDirs.filter { case (e, _) => epochFrozen(e) }
     val candFiles = scala.collection.mutable.ArrayBuffer[Path]()
     frozenDirs.foreach { case (_, d) => candFiles ++= listFiles(d) }
     flatNames.foreach { id =>
-      val aged = epochOf(id).exists(e => now - e >= FreezeLagEpochs)
-      if (aged) candFiles += successDir.resolve(s"$id.json")
+      if (epochOf(id).exists(epochFrozen)) candFiles += successDir.resolve(s"$id.json")
     }
     if (candFiles.isEmpty) return 0
     val cands = candFiles.flatMap(readRecord)
       .filter(r => !Files.exists(failedDir.resolve(s"${r.txnId}.json")))
       .map(r => r.txnId -> r).toMap
     if (cands.isEmpty) return 0
-    val all = prev ++ cands
     // Name = max folded endTime — but a LATE-arriving record older than a
     // previous fold's max (a stale sealer's flat publish) would reproduce
     // an existing name and put-if-absent would refuse forever; bump the
     // stamp until either our put lands or an on-disk checkpoint already
-    // covers every candidate (a racer folded them).
+    // covers every id we hold. On EVERY iteration, re-list and merge all
+    // readable checkpoints into the fold set first: a concurrent fold may
+    // cover records whose per-txn files it already deleted (our candidate
+    // reads swallowed those as missing), and publishing a NEWER checkpoint
+    // without them — name collision or not — would permanently lose
+    // committed txns once the older checkpoint is retired.
+    var all = prev ++ cands
     var stamp = all.values.map(_.endTimeMillis).max
-    var target = successDir.resolve(f"_ckpt_$stamp%020d.json")
     var onDisk = Map.empty[String, TxnRecord]
+    var target: Path = null
     var settled = false
     while (!settled) {
-      if (commitStore.putIfAbsent(target,
-          Json.write(all.values.toArray).getBytes(StandardCharsets.UTF_8))) {
-        onDisk = all; settled = true
+      val disk = successRootListing()._3
+      all = loadCheckpoints(disk) ++ all
+      stamp = math.max(stamp, all.values.map(_.endTimeMillis).max)
+      val diskNames = disk.map(_.getFileName.toString).toSet
+      val newest = disk.sortBy(_.getFileName.toString).lastOption
+      val newestContent = newest.flatMap(readCheckpoint).getOrElse(Map.empty)
+      if (newest.isDefined && all.keySet.subsetOf(newestContent.keySet)) {
+        // a racer's fold already covers everything we hold
+        onDisk = newestContent; target = newest.get; settled = true
       } else {
-        val existing = loadNewestCheckpoint(Seq(target))
-        if (cands.keySet.subsetOf(existing.keySet)) { onDisk = existing; settled = true }
-        else { stamp += 1; target = successDir.resolve(f"_ckpt_$stamp%020d.json") }
+        var t = successDir.resolve(f"_ckpt_$stamp%020d.json")
+        while (diskNames.contains(t.getFileName.toString)) {
+          stamp += 1; t = successDir.resolve(f"_ckpt_$stamp%020d.json")
+        }
+        if (commitStore.putIfAbsent(t,
+            Json.write(all.values.toArray).getBytes(StandardCharsets.UTF_8))) {
+          onDisk = all; target = t; settled = true
+        } // else: a racer minted the same fresh name between our listing
+          // and the put — loop, which re-merges its content
       }
     }
     // fold step: delete ONLY files covered by the checkpoint on disk — a
@@ -908,8 +961,16 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     frozenDirs.foreach { case (_, d) =>
       try Files.delete(d) catch { case _: Exception => () } // non-empty: fine
     }
-    ckpts.filter(p => p.getFileName.toString < target.getFileName.toString && p != target)
-      .foreach(Files.deleteIfExists(_))
+    // Retire superseded checkpoints ONLY when the surviving one covers
+    // their ids — an older checkpoint holding records the newest lacks
+    // (left by a fold racing this one) must stay readable, or its
+    // committed txns vanish (the union loader keeps them visible until a
+    // later fold absorbs the older file and THEN retires it).
+    successRootListing()._3
+      .filter(p => p.getFileName.toString < target.getFileName.toString)
+      .foreach(p => readCheckpoint(p).foreach { content =>
+        if (content.keySet.subsetOf(onDisk.keySet)) Files.deleteIfExists(p)
+      })
     // monotonic: folded ids stay terminal-probe-visible before the resync
     ckptIds = ckptIds ++ onDisk.keySet
     // full resync: folded FLAT records left the active scope but live only

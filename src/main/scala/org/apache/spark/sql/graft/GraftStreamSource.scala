@@ -338,7 +338,15 @@ class GraftStreamSource(
           s"deltas up to $w were trimmed by trimHistory — start a new " +
           "checkpoint (full reprocess) or keep retention longer than the " +
           "stream's maximum downtime"))
-    val batch = visibleAfter(lo).filter(_.streamPosition <= hi)
+    val inRange = visibleAfter(lo).filter(_.streamPosition <= hi)
+    // REPLACE truncation: a replace marker inside the range semantically
+    // erased every earlier delta — a stream that was offline across the
+    // replace must deliver the replace's content and what follows, never
+    // the pre-replace rows (deltasAfter is truncation-blind by design; the
+    // batch scan's effectiveDeltas truncates exactly this way).
+    val lastReplace = inRange.filter(_.properties.get("replace").contains("true"))
+      .map(_.streamPosition).maxOption
+    val batch = lastReplace.fold(inRange)(r => inRange.filter(_.streamPosition >= r))
       // A compacted snapshot re-references already-streamed data: skip it —
       // except bulk-load deltas, whose rows appeared in no earlier delta.
       .filter(d => d.compactedUpTo < 0 || d.properties.get("bulk_load").contains("true"))

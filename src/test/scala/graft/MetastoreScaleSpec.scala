@@ -186,6 +186,109 @@ class MetastoreScaleSpec extends AnyFunSuite {
     assert(aged.forall(m.contains), "fold by another process hid records from a warm cache")
   }
 
+  test("union loader + subset-guarded retirement: no checkpoint's records are ever lost") {
+    val ms = new Metastore(tmp("graft-msunion"))
+    val now = System.currentTimeMillis()
+    def mkRec(tag: String, ts: Long) = {
+      val id = f"$ts%020d-$tag"; TxnRecord(id, ts, ts, tag, Nil)
+    }
+    // two checkpoints, NEITHER a subset of the other — the residue a
+    // pre-fix fold race could leave behind (each racer folded a disjoint
+    // record set); the newest-only loader made the older one's committed
+    // txns permanently invisible
+    val rA = mkRec("ckptaaa0", now - 10 * ms.SuccessEpochMillis)
+    val rB = mkRec("ckptbbb0", now - 9 * ms.SuccessEpochMillis)
+    Files.write(ms.successDir.resolve(f"_ckpt_${rA.endTimeMillis}%020d.json"),
+      Json.write(Array(rA)).getBytes(StandardCharsets.UTF_8))
+    Files.write(ms.successDir.resolve(f"_ckpt_${rB.endTimeMillis}%020d.json"),
+      Json.write(Array(rB)).getBytes(StandardCharsets.UTF_8))
+    val m = ms.successfulTxns()
+    assert(m.contains(rA.txnId) && m.contains(rB.txnId),
+      "older checkpoint's records invisible (newest-only loader)")
+    // the next fold must absorb BOTH checkpoints into its output...
+    val aged = plant(ms, now - 5 * ms.SuccessEpochMillis, flat = true, "ckptccc0")
+    ms.invalidateTxnCache()
+    assert(ms.checkpointSuccessLog() == 1)
+    // ...and only then retire them: one surviving checkpoint, all ids in it
+    val names = {
+      val s = Files.list(ms.successDir)
+      try {
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        val it = s.iterator(); while (it.hasNext) b += it.next().getFileName.toString
+        b.filter(_.startsWith("_ckpt_")).toList
+      } finally s.close()
+    }
+    assert(names.size == 1, s"checkpoints after fold: $names")
+    val cold = new Metastore(ms.root)
+    val cm = cold.successfulTxns()
+    assert(Seq(rA.txnId, rB.txnId, aged).forall(cm.contains),
+      "fold dropped a racer checkpoint's records")
+  }
+
+  test("cold janitor reclaims claim markers named by checkpoint-only (folded) txns") {
+    val root = tmp("graft-mscoldclaim")
+    val ms = new Metastore(root)
+    val now = System.currentTimeMillis()
+    val folded = plant(ms, now - 5 * ms.SuccessEpochMillis, flat = true, "foldterm")
+    ms.invalidateTxnCache()
+    assert(ms.checkpointSuccessLog() == 1)
+    // a claim marker named by the folded txn (success-crash debris)…
+    val claimDir = root.resolve("tbl").resolve(f".claimd_${7L}%020d")
+    Files.createDirectories(claimDir)
+    Files.write(claimDir.resolve(folded), Array.emptyByteArray)
+    // …and a failed txn, which is what gates the janitor's tree walk
+    Files.write(ms.failedDir.resolve("00000000000000000001-deadbeef.json"),
+      Json.write(TxnRecord("00000000000000000001-deadbeef", 1L, 1L, "f", Nil))
+        .getBytes(StandardCharsets.UTF_8))
+    // a COLD instance (no prior refresh → empty ckptIds cache) must still
+    // recognize the folded id as terminal, or the marker leaks and later
+    // claimers of this (dir, rev) time out behind a ghost contender
+    val cold = new Metastore(root)
+    cold.janitor()
+    assert(!Files.exists(claimDir.resolve(folded)),
+      "claim marker named by a checkpoint-only txn was not reclaimed")
+  }
+
+  test("freeze margin: near-boundary publishes route FLAT; epochs freeze a margin late") {
+    val ms = new Metastore(tmp("graft-msmargin"))
+    ms.SuccessEpochMillis = 1000L
+    ms.FreezeMarginMillis = 200L
+    val t = ms.newTransaction("near boundary")
+    val e = t.txnId.take(20).toLong / ms.SuccessEpochMillis
+    val boundary = (e + ms.FreezeLagEpochs) * ms.SuccessEpochMillis
+    // fresh mint: the boundary is 1–2 epochs away — epoch-routed
+    assert(ms.successPublishPath(t.txnId).getParent.getFileName.toString == s"e$e")
+    // inside the margin: route FLAT (the always-relisted scope)
+    while (System.currentTimeMillis() < boundary - ms.FreezeMarginMillis) Thread.sleep(5)
+    assert(ms.successPublishPath(t.txnId) == ms.successDir.resolve(s"${t.txnId}.json"),
+      "publish inside the freeze margin must land flat")
+    // reader side: not frozen until a full margin PAST the boundary
+    assert(!ms.epochFrozen(e))
+    while (System.currentTimeMillis() < boundary + ms.FreezeMarginMillis) Thread.sleep(5)
+    assert(ms.epochFrozen(e))
+    // the flat publish is visible regardless of the freeze heuristic
+    t.seal()
+    assert(ms.isTxnSuccessful(t.txnId))
+  }
+
+  test("freeze TOCTOU: a record landing in a margin-window epoch after a refresh is seen") {
+    val ms = new Metastore(tmp("graft-mstoctou"))
+    ms.SuccessEpochMillis = 500L
+    ms.FreezeMarginMillis = 60L * 1000
+    // epoch whose boundary JUST passed (< 500 ms ago — inside the margin)
+    val ts = System.currentTimeMillis() - 2 * ms.SuccessEpochMillis
+    val r0 = plant(ms, ts, flat = false, "toctou00")
+    // a refresh while the epoch dir exists: the pre-margin reader froze the
+    // epoch HERE and never relisted it
+    assert(ms.successfulTxns().contains(r0))
+    // a racer that decided "writable" moments before the boundary lands now
+    val r1 = plant(ms, ts + 1, flat = false, "toctou01")
+    ms.invalidateTxnCache()
+    val m = ms.successfulTxns()
+    assert(m.contains(r0) && m.contains(r1),
+      "record published into a margin-window epoch after a reader refresh stayed invisible")
+  }
+
   test("MVCC conflict/visibility semantics unchanged: rapid seal-read interleave") {
     // the old dir-mtime cache caught cross-txn freshness; the token+diff
     // refresh must too — every committed txn visible immediately, every

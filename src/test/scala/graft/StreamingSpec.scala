@@ -119,6 +119,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L), s"second run must stay on v1, saw $got")
   }
 
+  test("a stream offline across a REPLACE resumes at the replace content, not erased deltas") {
+    val root = tmpDir("graft-stream-rep")
+    val cat = new GraftCatalog(spark, root)
+    cat.writeToTable(Seq((1L, "a")).toDF("id", "v"), "ns.sr")
+    val ck = tmpDir("graft-stream-rep-ck")
+    def start() = spark.readStream.format("graft")
+      .option("root", root).option("table", "ns.sr").load()
+      .writeStream.format("graft")
+      .option("root", root).option("table", "ns.srout")
+      .option("checkpointLocation", ck).start()
+    def out(): Seq[Long] =
+      cat.readTable("ns.srout").select("id").as[Long].collect().sorted.toSeq
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(out() == Seq(1L))
+    // while the stream is OFFLINE: an append the subsequent REPLACE
+    // semantically erases, the replace itself, and a post-replace append —
+    // the resumed batch must truncate at the replace marker (deltasAfter is
+    // truncation-blind; getBatch owns the cut)
+    cat.writeToTable(Seq((2L, "erased")).toDF("id", "v"), "ns.sr", WriteMode.Append)
+    cat.writeToTable(Seq((10L, "r")).toDF("id", "v"), "ns.sr", WriteMode.Replace)
+    cat.writeToTable(Seq((11L, "s")).toDF("id", "v"), "ns.sr", WriteMode.Append)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(out() == Seq(1L, 10L, 11L),
+      s"pre-replace delta leaked into the resumed stream: ${out()}")
+  }
+
   test("merge deltas fail the stream unless ignoreChanges") {
     val root = tmpDir("graft-stream2")
     val cat = new GraftCatalog(spark, root)
