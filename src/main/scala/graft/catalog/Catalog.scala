@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 import scala.collection.JavaConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
@@ -124,10 +124,18 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       * Spark conf (rename | conditional-put), so every surface that builds
       * its own catalog — DSv2/SQL, streaming — honors the object-store
       * protocol without plumbing. */
-    commitStore: CommitStore = null) {
+    commitStore: CommitStore = null,
+    /** Metadata-plane file IO; null = pick by the `graft.fileIO` Spark
+      * conf (local | object-store-sim). Listings, metafile reads/writes,
+      * trim/vacuum deletes all route through it — the seam a real object
+      * store implementation plugs into (data files already go through
+      * Spark's Hadoop FS). */
+    fileIO: FileIO = null) {
   val root: Path = Paths.get(rootDir)
+  private[graft] val io: FileIO =
+    Option(fileIO).getOrElse(FileIO.fromConf(spark))
   val store = new Metastore(root,
-    Option(commitStore).getOrElse(CommitStore.fromConf(spark)))
+    Option(commitStore).getOrElse(CommitStore.fromConf(spark)), io)
 
   // Storage-partitioned merge planner flags
   // (spark.sql.sources.v2.bucketing.*) are set by MergeRead.partitionedMerge
@@ -161,17 +169,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
   /** All version ids of a table (existing metafile dirs, dropped included),
     * ascending. Metadata-scale: one dir listing. */
   private def versionIds(t: TableHandle): Seq[Long] = {
-    val v1 = if (Files.isDirectory(metaDir(t.copy(version = Some(1L))))) Seq(1L) else Nil
-    val vdir = versionsDir(t)
-    val extra =
-      if (!Files.isDirectory(vdir)) Nil
-      else {
-        val s = Files.list(vdir)
-        try s.iterator().asScala.map(_.getFileName.toString).collect {
-          case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong
-        }.toSeq
-        finally s.close()
-      }
+    val v1 = if (io.isDirectory(metaDir(t.copy(version = Some(1L))))) Seq(1L) else Nil
+    val extra = io.listDir(versionsDir(t)).map(_.getFileName.toString).collect {
+      case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+    }
     (v1 ++ extra).distinct.sorted
   }
 
@@ -185,7 +186,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * handle is pinned, the table is single-version, or nothing is active. */
   private def probeActiveVersion(t0: TableHandle, asOf: Option[Long],
       within: Option[Transaction]): Option[(Long, TableMeta)] = {
-    if (t0.version.isDefined || !Files.isDirectory(versionsDir(t0))) return None
+    if (t0.version.isDefined || !io.isDirectory(versionsDir(t0))) return None
     // Live-but-inactive versions with NO active one must fail HERE with the
     // one intended error: the unpinned-v1 fallback would otherwise surface
     // three different errors for the same condition (TableNotFound on read,
@@ -286,14 +287,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     store.janitor(timeoutMillis)
 
   def listNamespaces(asOf: Option[Long] = None): Seq[String] = {
-    val base = root.resolve("ns")
-    if (!Files.exists(base)) Nil
-    else {
-      val s = Files.list(base)
-      try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
-        .filter(ns => namespaceExists(ns, asOf))
-      finally s.close()
-    }
+    io.listDir(root.resolve("ns")).map(_.getFileName.toString).sorted
+      .filter(ns => namespaceExists(ns, asOf))
   }
 
   // ------------------------------------------------------------ table CRUD
@@ -344,7 +339,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     t0.version match {
       case Some(_) => versionExists(t0)
       case None =>
-        versionExists(t0) || (Files.isDirectory(versionsDir(t0)) &&
+        versionExists(t0) || (io.isDirectory(versionsDir(t0)) &&
           versionIds(t0).exists(v => versionExists(t0.copy(version = Some(v)))))
     }
   }
@@ -379,14 +374,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     DataType.fromJson(getTableMeta(table, asOf).schemaJson).asInstanceOf[StructType]
 
   def listTables(ns: String, asOf: Option[Long] = None): Seq[String] = {
-    val dir = nsDir(ns)
-    if (!Files.exists(dir)) Nil
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString).filterNot(_ == "__ns__").toList.sorted
-        .filter(n => tableExists(s"$ns.$n", asOf))
-      finally s.close()
-    }
+    io.listDir(nsDir(ns)).map(_.getFileName.toString).filterNot(_ == "__ns__")
+      .sorted.filter(n => tableExists(s"$ns.$n", asOf))
   }
 
   /** Drop a table. `purge = true` additionally deletes every data file any
@@ -427,7 +416,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         store.visibleRevisionPaths(deltaDir(tv), None, None).map(_._2.toString)
       }
     val purgeBytes = purgeManifests.iterator.map(p =>
-      try Files.size(Paths.get(p)) catch { case _: Exception => 0L }).sum
+      try io.size(Paths.get(p)) catch { case _: Exception => 0L }).sum
     val streamedPurge = purge && purgeBytes > ManifestPlanner.gateBytes(spark)
     val toDelete: Seq[String] =
       if (!purge || streamedPurge) Nil
@@ -450,10 +439,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         spark.sparkContext.defaultParallelism * 2)
       val confBc = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      val fio = io // local copy: the task lambda must not capture `this`
       spark.sparkContext.parallelize(purgeManifests, slices)
         .flatMap { mp =>
           val b = Seq.newBuilder[String]
-          ManifestPlanner.foreachEntry(Paths.get(mp))(e => b += e.path)
+          ManifestPlanner.foreachEntry(Paths.get(mp), fio)(e => b += e.path)
           b.result()
         }
         .distinct()
@@ -467,7 +457,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           }
         }
     } else if (toDelete.size < 64)
-      toDelete.foreach(p => try Files.deleteIfExists(Paths.get(p)) catch { case _: Exception => () })
+      toDelete.foreach(p => try io.delete(Paths.get(p)) catch { case _: Exception => () })
     else {
       val slices = math.min(toDelete.size, spark.sparkContext.defaultParallelism * 2)
       // Hadoop FS with the SESSION conf broadcast to executors — a bare
@@ -1379,7 +1369,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // it). Streaming keeps this O(1) heap above the planning gate.
     val referenced = scala.collection.mutable.Set[Long]()
     suffix.find(_._3.streamPosition == base.streamPosition).foreach { case (_, p, _) =>
-      graft.catalog.ManifestPlanner.foreachEntry(p)(e =>
+      graft.catalog.ManifestPlanner.foreachEntry(p, io)(e =>
         MergeRead.revOfPath(e.path).foreach(referenced += _))
     }
     val victims = files.filter { case (rev, _) => rev <= w && !referenced.contains(rev) }
@@ -1391,11 +1381,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       val m = getTableMeta(table)
       stageTableMeta(tx, t, m.copy(properties = m.properties ++ Map(
         "history.trim.horizon.millis" -> baseEnd.toString,
-        "history.trim.upto.position" -> w.toString)))
+        "history.trim.upto.position" -> w.toString,
+        // vacuum's straggler-margin clock starts at the trim COMMIT, not
+        // the (older) base endTime the horizon records
+        "history.trim.committed.millis" -> System.currentTimeMillis().toString)))
       tx.seal()
     } catch { case e: Throwable => tx.abort(); throw e }
     var n = 0
-    victims.foreach { case (_, p) => if (Files.deleteIfExists(p)) n += 1 }
+    victims.foreach { case (_, p) => if (io.delete(p)) n += 1 }
     n
   }
 
@@ -1412,45 +1405,80 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     * referenced set streams off the retained metafiles — post-trim that
     * is O(active + referenced) entries, never the lifetime history.
     * In-flight writers cannot collide: a running txn stages at
-    * nextRevision > the newest base revision > the watermark. Returns
-    * #files deleted; 0 until a trim has committed a horizon. */
-  def vacuumTable(table: String): Long = {
+    * nextRevision > the newest base revision > the watermark.
+    *
+    * Straggler-reader margin (round-16): the horizon fence is sound at
+    * PLAN time, but a query planned against the pre-trim window — legally,
+    * moments before the horizon committed — may still be executing when
+    * vacuum deletes its input files (Delta VACUUM has the identical race
+    * and mitigates with a default retention check). Files are reclaimed
+    * only once the trim commit is older than `minAgeMillis` (per-call
+    * override > `vacuum.min.age.millis` table property >
+    * [[GraftCatalog.DefaultVacuumMinAgeMillis]]); until then vacuum
+    * returns 0 and the next (auto-)vacuum picks the files up. `dryRun`
+    * counts candidates without deleting; [[vacuumCandidates]] lists them.
+    * Returns #files deleted (or #candidates under dryRun); 0 until a trim
+    * has committed a horizon. */
+  def vacuumTable(table: String, dryRun: Boolean = false,
+      minAgeMillis: Option[Long] = None): Long = {
+    var n = 0L
+    vacuumCore(table, delete = !dryRun, minAgeMillis)(_ => n += 1)
+    n
+  }
+
+  /** The files [[vacuumTable]] would reclaim right now, without deleting
+    * anything — the audit surface for operators sizing a reclamation. */
+  def vacuumCandidates(table: String, minAgeMillis: Option[Long] = None): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    vacuumCore(table, delete = false, minAgeMillis)(b += _)
+    b.result()
+  }
+
+  private def vacuumCore(table: String, delete: Boolean,
+      minAgeMillis: Option[Long])(onCandidate: String => Unit): Unit = {
     val t = th(table)
     val meta = getTableMeta(table)
     val w = meta.properties.get("history.trim.upto.position").flatMap(_.toLongOption)
-      .getOrElse(return 0L)
+      .getOrElse(return)
+    val minAge = minAgeMillis
+      .orElse(meta.properties.get("vacuum.min.age.millis").flatMap(_.toLongOption))
+      .getOrElse(GraftCatalog.DefaultVacuumMinAgeMillis)
+    // straggler margin: clock from the trim COMMIT stamp; legacy trims
+    // (pre-stamp) fall back to the base endTime, which is strictly older
+    val committed = meta.properties.get("history.trim.committed.millis")
+      .flatMap(_.toLongOption)
+      .orElse(meta.properties.get("history.trim.horizon.millis").flatMap(_.toLongOption))
+      .getOrElse(return)
+    if (System.currentTimeMillis() - committed < minAge) return
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
     val (pairs, streamed) = effectiveDeltasForMaintenance(t)
     val referenced = scala.collection.mutable.HashSet[String]()
     pairs.foreach { case (d, p) =>
       if (!streamed) d.entries.foreach(e => referenced += norm(e.path))
-      else ManifestPlanner.foreachEntry(p)(e => referenced += norm(e.path))
+      else ManifestPlanner.foreachEntry(p, io)(e => referenced += norm(e.path))
     }
     val dd = dataDir(t)
-    if (!Files.exists(dd)) return 0L
-    var removed = 0L
-    val s = Files.list(dd)
-    val dirs = try s.iterator().asScala.toList finally s.close()
+    val dirs = io.listDir(dd)
     dirs.foreach { dir =>
       val n = dir.getFileName.toString
       val rev = if (n.startsWith("d") && n.contains("__"))
         n.stripPrefix("d").takeWhile(_.isDigit) else ""
-      if (rev.nonEmpty && rev.toLong <= w && Files.isDirectory(dir)) {
-        val walk = Files.walk(dir)
-        val all = try walk.iterator().asScala.toList finally walk.close()
+      if (rev.nonEmpty && rev.toLong <= w && io.isDirectory(dir)) {
+        val all = scala.collection.mutable.ArrayBuffer[Path]()
+        io.walk(dir)(all += _)
         // deepest-first: unreferenced files go, then dirs that emptied out
         // (a dir holding surviving copy-by-reference files stays)
         all.reverse.foreach { f =>
-          if (Files.isRegularFile(f)) {
-            if (!referenced.contains(norm(f.toString)) && Files.deleteIfExists(f))
-              removed += 1
-          } else if (Files.isDirectory(f)) {
-            try Files.delete(f) catch { case _: Exception => () } // non-empty: keep
+          if (io.isFile(f)) {
+            if (!referenced.contains(norm(f.toString)) &&
+                (!delete || io.delete(f)))
+              onCandidate(f.toString)
+          } else if (delete && io.isDirectory(f)) {
+            io.deleteDirIfEmpty(f) // non-empty: keep
           }
         }
       }
     }
-    removed
   }
 
   /** asOf floor after [[trimHistory]]: an earlier asOf could resolve an
@@ -1541,9 +1569,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       }
       val par = math.min(math.max(metaRows.size, 1),
         spark.sparkContext.defaultParallelism * 2)
+      val fio = io // local copy: the task lambda must not capture `this`
       spark.sparkContext.parallelize(metaRows, par).flatMap {
         case (path, rc, dt, pos) =>
-          ManifestPlanner.entryIterator(Paths.get(path)).map(e =>
+          ManifestPlanner.entryIterator(Paths.get(path), fio).map(e =>
             (e.path, e.sizeBytes, rc, dt, pos, MergeRead.bucketOfPath(e.path)))
       }.toDF(cols: _*)
     }
@@ -1569,7 +1598,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         if (!streamed) Compactor.reclusterAdvice(base.entries, n, MergeRead.bucketOfPath)
         else pairs.collectFirst { case (d, p) if d.streamPosition == base.streamPosition => p }
           .flatMap(p => Compactor.reclusterAdviceOf(n, MergeRead.bucketOfPath)(
-            f => ManifestPlanner.foreachEntry(p)(f)))
+            f => ManifestPlanner.foreachEntry(p, io)(f)))
     } yield advice
   }
 
@@ -1605,7 +1634,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val (pairs, streamed) = effectiveDeltasForMaintenance(th(table))
     pairs.find(_._1.streamPosition == streamPosition).map { case (d, p) =>
       if (!streamed) d
-      else Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta])
+      else Json.read(new String(io.readBytes(p), "UTF-8"), classOf[DeltaMeta])
     }
   }
 
@@ -1684,8 +1713,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     store.visibleRevisionPaths(deltaDir(t), None, None)
       .filter(_._1 > afterPosition)
       .flatMap { case (_, p) =>
-        try Some(Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta]))
-        catch { case _: java.nio.file.NoSuchFileException => None } // concurrent trim
+        try Some(Json.read(new String(io.readBytes(p), "UTF-8"), classOf[DeltaMeta]))
+        catch { case _: java.io.IOException => None } // concurrent trim
       }
   }
 
@@ -1733,7 +1762,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
     def foreachEntryOf(d: DeltaMeta)(f: graft.txn.ManifestEntry => Unit): Unit =
       if (!streamed) d.entries.foreach(f)
-      else ManifestPlanner.foreachEntry(pathOf(d.streamPosition))(f)
+      else ManifestPlanner.foreachEntry(pathOf(d.streamPosition), io)(f)
     // Deltas whose files carry no partition directories (key-only DELETE
     // deltas, zero-entry markers like REPLACE) cannot be attributed to
     // specific partitions — they may touch ANY partition, so they advance
@@ -1799,21 +1828,21 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // metadata-sized dir COUNT but per-table revision fan-out — exactly the
     // axis a Spark job spreads). A pure lambda (no `this` capture: Catalog
     // is not serializable) so the same walker runs on driver or executors.
+    val fio = io // local copy: the lambda must not capture `this`
     val walkUnit: String => Seq[(String, String, Long, String)] = { dir =>
       val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
-      val walk = Files.walk(Paths.get(dir))
-      try walk.iterator().asScala.foreach { p =>
+      fio.walk(Paths.get(dir)) { p =>
         val n = p.getFileName.toString
-        if (n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p)) {
+        if (n.endsWith(".json") && n.contains("__") && fio.isFile(p)) {
           val parts = n.stripSuffix(".json").split("__", 3)
           if (parts.length == 3) out += ((p.toString, parts(2), parts(0).toLong, parts(1)))
         }
-      } finally walk.close()
+      }
       out.toSeq
     }
     val base = root.resolve("ns")
     val units: Seq[String] =
-      if (!Files.isDirectory(base)) Nil
+      if (!io.isDirectory(base)) Nil
       else listDirs(base).flatMap(listDirs).map(_.toString)
     val ok = store.successfulTxns().keySet
     if (units.size < 8)
@@ -1828,11 +1857,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     }
   }
 
-  private def listDirs(p: Path): Seq[Path] = {
-    if (!Files.isDirectory(p)) return Nil
-    val s = Files.list(p)
-    try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq finally s.close()
-  }
+  private def listDirs(p: Path): Seq[Path] =
+    io.listDir(p).filter(io.isDirectory(_))
 
   /** Event-time high watermark: the max committed value of the table's
     * event-time field(s), from the per-delta column stats — reference
@@ -1912,11 +1938,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         val files = active.flatMap(d => pathOf.get(d.streamPosition))
         val schemaJson = meta.schemaJson
         val par = math.min(math.max(files.size, 1), spark.sparkContext.defaultParallelism * 2)
+        val fio = io // local copy: the task lambda must not capture `this`
         val (n, by, st, em) = spark.sparkContext.parallelize(files, par)
           .mapPartitions { it =>
             val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
             var n = 0L; var by = 0L; var st = 0L; var em = 0.0
-            it.foreach(f => ManifestPlanner.foreachEntry(Paths.get(f)) { e =>
+            it.foreach(f => ManifestPlanner.foreachEntry(Paths.get(f), fio) { e =>
               n += 1; by += e.sizeBytes
               if (e.stats != null) st += 1
               // the estimator's own Default chain — one source of truth
@@ -1973,8 +2000,9 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       val metaRows = pairs.map { case (d, p) => (d.streamPosition, p.toString) }
       val par = math.min(math.max(metaRows.size, 1),
         spark.sparkContext.defaultParallelism * 2)
+      val fio = io // local copy: the task lambda must not capture `this`
       spark.sparkContext.parallelize(metaRows, par).flatMap { case (pos, path) =>
-        ManifestPlanner.entryIterator(Paths.get(path)).flatMap(e => rowsOf(pos, e))
+        ManifestPlanner.entryIterator(Paths.get(path), fio).flatMap(e => rowsOf(pos, e))
       }.toDF(cols: _*)
     }
   }
@@ -2206,6 +2234,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           // vacuum only when the trim actually forfeited metafiles — the
           // referenced-set stream is O(retained entries) and must not run
           // on every compaction of a table with nothing to reclaim
+          // age-gated: right after this trim the vacuum reclaims nothing
+          // (straggler margin); a later auto-vacuum collects the files
           if (trimHistory(table, ret) > 0) vacuumTable(table)
         }
       true
@@ -2270,7 +2300,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       a <- if (!streamed) Compactor.reclusterAdvice(b.entries, n, MergeRead.bucketOfPath)
         else basePath.flatMap(path =>
           Compactor.reclusterAdviceOf(n, MergeRead.bucketOfPath)(
-            f => ManifestPlanner.foreachEntry(path)(f)))
+            f => ManifestPlanner.foreachEntry(path, io)(f)))
     } yield a
     advice match {
       case Some(a) =>
@@ -2320,8 +2350,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       // vanished-after-listing = a concurrent trimHistory removed a folded
       // pre-watermark metafile; the active set is never trimmed, so
       // skipping is exact for every consumer of the full lineage
-      try Some((rev, Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta])))
-      catch { case _: java.nio.file.NoSuchFileException => None }
+      try Some((rev, Json.read(new String(io.readBytes(p), "UTF-8"), classOf[DeltaMeta])))
+      catch { case _: java.io.IOException => None }
     }
 
   /** Test observability: metafiles PARSED by the most recent
@@ -2363,8 +2393,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       if (baseSeen && rev <= watermark) done = true
       else {
         val d =
-          if (skeletonOnly) ManifestPlanner.skeleton(p)
-          else Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta])
+          if (skeletonOnly) ManifestPlanner.skeleton(p, io)
+          else Json.read(new String(io.readBytes(p), "UTF-8"), classOf[DeltaMeta])
         parses += 1
         out += ((rev, p, d))
         if (d.properties.get("replace").contains("true")) done = true
@@ -2391,7 +2421,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       val activePos = (b.toSeq ++ pend).map(_.streamPosition).toSet
       out.foreach { case (_, p, d) =>
         if (activePos.contains(d.streamPosition))
-          ManifestPlanner.foreachEntry(p)(e =>
+          ManifestPlanner.foreachEntry(p, io)(e =>
             MergeRead.revOfPath(e.path).filterNot(have).foreach(needed += _))
       }
     } else out.foreach { case (_, _, d) =>
@@ -2402,7 +2432,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       val byRev = files.toMap
       val extras = needed.toSeq.sorted.flatMap { rev =>
         byRev.get(rev).flatMap { p =>
-          try Some((rev, p, ManifestPlanner.skeleton(p)))
+          try Some((rev, p, ManifestPlanner.skeleton(p, io)))
           catch { // trimmed-although-referenced (legacy): loud at read time
             case _: java.io.FileNotFoundException => None
             case _: java.nio.file.NoSuchFileException => None
@@ -2440,7 +2470,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val szIt = files.iterator
     while (szIt.hasNext && totalBytes <= gate) {
       val (_, p) = szIt.next()
-      totalBytes += (try Files.size(p) catch { case _: Exception => 0L })
+      totalBytes += (try io.size(p) catch { case _: Exception => 0L })
     }
     if (totalBytes <= gate) return None
     // tail-first: the planning suffix already ends at the last REPLACE
@@ -2483,11 +2513,11 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       opts.partitionValues.isEmpty && !pending.exists(_.typed == DeltaType.Delete)
     val survivors: Map[Long, Seq[ManifestEntry]] =
       if (limitOnly)
-        ManifestPlanner.limitPrefixStreaming(activeFiles, opts.limit.get)
-          .getOrElse(ManifestPlanner.materializeStreaming(activeFiles))
+        ManifestPlanner.limitPrefixStreaming(activeFiles, opts.limit.get, io)
+          .getOrElse(ManifestPlanner.materializeStreaming(activeFiles, io))
       else if (statFilters.nonEmpty || segs.nonEmpty)
-        ManifestPlanner.pruneDistributed(spark, activeFiles, statFilters, schema, segs)
-      else ManifestPlanner.materializeStreaming(activeFiles)
+        ManifestPlanner.pruneDistributed(spark, activeFiles, statFilters, schema, segs, io)
+      else ManifestPlanner.materializeStreaming(activeFiles, io)
     kept.map { case (rev, d) => d.copy(entries = survivors.getOrElse(rev, Nil)) }
   }
 
@@ -2534,19 +2564,19 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         val provider = (fs: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int]) => {
           val survivors =
             if (fs.nonEmpty)
-              ManifestPlanner.pruneDistributed(spark, activeFiles, fs, schema, Nil)
+              ManifestPlanner.pruneDistributed(spark, activeFiles, fs, schema, Nil, io)
             else limit match {
               // filterless LIMIT n: O(prefix) driver heap, like the native
               // path (DSv2 scans are read-optimized-only, so the prefix
               // rule's no-pending-delete precondition always holds here)
-              case Some(n) => ManifestPlanner.limitPrefixStreaming(activeFiles, n)
-                .getOrElse(ManifestPlanner.materializeStreaming(activeFiles))
-              case None => ManifestPlanner.materializeStreaming(activeFiles)
+              case Some(n) => ManifestPlanner.limitPrefixStreaming(activeFiles, n, io)
+                .getOrElse(ManifestPlanner.materializeStreaming(activeFiles, io))
+              case None => ManifestPlanner.materializeStreaming(activeFiles, io)
             }
           activeFiles.flatMap { case (rev, _) => survivors.getOrElse(rev, Nil) }
         }
         Dsv2Plan(meta, t, kept.map(_._2), provider, gated = true,
-          () => ManifestPlanner.summarizeDistributed(spark, activeFiles, schema))
+          () => ManifestPlanner.summarizeDistributed(spark, activeFiles, schema, io))
     }
   }
 
@@ -2568,15 +2598,15 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val szIt = files.iterator
     while (szIt.hasNext && totalBytes <= gate) {
       val (_, p) = szIt.next()
-      totalBytes += (try Files.size(p) catch { case _: Exception => 0L })
+      totalBytes += (try io.size(p) catch { case _: Exception => 0L })
     }
     val streamed = totalBytes > gate
     val all: Seq[(DeltaMeta, Path)] = files.flatMap { case (_, p) =>
       // vanished-after-listing = concurrent trimHistory of a folded
       // pre-watermark metafile; the active set is never trimmed
       try Some((
-        if (streamed) ManifestPlanner.skeleton(p)
-        else Json.read(new String(Files.readAllBytes(p), "UTF-8"), classOf[DeltaMeta]), p))
+        if (streamed) ManifestPlanner.skeleton(p, io)
+        else Json.read(new String(io.readBytes(p), "UTF-8"), classOf[DeltaMeta]), p))
       catch {
         case e: java.io.FileNotFoundException => None
         case e: java.nio.file.NoSuchFileException => None
@@ -2711,7 +2741,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
         case (Some(st), None) => st
         case _ => null
       }
-      ManifestEntry(p.toString, Files.size(p), n,
+      ManifestEntry(p.toString, io.size(p), n,
         if (stats == null || stats.isEmpty) null else stats, uncompressed)
     }
   }
@@ -2722,15 +2752,14 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   private[catalog] def listDataFiles(dir: Path, ct: ContentType): Seq[Path] = {
-    if (!Files.exists(dir)) return Nil
     // Text formats under a content_encoding carry a codec suffix after the
     // format extension (part-*.csv.gz) — both spellings are data files.
     def isData(n: String): Boolean =
       n.endsWith(ct.extension) ||
         EncodingSuffixes.exists(sfx => n.endsWith(ct.extension + sfx))
-    val s = Files.walk(dir)
-    try s.iterator().asScala.filter(p => isData(p.toString) && Files.isRegularFile(p)).toList.sortBy(_.toString)
-    finally s.close()
+    val out = scala.collection.mutable.ArrayBuffer[Path]()
+    io.walk(dir)(p => if (isData(p.toString) && io.isFile(p)) out += p)
+    out.sortBy(_.toString).toSeq
   }
 
   private[graft] def handleOf(table: String): TableHandle = th(table)
@@ -2773,6 +2802,15 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
 }
 
 /** Hidden column names used by the merge machinery. */
+object GraftCatalog {
+  /** Default [[GraftCatalog.vacuumTable]] straggler margin: reclaim only
+    * when the trim horizon committed at least this long ago, so a query
+    * planned legally against the pre-trim window has drained before its
+    * input files disappear. Override per-table (`vacuum.min.age.millis`)
+    * or per-call. */
+  val DefaultVacuumMinAgeMillis: Long = 30L * 60 * 1000
+}
+
 object Hidden {
   val Pos = "_g_pos"        // stream position (long)
   val EffPos = "_g_effpos"  // recency rank: compactedUpTo for folded deltas

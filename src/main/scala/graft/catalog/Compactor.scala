@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
@@ -202,7 +202,7 @@ object Compactor {
             if (!streamed) d.totalBytes
             else {
               var b = 0L
-              ManifestPlanner.foreachEntry(pathOf(d.streamPosition))(e =>
+              ManifestPlanner.foreachEntry(pathOf(d.streamPosition), cat.io)(e =>
                 b += math.max(0L, e.sizeBytes))
               b
             }
@@ -255,7 +255,7 @@ object Compactor {
       deltaPairs.map { case (d, p) => d.streamPosition -> p }.toMap
     def foreachEntryOf(d: DeltaMeta)(f: ManifestEntry => Unit): Unit =
       if (!streamedEntries) d.entries.foreach(f)
-      else ManifestPlanner.foreachEntry(metafileOf(d.streamPosition))(f)
+      else ManifestPlanner.foreachEntry(metafileOf(d.streamPosition), cat.io)(f)
     // Paths of files being REWRITTEN — proportional to the compaction's
     // actual work (Spark's load(paths) API needs the list either way).
     def entryPathsOf(ds: Seq[DeltaMeta]): Seq[String] = {
@@ -550,7 +550,8 @@ object Compactor {
                 zScan(paths ++ untouchedPathsB.map(_.result()).getOrElse(Nil)), schema, zc))),
               writeOptions = cat.bloomOptionsOf(meta), statCols = cat.statColsOf(meta))
           } else {
-            Files.createDirectories(Paths.get(
+            // a placeholder only — no-op where directories are virtual
+            cat.io.mkdirs(Paths.get(
               cat.dataDirOf(t).resolve(f"d$rev%06d__${txn.txnId}").toString))
             (Nil, 0L, null)
           }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.txn.{DeltaMeta, Json, ManifestEntry}
+import graft.txn.{DeltaMeta, FileIO, Json, LocalFileIO, ManifestEntry}
 
 /**
  * Distributed manifest planning — lifts the driver-metadata ceiling on the
@@ -41,8 +41,8 @@ object ManifestPlanner {
   /** Streaming skeleton parse: the DeltaMeta WITHOUT its entries (position,
     * type, txn, watermark, properties — everything lineage and active-set
     * logic need). O(1) driver heap regardless of entry count. */
-  def skeleton(file: Path): DeltaMeta = {
-    val p = Json.mapper.getFactory.createParser(file.toFile)
+  def skeleton(file: Path, io: FileIO = LocalFileIO): DeltaMeta = {
+    val p = Json.mapper.getFactory.createParser(io.inputStream(file))
     try {
       require(p.nextToken() == JsonToken.START_OBJECT, s"$file: not a JSON object")
       var pos = 0L; var dt = ""; var txnId = ""; var upTo = -1L
@@ -66,8 +66,8 @@ object ManifestPlanner {
 
   /** Stream a delta metafile's entries one at a time — the full array is
     * never resident. */
-  def foreachEntry(file: Path)(f: ManifestEntry => Unit): Unit = {
-    val p = Json.mapper.getFactory.createParser(file.toFile)
+  def foreachEntry(file: Path, io: FileIO = LocalFileIO)(f: ManifestEntry => Unit): Unit = {
+    val p = Json.mapper.getFactory.createParser(io.inputStream(file))
     try {
       require(p.nextToken() == JsonToken.START_OBJECT, s"$file: not a JSON object")
       while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -99,8 +99,9 @@ object ManifestPlanner {
     * it. The loan closes on EVERY exit path — partial drains, throws,
     * early returns. Task-side code may keep calling entryIterator
     * directly; the task-completion hook is its close. */
-  def withEntryIterator[T](file: Path)(f: Iterator[ManifestEntry] => T): T = {
-    val it = entryIterator(file)
+  def withEntryIterator[T](file: Path, io: FileIO = LocalFileIO)(
+      f: Iterator[ManifestEntry] => T): T = {
+    val it = entryIterator(file, io)
     try f(it) finally it.close()
   }
 
@@ -117,8 +118,8 @@ object ManifestPlanner {
     * parser before rethrowing (round-13 advice). DRIVER-SIDE callers (no
     * TaskContext, so no completion hook): use [[withEntryIterator]] — the
     * loan is the guard the bare iterator cannot provide off-task. */
-  def entryIterator(file: Path): ClosingIterator[ManifestEntry] = {
-    val p = Json.mapper.getFactory.createParser(file.toFile)
+  def entryIterator(file: Path, io: FileIO = LocalFileIO): ClosingIterator[ManifestEntry] = {
+    val p = Json.mapper.getFactory.createParser(io.inputStream(file))
     def closeQuietly(): Unit = try if (!p.isClosed) p.close() catch { case _: Exception => () }
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => closeQuietly()))
@@ -185,7 +186,8 @@ object ManifestPlanner {
       files: Seq[(Long, String)], // (metastore revision, absolute metafile path)
       filters: Seq[sources.Filter],
       schema: StructType,
-      segs: Seq[(String, String)]): Map[Long, Seq[ManifestEntry]] = {
+      segs: Seq[(String, String)],
+      io: FileIO = LocalFileIO): Map[Long, Seq[ManifestEntry]] = {
     if (files.isEmpty) return Map.empty
     val schemaJson = schema.json
     val filtersB = spark.sparkContext.broadcast(filters)
@@ -195,7 +197,7 @@ object ManifestPlanner {
       .map { case (pos, path) =>
         val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val out = Seq.newBuilder[ManifestEntry]
-        foreachEntry(Paths.get(path)) { e =>
+        foreachEntry(Paths.get(path), io) { e =>
           if (matchesSegs(e.path, segsB.value) &&
               StatsSkip.prune(Seq(e), filtersB.value, sc).nonEmpty)
             out += e.copy(stats = null)
@@ -210,8 +212,8 @@ object ManifestPlanner {
     * [[pruneDistributed]]. Returns None when the prefix rule is unsound
     * (an unknown record count), in which case the caller must fall back to
     * full streaming materialization. */
-  def limitPrefixStreaming(files: Seq[(Long, String)], limit: Int)
-      : Option[Map[Long, Seq[ManifestEntry]]] = {
+  def limitPrefixStreaming(files: Seq[(Long, String)], limit: Int,
+      io: FileIO = LocalFileIO): Option[Map[Long, Seq[ManifestEntry]]] = {
     var acc = 0L
     var unknown = false
     val out = scala.collection.mutable.LinkedHashMap[Long, Seq[ManifestEntry]]()
@@ -219,7 +221,7 @@ object ManifestPlanner {
     while (it.hasNext && acc < limit && !unknown) {
       val (pos, path) = it.next()
       val buf = Seq.newBuilder[ManifestEntry]
-      foreachEntry(Paths.get(path)) { e =>
+      foreachEntry(Paths.get(path), io) { e =>
         if (e.recordCount < 0) unknown = true
         else if (acc < limit) { buf += e.copy(stats = null); acc += e.recordCount }
       }
@@ -231,10 +233,11 @@ object ManifestPlanner {
   /** Full streaming materialization (no predicate to prune by): same entry
     * set as a plain parse, but stats maps stripped — the dominant share of
     * manifest heap — and no intermediate Jackson tree. */
-  def materializeStreaming(files: Seq[(Long, String)]): Map[Long, Seq[ManifestEntry]] =
+  def materializeStreaming(files: Seq[(Long, String)],
+      io: FileIO = LocalFileIO): Map[Long, Seq[ManifestEntry]] =
     files.map { case (pos, path) =>
       val buf = Seq.newBuilder[ManifestEntry]
-      foreachEntry(Paths.get(path))(e => buf += e.copy(stats = null))
+      foreachEntry(Paths.get(path), io)(e => buf += e.copy(stats = null))
       (pos, buf.result())
     }.toMap
 
@@ -337,7 +340,7 @@ object ManifestPlanner {
     * manifest-aggregate answer (count/min/max over 10^7 files, zero files
     * opened, nothing entry-sized on the driver). */
   def summarizeDistributed(spark: SparkSession, files: Seq[(Long, String)],
-      schema: StructType): StatsSummary = {
+      schema: StructType, io: FileIO = LocalFileIO): StatsSummary = {
     val schemaJson = schema.json
     if (files.isEmpty) return summarize(Iterator.empty, schema)
     spark.sparkContext
@@ -345,7 +348,7 @@ object ManifestPlanner {
       .map { path =>
         val sc = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val a = new SummaryAcc(sc)
-        foreachEntry(Paths.get(path))(a.add) // streamed — never buffered
+        foreachEntry(Paths.get(path), io)(a.add) // streamed — never buffered
         a.result()
       }
       .reduce(mergeSummaries(schema))

@@ -286,7 +286,7 @@ object ResourceEstimator {
     else {
       val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
       estimateStreamed(cat.spark, schema,
-        active.flatMap(d => pathOf.get(d.streamPosition)), params)
+        active.flatMap(d => pathOf.get(d.streamPosition)), params, cat.io)
     }
   }
 
@@ -297,7 +297,8 @@ object ResourceEstimator {
     * foreachEntry drains each opened metafile fully (no parser leak); the
     * over-read is bounded by one file. */
   private def samplingContext(spark: SparkSession, schema: StructType,
-      files: Seq[java.nio.file.Path], params: Params)
+      files: Seq[java.nio.file.Path], params: Params,
+      io: graft.txn.FileIO = graft.txn.LocalFileIO)
       : (Map[String, Double], Double, Boolean) = {
     val chain = params.method.chain
     val preSampling = chain.takeWhile(_ != "file_sampling")
@@ -321,7 +322,7 @@ object ResourceEstimator {
     val sampled = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
     val fit = files.iterator
     while (sampled.size < params.maxFilesToSample && scanned < scanCap && fit.hasNext) {
-      ManifestPlanner.foreachEntry(fit.next()) { e =>
+      ManifestPlanner.foreachEntry(fit.next(), io) { e =>
         scanned += 1
         if (sampled.size < params.maxFilesToSample && scanned <= scanCap &&
             !resolvedByPure(e))
@@ -369,9 +370,10 @@ object ResourceEstimator {
   }
 
   private def streamedCtx(spark: SparkSession, schema: StructType,
-      files: Seq[java.nio.file.Path], params: Params): StreamedCtx = {
+      files: Seq[java.nio.file.Path], params: Params,
+      io: graft.txn.FileIO = graft.txn.LocalFileIO): StreamedCtx = {
     val (probes, inflation, samplingActive) =
-      samplingContext(spark, schema, files, params)
+      samplingContext(spark, schema, files, params, io)
     StreamedCtx(schema.json, params.method.chain.toArray, samplingActive,
       spark.sparkContext.broadcast(probes), inflation,
       params.parquetToArrowInflation, params.previousInflation,
@@ -398,8 +400,9 @@ object ResourceEstimator {
     * the distributed pass then resolves every entry with pure per-entry
     * functions plus the broadcast (probes, inflation) pair. */
   private def estimateStreamed(spark: SparkSession, schema: StructType,
-      files: Seq[java.nio.file.Path], params: Params): Estimate = {
-    val ctx = streamedCtx(spark, schema, files, params)
+      files: Seq[java.nio.file.Path], params: Params,
+      io: graft.txn.FileIO = graft.txn.LocalFileIO): Estimate = {
+    val ctx = streamedCtx(spark, schema, files, params, io)
     val par = parFor(spark, files.size)
     val partials = spark.sparkContext.parallelize(files.map(_.toString), par)
       .mapPartitions { it =>
@@ -408,7 +411,7 @@ object ResourceEstimator {
         var disk = 0L; var n = 0L
         val methods = scala.collection.mutable.HashMap[String, Int]()
         it.foreach { f =>
-          ManifestPlanner.foreachEntry(java.nio.file.Paths.get(f)) { e =>
+          ManifestPlanner.foreachEntry(java.nio.file.Paths.get(f), io) { e =>
             val (v, m) = ctx.resolve(sc, e)
             mem += v
             if (e.recordCount >= 0) known += e.recordCount else unknownMem += v
@@ -476,11 +479,12 @@ object ResourceEstimator {
       val spark = cat.spark
       val pathOf = pairs.map { case (d, p) => d.streamPosition -> p }.toMap
       val files = active.flatMap(d => pathOf.get(d.streamPosition))
-      val ctx = streamedCtx(spark, schema, files, params)
+      val fio = cat.io
+      val ctx = streamedCtx(spark, schema, files, params, fio)
       spark.sparkContext.parallelize(files.map(_.toString), parFor(spark, files.size))
         .mapPartitions { it =>
           val sc = ctx.schemaOf()
-          it.flatMap(f => ManifestPlanner.entryIterator(java.nio.file.Paths.get(f))
+          it.flatMap(f => ManifestPlanner.entryIterator(java.nio.file.Paths.get(f), fio)
             .map { e =>
               val (v, m) = ctx.resolve(sc, e)
               (e.path, e.sizeBytes, e.recordCount, v, m)

@@ -2077,9 +2077,43 @@ object CatalogQueries {
       Thread.sleep(20)
       require(cat.trimHistory("q.vc", retentionMillis = 0L) >= 2,
         "c95 trim must forfeit the folded metafiles")
-      val removed = cat.vacuumTable("q.vc")
+      val removed = cat.vacuumTable("q.vc", minAgeMillis = Some(0L))
       require(removed >= 1, s"c95 vacuum must reclaim forfeited files, removed $removed")
       cat.readTable("q.vc")
+    },
+
+    // Object-store end-to-end (c96, round-16): the FULL
+    // write → compact → trim → vacuum → read cycle on the storage profile
+    // a real S3/GCS/ADLS deployment is — ConditionalPutCommitStore (no
+    // rename; per-source decision objects) + ObjectStoreFileIO (virtual
+    // dirs, touch-by-rewrite, listing-only enumeration) together. The
+    // terminal state must hash-match DuckDB exactly like the local c95.
+    Q("c96_object_store_cycle", Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS v
+      FROM orders""")) { (s, dir) =>
+      val cat = new GraftCatalog(s,
+        Files.createTempDirectory("graft_c96").toString,
+        commitStore = new graft.txn.ConditionalPutCommitStore,
+        fileIO = new graft.txn.ObjectStoreFileIO)
+      cat.createTable("q.os", StructType(Seq(
+        FieldMeta.field("o_orderkey", LongType, nullable = false, mergeKey = true),
+        FieldMeta.field("v", DoubleType))), properties = MoR)
+      val base = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("v"))
+      cat.writeToTable(base, "q.os", WriteMode.Merge)
+      cat.compact("q.os")
+      cat.writeToTable(base.where(col("o_orderkey") % 2 === 0)
+        .withColumn("v", col("v") * 2), "q.os", WriteMode.Merge)
+      cat.compact("q.os")
+      Thread.sleep(20)
+      require(cat.trimHistory("q.os", retentionMillis = 0L) >= 2,
+        "c96 trim must forfeit the folded metafiles")
+      require(cat.vacuumTable("q.os", minAgeMillis = Some(0L)) >= 1,
+        "c96 vacuum must reclaim files")
+      cat.janitor()
+      cat.readTable("q.os")
     }
   )
 }

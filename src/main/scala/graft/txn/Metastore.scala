@@ -1,9 +1,7 @@
 package graft.txn
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
-import scala.collection.JavaConverters._
+import java.nio.file.{Path, Paths}
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
@@ -171,11 +169,10 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
 
   def stage(dir: Path, rev: Long, suffix: String, content: String, op: String): Unit = {
     require(!sealed_, s"txn $txnId already sealed")
-    Files.createDirectories(dir)
     val name = f"$rev%020d__${txnId}__$suffix.json"
     // Write immediately (uncommitted revisions are invisible to other txns
     // because txnId is not yet in txn/success) → read-your-writes works.
-    Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    store.io.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
     staged += StagedWrite(dir, rev, name, content)
     ops += op
     // Framework-driven heartbeat: every stage refreshes the lease so a
@@ -194,9 +191,8 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
   def stageStreaming(dir: Path, rev: Long, suffix: String, op: String)
       (write: java.io.OutputStream => Unit): Unit = {
     require(!sealed_, s"txn $txnId already sealed")
-    Files.createDirectories(dir)
     val name = f"$rev%020d__${txnId}__$suffix.json"
-    val out = Files.newOutputStream(dir.resolve(name))
+    val out = store.io.outputStream(dir.resolve(name))
     try write(out) finally out.close()
     staged += StagedWrite(dir, rev, name, null)
     ops += op
@@ -205,12 +201,9 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
 
   /** Refresh the running-record mtime (the txn's lease) without requiring
     * the caller to invoke heartbeat() — used by stage() and the claim loop. */
-  private def touchLease(): Unit = {
-    val p = store.runningDir.resolve(s"$txnId.json")
-    if (Files.exists(p))
-      Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-  }
+  private def touchLease(): Unit =
+    store.io.touch(store.runningDir.resolve(s"$txnId.json"),
+      System.currentTimeMillis())
 
   /** Atomic publish: conflict-check staged revisions, move the txn record
     * into txn/success, then re-check (reference metafile.py:271-368
@@ -264,19 +257,16 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     val held = scala.collection.mutable.ArrayBuffer[Path]()
     def releaseClaims(): Unit = {
       held.foreach { dir =>
-        Files.deleteIfExists(dir.resolve(txnId))
-        try Files.delete(dir) catch { case _: Exception => () } // non-empty/racing: fine
+        store.io.delete(dir.resolve(txnId))
+        store.io.deleteDirIfEmpty(dir) // non-empty/racing: fine
       }
       held.clear()
     }
-    def claimDirNames(dir: Path): Seq[String] = {
-      val s = try Files.list(dir) catch { case _: java.nio.file.NoSuchFileException => null }
-      if (s == null) Nil
-      else try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
-    }
+    def claimDirNames(dir: Path): Seq[String] =
+      store.io.listDir(dir).map(_.getFileName.toString)
     // monotonic terminal states — safe to reclaim markers named by them
     def isTerminal(id: String): Boolean =
-      Files.exists(store.failedDir.resolve(s"$id.json")) ||
+      store.io.exists(store.failedDir.resolve(s"$id.json")) ||
         store.successRecordExists(id)
     try claims.foreach { c =>
       var acquired = false
@@ -284,24 +274,24 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       while (!acquired) {
         attempts += 1
         try {
-          Files.createDirectories(c)
+          store.io.mkdirs(c) // a hint only — putIfAbsent implies the parents
           store.commitStore.putIfAbsent(c.resolve(txnId), Array.emptyByteArray) // false = already ours
         } catch { case _: java.io.IOException => () } // dir swept mid-create: retry below
         val names = claimDirNames(c)
         if (names.contains(txnId)) {
           names.filter(n => n != txnId && isTerminal(n))
-            .foreach(n => Files.deleteIfExists(c.resolve(n)))
+            .foreach(n => store.io.delete(c.resolve(n)))
           // Mixed-version safety: a legacy single-FILE claim (.claim_<rev>)
           // held by an old-scheme writer must exclude us too, or a rolling
           // upgrade reopens the double-commit interleaving these claims
           // close. Respect a live legacy owner; reclaim terminal/unreadable.
           val legacy = c.resolveSibling(c.getFileName.toString.replaceFirst("claimd_", "claim_"))
           val legacyOwner: Option[String] =
-            if (!Files.exists(legacy)) None
+            if (!store.io.exists(legacy)) None
             else {
-              val owner = try new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8).trim
+              val owner = try new String(store.io.readBytes(legacy), StandardCharsets.UTF_8).trim
                 catch { case _: Exception => "" }
-              if (owner.isEmpty || isTerminal(owner)) { Files.deleteIfExists(legacy); None }
+              if (owner.isEmpty || isTerminal(owner)) { store.io.delete(legacy); None }
               else Some(owner)
             }
           val pending = claimDirNames(c).filterNot(isTerminal)
@@ -311,8 +301,7 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
           // reopen the double-commit window; a truly-deleted marker just
           // vanishes from the next listing, so liveness is unaffected
           def arrival(n: String): (Long, String) =
-            (try Files.getLastModifiedTime(c.resolve(n))
-              .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+            (try store.io.mtime(c.resolve(n))
             catch { case _: Exception => Long.MinValue }, n)
           if (legacyOwner.isEmpty && pending.nonEmpty && pending.minBy(arrival) == txnId) {
             held += c; acquired = true
@@ -323,7 +312,7 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
               touchLease() // we are alive and queued — don't let a peer fence US
             }
             if (attempts > 600) { // ~6s of LIVE contention — yield deterministically
-              releaseClaims(); Files.deleteIfExists(c.resolve(txnId)); abort()
+              releaseClaims(); store.io.delete(c.resolve(txnId)); abort()
               throw new ConcurrentTxnConflict(
                 s"txn $txnId could not claim ${c.getFileName} " +
                   s"(pending contenders: ${pending.filter(_ != txnId).take(3).mkString(",")})")
@@ -336,7 +325,7 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       case e: ConcurrentTxnConflict => throw e
       case e: Throwable => // never leak markers on an unexpected failure
         releaseClaims()
-        claims.foreach(c => Files.deleteIfExists(c.resolve(txnId)))
+        claims.foreach(c => store.io.delete(c.resolve(txnId)))
         throw e
     }
     try {
@@ -368,18 +357,18 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     val running = store.runningDir.resolve(s"$txnId.json")
     val claimed = store.txnDir.resolve(s".$txnId.sealing")
     if (!store.commitStore.claim(running, claimed)) {
-      staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+      staged.foreach(sw => store.io.delete(sw.dir.resolve(sw.fileName)))
       sealed_ = true
       throw new ConcurrentTxnConflict(
         s"txn $txnId was fenced before publish (janitor end-time fencing)")
     }
-    Files.write(claimed, Json.write(rec).getBytes(StandardCharsets.UTF_8))
+    store.io.write(claimed, Json.write(rec).getBytes(StandardCharsets.UTF_8))
     // computed ONCE and reused by the self-demotion below: the publish rule
     // is wall-clock-dependent and must not pick a different path mid-seal
     val successRec = store.successPublishPath(txnId)
     if (!store.commitStore.claim(claimed, successRec)) {
       // a janitor swept the sealing file as crash debris mid-publish
-      staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+      staged.foreach(sw => store.io.delete(sw.dir.resolve(sw.fileName)))
       sealed_ = true
       store.invalidateTxnCache()
       throw new ConcurrentTxnConflict(
@@ -401,7 +390,7 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       // dual-terminal reconciliation (failed wins) closes that window.
       store.commitStore.claim(successRec,
         store.failedDir.resolve(s"$txnId.json"))
-      staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+      staged.foreach(sw => store.io.delete(sw.dir.resolve(sw.fileName)))
       sealed_ = true
       store.invalidateTxnCache()
       throw new ConcurrentTxnConflict(
@@ -425,17 +414,16 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
         // stages exist) must not be inflated into one pause-record string.
         Option(sw.content).getOrElse {
           val f = sw.dir.resolve(sw.fileName)
-          val sz = Files.size(f)
+          val sz = store.io.size(f)
           require(sz <= Transaction.MaxPausedStageBytes,
             s"staged revision ${sw.fileName} is $sz bytes — too large to " +
               "inline in a pause record; seal or abort this transaction " +
               "instead of pausing it")
-          new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+          new String(store.io.readBytes(f), StandardCharsets.UTF_8)
         })).toSeq)
-    Files.createDirectories(store.pausedDir)
-    Files.write(store.pausedDir.resolve(s"$txnId.json"),
+    store.io.write(store.pausedDir.resolve(s"$txnId.json"),
       Json.write(rec).getBytes(StandardCharsets.UTF_8))
-    Files.deleteIfExists(store.runningDir.resolve(s"$txnId.json"))
+    store.io.delete(store.runningDir.resolve(s"$txnId.json"))
     sealed_ = true // this handle is dead; resume() returns a fresh one
   }
 
@@ -445,14 +433,12 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
     * stays reclaimable. */
   def heartbeat(): Unit = {
     require(!sealed_, s"txn $txnId already sealed")
-    val p = store.runningDir.resolve(s"$txnId.json")
-    if (Files.exists(p))
-      Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    store.io.touch(store.runningDir.resolve(s"$txnId.json"),
+      System.currentTimeMillis())
   }
 
   def abort(): Unit = {
-    staged.foreach(sw => Files.deleteIfExists(sw.dir.resolve(sw.fileName)))
+    staged.foreach(sw => store.io.delete(sw.dir.resolve(sw.fileName)))
     // claim-move: a janitor fencing this txn concurrently resolves to one
     // winner — either way the record lands in failed/
     store.commitStore.claim(store.runningDir.resolve(s"$txnId.json"),
@@ -469,7 +455,11 @@ object Metastore {
   }
 }
 
-final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommitStore) {
+final class Metastore(val root: Path,
+    val commitStore: CommitStore = RenameCommitStore,
+    /** Metadata-plane IO (listings, record reads/writes, leases) — see
+      * [[FileIO]]. The commit primitives stay on [[commitStore]]. */
+    val io: FileIO = LocalFileIO) {
   import Metastore._
 
   val txnDir: Path = root.resolve("txn")
@@ -477,9 +467,10 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   val successDir: Path = txnDir.resolve("success")
   val failedDir: Path = txnDir.resolve("failed")
   val pausedDir: Path = txnDir.resolve("paused")
-  Files.createDirectories(runningDir)
-  Files.createDirectories(successDir)
-  Files.createDirectories(failedDir)
+  // a HINT on stores with real directories; writes imply their parents
+  io.mkdirs(runningDir)
+  io.mkdirs(successDir)
+  io.mkdirs(failedDir)
 
   // Monotonic timestamp source: guarantees distinct, ordered commit times even
   // for commits within the same millisecond (matters for time travel tests).
@@ -583,7 +574,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     * folded (checkpoint-only) txns as non-terminal, leaving their claim
     * markers unreclaimed and timing out lock acquisition spuriously. */
   private[txn] def successRecordExists(txnId: String): Boolean =
-    successPaths(txnId).exists(Files.exists(_)) || {
+    successPaths(txnId).exists(io.exists(_)) || {
       if (!ckptLoaded) successfulTxns()
       ckptIds.contains(txnId)
     }
@@ -625,12 +616,12 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   private def readRecord(p: Path): Option[TxnRecord] =
     try {
       successRecordReads.incrementAndGet()
-      Some(Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
+      Some(Json.read(new String(io.readBytes(p), StandardCharsets.UTF_8),
         classOf[TxnRecord]))
     } catch { case _: java.io.IOException => None } // demoted/folded mid-refresh
 
   private def readCheckpoint(p: Path): Option[Map[String, TxnRecord]] =
-    try Some(Json.mapper.readValue(p.toFile, classOf[Array[TxnRecord]])
+    try Some(Json.mapper.readValue(io.inputStream(p), classOf[Array[TxnRecord]])
       .map(r => r.txnId -> r).toMap)
     catch { case _: java.io.IOException => None }
 
@@ -650,8 +641,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   /** One listing of success/ itself: legacy-flat record ids, epoch dirs
     * (number + path), checkpoint files. */
   private def successRootListing(): (Set[String], Seq[(Long, Path)], Seq[Path]) = {
-    val s = Files.list(successDir)
-    val entries = try s.iterator().asScala.toList finally s.close()
+    val entries = io.listDir(successDir)
     val flat = entries.flatMap { p =>
       val n = p.getFileName.toString
       if (n.endsWith(".json") && !n.startsWith(".") && !n.startsWith("_"))
@@ -660,7 +650,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     val epochs = entries.flatMap { p =>
       val n = p.getFileName.toString
       if (n.length > 1 && n.startsWith("e") && n.drop(1).forall(_.isDigit) &&
-          Files.isDirectory(p)) Some(n.drop(1).toLong -> p) else None
+          io.isDirectory(p)) Some(n.drop(1).toLong -> p) else None
     }
     val ckpts = entries.filter(_.getFileName.toString.matches("_ckpt_\\d+\\.json"))
     (flat, epochs, ckpts)
@@ -742,7 +732,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   }
 
   def isTxnSuccessful(txnId: String): Boolean = successfulTxns().contains(txnId)
-  def isTxnFailed(txnId: String): Boolean = Files.exists(failedDir.resolve(s"$txnId.json"))
+  def isTxnFailed(txnId: String): Boolean = io.exists(failedDir.resolve(s"$txnId.json"))
 
   /** Is `txnId` visible to a reader at time `asOf` (None = latest)? Reads
     * inside `within` see their own uncommitted writes (snapshot isolation
@@ -754,7 +744,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
   def newTransaction(commitMessage: String = ""): Transaction = {
     val id = f"${nextTimestamp()}%020d-${java.util.UUID.randomUUID().toString.take(8)}"
     val txn = new Transaction(this, id, System.currentTimeMillis(), commitMessage)
-    Files.write(runningDir.resolve(s"$id.json"),
+    io.write(runningDir.resolve(s"$id.json"),
       Json.write(TxnRecord(id, txn.startTimeMillis, -1L, commitMessage, Nil))
         .getBytes(StandardCharsets.UTF_8))
     txn
@@ -764,16 +754,16 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     * (transaction.py:1601). */
   def resumeTransaction(txnId: String): Transaction = {
     val p = pausedDir.resolve(s"$txnId.json")
-    require(Files.exists(p), s"no paused txn $txnId")
-    val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), classOf[PausedTxn])
+    require(io.exists(p), s"no paused txn $txnId")
+    val rec = Json.read(new String(io.readBytes(p), StandardCharsets.UTF_8), classOf[PausedTxn])
     val t = new Transaction(this, rec.txnId, rec.startTimeMillis, rec.commitMessage)
     rec.staged.foreach(ps =>
       t.staged += StagedWrite(Paths.get(ps.dir), ps.rev, ps.fileName, ps.content))
     t.ops ++= rec.ops
-    Files.write(runningDir.resolve(s"$txnId.json"),
+    io.write(runningDir.resolve(s"$txnId.json"),
       Json.write(TxnRecord(txnId, rec.startTimeMillis, -1L, rec.commitMessage, Nil))
         .getBytes(StandardCharsets.UTF_8))
-    Files.deleteIfExists(p)
+    io.delete(p)
     t
   }
 
@@ -782,14 +772,10 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     successfulTxns().values.toSeq.sortBy(-_.endTimeMillis)
 
   // ---- generic revision store ---------------------------------------------
-  private[txn] def listRevisionFiles(dir: Path): Seq[Path] =
-    if (!Files.exists(dir)) Nil else listFiles(dir)
+  private[txn] def listRevisionFiles(dir: Path): Seq[Path] = listFiles(dir)
 
-  private def listFiles(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.filter(p => p.toString.endsWith(".json")).toList
-    finally s.close()
-  }
+  private def listFiles(dir: Path): Seq[Path] =
+    io.listDir(dir).filter(p => p.toString.endsWith(".json"))
 
   /** Per-listing visibility predicate: snapshots [[successfulTxns]] ONCE —
     * routing every file through [[isVisible]] re-enters the (cheap but not
@@ -811,7 +797,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     if (candidates.isEmpty) None
     else {
       val (rev, p) = candidates.maxBy(_._1)
-      Some((rev, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      Some((rev, new String(io.readBytes(p), StandardCharsets.UTF_8)))
     }
   }
 
@@ -831,7 +817,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     listRevisionFiles(dir).flatMap { p =>
       val (rev, tid) = parseRevisionName(p.getFileName.toString)
       if (vis(tid))
-        Some((rev, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+        Some((rev, new String(io.readBytes(p), StandardCharsets.UTF_8)))
       else None
     }.sortBy(_._1)
   }
@@ -853,13 +839,13 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     * committing. Returns true if this call did the fencing. */
   private[txn] def fenceTxnIfStale(txnId: String, maxIdleMillis: Long): Boolean = {
     val candidates = Seq(runningDir.resolve(s"$txnId.json"),
-      pausedDir.resolve(s"$txnId.json")).filter(Files.exists(_))
+      pausedDir.resolve(s"$txnId.json")).filter(io.exists(_))
     candidates.exists { p =>
       val stale =
         try {
-          val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
+          val rec = Json.read(new String(io.readBytes(p), StandardCharsets.UTF_8),
             classOf[TxnRecord])
-          val last = math.max(rec.startTimeMillis, Files.getLastModifiedTime(p).toMillis)
+          val last = math.max(rec.startTimeMillis, io.mtime(p))
           System.currentTimeMillis() - last > maxIdleMillis
         } catch { case _: Exception => false }
       stale && {
@@ -909,7 +895,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     }
     if (candFiles.isEmpty) return 0
     val cands = candFiles.flatMap(readRecord)
-      .filter(r => !Files.exists(failedDir.resolve(s"${r.txnId}.json")))
+      .filter(r => !io.exists(failedDir.resolve(s"${r.txnId}.json")))
       .map(r => r.txnId -> r).toMap
     if (cands.isEmpty) return 0
     // Name = max folded endTime — but a LATE-arriving record older than a
@@ -954,13 +940,11 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     var foldedNew = 0
     candFiles.foreach { p =>
       val id = p.getFileName.toString.stripSuffix(".json")
-      if (onDisk.contains(id) && Files.deleteIfExists(p)) {
+      if (onDisk.contains(id) && io.delete(p)) {
         if (!prev.contains(id)) foldedNew += 1
       }
     }
-    frozenDirs.foreach { case (_, d) =>
-      try Files.delete(d) catch { case _: Exception => () } // non-empty: fine
-    }
+    frozenDirs.foreach { case (_, d) => io.deleteDirIfEmpty(d) }
     // Retire superseded checkpoints ONLY when the surviving one covers
     // their ids — an older checkpoint holding records the newest lacks
     // (left by a fold racing this one) must stay readable, or its
@@ -969,7 +953,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     successRootListing()._3
       .filter(p => p.getFileName.toString < target.getFileName.toString)
       .foreach(p => readCheckpoint(p).foreach { content =>
-        if (content.keySet.subsetOf(onDisk.keySet)) Files.deleteIfExists(p)
+        if (content.keySet.subsetOf(onDisk.keySet)) io.delete(p)
       })
     // monotonic: folded ids stay terminal-probe-visible before the resync
     ckptIds = ckptIds ++ onDisk.keySet
@@ -983,15 +967,14 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     val now = System.currentTimeMillis()
     var failed = 0
     // Paused txns are just as abandonable as running ones.
-    val paused = if (Files.exists(pausedDir)) listFiles(pausedDir) else Nil
+    val paused = listFiles(pausedDir)
     (listFiles(runningDir) ++ paused).foreach { p =>
-      val rec = Json.read(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
+      val rec = Json.read(new String(io.readBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
       // last activity = heartbeat (record mtime) or start, whichever is
       // newer: heartbeating writers stay alive past the timeout; the move
       // is the FENCE — a concurrently-sealing writer that claims the
       // record first wins, and a fenced one loses its later seal
-      val lastActivity = math.max(rec.startTimeMillis,
-        Files.getLastModifiedTime(p).toMillis)
+      val lastActivity = math.max(rec.startTimeMillis, io.mtime(p))
       if (now - lastActivity > timeoutMillis) {
         // claim-move: losing to a concurrent sealer (or another janitor)
         // is fine — exactly one outcome survives either way
@@ -1007,10 +990,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     // gone) is plain debris.
     val debrisAge = math.max(timeoutMillis, claimFenceMillis)
     def sweepDir(d: Path): Unit = {
-      val s = try Files.list(d) catch { case _: Exception => null }
-      if (s == null) return
-      val entries = try s.iterator().asScala.toList finally s.close()
-      entries.foreach { p =>
+      io.listDir(d).foreach { p =>
         val n = p.getFileName.toString
         if (n.endsWith(".moved")) {
           // only sweep AGED decisions: a fresh one may still be shielding
@@ -1018,16 +998,16 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
           // it vanished must keep losing the decision election, or it
           // could re-elect itself and produce a second terminal record)
           val src = p.resolveSibling(n.stripPrefix(".").stripSuffix(".moved"))
-          val idle = try now - Files.getLastModifiedTime(p).toMillis
+          val idle = try now - io.mtime(p)
             catch { case _: Exception => -1L }
-          if (!Files.exists(src) && idle > debrisAge) Files.deleteIfExists(p)
+          if (!io.exists(src) && idle > debrisAge) io.delete(p)
         } else if (n.startsWith(".") && n.endsWith(".sealing")) {
           val id = n.stripPrefix(".").stripSuffix(".sealing")
-          val idle = try now - Files.getLastModifiedTime(p).toMillis
+          val idle = try now - io.mtime(p)
             catch { case _: Exception => -1L }
           if (idle > debrisAge &&
               !successRecordExists(id) &&
-              !Files.exists(failedDir.resolve(s"$id.json")) &&
+              !io.exists(failedDir.resolve(s"$id.json")) &&
               commitStore.claim(p, failedDir.resolve(s"$id.json")))
             failed += 1
         }
@@ -1048,7 +1028,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
       .map(_.getFileName.toString.stripSuffix(".json")).toSet
     listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json"))
       .filter(successIds).foreach { id =>
-        successPaths(id).foreach(Files.deleteIfExists(_))
+        successPaths(id).foreach(io.delete(_))
         // full resync: the deleted record may sit in a FROZEN epoch the
         // incremental pass never relists
         resyncTxnCache()
@@ -1057,7 +1037,7 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
       listFiles(failedDir).map(_.getFileName.toString.stripSuffix(".json")).toSet
     var removed = 0
     def isTerminalId(id: String): Boolean =
-      Files.exists(failedDir.resolve(s"$id.json")) || successRecordExists(id)
+      io.exists(failedDir.resolve(s"$id.json")) || successRecordExists(id)
     // The tree walk is gated on failed txns existing — a healthy catalog's
     // janitor cycle stays O(txn dirs), not O(catalog tree). Claim debris
     // from a success-crash (publish succeeded, release did not) lingers
@@ -1066,45 +1046,40 @@ final class Metastore(val root: Path, val commitStore: CommitStore = RenameCommi
     if (failedIds.nonEmpty) {
       val claimDirs = scala.collection.mutable.ArrayBuffer[Path]()
       val orphanDirs = scala.collection.mutable.ArrayBuffer[Path]()
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.foreach { p =>
+      io.walk(root) { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(".claimd_") && Files.isDirectory(p)) claimDirs += p
-        else if (n.startsWith(".claim_") && Files.isRegularFile(p)) {
+        if (n.startsWith(".claimd_") && io.isDirectory(p)) claimDirs += p
+        else if (n.startsWith(".claim_") && io.isFile(p)) {
           // legacy single-file claim from the pre-directory scheme
-          val owner = try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          val owner = try new String(io.readBytes(p), StandardCharsets.UTF_8)
             catch { case _: Exception => "" }
-          if (owner.isEmpty || isTerminalId(owner)) { Files.deleteIfExists(p); removed += 1 }
+          if (owner.isEmpty || isTerminalId(owner)) { io.delete(p); removed += 1 }
         } else if (failedIds.nonEmpty &&
-            n.endsWith(".json") && n.contains("__") && Files.isRegularFile(p) &&
+            n.endsWith(".json") && n.contains("__") && io.isFile(p) &&
             !p.startsWith(txnDir)) {
           val parts = n.stripSuffix(".json").split("__", 3)
           if (parts.length == 3 && failedIds.contains(parts(1))) {
-            Files.deleteIfExists(p); removed += 1
+            io.delete(p); removed += 1
           }
         } else if (failedIds.nonEmpty &&
-            Files.isDirectory(p) && n.startsWith("d") && n.contains("__") &&
+            io.isDirectory(p) && n.startsWith("d") && n.contains("__") &&
             failedIds.contains(n.split("__", 2)(1))) {
           // Orphaned data dir written by a failed txn (d<rev>__<txnId>).
           orphanDirs += p
         }
-      } finally walk.close()
+      }
       claimDirs.foreach { cd =>
-        val s = try Files.list(cd) catch { case _: Exception => null }
-        if (s != null) {
-          val markers = try s.iterator().asScala.map(_.getFileName.toString).toSeq
-            finally s.close()
-          markers.filter(isTerminalId).foreach { m =>
-            Files.deleteIfExists(cd.resolve(m)); removed += 1
-          }
+        io.listDir(cd).map(_.getFileName.toString).filter(isTerminalId).foreach { m =>
+          io.delete(cd.resolve(m)); removed += 1
         }
-        try Files.delete(cd) catch { case _: Exception => () } // non-empty: live
+        io.deleteDirIfEmpty(cd) // non-empty: live
       }
       orphanDirs.foreach { d =>
-        val files = Files.walk(d)
-        try files.iterator().asScala.toSeq.reverse.foreach { f =>
-          Files.deleteIfExists(f); removed += 1
-        } finally files.close()
+        val files = scala.collection.mutable.ArrayBuffer[Path]()
+        io.walk(d)(files += _)
+        files.reverseIterator.foreach { f =>
+          if (io.delete(f)) removed += 1
+        }
       }
     }
     // LAST (after dual-terminal reconciliation, so a demoted id can never

@@ -116,19 +116,33 @@ class HistoryTrimSpec extends SparkSpec {
     assert(cat.vacuumTable("h.g") == 0L)
     Thread.sleep(50)
     assert(cat.trimHistory("h.g", retentionMillis = 0L) == 2)
-    val removed = cat.vacuumTable("h.g")
+    // straggler margin: right after the trim, the DEFAULT min-age gate
+    // reclaims nothing — a query planned against the pre-trim window may
+    // still be draining
+    assert(cat.vacuumTable("h.g") == 0L,
+      "vacuum ignored the default straggler margin")
+    // dry run: counts the candidates, deletes nothing
+    val preview = cat.vacuumTable("h.g", dryRun = true, minAgeMillis = Some(0L))
+    assert(preview >= 1)
+    val paths = cat.vacuumCandidates("h.g", minAgeMillis = Some(0L))
+    assert(paths.size == preview && paths.forall(p => new java.io.File(p).exists()),
+      "dry run must not delete")
+    val removed = cat.vacuumTable("h.g", minAgeMillis = Some(0L))
+    assert(removed == preview, s"dry run counted $preview, vacuum removed $removed")
     // rev1's bulk files and rev2's REWRITTEN bucket-0 file are forfeited;
     // rev2's copy-by-referenced buckets 1-7 files must survive
     assert(removed >= 1, s"vacuum reclaimed nothing")
     assert(cat.readTable("h.g").orderBy("k").collect().toSeq == expected)
     // idempotent
-    assert(cat.vacuumTable("h.g") == 0L)
+    assert(cat.vacuumTable("h.g", minAgeMillis = Some(0L)) == 0L)
     // a full rewrite + trim forfeits the old referenced files too
     cat.writeToTable(spark.range(8000).select(col("id").as("k"), lit(9.0).as("v")),
       "h.g", WriteMode.Merge)
     cat.compact("h.g")
     Thread.sleep(50)
     assert(cat.trimHistory("h.g", retentionMillis = 0L) >= 2)
+    // the vacuum.min.age.millis table property is the per-table override
+    cat.alterTable("h.g", setProperties = Map("vacuum.min.age.millis" -> "0"))
     assert(cat.vacuumTable("h.g") >= 1)
     assert(cat.readTable("h.g").agg(sum("v")).head().getDouble(0) == 8000 * 9.0)
   }

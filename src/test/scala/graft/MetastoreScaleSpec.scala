@@ -68,6 +68,33 @@ class MetastoreScaleSpec extends AnyFunSuite {
     assert(ms.successRecordReads.get() == q0)
   }
 
+  test("full S3 profile: O(new)-record reads, checkpoint fold, cold start over object-store IO") {
+    import graft.txn.ObjectStoreFileIO
+    val root = tmp("graft-mss3")
+    val ms = new Metastore(root, new ConditionalPutCommitStore, new ObjectStoreFileIO)
+    (1 to 150).foreach(i => ms.newTransaction(s"w$i").seal())
+    assert(ms.successfulTxns().size == 150)
+    val before = ms.successRecordReads.get()
+    ms.newTransaction("one more").seal()
+    assert(ms.successfulTxns().size == 151)
+    val delta = ms.successRecordReads.get() - before
+    assert(delta <= 10, s"S3 profile read $delta records for 1 new commit")
+    // fold aged records and cold-start through the same profile
+    val now = System.currentTimeMillis()
+    val aged = (1 to 30).map(i =>
+      plant(ms, now - 5 * ms.SuccessEpochMillis + i, flat = i % 2 == 0, f"s3aged$i%03d"))
+    assert(ms.checkpointSuccessLog() == 30)
+    val cold = new Metastore(root, new ConditionalPutCommitStore, new ObjectStoreFileIO)
+    val r0 = cold.successRecordReads.get()
+    val m = cold.successfulTxns()
+    assert(m.size == 181 && aged.forall(m.contains))
+    // cold start serves the fold from the checkpoint + live tail; the 151
+    // fresh epoch-dir records are the tail (not yet frozen), so the bound
+    // is O(tail), never O(lifetime + folded)
+    assert(cold.successRecordReads.get() - r0 <= 155,
+      s"cold start re-read folded records (${cold.successRecordReads.get() - r0})")
+  }
+
   test("epoch, flat-legacy, and checkpointed records are all visible; probes agree") {
     val ms = new Metastore(tmp("graft-msvis"))
     val now = System.currentTimeMillis()
