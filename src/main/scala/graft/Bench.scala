@@ -1235,8 +1235,48 @@ object Bench {
       }
       if (rs.isEmpty) "" else rs.mkString(""","scale_ratios":{""", ",", "}")
     }
+    // Floor-normalized per-entry bands (round-16, verdict Wrong #1): the
+    // r15 closing artifacts drifted +5.7% uniformly — the zero-machinery
+    // floor query included — and every ABSOLUTE band absorbed it silently,
+    // so a slow host could mask a near-band-edge regression and a fast one
+    // could hide superlinearity. Each headline entry is normalized by the
+    // SAME-RUN baseline_raw_spark (denominator floored at its recorded
+    // quiet constant, the ask-#3 pattern — a lucky-fast floor deflates x,
+    // never inflates it): uniform host drift cancels and a breach means
+    // the PLAN changed. Bands seeded from the r15 closing ratios (drift
+    // cancels in the quotient, so those ARE the quiet ratios) with
+    // ~35-40% headroom for the short-floor quantization noise.
+    val FloorQuietSeconds = 0.47 // baseline_raw_spark quiet floor (BENCH_NOTES r14)
+    val floorNormBands: Seq[(String, Double)] = Seq(
+      ("pipeline_write_compact_read", 5.2), // r15 x=3.80
+      ("mor_balanced_read", 6.5),           // 4.77
+      ("mor_read_scala", 3.6),              // 2.62
+      ("t04_minhash_neardup", 5.0),         // 3.60
+      ("t40_curation_pipeline", 8.0),       // 5.90
+      ("t33_crosscorpus_join", 3.9),        // 2.81
+      ("zipper_read", 3.3),                 // 2.35
+      ("q03_join_topk", 2.6),               // 1.87
+      ("t50_ngram_jaccard", 2.3),           // 1.65
+      ("t34_bm25_topk", 2.6))               // 1.86
+    val floorNorm: Seq[(String, Double, Double, String)] =
+      results.get("baseline_raw_spark").toSeq.flatMap { fv =>
+        val d = math.max(fv, FloorQuietSeconds)
+        floorNormBands.flatMap { case (k, band) =>
+          results.get(k).map { v =>
+            val x = v / d
+            (k, x, band, if (x <= band) "in" else "over")
+          }
+        }
+      }
+    val floorNormJson =
+      if (floorNorm.isEmpty) ""
+      else floorNorm.map { case (k, x, b, st) =>
+        f""""$k":{"x":$x%.2f,"band":$b%.2f,"status":"$st"}"""
+      }.mkString(""","floor_norm":{""", ",", "}")
+    val fnIn = floorNorm.count(_._4 == "in")
+    val fnOvers = floorNorm.collect { case (k, _, _, "over") => k }
     def lineOf(runsJson: String, evJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$bandJson$ratioJson$scaleJson$runsJson$evJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson$planJson$bandJson$ratioJson$scaleJson$floorNormJson$runsJson$evJson,"sf":"$sfDir"}"""
     // Driver-parseable final line (round-14, verdict ask #1): the driver's
     // artifact capture keeps only the last ~2 KB of stdout, so the full
     // line (queries + bands + band_status + runs + evidence, 5-8 KB)
@@ -1288,8 +1328,14 @@ object Bench {
       }
       if (rs.isEmpty) "" else rs.mkString(""","scale_ratios":{""", ",", "}")
     }
+    // terse floor-norm verdict for the compact line (full objects ride in
+    // target/bench.json): "10/10 in" or "9/10 in; over: t04_minhash…"
+    val floorNormCompact =
+      if (floorNorm.isEmpty) ""
+      else s""","floor_norm_summary":"$fnIn/${floorNorm.size} in""" +
+        (if (fnOvers.isEmpty) "\"" else fnOvers.mkString("; over: ", ",", "\""))
     def compactOf(qjson: String): String =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qjson$errJsonCompact$bandJson2$ratioJsonCompact$scaleJsonCompact,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qjson$errJsonCompact$bandJson2$ratioJsonCompact$scaleJsonCompact$floorNormCompact,"sf":"$sfDir"}"""
     val compact = {
       val full = compactOf(qsCompact)
       // Degrade rather than overflow: if future entries push the summary

@@ -545,6 +545,21 @@ final class Metastore(val root: Path,
     System.currentTimeMillis() >=
       (e + FreezeLagEpochs) * SuccessEpochMillis + FreezeMarginMillis
 
+  /** Frozen-epoch-dir backlog above which a refresh folds the success log
+    * opportunistically. The janitor's checkpoint fold normally bounds the
+    * dir fan-out, but a catalog whose janitor NEVER runs accumulates one
+    * epoch dir per day forever — and while frozen dirs are never
+    * re-listed, the root listing still walks past every one of them each
+    * un-tokened refresh. The fold is crash- and concurrency-safe
+    * (put-if-absent checkpoint, delete-only-what-it-covers), so running
+    * it from the read path is sound; failures (e.g. a read-only
+    * deployment) are swallowed and retried no sooner than
+    * [[AutoFoldMinIntervalMillis]], leaving only the bounded-per-day
+    * listing cost. */
+  @volatile private[graft] var AutoFoldEpochDirs: Int = 16
+  @volatile private[graft] var AutoFoldMinIntervalMillis: Long = 10L * 60 * 1000
+  @volatile private var lastAutoFold: Long = 0L
+
   private[txn] def epochOf(txnId: String): Option[Long] = {
     val p = txnId.take(20)
     if (p.length == 20 && p.forall(_.isDigit)) Some(p.toLong / SuccessEpochMillis)
@@ -729,6 +744,15 @@ final class Metastore(val root: Path,
     tokenState =
       if (newTokens.forall(_._2.isDefined)) newTokens.map { case (d, t) => (d, t.get) }.toSeq
       else Nil // object store: no token, every refresh re-lists (bounded)
+    // Opportunistic fold for janitor-less catalogs (see [[AutoFoldEpochDirs]]):
+    // bounds the root-listing fan-out at O(threshold) epoch dirs. Runs
+    // AFTER the cache is consistent; the fold's resync makes the next
+    // refresh a (bounded) checkpoint + tail pass.
+    if (epochDirs.count { case (e, _) => epochFrozen(e) } >= AutoFoldEpochDirs &&
+        System.currentTimeMillis() - lastAutoFold > AutoFoldMinIntervalMillis) {
+      lastAutoFold = System.currentTimeMillis()
+      try checkpointSuccessLog() catch { case _: Exception => () } // read-only: keep listing
+    }
   }
 
   def isTxnSuccessful(txnId: String): Boolean = successfulTxns().contains(txnId)

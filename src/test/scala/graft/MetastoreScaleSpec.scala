@@ -316,6 +316,38 @@ class MetastoreScaleSpec extends AnyFunSuite {
       "record published into a margin-window epoch after a reader refresh stayed invisible")
   }
 
+  test("janitor-less catalogs fold the epoch-dir backlog on refresh") {
+    val ms = new Metastore(tmp("graft-msautofold"))
+    ms.SuccessEpochMillis = 1000L
+    ms.FreezeMarginMillis = 0L
+    ms.AutoFoldEpochDirs = 8
+    ms.AutoFoldMinIntervalMillis = 0L
+    val now = System.currentTimeMillis()
+    // 30 frozen epochs, one record each — and the janitor NEVER runs; the
+    // root listing must not walk one dir per day forever
+    val ids = (10 until 40).map(k =>
+      plant(ms, now - k.toLong * 1000L, flat = false, f"af$k%06d"))
+    assert(ids.forall(ms.successfulTxns().contains))
+    ms.invalidateTxnCache()
+    val m = ms.successfulTxns()
+    assert(ids.forall(m.contains), "auto-fold lost records")
+    def rootNames: Seq[String] = {
+      val s = Files.list(ms.successDir)
+      try {
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        val it = s.iterator(); while (it.hasNext) b += it.next().getFileName.toString
+        b.toSeq
+      } finally s.close()
+    }
+    val epochDirs = rootNames.count(n => n.startsWith("e") && n.drop(1).forall(_.isDigit))
+    assert(epochDirs < 8, s"refresh left $epochDirs frozen epoch dirs un-folded")
+    assert(rootNames.exists(_.startsWith("_ckpt_")), "no checkpoint written by auto-fold")
+    // a cold instance serves everything from the fold
+    val cold = new Metastore(ms.root)
+    cold.SuccessEpochMillis = 1000L
+    assert(ids.forall(cold.successfulTxns().contains))
+  }
+
   test("MVCC conflict/visibility semantics unchanged: rapid seal-read interleave") {
     // the old dir-mtime cache caught cross-txn freshness; the token+diff
     // refresh must too — every committed txn visible immediately, every

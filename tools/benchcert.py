@@ -92,10 +92,22 @@ def main() -> int:
         print(f"  scale-ratio {name}: {r.get('x')}x (band {r.get('band')}{fl}) [{st}]")
         if st == "over":
             scale_overs.append(name)
+    # round-16: floor-normalized per-entry bands (entry / same-run raw-
+    # Spark floor, denominator floored at its quiet constant) — uniform
+    # host drift cancels in the quotient, so an "over" here is a PLAN
+    # change even when every absolute band moved with the host. Motivating
+    # case: the r15 closing artifacts drifted +5.7% uniformly (floor
+    # included) and the absolute bands absorbed it silently.
+    fn_overs = []
+    for name, r in d.get("floor_norm", {}).items():
+        st = r.get("status", "?")
+        print(f"  floor-norm {name}: {r.get('x')}x (band {r.get('band')}) [{st}]")
+        if st == "over":
+            fn_overs.append(name)
     if d.get("errors"):
         print(f"  errors: {sorted(d['errors'])}")
         return 1
-    return 0 if not overs and not scale_overs else 1
+    return 0 if not overs and not scale_overs and not fn_overs else 1
 
 
 if __name__ == "__main__":
