@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.catalog.GraftCatalog
@@ -20,6 +20,9 @@ import graft.catalog.GraftCatalog
  *   CALL g.system.analyze(`table` => 'ns.t')     -- stats backfill
  *   CALL g.system.zorder(`table` => 'ns.t', columns => 'x,y')
  *   CALL g.system.janitor([timeout_ms => …])     -- fail+sweep stale txns
+ *   CALL g.system.trim_history(`table` => 'ns.t' [, retention_ms => …])
+ *   CALL g.system.vacuum(`table` => 'ns.t' [, dry_run => true]
+ *                        [, min_age_ms => …])   -- reclaim forfeited files
  *
  * Each returns one summary row. Maintenance operations deliberately run
  * through the same public catalog APIs the programmatic surface uses.
@@ -27,7 +30,9 @@ import graft.catalog.GraftCatalog
 object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
-  val Names: Seq[String] = Seq("compact", "analyze", "zorder", "janitor", "estimate")
+  val Names: Seq[String] =
+    Seq("compact", "analyze", "zorder", "janitor", "estimate",
+      "trim_history", "vacuum")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] =
     if (!ident.namespace().sameElements(Namespace)) None
@@ -51,6 +56,8 @@ object GraftProcedures {
       case "zorder" => "set compaction.zorder and recluster the table"
       case "janitor" => "fail timed-out transactions and sweep their staged files"
       case "estimate" => "estimate the in-memory resources to process a table (manifest metadata only)"
+      case "trim_history" => "delete folded pre-watermark metafiles once the base outlives retention"
+      case "vacuum" => "reclaim data files forfeited by trim_history (straggler-margin gated; dry_run previews)"
     }
     override def bind(inputType: StructType): BoundProcedure =
       new GraftBoundProcedure(root, proc)
@@ -69,6 +76,12 @@ object GraftProcedures {
       case "janitor" => Array(
         inDefault("timeout_ms", LongType, (24L * 3600 * 1000).toString))
       case "estimate" => Array(in("table", StringType))
+      case "trim_history" => Array(in("table", StringType),
+        inDefault("retention_ms", LongType, (7L * 24 * 3600 * 1000).toString))
+      case "vacuum" => Array(in("table", StringType),
+        inDefault("dry_run", BooleanType, "false"),
+        // -1 = resolve from the vacuum.min.age.millis property / default
+        inDefault("min_age_ms", LongType, "-1"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -97,6 +110,17 @@ object GraftProcedures {
           val e = cat.estimateResources(t)
           s"$t: ~${e.memoryBytes.toLong} bytes in memory / ${e.onDiskBytes} on disk, " +
             s"${e.records} rows in ${e.files} file(s) via ${e.methodsUsed.keys.mkString("+")}"
+        case "trim_history" =>
+          val t = input.getUTF8String(0).toString
+          val n = cat.trimHistory(t, input.getLong(1))
+          s"trimmed $n metafile(s) of $t"
+        case "vacuum" =>
+          val t = input.getUTF8String(0).toString
+          val dry = input.getBoolean(1)
+          val age = input.getLong(2) match { case -1L => None; case v => Some(v) }
+          val n = cat.vacuumTable(t, dryRun = dry, minAgeMillis = age)
+          if (dry) s"vacuum would reclaim $n file(s) of $t"
+          else s"vacuum reclaimed $n file(s) of $t"
       }
       java.util.Collections.singletonList[Scan](new MessageScan(msg)).iterator()
     }

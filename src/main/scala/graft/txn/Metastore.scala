@@ -751,7 +751,10 @@ final class Metastore(val root: Path,
     if (epochDirs.count { case (e, _) => epochFrozen(e) } >= AutoFoldEpochDirs &&
         System.currentTimeMillis() - lastAutoFold > AutoFoldMinIntervalMillis) {
       lastAutoFold = System.currentTimeMillis()
-      try checkpointSuccessLog() catch { case _: Exception => () } // read-only: keep listing
+      // SHARD mode: a read must never stall behind the cumulative
+      // checkpoint rewrite (~50 s at 10^6 commits) — the janitor merges
+      try checkpointSuccessLog(compact = false)
+      catch { case _: Exception => () } // read-only: keep listing
     }
   }
 
@@ -908,20 +911,67 @@ final class Metastore(val root: Path,
     * crash between steps leaves only duplication the loader tolerates
     * (map union of identical records). Superseded checkpoints are retired
     * only after the new one exists. Returns #records newly folded. */
-  def checkpointSuccessLog(): Int = synchronized {
+  /** `compact = true` (the janitor): fold candidates AND merge every
+    * checkpoint shard into one, retiring covered shards — the full
+    * rewrite costs ~65 µs/record (BENCH_NOTES r16: 50 s at 10^6), which a
+    * daily janitor can afford. `compact = false` (the refresh-path
+    * auto-fold): write ONLY the fresh candidates as a NEW shard and let
+    * the union loader serve the set — bounded by O(candidates), so a
+    * READ never stalls behind a cumulative rewrite; the next janitor
+    * merges the shards. Both modes preserve the no-loss invariants:
+    * put-if-absent shards, delete-only-what-is-covered, subset-guarded
+    * retirement, union loader. */
+  def checkpointSuccessLog(compact: Boolean = true): Int = synchronized {
     val (flatNames, epochDirs, ckpts) = successRootListing()
-    val prev = loadCheckpoints(ckpts)
     val frozenDirs = epochDirs.filter { case (e, _) => epochFrozen(e) }
     val candFiles = scala.collection.mutable.ArrayBuffer[Path]()
     frozenDirs.foreach { case (_, d) => candFiles ++= listFiles(d) }
     flatNames.foreach { id =>
       if (epochOf(id).exists(epochFrozen)) candFiles += successDir.resolve(s"$id.json")
     }
-    if (candFiles.isEmpty) return 0
+    // a compacting fold with multiple shards on disk still merges them
+    // even when no new candidate arrived (shards left by read-path folds)
+    if (candFiles.isEmpty && (!compact || ckpts.size <= 1)) return 0
     val cands = candFiles.flatMap(readRecord)
       .filter(r => !io.exists(failedDir.resolve(s"${r.txnId}.json")))
       .map(r => r.txnId -> r).toMap
-    if (cands.isEmpty) return 0
+    if (cands.isEmpty && (!compact || ckpts.size <= 1)) return 0
+    if (!compact) {
+      // SHARD fold: O(candidates) reads + one shard write. `known` ids are
+      // covered by SOME on-disk checkpoint forever (retirement is
+      // subset-guarded), so skipping them cannot lose records; writing a
+      // duplicate a stale `known` missed is harmless (union of identical
+      // records) and the janitor's merge dedups it.
+      val known = ckptIds
+      val fresh = cands.filter { case (id, _) => !known.contains(id) }
+      var written = Set.empty[String]
+      if (fresh.nonEmpty) {
+        var stamp = fresh.values.map(_.endTimeMillis).max
+        var t = successDir.resolve(f"_ckpt_$stamp%020d.json")
+        var settled = false
+        while (!settled) {
+          if (commitStore.putIfAbsent(t,
+              Json.write(fresh.values.toArray).getBytes(StandardCharsets.UTF_8))) {
+            written = fresh.keySet; settled = true
+          } else {
+            val existing = readCheckpoint(t).map(_.keySet).getOrElse(Set.empty)
+            if (fresh.keySet.subsetOf(existing)) { written = fresh.keySet; settled = true }
+            else { stamp += 1; t = successDir.resolve(f"_ckpt_$stamp%020d.json") }
+          }
+        }
+      }
+      val covered = known ++ written
+      var foldedNew = 0
+      candFiles.foreach { p =>
+        val id = p.getFileName.toString.stripSuffix(".json")
+        if (covered.contains(id) && io.delete(p) && !known.contains(id)) foldedNew += 1
+      }
+      frozenDirs.foreach { case (_, d) => io.deleteDirIfEmpty(d) }
+      ckptIds = ckptIds ++ written
+      resyncTxnCache()
+      return foldedNew
+    }
+    val prev = loadCheckpoints(ckpts)
     // Name = max folded endTime — but a LATE-arriving record older than a
     // previous fold's max (a stale sealer's flat publish) would reproduce
     // an existing name and put-if-absent would refuse forever; bump the

@@ -316,6 +316,44 @@ class MetastoreScaleSpec extends AnyFunSuite {
       "record published into a margin-window epoch after a reader refresh stayed invisible")
   }
 
+  test("shard folds are O(candidates); the janitor merge dedups and retires them") {
+    val ms = new Metastore(tmp("graft-msshard"))
+    val now = System.currentTimeMillis()
+    def rootCkpts: Seq[String] = {
+      val s = Files.list(ms.successDir)
+      try {
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        val it = s.iterator(); while (it.hasNext) b += it.next().getFileName.toString
+        b.filter(_.startsWith("_ckpt_")).sorted.toSeq
+      } finally s.close()
+    }
+    val batch1 = (1 to 20).map(i =>
+      plant(ms, now - 5 * ms.SuccessEpochMillis + i, flat = true, f"shrda$i%03d"))
+    ms.invalidateTxnCache()
+    assert(ms.successfulTxns().size == 20) // populates ckptIds via refresh
+    assert(ms.checkpointSuccessLog(compact = false) == 20)
+    assert(rootCkpts.size == 1)
+    // a second batch folds into a SECOND shard — the first is not rewritten
+    val before = rootCkpts
+    val batch2 = (1 to 20).map(i =>
+      plant(ms, now - 6 * ms.SuccessEpochMillis + i, flat = true, f"shrdb$i%03d"))
+    ms.invalidateTxnCache()
+    ms.successfulTxns()
+    assert(ms.checkpointSuccessLog(compact = false) == 20)
+    val two = rootCkpts
+    assert(two.size == 2 && two.contains(before.head),
+      s"shard fold rewrote the existing checkpoint: $before -> $two")
+    // everything visible cold through the shard union
+    val cold = new Metastore(ms.root)
+    val m = cold.successfulTxns()
+    assert((batch1 ++ batch2).forall(m.contains))
+    // the janitor's compacting fold merges the shards into one, no loss
+    assert(ms.checkpointSuccessLog() == 0) // nothing NEW folded, shards merged
+    assert(rootCkpts.size == 1, s"compacting fold left ${rootCkpts.size} shards")
+    val cold2 = new Metastore(ms.root)
+    assert((batch1 ++ batch2).forall(cold2.successfulTxns().contains))
+  }
+
   test("janitor-less catalogs fold the epoch-dir backlog on refresh") {
     val ms = new Metastore(tmp("graft-msautofold"))
     ms.SuccessEpochMillis = 1000L

@@ -38,6 +38,39 @@ class ProcedureSpec extends SparkSpec {
       e.head.getString(0).contains("content_type_meta"), e.head.getString(0))
   }
 
+  test("CALL system.trim_history and system.vacuum run the retention cycle through SQL") {
+    val (cn, cat) = registered("v")
+    cat.createTable("q.v", StructType(Seq(
+      FieldMeta.field("id", LongType, nullable = false, mergeKey = true),
+      FieldMeta.field("v", LongType))),
+      properties = Map("read_optimization" -> "NONE"))
+    cat.writeToTable(spark.range(0, 2000).select(col("id"), (col("id") * 2).as("v")),
+      "q.v", WriteMode.Merge)
+    cat.compact("q.v")
+    cat.writeToTable(spark.range(0, 2000).where(col("id") % 2 === 0)
+      .select(col("id"), lit(0L).as("v")), "q.v", WriteMode.Merge)
+    cat.compact("q.v")
+    Thread.sleep(20)
+    val t = spark.sql(s"CALL $cn.system.trim_history(`table` => 'q.v', retention_ms => 0)")
+      .collect().head.getString(0)
+    assert(t.matches("trimmed \\d+ metafile\\(s\\) of q.v") && !t.startsWith("trimmed 0"), t)
+    // default margin: reclaim gated right after the trim
+    val gated = spark.sql(s"CALL $cn.system.vacuum(`table` => 'q.v')")
+      .collect().head.getString(0)
+    assert(gated == "vacuum reclaimed 0 file(s) of q.v", gated)
+    // dry run previews without deleting; the real call matches the preview
+    val dry = spark.sql(
+      s"CALL $cn.system.vacuum(`table` => 'q.v', dry_run => true, min_age_ms => 0)")
+      .collect().head.getString(0)
+    val n = dry.stripPrefix("vacuum would reclaim ").takeWhile(_.isDigit).toLong
+    assert(n >= 1, dry)
+    val real = spark.sql(
+      s"CALL $cn.system.vacuum(`table` => 'q.v', min_age_ms => 0)")
+      .collect().head.getString(0)
+    assert(real == s"vacuum reclaimed $n file(s) of q.v", real)
+    assert(cat.readTable("q.v").count() == 2000)
+  }
+
   test("CALL system.zorder reclusters; SHOW PROCEDURES lists them") {
     val (cn, cat) = registered("b")
     cat.createTable("q.g", StructType(Seq(
