@@ -1043,16 +1043,23 @@ final class Metastore(val root: Path,
     // Paused txns are just as abandonable as running ones.
     val paused = listFiles(pausedDir)
     (listFiles(runningDir) ++ paused).foreach { p =>
-      val rec = Json.read(new String(io.readBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
-      // last activity = heartbeat (record mtime) or start, whichever is
-      // newer: heartbeating writers stay alive past the timeout; the move
-      // is the FENCE — a concurrently-sealing writer that claims the
-      // record first wins, and a fenced one loses its later seal
-      val lastActivity = math.max(rec.startTimeMillis, io.mtime(p))
-      if (now - lastActivity > timeoutMillis) {
-        // claim-move: losing to a concurrent sealer (or another janitor)
-        // is fine — exactly one outcome survives either way
-        if (commitStore.claim(p, failedDir.resolve(p.getFileName))) failed += 1
+      try {
+        val rec = Json.read(new String(io.readBytes(p), StandardCharsets.UTF_8), classOf[TxnRecord])
+        // last activity = heartbeat (record mtime) or start, whichever is
+        // newer: heartbeating writers stay alive past the timeout; the move
+        // is the FENCE — a concurrently-sealing writer that claims the
+        // record first wins, and a fenced one loses its later seal
+        val lastActivity = math.max(rec.startTimeMillis, io.mtime(p))
+        if (now - lastActivity > timeoutMillis) {
+          // claim-move: losing to a concurrent sealer (or another janitor)
+          // is fine — exactly one outcome survives either way
+          if (commitStore.claim(p, failedDir.resolve(p.getFileName))) failed += 1
+        }
+      } catch {
+        // the record vanished between the listing and the read: the txn
+        // sealed, aborted, or was fenced by a racer — terminal either
+        // way, nothing left to fence (found by the fold-torture leg)
+        case _: java.io.IOException => ()
       }
     }
     // Crash debris in the publish protocol itself. (a) A sealer that died

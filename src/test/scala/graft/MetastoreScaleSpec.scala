@@ -386,6 +386,59 @@ class MetastoreScaleSpec extends AnyFunSuite {
     assert(ids.forall(cold.successfulTxns().contains))
   }
 
+  test("fold torture: concurrent shard/compacting folds + seals + janitors lose nothing") {
+    // the r15 ADVICE high: two processes folding concurrently could
+    // permanently lose committed records (stale candidate listing + name
+    // bump without merging the racer's content). Hammer the fold from
+    // four threads over TWO Metastore instances — planting aged records,
+    // sealing fresh txns, folding in both modes, running janitors — and
+    // require every non-demoted id visible from a cold instance.
+    val root = tmp("graft-msfoldtorture")
+    val ms1 = new Metastore(root)
+    val ms2 = new Metastore(root)
+    val now = System.currentTimeMillis()
+    val planted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val sealedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val rnd = new java.util.Random(42)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = (0 until 4).map { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val ms = if (t % 2 == 0) ms1 else ms2
+          (0 until 40).foreach { i =>
+            (t + i) % 4 match {
+              case 0 =>
+                val id = plant(ms, now - (5 + rnd.nextInt(20)) * ms.SuccessEpochMillis
+                  + t * 100000 + i, flat = rnd.nextBoolean(), f"tor$t%d_$i%03d")
+                planted.add(id)
+              case 1 =>
+                val tx = ms.newTransaction(s"tor$t-$i"); tx.seal()
+                sealedIds.add(tx.txnId)
+              case 2 =>
+                ms.invalidateTxnCache()
+                ms.checkpointSuccessLog(compact = rnd.nextBoolean())
+              case 3 =>
+                if (i % 8 == 3) ms.janitor(timeoutMillis = 3600L * 1000)
+                else ms.successfulTxns()
+            }
+          }
+        }
+      })
+    }
+    tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // one more fold pass from each instance (the advice scenario: folds
+    // racing each other's deletions)
+    ms1.checkpointSuccessLog()
+    ms2.checkpointSuccessLog()
+    val cold = new Metastore(root)
+    val m = cold.successfulTxns()
+    val missing = (planted.toArray(Array.empty[String]) ++
+      sealedIds.toArray(Array.empty[String])).filterNot(m.contains)
+    assert(missing.isEmpty,
+      s"fold torture lost ${missing.length} committed record(s): ${missing.take(5).mkString(",")}")
+  }
+
   test("MVCC conflict/visibility semantics unchanged: rapid seal-read interleave") {
     // the old dir-mtime cache caught cross-txn freshness; the token+diff
     // refresh must too — every committed txn visible immediately, every
