@@ -1379,12 +1379,20 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val tx = store.newTransaction(s"trim history $t up to $w")
     try {
       val m = getTableMeta(table)
+      val nowMs = System.currentTimeMillis()
+      // the trim LOG (last 8 stamp:watermark pairs) lets vacuum reclaim
+      // under horizons already older than the straggler margin even while
+      // fresh trims keep re-stamping the latest clock — without it a
+      // busy table's every-cycle trims would gate auto-vacuum forever
+      val log = (m.properties.get("history.trim.log").toSeq
+        .flatMap(_.split(",").toSeq) :+ s"$nowMs:$w").takeRight(8).mkString(",")
       stageTableMeta(tx, t, m.copy(properties = m.properties ++ Map(
         "history.trim.horizon.millis" -> baseEnd.toString,
         "history.trim.upto.position" -> w.toString,
         // vacuum's straggler-margin clock starts at the trim COMMIT, not
         // the (older) base endTime the horizon records
-        "history.trim.committed.millis" -> System.currentTimeMillis().toString)))
+        "history.trim.committed.millis" -> nowMs.toString,
+        "history.trim.log" -> log)))
       tx.seal()
     } catch { case e: Throwable => tx.abort(); throw e }
     var n = 0
@@ -1443,13 +1451,31 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     val minAge = minAgeMillis
       .orElse(meta.properties.get("vacuum.min.age.millis").flatMap(_.toLongOption))
       .getOrElse(GraftCatalog.DefaultVacuumMinAgeMillis)
-    // straggler margin: clock from the trim COMMIT stamp; legacy trims
-    // (pre-stamp) fall back to the base endTime, which is strictly older
-    val committed = meta.properties.get("history.trim.committed.millis")
-      .flatMap(_.toLongOption)
-      .orElse(meta.properties.get("history.trim.horizon.millis").flatMap(_.toLongOption))
-      .getOrElse(return)
-    if (System.currentTimeMillis() - committed < minAge) return
+    val nowMs = System.currentTimeMillis()
+    // Straggler margin over the trim LOG: reclaim under the newest horizon
+    // whose trim committed at least minAge ago. Gating on the LATEST stamp
+    // alone would let every-cycle trims re-stamp the clock and defer files
+    // forfeited N trims ago forever (r16 review finding); a horizon older
+    // than the margin is safe by construction — any query planned against
+    // its window has drained.
+    val agedW: Option[Long] = meta.properties.get("history.trim.log").toSeq
+      .flatMap(_.split(",").toSeq).flatMap { e =>
+        val i = e.indexOf(':')
+        if (i <= 0) None
+        else for (a <- e.take(i).toLongOption; b <- e.drop(i + 1).toLongOption)
+          yield (a, b)
+      }.filter { case (ts, _) => nowMs - ts >= minAge }
+      .map(_._2).maxOption
+    val wEff: Long = agedW.getOrElse {
+      // legacy single-stamp tables (pre-log trims): clock from the commit
+      // stamp, falling back to the (strictly older) base endTime
+      val committed = meta.properties.get("history.trim.committed.millis")
+        .flatMap(_.toLongOption)
+        .orElse(meta.properties.get("history.trim.horizon.millis").flatMap(_.toLongOption))
+        .getOrElse(return)
+      if (nowMs - committed < minAge) return
+      w
+    }
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
     val (pairs, streamed) = effectiveDeltasForMaintenance(t)
     val referenced = scala.collection.mutable.HashSet[String]()
@@ -1463,7 +1489,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       val n = dir.getFileName.toString
       val rev = if (n.startsWith("d") && n.contains("__"))
         n.stripPrefix("d").takeWhile(_.isDigit) else ""
-      if (rev.nonEmpty && rev.toLong <= w && io.isDirectory(dir)) {
+      if (rev.nonEmpty && rev.toLong <= wEff && io.isDirectory(dir)) {
         val all = scala.collection.mutable.ArrayBuffer[Path]()
         io.walk(dir)(all += _)
         // deepest-first: unreferenced files go, then dirs that emptied out
@@ -1714,7 +1740,12 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       .filter(_._1 > afterPosition)
       .flatMap { case (_, p) =>
         try Some(Json.read(new String(io.readBytes(p), "UTF-8"), classOf[DeltaMeta]))
-        catch { case _: java.io.IOException => None } // concurrent trim
+        // vanished-after-listing ONLY — a corrupt committed metafile must
+        // fail LOUDLY, not silently drop its rows from the change feed
+        catch {
+          case _: java.nio.file.NoSuchFileException => None // concurrent trim
+          case _: java.io.FileNotFoundException => None
+        }
       }
   }
 
@@ -2231,12 +2262,16 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       // history; trimHistory stays the explicit API).
       p.get("history.retention.millis").flatMap(_.toLongOption)
         .foreach { ret =>
-          // vacuum only when the trim actually forfeited metafiles — the
-          // referenced-set stream is O(retained entries) and must not run
-          // on every compaction of a table with nothing to reclaim
-          // age-gated: right after this trim the vacuum reclaims nothing
-          // (straggler margin); a later auto-vacuum collects the files
-          if (trimHistory(table, ret) > 0) vacuumTable(table)
+          trimHistory(table, ret)
+          // Vacuum rides EVERY retention-enabled auto cycle, not only
+          // trim>0 cycles: a trim re-stamps the straggler-margin clock
+          // right before it, so vacuum-on-trim-only would be gated on
+          // every attempt and never reclaim anything automatically. On a
+          // no-trim cycle the margin has aged out and the files go; with
+          // no horizon yet vacuumCore returns immediately, and the
+          // referenced-set stream is O(retained entries) — bounded by the
+          // compaction work this ride-along already bought.
+          vacuumTable(table)
         }
       true
     } else false
@@ -2351,7 +2386,10 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
       // pre-watermark metafile; the active set is never trimmed, so
       // skipping is exact for every consumer of the full lineage
       try Some((rev, Json.read(new String(io.readBytes(p), "UTF-8"), classOf[DeltaMeta])))
-      catch { case _: java.io.IOException => None }
+      catch {
+        case _: java.nio.file.NoSuchFileException => None // concurrent trim
+        case _: java.io.FileNotFoundException => None
+      }
     }
 
   /** Test observability: metafiles PARSED by the most recent

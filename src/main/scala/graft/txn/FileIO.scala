@@ -23,7 +23,10 @@ import scala.collection.JavaConverters._
  *    prefix listings have no "directory not found".
  *  - [[touch]] refreshes an object's modification stamp; stores without a
  *    native set-mtime implement it as a full rewrite (read + put) and
- *    swallow a concurrently-vanished object.
+ *    swallow a concurrently-vanished object. A rewrite can resurrect a
+ *    lease a janitor concurrently claim-moved away — the commit protocol
+ *    tolerates that (seal re-checks the fence after winning its claim),
+ *    so impls need no stronger primitive here.
  *  - [[deleteDirIfEmpty]] is best-effort (virtual dirs vanish on their own).
  *
  * Serializable: Spark tasks (distributed manifest planning) capture the
@@ -126,33 +129,32 @@ object LocalFileIO extends FileIO {
  * cycle) run against the pair to certify the 100 TB-on-object-store path.
  */
 class ObjectStoreFileIO extends FileIO {
+  // puts/gets/deletes behave identically over the local backing —
+  // delegate, so a fix to the shared bodies can never diverge the two
+  // profiles; only mkdirs/touch/walk have genuinely different semantics
   override def listDir(dir: Path): Seq[Path] = LocalFileIO.listDir(dir)
-  override def readBytes(p: Path): Array[Byte] = Files.readAllBytes(p)
-  override def inputStream(p: Path): InputStream = Files.newInputStream(p)
-  override def write(p: Path, bytes: Array[Byte]): Unit = {
-    // a PUT: the key's "directories" spring into existence with it
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.write(p, bytes)
-  }
-  override def outputStream(p: Path): OutputStream = {
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.newOutputStream(p)
-  }
-  override def delete(p: Path): Boolean = Files.deleteIfExists(p)
-  override def deleteDirIfEmpty(p: Path): Unit =
-    try Files.delete(p) catch { case _: Exception => () }
-  override def exists(p: Path): Boolean = Files.exists(p)
-  override def isDirectory(p: Path): Boolean = Files.isDirectory(p)
-  override def isFile(p: Path): Boolean = Files.isRegularFile(p)
+  override def readBytes(p: Path): Array[Byte] = LocalFileIO.readBytes(p)
+  override def inputStream(p: Path): InputStream = LocalFileIO.inputStream(p)
+  override def write(p: Path, bytes: Array[Byte]): Unit = LocalFileIO.write(p, bytes)
+  override def outputStream(p: Path): OutputStream = LocalFileIO.outputStream(p)
+  override def delete(p: Path): Boolean = LocalFileIO.delete(p)
+  override def deleteDirIfEmpty(p: Path): Unit = LocalFileIO.deleteDirIfEmpty(p)
+  override def exists(p: Path): Boolean = LocalFileIO.exists(p)
+  override def isDirectory(p: Path): Boolean = LocalFileIO.isDirectory(p)
+  override def isFile(p: Path): Boolean = LocalFileIO.isFile(p)
+  override def size(p: Path): Long = LocalFileIO.size(p)
+  override def mtime(p: Path): Long = LocalFileIO.mtime(p)
   /** Virtual directories: creating one is meaningless. The no-op is the
     * point — any code path that RELIED on mkdirs (instead of put-implied
     * parents) fails loudly under this double and gets fixed. */
   override def mkdirs(p: Path): Unit = ()
-  override def size(p: Path): Long = Files.size(p)
-  override def mtime(p: Path): Long = Files.getLastModifiedTime(p).toMillis
   /** S3 has no set-mtime: a lease refresh is a full rewrite of the object
     * (read + put — content is immutable for lease records, so the rewrite
-    * is byte-identical and racers see either stamp, never a tear). */
+    * is byte-identical and racers see either stamp, never a tear).
+    * CAVEAT: a rewrite racing a janitor's claim-move can RESURRECT the
+    * lease after the move deleted it — the commit protocol closes that
+    * window itself (seal's post-claim fence re-check; the conditional-put
+    * store's lingering decision object), so touch stays simple here. */
   override def touch(p: Path, millis: Long): Unit =
     try {
       val bytes = Files.readAllBytes(p)

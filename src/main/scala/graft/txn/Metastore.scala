@@ -362,6 +362,20 @@ final class Transaction private[txn] (val store: Metastore, val txnId: String,
       throw new ConcurrentTxnConflict(
         s"txn $txnId was fenced before publish (janitor end-time fencing)")
     }
+    // Post-claim fence re-check: on stores where a lease touch is a full
+    // rewrite (object-store FileIO), a touch racing the janitor's fence
+    // can RESURRECT the running record after the claim-move completed —
+    // the claim we just won would then be on the resurrected ghost, and
+    // publishing would ack a commit whose staged files the janitor
+    // already swept (dual-terminal demotion erases it afterwards). A
+    // failed record at this point is monotonic proof of the fence: yield.
+    if (store.isTxnFailed(txnId)) {
+      store.io.delete(claimed)
+      staged.foreach(sw => store.io.delete(sw.dir.resolve(sw.fileName)))
+      sealed_ = true
+      throw new ConcurrentTxnConflict(
+        s"txn $txnId was fenced before publish (resurrected lease)")
+    }
     store.io.write(claimed, Json.write(rec).getBytes(StandardCharsets.UTF_8))
     // computed ONCE and reused by the self-demotion below: the publish rule
     // is wall-clock-dependent and must not pick a different path mid-seal
@@ -972,6 +986,10 @@ final class Metastore(val root: Path,
       return foldedNew
     }
     val prev = loadCheckpoints(ckpts)
+    // a racing fold may have merged AND retired every listed checkpoint
+    // between our root listing and the loads — with zero candidates too,
+    // there is nothing to fold (the racer's output covers it)
+    if (prev.isEmpty && cands.isEmpty) return 0
     // Name = max folded endTime — but a LATE-arriving record older than a
     // previous fold's max (a stale sealer's flat publish) would reproduce
     // an existing name and put-if-absent would refuse forever; bump the
@@ -1056,10 +1074,20 @@ final class Metastore(val root: Path,
           if (commitStore.claim(p, failedDir.resolve(p.getFileName))) failed += 1
         }
       } catch {
-        // the record vanished between the listing and the read: the txn
-        // sealed, aborted, or was fenced by a racer — terminal either
-        // way, nothing left to fence (found by the fold-torture leg)
-        case _: java.io.IOException => ()
+        // vanished between the listing and the read: the txn sealed,
+        // aborted, or was fenced by a racer — terminal either way,
+        // nothing left to fence (found by the fold-torture leg)
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.io.FileNotFoundException => ()
+        case _: java.io.IOException =>
+          // CORRUPT record (partial write from a crashed process on a
+          // non-atomic store): parse errors must not skip silently — the
+          // dead txn's claim markers and staged files would leak forever.
+          // Fence on file age alone; the claim-move is still the fence,
+          // so a racing live sealer keeps winning.
+          val idle = try now - io.mtime(p) catch { case _: Exception => -1L }
+          if (idle > timeoutMillis &&
+              commitStore.claim(p, failedDir.resolve(p.getFileName))) failed += 1
       }
     }
     // Crash debris in the publish protocol itself. (a) A sealer that died

@@ -147,6 +147,48 @@ class HistoryTrimSpec extends SparkSpec {
     assert(cat.readTable("h.g").agg(sum("v")).head().getDouble(0) == 8000 * 9.0)
   }
 
+  test("aged horizons reclaim past the margin even while fresh trims re-stamp the clock") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-agedvac"))
+    mkTable(cat, "h.m")
+    cat.writeToTable(spark.range(4000).select(col("id").as("k"),
+      (col("id") * 1.0).as("v")), "h.m", WriteMode.Merge)
+    cat.compact("h.m")
+    cat.writeToTable(spark.range(100).select(col("id").as("k"), lit(-1.0).as("v")),
+      "h.m", WriteMode.Merge)
+    cat.compact("h.m")
+    Thread.sleep(20)
+    assert(cat.trimHistory("h.m", retentionMillis = 0L) >= 2) // horizon 1, stamp t1
+    Thread.sleep(600)
+    cat.writeToTable(spark.range(100).select(col("id").as("k"), lit(-2.0).as("v")),
+      "h.m", WriteMode.Merge)
+    cat.compact("h.m")
+    Thread.sleep(20)
+    assert(cat.trimHistory("h.m", retentionMillis = 0L) >= 1) // horizon 2, FRESH stamp
+    // margin 400 ms: the latest stamp is fresh, but horizon 1 is aged —
+    // its forfeited generation must go (the pre-fix gate keyed on the
+    // latest stamp alone and would return 0 here forever on a busy table)
+    val n = cat.vacuumTable("h.m", minAgeMillis = Some(400L))
+    assert(n >= 1, "aged-horizon files stayed gated behind the fresh re-stamp")
+    // the generation forfeited by the FRESH trim is still margin-protected
+    assert(cat.vacuumTable("h.m", dryRun = true, minAgeMillis = Some(0L)) >= 1,
+      "fresh-horizon files were reclaimed inside the margin")
+    assert(cat.readTable("h.m").count() == 4000)
+  }
+
+  test("a corrupt committed metafile fails the change feed loudly, never silently drops rows") {
+    val cat = new GraftCatalog(spark, tmpDir("graft-corrupt"))
+    cat.writeToTable(spark.range(10).select(col("id").as("k"), (col("id") * 1.0).as("v")),
+      "h.x", WriteMode.Auto)
+    cat.writeToTable(spark.range(10, 20).select(col("id").as("k"), (col("id") * 1.0).as("v")),
+      "h.x", WriteMode.Append)
+    // corrupt the SECOND delta's metafile in place (a torn write)
+    val dir = cat.root.resolve("ns").resolve("h").resolve("x").resolve("deltas")
+    val victim = cat.store.visibleRevisionPaths(dir, None, None).maxBy(_._1)._2
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.write(victim, bytes.take(bytes.length / 2))
+    intercept[Exception] { cat.deltasAfter("h.x", -1L).size }
+  }
+
   test("history.retention.millis: the log self-bounds at write-triggered compaction") {
     val cat = new GraftCatalog(spark, tmpDir("graft-autotrim"))
     cat.createTable("h.a", StructType(Seq(

@@ -386,6 +386,33 @@ class MetastoreScaleSpec extends AnyFunSuite {
     assert(ids.forall(cold.successfulTxns().contains))
   }
 
+  test("seal re-checks the fence after winning its claim (resurrected-lease window)") {
+    // On stores where a lease touch is a full rewrite, a touch racing the
+    // janitor's fence can RESURRECT the running record after the
+    // claim-move — a sealer claiming the ghost must yield, not publish a
+    // commit the janitor already swept. The hook lands the fence exactly
+    // between seal's entry check and its publish transition.
+    val root = tmp("graft-msrescheck")
+    @volatile var fence: () => Unit = () => ()
+    val store = new ConditionalPutCommitStore {
+      override protected def afterDecisionHook(): Unit = {
+        val f = fence; fence = () => (); f()
+      }
+    }
+    val ms = new Metastore(root, store)
+    val dir = ms.root.resolve("tbl")
+    val t = ms.newTransaction("doomed")
+    t.stage(dir, 1L, "rev", """{"v":1}""", "write")
+    fence = () => Files.write(ms.failedDir.resolve(s"${t.txnId}.json"),
+      Json.write(TxnRecord(t.txnId, t.startTimeMillis, t.startTimeMillis, "fenced", Nil))
+        .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[graft.txn.ConcurrentTxnConflict] { t.seal() }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(!ms.isTxnSuccessful(t.txnId) && ms.isTxnFailed(t.txnId))
+    assert(ms.latestVisible(dir, None, None).isEmpty,
+      "a fenced txn's staged revision became visible")
+  }
+
   test("fold torture: concurrent shard/compacting folds + seals + janitors lose nothing") {
     // the r15 ADVICE high: two processes folding concurrently could
     // permanently lose committed records (stale candidate listing + name
