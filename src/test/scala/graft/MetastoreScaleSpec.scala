@@ -25,8 +25,18 @@ class MetastoreScaleSpec extends AnyFunSuite {
     val p =
       if (flat) ms.successDir.resolve(s"$id.json")
       else ms.successDir.resolve(s"e${ts / ms.SuccessEpochMillis}").resolve(s"$id.json")
-    Files.createDirectories(p.getParent)
-    Files.write(p, Json.write(rec).getBytes(StandardCharsets.UTF_8))
+    // retry: planting targets ANCIENT (frozen) epochs by design, and a
+    // concurrent fold may delete the just-created parent dir — a race the
+    // real engine never runs (publishers route near-frozen epochs flat);
+    // a record landing in a re-created frozen dir is still folded later
+    var done = false
+    while (!done) {
+      try {
+        Files.createDirectories(p.getParent)
+        Files.write(p, Json.write(rec).getBytes(StandardCharsets.UTF_8))
+        done = true
+      } catch { case _: java.nio.file.NoSuchFileException => () }
+    }
     id
   }
 
@@ -420,9 +430,15 @@ class MetastoreScaleSpec extends AnyFunSuite {
     // four threads over TWO Metastore instances — planting aged records,
     // sealing fresh txns, folding in both modes, running janitors — and
     // require every non-demoted id visible from a cold instance.
-    val root = tmp("graft-msfoldtorture")
-    val ms1 = new Metastore(root)
-    val ms2 = new Metastore(root)
+    // two profiles: local/rename and the full S3 pair
+    val profiles: Seq[(String, java.nio.file.Path => Metastore)] = Seq(
+      ("local", r => new Metastore(r)),
+      ("s3", r => new Metastore(r, new ConditionalPutCommitStore,
+        new graft.txn.ObjectStoreFileIO)))
+    profiles.foreach { case (profile, mk) =>
+    val root = tmp(s"graft-msfoldtorture-$profile")
+    val ms1 = mk(root)
+    val ms2 = mk(root)
     val now = System.currentTimeMillis()
     val planted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val sealedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -463,7 +479,10 @@ class MetastoreScaleSpec extends AnyFunSuite {
     val missing = (planted.toArray(Array.empty[String]) ++
       sealedIds.toArray(Array.empty[String])).filterNot(m.contains)
     assert(missing.isEmpty,
-      s"fold torture lost ${missing.length} committed record(s): ${missing.take(5).mkString(",")}")
+      s"[$profile] fold torture lost ${missing.length} committed record(s): " +
+        missing.take(5).mkString(","))
+    planted.clear(); sealedIds.clear()
+    }
   }
 
   test("MVCC conflict/visibility semantics unchanged: rapid seal-read interleave") {
