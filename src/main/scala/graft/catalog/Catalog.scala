@@ -1249,7 +1249,8 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           val synth = DeltaMeta(rev, DeltaType.Upsert.name, Nil, "", -1L,
             Map("written_columns" -> presentCols.mkString(",")))
           val resolved = MergeRead.applyPastDefaults(
-            MergeRead.resolve(scan, targetSchema, scheme, mergeKeys, Seq(synth)), targetSchema)
+            MergeRead.resolve(scan, targetSchema, scheme, mergeKeys, Seq(synth),
+              needFile = false), targetSchema)
             .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
           Compactor.materialize(this, t, rev, tx.txnId, resolved,
             targetSchema, scheme, sortSchemeOf(meta), contentTypeOf(meta), numBuckets, maxRec,

@@ -529,12 +529,15 @@ object Compactor {
               if (mergeKeys.isEmpty) scan
               else if (MergeRead.sparseEligible(spark, base, touchedBasePaths,
                   pending, pendingPaths))
+                // needFile=false: materialize projects the winner's File
+                // away, so the resolve need not buffer the path string
                 MergeRead.sparseMerge(spark, schema, scheme, mergeKeys, deltas,
-                  touchedBasePaths, pending, pendingPaths, ct)
+                  touchedBasePaths, pending, pendingPaths, ct, needFile = false)
               else MergeRead.partitionedWithCarveout(spark, schema, scheme,
                   mergeKeys, deltas, touchedBasePaths, pending, pendingPaths,
                   ct, layoutBuckets, hotSet, ReadOptions(), Nil)
-                .getOrElse(MergeRead.resolve(scan, schema, scheme, mergeKeys, active))
+                .getOrElse(MergeRead.resolve(scan, schema, scheme, mergeKeys,
+                  active, needFile = false))
             val resolved = MergeRead.applyPastDefaults(merged, schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,

@@ -202,7 +202,8 @@ object MergeRead {
         // than the bucket-level one, and touchedBuckets costs a full
         // scan+collect job of its own.
         sparseMerge(spark, schema, scheme, mergeKeys, deltas,
-          basePaths, pending, pendingPaths, contentType).select(normCols: _*)
+          basePaths, pending, pendingPaths, contentType,
+          needFile = opts.withFilePath).select(normCols: _*)
       } else (if (denseResolve) None
         else {
           // Detect from the base's resident entry set, NOT the
@@ -234,14 +235,16 @@ object MergeRead {
           val (untouched, touchedBase) =
             basePaths.partition(p => bucketOfPath(p).exists(b => !touched.contains(b)))
           val merged = resolveScan(spark, schema, scheme, mergeKeys, deltas,
-            touchedBase ++ pendingPaths, contentType).select(normCols: _*)
+            touchedBase ++ pendingPaths, contentType,
+            needFile = opts.withFilePath).select(normCols: _*)
           if (untouched.isEmpty) merged
           else scanWithLineage(spark, schema, deltas, untouched, contentType)
             .select(normCols: _*)
             .unionByName(merged)
         case _ =>
           resolveScan(spark, schema, scheme, mergeKeys, deltas,
-            basePaths ++ pendingPaths, contentType).select(normCols: _*)
+            basePaths ++ pendingPaths, contentType,
+            needFile = opts.withFilePath).select(normCols: _*)
         }
       }
     val out = applyPastDefaults(resolved, schema)
@@ -256,9 +259,9 @@ object MergeRead {
   private def resolveScan(
       spark: SparkSession, schema: StructType, scheme: PartitionScheme,
       mergeKeys: Seq[String], deltas: Seq[DeltaMeta], paths: Seq[String],
-      ct: ContentType): DataFrame =
+      ct: ContentType, needFile: Boolean = true): DataFrame =
     resolve(scanWithLineage(spark, schema, deltas, paths, ct),
-      schema, scheme, mergeKeys, referencedDeltas(deltas, paths))
+      schema, scheme, mergeKeys, referencedDeltas(deltas, paths), needFile)
 
   /**
    * The partitioned rung of the dense-band ladder WITH the hot-bucket
@@ -316,7 +319,7 @@ object MergeRead {
     if (coldBase.isEmpty) {
       if (hotSet.isEmpty || !pendingRows.exists(_ <= maxPendingRows)) return None
       val all = sparseMerge(spark, schema, scheme, mergeKeys, deltas,
-        basePaths, pending, pendingPaths, ct)
+        basePaths, pending, pendingPaths, ct, needFile = opts.withFilePath)
       lastSplitRegime = "partitioned_hotsplit"
       return Some(all.select(normCols: _*))
     }
@@ -334,14 +337,16 @@ object MergeRead {
             if (pendingRows.exists(_ <= maxPendingRows))
               sparseMerge(spark, schema, scheme, mergeKeys, deltas,
                 hotBase, pending, pendingPaths, ct,
-                onlyBuckets = hotSet, numBuckets = n)
+                onlyBuckets = hotSet, numBuckets = n,
+                needFile = opts.withFilePath)
             else {
               val bucketCol = pmod(hash(mergeKeys.map(col): _*), lit(n))
               val hotScan = scanWithLineage(spark, schema, deltas,
                 hotBase ++ pendingPaths, ct)
                 .where(bucketCol.isin(hotSet.toSeq: _*))
               resolve(hotScan, schema, scheme, mergeKeys,
-                referencedDeltas(deltas, hotBase ++ pendingPaths))
+                referencedDeltas(deltas, hotBase ++ pendingPaths),
+                needFile = opts.withFilePath)
             }
           lastSplitRegime = "partitioned_hotsplit"
           coldN.unionByName(hot.select(normCols: _*))
@@ -489,7 +494,11 @@ object MergeRead {
         * one side of the split. Empty = unrestricted (the classic sparse
         * trickle read). */
       onlyBuckets: Set[Int] = Set.empty,
-      numBuckets: Int = 0): DataFrame = {
+      numBuckets: Int = 0,
+      /** See [[resolve]]: false stops the contested resolve buffering the
+        * winner's file path. The PASS side always carries its real scan
+        * File either way. */
+      needFile: Boolean = true): DataFrame = {
     lastSplitRegime = "sparse"
     val inBuckets: DataFrame => DataFrame =
       if (onlyBuckets.isEmpty) identity
@@ -509,7 +518,8 @@ object MergeRead {
     val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
     pass.select(normCols: _*).unionByName(
       resolve(contested, schema, scheme, mergeKeys,
-        referencedDeltas(deltas, basePaths ++ pendingPaths)).select(normCols: _*))
+        referencedDeltas(deltas, basePaths ++ pendingPaths),
+        needFile).select(normCols: _*))
   }
 
   /** Guardrails for the storage-partitioned dense merge: pending must be
@@ -660,7 +670,11 @@ object MergeRead {
         val normCols = (schema.fieldNames.toSeq ++ Seq(Present, File)).map(col)
         pass.select(normCols: _*).unionByName(
           resolve(contested, schema, scheme, mergeKeys,
-            referencedDeltas(deltas, basePaths ++ pendingPaths)).select(normCols: _*))
+            referencedDeltas(deltas, basePaths ++ pendingPaths),
+            // partitionedEligible rejects withFilePath reads outright (the
+            // pass side's File is a sentinel), so the winner's path string
+            // is never consumed here
+            needFile = false).select(normCols: _*))
       }
   }
 
@@ -851,13 +865,26 @@ object MergeRead {
   private def assertNotNull(c: Column, msg: String): Column =
     when(c.isNull, raise_error(lit(msg))).otherwise(c)
 
-  /** The single-window LSM resolution described in the class doc. */
+  /** The single-window LSM resolution described in the class doc.
+    *
+    * `needFile` (round-16 buffer slimming): the output `File` column is
+    * consumed downstream ONLY by `withFilePath` reads — every other caller
+    * (zipper frames, compaction, bulk load, plain reads) projects it away.
+    * When false, the aggregate paths stop buffering the winner's path
+    * STRING per group (it still orders recency as an aggregate INPUT) and
+    * emit a sentinel instead. `Present` gets the same treatment computed
+    * statically from the schema: it is consumed only by
+    * [[applyPastDefaults]], so with no past_default field declared the
+    * aggregates stop buffering a per-row string ARRAY and emit the full
+    * field list. Output rows are identical in all consumed columns. */
   def resolve(
       scanIn: DataFrame,
       schema: StructType,
       scheme: PartitionScheme,
       mergeKeys: Seq[String],
-      lineage: Seq[DeltaMeta]): DataFrame = {
+      lineage: Seq[DeltaMeta],
+      needFile: Boolean = true): DataFrame = {
+    val needPresent = schema.fields.exists(f => FieldMeta.pastDefault(f).isDefined)
     // A small input often arrives as 1-3 file splits, serializing the
     // map side of the resolve aggregate (payload-struct building, partial
     // max_by) on a few cores while 30 idle. One cheap round-robin shuffle
@@ -908,15 +935,18 @@ object MergeRead {
       // each zipper side, one avoidable full-data exchange).
       val payload = struct(
         (schema.fieldNames.filterNot(mergeKeys.contains).map(col) ++
-          Seq(col(Dt), col(File), col(Present))).toIndexedSeq: _*)
+          Seq(col(Dt)) ++ (if (needFile) Seq(col(File)) else Nil) ++
+          (if (needPresent) Seq(col(Present)) else Nil)).toIndexedSeq: _*)
       val recencyKey = struct(col(EffPos), col(File), col(Row))
       scan.groupBy(winKeys: _*)
         .agg(max_by(payload, recencyKey).as("_g_w"))
         .where(col(s"_g_w.$Dt") =!= DeltaType.Delete.name)
         .select(schema.fieldNames.map { f =>
           if (mergeKeys.contains(f)) col(f) else col(s"_g_w.$f")
-        }.toIndexedSeq ++ Seq(col(s"_g_w.$Dt"), col(s"_g_w.$File"),
-          col(s"_g_w.$Present")): _*)
+        }.toIndexedSeq ++ Seq(col(s"_g_w.$Dt"),
+          if (needFile) col(s"_g_w.$File") else lit("").as(File),
+          if (needPresent) col(s"_g_w.$Present")
+          else typedLit(schema.fieldNames.toSeq).as(Present)): _*)
     } else if (allComplete) {
       val ranked = scan
         .withColumn("_g_rn", row_number().over(w))
@@ -959,15 +989,21 @@ object MergeRead {
         val contributes = live && array_contains(col(Present), f.name)
         max_by(col(f.name), when(contributes, recencyKey)).as(f.name)
       } ++ Seq(
-        max(when(live, 1).otherwise(0)).as("_g_live"),
-        max_by(col(File), when(live, recencyKey)).as(File),
-        max_by(col(Present), when(live, recencyKey)).as(Present),
+        max(when(live, 1).otherwise(0)).as("_g_live")) ++
+        (if (needFile) Seq(max_by(col(File), when(live, recencyKey)).as(File)) else Nil) ++
         // union of columns ever physically written for this key, so
-        // past-default backfill only fills truly never-written fields
-        flatten(collect_set(when(live, col(Present)))).as("_g_everp"))
-      val grouped = ranked.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
+        // past-default backfill only fills truly never-written fields.
+        // (The winner's own Present was previously max_by-buffered too and
+        // then overwritten by this union — dead buffering, removed.)
+        (if (needPresent)
+          Seq(flatten(collect_set(when(live, col(Present)))).as("_g_everp"))
+        else Nil)
+      val grouped0 = ranked.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
         .where(col("_g_live") === 1)
-        .withColumn(Present, array_distinct(col("_g_everp")))
+      val grouped = (if (needPresent)
+          grouped0.withColumn(Present, array_distinct(col("_g_everp")))
+        else grouped0.withColumn(Present, typedLit(schema.fieldNames.toSeq)))
+        .withColumn(File, if (needFile) col(File) else lit(""))
       grouped.select((mergeKeys.map(col) ++ dataCols.map(f => col(f.name)) ++
         Seq(col(File), col(Present))).toIndexedSeq: _*)
     }

@@ -418,7 +418,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rightSigs = signaturesOf(rightShingled, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    leftSigs.count(); rightSigs.count()
+    // ONE materializing action for both sides (round-16, guide §2.6): two
+    // sequential counts serialize the sides' shingle+signature builds —
+    // each job's straggler tail idles the cluster while the other side
+    // waits. A count over the union populates both persists in one job,
+    // so the sides' stages back-fill each other's tails.
+    // lit(1), not id: the two sides' id TYPES may legally differ and a
+    // union would reject what the old per-side counts accepted
+    leftSigs.select(lit(1).as("_c")).union(rightSigs.select(lit(1).as("_c"))).count()
     val leftBuckets = bucketsOf(leftSigs, bands, rowsPerBand)
     // cap the RIGHT (unbounded) side
     val rightBuckets = capBuckets(bucketsOf(rightSigs, bands, rowsPerBand), maxBucketWidth)

@@ -5,15 +5,37 @@ import org.apache.spark.sql.DataFrame
 /** Input-parallelism guard for map-heavy operators. */
 private[graft] object Par {
 
+  private val matCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Eagerly materialize a derived frame, cutting lineage: upstream caches
     * can be freed, self-joins don't recompute it, and nondeterministic
     * upstream stages (range-partitioner sampling, RNG) are frozen at their
     * first evaluation. Reliable checkpoint when spark.checkpoint.dir is set
     * (survives executor loss — required under dynamic allocation / spot
-    * nodes); localCheckpoint otherwise (single-JVM local mode, tests). */
-  def materialize(d: DataFrame): DataFrame =
-    if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
-    else d.localCheckpoint(true)
+    * nodes); localCheckpoint otherwise (single-JVM local mode, tests).
+    *
+    * Plan-evidence hook: with `graft.explain.dir` set, the EXECUTED plan of
+    * every materialized frame is dumped to that directory — eager operators
+    * return checkpoint-backed frames whose `explain` shows only the RDD
+    * scan, so this is the only way to capture what actually ran (the
+    * optimization rounds' before/after plan files). Zero cost when unset. */
+  def materialize(d: DataFrame): DataFrame = {
+    val out =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
+      else d.localCheckpoint(true)
+    // dumped AFTER the eager checkpoint so AQE has finalized: the file
+    // shows the join strategies/exchanges that actually executed
+    d.sparkSession.conf.getOption("graft.explain.dir").foreach { dir =>
+      try {
+        val n = matCounter.incrementAndGet()
+        val p = java.nio.file.Paths.get(dir, f"materialize_$n%03d.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, d.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch { case _: Exception => () } // evidence only; never fail the job
+    }
+    out
+  }
 
   /**
    * Widen a small input to the cluster's default parallelism before

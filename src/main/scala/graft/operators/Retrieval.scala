@@ -33,8 +33,19 @@ object Retrieval {
       docIdCol: String, docTextCol: String,
       queryIdCol: String, queryTextCol: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // ONE corpus tokenize pass (round-16 plan audit): the stats collect,
+    // the df aggregate and the scored join each re-ran the regexp tokenizer
+    // over the whole corpus (the physical plan carried the scan→tokenize→
+    // explode subtree twice, plus a third inferred-filter copy of the
+    // tokenizer pushed below the widening exchange — serial on the 1-2-task
+    // scan side). The token-array frame is persisted across the three
+    // consumers; the query-relevant tf frame (post-semi-join — metadata-
+    // sized: ≤ |query vocab| × docs rows) is persisted across its two.
+    // Output is eagerly materialized so both persists free immediately
+    // (the Dedup persist+materialize+unpersist discipline).
     val tk = Par.widen(docs).select(col(docIdCol).as("did"),
       TextOps.tokens(col(docTextCol)).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus stats: exact long sum ÷ count, the engine-portable mean
     val statsRow = tk.agg(count(lit(1)).as("n"),
       sum(size(col("tk"))).as("sumdl")).collect()(0)
@@ -50,6 +61,7 @@ object Retrieval {
     val qterms = qt.select("t").distinct()
     // keep only query-relevant corpus terms before ANY aggregation fan-in
     val tfq = tf.join(broadcast(qterms), Seq("t"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency per query term ((did, t) is unique ⇒ count = df)
     val dft = tfq.groupBy("t").agg(count(lit(1)).as("df"))
     val scored = tfq
@@ -61,11 +73,14 @@ object Retrieval {
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
       .groupBy("qid", "did").agg(sum(col("s")).as("raw"))
       .withColumn("score", round(col("raw"), 6))
-    scored
+    val res = graft.operators.Par.materialize(scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("did"))))
       .where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("did").as("doc_id"),
-        col("score"), col("rank"))
+        col("score"), col("rank")))
+    tfq.unpersist(blocking = false)
+    tk.unpersist(blocking = false)
+    res
   }
 }

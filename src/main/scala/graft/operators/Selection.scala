@@ -60,8 +60,14 @@ object Selection {
     * the bag-of-words language model both DSIR sides use. Distributed
     * aggregate to ≤ dim rows, then a driver-side array. */
   private def gramCounts(df: DataFrame, idCol: String, textCol: String,
-      dim: Int, maxGram: Int): Array[Long] = {
-    val counts = gramOccurrences(df, idCol, textCol, maxGram)
+      dim: Int, maxGram: Int): Array[Long] =
+    gramCountsFromRows(gramRows(df, idCol, textCol, maxGram), dim)
+
+  /** [[gramCounts]] over a PRE-BUILT (id, g) gram frame — lets a caller
+    * that must also SCORE the same corpus share one tokenize+gram pass
+    * (persisted) instead of re-running the regexp tokenizer per consumer. */
+  private def gramCountsFromRows(grams: DataFrame, dim: Int): Array[Long] = {
+    val counts = grams.where(col("g") =!= "")
       .select(TextOps.hashBucket(col("g"), dim).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect()
@@ -85,14 +91,27 @@ object Selection {
     // emptied target would otherwise degenerate every weight to an
     // inverse-raw-frequency score that SELECTS the junkiest documents
     require(tgt.sum > 0, "dsirWeights: target corpus has no grams")
-    val bg = gramCounts(raw, idCol, textCol, dim, maxGram)
+    // ONE tokenize+gram pass over `raw` (round-16): the raw-model count and
+    // the score pass consume the SAME (id, g) stream, but as separate
+    // actions Catalyst shares nothing — the regexp tokenizer and the gram
+    // transforms re-ran per pass (2× the corpus-sized work; the model pass
+    // additionally cannot start the score until its collect returns, so the
+    // repeat is pure serial wall time). Persist the gram stream across the
+    // two actions; the score output is tiny and eagerly materialized so the
+    // persist frees deterministically (Dedup's persist+materialize shape).
+    val rawGrams = gramRows(raw, idCol, textCol, maxGram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = gramCountsFromRows(rawGrams, dim)
     val tgtTot = tgt.sum.toDouble + dim
     val bgTot = bg.sum.toDouble + dim
     val logRatio: Array[Double] = Array.tabulate(dim)(b =>
       math.log((tgt(b) + 1) / tgtTot) - math.log((bg(b) + 1) / bgTot))
-    scoreByBucketWeight(raw, idCol, textCol, logRatio, maxGram)
-      .select(col("id").as(idCol),
-        round(coalesce(col("w_sum"), lit(0.0)), 6).as("log_weight"))
+    val res = Par.materialize(
+      scoreGramRows(rawGrams, logRatio)
+        .select(col("id").as(idCol),
+          round(coalesce(col("w_sum"), lit(0.0)), 6).as("log_weight")))
+    rawGrams.unpersist(blocking = false)
+    res
   }
 
   /** DSIR selection: keep the `k` raw documents with the highest
@@ -161,13 +180,23 @@ object Selection {
   private def bigramTriples(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Par.widen(df)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) >= 2)
-    toks.select(col("id"), explode(transform(sequence(lit(2), size(col("tk"))),
-        i => struct(
-          element_at(col("tk"), i - 1).as("p"),
-          element_at(col("tk"), i).as("c"),
-          concat_ws(" ", element_at(col("tk"), i - 1), element_at(col("tk"), i)).as("g"))))
+    // The < 2-token guard lives INSIDE the generated expression (when +
+    // explode_outer + drop-null-by-name), not as a `.where(size(tk) >= 2)`:
+    // the where-form collapses into the token projection and gets pushed
+    // BELOW the widening exchange as a filter that embeds the whole regexp
+    // tokenizer — the tokenizer then runs serially on the 1-2-task scan
+    // side and AGAIN in the projection above (observed in the t36 physical
+    // plan; same InferFiltersFromGenerate pitfall signaturesOf documents).
+    // A doc with < 2 tokens yields a null triple array → one null row from
+    // explode_outer → dropped by name, inferring nothing.
+    toks.select(col("id"), explode_outer(
+        when(size(col("tk")) >= 2, transform(sequence(lit(2), size(col("tk"))),
+          i => struct(
+            element_at(col("tk"), i - 1).as("p"),
+            element_at(col("tk"), i).as("c"),
+            concat_ws(" ", element_at(col("tk"), i - 1), element_at(col("tk"), i)).as("g")))))
         .as("t"))
+      .where(col("t").isNotNull)
       .select(col("id"), col("t.p").as("p"), col("t.c").as("c"), col("t.g").as("g"))
   }
 
@@ -271,10 +300,15 @@ object Selection {
     * emits at least the `""` row ([[gramRows]]), which scores a null
     * weight (excluded from both the sum and the count). */
   private def scoreByBucketWeight(df: DataFrame, idCol: String,
-      textCol: String, weights: Array[Double], maxGram: Int): DataFrame = {
+      textCol: String, weights: Array[Double], maxGram: Int): DataFrame =
+    scoreGramRows(gramRows(df, idCol, textCol, maxGram), weights)
+
+  /** [[scoreByBucketWeight]] over a PRE-BUILT (id, g) gram frame (shared
+    * tokenize pass — see dsirWeights). */
+  private def scoreGramRows(grams: DataFrame, weights: Array[Double]): DataFrame = {
     val dim = weights.length
     val wCol: Column = typedLit(weights)
-    gramRows(df, idCol, textCol, maxGram)
+    grams
       .select(col("id"),
         when(col("g") === "", lit(null).cast(DoubleType))
           .otherwise(element_at(wCol, TextOps.hashBucket(col("g"), dim) + 1)).as("w"))

@@ -411,16 +411,30 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "semanticNearDupPairs needs a trained codebook")
+    // The assigned frame is PERSISTED and materialized once (round-16 plan
+    // audit): the nearest-centroid assignment — an interpreted nlist-entry
+    // HOF per row — otherwise runs THREE times: once per self-join side,
+    // plus a third copy the optimizer infers as the join's isnotnull(cid)
+    // filter and pushes BELOW the widening exchange, serializing the full
+    // codebook scoring onto the 1-2-task scan side (observed in the t11
+    // physical plan). The persist computes it once, 32-way parallel; the
+    // self-join reads cached (id, vec, cid) rows. Same persist+materialize
+    // +unpersist discipline as minhashPairs' signatures.
     val rows = Par.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .where(col("vec").isNotNull)
       .withColumn("cid", nearestCid(col("vec"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
     val a = rows.as("a")
     val b = rows.as("b")
-    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .withColumn("cos", round(cosine(col("a.vec"), col("b.vec")), 9))
-      .where(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+    val res = Par.materialize(
+      a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+        .withColumn("cos", round(cosine(col("a.vec"), col("b.vec")), 9))
+        .where(col("cos") >= threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos")))
+    rows.unpersist(blocking = false)
+    res
   }
 
   /** Semantic dedup: drop every row that has a same-cluster neighbor at

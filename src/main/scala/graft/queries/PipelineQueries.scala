@@ -1067,7 +1067,12 @@ object PipelineQueries {
       val docs = tbl(s, dir, "documents")
       val bench = docs.where(col("doc_id") < 50)
       val corpus = docs.where(col("doc_id") >= 50)
+      // Persisted (round-16): dropExactDuplicates reads `ok` twice (the
+      // canonical-id aggregate AND the semi-join probe side), and the
+      // quality bucket is two regexp match-counts per row — without the
+      // persist that scan+regexp work ran twice per t40 invocation.
       val ok = corpus.where(TextOps.qualityBucket(col("text")) === "ok")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Materialize the deduped corpus ONCE: four consumers read it
       // (signature build, near-dup anti-join, contamination grams, final
       // projection) and Catalyst shares no subtrees across them — without
@@ -1075,6 +1080,7 @@ object PipelineQueries {
       // (a full shuffle) recomputes per consumer.
       val deduped = Par.materialize(
         Dedup.dropExactDuplicates(ok, "doc_id", "text"))
+      ok.unpersist(blocking = false)
       val pairs = Dedup.minhashPairs(deduped, "doc_id", "text",
         bands = 8, rowsPerBand = 8, threshold = 0.9, wordGrams = Some(2),
         maxBucketWidth = Some(64))

@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -36,13 +38,27 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("plan: no cross product; query side broadcasts; stable across partitionings") {
-    val queries = Seq((7L, "cat mat"), (8L, "physics")).toDF("qid", "qtext")
-    val out = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", "qid", "qtext", k = 3)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
-    assert(plan.contains("BroadcastHashJoin"), "query side must broadcast")
+    // bm25TopK is eagerly materialized since round 16 (one shared corpus
+    // tokenize pass behind a persist), so the returned frame's plan is the
+    // checkpoint scan — the EXECUTED internal plan is captured through the
+    // graft.explain.dir evidence hook instead.
+    val dir = java.nio.file.Files.createTempDirectory("bm25_plan")
+    spark.conf.set("graft.explain.dir", dir.toString)
+    val out =
+      try Retrieval.bm25TopK(corpus, queries = Seq((7L, "cat mat"), (8L, "physics"))
+        .toDF("qid", "qtext"), "doc_id", "text", "qid", "qtext", k = 3)
+      finally spark.conf.unset("graft.explain.dir")
+    val plans = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(java.nio.file.Files.readString(_)).mkString("\n")
+      finally s.close()
+    }
+    assert(plans.nonEmpty, "materialize must dump the executed plan under graft.explain.dir")
+    assert(!plans.contains("CartesianProduct") && !plans.contains("BroadcastNestedLoopJoin"))
+    assert(plans.contains("BroadcastHashJoin"), "query side must broadcast")
     val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    val b = Retrieval.bm25TopK(corpus.repartition(5), queries, "doc_id", "text", "qid", "qtext", k = 3)
+    val b = Retrieval.bm25TopK(corpus.repartition(5), Seq((7L, "cat mat"), (8L, "physics"))
+      .toDF("qid", "qtext"), "doc_id", "text", "qid", "qtext", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(a == b, "ranking must not depend on partitioning")
   }
