@@ -252,15 +252,42 @@ object Dedup {
       .select(col(aCol), col(bCol)))
   }
 
+  /** Attach each side's shingle-set array to MATERIALIZED candidate pairs
+    * without exchanging the corpus-sized set frames (round-16 plan audit):
+    * the static planner saw the checkpointed pair frame with unknown stats
+    * and planned SortMergeJoins — AQE converted them to broadcast joins at
+    * runtime, but the already-planned exchanges of the set frames still
+    * executed (measured 2 × 113 MB of t04_30x's 362 MB total shuffle).
+    * Below the row cap the pairs broadcast into two map-side joins (the
+    * set frames stream from cache, zero exchange) and the two O(|pairs|)
+    * sides join by pair key — every shuffle is candidate-sized. Above the
+    * cap (pair explosion) the original shuffled shape is kept. `pairs`
+    * MUST be eagerly materialized: the count is then exact and cheap, and
+    * the broadcast decision never trusts an estimate. */
+  private def attachSets(pairs: DataFrame, aCol: String, bCol: String,
+      shA: DataFrame, shB: DataFrame): DataFrame = {
+    val p = Par.broadcastGated(pairs)
+    // broadcastGated returns `pairs` ITSELF above the cap and a new hinted
+    // frame below it — reference inequality IS the "was hinted" signal
+    if (p ne pairs) {
+      val a = p.join(shA.withColumnRenamed("sh", "sh_a"), col(aCol) === col("id"))
+        .select(col(aCol), col(bCol), col("sh_a"))
+      val b = p.join(shB.withColumnRenamed("sh", "sh_b"), col(bCol) === col("id"))
+        .select(col(aCol), col(bCol), col("sh_b"))
+      a.join(b, Seq(aCol, bCol))
+    } else
+      pairs
+        .join(shA.withColumnRenamed("sh", "sh_a"), col(aCol) === col("id")).drop("id")
+        .join(shB.withColumnRenamed("sh", "sh_b"), col(bCol) === col("id")).drop("id")
+  }
+
   /** Exact verify shared by all three candidate generators: join the
     * shingle sets back and compute true Jaccard — a returned pair is a
     * TRUE near-duplicate, never an LSH guess.
     * Returns (aCol, bCol, jaccard) at ≥ threshold. */
   private def exactVerify(pairs: DataFrame, aCol: String, bCol: String,
       shA: DataFrame, shB: DataFrame, threshold: Double): DataFrame =
-    pairs
-      .join(shA.withColumnRenamed("sh", "sh_a"), col(aCol) === col("id")).drop("id")
-      .join(shB.withColumnRenamed("sh", "sh_b"), col(bCol) === col("id")).drop("id")
+    attachSets(pairs, aCol, bCol, shA, shB)
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
@@ -444,19 +471,27 @@ object Dedup {
     res
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b). */
+  /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b).
+    * Public surface: caller-supplied pairs may be lazy/unbounded, so this
+    * keeps the plain shuffled joins (no count, no broadcast gamble). */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3): DataFrame =
-    jaccardFromSets(pairs, Par.widen(df).select(col(idCol).as("id"),
-      TextOps.shingles(textCol, shingleK).as("sh")))
-
-  /** [[ngramJaccard]] over a PRE-BUILT (id, sh) shingle-set frame — lets a
-    * caller that already shingled the corpus (and persisted it) verify
-    * without a fresh shingling pass. */
-  private def jaccardFromSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+      shingleK: Int = 3): DataFrame = {
+    val sets = Par.widen(df).select(col(idCol).as("id"),
+      TextOps.shingles(textCol, shingleK).as("sh"))
     pairs
       .join(sets.withColumnRenamed("sh", "sh_a"), pairs("id_a") === sets("id")).drop("id")
       .join(sets.withColumnRenamed("sh", "sh_b"), pairs("id_b") === sets("id")).drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[ngramJaccard]] over a PRE-BUILT (id, sh) shingle-set frame and
+    * MATERIALIZED pairs ([[attachSets]]'s contract) — the corpus-sized set
+    * frame never exchanges when the pair count is under the broadcast cap. */
+  private def jaccardFromSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+    attachSets(pairs, "id_a", "id_b", sets, sets)
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
@@ -504,7 +539,12 @@ object Dedup {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf)).select("sh")
     val posting = sh.join(rare, Seq("sh"))
-    val cand = candidatePairsOf(posting)
+    // Materialized BEFORE the verify (round-16): attachSets' exact-count
+    // broadcast gate then keeps the persisted set frame out of any exchange
+    // (the static planner saw unknown pair stats and shuffled `sets` twice
+    // — ~2/3 of t50_10x's shuffle bytes even after AQE's join conversion,
+    // because the planned exchanges still executed).
+    val cand = materialize(candidatePairsOf(posting))
     val res = materialize(jaccardFromSets(cand, sets)
       .where(col("jaccard") >= threshold))
     sets.unpersist(blocking = false)
@@ -557,10 +597,10 @@ object Dedup {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf)).select("sh")
     val posting = sh.join(rare, Seq("sh"))
-    val cand = candidatePairsOf(posting)
-    val scored = cand
-      .join(sets.withColumnRenamed("sh", "sh_a"), cand("id_a") === sets("id")).drop("id")
-      .join(sets.withColumnRenamed("sh", "sh_b"), cand("id_b") === sets("id")).drop("id")
+    // materialized pairs + attachSets: the set frame stays out of any
+    // exchange under the broadcast cap (see rareShinglePairs)
+    val cand = materialize(candidatePairsOf(posting))
+    val scored = attachSets(cand, "id_a", "id_b", sets, sets)
       .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("c_ab", col("_inter") / size(col("sh_a")).cast(DoubleType))
       .withColumn("c_ba", col("_inter") / size(col("sh_b")).cast(DoubleType))
@@ -851,21 +891,25 @@ object Dedup {
       k: Int = 50, minOccurrences: Int = 2): DataFrame = {
     require(k >= 1 && minOccurrences >= 2, "k >= 1, minOccurrences >= 2")
     val (toks, wins) = spanWindows(df, idCol, textCol, k, keepTokens = false)
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("_occ"))
-      .where(col("_occ") >= minOccurrences).select("h")
-    val dupStarts = wins.join(dup, Seq("h"), "left_semi")
+    // materialize + count-gated broadcast (round-16): the duplicated-hash
+    // set is tiny next to the window stream, but as a lazy aggregate the
+    // planner shuffled the FULL window stream again for the semi join —
+    // broadcast makes it map-only over the persisted toks
+    val dup = materialize(wins.groupBy("h").agg(count(lit(1)).as("_occ"))
+      .where(col("_occ") >= minOccurrences).select("h"))
+    val dupStarts = wins.join(Par.broadcastGated(dup), Seq("h"), "left_semi")
     // interval union without islands: each duplicated window [s, s+k-1]
     // contributes the tokens past the running max end of earlier windows
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("s")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val perDoc = dupStarts
+    val perDoc = materialize(dupStarts
       .withColumn("pe", coalesce(max(col("s") + (k - 1)).over(w), lit(0L)))
       .withColumn("add",
         greatest(col("s") + (k - 1) - greatest(col("pe"), col("s") - 1), lit(0L)))
-      .groupBy("id").agg(sum(col("add")).as("dup_tokens"))
+      .groupBy("id").agg(sum(col("add")).as("dup_tokens")))
     val out = toks.select(col("id"), col("n_tokens"))
-      .join(perDoc, Seq("id"), "left")
+      .join(Par.broadcastGated(perDoc), Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
@@ -917,19 +961,24 @@ object Dedup {
     // window's per-hash sort-rank on one task, while aggregate partials
     // reduce the hot hash to one row per map task. Same shape as
     // duplicateSpanStats' dup-hash aggregate.
-    val byHash = wins.groupBy("h").agg(
+    // materialized + count-gated broadcast (round-16, same rationale as
+    // duplicateSpanStats): the duplicated-hash election is tiny next to the
+    // window stream, and broadcasting it makes the removal tagging map-only
+    // over the persisted toks instead of re-shuffling every window row
+    val byHash = materialize(wins.groupBy("h").agg(
         count(lit(1)).as("_occ"),
         min(struct(col("id"), col("s"))).as("_c"))
       .where(col("_occ") >= minOccurrences)
-      .select(col("h"), col("_c.id").as("_cid"), col("_c.s").as("_cs"))
-    val removal = wins.join(byHash, Seq("h"))
+      .select(col("h"), col("_c.id").as("_cid"), col("_c.s").as("_cs")))
+    val removal = wins.join(Par.broadcastGated(byHash), Seq("h"))
       .where(!(col("id") === col("_cid") && col("s") === col("_cs")))
       .select(col("id"), col("s"))
     // Removal starts per doc: small arrays (bounded by the doc's own
-    // window count), map-side combinable.
-    val perDoc = removal.groupBy("id")
-      .agg(sort_array(collect_list(col("s"))).as("rs"))
-    val kept = toks.join(perDoc, Seq("id"), "left")
+    // window count), map-side combinable. Materialized + broadcast-gated so
+    // the reconstruction join streams the cached token arrays unshuffled.
+    val perDoc = materialize(removal.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("rs")))
+    val kept = toks.join(Par.broadcastGated(perDoc), Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
         filter(col("tk"), (t, i) => not(exists(
           coalesce(col("rs"), array().cast("array<long>")),

@@ -37,6 +37,21 @@ private[graft] object Par {
     out
   }
 
+  /** Count-gated broadcast of an eagerly-MATERIALIZED frame (round-16):
+    * the static planner sees a checkpointed frame with unknown stats and
+    * plans a sort-merge join — AQE converts it to broadcast at runtime,
+    * but the exchanges of the OTHER (corpus-sized) side are already
+    * planned and still execute. An explicit hint removes them at plan
+    * time. Gated on the exact row count (cheap against the checkpoint
+    * RDD, never an estimate): above `graft.broadcast.maxRows` (default
+    * 4M — the sparse-merge pending cap's sizing logic) the frame returns
+    * unhinted and the shuffled join stands. */
+  def broadcastGated(d: DataFrame): DataFrame = {
+    val maxRows = d.sparkSession.conf
+      .get("graft.broadcast.maxRows", (4L * 1000 * 1000).toString).toLong
+    if (d.count() <= maxRows) org.apache.spark.sql.functions.broadcast(d) else d
+  }
+
   /**
    * Widen a small input to the cluster's default parallelism before
    * expensive per-row work (shingling, hashing, dot products). A small

@@ -197,10 +197,16 @@ object TextOps {
 
   /** Column-typed variant — the single definition behind both the Scala
     * API and the `graft_hash_bucket` SQL function (one expression, no
-    * drift between surfaces). */
+    * drift between surfaces). Since round 16 this compiles to the
+    * [[org.apache.spark.sql.graft.Md5BucketExpr]] codegen kernel —
+    * value-identical to the composed
+    * `pmod(conv(substring(md5(s),1,8),16,10)::long, buckets)::int` form
+    * (the first 8 md5 hex digits are the big-endian first 4 digest bytes)
+    * but without the hex-string/substring/conv allocations per row, which
+    * dominated GC in the per-gram scoring operators. */
   def hashBucket(id: Column, buckets: Column): Column =
-    pmod(conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType),
-      buckets.cast(LongType)).cast(IntegerType)
+    org.apache.spark.sql.graft.Md5BucketExpr.column(
+      id.cast(StringType), buckets.cast(LongType))
 
   /** Corpus MIXING to per-source token budgets — the data-mixture step of
     * pretraining (static DoReMi-style reweighting): one map-side-combinable

@@ -127,4 +127,35 @@ class SelectionSpec extends SparkSpec {
     // every right bucket is wider than the cap → no candidates survive
     assert(capped.count() == 0)
   }
+
+  test("Md5BucketExpr kernel is value-identical to the composed md5-hex form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // the pre-round-16 composed expression, verbatim
+    def composed(id: org.apache.spark.sql.Column, buckets: Long) =
+      pmod(conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType),
+        lit(buckets)).cast(IntegerType)
+    val rows = Seq("", "a", "hello world", "héllo wörld 漢字 🙂", "7",
+      "the quick brown fox", "\n\t", "x" * 10000) ++
+      (0 until 2000).map(i => s"gram $i of the synthetic stream")
+    val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      .union(Seq((99999L, null.asInstanceOf[String])).toDF("id", "s"))
+    for (b <- Seq(1L, 2L, 101L, 1024L, 4096L, 10000L, 1L << 30)) {
+      val bad = df.select(col("id"),
+          TextOps.hashBucket(col("s"), lit(b)).as("neu"),
+          composed(col("s"), b).as("alt"))
+        .where(!(col("neu") <=> col("alt")))
+      assert(bad.count() == 0, s"buckets=$b diverged")
+      // numeric ids go through the same cast-to-string path
+      val badId = df.select(
+          TextOps.hashBucket(col("id"), lit(b)).as("neu"),
+          composed(col("id"), b).as("alt"))
+        .where(!(col("neu") <=> col("alt")))
+      assert(badId.count() == 0, s"buckets=$b diverged on numeric ids")
+    }
+    // null input and interpreted (non-codegen) eval path
+    val r = df.where(col("s").isNull)
+      .select(TextOps.hashBucket(col("s"), lit(7L))).collect()
+    assert(r.length == 1 && r.head.isNullAt(0))
+  }
 }
