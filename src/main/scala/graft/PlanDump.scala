@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Dump `.explain("formatted")` for registered queries to files — the
@@ -31,10 +33,24 @@ object PlanDump {
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         try {
-          val df = fn(spark, sfDir)
+          // Eager operators run at fn() time and return checkpoint-backed
+          // frames whose own explain is just an RDD scan — capture their
+          // EXECUTED internal plans through the materialize hook and append
+          // them to the query's plan file.
+          val hookDir = Files.createTempDirectory(s"plandump_$name")
+          spark.conf.set("graft.explain.dir", hookDir.toString)
+          val df = try fn(spark, sfDir)
+            finally spark.conf.unset("graft.explain.dir")
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+          val internals = {
+            val s = Files.list(hookDir)
+            try s.iterator().asScala.toSeq.sortBy(_.getFileName.toString).map(p =>
+              s"\n\n== Eager-materialized internal plan (${p.getFileName}, executed) ==\n" +
+                Files.readString(p)).mkString
+            finally s.close()
+          }
+          Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan + internals)
           println(s"[plandump] wrote $name")
         } catch { case e: Throwable =>
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")

@@ -918,9 +918,28 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
     // group stays excluded: a partial zip reads "rows present in the
     // requested groups" (request every group for the full key set).
     val declaredFields = subs.values.flatten.filterNot(keys.contains).toSet
+    // Column-narrowed per-group plans (round-16): each side's resolve only
+    // needs (merge keys ∪ partition-scheme fields ∪ its own group fields) —
+    // planning the FULL schema made every side scan all columns and buffer
+    // per-column max_by aggregates for fields it projects away two lines
+    // later. Name-matched formats only: positional (csv) reads map columns
+    // by position against the file's written layout, so their schema must
+    // stay full. A base delta that wrote MORE than the narrowed schema is
+    // still complete for it (MergeRead.resolve's ⊇ check).
+    val narrowable = ct.format != "csv"
+    val schemeFields = scheme.keys.map(_.field).toSet ++
+      // winner-selection fields must survive the narrowing even when they
+      // live in another group — resolve derives merge-order/event-time
+      // keys FROM the schema it is handed
+      FieldMeta.mergeOrderKeys(schema).map(_._1) ++
+      FieldMeta.eventTimeFields(schema)
     val frames: Seq[(Seq[String], DataFrame)] = gs.map { g =>
       val fields = nonKey(g)
       val fieldSet = fields.toSet
+      val keep = keys.toSet ++ schemeFields ++ fieldSet
+      val groupSchema =
+        if (narrowable) StructType(schema.fields.filter(f => keep(f.name)))
+        else schema
       // deletes tombstone every group; otherwise only writers of the
       // group's columns (or of no declared group) participate — the zip
       // reintroduces other requested groups' keys via the full-outer join
@@ -929,7 +948,7 @@ final class GraftCatalog(val spark: SparkSession, rootDir: String,
           val nk = w -- keys
           (nk intersect fieldSet).nonEmpty || (nk intersect declaredFields).isEmpty
         })
-      val planned = MergeRead.plan(spark, schema, scheme, keys, part, zipOpts,
+      val planned = MergeRead.plan(spark, groupSchema, scheme, keys, part, zipOpts,
         dataDir(t).toString, ct)
       // stats pruning above is conservative — the pushed key predicate
       // still evaluates row-level here, shrinking every zip-join input;

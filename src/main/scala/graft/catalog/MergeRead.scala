@@ -545,8 +545,12 @@ object MergeRead {
     val minRatio = spark.conf
       .get("graft.merge.partitioned.minBaseRatio", PartitionedMinBaseRatio.toString).toLong
     val fullCols = schema.fieldNames.toSet
+    // ⊇ like resolve's allComplete: a base that wrote a superset of the
+    // schema being read still satisfies the KGP scan (name-matched parquet
+    // reads the subset; extra physical columns are simply not requested)
     lazy val baseFull = base.exists(d =>
-      d.properties.get("written_columns").forall(_.split(",").toSet == fullCols))
+      d.properties.get("written_columns").forall(w =>
+        fullCols.subsetOf(w.split(",").toSet)))
     val basePathSet = basePaths.toSet
     lazy val baseRows = base.flatMap(d =>
       deltaRows(d, d.entries.filter(e => basePathSet(e.path)), d.entries.nonEmpty))
@@ -908,10 +912,16 @@ object MergeRead {
 
     val fullCols = schema.fieldNames.toSet
     val renames = renameMapOf(schema)
+    // ⊇, not ==: a delta that wrote a SUPERSET of the schema being read is
+    // still complete for it — the newest row per key physically carries
+    // every read field, so recency alone picks winners. Supersets are real:
+    // files written before a column removal, and (round-16) column-narrowed
+    // reads (the zipper passes a keys+group schema so each side scans and
+    // buffers only its own columns).
     val allComplete = lineage.forall { d =>
       d.typed == DeltaType.Delete ||
-        d.properties.get("written_columns").forall(
-          _.split(",").toSet.map((c: String) => renames.getOrElse(c, c)) == fullCols)
+        d.properties.get("written_columns").forall(w =>
+          fullCols.subsetOf(w.split(",").toSet.map((c: String) => renames.getOrElse(c, c))))
     }
     val moKeys = FieldMeta.mergeOrderKeys(schema)
 
