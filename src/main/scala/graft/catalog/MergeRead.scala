@@ -912,16 +912,19 @@ object MergeRead {
 
     val fullCols = schema.fieldNames.toSet
     val renames = renameMapOf(schema)
-    // ⊇, not ==: a delta that wrote a SUPERSET of the schema being read is
-    // still complete for it — the newest row per key physically carries
-    // every read field, so recency alone picks winners. Supersets are real:
-    // files written before a column removal, and (round-16) column-narrowed
-    // reads (the zipper passes a keys+group schema so each side scans and
-    // buffers only its own columns).
+    // Deliberately == and NOT ⊇ (round-16 measured lesson): a superset
+    // writer IS logically complete for this schema, but flipping such
+    // lineages (column-narrowed zipper reads, post-column-removal tables)
+    // onto the single-struct max_by fast path REGRESSED them — a
+    // struct-valued aggregation buffer forces SortAggregate (two full
+    // sorts around the exchange), while the partial path's per-column
+    // max_by over primitive values stays HashAggregate (hash-based, no
+    // sorts; zipper 10× profile: sr 405→648 MB and 2 extra 6M-row sorts
+    // under ⊇). The partial path is row-identical for complete lineages.
     val allComplete = lineage.forall { d =>
       d.typed == DeltaType.Delete ||
-        d.properties.get("written_columns").forall(w =>
-          fullCols.subsetOf(w.split(",").toSet.map((c: String) => renames.getOrElse(c, c))))
+        d.properties.get("written_columns").forall(
+          _.split(",").toSet.map((c: String) => renames.getOrElse(c, c)) == fullCols)
     }
     val moKeys = FieldMeta.mergeOrderKeys(schema)
 
