@@ -39,7 +39,11 @@ object Bench {
     // round-11 late additions: the posting-list dedup join (t50) and the
     // two map-only mixers (t51/t52) — first measurements, bands seed next
     // round from these
-    "t50_ngram_jaccard", "t51_temperature_mix", "t52_int8_quantize")
+    "t50_ngram_jaccard", "t51_temperature_mix", "t52_int8_quantize",
+    // round-17 addition (verdict ask #6): the ExactSubstr span-stats path
+    // got real optimization work in round 16 (broadcast-gated span ops)
+    // but only t41 measured it — first measurement, band seeds next round
+    "t20_substring_dedup")
 
   /** Quiet-machine historical upper bounds (seconds), one per registry
     * entry with recorded history (round-11: full coverage — the r10
@@ -172,6 +176,58 @@ object Bench {
     // within 1.5× of the balanced control — same total rows, same pending
     // fraction, same-run/same-machine.
     ("hotbucket_over_balanced", "mor_hotbucket_read", "mor_balanced_read", 1.5, 2.40))
+
+  /** The driver's stdout-tail capture window is 2000 characters and it
+    * json-parses the FINAL line, so that line must fit WHOLLY inside the
+    * window (trailing newline included) or the driver reads nothing. */
+  private[graft] val CompactLineLimit = 1990
+
+  /** Assemble the driver-parseable compact summary line (round-17, verdict
+    * ask #1). Round 16's guard degraded by dropping the per-entry `queries`
+    * map — the single most valuable field on the line (the driver's PERF
+    * comparison and scaling read both consume it) — the moment 11 over-band
+    * entry names lengthened `band_summary` past the window, blinding
+    * PERF_r16 completely. The map is now kept to the last byte; optional
+    * diagnostics degrade FIRST, in increasing order of value:
+    *   1. band / floor-norm over-name lists (the in/total counts remain),
+    *   2. scale_ratios,
+    *   3. ratios_over_floor,
+    *   4. error texts (an errors_n count remains).
+    * Every dropped field still rides complete in target/bench.json, whose
+    * path the line always carries as "artifact". The queries-less final
+    * fallback is unreachable for any realistic registry (61 entries ≈
+    * 1.7 KB) — a parseable line beats an unparseable one, but every degrade
+    * step above must fail first. */
+  private[graft] def compactLine(
+      total: Double,
+      queriesJson: String,
+      errorsJson: String, nErrors: Int,
+      nIn: Int, nBanded: Int, overs: Seq[String],
+      ratiosJson: String,
+      scaleJson: String,
+      fnIn: Int, fnTotal: Int, fnOvers: Seq[String],
+      sfDir: String,
+      limit: Int = CompactLineLimit): String = {
+    def bandSum(withOvers: Boolean) =
+      s""","band_summary":"$nIn/$nBanded in band""" +
+        (if (withOvers && overs.nonEmpty) overs.mkString("; over: ", ",", "\"") else "\"")
+    def floorSum(withOvers: Boolean) =
+      if (fnTotal == 0) ""
+      else s""","floor_norm_summary":"$fnIn/$fnTotal in""" +
+        (if (withOvers && fnOvers.nonEmpty) fnOvers.mkString("; over: ", ",", "\"") else "\"")
+    val errCount = if (nErrors == 0) "" else s""","errors_n":$nErrors"""
+    def of(q: String, err: String, band: String, ratios: String,
+        scale: String, fn: String) =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$q$err$band$ratios$scale$fn,"artifact":"target/bench.json","sf":"$sfDir"}"""
+    val candidates = Seq(
+      of(queriesJson, errorsJson, bandSum(true), ratiosJson, scaleJson, floorSum(true)),
+      of(queriesJson, errorsJson, bandSum(false), ratiosJson, scaleJson, floorSum(false)),
+      of(queriesJson, errorsJson, bandSum(false), ratiosJson, "", floorSum(false)),
+      of(queriesJson, errorsJson, bandSum(false), "", "", floorSum(false)),
+      of(queriesJson, errCount, bandSum(false), "", "", floorSum(false)),
+      of("{}", errCount, bandSum(false), "", "", floorSum(false)))
+    candidates.find(_.length <= limit).getOrElse(candidates.last)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1297,9 +1353,6 @@ object Bench {
         // jsonSafe after the cut keeps the string valid
         "\"" + k + "\":\"" + jsonSafe(v.take(60)) + "\""
       }.mkString(""","errors":{""", ",", "}")
-    val bandJson2 =
-      s""","band_summary":"$nIn/$nBanded in band""" +
-        (if (overs.isEmpty) "\"" else overs.mkString("; over: ", ",", "\""))
     // Terse string forms of the ratio verdicts for the compact line: the
     // object forms cost ~420 bytes, which pushed the 60-entry line past
     // the capture window and degraded it to queries:{} — exactly the
@@ -1328,22 +1381,12 @@ object Bench {
       }
       if (rs.isEmpty) "" else rs.mkString(""","scale_ratios":{""", ",", "}")
     }
-    // terse floor-norm verdict for the compact line (full objects ride in
-    // target/bench.json): "10/10 in" or "9/10 in; over: t04_minhash…"
-    val floorNormCompact =
-      if (floorNorm.isEmpty) ""
-      else s""","floor_norm_summary":"$fnIn/${floorNorm.size} in""" +
-        (if (fnOvers.isEmpty) "\"" else fnOvers.mkString("; over: ", ",", "\""))
-    def compactOf(qjson: String): String =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qjson$errJsonCompact$bandJson2$ratioJsonCompact$scaleJsonCompact$floorNormCompact,"sf":"$sfDir"}"""
-    val compact = {
-      val full = compactOf(qsCompact)
-      // Degrade rather than overflow: if future entries push the summary
-      // past the capture window, drop the per-entry map (the band verdict
-      // and ratios still certify) — a parseable partial line beats an
-      // unparseable complete one.
-      if (full.length <= 2000) full else compactOf("{}")
-    }
+    // Degrade-priority assembly (round-17, verdict ask #1): `queries` is
+    // kept to the last byte; over-lists/ratios/error texts drop first —
+    // see compactLine's doc for the order and the r16 postmortem.
+    val compact = compactLine(total, qsCompact, errJsonCompact, errors.size,
+      nIn, nBanded, overs, ratioJsonCompact, scaleJsonCompact,
+      fnIn, floorNorm.size, fnOvers, sfDir)
     // Machine-clean FULL copy: the driver's stdout capture truncates long
     // lines; this file carries every raw run.
     try {

@@ -288,8 +288,16 @@ class MetastoreScaleSpec extends AnyFunSuite {
 
   test("freeze margin: near-boundary publishes route FLAT; epochs freeze a margin late") {
     val ms = new Metastore(tmp("graft-msmargin"))
-    ms.SuccessEpochMillis = 1000L
-    ms.FreezeMarginMillis = 200L
+    // Margin sizing against WALL-CLOCK flake (round-17, verdict ask #1b):
+    // this leg races real time — each assert must land inside a window
+    // whose width is set here. With the old 1000/200 the not-yet-frozen
+    // assert had a 2×200 ms budget from the loop exit; a GC pause or CPU
+    // steal on a loaded host (the shared 32 GB test JVM full-GCs for
+    // seconds) blows it. 4000/1500 keeps every contract identical and
+    // gives each assert a ≥2.5 s budget; margin stays < epoch so a fresh
+    // mint is always epoch-routed (gap to boundary > epoch > margin).
+    ms.SuccessEpochMillis = 4000L
+    ms.FreezeMarginMillis = 1500L
     val t = ms.newTransaction("near boundary")
     val e = t.txnId.take(20).toLong / ms.SuccessEpochMillis
     val boundary = (e + ms.FreezeLagEpochs) * ms.SuccessEpochMillis
@@ -468,7 +476,11 @@ class MetastoreScaleSpec extends AnyFunSuite {
         }
       })
     }
-    tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    // 300 s (round-17): the torture's 160 ops include dozens of full folds
+    // over object-store-profile IO; the driver's verify host ran the whole
+    // suite 1.6× slower than the builder's and a 120 s ceiling leaves no
+    // co-tenant headroom — the timeout guards a HANG, not slowness.
+    tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
     pool.shutdown()
     // one more fold pass from each instance (the advice scenario: folds
     // racing each other's deletions)
