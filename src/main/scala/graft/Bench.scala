@@ -245,11 +245,11 @@ object Bench {
     // SPARK_GRAFT_BENCH_XSCALE=100 turns them on for one-off two-decade
     // scale evidence, recorded in BENCH_NOTES when taken.
     val want100x = sys.env.get("SPARK_GRAFT_BENCH_XSCALE").contains("100")
-    val spark = SparkSession.builder()
+    val spark = EnvConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -20,11 +20,14 @@ object PlanDump {
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // EnvConf: capture plans under a forced conf (the rank gates are
+    // volume-based, so before/after pairs at fixture scale need
+    // graft.merge.fileRank.{maxFiles=0, minRows=0} respectively).
+    val spark = EnvConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))

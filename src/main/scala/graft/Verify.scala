@@ -10,11 +10,14 @@ object Verify {
     // the driver always calls with two args = everything)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // EnvConf: lets the full oracle gate run under a forced conf (e.g.
+    // graft.merge.fileRank.minRows=0 to exercise the compact-recency
+    // resolve on oracle-scale fixtures). Absent in driver runs.
+    val spark = EnvConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

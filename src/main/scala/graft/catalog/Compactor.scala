@@ -537,7 +537,9 @@ object Compactor {
                   mergeKeys, deltas, touchedBasePaths, pending, pendingPaths,
                   ct, layoutBuckets, hotSet, ReadOptions(), Nil)
                 .getOrElse(MergeRead.resolve(scan, schema, scheme, mergeKeys,
-                  active, needFile = false))
+                  active, needFile = false,
+                  approxRows = Some((base.toSeq ++ pending).map(d =>
+                    math.max(0L, d.properties.getOrElse("record_count", "0").toLong)).sum)))
             val resolved = MergeRead.applyPastDefaults(merged, schema)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
             materialize(cat, t, rev, txn.txnId, resolved, schema, scheme, sortScheme, ct,

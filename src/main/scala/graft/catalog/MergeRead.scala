@@ -261,7 +261,17 @@ object MergeRead {
       mergeKeys: Seq[String], deltas: Seq[DeltaMeta], paths: Seq[String],
       ct: ContentType, needFile: Boolean = true): DataFrame =
     resolve(scanWithLineage(spark, schema, deltas, paths, ct),
-      schema, scheme, mergeKeys, referencedDeltas(deltas, paths), needFile)
+      schema, scheme, mergeKeys, referencedDeltas(deltas, paths), needFile,
+      approxRows = rowsOfPaths(deltas, paths))
+
+  /** Exact row count of a path subset from manifest record counts; None
+    * when any scanned file's count is unknown. */
+  private def rowsOfPaths(lineage: Seq[DeltaMeta], paths: Seq[String]): Option[Long] = {
+    val ps = paths.toSet
+    val es = lineage.flatMap(_.entries).filter(e => ps(e.path))
+    if (es.isEmpty || es.exists(_.recordCount < 0)) None
+    else Some(es.map(_.recordCount).sum)
+  }
 
   /**
    * The partitioned rung of the dense-band ladder WITH the hot-bucket
@@ -346,7 +356,8 @@ object MergeRead {
                 .where(bucketCol.isin(hotSet.toSeq: _*))
               resolve(hotScan, schema, scheme, mergeKeys,
                 referencedDeltas(deltas, hotBase ++ pendingPaths),
-                needFile = opts.withFilePath)
+                needFile = opts.withFilePath,
+                approxRows = rowsOfPaths(deltas, hotBase ++ pendingPaths))
             }
           lastSplitRegime = "partitioned_hotsplit"
           coldN.unionByName(hot.select(normCols: _*))
@@ -519,7 +530,11 @@ object MergeRead {
     pass.select(normCols: _*).unionByName(
       resolve(contested, schema, scheme, mergeKeys,
         referencedDeltas(deltas, basePaths ++ pendingPaths),
-        needFile).select(normCols: _*))
+        needFile,
+        // contested = (base rows whose key is pending) ∪ pending — at most
+        // ~2× the pending rows; the referenced deltas' counts would read
+        // as the whole base
+        approxRows = pendingRowsOf(pending).map(_ * 2)).select(normCols: _*))
   }
 
   /** Guardrails for the storage-partitioned dense merge: pending must be
@@ -678,7 +693,8 @@ object MergeRead {
             // partitionedEligible rejects withFilePath reads outright (the
             // pass side's File is a sentinel), so the winner's path string
             // is never consumed here
-            needFile = false).select(normCols: _*))
+            needFile = false,
+            approxRows = pendingRowsOf(pending).map(_ * 2)).select(normCols: _*))
       }
   }
 
@@ -869,6 +885,117 @@ object MergeRead {
   private def assertNotNull(c: Column, msg: String): Column =
     when(c.isNull, raise_error(lit(msg))).otherwise(c)
 
+  // ---- compact recency (round-17, verdict ask #3) ------------------------
+  // The resolve's winner selection orders rows by (EffPos, File, Row) — a
+  // struct whose File member is the PATH STRING. Measured consequences at
+  // 30×: every max_by buffers that struct per column (or per payload), the
+  // aggregate is never hash-aggregable (max_by with a struct ordering or a
+  // string value plans SortAggregate — probed on this Spark: only
+  // max_by(numeric, numeric) gets HashAggregate), and the resolve pays two
+  // full sorts + a path string per buffer. The fix: number the active files
+  // ONCE on the driver by exactly the runtime order (EffPos, then unsigned
+  // UTF-8 bytes of the full path — UTF8String's comparator), broadcast-join
+  // the tiny (suffix → seq) table onto the scan, and fold the whole recency
+  // tuple into ONE long: rec = fileSeq * rowsCap + row_index, where rowsCap
+  // bounds every file's row count from the manifest. Row-identical by
+  // construction; every precondition failure falls back to the string
+  // ordering (None), never to a guess.
+  private val Fkey = "_g_fkey"
+  private val Fseq = "_g_fseq"
+  private val Rec = "_g_rec"
+  private val Pmask = "_g_pmask"
+
+  /** The storage-partitioned base scan cannot surface `_metadata` through
+    * the V2 relation, so its rows carry this constant File sentinel
+    * ([[partitionedMerge]]); the rank table seats it AT the base delta so
+    * sentinel rows order exactly as the real base files would (they only
+    * ever tie with each other — same as the string ordering they replace). */
+  private[catalog] val PartitionedBaseSentinel = "graft://partitioned-base"
+
+  private[catalog] final case class FileRank(
+      rank: Seq[(String, Long, Long)], // (path-suffix key, file seq, present mask)
+      decode: Seq[(Long, String)],     // file seq -> full path (needFile recovery)
+      rowsCap: Long,
+      maskable: Boolean)
+
+  /** Join key: the path after the LAST "/data/d" — the same anchor the
+    * per-row position extraction uses, so scheme/prefix differences between
+    * manifest paths and runtime `_metadata.file_path` cancel. A path
+    * without the anchor (the sentinel) keys by its full text, which is
+    * also what `substring_index(…, -1)` yields for it at runtime. */
+  private def suffixOf(p: String): String = {
+    val i = p.lastIndexOf("/data/d")
+    if (i < 0) p else p.substring(i + "/data/d".length)
+  }
+
+  /** Unsigned-byte UTF-8 comparison — UTF8String.compareTo's order, which
+    * is what `col(File).desc` sorts by at runtime. Java String compareTo
+    * (UTF-16 code units) diverges on supplementary characters, so the
+    * driver-side sort replicates the runtime comparator exactly. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Build the compact-recency file rank for a resolve, or None when any
+    * precondition fails (no manifest entries, unknown record counts, more
+    * files than `graft.merge.fileRank.maxFiles` fit a broadcast, duplicate
+    * suffix keys, or rec overflow) — callers keep the string-ordering
+    * shape on None. The mask column carries each file's written-column
+    * set as a schema-index bitmask (≤63 fields), replacing the per-row
+    * `array_contains(Present, name)` string scans in the partial resolve. */
+  private[catalog] def fileRankOf(
+      spark: SparkSession, schema: StructType,
+      lineage: Seq[DeltaMeta]): Option[FileRank] = {
+    if (lineage.isEmpty) return None
+    val maxFiles = spark.conf.get("graft.merge.fileRank.maxFiles", "200000").toLong
+    if (maxFiles <= 0) return None
+    val renames = renameMapOf(schema)
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    val maskable = schema.fields.length <= 63
+    def maskOf(d: DeltaMeta): Long =
+      if (!maskable) 0L
+      else d.properties.get("written_columns") match {
+        case None => (1L << schema.fields.length) - 1
+        case Some(w) => w.split(",").foldLeft(0L) { (m, c0) =>
+          val c = renames.getOrElse(c0.trim, c0.trim)
+          idx.get(c).fold(m)(i => m | (1L << i))
+        }
+      }
+    def effOf(d: DeltaMeta): Long =
+      if (d.compactedUpTo >= 0) d.compactedUpTo else d.streamPosition
+    val files: Seq[(graft.txn.ManifestEntry, DeltaMeta)] =
+      lineage.flatMap(d => d.entries.map(e => (e, d)))
+    if (files.isEmpty || files.size > maxFiles ||
+        files.exists(_._1.recordCount < 0)) return None
+    // seat the V2 base-scan sentinel at the base delta (see its doc)
+    val sentinel = lineage.filter(_.compactedUpTo >= 0)
+      .sortBy(_.streamPosition).lastOption
+      .map(b => (graft.txn.ManifestEntry(PartitionedBaseSentinel, 0L, 1L), b))
+    val all = files ++ sentinel
+    val sorted = all.sortWith { case ((ea, da), (eb, db)) =>
+      val (fa, fb) = (effOf(da), effOf(db))
+      if (fa != fb) fa < fb else utf8Lt(ea.path, eb.path)
+    }
+    val rowsCap = math.max(1L, sorted.map(_._1.recordCount).max)
+    if (sorted.size.toLong > (Long.MaxValue / 2) / rowsCap) return None
+    val rank = sorted.zipWithIndex.map { case ((e, d), i) =>
+      (suffixOf(e.path), i.toLong, maskOf(d))
+    }
+    if (rank.iterator.map(_._1).toSet.size != rank.size) return None
+    Some(FileRank(rank,
+      sorted.zipWithIndex.map { case ((e, _), i) => (i.toLong, e.path) },
+      rowsCap, maskable))
+  }
+
   /** The single-window LSM resolution described in the class doc.
     *
     * `needFile` (round-16 buffer slimming): the output `File` column is
@@ -887,7 +1014,15 @@ object MergeRead {
       scheme: PartitionScheme,
       mergeKeys: Seq[String],
       lineage: Seq[DeltaMeta],
-      needFile: Boolean = true): DataFrame = {
+      needFile: Boolean = true,
+      /** Caller's bound on the rows this resolve actually scans (manifest
+        * record counts — the sparse/partitioned contested resolves scan
+        * far fewer rows than their referenced deltas hold). Gates the
+        * compact-recency rank: its broadcast + extra AQE stage cost ~0.3 s
+        * of fixed latency per resolve (measured, mor_read 1×), which only
+        * pays for itself on volume. None = unknown = rank allowed. */
+      approxRows: Option[Long] = None): DataFrame = {
+    val spark = scanIn.sparkSession
     val needPresent = schema.fields.exists(f => FieldMeta.pastDefault(f).isDefined)
     // A small input often arrives as 1-3 file splits, serializing the
     // map side of the resolve aggregate (payload-struct building, partial
@@ -896,7 +1031,30 @@ object MergeRead {
     // repartition on the merge keys instead would forfeit the partial
     // aggregation's skew resistance). Stats-gated: large scans — the
     // 100 TB case — already carry ≥ one split per core and pass through.
-    val scan = graft.operators.Par.widen(scanIn)
+    val scan0 = graft.operators.Par.widen(scanIn)
+    // Compact recency (round-17): broadcast-join the per-file rank and fold
+    // (EffPos, File, Row) into one long — see fileRankOf. A scanned file
+    // missing from the rank would silently mis-rank, so it fails as loudly
+    // as a missing lineage row. Volume-gated (see approxRows): below
+    // `graft.merge.fileRank.minRows` the fixed broadcast/stage latency
+    // outweighs the narrower buffers, so small resolves keep the
+    // latency-free string-ordering shape.
+    val minRows = spark.conf.get(
+      "graft.merge.fileRank.minRows", (2L * 1000 * 1000).toString).toLong
+    val rank =
+      if (approxRows.exists(_ < minRows)) None
+      else fileRankOf(spark, schema, lineage)
+    val scan = rank match {
+      case Some(r) =>
+        import spark.implicits._
+        scan0.join(broadcast(r.rank.toDF(Fkey, Fseq, Pmask)),
+            substring_index(col(File), "/data/d", -1) === col(Fkey), "left")
+          .withColumn(Rec,
+            assertNotNull(col(Fseq), "file rank missing for scanned file") *
+              lit(r.rowsCap) + col(Row))
+          .drop(Fkey)
+      case None => scan0
+    }
     // Merge scope = partition values + merge keys (the reference compacts
     // within a Partition object, so identical keys in different partitions
     // are distinct rows).
@@ -904,7 +1062,10 @@ object MergeRead {
     val partExprs = scheme.keys.map(k =>
       k.column(col(k.field), fieldType.getOrElse(k.field, StringType)))
     val winKeys: Seq[Column] = partExprs ++ mergeKeys.map(col)
-    val recency = Seq(col(EffPos).desc, col(File).desc, col(Row).desc)
+    val recency = rank match {
+      case Some(_) => Seq(col(Rec).desc)
+      case None => Seq(col(EffPos).desc, col(File).desc, col(Row).desc)
+    }
     val w = Window.partitionBy(winKeys: _*).orderBy(recency: _*)
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
 
@@ -927,19 +1088,95 @@ object MergeRead {
           _.split(",").toSet.map((c: String) => renames.getOrElse(c, c)) == fullCols)
     }
     val moKeys = FieldMeta.mergeOrderKeys(schema)
+    // ⊇-completeness, used ONLY to route merge-order/event-time lineages
+    // (round-17, the r16 ADVICE-high bug): a writer that wrote a SUPERSET of
+    // this (possibly column-narrowed) schema is logically complete for it,
+    // and the partial path below resolves by pure recency — silently
+    // discarding merge_order winner selection. Such lineages must reach the
+    // windowed merge-order branch. Superset lineages WITHOUT merge-order
+    // keys deliberately stay on the partial path (the == above): that is
+    // the r16 measured lesson — the partial per-column shape beats the
+    // struct fast path for them and is row-identical.
+    val allCompleteSup = moKeys.nonEmpty && lineage.forall { d =>
+      d.typed == DeltaType.Delete ||
+        d.properties.get("written_columns").forall(w =>
+          fullCols.subsetOf(w.split(",").toSet.map((c: String) => renames.getOrElse(c, c))))
+    }
 
-    if (allComplete && moKeys.isEmpty) {
-      // Fast path: winner = the most recent row per key, dropped when it is
-      // a tombstone (a rank-1 window row always has tombstone-count 0, so
-      // this is exactly the windowed semantics). An AGGREGATE instead of a
-      // window: partial (map-side) aggregation collapses hot keys before
-      // the shuffle — skew-resistant where a window would serialize a hot
-      // key into one task. NOTE the physical operator is SortAggregate,
-      // not HashAggregate: max_by's buffer holds the payload struct, which
-      // is not a hash-agg mutable type. Measured at sf0.1 (613k rows, 32
-      // cores) max_by ties window row_number (0.40 s both) and beats
-      // hash-max + self-join (0.84 s); the aggregate form is kept for the
-      // partial combine, which the window cannot do.
+    if (allComplete && moKeys.isEmpty) rank match {
+      case Some(r) =>
+        // Fast path, compact-recency form (round-17): winner = the most
+        // recent row per key, dropped when it is a tombstone. An AGGREGATE
+        // instead of a window: partial (map-side) aggregation collapses hot
+        // keys before the shuffle — skew-resistant where a window would
+        // serialize a hot key into one task. Two shapes by payload type:
+        //  - every non-key field fixed-width → per-column max_by over the
+        //    single-long recency: all buffers mutable → HashAggregate (no
+        //    sorts at all — probed: max_by(numeric, numeric) is the ONLY
+        //    hash-aggregable max_by form on this Spark);
+        //  - any string/array/struct field → one payload-struct max_by
+        //    (fewer buffer slots than per-column when SortAggregate is
+        //    forced anyway), but ordered by the 8-byte rec instead of the
+        //    (pos, path-string, row) struct — smaller buffers, cheap long
+        //    comparisons. The winner's delta type rides as an int and the
+        //    winner's file as its rank (decoded back to the path by a tiny
+        //    broadcast join only when needFile).
+        // Key columns come from the GROUPING attributes (see the
+        // string-ordering branch below for why that matters downstream).
+        // Complete lineages need no Present buffering at all: every row
+        // carries every schema field, so the output Present is the static
+        // full field list — needPresent's backfill then never fires, which
+        // is exactly the pre-round-17 behavior for winners from complete
+        // writers.
+        val dataCols = schema.fieldNames.filterNot(mergeKeys.contains)
+        val hashable = dataCols.forall(f => fieldType(f) match {
+          case _: NumericType | BooleanType | DateType | TimestampType |
+               TimestampNTZType => true
+          case _ => false
+        })
+        val delInt = when(isDelete, 1).otherwise(0)
+        val grouped =
+          if (hashable) {
+            val aggs = dataCols.map(f => max_by(col(f), col(Rec)).as(f)) ++
+              Seq(max_by(delInt, col(Rec)).as("_g_del")) ++
+              (if (needFile) Seq(max_by(col(Fseq), col(Rec)).as(Fseq)) else Nil)
+            scan.groupBy(winKeys: _*).agg(aggs.head, aggs.tail: _*)
+              .where(col("_g_del") === 0)
+          } else {
+            val payload = struct(
+              (dataCols.map(col) ++ Seq(delInt.as("_g_del")) ++
+                (if (needFile) Seq(col(Fseq)) else Nil)).toIndexedSeq: _*)
+            scan.groupBy(winKeys: _*)
+              .agg(max_by(payload, col(Rec)).as("_g_w"))
+              .where(col("_g_w._g_del") === 0)
+              .select((mergeKeys.map(col) ++
+                dataCols.map(f => col(s"_g_w.$f").as(f)) ++
+                (if (needFile) Seq(col(s"_g_w.$Fseq").as(Fseq)) else Nil))
+                .toIndexedSeq: _*)
+          }
+        val withFile =
+          if (needFile) {
+            import spark.implicits._
+            grouped.join(broadcast(r.decode.toDF("_g_fseq_d", "_g_file_d")),
+              col(Fseq) === col("_g_fseq_d"), "left")
+          } else grouped
+        withFile.select(schema.fieldNames.map(col).toIndexedSeq ++ Seq(
+          if (needFile) coalesce(col("_g_file_d"), lit("")).as(File)
+          else lit("").as(File),
+          typedLit(schema.fieldNames.toSeq).as(Present)): _*)
+      case None =>
+      // Fast path, string-ordering fallback: winner = the most recent row
+      // per key, dropped when it is a tombstone (a rank-1 window row always
+      // has tombstone-count 0, so this is exactly the windowed semantics).
+      // An AGGREGATE instead of a window: partial (map-side) aggregation
+      // collapses hot keys before the shuffle — skew-resistant where a
+      // window would serialize a hot key into one task. NOTE the physical
+      // operator is SortAggregate, not HashAggregate: max_by's buffer holds
+      // the payload struct, which is not a hash-agg mutable type. Measured
+      // at sf0.1 (613k rows, 32 cores) max_by ties window row_number
+      // (0.40 s both) and beats hash-max + self-join (0.84 s); the
+      // aggregate form is kept for the partial combine, which the window
+      // cannot do.
       // Key columns come from the GROUPING attributes, not the winner
       // struct (they are equal within a group by definition, but Spark
       // cannot prove a struct-extract equals its grouping key, and
@@ -960,7 +1197,7 @@ object MergeRead {
           if (needFile) col(s"_g_w.$File") else lit("").as(File),
           if (needPresent) col(s"_g_w.$Present")
           else typedLit(schema.fieldNames.toSeq).as(Present)): _*)
-    } else if (allComplete) {
+    } else if (allComplete || allCompleteSup) {
       val ranked = scan
         .withColumn("_g_rn", row_number().over(w))
         .withColumn("_g_tomb",
@@ -994,16 +1231,35 @@ object MergeRead {
           coalesce(sum(when(isDelete, 1L).otherwise(0L)).over(wPrev), lit(0L)))
         else scan.withColumn("_g_tomb", lit(0L))
       val live = !isDelete && col("_g_tomb") === 0L
-      val recencyKey = struct(col(EffPos), col(File), col(Row))
+      // Compact recency when ranked (round-17): the per-column max_by
+      // ordering shrinks from (pos, path-string, row) to one long — the
+      // ordering is duplicated into EVERY column's buffer, so the path
+      // string was paid N× per key per map partition. Numeric-valued
+      // columns' buffers additionally become hash-agg mutable.
+      val recencyKey = rank.map(_ => col(Rec))
+        .getOrElse(struct(col(EffPos), col(File), col(Row)))
+      // Column-presence test: per-file bitmask (via the rank join) instead
+      // of array_contains over the Present string array — one shift+and
+      // per column per row instead of a string-array scan.
+      val fieldIdx = schema.fieldNames.zipWithIndex.toMap
+      def presentTest(f: String): Column = rank match {
+        case Some(r) if r.maskable =>
+          shiftright(col(Pmask), fieldIdx(f)).bitwiseAND(lit(1L)) === lit(1L)
+        case _ => array_contains(col(Present), f)
+      }
       val groupKeys = partExprs.zipWithIndex.map { case (e, i) => e.as(s"_g_pk$i") } ++
         mergeKeys.map(col)
       val dataCols = schema.fields.filterNot(f => mergeKeys.contains(f.name))
       val aggs = dataCols.map { f =>
-        val contributes = live && array_contains(col(Present), f.name)
+        val contributes = live && presentTest(f.name)
         max_by(col(f.name), when(contributes, recencyKey)).as(f.name)
       } ++ Seq(
         max(when(live, 1).otherwise(0)).as("_g_live")) ++
-        (if (needFile) Seq(max_by(col(File), when(live, recencyKey)).as(File)) else Nil) ++
+        (if (needFile) Seq(rank match {
+          // buffer the winner's file RANK, decode to the path post-agg
+          case Some(_) => max_by(col(Fseq), when(live, recencyKey)).as(Fseq)
+          case None => max_by(col(File), when(live, recencyKey)).as(File)
+        }) else Nil) ++
         // union of columns ever physically written for this key, so
         // past-default backfill only fills truly never-written fields.
         // (The winner's own Present was previously max_by-buffered too and
@@ -1013,9 +1269,17 @@ object MergeRead {
         else Nil)
       val grouped0 = ranked.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
         .where(col("_g_live") === 1)
+      val grouped1 = rank match {
+        case Some(r) if needFile =>
+          import spark.implicits._
+          grouped0.join(broadcast(r.decode.toDF("_g_fseq_d", "_g_file_d")),
+              col(Fseq) === col("_g_fseq_d"), "left")
+            .withColumn(File, coalesce(col("_g_file_d"), lit("")))
+        case _ => grouped0
+      }
       val grouped = (if (needPresent)
-          grouped0.withColumn(Present, array_distinct(col("_g_everp")))
-        else grouped0.withColumn(Present, typedLit(schema.fieldNames.toSeq)))
+          grouped1.withColumn(Present, array_distinct(col("_g_everp")))
+        else grouped1.withColumn(Present, typedLit(schema.fieldNames.toSeq)))
         .withColumn(File, if (needFile) col(File) else lit(""))
       grouped.select((mergeKeys.map(col) ++ dataCols.map(f => col(f.name)) ++
         Seq(col(File), col(Present))).toIndexedSeq: _*)

@@ -45,12 +45,45 @@ private[graft] object Par {
     * time. Gated on the exact row count (cheap against the checkpoint
     * RDD, never an estimate): above `graft.broadcast.maxRows` (default
     * 4M — the sparse-merge pending cap's sizing logic) the frame returns
-    * unhinted and the shuffled join stands. */
+    * unhinted and the shuffled join stands.
+    *
+    * Byte gate (round-17): rows alone under-estimate array-valued frames
+    * (4M per-doc removal-list rows can be hundreds of MB — broadcast-cap/
+    * driver-OOM territory at scale), so the MATERIALIZED size — the
+    * checkpoint's real storage bytes, never a plan estimate — is also
+    * checked against `graft.broadcast.maxBytes` (default 256 MB; an
+    * explicit hint bypasses Spark's own size checks, so this is the only
+    * guard). Unmeasurable frames (no storage info, e.g. an unmaterialized
+    * input) pass the byte gate and rely on the row cap, as before. */
   def broadcastGated(d: DataFrame): DataFrame = {
-    val maxRows = d.sparkSession.conf
-      .get("graft.broadcast.maxRows", (4L * 1000 * 1000).toString).toLong
-    if (d.count() <= maxRows) org.apache.spark.sql.functions.broadcast(d) else d
+    val conf = d.sparkSession.conf
+    val maxRows = conf.get("graft.broadcast.maxRows", (4L * 1000 * 1000).toString).toLong
+    val maxBytes = conf.get("graft.broadcast.maxBytes", (256L * 1024 * 1024).toString).toLong
+    if (d.count() <= maxRows && materializedBytesOf(d).forall(_ <= maxBytes))
+      org.apache.spark.sql.functions.broadcast(d)
+    else d
   }
+
+  /** Physical size of a [[materialize]]d frame: the bytes its checkpoint
+    * actually occupies — block-manager blocks for a localCheckpoint, files
+    * on the checkpoint FS for a reliable checkpoint. None when the frame
+    * is not checkpoint-backed (or storage info is unavailable). */
+  def materializedBytesOf(d: DataFrame): Option[Long] =
+    d.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.flatMap { rdd =>
+      rdd.getCheckpointFile match {
+        case Some(path) =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(d.sparkSession.sparkContext.hadoopConfiguration)
+            Some(fs.getContentSummary(p).getLength)
+          } catch { case _: Exception => None }
+        case None =>
+          d.sparkSession.sparkContext.getRDDStorageInfo
+            .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
+      }
+    }
 
   /**
    * Widen a small input to the cluster's default parallelism before

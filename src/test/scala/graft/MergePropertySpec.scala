@@ -68,6 +68,32 @@ class MergePropertySpec extends SparkSpec {
     }
   }
 
+  test("compact-recency rank on equals rank off on random op sequences (round-17)") {
+    // Round-17: resolve folds (EffPos, File, Row) into one long via a
+    // broadcast per-file rank (fileRankOf). Same randomized sequences with
+    // the rank forced OFF (string-ordering shape) must produce identical
+    // terminal states, merge-on-read and compacted (compaction makes
+    // multi-file bases participate, exercising cross-file ordering).
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { trial =>
+      val ops = Gen.listOfN(8, genOp)
+        .pureApply(params, org.scalacheck.rng.Seed(9100L + trial))
+      val expected = model(ops)
+      // minRows=0 defeats the volume gate — these fixtures are tiny, and
+      // without it BOTH legs would run the string-ordering shape.
+      spark.conf.set("graft.merge.fileRank.minRows", "0")
+      val on =
+        try runEngine(ops, compactEvery = Some(3))
+        finally spark.conf.unset("graft.merge.fileRank.minRows")
+      assert(on == expected, s"trial $trial rank-on: $on != $expected\nops=$ops")
+      spark.conf.set("graft.merge.fileRank.maxFiles", "0")
+      try {
+        val off = runEngine(ops, compactEvery = Some(3))
+        assert(off == expected, s"trial $trial rank-off: $off != $expected\nops=$ops")
+      } finally spark.conf.unset("graft.merge.fileRank.maxFiles")
+    }
+  }
+
   test("lineage paths: per-delta literal scans equal the regexp+join fallback on random op sequences") {
     // Round-12: scanWithLineage has two lineage attachments — per-delta
     // LITERAL scans (≤ maxDeltas, zero per-row work) and the per-row path

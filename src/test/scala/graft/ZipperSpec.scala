@@ -35,6 +35,40 @@ class ZipperSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getInt(2)),
         if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
 
+  test("zip + merge_order: full-row (superset-of-group) writers keep merge-order winners") {
+    // The r16 ADVICE scenario: column-narrowed zipper group schemas made a
+    // full-row write a strict SUPERSET of each group's narrowed schema, so
+    // the old equality completeness check routed such lineages to the
+    // partial resolve — which resolves by pure recency, silently ignoring
+    // merge_order/event-time winner selection.
+    val moSchema = StructType(Seq(
+      FieldMeta.field("k", IntegerType, nullable = false, mergeKey = true),
+      FieldMeta.field("a", IntegerType),
+      FieldMeta.field("prio", IntegerType, mergeOrder = Some("DESC")),
+      FieldMeta.field("t", StringType)))
+    val cat = new GraftCatalog(spark, tmpDir("zip-mo"))
+    cat.createTable("z.mo", moSchema, properties = Map("read_optimization" -> "NONE"))
+    cat.setSubschema("z.mo", "nums", Seq("k", "a", "prio"))
+    cat.setSubschema("z.mo", "text", Seq("k", "t"))
+    // two FULL-ROW writes per key; k=1's later write has LOWER priority
+    // (merge_order must pick the earlier), k=2's has HIGHER (recency and
+    // merge_order agree) — one key per direction.
+    cat.writeToTable(
+      Seq((1, 10, 5, "keep"), (2, 20, 1, "old")).toDF("k", "a", "prio", "t"),
+      "z.mo", WriteMode.Merge)
+    cat.writeToTable(
+      Seq((1, 11, 3, "drop"), (2, 21, 9, "new")).toDF("k", "a", "prio", "t"),
+      "z.mo", WriteMode.Merge)
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "a", "prio", "t").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val plain = all(cat.readTable("z.mo"))
+    assert(plain == Set((1, 10, 5, "keep"), (2, 21, 9, "new")),
+      s"plain read must honor merge_order: $plain")
+    assert(all(cat.readZipped("z.mo")) == plain,
+      "zipped read silently dropped merge_order winner selection")
+  }
+
   test("zipper equals the plain read over random full/partial/delete interleavings") {
     // op: 0 = full row write, 1 = nums-group partial, 2 = text-group
     // partial, 3 = delete
